@@ -1,0 +1,64 @@
+package graft.core
+
+import java.security.SecureRandom
+
+/** Fixed-size object identifiers.
+  *
+  * Mirrors the reference's id scheme (12-byte SnapshotId/ManifestId/ChunkId,
+  * 8-byte NodeId — icechunk-format/src/lib.rs:105-115) and base32 display
+  * (lib.rs:162-235). Stored as `BinaryType` in all metadata relations; the
+  * base32 form is used for file names on storage.
+  */
+object Ids {
+  private val rng = new SecureRandom()
+  // RFC4648 base32 alphabet, no padding, upper-case — matches common
+  // object-id display conventions and is filesystem/S3-key safe.
+  private val Alphabet = "ABCDEFGHIJKLMNOPQRSTUVWXYZ234567"
+
+  def randomBytes(n: Int): Array[Byte] = {
+    val b = new Array[Byte](n)
+    rng.synchronized(rng.nextBytes(b))
+    b
+  }
+
+  /** 12-byte id for snapshots / manifests / chunks / tx-logs. */
+  def newObjectId(): Array[Byte] = randomBytes(12)
+
+  /** 8-byte id for nodes. */
+  def newNodeId(): Array[Byte] = randomBytes(8)
+
+  def toBase32(bytes: Array[Byte]): String = {
+    val sb = new StringBuilder
+    var buffer = 0L
+    var bits = 0
+    for (b <- bytes) {
+      buffer = (buffer << 8) | (b & 0xffL)
+      bits += 8
+      while (bits >= 5) {
+        bits -= 5
+        sb.append(Alphabet(((buffer >> bits) & 0x1f).toInt))
+      }
+    }
+    if (bits > 0) sb.append(Alphabet(((buffer << (5 - bits)) & 0x1f).toInt))
+    sb.toString
+  }
+
+  def fromBase32(s: String): Array[Byte] = {
+    var buffer = 0L
+    var bits = 0
+    val out = new java.io.ByteArrayOutputStream()
+    for (c <- s) {
+      val v = Alphabet.indexOf(c.toUpper)
+      require(v >= 0, s"invalid base32 char '$c' in '$s'")
+      buffer = (buffer << 5) | v.toLong
+      bits += 5
+      if (bits >= 8) {
+        bits -= 8
+        out.write(((buffer >> bits) & 0xff).toInt)
+      }
+    }
+    out.toByteArray
+  }
+
+  def hex(bytes: Array[Byte]): String = bytes.map("%02x".format(_)).mkString
+}

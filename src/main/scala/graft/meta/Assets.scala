@@ -1,0 +1,191 @@
+package graft.meta
+
+import java.nio.charset.StandardCharsets.UTF_8
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Ids
+import graft.storage.Store
+
+/** Key layout on storage (spec-v2.md:160-170). */
+object Layout {
+  val PointerPrefix = "repo/"
+  def pointerKey(gen: Long): String = f"repo/r.$gen%020d.json"
+  def genOf(key: String): Long =
+    key.stripPrefix(PointerPrefix).stripPrefix("r.").stripSuffix(".json").toLong
+  def snapshotKey(id: String): String = s"snapshots/$id.json"
+  def manifestPrefix(id: String): String = s"manifests/$id"
+  def txLogPrefix(id: String): String = s"transactions/$id"
+  def chunkKey(id: String): String = s"chunks/$id"
+}
+
+/** The repo pointer chain: load-latest + compare-and-swap.
+  *
+  * Commit writes generation N+1 with put-if-absent; a lost race means
+  * another committer advanced the chain first — reload, rebase, retry
+  * (the optimistic-concurrency loop of session.rs:3194-3402 /
+  * storage.rs:578-587, re-expressed over an append-only file chain).
+  */
+final class RepoPointer(store: Store) {
+  /** Latest generation number on storage, or -1 if uninitialized. */
+  def latestGen(): Long = {
+    val gens = store.list(Layout.PointerPrefix)
+      .map(_._1).filter(_.endsWith(".json")).map(Layout.genOf)
+    if (gens.isEmpty) -1L else gens.max
+  }
+
+  def load(): Option[RepoInfo] = {
+    val g = latestGen()
+    if (g < 0) None else Some(loadGen(g))
+  }
+
+  def loadGen(gen: Long): RepoInfo =
+    MetaJson.readRepoInfo(
+      new String(store.getBytes(Layout.pointerKey(gen)), UTF_8))
+
+  /** CAS: succeeds only if `expectedGen` is still the tip. */
+  def compareAndSwap(expectedGen: Long, next: RepoInfo): Boolean = {
+    require(next.gen == expectedGen + 1, "next.gen must be expectedGen+1")
+    store.putIfAbsent(Layout.pointerKey(next.gen),
+      MetaJson.writeRepoInfo(next).getBytes(UTF_8))
+  }
+
+  /** Full ops history: the ring in the tip plus older generations' rings
+    * (the generation chain IS the `overwritten/` history of the reference,
+    * repository.rs:1082-1133). Driver-side paging, newest first.
+    */
+  def opsLog(maxEntries: Int = Int.MaxValue): Seq[OpLogEntry] = {
+    val out = scala.collection.mutable.ArrayBuffer[OpLogEntry]()
+    var g = latestGen()
+    var lastSeen: Set[String] = Set.empty
+    while (g >= 0 && out.size < maxEntries) {
+      val info = loadGen(g)
+      val fresh = info.ops.filterNot(e => lastSeen.contains(e.ts + e.op + e.detail))
+      out ++= fresh.sortBy(_.ts).reverse
+      lastSeen = info.ops.map(e => e.ts + e.op + e.detail).toSet
+      g -= 1
+    }
+    out.distinct.take(maxEntries).toSeq
+  }
+}
+
+/** Typed I/O over the store: snapshots (JSON), manifests / tx logs
+  * (Parquet via Spark), chunk blobs (raw bytes). Driver-side memoization of
+  * snapshot documents stands in for the reference's LRU caches
+  * (asset_manager.rs:71-147); Parquet datasets are cached by Spark's block
+  * manager when `.persist()`ed by callers.
+  */
+final class AssetManager(val store: Store, spark: SparkSession) {
+  import scala.collection.concurrent.TrieMap
+  private val snapshotCache = TrieMap[String, Snapshot]()
+
+  // ---- snapshots ----
+  def writeSnapshot(s: Snapshot): Unit = {
+    store.putBytes(Layout.snapshotKey(s.id),
+      MetaJson.writeSnapshot(s).getBytes(UTF_8))
+    snapshotCache.put(s.id, s)
+  }
+
+  def readSnapshot(id: String): Snapshot =
+    snapshotCache.getOrElseUpdate(id,
+      MetaJson.readSnapshot(
+        new String(store.getBytes(Layout.snapshotKey(id)), UTF_8)))
+
+  // ---- manifests (Parquet, written sorted for stats-based pruning) ----
+  def manifestUri(id: String): String = store.uri(Layout.manifestPrefix(id))
+
+  /** Write chunk refs as one manifest dataset partitioned by (node_id,
+    * split) — each split is the Spark-native analog of one reference
+    * manifest file; sorting within partitions by coordinate makes Parquet
+    * min/max stats tight (manifest sort, session.rs:2564). Returns
+    * per-(node, split) extents + file info for the snapshot.
+    */
+  def writeManifest(id: String, refs: DataFrame): Map[String, Seq[ManifestRef]] = {
+    refs
+      .repartition(col("node_id"), col("split"))
+      .sortWithinPartitions("node_id", "c0", "c1", "c2", "c3")
+      .write
+      .partitionBy("node_id", "split")
+      .option("compression", "zstd")
+      .parquet(manifestUri(id))
+
+    val ndims = refs.sparkSession.read.parquet(manifestUri(id))
+      .groupBy("node_id", "split")
+      .agg(
+        min("c0").as("min0"), max("c0").as("max0"),
+        min("c1").as("min1"), max("c1").as("max1"),
+        min("c2").as("min2"), max("c2").as("max2"),
+        min("c3").as("min3"), max("c3").as("max3"),
+        count(lit(1)).as("refs"),
+        sum(coalesce(col("length"), lit(0L))).as("bytes"),
+        max(size(col("coord"))).as("ndim"))
+      .collect()
+    ndims.groupBy(_.getAs[String]("node_id")).map { case (node, rows) =>
+      node -> rows.toSeq.map { r =>
+        val nd = r.getAs[Int]("ndim")
+        val mins = (0 until nd).map(i => r.getAs[Int](s"min$i"))
+        val maxs = (0 until nd).map(i => r.getAs[Int](s"max$i"))
+        ManifestRef(id, r.getAs[Int]("split"), mins, maxs,
+          r.getAs[Long]("refs"), r.getAs[Long]("bytes"))
+      }
+    }
+  }
+
+  /** Read back one manifest split for a node (partition-pruned scan). */
+  def readManifestSplit(ref: ManifestRef, nodeId: String): DataFrame =
+    spark.read.parquet(manifestUri(ref.manifestId))
+      .filter(col("node_id") === nodeId && col("split") === ref.split)
+
+  /** All committed refs of the given nodes at a snapshot, as one DataFrame.
+    * Reads only the (manifestId, node, split) partitions the snapshot
+    * references — scans stay pruned even when manifests are shared across
+    * snapshots.
+    */
+  def committedRefs(snapshot: Snapshot, nodeIds: Seq[String]): DataFrame = {
+    val wanted = nodeIds.filter(snapshot.manifests.contains)
+    val parts = for {
+      node <- wanted
+      ref <- snapshot.manifests(node)
+    } yield (ref.manifestId, node, ref.split)
+    if (parts.isEmpty) emptyRefs()
+    else {
+      // group by manifest so each dataset is opened once
+      parts.groupBy(_._1).map { case (mid, group) =>
+        val keys = group.map { case (_, n, s) => (n, s) }.toSet
+        val cond = keys.map { case (n, s) =>
+          col("node_id") === n && col("split") === s
+        }.reduce(_ || _)
+        spark.read.parquet(manifestUri(mid)).filter(cond)
+      }.reduce(_ unionByName _)
+    }
+  }
+
+  def emptyRefs(): DataFrame = {
+    import spark.implicits._
+    spark.emptyDataset[ChunkRef].toDF().withColumn("split", lit(0))
+  }
+
+  // ---- transaction logs ----
+  def writeTxLog(snapshotId: String, edits: DataFrame): Unit =
+    edits.write.option("compression", "zstd")
+      .parquet(store.uri(Layout.txLogPrefix(snapshotId)))
+
+  def readTxLog(snapshotId: String): DataFrame =
+    spark.read.parquet(store.uri(Layout.txLogPrefix(snapshotId)))
+
+  def txLogExists(snapshotId: String): Boolean =
+    store.list(Layout.txLogPrefix(snapshotId)).nonEmpty
+
+  // ---- chunk blobs ----
+  def writeChunk(bytes: Array[Byte]): String = {
+    val id = Ids.toBase32(Ids.newObjectId())
+    store.putBytes(Layout.chunkKey(id), bytes)
+    id
+  }
+
+  def readChunk(id: String, offset: Long, length: Long): Array[Byte] = {
+    val all = store.getBytes(Layout.chunkKey(id))
+    if (offset == 0 && (length == 0 || length == all.length)) all
+    else java.util.Arrays.copyOfRange(all, offset.toInt,
+      (offset + (if (length == 0) all.length - offset else length)).toInt)
+  }
+}

@@ -1,0 +1,127 @@
+package graft.meta
+
+import org.json4s._
+import org.json4s.jackson.Serialization
+
+/** Metadata model of the engine — the driver-side "metadata kernel".
+  *
+  * Mirrors the reference's format crate, re-expressed for a Spark-first
+  * engine (SURVEY.md §1): snapshots and the repo pointer are small JSON
+  * documents (human-debuggable, driver-parsed); manifests and transaction
+  * logs are Parquet datasets (columnar, scanned/joined/pruned by Spark).
+  * Ids are base32 strings of random bytes (reference: 12-byte binary ids,
+  * icechunk-format/src/lib.rs:105-115 — capability parity, not format
+  * parity).
+  *
+  * On-disk layout (mirrors spec-v2.md:160-170):
+  * {{{
+  *   $ROOT/repo/r.<generation>.json   pointer chain (CAS, one file per gen)
+  *   $ROOT/snapshots/<id>.json        immutable snapshot documents
+  *   $ROOT/manifests/<id>/            immutable Parquet chunk-ref datasets
+  *   $ROOT/transactions/<id>/         immutable Parquet edit logs
+  *   $ROOT/chunks/<id>                immutable chunk byte blobs
+  * }}}
+  * Unlike the reference (mutable `repo` object + `overwritten/` backups,
+  * repo_info.rs:90), the pointer is a generation-numbered file chain: commit
+  * = put-if-absent of generation N+1. Nothing is ever overwritten, and the
+  * historical generations ARE the ops-log history chain.
+  */
+
+/** A node in the hierarchy: group or array (snapshot.rs:135-150).
+  * `userData` carries the opaque Zarr `zarr.json` document verbatim.
+  */
+final case class NodeSpec(
+    id: String,
+    path: String,
+    nodeType: String, // "group" | "array"
+    shape: Seq[Long] = Nil,
+    chunkShape: Seq[Long] = Nil,
+    dimNames: Seq[String] = Nil,
+    userData: String = "") {
+  def isArray: Boolean = nodeType == NodeSpec.Array
+  def arrayShape: graft.core.ArrayShape =
+    graft.core.ArrayShape.regular(shape, chunkShape, dimNames)
+}
+object NodeSpec {
+  val Group = "group"
+  val Array = "array"
+}
+
+/** Pointer from an array node to one split of a manifest Parquet dataset,
+  * with its coordinate bounding box (= `ManifestExtents`, manifest.rs:46)
+  * and file info (= `ManifestFileInfo`, snapshot.rs:325).
+  * Extents are inclusive min / inclusive max per axis.
+  */
+final case class ManifestRef(
+    manifestId: String,
+    split: Int,
+    emin: Seq[Int],
+    emax: Seq[Int],
+    numRefs: Long,
+    sizeBytes: Long) {
+  def contains(coord: Seq[Int]): Boolean =
+    coord.size == emin.size &&
+      coord.indices.forall(i => coord(i) >= emin(i) && coord(i) <= emax(i))
+  def overlaps(omin: Seq[Int], omax: Seq[Int]): Boolean =
+    emin.indices.forall(i => emin(i) <= omax(i) && omin(i) <= emax(i))
+}
+
+/** Immutable snapshot of the whole hierarchy (snapshot.rs:351). */
+final case class Snapshot(
+    id: String,
+    parentId: Option[String],
+    message: String,
+    flushedAt: String, // ISO-8601 UTC
+    properties: Map[String, String] = Map.empty,
+    nodes: Seq[NodeSpec] = Nil,
+    manifests: Map[String, Seq[ManifestRef]] = Map.empty // nodeId -> refs
+) {
+  def node(path: String): Option[NodeSpec] = nodes.find(_.path == path)
+  def nodeById(id: String): Option[NodeSpec] = nodes.find(_.id == id)
+}
+
+/** Summary row kept in the pointer (SnapshotInfo, snapshot.rs:378). */
+final case class SnapshotInfo(
+    id: String,
+    parentId: Option[String],
+    flushedAt: String,
+    message: String,
+    writtenBy: String = "graft")
+
+final case class OpLogEntry(ts: String, op: String, detail: String)
+
+/** The single mutable root object (repo_info.rs:90): branches, tags, the
+  * full snapshot list, config, and the latest-N ops ring (older entries
+  * live in previous pointer generations — config default 1000 mirrors
+  * config.rs:570).
+  */
+final case class RepoInfo(
+    gen: Long,
+    branches: Map[String, String] = Map.empty,
+    tags: Map[String, String] = Map.empty,
+    deletedTags: Seq[String] = Nil, // tags are tombstoned, repo_info.rs:713
+    snapshots: Seq[SnapshotInfo] = Nil,
+    ops: Seq[OpLogEntry] = Nil,
+    config: Map[String, String] = Map.empty) {
+  def snapshotInfo(id: String): Option[SnapshotInfo] =
+    snapshots.find(_.id == id)
+
+  /** Ordered commit list from `id` to the root, most recent first —
+    * `ancestry` (repository.rs:970-985). Parent pointers form a linear
+    * chain per branch; walk is driver-side over the in-memory list.
+    */
+  def ancestry(id: String): Seq[SnapshotInfo] = {
+    val byId = snapshots.map(s => s.id -> s).toMap
+    Iterator.iterate(byId.get(id))(_.flatMap(_.parentId).flatMap(byId.get))
+      .takeWhile(_.isDefined).flatten.toSeq
+  }
+}
+
+object MetaJson {
+  implicit val formats: Formats = Serialization.formats(NoTypeHints)
+
+  def writeSnapshot(s: Snapshot): String = Serialization.writePretty(s)
+  def readSnapshot(json: String): Snapshot = Serialization.read[Snapshot](json)
+  def writeRepoInfo(r: RepoInfo): String = Serialization.writePretty(r)
+  def readRepoInfo(json: String): RepoInfo = Serialization.read[RepoInfo](json)
+}

@@ -1,0 +1,135 @@
+package graft.repo
+
+import scala.collection.mutable
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.meta.{ChunkRef, NodeSpec}
+import graft.meta.GraftEncoders._
+
+/** Uncommitted edits of a session (change_set.rs:48-68).
+  *
+  * Node-level edits are driver-held (hierarchies are small); chunk-level
+  * edits are a sequence of staged DataFrame batches plus a driver-side
+  * buffer for point writes. Precedence is last-write-wins per (node, coord),
+  * resolved lazily with a window over the batch sequence number — the
+  * changeset itself never materializes on the driver (the reference caps a
+  * commit at 50 M refs, change_set.rs:36; we stream them through Spark).
+  */
+final class ChangeSet {
+  val newNodes: mutable.LinkedHashMap[String, NodeSpec] = mutable.LinkedHashMap()
+  val updatedNodes: mutable.LinkedHashMap[String, NodeSpec] = mutable.LinkedHashMap()
+  /** path -> nodeType of nodes deleted in this session. */
+  val deletedNodes: mutable.LinkedHashMap[String, String] = mutable.LinkedHashMap()
+  /** (nodeId, fromPath, toPath) — move_node (session.rs:857-934). */
+  val moves: mutable.ArrayBuffer[(String, String, String)] = mutable.ArrayBuffer()
+
+  /** Arrays whose committed refs must be ignored at flush (reindex/shift
+    * rewrite the whole coordinate table — session.rs:935-1071).
+    */
+  val rewrittenNodes: mutable.Set[String] = mutable.Set()
+
+  private val pointEdits = mutable.ArrayBuffer[ChunkRef]()
+  private val stagedBatches = mutable.ArrayBuffer[DataFrame]() // full ChunkRef schema + _batch
+  private var batchSeq = 0
+  /** (node, coord) sets to drop from our edits (rebase UseTheirs). */
+  val exclusions: mutable.ArrayBuffer[DataFrame] = mutable.ArrayBuffer()
+
+  def isEmpty: Boolean =
+    newNodes.isEmpty && updatedNodes.isEmpty && deletedNodes.isEmpty &&
+      moves.isEmpty && pointEdits.isEmpty && stagedBatches.isEmpty &&
+      rewrittenNodes.isEmpty
+
+  def hasChunkChanges: Boolean = pointEdits.nonEmpty || stagedBatches.nonEmpty
+
+  def setChunkRef(ref: ChunkRef): Unit = pointEdits += ref
+
+  /** Stage a distributed batch of chunk refs (full [[ChunkRef]] columns). */
+  def stageBatch(df: DataFrame): Unit = {
+    batchSeq += 1
+    stagedBatches += df.withColumn("_batch", lit(batchSeq))
+  }
+
+  /** Node ids touched by chunk edits (driver-known for point edits; staged
+    * batches contribute their distinct node ids — computed lazily).
+    */
+  def chunkEditNodeIds(spark: SparkSession): Set[String] = {
+    val local = pointEdits.map(_.node_id).toSet
+    val staged =
+      if (stagedBatches.isEmpty) Set.empty[String]
+      else stagedBatches.map(_.select("node_id")).reduce(_ union _)
+        .distinct().collect().map(_.getString(0)).toSet
+    local ++ staged ++ rewrittenNodes
+  }
+
+  /** All chunk edits with last-write-wins precedence applied and rebase
+    * exclusions removed. Tombstones (`kind = delete`) are retained — the
+    * flush merge needs them to suppress committed refs.
+    */
+  def chunkChanges(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val point =
+      if (pointEdits.isEmpty) None
+      // the buffer itself is last-write-wins by position
+      else Some(spark.createDataset(pointEdits.zipWithIndex.map {
+        case (r, i) => (r, i)
+      }.toSeq).toDF("ref", "_i")
+        .select(col("ref.*"), (lit(batchSeq + 1) + col("_i") /
+          lit(math.max(pointEdits.size, 1).toDouble)).as("_batch")))
+    val all = (stagedBatches.map(_.withColumn("_batch",
+      col("_batch").cast("double"))) ++ point).reduceOption(_ unionByName _)
+      .getOrElse(spark.emptyDataset[ChunkRef].toDF()
+        .withColumn("_batch", lit(0.0)))
+    val w = Window.partitionBy("node_id", "coord").orderBy(col("_batch").desc)
+    val deduped = all
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1).drop("_rn", "_batch")
+    exclusions.foldLeft(deduped)((df, ex) =>
+      df.join(ex.select("node_id", "coord"), Seq("node_id", "coord"),
+        "left_anti"))
+  }
+
+  /** Union of two changesets (session merge, change_set.rs:95-160): `other`
+    * wins on overlapping keys; node-level edits must not conflict.
+    */
+  def merge(other: ChangeSet): Unit = {
+    val nodeOverlap =
+      (newNodes.keySet ++ updatedNodes.keySet ++ deletedNodes.keySet) &
+        (other.newNodes.keySet ++ other.updatedNodes.keySet ++
+          other.deletedNodes.keySet)
+    val conflicting = nodeOverlap.filter { p =>
+      (newNodes.get(p), other.newNodes.get(p)) match {
+        case (Some(a), Some(b)) => a != b
+        case _ => true
+      }
+    }
+    if (conflicting.nonEmpty)
+      throw new ConflictException(
+        s"session merge: conflicting node edits at ${conflicting.mkString(", ")}")
+    other.newNodes.foreach { case (k, v) => newNodes.put(k, v) }
+    other.updatedNodes.foreach { case (k, v) => updatedNodes.put(k, v) }
+    other.deletedNodes.foreach { case (k, v) => deletedNodes.put(k, v) }
+    moves ++= other.moves
+    rewrittenNodes ++= other.rewrittenNodes
+    other.pointEdits.foreach(setChunkRef)
+    other.stagedBatches.foreach { df => stageBatch(df.drop("_batch")) }
+    exclusions ++= other.exclusions
+  }
+
+  def clearChunks(nodeId: String): Unit = {
+    pointEdits.filterInPlace(_.node_id != nodeId)
+    // staged batches are filtered lazily
+    if (stagedBatches.nonEmpty) {
+      val filtered = stagedBatches.map(_.filter(col("node_id") =!= nodeId))
+      stagedBatches.clear()
+      stagedBatches ++= filtered
+    }
+  }
+
+  def discard(): Unit = {
+    newNodes.clear(); updatedNodes.clear(); deletedNodes.clear()
+    moves.clear(); rewrittenNodes.clear(); pointEdits.clear()
+    stagedBatches.clear(); exclusions.clear()
+    batchSeq = 0
+  }
+}

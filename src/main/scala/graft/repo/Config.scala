@@ -1,0 +1,48 @@
+package graft.repo
+
+import scala.util.matching.Regex
+import graft.meta.NodeSpec
+
+/** Engine configuration. Defaults mirror the reference's
+  * (icechunk/src/config.rs): inline threshold 512 B (:573), ops ring 1000
+  * (:570), commit ceiling 50 M refs (change_set.rs:36).
+  */
+final case class GraftConfig(
+    inlineThresholdBytes: Int = 512,
+    maxChunkRefsPerCommit: Long = 50_000_000L,
+    opsRingSize: Int = 1000,
+    commitRetries: Int = 20,
+    splits: Seq[SplitRule] = Nil) {
+
+  /** Manifest split spec for an array: (axis, chunksPerSplit). The default
+    * (no rule matches) is a single split — same as the reference without a
+    * `ManifestSplittingConfig`.
+    */
+  def splitFor(node: NodeSpec): (Int, Int) =
+    splits.find(_.matches(node)).map(r => (r.axis, r.chunksPerSplit))
+      .getOrElse((0, Int.MaxValue))
+}
+
+/** Split-condition DSL (config.rs:168-232): choose manifest sharding per
+  * array by path/name regex; shard along `axis` every `chunksPerSplit`
+  * chunk indices.
+  */
+final case class SplitRule(pathRegex: String, axis: Int, chunksPerSplit: Int) {
+  require(chunksPerSplit > 0)
+  private lazy val re: Regex = pathRegex.r
+  def matches(node: NodeSpec): Boolean =
+    node.isArray && re.pattern.matcher(node.path).matches()
+}
+
+/** Version reference — branch / tag / snapshot id (refs.rs:61-67). */
+sealed trait VersionRef
+object VersionRef {
+  final case class Branch(name: String) extends VersionRef
+  final case class Tag(name: String) extends VersionRef
+  final case class SnapshotVer(id: String) extends VersionRef
+  val Main: Branch = Branch("main")
+}
+
+class GraftException(msg: String) extends RuntimeException(msg)
+class ConflictException(msg: String, val conflicts: Seq[String] = Nil)
+  extends GraftException(msg)

@@ -1,0 +1,203 @@
+package graft.repo
+
+import java.time.Instant
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Ids
+import graft.meta._
+import graft.meta.GraftEncoders._
+import graft.storage.Store
+import graft.virt.VirtualChunkResolver
+
+/** Versioned repository over an object store (repository.rs).
+  *
+  * Branch/tag/snapshot bookkeeping lives in the pointer chain (CAS-updated,
+  * [[graft.meta.RepoPointer]]); all heavyweight reads/writes are Spark jobs
+  * over immutable Parquet. Every mutating entry point goes through
+  * [[casUpdate]] — the same optimistic-concurrency discipline as commits.
+  */
+final class Repository private (
+    val store: Store,
+    val spark: SparkSession,
+    val config: GraftConfig,
+    val virtualResolver: VirtualChunkResolver) {
+
+  val assets = new AssetManager(store, spark)
+  val pointer = new RepoPointer(store)
+
+  def info(): RepoInfo = pointer.load().getOrElse(
+    throw new GraftException("repository not initialized"))
+
+  // ------------------------------------------------------------------
+  // refs: branches & tags (repository.rs:1134-1708)
+  // ------------------------------------------------------------------
+
+  private[graft] def casUpdate(op: String, detail: String)(
+      f: RepoInfo => RepoInfo): RepoInfo = {
+    var attempts = 0
+    while (attempts < config.commitRetries) {
+      attempts += 1
+      val cur = info()
+      val entry = OpLogEntry(Instant.now().toString, op, detail)
+      val next0 = f(cur)
+      val next = next0.copy(gen = cur.gen + 1,
+        ops = (next0.ops :+ entry).takeRight(config.opsRingSize))
+      if (pointer.compareAndSwap(cur.gen, next)) return next
+      Thread.sleep(math.min(50L * attempts, 500L)) // backoff (gc.rs:360-380)
+    }
+    throw new ConflictException(s"$op lost CAS race ${config.commitRetries}x")
+  }
+
+  def listBranches(): Seq[String] = info().branches.keys.toSeq.sorted
+  def lookupBranch(name: String): Option[String] = info().branches.get(name)
+
+  def createBranch(name: String, snapshotId: String): Unit =
+    casUpdate("create_branch", name) { i =>
+      if (i.branches.contains(name))
+        throw new GraftException(s"branch $name exists")
+      require(i.snapshotInfo(snapshotId).isDefined, s"unknown snapshot")
+      i.copy(branches = i.branches.updated(name, snapshotId))
+    }
+
+  /** Point a branch at an arbitrary snapshot (`reset_branch`). */
+  def resetBranch(name: String, snapshotId: String): Unit =
+    casUpdate("reset_branch", s"$name -> $snapshotId") { i =>
+      if (!i.branches.contains(name))
+        throw new GraftException(s"no branch $name")
+      require(i.snapshotInfo(snapshotId).isDefined, s"unknown snapshot")
+      i.copy(branches = i.branches.updated(name, snapshotId))
+    }
+
+  def deleteBranch(name: String): Unit =
+    casUpdate("delete_branch", name) { i =>
+      if (name == "main") throw new GraftException("cannot delete main")
+      i.copy(branches = i.branches.removed(name))
+    }
+
+  def listTags(): Seq[String] = info().tags.keys.toSeq.sorted
+  def lookupTag(name: String): Option[String] = info().tags.get(name)
+
+  def createTag(name: String, snapshotId: String): Unit =
+    casUpdate("create_tag", name) { i =>
+      // deleted tags are tombstoned and cannot be recreated (repo_info.rs:713)
+      if (i.tags.contains(name) || i.deletedTags.contains(name))
+        throw new GraftException(s"tag $name exists or was deleted")
+      require(i.snapshotInfo(snapshotId).isDefined, s"unknown snapshot")
+      i.copy(tags = i.tags.updated(name, snapshotId))
+    }
+
+  def deleteTag(name: String): Unit =
+    casUpdate("delete_tag", name) { i =>
+      if (!i.tags.contains(name)) throw new GraftException(s"no tag $name")
+      i.copy(tags = i.tags.removed(name),
+        deletedTags = i.deletedTags :+ name)
+    }
+
+  // ------------------------------------------------------------------
+  // history
+  // ------------------------------------------------------------------
+
+  def resolveVersion(ref: VersionRef): String = ref match {
+    case VersionRef.Branch(b) => lookupBranch(b).getOrElse(
+      throw new GraftException(s"no branch $b"))
+    case VersionRef.Tag(t) => lookupTag(t).getOrElse(
+      throw new GraftException(s"no tag $t"))
+    case VersionRef.SnapshotVer(id) => id
+  }
+
+  /** `ancestry(ref)` — ordered, most recent first (repository.rs:970). */
+  def ancestry(ref: VersionRef): Seq[SnapshotInfo] =
+    info().ancestry(resolveVersion(ref))
+
+  /** Ancestry as a DataFrame ordered by commit recency. */
+  def ancestryDf(ref: VersionRef): DataFrame = {
+    import spark.implicits._
+    spark.createDataset(ancestry(ref)).toDF()
+  }
+
+  def opsLog(maxEntries: Int = Int.MaxValue): Seq[OpLogEntry] =
+    pointer.opsLog(maxEntries)
+
+  /** `diff(from, to)`: union of the transaction logs on the path from
+    * `from` (exclusive) to `to` (inclusive), with node paths resolved
+    * (diff.rs:27-75) — a DataFrame of edit rows.
+    */
+  def diff(from: VersionRef, to: VersionRef): DataFrame = {
+    val fromId = resolveVersion(from)
+    val toId = resolveVersion(to)
+    val chain = info().ancestry(toId).takeWhile(_.id != fromId).map(_.id)
+    if (chain.isEmpty) {
+      import spark.implicits._
+      spark.emptyDataset[EditRow].toDF()
+    } else {
+      val logs = chain.filter(assets.txLogExists)
+        .map(assets.readTxLog)
+      if (logs.isEmpty) {
+        import spark.implicits._
+        spark.emptyDataset[EditRow].toDF()
+      } else
+        // accumulated edit sets: distinct union (DiffBuilder, diff.rs:27-51)
+        logs.reduce(_ unionByName _).distinct()
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // sessions
+  // ------------------------------------------------------------------
+
+  def readonlySession(ref: VersionRef): Session =
+    new Session(this, None, assets.readSnapshot(resolveVersion(ref)))
+
+  def writableSession(branchName: String): Session = {
+    val tip = lookupBranch(branchName).getOrElse(
+      throw new GraftException(s"no branch $branchName"))
+    new Session(this, Some(branchName), assets.readSnapshot(tip))
+  }
+
+  def lookupSnapshot(id: String): Snapshot = assets.readSnapshot(id)
+}
+
+object Repository {
+  val DefaultBranch = "main"
+
+  def exists(store: Store): Boolean = new RepoPointer(store).latestGen() >= 0
+
+  def create(store: Store, spark: SparkSession,
+             config: GraftConfig = GraftConfig(),
+             resolver: VirtualChunkResolver =
+               VirtualChunkResolver.default): Repository = {
+    if (exists(store)) throw new GraftException("repository already exists")
+    val repo = new Repository(store, spark, config, resolver)
+    // initial snapshot: a single root group (repository.rs:208)
+    val root = Snapshot(
+      id = Ids.toBase32(Ids.newObjectId()),
+      parentId = None,
+      message = "Repository initialized",
+      flushedAt = Instant.now().toString,
+      nodes = Seq(NodeSpec(Ids.toBase32(Ids.newNodeId()), "/",
+        NodeSpec.Group)))
+    repo.assets.writeSnapshot(root)
+    val info = RepoInfo(
+      gen = 0L,
+      branches = Map(DefaultBranch -> root.id),
+      snapshots = Seq(SnapshotInfo(root.id, None, root.flushedAt,
+        root.message)),
+      ops = Seq(OpLogEntry(Instant.now().toString, "repo_initialized", "")))
+    if (!repo.pointer.compareAndSwap(-1L, info))
+      throw new ConflictException("lost creation race")
+    repo
+  }
+
+  def open(store: Store, spark: SparkSession,
+           config: GraftConfig = GraftConfig(),
+           resolver: VirtualChunkResolver =
+             VirtualChunkResolver.default): Repository = {
+    if (!exists(store)) throw new GraftException("no repository at store root")
+    new Repository(store, spark, config, resolver)
+  }
+
+  def openOrCreate(store: Store, spark: SparkSession,
+                   config: GraftConfig = GraftConfig()): Repository =
+    if (exists(store)) open(store, spark, config)
+    else create(store, spark, config)
+}

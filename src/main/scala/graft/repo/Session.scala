@@ -1,0 +1,539 @@
+package graft.repo
+
+import java.time.Instant
+import scala.jdk.CollectionConverters._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.{ArrayShape, Ids, NodePath}
+import graft.meta._
+import graft.meta.GraftEncoders._
+
+/** A transaction context over one snapshot (session.rs).
+  *
+  * Read path (§3.1): changeset-first, then committed manifests with
+  * extent-based pruning. Write path (§3.2): edits accumulate in the
+  * [[ChangeSet]]; `flush` runs the changeset-over-snapshot merge as a Spark
+  * job and writes immutable manifests + snapshot + tx log; `commit` then
+  * advances the branch with a CAS on the pointer chain, rebasing on
+  * conflict.
+  */
+final class Session private[repo] (
+    val repo: Repository,
+    val branch: Option[String], // None = read-only / detached
+    private var baseSnapshot: Snapshot) {
+
+  val changeSet = new ChangeSet
+  private def spark: SparkSession = repo.spark
+  private def assets: AssetManager = repo.assets
+  private def cfg: GraftConfig = repo.config
+  def base: Snapshot = baseSnapshot
+  def readOnly: Boolean = branch.isEmpty
+
+  private def requireWritable(): Unit =
+    if (readOnly) throw new GraftException("session is read-only")
+
+  // ------------------------------------------------------------------
+  // hierarchy view (base ⊕ changeset)
+  // ------------------------------------------------------------------
+
+  /** Effective node list: base nodes minus deletions (incl. descendants),
+    * with updates, moves, and new nodes applied.
+    */
+  def nodes: Seq[NodeSpec] = {
+    val moved = baseSnapshot.nodes.map { n =>
+      changeSet.moves.foldLeft(n) { case (node, (_, from, to)) =>
+        if (node.path == from) node.copy(path = to)
+        else if (NodePath.isAncestorOf(from, node.path))
+          node.copy(path = to + node.path.stripPrefix(from))
+        else node
+      }
+    }
+    val afterDelete = moved.filterNot { n =>
+      changeSet.deletedNodes.keys.exists(d =>
+        d == n.path || NodePath.isAncestorOf(d, n.path))
+    }
+    val afterUpdate = afterDelete.map(n =>
+      changeSet.updatedNodes.getOrElse(n.path, n))
+    afterUpdate ++ changeSet.newNodes.values
+  }
+
+  def node(path: String): Option[NodeSpec] =
+    nodes.find(_.path == NodePath.normalize(path))
+
+  private def arrayNode(path: String): NodeSpec =
+    node(path).filter(_.isArray).getOrElse(
+      throw new GraftException(s"no array at $path"))
+
+  /** `list_nodes(prefix)` (session.rs:1415). */
+  def listNodes(prefix: String = "/"): Seq[NodeSpec] = {
+    val p = NodePath.normalize(prefix)
+    nodes.filter(n => n.path == p || NodePath.isAncestorOf(p, n.path))
+      .sortBy(_.path)
+  }
+
+  /** The hierarchy as a DataFrame (`nodes` relation of SURVEY §1.1). */
+  def nodesDf: DataFrame =
+    spark.createDataset(nodes)(nodeSpecEnc).toDF()
+
+  // ------------------------------------------------------------------
+  // node edits
+  // ------------------------------------------------------------------
+
+  def addGroup(path: String, userData: String = ""): NodeSpec = {
+    requireWritable()
+    val p = NodePath.normalize(path)
+    if (node(p).isDefined) throw new GraftException(s"node exists at $p")
+    val spec = NodeSpec(Ids.toBase32(Ids.newNodeId()), p, NodeSpec.Group,
+      userData = userData)
+    changeSet.newNodes.put(p, spec)
+    spec
+  }
+
+  def addArray(path: String, shape: Seq[Long], chunkShape: Seq[Long],
+               dimNames: Seq[String] = Nil, userData: String = ""): NodeSpec = {
+    requireWritable()
+    val p = NodePath.normalize(path)
+    if (node(p).isDefined) throw new GraftException(s"node exists at $p")
+    node(NodePath.parent(p).getOrElse("/")) match {
+      case Some(parent) if parent.isArray =>
+        throw new GraftException(s"cannot create node under array ${parent.path}")
+      case _ => ()
+    }
+    ArrayShape.regular(shape, chunkShape) // validates
+    val spec = NodeSpec(Ids.toBase32(Ids.newNodeId()), p, NodeSpec.Array,
+      shape, chunkShape, dimNames, userData)
+    changeSet.newNodes.put(p, spec)
+    spec
+  }
+
+  /** Update array shape/metadata in place (update_array). Chunks that fall
+    * out of bounds after a shrink are dropped at flush (the reference
+    * tombstones them, change_set.rs:62-66).
+    */
+  def updateArray(path: String, shape: Seq[Long], chunkShape: Seq[Long],
+                  dimNames: Seq[String] = Nil,
+                  userData: String = null): NodeSpec = {
+    requireWritable()
+    val cur = arrayNode(path)
+    val spec = cur.copy(shape = shape, chunkShape = chunkShape,
+      dimNames = if (dimNames.isEmpty) cur.dimNames else dimNames,
+      userData = Option(userData).getOrElse(cur.userData))
+    if (changeSet.newNodes.contains(cur.path))
+      changeSet.newNodes.put(cur.path, spec)
+    else changeSet.updatedNodes.put(cur.path, spec)
+    spec
+  }
+
+  def updateGroup(path: String, userData: String): NodeSpec = {
+    requireWritable()
+    val cur = node(path).filter(!_.isArray)
+      .getOrElse(throw new GraftException(s"no group at $path"))
+    val spec = cur.copy(userData = userData)
+    if (changeSet.newNodes.contains(cur.path))
+      changeSet.newNodes.put(cur.path, spec)
+    else changeSet.updatedNodes.put(cur.path, spec)
+    spec
+  }
+
+  /** Delete a node (and, for groups, all descendants). */
+  def deleteNode(path: String): Unit = {
+    requireWritable()
+    val n = node(path).getOrElse(
+      throw new GraftException(s"no node at $path"))
+    val doomed = nodes.filter(x =>
+      x.path == n.path || NodePath.isAncestorOf(n.path, x.path))
+    doomed.foreach { d =>
+      if (changeSet.newNodes.remove(d.path).isEmpty)
+        changeSet.deletedNodes.put(d.path, d.nodeType)
+      changeSet.updatedNodes.remove(d.path)
+      changeSet.clearChunks(d.id)
+    }
+  }
+
+  /** `move_node(from, to)` (session.rs:857-934). Rearranges the hierarchy;
+    * cannot be rebased (conflicts/mod.rs:49) so commits with moves fail on
+    * concurrent writers rather than attempting a merge.
+    */
+  def moveNode(from: String, to: String): Unit = {
+    requireWritable()
+    val f = NodePath.normalize(from); val t = NodePath.normalize(to)
+    val n = node(f).getOrElse(throw new GraftException(s"no node at $f"))
+    if (node(t).isDefined) throw new GraftException(s"node exists at $t")
+    node(NodePath.parent(t).getOrElse("/")) match {
+      case Some(p) if p.isArray =>
+        throw new GraftException(s"cannot move under array ${p.path}")
+      case None if NodePath.parent(t).exists(_ != "/") =>
+        throw new GraftException(s"destination parent missing for $t")
+      case _ => ()
+    }
+    if (changeSet.newNodes.contains(f)) {
+      val spec = changeSet.newNodes.remove(f).get
+      changeSet.newNodes.put(t, spec.copy(path = t))
+    } else changeSet.moves += ((n.id, f, t))
+  }
+
+  // ------------------------------------------------------------------
+  // chunk writes
+  // ------------------------------------------------------------------
+
+  def setChunkRef(path: String, coord: Seq[Int], ref: ChunkRef): Unit = {
+    requireWritable()
+    val n = arrayNode(path)
+    if (!n.arrayShape.validChunkCoord(coord))
+      throw new GraftException(
+        s"coord ${coord.mkString(",")} out of bounds for ${n.path}")
+    changeSet.setChunkRef(ref.copy(node_id = n.id))
+  }
+
+  /** Write chunk bytes: inline when ≤ threshold (config.rs:573), else
+    * upload as a native chunk object (session.rs:1333).
+    */
+  def writeChunk(path: String, coord: Seq[Int], bytes: Array[Byte]): Unit = {
+    val ref =
+      if (bytes.length <= cfg.inlineThresholdBytes)
+        ChunkRef.inlineRef("", coord, bytes)
+      else {
+        val id = assets.writeChunk(bytes)
+        ChunkRef.nativeRef("", coord, id, 0L, bytes.length.toLong)
+      }
+    setChunkRef(path, coord, ref)
+  }
+
+  def setVirtualRef(path: String, coord: Seq[Int], location: String,
+                    offset: Long, length: Long, etag: String = null,
+                    lastModified: Int = 0): Unit =
+    setChunkRef(path, coord,
+      ChunkRef.virtualRef("", coord, location, offset, length, etag,
+        lastModified))
+
+  def deleteChunk(path: String, coord: Seq[Int]): Unit =
+    setChunkRef(path, coord, ChunkRef.tombstone("", coord))
+
+  /** Bulk ingest of chunk refs from a DataFrame with at least a `coord`
+    * ARRAY<INT> column plus the payload columns of [[ChunkRef]] that apply
+    * (`kind`, `inline`, `chunk_id`, `location`, `offset`, `length`,
+    * `etag`, `last_modified`). This is the 100 TB write path: refs never
+    * pass through the driver (reference analog: `store_dask` / fork-merge,
+    * dask.py:61-150 — unnecessary here because executors stage refs and
+    * the driver only commits metadata).
+    */
+  def stageChunkRefs(path: String, df: DataFrame): Unit = {
+    requireWritable()
+    val n = arrayNode(path)
+    val withAll = Seq("kind" -> lit(ChunkRef.KindRef),
+      "inline" -> lit(null).cast("binary"),
+      "chunk_id" -> lit(null).cast("string"),
+      "location" -> lit(null).cast("string"),
+      "offset" -> lit(0L), "length" -> lit(0L),
+      "etag" -> lit(null).cast("string"), "last_modified" -> lit(0))
+      .foldLeft(df) { case (d, (c, default)) =>
+        if (d.columns.contains(c)) d else d.withColumn(c, default)
+      }
+    val full = withAll
+      .withColumn("node_id", lit(n.id))
+      .withColumn("c0", coalesce(try_element_at(col("coord"), lit(1)), lit(-1)))
+      .withColumn("c1", coalesce(try_element_at(col("coord"), lit(2)), lit(-1)))
+      .withColumn("c2", coalesce(try_element_at(col("coord"), lit(3)), lit(-1)))
+      .withColumn("c3", coalesce(try_element_at(col("coord"), lit(4)), lit(-1)))
+      .select("node_id", "coord", "c0", "c1", "c2", "c3", "kind", "inline",
+        "chunk_id", "location", "offset", "length", "etag", "last_modified")
+    changeSet.stageBatch(full)
+  }
+
+  /** Relabel chunk coordinates via a coordinate-transform expression
+    * (`reindex_array`, session.rs:935-1071). `f` maps the `coord`
+    * ARRAY<INT> column; out-of-bounds results are discarded (the bounds
+    * filter at flush). The whole coordinate table is rewritten.
+    */
+  def reindexArray(path: String, f: org.apache.spark.sql.Column =>
+      org.apache.spark.sql.Column): Unit = {
+    requireWritable()
+    val n = arrayNode(path)
+    val transformed = committedRefsFor(n.id)
+      .withColumn("coord", f(col("coord")))
+      .withColumn("c0", coalesce(try_element_at(col("coord"), lit(1)), lit(-1)))
+      .withColumn("c1", coalesce(try_element_at(col("coord"), lit(2)), lit(-1)))
+      .withColumn("c2", coalesce(try_element_at(col("coord"), lit(3)), lit(-1)))
+      .withColumn("c3", coalesce(try_element_at(col("coord"), lit(4)), lit(-1)))
+      .drop("split")
+    changeSet.rewrittenNodes += n.id
+    changeSet.stageBatch(transformed)
+  }
+
+  /** `shift_array(offset)`: add a constant offset per axis. */
+  def shiftArray(path: String, offsets: Seq[Int]): Unit =
+    reindexArray(path, coord =>
+      zip_with(coord, lit(offsets.toArray), (c, o) => c + o))
+
+  // ------------------------------------------------------------------
+  // chunk reads (changeset-first — §3.1)
+  // ------------------------------------------------------------------
+
+  private def committedRefsFor(nodeId: String): DataFrame =
+    assets.committedRefs(baseSnapshot, Seq(nodeId))
+
+  /** The effective chunk-ref relation for an array: committed refs with
+    * changeset precedence applied (left-anti + union — the same merge the
+    * flush runs, session.rs:2587-2635) and tombstones dropped.
+    */
+  def refs(path: String): DataFrame = {
+    val n = arrayNode(path)
+    val committed =
+      if (changeSet.rewrittenNodes.contains(n.id)) assets.emptyRefs()
+      else committedRefsFor(n.id).drop("split")
+    if (!changeSet.hasChunkChanges) committed.filter(col("node_id") === n.id)
+    else {
+      val changes = changeSet.chunkChanges(spark)
+        .filter(col("node_id") === n.id)
+      committed.join(changes.select("node_id", "coord"),
+          Seq("node_id", "coord"), "left_anti")
+        .unionByName(changes)
+        .filter(col("kind") =!= ChunkRef.KindDelete)
+    }
+  }
+
+  /** All refs across all arrays (`all_chunks`, session.rs:1429). */
+  def allRefs(): DataFrame = {
+    val arrays = nodes.filter(_.isArray)
+    if (arrays.isEmpty) assets.emptyRefs().drop("split")
+    else arrays.map(a => refs(a.path)).reduce(_ unionByName _)
+  }
+
+  /** `chunk_coordinates(path)` (session.rs:1450-1487). */
+  def chunkCoordinates(path: String): DataFrame = refs(path).select("coord")
+
+  /** Point lookup of one chunk ref — extent-pruned manifest scan
+    * (`get_old_chunk`, session.rs:1211-1247) under the changeset check.
+    */
+  def getChunkRef(path: String, coord: Seq[Int]): Option[ChunkRef] = {
+    val n = arrayNode(path)
+    val fromChanges: Option[ChunkRef] =
+      if (!changeSet.hasChunkChanges) None
+      else changeSet.chunkChanges(spark)
+        .filter(col("node_id") === n.id && col("coord") ===
+          typedLit(coord)).as(chunkRefEnc).collect().headOption
+    fromChanges match {
+      case Some(r) if r.kind == ChunkRef.KindDelete => None
+      case Some(r) => Some(r)
+      case None =>
+        if (changeSet.rewrittenNodes.contains(n.id)) None
+        else {
+          // prune manifests by extents before touching Parquet
+          val candidates = baseSnapshot.manifests.getOrElse(n.id, Nil)
+            .filter(_.contains(coord))
+          candidates.iterator.flatMap { mref =>
+            assets.readManifestSplit(mref, n.id)
+              .filter(col("coord") === typedLit(coord))
+              .drop("split").as(chunkRefEnc).collect().headOption
+          }.nextOption()
+        }
+    }
+  }
+
+  /** Fetch + assemble chunk bytes (payload dispatch of §3.1 step 4). */
+  def getChunk(path: String, coord: Seq[Int]): Option[Array[Byte]] =
+    getChunkRef(path, coord).map(materialize)
+
+  private[graft] def materialize(r: ChunkRef): Array[Byte] = r.kind match {
+    case ChunkRef.KindInline => r.inline
+    case ChunkRef.KindRef => assets.readChunk(r.chunk_id, r.offset, r.length)
+    case ChunkRef.KindVirtual =>
+      repo.virtualResolver.fetch(r.location, r.offset, r.length, r.etag,
+        r.last_modified)
+    case other => throw new GraftException(s"unexpected payload kind $other")
+  }
+
+  // ------------------------------------------------------------------
+  // lifecycle
+  // ------------------------------------------------------------------
+
+  def status(): String = {
+    val cs = changeSet
+    s"new=${cs.newNodes.size} updated=${cs.updatedNodes.size} " +
+      s"deleted=${cs.deletedNodes.size} moves=${cs.moves.size} " +
+      s"chunkEdits=${cs.hasChunkChanges}"
+  }
+
+  def discardChanges(): Unit = changeSet.discard()
+
+  /** Fork for out-of-band distributed writes (session.rs:656). In Spark the
+    * fork/merge dance collapses: executors stage refs, the driver merges
+    * changesets (`Session::merge`, session.rs:1524).
+    */
+  def fork(): Session = new Session(repo, branch, baseSnapshot)
+
+  def merge(other: Session): Unit = {
+    require(other.base.id == base.id, "can only merge sessions with same base")
+    changeSet.merge(other.changeSet)
+  }
+
+  /** Write a detached snapshot without moving any branch (`flush`,
+    * session.rs:1608).
+    */
+  def flush(message: String,
+            properties: Map[String, String] = Map.empty): Snapshot =
+    flushInternal(message, properties)
+
+  /** The flush process (session.rs:2515-2848), as ONE Spark job over all
+    * changed arrays: merge changeset over committed refs, bucket into
+    * manifest splits, write sorted Parquet, then assemble the snapshot +
+    * tx log. Unchanged arrays keep their manifest refs verbatim (appends
+    * rewrite only the touched shards).
+    */
+  private[repo] def flushInternal(message: String,
+      properties: Map[String, String]): Snapshot = {
+    requireWritable()
+    val effective = nodes
+    val byId = effective.map(n => n.id -> n).toMap
+    val changedIds = changeSet.chunkEditNodeIds(spark)
+      .filter(id => byId.get(id).exists(_.isArray))
+    val snapId = Ids.toBase32(Ids.newObjectId())
+
+    val manifestRefs: Map[String, Seq[ManifestRef]] =
+      if (changedIds.isEmpty) Map.empty
+      else {
+        val changes = changeSet.chunkChanges(spark)
+          .filter(col("node_id").isin(changedIds.toSeq: _*))
+        val rewritten = changeSet.rewrittenNodes.toSet
+        val mergeBase = changedIds.toSeq.filterNot(rewritten.contains)
+        val prev = assets.committedRefs(baseSnapshot, mergeBase).drop("split")
+        // changeset-over-snapshot merge (session.rs:2587-2635)
+        val merged = prev.join(changes.select("node_id", "coord"),
+            Seq("node_id", "coord"), "left_anti")
+          .unionByName(changes)
+          .filter(col("kind") =!= ChunkRef.KindDelete)
+        // bounds filter: drop refs outside the (possibly shrunk) shape
+        val grids = changedIds.toSeq.map { id =>
+          (id, byId(id).arrayShape.dims.map(_.numChunks.toInt).toArray)
+        }
+        val gridDf = spark.createDataFrame(grids.map(t =>
+          org.apache.spark.sql.Row(t._1, t._2.toSeq)).asJava,
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("node_id",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("nchunks",
+              org.apache.spark.sql.types.ArrayType(
+                org.apache.spark.sql.types.IntegerType)))))
+        val bounded = merged.join(broadcast(gridDf), Seq("node_id"))
+          .filter(size(col("coord")) === size(col("nchunks")) &&
+            forall(zip_with(col("coord"), col("nchunks"),
+              (c, n) => c >= 0 && c < n), x => x))
+          .drop("nchunks")
+        // manifest split bucketing (config DSL — config.rs:168-263)
+        val splitSpecs = changedIds.toSeq.map { id =>
+          val (axis, sz) = cfg.splitFor(byId(id))
+          (id, axis, sz)
+        }
+        val splitDf = spark.createDataFrame(splitSpecs.map(t =>
+          org.apache.spark.sql.Row(t._1, t._2, t._3)).asJava,
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("node_id",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("axis",
+              org.apache.spark.sql.types.IntegerType),
+            org.apache.spark.sql.types.StructField("splitsz",
+              org.apache.spark.sql.types.IntegerType))))
+        val withSplit = bounded.join(broadcast(splitDf), Seq("node_id"))
+          .withColumn("split",
+            coalesce(try_element_at(col("coord"), col("axis") + 1), lit(0))
+              .divide(col("splitsz")).cast("int"))
+          .drop("axis", "splitsz")
+        val manifestId = Ids.toBase32(Ids.newObjectId())
+        assets.writeManifest(manifestId, withSplit)
+      }
+
+    // unchanged arrays carry their previous manifests (append efficiency)
+    val deletedOrRewritten = changedIds ++ changeSet.rewrittenNodes
+    val carried = baseSnapshot.manifests.filter { case (nid, _) =>
+      byId.get(nid).exists(_.isArray) && !deletedOrRewritten.contains(nid)
+    }
+    val snapshot = Snapshot(
+      id = snapId,
+      parentId = Some(baseSnapshot.id),
+      message = message,
+      flushedAt = Instant.now().toString,
+      properties = properties,
+      nodes = effective,
+      manifests = carried ++ manifestRefs)
+    assets.writeSnapshot(snapshot)
+    writeTxLog(snapshot, changedIds)
+    snapshot
+  }
+
+  /** Transaction log for this flush (transaction_log.rs): node edits are
+    * driver-known; chunk edit coords stream from the changeset DataFrame.
+    */
+  private def writeTxLog(snapshot: Snapshot, changedIds: Set[String]): Unit = {
+    val pathOf = (nodes ++ baseSnapshot.nodes).map(n => n.id -> n.path).toMap
+    val nodeEdits =
+      changeSet.newNodes.values.map(n => EditRow.node(
+        if (n.isArray) EditRow.NewArray else EditRow.NewGroup, n.id, n.path)) ++
+      changeSet.updatedNodes.values.map(n => EditRow.node(
+        if (n.isArray) EditRow.UpdateArray else EditRow.UpdateGroup,
+        n.id, n.path)) ++
+      changeSet.deletedNodes.map { case (p, t) =>
+        EditRow.node(if (t == NodeSpec.Array) EditRow.DeleteArray
+          else EditRow.DeleteGroup,
+          baseSnapshot.nodes.find(_.path == p).map(_.id).getOrElse(""), p) } ++
+      changeSet.moves.map { case (id, f, t) => EditRow.move(id, f, t) }
+    val nodeDf = spark.createDataset(nodeEdits.toSeq)(editRowEnc).toDF()
+    val chunkDf =
+      if (!changeSet.hasChunkChanges) spark.emptyDataset(editRowEnc).toDF()
+      else {
+        val pathDf = spark.createDataset(pathOf.toSeq)(strPairEnc).toDF("node_id", "path")
+        changeSet.chunkChanges(spark)
+          .select("node_id", "coord")
+          .join(broadcast(pathDf), Seq("node_id"), "left")
+          .select(lit(EditRow.Chunk).as("edit"), col("node_id"), col("path"),
+            col("coord"), lit(null).cast("string").as("to_path"))
+      }
+    assets.writeTxLog(snapshot.id, nodeDf.unionByName(chunkDf))
+  }
+
+  /** Commit: optimistic CAS loop with rebase-on-conflict
+    * (do_commit_v2 + do_commit_rebasing, session.rs:3194-3402, 1767).
+    */
+  def commit(message: String,
+             properties: Map[String, String] = Map.empty,
+             solver: graft.vc.ConflictSolver =
+               graft.vc.BasicConflictSolver()): String = {
+    requireWritable()
+    val branchName = branch.get
+    var snapshot: Snapshot = null
+    var flushedAgainst: String = null
+    var attempts = 0
+    while (attempts < cfg.commitRetries) {
+      attempts += 1
+      val info = repo.pointer.load().getOrElse(
+        throw new GraftException("repository not initialized"))
+      val tip = info.branches.getOrElse(branchName,
+        throw new GraftException(s"branch $branchName does not exist"))
+      if (tip != baseSnapshot.id) {
+        // concurrent commits landed: rebase our changeset onto the new tip
+        graft.vc.Rebase.rebase(this, info, tip, solver)
+        baseSnapshot = assets.readSnapshot(tip)
+        snapshot = null // force re-flush against new base
+      }
+      if (snapshot == null || flushedAgainst != baseSnapshot.id) {
+        snapshot = flushInternal(message, properties)
+        flushedAgainst = baseSnapshot.id
+      }
+      val entry = OpLogEntry(Instant.now().toString, "commit",
+        s"branch=$branchName snapshot=${snapshot.id} message=$message")
+      val next = info.copy(
+        gen = info.gen + 1,
+        branches = info.branches.updated(branchName, snapshot.id),
+        snapshots = info.snapshots :+ SnapshotInfo(snapshot.id,
+          snapshot.parentId, snapshot.flushedAt, message),
+        ops = (info.ops :+ entry).takeRight(cfg.opsRingSize))
+      if (repo.pointer.compareAndSwap(info.gen, next)) {
+        baseSnapshot = snapshot
+        changeSet.discard()
+        return snapshot.id
+      }
+      // lost the CAS race — reload and retry (with rebase if needed)
+    }
+    throw new ConflictException(
+      s"commit failed after ${cfg.commitRetries} attempts on $branchName")
+  }
+}

@@ -1,0 +1,55 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import graft.repo._
+import graft.storage.Store
+
+/** End-to-end smoke CLI over the public API (the reference ships a CLI too,
+  * icechunk/src/cli/interface.rs). Usage: `runMain graft.tools.Demo [dir]`.
+  */
+object Demo {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse(
+      java.nio.file.Files.createTempDirectory("graft-demo").toString)
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-demo")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val repo = Repository.openOrCreate(Store.local(dir), spark)
+    println(s"[demo] repo at $dir branches=${repo.listBranches()}")
+
+    val s = repo.writableSession("main")
+    s.addGroup("/climate")
+    s.addArray("/climate/temp", shape = Seq(128, 64, 64),
+      chunkShape = Seq(32, 64, 64), dimNames = Seq("t", "y", "x"))
+    for (i <- 0 until 4)
+      s.writeChunk("/climate/temp", Seq(i, 0, 0),
+        Array.tabulate(64)(j => (i * 64 + j).toByte))
+    val c1 = s.commit("initial data")
+    println(s"[demo] commit1=$c1")
+
+    repo.createTag("v1", c1)
+    val s2 = repo.writableSession("main")
+    s2.writeChunk("/climate/temp", Seq(0, 0, 0), Array.fill(64)(9.toByte))
+    val c2 = s2.commit("overwrite chunk 0")
+    println(s"[demo] commit2=$c2")
+
+    val now = repo.readonlySession(VersionRef.Branch("main"))
+    val v1 = repo.readonlySession(VersionRef.Tag("v1"))
+    println(s"[demo] refs now=${now.refs("/climate/temp").count()} " +
+      s"v1=${v1.refs("/climate/temp").count()}")
+    println(s"[demo] chunk(0) now=${now.getChunk("/climate/temp", Seq(0, 0, 0)).get.head} " +
+      s"v1=${v1.getChunk("/climate/temp", Seq(0, 0, 0)).get.head}")
+    println(s"[demo] ancestry=${repo.ancestry(VersionRef.Branch("main")).map(_.message)}")
+    val d = repo.diff(VersionRef.Tag("v1"), VersionRef.Branch("main"))
+    println(s"[demo] diff v1..main chunk edits=" +
+      d.filter(org.apache.spark.sql.functions.col("edit") === "chunk").count())
+    println(s"[demo] ops=${repo.opsLog(5).map(_.op)}")
+    spark.stop()
+    println("[demo] OK")
+  }
+}

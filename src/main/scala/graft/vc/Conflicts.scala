@@ -1,0 +1,187 @@
+package graft.vc
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.meta.EditRow
+import graft.repo.{ConflictException, Session}
+
+/** A detected conflict between a session's changeset and a concurrent
+  * commit's transaction log — the 10 classes of conflicts/mod.rs:22-52.
+  */
+final case class Conflict(kind: String, path: String, nodeId: String,
+                          chunkCount: Long = 0L) {
+  override def toString: String =
+    s"$kind(path=$path, node=$nodeId${if (chunkCount > 0) s", chunks=$chunkCount" else ""})"
+}
+
+object Conflict {
+  val NewNodeConflictsWithExistingNode = "new_node_conflicts_with_existing_node"
+  val NewNodeInInvalidGroup = "new_node_in_invalid_group"
+  val ZarrMetadataDoubleUpdate = "zarr_metadata_double_update"
+  val ZarrMetadataUpdateOfDeletedNode = "zarr_metadata_update_of_deleted_node"
+  val ChunkDoubleUpdate = "chunk_double_update"
+  val ChunksUpdatedInDeletedArray = "chunks_updated_in_deleted_array"
+  val ChunksUpdatedInUpdatedArray = "chunks_updated_in_updated_array"
+  val DeleteOfUpdatedArray = "delete_of_updated_array"
+  val DeleteOfUpdatedGroup = "delete_of_updated_group"
+  val MoveConflict = "move_conflict"
+}
+
+/** Join-based conflict detection (detector.rs:21-305): our changeset versus
+  * one concurrent transaction log. Node-level edit sets are small and
+  * compared on the driver; chunk-level intersection is a semi join on
+  * (node_id, coord) over the edit DataFrames.
+  */
+object ConflictDetector {
+  def detect(session: Session, theirLog: DataFrame): Seq[Conflict] = {
+    val cs = session.changeSet
+    val spark = theirLog.sparkSession
+    val theirNodeEdits = theirLog.filter(col("edit") =!= EditRow.Chunk)
+      .select("edit", "node_id", "path", "to_path").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getString(3)))
+    val theirNewPaths = theirNodeEdits.collect {
+      case (e, _, p, _) if e == EditRow.NewArray || e == EditRow.NewGroup => p
+    }.toSet
+    val theirUpdated = theirNodeEdits.collect {
+      case (e, id, p, _) if e == EditRow.UpdateArray ||
+        e == EditRow.UpdateGroup => (id, p, e)
+    }
+    val theirDeleted = theirNodeEdits.collect {
+      case (e, id, p, _) if e == EditRow.DeleteArray ||
+        e == EditRow.DeleteGroup => (id, p)
+    }
+    val theirMoves = theirNodeEdits.collect {
+      case (e, id, p, t) if e == EditRow.Move => (id, p, t)
+    }
+    val out = scala.collection.mutable.ArrayBuffer[Conflict]()
+
+    // moves cannot be rebased in either direction (conflicts/mod.rs:49)
+    if (cs.moves.nonEmpty)
+      out ++= cs.moves.map { case (id, f, t) =>
+        Conflict(Conflict.MoveConflict, s"$f -> $t", id) }
+    if (theirMoves.nonEmpty)
+      out ++= theirMoves.map { case (id, f, t) =>
+        Conflict(Conflict.MoveConflict, s"$f -> $t (theirs)", id) }
+
+    // new-node collisions
+    for ((p, n) <- cs.newNodes if theirNewPaths.contains(p))
+      out += Conflict(Conflict.NewNodeConflictsWithExistingNode, p, n.id)
+    // new node under a node they created as an array
+    val theirNewArrays = theirNodeEdits.collect {
+      case (e, _, p, _) if e == EditRow.NewArray => p }.toSet
+    for ((p, n) <- cs.newNodes
+         if theirNewArrays.exists(a => graft.core.NodePath.isAncestorOf(a, p)))
+      out += Conflict(Conflict.NewNodeInInvalidGroup, p, n.id)
+
+    // metadata double updates / update-of-deleted
+    val ourUpdatedPaths = cs.updatedNodes.keySet
+    for ((_, p, _) <- theirUpdated if ourUpdatedPaths.contains(p))
+      out += Conflict(Conflict.ZarrMetadataDoubleUpdate, p,
+        cs.updatedNodes(p).id)
+    for ((_, p) <- theirDeleted if ourUpdatedPaths.contains(p))
+      out += Conflict(Conflict.ZarrMetadataUpdateOfDeletedNode, p,
+        cs.updatedNodes(p).id)
+
+    // delete-of-updated (we delete a node they updated)
+    val theirUpdatedByPath = theirUpdated.map(t => t._2 -> t._3).toMap
+    for ((p, t) <- cs.deletedNodes if theirUpdatedByPath.contains(p))
+      out += Conflict(
+        if (t == graft.meta.NodeSpec.Array) Conflict.DeleteOfUpdatedArray
+        else Conflict.DeleteOfUpdatedGroup, p, "")
+
+    // chunk-level conflicts
+    if (cs.hasChunkChanges) {
+      val ours = cs.chunkChanges(spark).select("node_id", "coord")
+      val theirChunks = theirLog.filter(col("edit") === EditRow.Chunk)
+      // double update: same (node, coord) written on both sides
+      val doubles = ours.join(theirChunks.select("node_id", "coord"),
+          Seq("node_id", "coord"), "left_semi")
+        .groupBy("node_id").count().collect()
+      out ++= doubles.map(r => Conflict(Conflict.ChunkDoubleUpdate,
+        "", r.getString(0), r.getLong(1)))
+      // chunks written into arrays they deleted / updated
+      val ourChunkNodes = ours.select("node_id").distinct()
+        .collect().map(_.getString(0)).toSet
+      for ((id, p) <- theirDeleted if ourChunkNodes.contains(id))
+        out += Conflict(Conflict.ChunksUpdatedInDeletedArray, p, id)
+      for ((id, p, e) <- theirUpdated
+           if e == EditRow.UpdateArray && ourChunkNodes.contains(id))
+        out += Conflict(Conflict.ChunksUpdatedInUpdatedArray, p, id)
+    }
+    out.toSeq
+  }
+}
+
+/** User-supplied conflict resolution (`ConflictSolver` trait,
+  * conflicts/mod.rs:65-73). Implementations mutate the session's changeset
+  * to resolve, or throw [[ConflictException]].
+  */
+trait ConflictSolver {
+  def solve(session: Session, theirLog: DataFrame,
+            conflicts: Seq[Conflict]): Unit
+}
+
+object VersionSelection extends Enumeration {
+  val Fail, UseOurs, UseTheirs = Value
+}
+
+/** Policy-driven solver (basic_solver.rs:14-35). */
+final case class BasicConflictSolver(
+    onChunkConflict: VersionSelection.Value = VersionSelection.UseOurs,
+    failOnDeleteOfUpdatedArray: Boolean = false,
+    failOnDeleteOfUpdatedGroup: Boolean = false) extends ConflictSolver {
+
+  override def solve(session: Session, theirLog: DataFrame,
+                     conflicts: Seq[Conflict]): Unit = {
+    val unresolvable = conflicts.filter { c =>
+      c.kind match {
+        case Conflict.ChunkDoubleUpdate =>
+          onChunkConflict == VersionSelection.Fail
+        case Conflict.DeleteOfUpdatedArray => failOnDeleteOfUpdatedArray
+        case Conflict.DeleteOfUpdatedGroup => failOnDeleteOfUpdatedGroup
+        case Conflict.ChunksUpdatedInDeletedArray |
+             Conflict.ChunksUpdatedInUpdatedArray => false // our edits win
+        case _ => true
+      }
+    }
+    if (unresolvable.nonEmpty)
+      throw new ConflictException(
+        s"unresolvable conflicts: ${unresolvable.mkString("; ")}",
+        unresolvable.map(_.toString))
+    if (onChunkConflict == VersionSelection.UseTheirs &&
+        conflicts.exists(_.kind == Conflict.ChunkDoubleUpdate)) {
+      // drop OUR edits for coords they also wrote: anti-join exclusion
+      session.changeSet.exclusions +=
+        theirLog.filter(col("edit") === EditRow.Chunk)
+          .select("node_id", "coord")
+    }
+    // UseOurs needs no action: the flush merge gives changeset precedence
+  }
+}
+
+/** The rebase loop (session.rs:1925-2016): for every commit between our
+  * base and the new branch tip (oldest first), detect conflicts against its
+  * transaction log and let the solver patch the changeset; the caller then
+  * re-flushes against the new tip.
+  */
+object Rebase {
+  def rebase(session: Session, info: graft.meta.RepoInfo, tip: String,
+             solver: ConflictSolver): Unit = {
+    val assets = session.repo.assets
+    val missed = info.ancestry(tip).takeWhile(_.id != session.base.id)
+      .map(_.id).reverse
+    if (missed.isEmpty) return
+    missed.foreach { snapId =>
+      if (assets.txLogExists(snapId)) {
+        val theirLog = assets.readTxLog(snapId)
+        val conflicts = ConflictDetector.detect(session, theirLog)
+        if (conflicts.nonEmpty) solver.solve(session, theirLog, conflicts)
+      } else
+        // expired ancestor: its tx log was pruned, rebase cannot see what
+        // changed (pruned_ancestor_tx_logs, session.rs:1981-2009)
+        throw new ConflictException(
+          s"cannot rebase over $snapId: transaction log expired")
+    }
+  }
+}

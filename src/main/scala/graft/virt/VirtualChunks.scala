@@ -1,0 +1,56 @@
+package graft.virt
+
+import java.nio.file.{Files, Paths}
+
+/** Virtual chunk containers: registered external URL prefixes whose files
+  * hold chunk bytes (virtual_chunks.rs:96-110). Locations are matched to a
+  * container by longest-prefix (`matching_container`,
+  * virtual_chunks.rs:383-458); unauthorized locations are rejected at
+  * set-time (session.rs:631-655).
+  */
+final case class VirtualChunkContainer(urlPrefix: String)
+
+final class VirtualChunkResolver(containers: Seq[VirtualChunkContainer]) {
+  def matchingContainer(location: String): Option[VirtualChunkContainer] =
+    containers.filter(c => location.startsWith(c.urlPrefix))
+      .sortBy(-_.urlPrefix.length).headOption
+
+  def validateLocation(location: String): Unit =
+    if (matchingContainer(location).isEmpty)
+      throw new graft.repo.GraftException(
+        s"no virtual chunk container registered for $location")
+
+  /** Fetch bytes for a virtual ref, validating freshness checksums
+    * (manifest.rs:436-443; enforcement virtual_chunks.rs:500+). Only
+    * `file:` URLs are fetchable in this zero-egress environment; the
+    * per-scheme dispatch point is here (S3/GCS/HTTP fetchers plug in).
+    */
+  def fetch(location: String, offset: Long, length: Long,
+            etag: String, lastModifiedSecs: Int): Array[Byte] = {
+    validateLocation(location)
+    if (!location.startsWith("file:"))
+      throw new graft.repo.GraftException(
+        s"no fetcher for scheme of $location")
+    val path = Paths.get(java.net.URI.create(location))
+    if (lastModifiedSecs > 0) {
+      val actual = Files.getLastModifiedTime(path).toMillis / 1000
+      if (actual > lastModifiedSecs.toLong)
+        throw new graft.repo.GraftException(
+          s"virtual chunk at $location modified after recorded checksum")
+    }
+    val all = Files.readAllBytes(path)
+    val end = if (length == 0) all.length.toLong else offset + length
+    java.util.Arrays.copyOfRange(all, offset.toInt, end.toInt)
+  }
+}
+
+object VirtualChunkResolver {
+  /** Default: any `file:` location is authorized (tests register tighter
+    * containers explicitly).
+    */
+  val default: VirtualChunkResolver =
+    new VirtualChunkResolver(Seq(VirtualChunkContainer("file:")))
+
+  def apply(prefixes: String*): VirtualChunkResolver =
+    new VirtualChunkResolver(prefixes.map(VirtualChunkContainer(_)))
+}
