@@ -1,0 +1,319 @@
+package graft
+
+/** DuckDB oracle SQL for every SQL-expressible query in [[Queries]].
+  * Column aliases, rounding, and ORDER BY match the Spark side exactly
+  * (driver compares sorted-by-name columns and hashed values).
+  * Hash-function-specific queries (minhash/simhash/fingerprint/xxhash,
+  * LSH-bucketed ANN) are intentionally absent → driver records a
+  * rows-only check.
+  */
+object Oracles {
+  private val stop =
+    "['the','a','an','and','or','of','to','in','is','are','was','for','on','with','as','at','by']"
+
+  val all: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_base,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+        |  round(avg(l_quantity), 6) AS avg_qty,
+        |  count(*) AS n
+        |FROM lineitem
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_extents" ->
+      """SELECT l_suppkey, min(l_linenumber) AS emin, max(l_linenumber) AS emax,
+        |  round(min(l_quantity), 2) AS qmin, round(max(l_quantity), 2) AS qmax,
+        |  count(*) AS refs
+        |FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin,
+
+    "q_counts_per_node" ->
+      """SELECT event_type, count(*) AS n, round(sum(value), 2) AS total
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_storage_stats" ->
+      """WITH per AS (
+        |  SELECT l_partkey, max(l_extendedprice) AS sz
+        |  FROM lineitem GROUP BY l_partkey)
+        |SELECT p_brand, count(*) AS n_chunks, round(sum(sz), 2) AS bytes
+        |FROM per JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+
+    "q_getsize_prefix" ->
+      """SELECT count(*) AS n, round(sum(p_retailprice), 2) AS total_size
+        |FROM part WHERE p_name LIKE 'small%'""".stripMargin,
+
+    "q_filter_pushdown" ->
+      """SELECT l_orderkey, l_linenumber, round(l_quantity, 2) AS qty,
+        |  round(l_extendedprice, 2) AS price
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+        |  AND l_shipdate < TIMESTAMP '1996-01-01' AND l_quantity > 45
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_prefix_scan" ->
+      """SELECT p_partkey, p_name, p_brand FROM part
+        |WHERE p_name LIKE 'large%' ORDER BY p_partkey""".stripMargin,
+
+    "q_exists" ->
+      """SELECT o_orderkey, round(o_totalprice, 2) AS total FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |  WHERE l_orderkey = o_orderkey AND l_quantity > 49)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_bounds_filter" ->
+      """SELECT l_returnflag, count(*) AS n FROM lineitem
+        |WHERE l_linenumber >= 1 AND l_linenumber < 3
+        |  AND l_quantity >= 10 AND l_quantity < 20
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_point_lookup" ->
+      """SELECT l_orderkey, l_linenumber, round(l_quantity, 2) AS qty
+        |FROM lineitem WHERE l_orderkey % 997 = 0
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_changeset_merge" ->
+      """WITH prev AS (SELECT * FROM lineitem
+        |    WHERE l_shipdate < TIMESTAMP '1995-06-01'),
+        |  changed AS (SELECT * FROM lineitem
+        |    WHERE l_shipdate >= TIMESTAMP '1995-06-01'),
+        |  merged AS (
+        |    SELECT * FROM prev p WHERE NOT EXISTS (
+        |      SELECT 1 FROM changed c WHERE c.l_orderkey = p.l_orderkey
+        |        AND c.l_linenumber = p.l_linenumber)
+        |    UNION ALL SELECT * FROM changed)
+        |SELECT l_returnflag, count(*) AS n, round(sum(l_quantity), 2) AS qty
+        |FROM merged GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_conflict_semijoin" ->
+      """SELECT l_returnflag, count(*) AS conflicts
+        |FROM lineitem o
+        |WHERE o.l_discount >= 0.05 AND EXISTS (
+        |  SELECT 1 FROM lineitem t WHERE t.l_tax >= 0.05
+        |    AND t.l_orderkey = o.l_orderkey
+        |    AND t.l_linenumber = o.l_linenumber)
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_gc_antijoin" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |  AND o_orderdate < TIMESTAMP '1995-07-01')
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_diff_join" ->
+      """SELECT p_brand, count(*) AS n,
+        |  round(sum(l_extendedprice), 2) AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+
+    "q_ancestry_lag" ->
+      """WITH w AS (SELECT user_id, value,
+        |    lag(value) OVER (PARTITION BY user_id ORDER BY event_id)
+        |      AS prev_value
+        |  FROM events)
+        |SELECT user_id, count(*) AS n,
+        |  round(sum(abs(value - coalesce(prev_value, value))), 2)
+        |    AS total_delta
+        |FROM w GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q_topk" ->
+      """SELECT event_id, event_type, round(value, 2) AS value
+        |FROM events ORDER BY value DESC, event_id LIMIT 100""".stripMargin,
+
+    "q_window_running" ->
+      """SELECT user_id, event_id,
+        |  round(sum(value) OVER (PARTITION BY user_id ORDER BY event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running
+        |FROM events WHERE user_id < 10
+        |ORDER BY user_id, event_id""".stripMargin,
+
+    "q_setops" ->
+      """SELECT o_custkey FROM (
+        |  SELECT DISTINCT o_custkey FROM orders
+        |    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |      AND o_orderdate < TIMESTAMP '1997-01-01'
+        |  INTERSECT
+        |  SELECT DISTINCT o_custkey FROM orders
+        |    WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        |      AND o_orderdate < TIMESTAMP '1998-01-01'
+        |  EXCEPT
+        |  SELECT DISTINCT o_custkey FROM orders
+        |    WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+        |      AND o_orderdate < TIMESTAMP '1999-01-01')
+        |ORDER BY o_custkey""".stripMargin,
+
+    "q_zarr_keys" ->
+      """WITH keys AS (
+        |  SELECT 'temp/c/' || (l_orderkey % 16) || '/' || l_linenumber AS key
+        |  FROM lineitem)
+        |SELECT CAST(regexp_extract(key, '^temp/c/([0-9]+)/([0-9]+)$', 1)
+        |    AS INT) AS c0,
+        |  count(*) AS n,
+        |  max(CAST(regexp_extract(key, '^temp/c/([0-9]+)/([0-9]+)$', 2)
+        |    AS INT)) AS max_c1
+        |FROM keys GROUP BY c0 ORDER BY c0""".stripMargin,
+
+    "q_byterange" ->
+      """WITH r AS (
+        |  SELECT l_returnflag,
+        |    least(CAST(floor(l_extendedprice) AS BIGINT) % 8192, 8192)
+        |      AS ofrom,
+        |    CAST(floor(l_quantity) AS BIGINT) AS len
+        |  FROM lineitem),
+        |  r2 AS (SELECT l_returnflag, ofrom,
+        |    least(ofrom + len, 8192) AS oto FROM r)
+        |SELECT l_returnflag, sum(oto - ofrom) AS bytes, count(*) AS n
+        |FROM r2 GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_stream_window" ->
+      """SELECT strftime(ts, '%Y-%m-%d %H') AS hour, event_type,
+        |  count(*) AS n, round(sum(value), 2) AS total
+        |FROM events GROUP BY hour, event_type
+        |ORDER BY hour, event_type""".stripMargin,
+
+    "q_sessionize" ->
+      """WITH w AS (
+        |  SELECT user_id,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+        |    lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER (
+        |      PARTITION BY user_id ORDER BY event_id) AS prev_sec
+        |  FROM events),
+        |  g AS (SELECT user_id,
+        |    CASE WHEN sec - prev_sec > 1800 THEN 1 ELSE 0 END AS gap
+        |  FROM w)
+        |SELECT user_id, sum(gap) + 1 AS n_sessions, count(*) AS n_events
+        |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q_dedup_exact" ->
+      """SELECT d.doc_id, m.canonical_id, m.n_copies
+        |FROM documents d JOIN (
+        |  SELECT text, min(doc_id) AS canonical_id, count(*) AS n_copies
+        |  FROM documents GROUP BY text) m ON d.text = m.text
+        |ORDER BY d.doc_id""".stripMargin,
+
+    "q_dedup_ngram_jaccard" ->
+      """WITH sh AS (
+        |  SELECT doc_id, lang,
+        |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |      ELSE list_distinct([array_to_string(toks[i:i+2], ' ')
+        |        for i in range(1, len(toks) - 1)])
+        |    END AS s
+        |  FROM (SELECT doc_id, lang,
+        |      list_filter(string_split_regex(lower(text), '\s+'),
+        |        x -> len(x) > 0) AS toks
+        |    FROM documents)),
+        |  pairs AS (
+        |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |      len(list_intersect(a.s, b.s))::DOUBLE /
+        |        len(list_distinct(list_concat(a.s, b.s))) AS j
+        |    FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id)
+        |SELECT doc_a, doc_b, round(j, 6) AS jaccard
+        |FROM pairs WHERE j >= 0.05 ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q_embedding_neardups" ->
+      """WITH p AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+        |      (sqrt(list_dot_product(a.embedding::DOUBLE[],
+        |         a.embedding::DOUBLE[])) *
+        |       sqrt(list_dot_product(b.embedding::DOUBLE[],
+        |         b.embedding::DOUBLE[]))) AS c
+        |  FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id)
+        |SELECT id_a, id_b, round(c, 4) AS cos
+        |FROM p WHERE c >= 0.35 ORDER BY id_a, id_b""".stripMargin,
+
+    "q_similarity_topk" ->
+      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+        |SELECT e.vec_id,
+        |  round(list_dot_product(e.embedding::DOUBLE[], q.qv::DOUBLE[]) /
+        |    (sqrt(list_dot_product(e.embedding::DOUBLE[],
+        |       e.embedding::DOUBLE[])) *
+        |     sqrt(list_dot_product(q.qv::DOUBLE[], q.qv::DOUBLE[]))), 6)
+        |    AS cos
+        |FROM embeddings e, q
+        |ORDER BY cos DESC, vec_id LIMIT 20""".stripMargin,
+
+    "q_text_analysis" ->
+      s"""WITH base AS (
+        |  SELECT doc_id, lower(text) AS t,
+        |    list_filter(string_split_regex(lower(text), '\\s+'),
+        |      x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |  scored AS (SELECT doc_id, t, toks,
+        |    len(list_filter(toks, x -> list_contains(
+        |      ['the','and','of','is','to','a'], x))) AS s_en,
+        |    len(list_filter(toks, x -> list_contains(
+        |      ['der','die','das','und','ist','nicht'], x))) AS s_de,
+        |    len(list_filter(toks, x -> list_contains(
+        |      ['le','la','les','et','est','une'], x))) AS s_fr,
+        |    len(list_filter(toks, x -> list_contains(
+        |      ['el','los','es','una','que','para'], x))) AS s_es,
+        |    len(list_filter(toks, x -> list_contains(
+        |      ['的','是','了','在','我','不'], x))) AS s_zh
+        |  FROM base)
+        |SELECT doc_id,
+        |  len(toks) AS n_tokens,
+        |  len(regexp_extract_all(t, '[a-z]+|[0-9]+|[^a-z0-9\\s]'))
+        |    AS n_bpeish,
+        |  round(CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+        |    len(list_filter(toks, x -> list_contains($stop, x)))::DOUBLE
+        |      / len(toks) END, 6) AS stopword_ratio,
+        |  round(CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+        |    list_aggregate(list_transform(toks, x -> len(x)), 'sum')::DOUBLE
+        |      / len(toks) END, 6) AS mean_token_len,
+        |  CASE
+        |    WHEN s_en > 0 AND s_en >= greatest(s_de, s_fr, s_es, s_zh)
+        |      THEN 'en'
+        |    WHEN s_de > 0 AND s_de >= greatest(s_en, s_fr, s_es, s_zh)
+        |      THEN 'de'
+        |    WHEN s_fr > 0 AND s_fr >= greatest(s_en, s_de, s_es, s_zh)
+        |      THEN 'fr'
+        |    WHEN s_es > 0 AND s_es >= greatest(s_en, s_de, s_fr, s_zh)
+        |      THEN 'es'
+        |    WHEN s_zh > 0 AND s_zh >= greatest(s_en, s_de, s_fr, s_es)
+        |      THEN 'zh'
+        |    ELSE 'und' END AS lang_pred
+        |FROM scored ORDER BY doc_id""".stripMargin,
+
+    "q_quality_score" ->
+      s"""WITH base AS (
+        |  SELECT doc_id, text,
+        |    list_filter(string_split_regex(lower(text), '\\s+'),
+        |      x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |  m AS (SELECT doc_id,
+        |    least(len(text)::DOUBLE / 500.0, 1.0) AS len_score,
+        |    least(CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+        |      len(list_filter(toks, x -> list_contains($stop, x)))::DOUBLE
+        |        / len(toks) END * 5.0, 1.0) AS sw_score,
+        |    CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+        |      list_aggregate(list_transform(toks, x -> len(x)),
+        |        'sum')::DOUBLE / len(toks) END AS mtl,
+        |    least(CASE WHEN len(text) = 0 THEN 0.0 ELSE
+        |      (len(text) - len(regexp_replace(text, '[\\.,;:!\\?]', '', 'g')))
+        |        ::DOUBLE / len(text) END * 5.0, 1.0) AS punct_penalty
+        |  FROM base)
+        |SELECT doc_id,
+        |  floor((len_score * 0.4 + sw_score * 0.3 +
+        |    (CASE WHEN mtl >= 3.0 AND mtl <= 10.0 THEN 1.0 ELSE 0.5 END)
+        |      * 0.3) * (1.0 - punct_penalty * 0.5) * 1000000 + 0.5)
+        |    / 1000000 AS quality
+        |FROM m ORDER BY doc_id""".stripMargin,
+
+    "q_multimodal_meta" ->
+      """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+        |  CAST(floor(greatest(octet_length(encode(text)) - 1, 0) / 256) + 1
+        |    AS INT) AS n_frames
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_frame_sample" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    CAST(floor(greatest(octet_length(encode(text)) - 1, 0) / 64)
+        |      AS BIGINT) + 1 AS nf
+        |  FROM documents)
+        |SELECT doc_id, CAST(floor((nf - 1) / 4) AS BIGINT) + 1 AS n_sampled
+        |FROM f ORDER BY doc_id""".stripMargin)
+}

@@ -1,0 +1,457 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** The declared operator surface (SURVEY.md §2) exercised as relational
+  * queries over the driver-provided parquet tables, each mirrored by an
+  * ANSI-SQL DuckDB oracle in [[Oracles]]. Engine operators (changeset
+  * merge, conflict semi-joins, GC anti-join, extents aggregation, ops-log
+  * windows, ...) are validated here in their relational *shape* (FIXTURES
+  * §B); the end-to-end engine behavior is covered by the ScalaTest specs.
+  *
+  * Conventions for oracle parity:
+  *  - every computed column is aliased identically in Spark and SQL;
+  *  - double aggregates are `round`ed (2–6 dp) on both sides;
+  *  - deterministic ORDER BY on both sides;
+  *  - timestamps never leave as raw values (formatted/truncated strings).
+  */
+object Queries {
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** events.ts is TIMESTAMP(NANOS) parquet, which Spark only reads as LONG
+    * (spark.sql.legacy.parquet.nanosAsLong=true, set in Verify/Bench/tests)
+    * — convert to a proper timestamp (micros, truncating) for parity with
+    * DuckDB's native ns timestamps.
+    */
+  private def events(s: SparkSession, dir: String): DataFrame = {
+    val df = t(s, dir, "events")
+    if (df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else df
+  }
+
+  type Q = (SparkSession, String) => DataFrame
+
+  // ---------------------------------------------------------------
+  // §2.4 aggregations
+  // ---------------------------------------------------------------
+
+  /** TPC-H Q1 shape: groupBy-agg with map-side partials. */
+  val q1_agg: Q = (s, d) =>
+    t(s, d, "lineitem")
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_base"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+          .as("sum_disc_price"),
+        round(avg("l_quantity"), 6).as("avg_qty"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** aggregate_extents: per-key coordinate bounding boxes (min/max). */
+  val q_extents: Q = (s, d) =>
+    t(s, d, "lineitem")
+      .groupBy("l_suppkey")
+      .agg(min("l_linenumber").as("emin"), max("l_linenumber").as("emax"),
+        round(min("l_quantity"), 2).as("qmin"),
+        round(max("l_quantity"), 2).as("qmax"),
+        count(lit(1)).as("refs"))
+      .orderBy("l_suppkey")
+
+  /** updated_chunks_counts: per-node counts over an edit stream. */
+  val q_counts_per_node: Q = (s, d) =>
+    events(s, d)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
+      .orderBy("event_type")
+
+  /** chunk_storage_stats: sum of sizes deduped by chunk id (dedupe →
+    * rollup, stats.rs:181-260).
+    */
+  val q_storage_stats: Q = (s, d) => {
+    val perChunk = t(s, d, "lineitem")
+      .groupBy("l_partkey")
+      .agg(max("l_extendedprice").as("sz"))
+    perChunk.join(t(s, d, "part"),
+        perChunk("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n_chunks"), round(sum("sz"), 2).as("bytes"))
+      .orderBy("p_brand")
+  }
+
+  /** getsize_prefix: filter by key prefix + sum of lengths. */
+  val q_getsize_prefix: Q = (s, d) =>
+    t(s, d, "part")
+      .filter(col("p_name").startsWith("small"))
+      .agg(count(lit(1)).as("n"),
+        round(sum("p_retailprice"), 2).as("total_size"))
+
+  // ---------------------------------------------------------------
+  // §2.2 projections / filters / predicates
+  // ---------------------------------------------------------------
+
+  /** Filter + projection pushed to the parquet scan. */
+  val q_filter_pushdown: Q = (s, d) =>
+    t(s, d, "lineitem")
+      .filter(col("l_shipdate") >= lit("1995-01-01") &&
+        col("l_shipdate") < lit("1996-01-01") && col("l_quantity") > 45)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        round(col("l_quantity"), 2).as("qty"),
+        round(col("l_extendedprice"), 2).as("price"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** list_prefix / list_dir: prefix scan over a name-keyed relation. */
+  val q_prefix_scan: Q = (s, d) =>
+    t(s, d, "part")
+      .filter(col("p_name").startsWith("large"))
+      .select("p_partkey", "p_name", "p_brand")
+      .orderBy("p_partkey")
+
+  /** exists / is_empty: key-membership semi-join. */
+  val q_exists: Q = (s, d) => {
+    val li = t(s, d, "lineitem").filter(col("l_quantity") > 49)
+    t(s, d, "orders")
+      .join(li.select(col("l_orderkey")), col("o_orderkey") === col("l_orderkey"),
+        "left_semi")
+      .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("total"))
+      .orderBy("o_orderkey")
+  }
+
+  /** valid_chunk_coord: conjunctive bounds predicate. */
+  val q_bounds_filter: Q = (s, d) =>
+    t(s, d, "lineitem")
+      .filter(col("l_linenumber") >= 1 && col("l_linenumber") < 3 &&
+        col("l_quantity") >= 10 && col("l_quantity") < 20)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+
+  // ---------------------------------------------------------------
+  // §2.3 joins (the engine's five join shapes)
+  // ---------------------------------------------------------------
+
+  /** Chunk point-lookup: key-set filter (broadcast lookup join shape). */
+  val q_point_lookup: Q = (s, d) =>
+    t(s, d, "lineitem")
+      .filter(pmod(col("l_orderkey"), lit(997)) === 0)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        round(col("l_quantity"), 2).as("qty"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** Changeset-over-snapshot merge: prev LEFT-ANTI changed ∪ changed
+    * (write_manifest_with_changes, session.rs:2587-2635).
+    */
+  val q_changeset_merge: Q = (s, d) => {
+    val li = t(s, d, "lineitem")
+    val prev = li.filter(col("l_shipdate") < lit("1995-06-01"))
+    val changed = li.filter(col("l_shipdate") >= lit("1995-06-01"))
+    val key = Seq("l_orderkey", "l_linenumber")
+    prev.join(changed.select(key.map(col): _*), key, "left_anti")
+      .unionByName(changed)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("qty"))
+      .orderBy("l_returnflag")
+  }
+
+  /** Conflict detection: chunk double-update semi-join on composite key
+    * (detector.rs:21-305).
+    */
+  val q_conflict_semijoin: Q = (s, d) => {
+    val li = t(s, d, "lineitem")
+    val ours = li.filter(col("l_discount") >= 0.05)
+    val theirs = li.filter(col("l_tax") >= 0.05)
+      .select("l_orderkey", "l_linenumber")
+    ours.join(theirs, Seq("l_orderkey", "l_linenumber"), "left_semi")
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("conflicts"))
+      .orderBy("l_returnflag")
+  }
+
+  /** GC reachability: listed objects LEFT-ANTI live set (gc.rs:261-320):
+    * customers not "pointed at" by any order in the retention window.
+    */
+  val q_gc_antijoin: Q = (s, d) =>
+    t(s, d, "customer")
+      .join(t(s, d, "orders")
+          .filter(col("o_orderdate") < lit("1995-07-01"))
+          .select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+
+  /** Diff path resolution: edit set ⨝ node dimension (diff.rs:53-61). */
+  val q_diff_join: Q = (s, d) =>
+    t(s, d, "lineitem")
+      .join(broadcast(t(s, d, "part")), col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n"),
+        round(sum("l_extendedprice"), 2).as("revenue"))
+      .orderBy("p_brand")
+
+  // ---------------------------------------------------------------
+  // §2.5 / §2.6 windows, sorts, top-k
+  // ---------------------------------------------------------------
+
+  /** ancestry / ops-log ordering: per-key lag over an ordered log. */
+  val q_ancestry_lag: Q = (s, d) => {
+    val w = Window.partitionBy("user_id").orderBy("event_id")
+    events(s, d)
+      .withColumn("prev_value", lag("value", 1).over(w))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n"),
+        round(sum(abs(col("value") - coalesce(col("prev_value"),
+          col("value")))), 2).as("total_delta"))
+      .orderBy("user_id")
+  }
+
+  /** latest-N ring: global top-k with deterministic tiebreak. */
+  val q_topk: Q = (s, d) =>
+    events(s, d)
+      .orderBy(col("value").desc, col("event_id"))
+      .limit(100)
+      .select(col("event_id"), col("event_type"),
+        round(col("value"), 2).as("value"))
+
+  /** Running aggregate (cumulative window). */
+  val q_window_running: Q = (s, d) => {
+    val w = Window.partitionBy("user_id").orderBy("event_id")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    events(s, d)
+      .filter(col("user_id") < 10)
+      .select(col("user_id"), col("event_id"),
+        round(sum("value").over(w), 2).as("running"))
+      .orderBy("user_id", "event_id")
+  }
+
+  // ---------------------------------------------------------------
+  // §2.7 set operations
+  // ---------------------------------------------------------------
+
+  /** Diff sets: intersect / except over edit key sets (diff.rs:12-24). */
+  val q_setops: Q = (s, d) => {
+    val o = t(s, d, "orders")
+    def custsIn(y: Int) =
+      o.filter(col("o_orderdate") >= lit(f"$y%04d-01-01") &&
+        col("o_orderdate") < lit(f"${y + 1}%04d-01-01"))
+        .select("o_custkey").distinct()
+    custsIn(1996).intersect(custsIn(1997))
+      .except(custsIn(1998))
+      .orderBy("o_custkey")
+  }
+
+  // ---------------------------------------------------------------
+  // §2.8 scalar functions
+  // ---------------------------------------------------------------
+
+  /** Zarr key parse/format round-trip as a relational op: format chunk
+    * keys, parse coords back out, aggregate (store.rs:1048-1156 shape).
+    */
+  val q_zarr_keys: Q = (s, d) =>
+    t(s, d, "lineitem")
+      .select(concat(lit("temp/c/"), pmod(col("l_orderkey"), lit(16)),
+        lit("/"), col("l_linenumber")).as("key"))
+      .select(
+        regexp_extract(col("key"), "^temp/c/([0-9]+)/([0-9]+)$", 1)
+          .cast("int").as("c0"),
+        regexp_extract(col("key"), "^temp/c/([0-9]+)/([0-9]+)$", 2)
+          .cast("int").as("c1"))
+      .groupBy("c0")
+      .agg(count(lit(1)).as("n"), max("c1").as("max_c1"))
+      .orderBy("c0")
+
+  /** ByteRange arithmetic: clamped [from, to) long math
+    * (construct_valid_byte_range, lib.rs:252-312 shape).
+    */
+  val q_byterange: Q = (s, d) =>
+    t(s, d, "lineitem")
+      .select(col("l_returnflag"),
+        least(floor(col("l_extendedprice")).cast("long") % 8192, lit(8192L))
+          .as("ofrom"),
+        floor(col("l_quantity")).cast("long").as("len"))
+      .select(col("l_returnflag"), col("ofrom"),
+        least(col("ofrom") + col("len"), lit(8192L)).as("oto"))
+      .groupBy("l_returnflag")
+      .agg(sum(col("oto") - col("ofrom")).as("bytes"), count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+
+  // ---------------------------------------------------------------
+  // §2.9 streaming-shaped (batch-equivalent of the streaming aggs;
+  // true readStream covered in StreamingSpec)
+  // ---------------------------------------------------------------
+
+  /** Tumbling-window aggregation over the event stream. */
+  val q_stream_window: Q = (s, d) =>
+    events(s, d)
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd HH").as("hour"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
+      .orderBy("hour", "event_type")
+
+  /** Sessionization: 30-minute-gap sessions per user (stateful-stream
+    * shape, computed declaratively with windows).
+    */
+  val q_sessionize: Q = (s, d) => {
+    val w = Window.partitionBy("user_id").orderBy("event_id")
+    events(s, d)
+      .withColumn("sec", unix_timestamp(col("ts")))
+      .withColumn("gap",
+        when(col("sec") - lag("sec", 1).over(w) > 1800, 1).otherwise(0))
+      .groupBy("user_id")
+      .agg((sum("gap") + 1).as("n_sessions"), count(lit(1)).as("n_events"))
+      .orderBy("user_id")
+  }
+
+  // ---------------------------------------------------------------
+  // Training-data pipeline: dedup
+  // ---------------------------------------------------------------
+
+  val q_dedup_exact: Q = (s, d) =>
+    Dedup.exact(t(s, d, "documents")).orderBy("doc_id")
+
+  val q_dedup_ngram_jaccard: Q = (s, d) =>
+    Dedup.ngramJaccardPairs(t(s, d, "documents"), n = 3,
+        blockCol = "lang", threshold = 0.05)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+
+  /** MinHash-LSH near-dup candidates (no SQL oracle — hash-specific). */
+  val q_dedup_minhash: Q = (s, d) =>
+    Dedup.minhashCandidates(t(s, d, "documents"), numHashes = 32, bands = 8)
+      .filter(col("est_jaccard") >= 0.4)
+      .orderBy("doc_a", "doc_b")
+
+  /** SimHash near-dup candidates (no SQL oracle — hash-specific). */
+  val q_dedup_simhash: Q = (s, d) =>
+    Dedup.simhashCandidates(t(s, d, "documents"), maxHamming = 6)
+      .orderBy("doc_a", "doc_b")
+
+  val q_embedding_neardups: Q = (s, d) =>
+    Dedup.embeddingNearDups(t(s, d, "embeddings"), threshold = 0.35)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
+      .orderBy("id_a", "id_b")
+
+  // ---------------------------------------------------------------
+  // Training-data pipeline: similarity search
+  // ---------------------------------------------------------------
+
+  /** Brute-force cosine top-k against the vec_id=0 embedding. */
+  val q_similarity_topk: Q = (s, d) => {
+    val emb = t(s, d, "embeddings")
+    val query = emb.filter(col("vec_id") === 0)
+      .select("embedding").head().getSeq[Float](0)
+    Similarity.bruteForceTopK(emb, query, 20)
+  }
+
+  /** LSH-bucketed ANN top-k (no SQL oracle — recall is approximate). */
+  val q_similarity_ann: Q = (s, d) => {
+    val emb = t(s, d, "embeddings")
+    val query = emb.filter(col("vec_id") === 0)
+      .select("embedding").head().getSeq[Float](0)
+    Similarity.annTopK(emb, query, 20, numPlanes = 4)
+  }
+
+  // ---------------------------------------------------------------
+  // Training-data pipeline: text analysis
+  // ---------------------------------------------------------------
+
+  val q_text_analysis: Q = (s, d) => {
+    val tcol = col("text")
+    t(s, d, "documents").select(
+      col("doc_id"),
+      TextAnalysis.tokenCount(tcol).as("n_tokens"),
+      size(regexp_extract_all(lower(tcol),
+        lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))).as("n_bpeish"),
+      round(TextAnalysis.stopwordRatio(tcol), 6).as("stopword_ratio"),
+      round(TextAnalysis.meanTokenLength(tcol), 6).as("mean_token_len"),
+      TextAnalysis.langId(tcol).as("lang_pred"))
+      .orderBy("doc_id")
+  }
+
+  val q_quality_score: Q = (s, d) =>
+    t(s, d, "documents")
+      .select(col("doc_id"), TextAnalysis.qualityScore(col("text"))
+        .as("quality"))
+      .orderBy("doc_id")
+
+  /** Rolling-hash fingerprint (no SQL oracle — crc32-based). */
+  val q_fingerprint: Q = (s, d) =>
+    t(s, d, "documents")
+      .select(col("doc_id"),
+        TextAnalysis.fingerprint(col("text")).as("fingerprint"))
+      .orderBy("doc_id")
+
+  // ---------------------------------------------------------------
+  // Training-data pipeline: multimodal columns (stubbed decode)
+  // ---------------------------------------------------------------
+
+  /** Binary media plumbing: metadata + frame counting over an opaque
+    * binary payload (text bytes stand in for image bytes).
+    */
+  val q_multimodal_meta: Q = (s, d) =>
+    Multimodal.extractFeatures(
+        t(s, d, "documents").select(col("doc_id"),
+          encode(col("text"), "utf-8").as("media")), "media")
+      .select(col("doc_id"), col("media_meta.n_bytes").as("n_bytes"),
+        col("n_frames"))
+      .orderBy("doc_id")
+
+  /** Frame sampling plumbing: rows-out-per-row-in batch shape. */
+  val q_frame_sample: Q = (s, d) =>
+    Multimodal.sampleFrames(
+        t(s, d, "documents").select(col("doc_id"),
+          encode(col("text"), "utf-8").as("media")),
+        "media", frameBytes = 64, stride = 4)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_sampled"))
+      .orderBy("doc_id")
+
+  /** Full multimodal features incl. stub decode (no SQL oracle). */
+  val q_multimodal_features: Q = (s, d) =>
+    Multimodal.extractFeatures(
+        t(s, d, "documents").select(col("doc_id"),
+          encode(col("text"), "utf-8").as("media")), "media")
+      .select(col("doc_id"), col("features"))
+      .orderBy("doc_id")
+
+  val all: Map[String, Q] = Map(
+    "q1_agg" -> q1_agg,
+    "q_extents" -> q_extents,
+    "q_counts_per_node" -> q_counts_per_node,
+    "q_storage_stats" -> q_storage_stats,
+    "q_getsize_prefix" -> q_getsize_prefix,
+    "q_filter_pushdown" -> q_filter_pushdown,
+    "q_prefix_scan" -> q_prefix_scan,
+    "q_exists" -> q_exists,
+    "q_bounds_filter" -> q_bounds_filter,
+    "q_point_lookup" -> q_point_lookup,
+    "q_changeset_merge" -> q_changeset_merge,
+    "q_conflict_semijoin" -> q_conflict_semijoin,
+    "q_gc_antijoin" -> q_gc_antijoin,
+    "q_diff_join" -> q_diff_join,
+    "q_ancestry_lag" -> q_ancestry_lag,
+    "q_topk" -> q_topk,
+    "q_window_running" -> q_window_running,
+    "q_setops" -> q_setops,
+    "q_zarr_keys" -> q_zarr_keys,
+    "q_byterange" -> q_byterange,
+    "q_stream_window" -> q_stream_window,
+    "q_sessionize" -> q_sessionize,
+    "q_dedup_exact" -> q_dedup_exact,
+    "q_dedup_ngram_jaccard" -> q_dedup_ngram_jaccard,
+    "q_dedup_minhash" -> q_dedup_minhash,
+    "q_dedup_simhash" -> q_dedup_simhash,
+    "q_embedding_neardups" -> q_embedding_neardups,
+    "q_similarity_topk" -> q_similarity_topk,
+    "q_similarity_ann" -> q_similarity_ann,
+    "q_text_analysis" -> q_text_analysis,
+    "q_quality_score" -> q_quality_score,
+    "q_fingerprint" -> q_fingerprint,
+    "q_multimodal_meta" -> q_multimodal_meta,
+    "q_frame_sample" -> q_frame_sample,
+    "q_multimodal_features" -> q_multimodal_features)
+}

@@ -1,13 +1,35 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  * Queries live in [[Queries]], oracle SQL in [[Oracles]].
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * Star-schema revenue rollup: fact ⨝ broadcast dims → agg → order.
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val d = "/root/testdata/sf0.001"
+    def t(n: String) = spark.read.parquet(s"$d/$n.parquet")
+    t("lineitem")
+      .join(t("orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(t("customer")), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t("nation")), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t("region")), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), year(col("o_orderdate")).as("year"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .as("revenue"), count(lit(1)).as("n"))
+      .orderBy("r_name", "year")
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Queries.all
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for hash-function-specific ops
+    * (minhash/simhash/fingerprint/ANN) → rows-only check.
+    */
+  def oracleSql: Map[String, String] = Oracles.all
 }

@@ -1,0 +1,179 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines, each designed for
+  * the 100 TB shape: exact dedup is one hash-shuffle; the near-dup family
+  * (MinHash-LSH, SimHash, n-gram Jaccard, embedding cosine) all reduce the
+  * O(n²) pair space to a band/bucket join before any pairwise work, so the
+  * shuffle volume is O(n · bands), never O(n²).
+  */
+object Dedup {
+
+  /** Exact duplicates by content hash: one groupBy shuffle on a 256-bit
+    * digest. Returns (doc_id, canonical_id, n_copies) for every row in a
+    * duplicate group; survivors are `doc_id == canonical_id` (min id wins).
+    */
+  def exact(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.select(col("doc_id"), sha2(col(textCol), 256).as("h"))
+      .groupBy("h")
+      .agg(min("doc_id").as("canonical_id"), count("*").as("n_copies"),
+        collect_list("doc_id").as("ids"))
+      .select(explode(col("ids")).as("doc_id"), col("canonical_id"),
+        col("n_copies"))
+
+  /** Keep one row per distinct content (exact dedup applied). */
+  def exactSurvivors(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val keep = exact(docs, textCol)
+      .filter(col("doc_id") === col("canonical_id")).select("doc_id")
+    docs.join(keep, Seq("doc_id"), "left_semi")
+  }
+
+  /** Word shingles of size n as an array column (distinct). */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = TextAnalysis.tokens(text)
+    array_distinct(
+      when(size(toks) < n, array(concat_ws(" ", toks)))
+        .otherwise(transform(sequence(lit(0), size(toks) - n),
+          i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
+  }
+
+  /** MinHash signature: `numHashes` permutation-style hashes
+    * `min((a_j * x + b_j) mod p)` over 64-bit shingle hashes — the standard
+    * MinHashLSH construction (same family as Spark MLlib's MinHashLSH,
+    * re-expressed as codegen'd column ops).
+    */
+  def minhashSignature(text: Column, shingleSize: Int,
+                       numHashes: Int): Column = {
+    val p = 4294967291L // largest 32-bit prime
+    val sh = transform(shingles(text, shingleSize), s => xxhash64(s))
+    val rng = new scala.util.Random(42)
+    // pmod(x,p) < 2^32 and a < 2^30, so a*x + b < 2^63 (no ANSI overflow)
+    val coeffs = Seq.fill(numHashes)(
+      (rng.nextInt(1 << 30).toLong + 1L, rng.nextInt(1 << 30).toLong))
+    array(coeffs.map { case (a, b) =>
+      array_min(transform(sh,
+        x => pmod(pmod(x, lit(p)) * lit(a) + lit(b), lit(p))))
+    }: _*)
+  }
+
+  /** MinHash + LSH banding: split the signature into `bands` bands, hash
+    * each band, and emit one (band_idx, band_hash) bucket key per doc —
+    * docs sharing any bucket are candidate near-duplicates. The candidate
+    * join is an equi-join on the bucket key (shuffle O(n·bands)).
+    *
+    * Returns candidate pairs (doc_a < doc_b) with their estimated Jaccard
+    * (fraction of matching minhashes).
+    */
+  def minhashCandidates(docs: DataFrame, textCol: String = "text",
+                        shingleSize: Int = 3, numHashes: Int = 32,
+                        bands: Int = 8): DataFrame = {
+    val rows = numHashes / bands
+    val sig = docs.select(col("doc_id"),
+      minhashSignature(col(textCol), shingleSize, numHashes).as("sig"))
+    val buckets = sig.select(col("doc_id"), col("sig"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(concat_ws("_",
+          slice(col("sig"), b * rows + 1, lit(rows)))))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    val a = buckets.select(col("band"), col("bucket"),
+      col("doc_id").as("doc_a"), col("sig").as("sig_a"))
+    val b = buckets.select(col("band"), col("bucket"),
+      col("doc_id").as("doc_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (size(filter(zip_with(col("sig_a"), col("sig_b"),
+          (x, y) => x === y), b => b)).cast("double") /
+          lit(numHashes.toDouble)).as("est_jaccard"))
+      .distinct()
+  }
+
+  /** 64-bit SimHash over token hashes: per bit, sum +1/−1 across tokens,
+    * bit set where the sum is positive. Near-dups have small Hamming
+    * distance; pairs are blocked on 4 16-bit sub-keys (any exact sub-key
+    * match → candidate), the classic simhash sharding trick.
+    */
+  def simhash(text: Column): Column =
+    simhashFromHashes(transform(TextAnalysis.tokens(text), t => xxhash64(t)))
+
+  /** SimHash from a precomputed ARRAY<LONG> of token hashes. One
+    * per-bit aggregate over the array per output bit (codegen'd; at true
+    * 100 TB scale this becomes one custom TypedImperativeAggregate).
+    */
+  def simhashFromHashes(hashes: Column): Column =
+    (0 until 64).map { i =>
+      val bitSum = aggregate(hashes, lit(0),
+        (acc, h) => acc + when(shiftright(h, i).bitwiseAND(lit(1L)) === 1L,
+          1).otherwise(-1))
+      when(bitSum > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+
+  /** SimHash near-dup candidates: block on 16-bit sub-keys, verify by
+    * Hamming distance ≤ `maxHamming`.
+    */
+  def simhashCandidates(docs: DataFrame, textCol: String = "text",
+                        maxHamming: Int = 8): DataFrame = {
+    val sh = docs
+      .select(col("doc_id"), transform(TextAnalysis.tokens(col(textCol)),
+        t => xxhash64(t)).as("_h"))
+      .select(col("doc_id"), simhashFromHashes(col("_h")).as("sh"))
+    val blocked = sh.select(col("doc_id"), col("sh"),
+      posexplode(array((0 until 4).map(i =>
+        shiftright(col("sh"), i * 16).bitwiseAND(lit(0xffffL))): _*)))
+      .withColumnRenamed("pos", "block").withColumnRenamed("col", "key")
+    val a = blocked.select(col("block"), col("key"),
+      col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val b = blocked.select(col("block"), col("key"),
+      col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    a.join(b, Seq("block", "key"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Exact n-gram Jaccard similarity for all pairs within a blocking key
+    * (default: same `lang`) — the verification stage of near-dup dedup.
+    * Blocking keeps the pair space tractable; at 100 TB the blocking key
+    * would be an LSH bucket from [[minhashCandidates]] instead of a
+    * metadata column.
+    */
+  def ngramJaccardPairs(docs: DataFrame, textCol: String = "text",
+                        n: Int = 3, blockCol: String = "lang",
+                        threshold: Double = 0.0): DataFrame = {
+    val withSh = docs.select(col("doc_id"), col(blockCol).as("block"),
+      shingles(col(textCol), n).as("sh"))
+    val a = withSh.select(col("block"), col("doc_id").as("doc_a"),
+      col("sh").as("sh_a"))
+    val b = withSh.select(col("block"), col("doc_id").as("doc_b"),
+      col("sh").as("sh_b"))
+    a.join(b, Seq("block"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+          .as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Embedding-cosine near-duplicates: all pairs with cosine ≥ threshold.
+    * Exact O(n²) within `label` blocks here; [[Similarity.lshBuckets]]
+    * provides the sub-quadratic bucket join for the 100 TB path.
+    */
+  def embeddingNearDups(embeddings: DataFrame, threshold: Double,
+                        vecCol: String = "embedding",
+                        idCol: String = "vec_id"): DataFrame = {
+    val a = embeddings.select(col(idCol).as("id_a"),
+      col(vecCol).as("v_a"))
+    val b = embeddings.select(col(idCol).as("id_b"),
+      col(vecCol).as("v_b"))
+    a.crossJoin(b)
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        Similarity.cosine(col("v_a"), col("v_b")).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+}

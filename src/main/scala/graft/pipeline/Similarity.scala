@@ -1,0 +1,112 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`ARRAY<FLOAT>`). Brute-force cosine is the correctness baseline; the
+  * scale path is sign-random-projection LSH bucketing (search only the
+  * probe's bucket) — both pure column expressions, no UDFs.
+  */
+object Similarity {
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y),
+      lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column =
+    sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x * x))
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (norm(a) * norm(b))
+
+  /** Brute-force top-k by cosine against one query vector: one scan, one
+    * top-k (TakeOrdered — no full sort shuffle).
+    */
+  def bruteForceTopK(embeddings: DataFrame, query: Seq[Float], k: Int,
+                     vecCol: String = "embedding",
+                     idCol: String = "vec_id"): DataFrame = {
+    val q = typedLit(query)
+    embeddings.select(col(idCol),
+        round(cosine(col(vecCol).cast("array<double>"), q), 6).as("cos"))
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Top-k per probe for a whole probe *set* — the batched form: block
+    * by LSH bucket, rank within probe, keep k. Shuffle is O(n·tables), not
+    * O(n·m) pairs.
+    */
+  def signBits(vec: Column, planes: Seq[Seq[Double]]): Column =
+    planes.zipWithIndex.map { case (p, i) =>
+      when(dot(vec, typedLit(p)) >= 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+
+  /** Random hyperplanes for sign-LSH (seeded, deterministic). */
+  def randomPlanes(numPlanes: Int, dim: Int, seed: Long = 42L): Seq[Seq[Double]] = {
+    val rng = new scala.util.Random(seed)
+    Seq.fill(numPlanes)(Seq.fill(dim)(rng.nextGaussian()))
+  }
+
+  /** Assign every vector to a sign-LSH bucket. Near vectors (small angle)
+    * land in the same bucket with high probability; at 100 TB the bucket
+    * column is the partition key so probes touch one partition.
+    */
+  def lshBuckets(embeddings: DataFrame, numPlanes: Int = 12,
+                 dim: Int = 64, seed: Long = 42L,
+                 vecCol: String = "embedding"): DataFrame =
+    embeddings.withColumn("bucket",
+      signBits(col(vecCol).cast("array<double>"),
+        randomPlanes(numPlanes, dim, seed)))
+
+  /** ANN top-k: search only the probe's bucket (single-probe IVF-style).
+    * Falls back to brute force when the bucket has < k members is NOT done
+    * here — recall/latency tradeoff is the caller's (multi-probe = widen
+    * with neighboring buckets).
+    */
+  def annTopK(embeddings: DataFrame, query: Seq[Float], k: Int,
+              numPlanes: Int = 8, vecCol: String = "embedding",
+              idCol: String = "vec_id"): DataFrame = {
+    val dim = query.size
+    val planes = randomPlanes(numPlanes, dim)
+    val qBits = {
+      // driver-side sign bits of the query vector
+      var acc = 0L
+      planes.zipWithIndex.foreach { case (p, i) =>
+        val d = p.zip(query).map { case (x, y) => x * y.toDouble }.sum
+        if (d >= 0) acc |= (1L << i)
+      }
+      acc
+    }
+    lshBuckets(embeddings, numPlanes, dim, 42L, vecCol)
+      .filter(col("bucket") === qBits)
+      .select(col(idCol),
+        round(cosine(col(vecCol).cast("array<double>"),
+          typedLit(query)), 6).as("cos"))
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** All-pairs top-k neighbors per vector via LSH buckets (the batched
+    * ANN-join): rank within bucket, keep k per id.
+    */
+  def neighborsPerVector(embeddings: DataFrame, k: Int,
+                         numPlanes: Int = 8, dim: Int = 64,
+                         vecCol: String = "embedding",
+                         idCol: String = "vec_id"): DataFrame = {
+    val bucketed = lshBuckets(embeddings, numPlanes, dim, 42L, vecCol)
+    val a = bucketed.select(col("bucket"), col(idCol).as("id_a"),
+      col(vecCol).as("v_a"))
+    val b = bucketed.select(col("bucket"), col(idCol).as("id_b"),
+      col(vecCol).as("v_b"))
+    val w = Window.partitionBy("id_a").orderBy(col("cos").desc, col("id_b"))
+    a.join(b, Seq("bucket"))
+      .filter(col("id_a") =!= col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(cosine(col("v_a").cast("array<double>"),
+          col("v_b").cast("array<double>")), 6).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+}

@@ -1,0 +1,121 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines.
+  *
+  * All operators are pure column expressions (whole-stage codegen, no UDFs)
+  * so they stream through a scan at 100 TB without shuffles; every one is
+  * deterministic and mirrored by an ANSI-SQL oracle in
+  * [[graft.SparkEntry.oracleSql]].
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens, lowercased, empties dropped. */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), "\\s+"), t => length(t) > 0)
+
+  /** Token count: whitespace tokenization. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword count: runs of letters, runs of digits, or single
+    * non-alphanumeric-non-space characters (a cheap proxy for byte-pair
+    * token counts used to budget LLM training data).
+    */
+  def bpeishCount(text: Column): Column =
+    size(filter(split(lower(text), "(?<=[a-z0-9])(?=[^a-z0-9])|(?<=[^a-z0-9])(?=[a-z0-9])|\\s+"),
+      t => length(t) > 0))
+
+  private val stopwordsEn = Seq("the", "a", "an", "and", "or", "of", "to",
+    "in", "is", "are", "was", "for", "on", "with", "as", "at", "by")
+
+  /** Stopword ratio against a fixed English stopword list. */
+  def stopwordRatio(text: Column): Column = {
+    val toks = tokens(text)
+    when(size(toks) === 0, lit(0.0)).otherwise(
+      size(filter(toks, t => t.isin(stopwordsEn.map(lit(_)): _*))).cast("double")
+        / size(toks).cast("double"))
+  }
+
+  /** Punctuation character ratio. */
+  def punctRatio(text: Column): Column =
+    when(length(text) === 0, lit(0.0)).otherwise(
+      (length(text) - length(regexp_replace(text, "[\\.,;:!\\?]", "")))
+        .cast("double") / length(text).cast("double"))
+
+  /** Mean token length. */
+  def meanTokenLength(text: Column): Column = {
+    val toks = tokens(text)
+    when(size(toks) === 0, lit(0.0)).otherwise(
+      aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double")
+        / size(toks).cast("double"))
+  }
+
+  /** Composite quality score in [0,1]: length band + stopword presence +
+    * reasonable mean word length − punctuation noise. A deterministic
+    * variant of the C4/Gopher-style heuristics.
+    */
+  def qualityScore(text: Column): Column = {
+    val lenScore = least(length(text).cast("double") / lit(500.0), lit(1.0))
+    val swScore = least(stopwordRatio(text) * 5.0, lit(1.0))
+    val mtl = meanTokenLength(text)
+    val mtlScore = when(mtl >= 3.0 && mtl <= 10.0, lit(1.0)).otherwise(lit(0.5))
+    val punctPenalty = least(punctRatio(text) * 5.0, lit(1.0))
+    // explicit floor-based rounding: identical bit-level behavior in any
+    // engine given the same double input (plain `round` differs between
+    // BigDecimal-based and scaled-multiply implementations at midpoints)
+    floor((lenScore * 0.4 + swScore * 0.3 + mtlScore * 0.3) *
+      (lit(1.0) - punctPenalty * 0.5) * 1000000 + 0.5) / 1000000
+  }
+
+  private val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "is", "to", "a"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "une"),
+    "es" -> Seq("el", "los", "es", "una", "que", "para"),
+    "zh" -> Seq("的", "是", "了", "在", "我", "不"))
+
+  /** N-gram/stopword-marker language ID: count marker-token hits per
+    * language, pick the argmax (ties → first in fixed order), "und"
+    * (undetermined) when nothing matches. Heuristic langid in the spirit
+    * of fastText/langdetect but SQL-expressible and shuffle-free.
+    */
+  def langId(text: Column): Column = {
+    val toks = tokens(text)
+    val scores = langMarkers.map { case (lang, markers) =>
+      (lang, size(filter(toks, t => t.isin(markers.map(lit(_)): _*))))
+    }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldRight(lit("und"): Column) { case ((lang, s), acc) =>
+      when(s === best && best > 0, lit(lang)).otherwise(acc)
+    }
+  }
+
+  /** Polynomial rolling-hash document fingerprint over tokens:
+    * `sum(hash31(token) * 31^posFromEnd) mod 2^61-1`-style, computed as a
+    * left fold so identical token sequences — not just identical strings —
+    * collide. Cheap shift-invariant near-dup prefilter.
+    */
+  def fingerprint(text: Column): Column =
+    // modulus 2^31-1 keeps acc*31 + crc32 < 2^37 — no Long overflow under
+    // ANSI arithmetic
+    aggregate(tokens(text), lit(7L),
+      (acc, t) => pmod(acc * 31L + crc32(t).cast("long"),
+        lit(2147483647L)))
+
+  /** Per-document report: one row per doc with all text metrics. */
+  def analyze(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    docs.select(
+      col("doc_id"),
+      tokenCount(t).as("n_tokens"),
+      bpeishCount(t).as("n_bpeish"),
+      round(stopwordRatio(t), 6).as("stopword_ratio"),
+      round(punctRatio(t), 6).as("punct_ratio"),
+      round(meanTokenLength(t), 6).as("mean_token_len"),
+      qualityScore(t).as("quality"),
+      langId(t).as("lang_pred"),
+      fingerprint(t).as("fingerprint"))
+  }
+}
