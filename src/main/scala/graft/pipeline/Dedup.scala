@@ -44,19 +44,31 @@ object Dedup {
     * MinHashLSH construction (same family as Spark MLlib's MinHashLSH,
     * re-expressed as codegen'd column ops).
     */
-  def minhashSignature(text: Column, shingleSize: Int,
-                       numHashes: Int): Column = {
-    val p = 4294967291L // largest 32-bit prime
-    val sh = transform(shingles(text, shingleSize), s => xxhash64(s))
+  private val MinhashPrime = 4294967291L // largest 32-bit prime
+
+  /** Seeded (a, b) coefficient pairs; pmod(x,p) < 2^32 and a < 2^30, so
+    * a*x + b < 2^63 (no ANSI overflow).
+    */
+  private def minhashCoeffs(numHashes: Int): Seq[(Long, Long)] = {
     val rng = new scala.util.Random(42)
-    // pmod(x,p) < 2^32 and a < 2^30, so a*x + b < 2^63 (no ANSI overflow)
-    val coeffs = Seq.fill(numHashes)(
+    Seq.fill(numHashes)(
       (rng.nextInt(1 << 30).toLong + 1L, rng.nextInt(1 << 30).toLong))
-    array(coeffs.map { case (a, b) =>
-      array_min(transform(sh,
-        x => pmod(pmod(x, lit(p)) * lit(a) + lit(b), lit(p))))
-    }: _*)
   }
+
+  /** MinHash signature from a precomputed ARRAY<LONG> of shingle hashes:
+    * ONE pass over the array, folding a `numHashes`-wide accumulator with
+    * `zip_with(acc, hashes_of(x), least)`. Keeping it single-pass matters:
+    * n separate `array_min(transform(...))` calls would re-walk the shingle
+    * array n times per row.
+    */
+  def minhashSignatureFromHashes(sh: Column, numHashes: Int): Column =
+    graft.functions.VectorFunctions.minhash_signature(sh,
+      minhashCoeffs(numHashes), MinhashPrime)
+
+  def minhashSignature(text: Column, shingleSize: Int,
+                       numHashes: Int): Column =
+    minhashSignatureFromHashes(
+      transform(shingles(text, shingleSize), s => xxhash64(s)), numHashes)
 
   /** MinHash + LSH banding: split the signature into `bands` bands, hash
     * each band, and emit one (band_idx, band_hash) bucket key per doc —
@@ -70,13 +82,24 @@ object Dedup {
                         shingleSize: Int = 3, numHashes: Int = 32,
                         bands: Int = 8): DataFrame = {
     val rows = numHashes / bands
-    val sig = docs.select(col("doc_id"),
-      minhashSignature(col(textCol), shingleSize, numHashes).as("sig"))
+    // stage shingle hashes as their own column so the signature fold walks
+    // a materialized array (CollapseProject keeps multi-referenced
+    // non-cheap expressions staged)
+    val sig = docs
+      .select(col("doc_id"),
+        transform(shingles(col(textCol), shingleSize),
+          s => xxhash64(s)).as("_sh"))
+      .select(col("doc_id"),
+        minhashSignatureFromHashes(col("_sh"), numHashes).as("sig"))
     val buckets = sig.select(col("doc_id"), col("sig"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => xxhash64(concat_ws("_",
           slice(col("sig"), b * rows + 1, lit(rows)))))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+      // materialize once: both self-join sides would otherwise re-evaluate
+      // the whole shingle→minhash expression tree (at cluster scale this
+      // is a checkpoint to storage instead of executor memory)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = buckets.select(col("band"), col("bucket"),
       col("doc_id").as("doc_a"), col("sig").as("sig_a"))
     val b = buckets.select(col("band"), col("bucket"),
@@ -98,17 +121,11 @@ object Dedup {
   def simhash(text: Column): Column =
     simhashFromHashes(transform(TextAnalysis.tokens(text), t => xxhash64(t)))
 
-  /** SimHash from a precomputed ARRAY<LONG> of token hashes. One
-    * per-bit aggregate over the array per output bit (codegen'd; at true
-    * 100 TB scale this becomes one custom TypedImperativeAggregate).
+  /** SimHash from a precomputed ARRAY<LONG> of token hashes — native
+    * expression ([[graft.functions.SimhashExpr]]): one tight loop per row.
     */
   def simhashFromHashes(hashes: Column): Column =
-    (0 until 64).map { i =>
-      val bitSum = aggregate(hashes, lit(0),
-        (acc, h) => acc + when(shiftright(h, i).bitwiseAND(lit(1L)) === 1L,
-          1).otherwise(-1))
-      when(bitSum > 0, lit(1L << i)).otherwise(lit(0L))
-    }.reduce((a, b) => a.bitwiseOR(b))
+    graft.functions.VectorFunctions.simhash64(hashes)
 
   /** SimHash near-dup candidates: block on 16-bit sub-keys, verify by
     * Hamming distance ≤ `maxHamming`.
@@ -123,6 +140,9 @@ object Dedup {
       posexplode(array((0 until 4).map(i =>
         shiftright(col("sh"), i * 16).bitwiseAND(lit(0xffffL))): _*)))
       .withColumnRenamed("pos", "block").withColumnRenamed("col", "key")
+      // materialize once: the 64 per-bit aggregates are expensive and both
+      // self-join sides reference them
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = blocked.select(col("block"), col("key"),
       col("doc_id").as("doc_a"), col("sh").as("sh_a"))
     val b = blocked.select(col("block"), col("key"),
@@ -144,17 +164,32 @@ object Dedup {
   def ngramJaccardPairs(docs: DataFrame, textCol: String = "text",
                         n: Int = 3, blockCol: String = "lang",
                         threshold: Double = 0.0): DataFrame = {
-    val withSh = docs.select(col("doc_id"), col(blockCol).as("block"),
-      shingles(col(textCol), n).as("sh"))
-    val a = withSh.select(col("block"), col("doc_id").as("doc_a"),
-      col("sh").as("sh_a"))
-    val b = withSh.select(col("block"), col("doc_id").as("doc_b"),
-      col("sh").as("sh_b"))
-    a.join(b, Seq("block"))
+    // Sparse formulation: explode shingles into a posting list, equi-join
+    // postings on (block, shingle), count common shingles per pair, then
+    // |A∩B| / (|A|+|B|−|A∩B|). Work scales with Σ posting-list sizes (the
+    // data), never with the O(n²) dense pair space — the difference between
+    // 100 s and 3 s at sf0.1, and between feasible and not at 100 TB.
+    // Pairs sharing no shingle have jaccard 0 and are (correctly) absent;
+    // a zero threshold would also report nothing for them.
+    require(threshold > 0.0,
+      "sparse jaccard emits only pairs with at least one common shingle")
+    val withSh = docs
+      .select(col("doc_id"), col(blockCol).as("block"),
+        shingles(col(textCol), n).as("sh"))
+      .withColumn("sz", size(col("sh")))
+    val posting = withSh.select(col("block"), col("doc_id"), col("sz"),
+      explode(col("sh")).as("g"))
+    val a = posting.select(col("block"), col("g"),
+      col("doc_id").as("doc_a"), col("sz").as("sz_a"))
+    val b = posting.select(col("block"), col("g"),
+      col("doc_id").as("doc_b"), col("sz").as("sz_b"))
+    a.join(b, Seq("block", "g"))
       .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b", "sz_a", "sz_b")
+      .agg(count(lit(1)).as("common"))
       .select(col("doc_a"), col("doc_b"),
-        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+        (col("common").cast("double") /
+          (col("sz_a") + col("sz_b") - col("common")).cast("double"))
           .as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
@@ -166,14 +201,20 @@ object Dedup {
   def embeddingNearDups(embeddings: DataFrame, threshold: Double,
                         vecCol: String = "embedding",
                         idCol: String = "vec_id"): DataFrame = {
-    val a = embeddings.select(col(idCol).as("id_a"),
-      col(vecCol).as("v_a"))
-    val b = embeddings.select(col(idCol).as("id_b"),
-      col(vecCol).as("v_b"))
+    // stage per-vector norms once — recomputing norm(v) per PAIR turns an
+    // O(n²·d) pass into O(3n²·d)
+    val staged = embeddings.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+      .withColumn("nrm", Similarity.norm(col("v")))
+    val a = staged.select(col("id").as("id_a"), col("v").as("v_a"),
+      col("nrm").as("nrm_a"))
+    val b = staged.select(col("id").as("id_b"), col("v").as("v_b"),
+      col("nrm").as("nrm_b"))
     a.crossJoin(b)
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        Similarity.cosine(col("v_a"), col("v_b")).as("cos"))
+        (Similarity.dot(col("v_a"), col("v_b")) /
+          (col("nrm_a") * col("nrm_b"))).as("cos"))
       .filter(col("cos") >= threshold)
   }
 }

@@ -11,12 +11,14 @@ import org.apache.spark.sql.expressions.Window
   */
 object Similarity {
 
+  /** Codegen'd sequential Σ aᵢ·bᵢ ([[graft.functions.DotProductExpr]]) —
+    * same summation order as the `aggregate(zip_with(...))` HOF form it
+    * replaces, ~100× faster on O(n²) pair kernels.
+    */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y),
-      lit(0.0), (acc, x) => acc + x)
+    graft.functions.VectorFunctions.dot_product(a, b)
 
-  def norm(a: Column): Column =
-    sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x * x))
+  def norm(a: Column): Column = sqrt(dot(a, a))
 
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (norm(a) * norm(b))
@@ -27,7 +29,7 @@ object Similarity {
   def bruteForceTopK(embeddings: DataFrame, query: Seq[Float], k: Int,
                      vecCol: String = "embedding",
                      idCol: String = "vec_id"): DataFrame = {
-    val q = typedLit(query)
+    val q = typedLit(query.map(_.toDouble))
     embeddings.select(col(idCol),
         round(cosine(col(vecCol).cast("array<double>"), q), 6).as("cos"))
       .orderBy(col("cos").desc, col(idCol))
@@ -83,7 +85,7 @@ object Similarity {
       .filter(col("bucket") === qBits)
       .select(col(idCol),
         round(cosine(col(vecCol).cast("array<double>"),
-          typedLit(query)), 6).as("cos"))
+          typedLit(query.map(_.toDouble))), 6).as("cos"))
       .orderBy(col("cos").desc, col(idCol))
       .limit(k)
   }
