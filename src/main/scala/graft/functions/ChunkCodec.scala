@@ -1,0 +1,128 @@
+package graft.functions
+
+import java.nio.{ByteBuffer, ByteOrder}
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+
+/** Chunk codec pipeline — the one place this engine goes beyond the
+  * reference: icechunk never decodes chunk bytes (codecs live in
+  * zarr-python; `user_data` stays opaque — SURVEY §1.2), but a Spark
+  * engine can turn chunks into queryable value columns. Decode =
+  * decompress (raw | zstd | gzip) + little-endian dtype reinterpret,
+  * as a native expression so the hot loop stays in the JVM.
+  */
+object ChunkCodec {
+  val IntDtypes = Set("int8", "int16", "int32", "int64")
+  val FloatDtypes = Set("float32", "float64")
+
+  def decompress(bytes: Array[Byte], compression: String): Array[Byte] =
+    compression match {
+      case "raw" | null | "" => bytes
+      case "zstd" =>
+        val size = com.github.luben.zstd.Zstd.getFrameContentSize(bytes)
+        com.github.luben.zstd.Zstd.decompress(bytes, size.toInt)
+      case "gzip" =>
+        val in = new java.util.zip.GZIPInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        try in.readAllBytes() finally in.close()
+      case other =>
+        throw new IllegalArgumentException(s"unknown compression: $other")
+    }
+
+  def compress(bytes: Array[Byte], compression: String): Array[Byte] =
+    compression match {
+      case "raw" | null | "" => bytes
+      case "zstd" => com.github.luben.zstd.Zstd.compress(bytes, 3)
+      case "gzip" =>
+        val bos = new java.io.ByteArrayOutputStream()
+        val out = new java.util.zip.GZIPOutputStream(bos)
+        out.write(bytes); out.close()
+        bos.toByteArray
+      case other =>
+        throw new IllegalArgumentException(s"unknown compression: $other")
+    }
+
+  /** Encode a numeric array to little-endian raw bytes (the write-side
+    * codec; used by tests and the value-plane sink).
+    */
+  def encodeLongs(values: Array[Long], dtype: String): Array[Byte] = {
+    val bb = dtype match {
+      case "int8" => val b = ByteBuffer.allocate(values.length)
+        values.foreach(v => b.put(v.toByte)); b
+      case "int16" => val b = ByteBuffer.allocate(values.length * 2)
+        .order(ByteOrder.LITTLE_ENDIAN)
+        values.foreach(v => b.putShort(v.toShort)); b
+      case "int32" => val b = ByteBuffer.allocate(values.length * 4)
+        .order(ByteOrder.LITTLE_ENDIAN)
+        values.foreach(v => b.putInt(v.toInt)); b
+      case "int64" => val b = ByteBuffer.allocate(values.length * 8)
+        .order(ByteOrder.LITTLE_ENDIAN)
+        values.foreach(b.putLong); b
+    }
+    bb.array()
+  }
+
+  def encodeDoubles(values: Array[Double], dtype: String): Array[Byte] = {
+    val bb = dtype match {
+      case "float32" => val b = ByteBuffer.allocate(values.length * 4)
+        .order(ByteOrder.LITTLE_ENDIAN)
+        values.foreach(v => b.putFloat(v.toFloat)); b
+      case "float64" => val b = ByteBuffer.allocate(values.length * 8)
+        .order(ByteOrder.LITTLE_ENDIAN)
+        values.foreach(b.putDouble); b
+    }
+    bb.array()
+  }
+}
+
+/** Decode chunk bytes into a numeric array column: ARRAY<BIGINT> for
+  * integer dtypes, ARRAY<DOUBLE> for float dtypes.
+  */
+case class DecodeChunkExpr(child: Expression, dtype: String,
+                           compression: String)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType =
+    if (ChunkCodec.IntDtypes.contains(dtype))
+      ArrayType(LongType, containsNull = false)
+    else if (ChunkCodec.FloatDtypes.contains(dtype))
+      ArrayType(DoubleType, containsNull = false)
+    else throw new IllegalArgumentException(s"unknown dtype $dtype")
+
+  override def nullSafeEval(input: Any): Any = {
+    val raw = ChunkCodec.decompress(input.asInstanceOf[Array[Byte]],
+      compression)
+    val bb = ByteBuffer.wrap(raw).order(ByteOrder.LITTLE_ENDIAN)
+    dtype match {
+      case "int8" =>
+        new GenericArrayData(Array.tabulate(raw.length)(i => bb.get(i).toLong))
+      case "int16" =>
+        new GenericArrayData(
+          Array.tabulate(raw.length / 2)(i => bb.getShort(i * 2).toLong))
+      case "int32" =>
+        new GenericArrayData(
+          Array.tabulate(raw.length / 4)(i => bb.getInt(i * 4).toLong))
+      case "int64" =>
+        new GenericArrayData(
+          Array.tabulate(raw.length / 8)(i => bb.getLong(i * 8)))
+      case "float32" =>
+        new GenericArrayData(
+          Array.tabulate(raw.length / 4)(i => bb.getFloat(i * 4).toDouble))
+      case "float64" =>
+        new GenericArrayData(
+          Array.tabulate(raw.length / 8)(i => bb.getDouble(i * 8)))
+    }
+  }
+
+  override protected def withNewChildInternal(c: Expression): DecodeChunkExpr =
+    copy(child = c)
+}
+
+object CodecFunctions {
+  def decode_chunk(bytes: Column, dtype: String,
+                   compression: String = "raw"): Column =
+    column(DecodeChunkExpr(expression(bytes), dtype, compression))
+}

@@ -29,7 +29,7 @@ final class RepoPointer(store: Store) {
   /** Latest generation number on storage, or -1 if uninitialized. */
   def latestGen(): Long = {
     val gens = store.list(Layout.PointerPrefix)
-      .map(_._1).filter(_.endsWith(".json")).map(Layout.genOf)
+      .map(_.key).filter(_.endsWith(".json")).map(Layout.genOf)
     if (gens.isEmpty) -1L else gens.max
   }
 
@@ -78,6 +78,17 @@ final class AssetManager(val store: Store, spark: SparkSession) {
   import scala.collection.concurrent.TrieMap
   private val snapshotCache = TrieMap[String, Snapshot]()
 
+  /** Explicit manifest schema (ChunkRef columns + split partition) — read
+    * with it rather than inferring, so empty manifests (a flush whose
+    * merge produced no surviving refs) stay readable.
+    */
+  val manifestSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.Encoders.product[ChunkRef].schema
+      .add("split", org.apache.spark.sql.types.IntegerType)
+
+  private def readManifest(id: String): DataFrame =
+    spark.read.schema(manifestSchema).parquet(manifestUri(id))
+
   // ---- snapshots ----
   def writeSnapshot(s: Snapshot): Unit = {
     store.putBytes(Layout.snapshotKey(s.id),
@@ -108,7 +119,7 @@ final class AssetManager(val store: Store, spark: SparkSession) {
       .option("compression", "zstd")
       .parquet(manifestUri(id))
 
-    val ndims = refs.sparkSession.read.parquet(manifestUri(id))
+    val ndims = readManifest(id)
       .groupBy("node_id", "split")
       .agg(
         min("c0").as("min0"), max("c0").as("max0"),
@@ -132,7 +143,7 @@ final class AssetManager(val store: Store, spark: SparkSession) {
 
   /** Read back one manifest split for a node (partition-pruned scan). */
   def readManifestSplit(ref: ManifestRef, nodeId: String): DataFrame =
-    spark.read.parquet(manifestUri(ref.manifestId))
+    readManifest(ref.manifestId)
       .filter(col("node_id") === nodeId && col("split") === ref.split)
 
   /** All committed refs of the given nodes at a snapshot, as one DataFrame.
@@ -154,7 +165,7 @@ final class AssetManager(val store: Store, spark: SparkSession) {
         val cond = keys.map { case (n, s) =>
           col("node_id") === n && col("split") === s
         }.reduce(_ || _)
-        spark.read.parquet(manifestUri(mid)).filter(cond)
+        readManifest(mid).filter(cond)
       }.reduce(_ unionByName _)
     }
   }

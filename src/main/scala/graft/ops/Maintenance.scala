@@ -1,0 +1,197 @@
+package graft.ops
+
+import java.time.Instant
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.meta._
+import graft.repo.{GraftException, Repository}
+
+/** Storage statistics (ops/stats.rs:29-260). */
+object Stats {
+  /** Per-payload-kind chunk storage at a snapshot, deduplicated by chunk
+    * identity (`repo_chunks_storage` dedupes by chunk id so shared chunks
+    * count once): one scan over the snapshot's manifests, one distinct,
+    * one rollup.
+    */
+  /** (kind, identity, length) rows of one snapshot: chunk object id for
+    * native refs, location+range for virtual, the (node, coord) cell for
+    * inline.
+    */
+  private def identityRefs(repo: Repository, snapshotId: String): DataFrame = {
+    val snap = repo.assets.readSnapshot(snapshotId)
+    val arrays = snap.nodes.filter(_.isArray).map(_.id)
+    repo.assets.committedRefs(snap, arrays)
+      .select(col("kind"),
+        // per-kind identity (concat_ws skips nulls, so a coalesce chain
+        // would alias different kinds onto the same identity)
+        when(col("kind") === ChunkRef.KindRef, col("chunk_id"))
+          .when(col("kind") === ChunkRef.KindVirtual,
+            concat_ws(":", col("location"), col("offset"), col("length")))
+          .otherwise(concat_ws(":", col("node_id"),
+            concat_ws(",", col("coord"))))
+          .as("identity"),
+        coalesce(col("length"), lit(0L)).as("length"))
+  }
+
+  def chunkStorageStats(repo: Repository, snapshotId: String): DataFrame =
+    identityRefs(repo, snapshotId)
+      .dropDuplicates("kind", "identity")
+      .groupBy("kind")
+      .agg(count(lit(1)).as("n_chunks"), sum("length").as("bytes"))
+      .orderBy("kind")
+
+  /** Storage stats across every snapshot reachable from any branch or tag
+    * (`repo_chunks_storage`, python repository.py:1997) — union of all
+    * live snapshots' refs, deduplicated by chunk identity so shared chunks
+    * count once.
+    */
+  def repoChunksStorage(repo: Repository): DataFrame = {
+    val info = repo.info()
+    val pointed = (info.branches.values ++ info.tags.values).toSet
+    val live = pointed.flatMap(id => info.ancestry(id).map(_.id))
+    live.toSeq.map(identityRefs(repo, _)).reduceOption(_ unionByName _)
+      .map(_.dropDuplicates("kind", "identity")
+        .groupBy("kind")
+        .agg(count(lit(1)).as("n_chunks"), sum("length").as("bytes"))
+        .orderBy("kind"))
+      .getOrElse(repo.spark.emptyDataFrame)
+  }
+}
+
+final case class GCSummary(
+    chunksDeleted: Long, manifestsDeleted: Long, snapshotsDeleted: Long,
+    txLogsDeleted: Long, bytesDeleted: Long)
+
+/** Garbage collection + expiration (ops/gc.rs). */
+object GC {
+  /** Delete storage objects unreachable from any branch/tag ancestry and
+    * older than `olderThan` (the age guard keeps in-flight commits safe —
+    * gc.rs:44-180). Reachability:
+    *  - live snapshots: ancestry closure of all branch/tag tips
+    *  - live manifests/tx-logs: referenced by live snapshots
+    *  - live chunks: `chunk_id`s in live manifests (one Spark anti-join)
+    */
+  def garbageCollect(repo: Repository, olderThan: Instant,
+                     dryRun: Boolean = false): GCSummary = {
+    val spark = repo.spark
+    val store = repo.store
+    val info = repo.info()
+    val pointed = (info.branches.values ++ info.tags.values).toSet
+    val liveSnapshots: Set[String] =
+      pointed.flatMap(id => info.ancestry(id).map(_.id)) ++ pointed
+    val liveManifests: Set[String] = liveSnapshots.flatMap { sid =>
+      repo.assets.readSnapshot(sid).manifests.values.flatten.map(_.manifestId)
+    }
+    val cutoffMs = olderThan.toEpochMilli
+
+    // snapshots & tx logs: driver-side (metadata counts are small)
+    val deadSnaps = store.list("snapshots/")
+      .filter(o => o.mtimeMillis < cutoffMs &&
+        !liveSnapshots.contains(
+          o.key.stripPrefix("snapshots/").stripSuffix(".json")))
+    val deadTx = store.list("transactions/")
+      .filter(o => o.mtimeMillis < cutoffMs &&
+        !liveSnapshots.contains(
+          o.key.stripPrefix("transactions/").split('/').head))
+    val deadManifestFiles = store.list("manifests/")
+      .filter(o => o.mtimeMillis < cutoffMs &&
+        !liveManifests.contains(
+          o.key.stripPrefix("manifests/").split('/').head))
+    val deadManifestIds = deadManifestFiles
+      .map(_.key.stripPrefix("manifests/").split('/').head).distinct
+
+    // chunks: listing ⟕ live ids — the Spark anti-join (gc.rs:261-320).
+    import spark.implicits._
+    val listed = store.list("chunks/")
+      .map(o => (o.key.stripPrefix("chunks/"), o.size, o.mtimeMillis))
+    val listedDf = spark.createDataset(listed)
+      .toDF("chunk_id", "size", "mtime")
+    val deadChunks: Seq[(String, Long)] =
+      if (listed.isEmpty) Nil
+      else {
+        val liveChunkIds =
+          if (liveManifests.isEmpty)
+            spark.emptyDataset[String].toDF("chunk_id")
+          else liveManifests.toSeq.map { mid =>
+            spark.read.schema(repo.assets.manifestSchema)
+              .parquet(repo.assets.manifestUri(mid))
+              .filter(col("kind") === ChunkRef.KindRef)
+              .select("chunk_id")
+          }.reduce(_ unionByName _).distinct()
+        listedDf.filter(col("mtime") < cutoffMs)
+          .join(liveChunkIds, Seq("chunk_id"), "left_anti")
+          .select("chunk_id", "size")
+          .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      }
+
+    val bytes = deadChunks.map(_._2).sum + deadSnaps.map(_.size).sum +
+      deadTx.map(_.size).sum + deadManifestFiles.map(_.size).sum
+    if (!dryRun) {
+      // batched deletes; at cluster scale this is a foreachPartition over
+      // the dead-chunk frame with a per-executor store client
+      store.delete(deadChunks.map(c => "chunks/" + c._1))
+      store.delete(deadSnaps.map(_.key))
+      deadTx.map(_.key.split('/').take(2).mkString("/")).distinct
+        .foreach(store.deletePrefix)
+      deadManifestIds.foreach(id => store.deletePrefix(s"manifests/$id"))
+      repo.casUpdate("garbage_collect",
+        s"chunks=${deadChunks.size} bytes=$bytes")(identity)
+    }
+    GCSummary(deadChunks.size.toLong, deadManifestIds.size.toLong,
+      deadSnaps.size.toLong, deadTx.size.toLong, bytes)
+  }
+
+  /** Squash ancestry older than the cutoff (ops/gc.rs:826-1000): per
+    * branch, the oldest retained snapshot's parent link is cut; snapshot
+    * infos no longer reachable from any branch/tag leave the pointer (the
+    * snapshot *files* stay until [[garbageCollect]]). Rebase across an
+    * expired boundary fails with "transaction log expired"
+    * (pruned_ancestor_tx_logs, session.rs:1981-2009).
+    */
+  def expire(repo: Repository, olderThan: Instant): Int = {
+    var removed = 0
+    repo.casUpdate("expire", s"olderThan=$olderThan") { info =>
+      val keepRoots = scala.collection.mutable.Set[String]()
+      val edited = scala.collection.mutable.Map[String, SnapshotInfo]()
+      (info.branches.values ++ info.tags.values).foreach { tip =>
+        val chain = info.ancestry(tip)
+        // retain the tip plus everything at-or-after the cutoff
+        val retained = chain.zipWithIndex.filter { case (s, i) =>
+          i == 0 || Instant.parse(s.flushedAt).compareTo(olderThan) >= 0
+        }.map(_._1)
+        val oldest = retained.lastOption.getOrElse(chain.head)
+        if (chain.size > retained.size)
+          edited.put(oldest.id, oldest.copy(parentId = None))
+        retained.foreach(s => keepRoots += s.id)
+      }
+      val kept = info.snapshots
+        .filter(s => keepRoots.contains(s.id))
+        .map(s => edited.getOrElse(s.id, s))
+      removed = info.snapshots.size - kept.size
+      info.copy(snapshots = kept)
+    }
+    removed
+  }
+}
+
+/** Manifest compaction (`rewrite_manifests`, ops/manifests.rs:23-56):
+  * rewrite every array's chunk refs into fresh manifests under the current
+  * split config — one commit, read-side pruning restored after many
+  * appends fragmented the shards.
+  */
+object Compaction {
+  def rewriteManifests(repo: Repository, branch: String,
+                       message: String = "rewrite_manifests"): String = {
+    val session = repo.writableSession(branch)
+    val arrays = session.nodes.filter(_.isArray)
+    if (arrays.isEmpty)
+      throw new GraftException("no arrays to compact")
+    arrays.foreach { n =>
+      val refs = repo.assets.committedRefs(session.base, Seq(n.id))
+        .drop("split")
+      session.changeSet.rewrittenNodes += n.id
+      session.changeSet.stageBatch(refs)
+    }
+    session.commit(message)
+  }
+}

@@ -385,68 +385,120 @@ final class Session private[repo] (
     requireWritable()
     val effective = nodes
     val byId = effective.map(n => n.id -> n).toMap
-    val changedIds = changeSet.chunkEditNodeIds(spark)
-      .filter(id => byId.get(id).exists(_.isArray))
     val snapId = Ids.toBase32(Ids.newObjectId())
 
-    val manifestRefs: Map[String, Seq[ManifestRef]] =
-      if (changedIds.isEmpty) Map.empty
-      else {
-        val changes = changeSet.chunkChanges(spark)
-          .filter(col("node_id").isin(changedIds.toSeq: _*))
-        val rewritten = changeSet.rewrittenNodes.toSet
-        val mergeBase = changedIds.toSeq.filterNot(rewritten.contains)
-        val prev = assets.committedRefs(baseSnapshot, mergeBase).drop("split")
-        // changeset-over-snapshot merge (session.rs:2587-2635)
-        val merged = prev.join(changes.select("node_id", "coord"),
-            Seq("node_id", "coord"), "left_anti")
-          .unionByName(changes)
-          .filter(col("kind") =!= ChunkRef.KindDelete)
-        // bounds filter: drop refs outside the (possibly shrunk) shape
-        val grids = changedIds.toSeq.map { id =>
-          (id, byId(id).arrayShape.dims.map(_.numChunks.toInt).toArray)
-        }
-        val gridDf = spark.createDataFrame(grids.map(t =>
-          org.apache.spark.sql.Row(t._1, t._2.toSeq)).asJava,
-          org.apache.spark.sql.types.StructType(Seq(
-            org.apache.spark.sql.types.StructField("node_id",
-              org.apache.spark.sql.types.StringType),
-            org.apache.spark.sql.types.StructField("nchunks",
-              org.apache.spark.sql.types.ArrayType(
-                org.apache.spark.sql.types.IntegerType)))))
-        val bounded = merged.join(broadcast(gridDf), Seq("node_id"))
-          .filter(size(col("coord")) === size(col("nchunks")) &&
-            forall(zip_with(col("coord"), col("nchunks"),
-              (c, n) => c >= 0 && c < n), x => x))
-          .drop("nchunks")
-        // manifest split bucketing (config DSL — config.rs:168-263)
-        val splitSpecs = changedIds.toSeq.map { id =>
-          val (axis, sz) = cfg.splitFor(byId(id))
-          (id, axis, sz)
-        }
-        val splitDf = spark.createDataFrame(splitSpecs.map(t =>
-          org.apache.spark.sql.Row(t._1, t._2, t._3)).asJava,
-          org.apache.spark.sql.types.StructType(Seq(
-            org.apache.spark.sql.types.StructField("node_id",
-              org.apache.spark.sql.types.StringType),
-            org.apache.spark.sql.types.StructField("axis",
-              org.apache.spark.sql.types.IntegerType),
-            org.apache.spark.sql.types.StructField("splitsz",
-              org.apache.spark.sql.types.IntegerType))))
-        val withSplit = bounded.join(broadcast(splitDf), Seq("node_id"))
+    // full-rewrite nodes: reindexed/shifted arrays (coordinate table
+    // replaced) and SHRUNK arrays (stale out-of-bounds refs must be
+    // flushed out of every shard — even with no chunk edits). Growing an
+    // array — the append_dim workflow — keeps the one-shard rewrite.
+    def shrunk(n: NodeSpec): Boolean =
+      baseSnapshot.nodeById(n.id).exists { old =>
+        old.isArray && (old.shape.size != n.shape.size ||
+          old.arrayShape.dims.map(_.numChunks)
+            .zip(n.arrayShape.dims.map(_.numChunks)).exists {
+              case (oldN, newN) => newN < oldN
+            })
+      }
+    val shrunkIds = changeSet.updatedNodes.values
+      .filter(n => n.isArray && shrunk(n)).map(_.id).toSet
+    val changedIds = (changeSet.chunkEditNodeIds(spark) ++ shrunkIds)
+      .filter(id => byId.get(id).exists(_.isArray))
+    val fullRewrite: Set[String] =
+      (changeSet.rewrittenNodes.toSet ++ shrunkIds)
+        .filter(changedIds.contains)
+
+    var newRefs: Map[String, Seq[ManifestRef]] = Map.empty
+    var touchedSplits: Map[String, Set[Int]] = Map.empty
+    if (changedIds.nonEmpty) {
+      val changes = changeSet.chunkChanges(spark)
+        .filter(col("node_id").isin(changedIds.toSeq: _*))
+      // manifest split bucketing (config DSL — config.rs:168-263)
+      val splitSpecs = changedIds.toSeq.map { id =>
+        val (axis, sz) = cfg.splitFor(byId(id))
+        (id, axis, sz)
+      }
+      val splitDf = spark.createDataFrame(splitSpecs.map(t =>
+        org.apache.spark.sql.Row(t._1, t._2, t._3)).asJava,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("node_id",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("axis",
+            org.apache.spark.sql.types.IntegerType),
+          org.apache.spark.sql.types.StructField("splitsz",
+            org.apache.spark.sql.types.IntegerType))))
+      def bucket(df: org.apache.spark.sql.DataFrame) =
+        df.join(broadcast(splitDf), Seq("node_id"))
           .withColumn("split",
             coalesce(try_element_at(col("coord"), col("axis") + 1), lit(0))
               .divide(col("splitsz")).cast("int"))
           .drop("axis", "splitsz")
-        val manifestId = Ids.toBase32(Ids.newObjectId())
-        assets.writeManifest(manifestId, withSplit)
-      }
+      val changesWithSplit = bucket(changes)
 
-    // unchanged arrays carry their previous manifests (append efficiency)
-    val deletedOrRewritten = changedIds ++ changeSet.rewrittenNodes
-    val carried = baseSnapshot.manifests.filter { case (nid, _) =>
-      byId.get(nid).exists(_.isArray) && !deletedOrRewritten.contains(nid)
+      // which (node, split) shards does this flush touch? Only those are
+      // rewritten — an append rewrites ONE shard, the core write-
+      // amplification control of manifest splitting
+      // (design-docs/005-manifest-split.md; flush session.rs:2642-2848)
+      touchedSplits = changesWithSplit
+        .select("node_id", "split").distinct().collect()
+        .groupBy(_.getString(0))
+        .map { case (n, rows) => n -> rows.map(_.getInt(1)).toSet }
+      val mergeNodes = changedIds.toSeq.filterNot(fullRewrite.contains)
+      val prevTouched = {
+        val all = assets.committedRefs(baseSnapshot, mergeNodes)
+        val conds = mergeNodes.flatMap { n =>
+          touchedSplits.get(n).map(splits =>
+            col("node_id") === n && col("split").isin(splits.toSeq: _*))
+        }
+        if (conds.isEmpty) assets.emptyRefs()
+        else all.filter(conds.reduce(_ || _))
+      }.drop("split")
+      // shape-updated arrays re-merge ALL their previous shards
+      val prevFull = assets.committedRefs(baseSnapshot,
+        fullRewrite.toSeq.filterNot(changeSet.rewrittenNodes.contains))
+        .drop("split")
+      // changeset-over-snapshot merge (session.rs:2587-2635)
+      val prev = prevTouched.unionByName(prevFull)
+      val merged = prev.join(changesWithSplit.select("node_id", "coord"),
+          Seq("node_id", "coord"), "left_anti")
+        .unionByName(changesWithSplit.drop("split"))
+        .filter(col("kind") =!= ChunkRef.KindDelete)
+      // bounds filter: drop refs outside the (possibly shrunk) shape
+      val grids = changedIds.toSeq.map { id =>
+        (id, byId(id).arrayShape.dims.map(_.numChunks.toInt).toArray)
+      }
+      val gridDf = spark.createDataFrame(grids.map(t =>
+        org.apache.spark.sql.Row(t._1, t._2.toSeq)).asJava,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("node_id",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("nchunks",
+            org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.IntegerType)))))
+      val bounded = merged.join(broadcast(gridDf), Seq("node_id"))
+        .filter(size(col("coord")) === size(col("nchunks")) &&
+          forall(zip_with(col("coord"), col("nchunks"),
+            (c, n) => c >= 0 && c < n), x => x))
+        .drop("nchunks")
+      val manifestId = Ids.toBase32(Ids.newObjectId())
+      newRefs = assets.writeManifest(manifestId, bucket(bounded))
     }
+
+    // manifest assembly: unchanged arrays carry everything; merged arrays
+    // carry their untouched shards + the freshly written ones; full
+    // rewrites carry nothing
+    val manifests: Map[String, Seq[ManifestRef]] =
+      effective.filter(_.isArray).flatMap { n =>
+        val prevRefs = baseSnapshot.manifests.getOrElse(n.id, Nil)
+        val refs: Seq[ManifestRef] =
+          if (!changedIds.contains(n.id)) prevRefs
+          else if (fullRewrite.contains(n.id)) newRefs.getOrElse(n.id, Nil)
+          else {
+            val touched = touchedSplits.getOrElse(n.id, Set.empty)
+            prevRefs.filterNot(r => touched.contains(r.split)) ++
+              newRefs.getOrElse(n.id, Nil)
+          }
+        if (refs.isEmpty) None else Some(n.id -> refs)
+      }.toMap
     val snapshot = Snapshot(
       id = snapId,
       parentId = Some(baseSnapshot.id),
@@ -454,7 +506,7 @@ final class Session private[repo] (
       flushedAt = Instant.now().toString,
       properties = properties,
       nodes = effective,
-      manifests = carried ++ manifestRefs)
+      manifests = manifests)
     assets.writeSnapshot(snapshot)
     writeTxLog(snapshot, changedIds)
     snapshot

@@ -18,6 +18,8 @@ import scala.jdk.CollectionConverters._
   * write-once — the discipline both object stores and Spark jobs want
   * (spec-v2.md:160-170).
   */
+final case class ObjectInfo(key: String, size: Long, mtimeMillis: Long)
+
 trait Store {
   /** Root URI usable by `spark.read` / `df.write` (e.g. `file:/...`). */
   def rootUri: String
@@ -29,8 +31,8 @@ trait Store {
     * already exists. This is the single serialization point of the engine.
     */
   def putIfAbsent(key: String, bytes: Array[Byte]): Boolean
-  /** List keys under a prefix (recursive): (key, sizeBytes). */
-  def list(prefix: String): Seq[(String, Long)]
+  /** List keys under a prefix (recursive): (key, sizeBytes, mtimeMillis). */
+  def list(prefix: String): Seq[ObjectInfo]
   def exists(key: String): Boolean
   def delete(keys: Iterable[String]): Unit
   /** Recursive delete of a prefix (directories on FS; key prefix on S3). */
@@ -71,13 +73,14 @@ final class LocalStore(val root: Path) extends Store {
     } catch { case _: java.nio.file.FileAlreadyExistsException => false }
   }
 
-  override def list(prefix: String): Seq[(String, Long)] = {
+  override def list(prefix: String): Seq[ObjectInfo] = {
     val base = p(prefix)
     if (!Files.exists(base)) return Nil
     val stream = Files.walk(base)
     try stream.iterator().asScala
       .filter(Files.isRegularFile(_))
-      .map(f => (root.relativize(f).toString.replace('\\', '/'), Files.size(f)))
+      .map(f => ObjectInfo(root.relativize(f).toString.replace('\\', '/'),
+        Files.size(f), Files.getLastModifiedTime(f).toMillis))
       .toVector
     finally stream.close()
   }

@@ -1,0 +1,137 @@
+package graft.tensor
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.{ChunkCodec, CodecFunctions}
+import graft.meta.ChunkRef
+import graft.repo.{GraftException, Session}
+
+/** The tensor value plane: arrays as (i0..iN, value) DataFrames — the
+  * Spark-native extension the reference delegates to zarr-python (§3.1's
+  * value decode, done inside the query engine so `SELECT avg(value)` works
+  * directly).
+  *
+  * Executor-side chunk fetch is a UDF over the chunk-ref columns (IO-bound
+  * — per-row ranged GETs, exactly the reference's fetch dispatch
+  * session.rs:1274-1317); decode is the native [[DecodeChunkExpr]].
+  */
+object TensorPlane {
+
+  /** Fetch chunk bytes on executors from the ref columns. `rootUri` is the
+    * repo store root (`file:` URIs in tests; any Hadoop-readable scheme at
+    * scale — swap the two `readAt` branches for an object-store client).
+    */
+  def fetchBytesUdf(rootUri: String) = udf(
+    (kind: String, inline: Array[Byte], chunkId: String, location: String,
+     offset: Long, length: Long) => {
+      def readAt(uri: String): Array[Byte] = {
+        val path = java.nio.file.Paths.get(java.net.URI.create(uri))
+        val all = java.nio.file.Files.readAllBytes(path)
+        if (offset == 0 && (length == 0 || length >= all.length)) all
+        else java.util.Arrays.copyOfRange(all, offset.toInt,
+          math.min(offset + length, all.length).toInt)
+      }
+      kind match {
+        case ChunkRef.KindInline => inline
+        case ChunkRef.KindRef =>
+          readAt(rootUri.stripSuffix("/") + "/chunks/" + chunkId)
+        case ChunkRef.KindVirtual => readAt(location)
+        case _ => null
+      }
+    })
+
+  /** Chunk-ref rows with a materialized `bytes` column. */
+  def chunkBytes(session: Session, path: String): DataFrame = {
+    val fetch = fetchBytesUdf(session.repo.store.rootUri)
+    session.refs(path).withColumn("bytes",
+      fetch(col("kind"), col("inline"), col("chunk_id"), col("location"),
+        col("offset"), col("length")))
+  }
+
+  /** Explode an array into one row per element: (i0..iN, value), with
+    * global indices computed from chunk coord × chunk shape + in-chunk
+    * offset (row-major). Rows beyond the array bounds (partial edge
+    * chunks) are filtered out. `value` is BIGINT for int dtypes, DOUBLE
+    * for float dtypes.
+    */
+  def values(session: Session, path: String, dtype: String,
+             compression: String = "raw"): DataFrame = {
+    val node = session.node(path).filter(_.isArray).getOrElse(
+      throw new GraftException(s"no array at $path"))
+    val chunkShape = node.chunkShape
+    val shape = node.shape
+    val ndim = chunkShape.size
+    // row-major strides within a chunk
+    val strides = chunkShape.indices.map(i =>
+      chunkShape.drop(i + 1).product)
+    val exploded = chunkBytes(session, path)
+      .select(col("coord"),
+        posexplode(CodecFunctions.decode_chunk(col("bytes"), dtype,
+          compression)))
+    val withIdx = (0 until ndim).foldLeft(exploded) { case (df, i) =>
+      df.withColumn(s"i$i",
+        element_at(col("coord"), i + 1).cast("long") * chunkShape(i) +
+          pmod(expr(s"pos div ${strides(i)}"), lit(chunkShape(i))))
+    }
+    val bounded = (0 until ndim).foldLeft(withIdx) { case (df, i) =>
+      df.filter(col(s"i$i") < shape(i))
+    }
+    bounded.select((0 until ndim).map(i => col(s"i$i")) :+
+      col("col").as("value"): _*)
+  }
+
+  /** Write a (i0..iN, value) DataFrame into an array as chunk objects —
+    * the distributed value-plane sink: rows are bucketed to chunks by
+    * coordinate arithmetic, each chunk is assembled and encoded in one
+    * task (mapPartitions-free: groupBy chunk, collect_list in cell order),
+    * then staged as refs on the session.
+    */
+  def writeValues(session: Session, path: String, values: DataFrame,
+                  dtype: String, compression: String = "raw"): Unit = {
+    val node = session.node(path).filter(_.isArray).getOrElse(
+      throw new GraftException(s"no array at $path"))
+    val chunkShape = node.chunkShape
+    val ndim = chunkShape.size
+    val strides = chunkShape.indices.map(i => chunkShape.drop(i + 1).product)
+    val withChunk = values
+      .withColumn("coord", array((0 until ndim).map(i =>
+        expr(s"i$i div ${chunkShape(i)}").cast("int")): _*))
+      .withColumn("pos", (0 until ndim).map(i =>
+        pmod(col(s"i$i"), lit(chunkShape(i))) * strides(i))
+        .reduce(_ + _))
+    val isInt = ChunkCodec.IntDtypes.contains(dtype)
+    val assemble =
+      if (isInt) udf((vals: Seq[Long], poss: Seq[Long], n: Int) => {
+        val arr = new Array[Long](n)
+        vals.indices.foreach(i => arr(poss(i).toInt) = vals(i))
+        ChunkCodec.compress(ChunkCodec.encodeLongs(arr, dtype), compression)
+      })
+      else udf((vals: Seq[Double], poss: Seq[Long], n: Int) => {
+        val arr = new Array[Double](n)
+        vals.indices.foreach(i => arr(poss(i).toInt) = vals(i))
+        ChunkCodec.compress(ChunkCodec.encodeDoubles(arr, dtype), compression)
+      })
+    val perChunk = withChunk
+      .groupBy("coord")
+      .agg(collect_list(col("value").cast(if (isInt) "long" else "double"))
+        .as("vals"), collect_list("pos").as("poss"))
+      .withColumn("bytes",
+        assemble(col("vals"), col("poss"), lit(chunkShape.product.toInt)))
+    // executor-side chunk upload, refs staged via the changeset
+    val rootUri = session.repo.store.rootUri
+    val writeChunk = udf((bytes: Array[Byte]) => {
+      val id = graft.core.Ids.toBase32(graft.core.Ids.newObjectId())
+      val dir = java.nio.file.Paths.get(
+        java.net.URI.create(rootUri.stripSuffix("/") + "/chunks"))
+      java.nio.file.Files.createDirectories(dir)
+      java.nio.file.Files.write(dir.resolve(id), bytes)
+      id
+    }).asNondeterministic()
+    val refs = perChunk.select(col("coord"),
+        writeChunk(col("bytes")).as("chunk_id"),
+        length(col("bytes")).cast("long").as("length"))
+      .withColumn("kind", lit(ChunkRef.KindRef))
+      .withColumn("offset", lit(0L))
+    session.stageChunkRefs(path, refs)
+  }
+}

@@ -1,0 +1,80 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.functions.ChunkCodec
+import graft.ops.{Compaction, GC, Stats}
+import graft.repo._
+import graft.storage.Store
+import graft.tensor.TensorPlane
+import graft.zarr.ZarrStore
+
+/** Full-surface tour: Zarr store façade → tensor value plane → maintenance
+  * (stats, compaction, expire, GC). `runMain graft.tools.Tour [dir]`.
+  */
+object Tour {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse(
+      java.nio.file.Files.createTempDirectory("graft-tour").toString)
+    val spark = SparkSession.builder()
+      .master("local[4]").appName("graft-tour")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val repo = Repository.create(Store.local(dir), spark,
+      GraftConfig(splits = Seq(SplitRule(".*", 0, 4))))
+
+    // --- Zarr store façade: a zarr client's view ---
+    val zs = new ZarrStore(repo.writableSession("main"))
+    zs.set("climate/zarr.json", """{"node_type":"group"}""".getBytes)
+    zs.set("climate/temp/zarr.json",
+      ("""{"zarr_format":3,"node_type":"array","shape":[16],""" +
+        """"chunk_grid":{"name":"regular","configuration":{"chunk_shape":[2]}}}""").getBytes)
+    for (c <- 0 until 8)
+      zs.set(s"climate/temp/c/$c",
+        ChunkCodec.encodeLongs(Array(c * 2L, c * 2L + 1), "int64"))
+    zs.session.commit("zarr writes")
+    println(s"[tour] list_dir(climate)=${zs.listDir("climate")}")
+    println(s"[tour] list_prefix(climate/temp) n=${zs.listPrefix("climate/temp").size}")
+    println(s"[tour] getsize_prefix=${zs.getSizePrefix("climate/temp")}")
+
+    // --- tensor value plane: SQL over decoded chunks ---
+    val ro = repo.readonlySession(VersionRef.Branch("main"))
+    val values = TensorPlane.values(ro, "/climate/temp", "int64")
+    values.createOrReplaceTempView("temp")
+    val row = spark.sql(
+      "SELECT count(*) n, avg(value) a, max(value) m FROM temp").head()
+    println(s"[tour] values n=${row.getLong(0)} avg=${row.getDouble(1)} max=${row.getLong(2)}")
+
+    // --- fragment with appends, then compact ---
+    for (i <- 0 until 3) {
+      val s = repo.writableSession("main")
+      s.writeChunk("/climate/temp", Seq(i),
+        ChunkCodec.encodeLongs(Array(100L + i, 200L + i), "int64"))
+      s.commit(s"overwrite $i")
+    }
+    val frag = repo.readonlySession(VersionRef.Branch("main"))
+    val nid = frag.node("/climate/temp").get.id
+    println(s"[tour] manifests before compaction=" +
+      frag.base.manifests(nid).map(_.manifestId).distinct.size)
+    Compaction.rewriteManifests(repo, "main")
+    val comp = repo.readonlySession(VersionRef.Branch("main"))
+    println(s"[tour] manifests after compaction=" +
+      comp.base.manifests(nid).map(_.manifestId).distinct.size)
+    println(s"[tour] stats=" + Stats.chunkStorageStats(repo,
+      repo.lookupBranch("main").get).collect().mkString(","))
+
+    // --- expire + GC ---
+    val removed = GC.expire(repo, java.time.Instant.now().plusSeconds(5))
+    val gc = GC.garbageCollect(repo, java.time.Instant.now().plusSeconds(5))
+    println(s"[tour] expired=$removed gc=$gc")
+    val after = repo.readonlySession(VersionRef.Branch("main"))
+    val check = TensorPlane.values(after, "/climate/temp", "int64")
+      .agg(sum("value")).head().getLong(0)
+    println(s"[tour] post-gc sum(value)=$check")
+    spark.stop()
+    println("[tour] OK")
+  }
+}

@@ -1,0 +1,208 @@
+package graft.zarr
+
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.core.NodePath
+import graft.meta.NodeSpec
+import graft.repo.{GraftException, Session}
+
+/** Zarr v3 store façade over a [[Session]] (icechunk/src/store.rs): the
+  * string-keyed get/set/list surface Zarr clients speak, re-expressed over
+  * the nodes + chunk-ref relations. Listing surfaces exist in two forms:
+  * driver iterators (Zarr contract) and DataFrames (`listKeysDf`) for the
+  * scale path.
+  */
+final class ZarrStore(val session: Session) {
+  import ZarrKey._
+
+  // ---------------- metadata synthesis / parse ----------------
+
+  /** Re-synthesize `zarr.json` for a node (store.rs:297-340): the stored
+    * user_data wins when present; otherwise built from the node spec.
+    */
+  def metadataDocument(n: NodeSpec): String =
+    if (n.userData != null && n.userData.nonEmpty) n.userData
+    else if (n.isArray) {
+      val dims =
+        if (n.dimNames.nonEmpty)
+          s""","dimension_names":[${n.dimNames.map("\"" + _ + "\"").mkString(",")}]"""
+        else ""
+      s"""{"zarr_format":3,"node_type":"array","shape":[${n.shape.mkString(",")}],""" +
+        s""""chunk_grid":{"name":"regular","configuration":{"chunk_shape":[${n.chunkShape.mkString(",")}]}}$dims}"""
+    } else """{"zarr_format":3,"node_type":"group"}"""
+
+  /** Parse a `zarr.json` document into (nodeType, shape, chunkShape,
+    * dimNames) — the only fields the engine itself interprets
+    * (store.rs:1158-1241; everything else stays opaque in user_data).
+    */
+  def parseMetadata(doc: String): (String, Seq[Long], Seq[Long], Seq[String]) = {
+    implicit val formats: Formats = DefaultFormats
+    val j = JsonMethods.parse(doc)
+    val nodeType = (j \ "node_type").extractOpt[String].getOrElse("group")
+    if (nodeType == "array") {
+      val shape = (j \ "shape").extract[Seq[Long]]
+      val chunks = (j \ "chunk_grid" \ "configuration" \ "chunk_shape")
+        .extractOpt[Seq[Long]]
+        .getOrElse(throw new GraftException(
+          "only regular chunk grids are supported"))
+      val dims = (j \ "dimension_names").extractOpt[Seq[String]]
+        .getOrElse(Nil)
+      (NodeSpec.Array, shape, chunks, dims)
+    } else (NodeSpec.Group, Nil, Nil, Nil)
+  }
+
+  // ---------------- get / set / delete ----------------
+
+  /** `Store::get` (store.rs:184) with optional byte range. */
+  def get(key: String, range: Option[(Long, Long)] = None): Option[Array[Byte]] =
+    ZarrKey.parse(key) match {
+      case Left(err) => throw new GraftException(err)
+      case Right(Metadata(path)) =>
+        session.node(path).map(n => slice(metadataDocument(n).getBytes, range))
+      case Right(Chunk(path, coords)) =>
+        session.node(path).filter(_.isArray)
+          .flatMap(_ => session.getChunk(path, coords))
+          .map(slice(_, range))
+    }
+
+  private def slice(bytes: Array[Byte], range: Option[(Long, Long)]) =
+    range match {
+      case None => bytes
+      case Some((from, to)) =>
+        // construct_valid_byte_range semantics: clamp to [0, len)
+        val f = math.max(0, math.min(from, bytes.length)).toInt
+        val t = math.max(f, math.min(to, bytes.length)).toInt
+        java.util.Arrays.copyOfRange(bytes, f, t)
+    }
+
+  /** Vectorized multi-get (`get_partial_values`, store.rs:199-253). */
+  def getPartialValues(reqs: Seq[(String, Option[(Long, Long)])]): Seq[Option[Array[Byte]]] =
+    reqs.map { case (k, r) => get(k, r) }
+
+  /** `Store::set` (store.rs:275): metadata docs create/update nodes; chunk
+    * keys write chunk bytes (inline vs object per threshold).
+    */
+  def set(key: String, bytes: Array[Byte]): Unit =
+    ZarrKey.parse(key) match {
+      case Left(err) => throw new GraftException(err)
+      case Right(Metadata(path)) =>
+        val doc = new String(bytes)
+        val (nodeType, shape, chunks, dims) = parseMetadata(doc)
+        (session.node(path), nodeType) match {
+          case (None, NodeSpec.Group) => session.addGroup(path, doc)
+          case (None, NodeSpec.Array) =>
+            session.addArray(path, shape, chunks, dims, doc)
+          case (Some(n), NodeSpec.Array) if n.isArray =>
+            session.updateArray(path, shape, chunks, dims, doc)
+          case (Some(n), NodeSpec.Group) if !n.isArray =>
+            session.updateGroup(path, doc)
+          case (Some(n), _) => throw new GraftException(
+            s"node type change not allowed at $path (${n.nodeType})")
+        }
+      case Right(Chunk(path, coords)) =>
+        session.writeChunk(path, coords, bytes)
+    }
+
+  /** `set_if_not_exists` (store.rs:349). */
+  def setIfNotExists(key: String, bytes: Array[Byte]): Boolean =
+    if (exists(key)) false else { set(key, bytes); true }
+
+  /** `Store::delete` (store.rs:515). */
+  def delete(key: String): Unit =
+    ZarrKey.parse(key) match {
+      case Left(err) => throw new GraftException(err)
+      case Right(Metadata(path)) =>
+        if (session.node(path).isDefined) session.deleteNode(path)
+      case Right(Chunk(path, coords)) =>
+        session.deleteChunk(path, coords)
+    }
+
+  /** Recursive delete under a prefix (`delete_dir`). */
+  def deleteDir(prefix: String): Unit = {
+    val p = NodePath.normalize(prefix)
+    if (session.node(p).isDefined) session.deleteNode(p)
+  }
+
+  def exists(key: String): Boolean =
+    ZarrKey.parse(key) match {
+      case Left(_) => false
+      case Right(Metadata(path)) => session.node(path).isDefined
+      case Right(Chunk(path, coords)) =>
+        session.node(path).exists(_.isArray) &&
+          session.getChunkRef(path, coords).isDefined
+    }
+
+  def isEmpty: Boolean = session.nodes.forall(_.path == "/")
+
+  // ---------------- listing ----------------
+
+  /** Every key in the store as a DataFrame — metadata keys ∪ chunk keys
+    * with byte sizes (the scale path; `list_prefix` et al are views over
+    * this). Chunk-coordinate keys are formatted from the chunk-ref
+    * relation, one row per chunk (store.rs:580-699).
+    */
+  def listKeysDf(): DataFrame = {
+    val spark = session.repo.spark
+    import spark.implicits._
+    val metaKeys = session.nodes.map { n =>
+      (ZarrKey.format(Metadata(n.path)),
+        metadataDocument(n).getBytes.length.toLong)
+    }
+    val metaDf = spark.createDataset(metaKeys).toDF("key", "size")
+    val arrays = session.nodes.filter(_.isArray)
+    val chunkDf = arrays.map { n =>
+      val prefix = (NodePath.normalize(n.path) match {
+        case "/" => ChunkMarker
+        case np => np.stripPrefix("/") + "/" + ChunkMarker
+      }) + "/"
+      session.refs(n.path).select(
+        concat(lit(prefix), concat_ws("/", col("coord"))).as("key"),
+        coalesce(col("length"), lit(0L)).as("size"))
+    }.reduceOption(_ unionByName _)
+    chunkDf.map(metaDf.unionByName(_)).getOrElse(metaDf)
+  }
+
+  /** `list_prefix` (store.rs:580): all keys under a prefix. */
+  def listPrefix(prefix: String): Seq[String] = {
+    val norm = prefix.stripPrefix("/")
+    listKeysDf().filter(
+        if (norm.isEmpty) lit(true)
+        else col("key").startsWith(norm + "/") || col("key") === norm)
+      .select("key").collect().map(_.getString(0)).toSeq.sorted
+  }
+
+  /** `list_dir` (store.rs:660): direct children names under a prefix. */
+  def listDir(prefix: String): Seq[String] = {
+    val norm = prefix.stripPrefix("/").stripSuffix("/")
+    val base = if (norm.isEmpty) "" else norm + "/"
+    listKeysDf()
+      .filter(if (base.isEmpty) lit(true) else col("key").startsWith(base))
+      .select(substring_index(expr(
+        s"substring(key, ${base.length + 1})"), "/", 1).as("child"))
+      .distinct()
+      .collect().map(_.getString(0)).toSeq.sorted
+  }
+
+  /** `getsize` (store.rs:700). */
+  def getSize(key: String): Option[Long] =
+    ZarrKey.parse(key) match {
+      case Left(_) => None
+      case Right(Metadata(path)) =>
+        session.node(path).map(metadataDocument(_).getBytes.length.toLong)
+      case Right(Chunk(path, coords)) =>
+        session.getChunkRef(path, coords).map(r =>
+          if (r.kind == graft.meta.ChunkRef.KindInline) r.inline.length.toLong
+          else r.length)
+    }
+
+  /** `getsize_prefix` (store.rs:707): one aggregation over the key frame. */
+  def getSizePrefix(prefix: String): Long = {
+    val norm = prefix.stripPrefix("/")
+    val row = listKeysDf().filter(
+        if (norm.isEmpty) lit(true) else col("key").startsWith(norm + "/"))
+      .agg(coalesce(sum("size"), lit(0L))).head()
+    row.getLong(0)
+  }
+}

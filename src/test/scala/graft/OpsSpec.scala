@@ -1,0 +1,122 @@
+package graft
+
+import java.time.Instant
+import org.apache.spark.sql.functions._
+import graft.meta.ChunkRef
+import graft.ops.{Compaction, GC, Stats}
+import graft.repo._
+import graft.storage.Store
+
+class OpsSpec extends SparkTestBase {
+
+  private def freshRepo(cfg: GraftConfig = GraftConfig()) =
+    Repository.create(Store.local(tmpDir("repo")), spark, cfg)
+
+  test("storage stats dedupe by chunk identity and roll up by kind") {
+    val repo = freshRepo()
+    val s = repo.writableSession("main")
+    s.addArray("/a", Seq(100), Seq(10))
+    s.writeChunk("/a", Seq(0), Array.fill(4)(1.toByte)) // inline
+    s.writeChunk("/a", Seq(1), Array.fill(600)(2.toByte)) // native (>512)
+    s.setVirtualRef("/a", Seq(2), "file:///ext/x", 0, 100)
+    s.commit("c1")
+    val byKind = Stats.chunkStorageStats(repo, repo.lookupBranch("main").get)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(byKind("inline") == (1L, 4L))
+    assert(byKind("ref") == (1L, 600L))
+    assert(byKind("virtual") == (1L, 100L))
+    // repo-wide stats count shared chunks once across snapshots
+    val s2 = repo.writableSession("main")
+    s2.writeChunk("/a", Seq(3), Array.fill(4)(9.toByte))
+    s2.commit("c2")
+    val wide = Stats.repoChunksStorage(repo).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(wide("ref") == 1L) // same chunk object reachable from both snaps
+    assert(wide("inline") == 2L)
+  }
+
+  test("garbage collect deletes unreachable chunks/manifests after reset") {
+    val repo = freshRepo()
+    val s = repo.writableSession("main")
+    s.addArray("/a", Seq(100), Seq(10))
+    s.writeChunk("/a", Seq(0), Array.fill(600)(1.toByte))
+    val c1 = s.commit("c1")
+    val s2 = repo.writableSession("main")
+    s2.writeChunk("/a", Seq(1), Array.fill(700)(2.toByte))
+    val c2 = s2.commit("c2")
+
+    // reset main back to c1 → c2's snapshot/manifest/chunk unreachable
+    repo.resetBranch("main", c1)
+    val dry = GC.garbageCollect(repo, Instant.now().plusSeconds(60),
+      dryRun = true)
+    assert(dry.chunksDeleted == 1 && dry.snapshotsDeleted == 1)
+    val summary = GC.garbageCollect(repo, Instant.now().plusSeconds(60))
+    assert(summary.chunksDeleted == 1)
+    assert(summary.snapshotsDeleted == 1)
+    assert(summary.manifestsDeleted >= 1)
+    // survivor still readable
+    val ro = repo.readonlySession(VersionRef.Branch("main"))
+    assert(ro.getChunk("/a", Seq(0)).get.length == 600)
+    // age guard: nothing younger than cutoff is touched
+    val s3 = repo.writableSession("main")
+    s3.writeChunk("/a", Seq(2), Array.fill(600)(3.toByte))
+    val c3 = s3.commit("c3")
+    repo.resetBranch("main", c1)
+    val guarded = GC.garbageCollect(repo, Instant.now().minusSeconds(3600))
+    assert(guarded.chunksDeleted == 0 && guarded.snapshotsDeleted == 0)
+  }
+
+  test("expire squashes old ancestry; rebase over expired boundary fails") {
+    val repo = freshRepo()
+    val s = repo.writableSession("main")
+    s.addArray("/a", Seq(100), Seq(10))
+    s.commit("c1")
+    for (i <- 0 until 3) {
+      val si = repo.writableSession("main")
+      si.writeChunk("/a", Seq(i), Array[Byte](i.toByte))
+      si.commit(s"c${i + 2}")
+    }
+    val before = repo.ancestry(VersionRef.Branch("main"))
+    assert(before.size == 5) // init + c1 + 3 commits
+    val removed = GC.expire(repo, Instant.now().plusSeconds(60))
+    assert(removed == 4)
+    val after = repo.ancestry(VersionRef.Branch("main"))
+    assert(after.size == 1 && after.head.parentId.isEmpty)
+    // data still fully readable at the tip
+    val ro = repo.readonlySession(VersionRef.Branch("main"))
+    assert(ro.refs("/a").count() == 3)
+  }
+
+  test("rewrite_manifests compacts fragmented manifests into one") {
+    val cfg = GraftConfig(splits = Seq(SplitRule(".*", 0, 50)))
+    val repo = freshRepo(cfg)
+    val s0 = repo.writableSession("main")
+    s0.addArray("/a", Seq(200), Seq(1))
+    s0.commit("init")
+    // 4 appends → each rewrites only its shard, manifests fragment
+    for (batch <- 0 until 4) {
+      val si = repo.writableSession("main")
+      val refs = spark.range(batch * 50, (batch + 1) * 50).select(
+        array(col("id").cast("int")).as("coord"),
+        lit("virtual").as("kind"),
+        concat(lit("file:///ext/"), col("id")).as("location"),
+        lit(0L).as("offset"), lit(10L).as("length"))
+      si.stageChunkRefs("/a", refs)
+      si.commit(s"append $batch")
+    }
+    val frag = repo.readonlySession(VersionRef.Branch("main"))
+    val node = frag.node("/a").get
+    val manifestIdsBefore =
+      frag.base.manifests(node.id).map(_.manifestId).distinct
+    assert(frag.refs("/a").count() == 200)
+    assert(manifestIdsBefore.size >= 2) // fragmented across commits
+
+    Compaction.rewriteManifests(repo, "main")
+    val compacted = repo.readonlySession(VersionRef.Branch("main"))
+    val refsAfter = compacted.base.manifests(node.id)
+    assert(refsAfter.map(_.manifestId).distinct.size == 1)
+    assert(refsAfter.size == 4) // 200 chunks / 50 per split
+    assert(compacted.refs("/a").count() == 200)
+    assert(compacted.getChunkRef("/a", Seq(123)).exists(_.kind == "virtual"))
+  }
+}

@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.ChunkCodec
+import graft.repo._
+import graft.storage.Store
+import graft.tensor.TensorPlane
+
+/** The §7-step-2 north star: create → write → commit → reopen →
+  * decode → `SELECT avg(value)`.
+  */
+class TensorPlaneSpec extends SparkTestBase {
+
+  test("int64 cube round-trips through codec and answers avg(value)") {
+    val repo = Repository.create(Store.local(tmpDir("repo")), spark)
+    val s = repo.writableSession("main")
+    // scaled-down cube_int64 (FIXTURES A1): 8x4x4, chunks 2x4x4
+    s.addArray("/cube", Seq(8, 4, 4), Seq(2, 4, 4), Seq("t", "y", "x"))
+    val chunkVals = 2 * 4 * 4
+    for (c <- 0 until 4) {
+      val vals = Array.tabulate(chunkVals)(i => (c * chunkVals + i).toLong)
+      s.writeChunk("/cube", Seq(c, 0, 0),
+        ChunkCodec.encodeLongs(vals, "int64"))
+    }
+    s.commit("cube")
+
+    val ro = repo.readonlySession(VersionRef.Branch("main"))
+    val values = TensorPlane.values(ro, "/cube", "int64")
+    values.createOrReplaceTempView("cube")
+    assert(values.count() == 128)
+    // global mean of 0..127
+    val avg = spark.sql("SELECT avg(value) FROM cube").head().getDouble(0)
+    assert(math.abs(avg - 63.5) < 1e-9)
+    // per-slice aggregation uses the i0 coordinate
+    val bySlice = spark.sql(
+      "SELECT i0, sum(value) AS s FROM cube GROUP BY i0 ORDER BY i0")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(bySlice.length == 8)
+    assert(bySlice.head._2 == (0 until 16).sum)
+    // point lookup by full coordinate
+    val v = values.filter(col("i0") === 3 && col("i1") === 2 && col("i2") === 1)
+      .head().getLong(3)
+    assert(v == 3 * 16 + 2 * 4 + 1 + 0) // row-major within chunk 1, t=3
+  }
+
+  test("float32 zstd chunks decode; edge chunks clip to array bounds") {
+    val repo = Repository.create(Store.local(tmpDir("repo")), spark)
+    val s = repo.writableSession("main")
+    s.addArray("/f", Seq(10), Seq(4)) // 3 chunks, last partial (2 cells)
+    for (c <- 0 until 3) {
+      val vals = Array.tabulate(4)(i => (c * 4 + i) * 0.5)
+      s.writeChunk("/f", Seq(c),
+        ChunkCodec.compress(ChunkCodec.encodeDoubles(vals, "float32"), "zstd"))
+    }
+    s.commit("f")
+    val ro = repo.readonlySession(VersionRef.Branch("main"))
+    val values = TensorPlane.values(ro, "/f", "float32", "zstd")
+    assert(values.count() == 10) // 12 decoded cells, 2 clipped by bounds
+    val total = values.agg(sum("value")).head().getDouble(0)
+    assert(math.abs(total - (0 until 10).map(_ * 0.5).sum) < 1e-6)
+  }
+
+  test("distributed value-plane write: DataFrame -> chunks -> read back") {
+    val repo = Repository.create(Store.local(tmpDir("repo")), spark)
+    val s = repo.writableSession("main")
+    s.addArray("/w", Seq(100), Seq(10))
+    val df = spark.range(100).select(col("id").as("i0"),
+      (col("id") * 2).cast("double").as("value"))
+    TensorPlane.writeValues(s, "/w", df, "float64")
+    s.commit("values written")
+
+    val ro = repo.readonlySession(VersionRef.Branch("main"))
+    assert(ro.refs("/w").count() == 10)
+    val back = TensorPlane.values(ro, "/w", "float64")
+    assert(back.count() == 100)
+    assert(back.agg(sum("value")).head().getDouble(0) == (0 until 100).map(_ * 2.0).sum)
+    val v42 = back.filter(col("i0") === 42).head().getDouble(1)
+    assert(v42 == 84.0)
+  }
+}
