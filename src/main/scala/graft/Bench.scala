@@ -1,5 +1,16 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.repo._
+import graft.storage.Store
+
+/** Bench main: the 35 operator queries at SPARK_GRAFT_SF_DIR plus the
+  * engine workloads pinned in BASELINE.md (starred rows): bulk chunk-ref
+  * ingest (set_chunks → manifest write), split-manifest commit, the
+  * one-shard append, and the read paths (refs scan, extent-pruned point
+  * lookups, getsize_prefix). Emits one JSON line.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -15,11 +26,72 @@ object Bench {
     // doesn't absorb session startup
     spark.range(1000000).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/region.parquet").count()
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    def timed[A](body: => A): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try body catch { case _: Throwable => () }
+      (System.nanoTime() - t0) / 1e9
     }
+
+    val results = scala.collection.mutable.LinkedHashMap[String, Double]()
+    SparkEntry.queries.foreach { case (name, fn) =>
+      results(name) = timed(fn(spark, sfDir).count())
+    }
+
+    // ---- engine workloads (BASELINE.md starred rows) ----
+    // 500 000 refs, 100 splits — the large-manifest dataset shape
+    // (benchmarks/datasets.py:392-414: 500 M elements / 1000-element chunks)
+    val refCount = sys.env.getOrElse("SPARK_GRAFT_BENCH_REFS", "500000").toInt
+    val dir = java.nio.file.Files.createTempDirectory("graft-bench")
+    try {
+      val repo = Repository.create(Store.local(dir.toString), spark,
+        GraftConfig(splits = Seq(SplitRule(".*", 0, refCount / 100))))
+      val s0 = repo.writableSession("main")
+      s0.addArray("/long1d", Seq(refCount.toLong * 1000), Seq(1000))
+      s0.commit("init")
+
+      def refsDf(from: Int, until: Int) =
+        spark.range(from, until).select(
+          array(col("id").cast("int")).as("coord"),
+          lit("virtual").as("kind"),
+          concat(lit("file:///ext/part-"), col("id") % 1000).as("location"),
+          (col("id") * 8000).as("offset"),
+          lit(8000L).as("length"))
+
+      // set_chunks + commit_split_manifests: full bulk write of N refs
+      // into 100 split manifests, one commit
+      results("engine_write_500k_refs") = timed {
+        val s = repo.writableSession("main")
+        s.stageChunkRefs("/long1d", refsDf(0, refCount))
+        s.commit("bulk")
+      }
+      // append_split_manifests: extend by 1% — rewrites ONE shard
+      results("engine_append_one_shard") = timed {
+        val s = repo.writableSession("main")
+        s.updateArray("/long1d", Seq((refCount + refCount / 100).toLong * 1000),
+          Seq(1000))
+        s.stageChunkRefs("/long1d", refsDf(refCount, refCount + refCount / 100))
+        s.commit("append")
+      }
+      // get_chunks: full scan of the committed ref relation
+      val ro = repo.readonlySession(VersionRef.Branch("main"))
+      results("engine_read_refs_scan") = timed {
+        assert(ro.refs("/long1d").count() == refCount + refCount / 100)
+      }
+      // chunk point lookups (extent-pruned manifest access)
+      results("engine_point_lookups_x20") = timed {
+        (0 until 20).foreach { i =>
+          ro.getChunkRef("/long1d", Seq(i * (refCount / 20) + 7))
+        }
+      }
+      // getsize_prefix over the zarr key surface
+      results("engine_getsize_prefix") = timed {
+        new graft.zarr.ZarrStore(ro).getSizePrefix("long1d")
+      }
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+    }
+
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0

@@ -146,6 +146,56 @@ final class AssetManager(val store: Store, spark: SparkSession) {
     readManifest(ref.manifestId)
       .filter(col("node_id") === nodeId && col("split") === ref.split)
 
+  /** Driver-side cache of small manifest splits for point lookups — the
+    * Spark analog of the reference's manifest LRU + preload cap
+    * (asset_manager.rs:71-147; ≤10 000 refs preloaded, config.rs:294).
+    * Manifests are immutable so entries never invalidate; an LRU bound
+    * caps total cached refs. Splits above the cap fall back to a
+    * stats-pruned Spark scan.
+    */
+  private val MaxCachedRefsPerSplit = 10000
+  private val MaxCachedSplits = 256
+  private val splitCache =
+    new java.util.LinkedHashMap[(String, String, Int),
+        Map[Seq[Int], ChunkRef]](64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, String, Int),
+            Map[Seq[Int], ChunkRef]]): Boolean = size() > MaxCachedSplits
+    }
+
+  /** Read exactly one split's partition directory — skips listing the
+    * other ~N split dirs of the manifest (the data files lack the two
+    * partition columns, so they are restored from the known key).
+    */
+  private def readSplitDirect(mref: ManifestRef, nodeId: String): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    val dataSchema = org.apache.spark.sql.types.StructType(
+      Encoders.product[ChunkRef].schema.filterNot(_.name == "node_id"))
+    spark.read.schema(dataSchema)
+      .parquet(s"${manifestUri(mref.manifestId)}/node_id=$nodeId/split=${mref.split}")
+      .withColumn("node_id", lit(nodeId))
+  }
+
+  /** Point lookup of one chunk ref within a manifest split. */
+  def lookupRef(mref: ManifestRef, nodeId: String,
+                coord: Seq[Int]): Option[ChunkRef] = {
+    import GraftEncoders._
+    if (mref.numRefs <= MaxCachedRefsPerSplit) {
+      val key = (mref.manifestId, nodeId, mref.split)
+      val cached = splitCache.synchronized(Option(splitCache.get(key)))
+      val table = cached.getOrElse {
+        val rows = readSplitDirect(mref, nodeId).as(chunkRefEnc).collect()
+        val m = rows.map(r => (r.coord: Seq[Int]) -> r).toMap
+        splitCache.synchronized(splitCache.put(key, m))
+        m
+      }
+      table.get(coord)
+    } else
+      readSplitDirect(mref, nodeId)
+        .filter(col("coord") === typedLit(coord))
+        .as(chunkRefEnc).collect().headOption
+  }
+
   /** All committed refs of the given nodes at a snapshot, as one DataFrame.
     * Reads only the (manifestId, node, split) partitions the snapshot
     * references — scans stay pruned even when manifests are shared across

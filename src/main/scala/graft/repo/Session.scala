@@ -318,14 +318,13 @@ final class Session private[repo] (
       case None =>
         if (changeSet.rewrittenNodes.contains(n.id)) None
         else {
-          // prune manifests by extents before touching Parquet
+          // prune manifests by extents before touching Parquet, then go
+          // through the driver-side split cache (hot lookups are O(1))
           val candidates = baseSnapshot.manifests.getOrElse(n.id, Nil)
             .filter(_.contains(coord))
-          candidates.iterator.flatMap { mref =>
-            assets.readManifestSplit(mref, n.id)
-              .filter(col("coord") === typedLit(coord))
-              .drop("split").as(chunkRefEnc).collect().headOption
-          }.nextOption()
+          candidates.iterator
+            .flatMap(mref => assets.lookupRef(mref, n.id, coord))
+            .nextOption()
         }
     }
   }
