@@ -58,13 +58,25 @@ object TensorPlane {
              compression: String = "raw"): DataFrame = {
     val node = session.node(path).filter(_.isArray).getOrElse(
       throw new GraftException(s"no array at $path"))
+    valuesOfRefs(session, node, session.refs(path), dtype, compression)
+  }
+
+  /** Value explode over an explicit chunk-ref frame (lets callers hand in
+    * a split-pruned subset — the connector's pushdown path).
+    */
+  def valuesOfRefs(session: Session, node: graft.meta.NodeSpec,
+                   refs: DataFrame, dtype: String,
+                   compression: String): DataFrame = {
     val chunkShape = node.chunkShape
     val shape = node.shape
     val ndim = chunkShape.size
     // row-major strides within a chunk
     val strides = chunkShape.indices.map(i =>
       chunkShape.drop(i + 1).product)
-    val exploded = chunkBytes(session, path)
+    val fetch = fetchBytesUdf(session.repo.store.rootUri)
+    val exploded = refs
+      .withColumn("bytes", fetch(col("kind"), col("inline"), col("chunk_id"),
+        col("location"), col("offset"), col("length")))
       .select(col("coord"),
         posexplode(CodecFunctions.decode_chunk(col("bytes"), dtype,
           compression)))

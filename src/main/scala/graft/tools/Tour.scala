@@ -66,6 +66,15 @@ object Tour {
     println(s"[tour] stats=" + Stats.chunkStorageStats(repo,
       repo.lookupBranch("main").get).collect().mkString(","))
 
+    // --- connector: format("graft") read with pushdown + write ---
+    val viaConnector = spark.read.format("graft")
+      .option("path", dir).option("array", "/climate/temp")
+      .option("mode", "values").option("dtype", "int64").load()
+    viaConnector.createOrReplaceTempView("temp_sql")
+    val half = spark.sql(
+      "SELECT sum(value) FROM temp_sql WHERE i0 >= 8").head().getLong(0)
+    println(s"[tour] connector sum(i0>=8)=$half")
+
     // --- expire + GC ---
     val removed = GC.expire(repo, java.time.Instant.now().plusSeconds(5))
     val gc = GC.garbageCollect(repo, java.time.Instant.now().plusSeconds(5))

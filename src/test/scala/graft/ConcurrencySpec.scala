@@ -1,0 +1,107 @@
+package graft
+
+import java.util.concurrent.Executors
+import scala.concurrent.{Await, ExecutionContext, Future}
+import scala.concurrent.duration._
+import graft.repo._
+import graft.storage.Store
+
+/** Commit-race tests — the Spark analog of the reference's deterministic
+  * shuttle suite (icechunk/tests/test_shuttle.rs): many writers racing on
+  * one branch through the CAS loop must serialize without losing writes,
+  * keep the pointer chain gap-free, and keep ops-log timestamps monotone.
+  */
+class ConcurrencySpec extends SparkTestBase {
+
+  test("8 concurrent writers, disjoint chunks: every write survives") {
+    val repo = Repository.create(Store.local(tmpDir("repo")), spark)
+    val s0 = repo.writableSession("main")
+    s0.addArray("/a", Seq(1000), Seq(1))
+    s0.commit("init")
+
+    val pool = Executors.newFixedThreadPool(8)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    val futures = (0 until 8).map { w =>
+      Future {
+        val s = repo.writableSession("main")
+        (0 until 3).foreach(i =>
+          s.writeChunk("/a", Seq(w * 10 + i), Array[Byte](w.toByte)))
+        s.commit(s"writer $w")
+      }
+    }
+    val ids = Await.result(Future.sequence(futures), 300.seconds)
+    pool.shutdown()
+    assert(ids.distinct.size == 8)
+
+    val ro = repo.readonlySession(VersionRef.Branch("main"))
+    assert(ro.refs("/a").count() == 24) // no lost updates
+    for (w <- 0 until 8; i <- 0 until 3)
+      assert(ro.getChunk("/a", Seq(w * 10 + i)).get.head == w.toByte)
+
+    // pointer chain is gap-free 0..N (every CAS winner owns one generation)
+    val gens = repo.store.list("repo/").map(_.key).sorted
+    assert(gens.size == repo.info().gen + 1)
+    // linear history: 8 commit snapshots + init + root
+    assert(repo.ancestry(VersionRef.Branch("main")).size == 10)
+  }
+
+  test("conflicting racers with Fail policy: exactly one winner per cell") {
+    val repo = Repository.create(Store.local(tmpDir("repo")), spark)
+    val s0 = repo.writableSession("main")
+    s0.addArray("/a", Seq(10), Seq(1))
+    s0.commit("init")
+
+    val pool = Executors.newFixedThreadPool(4)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    val futures = (0 until 4).map { w =>
+      Future {
+        val s = repo.writableSession("main")
+        s.writeChunk("/a", Seq(3), Array[Byte](w.toByte)) // same cell!
+        try {
+          s.commit(s"racer $w", solver = graft.vc.BasicConflictSolver(
+            onChunkConflict = graft.vc.VersionSelection.Fail))
+          true
+        } catch { case _: ConflictException => false }
+      }
+    }
+    val outcomes = Await.result(Future.sequence(futures), 300.seconds)
+    pool.shutdown()
+    // exactly one commit wins without rebase; the rest surface the conflict
+    assert(outcomes.count(identity) == 1)
+    val ro = repo.readonlySession(VersionRef.Branch("main"))
+    assert(ro.refs("/a").count() == 1)
+  }
+
+  test("branch ops race with commits: CAS serializes pointer updates") {
+    val repo = Repository.create(Store.local(tmpDir("repo")), spark)
+    val s0 = repo.writableSession("main")
+    s0.addArray("/a", Seq(100), Seq(1))
+    val c0 = s0.commit("init")
+
+    val pool = Executors.newFixedThreadPool(6)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    val commits = (0 until 3).map { w =>
+      Future {
+        val s = repo.writableSession("main")
+        s.writeChunk("/a", Seq(w), Array[Byte](1))
+        s.commit(s"c$w")
+      }
+    }
+    val refOps = (0 until 3).map { w =>
+      Future {
+        repo.createBranch(s"b$w", c0)
+        repo.createTag(s"t$w", c0)
+      }
+    }
+    Await.result(Future.sequence(commits ++ refOps.map(_.map(_ => "")) ),
+      300.seconds)
+    pool.shutdown()
+    assert(repo.listBranches().toSet == Set("main", "b0", "b1", "b2"))
+    assert(repo.listTags().toSet == Set("t0", "t1", "t2"))
+    assert(repo.readonlySession(VersionRef.Branch("main"))
+      .refs("/a").count() == 3)
+    // ops log monotone (shuttle invariant, test_shuttle.rs:28-41)
+    val ts = repo.opsLog().map(_.ts)
+    assert(ts == ts.sorted.reverse)
+  }
+}

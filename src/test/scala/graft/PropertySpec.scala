@@ -1,0 +1,139 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import graft.core._
+import graft.functions.ChunkCodec
+import graft.meta.ManifestRef
+import graft.zarr.ZarrKey
+
+/** Property-based round-trips mirroring the reference's proptest
+  * generators (icechunk/src/strategies.rs: shapes ≤ 4 dims at :50, ids,
+  * payload kinds, paths).
+  */
+class PropertySpec extends AnyFunSuite {
+  /** Sample-loop property check (scalatest/scalacheck bridge isn't on the
+    * offline classpath); seeded per-test via Gen retries.
+    */
+  private def forAll[A](gen: Gen[A], n: Int = 100)(f: A => Unit): Unit = {
+    var checked = 0
+    var tries = 0
+    while (checked < n && tries < n * 10) {
+      tries += 1
+      gen.sample.foreach { a => f(a); checked += 1 }
+    }
+    assert(checked > 0, "generator never produced a value")
+  }
+
+  private def forAll[A, B](ga: Gen[A], gb: Gen[B])(f: (A, B) => Unit): Unit =
+    forAll(Gen.zip(ga, gb))(t => f(t._1, t._2))
+
+  private def forAll[A, B, C](ga: Gen[A], gb: Gen[B], gc: Gen[C])(
+      f: (A, B, C) => Unit): Unit =
+    forAll(Gen.zip(ga, gb, gc))(t => f(t._1, t._2, t._3))
+
+
+  private val segGen = Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString)
+  private val pathGen = Gen.choose(0, 5)
+    .flatMap(n => Gen.listOfN(n, segGen))
+    .map(segs => "/" + segs.mkString("/"))
+  private val coordGen = Gen.choose(1, 4) // MAX_NDIM = 4 (strategies.rs:50)
+    .flatMap(n => Gen.listOfN(n, Gen.choose(0, 10000)))
+
+  test("ids: base32 round-trips arbitrary byte strings") {
+    forAll(Gen.nonEmptyListOf(Gen.choose(-128, 127).map(_.toByte))) {
+      bytes: List[Byte] =>
+        assert(Ids.fromBase32(Ids.toBase32(bytes.toArray)).toSeq == bytes)
+    }
+  }
+
+  test("paths: normalize is idempotent; ancestors are proper prefixes") {
+    forAll(pathGen) { p: String =>
+      val n = NodePath.normalize(p)
+      assert(NodePath.normalize(n) == n)
+      NodePath.ancestors(n).foreach { a =>
+        assert(NodePath.isAncestorOf(a, n))
+        assert(!NodePath.isAncestorOf(n, a))
+      }
+      NodePath.parent(n).foreach(par =>
+        assert(NodePath.ancestors(n).lastOption.contains(par) || par == "/"))
+    }
+  }
+
+  test("zarr keys: format∘parse is identity for chunk and metadata keys") {
+    forAll(pathGen, coordGen) { (p: String, coord: List[Int]) =>
+      val ck = ZarrKey.Chunk(NodePath.normalize(p), coord)
+      assert(ZarrKey.parse(ZarrKey.format(ck)) == Right(ck))
+      val mk = ZarrKey.Metadata(NodePath.normalize(p))
+      assert(ZarrKey.parse(ZarrKey.format(mk)) == Right(mk))
+    }
+  }
+
+  test("shapes: numChunks is ceil division; validChunkCoord matches bounds") {
+    forAll(Gen.choose(1, 4).flatMap(n => Gen.listOfN(n,
+      Gen.zip(Gen.choose(0L, 1000L), Gen.choose(1L, 50L))))) {
+      dims: List[(Long, Long)] =>
+        val shape = ArrayShape(dims.map { case (l, c) => DimShape(l, c) })
+        shape.dims.foreach { d =>
+          assert(d.numChunks == (d.arrayLength + d.chunkLength - 1) / d.chunkLength)
+        }
+        forAll(Gen.listOfN(dims.size, Gen.choose(-2, 1100)), 10) { coord: List[Int] =>
+          val expected = coord.zip(shape.dims).forall { case (c, d) =>
+            c >= 0 && c < d.numChunks
+          }
+          assert(shape.validChunkCoord(coord) == expected)
+        }
+    }
+  }
+
+  test("manifest extents: contains implies overlaps with a point box") {
+    forAll(coordGen) { c: List[Int] =>
+      val lo = c.map(x => math.max(0, x - 3))
+      val hi = c.map(_ + 3)
+      val ref = ManifestRef("m", 0, lo, hi, 1, 1)
+      assert(ref.contains(c))
+      assert(ref.overlaps(c, c))
+      assert(!ref.contains(c.map(_ + 10)))
+    }
+  }
+
+  test("codec: encode∘decode is identity for every dtype × compression") {
+    val dtypes = Seq("int8", "int16", "int32", "int64")
+    val comps = Seq("raw", "zstd", "gzip")
+    forAll(Gen.nonEmptyListOf(Gen.choose(-100L, 100L)),
+      Gen.oneOf(dtypes), Gen.oneOf(comps)) {
+      (vals: List[Long], dtype: String, comp: String) =>
+        val enc = ChunkCodec.compress(
+          ChunkCodec.encodeLongs(vals.toArray, dtype), comp)
+        val dec = graft.functions.DecodeChunkExpr(
+          org.apache.spark.sql.catalyst.expressions.Literal(enc), dtype, comp)
+          .eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        assert(dec.toLongArray().toSeq == vals)
+    }
+    forAll(Gen.nonEmptyListOf(Gen.choose(-1e6, 1e6)), Gen.oneOf(comps)) {
+      (vals: List[Double], comp: String) =>
+        val enc = ChunkCodec.compress(
+          ChunkCodec.encodeDoubles(vals.toArray, "float64"), comp)
+        val dec = graft.functions.DecodeChunkExpr(
+          org.apache.spark.sql.catalyst.expressions.Literal(enc), "float64", comp)
+          .eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        assert(dec.toDoubleArray().toSeq == vals)
+    }
+  }
+
+  test("simhash: identical inputs collide, permutation-invariance of sums") {
+    forAll(Gen.nonEmptyListOf(Gen.long)) { hs: List[Long] =>
+      val e = graft.functions.SimhashExpr(
+        org.apache.spark.sql.catalyst.expressions.Literal.create(hs,
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.LongType)))
+      val a = e.eval(null)
+      val shuffled = scala.util.Random.shuffle(hs)
+      val e2 = graft.functions.SimhashExpr(
+        org.apache.spark.sql.catalyst.expressions.Literal.create(shuffled,
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.LongType)))
+      assert(a == e2.eval(null)) // order-independent
+    }
+  }
+}
