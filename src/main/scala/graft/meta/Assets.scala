@@ -176,6 +176,11 @@ final class AssetManager(val store: Store, spark: SparkSession) {
       .withColumn("node_id", lit(nodeId))
   }
 
+  /** Eagerly load a split into the cache (manifest preload). */
+  def warmSplit(mref: ManifestRef, nodeId: String): Unit =
+    if (mref.numRefs <= MaxCachedRefsPerSplit)
+      lookupRef(mref, nodeId, Nil) // Nil never matches; load side effect
+
   /** Point lookup of one chunk ref within a manifest split. */
   def lookupRef(mref: ManifestRef, nodeId: String,
                 coord: Seq[Int]): Option[ChunkRef] = {

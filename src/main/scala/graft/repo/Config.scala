@@ -12,7 +12,9 @@ final case class GraftConfig(
     maxChunkRefsPerCommit: Long = 50_000_000L,
     opsRingSize: Int = 1000,
     commitRetries: Int = 20,
-    splits: Seq[SplitRule] = Nil) {
+    splits: Seq[SplitRule] = Nil,
+    preloads: Seq[PreloadRule] = Nil,
+    preloadMaxArrays: Int = 50) { // scan cap mirrors config.rs:294-299
 
   /** Manifest split spec for an array: (axis, chunksPerSplit). The default
     * (no rule matches) is a single split — same as the reference without a
@@ -29,6 +31,16 @@ final case class GraftConfig(
   */
 final case class SplitRule(pathRegex: String, axis: Int, chunksPerSplit: Int) {
   require(chunksPerSplit > 0)
+  private lazy val re: Regex = pathRegex.r
+  def matches(node: NodeSpec): Boolean =
+    node.isArray && re.pattern.matcher(node.path).matches()
+}
+
+/** Manifest-preload DSL (`ManifestPreloadCondition`, config.rs:268-299):
+  * on session open, manifest splits of arrays whose path matches and whose
+  * ref count is under the cap are warmed into the driver split cache.
+  */
+final case class PreloadRule(pathRegex: String, maxRefs: Long = 10000) {
   private lazy val re: Regex = pathRegex.r
   def matches(node: NodeSpec): Boolean =
     node.isArray && re.pattern.matcher(node.path).matches()

@@ -145,8 +145,29 @@ final class Repository private (
   // sessions
   // ------------------------------------------------------------------
 
-  def readonlySession(ref: VersionRef): Session =
-    new Session(this, None, assets.readSnapshot(resolveVersion(ref)))
+  def readonlySession(ref: VersionRef): Session = {
+    val session = new Session(this, None,
+      assets.readSnapshot(resolveVersion(ref)))
+    preloadManifests(session)
+    session
+  }
+
+  /** Warm the driver split cache per the preload DSL (repository.rs:
+    * 2027-2110): arrays matching a rule, ≤ maxRefs per split, capped at
+    * `preloadMaxArrays` arrays scanned.
+    */
+  private def preloadManifests(session: Session): Unit =
+    if (config.preloads.nonEmpty) {
+      val snap = session.base
+      session.nodes.filter(n => config.preloads.exists(_.matches(n)))
+        .take(config.preloadMaxArrays)
+        .foreach { n =>
+          val cap = config.preloads.filter(_.matches(n)).map(_.maxRefs).max
+          snap.manifests.getOrElse(n.id, Nil)
+            .filter(_.numRefs <= cap)
+            .foreach(m => assets.warmSplit(m, n.id))
+        }
+    }
 
   def writableSession(branchName: String): Session = {
     val tip = lookupBranch(branchName).getOrElse(

@@ -380,7 +380,8 @@ final class Session private[repo] (
     * rewrite only the touched shards).
     */
   private[repo] def flushInternal(message: String,
-      properties: Map[String, String]): Snapshot = {
+      properties: Map[String, String],
+      parentOverride: Option[Option[String]] = None): Snapshot = {
     requireWritable()
     val effective = nodes
     val byId = effective.map(n => n.id -> n).toMap
@@ -500,7 +501,7 @@ final class Session private[repo] (
       }.toMap
     val snapshot = Snapshot(
       id = snapId,
-      parentId = Some(baseSnapshot.id),
+      parentId = parentOverride.getOrElse(Some(baseSnapshot.id)),
       message = message,
       flushedAt = Instant.now().toString,
       properties = properties,
@@ -543,11 +544,18 @@ final class Session private[repo] (
 
   /** Commit: optimistic CAS loop with rebase-on-conflict
     * (do_commit_v2 + do_commit_rebasing, session.rs:3194-3402, 1767).
+    * `amend = true` replaces the branch tip instead of appending
+    * (CommitBuilder::amend + parent rewrite, session.rs:352, 3353-3371):
+    * the new snapshot's parent is the tip's parent, and the replaced tip
+    * leaves the snapshot list (its files stay until GC). Amend refuses to
+    * run over concurrent commits — there is no meaningful rebase for
+    * history rewriting.
     */
   def commit(message: String,
              properties: Map[String, String] = Map.empty,
              solver: graft.vc.ConflictSolver =
-               graft.vc.BasicConflictSolver()): String = {
+               graft.vc.BasicConflictSolver(),
+             amend: Boolean = false): String = {
     requireWritable()
     val branchName = branch.get
     var snapshot: Snapshot = null
@@ -560,21 +568,27 @@ final class Session private[repo] (
       val tip = info.branches.getOrElse(branchName,
         throw new GraftException(s"branch $branchName does not exist"))
       if (tip != baseSnapshot.id) {
+        if (amend) throw new ConflictException(
+          s"amend on $branchName: tip moved ($tip != ${baseSnapshot.id})")
         // concurrent commits landed: rebase our changeset onto the new tip
         graft.vc.Rebase.rebase(this, info, tip, solver)
         baseSnapshot = assets.readSnapshot(tip)
         snapshot = null // force re-flush against new base
       }
       if (snapshot == null || flushedAgainst != baseSnapshot.id) {
-        snapshot = flushInternal(message, properties)
+        snapshot = flushInternal(message, properties,
+          if (amend) Some(baseSnapshot.parentId) else None)
         flushedAgainst = baseSnapshot.id
       }
-      val entry = OpLogEntry(Instant.now().toString, "commit",
+      val entry = OpLogEntry(Instant.now().toString,
+        if (amend) "amend" else "commit",
         s"branch=$branchName snapshot=${snapshot.id} message=$message")
+      val kept = if (amend) info.snapshots.filterNot(_.id == baseSnapshot.id)
+        else info.snapshots
       val next = info.copy(
         gen = info.gen + 1,
         branches = info.branches.updated(branchName, snapshot.id),
-        snapshots = info.snapshots :+ SnapshotInfo(snapshot.id,
+        snapshots = kept :+ SnapshotInfo(snapshot.id,
           snapshot.parentId, snapshot.flushedAt, message),
         ops = (info.ops :+ entry).takeRight(cfg.opsRingSize))
       if (repo.pointer.compareAndSwap(info.gen, next)) {

@@ -38,6 +38,13 @@ object Demo {
     val c2 = s2.commit("overwrite chunk 0")
     println(s"[demo] commit2=$c2")
 
+    // amend: replace commit2 with a version that also fixes chunk 1
+    val s3 = repo.writableSession("main")
+    s3.writeChunk("/climate/temp", Seq(1, 0, 0), Array.fill(64)(8.toByte))
+    val c2b = s3.commit("overwrite chunk 0 (amended)", amend = true)
+    println(s"[demo] amended=$c2b history=" +
+      repo.ancestry(VersionRef.Branch("main")).map(_.message))
+
     val now = repo.readonlySession(VersionRef.Branch("main"))
     val v1 = repo.readonlySession(VersionRef.Tag("v1"))
     println(s"[demo] refs now=${now.refs("/climate/temp").count()} " +
