@@ -37,10 +37,23 @@ final case class NodeSpec(
     shape: Seq[Long] = Nil,
     chunkShape: Seq[Long] = Nil,
     dimNames: Seq[String] = Nil,
-    userData: String = "") {
+    userData: String = "",
+    // rectilinear grids (store.rs:1158-1241): explicit chunk lengths per
+    // dim; empty = regular grid from chunkShape
+    chunkSizesPerDim: Seq[Seq[Long]] = Nil) {
   def isArray: Boolean = nodeType == NodeSpec.Array
+  def isRectilinear: Boolean = chunkSizesPerDim.nonEmpty
   def arrayShape: graft.core.ArrayShape =
     graft.core.ArrayShape.regular(shape, chunkShape, dimNames)
+
+  /** Chunk-grid extent per dimension, regular or rectilinear. */
+  def numChunksPerDim: Seq[Int] =
+    if (isRectilinear) chunkSizesPerDim.map(_.size)
+    else arrayShape.dims.map(_.numChunks.toInt)
+
+  def validCoord(coord: Seq[Int]): Boolean =
+    coord.size == numChunksPerDim.size &&
+      coord.zip(numChunksPerDim).forall { case (c, n) => c >= 0 && c < n }
 }
 object NodeSpec {
   val Group = "group"

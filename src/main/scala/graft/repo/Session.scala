@@ -106,6 +106,27 @@ final class Session private[repo] (
     spec
   }
 
+  /** Add an array with a rectilinear chunk grid: explicit chunk lengths
+    * per dimension (store.rs:1158-1241). Lengths must tile the shape.
+    */
+  def addArrayRectilinear(path: String, shape: Seq[Long],
+                          chunkSizesPerDim: Seq[Seq[Long]],
+                          dimNames: Seq[String] = Nil,
+                          userData: String = ""): NodeSpec = {
+    requireWritable()
+    val p = NodePath.normalize(path)
+    if (node(p).isDefined) throw new GraftException(s"node exists at $p")
+    require(shape.size == chunkSizesPerDim.size, "rank mismatch")
+    shape.zip(chunkSizesPerDim).foreach { case (len, sizes) =>
+      require(sizes.nonEmpty && sizes.forall(_ > 0) && sizes.sum == len,
+        s"chunk sizes ${sizes.mkString(",")} do not tile dim of length $len")
+    }
+    val spec = NodeSpec(Ids.toBase32(Ids.newNodeId()), p, NodeSpec.Array,
+      shape, Nil, dimNames, userData, chunkSizesPerDim)
+    changeSet.newNodes.put(p, spec)
+    spec
+  }
+
   /** Update array shape/metadata in place (update_array). Chunks that fall
     * out of bounds after a shrink are dropped at flush (the reference
     * tombstones them, change_set.rs:62-66).
@@ -115,6 +136,8 @@ final class Session private[repo] (
                   userData: String = null): NodeSpec = {
     requireWritable()
     val cur = arrayNode(path)
+    if (cur.isRectilinear) throw new GraftException(
+      s"update_array on rectilinear grids is not supported (${cur.path})")
     val spec = cur.copy(shape = shape, chunkShape = chunkShape,
       dimNames = if (dimNames.isEmpty) cur.dimNames else dimNames,
       userData = Option(userData).getOrElse(cur.userData))
@@ -179,7 +202,7 @@ final class Session private[repo] (
   def setChunkRef(path: String, coord: Seq[Int], ref: ChunkRef): Unit = {
     requireWritable()
     val n = arrayNode(path)
-    if (!n.arrayShape.validChunkCoord(coord))
+    if (!n.validCoord(coord))
       throw new GraftException(
         s"coord ${coord.mkString(",")} out of bounds for ${n.path}")
     changeSet.setChunkRef(ref.copy(node_id = n.id))
@@ -249,6 +272,10 @@ final class Session private[repo] (
       org.apache.spark.sql.Column): Unit = {
     requireWritable()
     val n = arrayNode(path)
+    // regular-grid-only guard (session.rs:940-953; rectilinear guard,
+    // design-docs/018-shift-array-rectilinear-guard.md)
+    if (n.isRectilinear) throw new GraftException(
+      s"reindex/shift require a regular chunk grid (${n.path} is rectilinear)")
     val transformed = committedRefsFor(n.id)
       .withColumn("coord", f(col("coord")))
       .withColumn("c0", coalesce(try_element_at(col("coord"), lit(1)), lit(-1)))
@@ -394,10 +421,9 @@ final class Session private[repo] (
     def shrunk(n: NodeSpec): Boolean =
       baseSnapshot.nodeById(n.id).exists { old =>
         old.isArray && (old.shape.size != n.shape.size ||
-          old.arrayShape.dims.map(_.numChunks)
-            .zip(n.arrayShape.dims.map(_.numChunks)).exists {
-              case (oldN, newN) => newN < oldN
-            })
+          old.numChunksPerDim.zip(n.numChunksPerDim).exists {
+            case (oldN, newN) => newN < oldN
+          })
       }
     val shrunkIds = changeSet.updatedNodes.values
       .filter(n => n.isArray && shrunk(n)).map(_.id).toSet
@@ -464,7 +490,7 @@ final class Session private[repo] (
         .filter(col("kind") =!= ChunkRef.KindDelete)
       // bounds filter: drop refs outside the (possibly shrunk) shape
       val grids = changedIds.toSeq.map { id =>
-        (id, byId(id).arrayShape.dims.map(_.numChunks.toInt).toArray)
+        (id, byId(id).numChunksPerDim.toArray)
       }
       val gridDf = spark.createDataFrame(grids.map(t =>
         org.apache.spark.sql.Row(t._1, t._2.toSeq)).asJava,

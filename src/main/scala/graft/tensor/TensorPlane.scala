@@ -67,12 +67,8 @@ object TensorPlane {
   def valuesOfRefs(session: Session, node: graft.meta.NodeSpec,
                    refs: DataFrame, dtype: String,
                    compression: String): DataFrame = {
-    val chunkShape = node.chunkShape
     val shape = node.shape
-    val ndim = chunkShape.size
-    // row-major strides within a chunk
-    val strides = chunkShape.indices.map(i =>
-      chunkShape.drop(i + 1).product)
+    val ndim = shape.size
     val fetch = fetchBytesUdf(session.repo.store.rootUri)
     val exploded = refs
       .withColumn("bytes", fetch(col("kind"), col("inline"), col("chunk_id"),
@@ -80,11 +76,38 @@ object TensorPlane {
       .select(col("coord"),
         posexplode(CodecFunctions.decode_chunk(col("bytes"), dtype,
           compression)))
-    val withIdx = (0 until ndim).foldLeft(exploded) { case (df, i) =>
-      df.withColumn(s"i$i",
-        element_at(col("coord"), i + 1).cast("long") * chunkShape(i) +
-          pmod(expr(s"pos div ${strides(i)}"), lit(chunkShape(i))))
-    }
+    val withIdx =
+      if (!node.isRectilinear) {
+        // regular grid: constant chunk extents and strides
+        val chunkShape = node.chunkShape
+        val strides = chunkShape.indices.map(i =>
+          chunkShape.drop(i + 1).product)
+        (0 until ndim).foldLeft(exploded) { case (df, i) =>
+          df.withColumn(s"i$i",
+            element_at(col("coord"), i + 1).cast("long") * chunkShape(i) +
+              pmod(expr(s"pos div ${strides(i)}"), lit(chunkShape(i))))
+        }
+      } else {
+        // rectilinear grid (store.rs:1158-1241): chunk extents vary per
+        // coordinate; per-dim extent/start tables ship as literal arrays,
+        // strides are computed per row right-to-left
+        val sizes = node.chunkSizesPerDim
+        val starts = sizes.map(_.scanLeft(0L)(_ + _).dropRight(1))
+        var df = exploded
+        for (i <- 0 until ndim)
+          df = df.withColumn(s"_e$i", element_at(typedLit(sizes(i)),
+            element_at(col("coord"), i + 1) + 1))
+        df = df.withColumn(s"_st${ndim - 1}", lit(1L))
+        for (i <- (ndim - 2) to 0 by -1)
+          df = df.withColumn(s"_st$i",
+            col(s"_st${i + 1}") * col(s"_e${i + 1}"))
+        for (i <- 0 until ndim)
+          df = df.withColumn(s"i$i",
+            element_at(typedLit(starts(i)),
+              element_at(col("coord"), i + 1) + 1) +
+              pmod(expr(s"pos div _st$i"), col(s"_e$i")))
+        df
+      }
     val bounded = (0 until ndim).foldLeft(withIdx) { case (df, i) =>
       df.filter(col(s"i$i") < shape(i))
     }
@@ -102,6 +125,8 @@ object TensorPlane {
                   dtype: String, compression: String = "raw"): Unit = {
     val node = session.node(path).filter(_.isArray).getOrElse(
       throw new GraftException(s"no array at $path"))
+    if (node.isRectilinear) throw new GraftException(
+      "value-plane writes require a regular chunk grid")
     val chunkShape = node.chunkShape
     val ndim = chunkShape.size
     val strides = chunkShape.indices.map(i => chunkShape.drop(i + 1).product)

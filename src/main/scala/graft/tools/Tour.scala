@@ -66,6 +66,18 @@ object Tour {
     println(s"[tour] stats=" + Stats.chunkStorageStats(repo,
       repo.lookupBranch("main").get).collect().mkString(","))
 
+    // --- rectilinear grid through the zarr surface ---
+    val zs2 = new ZarrStore(repo.writableSession("main"))
+    zs2.set("rect/zarr.json",
+      ("""{"zarr_format":3,"node_type":"array","shape":[10],""" +
+        """"chunk_grid":{"name":"rectilinear","configuration":{"chunk_shapes":[[3,5,2]]}}}""").getBytes)
+    zs2.set("rect/c/1", ChunkCodec.encodeLongs(Array(3L, 4, 5, 6, 7), "int64"))
+    zs2.session.commit("rectilinear")
+    val rv = TensorPlane.values(
+      repo.readonlySession(VersionRef.Branch("main")), "/rect", "int64")
+    println(s"[tour] rectilinear rows=${rv.count()} " +
+      s"i0s=${rv.select("i0").collect().map(_.getLong(0)).sorted.mkString(",")}")
+
     // --- connector: format("graft") read with pushdown + write ---
     val viaConnector = spark.read.format("graft")
       .option("path", dir).option("array", "/climate/temp")

@@ -14,6 +14,10 @@ import graft.repo.{GraftException, Session}
   * driver iterators (Zarr contract) and DataFrames (`listKeysDf`) for the
   * scale path.
   */
+final case class ParsedMeta(nodeType: String, shape: Seq[Long],
+    chunkShape: Seq[Long], dimNames: Seq[String],
+    chunkSizesPerDim: Seq[Seq[Long]])
+
 final class ZarrStore(val session: Session) {
   import ZarrKey._
 
@@ -29,28 +33,45 @@ final class ZarrStore(val session: Session) {
         if (n.dimNames.nonEmpty)
           s""","dimension_names":[${n.dimNames.map("\"" + _ + "\"").mkString(",")}]"""
         else ""
+      val grid =
+        if (n.isRectilinear)
+          s""""chunk_grid":{"name":"rectilinear","configuration":{"chunk_shapes":[${
+            n.chunkSizesPerDim.map(_.mkString("[", ",", "]")).mkString(",")}]}}"""
+        else
+          s""""chunk_grid":{"name":"regular","configuration":{"chunk_shape":[${n.chunkShape.mkString(",")}]}}"""
       s"""{"zarr_format":3,"node_type":"array","shape":[${n.shape.mkString(",")}],""" +
-        s""""chunk_grid":{"name":"regular","configuration":{"chunk_shape":[${n.chunkShape.mkString(",")}]}}$dims}"""
+        grid + dims + "}"
     } else """{"zarr_format":3,"node_type":"group"}"""
 
   /** Parse a `zarr.json` document into (nodeType, shape, chunkShape,
     * dimNames) — the only fields the engine itself interprets
     * (store.rs:1158-1241; everything else stays opaque in user_data).
     */
-  def parseMetadata(doc: String): (String, Seq[Long], Seq[Long], Seq[String]) = {
+  def parseMetadata(doc: String): ParsedMeta = {
     implicit val formats: Formats = DefaultFormats
     val j = JsonMethods.parse(doc)
     val nodeType = (j \ "node_type").extractOpt[String].getOrElse("group")
     if (nodeType == "array") {
       val shape = (j \ "shape").extract[Seq[Long]]
-      val chunks = (j \ "chunk_grid" \ "configuration" \ "chunk_shape")
-        .extractOpt[Seq[Long]]
-        .getOrElse(throw new GraftException(
-          "only regular chunk grids are supported"))
       val dims = (j \ "dimension_names").extractOpt[Seq[String]]
         .getOrElse(Nil)
-      (NodeSpec.Array, shape, chunks, dims)
-    } else (NodeSpec.Group, Nil, Nil, Nil)
+      val gridName = (j \ "chunk_grid" \ "name").extractOpt[String]
+        .getOrElse("regular")
+      gridName match {
+        case "regular" =>
+          val chunks = (j \ "chunk_grid" \ "configuration" \ "chunk_shape")
+            .extractOpt[Seq[Long]]
+            .getOrElse(throw new GraftException("missing chunk_shape"))
+          ParsedMeta(NodeSpec.Array, shape, chunks, dims, Nil)
+        case "rectilinear" =>
+          val sizes = (j \ "chunk_grid" \ "configuration" \ "chunk_shapes")
+            .extractOpt[Seq[Seq[Long]]]
+            .getOrElse(throw new GraftException("missing chunk_shapes"))
+          ParsedMeta(NodeSpec.Array, shape, Nil, dims, sizes)
+        case other => throw new GraftException(
+          s"unsupported chunk grid '$other' (regular | rectilinear)")
+      }
+    } else ParsedMeta(NodeSpec.Group, Nil, Nil, Nil, Nil)
   }
 
   // ---------------- get / set / delete ----------------
@@ -89,13 +110,16 @@ final class ZarrStore(val session: Session) {
       case Left(err) => throw new GraftException(err)
       case Right(Metadata(path)) =>
         val doc = new String(bytes)
-        val (nodeType, shape, chunks, dims) = parseMetadata(doc)
-        (session.node(path), nodeType) match {
+        val m = parseMetadata(doc)
+        (session.node(path), m.nodeType) match {
           case (None, NodeSpec.Group) => session.addGroup(path, doc)
+          case (None, NodeSpec.Array) if m.chunkSizesPerDim.nonEmpty =>
+            session.addArrayRectilinear(path, m.shape, m.chunkSizesPerDim,
+              m.dimNames, doc)
           case (None, NodeSpec.Array) =>
-            session.addArray(path, shape, chunks, dims, doc)
+            session.addArray(path, m.shape, m.chunkShape, m.dimNames, doc)
           case (Some(n), NodeSpec.Array) if n.isArray =>
-            session.updateArray(path, shape, chunks, dims, doc)
+            session.updateArray(path, m.shape, m.chunkShape, m.dimNames, doc)
           case (Some(n), NodeSpec.Group) if !n.isArray =>
             session.updateGroup(path, doc)
           case (Some(n), _) => throw new GraftException(
