@@ -40,6 +40,18 @@ object Stats {
       .agg(count(lit(1)).as("n_chunks"), sum("length").as("bytes"))
       .orderBy("kind")
 
+  /** Approximate variant (SURVEY §2.4): HLL distinct-count instead of the
+    * exact dedupe shuffle — one pass, no wide exchange; the right call at
+    * 100 TB when ±2% is acceptable.
+    */
+  def chunkStorageStatsApprox(repo: Repository,
+                              snapshotId: String): DataFrame =
+    identityRefs(repo, snapshotId)
+      .groupBy("kind")
+      .agg(approx_count_distinct("identity").as("n_chunks"),
+        sum("length").as("bytes_with_duplicates"))
+      .orderBy("kind")
+
   /** Storage stats across every snapshot reachable from any branch or tag
     * (`repo_chunks_storage`, python repository.py:1997) — union of all
     * live snapshots' refs, deduplicated by chunk identity so shared chunks

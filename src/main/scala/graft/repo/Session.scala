@@ -581,8 +581,13 @@ final class Session private[repo] (
              properties: Map[String, String] = Map.empty,
              solver: graft.vc.ConflictSolver =
                graft.vc.BasicConflictSolver(),
-             amend: Boolean = false): String = {
+             amend: Boolean = false,
+             allowEmpty: Boolean = false): String = {
     requireWritable()
+    // refuse accidental empty commits (CommitBuilder::allow_empty)
+    if (changeSet.isEmpty && !allowEmpty && !amend)
+      throw new GraftException(
+        "nothing to commit (pass allowEmpty = true to record an empty commit)")
     val branchName = branch.get
     var snapshot: Snapshot = null
     var flushedAgainst: String = null
