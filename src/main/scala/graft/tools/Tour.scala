@@ -87,6 +87,13 @@ object Tour {
       "SELECT sum(value) FROM temp_sql WHERE i0 >= 8").head().getLong(0)
     println(s"[tour] connector sum(i0>=8)=$half")
 
+    // --- empty-commit guard + approx stats ---
+    try { repo.writableSession("main").commit("oops") }
+    catch { case e: GraftException =>
+      println(s"[tour] empty commit refused: ${e.getMessage}") }
+    println(s"[tour] approx stats=" + Stats.chunkStorageStatsApprox(repo,
+      repo.lookupBranch("main").get).collect().mkString(","))
+
     // --- expire + GC ---
     val removed = GC.expire(repo, java.time.Instant.now().plusSeconds(5))
     val gc = GC.garbageCollect(repo, java.time.Instant.now().plusSeconds(5))
