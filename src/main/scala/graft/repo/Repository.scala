@@ -176,6 +176,22 @@ final class Repository private (
   }
 
   def lookupSnapshot(id: String): Snapshot = assets.readSnapshot(id)
+
+  /** Debug rollups over the metadata relations (icechunk/src/inspect.rs):
+    * one row per snapshot in the pointer with node/manifest/ref counts.
+    */
+  def inspect(): DataFrame = {
+    import spark.implicits._
+    val rows = info().snapshots.map { si =>
+      val snap = assets.readSnapshot(si.id)
+      val refs = snap.manifests.values.flatten.toSeq
+      (si.id, si.message, si.flushedAt, snap.nodes.size,
+        snap.nodes.count(_.isArray), refs.size,
+        refs.map(_.numRefs).sum, refs.map(_.sizeBytes).sum)
+    }
+    spark.createDataset(rows).toDF("snapshot_id", "message", "flushed_at",
+      "n_nodes", "n_arrays", "n_manifest_splits", "n_chunk_refs", "bytes")
+  }
 }
 
 object Repository {

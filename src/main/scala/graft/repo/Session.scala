@@ -382,6 +382,16 @@ final class Session private[repo] (
 
   def discardChanges(): Unit = changeSet.discard()
 
+  /** Delete every node in the hierarchy except the root group
+    * (`Session::clear`, session.rs:1358) — tombstone-all.
+    */
+  def clear(): Unit = {
+    requireWritable()
+    nodes.filter(_.path != "/").map(_.path)
+      .filter(p => node(p).isDefined) // parent deletes cascade
+      .foreach(p => if (node(p).isDefined) deleteNode(p))
+  }
+
   /** Fork for out-of-band distributed writes (session.rs:656). In Spark the
     * fork/merge dance collapses: executors stage refs, the driver merges
     * changesets (`Session::merge`, session.rs:1524).

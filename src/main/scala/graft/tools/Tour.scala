@@ -87,6 +87,17 @@ object Tour {
       "SELECT sum(value) FROM temp_sql WHERE i0 >= 8").head().getLong(0)
     println(s"[tour] connector sum(i0>=8)=$half")
 
+    // --- inspect rollups + change feed ---
+    println("[tour] inspect:")
+    repo.inspect().orderBy("flushed_at")
+      .select("message", "n_arrays", "n_chunk_refs")
+      .collect().foreach(r => println(s"[tour]   $r"))
+    val tip0 = repo.ancestry(VersionRef.Branch("main"))(1).id
+    graft.streaming.ChangesFeed.poll(repo, "main", tip0).foreach {
+      case (tip, feed) => println(s"[tour] feed since previous commit: " +
+        s"${feed.count()} edits up to $tip")
+    }
+
     // --- empty-commit guard + approx stats ---
     try { repo.writableSession("main").commit("oops") }
     catch { case e: GraftException =>
