@@ -87,6 +87,12 @@ object Tour {
       "SELECT sum(value) FROM temp_sql WHERE i0 >= 8").head().getLong(0)
     println(s"[tour] connector sum(i0>=8)=$half")
 
+    // --- DSv2 provider: partition-per-split refs read ---
+    val v2 = spark.read.format("graft-v2")
+      .option("path", dir).option("array", "/climate/temp").load()
+    println(s"[tour] graft-v2 refs=${v2.count()} " +
+      s"kinds=${v2.groupBy("kind").count().collect().mkString(",")}")
+
     // --- inspect rollups + change feed ---
     println("[tour] inspect:")
     repo.inspect().orderBy("flushed_at")
