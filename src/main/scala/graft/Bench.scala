@@ -88,6 +88,39 @@ object Bench {
       results("engine_getsize_prefix") = timed {
         new graft.zarr.ZarrStore(ro).getSizePrefix("long1d")
       }
+      // 1 GiB synthetic int64 cube, 8 MB chunks — the BASELINE read suite
+      // (512³ int64, chunks (4,512,512); datasets.py:300-321, 471-487)
+      val cube = sys.env.getOrElse("SPARK_GRAFT_BENCH_CUBE", "512").toInt
+      val chunkElems = 4 * cube * cube
+      results("engine_cube_write_1g") = timed {
+        val s = repo.writableSession("main")
+        s.addArray("/cube", Seq(cube, cube, cube), Seq(4, cube, cube),
+          Seq("t", "y", "x"))
+        for (c <- 0 until cube / 4) {
+          val vals = Array.tabulate(chunkElems)(i =>
+            ((c.toLong * chunkElems + i) % 1000) - 500)
+          s.writeChunk("/cube", Seq(c, 0, 0),
+            graft.functions.ChunkCodec.encodeLongs(vals, "int64"))
+        }
+        s.commit("cube")
+      }
+      // cold read: decode every chunk, reduce every element (native
+      // per-chunk kernel — no row explode)
+      results("engine_cube_read_1g") = timed {
+        val ro = repo.readonlySession(VersionRef.Branch("main"))
+        val stats = graft.tensor.TensorPlane.arrayStats(ro, "/cube", "int64")
+          .head()
+        assert(stats.getAs[Long]("n") == cube.toLong * cube * cube)
+      }
+      // slice read: prune refs to one t-slab BEFORE decoding, then
+      // row-explode only that chunk (the region-read path)
+      results("engine_cube_slice_read") = timed {
+        val ro = repo.readonlySession(VersionRef.Branch("main"))
+        val node = ro.node("/cube").get
+        val slab = ro.refs("/cube").filter(col("c0") === 0)
+        graft.tensor.TensorPlane.valuesOfRefs(ro, node, slab, "int64", "raw")
+          .agg(sum(col("value"))).head()
+      }
     } finally {
       org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
     }

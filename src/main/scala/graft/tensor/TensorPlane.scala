@@ -70,7 +70,12 @@ object TensorPlane {
     val shape = node.shape
     val ndim = shape.size
     val fetch = fetchBytesUdf(session.repo.store.rootUri)
+    // one ref row = megabytes of decoded values: spread chunks across
+    // tasks BEFORE the explode, or a 1 GiB array decodes on one core
+    // (a manifest's 128 rows easily fit one parquet partition)
+    val spark = refs.sparkSession
     val exploded = refs
+      .repartition(spark.sparkContext.defaultParallelism * 2, col("coord"))
       .withColumn("bytes", fetch(col("kind"), col("inline"), col("chunk_id"),
         col("location"), col("offset"), col("length")))
       .select(col("coord"),
@@ -113,6 +118,78 @@ object TensorPlane {
     }
     bounded.select((0 until ndim).map(i => col(s"i$i")) :+
       col("col").as("value"): _*)
+  }
+
+  /** Whole-array statistics WITHOUT the row explode: per-chunk native
+    * reduction (count/sum/min/max inside [[ChunkStatsExpr]]) + a rollup
+    * over chunk rows. Decode-bound, not row-machinery-bound — the scale
+    * path for `avg(value)`-style tensor aggregates. NOTE: includes
+    * partial-edge-chunk padding cells for arrays whose shape is not
+    * chunk-aligned (exact on aligned arrays).
+    */
+  def arrayStats(session: Session, path: String, dtype: String,
+                 compression: String = "raw"): DataFrame = {
+    val fetch = fetchBytesUdf(session.repo.store.rootUri)
+    val spark = session.repo.spark
+    session.refs(path)
+      .repartition(spark.sparkContext.defaultParallelism * 2, col("coord"))
+      .withColumn("bytes", fetch(col("kind"), col("inline"), col("chunk_id"),
+        col("location"), col("offset"), col("length")))
+      .select(CodecFunctions.chunk_stats(col("bytes"), dtype, compression)
+        .as("s"))
+      .agg(sum(col("s.n")).as("n"), sum(col("s.sum")).as("sum"),
+        min(col("s.min")).as("min"), max(col("s.max")).as("max"))
+      .withColumn("avg", col("sum") / col("n"))
+  }
+
+  /** Append a (i0..iN, value) DataFrame along one dimension
+    * (`append_dim`, xarray.py:253-276): grows the array shape by the
+    * incoming extent along `dim`, shifts the incoming indices to start at
+    * the old boundary, and writes. The incoming extent must be
+    * chunk-aligned on `dim` unless it is the final ragged tail — the
+    * aligned-write check of xarray.py:277-298.
+    */
+  def appendValues(session: Session, path: String, values: DataFrame,
+                   dim: Int, dtype: String,
+                   compression: String = "raw"): Unit = {
+    val node = session.node(path).filter(_.isArray).getOrElse(
+      throw new GraftException(s"no array at $path"))
+    if (node.isRectilinear) throw new GraftException(
+      "append_dim requires a regular chunk grid")
+    val oldLen = node.shape(dim)
+    if (oldLen % node.chunkShape(dim) != 0) throw new GraftException(
+      s"cannot append along dim $dim: existing length $oldLen is not " +
+        s"chunk-aligned (${node.chunkShape(dim)}) — the tail chunk is ragged")
+    val extent = values.agg(max(col(s"i$dim"))).head().getLong(0) + 1
+    val newShape = node.shape.updated(dim, oldLen + extent)
+    session.updateArray(path, newShape, node.chunkShape)
+    val shifted = values.withColumn(s"i$dim", col(s"i$dim") + oldLen)
+    writeValues(session, path, shifted, dtype, compression)
+  }
+
+  /** Write a (i0..iN, value) DataFrame into a rectangular region starting
+    * at `offsets` (region writes, xarray.py:215-216). The region must be
+    * chunk-aligned: offsets on chunk boundaries, so no read-modify-write
+    * of neighboring data is needed (the "safe chunk" check of
+    * xarray.py:277-298 — unaligned regions are rejected, not silently
+    * merged).
+    */
+  def writeRegion(session: Session, path: String, values: DataFrame,
+                  offsets: Seq[Long], dtype: String,
+                  compression: String = "raw"): Unit = {
+    val node = session.node(path).filter(_.isArray).getOrElse(
+      throw new GraftException(s"no array at $path"))
+    if (node.isRectilinear) throw new GraftException(
+      "region writes require a regular chunk grid")
+    offsets.zip(node.chunkShape).zipWithIndex.foreach {
+      case ((off, chunk), i) =>
+        if (off % chunk != 0) throw new GraftException(
+          s"region offset $off on dim $i is not chunk-aligned ($chunk)")
+    }
+    val shifted = offsets.zipWithIndex.foldLeft(values) {
+      case (df, (off, i)) => df.withColumn(s"i$i", col(s"i$i") + off)
+    }
+    writeValues(session, path, shifted, dtype, compression)
   }
 
   /** Write a (i0..iN, value) DataFrame into an array as chunk objects —

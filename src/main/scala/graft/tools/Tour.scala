@@ -87,6 +87,18 @@ object Tour {
       "SELECT sum(value) FROM temp_sql WHERE i0 >= 8").head().getLong(0)
     println(s"[tour] connector sum(i0>=8)=$half")
 
+    // --- xarray-style append_dim + native stats kernel ---
+    val sApp = repo.writableSession("main")
+    TensorPlane.appendValues(sApp, "/climate/temp",
+      spark.range(4).select(col("id").as("i0"),
+        lit(1000.0).cast("double").as("value")), dim = 0, dtype = "int64")
+    sApp.commit("append_dim")
+    val st = TensorPlane.arrayStats(
+      repo.readonlySession(VersionRef.Branch("main")), "/climate/temp",
+      "int64").head()
+    println(s"[tour] after append: n=${st.getAs[Long]("n")} " +
+      s"max=${st.getAs[Double]("max")}")
+
     // --- DSv2 provider: partition-per-split refs read ---
     val v2 = spark.read.format("graft-v2")
       .option("path", dir).option("array", "/climate/temp").load()

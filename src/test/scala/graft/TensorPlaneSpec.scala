@@ -41,6 +41,12 @@ class TensorPlaneSpec extends SparkTestBase {
     val v = values.filter(col("i0") === 3 && col("i1") === 2 && col("i2") === 1)
       .head().getLong(3)
     assert(v == 3 * 16 + 2 * 4 + 1 + 0) // row-major within chunk 1, t=3
+
+    // native stats kernel agrees with the row-exploded aggregate
+    val st = TensorPlane.arrayStats(ro, "/cube", "int64").head()
+    assert(st.getAs[Long]("n") == 128)
+    assert(st.getAs[Double]("avg") == 63.5)
+    assert(st.getAs[Double]("min") == 0.0 && st.getAs[Double]("max") == 127.0)
   }
 
   test("float32 zstd chunks decode; edge chunks clip to array bounds") {
@@ -58,6 +64,51 @@ class TensorPlaneSpec extends SparkTestBase {
     assert(values.count() == 10) // 12 decoded cells, 2 clipped by bounds
     val total = values.agg(sum("value")).head().getDouble(0)
     assert(math.abs(total - (0 until 10).map(_ * 0.5).sum) < 1e-6)
+  }
+
+  test("append_dim grows the array; region writes land chunk-aligned") {
+    val repo = Repository.create(Store.local(tmpDir("repo")), spark)
+    val s = repo.writableSession("main")
+    s.addArray("/ts", Seq(20), Seq(10), Seq("time"))
+    TensorPlane.writeValues(s, "/ts", spark.range(20)
+      .select(col("id").as("i0"), col("id").cast("double").as("value")),
+      "float64")
+    s.commit("initial")
+
+    // append 10 more along time — shape grows, old data intact
+    val s2 = repo.writableSession("main")
+    TensorPlane.appendValues(s2, "/ts", spark.range(10)
+      .select(col("id").as("i0"), lit(99.0).as("value")), dim = 0,
+      dtype = "float64")
+    s2.commit("append")
+    val ro = repo.readonlySession(VersionRef.Branch("main"))
+    assert(ro.node("/ts").get.shape == Seq(30))
+    val v = TensorPlane.values(ro, "/ts", "float64")
+    assert(v.count() == 30)
+    assert(v.filter(col("i0") >= 20).agg(sum("value")).head().getDouble(0)
+      == 990.0)
+    assert(v.filter(col("i0") < 20).agg(sum("value")).head().getDouble(0)
+      == (0 until 20).sum.toDouble)
+
+    // region write replaces exactly one aligned chunk
+    val s3 = repo.writableSession("main")
+    TensorPlane.writeRegion(s3, "/ts", spark.range(10)
+      .select(col("id").as("i0"), lit(-1.0).as("value")),
+      offsets = Seq(10L), dtype = "float64")
+    s3.commit("region")
+    val v3 = TensorPlane.values(
+      repo.readonlySession(VersionRef.Branch("main")), "/ts", "float64")
+    assert(v3.filter(col("i0").between(10, 19)).agg(sum("value"))
+      .head().getDouble(0) == -10.0)
+    assert(v3.filter(col("i0") < 10).agg(sum("value"))
+      .head().getDouble(0) == (0 until 10).sum.toDouble)
+
+    // unaligned region rejected
+    intercept[GraftException] {
+      TensorPlane.writeRegion(repo.writableSession("main"), "/ts",
+        spark.range(5).select(col("id").as("i0"), lit(0.0).as("value")),
+        offsets = Seq(7L), dtype = "float64")
+    }
   }
 
   test("distributed value-plane write: DataFrame -> chunks -> read back") {
