@@ -1,0 +1,108 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import graft.repo._
+import graft.storage.Store
+
+/** Command-line interface over the engine (the reference ships the same
+  * surface: repo/branch/tag subcommands, icechunk/src/cli/interface.rs:
+  * 37-140).
+  *
+  * {{{
+  *   runMain graft.tools.Cli <repoDir> init
+  *   runMain graft.tools.Cli <repoDir> log [ref]
+  *   runMain graft.tools.Cli <repoDir> branch list|create <n> [ref]|delete <n>|reset <n> <snap>
+  *   runMain graft.tools.Cli <repoDir> tag list|create <n> [ref]|delete <n>
+  *   runMain graft.tools.Cli <repoDir> ls [prefix]
+  *   runMain graft.tools.Cli <repoDir> inspect
+  *   runMain graft.tools.Cli <repoDir> ops [n]
+  *   runMain graft.tools.Cli <repoDir> diff <from> <to>
+  *   runMain graft.tools.Cli <repoDir> gc [--dry-run]
+  *   runMain graft.tools.Cli <repoDir> compact
+  * }}}
+  */
+object Cli {
+  private def usage(): Nothing = {
+    System.err.println(
+      "usage: Cli <repoDir> init|log|branch|tag|ls|inspect|ops|diff|gc|compact ...")
+    sys.exit(2)
+  }
+
+  private def parseRef(repo: Repository, s: String): VersionRef =
+    if (repo.lookupBranch(s).isDefined) VersionRef.Branch(s)
+    else if (repo.lookupTag(s).isDefined) VersionRef.Tag(s)
+    else VersionRef.SnapshotVer(s)
+
+  def main(args: Array[String]): Unit = {
+    if (args.length < 2) usage()
+    val dir = args(0)
+    val cmd = args(1)
+    val rest = args.drop(2).toList
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    try {
+      if (cmd == "init") {
+        val repo = Repository.create(Store.local(dir), spark)
+        println(s"initialized repository at $dir " +
+          s"(main -> ${repo.lookupBranch("main").get})")
+        return
+      }
+      val repo = Repository.open(Store.local(dir), spark)
+      (cmd, rest) match {
+        case ("log", refName) =>
+          val ref = refName.headOption.map(parseRef(repo, _))
+            .getOrElse(VersionRef.Branch("main"))
+          repo.ancestry(ref).foreach(s =>
+            println(f"${s.id}  ${s.flushedAt}%-27s ${s.message}"))
+        case ("branch", "list" :: _) | ("branch", Nil) =>
+          repo.listBranches().foreach { b =>
+            println(s"$b -> ${repo.lookupBranch(b).get}")
+          }
+        case ("branch", "create" :: name :: refName) =>
+          val at = refName.headOption.map(r => repo.resolveVersion(
+            parseRef(repo, r))).getOrElse(
+            repo.lookupBranch("main").get)
+          repo.createBranch(name, at); println(s"created branch $name @ $at")
+        case ("branch", "delete" :: name :: Nil) =>
+          repo.deleteBranch(name); println(s"deleted branch $name")
+        case ("branch", "reset" :: name :: snap :: Nil) =>
+          repo.resetBranch(name, snap); println(s"reset $name -> $snap")
+        case ("tag", "list" :: _) | ("tag", Nil) =>
+          repo.listTags().foreach(t =>
+            println(s"$t -> ${repo.lookupTag(t).get}"))
+        case ("tag", "create" :: name :: refName) =>
+          val at = refName.headOption.map(r => repo.resolveVersion(
+            parseRef(repo, r))).getOrElse(repo.lookupBranch("main").get)
+          repo.createTag(name, at); println(s"created tag $name @ $at")
+        case ("tag", "delete" :: name :: Nil) =>
+          repo.deleteTag(name); println(s"deleted tag $name (tombstoned)")
+        case ("ls", prefix) =>
+          val session = repo.readonlySession(VersionRef.Branch("main"))
+          session.listNodes(prefix.headOption.getOrElse("/")).foreach { n =>
+            val extra = if (n.isArray)
+              s"  array shape=[${n.shape.mkString(",")}]" else "  group"
+            println(s"${n.path}$extra")
+          }
+        case ("inspect", _) =>
+          repo.inspect().orderBy("flushed_at").collect().foreach(println)
+        case ("ops", n) =>
+          repo.opsLog(n.headOption.map(_.toInt).getOrElse(20)).foreach(e =>
+            println(f"${e.ts}%-30s ${e.op}%-16s ${e.detail}"))
+        case ("diff", from :: to :: Nil) =>
+          repo.diff(parseRef(repo, from), parseRef(repo, to))
+            .orderBy("edit", "path").collect().foreach(println)
+        case ("gc", flags) =>
+          val summary = graft.ops.GC.garbageCollect(repo,
+            java.time.Instant.now().minusSeconds(3600),
+            dryRun = flags.contains("--dry-run"))
+          println(summary)
+        case ("compact", _) =>
+          val id = graft.ops.Compaction.rewriteManifests(repo, "main")
+          println(s"compacted -> $id")
+        case _ => usage()
+      }
+    } finally spark.stop()
+  }
+}
