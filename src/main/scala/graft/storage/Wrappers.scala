@@ -1,0 +1,110 @@
+package graft.storage
+
+/** Storage decorators (the reference ships the same family for tests and
+  * resilience: latency/logging wrappers in icechunk/src/storage/latency.rs,
+  * logging.rs; retry-with-backoff in asset_manager.rs:25-30).
+  */
+
+/** Retry transient failures with exponential backoff. `putIfAbsent` is NOT
+  * retried blindly: a retry after an ambiguous failure could observe its
+  * own first attempt and report a lost race — callers (the commit CAS
+  * loop) already handle retry at the protocol level where it is safe.
+  */
+final class RetryingStore(inner: Store, maxAttempts: Int = 5,
+                          baseBackoffMs: Long = 20,
+                          isTransient: Throwable => Boolean =
+                            RetryingStore.defaultTransient) extends Store {
+  private def retry[A](op: String)(body: => A): A = {
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      try return body
+      catch {
+        case t: Throwable if attempt < maxAttempts && isTransient(t) =>
+          Thread.sleep(baseBackoffMs * (1L << math.min(attempt - 1, 6)))
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  override def rootUri: String = inner.rootUri
+  override def getBytes(key: String): Array[Byte] =
+    retry("get")(inner.getBytes(key))
+  override def putBytes(key: String, bytes: Array[Byte]): Unit =
+    retry("put")(inner.putBytes(key, bytes))
+  override def putIfAbsent(key: String, bytes: Array[Byte]): Boolean =
+    inner.putIfAbsent(key, bytes) // protocol-level retry only
+  override def list(prefix: String): Seq[ObjectInfo] =
+    retry("list")(inner.list(prefix))
+  override def exists(key: String): Boolean =
+    retry("exists")(inner.exists(key))
+  override def delete(keys: Iterable[String]): Unit =
+    retry("delete")(inner.delete(keys))
+  override def deletePrefix(prefix: String): Unit =
+    retry("deletePrefix")(inner.deletePrefix(prefix))
+}
+
+object RetryingStore {
+  /** Transient error classing (the regex classing of asset_manager.rs:
+    * 25-30, expressed structurally).
+    */
+  def defaultTransient(t: Throwable): Boolean = t match {
+    case _: java.nio.file.FileAlreadyExistsException => false
+    case _: java.nio.file.NoSuchFileException => false
+    case _: java.io.IOException => true
+    case _: TransientStorageException => true
+    case _ => false
+  }
+}
+
+class TransientStorageException(msg: String) extends RuntimeException(msg)
+
+/** Fault injection: fail matching operations while `failures` > 0
+  * (decremented per failure) — the flaky-connection harness
+  * (icechunk/tests/test_flaky_connections.rs analog). `failOps` limits
+  * injection to specific operation names (default: all).
+  */
+final class FlakyStore(inner: Store,
+                       @volatile var failures: Int,
+                       failOps: Set[String] = Set.empty) extends Store {
+  private def maybeFail(op: String): Unit =
+    this.synchronized {
+      if (failures > 0 && (failOps.isEmpty || failOps.contains(op))) {
+        failures -= 1
+        throw new TransientStorageException(
+          s"injected transient failure in $op ($failures left)")
+      }
+    }
+
+  override def rootUri: String = inner.rootUri
+  override def getBytes(key: String): Array[Byte] =
+    { maybeFail("getBytes"); inner.getBytes(key) }
+  override def putBytes(key: String, bytes: Array[Byte]): Unit =
+    { maybeFail("putBytes"); inner.putBytes(key, bytes) }
+  override def putIfAbsent(key: String, bytes: Array[Byte]): Boolean =
+    { maybeFail("putIfAbsent"); inner.putIfAbsent(key, bytes) }
+  override def list(prefix: String): Seq[ObjectInfo] =
+    { maybeFail("list"); inner.list(prefix) }
+  override def exists(key: String): Boolean =
+    { maybeFail("exists"); inner.exists(key) }
+  override def delete(keys: Iterable[String]): Unit =
+    { maybeFail("delete"); inner.delete(keys) }
+  override def deletePrefix(prefix: String): Unit =
+    { maybeFail("deletePrefix"); inner.deletePrefix(prefix) }
+}
+
+/** Latency injection (latency.rs analog): fixed delay per operation. */
+final class LatencyStore(inner: Store, delayMs: Long) extends Store {
+  private def d(): Unit = Thread.sleep(delayMs)
+  override def rootUri: String = inner.rootUri
+  override def getBytes(key: String): Array[Byte] = { d(); inner.getBytes(key) }
+  override def putBytes(key: String, bytes: Array[Byte]): Unit =
+    { d(); inner.putBytes(key, bytes) }
+  override def putIfAbsent(key: String, bytes: Array[Byte]): Boolean =
+    { d(); inner.putIfAbsent(key, bytes) }
+  override def list(prefix: String): Seq[ObjectInfo] = { d(); inner.list(prefix) }
+  override def exists(key: String): Boolean = { d(); inner.exists(key) }
+  override def delete(keys: Iterable[String]): Unit = { d(); inner.delete(keys) }
+  override def deletePrefix(prefix: String): Unit =
+    { d(); inner.deletePrefix(prefix) }
+}

@@ -23,8 +23,18 @@ object Tour {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    val repo = Repository.create(Store.local(dir), spark,
+    // the whole tour runs over a fault-injected store behind the retry
+    // decorator: every ~7th metadata op fails transiently and is retried
+    val flaky = new graft.storage.FlakyStore(Store.local(dir), failures = 0,
+      failOps = Set("getBytes", "putBytes", "list", "exists"))
+    val repo = Repository.create(
+      new graft.storage.RetryingStore(flaky, baseBackoffMs = 1), spark,
       GraftConfig(splits = Seq(SplitRule(".*", 0, 4))))
+    new Thread(() => { // background fault injector
+      while (!Thread.currentThread().isInterrupted) {
+        Thread.sleep(200); flaky.failures = 1
+      }
+    }) { setDaemon(true); start() }
 
     // --- Zarr store façade: a zarr client's view ---
     val zs = new ZarrStore(repo.writableSession("main"))
