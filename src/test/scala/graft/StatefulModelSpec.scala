@@ -1,0 +1,95 @@
+package graft
+
+import scala.collection.mutable
+import scala.util.Random
+import graft.repo._
+import graft.storage.Store
+
+/** Stateful model-based test (the analog of the reference's Hypothesis
+  * `RuleBasedStateMachine` suites, test_stateful_repo_ops.py:99-230):
+  * a seeded random sequence of engine operations runs against a simple
+  * in-memory model; after every commit the engine's visible state must
+  * equal the model's, and every branch/tag snapshot taken along the way
+  * must stay exactly reproducible (time travel is total).
+  */
+class StatefulModelSpec extends SparkTestBase {
+
+  /** model: branch -> (array path -> coord -> payload byte) */
+  type ModelState = mutable.Map[String, mutable.Map[Int, Byte]]
+
+  test("300 random ops: engine state equals model at every commit") {
+    val rng = new Random(4242)
+    val repo = Repository.create(Store.local(tmpDir("repo")), spark)
+    val s0 = repo.writableSession("main")
+    s0.addArray("/m", Seq(64), Seq(4))
+    s0.commit("init")
+
+    val model = mutable.Map[Int, Byte]() // committed state of main:/m
+    val snapshots = mutable.ArrayBuffer[(String, Map[Int, Byte])]()
+    var session = repo.writableSession("main")
+    val pending = mutable.Map[Int, Option[Byte]]() // None = delete
+
+    def verifyAgainst(state: Map[Int, Byte], ver: VersionRef): Unit = {
+      val ro = repo.readonlySession(ver)
+      assert(ro.refs("/m").count() == state.size,
+        s"ref count mismatch at $ver")
+      // sample a few cells incl. absent ones
+      val coords = (state.keys.take(3) ++ Seq(0, 17, 63)).toSet
+      coords.foreach { c =>
+        val got = ro.getChunk("/m", Seq(c)).map(_.head)
+        assert(got == state.get(c),
+          s"cell $c mismatch at $ver: got $got want ${state.get(c)}")
+      }
+    }
+
+    for (step <- 1 to 300) {
+      rng.nextInt(10) match {
+        case 0 | 1 | 2 | 3 | 4 => // write
+          val c = rng.nextInt(16)
+          val v = rng.nextInt(120).toByte
+          session.writeChunk("/m", Seq(c), Array(v))
+          pending(c) = Some(v)
+        case 5 => // delete a (possibly missing) chunk
+          val c = rng.nextInt(16)
+          session.deleteChunk("/m", Seq(c))
+          pending(c) = None
+        case 6 | 7 => // commit pending edits
+          if (pending.nonEmpty) {
+            session.commit(s"step $step")
+            pending.foreach {
+              case (c, Some(v)) => model(c) = v
+              case (c, None) => model.remove(c)
+            }
+            pending.clear()
+            verifyAgainst(model.toMap, VersionRef.Branch("main"))
+          }
+        case 8 => // snapshot the current committed state under a tag
+          if (rng.nextBoolean() && snapshots.size < 8) {
+            val tip = repo.lookupBranch("main").get
+            val name = s"t${snapshots.size}"
+            repo.createTag(name, tip)
+            snapshots += ((name, model.toMap))
+          }
+        case 9 => // discard pending edits
+          session.discardChanges()
+          pending.clear()
+      }
+      if (session.changeSet.isEmpty && rng.nextInt(4) == 0)
+        session = repo.writableSession("main")
+    }
+    if (pending.nonEmpty) {
+      session.commit("final")
+      pending.foreach {
+        case (c, Some(v)) => model(c) = v
+        case (c, None) => model.remove(c)
+      }
+    }
+    // the tip equals the model...
+    verifyAgainst(model.toMap, VersionRef.Branch("main"))
+    // ...and every tagged historical state is still exactly reproducible
+    snapshots.foreach { case (tag, state) =>
+      verifyAgainst(state, VersionRef.Tag(tag))
+    }
+    assert(snapshots.nonEmpty, "scenario should have taken tags")
+  }
+}
