@@ -175,6 +175,17 @@ final class Repository private (
     new Session(this, Some(branchName), assets.readSnapshot(tip))
   }
 
+  /** Move-only session (`rearrange_session`, repository.rs:1992): moves
+    * cannot be rebased, so they get their own session kind that refuses
+    * every other edit.
+    */
+  def rearrangeSession(branchName: String): Session = {
+    val tip = lookupBranch(branchName).getOrElse(
+      throw new GraftException(s"no branch $branchName"))
+    new Session(this, Some(branchName), assets.readSnapshot(tip),
+      moveOnly = true)
+  }
+
   def lookupSnapshot(id: String): Snapshot = assets.readSnapshot(id)
 
   /** Debug rollups over the metadata relations (icechunk/src/inspect.rs):

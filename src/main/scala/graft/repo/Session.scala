@@ -20,7 +20,8 @@ import graft.meta.GraftEncoders._
 final class Session private[repo] (
     val repo: Repository,
     val branch: Option[String], // None = read-only / detached
-    private var baseSnapshot: Snapshot) {
+    private var baseSnapshot: Snapshot,
+    val moveOnly: Boolean = false) {
 
   val changeSet = new ChangeSet
   private def spark: SparkSession = repo.spark
@@ -29,8 +30,17 @@ final class Session private[repo] (
   def base: Snapshot = baseSnapshot
   def readOnly: Boolean = branch.isEmpty
 
-  private def requireWritable(): Unit =
+  private def requireWritable(): Unit = {
     if (readOnly) throw new GraftException("session is read-only")
+  }
+
+  /** rearrange sessions (repository.rs:1992) accept ONLY move edits —
+    * moves cannot be rebased, so isolating them keeps ordinary write
+    * sessions rebases-clean.
+    */
+  private def requireNotMoveOnly(): Unit =
+    if (moveOnly) throw new GraftException(
+      "rearrange session: only move_node is allowed")
 
   // ------------------------------------------------------------------
   // hierarchy view (base ⊕ changeset)
@@ -81,6 +91,7 @@ final class Session private[repo] (
 
   def addGroup(path: String, userData: String = ""): NodeSpec = {
     requireWritable()
+    requireNotMoveOnly()
     val p = NodePath.normalize(path)
     if (node(p).isDefined) throw new GraftException(s"node exists at $p")
     val spec = NodeSpec(Ids.toBase32(Ids.newNodeId()), p, NodeSpec.Group,
@@ -92,6 +103,7 @@ final class Session private[repo] (
   def addArray(path: String, shape: Seq[Long], chunkShape: Seq[Long],
                dimNames: Seq[String] = Nil, userData: String = ""): NodeSpec = {
     requireWritable()
+    requireNotMoveOnly()
     val p = NodePath.normalize(path)
     if (node(p).isDefined) throw new GraftException(s"node exists at $p")
     node(NodePath.parent(p).getOrElse("/")) match {
@@ -114,6 +126,7 @@ final class Session private[repo] (
                           dimNames: Seq[String] = Nil,
                           userData: String = ""): NodeSpec = {
     requireWritable()
+    requireNotMoveOnly()
     val p = NodePath.normalize(path)
     if (node(p).isDefined) throw new GraftException(s"node exists at $p")
     require(shape.size == chunkSizesPerDim.size, "rank mismatch")
@@ -135,6 +148,7 @@ final class Session private[repo] (
                   dimNames: Seq[String] = Nil,
                   userData: String = null): NodeSpec = {
     requireWritable()
+    requireNotMoveOnly()
     val cur = arrayNode(path)
     if (cur.isRectilinear) throw new GraftException(
       s"update_array on rectilinear grids is not supported (${cur.path})")
@@ -149,6 +163,7 @@ final class Session private[repo] (
 
   def updateGroup(path: String, userData: String): NodeSpec = {
     requireWritable()
+    requireNotMoveOnly()
     val cur = node(path).filter(!_.isArray)
       .getOrElse(throw new GraftException(s"no group at $path"))
     val spec = cur.copy(userData = userData)
@@ -161,6 +176,7 @@ final class Session private[repo] (
   /** Delete a node (and, for groups, all descendants). */
   def deleteNode(path: String): Unit = {
     requireWritable()
+    requireNotMoveOnly()
     val n = node(path).getOrElse(
       throw new GraftException(s"no node at $path"))
     val doomed = nodes.filter(x =>
@@ -201,6 +217,7 @@ final class Session private[repo] (
 
   def setChunkRef(path: String, coord: Seq[Int], ref: ChunkRef): Unit = {
     requireWritable()
+    requireNotMoveOnly()
     val n = arrayNode(path)
     if (!n.validCoord(coord))
       throw new GraftException(
@@ -242,6 +259,7 @@ final class Session private[repo] (
     */
   def stageChunkRefs(path: String, df: DataFrame): Unit = {
     requireWritable()
+    requireNotMoveOnly()
     val n = arrayNode(path)
     val withAll = Seq("kind" -> lit(ChunkRef.KindRef),
       "inline" -> lit(null).cast("binary"),
@@ -271,6 +289,7 @@ final class Session private[repo] (
   def reindexArray(path: String, f: org.apache.spark.sql.Column =>
       org.apache.spark.sql.Column): Unit = {
     requireWritable()
+    requireNotMoveOnly()
     val n = arrayNode(path)
     // regular-grid-only guard (session.rs:940-953; rectilinear guard,
     // design-docs/018-shift-array-rectilinear-guard.md)
@@ -396,7 +415,7 @@ final class Session private[repo] (
     * fork/merge dance collapses: executors stage refs, the driver merges
     * changesets (`Session::merge`, session.rs:1524).
     */
-  def fork(): Session = new Session(repo, branch, baseSnapshot)
+  def fork(): Session = new Session(repo, branch, baseSnapshot, moveOnly)
 
   def merge(other: Session): Unit = {
     require(other.base.id == base.id, "can only merge sessions with same base")

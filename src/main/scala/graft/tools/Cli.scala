@@ -14,6 +14,7 @@ import graft.storage.Store
   *   runMain graft.tools.Cli <repoDir> branch list|create <n> [ref]|delete <n>|reset <n> <snap>
   *   runMain graft.tools.Cli <repoDir> tag list|create <n> [ref]|delete <n>
   *   runMain graft.tools.Cli <repoDir> ls [prefix]
+  *   runMain graft.tools.Cli <repoDir> mv <from> <to>
   *   runMain graft.tools.Cli <repoDir> inspect
   *   runMain graft.tools.Cli <repoDir> ops [n]
   *   runMain graft.tools.Cli <repoDir> diff <from> <to>
@@ -24,7 +25,7 @@ import graft.storage.Store
 object Cli {
   private def usage(): Nothing = {
     System.err.println(
-      "usage: Cli <repoDir> init|log|branch|tag|ls|inspect|ops|diff|gc|compact ...")
+      "usage: Cli <repoDir> init|log|branch|tag|ls|mv|inspect|ops|diff|gc|compact ...")
     sys.exit(2)
   }
 
@@ -98,6 +99,11 @@ object Cli {
             java.time.Instant.now().minusSeconds(3600),
             dryRun = flags.contains("--dry-run"))
           println(summary)
+        case ("mv", from :: to :: Nil) =>
+          val rs = repo.rearrangeSession("main")
+          rs.moveNode(from, to)
+          val id = rs.commit(s"move $from -> $to")
+          println(s"moved $from -> $to ($id)")
         case ("compact", _) =>
           val id = graft.ops.Compaction.rewriteManifests(repo, "main")
           println(s"compacted -> $id")

@@ -145,6 +145,22 @@ class VersionControlSpec extends SparkTestBase {
       .refs("/a").count() == 6)
   }
 
+  test("rearrange session allows moves and nothing else") {
+    val repo = freshRepo()
+    val s = repo.writableSession("main")
+    s.addGroup("/g")
+    s.addArray("/g/a", Seq(10), Seq(1))
+    s.commit("init")
+    val rs = repo.rearrangeSession("main")
+    intercept[GraftException](rs.addGroup("/x"))
+    intercept[GraftException](rs.writeChunk("/g/a", Seq(0), Array[Byte](1)))
+    intercept[GraftException](rs.deleteNode("/g/a"))
+    rs.moveNode("/g", "/h")
+    rs.commit("rearranged")
+    val ro = repo.readonlySession(VersionRef.Branch("main"))
+    assert(ro.node("/h/a").isDefined && ro.node("/g").isEmpty)
+  }
+
   test("preload rules warm the split cache on session open") {
     val repo = Repository.create(Store.local(tmpDir("repo")), spark,
       GraftConfig(splits = Seq(SplitRule(".*", 0, 10)),
