@@ -115,6 +115,14 @@ object Tour {
     println(s"[tour] graft-v2 refs=${v2.count()} " +
       s"kinds=${v2.groupBy("kind").count().collect().mkString(",")}")
 
+    // --- native kernels from plain SQL ---
+    graft.functions.GraftExtensions.registerAll(spark)
+    val sqlDot = spark.sql(
+      "SELECT dot_product(array(1.0d,2.0d), array(3.0d,4.0d)) AS d," +
+        " simhash64(array(7L,8L)) = simhash64(array(8L,7L)) AS same").head()
+    println(s"[tour] sql kernels: dot=${sqlDot.getDouble(0)} " +
+      s"simhash order-free=${sqlDot.getBoolean(1)}")
+
     // --- inspect rollups + change feed ---
     println("[tour] inspect:")
     repo.inspect().orderBy("flushed_at")
