@@ -241,10 +241,13 @@ final class Session private[repo] (
 
   def setVirtualRef(path: String, coord: Seq[Int], location: String,
                     offset: Long, length: Long, etag: String = null,
-                    lastModified: Int = 0): Unit =
+                    lastModified: Int = 0): Unit = {
+    // authorization check at set-time (session.rs:631-655)
+    repo.virtualResolver.validateLocation(location)
     setChunkRef(path, coord,
       ChunkRef.virtualRef("", coord, location, offset, length, etag,
         lastModified))
+  }
 
   def deleteChunk(path: String, coord: Seq[Int]): Unit =
     setChunkRef(path, coord, ChunkRef.tombstone("", coord))

@@ -17,13 +17,30 @@ import graft.repo.{GraftException, Session}
   */
 object TensorPlane {
 
+  private def sessionFetch(session: Session) =
+    fetchBytesUdf(session.repo.store.rootUri,
+      session.repo.virtualResolver.containerMap)
+
   /** Fetch chunk bytes on executors from the ref columns. `rootUri` is the
     * repo store root (`file:` URIs in tests; any Hadoop-readable scheme at
     * scale — swap the two `readAt` branches for an object-store client).
     */
-  def fetchBytesUdf(rootUri: String) = udf(
+  def fetchBytesUdf(rootUri: String,
+                    containers: Map[String, String] = Map.empty) = udf(
     (kind: String, inline: Array[Byte], chunkId: String, location: String,
      offset: Long, length: Long) => {
+      def expand(loc: String): String =
+        if (!loc.startsWith("vcc://")) loc
+        else {
+          val rest = loc.stripPrefix("vcc://")
+          val (cname, rel) = rest.span(_ != '/')
+          containers.get(cname) match {
+            case Some(prefix) =>
+              prefix.stripSuffix("/") + "/" + rel.stripPrefix("/")
+            case None => throw new IllegalArgumentException(
+              s"no virtual chunk container named '$cname'")
+          }
+        }
       def readAt(uri: String): Array[Byte] = {
         val path = java.nio.file.Paths.get(java.net.URI.create(uri))
         val all = java.nio.file.Files.readAllBytes(path)
@@ -35,14 +52,14 @@ object TensorPlane {
         case ChunkRef.KindInline => inline
         case ChunkRef.KindRef =>
           readAt(rootUri.stripSuffix("/") + "/chunks/" + chunkId)
-        case ChunkRef.KindVirtual => readAt(location)
+        case ChunkRef.KindVirtual => readAt(expand(location))
         case _ => null
       }
     })
 
   /** Chunk-ref rows with a materialized `bytes` column. */
   def chunkBytes(session: Session, path: String): DataFrame = {
-    val fetch = fetchBytesUdf(session.repo.store.rootUri)
+    val fetch = sessionFetch(session)
     session.refs(path).withColumn("bytes",
       fetch(col("kind"), col("inline"), col("chunk_id"), col("location"),
         col("offset"), col("length")))
@@ -69,7 +86,7 @@ object TensorPlane {
                    compression: String): DataFrame = {
     val shape = node.shape
     val ndim = shape.size
-    val fetch = fetchBytesUdf(session.repo.store.rootUri)
+    val fetch = sessionFetch(session)
     // one ref row = megabytes of decoded values: spread chunks across
     // tasks BEFORE the explode, or a 1 GiB array decodes on one core
     // (a manifest's 128 rows easily fit one parquet partition)
@@ -129,7 +146,7 @@ object TensorPlane {
     */
   def arrayStats(session: Session, path: String, dtype: String,
                  compression: String = "raw"): DataFrame = {
-    val fetch = fetchBytesUdf(session.repo.store.rootUri)
+    val fetch = sessionFetch(session)
     val spark = session.repo.spark
     session.refs(path)
       .repartition(spark.sparkContext.defaultParallelism * 2, col("coord"))

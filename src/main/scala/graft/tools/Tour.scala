@@ -149,6 +149,26 @@ object Tour {
     val check = TensorPlane.values(after, "/climate/temp", "int64")
       .agg(sum("value")).head().getLong(0)
     println(s"[tour] post-gc sum(value)=$check")
+    // --- vcc:// virtual refs against a named container ---
+    val extDir = java.nio.file.Files.createTempDirectory("graft-ext")
+    java.nio.file.Files.write(extDir.resolve("blob.bin"),
+      Array.tabulate(32)(_.toByte))
+    val vccRepo = Repository.create(
+      Store.local(java.nio.file.Files.createTempDirectory("graft-vcc").toString),
+      spark, GraftConfig(), new graft.virt.VirtualChunkResolver(Seq(
+        graft.virt.VirtualChunkContainer("file://" + extDir, name = "ext1"))))
+    val vs = vccRepo.writableSession("main")
+    vs.addArray("/v", Seq(32), Seq(8))
+    vs.setVirtualRef("/v", Seq(0), "vcc://ext1/blob.bin", 0, 8)
+    try vs.setVirtualRef("/v", Seq(1), "vcc://unknown/x", 0, 1)
+    catch { case e: GraftException =>
+      println(s"[tour] vcc rejected at set-time: ${e.getMessage}") }
+    vs.commit("vcc")
+    val vval = TensorPlane.values(
+      vccRepo.readonlySession(VersionRef.Branch("main")), "/v", "int8")
+    println(s"[tour] vcc values sum=" +
+      vval.agg(sum(col("value"))).head().getLong(0))
+
     spark.stop()
     println("[tour] OK")
   }

@@ -98,9 +98,23 @@ final class ZarrStore(val session: Session) {
         java.util.Arrays.copyOfRange(bytes, f, t)
     }
 
-  /** Vectorized multi-get (`get_partial_values`, store.rs:199-253). */
-  def getPartialValues(reqs: Seq[(String, Option[(Long, Long)])]): Seq[Option[Array[Byte]]] =
-    reqs.map { case (k, r) => get(k, r) }
+  /** Vectorized multi-get with bounded concurrency (default 10 — the
+    * reference's `get_partial_values` concurrency, config.rs:576-578;
+    * store.rs:199-253).
+    */
+  def getPartialValues(reqs: Seq[(String, Option[(Long, Long)])],
+                       concurrency: Int = 10): Seq[Option[Array[Byte]]] = {
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(1, math.min(concurrency, reqs.size.max(1))))
+    try {
+      import scala.jdk.CollectionConverters._
+      val tasks: Seq[java.util.concurrent.Callable[Option[Array[Byte]]]] =
+        reqs.map { case (k, r) =>
+          (() => get(k, r)): java.util.concurrent.Callable[Option[Array[Byte]]]
+        }
+      pool.invokeAll(tasks.asJava).asScala.map(_.get()).toSeq
+    } finally pool.shutdown()
+  }
 
   /** `Store::set` (store.rs:275): metadata docs create/update nodes; chunk
     * keys write chunk bytes (inline vs object per threshold).

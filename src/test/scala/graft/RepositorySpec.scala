@@ -259,6 +259,30 @@ class RepositorySpec extends SparkTestBase {
       (10 until 15).map(_.toByte).toSeq)
   }
 
+  test("vcc:// relative virtual refs expand against named containers") {
+    val ext = tmpDir("ext")
+    val extFile = java.nio.file.Paths.get(ext, "blob.bin")
+    java.nio.file.Files.write(extFile, Array.tabulate(50)(_.toByte))
+    val resolver = new graft.virt.VirtualChunkResolver(Seq(
+      graft.virt.VirtualChunkContainer("file://" + ext, name = "ext1")))
+    val repo = Repository.create(Store.local(tmpDir("repo")), spark,
+      GraftConfig(), resolver)
+    val s = repo.writableSession("main")
+    s.addArray("/v", Seq(100), Seq(10))
+    s.setVirtualRef("/v", Seq(0), "vcc://ext1/blob.bin", offset = 5,
+      length = 3)
+    intercept[GraftException](
+      s.setVirtualRef("/v", Seq(1), "vcc://nope/blob.bin", 0, 1))
+    s.commit("vcc")
+    val ro = repo.readonlySession(VersionRef.Branch("main"))
+    // driver fetch path
+    assert(ro.getChunk("/v", Seq(0)).get.toSeq ==
+      Seq(5.toByte, 6.toByte, 7.toByte))
+    // executor fetch path (value plane over the same vcc ref)
+    val v = graft.tensor.TensorPlane.values(ro, "/v", "int8")
+    assert(v.count() == 3)
+  }
+
   test("ops log records operations newest-first with monotone timestamps") {
     val repo = Repository.create(Store.local(tmpDir("repo")), spark)
     val s = repo.writableSession("main")
