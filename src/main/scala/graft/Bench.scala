@@ -43,6 +43,8 @@ object Bench {
     // (benchmarks/datasets.py:392-414: 500 M elements / 1000-element chunks)
     val refCount = sys.env.getOrElse("SPARK_GRAFT_BENCH_REFS", "500000").toInt
     val dir = java.nio.file.Files.createTempDirectory("graft-bench")
+    // engine workloads must never take the query timings down with them:
+    // any failure below still leaves a complete JSON line for the driver
     try {
       val repo = Repository.create(Store.local(dir.toString), spark,
         GraftConfig(splits = Seq(SplitRule(".*", 0, refCount / 100))))
@@ -121,8 +123,12 @@ object Bench {
         graft.tensor.TensorPlane.valuesOfRefs(ro, node, slab, "int64", "raw")
           .agg(sum(col("value"))).head()
       }
+    } catch {
+      case t: Throwable =>
+        System.err.println(s"[bench] engine workloads aborted: $t")
     } finally {
-      org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+      try org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+      catch { case _: Throwable => () }
     }
 
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -10,7 +10,7 @@ import graft.storage.Store
   *
   * {{{
   *   runMain graft.tools.Cli <repoDir> init
-  *   runMain graft.tools.Cli <repoDir> log [ref]
+  *   runMain graft.tools.Cli <repoDir> log [ref] | log --graph
   *   runMain graft.tools.Cli <repoDir> branch list|create <n> [ref]|delete <n>|reset <n> <snap>
   *   runMain graft.tools.Cli <repoDir> tag list|create <n> [ref]|delete <n>
   *   runMain graft.tools.Cli <repoDir> ls [prefix]
@@ -52,6 +52,8 @@ object Cli {
       }
       val repo = Repository.open(Store.local(dir), spark)
       (cmd, rest) match {
+        case ("log", "--graph" :: _) =>
+          print(graft.vc.AncestryGraph.render(repo))
         case ("log", refName) =>
           val ref = refName.headOption.map(parseRef(repo, _))
             .getOrElse(VersionRef.Branch("main"))
