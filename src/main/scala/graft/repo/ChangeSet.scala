@@ -29,7 +29,9 @@ final class ChangeSet {
     */
   val rewrittenNodes: mutable.Set[String] = mutable.Set()
 
-  private val pointEdits = mutable.ArrayBuffer[ChunkRef]()
+  // point edits remember the batchSeq at insertion time, so precedence is
+  // fully chronological across point writes AND staged batches
+  private val pointEdits = mutable.ArrayBuffer[(ChunkRef, Int)]()
   private val stagedBatches = mutable.ArrayBuffer[DataFrame]() // full ChunkRef schema + _batch
   private var batchSeq = 0
   /** (node, coord) sets to drop from our edits (rebase UseTheirs). */
@@ -42,7 +44,7 @@ final class ChangeSet {
 
   def hasChunkChanges: Boolean = pointEdits.nonEmpty || stagedBatches.nonEmpty
 
-  def setChunkRef(ref: ChunkRef): Unit = pointEdits += ref
+  def setChunkRef(ref: ChunkRef): Unit = pointEdits += ((ref, batchSeq))
 
   /** Stage a distributed batch of chunk refs (full [[ChunkRef]] columns). */
   def stageBatch(df: DataFrame): Unit = {
@@ -54,7 +56,7 @@ final class ChangeSet {
     * batches contribute their distinct node ids — computed lazily).
     */
   def chunkEditNodeIds(spark: SparkSession): Set[String] = {
-    val local = pointEdits.map(_.node_id).toSet
+    val local = pointEdits.map(_._1.node_id).toSet
     val staged =
       if (stagedBatches.isEmpty) Set.empty[String]
       else stagedBatches.map(_.select("node_id")).reduce(_ union _)
@@ -70,12 +72,13 @@ final class ChangeSet {
     import spark.implicits._
     val point =
       if (pointEdits.isEmpty) None
-      // the buffer itself is last-write-wins by position
+      // a point edit outranks staged batches BEFORE it (seq + 0.5) and
+      // loses to batches staged after; among point edits, buffer position
+      // (last-write-wins within the same window)
       else Some(spark.createDataset(pointEdits.zipWithIndex.map {
-        case (r, i) => (r, i)
-      }.toSeq).toDF("ref", "_i")
-        .select(col("ref.*"), (lit(batchSeq + 1) + col("_i") /
-          lit(math.max(pointEdits.size, 1).toDouble)).as("_batch")))
+        case ((r, seq), i) => (r, seq.toDouble + 0.5 + i * 1e-9)
+      }.toSeq).toDF("ref", "_batch")
+        .select(col("ref.*"), col("_batch")))
     val all = (stagedBatches.map(_.withColumn("_batch",
       col("_batch").cast("double"))) ++ point).reduceOption(_ unionByName _)
       .getOrElse(spark.emptyDataset[ChunkRef].toDF()
@@ -111,13 +114,13 @@ final class ChangeSet {
     other.deletedNodes.foreach { case (k, v) => deletedNodes.put(k, v) }
     moves ++= other.moves
     rewrittenNodes ++= other.rewrittenNodes
-    other.pointEdits.foreach(setChunkRef)
+    other.pointEdits.foreach { case (r, _) => setChunkRef(r) }
     other.stagedBatches.foreach { df => stageBatch(df.drop("_batch")) }
     exclusions ++= other.exclusions
   }
 
   def clearChunks(nodeId: String): Unit = {
-    pointEdits.filterInPlace(_.node_id != nodeId)
+    pointEdits.filterInPlace(_._1.node_id != nodeId)
     // staged batches are filtered lazily
     if (stagedBatches.nonEmpty) {
       val filtered = stagedBatches.map(_.filter(col("node_id") =!= nodeId))

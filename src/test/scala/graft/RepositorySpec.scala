@@ -218,6 +218,31 @@ class RepositorySpec extends SparkTestBase {
       .getChunk("/a", Seq(4)).get.toSeq == Seq(1.toByte))
   }
 
+  test("edit precedence is chronological across point and staged writes") {
+    val repo = Repository.create(Store.local(tmpDir("repo")), spark)
+    val s0 = repo.writableSession("main")
+    s0.addArray("/a", Seq(10), Seq(1))
+    s0.commit("init")
+
+    def stagedRef(c: Int, loc: String) = spark.range(1).select(
+      array(lit(c)).as("coord"), lit("virtual").as("kind"),
+      lit(loc).as("location"), lit(0L).as("offset"), lit(1L).as("length"))
+
+    val s = repo.writableSession("main")
+    // point write, then staged batch on the same coord -> staged wins
+    s.writeChunk("/a", Seq(0), Array[Byte](1))
+    s.stageChunkRefs("/a", stagedRef(0, "file:///ext/later"))
+    // staged batch, then point write on the same coord -> point wins
+    s.stageChunkRefs("/a", stagedRef(1, "file:///ext/earlier"))
+    s.writeChunk("/a", Seq(1), Array[Byte](9))
+    s.commit("precedence")
+
+    val ro = repo.readonlySession(VersionRef.Branch("main"))
+    assert(ro.getChunkRef("/a", Seq(0)).exists(r =>
+      r.kind == "virtual" && r.location == "file:///ext/later"))
+    assert(ro.getChunkRef("/a", Seq(1)).exists(_.kind == "inline"))
+  }
+
   test("session fork/merge (distributed write pattern)") {
     val repo = Repository.create(Store.local(tmpDir("repo")), spark)
     val s0 = repo.writableSession("main")
