@@ -347,6 +347,14 @@ object Queries {
     Similarity.bruteForceTopK(emb, query, 20)
   }
 
+  /** Batched ANN join: top-k neighbors for EVERY vector via shared LSH
+    * buckets (no SQL oracle — approximate).
+    */
+  val q_ann_neighbors: Q = (s, d) =>
+    Similarity.neighborsPerVector(t(s, d, "embeddings"), k = 5,
+        numPlanes = 6)
+      .orderBy("id_a", "rank")
+
   /** LSH-bucketed ANN top-k (no SQL oracle — recall is approximate). */
   val q_similarity_ann: Q = (s, d) => {
     val emb = t(s, d, "embeddings")
@@ -448,6 +456,7 @@ object Queries {
     "q_embedding_neardups" -> q_embedding_neardups,
     "q_similarity_topk" -> q_similarity_topk,
     "q_similarity_ann" -> q_similarity_ann,
+    "q_ann_neighbors" -> q_ann_neighbors,
     "q_text_analysis" -> q_text_analysis,
     "q_quality_score" -> q_quality_score,
     "q_fingerprint" -> q_fingerprint,

@@ -93,6 +93,33 @@ final class FlakyStore(inner: Store,
     { maybeFail("deletePrefix"); inner.deletePrefix(prefix) }
 }
 
+/** Operation logging (logging.rs analog): counts + logs each op. */
+final class LoggingStore(inner: Store,
+                         log: String => Unit = s => System.err.println(s))
+    extends Store {
+  val counts = new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]()
+  private def rec(op: String, key: String): Unit = {
+    counts.computeIfAbsent(op,
+      _ => new java.util.concurrent.atomic.AtomicLong()).incrementAndGet()
+    log(s"[store] $op $key")
+  }
+  override def rootUri: String = inner.rootUri
+  override def getBytes(key: String): Array[Byte] =
+    { rec("getBytes", key); inner.getBytes(key) }
+  override def putBytes(key: String, bytes: Array[Byte]): Unit =
+    { rec("putBytes", key); inner.putBytes(key, bytes) }
+  override def putIfAbsent(key: String, bytes: Array[Byte]): Boolean =
+    { rec("putIfAbsent", key); inner.putIfAbsent(key, bytes) }
+  override def list(prefix: String): Seq[ObjectInfo] =
+    { rec("list", prefix); inner.list(prefix) }
+  override def exists(key: String): Boolean =
+    { rec("exists", key); inner.exists(key) }
+  override def delete(keys: Iterable[String]): Unit =
+    { rec("delete", s"${keys.size} keys"); inner.delete(keys) }
+  override def deletePrefix(prefix: String): Unit =
+    { rec("deletePrefix", prefix); inner.deletePrefix(prefix) }
+}
+
 /** Latency injection (latency.rs analog): fixed delay per operation. */
 final class LatencyStore(inner: Store, delayMs: Long) extends Store {
   private def d(): Unit = Thread.sleep(delayMs)

@@ -153,8 +153,10 @@ object Tour {
     val extDir = java.nio.file.Files.createTempDirectory("graft-ext")
     java.nio.file.Files.write(extDir.resolve("blob.bin"),
       Array.tabulate(32)(_.toByte))
-    val vccRepo = Repository.create(
+    val vccLog = new graft.storage.LoggingStore(
       Store.local(java.nio.file.Files.createTempDirectory("graft-vcc").toString),
+      log = _ => ()) // count ops silently
+    val vccRepo = Repository.create(vccLog,
       spark, GraftConfig(), new graft.virt.VirtualChunkResolver(Seq(
         graft.virt.VirtualChunkContainer("file://" + extDir, name = "ext1"))))
     val vs = vccRepo.writableSession("main")
@@ -168,6 +170,9 @@ object Tour {
       vccRepo.readonlySession(VersionRef.Branch("main")), "/v", "int8")
     println(s"[tour] vcc values sum=" +
       vval.agg(sum(col("value"))).head().getLong(0))
+    import scala.jdk.CollectionConverters._
+    println(s"[tour] store op counts: " + vccLog.counts.asScala.toSeq
+      .sortBy(_._1).map { case (k, v) => s"$k=$v" }.mkString(" "))
 
     spark.stop()
     println("[tour] OK")
