@@ -164,7 +164,8 @@ object Oracles {
         |  FROM lineitem),
         |  r2 AS (SELECT l_returnflag, ofrom,
         |    least(ofrom + len, 8192) AS oto FROM r)
-        |SELECT l_returnflag, sum(oto - ofrom) AS bytes, count(*) AS n
+        |SELECT l_returnflag, CAST(sum(oto - ofrom) AS BIGINT) AS bytes,
+        |  count(*) AS n
         |FROM r2 GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q_stream_window" ->
@@ -183,7 +184,8 @@ object Oracles {
         |  g AS (SELECT user_id,
         |    CASE WHEN sec - prev_sec > 1800 THEN 1 ELSE 0 END AS gap
         |  FROM w)
-        |SELECT user_id, sum(gap) + 1 AS n_sessions, count(*) AS n_events
+        |SELECT user_id, CAST(sum(gap) + 1 AS BIGINT) AS n_sessions,
+        |  count(*) AS n_events
         |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "q_dedup_exact" ->

@@ -418,12 +418,20 @@ object Queries {
       .agg(count(lit(1)).as("n_sampled"))
       .orderBy("doc_id")
 
-  /** Full multimodal features incl. stub decode (no SQL oracle). */
+  /** Full multimodal features incl. stub decode (no SQL oracle).
+    * The feature vector is projected to a CSV string + scalar sum so the
+    * driver's pandas sort/hash can handle it (raw ARRAY<DOUBLE> is
+    * unhashable there).
+    */
   val q_multimodal_features: Q = (s, d) =>
     Multimodal.extractFeatures(
         t(s, d, "documents").select(col("doc_id"),
           encode(col("text"), "utf-8").as("media")), "media")
-      .select(col("doc_id"), col("features"))
+      .select(col("doc_id"),
+        array_join(transform(col("features"), f => f.cast("string")), ",")
+          .as("features_csv"),
+        round(aggregate(col("features"), lit(0.0), (a, x) => a + x), 6)
+          .as("features_sum"))
       .orderBy("doc_id")
 
   val all: Map[String, Q] = Map(

@@ -114,8 +114,16 @@ final class ChangeSet {
     other.deletedNodes.foreach { case (k, v) => deletedNodes.put(k, v) }
     moves ++= other.moves
     rewrittenNodes ++= other.rewrittenNodes
-    other.pointEdits.foreach { case (r, _) => setChunkRef(r) }
-    other.stagedBatches.foreach { df => stageBatch(df.drop("_batch")) }
+    // Preserve other's INTERNAL chronology: shift all of its seqs (point
+    // edits and staged batches alike) past ours, instead of flattening its
+    // point edits to the current seq — otherwise a batch that chronologically
+    // preceded a point edit inside `other` would outrank it after merge.
+    val offset = batchSeq
+    other.pointEdits.foreach { case (r, seq) => pointEdits += ((r, seq + offset)) }
+    other.stagedBatches.foreach { df =>
+      stagedBatches += df.withColumn("_batch", col("_batch") + lit(offset))
+    }
+    batchSeq = offset + other.batchSeq
     exclusions ++= other.exclusions
   }
 
