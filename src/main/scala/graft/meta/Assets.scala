@@ -6,16 +6,29 @@ import org.apache.spark.sql.functions._
 import graft.core.Ids
 import graft.storage.Store
 
-/** Key layout on storage (spec-v2.md:160-170). */
+/** Key layout on storage (spec-v2.md:160-170).
+  *
+  * Pointer generations are encoded '''reverse-ordered''' (`MaxGen - gen`)
+  * so the LATEST generation is the lexicographically FIRST key under
+  * `repo/r.` — "what is the tip?" is one single-key listing page, O(1)
+  * regardless of history length (the reference keeps one mutable `repo`
+  * object + bounded `overwritten/` backups, repo_info.rs:90,
+  * spec-v2.md:60-81; an append-only chain needs the reverse trick instead).
+  */
 object Layout {
-  val PointerPrefix = "repo/"
-  def pointerKey(gen: Long): String = f"repo/r.$gen%020d.json"
+  val PointerPrefix = "repo/r."
+  val MaxGen: Long = 99999999999999L // 14 digits; ~3 kHz commits for 1000y
+  def pointerKey(gen: Long): String = {
+    require(gen >= 0 && gen <= MaxGen, s"gen out of range: $gen")
+    f"repo/r.${MaxGen - gen}%014d.json"
+  }
   def genOf(key: String): Long =
-    key.stripPrefix(PointerPrefix).stripPrefix("r.").stripSuffix(".json").toLong
+    MaxGen - key.stripPrefix(PointerPrefix).stripSuffix(".json").toLong
   def snapshotKey(id: String): String = s"snapshots/$id.json"
   def manifestPrefix(id: String): String = s"manifests/$id"
   def txLogPrefix(id: String): String = s"transactions/$id"
   def chunkKey(id: String): String = s"chunks/$id"
+  def stagingPrefix(token: String): String = s"staging/$token"
 }
 
 /** The repo pointer chain: load-latest + compare-and-swap.
@@ -26,12 +39,13 @@ object Layout {
   * storage.rs:578-587, re-expressed over an append-only file chain).
   */
 final class RepoPointer(store: Store) {
-  /** Latest generation number on storage, or -1 if uninitialized. */
-  def latestGen(): Long = {
-    val gens = store.list(Layout.PointerPrefix)
-      .map(_.key).filter(_.endsWith(".json")).map(Layout.genOf)
-    if (gens.isEmpty) -1L else gens.max
-  }
+  /** Latest generation number on storage, or -1 if uninitialized. One
+    * single-key listing page thanks to the reverse key encoding — every
+    * open/commit pays O(1), not O(history).
+    */
+  def latestGen(): Long =
+    store.listPage(Layout.PointerPrefix, None, 1)
+      .headOption.map(o => Layout.genOf(o.key)).getOrElse(-1L)
 
   def load(): Option[RepoInfo] = {
     val g = latestGen()
@@ -51,20 +65,50 @@ final class RepoPointer(store: Store) {
 
   /** Full ops history: the ring in the tip plus older generations' rings
     * (the generation chain IS the `overwritten/` history of the reference,
-    * repository.rs:1082-1133). Driver-side paging, newest first.
+    * repository.rs:1082-1133). Driver-side paging, newest first; stops at
+    * the GC-pruned horizon (old generations past the ops ring are
+    * deletable, [[graft.ops.Maintenance]]).
     */
   def opsLog(maxEntries: Int = Int.MaxValue): Seq[OpLogEntry] = {
     val out = scala.collection.mutable.ArrayBuffer[OpLogEntry]()
     var g = latestGen()
     var lastSeen: Set[String] = Set.empty
     while (g >= 0 && out.size < maxEntries) {
-      val info = loadGen(g)
+      val info =
+        try loadGen(g)
+        catch { case _: Exception => return out.distinct.take(maxEntries).toSeq }
       val fresh = info.ops.filterNot(e => lastSeen.contains(e.ts + e.op + e.detail))
       out ++= fresh.sortBy(_.ts).reverse
       lastSeen = info.ops.map(e => e.ts + e.op + e.detail).toSet
       g -= 1
     }
     out.distinct.take(maxEntries).toSeq
+  }
+
+  /** Prune pointer generations older than `keep` behind the tip (the
+    * bounded `overwritten/` history of spec-v2.md:60-81). Returns the
+    * number of generations deleted.
+    */
+  def pruneGenerations(keep: Int): Int = {
+    val tip = latestGen()
+    val horizon = tip - math.max(1, keep)
+    if (horizon < 0) return 0
+    // reverse encoding: generations <= horizon sort strictly AFTER the
+    // horizon+1 key — page forward from there and delete
+    var deleted = 0
+    var after: Option[String] = Some(Layout.pointerKey(horizon + 1))
+    var more = true
+    while (more) {
+      val page = store.listPage(Layout.PointerPrefix, after, 1000)
+      if (page.isEmpty) more = false
+      else {
+        store.delete(page.map(_.key))
+        deleted += page.size
+        after = Some(page.last.key)
+        more = page.size == 1000
+      }
+    }
+    deleted
   }
 }
 
@@ -248,10 +292,9 @@ final class AssetManager(val store: Store, spark: SparkSession) {
     id
   }
 
-  def readChunk(id: String, offset: Long, length: Long): Array[Byte] = {
-    val all = store.getBytes(Layout.chunkKey(id))
-    if (offset == 0 && (length == 0 || length == all.length)) all
-    else java.util.Arrays.copyOfRange(all, offset.toInt,
-      (offset + (if (length == 0) all.length - offset else length)).toInt)
-  }
+  /** Ranged chunk read — a 4 KB slice of a 128 MB chunk is one ranged GET,
+    * not a whole-object fetch (get_object_range, storage.rs:196-206).
+    */
+  def readChunk(id: String, offset: Long, length: Long): Array[Byte] =
+    store.getRange(Layout.chunkKey(id), offset, length)
 }

@@ -22,6 +22,9 @@ final class Repository private (
     val config: GraftConfig,
     val virtualResolver: VirtualChunkResolver) {
 
+  // make graft:// store roots (S3 backends) readable by Spark's Parquet IO
+  graft.storage.hadoop.GraftFileSystem.register(spark, store)
+
   val assets = new AssetManager(store, spark)
   val pointer = new RepoPointer(store)
 

@@ -1,5 +1,6 @@
 package graft.storage
 
+import java.nio.channels.Channels
 import java.nio.file.{Files, Path, Paths, StandardCopyOption, StandardOpenOption}
 import java.util.Comparator
 import scala.jdk.CollectionConverters._
@@ -8,11 +9,18 @@ import scala.jdk.CollectionConverters._
   *
   * Mirrors the reference `Storage` trait (icechunk-storage/src/storage.rs:
   * 476-618): get/put/list/delete plus the *conditional create* primitive that
-  * makes commits serializable. On S3 `putIfAbsent` is a conditional PUT with
-  * `If-None-Match: *`; on local FS it is `CREATE_NEW` (atomic fail-if-exists).
-  * The commit protocol only ever needs put-if-absent because the mutable repo
-  * pointer is modeled as a monotonically numbered file chain (one file per
-  * generation), like a transaction log — see [[graft.meta.RepoPointer]].
+  * makes commits serializable, plus the two primitives that matter at 100 TB:
+  *
+  *  - '''ranged GETs''' (`getRange`) — serving a 4 KB partial read must not
+  *    fetch a 128 MB object (`get_object_range`, storage.rs:196-206);
+  *  - '''paged listings''' (`listPage`) — lexicographic pages with
+  *    start-after, so "what is the latest pointer generation?" is one
+  *    single-key page, not an O(history) listing.
+  *
+  * On S3 `putIfAbsent` is a conditional PUT with `If-None-Match: *`; on local
+  * FS it is `CREATE_NEW` (atomic fail-if-exists). The commit protocol only
+  * ever needs put-if-absent because the mutable repo pointer is modeled as a
+  * monotonically numbered file chain — see [[graft.meta.RepoPointer]].
   *
   * All other files (snapshots, manifests, chunks, tx logs) are immutable,
   * write-once — the discipline both object stores and Spark jobs want
@@ -21,22 +29,104 @@ import scala.jdk.CollectionConverters._
 final case class ObjectInfo(key: String, size: Long, mtimeMillis: Long)
 
 trait Store {
-  /** Root URI usable by `spark.read` / `df.write` (e.g. `file:/...`). */
+  /** Root URI usable by `spark.read` / `df.write` (e.g. `file:/...`, or a
+    * `graft://` URI served by [[graft.storage.hadoop.GraftFileSystem]]).
+    */
   def rootUri: String
   def uri(key: String): String = rootUri.stripSuffix("/") + "/" + key
 
+  /** Serializable descriptor that re-opens an equivalent (undecorated)
+    * store — how executor-side tasks get a client without shipping the
+    * driver's instance. Decorators delegate to the wrapped store.
+    */
+  def conf: StoreConf
+
   def getBytes(key: String): Array[Byte]
+
+  /** Ranged GET: `length <= 0` means "to end of object". Backends with
+    * native range support (S3 `Range:` header, FS channel reads) override;
+    * the default reads the whole object and slices (correct everywhere,
+    * efficient nowhere).
+    */
+  def getRange(key: String, offset: Long, length: Long): Array[Byte] = {
+    val all = getBytes(key)
+    if (offset == 0 && (length <= 0 || length >= all.length)) all
+    else {
+      val end =
+        if (length <= 0) all.length
+        else math.min(offset + length, all.length.toLong).toInt
+      java.util.Arrays.copyOfRange(all, offset.toInt, end)
+    }
+  }
+
   def putBytes(key: String, bytes: Array[Byte]): Unit
+
   /** Atomic create-if-absent. Returns false (and writes nothing) if the key
     * already exists. This is the single serialization point of the engine.
     */
   def putIfAbsent(key: String, bytes: Array[Byte]): Boolean
+
   /** List keys under a prefix (recursive): (key, sizeBytes, mtimeMillis). */
   def list(prefix: String): Seq[ObjectInfo]
+
+  /** One lexicographically ordered page of keys under `prefix`, strictly
+    * after `startAfter`, at most `maxKeys` entries (ListObjectsV2
+    * semantics). The page is full iff more keys may follow.
+    */
+  def listPage(prefix: String, startAfter: Option[String] = None,
+               maxKeys: Int = 1000): Seq[ObjectInfo] = {
+    val sorted = list(prefix).sortBy(_.key)
+    startAfter.fold(sorted)(sa => sorted.dropWhile(_.key <= sa))
+      .take(maxKeys)
+  }
+
   def exists(key: String): Boolean
+
   def delete(keys: Iterable[String]): Unit
+
   /** Recursive delete of a prefix (directories on FS; key prefix on S3). */
   def deletePrefix(prefix: String): Unit
+
+  /** Copy one object. Object stores do this server-side
+    * (`x-amz-copy-source`) — no byte round-trip through the client.
+    */
+  def copy(srcKey: String, dstKey: String): Unit =
+    putBytes(dstKey, getBytes(srcKey))
+}
+
+/** Serializable store descriptor: ships inside Spark closures so executors
+  * can open their own client (one per JVM via [[StoreConf.cached]]).
+  */
+sealed trait StoreConf extends Serializable {
+  def open(): Store
+}
+
+final case class LocalStoreConf(root: String) extends StoreConf {
+  override def open(): Store = new LocalStore(Paths.get(root))
+}
+
+final case class S3StoreConf(
+    endpoint: String, // e.g. "https://s3.us-east-1.amazonaws.com" or stub URL
+    region: String,
+    bucket: String,
+    prefix: String = "", // key prefix inside the bucket ("" = bucket root)
+    accessKey: String = "", // empty = unsigned requests (stub/anonymous)
+    secretKey: String = "",
+    multipartThresholdBytes: Long = 64L * 1024 * 1024,
+    multipartPartBytes: Long = 32L * 1024 * 1024) extends StoreConf {
+  override def open(): Store = new graft.storage.s3.S3Store(this)
+}
+
+object StoreConf {
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[StoreConf, Store]()
+
+  /** Executor-side client reuse: one store (one HTTP connection pool) per
+    * conf per JVM — the connection-pooling the reference gets from its
+    * shared `object_store` client.
+    */
+  def cached(conf: StoreConf): Store =
+    cache.computeIfAbsent(conf, c => c.open())
 }
 
 /** Local-filesystem store. `putIfAbsent` uses `CREATE_NEW` which is atomic
@@ -46,10 +136,34 @@ trait Store {
 final class LocalStore(val root: Path) extends Store {
   Files.createDirectories(root)
   override def rootUri: String = "file:" + root.toAbsolutePath.toString
+  override def conf: StoreConf = LocalStoreConf(root.toAbsolutePath.toString)
 
   private def p(key: String): Path = root.resolve(key)
 
   override def getBytes(key: String): Array[Byte] = Files.readAllBytes(p(key))
+
+  override def getRange(key: String, offset: Long,
+                        length: Long): Array[Byte] = {
+    val ch = Files.newByteChannel(p(key), StandardOpenOption.READ)
+    try {
+      val size = ch.size()
+      if (offset >= size) return Array.emptyByteArray
+      val n =
+        (if (length <= 0) size - offset
+         else math.min(length, size - offset)).toInt
+      ch.position(offset)
+      val buf = java.nio.ByteBuffer.allocate(n)
+      val in = Channels.newInputStream(ch)
+      val out = buf.array()
+      var done = 0
+      while (done < n) {
+        val r = in.read(out, done, n - done)
+        if (r < 0) throw new java.io.EOFException(key)
+        done += r
+      }
+      out
+    } finally ch.close()
+  }
 
   override def putBytes(key: String, bytes: Array[Byte]): Unit = {
     val path = p(key)
@@ -85,6 +199,26 @@ final class LocalStore(val root: Path) extends Store {
     finally stream.close()
   }
 
+  override def listPage(prefix: String, startAfter: Option[String],
+                        maxKeys: Int): Seq[ObjectInfo] = {
+    // a "prefix" that is half a filename (e.g. "repo/r.") has no directory
+    // to walk — walk the deepest existing parent directory instead
+    val base = {
+      val cand = p(prefix)
+      if (Files.isDirectory(cand)) cand else cand.getParent
+    }
+    if (base == null || !Files.exists(base)) return Nil
+    val stream = Files.walk(base)
+    try stream.iterator().asScala
+      .filter(Files.isRegularFile(_))
+      .map(f => ObjectInfo(root.relativize(f).toString.replace('\\', '/'),
+        Files.size(f), Files.getLastModifiedTime(f).toMillis))
+      .filter(o => o.key.startsWith(prefix) &&
+        startAfter.forall(o.key > _))
+      .toVector.sortBy(_.key).take(maxKeys)
+    finally stream.close()
+  }
+
   override def exists(key: String): Boolean = Files.exists(p(key))
 
   override def delete(keys: Iterable[String]): Unit =
@@ -103,4 +237,12 @@ final class LocalStore(val root: Path) extends Store {
 
 object Store {
   def local(dir: String): LocalStore = new LocalStore(Paths.get(dir))
+
+  /** S3-compatible store (AWS, MinIO, or the in-process
+    * [[graft.storage.s3.S3MemServer]]). The returned store's `rootUri` is a
+    * `graft://` URI — call
+    * [[graft.storage.hadoop.GraftFileSystem.register]] (done automatically
+    * by `Repository.open/create`) so Spark can read/write Parquet on it.
+    */
+  def s3(conf: S3StoreConf): Store = conf.open()
 }

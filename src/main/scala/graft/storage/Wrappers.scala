@@ -28,14 +28,22 @@ final class RetryingStore(inner: Store, maxAttempts: Int = 5,
   }
 
   override def rootUri: String = inner.rootUri
+  override def conf: StoreConf = inner.conf
   override def getBytes(key: String): Array[Byte] =
     retry("get")(inner.getBytes(key))
+  override def getRange(key: String, offset: Long, length: Long): Array[Byte] =
+    retry("getRange")(inner.getRange(key, offset, length))
   override def putBytes(key: String, bytes: Array[Byte]): Unit =
     retry("put")(inner.putBytes(key, bytes))
   override def putIfAbsent(key: String, bytes: Array[Byte]): Boolean =
     inner.putIfAbsent(key, bytes) // protocol-level retry only
   override def list(prefix: String): Seq[ObjectInfo] =
     retry("list")(inner.list(prefix))
+  override def listPage(prefix: String, startAfter: Option[String],
+                        maxKeys: Int): Seq[ObjectInfo] =
+    retry("listPage")(inner.listPage(prefix, startAfter, maxKeys))
+  override def copy(srcKey: String, dstKey: String): Unit =
+    retry("copy")(inner.copy(srcKey, dstKey))
   override def exists(key: String): Boolean =
     retry("exists")(inner.exists(key))
   override def delete(keys: Iterable[String]): Unit =
@@ -77,14 +85,22 @@ final class FlakyStore(inner: Store,
     }
 
   override def rootUri: String = inner.rootUri
+  override def conf: StoreConf = inner.conf
   override def getBytes(key: String): Array[Byte] =
     { maybeFail("getBytes"); inner.getBytes(key) }
+  override def getRange(key: String, offset: Long, length: Long): Array[Byte] =
+    { maybeFail("getRange"); inner.getRange(key, offset, length) }
   override def putBytes(key: String, bytes: Array[Byte]): Unit =
     { maybeFail("putBytes"); inner.putBytes(key, bytes) }
   override def putIfAbsent(key: String, bytes: Array[Byte]): Boolean =
     { maybeFail("putIfAbsent"); inner.putIfAbsent(key, bytes) }
   override def list(prefix: String): Seq[ObjectInfo] =
     { maybeFail("list"); inner.list(prefix) }
+  override def listPage(prefix: String, startAfter: Option[String],
+                        maxKeys: Int): Seq[ObjectInfo] =
+    { maybeFail("listPage"); inner.listPage(prefix, startAfter, maxKeys) }
+  override def copy(srcKey: String, dstKey: String): Unit =
+    { maybeFail("copy"); inner.copy(srcKey, dstKey) }
   override def exists(key: String): Boolean =
     { maybeFail("exists"); inner.exists(key) }
   override def delete(keys: Iterable[String]): Unit =
@@ -104,14 +120,22 @@ final class LoggingStore(inner: Store,
     log(s"[store] $op $key")
   }
   override def rootUri: String = inner.rootUri
+  override def conf: StoreConf = inner.conf
   override def getBytes(key: String): Array[Byte] =
     { rec("getBytes", key); inner.getBytes(key) }
+  override def getRange(key: String, offset: Long, length: Long): Array[Byte] =
+    { rec("getRange", s"$key[$offset+$length]"); inner.getRange(key, offset, length) }
   override def putBytes(key: String, bytes: Array[Byte]): Unit =
     { rec("putBytes", key); inner.putBytes(key, bytes) }
   override def putIfAbsent(key: String, bytes: Array[Byte]): Boolean =
     { rec("putIfAbsent", key); inner.putIfAbsent(key, bytes) }
   override def list(prefix: String): Seq[ObjectInfo] =
     { rec("list", prefix); inner.list(prefix) }
+  override def listPage(prefix: String, startAfter: Option[String],
+                        maxKeys: Int): Seq[ObjectInfo] =
+    { rec("listPage", prefix); inner.listPage(prefix, startAfter, maxKeys) }
+  override def copy(srcKey: String, dstKey: String): Unit =
+    { rec("copy", s"$srcKey -> $dstKey"); inner.copy(srcKey, dstKey) }
   override def exists(key: String): Boolean =
     { rec("exists", key); inner.exists(key) }
   override def delete(keys: Iterable[String]): Unit =
@@ -124,12 +148,20 @@ final class LoggingStore(inner: Store,
 final class LatencyStore(inner: Store, delayMs: Long) extends Store {
   private def d(): Unit = Thread.sleep(delayMs)
   override def rootUri: String = inner.rootUri
+  override def conf: StoreConf = inner.conf
   override def getBytes(key: String): Array[Byte] = { d(); inner.getBytes(key) }
+  override def getRange(key: String, offset: Long, length: Long): Array[Byte] =
+    { d(); inner.getRange(key, offset, length) }
   override def putBytes(key: String, bytes: Array[Byte]): Unit =
     { d(); inner.putBytes(key, bytes) }
   override def putIfAbsent(key: String, bytes: Array[Byte]): Boolean =
     { d(); inner.putIfAbsent(key, bytes) }
   override def list(prefix: String): Seq[ObjectInfo] = { d(); inner.list(prefix) }
+  override def listPage(prefix: String, startAfter: Option[String],
+                        maxKeys: Int): Seq[ObjectInfo] =
+    { d(); inner.listPage(prefix, startAfter, maxKeys) }
+  override def copy(srcKey: String, dstKey: String): Unit =
+    { d(); inner.copy(srcKey, dstKey) }
   override def exists(key: String): Boolean = { d(); inner.exists(key) }
   override def delete(keys: Iterable[String]): Unit = { d(); inner.delete(keys) }
   override def deletePrefix(prefix: String): Unit =

@@ -1,0 +1,262 @@
+package graft.storage.s3
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.charset.StandardCharsets.UTF_8
+import java.time.Instant
+import scala.jdk.CollectionConverters._
+import graft.storage.{ObjectInfo, S3StoreConf, Store, StoreConf,
+  TransientStorageException}
+
+/** S3-compatible object store over `java.net.http` — the functional
+  * equivalent of the reference's native S3 backend
+  * (icechunk-s3/src/lib.rs): SigV4-signed requests, conditional PUT
+  * (`If-None-Match: *`) for the commit CAS, '''ranged GETs''' (`Range:`
+  * header), paged `ListObjectsV2`, batched `DeleteObjects`, server-side
+  * copy, and multipart upload above a size threshold.
+  *
+  * Works against AWS, MinIO, or the in-process [[S3MemServer]] (the test
+  * harness). Addressing is path-style (`endpoint/bucket/key`) so
+  * non-DNS-bucket endpoints work. Empty `accessKey` sends unsigned
+  * requests (stub/anonymous access).
+  *
+  * `rootUri` is a `graft://` URI understood by
+  * [[graft.storage.hadoop.GraftFileSystem]], which adapts this store for
+  * Spark's Parquet reader/writer — on a production cluster with s3a on the
+  * classpath you would point Spark at `s3a://bucket/prefix` directly and
+  * keep this client for the engine's object plane only.
+  */
+final class S3Store(val s3conf: S3StoreConf) extends Store {
+  import s3conf._
+
+  private val http = HttpClient.newBuilder()
+    .followRedirects(HttpClient.Redirect.NORMAL)
+    .connectTimeout(java.time.Duration.ofSeconds(30))
+    .build()
+
+  /** Stable authority for the graft:// filesystem: unique per
+    * (endpoint, bucket, prefix).
+    */
+  val authority: String = "s3-" +
+    Integer.toHexString((endpoint, bucket, prefix).hashCode()).toLowerCase +
+    "-" + bucket.toLowerCase.replaceAll("[^a-z0-9]", "")
+
+  override def rootUri: String = s"graft://$authority"
+  override def conf: StoreConf = s3conf
+
+  private def fullKey(key: String): String =
+    if (prefix.isEmpty) key else prefix.stripSuffix("/") + "/" + key
+
+  /** RFC 3986 encode each path segment, keep the '/' separators. */
+  private def encPath(key: String): String =
+    key.split("/", -1).map { seg =>
+      java.net.URLEncoder.encode(seg, UTF_8)
+        .replace("+", "%20").replace("*", "%2A").replace("%7E", "~")
+    }.mkString("/")
+
+  private def encQ(v: String): String =
+    java.net.URLEncoder.encode(v, UTF_8)
+      .replace("+", "%20").replace("*", "%2A").replace("%7E", "~")
+
+  private def objectUri(key: String, query: String = ""): URI =
+    URI.create(endpoint.stripSuffix("/") + "/" + bucket + "/" +
+      encPath(fullKey(key)) + (if (query.isEmpty) "" else "?" + query))
+
+  private def bucketUri(query: String): URI =
+    URI.create(endpoint.stripSuffix("/") + "/" + bucket + "?" + query)
+
+  private val EmptySha = SigV4.sha256Hex(Array.emptyByteArray)
+
+  private def send(method: String, uri: URI, body: Array[Byte],
+                   headers: Map[String, String] = Map.empty)
+      : HttpResponse[Array[Byte]] = {
+    val payloadSha =
+      if (body == null) EmptySha else SigV4.sha256Hex(body)
+    val signed =
+      if (accessKey.isEmpty) headers
+      else headers ++ SigV4.sign(method, uri, payloadSha, region,
+        accessKey, secretKey,
+        headers.filter(_._1.toLowerCase.startsWith("x-amz-")))
+    val b = HttpRequest.newBuilder(uri).method(method,
+      if (body == null) HttpRequest.BodyPublishers.noBody()
+      else HttpRequest.BodyPublishers.ofByteArray(body))
+    if (accessKey.nonEmpty)
+      b.header("x-amz-content-sha256", payloadSha)
+    signed.foreach { case (k, v) =>
+      if (!k.equalsIgnoreCase("host") &&
+          !k.equalsIgnoreCase("x-amz-content-sha256")) b.header(k, v)
+    }
+    try http.send(b.build(), HttpResponse.BodyHandlers.ofByteArray())
+    catch {
+      case e: java.io.IOException =>
+        throw new TransientStorageException(
+          s"$method $uri failed: ${e.getMessage}")
+    }
+  }
+
+  private def failed(op: String, key: String,
+                     r: HttpResponse[Array[Byte]]): Nothing = {
+    val body = new String(r.body(), UTF_8).take(300)
+    if (r.statusCode() == 404)
+      throw new java.nio.file.NoSuchFileException(key)
+    if (r.statusCode() >= 500 || r.statusCode() == 429)
+      throw new TransientStorageException(
+        s"$op $key: HTTP ${r.statusCode()} $body")
+    throw new java.io.UncheckedIOException(new java.io.IOException(
+      s"$op $key: HTTP ${r.statusCode()} $body"))
+  }
+
+  // ---- reads ----
+
+  override def getBytes(key: String): Array[Byte] = {
+    val r = send("GET", objectUri(key), null)
+    if (r.statusCode() == 200) r.body() else failed("GET", key, r)
+  }
+
+  override def getRange(key: String, offset: Long,
+                        length: Long): Array[Byte] = {
+    if (offset == 0 && length <= 0) return getBytes(key)
+    val range =
+      if (length <= 0) s"bytes=$offset-"
+      else s"bytes=$offset-${offset + length - 1}"
+    val r = send("GET", objectUri(key), null, Map("Range" -> range))
+    r.statusCode() match {
+      case 200 | 206 => r.body()
+      case 416 => Array.emptyByteArray // range starts past EOF
+      case _ => failed("GET(range)", key, r)
+    }
+  }
+
+  override def exists(key: String): Boolean = {
+    val r = send("HEAD", objectUri(key), null)
+    r.statusCode() == 200
+  }
+
+  // ---- writes ----
+
+  override def putBytes(key: String, bytes: Array[Byte]): Unit =
+    if (bytes.length >= multipartThresholdBytes) multipartPut(key, bytes)
+    else {
+      val r = send("PUT", objectUri(key), bytes)
+      if (r.statusCode() != 200) failed("PUT", key, r)
+    }
+
+  override def putIfAbsent(key: String, bytes: Array[Byte]): Boolean = {
+    val r = send("PUT", objectUri(key), bytes,
+      Map("If-None-Match" -> "*"))
+    r.statusCode() match {
+      case 200 => true
+      case 412 | 409 => false // S3: 412 PreconditionFailed; GCS XML: 409
+      case _ => failed("PUT(if-absent)", key, r)
+    }
+  }
+
+  override def copy(srcKey: String, dstKey: String): Unit = {
+    val r = send("PUT", objectUri(dstKey), null,
+      Map("x-amz-copy-source" -> ("/" + bucket + "/" +
+        encPath(fullKey(srcKey)))))
+    if (r.statusCode() != 200) failed("COPY", s"$srcKey -> $dstKey", r)
+  }
+
+  /** Multipart upload (initiate → parts → complete) for large objects —
+    * the reference's `put_multipart` path (icechunk-s3/src/lib.rs).
+    */
+  private def multipartPut(key: String, bytes: Array[Byte]): Unit = {
+    val init = send("POST", objectUri(key, "uploads"), Array.emptyByteArray)
+    if (init.statusCode() != 200) failed("POST(uploads)", key, init)
+    val uploadId = xmlField(new String(init.body(), UTF_8), "UploadId")
+      .getOrElse(throw new IllegalStateException("no UploadId"))
+    val partSize = multipartPartBytes.toInt
+    val etags = bytes.grouped(partSize).zipWithIndex.map {
+      case (part, i) =>
+        val n = i + 1
+        val r = send("PUT",
+          objectUri(key, s"partNumber=$n&uploadId=${encQ(uploadId)}"), part)
+        if (r.statusCode() != 200) failed(s"PUT(part $n)", key, r)
+        n -> r.headers().firstValue("ETag").orElse("\"\"")
+    }.toSeq
+    val completion = etags.map { case (n, etag) =>
+      s"<Part><PartNumber>$n</PartNumber><ETag>$etag</ETag></Part>"
+    }.mkString("<CompleteMultipartUpload>", "",
+      "</CompleteMultipartUpload>")
+    val done = send("POST", objectUri(key, s"uploadId=${encQ(uploadId)}"),
+      completion.getBytes(UTF_8))
+    if (done.statusCode() != 200) failed("POST(complete)", key, done)
+  }
+
+  // ---- listing ----
+
+  override def listPage(prefix0: String, startAfter: Option[String],
+                        maxKeys: Int): Seq[ObjectInfo] = {
+    val q = Seq(
+      Some("list-type=2"),
+      Some(s"prefix=${encQ(fullKey(prefix0))}"),
+      Some(s"max-keys=${math.max(1, math.min(maxKeys, 1000))}"),
+      startAfter.map(sa => s"start-after=${encQ(fullKey(sa))}")
+    ).flatten.mkString("&")
+    val r = send("GET", bucketUri(q), null)
+    if (r.statusCode() != 200) failed("LIST", prefix0, r)
+    parseListing(new String(r.body(), UTF_8))
+  }
+
+  override def list(prefix0: String): Seq[ObjectInfo] = {
+    val out = Vector.newBuilder[ObjectInfo]
+    var after: Option[String] = None
+    var more = true
+    while (more) {
+      val page = listPage(prefix0, after, 1000)
+      out ++= page
+      more = page.size == 1000
+      after = page.lastOption.map(_.key)
+    }
+    out.result()
+  }
+
+  private def parseListing(xml: String): Seq[ObjectInfo] = {
+    val doc = javax.xml.parsers.DocumentBuilderFactory.newInstance()
+      .newDocumentBuilder()
+      .parse(new java.io.ByteArrayInputStream(xml.getBytes(UTF_8)))
+    val nodes = doc.getElementsByTagName("Contents")
+    (0 until nodes.getLength).map { i =>
+      val el = nodes.item(i).asInstanceOf[org.w3c.dom.Element]
+      def f(tag: String): String = {
+        val ns = el.getElementsByTagName(tag)
+        if (ns.getLength == 0) "" else ns.item(0).getTextContent
+      }
+      val key = f("Key")
+      val rel =
+        if (prefix.isEmpty) key
+        else key.stripPrefix(prefix.stripSuffix("/") + "/")
+      val mtime =
+        try Instant.parse(f("LastModified")).toEpochMilli
+        catch { case _: Exception => 0L }
+      ObjectInfo(rel, f("Size").toLongOption.getOrElse(0L), mtime)
+    }
+  }
+
+  private def xmlField(xml: String, tag: String): Option[String] = {
+    val m = s"<$tag>([^<]*)</$tag>".r.findFirstMatchIn(xml)
+    m.map(_.group(1))
+  }
+
+  // ---- deletes ----
+
+  override def delete(keys: Iterable[String]): Unit =
+    keys.grouped(1000).foreach { batch =>
+      val body = batch.map(k =>
+        s"<Object><Key>${xmlEscape(fullKey(k))}</Key></Object>")
+        .mkString("<Delete><Quiet>true</Quiet>", "", "</Delete>")
+        .getBytes(UTF_8)
+      val md5 = java.util.Base64.getEncoder.encodeToString(
+        java.security.MessageDigest.getInstance("MD5").digest(body))
+      val r = send("POST", bucketUri("delete"), body,
+        Map("Content-MD5" -> md5))
+      if (r.statusCode() != 200) failed("DELETE(batch)", s"${batch.size} keys", r)
+    }
+
+  override def deletePrefix(prefix0: String): Unit =
+    delete(list(prefix0).map(_.key))
+
+  private def xmlEscape(s: String): String =
+    s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+}

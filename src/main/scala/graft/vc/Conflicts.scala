@@ -169,7 +169,18 @@ object Rebase {
   def rebase(session: Session, info: graft.meta.RepoInfo, tip: String,
              solver: ConflictSolver): Unit = {
     val assets = session.repo.assets
-    val missed = info.ancestry(tip).takeWhile(_.id != session.base.id)
+    val history = info.ancestry(tip)
+    // After a concurrent amend/resetBranch the session base is NOT an
+    // ancestor of the new tip; takeWhile would then treat the whole history
+    // as missed commits and fail confusingly downstream. Detect divergence
+    // up front (session.rs:1925-2016 walks parent links and errors the
+    // same way when the base is unreachable).
+    if (!history.exists(_.id == session.base.id))
+      throw new ConflictException(
+        s"history diverged: session base ${session.base.id} is not an " +
+          s"ancestor of $tip (concurrent amend or branch reset) — " +
+          "re-open the session from the current tip")
+    val missed = history.takeWhile(_.id != session.base.id)
       .map(_.id).reverse
     if (missed.isEmpty) return
     missed.foreach { snapId =>

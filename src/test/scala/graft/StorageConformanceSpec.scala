@@ -1,0 +1,239 @@
+package graft
+
+import graft.repo._
+import graft.storage._
+import graft.storage.s3.{S3MemServer, S3Store}
+
+/** Storage-backend conformance — every [[Store]] implementation must pass
+  * the same contract (mirrors the behaviors covered by the reference's
+  * icechunk/tests/test_storage.rs conformance suite): round-trips, ranged
+  * reads, conditional create, ordered paged listings, batched delete,
+  * server-side copy, multipart upload. Runs over LocalStore and over
+  * [[S3Store]] against the in-process S3 server.
+  */
+class StorageConformanceSpec extends SparkTestBase {
+
+  private def s3Fixture(): (S3MemServer, Store) = {
+    val server = new S3MemServer
+    server.createBucket("graft-test")
+    val store = Store.s3(S3StoreConf(server.endpoint, "us-east-1",
+      "graft-test", prefix = "repo1",
+      accessKey = "testkey", secretKey = "testsecret",
+      multipartThresholdBytes = 256 * 1024, multipartPartBytes = 100 * 1024))
+    (server, store)
+  }
+
+  private def backends: Seq[(String, () => (Store, () => Unit))] = Seq(
+    "local" -> (() => (Store.local(tmpDir("conf-local")), () => ())),
+    "s3" -> (() => {
+      val (server, store) = s3Fixture()
+      (store, () => server.stop())
+    }))
+
+  for ((name, mk) <- backends) {
+    test(s"$name: put/get/exists/delete round-trip") {
+      val (store, close) = mk()
+      try {
+        val payload = Array.tabulate[Byte](10000)(i => (i % 251).toByte)
+        store.putBytes("a/b/obj1", payload)
+        assert(store.exists("a/b/obj1"))
+        assert(store.getBytes("a/b/obj1").toSeq == payload.toSeq)
+        assert(!store.exists("a/b/nope"))
+        intercept[Exception](store.getBytes("a/b/nope"))
+        store.delete(Seq("a/b/obj1"))
+        assert(!store.exists("a/b/obj1"))
+      } finally close()
+    }
+
+    test(s"$name: ranged reads return exact slices") {
+      val (store, close) = mk()
+      try {
+        val payload = Array.tabulate[Byte](100000)(i => (i % 127).toByte)
+        store.putBytes("r/obj", payload)
+        assert(store.getRange("r/obj", 0, -1).toSeq == payload.toSeq)
+        assert(store.getRange("r/obj", 500, 1000).toSeq ==
+          payload.slice(500, 1500).toSeq)
+        assert(store.getRange("r/obj", 99990, 1000).toSeq ==
+          payload.slice(99990, 100000).toSeq) // clamped at EOF
+        assert(store.getRange("r/obj", 50000, -1).toSeq ==
+          payload.drop(50000).toSeq) // open-ended
+        assert(store.getRange("r/obj", 200000, 10).isEmpty) // past EOF
+      } finally close()
+    }
+
+    test(s"$name: putIfAbsent is an atomic conditional create") {
+      val (store, close) = mk()
+      try {
+        assert(store.putIfAbsent("cas/key", Array[Byte](1)))
+        assert(!store.putIfAbsent("cas/key", Array[Byte](2)))
+        assert(store.getBytes("cas/key").toSeq == Seq[Byte](1)) // loser wrote nothing
+        // race many writers on one key: exactly one wins
+        import scala.concurrent._
+        import scala.concurrent.duration._
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+        implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+        val wins = Await.result(Future.sequence((0 until 16).map(i =>
+          Future(store.putIfAbsent("cas/contended", Array[Byte](i.toByte))))),
+          60.seconds)
+        pool.shutdown()
+        assert(wins.count(identity) == 1)
+      } finally close()
+    }
+
+    test(s"$name: listPage pages lexicographically with start-after") {
+      val (store, close) = mk()
+      try {
+        val keys = (0 until 25).map(i => f"list/k$i%03d")
+        keys.foreach(k => store.putBytes(k, Array[Byte](1)))
+        store.putBytes("other/x", Array[Byte](1))
+        val p1 = store.listPage("list/", None, 10)
+        assert(p1.map(_.key) == keys.take(10))
+        val p2 = store.listPage("list/", Some(p1.last.key), 10)
+        assert(p2.map(_.key) == keys.slice(10, 20))
+        val p3 = store.listPage("list/", Some(p2.last.key), 10)
+        assert(p3.map(_.key) == keys.slice(20, 25))
+        assert(store.list("list/").size == 25)
+        assert(store.listPage("list/k01", None, 100).map(_.key) ==
+          keys.filter(_.startsWith("list/k01")))
+      } finally close()
+    }
+
+    test(s"$name: batched delete and deletePrefix") {
+      val (store, close) = mk()
+      try {
+        (0 until 30).foreach(i => store.putBytes(s"del/k$i", Array[Byte](1)))
+        store.delete((0 until 10).map(i => s"del/k$i"))
+        assert(store.list("del/").size == 20)
+        store.deletePrefix("del/")
+        assert(store.list("del/").isEmpty)
+      } finally close()
+    }
+
+    test(s"$name: copy duplicates an object without touching the source") {
+      val (store, close) = mk()
+      try {
+        val payload = "copy me".getBytes
+        store.putBytes("cp/src", payload)
+        store.copy("cp/src", "cp/dst")
+        assert(store.getBytes("cp/dst").toSeq == payload.toSeq)
+        assert(store.getBytes("cp/src").toSeq == payload.toSeq)
+      } finally close()
+    }
+  }
+
+  test("s3: large objects go through multipart upload intact") {
+    val (server, store) = s3Fixture()
+    try {
+      // threshold is 256 KB in the fixture: 1 MB forces multipart
+      val big = Array.tabulate[Byte](1024 * 1024)(i => (i % 13).toByte)
+      store.putBytes("big/obj", big)
+      assert(store.getBytes("big/obj").toSeq == big.toSeq)
+      assert(server.opCounts.get("multipart_init").get() >= 1)
+      assert(server.opCounts.get("multipart_part").get() >= 2)
+      assert(store.getRange("big/obj", 1024 * 512, 16).toSeq ==
+        big.slice(1024 * 512, 1024 * 512 + 16).toSeq)
+    } finally server.stop()
+  }
+
+  test("s3: retrying decorator recovers transient 5xx-style failures") {
+    val (server, store) = s3Fixture()
+    try {
+      val flaky = new FlakyStore(store, failures = 2,
+        failOps = Set("getBytes"))
+      val retrying = new RetryingStore(flaky, maxAttempts = 5,
+        baseBackoffMs = 1)
+      store.putBytes("t/x", Array[Byte](7))
+      assert(retrying.getBytes("t/x").toSeq == Seq[Byte](7))
+    } finally server.stop()
+  }
+}
+
+/** The full engine running against the S3 backend: repository lifecycle,
+  * Spark Parquet IO through the graft:// Hadoop adapter, commits through
+  * conditional PUT, and the O(1) pointer-listing guarantee.
+  */
+class S3RepositorySpec extends SparkTestBase {
+
+  private def freshRepo(): (S3MemServer, Repository) = {
+    val server = new S3MemServer
+    server.createBucket("engine")
+    val store = Store.s3(S3StoreConf(server.endpoint, "us-east-1", "engine",
+      prefix = "repos/alpha", accessKey = "k", secretKey = "s"))
+    (server, Repository.create(store, spark))
+  }
+
+  test("repo on S3: write chunks, commit, read back via Spark") {
+    val (server, repo) = freshRepo()
+    try {
+      val s = repo.writableSession("main")
+      s.addArray("/cube", Seq(8, 8), Seq(4, 4))
+      // 4 chunks, payloads above the inline threshold to force chunk objects
+      for (i <- 0 until 2; j <- 0 until 2)
+        s.writeChunk("/cube", Seq(i, j),
+          Array.fill[Byte](2048)((i * 2 + j).toByte))
+      val c1 = s.commit("four chunks")
+      assert(c1.nonEmpty)
+
+      val ro = repo.readonlySession(VersionRef.Branch("main"))
+      assert(ro.refs("/cube").count() == 4) // manifest Parquet read via graft://
+      assert(ro.getChunk("/cube", Seq(1, 1)).get.head == 3.toByte)
+      // ranged read through the store: offset into the chunk object
+      val ref = ro.getChunkRef("/cube", Seq(0, 1)).get
+      assert(repo.assets.readChunk(ref.chunk_id, 100, 16).toSeq ==
+        Array.fill[Byte](16)(1.toByte).toSeq)
+    } finally server.stop()
+  }
+
+  test("repo on S3: concurrent committers serialize through conditional PUT") {
+    val (server, repo) = freshRepo()
+    try {
+      val s0 = repo.writableSession("main")
+      s0.addArray("/a", Seq(100), Seq(1))
+      s0.commit("init")
+      import scala.concurrent._
+      import scala.concurrent.duration._
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+      val ids = Await.result(Future.sequence((0 until 4).map(w => Future {
+        val s = repo.writableSession("main")
+        s.writeChunk("/a", Seq(w), Array[Byte](w.toByte))
+        s.commit(s"w$w")
+      })), 300.seconds)
+      pool.shutdown()
+      assert(ids.distinct.size == 4)
+      val ro = repo.readonlySession(VersionRef.Branch("main"))
+      assert(ro.refs("/a").count() == 4)
+      assert(server.opCounts.get("put_conditional").get() >= 5) // CAS per commit
+    } finally server.stop()
+  }
+
+  test("repo on S3: pointer lookup lists O(1) keys regardless of history") {
+    val (server, repo) = freshRepo()
+    try {
+      val s0 = repo.writableSession("main")
+      s0.addArray("/a", Seq(1000), Seq(1))
+      s0.commit("init")
+      for (i <- 0 until 30) {
+        val s = repo.writableSession("main")
+        s.writeChunk("/a", Seq(i), Array[Byte](1))
+        s.commit(s"c$i")
+      }
+      // measure: one open + one read must cost a single-key listing page
+      server.listedKeys.set(0)
+      val before = server.opCounts.get("list").get()
+      val ro = repo.readonlySession(VersionRef.Branch("main"))
+      assert(ro.refs("/a").count() == 30)
+      val listCalls = server.opCounts.get("list").get() - before
+      // every pointer-chain list returned exactly ONE key (max-keys=1);
+      // manifest dir listings go through the same counter, so bound keys
+      // per call rather than total calls
+      assert(server.listedKeys.get() <= listCalls * 2,
+        s"listed ${server.listedKeys.get()} keys over $listCalls LIST calls")
+      // and pruning bounds the chain itself
+      val pruned = repo.pointer.pruneGenerations(keep = 5)
+      assert(pruned == 27) // gens 0..26 deleted, tip=31 keep=5
+      assert(repo.pointer.latestGen() == 31)
+      assert(repo.opsLog().nonEmpty) // stops cleanly at pruned horizon
+    } finally server.stop()
+  }
+}
