@@ -136,9 +136,18 @@ object GC {
           .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
       }
 
+    // staging refs (writeValues materialization) from dead sessions, and
+    // pointer generations past the ops ring (the bounded `overwritten/`
+    // history, spec-v2.md:60-81)
+    val deadStaging = store.list("staging/")
+      .filter(_.mtimeMillis < cutoffMs)
+
     val bytes = deadChunks.map(_._2).sum + deadSnaps.map(_.size).sum +
-      deadTx.map(_.size).sum + deadManifestFiles.map(_.size).sum
+      deadTx.map(_.size).sum + deadManifestFiles.map(_.size).sum +
+      deadStaging.map(_.size).sum
     if (!dryRun) {
+      store.delete(deadStaging.map(_.key))
+      repo.pointer.pruneGenerations(keep = repo.config.opsRingSize)
       // batched deletes; at cluster scale this is a foreachPartition over
       // the dead-chunk frame with a per-executor store client
       store.delete(deadChunks.map(c => "chunks/" + c._1))

@@ -24,6 +24,18 @@ final class Session private[repo] (
     val moveOnly: Boolean = false) {
 
   val changeSet = new ChangeSet
+  /** Staging datasets (uploaded-once chunk-ref Parquet under `staging/`)
+    * backing staged batches — deleted on commit/discard, swept by GC if
+    * the session dies.
+    */
+  private val stagingKeys = scala.collection.mutable.ArrayBuffer[String]()
+  private[graft] def trackStaging(key: String): Unit = stagingKeys += key
+  private def cleanupStaging(): Unit = {
+    stagingKeys.foreach(k =>
+      try repo.store.deletePrefix(k)
+      catch { case _: Exception => () }) // GC sweeps stragglers
+    stagingKeys.clear()
+  }
   private def spark: SparkSession = repo.spark
   private def assets: AssetManager = repo.assets
   private def cfg: GraftConfig = repo.config
@@ -402,7 +414,10 @@ final class Session private[repo] (
       s"chunkEdits=${cs.hasChunkChanges}"
   }
 
-  def discardChanges(): Unit = changeSet.discard()
+  def discardChanges(): Unit = {
+    changeSet.discard()
+    cleanupStaging()
+  }
 
   /** Delete every node in the hierarchy except the root group
     * (`Session::clear`, session.rs:1358) — tombstone-all.
@@ -423,6 +438,8 @@ final class Session private[repo] (
   def merge(other: Session): Unit = {
     require(other.base.id == base.id, "can only merge sessions with same base")
     changeSet.merge(other.changeSet)
+    stagingKeys ++= other.stagingKeys
+    other.stagingKeys.clear() // ownership moves: no double delete
   }
 
   /** Write a detached snapshot without moving any branch (`flush`,
@@ -657,6 +674,7 @@ final class Session private[repo] (
       if (repo.pointer.compareAndSwap(info.gen, next)) {
         baseSnapshot = snapshot
         changeSet.discard()
+        cleanupStaging() // refs are in the manifest now
         return snapshot.id
       }
       // lost the CAS race — reload and retry (with rebase if needed)

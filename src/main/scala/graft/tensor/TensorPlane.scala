@@ -18,14 +18,16 @@ import graft.repo.{GraftException, Session}
 object TensorPlane {
 
   private def sessionFetch(session: Session) =
-    fetchBytesUdf(session.repo.store.rootUri,
+    fetchBytesUdf(session.repo.store.conf,
       session.repo.virtualResolver.containerMap)
 
-  /** Fetch chunk bytes on executors from the ref columns. `rootUri` is the
-    * repo store root (`file:` URIs in tests; any Hadoop-readable scheme at
-    * scale — swap the two `readAt` branches for an object-store client).
+  /** Fetch chunk bytes on executors from the ref columns — the reference's
+    * fetch dispatch (session.rs:1274-1317), per-row '''ranged''' GETs
+    * through a per-executor cached store client ([[StoreConf.cached]]:
+    * one connection pool per JVM, any backend). Virtual refs dispatch by
+    * scheme via [[graft.virt.ByteFetch]].
     */
-  def fetchBytesUdf(rootUri: String,
+  def fetchBytesUdf(conf: graft.storage.StoreConf,
                     containers: Map[String, String] = Map.empty) = udf(
     (kind: String, inline: Array[Byte], chunkId: String, location: String,
      offset: Long, length: Long) => {
@@ -41,18 +43,13 @@ object TensorPlane {
               s"no virtual chunk container named '$cname'")
           }
         }
-      def readAt(uri: String): Array[Byte] = {
-        val path = java.nio.file.Paths.get(java.net.URI.create(uri))
-        val all = java.nio.file.Files.readAllBytes(path)
-        if (offset == 0 && (length == 0 || length >= all.length)) all
-        else java.util.Arrays.copyOfRange(all, offset.toInt,
-          math.min(offset + length, all.length).toInt)
-      }
       kind match {
         case ChunkRef.KindInline => inline
         case ChunkRef.KindRef =>
-          readAt(rootUri.stripSuffix("/") + "/chunks/" + chunkId)
-        case ChunkRef.KindVirtual => readAt(expand(location))
+          graft.storage.StoreConf.cached(conf)
+            .getRange(graft.meta.Layout.chunkKey(chunkId), offset, length)
+        case ChunkRef.KindVirtual =>
+          graft.virt.ByteFetch.ranged(expand(location), offset, length)
         case _ => null
       }
     })
@@ -210,10 +207,25 @@ object TensorPlane {
   }
 
   /** Write a (i0..iN, value) DataFrame into an array as chunk objects —
-    * the distributed value-plane sink: rows are bucketed to chunks by
-    * coordinate arithmetic, each chunk is assembled and encoded in one
-    * task (mapPartitions-free: groupBy chunk, collect_list in cell order),
-    * then staged as refs on the session.
+    * the distributed value-plane sink. Scale-shaped plan:
+    *
+    *  1. rows are bucketed to chunks by coordinate arithmetic;
+    *  2. `repartition(coord)` + `sortWithinPartitions(coord, pos)` brings
+    *     each chunk's cells together '''in cell order''' — the shuffle
+    *     moves (coord, pos, value) triples, never materialized chunk
+    *     buffers (a 128 MB chunk would be 16 M structs through ONE
+    *     aggregation buffer under a collect_list plan);
+    *  3. `mapPartitions` streams the sorted run, holding exactly one
+    *     chunk array at a time: fill → encode → compress → upload through
+    *     the per-executor store client;
+    *  4. the resulting refs are '''materialized once''' to a staging
+    *     Parquet dataset under the store, then staged on the session —
+    *     re-evaluating the changeset (flush, tx log, rebase retries)
+    *     re-reads the staging files instead of re-running the upload job
+    *     (no duplicate chunk objects, no write amplification).
+    *
+    * Staging files are deleted on commit/discard ([[Session]]) and swept
+    * by GC if a session dies (ops/Maintenance).
     */
   def writeValues(session: Session, path: String, values: DataFrame,
                   dtype: String, compression: String = "raw"): Unit = {
@@ -224,6 +236,7 @@ object TensorPlane {
     val chunkShape = node.chunkShape
     val ndim = chunkShape.size
     val strides = chunkShape.indices.map(i => chunkShape.drop(i + 1).product)
+    val cells = chunkShape.product.toInt
     val withChunk = values
       .withColumn("coord", array((0 until ndim).map(i =>
         expr(s"i$i div ${chunkShape(i)}").cast("int")): _*))
@@ -231,38 +244,69 @@ object TensorPlane {
         pmod(col(s"i$i"), lit(chunkShape(i))) * strides(i))
         .reduce(_ + _))
     val isInt = ChunkCodec.IntDtypes.contains(dtype)
-    val assemble =
-      if (isInt) udf((vals: Seq[Long], poss: Seq[Long], n: Int) => {
-        val arr = new Array[Long](n)
-        vals.indices.foreach(i => arr(poss(i).toInt) = vals(i))
-        ChunkCodec.compress(ChunkCodec.encodeLongs(arr, dtype), compression)
-      })
-      else udf((vals: Seq[Double], poss: Seq[Long], n: Int) => {
-        val arr = new Array[Double](n)
-        vals.indices.foreach(i => arr(poss(i).toInt) = vals(i))
-        ChunkCodec.compress(ChunkCodec.encodeDoubles(arr, dtype), compression)
-      })
-    val perChunk = withChunk
-      .groupBy("coord")
-      .agg(collect_list(col("value").cast(if (isInt) "long" else "double"))
-        .as("vals"), collect_list("pos").as("poss"))
-      .withColumn("bytes",
-        assemble(col("vals"), col("poss"), lit(chunkShape.product.toInt)))
-    // executor-side chunk upload, refs staged via the changeset
-    val rootUri = session.repo.store.rootUri
-    val writeChunk = udf((bytes: Array[Byte]) => {
-      val id = graft.core.Ids.toBase32(graft.core.Ids.newObjectId())
-      val dir = java.nio.file.Paths.get(
-        java.net.URI.create(rootUri.stripSuffix("/") + "/chunks"))
-      java.nio.file.Files.createDirectories(dir)
-      java.nio.file.Files.write(dir.resolve(id), bytes)
-      id
-    }).asNondeterministic()
-    val refs = perChunk.select(col("coord"),
-        writeChunk(col("bytes")).as("chunk_id"),
-        length(col("bytes")).cast("long").as("length"))
+    val spark = values.sparkSession
+    import spark.implicits._
+    val conf = session.repo.store.conf
+    val parts = spark.sparkContext.defaultParallelism * 2
+    val sorted = withChunk
+      .select(col("coord"), col("pos"),
+        col("value").cast(if (isInt) "long" else "double").as("value"))
+      .repartition(parts, col("coord"))
+      .sortWithinPartitions("coord", "pos")
+      // tuple encoders resolve by field name, not position
+      .toDF("_1", "_2", "_3")
+    val refsDf =
+      (if (isInt)
+        sorted.as[(Seq[Int], Long, Long)].mapPartitions { it =>
+          streamEncode[Long](it, cells, () => new Array[Long](cells),
+            (arr, p, v) => arr(p) = v,
+            arr => ChunkCodec.compress(
+              ChunkCodec.encodeLongs(arr, dtype), compression), conf)
+        }
+      else
+        sorted.as[(Seq[Int], Long, Double)].mapPartitions { it =>
+          streamEncode[Double](it, cells, () => new Array[Double](cells),
+            (arr, p, v) => arr(p) = v,
+            arr => ChunkCodec.compress(
+              ChunkCodec.encodeDoubles(arr, dtype), compression), conf)
+        }).toDF("coord", "chunk_id", "length")
+    // run the upload job exactly once; changeset actions replay from the
+    // staging Parquet, not from the side-effecting job
+    val stagingKey = graft.meta.Layout.stagingPrefix(
+      graft.core.Ids.toBase32(graft.core.Ids.newObjectId()))
+    refsDf.write.parquet(session.repo.store.uri(stagingKey))
+    val refs = spark.read.parquet(session.repo.store.uri(stagingKey))
       .withColumn("kind", lit(ChunkRef.KindRef))
       .withColumn("offset", lit(0L))
+    session.trackStaging(stagingKey)
     session.stageChunkRefs(path, refs)
+  }
+
+  /** Stream one sorted (coord, pos, value) run: assemble, encode, and
+    * upload chunk-at-a-time; emits (coord, chunk_id, encodedLength).
+    */
+  private def streamEncode[V](it: Iterator[(Seq[Int], Long, V)], cells: Int,
+                              alloc: () => Array[V],
+                              set: (Array[V], Int, V) => Unit,
+                              encode: Array[V] => Array[Byte],
+                              conf: graft.storage.StoreConf)
+      : Iterator[(Seq[Int], String, Long)] = {
+    val store = graft.storage.StoreConf.cached(conf)
+    val buf = it.buffered
+    new Iterator[(Seq[Int], String, Long)] {
+      override def hasNext: Boolean = buf.hasNext
+      override def next(): (Seq[Int], String, Long) = {
+        val coord = buf.head._1
+        val arr = alloc()
+        while (buf.hasNext && buf.head._1 == coord) {
+          val (_, pos, v) = buf.next()
+          set(arr, pos.toInt, v)
+        }
+        val bytes = encode(arr)
+        val id = graft.core.Ids.toBase32(graft.core.Ids.newObjectId())
+        store.putBytes(graft.meta.Layout.chunkKey(id), bytes)
+        (coord, id, bytes.length.toLong)
+      }
+    }
   }
 }

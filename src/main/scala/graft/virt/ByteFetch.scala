@@ -1,0 +1,70 @@
+package graft.virt
+
+import java.nio.channels.Channels
+import java.nio.file.{Files, Paths, StandardOpenOption}
+
+/** Ranged byte fetch by URI scheme — the executor-side dispatch for
+  * virtual chunk locations (the reference's per-scheme fetch in
+  * virtual_chunks.rs:500+). `file:` reads a channel slice; `http(s):`
+  * sends a `Range:` header. `length <= 0` reads to EOF. Object-store
+  * locations resolve through a registered container prefix that maps to
+  * one of these schemes.
+  */
+object ByteFetch {
+  private lazy val http = java.net.http.HttpClient.newBuilder()
+    .connectTimeout(java.time.Duration.ofSeconds(30)).build()
+
+  def ranged(uri: String, offset: Long, length: Long): Array[Byte] =
+    if (uri.startsWith("file:")) rangedFile(uri, offset, length)
+    else if (uri.startsWith("http://") || uri.startsWith("https://"))
+      rangedHttp(uri, offset, length)
+    else throw new IllegalArgumentException(
+      s"no fetcher for scheme of $uri")
+
+  private def rangedFile(uri: String, offset: Long,
+                         length: Long): Array[Byte] = {
+    val path = Paths.get(java.net.URI.create(uri))
+    val ch = Files.newByteChannel(path, StandardOpenOption.READ)
+    try {
+      val size = ch.size()
+      if (offset >= size) return Array.emptyByteArray
+      val n = (if (length <= 0) size - offset
+               else math.min(length, size - offset)).toInt
+      ch.position(offset)
+      val out = new Array[Byte](n)
+      val in = Channels.newInputStream(ch)
+      var done = 0
+      while (done < n) {
+        val r = in.read(out, done, n - done)
+        if (r < 0) throw new java.io.EOFException(uri)
+        done += r
+      }
+      out
+    } finally ch.close()
+  }
+
+  private def rangedHttp(uri: String, offset: Long,
+                         length: Long): Array[Byte] = {
+    val b = java.net.http.HttpRequest.newBuilder(java.net.URI.create(uri))
+    if (offset != 0 || length > 0)
+      b.header("Range",
+        if (length <= 0) s"bytes=$offset-"
+        else s"bytes=$offset-${offset + length - 1}")
+    val r = http.send(b.build(),
+      java.net.http.HttpResponse.BodyHandlers.ofByteArray())
+    r.statusCode() match {
+      case 200 | 206 => r.body()
+      case 416 => Array.emptyByteArray
+      case 404 => throw new java.nio.file.NoSuchFileException(uri)
+      case c => throw new java.io.UncheckedIOException(
+        new java.io.IOException(s"GET $uri: HTTP $c"))
+    }
+  }
+
+  /** File mtime in epoch seconds (virtual-ref freshness checks). */
+  def lastModifiedSecs(uri: String): Long =
+    if (uri.startsWith("file:"))
+      Files.getLastModifiedTime(
+        Paths.get(java.net.URI.create(uri))).toMillis / 1000
+    else 0L
+}

@@ -1,7 +1,5 @@
 package graft.virt
 
-import java.nio.file.{Files, Paths}
-
 /** Virtual chunk containers: registered external URL prefixes whose files
   * hold chunk bytes (virtual_chunks.rs:96-110). Locations are matched to a
   * container by longest-prefix (`matching_container`,
@@ -46,27 +44,21 @@ final class VirtualChunkResolver(val containers: Seq[VirtualChunkContainer]) {
   }
 
   /** Fetch bytes for a virtual ref, validating freshness checksums
-    * (manifest.rs:436-443; enforcement virtual_chunks.rs:500+). Only
-    * `file:` URLs are fetchable in this zero-egress environment; the
-    * per-scheme dispatch point is here (S3/GCS/HTTP fetchers plug in).
+    * (manifest.rs:436-443; enforcement virtual_chunks.rs:500+). Ranged
+    * per-scheme dispatch via [[ByteFetch]] — a partial ref never fetches
+    * the whole external object.
     */
   def fetch(location0: String, offset: Long, length: Long,
             etag: String, lastModifiedSecs: Int): Array[Byte] = {
     validateLocation(location0)
     val location = expandLocation(location0)
-    if (!location.startsWith("file:"))
-      throw new graft.repo.GraftException(
-        s"no fetcher for scheme of $location")
-    val path = Paths.get(java.net.URI.create(location))
-    if (lastModifiedSecs > 0) {
-      val actual = Files.getLastModifiedTime(path).toMillis / 1000
+    if (lastModifiedSecs > 0 && location.startsWith("file:")) {
+      val actual = ByteFetch.lastModifiedSecs(location)
       if (actual > lastModifiedSecs.toLong)
         throw new graft.repo.GraftException(
           s"virtual chunk at $location modified after recorded checksum")
     }
-    val all = Files.readAllBytes(path)
-    val end = if (length == 0) all.length.toLong else offset + length
-    java.util.Arrays.copyOfRange(all, offset.toInt, end.toInt)
+    ByteFetch.ranged(location, offset, length)
   }
 }
 

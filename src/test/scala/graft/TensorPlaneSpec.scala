@@ -128,4 +128,21 @@ class TensorPlaneSpec extends SparkTestBase {
     val v42 = back.filter(col("i0") === 42).head().getDouble(1)
     assert(v42 == 84.0)
   }
+
+  test("writeValues uploads each chunk exactly once; staging is cleaned up") {
+    val dir = tmpDir("repo")
+    val store = Store.local(dir)
+    val repo = Repository.create(store, spark)
+    val s = repo.writableSession("main")
+    s.addArray("/w", Seq(100), Seq(10))
+    val df = spark.range(100).select(col("id").as("i0"),
+      col("id").cast("double").as("value"))
+    TensorPlane.writeValues(s, "/w", df, "float64")
+    // flush evaluates the changeset several times (node-id collect,
+    // manifest write, tx log) — the upload must not re-run
+    s.commit("once")
+    // 10 chunks referenced -> exactly 10 chunk objects, zero orphans
+    assert(store.list("chunks/").size == 10)
+    assert(store.list("staging/").isEmpty) // cleaned on commit
+  }
 }
