@@ -114,14 +114,22 @@ object Bench {
           .head()
         assert(stats.getAs[Long]("n") == cube.toLong * cube * cube)
       }
-      // slice read: prune refs to one t-slab BEFORE decoding, then
-      // row-explode only that chunk (the region-read path)
+      // slice read + reduce: all-dim split pruning + in-chunk sub-block
+      // kernel (aggregation pushdown — no row explode at all)
       results("engine_cube_slice_read") = timed {
         val ro = repo.readonlySession(VersionRef.Branch("main"))
-        val node = ro.node("/cube").get
-        val slab = ro.refs("/cube").filter(col("c0") === 0)
-        graft.tensor.TensorPlane.valuesOfRefs(ro, node, slab, "int64", "raw")
-          .agg(sum(col("value"))).head()
+        val st = graft.tensor.TensorPlane.sliceStats(ro, "/cube", "int64",
+          Seq((0L, 4L), (0L, cube.toLong), (0L, cube.toLong))).head()
+        assert(st.getAs[Long]("n") == 4L * cube * cube)
+      }
+      // row-returning region read: sub-block decode emits only the
+      // requested cells, then the usual (i0..iN, value) explode
+      results("engine_cube_slice_rows") = timed {
+        val ro = repo.readonlySession(VersionRef.Branch("main"))
+        val rows = graft.tensor.TensorPlane.valuesRegion(ro, "/cube",
+          "int64", Seq((0L, 4L), (0L, 64L), (0L, cube.toLong)))
+          .agg(sum(col("value")), count(lit(1))).head()
+        assert(rows.getLong(1) == 4L * 64L * cube)
       }
     } catch {
       case t: Throwable =>

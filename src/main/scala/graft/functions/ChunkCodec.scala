@@ -166,6 +166,179 @@ case class ChunkStatsExpr(child: Expression, dtype: String,
     copy(child = c)
 }
 
+/** Shared sub-block geometry for the slice kernels: intersect the global
+  * element bounds `[lo, hi)` with one chunk (identified by its coord),
+  * yielding per-dim in-chunk ranges + row-major strides. Returns null when
+  * the chunk does not overlap the region.
+  */
+private[functions] object SliceGeom {
+  final case class Block(from: Array[Int], until: Array[Int],
+                         strides: Array[Long], chunkStart: Array[Long])
+
+  def block(coord: Array[Int], chunkShape: Array[Long], lo: Array[Long],
+            hi: Array[Long]): Block = {
+    val nd = chunkShape.length
+    val from = new Array[Int](nd)
+    val until = new Array[Int](nd)
+    val chunkStart = new Array[Long](nd)
+    var i = 0
+    while (i < nd) {
+      chunkStart(i) = coord(i).toLong * chunkShape(i)
+      from(i) = math.max(0L, lo(i) - chunkStart(i)).toInt
+      until(i) = math.min(chunkShape(i), hi(i) - chunkStart(i)).toInt
+      if (from(i) >= until(i)) return null
+      i += 1
+    }
+    val strides = new Array[Long](nd)
+    strides(nd - 1) = 1L
+    var d = nd - 2
+    while (d >= 0) { strides(d) = strides(d + 1) * chunkShape(d + 1); d -= 1 }
+    Block(from, until, strides, chunkStart)
+  }
+
+  /** Iterate the sub-block as contiguous inner runs: `f(basePos, len)` is
+    * called once per run (innermost dim is contiguous in row-major).
+    */
+  def foreachRun(b: Block)(f: (Long, Int) => Unit): Unit = {
+    val nd = b.from.length
+    val runLen = b.until(nd - 1) - b.from(nd - 1)
+    if (nd == 1) { f(b.from(0).toLong, runLen); return }
+    val idx = b.from.clone()
+    var done = false
+    while (!done) {
+      var pos = 0L
+      var i = 0
+      while (i < nd) { pos += idx(i).toLong * b.strides(i); i += 1 }
+      f(pos, runLen)
+      // odometer over dims 0..nd-2
+      var d = nd - 2
+      var carry = true
+      while (carry && d >= 0) {
+        idx(d) += 1
+        if (idx(d) < b.until(d)) carry = false
+        else { idx(d) = b.from(d); d -= 1 }
+      }
+      if (carry) done = true
+    }
+  }
+}
+
+/** Sub-block statistics WITHOUT decoding or exploding the rest of the
+  * chunk: per-chunk (count, sum, min, max) over only the cells inside the
+  * requested element region — aggregation pushdown into the chunk kernel.
+  * This is the 100 TB plan for `sum(value) over a slice`: extents prune
+  * the manifest splits, this kernel prunes within the chunk, and no row
+  * machinery runs at all.
+  */
+case class ChunkSliceStatsExpr(bytes: Expression, coord: Expression,
+                               dtype: String, compression: String,
+                               chunkShape: Seq[Long], lo: Seq[Long],
+                               hi: Seq[Long])
+    extends BinaryExpression with CodegenFallback {
+  override def left: Expression = bytes
+  override def right: Expression = coord
+  override def dataType: DataType = StructType(Seq(
+    StructField("n", LongType), StructField("sum", DoubleType),
+    StructField("min", DoubleType), StructField("max", DoubleType)))
+
+  private val chunkArr = chunkShape.toArray
+  private val loArr = lo.toArray
+  private val hiArr = hi.toArray
+
+  override def nullSafeEval(b: Any, c: Any): Any = {
+    val raw = ChunkCodec.decompress(b.asInstanceOf[Array[Byte]], compression)
+    val bb = ByteBuffer.wrap(raw).order(ByteOrder.LITTLE_ENDIAN)
+    val coordInts = c.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      .toIntArray()
+    val blk = SliceGeom.block(coordInts, chunkArr, loArr, hiArr)
+    if (blk == null)
+      return org.apache.spark.sql.catalyst.InternalRow(0L, 0.0, null, null)
+    val read: Long => Double = dtype match {
+      case "int8" => p => bb.get(p.toInt).toDouble
+      case "int16" => p => bb.getShort(p.toInt * 2).toDouble
+      case "int32" => p => bb.getInt(p.toInt * 4).toDouble
+      case "int64" => p => bb.getLong(p.toInt * 8).toDouble
+      case "float32" => p => bb.getFloat(p.toInt * 4).toDouble
+      case "float64" => p => bb.getDouble(p.toInt * 8)
+    }
+    var n = 0L; var sum = 0.0
+    var mn = Double.PositiveInfinity; var mx = Double.NegativeInfinity
+    SliceGeom.foreachRun(blk) { (base, len) =>
+      var j = 0
+      while (j < len) {
+        val v = read(base + j)
+        n += 1; sum += v
+        if (v < mn) mn = v
+        if (v > mx) mx = v
+        j += 1
+      }
+    }
+    org.apache.spark.sql.catalyst.InternalRow(n, sum,
+      if (n == 0) null else mn, if (n == 0) null else mx)
+  }
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): ChunkSliceStatsExpr =
+    copy(bytes = l, coord = r)
+}
+
+/** Decode ONLY the cells of a chunk inside the requested element region,
+  * as ARRAY<STRUCT<pos, value>> — the row-returning region read decodes
+  * and emits the slice, never the whole chunk.
+  */
+case class DecodeChunkSliceExpr(bytes: Expression, coord: Expression,
+                                dtype: String, compression: String,
+                                chunkShape: Seq[Long], lo: Seq[Long],
+                                hi: Seq[Long])
+    extends BinaryExpression with CodegenFallback {
+  override def left: Expression = bytes
+  override def right: Expression = coord
+  private val valueType: DataType =
+    if (ChunkCodec.IntDtypes.contains(dtype)) LongType else DoubleType
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("pos", LongType), StructField("value", valueType))),
+    containsNull = false)
+
+  private val chunkArr = chunkShape.toArray
+  private val loArr = lo.toArray
+  private val hiArr = hi.toArray
+
+  override def nullSafeEval(b: Any, c: Any): Any = {
+    val raw = ChunkCodec.decompress(b.asInstanceOf[Array[Byte]], compression)
+    val bb = ByteBuffer.wrap(raw).order(ByteOrder.LITTLE_ENDIAN)
+    val coordInts = c.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      .toIntArray()
+    val blk = SliceGeom.block(coordInts, chunkArr, loArr, hiArr)
+    if (blk == null) return new GenericArrayData(Array.empty[Any])
+    val isInt = ChunkCodec.IntDtypes.contains(dtype)
+    val out = scala.collection.mutable.ArrayBuffer[Any]()
+    val readL: Long => Long = dtype match {
+      case "int8" => p => bb.get(p.toInt).toLong
+      case "int16" => p => bb.getShort(p.toInt * 2).toLong
+      case "int32" => p => bb.getInt(p.toInt * 4).toLong
+      case _ => p => bb.getLong(p.toInt * 8)
+    }
+    val readD: Long => Double = dtype match {
+      case "float32" => p => bb.getFloat(p.toInt * 4).toDouble
+      case _ => p => bb.getDouble(p.toInt * 8)
+    }
+    SliceGeom.foreachRun(blk) { (base, len) =>
+      var j = 0
+      while (j < len) {
+        val p = base + j
+        out += org.apache.spark.sql.catalyst.InternalRow(p,
+          if (isInt) readL(p) else readD(p))
+        j += 1
+      }
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): DecodeChunkSliceExpr =
+    copy(bytes = l, coord = r)
+}
+
 object CodecFunctions {
   def decode_chunk(bytes: Column, dtype: String,
                    compression: String = "raw"): Column =
@@ -174,4 +347,16 @@ object CodecFunctions {
   def chunk_stats(bytes: Column, dtype: String,
                   compression: String = "raw"): Column =
     column(ChunkStatsExpr(expression(bytes), dtype, compression))
+
+  def chunk_slice_stats(bytes: Column, coord: Column, dtype: String,
+                        compression: String, chunkShape: Seq[Long],
+                        lo: Seq[Long], hi: Seq[Long]): Column =
+    column(ChunkSliceStatsExpr(expression(bytes), expression(coord), dtype,
+      compression, chunkShape, lo, hi))
+
+  def decode_chunk_slice(bytes: Column, coord: Column, dtype: String,
+                         compression: String, chunkShape: Seq[Long],
+                         lo: Seq[Long], hi: Seq[Long]): Column =
+    column(DecodeChunkSliceExpr(expression(bytes), expression(coord), dtype,
+      compression, chunkShape, lo, hi))
 }

@@ -269,6 +269,17 @@ final class AssetManager(val store: Store, spark: SparkSession) {
     }
   }
 
+  /** Read exactly the given (node, split) shards of one node — the
+    * all-dim extent-pruned scan feeding region reads ([[graft.repo
+    * .Session.refsBounded]]). No `split` column in the output.
+    */
+  def refsOfSplits(nodeId: String, mrefs: Seq[ManifestRef]): DataFrame =
+    if (mrefs.isEmpty) emptyRefs().drop("split")
+    else mrefs.groupBy(_.manifestId).map { case (mid, group) =>
+      val cond = group.map(r => col("split") === r.split).reduce(_ || _)
+      readManifest(mid).filter(col("node_id") === nodeId && cond)
+    }.reduce(_ unionByName _).drop("split")
+
   def emptyRefs(): DataFrame = {
     import spark.implicits._
     spark.emptyDataset[ChunkRef].toDF().withColumn("split", lit(0))

@@ -340,8 +340,34 @@ final class Session private[repo] (
   def refs(path: String): DataFrame = {
     val n = arrayNode(path)
     val committed =
-      if (changeSet.rewrittenNodes.contains(n.id)) assets.emptyRefs()
+      if (changeSet.rewrittenNodes.contains(n.id)) assets.emptyRefs().drop("split")
       else committedRefsFor(n.id).drop("split")
+    overlayChanges(n, committed)
+  }
+
+  /** [[refs]] restricted to a chunk-coordinate bounding box (inclusive per
+    * dim): manifest splits whose extents don't overlap are '''never
+    * read''' — the all-dim plan-time pruning of `ManifestExtents`
+    * (manifest.rs:66-69) — and surviving rows are re-filtered, so pruning
+    * is optimization, never correctness. The scan side of region reads.
+    */
+  def refsBounded(path: String, bounds: Seq[(Int, Int)]): DataFrame = {
+    val n = arrayNode(path)
+    val committed =
+      if (changeSet.rewrittenNodes.contains(n.id)) assets.emptyRefs().drop("split")
+      else {
+        val lo = bounds.map(_._1); val hi = bounds.map(_._2)
+        val keep = baseSnapshot.manifests.getOrElse(n.id, Nil)
+          .filter(r => r.emin.size == bounds.size && r.overlaps(lo, hi))
+        assets.refsOfSplits(n.id, keep)
+      }
+    val coordFilter = bounds.zipWithIndex.map { case ((lo, hi), i) =>
+      try_element_at(col("coord"), lit(i + 1)).between(lo, hi)
+    }.reduce(_ && _)
+    overlayChanges(n, committed).filter(coordFilter)
+  }
+
+  private def overlayChanges(n: NodeSpec, committed: DataFrame): DataFrame =
     if (!changeSet.hasChunkChanges) committed.filter(col("node_id") === n.id)
     else {
       val changes = changeSet.chunkChanges(spark)
@@ -351,7 +377,6 @@ final class Session private[repo] (
         .unionByName(changes)
         .filter(col("kind") =!= ChunkRef.KindDelete)
     }
-  }
 
   /** All refs across all arrays (`all_chunks`, session.rs:1429). */
   def allRefs(): DataFrame = {

@@ -101,65 +101,76 @@ case class GraftRelation(sqlContext: SQLContext, session: Session,
 
   override lazy val schema: StructType = df.schema
 
-  /** Columns usable for split pruning: c0 in refs mode, i0 in values mode
-    * (both are the first coordinate axis — splits shard on it by default).
+  /** Columns usable for pruning: `c0..cN` (chunk coords) in refs mode,
+    * `i0..iN` (element indices) in values mode — bounds on EVERY axis
+    * prune manifest splits against their per-dim extents, and in values
+    * mode additionally push the element region into the sub-block decode
+    * ([[TensorPlane.valuesRegion]]).
     */
-  private val pruneCol = if (mode == "values") "i0" else "c0"
+  private val prunePrefix = if (mode == "values") "i" else "c"
 
   override def unhandledFilters(filters: Array[Filter]): Array[Filter] =
     filters // pruning only; Spark re-evaluates everything
 
   override def buildScan(requiredColumns: Array[String],
                          filters: Array[Filter]): RDD[Row] = {
-    // derive [lo, hi] bounds on the first coordinate axis from the pushed
-    // filters, then keep only manifest splits whose extents overlap
-    var lo = Int.MinValue
-    var hi = Int.MaxValue
-    filters.foreach {
-      case EqualTo(`pruneCol`, v: Number) =>
-        lo = math.max(lo, v.intValue); hi = math.min(hi, v.intValue)
-      case GreaterThan(`pruneCol`, v: Number) =>
-        lo = math.max(lo, v.intValue + 1)
-      case GreaterThanOrEqual(`pruneCol`, v: Number) =>
-        lo = math.max(lo, v.intValue)
-      case LessThan(`pruneCol`, v: Number) =>
-        hi = math.min(hi, v.intValue - 1)
-      case LessThanOrEqual(`pruneCol`, v: Number) =>
-        hi = math.min(hi, v.intValue)
-      case _ => ()
-    }
     val node = session.node(array).getOrElse(
       throw new GraftException(s"no array at $array"))
-    val chunk0 = node.chunkShape.headOption.getOrElse(1L)
+    val ndim = node.shape.size
+    // derive [lo, hi] (inclusive) bounds per coordinate axis
+    val lo = Array.fill(ndim)(Long.MinValue)
+    val hi = Array.fill(ndim)(Long.MaxValue)
+    def dimOf(att: String): Option[Int] =
+      if (att.startsWith(prunePrefix) && att.drop(1).forall(_.isDigit)) {
+        val d = att.drop(1).toInt
+        if (d < ndim) Some(d) else None
+      } else None
+    filters.foreach {
+      case EqualTo(a, v: Number) => dimOf(a).foreach { d =>
+        lo(d) = math.max(lo(d), v.longValue); hi(d) = math.min(hi(d), v.longValue) }
+      case GreaterThan(a, v: Number) => dimOf(a).foreach { d =>
+        lo(d) = math.max(lo(d), v.longValue + 1) }
+      case GreaterThanOrEqual(a, v: Number) => dimOf(a).foreach { d =>
+        lo(d) = math.max(lo(d), v.longValue) }
+      case LessThan(a, v: Number) => dimOf(a).foreach { d =>
+        hi(d) = math.min(hi(d), v.longValue - 1) }
+      case LessThanOrEqual(a, v: Number) => dimOf(a).foreach { d =>
+        hi(d) = math.min(hi(d), v.longValue) }
+      case _ => ()
+    }
+    val anyBound = (0 until ndim).exists(d =>
+      lo(d) != Long.MinValue || hi(d) != Long.MaxValue)
     val base =
-      if (lo == Int.MinValue && hi == Int.MaxValue) df
-      else {
-        // values-mode bounds are element indices; convert to chunk coords
-        val (clo, chi) =
-          if (mode == "values")
-            ((lo / chunk0).toInt,
-              (if (hi == Int.MaxValue) Int.MaxValue else (hi / chunk0).toInt))
-          else (lo, hi)
-        val refs = session.base.manifests.getOrElse(node.id, Nil)
-        val keep = refs.filter(r =>
-          r.emin.headOption.forall(_ <= chi) &&
-            r.emax.headOption.forall(_ >= clo))
-        if (keep.size == refs.size) df
-        else {
-          // rebuild the frame over the surviving splits only
-          val pruned = keep.map(r =>
-            session.repo.assets.readManifestSplit(r, node.id).drop("split"))
-            .reduceOption(_ unionByName _)
-            .getOrElse(session.repo.assets.emptyRefs().drop("split"))
-          if (mode == "values")
-            TensorPlane.valuesOfRefs(session, node, pruned, dtype.get,
-              compression)
-          else pruned.drop("inline")
+      if (!anyBound || node.isRectilinear) df
+      else if (mode == "values") {
+        // element bounds [lo, hi) per dim, defaulting to the full extent
+        val bounds = (0 until ndim).map { d =>
+          (math.max(0L, lo(d)),
+            if (hi(d) == Long.MaxValue) node.shape(d)
+            else math.min(node.shape(d), hi(d) + 1))
         }
+        if (bounds.exists(b => b._2 <= b._1))
+          spark_empty(node, ndim)
+        else TensorPlane.valuesRegion(session, array, dtype.getOrElse(
+          throw new GraftException("option 'dtype' required for values mode")),
+          bounds, compression)
+      } else {
+        // chunk-coord bounds, clamped to the grid
+        val nchunks = node.numChunksPerDim
+        val bounds = (0 until ndim).map { d =>
+          (math.max(0L, lo(d)).toInt,
+            math.min(nchunks(d) - 1, hi(d)).toInt)
+        }
+        if (bounds.exists(b => b._2 < b._1)) spark_empty(node, ndim)
+        else session.refsBounded(array, bounds).drop("inline")
       }
     val projected =
       if (requiredColumns.isEmpty) base
       else base.select(requiredColumns.map(col).toSeq: _*)
     projected.rdd
   }
+
+  private def spark_empty(node: graft.meta.NodeSpec, ndim: Int): DataFrame =
+    sqlContext.sparkSession.createDataFrame(
+      new java.util.ArrayList[Row](), schema)
 }

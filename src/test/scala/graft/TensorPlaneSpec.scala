@@ -145,4 +145,45 @@ class TensorPlaneSpec extends SparkTestBase {
     assert(store.list("chunks/").size == 10)
     assert(store.list("staging/").isEmpty) // cleaned on commit
   }
+
+  test("region reads: sub-block decode and slice stats match the full scan") {
+    val repo = Repository.create(Store.local(tmpDir("repo")), spark)
+    val s = repo.writableSession("main")
+    // 12x10 array, 4x5 chunks (3x2 grid), ragged nothing (aligned)
+    s.addArray("/r", Seq(12, 10), Seq(4, 5))
+    val df = spark.range(120).select(
+      expr("id div 10").as("i0"), expr("id % 10").as("i1"),
+      col("id").cast("double").as("value"))
+    TensorPlane.writeValues(s, "/r", df, "float64")
+    s.commit("grid")
+    val ro = repo.readonlySession(VersionRef.Branch("main"))
+
+    // region [2,7) x [3,9): oracle from the full value scan
+    val full = TensorPlane.values(ro, "/r", "float64")
+      .filter(col("i0") >= 2 && col("i0") < 7 &&
+        col("i1") >= 3 && col("i1") < 9)
+    val region = TensorPlane.valuesRegion(ro, "/r", "float64",
+      Seq((2L, 7L), (3L, 9L)))
+    assert(region.count() == 5 * 6)
+    assert(region.unionByName(full).except(
+      region.intersect(full)).isEmpty) // set-equal
+    // pruning: only chunks overlapping the region are scanned (rows c0 in
+    // {0,1}, c1 in {0,1} -> 4 of 6 chunks)
+    assert(ro.refsBounded("/r", Seq((0, 1), (0, 1))).count() == 4)
+
+    // kernel stats over the same region match the exploded aggregate
+    val st = TensorPlane.sliceStats(ro, "/r", "float64",
+      Seq((2L, 7L), (3L, 9L))).head()
+    val oracle = full.agg(count(lit(1)), sum("value"), min("value"),
+      max("value")).head()
+    assert(st.getAs[Long]("n") == oracle.getLong(0))
+    assert(st.getAs[Double]("sum") == oracle.getDouble(1))
+    assert(st.getAs[Double]("min") == oracle.getDouble(2))
+    assert(st.getAs[Double]("max") == oracle.getDouble(3))
+
+    // degenerate 1-cell region
+    val one = TensorPlane.valuesRegion(ro, "/r", "float64",
+      Seq((11L, 12L), (9L, 10L))).collect()
+    assert(one.length == 1 && one(0).getDouble(2) == 119.0)
+  }
 }
