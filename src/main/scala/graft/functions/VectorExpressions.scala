@@ -123,6 +123,143 @@ case class MinhashSignatureExpr(child: Expression, coeffA: Seq[Long],
     copy(child = c)
 }
 
+/** Distinct word n-gram shingles of a (pre-lowercased) string in ONE pass:
+  * whitespace tokenize (Java `\s` semantics, empties dropped), sliding
+  * window join, first-occurrence-order dedup. Replaces the
+  * `array_distinct(transform(sequence, slice+concat_ws))` HOF pipeline,
+  * which interprets its lambda per shingle (~1 ms/doc — the dominant cost
+  * of the n-gram dedup family at bench scale).
+  */
+case class WordShinglesExpr(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(n >= 1)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  @inline private def isWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' ||
+      c == '\r'
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.toString
+    val toks = scala.collection.mutable.ArrayBuffer[String]()
+    var i = 0
+    val len = s.length
+    while (i < len) {
+      while (i < len && isWs(s.charAt(i))) i += 1
+      val start = i
+      while (i < len && !isWs(s.charAt(i))) i += 1
+      if (i > start) toks += s.substring(start, i)
+    }
+    val out = new java.util.LinkedHashSet[String]()
+    if (toks.length < n) out.add(toks.mkString(" "))
+    else {
+      var j = 0
+      val sb = new java.lang.StringBuilder(64)
+      while (j <= toks.length - n) {
+        sb.setLength(0)
+        var k = 0
+        while (k < n) {
+          if (k > 0) sb.append(' ')
+          sb.append(toks(j + k))
+          k += 1
+        }
+        out.add(sb.toString)
+        j += 1
+      }
+    }
+    val arr = new Array[Any](out.size)
+    val it = out.iterator()
+    var m = 0
+    while (it.hasNext) {
+      arr(m) = org.apache.spark.unsafe.types.UTF8String.fromString(it.next())
+      m += 1
+    }
+    new GenericArrayData(arr)
+  }
+
+  override protected def withNewChildInternal(c: Expression): WordShinglesExpr =
+    copy(child = c)
+}
+
+/** All qualifying cosine pairs between two vector blocks — the inner
+  * kernel of the block-matrix similarity join. Inputs are two
+  * ARRAY<STRUCT<id BIGINT, v ARRAY<DOUBLE>>> blocks plus a same-block
+  * flag; emits ARRAY<STRUCT<id_a, id_b, cos>> for pairs with
+  * cos ≥ threshold (id_a < id_b). Norms are computed once per block side;
+  * dot products run in sequential order (same FP result as
+  * [[DotProductExpr]] pair-at-a-time).
+  */
+case class CosinePairsExpr(blockA: Expression, blockB: Expression,
+                           sameBlock: Expression, threshold: Double)
+    extends TernaryExpression with CodegenFallback {
+  override def first: Expression = blockA
+  override def second: Expression = blockB
+  override def third: Expression = sameBlock
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("id_a", LongType), StructField("id_b", LongType),
+    StructField("cos", DoubleType))), containsNull = false)
+
+  private def unpack(block: ArrayData): (Array[Long], Array[Array[Double]],
+      Array[Double]) = {
+    val n = block.numElements()
+    val ids = new Array[Long](n)
+    val vs = new Array[Array[Double]](n)
+    val norms = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      val row = block.getStruct(i, 2)
+      ids(i) = row.getLong(0)
+      val v = row.getArray(1).toDoubleArray()
+      vs(i) = v
+      var acc = 0.0
+      var j = 0
+      while (j < v.length) { acc += v(j) * v(j); j += 1 }
+      norms(i) = math.sqrt(acc)
+      i += 1
+    }
+    (ids, vs, norms)
+  }
+
+  override def nullSafeEval(a: Any, b: Any, same: Any): Any = {
+    val (idsA, vsA, nrmA) = unpack(a.asInstanceOf[ArrayData])
+    val (idsB, vsB, nrmB) = unpack(b.asInstanceOf[ArrayData])
+    val sameBlk = same.asInstanceOf[Boolean]
+    val out = scala.collection.mutable.ArrayBuffer[Any]()
+    var i = 0
+    while (i < idsA.length) {
+      var j = 0
+      while (j < idsB.length) {
+        // same block: strict upper triangle; cross block: all pairs,
+        // normalized to id_a < id_b
+        val keep =
+          if (sameBlk) idsA(i) < idsB(j)
+          else idsA(i) != idsB(j)
+        if (keep) {
+          val va = vsA(i); val vb = vsB(j)
+          val n = math.min(va.length, vb.length)
+          var acc = 0.0
+          var k = 0
+          while (k < n) { acc += va(k) * vb(k); k += 1 }
+          val cos = acc / (nrmA(i) * nrmB(j))
+          if (cos >= threshold) {
+            val (lo, hi) =
+              if (idsA(i) < idsB(j)) (idsA(i), idsB(j))
+              else (idsB(j), idsA(i))
+            out += InternalRow(lo, hi, cos)
+          }
+        }
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): CosinePairsExpr =
+    copy(blockA = f, blockB = s, sameBlock = t)
+}
+
 object VectorFunctions {
   /** Codegen'd Σ aᵢ·bᵢ. */
   def dot_product(a: Column, b: Column): Column =
@@ -136,4 +273,11 @@ object VectorFunctions {
     column(MinhashSignatureExpr(expression(shingleHashes),
       coeffs.map(_._1), coeffs.map(_._2), prime))
 
+  def word_shingles(loweredText: Column, n: Int): Column =
+    column(WordShinglesExpr(expression(loweredText), n))
+
+  def cosine_pairs(blockA: Column, blockB: Column, sameBlock: Column,
+                   threshold: Double): Column =
+    column(CosinePairsExpr(expression(blockA), expression(blockB),
+      expression(sameBlock), threshold))
 }

@@ -30,14 +30,14 @@ object Dedup {
     docs.join(keep, Seq("doc_id"), "left_semi")
   }
 
-  /** Word shingles of size n as an array column (distinct). */
-  def shingles(text: Column, n: Int): Column = {
-    val toks = TextAnalysis.tokens(text)
-    array_distinct(
-      when(size(toks) < n, array(concat_ws(" ", toks)))
-        .otherwise(transform(sequence(lit(0), size(toks) - n),
-          i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
-  }
+  /** Word shingles of size n as an array column (distinct, first-occurrence
+    * order). Native one-pass expression ([[graft.functions
+    * .WordShinglesExpr]]) — the HOF formulation
+    * (`array_distinct(transform(sequence, slice+concat_ws))`) interprets
+    * its lambda per shingle and was the dominant cost of the n-gram family.
+    */
+  def shingles(text: Column, n: Int): Column =
+    graft.functions.VectorFunctions.word_shingles(lower(text), n)
 
   /** MinHash signature: `numHashes` permutation-style hashes
     * `min((a_j * x + b_j) mod p)` over 64-bit shingle hashes — the standard
@@ -177,8 +177,11 @@ object Dedup {
       .select(col("doc_id"), col(blockCol).as("block"),
         shingles(col(textCol), n).as("sh"))
       .withColumn("sz", size(col("sh")))
+    // materialize the posting list once: both self-join sides reference it
+    // (at cluster scale this is a checkpoint to storage)
     val posting = withSh.select(col("block"), col("doc_id"), col("sz"),
       explode(col("sh")).as("g"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = posting.select(col("block"), col("g"),
       col("doc_id").as("doc_a"), col("sz").as("sz_a"))
     val b = posting.select(col("block"), col("g"),
@@ -194,27 +197,37 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
-  /** Embedding-cosine near-duplicates: all pairs with cosine ≥ threshold.
-    * Exact O(n²) within `label` blocks here; [[Similarity.lshBuckets]]
-    * provides the sub-quadratic bucket join for the 100 TB path.
+  /** Embedding-cosine near-duplicates: exact all-pairs with cosine ≥
+    * threshold, as a '''block-matrix similarity join''' — never a row-pair
+    * cross join. Vectors hash into `numBlocks` blocks; the O(m²) block
+    * pairs (m = numBlocks) join as single rows and a native kernel
+    * ([[graft.functions.CosinePairsExpr]]) evaluates the B×B cosine tile
+    * with per-block-precomputed norms, emitting only qualifying pairs.
+    *
+    * Why this shape at 100 TB: a row-pair cross join ships every vector
+    * n times and pays row machinery per pair; the block join ships every
+    * vector m times (m ≪ n) and the pair loop is a tight JVM kernel.
+    * Exact cosine join is inherently Ω(n²) FLOPs — when the threshold is
+    * high (≥ ~0.7), cut the pair space first with
+    * [[Similarity.lshBuckets]] and use this as the verify stage.
     */
   def embeddingNearDups(embeddings: DataFrame, threshold: Double,
                         vecCol: String = "embedding",
-                        idCol: String = "vec_id"): DataFrame = {
-    // stage per-vector norms once — recomputing norm(v) per PAIR turns an
-    // O(n²·d) pass into O(3n²·d)
-    val staged = embeddings.select(col(idCol).as("id"),
+                        idCol: String = "vec_id",
+                        numBlocks: Int = 16): DataFrame = {
+    val staged = embeddings.select(col(idCol).cast("long").as("id"),
       col(vecCol).cast("array<double>").as("v"))
-      .withColumn("nrm", Similarity.norm(col("v")))
-    val a = staged.select(col("id").as("id_a"), col("v").as("v_a"),
-      col("nrm").as("nrm_a"))
-    val b = staged.select(col("id").as("id_b"), col("v").as("v_b"),
-      col("nrm").as("nrm_b"))
-    a.crossJoin(b)
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        (Similarity.dot(col("v_a"), col("v_b")) /
-          (col("nrm_a") * col("nrm_b"))).as("cos"))
-      .filter(col("cos") >= threshold)
+      .withColumn("blk",
+        pmod(xxhash64(col("id")), lit(numBlocks)).cast("int"))
+    val blocks = staged.groupBy("blk")
+      .agg(collect_list(struct(col("id"), col("v"))).as("vecs"))
+    val a = blocks.select(col("blk").as("blk_a"), col("vecs").as("vecs_a"))
+    val b = blocks.select(col("blk").as("blk_b"), col("vecs").as("vecs_b"))
+    a.join(b, col("blk_a") <= col("blk_b"))
+      .select(explode(graft.functions.VectorFunctions.cosine_pairs(
+        col("vecs_a"), col("vecs_b"), col("blk_a") === col("blk_b"),
+        threshold)).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
+        col("p.cos").as("cos"))
   }
 }
