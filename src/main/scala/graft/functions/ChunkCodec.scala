@@ -171,7 +171,7 @@ case class ChunkStatsExpr(child: Expression, dtype: String,
   * yielding per-dim in-chunk ranges + row-major strides. Returns null when
   * the chunk does not overlap the region.
   */
-private[functions] object SliceGeom {
+private[graft] object SliceGeom {
   final case class Block(from: Array[Int], until: Array[Int],
                          strides: Array[Long], chunkStart: Array[Long])
 

@@ -115,9 +115,16 @@ final case class RepoInfo(
     deletedTags: Seq[String] = Nil, // tags are tombstoned, repo_info.rs:713
     snapshots: Seq[SnapshotInfo] = Nil,
     ops: Seq[OpLogEntry] = Nil,
-    config: Map[String, String] = Map.empty) {
+    config: Map[String, String] = Map.empty,
+    /** Persisted feature flags gating history-affecting ops — the
+      * repo-level switchboard of the reference's feature_flags.rs (e.g.
+      * move-requires-flag, session.rs:1548-1554). Absent = enabled.
+      */
+    flags: Map[String, Boolean] = Map.empty) {
   def snapshotInfo(id: String): Option[SnapshotInfo] =
     snapshots.find(_.id == id)
+
+  def flagEnabled(name: String): Boolean = flags.getOrElse(name, true)
 
   /** Ordered commit list from `id` to the root, most recent first —
     * `ancestry` (repository.rs:970-985). Parent pointers form a linear

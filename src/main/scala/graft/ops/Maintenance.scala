@@ -170,6 +170,7 @@ object GC {
     * (pruned_ancestor_tx_logs, session.rs:1981-2009).
     */
   def expire(repo: Repository, olderThan: Instant): Int = {
+    repo.requireFlag(repo.Flags.Expire, "expire")
     var removed = 0
     repo.casUpdate("expire", s"olderThan=$olderThan") { info =>
       val keepRoots = scala.collection.mutable.Set[String]()

@@ -62,27 +62,54 @@ object Similarity {
       signBits(col(vecCol).cast("array<double>"),
         randomPlanes(numPlanes, dim, seed)))
 
-  /** ANN top-k: search only the probe's bucket (single-probe IVF-style).
-    * Falls back to brute force when the bucket has < k members is NOT done
-    * here — recall/latency tradeoff is the caller's (multi-probe = widen
-    * with neighboring buckets).
+  /** ANN top-k with query-directed '''multi-probe''' (the perturbation
+    * ordering of Lv et al. 2007): probe buckets in order of the summed
+    * hyperplane margins their sign flips would cost — flipping the planes
+    * the query is CLOSEST to first, because near neighbors most likely
+    * land on the other side of exactly those planes. The probe set grows
+    * until it covers ≥ `k · minCandidatesFactor` candidates (sizes from
+    * ONE bucket-count aggregation), then a single bucket-pruned scan
+    * ranks candidates. `minCandidatesFactor = 1` ≈ single-probe
+    * (cheapest); larger values buy recall with a wider pruned scan —
+    * never a full brute-force fallback.
     */
   def annTopK(embeddings: DataFrame, query: Seq[Float], k: Int,
               numPlanes: Int = 8, vecCol: String = "embedding",
-              idCol: String = "vec_id"): DataFrame = {
+              idCol: String = "vec_id",
+              minCandidatesFactor: Int = 3): DataFrame = {
+    require(numPlanes <= 20, "probe enumeration is 2^numPlanes")
     val dim = query.size
     val planes = randomPlanes(numPlanes, dim)
-    val qBits = {
-      // driver-side sign bits of the query vector
-      var acc = 0L
-      planes.zipWithIndex.foreach { case (p, i) =>
-        val d = p.zip(query).map { case (x, y) => x * y.toDouble }.sum
-        if (d >= 0) acc |= (1L << i)
-      }
-      acc
+    // driver-side signed margins of the query against each hyperplane
+    val margins = planes.map(p =>
+      p.zip(query).map { case (x, y) => x * y.toDouble }.sum)
+    val qBits = margins.zipWithIndex.foldLeft(0L) { case (acc, (m, i)) =>
+      if (m >= 0) acc | (1L << i) else acc
     }
-    lshBuckets(embeddings, numPlanes, dim, 42L, vecCol)
-      .filter(col("bucket") === qBits)
+    val bucketed = lshBuckets(embeddings, numPlanes, dim, 42L, vecCol)
+    val sizes = bucketed.groupBy("bucket").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every probe mask, cheapest margin-cost first (mask 0 = home bucket)
+    val masksByCost = (0 until (1 << numPlanes)).sortBy { mask =>
+      var cost = 0.0
+      var i = 0
+      while (i < numPlanes) {
+        if ((mask & (1 << i)) != 0) cost += math.abs(margins(i))
+        i += 1
+      }
+      cost
+    }
+    val minCandidates = math.max(k.toLong, k.toLong * minCandidatesFactor)
+    val chosen = scala.collection.mutable.ArrayBuffer[Long]()
+    var have = 0L
+    val it = masksByCost.iterator
+    while (have < minCandidates && it.hasNext) {
+      val b = qBits ^ it.next().toLong
+      val sz = sizes.getOrElse(b, 0L)
+      if (sz > 0 || chosen.isEmpty) { chosen += b; have += sz }
+    }
+    bucketed
+      .filter(col("bucket").isin(chosen.toSeq: _*))
       .select(col(idCol),
         round(cosine(col(vecCol).cast("array<double>"),
           typedLit(query.map(_.toDouble))), 6).as("cos"))

@@ -77,6 +77,31 @@ final class Repository private (
       i.copy(branches = i.branches.removed(name))
     }
 
+  // ------------------------------------------------------------------
+  // feature flags (feature_flags.rs): persisted switches gating
+  // history-affecting ops; toggling goes through the CAS like any update
+  // ------------------------------------------------------------------
+
+  /** Known flags. Unset flags are enabled. */
+  object Flags {
+    val MoveNode = "enable-move-node"
+    val Amend = "enable-amend"
+    val Expire = "enable-expire"
+  }
+
+  def featureFlag(name: String): Boolean = info().flagEnabled(name)
+
+  def setFeatureFlag(name: String, enabled: Boolean): Unit =
+    casUpdate("set_feature_flag", s"$name=$enabled") { i =>
+      i.copy(flags = i.flags.updated(name, enabled))
+    }
+
+  private[graft] def requireFlag(name: String, op: String): Unit =
+    if (!featureFlag(name))
+      throw new GraftException(
+        s"$op is disabled by feature flag '$name' (enable it with " +
+          "Repository.setFeatureFlag)")
+
   def listTags(): Seq[String] = info().tags.keys.toSeq.sorted
   def lookupTag(name: String): Option[String] = info().tags.get(name)
 

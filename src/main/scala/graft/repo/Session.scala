@@ -207,6 +207,7 @@ final class Session private[repo] (
     */
   def moveNode(from: String, to: String): Unit = {
     requireWritable()
+    repo.requireFlag(repo.Flags.MoveNode, "move_node")
     val f = NodePath.normalize(from); val t = NodePath.normalize(to)
     val n = node(f).getOrElse(throw new GraftException(s"no node at $f"))
     if (node(t).isDefined) throw new GraftException(s"node exists at $t")
@@ -276,14 +277,21 @@ final class Session private[repo] (
     requireWritable()
     requireNotMoveOnly()
     val n = arrayNode(path)
-    val withAll = Seq("kind" -> lit(ChunkRef.KindRef),
-      "inline" -> lit(null).cast("binary"),
-      "chunk_id" -> lit(null).cast("string"),
-      "location" -> lit(null).cast("string"),
-      "offset" -> lit(0L), "length" -> lit(0L),
-      "etag" -> lit(null).cast("string"), "last_modified" -> lit(0))
-      .foldLeft(df) { case (d, (c, default)) =>
-        if (d.columns.contains(c)) d else d.withColumn(c, default)
+    // missing columns get defaults; PRESENT-but-null values coalesce to
+    // them too (a DSv2 write reconciles narrow inputs against the full
+    // table schema by null-padding the absent columns)
+    val withAll = Seq(
+      ("kind", "string", lit(ChunkRef.KindRef)),
+      ("inline", "binary", lit(null).cast("binary")),
+      ("chunk_id", "string", lit(null).cast("string")),
+      ("location", "string", lit(null).cast("string")),
+      ("offset", "bigint", lit(0L)), ("length", "bigint", lit(0L)),
+      ("etag", "string", lit(null).cast("string")),
+      ("last_modified", "int", lit(0)))
+      .foldLeft(df) { case (d, (c, t, default)) =>
+        if (d.columns.contains(c))
+          d.withColumn(c, coalesce(col(c).cast(t), default))
+        else d.withColumn(c, default)
       }
     val full = withAll
       .withColumn("node_id", lit(n.id))
@@ -482,7 +490,8 @@ final class Session private[repo] (
     */
   private[repo] def flushInternal(message: String,
       properties: Map[String, String],
-      parentOverride: Option[Option[String]] = None): Snapshot = {
+      parentOverride: Option[Option[String]] = None,
+      mergeTxLogOf: Option[String] = None): Snapshot = {
     requireWritable()
     val effective = nodes
     val byId = effective.map(n => n.id -> n).toMap
@@ -608,14 +617,15 @@ final class Session private[repo] (
       nodes = effective,
       manifests = manifests)
     assets.writeSnapshot(snapshot)
-    writeTxLog(snapshot, changedIds)
+    writeTxLog(snapshot, changedIds, mergeTxLogOf)
     snapshot
   }
 
   /** Transaction log for this flush (transaction_log.rs): node edits are
     * driver-known; chunk edit coords stream from the changeset DataFrame.
     */
-  private def writeTxLog(snapshot: Snapshot, changedIds: Set[String]): Unit = {
+  private def writeTxLog(snapshot: Snapshot, changedIds: Set[String],
+                         mergeTxLogOf: Option[String] = None): Unit = {
     val pathOf = (nodes ++ baseSnapshot.nodes).map(n => n.id -> n.path).toMap
     val nodeEdits =
       changeSet.newNodes.values.map(n => EditRow.node(
@@ -639,7 +649,16 @@ final class Session private[repo] (
           .select(lit(EditRow.Chunk).as("edit"), col("node_id"), col("path"),
             col("coord"), lit(null).cast("string").as("to_path"))
       }
-    assets.writeTxLog(snapshot.id, nodeDf.unionByName(chunkDf))
+    val own = nodeDf.unionByName(chunkDf)
+    // amended-log bookkeeping: the snapshot REPLACING a tip absorbs the
+    // replaced commit's transaction log, so `diff` across the amend still
+    // reports the full edit set (the reference keeps the amended log
+    // addressable; SURVEY §8)
+    val combined = mergeTxLogOf
+      .filter(assets.txLogExists)
+      .map(id => own.unionByName(assets.readTxLog(id)).distinct())
+      .getOrElse(own)
+    assets.writeTxLog(snapshot.id, combined)
   }
 
   /** Commit: optimistic CAS loop with rebase-on-conflict
@@ -656,8 +675,10 @@ final class Session private[repo] (
              solver: graft.vc.ConflictSolver =
                graft.vc.BasicConflictSolver(),
              amend: Boolean = false,
-             allowEmpty: Boolean = false): String = {
+             allowEmpty: Boolean = false,
+             hooks: graft.vc.RebaseHooks = graft.vc.RebaseHooks.none): String = {
     requireWritable()
+    if (amend) repo.requireFlag(repo.Flags.Amend, "amend")
     // refuse accidental empty commits (CommitBuilder::allow_empty)
     if (changeSet.isEmpty && !allowEmpty && !amend)
       throw new GraftException(
@@ -676,13 +697,17 @@ final class Session private[repo] (
         if (amend) throw new ConflictException(
           s"amend on $branchName: tip moved ($tip != ${baseSnapshot.id})")
         // concurrent commits landed: rebase our changeset onto the new tip
+        // (before/after hooks — third-party validation, session.rs:377-386)
+        hooks.beforeRebase(this, tip)
         graft.vc.Rebase.rebase(this, info, tip, solver)
         baseSnapshot = assets.readSnapshot(tip)
+        hooks.afterRebase(this, tip)
         snapshot = null // force re-flush against new base
       }
       if (snapshot == null || flushedAgainst != baseSnapshot.id) {
         snapshot = flushInternal(message, properties,
-          if (amend) Some(baseSnapshot.parentId) else None)
+          if (amend) Some(baseSnapshot.parentId) else None,
+          mergeTxLogOf = if (amend) Some(baseSnapshot.id) else None)
         flushedAgainst = baseSnapshot.id
       }
       val entry = OpLogEntry(Instant.now().toString,

@@ -10,40 +10,57 @@ import org.apache.parquet.example.data.Group
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.catalyst.util.GenericArrayData
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
+import graft.functions.ChunkCodec
+import graft.functions.SliceGeom
 import graft.repo.{Repository, VersionRef}
-import graft.storage.Store
+import graft.storage.{Store, StoreConf}
 
-/** DataSource V2 connector (`format("graft-v2")`): the chunk-ref relation
-  * of one array as a DSv2 `Table`.
+/** DataSource V2 connector (`format("graft-v2")`).
   *
-  * Planning: one `InputPartition` per referenced (manifest, node, split) —
-  * the natural parallelism unit of the storage layout — with split-level
-  * pruning from pushed `c0` predicates (the `ManifestExtents` check at
-  * plan time). Execution: each reader iterates its split's Parquet files
-  * with parquet-mr directly (no Spark session on executors), emitting
-  * `InternalRow`s. Column pruning is honored in the produced schema.
+  * '''Read''', two modes:
+  *  - `mode=refs` (default): the chunk-ref relation. One `InputPartition`
+  *    per referenced (manifest, node, split) — the natural parallelism
+  *    unit of the storage layout — pruned at plan time by pushed
+  *    `c0..cN` bounds against split extents (`ManifestExtents`,
+  *    manifest.rs:66-69).
+  *  - `mode=values` (+ `dtype`, optional `compression`): the decoded
+  *    value relation (i0..iN, value) — the reference's whole read surface
+  *    (chunk-to-array dispatch, session.rs:1274-1317), executed
+  *    scan-native: pushed `i0..iN` bounds prune splits at plan time AND
+  *    bound the in-chunk sub-block decode ([[SliceGeom]]) on executors,
+  *    so a slice never decodes cells outside the region.
   *
-  * The full-featured source (values mode, writes, time travel options)
-  * remains `format("graft")`; this provider is the DSv2 seam — the
-  * read path a columnar batch reader would extend.
+  * Executors read manifest Parquet with parquet-mr directly (no Spark
+  * session) and fetch chunk bytes through the per-JVM cached store client
+  * — both work on any backend (`file:` or `graft://`→S3) because
+  * partitions carry the serializable [[StoreConf]] + Hadoop conf entries.
+  *
+  * '''Write''' (`mode=refs`): the distributed stage-refs-then-CAS-commit
+  * pattern (the fork/merge collapse of SURVEY §3.3; reference
+  * `store_dask`, dask.py:61-150): each task writes its ref rows as one
+  * Parquet object under `staging/` via parquet-mr, the driver reads the
+  * staged dataset, stages it on a session, and runs ONE CAS commit. Refs
+  * never pass through the driver.
   */
 class GraftTableProvider extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-v2"
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    GraftTableProvider.RefSchema
+    GraftTableProvider.schemaFor(options.asScala.toMap)
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
-      properties: util.Map[String, String]): Table =
-    new GraftTable(properties.get("path"), properties.get("array"),
-      Option(properties.get("version")).getOrElse("branch:main"))
+      properties: util.Map[String, String]): Table = {
+    val opts = properties.asScala.toMap
+    new GraftTable(opts, schema)
+  }
 }
 
 object GraftTableProvider {
@@ -64,34 +81,99 @@ object GraftTableProvider {
     StructField("etag", StringType),
     StructField("last_modified", IntegerType),
     StructField("split", IntegerType)))
+
+  def valuesSchema(ndim: Int, dtype: String): StructType = {
+    val vt: DataType =
+      if (ChunkCodec.IntDtypes.contains(dtype)) LongType else DoubleType
+    StructType((0 until ndim).map(i => StructField(s"i$i", LongType)) :+
+      StructField("value", vt))
+  }
+
+  def schemaFor(opts: Map[String, String]): StructType =
+    opts.getOrElse("mode", "refs") match {
+      case "values" =>
+        val (repo, session, array) = open(opts)
+        val node = session.node(array).getOrElse(
+          throw new graft.repo.GraftException(s"no array at $array"))
+        valuesSchema(node.shape.size, opts.getOrElse("dtype",
+          throw new graft.repo.GraftException(
+            "option 'dtype' required for values mode")))
+      case _ => RefSchema
+    }
+
+  private[sources] def open(opts: Map[String, String])
+      : (Repository, graft.repo.Session, String) = {
+    val path = opts.getOrElse("path",
+      throw new graft.repo.GraftException("option 'path' is required"))
+    val array = opts.getOrElse("array",
+      throw new graft.repo.GraftException("option 'array' is required"))
+    val spark = org.apache.spark.sql.SparkSession.active
+    val repo = Repository.open(Store.local(path), spark)
+    val ref = opts.getOrElse("version", "branch:main") match {
+      case v if v.startsWith("branch:") => VersionRef.Branch(v.drop(7))
+      case v if v.startsWith("tag:") => VersionRef.Tag(v.drop(4))
+      case v if v.startsWith("snapshot:") => VersionRef.SnapshotVer(v.drop(9))
+      case v => VersionRef.Branch(v)
+    }
+    (repo, repo.readonlySession(ref), array)
+  }
 }
 
-class GraftTable(path: String, array: String, version: String)
-    extends Table with SupportsRead {
-  override def name(): String = s"graft:$path$array@$version"
-  override def schema(): StructType = GraftTableProvider.RefSchema
+class GraftTable(opts: Map[String, String], declaredSchema: StructType)
+    extends Table with SupportsRead with SupportsWrite {
+  private def mode = opts.getOrElse("mode", "refs")
+  override def name(): String =
+    s"graft:${opts.getOrElse("path", "?")}${opts.getOrElse("array", "?")}" +
+      s"@${opts.getOrElse("version", "branch:main")}"
+  override def schema(): StructType =
+    if (declaredSchema != null && declaredSchema.nonEmpty) declaredSchema
+    else GraftTableProvider.schemaFor(opts)
   override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftScanBuilder(path, array, version)
+    new GraftScanBuilder(opts, schema())
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    if (mode == "values")
+      throw new graft.repo.GraftException(
+        "graft-v2 writes take chunk REFS (the distributed stage+commit " +
+          "path); use format(\"graft\") mode=values for value-plane writes")
+    new GraftWriteBuilder(opts, info)
+  }
 }
 
-class GraftScanBuilder(path: String, array: String, version: String)
+// ===================================================================
+// read path
+// ===================================================================
+
+class GraftScanBuilder(opts: Map[String, String], tableSchema: StructType)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns {
-  private var lo = Int.MinValue
-  private var hi = Int.MaxValue
-  private var required: StructType = GraftTableProvider.RefSchema
+  private val mode = opts.getOrElse("mode", "refs")
+  private val prefix = if (mode == "values") "i" else "c"
+  // per-dim [lo, hi] (inclusive) bounds from pushed predicates
+  private val lo = scala.collection.mutable.Map[Int, Long]().withDefaultValue(Long.MinValue)
+  private val hi = scala.collection.mutable.Map[Int, Long]().withDefaultValue(Long.MaxValue)
+  private var required: StructType = tableSchema
+
+  private def dimOf(att: String): Option[Int] =
+    if (att.startsWith(prefix) && att.drop(1).nonEmpty &&
+        att.drop(1).forall(_.isDigit)) Some(att.drop(1).toInt)
+    else None
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     filters.foreach {
-      case EqualTo("c0", v: Number) =>
-        lo = math.max(lo, v.intValue); hi = math.min(hi, v.intValue)
-      case GreaterThan("c0", v: Number) => lo = math.max(lo, v.intValue + 1)
-      case GreaterThanOrEqual("c0", v: Number) => lo = math.max(lo, v.intValue)
-      case LessThan("c0", v: Number) => hi = math.min(hi, v.intValue - 1)
-      case LessThanOrEqual("c0", v: Number) => hi = math.min(hi, v.intValue)
+      case EqualTo(a, v: Number) => dimOf(a).foreach { d =>
+        lo(d) = math.max(lo(d), v.longValue); hi(d) = math.min(hi(d), v.longValue) }
+      case GreaterThan(a, v: Number) => dimOf(a).foreach { d =>
+        lo(d) = math.max(lo(d), v.longValue + 1) }
+      case GreaterThanOrEqual(a, v: Number) => dimOf(a).foreach { d =>
+        lo(d) = math.max(lo(d), v.longValue) }
+      case LessThan(a, v: Number) => dimOf(a).foreach { d =>
+        hi(d) = math.min(hi(d), v.longValue - 1) }
+      case LessThanOrEqual(a, v: Number) => dimOf(a).foreach { d =>
+        hi(d) = math.min(hi(d), v.longValue) }
       case _ => ()
     }
     filters // pruning only — Spark re-evaluates everything
@@ -101,48 +183,89 @@ class GraftScanBuilder(path: String, array: String, version: String)
   override def pruneColumns(requiredSchema: StructType): Unit =
     if (requiredSchema.nonEmpty) required = requiredSchema
 
-  override def build(): Scan = new GraftScan(path, array, version, lo, hi,
-    required)
+  override def build(): Scan =
+    new GraftScan(opts, lo.toMap, hi.toMap, required)
 }
 
-/** One manifest split to read: the partition-planning unit. */
-case class SplitPartition(files: Array[String], nodeId: String, split: Int)
+/** One manifest split to read (refs mode). `fsConf` makes graft:// URIs
+  * resolvable on executors.
+  */
+case class SplitPartition(files: Array[String], nodeId: String, split: Int,
+                          fsConf: Map[String, String]) extends InputPartition
+
+/** One manifest split to decode (values mode): ref files + the geometry
+  * and element bounds for the sub-block decode, and the store/virtual
+  * plumbing for chunk fetch.
+  */
+case class ValuesPartition(files: Array[String], nodeId: String,
+                           fsConf: Map[String, String],
+                           storeConf: StoreConf,
+                           containers: Map[String, String],
+                           dtype: String, compression: String,
+                           chunkShape: Seq[Long], shape: Seq[Long],
+                           boundLo: Seq[Long], boundHi: Seq[Long])
   extends InputPartition
 
-class GraftScan(path: String, array: String, version: String,
-                lo: Int, hi: Int, required: StructType)
+class GraftScan(opts: Map[String, String], lo: Map[Int, Long],
+                hi: Map[Int, Long], required: StructType)
     extends Scan with Batch {
+  private val mode = opts.getOrElse("mode", "refs")
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
-  override def description(): String =
-    s"GraftScan($array@$version, c0 in [$lo,$hi])"
+  override def description(): String = {
+    val bounds = (lo.keySet ++ hi.keySet).toSeq.sorted.map(d =>
+      s"d$d in [${lo.getOrElse(d, Long.MinValue)}," +
+        s"${hi.getOrElse(d, Long.MaxValue)}]").mkString(", ")
+    s"GraftScan(${opts.getOrElse("array", "?")}, mode=$mode, $bounds)"
+  }
 
   override def planInputPartitions(): Array[InputPartition] = {
-    // driver-side: resolve the snapshot and prune splits by extents
-    val spark = org.apache.spark.sql.SparkSession.active
-    val repo = Repository.open(Store.local(path), spark)
-    val ref = version match {
-      case v if v.startsWith("branch:") => VersionRef.Branch(v.drop(7))
-      case v if v.startsWith("tag:") => VersionRef.Tag(v.drop(4))
-      case v if v.startsWith("snapshot:") => VersionRef.SnapshotVer(v.drop(9))
-      case v => VersionRef.Branch(v)
-    }
-    val session = repo.readonlySession(ref)
+    val (repo, session, array) = GraftTableProvider.open(opts)
+    val store = repo.store
+    val fsConf = graft.storage.hadoop.GraftFileSystem.shippableConf(store)
     val node = session.node(array).getOrElse(
       throw new graft.repo.GraftException(s"no array at $array"))
-    session.base.manifests.getOrElse(node.id, Nil)
-      .filter(m => m.emin.headOption.forall(_ <= hi) &&
-        m.emax.headOption.forall(_ >= lo))
-      .map { m =>
-        val dir = java.nio.file.Paths.get(java.net.URI.create(
-          repo.assets.manifestUri(m.manifestId) +
-            s"/node_id=${node.id}/split=${m.split}"))
-        val files =
-          if (!java.nio.file.Files.isDirectory(dir)) Array.empty[String]
-          else java.nio.file.Files.list(dir).iterator().asScala
-            .map(_.toString).filter(_.endsWith(".parquet")).toArray
-        SplitPartition(files, node.id, m.split): InputPartition
-      }.toArray
+    val ndim = node.shape.size
+    // chunk-coord bounds: refs-mode bounds are chunk coords already;
+    // values-mode bounds are element indices
+    def chunkBound(d: Int): (Long, Long) = {
+      val l = lo.getOrElse(d, Long.MinValue)
+      val h = hi.getOrElse(d, Long.MaxValue)
+      if (mode == "values") {
+        val c = node.chunkShape.lift(d).getOrElse(1L)
+        (if (l == Long.MinValue) Long.MinValue else l / c,
+          if (h == Long.MaxValue) Long.MaxValue else h / c)
+      } else (l, h)
+    }
+    val keep = session.base.manifests.getOrElse(node.id, Nil)
+      .filter { m =>
+        m.emin.indices.forall { d =>
+          val (cl, ch) = chunkBound(d)
+          m.emin(d) <= ch && m.emax(d) >= cl
+        }
+      }
+    def filesOf(m: graft.meta.ManifestRef): Array[String] = {
+      val prefix = graft.meta.Layout.manifestPrefix(m.manifestId) +
+        s"/node_id=${node.id}/split=${m.split}/"
+      store.list(prefix).map(_.key).filter(_.endsWith(".parquet"))
+        .map(store.uri).toArray
+    }
+    if (mode == "values") {
+      val dtype = opts.getOrElse("dtype",
+        throw new graft.repo.GraftException("dtype required"))
+      val bl = (0 until ndim).map(d => math.max(0L, lo.getOrElse(d, 0L)))
+      val bh = (0 until ndim).map { d =>
+        val h = hi.getOrElse(d, Long.MaxValue)
+        if (h == Long.MaxValue) node.shape(d)
+        else math.min(node.shape(d), h + 1) // inclusive -> exclusive
+      }
+      keep.map(m => ValuesPartition(filesOf(m), node.id, fsConf,
+        store.conf, repo.virtualResolver.containerMap, dtype,
+        opts.getOrElse("compression", "raw"), node.chunkShape, node.shape,
+        bl, bh): InputPartition).toArray
+    } else
+      keep.map(m => SplitPartition(filesOf(m), node.id, m.split,
+        fsConf): InputPartition).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -152,60 +275,77 @@ class GraftScan(path: String, array: String, version: String,
 class GraftReaderFactory(required: StructType)
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
-    new GraftPartitionReader(p.asInstanceOf[SplitPartition], required)
+    p match {
+      case sp: SplitPartition => new GraftPartitionReader(sp, required)
+      case vp: ValuesPartition => new GraftValuesReader(vp, required)
+    }
 }
 
-/** parquet-mr row reader for one manifest split (runs on executors). */
-class GraftPartitionReader(part: SplitPartition, required: StructType)
-    extends PartitionReader[InternalRow] {
-  private val files = part.files.iterator
-  private var reader: ParquetReader[Group] = _
-  private var current: Group = _
-
-  private def nextReader(): Boolean = {
-    if (reader != null) reader.close()
-    if (!files.hasNext) { reader = null; false }
-    else {
-      reader = ParquetReader.builder(new GroupReadSupport(),
-        new Path(files.next())).withConf(new Configuration()).build()
-      true
-    }
+/** Iterates one split's Parquet files with parquet-mr (no Spark session on
+  * executors); shared by both read modes.
+  */
+private[sources] class SplitGroupIterator(files: Array[String],
+                                          fsConf: Map[String, String]) {
+  private val conf = {
+    val c = new Configuration()
+    fsConf.foreach { case (k, v) => c.set(k, v) }
+    c
   }
+  private val fileIt = files.iterator
+  private var reader: ParquetReader[Group] = _
 
-  override def next(): Boolean = {
+  /** Next row group, or null when exhausted. */
+  def next(): Group = {
     while (true) {
-      if (reader == null && !nextReader()) return false
-      current = reader.read()
-      if (current != null) return true
+      if (reader == null) {
+        if (!fileIt.hasNext) return null
+        reader = ParquetReader.builder(new GroupReadSupport(),
+          new Path(fileIt.next())).withConf(conf).build()
+      }
+      val g = reader.read()
+      if (g != null) return g
       reader.close(); reader = null
     }
-    false
+    null
   }
 
-  private def has(g: Group, field: String): Boolean =
-    g.getType.containsField(field) &&
-      g.getFieldRepetitionCount(field) > 0
+  def close(): Unit = if (reader != null) { reader.close(); reader = null }
+
+  def has(g: Group, field: String): Boolean =
+    g.getType.containsField(field) && g.getFieldRepetitionCount(field) > 0
+
+  def coordOf(g: Group): Array[Int] =
+    if (!has(g, "coord")) Array.emptyIntArray
+    else {
+      val list = g.getGroup("coord", 0)
+      val n = list.getFieldRepetitionCount("list")
+      Array.tabulate(n)(i => list.getGroup("list", i).getInteger("element", 0))
+    }
+}
+
+/** parquet-mr row reader for one manifest split (refs mode). */
+class GraftPartitionReader(part: SplitPartition, required: StructType)
+    extends PartitionReader[InternalRow] {
+  private val it = new SplitGroupIterator(part.files, part.fsConf)
+  private var current: Group = _
+
+  override def next(): Boolean = { current = it.next(); current != null }
 
   private def field(g: Group, name: String): Any = name match {
     case "node_id" => UTF8String.fromString(part.nodeId)
     case "split" => part.split
     case "coord" =>
-      if (!has(g, "coord")) null
-      else {
-        val list = g.getGroup("coord", 0)
-        val n = list.getFieldRepetitionCount("list")
-        new GenericArrayData(Array.tabulate(n)(i =>
-          list.getGroup("list", i).getInteger("element", 0)))
-      }
+      val c = it.coordOf(g)
+      if (c.isEmpty && !it.has(g, "coord")) null else new GenericArrayData(c)
     case "inline" =>
-      if (!has(g, "inline")) null
+      if (!it.has(g, "inline")) null
       else g.getBinary("inline", 0).getBytes
     case s @ ("c0" | "c1" | "c2" | "c3" | "last_modified") =>
-      if (!has(g, s)) null else g.getInteger(s, 0)
+      if (!it.has(g, s)) null else g.getInteger(s, 0)
     case s @ ("offset" | "length") =>
-      if (!has(g, s)) null else g.getLong(s, 0)
+      if (!it.has(g, s)) null else g.getLong(s, 0)
     case s => // string fields
-      if (!has(g, s)) null
+      if (!it.has(g, s)) null
       else UTF8String.fromString(g.getString(s, 0))
   }
 
@@ -213,5 +353,274 @@ class GraftPartitionReader(part: SplitPartition, required: StructType)
     new GenericInternalRow(
       required.fields.map(f => field(current, f.name)).toArray[Any])
 
-  override def close(): Unit = if (reader != null) reader.close()
+  override def close(): Unit = it.close()
+}
+
+/** Values-mode reader: ref rows → ranged chunk fetch → sub-block decode →
+  * (i0..iN, value) rows. Only cells inside the pushed element bounds (and
+  * the array shape) are decoded and emitted.
+  */
+class GraftValuesReader(part: ValuesPartition, required: StructType)
+    extends PartitionReader[InternalRow] {
+  private val it = new SplitGroupIterator(part.files, part.fsConf)
+  private lazy val store = StoreConf.cached(part.storeConf)
+  private val ndim = part.chunkShape.size
+  private val chunkArr = part.chunkShape.toArray
+  private val strides = {
+    val s = new Array[Long](ndim)
+    s(ndim - 1) = 1
+    var d = ndim - 2
+    while (d >= 0) { s(d) = s(d + 1) * chunkArr(d + 1); d -= 1 }
+    s
+  }
+  // element bounds ∩ array shape (clip partial edge chunks)
+  private val loArr = part.boundLo.toArray
+  private val hiArr = part.boundHi.zip(part.shape).map { case (h, s) =>
+    math.min(h, s)
+  }.toArray
+  private val isInt = ChunkCodec.IntDtypes.contains(part.dtype)
+
+  // iteration state over the current chunk's sub-block
+  private var coord: Array[Int] = _
+  private var bb: java.nio.ByteBuffer = _
+  private var positions: Iterator[Long] = Iterator.empty
+
+  private def expand(loc: String): String =
+    if (!loc.startsWith("vcc://")) loc
+    else {
+      val rest = loc.stripPrefix("vcc://")
+      val (cname, rel) = rest.span(_ != '/')
+      part.containers.get(cname) match {
+        case Some(p) => p.stripSuffix("/") + "/" + rel.stripPrefix("/")
+        case None => throw new IllegalArgumentException(
+          s"no virtual chunk container named '$cname'")
+      }
+    }
+
+  private def fetchBytes(g: Group): Array[Byte] = {
+    val kind = if (it.has(g, "kind")) g.getString("kind", 0) else ""
+    val offset = if (it.has(g, "offset")) g.getLong("offset", 0) else 0L
+    val length = if (it.has(g, "length")) g.getLong("length", 0) else 0L
+    kind match {
+      case graft.meta.ChunkRef.KindInline => g.getBinary("inline", 0).getBytes
+      case graft.meta.ChunkRef.KindRef =>
+        store.getRange(
+          graft.meta.Layout.chunkKey(g.getString("chunk_id", 0)),
+          offset, length)
+      case graft.meta.ChunkRef.KindVirtual =>
+        graft.virt.ByteFetch.ranged(expand(g.getString("location", 0)),
+          offset, length)
+      case other => throw new graft.repo.GraftException(
+        s"unexpected payload kind '$other'")
+    }
+  }
+
+  private def advanceChunk(): Boolean = {
+    while (true) {
+      val g = it.next()
+      if (g == null) return false
+      coord = it.coordOf(g)
+      val blk = SliceGeom.block(coord, chunkArr, loArr, hiArr)
+      if (blk != null) {
+        val raw = ChunkCodec.decompress(fetchBytes(g), part.compression)
+        bb = java.nio.ByteBuffer.wrap(raw)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        val ps = scala.collection.mutable.ArrayBuffer[Long]()
+        SliceGeom.foreachRun(blk)((base, len) => {
+          var j = 0
+          while (j < len) { ps += base + j; j += 1 }
+        })
+        positions = ps.iterator
+        if (positions.hasNext) return true
+      }
+    }
+    false
+  }
+
+  private var pos: Long = -1L
+
+  override def next(): Boolean = {
+    while (!positions.hasNext) if (!advanceChunk()) return false
+    pos = positions.next()
+    true
+  }
+
+  private def valueAt(p: Long): Any = part.dtype match {
+    case "int8" => bb.get(p.toInt).toLong
+    case "int16" => bb.getShort(p.toInt * 2).toLong
+    case "int32" => bb.getInt(p.toInt * 4).toLong
+    case "int64" => bb.getLong(p.toInt * 8)
+    case "float32" => bb.getFloat(p.toInt * 4).toDouble
+    case _ => bb.getDouble(p.toInt * 8)
+  }
+
+  override def get(): InternalRow = {
+    val vals = required.fields.map { f =>
+      if (f.name == "value") valueAt(pos)
+      else {
+        val d = f.name.drop(1).toInt
+        coord(d).toLong * chunkArr(d) + (pos / strides(d)) % chunkArr(d)
+      }
+    }
+    new GenericInternalRow(vals.toArray[Any])
+  }
+
+  override def close(): Unit = it.close()
+}
+
+// ===================================================================
+// write path: distributed stage-refs-then-CAS-commit
+// ===================================================================
+
+class GraftWriteBuilder(opts: Map[String, String], info: LogicalWriteInfo)
+    extends WriteBuilder {
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite = new GraftBatchWrite(opts, info.schema())
+  }
+}
+
+/** Commit message: the staging key one task wrote its refs to. */
+case class StagedRefsMessage(stagingKey: String, rows: Long)
+  extends WriterCommitMessage
+
+/** The §3.3 distributed write: executors write ref Parquet objects under
+  * one staging prefix; `commit` stages the whole dataset on a writable
+  * session and runs the CAS commit loop exactly once. `abort` deletes the
+  * staging prefix (chunk objects referenced by aborted refs are left to
+  * GC, matching the reference's orphan policy).
+  */
+class GraftBatchWrite(opts: Map[String, String], schema: StructType)
+    extends BatchWrite {
+  private val stagingRoot = graft.meta.Layout.stagingPrefix(
+    graft.core.Ids.toBase32(graft.core.Ids.newObjectId()))
+
+  override def createBatchWriterFactory(
+      info: PhysicalWriteInfo): DataWriterFactory = {
+    val (repo, _, _) = GraftTableProvider.open(opts)
+    new GraftRefWriterFactory(repo.store.conf, stagingRoot, schema,
+      schema.fieldNames.toSeq)
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val (repo, _, array) = GraftTableProvider.open(opts)
+    val spark = org.apache.spark.sql.SparkSession.active
+    val session = repo.writableSession(opts.getOrElse("branch", "main"))
+    val staged = spark.read.schema(schema)
+      .parquet(repo.store.uri(stagingRoot))
+    session.trackStaging(stagingRoot)
+    session.stageChunkRefs(array, staged)
+    session.commit(opts.getOrElse("message", s"v2 write $array"))
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val (repo, _, _) = GraftTableProvider.open(opts)
+    repo.store.deletePrefix(stagingRoot)
+  }
+}
+
+class GraftRefWriterFactory(storeConf: StoreConf, stagingRoot: String,
+                            schema: StructType, fieldNames: Seq[String])
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int,
+                            taskId: Long): DataWriter[InternalRow] =
+    new GraftRefWriter(storeConf, stagingRoot, schema, partitionId, taskId)
+}
+
+/** Writes one task's ref rows as a single Parquet object via parquet-mr
+  * over the store (standard 3-level list encoding, readable by Spark).
+  */
+class GraftRefWriter(storeConf: StoreConf, stagingRoot: String,
+                     schema: StructType, partitionId: Int, taskId: Long)
+    extends DataWriter[InternalRow] {
+  import org.apache.parquet.schema.{MessageType, PrimitiveType, Types}
+  import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+  import org.apache.parquet.schema.LogicalTypeAnnotation
+
+  private val key = s"$stagingRoot/part-$partitionId-$taskId.parquet"
+  private val messageType: MessageType = {
+    val b = Types.buildMessage()
+    schema.fields.foreach { f =>
+      f.dataType match {
+        case StringType => b.addField(Types.optional(BINARY)
+          .as(LogicalTypeAnnotation.stringType()).named(f.name))
+        case BinaryType => b.addField(Types.optional(BINARY).named(f.name))
+        case IntegerType => b.addField(Types.optional(INT32).named(f.name))
+        case LongType => b.addField(Types.optional(INT64).named(f.name))
+        case ArrayType(IntegerType, _) =>
+          b.addField(Types.optionalList()
+            .element(Types.optional(INT32).named("element"))
+            .named(f.name))
+        case other => throw new graft.repo.GraftException(
+          s"unsupported ref column type $other for ${f.name}")
+      }
+    }
+    b.named("graft_refs")
+  }
+
+  private val buffer = new java.io.ByteArrayOutputStream(1 << 20)
+  private val writer = {
+    import org.apache.parquet.hadoop.example.ExampleParquetWriter
+    import org.apache.parquet.hadoop.ParquetFileWriter
+    val out = new org.apache.parquet.io.OutputFile {
+      override def create(blockSizeHint: Long) = newStream()
+      override def createOrOverwrite(blockSizeHint: Long) = newStream()
+      override def supportsBlockSize(): Boolean = false
+      override def defaultBlockSize(): Long = 0
+      private def newStream() =
+        new org.apache.parquet.io.DelegatingPositionOutputStream(buffer) {
+          private var p = 0L
+          override def getPos: Long = p
+          override def write(b: Int): Unit = { buffer.write(b); p += 1 }
+          override def write(b: Array[Byte]): Unit =
+            { buffer.write(b); p += b.length }
+          override def write(b: Array[Byte], off: Int, len: Int): Unit =
+            { buffer.write(b, off, len); p += len }
+        }
+    }
+    val conf = new Configuration()
+    org.apache.parquet.hadoop.example.GroupWriteSupport.setSchema(
+      messageType, conf)
+    ExampleParquetWriter.builder(out)
+      .withConf(conf)
+      .withWriteMode(ParquetFileWriter.Mode.OVERWRITE)
+      .withType(messageType)
+      .build()
+  }
+  private val factory =
+    new org.apache.parquet.example.data.simple.SimpleGroupFactory(messageType)
+  private var rows = 0L
+
+  override def write(row: InternalRow): Unit = {
+    val g = factory.newGroup()
+    schema.fields.zipWithIndex.foreach { case (f, i) =>
+      if (!row.isNullAt(i)) f.dataType match {
+        case StringType => g.append(f.name, row.getUTF8String(i).toString)
+        case BinaryType => g.append(f.name,
+          org.apache.parquet.io.api.Binary.fromConstantByteArray(
+            row.getBinary(i)))
+        case IntegerType => g.append(f.name, row.getInt(i))
+        case LongType => g.append(f.name, row.getLong(i))
+        case ArrayType(IntegerType, _) =>
+          val list = g.addGroup(f.name)
+          val arr = row.getArray(i)
+          var j = 0
+          while (j < arr.numElements()) {
+            list.addGroup("list").append("element", arr.getInt(j))
+            j += 1
+          }
+        case other => ()
+      }
+    }
+    writer.write(g)
+    rows += 1
+  }
+
+  override def commit(): WriterCommitMessage = {
+    writer.close()
+    StoreConf.cached(storeConf).putBytes(key, buffer.toByteArray)
+    StagedRefsMessage(key, rows)
+  }
+
+  override def abort(): Unit = writer.close()
+  override def close(): Unit = ()
 }

@@ -203,6 +203,18 @@ object GraftFileSystem {
     store
   }
 
+  /** Hadoop conf entries that make `store.rootUri` resolvable in another
+    * JVM (ship these inside serialized task descriptors). Empty for
+    * non-graft roots (`file:` URIs need nothing).
+    */
+  def shippableConf(store: Store): Map[String, String] = {
+    val uri = URI.create(store.rootUri)
+    if (uri.getScheme != "graft") Map.empty
+    else Map(
+      "fs.graft.impl" -> classOf[GraftFileSystem].getName,
+      s"fs.graft.store.${uri.getAuthority}" -> encodeConf(store.conf))
+  }
+
   private def encodeConf(c: StoreConf): String = {
     val bos = new ByteArrayOutputStream()
     val oos = new java.io.ObjectOutputStream(bos)

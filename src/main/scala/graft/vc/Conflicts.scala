@@ -165,6 +165,20 @@ final case class BasicConflictSolver(
   * transaction log and let the solver patch the changeset; the caller then
   * re-flushes against the new tip.
   */
+/** Before/after-rebase callbacks on the commit builder (session.rs:
+  * 377-386): third-party validation plugs in around every rebase pass of
+  * the optimistic commit loop. `beforeRebase` may throw to veto the
+  * rebase (the commit then fails); `afterRebase` sees the session with
+  * the solver's patches applied.
+  */
+final case class RebaseHooks(
+    beforeRebase: (Session, String) => Unit = (_, _) => (),
+    afterRebase: (Session, String) => Unit = (_, _) => ())
+
+object RebaseHooks {
+  val none: RebaseHooks = RebaseHooks()
+}
+
 object Rebase {
   def rebase(session: Session, info: graft.meta.RepoInfo, tip: String,
              solver: ConflictSolver): Unit = {

@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.pipeline.{Dedup, Similarity}
+
+/** Pipeline-operator behavior over the driver-generated fixtures —
+  * properties the SQL oracle can't express (ANN recall, LSH candidate
+  * containment).
+  */
+class PipelineSpec extends SparkTestBase {
+  private val sf = "/root/testdata/sf0.01"
+
+  test("multi-probe ANN recall >= 0.9 vs brute force on the fixture") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val query = emb.filter(col("vec_id") === 0)
+      .select("embedding").head().getSeq[Float](0)
+    val k = 20
+    val brute = Similarity.bruteForceTopK(emb, query, k)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    // the fixture's true neighbors sit at cos ~0.35-0.5 (weak cluster
+    // structure): sign bits correlate weakly, so the probe has to widen a
+    // lot — exactly the recall/cost knob multi-probe exposes. Low factors
+    // stay cheap (single bucket); this asserts the recall end of the dial.
+    val ann = Similarity.annTopK(emb, query, k, numPlanes = 8,
+        minCandidatesFactor = 22)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(ann.size == k)
+    val recall = brute.intersect(ann).size.toDouble / k
+    assert(recall >= 0.9, s"recall $recall < 0.9")
+    // and the single-probe setting trades recall for a pruned scan
+    val narrow = Similarity.annTopK(emb, query, k, numPlanes = 8,
+        minCandidatesFactor = 1)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(narrow.size == k)
+  }
+
+  test("block-matrix embedding near-dups equal the naive all-pairs result") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet").limit(200)
+    val fast = Dedup.embeddingNearDups(emb, threshold = 0.35)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // naive oracle: small cross join on the limited fixture
+    val st = emb.select(col("vec_id").cast("long").as("id"),
+      col("embedding").cast("array<double>").as("v"))
+    val naive = st.as("a").crossJoin(st.as("b"))
+      .filter(col("a.id") < col("b.id"))
+      .select(col("a.id"), col("b.id"),
+        round(Similarity.cosine(col("a.v"), col("b.v")), 6).as("c"))
+      .filter(col("c") >= 0.35)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(fast == naive)
+  }
+
+  test("minhash LSH candidates contain every truly-similar pair") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val candidates = Dedup.minhashCandidates(docs, numHashes = 32, bands = 8)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every pair at jaccard >= 0.5 must surface as an LSH candidate
+    // (8 bands x 4 rows: P(miss at j=0.5) = (1-0.5^4)^8 ~ 0.6 per pair —
+    // but the fixture's true dups are near-identical, j ~ 1.0)
+    val truth = Dedup.ngramJaccardPairs(docs, threshold = 0.5)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.nonEmpty)
+    assert(truth.subsetOf(candidates),
+      s"missed ${truth.diff(candidates).size} of ${truth.size}")
+  }
+}

@@ -41,6 +41,75 @@ class VersionControlSpec extends SparkTestBase {
     intercept[ConflictException](s5.commit("stale amend", amend = true))
   }
 
+  test("amend absorbs the replaced tip's tx log: diff spans both edit sets") {
+    val repo = freshRepo()
+    val s = repo.writableSession("main")
+    s.addArray("/a", Seq(10), Seq(1))
+    val c1 = s.commit("c1")
+    val s2 = repo.writableSession("main")
+    s2.writeChunk("/a", Seq(0), Array[Byte](1))
+    s2.commit("draft") // edits chunk 0
+    val s3 = repo.writableSession("main")
+    s3.writeChunk("/a", Seq(1), Array[Byte](2))
+    s3.commit("final", amend = true) // edits chunk 1, replaces draft
+    // diff from the surviving parent must report BOTH chunk edits
+    val d = repo.diff(VersionRef.SnapshotVer(c1), VersionRef.Branch("main"))
+    val chunkCoords = d.filter(org.apache.spark.sql.functions.col("edit") ===
+        graft.meta.EditRow.Chunk)
+      .select("coord").collect().map(_.getSeq[Int](0)).toSet
+    assert(chunkCoords == Set(Seq(0), Seq(1)))
+  }
+
+  test("feature flags gate move_node and amend; toggling goes through CAS") {
+    val repo = freshRepo()
+    val s = repo.writableSession("main")
+    s.addGroup("/g")
+    s.commit("init")
+    repo.setFeatureFlag(repo.Flags.MoveNode, enabled = false)
+    val s2 = repo.writableSession("main")
+    val e = intercept[GraftException](s2.moveNode("/g", "/h"))
+    assert(e.getMessage.contains("enable-move-node"))
+    repo.setFeatureFlag(repo.Flags.Amend, enabled = false)
+    val s3 = repo.writableSession("main")
+    s3.addGroup("/x")
+    intercept[GraftException](s3.commit("no amend", amend = true))
+    // re-enabling restores the ops
+    repo.setFeatureFlag(repo.Flags.MoveNode, enabled = true)
+    val s4 = repo.rearrangeSession("main")
+    s4.moveNode("/g", "/h")
+    s4.commit("moved")
+    assert(repo.readonlySession(VersionRef.Branch("main"))
+      .node("/h").isDefined)
+  }
+
+  test("rebase hooks fire around each rebase pass of the commit loop") {
+    val repo = freshRepo()
+    val s0 = repo.writableSession("main")
+    s0.addArray("/a", Seq(10), Seq(1))
+    s0.commit("init")
+    val writer = repo.writableSession("main")
+    writer.writeChunk("/a", Seq(0), Array[Byte](1))
+    // concurrent commit moves the tip under `writer`
+    val other = repo.writableSession("main")
+    other.writeChunk("/a", Seq(5), Array[Byte](9))
+    other.commit("interloper")
+    val calls = scala.collection.mutable.ArrayBuffer[String]()
+    writer.commit("mine", hooks = RebaseHooks(
+      beforeRebase = (_, tip) => calls += s"before:$tip",
+      afterRebase = (_, tip) => calls += s"after:$tip"))
+    assert(calls.size == 2)
+    assert(calls(0).startsWith("before:") && calls(1).startsWith("after:"))
+    // a vetoing before-hook fails the commit
+    val w2 = repo.writableSession("main")
+    w2.writeChunk("/a", Seq(1), Array[Byte](1))
+    val other2 = repo.writableSession("main")
+    other2.writeChunk("/a", Seq(6), Array[Byte](9))
+    other2.commit("interloper 2")
+    intercept[IllegalStateException](w2.commit("vetoed",
+      hooks = RebaseHooks(beforeRebase = (_, _) =>
+        throw new IllegalStateException("policy veto"))))
+  }
+
   test("conflict matrix: each class is detected; solver policies apply") {
     val repo = freshRepo()
     val s0 = repo.writableSession("main")
