@@ -123,10 +123,12 @@ object StoreConf {
 
   /** Executor-side client reuse: one store (one HTTP connection pool) per
     * conf per JVM — the connection-pooling the reference gets from its
-    * shared `object_store` client.
+    * shared `object_store` client. Wrapped in transient-failure retry
+    * (object-store 5xx/connection resets are a fact of life at 100 TB;
+    * `putIfAbsent` is protocol-level-retried only, see [[RetryingStore]]).
     */
   def cached(conf: StoreConf): Store =
-    cache.computeIfAbsent(conf, c => c.open())
+    cache.computeIfAbsent(conf, c => new RetryingStore(c.open()))
 }
 
 /** Local-filesystem store. `putIfAbsent` uses `CREATE_NEW` which is atomic

@@ -144,6 +144,54 @@ final class LoggingStore(inner: Store,
     { rec("deletePrefix", prefix); inner.deletePrefix(prefix) }
 }
 
+/** Key-prefix redirection (icechunk/src/storage/redirect.rs analog):
+  * route operations whose key matches a registered prefix to another
+  * store — e.g. chunks on cheap cold storage while the metadata plane
+  * stays on the primary, or read-through against a mirrored bucket.
+  * Longest-prefix match wins; unmatched keys go to the primary. Listings
+  * and prefix deletes consult every store whose rule prefix overlaps the
+  * queried prefix (results are merged, de-duplicated by key).
+  */
+final class RedirectStore(primary: Store,
+                          rules: Seq[(String, Store)]) extends Store {
+  private val ordered = rules.sortBy(-_._1.length)
+  private def route(key: String): Store =
+    ordered.collectFirst {
+      case (p, s) if key.startsWith(p) => s
+    }.getOrElse(primary)
+  private def storesFor(prefix: String): Seq[Store] =
+    (ordered.collect {
+      case (p, s) if p.startsWith(prefix) || prefix.startsWith(p) => s
+    } :+ primary).distinct
+
+  override def rootUri: String = primary.rootUri
+  override def conf: StoreConf = primary.conf
+  override def getBytes(key: String): Array[Byte] = route(key).getBytes(key)
+  override def getRange(key: String, offset: Long, length: Long): Array[Byte] =
+    route(key).getRange(key, offset, length)
+  override def putBytes(key: String, bytes: Array[Byte]): Unit =
+    route(key).putBytes(key, bytes)
+  override def putIfAbsent(key: String, bytes: Array[Byte]): Boolean =
+    route(key).putIfAbsent(key, bytes)
+  override def list(prefix: String): Seq[ObjectInfo] =
+    storesFor(prefix).flatMap(_.list(prefix))
+      .groupBy(_.key).map(_._2.head).toSeq.sortBy(_.key)
+  override def listPage(prefix: String, startAfter: Option[String],
+                        maxKeys: Int): Seq[ObjectInfo] =
+    storesFor(prefix).flatMap(_.listPage(prefix, startAfter, maxKeys))
+      .groupBy(_.key).map(_._2.head).toSeq.sortBy(_.key).take(maxKeys)
+  override def exists(key: String): Boolean = route(key).exists(key)
+  override def delete(keys: Iterable[String]): Unit =
+    keys.groupBy(route).foreach { case (s, ks) => s.delete(ks) }
+  override def deletePrefix(prefix: String): Unit =
+    storesFor(prefix).foreach(_.deletePrefix(prefix))
+  override def copy(srcKey: String, dstKey: String): Unit = {
+    val (src, dst) = (route(srcKey), route(dstKey))
+    if (src eq dst) src.copy(srcKey, dstKey)
+    else dst.putBytes(dstKey, src.getBytes(srcKey))
+  }
+}
+
 /** Latency injection (latency.rs analog): fixed delay per operation. */
 final class LatencyStore(inner: Store, delayMs: Long) extends Store {
   private def d(): Unit = Thread.sleep(delayMs)

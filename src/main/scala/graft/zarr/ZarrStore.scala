@@ -202,25 +202,37 @@ final class ZarrStore(val session: Session) {
     chunkDf.map(metaDf.unionByName(_)).getOrElse(metaDf)
   }
 
-  /** `list_prefix` (store.rs:580): all keys under a prefix. */
-  def listPrefix(prefix: String): Seq[String] = {
+  /** `list_prefix` (store.rs:580) as a '''streaming''' iterator: ordered
+    * partitions surface one at a time (`toLocalIterator`), so a
+    * 500 M-chunk array never materializes its key list on the driver.
+    */
+  def listPrefixIterator(prefix: String): Iterator[String] = {
+    import scala.jdk.CollectionConverters._
     val norm = prefix.stripPrefix("/")
     listKeysDf().filter(
         if (norm.isEmpty) lit(true)
         else col("key").startsWith(norm + "/") || col("key") === norm)
-      .select("key").collect().map(_.getString(0)).toSeq.sorted
+      .select("key").orderBy("key")
+      .toLocalIterator().asScala.map(_.getString(0))
   }
 
-  /** `list_dir` (store.rs:660): direct children names under a prefix. */
+  /** `list_prefix` as a Seq — tool-scale convenience over the iterator. */
+  def listPrefix(prefix: String): Seq[String] =
+    listPrefixIterator(prefix).toSeq
+
+  /** `list_dir` (store.rs:660): direct children names under a prefix
+    * (bounded by the child count after the distributed distinct).
+    */
   def listDir(prefix: String): Seq[String] = {
+    import scala.jdk.CollectionConverters._
     val norm = prefix.stripPrefix("/").stripSuffix("/")
     val base = if (norm.isEmpty) "" else norm + "/"
     listKeysDf()
       .filter(if (base.isEmpty) lit(true) else col("key").startsWith(base))
       .select(substring_index(expr(
         s"substring(key, ${base.length + 1})"), "/", 1).as("child"))
-      .distinct()
-      .collect().map(_.getString(0)).toSeq.sorted
+      .distinct().orderBy("child")
+      .toLocalIterator().asScala.map(_.getString(0)).toSeq
   }
 
   /** `getsize` (store.rs:700). */

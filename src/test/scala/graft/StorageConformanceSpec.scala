@@ -135,6 +135,30 @@ class StorageConformanceSpec extends SparkTestBase {
     } finally server.stop()
   }
 
+  test("redirect decorator routes by longest prefix; engine runs across stores") {
+    val meta = Store.local(tmpDir("redir-meta"))
+    val cold = Store.local(tmpDir("redir-cold"))
+    val store = new RedirectStore(meta, Seq("chunks/" -> cold))
+    store.putBytes("chunks/abc", Array[Byte](1, 2))
+    store.putBytes("snapshots/s1", Array[Byte](3))
+    assert(cold.exists("chunks/abc") && !meta.exists("chunks/abc"))
+    assert(meta.exists("snapshots/s1") && !cold.exists("snapshots/s1"))
+    assert(store.getRange("chunks/abc", 1, 1).toSeq == Seq[Byte](2))
+    // merged listings across the routed stores
+    assert(store.list("").map(_.key).sorted ==
+      Seq("chunks/abc", "snapshots/s1"))
+    assert(store.list("chunks/").map(_.key) == Seq("chunks/abc"))
+    // a whole repository over the split layout: chunks land cold
+    val repo = Repository.create(store, spark)
+    val s = repo.writableSession("main")
+    s.addArray("/a", Seq(4), Seq(1))
+    s.writeChunk("/a", Seq(0), Array.fill[Byte](2048)(7)) // > inline cap
+    s.commit("c")
+    assert(cold.list("chunks/").size == 2) // abc + the engine chunk
+    val ro = repo.readonlySession(VersionRef.Branch("main"))
+    assert(ro.getChunk("/a", Seq(0)).get.head == 7.toByte)
+  }
+
   test("s3: retrying decorator recovers transient 5xx-style failures") {
     val (server, store) = s3Fixture()
     try {
