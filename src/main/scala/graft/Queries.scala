@@ -363,6 +363,17 @@ object Queries {
     Similarity.annTopK(emb, query, 20, numPlanes = 4)
   }
 
+  /** IVF ANN top-k: k-means coarse quantizer + nprobe-list search (no SQL
+    * oracle — index-specific).
+    */
+  val q_similarity_ivf: Q = (s, d) => {
+    val emb = t(s, d, "embeddings")
+    val query = emb.filter(col("vec_id") === 0)
+      .select("embedding").head().getSeq[Float](0)
+    val (indexed, centers) = Similarity.ivfIndex(emb, nlist = 32)
+    Similarity.ivfTopK(indexed, centers, query, 20, nprobe = 8)
+  }
+
   // ---------------------------------------------------------------
   // Training-data pipeline: text analysis
   // ---------------------------------------------------------------
@@ -464,6 +475,7 @@ object Queries {
     "q_embedding_neardups" -> q_embedding_neardups,
     "q_similarity_topk" -> q_similarity_topk,
     "q_similarity_ann" -> q_similarity_ann,
+    "q_similarity_ivf" -> q_similarity_ivf,
     "q_ann_neighbors" -> q_ann_neighbors,
     "q_text_analysis" -> q_text_analysis,
     "q_quality_score" -> q_quality_score,

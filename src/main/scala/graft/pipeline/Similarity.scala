@@ -117,6 +117,50 @@ object Similarity {
       .limit(k)
   }
 
+  /** IVF (inverted-file) ANN index: k-means coarse quantizer over the
+    * embedding space; every vector is assigned to its nearest centroid's
+    * list. Search visits only the `nprobe` nearest lists — unlike
+    * data-oblivious sign-LSH, the centroids ADAPT to the corpus, so
+    * recall/candidate is far better on weakly-clustered data. At 100 TB
+    * the centroid id is the partition key: a probe touches `nprobe`
+    * partitions, and the (tiny) centroid table broadcasts.
+    */
+  def ivfIndex(embeddings: DataFrame, nlist: Int = 64, seed: Long = 42L,
+               vecCol: String = "embedding"): (DataFrame, Array[Array[Double]]) = {
+    import org.apache.spark.ml.feature.VectorAssembler
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val withVec = embeddings.withColumn("_fv",
+      array_to_vector(col(vecCol).cast("array<double>")))
+    val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(10)
+      .setFeaturesCol("_fv").setPredictionCol("list_id")
+      .fit(withVec)
+    val assigned = model.transform(withVec).drop("_fv")
+    (assigned, model.clusterCenters.map(_.toArray))
+  }
+
+  /** IVF search: rank the query against the centroid table driver-side
+    * (nlist is tiny), then scan only the `nprobe` nearest lists.
+    */
+  def ivfTopK(indexed: DataFrame, centers: Array[Array[Double]],
+              query: Seq[Float], k: Int, nprobe: Int = 8,
+              vecCol: String = "embedding",
+              idCol: String = "vec_id"): DataFrame = {
+    val q = query.map(_.toDouble).toArray
+    val qn = math.sqrt(q.map(x => x * x).sum)
+    val probes = centers.zipWithIndex.map { case (c, i) =>
+      val dot = c.zip(q).map { case (x, y) => x * y }.sum
+      val cn = math.sqrt(c.map(x => x * x).sum)
+      i -> (if (cn == 0) -1.0 else dot / (cn * qn))
+    }.sortBy(-_._2).take(nprobe).map(_._1)
+    indexed.filter(col("list_id").isin(probes.toSeq: _*))
+      .select(col(idCol),
+        round(cosine(col(vecCol).cast("array<double>"),
+          typedLit(q.toSeq)), 6).as("cos"))
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(k)
+  }
+
   /** All-pairs top-k neighbors per vector via LSH buckets (the batched
     * ANN-join): rank within bucket, keep k per id.
     */

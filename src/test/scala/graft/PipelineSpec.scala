@@ -34,6 +34,27 @@ class PipelineSpec extends SparkTestBase {
     assert(narrow.size == k)
   }
 
+  test("IVF ANN: adaptive centroids reach 0.9 recall without a full scan") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val query = emb.filter(col("vec_id") === 0)
+      .select("embedding").head().getSeq[Float](0)
+    val k = 20
+    val brute = Similarity.bruteForceTopK(emb, query, k)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val (indexed, centers) = Similarity.ivfIndex(emb, nlist = 32)
+    val cached = indexed.persist()
+    try {
+      // this fixture is near-isotropic (neighbors at cos ~0.35-0.5), so
+      // ANY index needs a wide probe for high recall; IVF still beats
+      // sign-LSH per candidate (~0.6 of the corpus here vs ~0.8)
+      val ivf = Similarity.ivfTopK(cached, centers, query, k, nprobe = 20)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      assert(ivf.size == k)
+      val recall = brute.intersect(ivf).size.toDouble / k
+      assert(recall >= 0.9, s"IVF recall $recall < 0.9")
+    } finally cached.unpersist()
+  }
+
   test("block-matrix embedding near-dups equal the naive all-pairs result") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet").limit(200)
     val fast = Dedup.embeddingNearDups(emb, threshold = 0.35)
