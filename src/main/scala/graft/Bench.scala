@@ -122,6 +122,15 @@ object Bench {
           Seq((0L, 4L), (0L, cube.toLong), (0L, cube.toLong))).head()
         assert(st.getAs[Long]("n") == 4L * cube * cube)
       }
+      // DSv2 columnar values scan over the whole cube: vectorized batches
+      // from the sub-block decoder straight into whole-stage codegen
+      results("engine_v2_columnar_scan") = timed {
+        val v = spark.read.format("graft-v2")
+          .option("path", dir.toString).option("array", "/cube")
+          .option("mode", "values").option("dtype", "int64").load()
+        val r = v.agg(sum(col("value")), count(lit(1))).head()
+        assert(r.getLong(1) == cube.toLong * cube * cube)
+      }
       // row-returning region read: sub-block decode emits only the
       // requested cells, then the usual (i0..iN, value) explode
       results("engine_cube_slice_rows") = timed {

@@ -279,6 +279,18 @@ class GraftReaderFactory(required: StructType)
       case sp: SplitPartition => new GraftPartitionReader(sp, required)
       case vp: ValuesPartition => new GraftValuesReader(vp, required)
     }
+
+  /** Values scans hand Spark '''columnar batches''' (primitive long/double
+    * vectors filled in tight per-chunk loops — no per-cell row
+    * allocation); whole-stage codegen consumes them directly. Refs stay
+    * row-based (strings + nested arrays, modest row counts).
+    */
+  override def supportColumnarReads(p: InputPartition): Boolean =
+    p.isInstanceOf[ValuesPartition]
+
+  override def createColumnarReader(p: InputPartition)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
+    new GraftValuesColumnarReader(p.asInstanceOf[ValuesPartition], required)
 }
 
 /** Iterates one split's Parquet files with parquet-mr (no Spark session on
@@ -356,17 +368,22 @@ class GraftPartitionReader(part: SplitPartition, required: StructType)
   override def close(): Unit = it.close()
 }
 
-/** Values-mode reader: ref rows → ranged chunk fetch → sub-block decode →
-  * (i0..iN, value) rows. Only cells inside the pushed element bounds (and
-  * the array shape) are decoded and emitted.
+/** One decoded sub-block: the chunk's coord, its (decompressed) byte
+  * buffer, and the in-chunk positions inside the requested region.
   */
-class GraftValuesReader(part: ValuesPartition, required: StructType)
-    extends PartitionReader[InternalRow] {
+private[sources] final case class ChunkCells(coord: Array[Int],
+                                             bb: java.nio.ByteBuffer,
+                                             positions: Array[Long])
+
+/** Shared cursor of values-mode readers: ref rows → ranged chunk fetch →
+  * sub-block geometry. Yields one [[ChunkCells]] per overlapping chunk.
+  */
+private[sources] final class ValuesChunkCursor(part: ValuesPartition) {
   private val it = new SplitGroupIterator(part.files, part.fsConf)
   private lazy val store = StoreConf.cached(part.storeConf)
-  private val ndim = part.chunkShape.size
-  private val chunkArr = part.chunkShape.toArray
-  private val strides = {
+  val ndim: Int = part.chunkShape.size
+  val chunkArr: Array[Long] = part.chunkShape.toArray
+  val strides: Array[Long] = {
     val s = new Array[Long](ndim)
     s(ndim - 1) = 1
     var d = ndim - 2
@@ -378,12 +395,6 @@ class GraftValuesReader(part: ValuesPartition, required: StructType)
   private val hiArr = part.boundHi.zip(part.shape).map { case (h, s) =>
     math.min(h, s)
   }.toArray
-  private val isInt = ChunkCodec.IntDtypes.contains(part.dtype)
-
-  // iteration state over the current chunk's sub-block
-  private var coord: Array[Int] = _
-  private var bb: java.nio.ByteBuffer = _
-  private var positions: Iterator[Long] = Iterator.empty
 
   private def expand(loc: String): String =
     if (!loc.startsWith("vcc://")) loc
@@ -415,57 +426,158 @@ class GraftValuesReader(part: ValuesPartition, required: StructType)
     }
   }
 
-  private def advanceChunk(): Boolean = {
+  /** Next overlapping chunk's cells, or null when exhausted. */
+  def nextChunk(): ChunkCells = {
     while (true) {
       val g = it.next()
-      if (g == null) return false
-      coord = it.coordOf(g)
+      if (g == null) return null
+      val coord = it.coordOf(g)
       val blk = SliceGeom.block(coord, chunkArr, loArr, hiArr)
       if (blk != null) {
         val raw = ChunkCodec.decompress(fetchBytes(g), part.compression)
-        bb = java.nio.ByteBuffer.wrap(raw)
+        val bb = java.nio.ByteBuffer.wrap(raw)
           .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-        val ps = scala.collection.mutable.ArrayBuffer[Long]()
+        val ps = new scala.collection.mutable.ArrayBuilder.ofLong
         SliceGeom.foreachRun(blk)((base, len) => {
           var j = 0
           while (j < len) { ps += base + j; j += 1 }
         })
-        positions = ps.iterator
-        if (positions.hasNext) return true
+        val arr = ps.result()
+        if (arr.nonEmpty) return ChunkCells(coord, bb, arr)
       }
     }
-    false
+    null
   }
 
-  private var pos: Long = -1L
+  def close(): Unit = it.close()
+}
+
+/** Values-mode row reader: (i0..iN, value) rows, one per in-bounds cell. */
+class GraftValuesReader(part: ValuesPartition, required: StructType)
+    extends PartitionReader[InternalRow] {
+  private val cursor = new ValuesChunkCursor(part)
+  private var cells: ChunkCells = _
+  private var idx = 0
 
   override def next(): Boolean = {
-    while (!positions.hasNext) if (!advanceChunk()) return false
-    pos = positions.next()
+    while (cells == null || idx >= cells.positions.length) {
+      cells = cursor.nextChunk()
+      if (cells == null) return false
+      idx = 0
+    }
+    idx += 1
     true
   }
 
   private def valueAt(p: Long): Any = part.dtype match {
-    case "int8" => bb.get(p.toInt).toLong
-    case "int16" => bb.getShort(p.toInt * 2).toLong
-    case "int32" => bb.getInt(p.toInt * 4).toLong
-    case "int64" => bb.getLong(p.toInt * 8)
-    case "float32" => bb.getFloat(p.toInt * 4).toDouble
-    case _ => bb.getDouble(p.toInt * 8)
+    case "int8" => cells.bb.get(p.toInt).toLong
+    case "int16" => cells.bb.getShort(p.toInt * 2).toLong
+    case "int32" => cells.bb.getInt(p.toInt * 4).toLong
+    case "int64" => cells.bb.getLong(p.toInt * 8)
+    case "float32" => cells.bb.getFloat(p.toInt * 4).toDouble
+    case _ => cells.bb.getDouble(p.toInt * 8)
   }
 
   override def get(): InternalRow = {
+    val pos = cells.positions(idx - 1)
     val vals = required.fields.map { f =>
       if (f.name == "value") valueAt(pos)
       else {
         val d = f.name.drop(1).toInt
-        coord(d).toLong * chunkArr(d) + (pos / strides(d)) % chunkArr(d)
+        cells.coord(d).toLong * cursor.chunkArr(d) +
+          (pos / cursor.strides(d)) % cursor.chunkArr(d)
       }
     }
     new GenericInternalRow(vals.toArray[Any])
   }
 
-  override def close(): Unit = it.close()
+  override def close(): Unit = cursor.close()
+}
+
+/** Values-mode '''columnar''' reader: fills primitive long/double vectors
+  * chunk-run-at-a-time — no per-cell row allocation, and Spark's
+  * whole-stage codegen consumes the batches directly. The physical layout
+  * (i-columns computed from position arithmetic, value read straight off
+  * the decoded buffer) makes a 1 GiB scan a handful of tight loops.
+  */
+class GraftValuesColumnarReader(part: ValuesPartition, required: StructType)
+    extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+  import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
+  import org.apache.spark.sql.vectorized.ColumnarBatch
+
+  private val BatchRows = 4096
+  private val cursor = new ValuesChunkCursor(part)
+  private val vectors = required.fields.map(f =>
+    new OnHeapColumnVector(BatchRows, f.dataType))
+  private val batch = new ColumnarBatch(
+    vectors.map(v => v: org.apache.spark.sql.vectorized.ColumnVector))
+  private val isInt = ChunkCodec.IntDtypes.contains(part.dtype)
+
+  private var cells: ChunkCells = _
+  private var idx = 0
+
+  override def next(): Boolean = {
+    vectors.foreach(_.reset())
+    var row = 0
+    while (row < BatchRows) {
+      if (cells == null || idx >= cells.positions.length) {
+        cells = cursor.nextChunk()
+        if (cells == null) {
+          batch.setNumRows(row)
+          return row > 0
+        }
+        idx = 0
+      }
+      // fill every column for the run available in this chunk
+      val take = math.min(BatchRows - row, cells.positions.length - idx)
+      var c = 0
+      while (c < required.fields.length) {
+        val f = required.fields(c)
+        val vec = vectors(c)
+        if (f.name == "value") {
+          val bb = cells.bb
+          var j = 0
+          part.dtype match {
+            case "int8" => while (j < take) {
+              vec.putLong(row + j, bb.get(cells.positions(idx + j).toInt)); j += 1 }
+            case "int16" => while (j < take) {
+              vec.putLong(row + j, bb.getShort(cells.positions(idx + j).toInt * 2)); j += 1 }
+            case "int32" => while (j < take) {
+              vec.putLong(row + j, bb.getInt(cells.positions(idx + j).toInt * 4)); j += 1 }
+            case "int64" => while (j < take) {
+              vec.putLong(row + j, bb.getLong(cells.positions(idx + j).toInt * 8)); j += 1 }
+            case "float32" => while (j < take) {
+              vec.putDouble(row + j, bb.getFloat(cells.positions(idx + j).toInt * 4)); j += 1 }
+            case _ => while (j < take) {
+              vec.putDouble(row + j, bb.getDouble(cells.positions(idx + j).toInt * 8)); j += 1 }
+          }
+        } else {
+          val d = f.name.drop(1).toInt
+          val base = cells.coord(d).toLong * cursor.chunkArr(d)
+          val stride = cursor.strides(d)
+          val extent = cursor.chunkArr(d)
+          var j = 0
+          while (j < take) {
+            vec.putLong(row + j,
+              base + (cells.positions(idx + j) / stride) % extent)
+            j += 1
+          }
+        }
+        c += 1
+      }
+      row += take
+      idx += take
+    }
+    batch.setNumRows(row)
+    true
+  }
+
+  override def get(): ColumnarBatch = batch
+
+  override def close(): Unit = {
+    vectors.foreach(_.close())
+    cursor.close()
+  }
 }
 
 // ===================================================================

@@ -74,6 +74,8 @@ class GraftTableProviderSpec extends SparkTestBase {
     // split pruning reached the plan (bounds visible in scan description)
     val desc = sliced.queryExecution.executedPlan.toString()
     assert(desc.contains("mode=values"))
+    // the values scan feeds Spark columnar batches (ColumnarToRow above it)
+    assert(v.queryExecution.executedPlan.toString().contains("ColumnarToRow"))
   }
 
   test("DSv2 write: distributed refs staged and committed through CAS") {
