@@ -197,6 +197,34 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** The 100 TB n-gram verification path: block candidate pairs on
+    * MinHash-LSH buckets instead of a metadata column, then verify each
+    * candidate with EXACT n-gram Jaccard. A metadata block key (e.g.
+    * `lang`) puts ~the whole corpus in one skewed block at scale; LSH
+    * buckets stay balanced and recall is tunable via (numHashes, bands).
+    * Output ⊆ the metadata-blocked exact result, within LSH recall.
+    */
+  def ngramJaccardPairsLsh(docs: DataFrame, textCol: String = "text",
+                           n: Int = 3, threshold: Double = 0.5,
+                           numHashes: Int = 32, bands: Int = 16): DataFrame = {
+    val candidates = minhashCandidates(docs, textCol, n, numHashes, bands)
+      .select("doc_a", "doc_b")
+    val withSh = docs.select(col("doc_id"),
+        shingles(col(textCol), n).as("sh"))
+      .withColumn("sz", size(col("sh")))
+    val a = withSh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"),
+      col("sz").as("sz_a"))
+    val b = withSh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"),
+      col("sz").as("sz_b"))
+    candidates.join(a, Seq("doc_a")).join(b, Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          (col("sz_a") + col("sz_b") -
+            size(array_intersect(col("sh_a"), col("sh_b")))).cast("double"))
+          .as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** Embedding-cosine near-duplicates: exact all-pairs with cosine ≥
     * threshold, as a '''block-matrix similarity join''' — never a row-pair
     * cross join. Vectors hash into `numBlocks` blocks; the O(m²) block

@@ -40,11 +40,10 @@ class DefaultSource extends RelationProvider
 
   private def open(parameters: Map[String, String],
                    sqlContext: SQLContext): (Repository, Session, String) = {
-    val path = parameters.getOrElse("path",
-      throw new GraftException("option 'path' (repo root) is required"))
     val array = parameters.getOrElse("array",
       throw new GraftException("option 'array' (node path) is required"))
-    val repo = Repository.open(Store.local(path), sqlContext.sparkSession)
+    val repo = Repository.open(Store.fromOptions(parameters),
+      sqlContext.sparkSession)
     val version = parameters.getOrElse("version", "branch:main") match {
       case v if v.startsWith("branch:") =>
         VersionRef.Branch(v.stripPrefix("branch:"))
@@ -69,9 +68,9 @@ class DefaultSource extends RelationProvider
     */
   override def createRelation(sqlContext: SQLContext, mode: SaveMode,
       parameters: Map[String, String], data: DataFrame): BaseRelation = {
-    val path = parameters("path")
     val array = parameters("array")
-    val repo = Repository.open(Store.local(path), sqlContext.sparkSession)
+    val repo = Repository.open(Store.fromOptions(parameters),
+      sqlContext.sparkSession)
     val branch = parameters.getOrElse("branch", "main")
     val session = repo.writableSession(branch)
     parameters.getOrElse("mode", "refs") match {

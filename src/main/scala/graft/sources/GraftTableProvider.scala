@@ -103,12 +103,10 @@ object GraftTableProvider {
 
   private[sources] def open(opts: Map[String, String])
       : (Repository, graft.repo.Session, String) = {
-    val path = opts.getOrElse("path",
-      throw new graft.repo.GraftException("option 'path' is required"))
     val array = opts.getOrElse("array",
       throw new graft.repo.GraftException("option 'array' is required"))
     val spark = org.apache.spark.sql.SparkSession.active
-    val repo = Repository.open(Store.local(path), spark)
+    val repo = Repository.open(Store.fromOptions(opts), spark)
     val ref = opts.getOrElse("version", "branch:main") match {
       case v if v.startsWith("branch:") => VersionRef.Branch(v.drop(7))
       case v if v.startsWith("tag:") => VersionRef.Tag(v.drop(4))

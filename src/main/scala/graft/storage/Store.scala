@@ -247,4 +247,22 @@ object Store {
     * by `Repository.open/create`) so Spark can read/write Parquet on it.
     */
   def s3(conf: S3StoreConf): Store = conf.open()
+
+  /** Store from connector options: `s3.endpoint`/`s3.bucket` (+ optional
+    * `s3.region`, `s3.prefix`, `s3.access-key`, `s3.secret-key`) select
+    * the S3 backend; otherwise `path` is a local repo root.
+    */
+  def fromOptions(opts: Map[String, String]): Store =
+    opts.get("s3.endpoint") match {
+      case Some(ep) => s3(S3StoreConf(ep,
+        opts.getOrElse("s3.region", "us-east-1"),
+        opts.getOrElse("s3.bucket",
+          throw new IllegalArgumentException("option 's3.bucket' required")),
+        opts.getOrElse("s3.prefix", ""),
+        opts.getOrElse("s3.access-key", ""),
+        opts.getOrElse("s3.secret-key", "")))
+      case None => local(opts.getOrElse("path",
+        throw new IllegalArgumentException(
+          "option 'path' (repo root) or 's3.endpoint' is required")))
+    }
 }

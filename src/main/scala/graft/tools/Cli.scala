@@ -25,7 +25,8 @@ import graft.storage.Store
 object Cli {
   private def usage(): Nothing = {
     System.err.println(
-      "usage: Cli <repoDir> init|log|branch|tag|ls|mv|inspect|ops|diff|gc|compact ...")
+      "usage: Cli <repoDir> init|log|branch|tag|ls|mv|inspect|ops|diff|" +
+        "gc|compact|flags ...")
     sys.exit(2)
   }
 
@@ -109,6 +110,15 @@ object Cli {
         case ("compact", _) =>
           val id = graft.ops.Compaction.rewriteManifests(repo, "main")
           println(s"compacted -> $id")
+        case ("flags", Nil) | ("flags", "list" :: _) =>
+          val known = Seq(repo.Flags.MoveNode, repo.Flags.Amend,
+            repo.Flags.Expire)
+          val set = repo.info().flags
+          (known ++ set.keys).distinct.foreach(f =>
+            println(s"$f = ${set.getOrElse(f, true)}"))
+        case ("flags", "set" :: name :: value :: Nil) =>
+          repo.setFeatureFlag(name, value.toBoolean)
+          println(s"$name = $value")
         case _ => usage()
       }
     } finally spark.stop()

@@ -231,6 +231,27 @@ class S3RepositorySpec extends SparkTestBase {
     } finally server.stop()
   }
 
+  test("connectors open an S3 repo via s3.* options (V1 and DSv2)") {
+    val (server, repo) = freshRepo()
+    try {
+      val s = repo.writableSession("main")
+      s.addArray("/t", Seq(8), Seq(2))
+      for (c <- 0 until 4)
+        s.writeChunk("/t", Seq(c), Array.fill[Byte](1024)(c.toByte))
+      s.commit("data")
+      val opts = Map(
+        "s3.endpoint" -> server.endpoint, "s3.bucket" -> "engine",
+        "s3.prefix" -> "repos/alpha", "s3.access-key" -> "k",
+        "s3.secret-key" -> "s", "array" -> "/t")
+      val v1 = spark.read.format("graft").options(opts).load()
+      assert(v1.count() == 4)
+      val v2 = spark.read.format("graft-v2").options(opts).load()
+      assert(v2.count() == 4)
+      assert(v2.filter(org.apache.spark.sql.functions.col("c0") >= 2)
+        .count() == 2)
+    } finally server.stop()
+  }
+
   test("repo on S3: pointer lookup lists O(1) keys regardless of history") {
     val (server, repo) = freshRepo()
     try {
