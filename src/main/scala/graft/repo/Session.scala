@@ -436,6 +436,41 @@ final class Session private[repo] (
     case other => throw new GraftException(s"unexpected payload kind $other")
   }
 
+  /** Byte range `[from, to)` of a chunk's payload, clamped to `[0, len)`
+    * — pushed down as ONE ranged GET for object-backed refs (a 4 KB
+    * partial read of a 128 MB chunk never fetches the chunk;
+    * `get_object_range`, storage.rs:196-206). Inline payloads slice in
+    * memory.
+    */
+  private[graft] def materializeRange(r: ChunkRef, from: Long,
+                                      to: Long): Array[Byte] = {
+    def clamp(len: Long): (Long, Long) = {
+      val f = math.max(0L, math.min(from, len))
+      (f, math.max(f, math.min(to, len)))
+    }
+    r.kind match {
+      case ChunkRef.KindInline =>
+        val (f, t) = clamp(r.inline.length.toLong)
+        java.util.Arrays.copyOfRange(r.inline, f.toInt, t.toInt)
+      case ChunkRef.KindRef =>
+        // length == 0 means "whole object" (unknown size): issue the range
+        // as-is and let EOF clamp it server-side
+        val (f, t) =
+          if (r.length > 0) clamp(r.length)
+          else (math.max(0L, from), math.max(from, to))
+        if (t == f) Array.emptyByteArray
+        else assets.readChunk(r.chunk_id, r.offset + f, t - f)
+      case ChunkRef.KindVirtual =>
+        val (f, t) =
+          if (r.length > 0) clamp(r.length)
+          else (math.max(0L, from), math.max(from, to))
+        if (t == f) Array.emptyByteArray
+        else repo.virtualResolver.fetch(r.location, r.offset + f, t - f,
+          r.etag, r.last_modified)
+      case other => throw new GraftException(s"unexpected payload kind $other")
+    }
+  }
+
   // ------------------------------------------------------------------
   // lifecycle
   // ------------------------------------------------------------------
@@ -481,6 +516,30 @@ final class Session private[repo] (
   def flush(message: String,
             properties: Map[String, String] = Map.empty): Snapshot =
     flushInternal(message, properties)
+
+  /** Anonymous commit: flush AND register the snapshot in the repo info
+    * WITHOUT moving any branch — the dangling-commit shape (reachable by
+    * id, shows in `lookupSnapshot`/`inspect`, ancestry walks to root;
+    * GC'd like any unreferenced snapshot once past the age guard unless a
+    * branch/tag is later pointed at it). The session advances onto the
+    * new snapshot and keeps working detached.
+    */
+  def commitDetached(message: String,
+                     properties: Map[String, String] = Map.empty): String = {
+    requireWritable()
+    if (changeSet.isEmpty)
+      throw new GraftException("nothing to commit")
+    val snapshot = flushInternal(message, properties)
+    repo.casUpdate("commit_detached",
+      s"snapshot=${snapshot.id} message=$message") { i =>
+      i.copy(snapshots = i.snapshots :+ SnapshotInfo(snapshot.id,
+        snapshot.parentId, snapshot.flushedAt, message))
+    }
+    baseSnapshot = snapshot
+    changeSet.discard()
+    cleanupStaging()
+    snapshot.id
+  }
 
   /** The flush process (session.rs:2515-2848), as ONE Spark job over all
     * changed arrays: merge changeset over committed refs, bucket into

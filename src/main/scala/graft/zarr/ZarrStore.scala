@@ -84,8 +84,15 @@ final class ZarrStore(val session: Session) {
         session.node(path).map(n => slice(metadataDocument(n).getBytes, range))
       case Right(Chunk(path, coords)) =>
         session.node(path).filter(_.isArray)
-          .flatMap(_ => session.getChunk(path, coords))
-          .map(slice(_, range))
+          .flatMap { _ =>
+            range match {
+              case None => session.getChunk(path, coords)
+              case Some((from, to)) =>
+                // range pushdown: one ranged GET, never the whole chunk
+                session.getChunkRef(path, coords)
+                  .map(session.materializeRange(_, from, to))
+            }
+          }
     }
 
   private def slice(bytes: Array[Byte], range: Option[(Long, Long)]) =

@@ -92,4 +92,49 @@ class StatefulModelSpec extends SparkTestBase {
     }
     assert(snapshots.nonEmpty, "scenario should have taken tags")
   }
+
+  test("tensor model: random region writes then region reads match the array") {
+    import org.apache.spark.sql.functions._
+    val rng = new Random(7)
+    val repo = Repository.create(Store.local(tmpDir("repo")), spark)
+    val s0 = repo.writableSession("main")
+    s0.addArray("/t", Seq(64), Seq(8))
+    val model = Array.tabulate(64)(i => i.toDouble)
+    def df(vals: Seq[(Long, Double)]) = {
+      import spark.implicits._
+      vals.toDF("i0", "value")
+    }
+    graft.tensor.TensorPlane.writeValues(s0, "/t",
+      df(model.indices.map(i => (i.toLong, model(i)))), "float64")
+    s0.commit("init")
+
+    for (round <- 1 to 8) {
+      // chunk-aligned region write [a*8, b*8)
+      val a = rng.nextInt(8)
+      val b = a + 1 + rng.nextInt(8 - a)
+      val s = repo.writableSession("main")
+      val vals = (0 until (b - a) * 8).map(j =>
+        (j.toLong, rng.nextInt(1000).toDouble))
+      graft.tensor.TensorPlane.writeRegion(s, "/t", df(vals),
+        offsets = Seq(a * 8L), "float64")
+      vals.foreach { case (j, v) => model(a * 8 + j.toInt) = v }
+      s.commit(s"region $round")
+
+      // arbitrary (unaligned) region read + kernel stats vs the model
+      val ro = repo.readonlySession(VersionRef.Branch("main"))
+      val lo = rng.nextInt(60).toLong
+      val hi = lo + 1 + rng.nextInt((64 - lo).toInt)
+      val got = graft.tensor.TensorPlane
+        .valuesRegion(ro, "/t", "float64", Seq((lo, hi)))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val want = (lo until hi).map(i => i -> model(i.toInt)).toMap
+      assert(got == want, s"region [$lo,$hi) mismatch at round $round")
+      val st = graft.tensor.TensorPlane
+        .sliceStats(ro, "/t", "float64", Seq((lo, hi))).head()
+      assert(st.getAs[Long]("n") == hi - lo)
+      assert(st.getAs[Double]("sum") == want.values.sum)
+      assert(st.getAs[Double]("min") == want.values.min)
+      assert(st.getAs[Double]("max") == want.values.max)
+    }
+  }
 }

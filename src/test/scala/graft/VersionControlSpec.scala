@@ -60,6 +60,31 @@ class VersionControlSpec extends SparkTestBase {
     assert(chunkCoords == Set(Seq(0), Seq(1)))
   }
 
+  test("detached commit registers a snapshot without moving the branch") {
+    val repo = freshRepo()
+    val s = repo.writableSession("main")
+    s.addArray("/a", Seq(10), Seq(1))
+    val c1 = s.commit("c1")
+    val s2 = repo.writableSession("main")
+    s2.writeChunk("/a", Seq(0), Array[Byte](1))
+    val det = s2.commitDetached("scratch work")
+    // branch untouched; snapshot reachable by id with full ancestry
+    assert(repo.lookupBranch("main").get == c1)
+    assert(repo.lookupSnapshot(det).message == "scratch work")
+    assert(repo.ancestry(VersionRef.SnapshotVer(det)).map(_.id).contains(c1))
+    val ro = repo.readonlySession(VersionRef.SnapshotVer(det))
+    assert(ro.getChunk("/a", Seq(0)).get.head == 1.toByte)
+    // the session advanced detached: further edits build on the snapshot
+    s2.writeChunk("/a", Seq(1), Array[Byte](2))
+    val det2 = s2.commitDetached("more scratch")
+    assert(repo.ancestry(VersionRef.SnapshotVer(det2)).map(_.id)
+      .take(2) == Seq(det2, det))
+    // a branch can be pointed at the anonymous lineage later
+    repo.createBranch("rescued", det2)
+    assert(repo.readonlySession(VersionRef.Branch("rescued"))
+      .refs("/a").count() == 2)
+  }
+
   test("feature flags gate move_node and amend; toggling goes through CAS") {
     val repo = freshRepo()
     val s = repo.writableSession("main")

@@ -74,4 +74,29 @@ class ZarrStoreSpec extends SparkTestBase {
     assert(!ws.exists("g/a/zarr.json") && !ws.exists("g/a/c/0"))
     assert(ws.exists("g/b/zarr.json"))
   }
+
+  test("byte-range get is ONE ranged GET, never a whole-chunk fetch") {
+    val inner = Store.local(tmpDir("repo"))
+    val logging = new graft.storage.LoggingStore(inner, _ => ())
+    val repo = Repository.create(logging, spark)
+    val store = new ZarrStore(repo.writableSession("main"))
+    val arr = """{"zarr_format":3,"node_type":"array","shape":[10],""" +
+      """"chunk_grid":{"configuration":{"chunk_shape":[10]}}}"""
+    store.set("a/zarr.json", arr.getBytes)
+    val payload = Array.tabulate[Byte](4096)(i => (i % 100).toByte)
+    store.set("a/c/0", payload) // > inline threshold: chunk object
+    store.session.commit("setup")
+
+    val ro = new ZarrStore(repo.readonlySession(VersionRef.Branch("main")))
+    logging.counts.clear()
+    val got = ro.get("a/c/0", Some((100L, 116L))).get
+    assert(got.toSeq == payload.slice(100, 116).toSeq)
+    assert(logging.counts.containsKey("getRange"),
+      "partial read must go through a ranged GET")
+    assert(!logging.counts.containsKey("getBytes"),
+      "partial read must not fetch the whole chunk")
+    // clamping semantics preserved at the pushed-down layer
+    assert(ro.get("a/c/0", Some((4000L, 9000L))).get.length == 96)
+    assert(ro.get("a/c/0", Some((9000L, 9100L))).get.isEmpty)
+  }
 }
