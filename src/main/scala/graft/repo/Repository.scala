@@ -219,6 +219,23 @@ final class Repository private (
   /** Debug rollups over the metadata relations (icechunk/src/inspect.rs):
     * one row per snapshot in the pointer with node/manifest/ref counts.
     */
+  /** Shard-level manifest detail at a version: one row per (node, split)
+    * with extents, ref counts, and bytes — the view compaction decisions
+    * read (fragmented shards, skewed splits, stale extents).
+    */
+  def inspectManifests(ref: VersionRef = VersionRef.Branch("main")): DataFrame = {
+    import spark.implicits._
+    val snap = assets.readSnapshot(resolveVersion(ref))
+    val pathOf = snap.nodes.map(n => n.id -> n.path).toMap
+    val rows = snap.manifests.toSeq.flatMap { case (nid, refs) =>
+      refs.map(r => (pathOf.getOrElse(nid, nid), nid, r.manifestId, r.split,
+        r.emin.mkString(","), r.emax.mkString(","), r.numRefs, r.sizeBytes))
+    }
+    spark.createDataset(rows).toDF("path", "node_id", "manifest_id",
+      "split", "extent_min", "extent_max", "n_refs", "bytes")
+      .orderBy("path", "split")
+  }
+
   def inspect(): DataFrame = {
     import spark.implicits._
     val rows = info().snapshots.map { si =>

@@ -89,6 +89,10 @@ object Cli {
               s"  array shape=[${n.shape.mkString(",")}]" else "  group"
             println(s"${n.path}$extra")
           }
+        case ("inspect", "--manifests" :: refName) =>
+          val ref = refName.headOption.map(parseRef(repo, _))
+            .getOrElse(VersionRef.Branch("main"))
+          repo.inspectManifests(ref).collect().foreach(println)
         case ("inspect", _) =>
           repo.inspect().orderBy("flushed_at").collect().foreach(println)
         case ("ops", n) =>

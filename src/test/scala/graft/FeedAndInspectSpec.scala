@@ -52,4 +52,22 @@ class FeedAndInspectSpec extends SparkTestBase {
     assert(repo.readonlySession(VersionRef.SnapshotVer(old.id))
       .refs("/g/a").count() == 1)
   }
+
+  test("inspectManifests: one row per (node, split) with extents and counts") {
+    val repo = Repository.create(
+      graft.storage.Store.local(tmpDir("repo")), spark,
+      GraftConfig(splits = Seq(SplitRule(".*", 0, 4))))
+    val s = repo.writableSession("main")
+    s.addArray("/a", Seq(16), Seq(1)) // 16 chunks, 4 per split
+    for (c <- 0 until 16) s.writeChunk("/a", Seq(c), Array[Byte](c.toByte))
+    s.commit("grid")
+    val rows = repo.inspectManifests().collect()
+    assert(rows.length == 4) // 4 splits
+    assert(rows.forall(_.getAs[String]("path") == "/a"))
+    assert(rows.map(_.getAs[Long]("n_refs")).sum == 16)
+    val first = rows.head
+    assert(first.getAs[Int]("split") == 0)
+    assert(first.getAs[String]("extent_min") == "0")
+    assert(first.getAs[String]("extent_max") == "3")
+  }
 }
