@@ -231,6 +231,30 @@ class S3RepositorySpec extends SparkTestBase {
     } finally server.stop()
   }
 
+  test("value plane on S3: distributed write, region read, slice stats") {
+    val (server, repo) = freshRepo()
+    try {
+      import org.apache.spark.sql.functions._
+      val s = repo.writableSession("main")
+      s.addArray("/v", Seq(40), Seq(10))
+      val df = spark.range(40).select(col("id").as("i0"),
+        (col("id") * 3).cast("double").as("value"))
+      // staging parquet + chunk uploads all ride the S3 client
+      graft.tensor.TensorPlane.writeValues(s, "/v", df, "float64")
+      s.commit("values")
+      val ro = repo.readonlySession(VersionRef.Branch("main"))
+      // executor-side ranged fetch through StoreConf -> HTTP
+      val region = graft.tensor.TensorPlane
+        .valuesRegion(ro, "/v", "float64", Seq((15L, 25L)))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(region == (15L until 25L).map(i => i -> i * 3.0).toMap)
+      val st = graft.tensor.TensorPlane
+        .sliceStats(ro, "/v", "float64", Seq((0L, 40L))).head()
+      assert(st.getAs[Long]("n") == 40)
+      assert(st.getAs[Double]("sum") == (0 until 40).map(_ * 3.0).sum)
+    } finally server.stop()
+  }
+
   test("connectors open an S3 repo via s3.* options (V1 and DSv2)") {
     val (server, repo) = freshRepo()
     try {
