@@ -105,7 +105,8 @@ final class RepoPointer(store: Store) {
         store.delete(page.map(_.key))
         deleted += page.size
         after = Some(page.last.key)
-        more = page.size == 1000
+        // page size is not a truncation signal (S3 may short-page):
+        // keep going until an empty page
       }
     }
     deleted

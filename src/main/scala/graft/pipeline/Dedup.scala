@@ -243,6 +243,11 @@ object Dedup {
                         vecCol: String = "embedding",
                         idCol: String = "vec_id",
                         numBlocks: Int = 16): DataFrame = {
+    require(embeddings.schema(idCol).dataType
+        .isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"embeddingNearDups needs a numeric id column; '$idCol' is " +
+        s"${embeddings.schema(idCol).dataType.simpleString} — add a " +
+        "monotonically_increasing_id() surrogate first")
     val staged = embeddings.select(col(idCol).cast("long").as("id"),
       col(vecCol).cast("array<double>").as("v"))
       .withColumn("blk",

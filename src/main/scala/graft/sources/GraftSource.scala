@@ -149,7 +149,7 @@ case class GraftRelation(sqlContext: SQLContext, session: Session,
             else math.min(node.shape(d), hi(d) + 1))
         }
         if (bounds.exists(b => b._2 <= b._1))
-          spark_empty(node, ndim)
+          emptyResult()
         else TensorPlane.valuesRegion(session, array, dtype.getOrElse(
           throw new GraftException("option 'dtype' required for values mode")),
           bounds, compression)
@@ -160,7 +160,7 @@ case class GraftRelation(sqlContext: SQLContext, session: Session,
           (math.max(0L, lo(d)).toInt,
             math.min(nchunks(d) - 1, hi(d)).toInt)
         }
-        if (bounds.exists(b => b._2 < b._1)) spark_empty(node, ndim)
+        if (bounds.exists(b => b._2 < b._1)) emptyResult()
         else session.refsBounded(array, bounds).drop("inline")
       }
     val projected =
@@ -169,7 +169,7 @@ case class GraftRelation(sqlContext: SQLContext, session: Session,
     projected.rdd
   }
 
-  private def spark_empty(node: graft.meta.NodeSpec, ndim: Int): DataFrame =
+  private def emptyResult(): DataFrame =
     sqlContext.sparkSession.createDataFrame(
       new java.util.ArrayList[Row](), schema)
 }

@@ -95,6 +95,10 @@ object GraftTableProvider {
         val (repo, session, array) = open(opts)
         val node = session.node(array).getOrElse(
           throw new graft.repo.GraftException(s"no array at $array"))
+        if (node.isRectilinear)
+          throw new graft.repo.GraftException(
+            s"graft-v2 values mode requires a regular chunk grid ($array " +
+              "is rectilinear)")
         valuesSchema(node.shape.size, opts.getOrElse("dtype",
           throw new graft.repo.GraftException(
             "option 'dtype' required for values mode")))
@@ -223,6 +227,10 @@ class GraftScan(opts: Map[String, String], lo: Map[Int, Long],
     val fsConf = graft.storage.hadoop.GraftFileSystem.shippableConf(store)
     val node = session.node(array).getOrElse(
       throw new graft.repo.GraftException(s"no array at $array"))
+    if (mode == "values" && node.isRectilinear)
+      throw new graft.repo.GraftException(
+        s"graft-v2 values mode requires a regular chunk grid ($array " +
+          "is rectilinear)")
     val ndim = node.shape.size
     // chunk-coord bounds: refs-mode bounds are chunk coords already;
     // values-mode bounds are element indices
@@ -509,7 +517,6 @@ class GraftValuesColumnarReader(part: ValuesPartition, required: StructType)
     new OnHeapColumnVector(BatchRows, f.dataType))
   private val batch = new ColumnarBatch(
     vectors.map(v => v: org.apache.spark.sql.vectorized.ColumnVector))
-  private val isInt = ChunkCodec.IntDtypes.contains(part.dtype)
 
   private var cells: ChunkCells = _
   private var idx = 0
@@ -607,19 +614,25 @@ class GraftBatchWrite(opts: Map[String, String], schema: StructType)
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory = {
     val (repo, _, _) = GraftTableProvider.open(opts)
-    new GraftRefWriterFactory(repo.store.conf, stagingRoot, schema,
-      schema.fieldNames.toSeq)
+    new GraftRefWriterFactory(repo.store.conf, stagingRoot, schema)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val (repo, _, array) = GraftTableProvider.open(opts)
     val spark = org.apache.spark.sql.SparkSession.active
     val session = repo.writableSession(opts.getOrElse("branch", "main"))
-    val staged = spark.read.schema(schema)
-      .parquet(repo.store.uri(stagingRoot))
-    session.trackStaging(stagingRoot)
-    session.stageChunkRefs(array, staged)
-    session.commit(opts.getOrElse("message", s"v2 write $array"))
+    // read ONLY the files the committed attempts reported — a retried
+    // task may have left a second part file for the same partition under
+    // the staging root, and reading the whole prefix would double-commit
+    val keys = messages.collect { case m: StagedRefsMessage => m.stagingKey }
+    if (keys.nonEmpty) {
+      val staged = spark.read.schema(schema)
+        .parquet(keys.map(repo.store.uri).toSeq: _*)
+      session.trackStaging(stagingRoot)
+      session.stageChunkRefs(array, staged)
+    }
+    session.commit(opts.getOrElse("message", s"v2 write $array"),
+      allowEmpty = true)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
@@ -629,7 +642,7 @@ class GraftBatchWrite(opts: Map[String, String], schema: StructType)
 }
 
 class GraftRefWriterFactory(storeConf: StoreConf, stagingRoot: String,
-                            schema: StructType, fieldNames: Seq[String])
+                            schema: StructType)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int,
                             taskId: Long): DataWriter[InternalRow] =

@@ -121,7 +121,17 @@ final class S3Store(val s3conf: S3StoreConf) extends Store {
       else s"bytes=$offset-${offset + length - 1}"
     val r = send("GET", objectUri(key), null, Map("Range" -> range))
     r.statusCode() match {
-      case 200 | 206 => r.body()
+      case 206 => r.body()
+      case 200 =>
+        // server ignored the Range header and sent the whole object
+        val all = r.body()
+        if (offset >= all.length) Array.emptyByteArray
+        else {
+          val end =
+            if (length <= 0) all.length
+            else math.min(offset + length, all.length.toLong).toInt
+          java.util.Arrays.copyOfRange(all, offset.toInt, end)
+        }
       case 416 => Array.emptyByteArray // range starts past EOF
       case _ => failed("GET(range)", key, r)
     }
@@ -187,7 +197,15 @@ final class S3Store(val s3conf: S3StoreConf) extends Store {
   // ---- listing ----
 
   override def listPage(prefix0: String, startAfter: Option[String],
-                        maxKeys: Int): Seq[ObjectInfo] = {
+                        maxKeys: Int): Seq[ObjectInfo] =
+    listPageTruncated(prefix0, startAfter, maxKeys)._1
+
+  /** One page plus the server's IsTruncated flag — S3 may return FEWER
+    * than max-keys with more remaining, so page size is NOT a reliable
+    * end-of-listing signal.
+    */
+  private def listPageTruncated(prefix0: String, startAfter: Option[String],
+                                maxKeys: Int): (Seq[ObjectInfo], Boolean) = {
     val q = Seq(
       Some("list-type=2"),
       Some(s"prefix=${encQ(fullKey(prefix0))}"),
@@ -196,7 +214,9 @@ final class S3Store(val s3conf: S3StoreConf) extends Store {
     ).flatten.mkString("&")
     val r = send("GET", bucketUri(q), null)
     if (r.statusCode() != 200) failed("LIST", prefix0, r)
-    parseListing(new String(r.body(), UTF_8))
+    val body = new String(r.body(), UTF_8)
+    (parseListing(body),
+      xmlField(body, "IsTruncated").contains("true"))
   }
 
   override def list(prefix0: String): Seq[ObjectInfo] = {
@@ -204,9 +224,9 @@ final class S3Store(val s3conf: S3StoreConf) extends Store {
     var after: Option[String] = None
     var more = true
     while (more) {
-      val page = listPage(prefix0, after, 1000)
+      val (page, truncated) = listPageTruncated(prefix0, after, 1000)
       out ++= page
-      more = page.size == 1000
+      more = truncated && page.nonEmpty
       after = page.lastOption.map(_.key)
     }
     out.result()
@@ -252,6 +272,12 @@ final class S3Store(val s3conf: S3StoreConf) extends Store {
       val r = send("POST", bucketUri("delete"), body,
         Map("Content-MD5" -> md5))
       if (r.statusCode() != 200) failed("DELETE(batch)", s"${batch.size} keys", r)
+      // quiet mode suppresses successes only: a 200 can still carry
+      // per-key <Error> entries
+      val resp = new String(r.body(), UTF_8)
+      if (resp.contains("<Error>"))
+        throw new java.io.UncheckedIOException(new java.io.IOException(
+          s"DeleteObjects reported per-key errors: ${resp.take(500)}"))
     }
 
   override def deletePrefix(prefix0: String): Unit =

@@ -53,7 +53,18 @@ object ByteFetch {
     val r = http.send(b.build(),
       java.net.http.HttpResponse.BodyHandlers.ofByteArray())
     r.statusCode() match {
-      case 200 | 206 => r.body()
+      case 206 => r.body()
+      case 200 =>
+        // 200 means the server IGNORED the Range header: slice locally
+        val all = r.body()
+        if (offset == 0 && length <= 0) all
+        else if (offset >= all.length) Array.emptyByteArray
+        else {
+          val end =
+            if (length <= 0) all.length
+            else math.min(offset + length, all.length.toLong).toInt
+          java.util.Arrays.copyOfRange(all, offset.toInt, end)
+        }
       case 416 => Array.emptyByteArray
       case 404 => throw new java.nio.file.NoSuchFileException(uri)
       case c => throw new java.io.UncheckedIOException(
