@@ -6,13 +6,78 @@ import org.apache.spark.sql.functions._
 /** Multimodal-column plumbing: image/audio/video as opaque BINARY columns
   * with typed metadata, processed in batched per-partition passes.
   *
-  * The actual media codecs are NOT available in this environment, so the
-  * decode step is a clearly-marked deterministic STUB (`fakeDecode*`); the
-  * Spark-side plumbing — schema, batch shape, partitioning, feature
-  * extraction over the decoded buffer — is real and tested. Swapping the
-  * stub for a real JNI/FFmpeg decoder changes one function.
+  * Image decode is REAL for the formats the JDK ships codecs for
+  * (PNG/JPEG/BMP/GIF via `javax.imageio` — [[decodeImage]] /
+  * [[imageFeatures]]). Audio/video codecs are NOT available in this
+  * environment, so those decode steps are clearly-marked deterministic
+  * STUBs (`fakeDecode*`); the Spark-side plumbing — schema, batch shape,
+  * partitioning, feature extraction over the decoded buffer — is real and
+  * tested. Swapping a stub for a JNI/FFmpeg decoder changes one function.
   */
 object Multimodal {
+
+  /** Decoded raster: dimensions + row-major luminance plane (0-255). */
+  final case class DecodedImage(width: Int, height: Int, gray: Seq[Int])
+
+  /** REAL image decode (PNG/JPEG/BMP/GIF — whatever `javax.imageio` has a
+    * reader for): BINARY payload → struct(width, height, gray) with gray
+    * the Rec.601 luminance plane. Non-image payloads decode to null (the
+    * caller filters or falls back). Executor-side, one decode per row.
+    */
+  val decodeImage: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((bytes: Array[Byte]) => {
+      if (bytes == null) null
+      else
+        try {
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(bytes))
+          if (img == null) null
+          else {
+            val w = img.getWidth
+            val h = img.getHeight
+            val gray = new Array[Int](w * h)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val rgb = img.getRGB(x, y)
+                gray(y * w + x) = (((rgb >> 16) & 0xff) * 299 +
+                  ((rgb >> 8) & 0xff) * 587 + (rgb & 0xff) * 114) / 1000
+                x += 1
+              }
+              y += 1
+            }
+            DecodedImage(w, h, gray.toSeq)
+          }
+        } catch { case _: Exception => null }
+    })
+
+  /** Image feature columns over real decode: dimensions, aspect ratio,
+    * mean brightness, and a 16-bin L1-normalized luminance histogram —
+    * the pooled-feature shape a vision-model preprocessor emits. Rows
+    * whose payload is not a decodable image get null features.
+    */
+  def imageFeatures(df: DataFrame, binCol: String): DataFrame = {
+    val decoded = df.withColumn("_img", decodeImage(col(binCol)))
+    val g = col("_img.gray")
+    decoded
+      .withColumn("img_width", col("_img.width"))
+      .withColumn("img_height", col("_img.height"))
+      .withColumn("img_aspect",
+        when(col("_img.height") > 0,
+          round(col("_img.width").cast("double") / col("_img.height"), 4)))
+      .withColumn("img_mean_brightness",
+        when(size(g) > 0, round(aggregate(g, lit(0L), _ + _)
+          .cast("double") / size(g), 4)))
+      .withColumn("img_histogram",
+        when(size(g) > 0, transform(
+          aggregate(g, array_repeat(lit(0.0), 16),
+            (acc, v) => zip_with(acc, sequence(lit(0), lit(15)),
+              (a, i) => a + when(v.divide(16).cast("int") === i, 1.0)
+                .otherwise(0.0))),
+          c => round(c / size(g), 6))))
+      .drop("_img")
+  }
 
   /** Canonical multimodal schema fragment: payload + typed metadata. */
   def withMediaMetadata(df: DataFrame, binCol: String): DataFrame =

@@ -89,6 +89,36 @@ class PipelineSpec extends SparkTestBase {
       s"LSH-blocked missed ${viaLang.diff(viaLsh)}")
   }
 
+  test("real image decode: JDK codecs produce dimensions and luminance features") {
+    import java.awt.image.BufferedImage
+    def png(w: Int, h: Int)(pixel: (Int, Int) => Int): Array[Byte] = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, pixel(x, y))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val black = png(8, 4)((_, _) => 0x000000)
+    val white = png(4, 4)((_, _) => 0xffffff)
+    val noise = "definitely not an image".getBytes
+    import spark.implicits._
+    val df = Seq((1L, black), (2L, white), (3L, noise))
+      .toDF("id", "media")
+    val feats = graft.pipeline.Multimodal.imageFeatures(df, "media")
+      .orderBy("id").collect()
+    // black 8x4: brightness 0, histogram mass in bin 0, aspect 2.0
+    assert(feats(0).getAs[Int]("img_width") == 8)
+    assert(feats(0).getAs[Int]("img_height") == 4)
+    assert(feats(0).getAs[Double]("img_aspect") == 2.0)
+    assert(feats(0).getAs[Double]("img_mean_brightness") == 0.0)
+    assert(feats(0).getAs[Seq[Double]]("img_histogram").head == 1.0)
+    // white 4x4: brightness 255, histogram mass in the top bin
+    assert(feats(1).getAs[Double]("img_mean_brightness") == 255.0)
+    assert(feats(1).getAs[Seq[Double]]("img_histogram").last == 1.0)
+    // non-image payload: null features, no crash
+    assert(feats(2).isNullAt(feats(2).fieldIndex("img_width")))
+  }
+
   test("minhash LSH candidates contain every truly-similar pair") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val candidates = Dedup.minhashCandidates(docs, numHashes = 32, bands = 8)
