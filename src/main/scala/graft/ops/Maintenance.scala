@@ -138,9 +138,15 @@ object GC {
 
     // staging refs (writeValues materialization) from dead sessions, and
     // pointer generations past the ops ring (the bounded `overwritten/`
-    // history, spec-v2.md:60-81)
+    // history, spec-v2.md:60-81). Sweep whole tokens, not objects: a
+    // token is dead only when EVERY object under it (including the
+    // session's `.lease` marker, renewed via `renewStagingLeases`) is
+    // older than the cutoff — a live session that staged before the
+    // window but touched its lease since keeps all its files.
     val deadStaging = store.list("staging/")
-      .filter(_.mtimeMillis < cutoffMs)
+      .groupBy(_.key.stripPrefix("staging/").takeWhile(_ != '/'))
+      .values.filter(_.map(_.mtimeMillis).max < cutoffMs)
+      .flatten.toSeq
 
     val bytes = deadChunks.map(_._2).sum + deadSnaps.map(_.size).sum +
       deadTx.map(_.size).sum + deadManifestFiles.map(_.size).sum +

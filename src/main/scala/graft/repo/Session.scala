@@ -29,7 +29,21 @@ final class Session private[repo] (
     * the session dies.
     */
   private val stagingKeys = scala.collection.mutable.ArrayBuffer[String]()
-  private[graft] def trackStaging(key: String): Unit = stagingKeys += key
+  private[graft] def trackStaging(key: String): Unit = {
+    stagingKeys += key
+    putLease(key)
+  }
+  private def putLease(key: String): Unit =
+    try repo.store.putBytes(key.stripSuffix("/") + "/.lease",
+      s"""{"held_at":"${java.time.Instant.now()}"}""".getBytes("UTF-8"))
+    catch { case _: Exception => () } // lease is best-effort
+  /** Refresh the lease markers on this session's staging prefixes so a GC
+    * sweep ([[graft.ops.Maintenance.garbageCollect]]) won't reclaim them:
+    * the sweep skips any staging token with an object newer than the age
+    * cutoff. Long-lived sessions that stage data and then idle past the
+    * GC retention window should call this periodically.
+    */
+  def renewStagingLeases(): Unit = stagingKeys.foreach(putLease)
   private def cleanupStaging(): Unit = {
     stagingKeys.foreach(k =>
       try repo.store.deletePrefix(k)
@@ -365,8 +379,11 @@ final class Session private[repo] (
       if (changeSet.rewrittenNodes.contains(n.id)) assets.emptyRefs().drop("split")
       else {
         val lo = bounds.map(_._1); val hi = bounds.map(_._2)
+        // Rank-mismatched extents can't prove disjointness, so keep them
+        // (the coord re-filter below does the work) — pruning must never
+        // decide correctness.
         val keep = baseSnapshot.manifests.getOrElse(n.id, Nil)
-          .filter(r => r.emin.size == bounds.size && r.overlaps(lo, hi))
+          .filter(r => r.emin.size != bounds.size || r.overlaps(lo, hi))
         assets.refsOfSplits(n.id, keep)
       }
     val coordFilter = bounds.zipWithIndex.map { case ((lo, hi), i) =>

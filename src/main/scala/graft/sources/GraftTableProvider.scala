@@ -84,7 +84,17 @@ object GraftTableProvider {
 
   def valuesSchema(ndim: Int, dtype: String): StructType = {
     val vt: DataType =
-      if (ChunkCodec.IntDtypes.contains(dtype)) LongType else DoubleType
+      if (ChunkCodec.IntDtypes.contains(dtype)) LongType
+      else {
+        // Reject unknown dtypes at plan time — every downstream reader
+        // falls through to float64 and would return garbage silently.
+        if (!ChunkCodec.FloatDtypes.contains(dtype))
+          throw new graft.repo.GraftException(
+            s"unknown dtype '$dtype' (expected one of " +
+              (ChunkCodec.IntDtypes ++ ChunkCodec.FloatDtypes)
+                .toSeq.sorted.mkString(", ") + ")")
+        DoubleType
+      }
     StructType((0 until ndim).map(i => StructField(s"i$i", LongType)) :+
       StructField("value", vt))
   }
@@ -259,6 +269,9 @@ class GraftScan(opts: Map[String, String], lo: Map[Int, Long],
     if (mode == "values") {
       val dtype = opts.getOrElse("dtype",
         throw new graft.repo.GraftException("dtype required"))
+      if (!ChunkCodec.IntDtypes.contains(dtype) &&
+          !ChunkCodec.FloatDtypes.contains(dtype))
+        throw new graft.repo.GraftException(s"unknown dtype '$dtype'")
       val bl = (0 until ndim).map(d => math.max(0L, lo.getOrElse(d, 0L)))
       val bh = (0 until ndim).map { d =>
         val h = hi.getOrElse(d, Long.MaxValue)

@@ -70,9 +70,13 @@ final class S3MemServer {
   // -----------------------------------------------------------------
 
   private def handle(ex: HttpExchange): Unit = {
-    val path = ex.getRequestURI.getPath.stripPrefix("/")
-    val (bucket, key0) = path.span(_ != '/')
-    val key = java.net.URLDecoder.decode(key0.stripPrefix("/"), UTF_8)
+    // Parse from the RAW path and percent-decode exactly once: getPath
+    // already decodes, so decoding its result again would corrupt keys
+    // containing '+' or '%'.
+    val path = ex.getRequestURI.getRawPath.stripPrefix("/")
+    val (bucket0, key0) = path.span(_ != '/')
+    val bucket = decodeSegment(bucket0)
+    val key = decodeSegment(key0.stripPrefix("/"))
     val q = parseQuery(Option(ex.getRequestURI.getRawQuery).getOrElse(""))
     val objects = buckets.get(bucket)
     if (objects == null) {
@@ -141,7 +145,7 @@ final class S3MemServer {
     val bytes = copySource match {
       case Some(src) =>
         count("copy")
-        val p = java.net.URLDecoder.decode(src.stripPrefix("/"), UTF_8)
+        val p = decodeSegment(src.stripPrefix("/"))
         val (b, k) = p.span(_ != '/')
         val o = Option(buckets.get(b)).flatMap(m =>
           Option(m.get(k.stripPrefix("/"))))
@@ -259,6 +263,12 @@ final class S3MemServer {
   }
 
   // -----------------------------------------------------------------
+
+  /** RFC 3986 percent-decode: '+' is a literal plus (clients encode it as
+    * %2B), only %XX sequences decode.
+    */
+  private def decodeSegment(s: String): String =
+    java.net.URLDecoder.decode(s.replace("+", "%2B"), UTF_8)
 
   private def parseQuery(raw: String): Map[String, String] =
     raw.split("&").filter(_.nonEmpty).map { kv =>

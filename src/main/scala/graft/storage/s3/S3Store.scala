@@ -38,7 +38,7 @@ final class S3Store(val s3conf: S3StoreConf) extends Store {
     * (endpoint, bucket, prefix).
     */
   val authority: String = "s3-" +
-    Integer.toHexString((endpoint, bucket, prefix).hashCode()).toLowerCase +
+    SigV4.sha256Hex(s"$endpoint|$bucket|$prefix".getBytes(UTF_8)).take(16) +
     "-" + bucket.toLowerCase.replaceAll("[^a-z0-9]", "")
 
   override def rootUri: String = s"graft://$authority"

@@ -76,6 +76,14 @@ class GraftTableProviderSpec extends SparkTestBase {
     assert(desc.contains("mode=values"))
     // the values scan feeds Spark columnar batches (ColumnarToRow above it)
     assert(v.queryExecution.executedPlan.toString().contains("ColumnarToRow"))
+
+    // unknown dtypes are rejected at plan time, not decoded as float64
+    val bad = intercept[Exception] {
+      spark.read.format("graft-v2")
+        .option("path", dir).option("array", "/v")
+        .option("mode", "values").option("dtype", "int").load()
+    }
+    assert(bad.getMessage.contains("unknown dtype"))
   }
 
   test("DSv2 write: distributed refs staged and committed through CAS") {

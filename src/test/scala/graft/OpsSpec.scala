@@ -66,6 +66,26 @@ class OpsSpec extends SparkTestBase {
     assert(guarded.chunksDeleted == 0 && guarded.snapshotsDeleted == 0)
   }
 
+  test("GC staging sweep honors a renewed lease; sweeps whole dead tokens") {
+    val repo = freshRepo()
+    val store = repo.store
+    // a dead session's staging token: all objects older than the cutoff
+    store.putBytes("staging/dead-tok/part-0.parquet", Array[Byte](1, 2, 3))
+    store.putBytes("staging/dead-tok/.lease", Array[Byte](1))
+    // a live session's token: data staged long ago, lease renewed now —
+    // the group-level max-mtime rule must keep EVERY object in the token
+    store.putBytes("staging/live-tok/part-0.parquet", Array[Byte](4, 5))
+    Thread.sleep(1100) // local FS mtime granularity is 1s
+    val cutoff = Instant.now()
+    Thread.sleep(1100)
+    store.putBytes("staging/live-tok/.lease", Array[Byte](1)) // renewal
+    GC.garbageCollect(repo, cutoff)
+    assert(!store.exists("staging/dead-tok/part-0.parquet"))
+    assert(!store.exists("staging/dead-tok/.lease"))
+    assert(store.exists("staging/live-tok/part-0.parquet"))
+    assert(store.exists("staging/live-tok/.lease"))
+  }
+
   test("expire squashes old ancestry; rebase over expired boundary fails") {
     val repo = freshRepo()
     val s = repo.writableSession("main")

@@ -109,6 +109,28 @@ class StorageConformanceSpec extends SparkTestBase {
       } finally close()
     }
 
+    test(s"$name: keys with '+', '%', spaces and unicode round-trip") {
+      val (store, close) = mk()
+      try {
+        // (non-ASCII keys excluded: the test JVM's sun.jnu.encoding can't
+        // create such local files; S3 handles them via percent-encoding)
+        val keys = Seq("sp/a+b", "sp/100%done", "sp/with space",
+          "sp/mix +%20+ x")
+        keys.zipWithIndex.foreach { case (k, i) =>
+          store.putBytes(k, Array[Byte](i.toByte))
+        }
+        keys.zipWithIndex.foreach { case (k, i) =>
+          assert(store.exists(k), k)
+          assert(store.getBytes(k).toSeq == Seq(i.toByte), k)
+        }
+        assert(store.list("sp/").map(_.key).sorted == keys.sorted)
+        store.copy("sp/a+b", "sp/c+d")
+        assert(store.getBytes("sp/c+d").toSeq == Seq[Byte](0))
+        store.delete(keys :+ "sp/c+d")
+        assert(store.list("sp/").isEmpty)
+      } finally close()
+    }
+
     test(s"$name: copy duplicates an object without touching the source") {
       val (store, close) = mk()
       try {
