@@ -195,6 +195,24 @@ object Oracles {
         |  FROM documents GROUP BY text) m ON d.text = m.text
         |ORDER BY d.doc_id""".stripMargin,
 
+    "q_dedup_clusters" ->
+      """WITH RECURSIVE docs AS (
+        |  SELECT doc_id, lang, n_chars FROM documents),
+        |edges AS (
+        |  SELECT a.doc_id AS u, b.doc_id AS v FROM docs a JOIN docs b
+        |  ON a.lang = b.lang AND abs(a.n_chars - b.n_chars) <= 10
+        |  AND a.doc_id <> b.doc_id),
+        |reach(id, label) AS (
+        |  SELECT doc_id, doc_id FROM docs
+        |  UNION
+        |  SELECT e.u, r.label FROM reach r JOIN edges e ON e.v = r.id),
+        |lbl AS (
+        |  SELECT id AS doc_id, min(label) AS cluster_id
+        |  FROM reach GROUP BY id)
+        |SELECT doc_id, cluster_id,
+        |  count(*) OVER (PARTITION BY cluster_id) AS n_members
+        |FROM lbl ORDER BY doc_id""".stripMargin,
+
     "q_dedup_ngram_jaccard" ->
       """WITH sh AS (
         |  SELECT doc_id, lang,

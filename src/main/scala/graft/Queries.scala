@@ -397,6 +397,33 @@ object Queries {
         .as("quality"))
       .orderBy("doc_id")
 
+  /** Duplicate clustering: connected components (large-star/small-star)
+    * over a candidate-pair graph. The pair rule here is SQL-expressible
+    * (same lang, |Δn_chars| ≤ 10) so DuckDB can mirror it with a
+    * recursive CTE; the production path feeds
+    * [[Dedup.minhashCandidates]] pairs into the same component solver
+    * ([[Dedup.nearDupClusters]], spec-verified).
+    */
+  val q_dedup_clusters: Q = (s, d) => {
+    val docs = t(s, d, "documents")
+    val a = docs.select(col("doc_id").as("doc_a"), col("lang"),
+      col("n_chars").as("ca"))
+    val b = docs.select(col("doc_id").as("doc_b"), col("lang"),
+      col("n_chars").as("cb"))
+    val pairs = a.join(b, Seq("lang"))
+      .where(col("doc_a") < col("doc_b") &&
+        abs(col("ca") - col("cb")) <= 10)
+    val labels = graft.pipeline.ConnectedComponents.run(pairs)
+      .withColumnRenamed("id", "doc_id")
+    docs.select(col("doc_id"))
+      .join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+      .withColumn("n_members",
+        count(lit(1)).over(Window.partitionBy("cluster_id")))
+      .orderBy("doc_id")
+  }
+
   /** Rolling-hash fingerprint (no SQL oracle — crc32-based). */
   val q_fingerprint: Q = (s, d) =>
     t(s, d, "documents")
@@ -469,6 +496,7 @@ object Queries {
     "q_stream_window" -> q_stream_window,
     "q_sessionize" -> q_sessionize,
     "q_dedup_exact" -> q_dedup_exact,
+    "q_dedup_clusters" -> q_dedup_clusters,
     "q_dedup_ngram_jaccard" -> q_dedup_ngram_jaccard,
     "q_dedup_minhash" -> q_dedup_minhash,
     "q_dedup_simhash" -> q_dedup_simhash,

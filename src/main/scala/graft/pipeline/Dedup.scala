@@ -225,6 +225,28 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Near-duplicate *clusters*: MinHash-LSH candidate pairs (filtered by
+    * estimated Jaccard) collapsed into connected components, so that
+    * transitive chains A~B~C dedup to one canonical doc even when A~C was
+    * never a candidate pair. Returns one row per input doc:
+    * `(doc_id, cluster_id)` with `cluster_id` = min doc_id of the
+    * component (singletons label themselves). Survivors of the dedup are
+    * `doc_id == cluster_id`.
+    */
+  def nearDupClusters(docs: DataFrame, textCol: String = "text",
+                      shingleSize: Int = 3, numHashes: Int = 32,
+                      bands: Int = 8,
+                      minEstJaccard: Double = 0.5): DataFrame = {
+    val pairs = minhashCandidates(docs, textCol, shingleSize, numHashes,
+      bands).filter(col("est_jaccard") >= minEstJaccard)
+    val labels = ConnectedComponents.run(pairs)
+      .withColumnRenamed("id", "doc_id")
+    docs.select(col("doc_id"))
+      .join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+  }
+
   /** Embedding-cosine near-duplicates: exact all-pairs with cosine ≥
     * threshold, as a '''block-matrix similarity join''' — never a row-pair
     * cross join. Vectors hash into `numBlocks` blocks; the O(m²) block

@@ -134,4 +134,40 @@ class PipelineSpec extends SparkTestBase {
     assert(truth.subsetOf(candidates),
       s"missed ${truth.diff(candidates).size} of ${truth.size}")
   }
+
+  test("connected components: long chains collapse in O(log n) rounds") {
+    import spark.implicits._
+    // a 200-node chain (diameter 199 — defeats plain label propagation in
+    // 30 rounds), two small cliques, and a 2-cycle of pairs
+    val chain = (1L until 200L).map(i => (i, i + 1))
+    val cliqueA = Seq((500L, 501L), (501L, 502L), (500L, 502L))
+    val rev = Seq((901L, 900L), (902L, 901L)) // arbitrary orientation
+    val pairs = (chain ++ cliqueA ++ rev)
+      .toDF("doc_a", "doc_b")
+    val labels = graft.pipeline.ConnectedComponents.run(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.size == 200 + 3 + 3)
+    (1L to 200L).foreach(i => assert(labels(i) == 1L, s"chain node $i"))
+    Seq(500L, 501L, 502L).foreach(i => assert(labels(i) == 500L))
+    Seq(900L, 901L, 902L).foreach(i => assert(labels(i) == 900L))
+  }
+
+  test("near-dup clusters merge transitive LSH pairs; singletons self-label") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog " * 8
+    val docs = Seq(
+      (1L, base + "alpha beta gamma delta"),
+      (2L, base + "alpha beta gamma epsilon"), // ~1 via high jaccard
+      (3L, base + "alpha beta zeta epsilon"),  // ~2; maybe not ~1 directly
+      (10L, "completely different content about spark and scala engines"),
+      (11L, "completely different content about spark and scala engines"),
+      (20L, "a singleton document with unique words entirely its own")
+    ).toDF("doc_id", "text")
+    val clusters = Dedup.nearDupClusters(docs, minEstJaccard = 0.5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clusters(1L) == 1L && clusters(2L) == 1L && clusters(3L) == 1L,
+      s"transitive chain should share cluster 1: $clusters")
+    assert(clusters(10L) == 10L && clusters(11L) == 10L)
+    assert(clusters(20L) == 20L)
+  }
 }
