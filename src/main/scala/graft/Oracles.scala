@@ -213,6 +213,36 @@ object Oracles {
         |  count(*) OVER (PARTITION BY cluster_id) AS n_members
         |FROM lbl ORDER BY doc_id""".stripMargin,
 
+    "q_sample_split" ->
+      """WITH b AS (
+        |  SELECT lang, n_chars,
+        |    ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::INT % 10000 AS bk
+        |  FROM documents),
+        |s AS (
+        |  SELECT lang, n_chars,
+        |    CASE WHEN bk < 8000 THEN 'train'
+        |         WHEN bk < 9000 THEN 'val' ELSE 'test' END AS split
+        |  FROM b)
+        |SELECT lang, split, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM s GROUP BY lang, split ORDER BY lang, split""".stripMargin,
+
+    "q_corpus_stats" ->
+      """WITH base AS (
+        |  SELECT lang,
+        |    len(list_filter(string_split_regex(lower(text), '\s+'),
+        |      x -> len(x) > 0)) AS n_tokens
+        |  FROM documents)
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+        |  round(avg(n_tokens), 4) AS avg_tokens,
+        |  round(percentile_cont(0.5) WITHIN GROUP (ORDER BY n_tokens), 4)
+        |    AS p50_tokens,
+        |  round(percentile_cont(0.9) WITHIN GROUP (ORDER BY n_tokens), 4)
+        |    AS p90_tokens,
+        |  max(n_tokens) AS max_tokens
+        |FROM base GROUP BY lang ORDER BY lang""".stripMargin,
+
     "q_dedup_ngram_jaccard" ->
       """WITH sh AS (
         |  SELECT doc_id, lang,

@@ -424,6 +424,25 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** Deterministic train/val/test split: md5-bucket assignment (the
+    * cross-engine-reproducible [[graft.pipeline.Sampling.hashBucket]]
+    * mode), aggregated per (lang, split) so the oracle hash-checks every
+    * document's membership.
+    */
+  val q_sample_split: Q = (s, d) => {
+    val split = graft.pipeline.Sampling.assignSplit(
+      t(s, d, "documents"), "doc_id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+      buckets = 10000, method = "md5")
+    split.groupBy("lang", "split")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+      .orderBy("lang", "split")
+  }
+
+  /** Corpus token statistics with exact interpolated percentiles. */
+  val q_corpus_stats: Q = (s, d) =>
+    TextAnalysis.corpusStats(t(s, d, "documents")).orderBy("lang")
+
   /** Rolling-hash fingerprint (no SQL oracle — crc32-based). */
   val q_fingerprint: Q = (s, d) =>
     t(s, d, "documents")
@@ -497,6 +516,8 @@ object Queries {
     "q_sessionize" -> q_sessionize,
     "q_dedup_exact" -> q_dedup_exact,
     "q_dedup_clusters" -> q_dedup_clusters,
+    "q_sample_split" -> q_sample_split,
+    "q_corpus_stats" -> q_corpus_stats,
     "q_dedup_ngram_jaccard" -> q_dedup_ngram_jaccard,
     "q_dedup_minhash" -> q_dedup_minhash,
     "q_dedup_simhash" -> q_dedup_simhash,

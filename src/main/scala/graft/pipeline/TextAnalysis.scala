@@ -104,6 +104,24 @@ object TextAnalysis {
       (acc, t) => pmod(acc * 31L + crc32(t).cast("long"),
         lit(2147483647L)))
 
+  /** Corpus-level token statistics per group (default: per language):
+    * doc counts, token totals, mean, exact interpolated percentiles
+    * (p50/p90) and max. One groupBy shuffle; the percentile aggregate
+    * keeps per-group value buffers, so at extreme cardinality swap in
+    * `approx_percentile` (same shape, bounded memory).
+    */
+  def corpusStats(docs: DataFrame, textCol: String = "text",
+                  groupCol: String = "lang"): DataFrame =
+    docs.select(col(groupCol), tokenCount(col(textCol)).as("n_tokens"))
+      .groupBy(groupCol)
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("total_tokens"),
+        round(avg("n_tokens"), 4).as("avg_tokens"),
+        round(percentile(col("n_tokens"), lit(0.5)), 4).as("p50_tokens"),
+        round(percentile(col("n_tokens"), lit(0.9)), 4).as("p90_tokens"),
+        max("n_tokens").as("max_tokens"))
+
   /** Per-document report: one row per doc with all text metrics. */
   def analyze(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)

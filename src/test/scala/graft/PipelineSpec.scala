@@ -152,6 +152,36 @@ class PipelineSpec extends SparkTestBase {
     Seq(900L, 901L, 902L).foreach(i => assert(labels(i) == 900L))
   }
 
+  test("deterministic split: stable, exhaustive, near-requested fractions") {
+    import graft.pipeline.Sampling
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    for (method <- Seq("xxhash64", "md5")) {
+      val once = Sampling.assignSplit(docs, "doc_id", splits,
+        method = method)
+      val counts = once.groupBy("split").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val n = counts.values.sum.toDouble
+      assert(counts.keySet == Set("train", "val", "test"), counts)
+      assert(counts("train") / n > 0.7 && counts("train") / n < 0.9)
+      // reassignment is bit-identical (no RNG anywhere)
+      val again = Sampling.assignSplit(docs, "doc_id", splits,
+        method = method)
+      assert(once.select("doc_id", "split").exceptAll(
+        again.select("doc_id", "split")).isEmpty)
+    }
+    // stratified subsample: per-stratum fraction honored, deterministic
+    val sampled = Sampling.stratifiedSample(docs, "doc_id", "lang",
+      Map("en" -> 0.5, "de" -> 1.0))
+    val byLang = sampled.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLang("de") == total("de"))
+    assert(byLang("en") > total("en") * 0.3 && byLang("en") < total("en") * 0.7)
+    assert(!byLang.contains("fr")) // default fraction 0
+  }
+
   test("near-dup clusters merge transitive LSH pairs; singletons self-label") {
     import spark.implicits._
     val base = "the quick brown fox jumps over the lazy dog " * 8
