@@ -146,13 +146,9 @@ class GraftTable(opts: Map[String, String], declaredSchema: StructType)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(opts, schema())
 
-  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
-    if (mode == "values")
-      throw new graft.repo.GraftException(
-        "graft-v2 writes take chunk REFS (the distributed stage+commit " +
-          "path); use format(\"graft\") mode=values for value-plane writes")
-    new GraftWriteBuilder(opts, info)
-  }
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    if (mode == "values") new GraftValuesWriteBuilder(opts, info)
+    else new GraftWriteBuilder(opts, info)
 }
 
 // ===================================================================
@@ -654,6 +650,327 @@ class GraftBatchWrite(opts: Map[String, String], schema: StructType)
   }
 }
 
+// ===================================================================
+// write path, values mode: Spark-arranged chunk assembly
+// ===================================================================
+
+/** Values-plane write (`mode=values`): the input is (i0..iN, value) rows;
+  * the connector asks SPARK to arrange them via
+  * [[RequiresDistributionAndOrdering]] — ORDERED distribution on
+  * `i0..iN` ascending (pure field references: the only expression family
+  * Spark translates for provider-based writes — derived chunk-coord
+  * expressions or named transforms would need a FunctionCatalog, which
+  * `df.write.format(...)` tables don't have). Range partitioning +
+  * within-partition sort give every task one contiguous row-major run.
+  *
+  * Chunk assembly exploits the run's geometry: group rows by chunk-row
+  * STRIPE (the leading-dim chunk index c0, monotone under the sort). Any
+  * stripe strictly between a task's first and last stripes is provably
+  * whole to the task — a contiguous global range covers interior stripes
+  * completely — so its chunks encode+upload directly, streaming, one
+  * stripe of buffers in memory. Only the first and last stripes (the
+  * ones a range boundary can cut mid-chunk) emit their cells to a small
+  * leftover dataset; `commit` assembles those few boundary chunks with
+  * one [[graft.tensor.TensorPlane]]-style shuffle job (O(tasks × stripe)
+  * cells, not O(data)).
+  */
+class GraftValuesWriteBuilder(opts: Map[String, String],
+                              info: LogicalWriteInfo) extends WriteBuilder {
+  override def build(): Write = {
+    val (_, session, array) = GraftTableProvider.open(opts)
+    val node = session.node(array).getOrElse(
+      throw new graft.repo.GraftException(s"no array at $array"))
+    if (node.isRectilinear)
+      throw new graft.repo.GraftException(
+        "graft-v2 values writes require a regular chunk grid")
+    val dtype = opts.getOrElse("dtype",
+      throw new graft.repo.GraftException("dtype required for values write"))
+    val expected = GraftTableProvider.valuesSchema(node.shape.size, dtype)
+    val got = info.schema()
+    if (got.fieldNames.toSeq != expected.fieldNames.toSeq)
+      throw new graft.repo.GraftException(
+        s"values write schema mismatch: got ${got.fieldNames.mkString(",")}" +
+          s", expected ${expected.fieldNames.mkString(",")}")
+    new GraftValuesWrite(opts, got, node.chunkShape, dtype,
+      opts.getOrElse("compression", "raw"))
+  }
+}
+
+class GraftValuesWrite(opts: Map[String, String], schema: StructType,
+                       chunkShape: Seq[Long], dtype: String,
+                       compression: String)
+    extends Write with RequiresDistributionAndOrdering {
+  import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection}
+  import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
+
+  private val ndim = chunkShape.size
+  private def sorts =
+    (0 until ndim).map(d =>
+      Expressions.sort(Expressions.column(s"i$d"),
+        SortDirection.ASCENDING)).toArray
+
+  override def requiredDistribution(): Distribution =
+    Distributions.ordered(sorts)
+  override def requiredOrdering()
+      : Array[org.apache.spark.sql.connector.expressions.SortOrder] = sorts
+
+  override def toBatch: BatchWrite =
+    new GraftValuesBatchWrite(opts, schema, chunkShape, dtype, compression)
+}
+
+object GraftValuesBatchWrite {
+  /** Ref rows for chunks a task completed itself. */
+  val StagedSchema: StructType = StructType(Seq(
+    StructField("coord", ArrayType(IntegerType, containsNull = false)),
+    StructField("chunk_id", StringType),
+    StructField("length", LongType)))
+
+  /** Boundary-stripe cells deferred to the commit-time merge job. */
+  def leftoverSchema(isInt: Boolean): StructType = StructType(Seq(
+    StructField("coord", ArrayType(IntegerType, containsNull = false)),
+    StructField("pos", LongType),
+    StructField("value", if (isInt) LongType else DoubleType)))
+}
+
+/** One values-write task's output: completed-chunk refs + boundary cells
+  * (either key is null when that side is empty).
+  */
+case class StagedValuesMessage(refsKey: String, refRows: Long,
+                               leftoverKey: String, leftoverRows: Long)
+  extends WriterCommitMessage
+
+class GraftValuesBatchWrite(opts: Map[String, String], schema: StructType,
+                            chunkShape: Seq[Long], dtype: String,
+                            compression: String) extends BatchWrite {
+  import org.apache.spark.sql.functions.{col, lit}
+  private val stagingRoot = graft.meta.Layout.stagingPrefix(
+    graft.core.Ids.toBase32(graft.core.Ids.newObjectId()))
+  private val isInt = ChunkCodec.IntDtypes.contains(dtype)
+
+  override def createBatchWriterFactory(
+      info: PhysicalWriteInfo): DataWriterFactory = {
+    val (repo, _, _) = GraftTableProvider.open(opts)
+    new GraftValuesWriterFactory(repo.store.conf, stagingRoot, schema,
+      chunkShape.toArray, dtype, compression)
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val (repo, _, array) = GraftTableProvider.open(opts)
+    val spark = org.apache.spark.sql.SparkSession.active
+    val session = repo.writableSession(opts.getOrElse("branch", "main"))
+    val msgs = messages.collect { case m: StagedValuesMessage => m }
+    val refKeys = msgs.filter(m => m.refsKey != null && m.refRows > 0)
+      .map(_.refsKey)
+    val leftKeys = msgs.filter(m => m.leftoverKey != null && m.leftoverRows > 0)
+      .map(_.leftoverKey)
+    // boundary chunks: one small shuffle job assembles the cells that
+    // range partitioning cut across tasks (O(tasks × stripe) cells)
+    val cells = chunkShape.product.toInt
+    val conf = repo.store.conf
+    val mergedRefs =
+      if (leftKeys.isEmpty) None
+      else {
+        import spark.implicits._
+        val left = spark.read
+          .schema(GraftValuesBatchWrite.leftoverSchema(isInt))
+          .parquet(leftKeys.map(repo.store.uri).toSeq: _*)
+          .repartition(spark.sparkContext.defaultParallelism, col("coord"))
+          .sortWithinPartitions("coord", "pos")
+          .toDF("_1", "_2", "_3")
+        val comp = compression
+        val dt = dtype
+        val out =
+          if (isInt)
+            left.as[(Seq[Int], Long, Long)].mapPartitions { it =>
+              graft.tensor.TensorPlane.streamEncode[Long](it, cells,
+                () => new Array[Long](cells), (a, p, v) => a(p) = v,
+                a => ChunkCodec.compress(ChunkCodec.encodeLongs(a, dt), comp),
+                conf)
+            }
+          else
+            left.as[(Seq[Int], Long, Double)].mapPartitions { it =>
+              graft.tensor.TensorPlane.streamEncode[Double](it, cells,
+                () => new Array[Double](cells), (a, p, v) => a(p) = v,
+                a => ChunkCodec.compress(ChunkCodec.encodeDoubles(a, dt), comp),
+                conf)
+            }
+        Some(out.toDF("coord", "chunk_id", "length"))
+      }
+    val directRefs =
+      if (refKeys.isEmpty) None
+      else Some(spark.read.schema(GraftValuesBatchWrite.StagedSchema)
+        .parquet(refKeys.map(repo.store.uri).toSeq: _*))
+    val allRefs = (directRefs, mergedRefs) match {
+      case (Some(a), Some(b)) => Some(a.unionByName(b))
+      case (a, b) => a.orElse(b)
+    }
+    allRefs.foreach { refs =>
+      session.trackStaging(stagingRoot)
+      session.stageChunkRefs(array, refs
+        .withColumn("kind", lit(graft.meta.ChunkRef.KindRef))
+        .withColumn("offset", lit(0L)))
+    }
+    session.commit(opts.getOrElse("message", s"v2 values write $array"),
+      allowEmpty = true)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    // staged parquet dies here; already-uploaded chunk objects are
+    // unreferenced orphans, reclaimed by GC (the refs-mode abort policy)
+    val (repo, _, _) = GraftTableProvider.open(opts)
+    repo.store.deletePrefix(stagingRoot)
+  }
+}
+
+class GraftValuesWriterFactory(storeConf: StoreConf, stagingRoot: String,
+                               schema: StructType, chunkShape: Array[Long],
+                               dtype: String, compression: String)
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int,
+                            taskId: Long): DataWriter[InternalRow] =
+    new GraftValuesDataWriter(storeConf, stagingRoot, schema, chunkShape,
+      dtype, compression, partitionId, taskId)
+}
+
+/** Streams one task's row-major-ordered (i0..iN, value) run, stripe at a
+  * time (stripe = leading-dim chunk row, monotone under the sort):
+  *
+  *  - interior stripes are whole to this task (the range is contiguous),
+  *    so each stripe's chunks fill dense buffers and encode+upload as
+  *    soon as the stripe closes — memory is one stripe of chunk buffers
+  *    plus per-chunk written-cell bitsets;
+  *  - the FIRST and LAST stripes may be cut by a range boundary, so
+  *    their written cells (bitset-tracked — fill zeros are never
+  *    confused with written zeros) are emitted to the leftover Parquet
+  *    for the commit-time merge.
+  *
+  * Cells absent from the input keep fill value 0; duplicate cell writes
+  * are last-wins (matching [[graft.tensor.TensorPlane.writeValues]]).
+  */
+class GraftValuesDataWriter(storeConf: StoreConf, stagingRoot: String,
+                            schema: StructType, chunkShape: Array[Long],
+                            dtype: String, compression: String,
+                            partitionId: Int, taskId: Long)
+    extends DataWriter[InternalRow] {
+  private val ndim = chunkShape.length
+  private val strides: Array[Long] = {
+    val s = new Array[Long](ndim)
+    s(ndim - 1) = 1
+    var d = ndim - 2
+    while (d >= 0) { s(d) = s(d + 1) * chunkShape(d + 1); d -= 1 }
+    s
+  }
+  private val cells = chunkShape.product.toInt
+  private val isInt = ChunkCodec.IntDtypes.contains(dtype)
+  private val idxCols = Array.tabulate(ndim)(d => schema.fieldIndex(s"i$d"))
+  private val valueCol = schema.fieldIndex("value")
+  private val valueIsLong = schema.fields(valueCol).dataType == LongType
+
+  private final class OpenChunk {
+    val bufL: Array[Long] = if (isInt) new Array[Long](cells) else null
+    val bufD: Array[Double] = if (!isInt) new Array[Double](cells) else null
+    val written = new java.util.BitSet(cells)
+  }
+  private val open =
+    scala.collection.mutable.LinkedHashMap[Seq[Int], OpenChunk]()
+  private var curStripe = Long.MinValue
+  private var firstStripe = Long.MinValue
+  private var refWriter: GraftRefWriter = null
+  private var leftWriter: GraftRefWriter = null
+  private var refRows = 0L
+  private var leftRows = 0L
+  private lazy val store = StoreConf.cached(storeConf)
+
+  override def write(row: InternalRow): Unit = {
+    val coord = new Array[Int](ndim)
+    var pos = 0L
+    var d = 0
+    while (d < ndim) {
+      val i = row.getLong(idxCols(d))
+      coord(d) = (i / chunkShape(d)).toInt
+      pos += (i % chunkShape(d)) * strides(d)
+      d += 1
+    }
+    val stripe = coord(0).toLong
+    if (curStripe == Long.MinValue) { curStripe = stripe; firstStripe = stripe }
+    else if (stripe < curStripe)
+      throw new IllegalStateException(
+        s"values write input not row-major ordered: stripe $stripe after " +
+          s"$curStripe (Spark's required ordering was not applied?)")
+    else if (stripe > curStripe) {
+      closeStripe(asLeftover = curStripe == firstStripe)
+      curStripe = stripe
+    }
+    val oc = open.getOrElseUpdate(
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(coord),
+      new OpenChunk)
+    val p = pos.toInt
+    if (isInt)
+      oc.bufL(p) =
+        if (valueIsLong) row.getLong(valueCol)
+        else row.getDouble(valueCol).toLong
+    else
+      oc.bufD(p) =
+        if (valueIsLong) row.getLong(valueCol).toDouble
+        else row.getDouble(valueCol)
+    oc.written.set(p)
+  }
+
+  private def ensureWriters(): Unit = {
+    if (refWriter == null) {
+      refWriter = new GraftRefWriter(storeConf,
+        s"$stagingRoot/refs", GraftValuesBatchWrite.StagedSchema,
+        partitionId, taskId)
+      leftWriter = new GraftRefWriter(storeConf,
+        s"$stagingRoot/left", GraftValuesBatchWrite.leftoverSchema(isInt),
+        partitionId, taskId)
+    }
+  }
+
+  private def closeStripe(asLeftover: Boolean): Unit = {
+    ensureWriters()
+    open.foreach { case (coord, oc) =>
+      val coordArr = new GenericArrayData(coord.toArray)
+      if (asLeftover) {
+        var p = oc.written.nextSetBit(0)
+        while (p >= 0) {
+          val v: Any = if (isInt) oc.bufL(p) else oc.bufD(p)
+          leftWriter.write(new GenericInternalRow(
+            Array[Any](coordArr, p.toLong, v)))
+          leftRows += 1
+          p = oc.written.nextSetBit(p + 1)
+        }
+      } else {
+        val encoded = ChunkCodec.compress(
+          if (isInt) ChunkCodec.encodeLongs(oc.bufL, dtype)
+          else ChunkCodec.encodeDoubles(oc.bufD, dtype), compression)
+        val id = graft.core.Ids.toBase32(graft.core.Ids.newObjectId())
+        store.putBytes(graft.meta.Layout.chunkKey(id), encoded)
+        refWriter.write(new GenericInternalRow(Array[Any](
+          coordArr, UTF8String.fromString(id), encoded.length.toLong)))
+        refRows += 1
+      }
+    }
+    open.clear()
+  }
+
+  override def commit(): WriterCommitMessage = {
+    // the last stripe can be cut by the next task's range — always defer
+    if (curStripe != Long.MinValue) closeStripe(asLeftover = true)
+    if (refWriter == null)
+      return StagedValuesMessage(null, 0L, null, 0L)
+    val refMsg = refWriter.commit().asInstanceOf[StagedRefsMessage]
+    val leftMsg = leftWriter.commit().asInstanceOf[StagedRefsMessage]
+    StagedValuesMessage(refMsg.stagingKey, refRows,
+      leftMsg.stagingKey, leftRows)
+  }
+
+  override def abort(): Unit = {
+    if (refWriter != null) { refWriter.abort(); leftWriter.abort() }
+  }
+  override def close(): Unit = ()
+}
+
 class GraftRefWriterFactory(storeConf: StoreConf, stagingRoot: String,
                             schema: StructType)
     extends DataWriterFactory {
@@ -682,6 +999,7 @@ class GraftRefWriter(storeConf: StoreConf, stagingRoot: String,
         case BinaryType => b.addField(Types.optional(BINARY).named(f.name))
         case IntegerType => b.addField(Types.optional(INT32).named(f.name))
         case LongType => b.addField(Types.optional(INT64).named(f.name))
+        case DoubleType => b.addField(Types.optional(DOUBLE).named(f.name))
         case ArrayType(IntegerType, _) =>
           b.addField(Types.optionalList()
             .element(Types.optional(INT32).named("element"))
@@ -736,6 +1054,7 @@ class GraftRefWriter(storeConf: StoreConf, stagingRoot: String,
             row.getBinary(i)))
         case IntegerType => g.append(f.name, row.getInt(i))
         case LongType => g.append(f.name, row.getLong(i))
+        case DoubleType => g.append(f.name, row.getDouble(i))
         case ArrayType(IntegerType, _) =>
           val list = g.addGroup(f.name)
           val arr = row.getArray(i)

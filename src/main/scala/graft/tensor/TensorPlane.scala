@@ -366,7 +366,7 @@ object TensorPlane {
   /** Stream one sorted (coord, pos, value) run: assemble, encode, and
     * upload chunk-at-a-time; emits (coord, chunk_id, encodedLength).
     */
-  private def streamEncode[V](it: Iterator[(Seq[Int], Long, V)], cells: Int,
+  private[graft] def streamEncode[V](it: Iterator[(Seq[Int], Long, V)], cells: Int,
                               alloc: () => Array[V],
                               set: (Array[V], Int, V) => Unit,
                               encode: Array[V] => Array[Byte],

@@ -114,4 +114,42 @@ class GraftTableProviderSpec extends SparkTestBase {
     assert(repo.info().ancestry(repo.lookupBranch("main").get).head
       .message == "v2 refs")
   }
+
+  test("DSv2 values write: Spark arranges chunks, tasks stream-encode") {
+    val dir = tmpDir("repo")
+    val store = Store.local(dir)
+    val repo = Repository.create(store, spark,
+      GraftConfig(splits = Seq(SplitRule(".*", 0, 4))))
+    val s = repo.writableSession("main")
+    s.addArray("/m", Seq(8, 10), Seq(4, 5)) // 2x2 chunks, 80 cells
+    s.commit("init")
+
+    // sparse input, shuffled order, one cell duplicated: the connector
+    // must cluster+sort rows itself (RequiresDistributionAndOrdering)
+    import spark.implicits._
+    val rows = (for {
+      i <- 0L until 8L; j <- 0L until 10L if (i + j) % 3 != 0
+    } yield (i, j, (i * 100 + j).toDouble))
+    val df = scala.util.Random.shuffle(rows).toDF("i0", "i1", "value")
+      .repartition(7) // deliberately unaligned with the chunk grid
+    df.write.format("graft-v2")
+      .option("path", dir).option("array", "/m")
+      .option("mode", "values").option("dtype", "float64")
+      .option("message", "v2 values").mode("append").save()
+
+    val back = spark.read.format("graft-v2")
+      .option("path", dir).option("array", "/m")
+      .option("mode", "values").option("dtype", "float64").load()
+    assert(back.count() == 80) // absent cells materialize as fill 0.0
+    val got = back.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    rows.foreach { case (i, j, v) => assert(got((i, j)) == v, s"($i,$j)") }
+    assert(got((0L, 3L)) == 0.0) // (0+3)%3==0 -> absent -> fill
+    assert(store.list("staging/").isEmpty)
+    // exactly one chunk object per grid cell: tasks never split a chunk
+    val ro = repo.readonlySession(VersionRef.Branch("main"))
+    assert(ro.refs("/m").count() == 4)
+    assert(repo.info().ancestry(repo.lookupBranch("main").get).head
+      .message == "v2 values")
+  }
 }
