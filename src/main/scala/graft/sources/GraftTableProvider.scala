@@ -151,6 +151,42 @@ class GraftTable(opts: Map[String, String], declaredSchema: StructType)
     else new GraftWriteBuilder(opts, info)
 }
 
+/** Executor-side observability: DSv2 custom metrics surfaced per query in
+  * the SQL UI / status store — the per-JVM store clients on executors are
+  * invisible to driver-side [[graft.storage.LoggingStore]] counters, so
+  * the connector reports storage traffic through Spark's own metric
+  * plumbing (task accumulators, sum-aggregated).
+  */
+object GraftMetrics {
+  import org.apache.spark.sql.connector.metric.{CustomSumMetric, CustomTaskMetric}
+
+  final class ChunkBytesFetched extends CustomSumMetric {
+    override def name(): String = "graftChunkBytesFetched"
+    override def description(): String = "chunk bytes fetched from storage"
+  }
+  final class StoreGets extends CustomSumMetric {
+    override def name(): String = "graftStoreGets"
+    override def description(): String = "ranged GETs issued to storage"
+  }
+  final class ChunksDecoded extends CustomSumMetric {
+    override def name(): String = "graftChunksDecoded"
+    override def description(): String = "chunks decoded"
+  }
+  final class ChunksUploaded extends CustomSumMetric {
+    override def name(): String = "graftChunksUploaded"
+    override def description(): String = "chunk objects uploaded"
+  }
+  final class BytesUploaded extends CustomSumMetric {
+    override def name(): String = "graftBytesUploaded"
+    override def description(): String = "chunk bytes uploaded"
+  }
+
+  final class Task(n: String, v: Long) extends CustomTaskMetric {
+    override def name(): String = n
+    override def value(): Long = v
+  }
+}
+
 // ===================================================================
 // read path
 // ===================================================================
@@ -285,6 +321,11 @@ class GraftScan(opts: Map[String, String], lo: Map[Int, Long],
 
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftReaderFactory(required)
+
+  override def supportedCustomMetrics()
+      : Array[org.apache.spark.sql.connector.metric.CustomMetric] =
+    Array(new GraftMetrics.ChunkBytesFetched, new GraftMetrics.StoreGets,
+      new GraftMetrics.ChunksDecoded)
 }
 
 class GraftReaderFactory(required: StructType)
@@ -396,6 +437,14 @@ private[sources] final case class ChunkCells(coord: Array[Int],
 private[sources] final class ValuesChunkCursor(part: ValuesPartition) {
   private val it = new SplitGroupIterator(part.files, part.fsConf)
   private lazy val store = StoreConf.cached(part.storeConf)
+  private var bytesFetched = 0L
+  private var gets = 0L
+  private var chunksDecoded = 0L
+
+  def metricsValues: Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+    Array(new GraftMetrics.Task("graftChunkBytesFetched", bytesFetched),
+      new GraftMetrics.Task("graftStoreGets", gets),
+      new GraftMetrics.Task("graftChunksDecoded", chunksDecoded))
   val ndim: Int = part.chunkShape.size
   val chunkArr: Array[Long] = part.chunkShape.toArray
   val strides: Array[Long] = {
@@ -427,18 +476,22 @@ private[sources] final class ValuesChunkCursor(part: ValuesPartition) {
     val kind = if (it.has(g, "kind")) g.getString("kind", 0) else ""
     val offset = if (it.has(g, "offset")) g.getLong("offset", 0) else 0L
     val length = if (it.has(g, "length")) g.getLong("length", 0) else 0L
-    kind match {
+    val bytes = kind match {
       case graft.meta.ChunkRef.KindInline => g.getBinary("inline", 0).getBytes
       case graft.meta.ChunkRef.KindRef =>
+        gets += 1
         store.getRange(
           graft.meta.Layout.chunkKey(g.getString("chunk_id", 0)),
           offset, length)
       case graft.meta.ChunkRef.KindVirtual =>
+        gets += 1
         graft.virt.ByteFetch.ranged(expand(g.getString("location", 0)),
           offset, length)
       case other => throw new graft.repo.GraftException(
         s"unexpected payload kind '$other'")
     }
+    bytesFetched += bytes.length
+    bytes
   }
 
   /** Next overlapping chunk's cells, or null when exhausted. */
@@ -449,6 +502,7 @@ private[sources] final class ValuesChunkCursor(part: ValuesPartition) {
       val coord = it.coordOf(g)
       val blk = SliceGeom.block(coord, chunkArr, loArr, hiArr)
       if (blk != null) {
+        chunksDecoded += 1
         val raw = ChunkCodec.decompress(fetchBytes(g), part.compression)
         val bb = java.nio.ByteBuffer.wrap(raw)
           .order(java.nio.ByteOrder.LITTLE_ENDIAN)
@@ -483,6 +537,10 @@ class GraftValuesReader(part: ValuesPartition, required: StructType)
     idx += 1
     true
   }
+
+  override def currentMetricsValues()
+      : Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+    cursor.metricsValues
 
   private def valueAt(p: Long): Any = part.dtype match {
     case "int8" => cells.bb.get(p.toInt).toLong
@@ -587,6 +645,10 @@ class GraftValuesColumnarReader(part: ValuesPartition, required: StructType)
   }
 
   override def get(): ColumnarBatch = batch
+
+  override def currentMetricsValues()
+      : Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+    cursor.metricsValues
 
   override def close(): Unit = {
     vectors.foreach(_.close())
@@ -716,6 +778,10 @@ class GraftValuesWrite(opts: Map[String, String], schema: StructType,
 
   override def toBatch: BatchWrite =
     new GraftValuesBatchWrite(opts, schema, chunkShape, dtype, compression)
+
+  override def supportedCustomMetrics()
+      : Array[org.apache.spark.sql.connector.metric.CustomMetric] =
+    Array(new GraftMetrics.ChunksUploaded, new GraftMetrics.BytesUploaded)
 }
 
 object GraftValuesBatchWrite {
@@ -879,7 +945,13 @@ class GraftValuesDataWriter(storeConf: StoreConf, stagingRoot: String,
   private var leftWriter: GraftRefWriter = null
   private var refRows = 0L
   private var leftRows = 0L
+  private var bytesUploaded = 0L
   private lazy val store = StoreConf.cached(storeConf)
+
+  override def currentMetricsValues()
+      : Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+    Array(new GraftMetrics.Task("graftChunksUploaded", refRows),
+      new GraftMetrics.Task("graftBytesUploaded", bytesUploaded))
 
   override def write(row: InternalRow): Unit = {
     val coord = new Array[Int](ndim)
@@ -949,6 +1021,7 @@ class GraftValuesDataWriter(storeConf: StoreConf, stagingRoot: String,
         refWriter.write(new GenericInternalRow(Array[Any](
           coordArr, UTF8String.fromString(id), encoded.length.toLong)))
         refRows += 1
+        bytesUploaded += encoded.length
       }
     }
     open.clear()

@@ -115,6 +115,51 @@ class GraftTableProviderSpec extends SparkTestBase {
       .message == "v2 refs")
   }
 
+  test("DSv2 custom metrics report executor-side storage traffic") {
+    val dir = tmpDir("repo")
+    val store = Store.local(dir)
+    val repo = Repository.create(store, spark,
+      GraftConfig(splits = Seq(SplitRule(".*", 0, 8))))
+    val s = repo.writableSession("main")
+    // 1 KiB chunk payloads: above the 512 B inline threshold, so reads
+    // issue real store GETs (inline refs would legitimately report 0)
+    s.addArray("/t", Seq(512), Seq(128))
+    (0 until 4).foreach { c =>
+      s.writeChunk("/t", Seq(c),
+        graft.functions.ChunkCodec.encodeLongs(
+          Array.tabulate(128)(i => (c * 128 + i).toLong), "int64"))
+    }
+    s.commit("data")
+
+    val v = spark.read.format("graft-v2")
+      .option("path", dir).option("array", "/t")
+      .option("mode", "values").option("dtype", "int64").load()
+    assert(v.count() == 512)
+    // the executed plan's BatchScan carries our custom metrics, summed
+    // from executor task accumulators — LoggingStore can't see this
+    // traffic (per-JVM cached clients), the SQL metric plumbing can
+    import org.apache.spark.sql.execution.SparkPlan
+    def findScan(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        findScan(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        findScan(q.plan)
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        Seq(b)
+      case other => other.children.flatMap(findScan)
+    }
+    val agg = v.groupBy().sum("value")
+    assert(agg.collect().head.getLong(0) == (0 until 512).sum.toLong)
+    val scan = findScan(agg.queryExecution.executedPlan)
+    assert(scan.nonEmpty, agg.queryExecution.executedPlan.toString)
+    val m = scan.head.metrics
+    info("metrics: " + m.map { case (k, v) => s"$k=${v.value}" }.mkString(", "))
+    assert(m.contains("graftStoreGets"), m.keys.mkString(","))
+    assert(m("graftStoreGets").value == 4)
+    assert(m("graftChunksDecoded").value == 4)
+    assert(m("graftChunkBytesFetched").value == 4 * 128 * 8)
+  }
+
   test("DSv2 values write: Spark arranges chunks, tasks stream-encode") {
     val dir = tmpDir("repo")
     val store = Store.local(dir)
