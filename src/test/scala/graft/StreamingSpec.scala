@@ -51,4 +51,74 @@ class StreamingSpec extends SparkTestBase {
     val msgs = repo.ancestry(VersionRef.Branch("main")).map(_.message)
     assert(msgs.count(_.startsWith("stream batch")) >= 2)
   }
+
+  test("change feed: batch + micro-batch tail of the commit log") {
+    val dir = tmpDir("repo")
+    val repo = Repository.create(Store.local(dir), spark)
+    val s0 = repo.writableSession("main")
+    s0.addArray("/a", Seq(16), Seq(1))
+    (0 until 3).foreach(c => s0.writeChunk("/a", Seq(c), Array[Byte](1)))
+    s0.commit("c1")
+    val s1 = repo.writableSession("main")
+    (3 until 5).foreach(c => s1.writeChunk("/a", Seq(c), Array[Byte](2)))
+    s1.commit("c2")
+
+    // batch: whole history, commit-stamped, newest commit has seq = depth
+    val all = spark.read.format("graft-changes").option("path", dir).load()
+    val byMsg = all.groupBy("message").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byMsg("c1") == 4L) // new_array + 3 chunk edits
+    assert(byMsg("c2") == 2L)
+    val seqs = all.select("message", "seq").distinct().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(seqs("c2") == seqs("c1") + 1)
+
+    // streaming: first run drains history, second run (same checkpoint)
+    // emits ONLY the commit appended in between
+    val ckpt = tmpDir("cf-ckpt")
+    val got = scala.collection.mutable.ArrayBuffer[String]()
+    def run(): Unit = {
+      val q = spark.readStream.format("graft-changes")
+        .option("path", dir).load()
+        .writeStream
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          got.synchronized {
+            got ++= df.select("message").collect().map(_.getString(0))
+          }: Unit
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    run()
+    assert(got.size == 6, got)
+    got.clear()
+    val s2 = repo.writableSession("main")
+    s2.writeChunk("/a", Seq(9), Array[Byte](3))
+    s2.commit("c3")
+    run()
+    assert(got.toSeq == Seq("c3"), got)
+  }
+
+  test("streaming exact dedup suppresses in-window duplicates") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val source = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val stream = source.toDF().toDF("sec", "text")
+      .select(timestamp_seconds(col("sec")).as("ts"), col("text"))
+    val deduped = graft.streaming.StreamingDedup.exact(
+      stream, delay = "1 hour")
+    val q = deduped.writeStream.format("memory").queryName("sdedup")
+      .outputMode("append").start()
+    source.addData((1L, "alpha"), (2L, "beta"), (3L, "alpha"))
+    q.processAllAvailable()
+    source.addData((100L, "alpha"), (101L, "gamma"))
+    q.processAllAvailable()
+    q.stop()
+    val texts = spark.table("sdedup").select("text").collect()
+      .map(_.getString(0)).toSeq
+    // both "alpha" copies land inside the watermark window -> one survivor
+    assert(texts.sorted == Seq("alpha", "beta", "gamma"), texts)
+  }
 }
