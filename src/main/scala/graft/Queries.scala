@@ -406,13 +406,17 @@ object Queries {
     */
   val q_dedup_clusters: Q = (s, d) => {
     val docs = t(s, d, "documents")
-    val a = docs.select(col("doc_id").as("doc_a"), col("lang"),
-      col("n_chars").as("ca"))
-    val b = docs.select(col("doc_id").as("doc_b"), col("lang"),
-      col("n_chars").as("cb"))
-    val pairs = a.join(b, Seq("lang"))
-      .where(col("doc_a") < col("doc_b") &&
-        abs(col("ca") - col("cb")) <= 10)
+    // The proximity rule lives on a line, so CONSECUTIVE-neighbor edges
+    // (sorted by n_chars within lang) generate the identical transitive
+    // closure as the full O(n·density) pair join: a direct edge
+    // |Δn_chars| ≤ 10 implies every consecutive gap between its
+    // endpoints is ≤ 10. O(n) edges into the component solver.
+    val w = Window.partitionBy("lang").orderBy("n_chars", "doc_b")
+    val pairs = docs
+      .select(col("doc_id").as("doc_b"), col("lang"), col("n_chars"))
+      .withColumn("doc_a", lag("doc_b", 1).over(w))
+      .withColumn("gap", col("n_chars") - lag("n_chars", 1).over(w))
+      .where(col("doc_a").isNotNull && col("gap") <= 10)
     val labels = graft.pipeline.ConnectedComponents.run(pairs)
       .withColumnRenamed("id", "doc_id")
     docs.select(col("doc_id"))

@@ -144,12 +144,18 @@ class PipelineSpec extends SparkTestBase {
     val rev = Seq((901L, 900L), (902L, 901L)) // arbitrary orientation
     val pairs = (chain ++ cliqueA ++ rev)
       .toDF("doc_a", "doc_b")
-    val labels = graft.pipeline.ConnectedComponents.run(pairs)
+    // force pure distributed star rounds (no local union-find finish)
+    val labels = graft.pipeline.ConnectedComponents
+      .run(pairs, localFinishEdges = 0L)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(labels.size == 200 + 3 + 3)
     (1L to 200L).foreach(i => assert(labels(i) == 1L, s"chain node $i"))
     Seq(500L, 501L, 502L).foreach(i => assert(labels(i) == 500L))
     Seq(900L, 901L, 902L).foreach(i => assert(labels(i) == 900L))
+    // the adaptive union-find finish resolves the same components
+    val local = graft.pipeline.ConnectedComponents.run(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(local == labels)
   }
 
   test("deterministic split: stable, exhaustive, near-requested fractions") {
