@@ -131,6 +131,32 @@ object Bench {
         val r = v.agg(sum(col("value")), count(lit(1))).head()
         assert(r.getLong(1) == cube.toLong * cube * cube)
       }
+      // DSv2 values WRITE: Spark-arranged (ordered-distribution) chunk
+      // assembly through the connector at half resolution (cube/2)³ cells,
+      // one CAS commit at the end
+      results("engine_v2_values_write") = timed {
+        val n = cube / 2
+        val s = repo.writableSession("main")
+        s.addArray("/cube2", Seq(n, n, n), Seq(4, n, n))
+        s.commit("cube2")
+        spark.range(n.toLong * n * n).selectExpr(
+          s"id div ${n.toLong * n} as i0",
+          s"(id div $n) % $n as i1",
+          s"id % $n as i2",
+          "id % 1000 - 500 as value")
+          .write.format("graft-v2")
+          .option("path", dir.toString).option("array", "/cube2")
+          .option("mode", "values").option("dtype", "int64")
+          .option("message", "v2 values bench").mode("append").save()
+      }
+      // verify outside the timer (the write is the measured unit)
+      locally {
+        val n = cube / 2
+        val check = spark.read.format("graft-v2")
+          .option("path", dir.toString).option("array", "/cube2")
+          .option("mode", "values").option("dtype", "int64").load()
+        assert(check.count() == n.toLong * n * n)
+      }
       // row-returning region read: sub-block decode emits only the
       // requested cells, then the usual (i0..iN, value) explode
       results("engine_cube_slice_rows") = timed {

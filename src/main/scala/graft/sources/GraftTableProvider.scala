@@ -753,14 +753,14 @@ class GraftValuesWriteBuilder(opts: Map[String, String],
       throw new graft.repo.GraftException(
         s"values write schema mismatch: got ${got.fieldNames.mkString(",")}" +
           s", expected ${expected.fieldNames.mkString(",")}")
-    new GraftValuesWrite(opts, got, node.chunkShape, dtype,
+    new GraftValuesWrite(opts, got, node.chunkShape, node.shape, dtype,
       opts.getOrElse("compression", "raw"))
   }
 }
 
 class GraftValuesWrite(opts: Map[String, String], schema: StructType,
-                       chunkShape: Seq[Long], dtype: String,
-                       compression: String)
+                       chunkShape: Seq[Long], shape: Seq[Long],
+                       dtype: String, compression: String)
     extends Write with RequiresDistributionAndOrdering {
   import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection}
   import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
@@ -775,6 +775,21 @@ class GraftValuesWrite(opts: Map[String, String], schema: StructType,
     Distributions.ordered(sorts)
   override def requiredOrdering()
       : Array[org.apache.spark.sql.connector.expressions.SortOrder] = sorts
+
+  /** Tasks must span MANY chunk-row stripes: only a task's first and last
+    * stripes take the leftover-merge path, so k stripes per task puts
+    * (k−2)/k of the data on the direct stream-encode path. Cap partitions
+    * at stripes/8 (≥75% direct) — when the array has far more stripes
+    * than the cluster has slots (the 100 TB case) this is a no-op and
+    * parallelism wins.
+    */
+  override def requiredNumPartitions(): Int = {
+    val stripes = math.max(1L,
+      (shape.head + chunkShape.head - 1) / chunkShape.head)
+    val par = org.apache.spark.sql.SparkSession.active
+      .sparkContext.defaultParallelism
+    math.max(1L, math.min(par.toLong, stripes / 8)).toInt
+  }
 
   override def toBatch: BatchWrite =
     new GraftValuesBatchWrite(opts, schema, chunkShape, dtype, compression)
