@@ -77,6 +77,26 @@ object Plans {
             "too); ColumnarToRow above the scan marks the vectorized " +
             "reader feeding whole-stage codegen.",
           fmt(sliced))
+      },
+      ("q_sample_split — deterministic hash split",
+        "The split assignment is a pure projection over the scan (no " +
+          "shuffle, no RNG state): the only exchange is the final " +
+          "per-(lang,split) aggregate.",
+        fmt(graft.Queries.q_sample_split(spark, d))), {
+        val dir = Files.createTempDirectory("plans-cf").toString
+        val repo = graft.repo.Repository.create(
+          graft.storage.Store.local(dir), spark)
+        val s = repo.writableSession("main")
+        s.addArray("/a", Seq(4), Seq(1))
+        s.writeChunk("/a", Seq(0), Array[Byte](1))
+        s.commit("c1")
+        val cf = spark.read.format("graft-changes").option("path", dir)
+          .load().groupBy("message").count()
+        ("graft-changes — commit-log change feed",
+          "One InputPartition per commit; executors read that commit's " +
+            "tx-log Parquet directly. The same scan serves readStream " +
+            "micro-batches with ancestry-depth offsets.",
+          fmt(cf))
       })
 
     val md = new StringBuilder
