@@ -766,30 +766,55 @@ class GraftValuesWrite(opts: Map[String, String], schema: StructType,
   import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
 
   private val ndim = chunkShape.size
-  private def sorts =
+  /** Catalog-routed writes (INSERT INTO / saveAsTable through
+    * [[GraftCatalog]]) carry a FunctionCatalog, so the distribution can
+    * cluster on the real chunk coordinate (`chunk_coord` transform) —
+    * every task gets whole chunks, nothing takes the leftover path.
+    * Provider-routed writes (`df.write.format`) have no FunctionCatalog
+    * and Spark translates only plain field references there, hence the
+    * ordered-distribution stripe plan.
+    */
+  private val viaCatalog = opts.get("via-catalog").contains("true")
+
+  private def iSorts =
     (0 until ndim).map(d =>
       Expressions.sort(Expressions.column(s"i$d"),
         SortDirection.ASCENDING)).toArray
+  private def chunkTransforms
+      : Array[org.apache.spark.sql.connector.expressions.Expression] =
+    (0 until ndim).map(d =>
+      Expressions.apply(ChunkCoordFunction.Name,
+        Expressions.column(s"i$d"),
+        Expressions.literal(Long.box(chunkShape(d))))
+        : org.apache.spark.sql.connector.expressions.Expression).toArray
 
   override def requiredDistribution(): Distribution =
-    Distributions.ordered(sorts)
+    if (viaCatalog) Distributions.clustered(chunkTransforms)
+    else Distributions.ordered(iSorts)
   override def requiredOrdering()
-      : Array[org.apache.spark.sql.connector.expressions.SortOrder] = sorts
+      : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+    if (viaCatalog)
+      (chunkTransforms.map(t =>
+        Expressions.sort(t, SortDirection.ASCENDING)) ++ iSorts)
+    else iSorts
 
-  /** Tasks must span MANY chunk-row stripes: only a task's first and last
-    * stripes take the leftover-merge path, so k stripes per task puts
-    * (k−2)/k of the data on the direct stream-encode path. Cap partitions
-    * at stripes/8 (≥75% direct) — when the array has far more stripes
-    * than the cluster has slots (the 100 TB case) this is a no-op and
-    * parallelism wins.
+  /** Ordered mode: tasks must span MANY chunk-row stripes — only a task's
+    * first and last stripes take the leftover-merge path, so k stripes
+    * per task puts (k−2)/k of the data on the direct stream-encode path.
+    * Cap partitions at stripes/8 (≥75% direct) — when the array has far
+    * more stripes than the cluster has slots (the 100 TB case) this is a
+    * no-op and parallelism wins. Clustered mode needs no cap (0 = let
+    * Spark/AQE size the exchange).
     */
-  override def requiredNumPartitions(): Int = {
-    val stripes = math.max(1L,
-      (shape.head + chunkShape.head - 1) / chunkShape.head)
-    val par = org.apache.spark.sql.SparkSession.active
-      .sparkContext.defaultParallelism
-    math.max(1L, math.min(par.toLong, stripes / 8)).toInt
-  }
+  override def requiredNumPartitions(): Int =
+    if (viaCatalog) 0
+    else {
+      val stripes = math.max(1L,
+        (shape.head + chunkShape.head - 1) / chunkShape.head)
+      val par = org.apache.spark.sql.SparkSession.active
+        .sparkContext.defaultParallelism
+      math.max(1L, math.min(par.toLong, stripes / 8)).toInt
+    }
 
   override def toBatch: BatchWrite =
     new GraftValuesBatchWrite(opts, schema, chunkShape, dtype, compression)
@@ -832,7 +857,8 @@ class GraftValuesBatchWrite(opts: Map[String, String], schema: StructType,
       info: PhysicalWriteInfo): DataWriterFactory = {
     val (repo, _, _) = GraftTableProvider.open(opts)
     new GraftValuesWriterFactory(repo.store.conf, stagingRoot, schema,
-      chunkShape.toArray, dtype, compression)
+      chunkShape.toArray, dtype, compression,
+      clustered = opts.get("via-catalog").contains("true"))
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -905,12 +931,13 @@ class GraftValuesBatchWrite(opts: Map[String, String], schema: StructType,
 
 class GraftValuesWriterFactory(storeConf: StoreConf, stagingRoot: String,
                                schema: StructType, chunkShape: Array[Long],
-                               dtype: String, compression: String)
+                               dtype: String, compression: String,
+                               clustered: Boolean)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int,
                             taskId: Long): DataWriter[InternalRow] =
     new GraftValuesDataWriter(storeConf, stagingRoot, schema, chunkShape,
-      dtype, compression, partitionId, taskId)
+      dtype, compression, partitionId, taskId, clustered)
 }
 
 /** Streams one task's row-major-ordered (i0..iN, value) run, stripe at a
@@ -931,7 +958,8 @@ class GraftValuesWriterFactory(storeConf: StoreConf, stagingRoot: String,
 class GraftValuesDataWriter(storeConf: StoreConf, stagingRoot: String,
                             schema: StructType, chunkShape: Array[Long],
                             dtype: String, compression: String,
-                            partitionId: Int, taskId: Long)
+                            partitionId: Int, taskId: Long,
+                            clustered: Boolean = false)
     extends DataWriter[InternalRow] {
   private val ndim = chunkShape.length
   private val strides: Array[Long] = {
@@ -978,19 +1006,25 @@ class GraftValuesDataWriter(storeConf: StoreConf, stagingRoot: String,
       pos += (i % chunkShape(d)) * strides(d)
       d += 1
     }
-    val stripe = coord(0).toLong
-    if (curStripe == Long.MinValue) { curStripe = stripe; firstStripe = stripe }
-    else if (stripe < curStripe)
-      throw new IllegalStateException(
-        s"values write input not row-major ordered: stripe $stripe after " +
-          s"$curStripe (Spark's required ordering was not applied?)")
-    else if (stripe > curStripe) {
-      closeStripe(asLeftover = curStripe == firstStripe)
-      curStripe = stripe
+    val key = scala.collection.immutable.ArraySeq.unsafeWrapArray(coord)
+    if (clustered) {
+      // chunk-coord clustering + ordering: whole chunks, contiguous — a
+      // coord change means the open chunk is complete, flush it directly
+      if (open.nonEmpty && !open.contains(key))
+        closeStripe(asLeftover = false)
+    } else {
+      val stripe = coord(0).toLong
+      if (curStripe == Long.MinValue) { curStripe = stripe; firstStripe = stripe }
+      else if (stripe < curStripe)
+        throw new IllegalStateException(
+          s"values write input not row-major ordered: stripe $stripe after " +
+            s"$curStripe (Spark's required ordering was not applied?)")
+      else if (stripe > curStripe) {
+        closeStripe(asLeftover = curStripe == firstStripe)
+        curStripe = stripe
+      }
     }
-    val oc = open.getOrElseUpdate(
-      scala.collection.immutable.ArraySeq.unsafeWrapArray(coord),
-      new OpenChunk)
+    val oc = open.getOrElseUpdate(key, new OpenChunk)
     val p = pos.toInt
     if (isInt)
       oc.bufL(p) =
@@ -1043,8 +1077,10 @@ class GraftValuesDataWriter(storeConf: StoreConf, stagingRoot: String,
   }
 
   override def commit(): WriterCommitMessage = {
-    // the last stripe can be cut by the next task's range — always defer
-    if (curStripe != Long.MinValue) closeStripe(asLeftover = true)
+    // ordered mode: the last stripe can be cut by the next task's range —
+    // always defer it; clustered mode: chunks are whole, flush direct
+    if (open.nonEmpty || curStripe != Long.MinValue)
+      closeStripe(asLeftover = !clustered)
     if (refWriter == null)
       return StagedValuesMessage(null, 0L, null, 0L)
     val refMsg = refWriter.commit().asInstanceOf[StagedRefsMessage]
