@@ -157,6 +157,26 @@ object Bench {
           .option("mode", "values").option("dtype", "int64").load()
         assert(check.count() == n.toLong * n * n)
       }
+      // same write through the SQL catalog: the FunctionCatalog supplies
+      // chunk_coord, so the distribution clusters on the CHUNK coordinate
+      // (whole chunks per task, no boundary-leftover merge)
+      results("engine_catalog_values_write") = timed {
+        val n = cube / 2
+        val s = repo.writableSession("main")
+        s.addArray("/cube3", Seq(n, n, n), Seq(4, n, n),
+          userData = """{"dtype":"int64"}""")
+        s.commit("cube3")
+        spark.conf.set("spark.sql.catalog.graftbench",
+          classOf[graft.sources.GraftCatalog].getName)
+        spark.conf.set("spark.sql.catalog.graftbench.path", dir.toString)
+        spark.sql(
+          s"""INSERT INTO graftbench.cube3
+             |SELECT id div ${n.toLong * n} AS i0,
+             |       (id div $n) % $n AS i1,
+             |       id % $n AS i2,
+             |       id % 1000 - 500 AS value
+             |FROM range(${n.toLong * n * n})""".stripMargin)
+      }
       // row-returning region read: sub-block decode emits only the
       // requested cells, then the usual (i0..iN, value) explode
       results("engine_cube_slice_rows") = timed {
