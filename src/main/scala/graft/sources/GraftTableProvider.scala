@@ -336,17 +336,20 @@ class GraftReaderFactory(required: StructType)
       case vp: ValuesPartition => new GraftValuesReader(vp, required)
     }
 
-  /** Values scans hand Spark '''columnar batches''' (primitive long/double
-    * vectors filled in tight per-chunk loops — no per-cell row
-    * allocation); whole-stage codegen consumes them directly. Refs stay
-    * row-based (strings + nested arrays, modest row counts).
+  /** Both modes hand Spark '''columnar batches''': values fill primitive
+    * long/double vectors in tight per-chunk loops; refs append
+    * strings/ints/arrays straight into `OnHeapColumnVector`s — either
+    * way no per-row `GenericInternalRow` boxing, and whole-stage codegen
+    * consumes the batches directly above a `ColumnarToRow`.
     */
-  override def supportColumnarReads(p: InputPartition): Boolean =
-    p.isInstanceOf[ValuesPartition]
+  override def supportColumnarReads(p: InputPartition): Boolean = true
 
   override def createColumnarReader(p: InputPartition)
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
-    new GraftValuesColumnarReader(p.asInstanceOf[ValuesPartition], required)
+    p match {
+      case vp: ValuesPartition => new GraftValuesColumnarReader(vp, required)
+      case sp: SplitPartition => new GraftRefsColumnarReader(sp, required)
+    }
 }
 
 /** Iterates one split's Parquet files with parquet-mr (no Spark session on
@@ -422,6 +425,85 @@ class GraftPartitionReader(part: SplitPartition, required: StructType)
       required.fields.map(f => field(current, f.name)).toArray[Any])
 
   override def close(): Unit = it.close()
+}
+
+/** Refs-mode '''columnar''' reader: appends manifest rows column-at-a-time
+  * into `OnHeapColumnVector`s (strings and binaries as byte-array
+  * appends, coord as a nested int array) — no per-row object allocation
+  * on the scan path that feeds every engine merge/join.
+  */
+class GraftRefsColumnarReader(part: SplitPartition, required: StructType)
+    extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+  import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
+  import org.apache.spark.sql.vectorized.ColumnarBatch
+
+  private val BatchRows = 4096
+  private val it = new SplitGroupIterator(part.files, part.fsConf)
+  private val vectors = required.fields.map(f =>
+    new OnHeapColumnVector(BatchRows, f.dataType))
+  private val batch = new ColumnarBatch(
+    vectors.map(v => v: org.apache.spark.sql.vectorized.ColumnVector))
+  private val nodeIdBytes =
+    part.nodeId.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+
+  override def next(): Boolean = {
+    vectors.foreach(_.reset())
+    var row = 0
+    var g: Group = null
+    while (row < BatchRows && { g = it.next(); g != null }) {
+      var c = 0
+      while (c < required.fields.length) {
+        val f = required.fields(c)
+        val vec = vectors(c)
+        f.name match {
+          case "node_id" =>
+            vec.appendByteArray(nodeIdBytes, 0, nodeIdBytes.length)
+          case "split" => vec.appendInt(part.split)
+          case "coord" =>
+            if (!it.has(g, "coord")) { vec.appendNull(): Unit }
+            else {
+              // appendArray records offset = child position at CALL time,
+              // so it must run before the element appends.
+              val arr = it.coordOf(g)
+              vec.appendArray(arr.length)
+              val child = vec.arrayData()
+              var j = 0
+              while (j < arr.length) { child.appendInt(arr(j)); j += 1 }
+            }
+          case "inline" =>
+            if (!it.has(g, "inline")) { vec.appendNull(): Unit }
+            else {
+              val b = g.getBinary("inline", 0).getBytes
+              vec.appendByteArray(b, 0, b.length)
+            }
+          case n @ ("c0" | "c1" | "c2" | "c3" | "last_modified") =>
+            if (!it.has(g, n)) { vec.appendNull(): Unit }
+            else vec.appendInt(g.getInteger(n, 0))
+          case n @ ("offset" | "length") =>
+            if (!it.has(g, n)) { vec.appendNull(): Unit }
+            else vec.appendLong(g.getLong(n, 0))
+          case n =>
+            if (!it.has(g, n)) { vec.appendNull(): Unit }
+            else {
+              val b = g.getString(n, 0)
+                .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+              vec.appendByteArray(b, 0, b.length)
+            }
+        }
+        c += 1
+      }
+      row += 1
+    }
+    batch.setNumRows(row)
+    row > 0
+  }
+
+  override def get(): ColumnarBatch = batch
+
+  override def close(): Unit = {
+    vectors.foreach(_.close())
+    it.close()
+  }
 }
 
 /** One decoded sub-block: the chunk's coord, its (decompressed) byte
