@@ -249,6 +249,9 @@ final class Session private[repo] (
     if (!n.validCoord(coord))
       throw new GraftException(
         s"coord ${coord.mkString(",")} out of bounds for ${n.path}")
+    // authorization at set-time also for raw refs (session.rs:631-655)
+    if (ref.kind == ChunkRef.KindVirtual)
+      repo.virtualResolver.validateLocation(ref.location)
     changeSet.setChunkRef(ref.copy(node_id = n.id))
   }
 

@@ -53,7 +53,8 @@ class GraftCatalog extends TableCatalog with FunctionCatalog {
 
   private def repo: Repository = {
     val spark = org.apache.spark.sql.SparkSession.active
-    Repository.open(Store.fromOptions(options), spark)
+    Repository.open(Store.fromOptions(options), spark,
+      resolver = graft.virt.VirtualChunkResolver.fromOptions(options))
   }
   private def pathOf(ident: Identifier): String =
     "/" + (ident.namespace() :+ ident.name()).mkString("/")

@@ -61,7 +61,8 @@ object GraftChangesProvider {
 
   def open(opts: Map[String, String]): (Repository, String) = {
     val spark = org.apache.spark.sql.SparkSession.active
-    (Repository.open(Store.fromOptions(opts), spark),
+    (Repository.open(Store.fromOptions(opts), spark,
+      resolver = graft.virt.VirtualChunkResolver.fromOptions(opts)),
       opts.getOrElse("branch", "main"))
   }
 

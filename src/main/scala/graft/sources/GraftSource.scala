@@ -43,7 +43,8 @@ class DefaultSource extends RelationProvider
     val array = parameters.getOrElse("array",
       throw new GraftException("option 'array' (node path) is required"))
     val repo = Repository.open(Store.fromOptions(parameters),
-      sqlContext.sparkSession)
+      sqlContext.sparkSession,
+      resolver = graft.virt.VirtualChunkResolver.fromOptions(parameters))
     val version = parameters.getOrElse("version", "branch:main") match {
       case v if v.startsWith("branch:") =>
         VersionRef.Branch(v.stripPrefix("branch:"))
@@ -70,7 +71,8 @@ class DefaultSource extends RelationProvider
       parameters: Map[String, String], data: DataFrame): BaseRelation = {
     val array = parameters("array")
     val repo = Repository.open(Store.fromOptions(parameters),
-      sqlContext.sparkSession)
+      sqlContext.sparkSession,
+      resolver = graft.virt.VirtualChunkResolver.fromOptions(parameters))
     val branch = parameters.getOrElse("branch", "main")
     val session = repo.writableSession(branch)
     parameters.getOrElse("mode", "refs") match {

@@ -120,7 +120,8 @@ object GraftTableProvider {
     val array = opts.getOrElse("array",
       throw new graft.repo.GraftException("option 'array' is required"))
     val spark = org.apache.spark.sql.SparkSession.active
-    val repo = Repository.open(Store.fromOptions(opts), spark)
+    val repo = Repository.open(Store.fromOptions(opts), spark,
+      resolver = graft.virt.VirtualChunkResolver.fromOptions(opts))
     val ref = opts.getOrElse("version", "branch:main") match {
       case v if v.startsWith("branch:") => VersionRef.Branch(v.drop(7))
       case v if v.startsWith("tag:") => VersionRef.Tag(v.drop(4))
@@ -244,7 +245,7 @@ case class SplitPartition(files: Array[String], nodeId: String, split: Int,
 case class ValuesPartition(files: Array[String], nodeId: String,
                            fsConf: Map[String, String],
                            storeConf: StoreConf,
-                           containers: Map[String, String],
+                           resolver: graft.virt.VirtualChunkResolver,
                            dtype: String, compression: String,
                            chunkShape: Seq[Long], shape: Seq[Long],
                            boundLo: Seq[Long], boundHi: Seq[Long])
@@ -311,7 +312,7 @@ class GraftScan(opts: Map[String, String], lo: Map[Int, Long],
         else math.min(node.shape(d), h + 1) // inclusive -> exclusive
       }
       keep.map(m => ValuesPartition(filesOf(m), node.id, fsConf,
-        store.conf, repo.virtualResolver.containerMap, dtype,
+        store.conf, repo.virtualResolver, dtype,
         opts.getOrElse("compression", "raw"), node.chunkShape, node.shape,
         bl, bh): InputPartition).toArray
     } else
@@ -542,18 +543,6 @@ private[sources] final class ValuesChunkCursor(part: ValuesPartition) {
     math.min(h, s)
   }.toArray
 
-  private def expand(loc: String): String =
-    if (!loc.startsWith("vcc://")) loc
-    else {
-      val rest = loc.stripPrefix("vcc://")
-      val (cname, rel) = rest.span(_ != '/')
-      part.containers.get(cname) match {
-        case Some(p) => p.stripSuffix("/") + "/" + rel.stripPrefix("/")
-        case None => throw new IllegalArgumentException(
-          s"no virtual chunk container named '$cname'")
-      }
-    }
-
   private def fetchBytes(g: Group): Array[Byte] = {
     val kind = if (it.has(g, "kind")) g.getString("kind", 0) else ""
     val offset = if (it.has(g, "offset")) g.getLong("offset", 0) else 0L
@@ -567,8 +556,7 @@ private[sources] final class ValuesChunkCursor(part: ValuesPartition) {
           offset, length)
       case graft.meta.ChunkRef.KindVirtual =>
         gets += 1
-        graft.virt.ByteFetch.ranged(expand(g.getString("location", 0)),
-          offset, length)
+        part.resolver.ranged(g.getString("location", 0), offset, length)
       case other => throw new graft.repo.GraftException(
         s"unexpected payload kind '$other'")
     }

@@ -28,6 +28,11 @@ import scala.jdk.CollectionConverters._
   */
 final case class ObjectInfo(key: String, size: Long, mtimeMillis: Long)
 
+/** HEAD-style metadata for one object; `etag` is empty when the backend
+  * has no version identifier (local FS).
+  */
+final case class StatInfo(size: Long, mtimeMillis: Long, etag: String)
+
 trait Store {
   /** Root URI usable by `spark.read` / `df.write` (e.g. `file:/...`, or a
     * `graft://` URI served by [[graft.storage.hadoop.GraftFileSystem]]).
@@ -81,6 +86,15 @@ trait Store {
   }
 
   def exists(key: String): Boolean
+
+  /** Object metadata (size/mtime/etag), or None if absent. Backends with a
+    * HEAD primitive override (S3 returns the ETag the engine uses for
+    * virtual-ref freshness checks); the default answers from one listing
+    * page.
+    */
+  def stat(key: String): Option[StatInfo] =
+    listPage(key, None, 8).find(_.key == key)
+      .map(o => StatInfo(o.size, o.mtimeMillis, ""))
 
   def delete(keys: Iterable[String]): Unit
 
@@ -222,6 +236,13 @@ final class LocalStore(val root: Path) extends Store {
   }
 
   override def exists(key: String): Boolean = Files.exists(p(key))
+
+  override def stat(key: String): Option[StatInfo] = {
+    val path = p(key)
+    if (!Files.isRegularFile(path)) None
+    else Some(StatInfo(Files.size(path),
+      Files.getLastModifiedTime(path).toMillis, ""))
+  }
 
   override def delete(keys: Iterable[String]): Unit =
     keys.foreach(k => Files.deleteIfExists(p(k)))

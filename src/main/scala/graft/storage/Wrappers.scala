@@ -46,6 +46,8 @@ final class RetryingStore(inner: Store, maxAttempts: Int = 5,
     retry("copy")(inner.copy(srcKey, dstKey))
   override def exists(key: String): Boolean =
     retry("exists")(inner.exists(key))
+  override def stat(key: String): Option[StatInfo] =
+    retry("stat")(inner.stat(key))
   override def delete(keys: Iterable[String]): Unit =
     retry("delete")(inner.delete(keys))
   override def deletePrefix(prefix: String): Unit =
@@ -103,6 +105,8 @@ final class FlakyStore(inner: Store,
     { maybeFail("copy"); inner.copy(srcKey, dstKey) }
   override def exists(key: String): Boolean =
     { maybeFail("exists"); inner.exists(key) }
+  override def stat(key: String): Option[StatInfo] =
+    { maybeFail("stat"); inner.stat(key) }
   override def delete(keys: Iterable[String]): Unit =
     { maybeFail("delete"); inner.delete(keys) }
   override def deletePrefix(prefix: String): Unit =
@@ -138,6 +142,8 @@ final class LoggingStore(inner: Store,
     { rec("copy", s"$srcKey -> $dstKey"); inner.copy(srcKey, dstKey) }
   override def exists(key: String): Boolean =
     { rec("exists", key); inner.exists(key) }
+  override def stat(key: String): Option[StatInfo] =
+    { rec("stat", key); inner.stat(key) }
   override def delete(keys: Iterable[String]): Unit =
     { rec("delete", s"${keys.size} keys"); inner.delete(keys) }
   override def deletePrefix(prefix: String): Unit =
@@ -181,6 +187,7 @@ final class RedirectStore(primary: Store,
     storesFor(prefix).flatMap(_.listPage(prefix, startAfter, maxKeys))
       .groupBy(_.key).map(_._2.head).toSeq.sortBy(_.key).take(maxKeys)
   override def exists(key: String): Boolean = route(key).exists(key)
+  override def stat(key: String): Option[StatInfo] = route(key).stat(key)
   override def delete(keys: Iterable[String]): Unit =
     keys.groupBy(route).foreach { case (s, ks) => s.delete(ks) }
   override def deletePrefix(prefix: String): Unit =
@@ -198,6 +205,7 @@ final class LatencyStore(inner: Store, delayMs: Long) extends Store {
   override def rootUri: String = inner.rootUri
   override def conf: StoreConf = inner.conf
   override def getBytes(key: String): Array[Byte] = { d(); inner.getBytes(key) }
+  override def stat(key: String): Option[StatInfo] = { d(); inner.stat(key) }
   override def getRange(key: String, offset: Long, length: Long): Array[Byte] =
     { d(); inner.getRange(key, offset, length) }
   override def putBytes(key: String, bytes: Array[Byte]): Unit =

@@ -133,6 +133,9 @@ final class S3MemServer {
     if (o == null) { ex.sendResponseHeaders(404, -1); return }
     ex.getResponseHeaders.set("Content-Length", o.bytes.length.toString)
     ex.getResponseHeaders.set("ETag", o.etag)
+    ex.getResponseHeaders.set("Last-Modified",
+      java.time.format.DateTimeFormatter.RFC_1123_DATE_TIME.format(
+        o.mtime.atZone(java.time.ZoneOffset.UTC)))
     ex.sendResponseHeaders(200, -1)
   }
 

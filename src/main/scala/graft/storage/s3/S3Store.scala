@@ -142,6 +142,24 @@ final class S3Store(val s3conf: S3StoreConf) extends Store {
     r.statusCode() == 200
   }
 
+  override def stat(key: String): Option[graft.storage.StatInfo] = {
+    val r = send("HEAD", objectUri(key), null)
+    if (r.statusCode() != 200) None
+    else {
+      def header(n: String): Option[String] =
+        Option(r.headers().firstValue(n).orElse(null))
+      val size = header("Content-Length").map(_.toLong).getOrElse(0L)
+      val mtime = header("Last-Modified").map { v =>
+        java.time.ZonedDateTime.parse(v,
+          java.time.format.DateTimeFormatter.RFC_1123_DATE_TIME)
+          .toInstant.toEpochMilli
+      }.getOrElse(0L)
+      val etag = header("ETag").map(_.stripPrefix("\"").stripSuffix("\""))
+        .getOrElse("")
+      Some(graft.storage.StatInfo(size, mtime, etag))
+    }
+  }
+
   // ---- writes ----
 
   override def putBytes(key: String, bytes: Array[Byte]): Unit =

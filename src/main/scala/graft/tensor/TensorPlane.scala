@@ -18,38 +18,27 @@ import graft.repo.{GraftException, Session}
 object TensorPlane {
 
   private def sessionFetch(session: Session) =
-    fetchBytesUdf(session.repo.store.conf,
-      session.repo.virtualResolver.containerMap)
+    fetchBytesUdf(session.repo.store.conf, session.repo.virtualResolver)
 
   /** Fetch chunk bytes on executors from the ref columns — the reference's
     * fetch dispatch (session.rs:1274-1317), per-row '''ranged''' GETs
     * through a per-executor cached store client ([[StoreConf.cached]]:
-    * one connection pool per JVM, any backend). Virtual refs dispatch by
-    * scheme via [[graft.virt.ByteFetch]].
+    * one connection pool per JVM, any backend). Virtual refs dispatch
+    * through the serializable resolver — per-container stores, else
+    * scheme dispatch via [[graft.virt.ByteFetch]].
     */
   def fetchBytesUdf(conf: graft.storage.StoreConf,
-                    containers: Map[String, String] = Map.empty) = udf(
+                    resolver: graft.virt.VirtualChunkResolver =
+                      graft.virt.VirtualChunkResolver.default) = udf(
     (kind: String, inline: Array[Byte], chunkId: String, location: String,
      offset: Long, length: Long) => {
-      def expand(loc: String): String =
-        if (!loc.startsWith("vcc://")) loc
-        else {
-          val rest = loc.stripPrefix("vcc://")
-          val (cname, rel) = rest.span(_ != '/')
-          containers.get(cname) match {
-            case Some(prefix) =>
-              prefix.stripSuffix("/") + "/" + rel.stripPrefix("/")
-            case None => throw new IllegalArgumentException(
-              s"no virtual chunk container named '$cname'")
-          }
-        }
       kind match {
         case ChunkRef.KindInline => inline
         case ChunkRef.KindRef =>
           graft.storage.StoreConf.cached(conf)
             .getRange(graft.meta.Layout.chunkKey(chunkId), offset, length)
         case ChunkRef.KindVirtual =>
-          graft.virt.ByteFetch.ranged(expand(location), offset, length)
+          resolver.ranged(location, offset, length)
         case _ => null
       }
     })

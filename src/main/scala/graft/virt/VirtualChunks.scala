@@ -1,16 +1,26 @@
 package graft.virt
 
+import graft.storage.{LocalStoreConf, S3StoreConf, StoreConf}
+
 /** Virtual chunk containers: registered external URL prefixes whose files
   * hold chunk bytes (virtual_chunks.rs:96-110). Locations are matched to a
   * container by longest-prefix (`matching_container`,
   * virtual_chunks.rs:383-458); unauthorized locations are rejected at
   * set-time (session.rs:631-655).
+  *
+  * A container may carry its own [[StoreConf]] — per-container object-store
+  * credentials/endpoint, the reference's per-container config model
+  * (virtual_chunks.rs:122-180). Locations under such a prefix are fetched
+  * through a cached store client (ranged GETs, one connection pool per
+  * executor JVM) instead of the generic scheme dispatch.
   */
 final case class VirtualChunkContainer(urlPrefix: String,
-                                       name: String = "")
+                                       name: String = "",
+                                       store: Option[StoreConf] = None)
 
-final class VirtualChunkResolver(val containers: Seq[VirtualChunkContainer]) {
-  /** name → prefix map, serializable for executor-side expansion. */
+final class VirtualChunkResolver(val containers: Seq[VirtualChunkContainer])
+    extends Serializable {
+  /** name → prefix map (legacy descriptor; prefer shipping the resolver). */
   def containerMap: Map[String, String] =
     containers.filter(_.name.nonEmpty).map(c => c.name -> c.urlPrefix).toMap
 
@@ -43,22 +53,76 @@ final class VirtualChunkResolver(val containers: Seq[VirtualChunkContainer]) {
         s"no virtual chunk container registered for $expanded")
   }
 
+  /** The store key a location resolves to inside a container's store:
+    * the path after the bucket (minus the conf's key prefix) for S3, the
+    * root-relative path for local stores. Fails loudly on a
+    * bucket/prefix mismatch rather than fetching someone else's object.
+    */
+  private def storeKey(conf: StoreConf, location: String): String =
+    conf match {
+      case s: S3StoreConf =>
+        val rest = location.stripPrefix("s3://")
+        val slash = rest.indexOf('/')
+        val (bucket, path) =
+          if (slash < 0) (rest, "") else (rest.take(slash), rest.drop(slash + 1))
+        if (!location.startsWith("s3://") || bucket != s.bucket)
+          throw new graft.repo.GraftException(
+            s"container store bucket '${s.bucket}' does not cover $location")
+        val p = s.prefix.stripSuffix("/")
+        if (p.isEmpty) path
+        else if (path.startsWith(p + "/")) path.drop(p.length + 1)
+        else throw new graft.repo.GraftException(
+          s"$location is outside the container store prefix '$p'")
+      case l: LocalStoreConf =>
+        val root = java.nio.file.Paths.get(l.root).toAbsolutePath
+        root.relativize(java.nio.file.Paths.get(java.net.URI.create(location))
+          .toAbsolutePath).toString.replace('\\', '/')
+    }
+
+  /** Ranged fetch with per-container store dispatch. No authorization
+    * check — refs were validated at set-time; this is the executor-side
+    * hot path (shipped inside Spark closures, hence Serializable).
+    */
+  def ranged(location0: String, offset: Long, length: Long): Array[Byte] = {
+    val location = expandLocation(location0)
+    matchingContainer(location).flatMap(_.store) match {
+      case Some(sc) =>
+        StoreConf.cached(sc).getRange(storeKey(sc, location), offset, length)
+      case None => ByteFetch.ranged(location, offset, length)
+    }
+  }
+
   /** Fetch bytes for a virtual ref, validating freshness checksums
-    * (manifest.rs:436-443; enforcement virtual_chunks.rs:500+). Ranged
-    * per-scheme dispatch via [[ByteFetch]] — a partial ref never fetches
-    * the whole external object.
+    * (manifest.rs:436-443; enforcement virtual_chunks.rs:500+) — etag
+    * and last-modified via a store HEAD for container-store locations,
+    * filesystem mtime for `file:` ones. Ranged per-scheme dispatch — a
+    * partial ref never fetches the whole external object.
     */
   def fetch(location0: String, offset: Long, length: Long,
             etag: String, lastModifiedSecs: Int): Array[Byte] = {
     validateLocation(location0)
     val location = expandLocation(location0)
-    if (lastModifiedSecs > 0 && location.startsWith("file:")) {
-      val actual = ByteFetch.lastModifiedSecs(location)
-      if (actual > lastModifiedSecs.toLong)
-        throw new graft.repo.GraftException(
-          s"virtual chunk at $location modified after recorded checksum")
+    val cstore = matchingContainer(location).flatMap(_.store)
+    cstore match {
+      case Some(sc) if (etag != null && etag.nonEmpty) || lastModifiedSecs > 0 =>
+        val st = StoreConf.cached(sc).stat(storeKey(sc, location))
+          .getOrElse(throw new graft.repo.GraftException(
+            s"virtual chunk at $location no longer exists"))
+        if (etag != null && etag.nonEmpty && st.etag.nonEmpty &&
+            st.etag != etag)
+          throw new graft.repo.GraftException(
+            s"virtual chunk at $location changed: etag ${st.etag} != recorded $etag")
+        if (lastModifiedSecs > 0 && st.mtimeMillis / 1000 > lastModifiedSecs)
+          throw new graft.repo.GraftException(
+            s"virtual chunk at $location modified after recorded checksum")
+      case None if lastModifiedSecs > 0 && location.startsWith("file:") =>
+        val actual = ByteFetch.lastModifiedSecs(location)
+        if (actual > lastModifiedSecs.toLong)
+          throw new graft.repo.GraftException(
+            s"virtual chunk at $location modified after recorded checksum")
+      case _ => ()
     }
-    ByteFetch.ranged(location, offset, length)
+    ranged(location, offset, length)
   }
 }
 
@@ -71,4 +135,38 @@ object VirtualChunkResolver {
 
   def apply(prefixes: String*): VirtualChunkResolver =
     new VirtualChunkResolver(prefixes.map(VirtualChunkContainer(_)))
+
+  /** Containers from connector options, so `spark.read.format("graft…")`
+    * reaches credentialed virtual refs without the library API:
+    *
+    * {{{
+    * virtual.<name>.prefix        = s3://ext-bucket/data/   (registers <name>)
+    * virtual.<name>.s3.endpoint   = https://…               (optional store)
+    * virtual.<name>.s3.bucket     = ext-bucket
+    * virtual.<name>.s3.{region,prefix,access-key,secret-key}
+    * }}}
+    *
+    * The `file:` catch-all of [[default]] stays registered alongside.
+    */
+  def fromOptions(opts: Map[String, String]): VirtualChunkResolver = {
+    val names = opts.keys.collect {
+      case k if k.startsWith("virtual.") && k.endsWith(".prefix") &&
+        !k.contains(".s3.") =>
+        k.stripPrefix("virtual.").stripSuffix(".prefix")
+    }.toSeq.sorted
+    if (names.isEmpty) default
+    else new VirtualChunkResolver(names.map { n =>
+      def s3opt(f: String) = opts.get(s"virtual.$n.s3.$f")
+      val store = s3opt("endpoint").map { ep =>
+        S3StoreConf(ep,
+          s3opt("region").getOrElse("us-east-1"),
+          s3opt("bucket").getOrElse(throw new graft.repo.GraftException(
+            s"virtual container '$n': s3.bucket required with s3.endpoint")),
+          s3opt("prefix").getOrElse(""),
+          s3opt("access-key").getOrElse(""),
+          s3opt("secret-key").getOrElse("")): StoreConf
+      }
+      VirtualChunkContainer(opts(s"virtual.$n.prefix"), n, store)
+    } :+ VirtualChunkContainer("file:"))
+  }
 }
