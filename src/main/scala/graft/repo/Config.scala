@@ -23,6 +23,52 @@ final case class GraftConfig(
   def splitFor(node: NodeSpec): (Int, Int) =
     splits.find(_.matches(node)).map(r => (r.axis, r.chunksPerSplit))
       .getOrElse((0, Int.MaxValue))
+
+  /** Flat string form for persistence in the repo pointer (the reference
+    * stores `RepositoryConfig` in the repo and merges it at open,
+    * config.rs / repository.rs:170-220). Regexes go last in each rule
+    * encoding because they may contain the separator.
+    */
+  def toMap: Map[String, String] = Map(
+    "inline_threshold_bytes" -> inlineThresholdBytes.toString,
+    "max_chunk_refs_per_commit" -> maxChunkRefsPerCommit.toString,
+    "ops_ring_size" -> opsRingSize.toString,
+    "commit_retries" -> commitRetries.toString,
+    "preload_max_arrays" -> preloadMaxArrays.toString) ++
+    splits.zipWithIndex.map { case (r, i) =>
+      s"split.$i" -> s"${r.axis}|${r.chunksPerSplit}|${r.pathRegex}"
+    } ++
+    preloads.zipWithIndex.map { case (r, i) =>
+      s"preload.$i" -> s"${r.maxRefs}|${r.pathRegex}"
+    }
+}
+
+object GraftConfig {
+  /** Inverse of [[GraftConfig.toMap]]; absent keys fall back to defaults,
+    * so configs persisted by older repos stay readable.
+    */
+  def fromMap(m: Map[String, String]): GraftConfig = {
+    val d = GraftConfig()
+    def i(k: String, dv: Int) = m.get(k).map(_.toInt).getOrElse(dv)
+    def rules[A](prefix: String)(parse: String => A): Seq[A] =
+      Iterator.from(0).map(n => m.get(s"$prefix.$n"))
+        .takeWhile(_.isDefined).flatten.map(parse).toSeq
+    GraftConfig(
+      inlineThresholdBytes = i("inline_threshold_bytes", d.inlineThresholdBytes),
+      maxChunkRefsPerCommit = m.get("max_chunk_refs_per_commit")
+        .map(_.toLong).getOrElse(d.maxChunkRefsPerCommit),
+      opsRingSize = i("ops_ring_size", d.opsRingSize),
+      commitRetries = i("commit_retries", d.commitRetries),
+      splits = rules("split") { v =>
+        val Array(axis, per, re) = v.split("\\|", 3)
+        SplitRule(re, axis.toInt, per.toInt)
+      },
+      preloads = rules("preload") { v =>
+        val Array(max, re) = v.split("\\|", 2)
+        PreloadRule(re, max.toLong)
+      },
+      preloadMaxArrays = i("preload_max_arrays", d.preloadMaxArrays))
+  }
 }
 
 /** Split-condition DSL (config.rs:168-232): choose manifest sharding per

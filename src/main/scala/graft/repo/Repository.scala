@@ -102,6 +102,13 @@ final class Repository private (
         s"$op is disabled by feature flag '$name' (enable it with " +
           "Repository.setFeatureFlag)")
 
+  /** Persist a new repo config (the reference's `save_config`). Takes
+    * effect for repositories opened afterwards without an explicit
+    * config; this instance keeps the config it was opened with.
+    */
+  def saveConfig(newConfig: GraftConfig): Unit =
+    casUpdate("update_config", "") { i => i.copy(config = newConfig.toMap) }
+
   def listTags(): Seq[String] = info().tags.keys.toSeq.sorted
   def lookupTag(name: String): Option[String] = info().tags.get(name)
 
@@ -275,22 +282,32 @@ object Repository {
       branches = Map(DefaultBranch -> root.id),
       snapshots = Seq(SnapshotInfo(root.id, None, root.flushedAt,
         root.message)),
-      ops = Seq(OpLogEntry(Instant.now().toString, "repo_initialized", "")))
+      ops = Seq(OpLogEntry(Instant.now().toString, "repo_initialized", "")),
+      config = config.toMap)
     if (!repo.pointer.compareAndSwap(-1L, info))
       throw new ConflictException("lost creation race")
     repo
   }
 
+  /** Open an existing repository. With no explicit `config`, the config
+    * persisted in the repo pointer applies (the reference's stored
+    * `RepositoryConfig`, repository.rs:170-220) — so split rules and
+    * thresholds survive into connector- and catalog-opened sessions; an
+    * explicit `config` is a runtime override and wins wholesale.
+    */
   def open(store: Store, spark: SparkSession,
-           config: GraftConfig = GraftConfig(),
+           config: GraftConfig = null,
            resolver: VirtualChunkResolver =
              VirtualChunkResolver.default): Repository = {
-    if (!exists(store)) throw new GraftException("no repository at store root")
-    new Repository(store, spark, config, resolver)
+    val stored = new RepoPointer(store).load().getOrElse(
+      throw new GraftException("no repository at store root"))
+    val cfg =
+      if (config != null) config else GraftConfig.fromMap(stored.config)
+    new Repository(store, spark, cfg, resolver)
   }
 
   def openOrCreate(store: Store, spark: SparkSession,
-                   config: GraftConfig = GraftConfig()): Repository =
+                   config: GraftConfig = null): Repository =
     if (exists(store)) open(store, spark, config)
-    else create(store, spark, config)
+    else create(store, spark, if (config == null) GraftConfig() else config)
 }

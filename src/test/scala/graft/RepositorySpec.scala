@@ -321,4 +321,50 @@ class RepositorySpec extends SparkTestBase {
     val ts = ops.map(_.ts)
     assert(ts == ts.sorted.reverse)
   }
+
+  test("repo config persists in the pointer and applies at open") {
+    val dir = tmpDir("cfg")
+    val cfg = GraftConfig(inlineThresholdBytes = 64,
+      splits = Seq(SplitRule("/big.*", 0, 10)),
+      preloads = Seq(PreloadRule("/hot.*", 5000)))
+    Repository.create(Store.local(dir), spark, cfg)
+
+    // open with no explicit config -> the stored one applies (this is the
+    // path every connector/catalog open takes)
+    val reopened = Repository.open(Store.local(dir), spark)
+    assert(reopened.config == cfg)
+
+    // stored splits drive the write path: 25 chunks / 10 per split = 3
+    val s = reopened.writableSession("main")
+    s.addArray("/bigone", Seq(25), Seq(1))
+    for (c <- 0 until 25)
+      s.writeChunk("/bigone", Seq(c), Array.fill(100)(c.toByte))
+    s.commit("splits from stored config")
+    val node = reopened.readonlySession(VersionRef.Branch("main"))
+      .node("/bigone").get
+    assert(reopened.info().snapshots.nonEmpty)
+    val manifests = reopened.readonlySession(VersionRef.Branch("main"))
+      .base.manifests(node.id)
+    assert(manifests.map(_.split).distinct.size == 3)
+
+    // an explicit config is a runtime override and wins wholesale
+    val overridden = Repository.open(Store.local(dir), spark, GraftConfig())
+    assert(overridden.config == GraftConfig())
+
+    // saveConfig: persisted for future opens, recorded in the ops log
+    reopened.saveConfig(cfg.copy(inlineThresholdBytes = 128))
+    val again = Repository.open(Store.local(dir), spark)
+    assert(again.config.inlineThresholdBytes == 128)
+    assert(again.config.splits == cfg.splits)
+    assert(again.info().ops.last.op == "update_config")
+  }
+
+  test("config map round-trips through toMap/fromMap") {
+    val cfg = GraftConfig(inlineThresholdBytes = 1, opsRingSize = 7,
+      maxChunkRefsPerCommit = 123L, commitRetries = 3,
+      splits = Seq(SplitRule("a|b.*", 1, 2), SplitRule(".*", 0, 9)),
+      preloads = Seq(PreloadRule("x\\|y", 42)), preloadMaxArrays = 2)
+    assert(GraftConfig.fromMap(cfg.toMap) == cfg)
+    assert(GraftConfig.fromMap(Map.empty) == GraftConfig())
+  }
 }
