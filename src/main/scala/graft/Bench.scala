@@ -80,6 +80,12 @@ object Bench {
       results("engine_read_refs_scan") = timed {
         assert(ro.refs("/long1d").count() == refCount + refCount / 100)
       }
+      // DSv2 refs scan: manifest rows as columnar batches (vectorized)
+      results("engine_v2_refs_scan") = timed {
+        val df = spark.read.format("graft-v2")
+          .option("path", dir.toString).option("array", "/long1d").load()
+        assert(df.count() == refCount + refCount / 100)
+      }
       // chunk point lookups (extent-pruned manifest access)
       results("engine_point_lookups_x20") = timed {
         (0 until 20).foreach { i =>

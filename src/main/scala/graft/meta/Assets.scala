@@ -308,5 +308,5 @@ final class AssetManager(val store: Store, spark: SparkSession) {
     * not a whole-object fetch (get_object_range, storage.rs:196-206).
     */
   def readChunk(id: String, offset: Long, length: Long): Array[Byte] =
-    store.getRange(Layout.chunkKey(id), offset, length)
+    store.getRangeSplit(Layout.chunkKey(id), offset, length)
 }

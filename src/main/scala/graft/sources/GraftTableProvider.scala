@@ -551,7 +551,7 @@ private[sources] final class ValuesChunkCursor(part: ValuesPartition) {
       case graft.meta.ChunkRef.KindInline => g.getBinary("inline", 0).getBytes
       case graft.meta.ChunkRef.KindRef =>
         gets += 1
-        store.getRange(
+        store.getRangeSplit(
           graft.meta.Layout.chunkKey(g.getString("chunk_id", 0)),
           offset, length)
       case graft.meta.ChunkRef.KindVirtual =>

@@ -64,6 +64,39 @@ trait Store {
     }
   }
 
+  /** Large-GET splitting (the reference's `ideal_concurrent_request_size`
+    * / `max_concurrent_requests_for_object` strategy, storage.rs:476-618):
+    * a GET bigger than `idealBytes` becomes several concurrent ranged
+    * GETs stitched in order — a 128 MB chunk arrives over ~8 parallel
+    * streams instead of one. Unknown sizes (`length <= 0`) and small
+    * requests degrade to a single [[getRange]].
+    */
+  final def getRangeSplit(key: String, offset: Long, length: Long,
+                          idealBytes: Long = 8L * 1024 * 1024,
+                          maxConcurrent: Int = 8): Array[Byte] = {
+    if (length <= idealBytes) return getRange(key, offset, length)
+    val partSize = math.max(idealBytes,
+      (length + maxConcurrent - 1) / maxConcurrent)
+    val starts = (0L until length by partSize).toArray
+    val futures = starts.map { s =>
+      val n = math.min(partSize, length - s)
+      java.util.concurrent.CompletableFuture.supplyAsync(
+        () => getRange(key, offset + s, n), Store.fetchPool)
+    }
+    // stitch in start order; a short part means the object ended inside
+    // the requested range — everything after it is past EOF
+    val out = new Array[Byte](length.toInt)
+    var got = 0L
+    starts.indices.foreach { i =>
+      val part = futures(i).join()
+      if (got == starts(i) && part.nonEmpty) {
+        System.arraycopy(part, 0, out, got.toInt, part.length)
+        got += part.length
+      }
+    }
+    if (got == length) out else java.util.Arrays.copyOfRange(out, 0, got.toInt)
+  }
+
   def putBytes(key: String, bytes: Array[Byte]): Unit
 
   /** Atomic create-if-absent. Returns false (and writes nothing) if the key
@@ -259,6 +292,14 @@ final class LocalStore(val root: Path) extends Store {
 }
 
 object Store {
+  /** Shared daemon pool for split-GET parts (one per JVM; IO-bound). */
+  private[storage] lazy val fetchPool: java.util.concurrent.ExecutorService =
+    java.util.concurrent.Executors.newFixedThreadPool(16, r => {
+      val t = new Thread(r, "graft-fetch")
+      t.setDaemon(true)
+      t
+    })
+
   def local(dir: String): LocalStore = new LocalStore(Paths.get(dir))
 
   /** S3-compatible store (AWS, MinIO, or the in-process

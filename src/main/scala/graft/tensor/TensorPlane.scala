@@ -36,7 +36,7 @@ object TensorPlane {
         case ChunkRef.KindInline => inline
         case ChunkRef.KindRef =>
           graft.storage.StoreConf.cached(conf)
-            .getRange(graft.meta.Layout.chunkKey(chunkId), offset, length)
+            .getRangeSplit(graft.meta.Layout.chunkKey(chunkId), offset, length)
         case ChunkRef.KindVirtual =>
           resolver.ranged(location, offset, length)
         case _ => null

@@ -87,7 +87,8 @@ final class VirtualChunkResolver(val containers: Seq[VirtualChunkContainer])
     val location = expandLocation(location0)
     matchingContainer(location).flatMap(_.store) match {
       case Some(sc) =>
-        StoreConf.cached(sc).getRange(storeKey(sc, location), offset, length)
+        StoreConf.cached(sc).getRangeSplit(storeKey(sc, location), offset,
+          length)
       case None => ByteFetch.ranged(location, offset, length)
     }
   }

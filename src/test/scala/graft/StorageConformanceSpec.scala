@@ -61,6 +61,28 @@ class StorageConformanceSpec extends SparkTestBase {
       } finally close()
     }
 
+    test(s"$name: split GETs stitch concurrent ranged parts in order") {
+      val (store, close) = mk()
+      try {
+        // 1 MiB object, 64 KiB ideal => 8 concurrent parts (capped)
+        val payload = Array.tabulate[Byte](1 << 20)(i => (i * 31 % 251).toByte)
+        store.putBytes("r/big", payload)
+        val full = store.getRangeSplit("r/big", 0, payload.length,
+          idealBytes = 64 * 1024, maxConcurrent = 8)
+        assert(full.toSeq == payload.toSeq)
+        val mid = store.getRangeSplit("r/big", 1000, 500000,
+          idealBytes = 64 * 1024, maxConcurrent = 4)
+        assert(mid.toSeq == payload.slice(1000, 501000).toSeq)
+        // requested range runs past EOF: result shrinks to what exists
+        val tail = store.getRangeSplit("r/big", payload.length - 1000,
+          300000, idealBytes = 64 * 1024, maxConcurrent = 4)
+        assert(tail.toSeq == payload.takeRight(1000).toSeq)
+        // small requests degrade to a single plain getRange
+        assert(store.getRangeSplit("r/big", 10, 100).toSeq ==
+          payload.slice(10, 110).toSeq)
+      } finally close()
+    }
+
     test(s"$name: putIfAbsent is an atomic conditional create") {
       val (store, close) = mk()
       try {
