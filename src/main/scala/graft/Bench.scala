@@ -75,6 +75,19 @@ object Bench {
         s.stageChunkRefs("/long1d", refsDf(refCount, refCount + refCount / 100))
         s.commit("append")
       }
+      // commit_rebase_split_manifests: two writers race on the same
+      // branch; the loser's commit detects the moved tip, rebases its
+      // staged refs over the winner's snapshot and retries the CAS
+      // (manifest.rs:481-520)
+      results("engine_commit_rebase") = timed {
+        val a = repo.writableSession("main")
+        val b = repo.writableSession("main")
+        a.stageChunkRefs("/long1d", refsDf(0, refCount / 100))
+        b.stageChunkRefs("/long1d",
+          refsDf(refCount / 100, 2 * (refCount / 100)))
+        a.commit("winner")
+        b.commit("rebased over winner") // lost CAS -> rebase path
+      }
       // get_chunks: full scan of the committed ref relation
       val ro = repo.readonlySession(VersionRef.Branch("main"))
       results("engine_read_refs_scan") = timed {

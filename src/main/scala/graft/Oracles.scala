@@ -352,6 +352,28 @@ object Oracles {
         |    / 1000000 AS quality
         |FROM m ORDER BY doc_id""".stripMargin,
 
+    "q_pii_scrub" ->
+      """SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(
+        |    text || ' contact user' || doc_id ||
+        |      '@example.com or +1 555-01' || doc_id ||
+        |      ' at 10.0.0.' || (doc_id % 256),
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>',
+        |    'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |    '\+?\d[\d() .-]{6,}\d', '<PHONE>', 'g') AS scrubbed
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_repetition" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'),
+        |      x -> len(x) > 0) AS toks
+        |  FROM documents)
+        |SELECT doc_id, len(toks) AS n_tokens,
+        |  len(list_distinct(toks)) AS n_distinct
+        |FROM base ORDER BY doc_id""".stripMargin,
+
     "q_multimodal_meta" ->
       """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
         |  CAST(floor(greatest(octet_length(encode(text)) - 1, 0) / 256) + 1

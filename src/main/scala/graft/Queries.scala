@@ -397,6 +397,29 @@ object Queries {
         .as("quality"))
       .orderBy("doc_id")
 
+  /** PII scrub over synthesized PII (the fixture is clean, so the query
+    * plants a deterministic email/phone/IP per doc with plain concat —
+    * identically in the oracle — and both engines must redact them the
+    * same way).
+    */
+  val q_pii_scrub: Q = (s, d) =>
+    t(s, d, "documents").select(
+      col("doc_id"),
+      TextAnalysis.piiScrub(concat(
+        col("text"), lit(" contact user"), col("doc_id"),
+        lit("@example.com or +1 555-01"), col("doc_id"),
+        lit(" at 10.0.0."), pmod(col("doc_id"), lit(256))))
+        .as("scrubbed"))
+      .orderBy("doc_id")
+
+  /** Within-document repetition: token totals vs distinct tokens. */
+  val q_repetition: Q = (s, d) =>
+    t(s, d, "documents").select(
+      col("doc_id"),
+      TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+      TextAnalysis.distinctTokenCount(col("text")).as("n_distinct"))
+      .orderBy("doc_id")
+
   /** Duplicate clustering: connected components (large-star/small-star)
     * over a candidate-pair graph. The pair rule here is SQL-expressible
     * (same lang, |Δn_chars| ≤ 10) so DuckDB can mirror it with a
@@ -532,6 +555,8 @@ object Queries {
     "q_ann_neighbors" -> q_ann_neighbors,
     "q_text_analysis" -> q_text_analysis,
     "q_quality_score" -> q_quality_score,
+    "q_pii_scrub" -> q_pii_scrub,
+    "q_repetition" -> q_repetition,
     "q_fingerprint" -> q_fingerprint,
     "q_multimodal_meta" -> q_multimodal_meta,
     "q_frame_sample" -> q_frame_sample,

@@ -104,6 +104,29 @@ object TextAnalysis {
       (acc, t) => pmod(acc * 31L + crc32(t).cast("long"),
         lit(2147483647L)))
 
+  /** Redact common PII shapes — emails, IPv4 addresses, phone-like digit
+    * runs — with typed placeholders: the standard pre-training scrub
+    * pass. A pure `regexp_replace` chain (codegen'd, shuffle-free);
+    * patterns stay inside the dialect `java.util.regex` and RE2 agree on
+    * (no lookaround, no alternation) so the DuckDB oracle matches
+    * byte-for-byte. IPs are scrubbed before phones so the dotted quads
+    * aren't half-eaten as digit runs.
+    */
+  def piiScrub(text: Column): Column = {
+    val email = regexp_replace(text,
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
+    val ip = regexp_replace(email,
+      "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>")
+    regexp_replace(ip, "\\+?\\d[\\d() .-]{6,}\\d", "<PHONE>")
+  }
+
+  /** Distinct whitespace tokens — with [[tokenCount]] this gives the
+    * within-document repetition ratio (Gopher-style repetition filters).
+    * Kept as integers so oracles compare exactly, no float drift.
+    */
+  def distinctTokenCount(text: Column): Column =
+    size(array_distinct(tokens(text)))
+
   /** Corpus-level token statistics per group (default: per language):
     * doc counts, token totals, mean, exact interpolated percentiles
     * (p50/p90) and max. One groupBy shuffle; the percentile aggregate
