@@ -20,13 +20,15 @@ import graft.storage.Store
   *   runMain graft.tools.Cli <repoDir> diff <from> <to>
   *   runMain graft.tools.Cli <repoDir> gc [--dry-run]
   *   runMain graft.tools.Cli <repoDir> compact
+  *   runMain graft.tools.Cli <repoDir> config [show|set <key> <value>]
+  *   runMain graft.tools.Cli <repoDir> log --svg
   * }}}
   */
 object Cli {
   private def usage(): Nothing = {
     System.err.println(
       "usage: Cli <repoDir> init|log|branch|tag|ls|mv|inspect|ops|diff|" +
-        "gc|compact|flags ...")
+        "gc|compact|flags|config ...")
     sys.exit(2)
   }
 
@@ -55,6 +57,8 @@ object Cli {
       (cmd, rest) match {
         case ("log", "--graph" :: _) =>
           print(graft.vc.AncestryGraph.render(repo))
+        case ("log", "--svg" :: _) =>
+          print(graft.vc.AncestryGraph.renderSvg(repo))
         case ("log", refName) =>
           val ref = refName.headOption.map(parseRef(repo, _))
             .getOrElse(VersionRef.Branch("main"))
@@ -123,6 +127,15 @@ object Cli {
         case ("flags", "set" :: name :: value :: Nil) =>
           repo.setFeatureFlag(name, value.toBoolean)
           println(s"$name = $value")
+        case ("config", Nil) | ("config", "show" :: _) =>
+          repo.config.toMap.toSeq.sortBy(_._1).foreach { case (k, v) =>
+            println(s"$k = $v")
+          }
+        case ("config", "set" :: key :: value :: Nil) =>
+          val updated = GraftConfig.fromMap(
+            repo.config.toMap.updated(key, value))
+          repo.saveConfig(updated)
+          println(s"$key = $value (applies to future opens)")
         case _ => usage()
       }
     } finally spark.stop()

@@ -272,4 +272,31 @@ class VersionControlSpec extends SparkTestBase {
     assert(ro.getChunk("/hot", Seq(17)).get.toSeq == Seq(17.toByte))
     assert(ro.getChunk("/cold", Seq(17)).get.toSeq == Seq(17.toByte))
   }
+
+  test("ancestry graph renders ASCII and SVG with branches, forks, tags") {
+    val repo = Repository.create(Store.local(tmpDir("svg")), spark)
+    val s1 = repo.writableSession("main")
+    s1.addArray("/a", Seq(4), Seq(2))
+    s1.writeChunk("/a", Seq(0), Array[Byte](1))
+    val c1 = s1.commit("first <commit> & more")
+    repo.createTag("v1", c1)
+    repo.createBranch("dev", c1)
+    val s2 = repo.writableSession("dev")
+    s2.writeChunk("/a", Seq(1), Array[Byte](2))
+    s2.commit("dev work")
+
+    val ascii = graft.vc.AncestryGraph.render(repo)
+    assert(ascii.contains("main:") && ascii.contains("dev:"))
+    assert(ascii.contains("forked from"))
+
+    val svg = graft.vc.AncestryGraph.renderSvg(repo)
+    assert(svg.startsWith("<svg ") && svg.trim.endsWith("</svg>"))
+    assert(svg.contains(">main</text>") && svg.contains(">dev</text>"))
+    // messages are HTML-escaped, tags badged, one circle per commit
+    assert(svg.contains("first &lt;commit&gt; &amp; more"))
+    assert(svg.contains("[v1]"))
+    assert(3 == "<circle".r.findAllIn(svg).size) // root + c1 + dev tip
+    // every edge references drawn rows (well-formed paths)
+    assert(svg.contains("<path d=\"M "))
+  }
 }
