@@ -311,10 +311,43 @@ class GraftScan(opts: Map[String, String], lo: Map[Int, Long],
         if (h == Long.MaxValue) node.shape(d)
         else math.min(node.shape(d), h + 1) // inclusive -> exclusive
       }
-      keep.map(m => ValuesPartition(filesOf(m), node.id, fsConf,
-        store.conf, repo.virtualResolver, dtype,
-        opts.getOrElse("compression", "raw"), node.chunkShape, node.shape,
-        bl, bh): InputPartition).toArray
+      // one split can hold thousands of chunks: subdivide its chunk range
+      // along the widest dim so a single-split array still saturates the
+      // cluster (each piece re-reads the tiny manifest parquet but fetches
+      // and decodes ONLY chunks inside its element bounds)
+      val target = math.max(1, org.apache.spark.sql.SparkSession.active
+        .sparkContext.defaultParallelism * 2)
+      val perSplit = math.max(1, (target + keep.size - 1) / keep.size)
+      keep.flatMap { m =>
+        val base = ValuesPartition(filesOf(m), node.id, fsConf,
+          store.conf, repo.virtualResolver, dtype,
+          opts.getOrElse("compression", "raw"), node.chunkShape, node.shape,
+          bl, bh)
+        val cLo = (0 until ndim).map(d => math.max(m.emin.lift(d)
+          .getOrElse(0).toLong, bl(d) / node.chunkShape(d)))
+        val cHi = (0 until ndim).map(d => math.min(m.emax.lift(d)
+          .getOrElse(Int.MaxValue).toLong, (bh(d) - 1) / node.chunkShape(d)))
+        if (perSplit == 1 || m.emin.size != ndim ||
+            (0 until ndim).exists(d => cHi(d) < cLo(d))) Seq(base)
+        else {
+          val d0 = (0 until ndim).maxBy(d => cHi(d) - cLo(d))
+          val span = cHi(d0) - cLo(d0) + 1
+          val pieces = math.min(span, perSplit.toLong).toInt
+          val step = (span + pieces - 1) / pieces
+          (0 until pieces).flatMap { j =>
+            val a = cLo(d0) + j * step
+            if (a > cHi(d0)) None
+            else {
+              val b = math.min(cHi(d0), a + step - 1)
+              Some(base.copy(
+                boundLo = bl.updated(d0,
+                  math.max(bl(d0), a * node.chunkShape(d0))),
+                boundHi = bh.updated(d0,
+                  math.min(bh(d0), (b + 1) * node.chunkShape(d0)))))
+            }
+          }
+        }
+      }.map(p => p: InputPartition).toArray
     } else
       keep.map(m => SplitPartition(filesOf(m), node.id, m.split,
         fsConf): InputPartition).toArray
@@ -678,6 +711,10 @@ class GraftValuesColumnarReader(part: ValuesPartition, required: StructType)
         val vec = vectors(c)
         if (f.name == "value") {
           val bb = cells.bb
+          // contiguous runs of 8-byte cells bulk-copy straight from the
+          // decoded buffer into the vector (little-endian both sides)
+          val contiguous =
+            cells.positions(idx + take - 1) - cells.positions(idx) == take - 1
           var j = 0
           part.dtype match {
             case "int8" => while (j < take) {
@@ -686,12 +723,20 @@ class GraftValuesColumnarReader(part: ValuesPartition, required: StructType)
               vec.putLong(row + j, bb.getShort(cells.positions(idx + j).toInt * 2)); j += 1 }
             case "int32" => while (j < take) {
               vec.putLong(row + j, bb.getInt(cells.positions(idx + j).toInt * 4)); j += 1 }
-            case "int64" => while (j < take) {
-              vec.putLong(row + j, bb.getLong(cells.positions(idx + j).toInt * 8)); j += 1 }
+            case "int64" =>
+              if (contiguous && bb.hasArray)
+                vec.putLongsLittleEndian(row, take, bb.array(),
+                  bb.arrayOffset() + cells.positions(idx).toInt * 8)
+              else while (j < take) {
+                vec.putLong(row + j, bb.getLong(cells.positions(idx + j).toInt * 8)); j += 1 }
             case "float32" => while (j < take) {
               vec.putDouble(row + j, bb.getFloat(cells.positions(idx + j).toInt * 4)); j += 1 }
-            case _ => while (j < take) {
-              vec.putDouble(row + j, bb.getDouble(cells.positions(idx + j).toInt * 8)); j += 1 }
+            case _ =>
+              if (contiguous && bb.hasArray)
+                vec.putDoublesLittleEndian(row, take, bb.array(),
+                  bb.arrayOffset() + cells.positions(idx).toInt * 8)
+              else while (j < take) {
+                vec.putDouble(row + j, bb.getDouble(cells.positions(idx + j).toInt * 8)); j += 1 }
           }
         } else {
           val d = f.name.drop(1).toInt
