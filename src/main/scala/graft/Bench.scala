@@ -29,7 +29,10 @@ object Bench {
 
     def timed[A](body: => A): Double = {
       val t0 = System.nanoTime()
-      try body catch { case _: Throwable => () }
+      // a failed entry must not take the JSON line down with it, but it
+      // must not fail silently either
+      try body catch { case t: Throwable =>
+        System.err.println(s"[bench] entry failed: $t") }
       (System.nanoTime() - t0) / 1e9
     }
 
@@ -101,6 +104,13 @@ object Bench {
       }
       // chunk point lookups (extent-pruned manifest access)
       results("engine_point_lookups_x20") = timed {
+        (0 until 20).foreach { i =>
+          ro.getChunkRef("/long1d", Seq(i * (refCount / 20) + 7))
+        }
+      }
+      // hot repeat of the same lookups: chunk-byte LRU + split cache
+      // (reference hot-cache read benchmarks, test_benchmark_reads.py)
+      results("engine_point_lookups_hot") = timed {
         (0 until 20).foreach { i =>
           ro.getChunkRef("/long1d", Seq(i * (refCount / 20) + 7))
         }

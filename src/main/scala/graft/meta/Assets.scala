@@ -307,6 +307,9 @@ final class AssetManager(val store: Store, spark: SparkSession) {
   /** Ranged chunk read — a 4 KB slice of a 128 MB chunk is one ranged GET,
     * not a whole-object fetch (get_object_range, storage.rs:196-206).
     */
-  def readChunk(id: String, offset: Long, length: Long): Array[Byte] =
-    store.getRangeSplit(Layout.chunkKey(id), offset, length)
+  def readChunk(id: String, offset: Long, length: Long): Array[Byte] = {
+    val key = Layout.chunkKey(id)
+    graft.storage.ChunkCache.getOrFetch(store, key, offset, length)(
+      store.getRangeSplit(key, offset, length))
+  }
 }

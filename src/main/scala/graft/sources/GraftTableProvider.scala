@@ -584,9 +584,9 @@ private[sources] final class ValuesChunkCursor(part: ValuesPartition) {
       case graft.meta.ChunkRef.KindInline => g.getBinary("inline", 0).getBytes
       case graft.meta.ChunkRef.KindRef =>
         gets += 1
-        store.getRangeSplit(
-          graft.meta.Layout.chunkKey(g.getString("chunk_id", 0)),
-          offset, length)
+        val key = graft.meta.Layout.chunkKey(g.getString("chunk_id", 0))
+        graft.storage.ChunkCache.getOrFetch(store, key, offset, length)(
+          store.getRangeSplit(key, offset, length))
       case graft.meta.ChunkRef.KindVirtual =>
         gets += 1
         part.resolver.ranged(g.getString("location", 0), offset, length)

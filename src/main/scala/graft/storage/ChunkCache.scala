@@ -1,0 +1,60 @@
+package graft.storage
+
+/** JVM-wide byte-capped LRU for chunk payloads (the reference's
+  * `CachingConfig.num_bytes_chunks`, config.rs:117-139 — its asset
+  * manager keeps hot chunk bytes in memory; repeated point lookups and
+  * hot-loop reads must not refetch from the object store).
+  *
+  * Safe because chunk objects are content-addressed and write-once: a
+  * cached entry can never be stale (GC deletion only removes unreachable
+  * ids). Keys include the store root so two repos in one JVM never alias.
+  * One instance per JVM, shared by driver sessions and executor tasks;
+  * capacity from `-Dgraft.chunkCache.bytes` (0 disables), default 256 MB.
+  */
+object ChunkCache {
+  private val capacity: Long =
+    java.lang.Long.getLong("graft.chunkCache.bytes", 256L * 1024 * 1024)
+
+  private final case class Key(root: String, key: String, offset: Long,
+                               length: Long)
+
+  private val hitsCounter = new java.util.concurrent.atomic.AtomicLong
+  private val missesCounter = new java.util.concurrent.atomic.AtomicLong
+  private var bytes = 0L
+  private val map = new java.util.LinkedHashMap[Key, Array[Byte]](
+    1024, 0.75f, /* accessOrder = */ true)
+
+  /** Fetch-through: serve `(key, offset, length)` of `store` from cache,
+    * else load via `fetch` and remember it. Oversized payloads (> 1/8 of
+    * capacity) and disabled caches pass straight through.
+    */
+  def getOrFetch(store: Store, key: String, offset: Long, length: Long)(
+      fetch: => Array[Byte]): Array[Byte] = {
+    if (capacity <= 0) return fetch
+    val k = Key(store.rootUri, key, offset, length)
+    map.synchronized {
+      val hit = map.get(k)
+      if (hit != null) { hitsCounter.incrementAndGet(); return hit }
+    }
+    missesCounter.incrementAndGet()
+    val loaded = fetch
+    if (loaded.length <= capacity / 8) map.synchronized {
+      if (map.putIfAbsent(k, loaded) == null) {
+        bytes += loaded.length
+        // trigger LRU eviction down to the byte budget
+        while (bytes > capacity && !map.isEmpty) {
+          val it = map.entrySet().iterator()
+          val eldest = it.next()
+          bytes -= eldest.getValue.length
+          it.remove()
+        }
+      }
+    }
+    loaded
+  }
+
+  def hits: Long = hitsCounter.get()
+  def misses: Long = missesCounter.get()
+  def currentBytes: Long = map.synchronized(bytes)
+  def clear(): Unit = map.synchronized { map.clear(); bytes = 0L }
+}

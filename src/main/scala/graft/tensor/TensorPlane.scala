@@ -35,8 +35,10 @@ object TensorPlane {
       kind match {
         case ChunkRef.KindInline => inline
         case ChunkRef.KindRef =>
-          graft.storage.StoreConf.cached(conf)
-            .getRangeSplit(graft.meta.Layout.chunkKey(chunkId), offset, length)
+          val store = graft.storage.StoreConf.cached(conf)
+          val key = graft.meta.Layout.chunkKey(chunkId)
+          graft.storage.ChunkCache.getOrFetch(store, key, offset, length)(
+            store.getRangeSplit(key, offset, length))
         case ChunkRef.KindVirtual =>
           resolver.ranged(location, offset, length)
         case _ => null

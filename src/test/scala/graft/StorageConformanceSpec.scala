@@ -350,3 +350,46 @@ class S3RepositorySpec extends SparkTestBase {
     } finally server.stop()
   }
 }
+
+/** JVM-wide chunk-byte LRU (CachingConfig.num_bytes_chunks analog). */
+class ChunkCacheSpec extends SparkTestBase {
+  test("chunk cache serves repeat reads without touching the store") {
+    graft.storage.ChunkCache.clear()
+    val store = Store.local(tmpDir("cache"))
+    val counting = new LoggingStore(store, _ => ())
+    val payload = Array.tabulate[Byte](4096)(_.toByte)
+    counting.putBytes("chunks/AB", payload)
+
+    val misses0 = graft.storage.ChunkCache.misses
+    def read() = graft.storage.ChunkCache.getOrFetch(
+      counting, "chunks/AB", 0, 4096)(counting.getRange("chunks/AB", 0, 4096))
+    assert(read().toSeq == payload.toSeq)
+    val getsAfterFirst = counting.counts.get("getRange").get()
+    assert(read().toSeq == payload.toSeq)
+    assert(read().toSeq == payload.toSeq)
+    // still exactly one store GET; two hits recorded
+    assert(counting.counts.get("getRange").get() == getsAfterFirst)
+    assert(graft.storage.ChunkCache.misses == misses0 + 1)
+
+    // a different range is a different entry
+    assert(graft.storage.ChunkCache.getOrFetch(counting, "chunks/AB", 10, 16)(
+      counting.getRange("chunks/AB", 10, 16)).toSeq ==
+      payload.slice(10, 26).toSeq)
+    assert(counting.counts.get("getRange").get() == getsAfterFirst + 1)
+  }
+
+  test("repeated engine point reads hit the cache end-to-end") {
+    graft.storage.ChunkCache.clear()
+    val repo = Repository.create(Store.local(tmpDir("cache-e2e")), spark)
+    val s = repo.writableSession("main")
+    s.addArray("/a", Seq(4), Seq(1))
+    for (c <- 0 until 4) // above inline threshold -> real chunk objects
+      s.writeChunk("/a", Seq(c), Array.fill[Byte](2048)(c.toByte))
+    s.commit("chunks")
+    val ro = repo.readonlySession(VersionRef.Branch("main"))
+    (0 until 4).foreach(c => assert(ro.getChunk("/a", Seq(c)).get.head == c))
+    val h0 = graft.storage.ChunkCache.hits
+    (0 until 4).foreach(c => assert(ro.getChunk("/a", Seq(c)).get.head == c))
+    assert(graft.storage.ChunkCache.hits >= h0 + 4)
+  }
+}
