@@ -315,6 +315,7 @@ class GraftScan(opts: Map[String, String], lo: Map[Int, Long],
       // along the widest dim so a single-split array still saturates the
       // cluster (each piece re-reads the tiny manifest parquet but fetches
       // and decodes ONLY chunks inside its element bounds)
+      if (keep.isEmpty) return Array.empty
       val target = math.max(1, org.apache.spark.sql.SparkSession.active
         .sparkContext.defaultParallelism * 2)
       val perSplit = math.max(1, (target + keep.size - 1) / keep.size)
@@ -583,10 +584,10 @@ private[sources] final class ValuesChunkCursor(part: ValuesPartition) {
     val bytes = kind match {
       case graft.meta.ChunkRef.KindInline => g.getBinary("inline", 0).getBytes
       case graft.meta.ChunkRef.KindRef =>
-        gets += 1
         val key = graft.meta.Layout.chunkKey(g.getString("chunk_id", 0))
-        graft.storage.ChunkCache.getOrFetch(store, key, offset, length)(
-          store.getRangeSplit(key, offset, length))
+        // gets/bytes metrics count STORAGE traffic: cache hits stay out
+        graft.storage.ChunkCache.read(store, key, offset, length,
+          onMiss = n => { gets += 1; bytesFetched += n })
       case graft.meta.ChunkRef.KindVirtual =>
         gets += 1
         part.resolver.ranged(g.getString("location", 0), offset, length)
