@@ -581,21 +581,23 @@ private[sources] final class ValuesChunkCursor(part: ValuesPartition) {
     val kind = if (it.has(g, "kind")) g.getString("kind", 0) else ""
     val offset = if (it.has(g, "offset")) g.getLong("offset", 0) else 0L
     val length = if (it.has(g, "length")) g.getLong("length", 0) else 0L
-    val bytes = kind match {
+    kind match {
       case graft.meta.ChunkRef.KindInline => g.getBinary("inline", 0).getBytes
       case graft.meta.ChunkRef.KindRef =>
         val key = graft.meta.Layout.chunkKey(g.getString("chunk_id", 0))
-        // gets/bytes metrics count STORAGE traffic: cache hits stay out
+        // gets/bytes metrics count STORAGE traffic: cache hits stay out,
+        // misses count exactly once (inside the miss callback)
         graft.storage.ChunkCache.read(store, key, offset, length,
           onMiss = n => { gets += 1; bytesFetched += n })
       case graft.meta.ChunkRef.KindVirtual =>
         gets += 1
-        part.resolver.ranged(g.getString("location", 0), offset, length)
+        val b = part.resolver.ranged(g.getString("location", 0), offset,
+          length)
+        bytesFetched += b.length
+        b
       case other => throw new graft.repo.GraftException(
         s"unexpected payload kind '$other'")
     }
-    bytesFetched += bytes.length
-    bytes
   }
 
   /** Next overlapping chunk's cells, or null when exhausted. */

@@ -53,6 +53,20 @@ object ChunkCache {
     loaded
   }
 
+  /** Cache-aware ranged read with storage-traffic accounting: serve from
+    * cache when possible; on a miss issue one split ranged GET and invoke
+    * `onMiss(fetchedBytes)` so callers can meter REAL storage traffic
+    * (cache hits stay invisible to the meter — the reference's metrics
+    * count object-store requests, not in-memory reads).
+    */
+  def read(store: Store, key: String, offset: Long, length: Long,
+           onMiss: Long => Unit): Array[Byte] =
+    getOrFetch(store, key, offset, length) {
+      val b = store.getRangeSplit(key, offset, length)
+      onMiss(b.length.toLong)
+      b
+    }
+
   def hits: Long = hitsCounter.get()
   def misses: Long = missesCounter.get()
   def currentBytes: Long = map.synchronized(bytes)

@@ -148,6 +148,10 @@ class GraftTableProviderSpec extends SparkTestBase {
         Seq(b)
       case other => other.children.flatMap(findScan)
     }
+    // the earlier count() warmed the JVM-wide chunk cache; clear it so
+    // the metered scan below observes real storage traffic (gets/bytes
+    // count only cache MISSES by design)
+    graft.storage.ChunkCache.clear()
     val agg = v.groupBy().sum("value")
     assert(agg.collect().head.getLong(0) == (0 until 512).sum.toLong)
     val scan = findScan(agg.queryExecution.executedPlan)
