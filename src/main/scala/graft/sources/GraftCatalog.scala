@@ -148,7 +148,9 @@ class GraftCatalog extends TableCatalog with FunctionCatalog {
 
   override def dropTable(ident: Identifier): Boolean = {
     val session = repo.writableSession(options.getOrElse("branch", "main"))
-    val existed = session.node(pathOf(ident)).isDefined
+    // only arrays are tables (loadTable filters the same way): never let
+    // DROP TABLE on a namespace path delete a whole group subtree
+    val existed = session.node(pathOf(ident)).exists(_.isArray)
     if (existed) {
       session.deleteNode(pathOf(ident))
       session.commit(s"drop table ${ident.toString}")
@@ -159,6 +161,9 @@ class GraftCatalog extends TableCatalog with FunctionCatalog {
   override def renameTable(oldIdent: Identifier,
                            newIdent: Identifier): Unit = {
     val session = repo.writableSession(options.getOrElse("branch", "main"))
+    if (!session.node(pathOf(oldIdent)).exists(_.isArray))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchTableException(oldIdent)
     ensureGroups(session, newIdent.namespace())
     session.moveNode(pathOf(oldIdent), pathOf(newIdent))
     session.commit(s"rename ${oldIdent.toString} to ${newIdent.toString}")

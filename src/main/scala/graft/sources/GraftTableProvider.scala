@@ -1100,6 +1100,9 @@ class GraftValuesDataWriter(storeConf: StoreConf, stagingRoot: String,
   }
   private val open =
     scala.collection.mutable.LinkedHashMap[Seq[Int], OpenChunk]()
+  // clustered mode only: coords already flushed by this task (guards
+  // against a mis-applied clustering re-opening a flushed chunk)
+  private val flushedCoords = scala.collection.mutable.HashSet[Seq[Int]]()
   private var curStripe = Long.MinValue
   private var firstStripe = Long.MinValue
   private var refWriter: GraftRefWriter = null
@@ -1127,7 +1130,15 @@ class GraftValuesDataWriter(storeConf: StoreConf, stagingRoot: String,
     val key = scala.collection.immutable.ArraySeq.unsafeWrapArray(coord)
     if (clustered) {
       // chunk-coord clustering + ordering: whole chunks, contiguous — a
-      // coord change means the open chunk is complete, flush it directly
+      // coord change means the open chunk is complete, flush it directly.
+      // A coord recurring AFTER its flush means the required clustering
+      // was not applied: failing loudly beats silently uploading the
+      // same chunk twice as two partial fill-0 chunks (data corruption).
+      if (flushedCoords.contains(key))
+        throw new IllegalStateException(
+          s"values write input not clustered by chunk_coord: chunk " +
+            s"$key reappeared after it was flushed (Spark's required " +
+            "distribution was not applied?)")
       if (open.nonEmpty && !open.contains(key))
         closeStripe(asLeftover = false)
     } else {
@@ -1189,6 +1200,7 @@ class GraftValuesDataWriter(storeConf: StoreConf, stagingRoot: String,
           coordArr, UTF8String.fromString(id), encoded.length.toLong)))
         refRows += 1
         bytesUploaded += encoded.length
+        if (clustered) flushedCoords += coord
       }
     }
     open.clear()

@@ -34,12 +34,18 @@ object ChunkCache {
     val k = Key(store.rootUri, key, offset, length)
     map.synchronized {
       val hit = map.get(k)
-      if (hit != null) { hitsCounter.incrementAndGet(); return hit }
+      // defensive copy: callers may mutate returned chunk bytes (e.g.
+      // in-place decode); handing out the cached array by reference
+      // would let one reader corrupt every later reader of this key.
+      // A memcpy is noise next to the object-store GET a hit replaces.
+      if (hit != null) { hitsCounter.incrementAndGet(); return hit.clone() }
     }
     missesCounter.incrementAndGet()
     val loaded = fetch
     if (loaded.length <= capacity / 8) map.synchronized {
-      if (map.putIfAbsent(k, loaded) == null) {
+      // cache a private copy: the returned array is the caller's to
+      // mutate, the cached one must stay pristine
+      if (map.putIfAbsent(k, loaded.clone()) == null) {
         bytes += loaded.length
         // trigger LRU eviction down to the byte budget
         while (bytes > capacity && !map.isEmpty) {
