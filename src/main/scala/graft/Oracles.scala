@@ -262,6 +262,27 @@ object Oracles {
         |SELECT doc_a, doc_b, round(j, 6) AS jaccard
         |FROM pairs WHERE j >= 0.05 ORDER BY doc_a, doc_b""".stripMargin,
 
+    // oracle for the LSH-blocked scale path: exact ALL-pairs jaccard (no
+    // lang blocking) — the LSH result must reproduce it pair-for-pair
+    "q_dedup_ngram_lsh" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |      ELSE list_distinct([array_to_string(toks[i:i+2], ' ')
+        |        for i in range(1, len(toks) - 1)])
+        |    END AS s
+        |  FROM (SELECT doc_id,
+        |      list_filter(string_split_regex(lower(text), '\s+'),
+        |        x -> len(x) > 0) AS toks
+        |    FROM documents)),
+        |  pairs AS (
+        |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |      len(list_intersect(a.s, b.s))::DOUBLE /
+        |        len(list_distinct(list_concat(a.s, b.s))) AS j
+        |    FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+        |SELECT doc_a, doc_b, round(j, 6) AS jaccard
+        |FROM pairs WHERE j >= 0.5 ORDER BY doc_a, doc_b""".stripMargin,
+
     "q_embedding_neardups" ->
       """WITH p AS (
         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,

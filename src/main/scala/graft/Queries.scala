@@ -319,6 +319,19 @@ object Queries {
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
       .orderBy("doc_a", "doc_b")
 
+  /** The 100 TB n-gram dedup path: MinHash-LSH blocking followed by exact
+    * n-gram Jaccard verification. With one minhash row per band a true
+    * pair at the 0.5 threshold is missed with prob (1−j)^32 ≤ 2⁻³² — so
+    * on any fixed dataset the output EQUALS the exact all-pairs result
+    * and the oracle is plain SQL, while the Spark plan stays the
+    * bucket-join shape that survives 100 TB (no lang mega-block).
+    */
+  val q_dedup_ngram_lsh: Q = (s, d) =>
+    Dedup.ngramJaccardPairsLsh(t(s, d, "documents"), n = 3,
+        threshold = 0.5, numHashes = 32, bands = 32)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+
   /** MinHash-LSH near-dup candidates (no SQL oracle — hash-specific). */
   val q_dedup_minhash: Q = (s, d) =>
     Dedup.minhashCandidates(t(s, d, "documents"), numHashes = 32, bands = 8)
@@ -546,6 +559,7 @@ object Queries {
     "q_sample_split" -> q_sample_split,
     "q_corpus_stats" -> q_corpus_stats,
     "q_dedup_ngram_jaccard" -> q_dedup_ngram_jaccard,
+    "q_dedup_ngram_lsh" -> q_dedup_ngram_lsh,
     "q_dedup_minhash" -> q_dedup_minhash,
     "q_dedup_simhash" -> q_dedup_simhash,
     "q_embedding_neardups" -> q_embedding_neardups,
