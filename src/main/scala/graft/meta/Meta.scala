@@ -91,6 +91,34 @@ final case class Snapshot(
 ) {
   def node(path: String): Option[NodeSpec] = nodes.find(_.path == path)
   def nodeById(id: String): Option[NodeSpec] = nodes.find(_.id == id)
+
+  /** Properties decoded as JSON values ([[SnapshotProps]]). */
+  def typedProperties: Map[String, JValue] = SnapshotProps.decode(properties)
+}
+
+/** JSON-typed snapshot properties (the reference commits carry a
+  * `BTreeMap<String, serde_json::Value>`, snapshot.rs:304). The wire
+  * format stays `Map[String, String]` — each value holds one JSON
+  * document — so structured values (numbers, booleans, arrays, nested
+  * objects) round-trip losslessly through commit → snapshot → inspect,
+  * and snapshots written with plain-string values keep parsing (a value
+  * that is not valid JSON decodes as a JSON string).
+  */
+object SnapshotProps {
+  import org.json4s.jackson.JsonMethods
+
+  def encode(props: Map[String, JValue]): Map[String, String] =
+    props.map { case (k, v) => k -> write(v) }
+
+  def decode(props: Map[String, String]): Map[String, JValue] =
+    props.map { case (k, v) => k -> read(v) }
+
+  def write(v: JValue): String = JsonMethods.compact(JsonMethods.render(v))
+
+  /** Lenient: legacy non-JSON values become JSON strings. */
+  def read(s: String): JValue =
+    try JsonMethods.parse(s)
+    catch { case _: Exception => JString(s) }
 }
 
 /** Summary row kept in the pointer (SnapshotInfo, snapshot.rs:378). */

@@ -124,19 +124,42 @@ object Similarity {
     * recall/candidate is far better on weakly-clustered data. At 100 TB
     * the centroid id is the partition key: a probe touches `nprobe`
     * partitions, and the (tiny) centroid table broadcasts.
+    *
+    * The quantizer is fit on a bounded sample (`fitSampleCap` rows,
+    * driver-side Lloyd's — centroid quality needs a representative
+    * sample, not the corpus), then assignment runs distributed as one
+    * codegen'd nearest-centroid expression per row. Index build is one
+    * count + one sampled collect, never `maxIter` full passes.
     */
   def ivfIndex(embeddings: DataFrame, nlist: Int = 64, seed: Long = 42L,
-               vecCol: String = "embedding"): (DataFrame, Array[Array[Double]]) = {
-    import org.apache.spark.ml.feature.VectorAssembler
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-    val withVec = embeddings.withColumn("_fv",
-      array_to_vector(col(vecCol).cast("array<double>")))
-    val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(10)
-      .setFeaturesCol("_fv").setPredictionCol("list_id")
-      .fit(withVec)
-    val assigned = model.transform(withVec).drop("_fv")
-    (assigned, model.clusterCenters.map(_.toArray))
+               vecCol: String = "embedding", fitSampleCap: Int = 100000,
+               maxIter: Int = 10): (DataFrame, Array[Array[Double]]) = {
+    val vecs = embeddings.select(col(vecCol).cast("array<double>"))
+    val n = embeddings.count()
+    require(n > 0, "ivfIndex: empty corpus")
+    val sampled =
+      if (n <= fitSampleCap) vecs
+      else vecs.sample(withReplacement = false,
+        math.min(1.0, fitSampleCap * 1.1 / n), seed).limit(fitSampleCap)
+    val points = sampled.collect().map(_.getSeq[Double](0).toArray)
+    val centers = KMeansLocal.fit(points, math.min(nlist, points.length),
+      maxIter, seed)
+    (embeddings.withColumn("list_id",
+      nearestCentroid(col(vecCol).cast("array<double>"), centers)), centers)
+  }
+
+  /** Codegen'd argmin over centroids: `argmin_i ‖v−cᵢ‖² =
+    * argmin_i (‖cᵢ‖² − 2·v·cᵢ)` as an `array_min` over `(dist, i)`
+    * structs — distributed assignment with the centroid table inlined
+    * as literals (the broadcast degenerate case: nlist ≤ a few K).
+    */
+  def nearestCentroid(vec: Column, centers: Array[Array[Double]]): Column = {
+    val scored = centers.zipWithIndex.map { case (c, i) =>
+      val cn2 = c.map(x => x * x).sum
+      struct((lit(cn2) - lit(2.0) * dot(vec, typedLit(c.toSeq))).as("d"),
+        lit(i).as("i"))
+    }
+    array_min(array(scored: _*)).getField("i")
   }
 
   /** IVF search: rank the query against the centroid table driver-side
@@ -163,16 +186,30 @@ object Similarity {
 
   /** All-pairs top-k neighbors per vector via LSH buckets (the batched
     * ANN-join): rank within bucket, keep k per id.
+    *
+    * '''Skew guard''': a hot bucket of size m would make the self-join a
+    * single m² task, so the CANDIDATE side is capped at `maxBucketSize`
+    * rows per bucket by a deterministic hash filter
+    * (`hash(id, bucket) mod m < cap` — map-only, no per-bucket sort).
+    * The probe side keeps every row, so every vector still receives k
+    * neighbors; pairs per bucket are ≤ m·cap instead of m². Bucket
+    * counts (≤ 2^numPlanes rows) broadcast.
     */
   def neighborsPerVector(embeddings: DataFrame, k: Int,
                          numPlanes: Int = 8, dim: Int = 64,
                          vecCol: String = "embedding",
-                         idCol: String = "vec_id"): DataFrame = {
+                         idCol: String = "vec_id",
+                         maxBucketSize: Int = 4096): DataFrame = {
     val bucketed = lshBuckets(embeddings, numPlanes, dim, 42L, vecCol)
     val a = bucketed.select(col("bucket"), col(idCol).as("id_a"),
       col(vecCol).as("v_a"))
-    val b = bucketed.select(col("bucket"), col(idCol).as("id_b"),
-      col(vecCol).as("v_b"))
+    val counts = bucketed.groupBy("bucket").count()
+    val b = bucketed
+      .join(broadcast(counts), Seq("bucket"))
+      .filter(col("count") <= maxBucketSize ||
+        pmod(xxhash64(col(idCol), col("bucket")), col("count"))
+          < maxBucketSize)
+      .select(col("bucket"), col(idCol).as("id_b"), col(vecCol).as("v_b"))
     val w = Window.partitionBy("id_a").orderBy(col("cos").desc, col("id_b"))
     a.join(b, Seq("bucket"))
       .filter(col("id_a") =!= col("id_b"))

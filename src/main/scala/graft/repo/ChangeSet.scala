@@ -44,6 +44,25 @@ final class ChangeSet {
 
   def hasChunkChanges: Boolean = pointEdits.nonEmpty || stagedBatches.nonEmpty
 
+  /** True when every chunk edit is a driver-held point edit (no staged
+    * batches, no rebase exclusions) — the small-commit fast path:
+    * precedence, split bucketing, and the tx-log rows all resolve in
+    * memory, saving the window shuffle + collect jobs per flush. The
+    * cutover is structural, not size-based: staged batches can be
+    * arbitrarily large (executors hold them), point edits are bounded by
+    * what the driver already buffered.
+    */
+  def pointOnly: Boolean = stagedBatches.isEmpty && exclusions.isEmpty
+
+  /** Point edits with last-write-wins precedence applied driver-side
+    * (valid whenever [[pointOnly]] — buffer order IS chronology).
+    */
+  def resolvedPointEdits: Seq[ChunkRef] = {
+    val m = mutable.LinkedHashMap[(String, Seq[Int]), ChunkRef]()
+    pointEdits.foreach { case (r, _) => m.put((r.node_id, r.coord), r) }
+    m.values.toSeq
+  }
+
   def setChunkRef(ref: ChunkRef): Unit = pointEdits += ((ref, batchSeq))
 
   /** Stage a distributed batch of chunk refs (full [[ChunkRef]] columns). */
@@ -70,6 +89,8 @@ final class ChangeSet {
     */
   def chunkChanges(spark: SparkSession): DataFrame = {
     import spark.implicits._
+    if (pointOnly)
+      return spark.createDataset(resolvedPointEdits.toVector).toDF()
     val point =
       if (pointEdits.isEmpty) None
       // a point edit outranks staged batches BEFORE it (seq + 0.5) and

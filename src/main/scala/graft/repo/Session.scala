@@ -625,11 +625,22 @@ final class Session private[repo] (
       // which (node, split) shards does this flush touch? Only those are
       // rewritten — an append rewrites ONE shard, the core write-
       // amplification control of manifest splitting
-      // (design-docs/005-manifest-split.md; flush session.rs:2642-2848)
-      touchedSplits = changesWithSplit
-        .select("node_id", "split").distinct().collect()
-        .groupBy(_.getString(0))
-        .map { case (n, rows) => n -> rows.map(_.getInt(1)).toSet }
+      // (design-docs/005-manifest-split.md; flush session.rs:2642-2848).
+      // Point-only changesets know their coords driver-side: same split
+      // arithmetic as bucket(), zero Spark jobs.
+      touchedSplits =
+        if (changeSet.pointOnly)
+          changeSet.resolvedPointEdits
+            .filter(r => changedIds.contains(r.node_id))
+            .groupBy(_.node_id).map { case (id, refs) =>
+              val (axis, sz) = cfg.splitFor(byId(id))
+              id -> refs.map(r =>
+                (if (axis < r.coord.size) r.coord(axis) else 0) / sz).toSet
+            }
+        else changesWithSplit
+          .select("node_id", "split").distinct().collect()
+          .groupBy(_.getString(0))
+          .map { case (n, rows) => n -> rows.map(_.getInt(1)).toSet }
       val mergeNodes = changedIds.toSeq.filterNot(fullRewrite.contains)
       val prevTouched = {
         val all = assets.committedRefs(baseSnapshot, mergeNodes)
@@ -720,6 +731,11 @@ final class Session private[repo] (
     val nodeDf = spark.createDataset(nodeEdits.toSeq)(editRowEnc).toDF()
     val chunkDf =
       if (!changeSet.hasChunkChanges) spark.emptyDataset(editRowEnc).toDF()
+      else if (changeSet.pointOnly)
+        // driver-known coords: build the rows directly, no path join
+        spark.createDataset(changeSet.resolvedPointEdits.toVector.map(r =>
+          EditRow.chunk(r.node_id, pathOf.getOrElse(r.node_id, null),
+            r.coord)))(editRowEnc).toDF()
       else {
         val pathDf = spark.createDataset(pathOf.toSeq)(strPairEnc).toDF("node_id", "path")
         changeSet.chunkChanges(spark)
@@ -811,4 +827,26 @@ final class Session private[repo] (
     throw new ConflictException(
       s"commit failed after ${cfg.commitRetries} attempts on $branchName")
   }
+
+  /** Commit with JSON-typed properties (the reference's
+    * `BTreeMap<String, serde_json::Value>`, snapshot.rs:304): structured
+    * values encode via [[graft.meta.SnapshotProps]] and round-trip through
+    * `lookupSnapshot(id).typedProperties`, including nested objects and
+    * arrays.
+    */
+  def commitJson(message: String,
+                 properties: Map[String, org.json4s.JValue],
+                 solver: graft.vc.ConflictSolver =
+                   graft.vc.BasicConflictSolver(),
+                 amend: Boolean = false,
+                 allowEmpty: Boolean = false,
+                 hooks: graft.vc.RebaseHooks =
+                   graft.vc.RebaseHooks.none): String =
+    commit(message, graft.meta.SnapshotProps.encode(properties), solver,
+      amend, allowEmpty, hooks)
+
+  /** [[flush]] with JSON-typed properties. */
+  def flushJson(message: String,
+                properties: Map[String, org.json4s.JValue]): Snapshot =
+    flush(message, graft.meta.SnapshotProps.encode(properties))
 }

@@ -164,6 +164,38 @@ final case class S3StoreConf(
   override def open(): Store = new graft.storage.s3.S3Store(this)
 }
 
+/** Google Cloud Storage over the public JSON API
+  * (https://cloud.google.com/storage/docs/json_api). `bearerToken` empty =
+  * anonymous/stub access; production callers inject an OAuth2 access token
+  * (token *acquisition* is deliberately out of scope — any credential
+  * provider can mint one). Conditional create maps to
+  * `ifGenerationMatch=0`, ranged reads to the `Range:` header on
+  * `alt=media`, paged listing to `startOffset`/`pageToken`.
+  */
+final case class GcsStoreConf(
+    endpoint: String, // "https://storage.googleapis.com" or stub URL
+    bucket: String,
+    prefix: String = "",
+    bearerToken: String = "") extends StoreConf {
+  override def open(): Store = new graft.storage.gcs.GcsStore(this)
+}
+
+/** Azure Blob Storage over the public REST API
+  * (https://learn.microsoft.com/rest/api/storageservices). `sasToken` is a
+  * shared-access-signature query string (without the '?'); empty = anonymous
+  * (stub/public container). Conditional create maps to `If-None-Match: *`
+  * on Put Blob, ranged reads to the `Range:` header, listing to
+  * `comp=list` with marker paging.
+  */
+final case class AzureStoreConf(
+    endpoint: String, // "https://<account>.blob.core.windows.net" or stub
+    account: String,
+    container: String,
+    prefix: String = "",
+    sasToken: String = "") extends StoreConf {
+  override def open(): Store = new graft.storage.az.AzureStore(this)
+}
+
 object StoreConf {
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[StoreConf, Store]()
@@ -310,21 +342,38 @@ object Store {
     */
   def s3(conf: S3StoreConf): Store = conf.open()
 
-  /** Store from connector options: `s3.endpoint`/`s3.bucket` (+ optional
-    * `s3.region`, `s3.prefix`, `s3.access-key`, `s3.secret-key`) select
-    * the S3 backend; otherwise `path` is a local repo root.
+  /** Store from connector options. Backend selection by option prefix:
+    * `s3.endpoint`/`s3.bucket` → S3; `gcs.bucket` → GCS (JSON API);
+    * `azure.container` → Azure Blob; otherwise `path` is a local repo
+    * root.
     */
   def fromOptions(opts: Map[String, String]): Store =
-    opts.get("s3.endpoint") match {
-      case Some(ep) => s3(S3StoreConf(ep,
+    if (opts.contains("s3.endpoint"))
+      s3(S3StoreConf(opts("s3.endpoint"),
         opts.getOrElse("s3.region", "us-east-1"),
         opts.getOrElse("s3.bucket",
           throw new IllegalArgumentException("option 's3.bucket' required")),
         opts.getOrElse("s3.prefix", ""),
         opts.getOrElse("s3.access-key", ""),
         opts.getOrElse("s3.secret-key", "")))
-      case None => local(opts.getOrElse("path",
-        throw new IllegalArgumentException(
-          "option 'path' (repo root) or 's3.endpoint' is required")))
-    }
+    else if (opts.contains("gcs.bucket"))
+      GcsStoreConf(
+        opts.getOrElse("gcs.endpoint", "https://storage.googleapis.com"),
+        opts("gcs.bucket"),
+        opts.getOrElse("gcs.prefix", ""),
+        opts.getOrElse("gcs.token", "")).open()
+    else if (opts.contains("azure.container")) {
+      val account = opts.getOrElse("azure.account",
+        throw new IllegalArgumentException("option 'azure.account' required"))
+      AzureStoreConf(
+        opts.getOrElse("azure.endpoint",
+          s"https://$account.blob.core.windows.net"),
+        account,
+        opts("azure.container"),
+        opts.getOrElse("azure.prefix", ""),
+        opts.getOrElse("azure.sas", "")).open()
+    } else local(opts.getOrElse("path",
+      throw new IllegalArgumentException(
+        "option 'path' (repo root), 's3.endpoint', 'gcs.bucket', or " +
+          "'azure.container' is required")))
 }

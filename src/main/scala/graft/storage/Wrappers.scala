@@ -199,6 +199,44 @@ final class RedirectStore(primary: Store,
   }
 }
 
+/** Schedule hook (the shuttle-harness seam, icechunk/tests/test_shuttle.rs):
+  * every operation first passes through `gate(op, key)`, which may block the
+  * calling thread until an external scheduler releases it. With the gate as
+  * the only inter-thread synchronization point, a scheduler that serializes
+  * gated threads replays one exact interleaving of the CAS/commit protocol —
+  * store operations are the only shared state, so the operation order fully
+  * determines the outcome. Threads the scheduler does not manage (Spark
+  * executor tasks) should pass through the gate unblocked.
+  */
+final class ScheduledStore(inner: Store,
+                           gate: (String, String) => Unit) extends Store {
+  override def rootUri: String = inner.rootUri
+  override def conf: StoreConf = inner.conf
+  override def getBytes(key: String): Array[Byte] =
+    { gate("getBytes", key); inner.getBytes(key) }
+  override def getRange(key: String, offset: Long, length: Long): Array[Byte] =
+    { gate("getRange", key); inner.getRange(key, offset, length) }
+  override def putBytes(key: String, bytes: Array[Byte]): Unit =
+    { gate("putBytes", key); inner.putBytes(key, bytes) }
+  override def putIfAbsent(key: String, bytes: Array[Byte]): Boolean =
+    { gate("putIfAbsent", key); inner.putIfAbsent(key, bytes) }
+  override def list(prefix: String): Seq[ObjectInfo] =
+    { gate("list", prefix); inner.list(prefix) }
+  override def listPage(prefix: String, startAfter: Option[String],
+                        maxKeys: Int): Seq[ObjectInfo] =
+    { gate("listPage", prefix); inner.listPage(prefix, startAfter, maxKeys) }
+  override def copy(srcKey: String, dstKey: String): Unit =
+    { gate("copy", srcKey); inner.copy(srcKey, dstKey) }
+  override def exists(key: String): Boolean =
+    { gate("exists", key); inner.exists(key) }
+  override def stat(key: String): Option[StatInfo] =
+    { gate("stat", key); inner.stat(key) }
+  override def delete(keys: Iterable[String]): Unit =
+    { gate("delete", ""); inner.delete(keys) }
+  override def deletePrefix(prefix: String): Unit =
+    { gate("deletePrefix", prefix); inner.deletePrefix(prefix) }
+}
+
 /** Latency injection (latency.rs analog): fixed delay per operation. */
 final class LatencyStore(inner: Store, delayMs: Long) extends Store {
   private def d(): Unit = Thread.sleep(delayMs)

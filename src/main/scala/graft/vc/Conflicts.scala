@@ -100,9 +100,12 @@ object ConflictDetector {
         .groupBy("node_id").count().collect()
       out ++= doubles.map(r => Conflict(Conflict.ChunkDoubleUpdate,
         "", r.getString(0), r.getLong(1)))
-      // chunks written into arrays they deleted / updated
-      val ourChunkNodes = ours.select("node_id").distinct()
-        .collect().map(_.getString(0)).toSet
+      // chunks written into arrays they deleted / updated (point-only
+      // changesets know their node set driver-side — no Spark job)
+      val ourChunkNodes =
+        if (cs.pointOnly) cs.resolvedPointEdits.map(_.node_id).toSet
+        else ours.select("node_id").distinct()
+          .collect().map(_.getString(0)).toSet
       for ((id, p) <- theirDeleted if ourChunkNodes.contains(id))
         out += Conflict(Conflict.ChunksUpdatedInDeletedArray, p, id)
       for ((id, p, e) <- theirUpdated

@@ -14,12 +14,45 @@ object ByteFetch {
   private lazy val http = java.net.http.HttpClient.newBuilder()
     .connectTimeout(java.time.Duration.ofSeconds(30)).build()
 
+  /** Anonymous-access HTTP endpoints for bare `gs://`/`az://` locations
+    * (the reference's per-scheme fetchers, virtual_chunks.rs:909,1035).
+    * System-property overrides point tests (and private deployments) at a
+    * stub; credentialed access goes through a registered container store
+    * instead ([[VirtualChunkContainer.store]]).
+    */
+  private def gcsEndpoint: String =
+    sys.props.getOrElse("graft.gcs.endpoint", "https://storage.googleapis.com")
+  private def azureEndpoint(account: String): String =
+    sys.props.getOrElse("graft.azure.endpoint",
+      s"https://$account.blob.core.windows.net")
+
   def ranged(uri: String, offset: Long, length: Long): Array[Byte] =
     if (uri.startsWith("file:")) rangedFile(uri, offset, length)
     else if (uri.startsWith("http://") || uri.startsWith("https://"))
       rangedHttp(uri, offset, length)
+    else if (uri.startsWith("gs://") || uri.startsWith("gcs://"))
+      rangedHttp(gcsUrl(uri), offset, length)
+    else if (uri.startsWith("az://"))
+      rangedHttp(azureUrl(uri), offset, length)
     else throw new IllegalArgumentException(
       s"no fetcher for scheme of $uri")
+
+  /** `gs://bucket/key` → the XML-API URL (`{endpoint}/bucket/key`), which
+    * serves public objects with standard `Range:` semantics.
+    */
+  private[virt] def gcsUrl(uri: String): String = {
+    val rest = uri.stripPrefix("gcs://").stripPrefix("gs://")
+    gcsEndpoint.stripSuffix("/") + "/" + rest
+  }
+
+  /** `az://account/container/key` → `{endpoint}/container/key` with the
+    * account resolved into the endpoint host.
+    */
+  private[virt] def azureUrl(uri: String): String = {
+    val rest = uri.stripPrefix("az://")
+    val (account, path) = rest.span(_ != '/')
+    azureEndpoint(account).stripSuffix("/") + "/" + path.stripPrefix("/")
+  }
 
   private def rangedFile(uri: String, offset: Long,
                          length: Long): Array[Byte] = {

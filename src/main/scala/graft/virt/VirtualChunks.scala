@@ -1,6 +1,7 @@
 package graft.virt
 
-import graft.storage.{LocalStoreConf, S3StoreConf, StoreConf}
+import graft.storage.{AzureStoreConf, GcsStoreConf, LocalStoreConf,
+  S3StoreConf, StoreConf}
 
 /** Virtual chunk containers: registered external URL prefixes whose files
   * hold chunk bytes (virtual_chunks.rs:96-110). Locations are matched to a
@@ -73,11 +74,44 @@ final class VirtualChunkResolver(val containers: Seq[VirtualChunkContainer])
         else if (path.startsWith(p + "/")) path.drop(p.length + 1)
         else throw new graft.repo.GraftException(
           s"$location is outside the container store prefix '$p'")
+      case g: GcsStoreConf =>
+        if (!location.startsWith("gs://") && !location.startsWith("gcs://"))
+          throw new graft.repo.GraftException(
+            s"GCS container store cannot cover $location")
+        val rest = location.stripPrefix("gcs://").stripPrefix("gs://")
+        val slash = rest.indexOf('/')
+        val (bucket, path) =
+          if (slash < 0) (rest, "") else (rest.take(slash), rest.drop(slash + 1))
+        if (bucket != g.bucket)
+          throw new graft.repo.GraftException(
+            s"container store bucket '${g.bucket}' does not cover $location")
+        stripConfPrefix(g.prefix, path, location)
+      case a: AzureStoreConf =>
+        if (!location.startsWith("az://"))
+          throw new graft.repo.GraftException(
+            s"Azure container store cannot cover $location")
+        val rest = location.stripPrefix("az://")
+        val parts = rest.split("/", 3)
+        if (parts.length < 3 || parts(0) != a.account ||
+            parts(1) != a.container)
+          throw new graft.repo.GraftException(
+            s"container store ${a.account}/${a.container} does not cover " +
+              location)
+        stripConfPrefix(a.prefix, parts(2), location)
       case l: LocalStoreConf =>
         val root = java.nio.file.Paths.get(l.root).toAbsolutePath
         root.relativize(java.nio.file.Paths.get(java.net.URI.create(location))
           .toAbsolutePath).toString.replace('\\', '/')
     }
+
+  private def stripConfPrefix(prefix: String, path: String,
+                              location: String): String = {
+    val p = prefix.stripSuffix("/")
+    if (p.isEmpty) path
+    else if (path.startsWith(p + "/")) path.drop(p.length + 1)
+    else throw new graft.repo.GraftException(
+      s"$location is outside the container store prefix '$p'")
+  }
 
   /** Ranged fetch with per-container store dispatch. No authorization
     * check — refs were validated at set-time; this is the executor-side
@@ -145,6 +179,8 @@ object VirtualChunkResolver {
     * virtual.<name>.s3.endpoint   = https://…               (optional store)
     * virtual.<name>.s3.bucket     = ext-bucket
     * virtual.<name>.s3.{region,prefix,access-key,secret-key}
+    * virtual.<name>.gcs.{endpoint,bucket,prefix,token}      (GCS store)
+    * virtual.<name>.azure.{endpoint,account,container,prefix,sas}
     * }}}
     *
     * The `file:` catch-all of [[default]] stays registered alongside.
@@ -152,13 +188,16 @@ object VirtualChunkResolver {
   def fromOptions(opts: Map[String, String]): VirtualChunkResolver = {
     val names = opts.keys.collect {
       case k if k.startsWith("virtual.") && k.endsWith(".prefix") &&
-        !k.contains(".s3.") =>
+        !k.contains(".s3.") && !k.contains(".gcs.") &&
+        !k.contains(".azure.") =>
         k.stripPrefix("virtual.").stripSuffix(".prefix")
     }.toSeq.sorted
     if (names.isEmpty) default
     else new VirtualChunkResolver(names.map { n =>
       def s3opt(f: String) = opts.get(s"virtual.$n.s3.$f")
-      val store = s3opt("endpoint").map { ep =>
+      def gcsOpt(f: String) = opts.get(s"virtual.$n.gcs.$f")
+      def azOpt(f: String) = opts.get(s"virtual.$n.azure.$f")
+      val store: Option[StoreConf] = s3opt("endpoint").map { ep =>
         S3StoreConf(ep,
           s3opt("region").getOrElse("us-east-1"),
           s3opt("bucket").getOrElse(throw new graft.repo.GraftException(
@@ -166,7 +205,23 @@ object VirtualChunkResolver {
           s3opt("prefix").getOrElse(""),
           s3opt("access-key").getOrElse(""),
           s3opt("secret-key").getOrElse("")): StoreConf
-      }
+      }.orElse(gcsOpt("bucket").map { bucket =>
+        GcsStoreConf(
+          gcsOpt("endpoint").getOrElse("https://storage.googleapis.com"),
+          bucket,
+          gcsOpt("prefix").getOrElse(""),
+          gcsOpt("token").getOrElse("")): StoreConf
+      }).orElse(azOpt("container").map { container =>
+        val account = azOpt("account").getOrElse(
+          throw new graft.repo.GraftException(
+            s"virtual container '$n': azure.account required"))
+        AzureStoreConf(
+          azOpt("endpoint").getOrElse(
+            s"https://$account.blob.core.windows.net"),
+          account, container,
+          azOpt("prefix").getOrElse(""),
+          azOpt("sas").getOrElse("")): StoreConf
+      })
       VirtualChunkContainer(opts(s"virtual.$n.prefix"), n, store)
     } :+ VirtualChunkContainer("file:"))
   }

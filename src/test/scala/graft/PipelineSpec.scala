@@ -55,6 +55,50 @@ class PipelineSpec extends SparkTestBase {
     } finally cached.unpersist()
   }
 
+  test("ANN-join skew guard: a degenerate hot bucket stays linear, not quadratic") {
+    import spark.implicits._
+    // adversarial fixture: every vector identical — all 600 rows land in
+    // ONE LSH bucket. Uncapped, the self-join would build 600*599 pairs;
+    // with cap=16 the candidate side is ~16 rows, pairs <= n*cap.
+    val v = Array.fill(8)(0.5f).toSeq
+    val emb = (0L until 600L).map(i => (i, v)).toDF("vec_id", "embedding")
+    val out = Similarity.neighborsPerVector(emb, k = 3, numPlanes = 4,
+      dim = 8, maxBucketSize = 16)
+    val pairs = out.count()
+    // every id still gets its k neighbors (cap >> k), bounded total
+    assert(pairs == 600L * 3, s"expected 1800 ranked pairs, got $pairs")
+    // and the candidate pool truly was capped: distinct id_b is ~cap, not n
+    val candidatePool = out.select("id_b").distinct().count()
+    assert(candidatePool <= 40, s"candidate pool $candidatePool not capped")
+    // non-skewed path unchanged: cap larger than any bucket is a no-op
+    val real = spark.read.parquet(s"$sf/embeddings.parquet")
+    val capped = Similarity.neighborsPerVector(real, k = 5, numPlanes = 8)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val uncapped = Similarity.neighborsPerVector(real, k = 5, numPlanes = 8,
+      maxBucketSize = Int.MaxValue)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == uncapped)
+  }
+
+  test("IVF sample-fit: bounded driver sample still yields a usable quantizer") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    // force the sample path: cap far below the 500-row fixture
+    val (indexed, centers) = Similarity.ivfIndex(emb, nlist = 16,
+      fitSampleCap = 120)
+    assert(centers.length == 16)
+    val lists = indexed.select("list_id").distinct()
+      .collect().map(_.getInt(0)).toSet
+    assert(lists.forall(l => l >= 0 && l < 16))
+    assert(lists.size > 4, s"degenerate quantizer: ${lists.size} lists used")
+    assert(indexed.filter(col("list_id").isNull).count() == 0)
+    // deterministic: same seed, same assignment
+    val (again, centers2) = Similarity.ivfIndex(emb, nlist = 16,
+      fitSampleCap = 120)
+    assert(centers.map(_.toSeq).toSeq == centers2.map(_.toSeq).toSeq)
+    assert(indexed.select("vec_id", "list_id").exceptAll(
+      again.select("vec_id", "list_id")).isEmpty)
+  }
+
   test("block-matrix embedding near-dups equal the naive all-pairs result") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet").limit(200)
     val fast = Dedup.embeddingNearDups(emb, threshold = 0.35)

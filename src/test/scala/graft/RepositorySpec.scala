@@ -359,6 +359,36 @@ class RepositorySpec extends SparkTestBase {
     assert(again.info().ops.last.op == "update_config")
   }
 
+  test("JSON-typed snapshot properties round-trip nested values") {
+    import org.json4s._
+    import org.json4s.JsonDSL._
+    val repo = Repository.create(Store.local(tmpDir("repo")), spark)
+    val s = repo.writableSession("main")
+    s.addGroup("/g")
+    val props: Map[String, JValue] = Map(
+      "run_id" -> JInt(42),
+      "validated" -> JBool(true),
+      "score" -> JDouble(0.875),
+      "tags" -> JArray(List(JString("nightly"), JString("v2"))),
+      "source" -> (("dataset" -> "era5") ~ ("window" ->
+        (("start" -> "2020-01-01") ~ ("days" -> 31)))),
+      "note" -> JString("plain string"))
+    val id = s.commitJson("typed props", props)
+
+    // full fidelity through storage: nested objects, arrays, numbers,
+    // booleans — not stringified leaves
+    val back = repo.lookupSnapshot(id).typedProperties
+    assert(back == props, s"lossy round-trip: $back")
+    assert((back("source") \ "window" \ "days") == JInt(31))
+
+    // legacy plain-string properties still decode (as JSON strings)
+    val s2 = repo.writableSession("main")
+    s2.addGroup("/h")
+    val id2 = s2.commit("legacy props", Map("owner" -> "alice"))
+    assert(repo.lookupSnapshot(id2).typedProperties("owner") ==
+      JString("alice"))
+  }
+
   test("config map round-trips through toMap/fromMap") {
     val cfg = GraftConfig(inlineThresholdBytes = 1, opsRingSize = 7,
       maxChunkRefsPerCommit = 123L, commitRetries = 3,

@@ -28,6 +28,20 @@ class StorageConformanceSpec extends SparkTestBase {
     "s3" -> (() => {
       val (server, store) = s3Fixture()
       (store, () => server.stop())
+    }),
+    "gcs" -> (() => {
+      val server = new graft.storage.gcs.GcsMemServer
+      server.createBucket("graft-gcs")
+      val store = GcsStoreConf(server.endpoint, "graft-gcs",
+        prefix = "repo1", bearerToken = "test-token").open()
+      (store, () => server.stop())
+    }),
+    "azure" -> (() => {
+      val server = new graft.storage.az.AzureMemServer
+      server.createContainer("graft-az")
+      val store = AzureStoreConf(server.endpoint, "testacct", "graft-az",
+        prefix = "repo1", sasToken = "sv=test&sig=abc").open()
+      (store, () => server.stop())
     }))
 
   for ((name, mk) <- backends) {
