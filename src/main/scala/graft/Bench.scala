@@ -91,6 +91,17 @@ object Bench {
         a.commit("winner")
         b.commit("rebased over winner") // lost CAS -> rebase path
       }
+      // small-commit latency: 10 sequential point-edit commits (the
+      // interactive write pattern — driver-side precedence/split fast
+      // path, no per-flush window shuffle)
+      results("engine_commit_small_x10") = timed {
+        (0 until 10).foreach { i =>
+          val s = repo.writableSession("main")
+          (0 until 3).foreach(j => s.writeChunk("/long1d",
+            Seq(i * 3 + j), Array[Byte](1, 2, 3, 4)))
+          s.commit(s"small $i")
+        }
+      }
       // get_chunks: full scan of the committed ref relation
       val ro = repo.readonlySession(VersionRef.Branch("main"))
       results("engine_read_refs_scan") = timed {

@@ -3,7 +3,8 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.pipeline.{Decontaminate, Dedup, Multimodal, Similarity,
+  TextAnalysis}
 
 /** The declared operator surface (SURVEY.md §2) exercised as relational
   * queries over the driver-provided parquet tables, each mirrored by an
@@ -332,6 +333,21 @@ object Queries {
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
       .orderBy("doc_a", "doc_b")
 
+  /** Train/eval decontamination: corpus docs (doc_id % 20 != 0) sharing
+    * ≥ 5 distinct 3-gram shingles with any doc of a held-out benchmark
+    * slice (doc_id % 20 == 0). The benchmark posting list broadcasts;
+    * the corpus streams exploded — no corpus-side shuffle before the
+    * overlap agg.
+    */
+  val q_decontaminate: Q = (s, d) => {
+    val docs = t(s, d, "documents")
+    Decontaminate.overlap(
+        docs.filter(col("doc_id") % 20 =!= 0),
+        docs.filter(col("doc_id") % 20 === 0),
+        n = 3, minShared = 5)
+      .orderBy("doc_id", "bench_id")
+  }
+
   /** MinHash-LSH near-dup candidates (no SQL oracle — hash-specific). */
   val q_dedup_minhash: Q = (s, d) =>
     Dedup.minhashCandidates(t(s, d, "documents"), numHashes = 32, bands = 8)
@@ -560,6 +576,7 @@ object Queries {
     "q_corpus_stats" -> q_corpus_stats,
     "q_dedup_ngram_jaccard" -> q_dedup_ngram_jaccard,
     "q_dedup_ngram_lsh" -> q_dedup_ngram_lsh,
+    "q_decontaminate" -> q_decontaminate,
     "q_dedup_minhash" -> q_dedup_minhash,
     "q_dedup_simhash" -> q_dedup_simhash,
     "q_embedding_neardups" -> q_embedding_neardups,

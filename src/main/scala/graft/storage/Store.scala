@@ -176,7 +176,11 @@ final case class GcsStoreConf(
     endpoint: String, // "https://storage.googleapis.com" or stub URL
     bucket: String,
     prefix: String = "",
-    bearerToken: String = "") extends StoreConf {
+    bearerToken: String = "",
+    // resumable-upload cutover + chunk size (chunks must be 256 KiB
+    // multiples per the API contract; the default is)
+    resumableThresholdBytes: Long = 64L * 1024 * 1024,
+    resumableChunkBytes: Long = 32L * 1024 * 1024) extends StoreConf {
   override def open(): Store = new graft.storage.gcs.GcsStore(this)
 }
 
@@ -192,7 +196,10 @@ final case class AzureStoreConf(
     account: String,
     container: String,
     prefix: String = "",
-    sasToken: String = "") extends StoreConf {
+    sasToken: String = "",
+    // Put Block / Put Block List cutover + block size
+    blockThresholdBytes: Long = 64L * 1024 * 1024,
+    blockBytes: Long = 32L * 1024 * 1024) extends StoreConf {
   override def open(): Store = new graft.storage.az.AzureStore(this)
 }
 

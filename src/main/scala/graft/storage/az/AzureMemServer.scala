@@ -27,6 +27,9 @@ final class AzureMemServer {
   private val containers =
     new ConcurrentHashMap[String,
       java.util.concurrent.ConcurrentSkipListMap[String, Blob]]()
+  // staged blocks: (container, blob, blockId) -> bytes
+  private val stagedBlocks =
+    new ConcurrentHashMap[(String, String, String), Array[Byte]]()
   val opCounts = new ConcurrentHashMap[String,
     java.util.concurrent.atomic.AtomicLong]()
 
@@ -76,6 +79,14 @@ final class AzureMemServer {
         listBlobs(ex, blobs, q)
       case ("GET", b) => getBlob(ex, blobs, b)
       case ("HEAD", b) => headBlob(ex, blobs, b)
+      case ("PUT", b) if q.get("comp").contains("block") &&
+          q.contains("blockid") =>
+        count("put_block")
+        stagedBlocks.put((container, b, q("blockid")),
+          ex.getRequestBody.readAllBytes())
+        respond(ex, 201, Array.empty)
+      case ("PUT", b) if q.get("comp").contains("blocklist") =>
+        putBlockList(ex, container, blobs, b)
       case ("PUT", b) => putBlob(ex, blobs, b)
       case ("DELETE", b) =>
         count("delete")
@@ -165,6 +176,26 @@ final class AzureMemServer {
     ex.getResponseHeaders.set("ETag", blob.etag)
     if (copySource.isDefined)
       ex.getResponseHeaders.set("x-ms-copy-status", "success")
+    respond(ex, 201, Array.empty)
+  }
+
+  private def putBlockList(ex: HttpExchange, container: String,
+      blobs: java.util.concurrent.ConcurrentSkipListMap[String, Blob],
+      name: String): Unit = {
+    count("put_blocklist")
+    val xml = new String(ex.getRequestBody.readAllBytes(), UTF_8)
+    val ids = "<Latest>([^<]*)</Latest>".r.findAllMatchIn(xml)
+      .map(_.group(1)).toVector
+    val parts = ids.map(id =>
+      Option(stagedBlocks.remove((container, name, id))))
+    if (parts.exists(_.isEmpty)) {
+      respond(ex, 400, xmlError("InvalidBlockList", name)); return
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    parts.flatten.foreach(out.write)
+    val data = out.toByteArray
+    blobs.put(name, Blob(data, Instant.now(),
+      "\"" + graft.storage.s3.SigV4.sha256Hex(data).take(32) + "\""))
     respond(ex, 201, Array.empty)
   }
 

@@ -65,10 +65,14 @@ final class AzureStore(val azConf: AzureStoreConf) extends Store {
     else if (url.contains('?')) url + "&" + sasToken
     else url + "?" + sasToken
 
-  private def blobUri(key: String): URI =
+  private def blobUri(key: String): URI = blobUriQ(key, "")
+
+  private def blobUriQ(key: String, query: String): URI = {
+    val baseUrl = endpoint.stripSuffix("/") + "/" + container + "/" +
+      encPath(fullKey(key))
     URI.create(withSas(
-      endpoint.stripSuffix("/") + "/" + container + "/" +
-        encPath(fullKey(key))))
+      if (query.isEmpty) baseUrl else baseUrl + "?" + query))
+  }
 
   private def containerUri(query: String): URI =
     URI.create(withSas(
@@ -157,11 +161,43 @@ final class AzureStore(val azConf: AzureStoreConf) extends Store {
 
   // ---- writes ----
 
-  override def putBytes(key: String, bytes: Array[Byte]): Unit = {
-    val r = send("PUT", blobUri(key), bytes,
-      Map("x-ms-blob-type" -> "BlockBlob"))
+  override def putBytes(key: String, bytes: Array[Byte]): Unit =
+    if (bytes.length >= blockThresholdBytes) blockPut(key, bytes)
+    else {
+      val r = send("PUT", blobUri(key), bytes,
+        Map("x-ms-blob-type" -> "BlockBlob"))
+      if (r.statusCode() != 201 && r.statusCode() != 200)
+        failed("PUT", key, r)
+    }
+
+  /** Put Block + Put Block List (the Blob large-object path, the role S3
+    * multipart plays): stage fixed-size blocks, then commit the ordered
+    * block list.
+    */
+  private def blockPut(key: String, bytes: Array[Byte]): Unit = {
+    val part = blockBytes.toInt
+    val ids = scala.collection.mutable.ArrayBuffer[String]()
+    var off = 0
+    var i = 0
+    while (off < bytes.length) {
+      val end = math.min(off.toLong + part, bytes.length.toLong).toInt
+      val blockId = java.util.Base64.getEncoder.encodeToString(
+        f"block-$i%08d".getBytes(UTF_8))
+      val r = send("PUT",
+        blobUriQ(key, s"comp=block&blockid=${encQ(blockId)}"),
+        java.util.Arrays.copyOfRange(bytes, off, end))
+      if (r.statusCode() != 201 && r.statusCode() != 200)
+        failed(s"PUT(block $i)", key, r)
+      ids += blockId
+      off = end
+      i += 1
+    }
+    val xml = ids.map(id => s"<Latest>$id</Latest>")
+      .mkString("<?xml version=\"1.0\" encoding=\"utf-8\"?><BlockList>", "",
+        "</BlockList>")
+    val r = send("PUT", blobUriQ(key, "comp=blocklist"), xml.getBytes(UTF_8))
     if (r.statusCode() != 201 && r.statusCode() != 200)
-      failed("PUT", key, r)
+      failed("PUT(blocklist)", key, r)
   }
 
   override def putIfAbsent(key: String, bytes: Array[Byte]): Boolean = {

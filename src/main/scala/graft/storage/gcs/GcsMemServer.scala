@@ -29,6 +29,11 @@ final class GcsMemServer {
     new ConcurrentHashMap[String,
       java.util.concurrent.ConcurrentSkipListMap[String, Obj]]()
   private val genSeq = new java.util.concurrent.atomic.AtomicLong(1)
+  private final class ResumableSession(val bucket: String, val name: String) {
+    val buf = new java.io.ByteArrayOutputStream()
+  }
+  private val sessions = new ConcurrentHashMap[String, ResumableSession]()
+  private val sessionSeq = new java.util.concurrent.atomic.AtomicLong(0)
   val opCounts = new ConcurrentHashMap[String,
     java.util.concurrent.atomic.AtomicLong]()
 
@@ -66,9 +71,14 @@ final class GcsMemServer {
     val segs = raw.stripPrefix("/").split("/", -1).toSeq.map(decodeSegment)
     val q = parseQuery(Option(ex.getRequestURI.getRawQuery).getOrElse(""))
     (ex.getRequestMethod, segs) match {
-      // POST /upload/storage/v1/b/{bucket}/o?uploadType=media&name=...
+      // POST /upload/storage/v1/b/{bucket}/o?uploadType=media|resumable
       case ("POST", Seq("upload", "storage", "v1", "b", bucket, "o")) =>
-        insert(ex, bucket, q)
+        if (q.get("uploadType").contains("resumable"))
+          initResumable(ex, bucket, q)
+        else insert(ex, bucket, q)
+      // PUT /upload/resumable/{id} with Content-Range
+      case ("PUT", Seq("upload", "resumable", id)) =>
+        resumableChunk(ex, id)
       // POST /storage/v1/b/{b}/o/{src}/copyTo/b/{b2}/o/{dst}
       case ("POST", Seq("storage", "v1", "b", b1, "o", src,
                         "copyTo", "b", b2, "o", dst)) =>
@@ -108,6 +118,47 @@ final class GcsMemServer {
       }
     } else objects.put(name, obj)
     respond(ex, 200, metaJson(bucket, name, obj).getBytes(UTF_8))
+  }
+
+  private def initResumable(ex: HttpExchange, bucket: String,
+                            q: Map[String, String]): Unit = {
+    count("resumable_init")
+    if (buckets.get(bucket) == null) {
+      respond(ex, 404, jsonError(bucket)); return
+    }
+    val name = q.getOrElse("name", "")
+    if (name.isEmpty) { respond(ex, 400, jsonError("name required")); return }
+    val id = "rs-" + sessionSeq.incrementAndGet()
+    sessions.put(id, new ResumableSession(bucket, name))
+    ex.getResponseHeaders.set("Location", s"$endpoint/upload/resumable/$id")
+    respond(ex, 200, Array.empty)
+  }
+
+  private def resumableChunk(ex: HttpExchange, id: String): Unit = {
+    count("resumable_chunk")
+    val s = sessions.get(id)
+    if (s == null) { respond(ex, 404, jsonError(id)); return }
+    val bytes = ex.getRequestBody.readAllBytes()
+    // Content-Range: bytes a-b/total (chunks arrive in order)
+    val range = Option(ex.getRequestHeaders.getFirst("Content-Range"))
+      .getOrElse("")
+    val m = "bytes (\\d+)-(\\d+)/(\\d+)".r.findFirstMatchIn(range)
+    if (m.isEmpty) { respond(ex, 400, jsonError(s"bad range: $range")); return }
+    s.buf.write(bytes)
+    val end = m.get.group(2).toLong
+    val total = m.get.group(3).toLong
+    if (end + 1 == total) {
+      sessions.remove(id)
+      val data = s.buf.toByteArray
+      val obj = Obj(data, Instant.now(),
+        graft.storage.s3.SigV4.sha256Hex(data).take(24),
+        genSeq.incrementAndGet())
+      buckets.get(s.bucket).put(s.name, obj)
+      respond(ex, 200, metaJson(s.bucket, s.name, obj).getBytes(UTF_8))
+    } else {
+      ex.getResponseHeaders.set("Range", s"bytes=0-$end")
+      respond(ex, 308, Array.empty)
+    }
   }
 
   private def copyTo(ex: HttpExchange, b1: String, src: String,

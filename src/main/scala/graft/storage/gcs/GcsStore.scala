@@ -33,6 +33,15 @@ final class GcsStore(val gcsConf: GcsStoreConf) extends Store {
     .connectTimeout(java.time.Duration.ofSeconds(30))
     .build()
 
+  /** Resumable chunk PUTs answer a bare 308 ("Resume Incomplete" — NOT a
+    * redirect); a redirect-following client chokes on the missing
+    * Location, so those requests use this client.
+    */
+  private val httpNoRedirect = HttpClient.newBuilder()
+    .followRedirects(HttpClient.Redirect.NEVER)
+    .connectTimeout(java.time.Duration.ofSeconds(30))
+    .build()
+
   val authority: String = "gcs-" +
     graft.storage.s3.SigV4.sha256Hex(
       s"$endpoint|$bucket|$prefix".getBytes(UTF_8)).take(16) +
@@ -64,14 +73,16 @@ final class GcsStore(val gcsConf: GcsStoreConf) extends Store {
       (if (query.isEmpty) "" else "?" + query))
 
   private def send(method: String, uri: URI, body: Array[Byte],
-                   headers: Map[String, String] = Map.empty)
+                   headers: Map[String, String] = Map.empty,
+                   followRedirects: Boolean = true)
       : HttpResponse[Array[Byte]] = {
     val b = HttpRequest.newBuilder(uri).method(method,
       if (body == null) HttpRequest.BodyPublishers.noBody()
       else HttpRequest.BodyPublishers.ofByteArray(body))
     if (bearerToken.nonEmpty) b.header("Authorization", s"Bearer $bearerToken")
     headers.foreach { case (k, v) => b.header(k, v) }
-    try http.send(b.build(), HttpResponse.BodyHandlers.ofByteArray())
+    val client = if (followRedirects) http else httpNoRedirect
+    try client.send(b.build(), HttpResponse.BodyHandlers.ofByteArray())
     catch {
       case e: java.io.IOException =>
         throw new TransientStorageException(s"$method $uri: ${e.getMessage}")
@@ -139,14 +150,45 @@ final class GcsStore(val gcsConf: GcsStoreConf) extends Store {
 
   // ---- writes ----
 
-  private def uploadUri(key: String, extraQuery: String): URI =
-    URI.create(s"$base/upload/storage/v1/b/$bucket/o?uploadType=media" +
+  private def uploadUri(key: String, extraQuery: String,
+                        uploadType: String = "media"): URI =
+    URI.create(s"$base/upload/storage/v1/b/$bucket/o?uploadType=$uploadType" +
       s"&name=${encQ(fullKey(key))}" +
       (if (extraQuery.isEmpty) "" else "&" + extraQuery))
 
-  override def putBytes(key: String, bytes: Array[Byte]): Unit = {
-    val r = send("POST", uploadUri(key, ""), bytes)
-    if (r.statusCode() != 200) failed("PUT", key, r)
+  override def putBytes(key: String, bytes: Array[Byte]): Unit =
+    if (bytes.length >= resumableThresholdBytes) resumablePut(key, bytes)
+    else {
+      val r = send("POST", uploadUri(key, ""), bytes)
+      if (r.statusCode() != 200) failed("PUT", key, r)
+    }
+
+  /** Resumable upload (the JSON API's large-object path, the role S3
+    * multipart plays): initiate a session, then PUT chunks with
+    * `Content-Range`; intermediate chunks answer 308, the final one 200.
+    */
+  private def resumablePut(key: String, bytes: Array[Byte]): Unit = {
+    val init = send("POST", uploadUri(key, "", "resumable"),
+      Array.emptyByteArray)
+    if (init.statusCode() != 200) failed("POST(resumable)", key, init)
+    val session = init.headers().firstValue("Location").orElse(null)
+    if (session == null || session.isEmpty)
+      throw new IllegalStateException(s"resumable init for $key: no Location")
+    val part = math.max(256L * 1024, resumableChunkBytes).toInt
+    var off = 0
+    while (off < bytes.length) {
+      val end = math.min(off.toLong + part, bytes.length.toLong).toInt
+      val chunk = java.util.Arrays.copyOfRange(bytes, off, end)
+      val r = send("PUT", URI.create(session), chunk,
+        Map("Content-Range" -> s"bytes $off-${end - 1}/${bytes.length}"),
+        followRedirects = false)
+      val ok =
+        if (end == bytes.length)
+          r.statusCode() == 200 || r.statusCode() == 201
+        else r.statusCode() == 308
+      if (!ok) failed(s"PUT(resumable $off-${end - 1})", key, r)
+      off = end
+    }
   }
 
   override def putIfAbsent(key: String, bytes: Array[Byte]): Boolean = {

@@ -193,6 +193,40 @@ class StorageConformanceSpec extends SparkTestBase {
     } finally server.stop()
   }
 
+  test("gcs: large objects go through resumable upload intact") {
+    val server = new graft.storage.gcs.GcsMemServer
+    server.createBucket("big")
+    try {
+      val store = GcsStoreConf(server.endpoint, "big",
+        resumableThresholdBytes = 256 * 1024,
+        resumableChunkBytes = 256 * 1024).open()
+      val big = Array.tabulate[Byte](1024 * 1024)(i => (i % 13).toByte)
+      store.putBytes("big/obj", big)
+      assert(store.getBytes("big/obj").toSeq == big.toSeq)
+      assert(server.opCounts.get("resumable_init").get() >= 1)
+      assert(server.opCounts.get("resumable_chunk").get() >= 2)
+      assert(store.getRange("big/obj", 1024 * 512, 16).toSeq ==
+        big.slice(1024 * 512, 1024 * 512 + 16).toSeq)
+    } finally server.stop()
+  }
+
+  test("azure: large objects go through Put Block / Put Block List intact") {
+    val server = new graft.storage.az.AzureMemServer
+    server.createContainer("big")
+    try {
+      val store = AzureStoreConf(server.endpoint, "acct", "big",
+        blockThresholdBytes = 256 * 1024,
+        blockBytes = 100 * 1024).open()
+      val big = Array.tabulate[Byte](1024 * 1024)(i => (i % 17).toByte)
+      store.putBytes("big/obj", big)
+      assert(store.getBytes("big/obj").toSeq == big.toSeq)
+      assert(server.opCounts.get("put_block").get() >= 2)
+      assert(server.opCounts.get("put_blocklist").get() >= 1)
+      assert(store.getRange("big/obj", 1024 * 512, 16).toSeq ==
+        big.slice(1024 * 512, 1024 * 512 + 16).toSeq)
+    } finally server.stop()
+  }
+
   test("redirect decorator routes by longest prefix; engine runs across stores") {
     val meta = Store.local(tmpDir("redir-meta"))
     val cold = Store.local(tmpDir("redir-cold"))
