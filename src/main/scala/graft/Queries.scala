@@ -364,6 +364,27 @@ object Queries {
       .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
       .orderBy("id_a", "id_b")
 
+  /** Embedding near-dup CLUSTERS: exact block-matrix cosine pairs at the
+    * threshold collapsed into connected components (large-star/small-star
+    * — the same O(log n)-round solver as the n-gram cluster path), so
+    * transitive chains of near-identical embeddings dedup to one
+    * canonical vector. DuckDB mirrors with a recursive CTE.
+    */
+  val q_embedding_clusters: Q = (s, d) => {
+    val emb = t(s, d, "embeddings")
+    val pairs = Dedup.embeddingNearDups(emb, threshold = 0.35)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+    val labels = graft.pipeline.ConnectedComponents.run(pairs)
+      .withColumnRenamed("id", "vec_id")
+    emb.select(col("vec_id"))
+      .join(labels, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("cluster_id"), col("vec_id")).as("cluster_id"))
+      .withColumn("n_members",
+        count(lit(1)).over(Window.partitionBy("cluster_id")))
+      .orderBy("vec_id")
+  }
+
   // ---------------------------------------------------------------
   // Training-data pipeline: similarity search
   // ---------------------------------------------------------------
@@ -580,6 +601,7 @@ object Queries {
     "q_dedup_minhash" -> q_dedup_minhash,
     "q_dedup_simhash" -> q_dedup_simhash,
     "q_embedding_neardups" -> q_embedding_neardups,
+    "q_embedding_clusters" -> q_embedding_clusters,
     "q_similarity_topk" -> q_similarity_topk,
     "q_similarity_ann" -> q_similarity_ann,
     "q_similarity_ivf" -> q_similarity_ivf,

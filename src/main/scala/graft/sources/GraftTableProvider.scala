@@ -586,9 +586,11 @@ private[sources] final class ValuesChunkCursor(part: ValuesPartition) {
       case graft.meta.ChunkRef.KindRef =>
         val key = graft.meta.Layout.chunkKey(g.getString("chunk_id", 0))
         // gets/bytes metrics count STORAGE traffic: cache hits stay out,
-        // misses count exactly once (inside the miss callback)
+        // misses count exactly once (inside the miss callback). Scans
+        // read every chunk once — bypass the cache (bulk-scan contract)
         graft.storage.ChunkCache.read(store, key, offset, length,
-          onMiss = n => { gets += 1; bytesFetched += n })
+          onMiss = n => { gets += 1; bytesFetched += n },
+          cacheable = false)
       case graft.meta.ChunkRef.KindVirtual =>
         gets += 1
         val b = part.resolver.ranged(g.getString("location", 0), offset,

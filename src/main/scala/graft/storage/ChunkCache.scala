@@ -27,32 +27,47 @@ object ChunkCache {
   /** Fetch-through: serve `(key, offset, length)` of `store` from cache,
     * else load via `fetch` and remember it. Oversized payloads (> 1/8 of
     * capacity) and disabled caches pass straight through.
+    *
+    * `cacheable = false` bypasses the cache entirely — the BULK-SCAN
+    * contract: a table scan reads every chunk exactly once per query
+    * (and subdivided readers use per-partition sub-ranges that can never
+    * repeat as keys), so caching it buys nothing, costs an extra copy
+    * per chunk plus eviction churn under the shared lock, and evicts the
+    * hot point-lookup entries the cache exists for. Scan paths pass
+    * false; point-read paths (Session/Zarr chunk gets) cache.
     */
-  def getOrFetch(store: Store, key: String, offset: Long, length: Long)(
+  def getOrFetch(store: Store, key: String, offset: Long, length: Long,
+                 cacheable: Boolean = true)(
       fetch: => Array[Byte]): Array[Byte] = {
-    if (capacity <= 0) return fetch
+    if (capacity <= 0 || !cacheable) return fetch
     val k = Key(store.rootUri, key, offset, length)
-    map.synchronized {
-      val hit = map.get(k)
-      // defensive copy: callers may mutate returned chunk bytes (e.g.
-      // in-place decode); handing out the cached array by reference
-      // would let one reader corrupt every later reader of this key.
-      // A memcpy is noise next to the object-store GET a hit replaces.
-      if (hit != null) { hitsCounter.incrementAndGet(); return hit.clone() }
+    val hit = map.synchronized(map.get(k))
+    if (hit != null) {
+      hitsCounter.incrementAndGet()
+      // defensive copy OUTSIDE the lock (cached arrays are never mutated
+      // internally, so a lock-free read is safe): callers may mutate
+      // returned chunk bytes (e.g. in-place decode); handing out the
+      // cached array by reference would let one reader corrupt every
+      // later reader of this key.
+      return hit.clone()
     }
     missesCounter.incrementAndGet()
     val loaded = fetch
-    if (loaded.length <= capacity / 8) map.synchronized {
-      // cache a private copy: the returned array is the caller's to
-      // mutate, the cached one must stay pristine
-      if (map.putIfAbsent(k, loaded.clone()) == null) {
-        bytes += loaded.length
-        // trigger LRU eviction down to the byte budget
-        while (bytes > capacity && !map.isEmpty) {
-          val it = map.entrySet().iterator()
-          val eldest = it.next()
-          bytes -= eldest.getValue.length
-          it.remove()
+    if (loaded.length <= capacity / 8) {
+      // cache a private copy (cloned before taking the lock): the
+      // returned array is the caller's to mutate, the cached one must
+      // stay pristine
+      val copy = loaded.clone()
+      map.synchronized {
+        if (map.putIfAbsent(k, copy) == null) {
+          bytes += copy.length
+          // trigger LRU eviction down to the byte budget
+          while (bytes > capacity && !map.isEmpty) {
+            val it = map.entrySet().iterator()
+            val eldest = it.next()
+            bytes -= eldest.getValue.length
+            it.remove()
+          }
         }
       }
     }
@@ -66,8 +81,8 @@ object ChunkCache {
     * count object-store requests, not in-memory reads).
     */
   def read(store: Store, key: String, offset: Long, length: Long,
-           onMiss: Long => Unit): Array[Byte] =
-    getOrFetch(store, key, offset, length) {
+           onMiss: Long => Unit, cacheable: Boolean = true): Array[Byte] =
+    getOrFetch(store, key, offset, length, cacheable) {
       val b = store.getRangeSplit(key, offset, length)
       onMiss(b.length.toLong)
       b

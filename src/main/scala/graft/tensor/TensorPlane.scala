@@ -37,7 +37,10 @@ object TensorPlane {
         case ChunkRef.KindRef =>
           val store = graft.storage.StoreConf.cached(conf)
           val key = graft.meta.Layout.chunkKey(chunkId)
-          graft.storage.ChunkCache.getOrFetch(store, key, offset, length)(
+          // value-plane scans read each (sub-)range once per query:
+          // bypass the chunk cache (bulk-scan contract — see ChunkCache)
+          graft.storage.ChunkCache.getOrFetch(store, key, offset, length,
+            cacheable = false)(
             store.getRangeSplit(key, offset, length))
         case ChunkRef.KindVirtual =>
           resolver.ranged(location, offset, length)
