@@ -263,7 +263,10 @@ object Oracles {
         |FROM pairs WHERE j >= 0.05 ORDER BY doc_a, doc_b""".stripMargin,
 
     // oracle for the LSH-blocked scale path: exact ALL-pairs jaccard (no
-    // lang blocking) — the LSH result must reproduce it pair-for-pair
+    // lang blocking) with constant TRUE — the Spark side emits lsh_ok =
+    // false for any soundness violation (LSH pair outside the exact set)
+    // or recall violation (exact pair with j ≥ 0.6 the 8×4 banding
+    // missed), so hash equality proves both containment directions
     "q_dedup_ngram_lsh" ->
       """WITH sh AS (
         |  SELECT doc_id,
@@ -280,7 +283,7 @@ object Oracles {
         |      len(list_intersect(a.s, b.s))::DOUBLE /
         |        len(list_distinct(list_concat(a.s, b.s))) AS j
         |    FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
-        |SELECT doc_a, doc_b, round(j, 6) AS jaccard
+        |SELECT doc_a, doc_b, round(j, 6) AS jaccard, TRUE AS lsh_ok
         |FROM pairs WHERE j >= 0.5 ORDER BY doc_a, doc_b""".stripMargin,
 
     "q_decontaminate" ->

@@ -320,18 +320,39 @@ object Queries {
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
       .orderBy("doc_a", "doc_b")
 
-  /** The 100 TB n-gram dedup path: MinHash-LSH blocking followed by exact
-    * n-gram Jaccard verification. With one minhash row per band a true
-    * pair at the 0.5 threshold is missed with prob (1−j)^32 ≤ 2⁻³² — so
-    * on any fixed dataset the output EQUALS the exact all-pairs result
-    * and the oracle is plain SQL, while the Spark plan stays the
-    * bucket-join shape that survives 100 TB (no lang mega-block).
+  /** The 100 TB n-gram dedup path, audited for containment: the production
+    * plan is [[Dedup.ngramJaccardPairsLsh]] at a REALISTIC banding
+    * (32 hashes, 8 bands × 4 rows, threshold 0.5 — the S-curve knee sits
+    * near j ≈ (1/8)^(1/4) ≈ 0.6), and the query emits one row per exact
+    * all-pairs match (j ≥ 0.5) with `lsh_ok` encoding the containment
+    * contract the oracle can check by plain equality:
+    *   - an LSH pair outside the exact set would surface as an extra row
+    *     with `lsh_ok = false` (soundness: output ⊆ exact all-pairs);
+    *   - an exact pair with j ≥ 0.6 that LSH missed gets
+    *     `lsh_ok = false` (recall above threshold + margin);
+    *   - exact pairs with j < 0.6 are `lsh_ok = true` either way (inside
+    *     the LSH S-curve's probabilistic band, allowed to miss).
+    * The oracle is the exact all-pairs CTE with constant TRUE — equality
+    * holds iff both containment directions hold. The exact all-pairs side
+    * exists only to audit at test scale; at 100 TB one runs the LSH path
+    * alone (bucket join, no lang mega-block, no all-pairs anywhere).
     */
-  val q_dedup_ngram_lsh: Q = (s, d) =>
-    Dedup.ngramJaccardPairsLsh(t(s, d, "documents"), n = 3,
-        threshold = 0.5, numHashes = 32, bands = 32)
-      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+  val q_dedup_ngram_lsh: Q = (s, d) => {
+    val docs = t(s, d, "documents")
+    val lsh = Dedup.ngramJaccardPairsLsh(docs, n = 3, threshold = 0.5,
+        numHashes = 32, bands = 8)
+      .select(col("doc_a"), col("doc_b"), col("jaccard").as("j_lsh"))
+    val exact = Dedup.ngramJaccardPairs(docs.withColumn("_all", lit(1)),
+        n = 3, blockCol = "_all", threshold = 0.5)
+      .select(col("doc_a"), col("doc_b"), col("jaccard").as("j_exact"))
+    exact.join(lsh, Seq("doc_a", "doc_b"), "full_outer")
+      .select(col("doc_a"), col("doc_b"),
+        round(coalesce(col("j_exact"), col("j_lsh")), 6).as("jaccard"),
+        when(col("j_exact").isNull, lit(false)) // unsound LSH pair
+          .otherwise(col("j_lsh").isNotNull || col("j_exact") < 0.6)
+          .as("lsh_ok"))
       .orderBy("doc_a", "doc_b")
+  }
 
   /** Train/eval decontamination: corpus docs (doc_id % 20 != 0) sharing
     * ≥ 5 distinct 3-gram shingles with any doc of a held-out benchmark
@@ -568,7 +589,9 @@ object Queries {
           .as("features_sum"))
       .orderBy("doc_id")
 
-  val all: Map[String, Q] = Map(
+  // insertion-ordered: Verify/Bench iterate this map, and a stable entry
+  // order is what makes bench runs comparable round-over-round
+  val all: Map[String, Q] = scala.collection.immutable.ListMap(
     "q1_agg" -> q1_agg,
     "q_extents" -> q_extents,
     "q_counts_per_node" -> q_counts_per_node,

@@ -22,6 +22,10 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // release per-query state so one query's cached intermediates never
+      // pressure the next (the dedup builders persist self-join inputs)
+      graft.pipeline.Dedup.releaseCaches()
+      spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

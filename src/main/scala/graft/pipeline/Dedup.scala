@@ -11,6 +11,37 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Intermediates persisted by the near-dup builders (bucket/block/posting
+    * relations referenced by both sides of a self-join). They must outlive
+    * the returned lazy DataFrame, so the builders cannot unpersist them —
+    * instead every persisted handle is registered here and the caller
+    * releases them once the consuming action has materialized:
+    * {{{  val pairs = Dedup.minhashCandidates(docs); pairs.write...;
+    *      Dedup.releaseCaches()  }}}
+    * Verify/Bench call this between entries so one query's cache never
+    * pressures the next query's executors.
+    */
+  private val liveCaches =
+    new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+
+  /** Persist an intermediate both self-join sides reference, and register
+    * it for [[releaseCaches]]. At cluster scale this is a checkpoint to
+    * storage instead of executor memory.
+    */
+  private def stageCached(df: DataFrame): DataFrame = {
+    val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    liveCaches.add(p)
+    p
+  }
+
+  /** Unpersist every intermediate staged by dedup builders since the last
+    * release. Non-blocking: the block manager frees asynchronously.
+    */
+  def releaseCaches(): Unit = {
+    var d = liveCaches.poll()
+    while (d != null) { d.unpersist(false); d = liveCaches.poll() }
+  }
+
   /** Exact duplicates by content hash: one groupBy shuffle on a 256-bit
     * digest. Returns (doc_id, canonical_id, n_copies) for every row in a
     * duplicate group; survivors are `doc_id == canonical_id` (min id wins).
@@ -91,15 +122,13 @@ object Dedup {
           s => xxhash64(s)).as("_sh"))
       .select(col("doc_id"),
         minhashSignatureFromHashes(col("_sh"), numHashes).as("sig"))
-    val buckets = sig.select(col("doc_id"), col("sig"),
+    // materialize once (registered for releaseCaches): both self-join sides
+    // would otherwise re-evaluate the whole shingle→minhash expression tree
+    val buckets = stageCached(sig.select(col("doc_id"), col("sig"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => xxhash64(concat_ws("_",
           slice(col("sig"), b * rows + 1, lit(rows)))))))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
-      // materialize once: both self-join sides would otherwise re-evaluate
-      // the whole shingle→minhash expression tree (at cluster scale this
-      // is a checkpoint to storage instead of executor memory)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket"))
     val a = buckets.select(col("band"), col("bucket"),
       col("doc_id").as("doc_a"), col("sig").as("sig_a"))
     val b = buckets.select(col("band"), col("bucket"),
@@ -136,13 +165,12 @@ object Dedup {
       .select(col("doc_id"), transform(TextAnalysis.tokens(col(textCol)),
         t => xxhash64(t)).as("_h"))
       .select(col("doc_id"), simhashFromHashes(col("_h")).as("sh"))
-    val blocked = sh.select(col("doc_id"), col("sh"),
+    // materialize once (registered for releaseCaches): the 64 per-bit
+    // aggregates are expensive and both self-join sides reference them
+    val blocked = stageCached(sh.select(col("doc_id"), col("sh"),
       posexplode(array((0 until 4).map(i =>
         shiftright(col("sh"), i * 16).bitwiseAND(lit(0xffffL))): _*)))
-      .withColumnRenamed("pos", "block").withColumnRenamed("col", "key")
-      // materialize once: the 64 per-bit aggregates are expensive and both
-      // self-join sides reference them
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .withColumnRenamed("pos", "block").withColumnRenamed("col", "key"))
     val a = blocked.select(col("block"), col("key"),
       col("doc_id").as("doc_a"), col("sh").as("sh_a"))
     val b = blocked.select(col("block"), col("key"),
@@ -177,11 +205,10 @@ object Dedup {
       .select(col("doc_id"), col(blockCol).as("block"),
         shingles(col(textCol), n).as("sh"))
       .withColumn("sz", size(col("sh")))
-    // materialize the posting list once: both self-join sides reference it
-    // (at cluster scale this is a checkpoint to storage)
-    val posting = withSh.select(col("block"), col("doc_id"), col("sz"),
-      explode(col("sh")).as("g"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // materialize the posting list once (registered for releaseCaches):
+    // both self-join sides reference it
+    val posting = stageCached(withSh.select(col("block"), col("doc_id"),
+      col("sz"), explode(col("sh")).as("g")))
     val a = posting.select(col("block"), col("g"),
       col("doc_id").as("doc_a"), col("sz").as("sz_a"))
     val b = posting.select(col("block"), col("g"),
@@ -206,7 +233,7 @@ object Dedup {
     */
   def ngramJaccardPairsLsh(docs: DataFrame, textCol: String = "text",
                            n: Int = 3, threshold: Double = 0.5,
-                           numHashes: Int = 32, bands: Int = 16): DataFrame = {
+                           numHashes: Int = 32, bands: Int = 8): DataFrame = {
     val candidates = minhashCandidates(docs, textCol, n, numHashes, bands)
       .select("doc_a", "doc_b")
     val withSh = docs.select(col("doc_id"),
@@ -216,11 +243,14 @@ object Dedup {
       col("sz").as("sz_a"))
     val b = withSh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"),
       col("sz").as("sz_b"))
+    // stage the intersection size once — it is the dominant per-pair cost
+    // of the verify stage and feeds both the numerator and denominator
     candidates.join(a, Seq("doc_a")).join(b, Seq("doc_b"))
+      .withColumn("common",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
       .select(col("doc_a"), col("doc_b"),
-        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          (col("sz_a") + col("sz_b") -
-            size(array_intersect(col("sh_a"), col("sh_b")))).cast("double"))
+        (col("common") /
+          (col("sz_a") + col("sz_b") - col("common")).cast("double"))
           .as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
