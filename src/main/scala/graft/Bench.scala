@@ -199,8 +199,10 @@ object Bench {
         val res = v.agg(sum(col("value")), count(lit(1))).head()
         assert(res.getLong(1) == cube.toLong * cube * cube)
       }
-      // DSv2 values WRITE: Spark-arranged chunk assembly through the
-      // connector at half resolution (cube/2)³ cells, one CAS commit
+      // DSv2 values WRITE through the provider route, chunk-clustered via
+      // the `_c0.._cN` helper columns (plain field references — no
+      // FunctionCatalog needed): whole chunks per task, no leftover merge,
+      // one CAS commit. Half resolution (cube/2)³ cells.
       r("engine_v2_values_write") = timed {
         val n = cube / 2
         val s = repo.writableSession("main")
@@ -210,10 +212,14 @@ object Bench {
           s"id div ${n.toLong * n} as i0",
           s"(id div $n) % $n as i1",
           s"id % $n as i2",
-          "id % 1000 - 500 as value")
+          "id % 1000 - 500 as value",
+          s"id div ${4L * n * n} as _c0",
+          s"((id div $n) % $n) div $n as _c1",
+          s"(id % $n) div $n as _c2")
           .write.format("graft-v2")
           .option("path", dir.toString).option("array", "/cube2")
           .option("mode", "values").option("dtype", "int64")
+          .option("clustered", "true")
           .option("message", "v2 values bench").mode("append").save()
       }
       // verify outside the timer (the write is the measured unit)

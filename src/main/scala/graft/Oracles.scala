@@ -449,5 +449,21 @@ object Oracles {
         |      AS BIGINT) + 1 AS nf
         |  FROM documents)
         |SELECT doc_id, CAST(floor((nf - 1) / 4) AS BIGINT) + 1 AS n_sampled
-        |FROM f ORDER BY doc_id""".stripMargin)
+        |FROM f ORDER BY doc_id""".stripMargin,
+
+    // the Spark side synthesizes a square-wave WAV per doc (amplitude and
+    // length closed-form in doc_id) and REALLY decodes it via
+    // javax.sound.sampled; a square wave's RMS == amplitude, so the
+    // decoded features are exactly this arithmetic
+    "q_multimodal_audio" ->
+      """SELECT doc_id,
+        |  CAST(8000 AS DOUBLE) AS audio_sample_rate,
+        |  1 AS audio_channels,
+        |  16 AS audio_bits,
+        |  CAST(((doc_id % 5) + 1) * 800 AS BIGINT) AS audio_frames,
+        |  round(CAST(((doc_id % 5) + 1) * 800 AS DOUBLE) / 8000, 6)
+        |    AS audio_duration_s,
+        |  round(CAST(1000 + (doc_id % 7) * 100 AS DOUBLE), 4) AS audio_rms,
+        |  CAST(1000 + (doc_id % 7) * 100 AS DOUBLE) AS audio_peak
+        |FROM documents ORDER BY doc_id""".stripMargin)
 }

@@ -589,6 +589,31 @@ object Queries {
           .as("features_sum"))
       .orderBy("doc_id")
 
+  /** REAL audio decode end-to-end: per doc, synthesize a deterministic
+    * 16-bit PCM WAV (square wave — amplitude and length are closed-form
+    * functions of doc_id), decode it with `javax.sound.sampled`, and emit
+    * format facts + signal features. A square wave's RMS equals its
+    * amplitude exactly, so every output column is plain arithmetic the
+    * DuckDB oracle reproduces — the decode path itself is what's under
+    * test.
+    */
+  val q_multimodal_audio: Q = (s, d) => {
+    val synth = udf((id: Long) => {
+      val n = ((id % 5) + 1).toInt * 800
+      val amp = (1000 + (id % 7) * 100).toShort
+      Multimodal.wavPcm16Mono(8000,
+        Array.tabulate(n)(i => if ((i / 8) % 2 == 0) amp
+          else (-amp).toShort))
+    })
+    Multimodal.audioFeatures(
+        t(s, d, "documents").select(col("doc_id"))
+          .withColumn("wav", synth(col("doc_id"))), "wav")
+      .select(col("doc_id"), col("audio_sample_rate"), col("audio_channels"),
+        col("audio_bits"), col("audio_frames"), col("audio_duration_s"),
+        col("audio_rms"), col("audio_peak"))
+      .orderBy("doc_id")
+  }
+
   // insertion-ordered: Verify/Bench iterate this map, and a stable entry
   // order is what makes bench runs comparable round-over-round
   val all: Map[String, Q] = scala.collection.immutable.ListMap(
@@ -636,5 +661,6 @@ object Queries {
     "q_fingerprint" -> q_fingerprint,
     "q_multimodal_meta" -> q_multimodal_meta,
     "q_frame_sample" -> q_frame_sample,
-    "q_multimodal_features" -> q_multimodal_features)
+    "q_multimodal_features" -> q_multimodal_features,
+    "q_multimodal_audio" -> q_multimodal_audio)
 }

@@ -186,6 +186,63 @@ final class AssetManager(val store: Store, spark: SparkSession) {
     }
   }
 
+  /** Write manifest shards DRIVER-side (no Spark job) — the small-commit
+    * fast path. Each (node, split) shard lands at the same partition-dir
+    * key Spark's writer would use, sorted by c0..c3 with row-group stats,
+    * so every reader (explicit-schema scan, DSv2, split cache) treats the
+    * two writers' files identically. Extents come from the in-memory rows;
+    * the split cache is warmed so the NEXT small commit reads its
+    * predecessor shard without any job at all.
+    */
+  def writeManifestShardsDriver(id: String,
+      shards: Map[(String, Int), Seq[ChunkRef]]): Map[String, Seq[ManifestRef]] =
+    shards.toSeq.map { case ((node, split), refs0) =>
+      val refs = refs0.sortBy(r => (r.c0, r.c1, r.c2, r.c3))
+      store.putBytes(
+        s"${Layout.manifestPrefix(id)}/node_id=$node/split=$split/" +
+          "part-00000-driver.zstd.parquet",
+        DriverParquet.writeChunkRefs(refs))
+      val nd = refs.iterator.map(_.coord.size).max
+      val mins = (0 until nd).map(i => refs.iterator.map(_.coord(i)).min)
+      val maxs = (0 until nd).map(i => refs.iterator.map(_.coord(i)).max)
+      val mref = ManifestRef(id, split, mins, maxs, refs.size.toLong,
+        refs.iterator.map(_.length).sum)
+      if (refs.size <= MaxCachedRefsPerSplit)
+        splitCache.synchronized(splitCache.put((id, node, split),
+          refs.map(r => (r.coord: Seq[Int]) -> r).toMap))
+      node -> mref
+    }.groupBy(_._1).map { case (n, rs) => n -> rs.map(_._2) }
+
+  /** Read one shard's refs entirely driver-side: split cache when warm,
+    * otherwise fetch the partition dir's data files through the Store and
+    * decode with [[DriverParquet]] — zero Spark jobs either way.
+    */
+  def shardRefsDriver(mref: ManifestRef, nodeId: String): Seq[ChunkRef] = {
+    val key = (mref.manifestId, nodeId, mref.split)
+    splitCache.synchronized(Option(splitCache.get(key))) match {
+      case Some(m) => m.values.toSeq
+      case None =>
+        val prefix = s"${Layout.manifestPrefix(mref.manifestId)}" +
+          s"/node_id=$nodeId/split=${mref.split}/"
+        val rows = store.list(prefix)
+          .filter(_.key.endsWith(".parquet"))
+          .flatMap(o => DriverParquet.readChunkRefs(store.getBytes(o.key),
+            nodeId))
+        if (mref.numRefs <= MaxCachedRefsPerSplit)
+          splitCache.synchronized(splitCache.put(key,
+            rows.map(r => (r.coord: Seq[Int]) -> r).toMap))
+        rows
+    }
+  }
+
+  /** Tx-log write without a Spark job (point-only commits: every row is
+    * driver-known).
+    */
+  def writeTxLogDriver(snapshotId: String, rows: Seq[EditRow]): Unit =
+    store.putBytes(
+      s"${Layout.txLogPrefix(snapshotId)}/part-00000-driver.zstd.parquet",
+      DriverParquet.writeEditRows(rows))
+
   /** Read back one manifest split for a node (partition-pruned scan). */
   def readManifestSplit(ref: ManifestRef, nodeId: String): DataFrame =
     readManifest(ref.manifestId)

@@ -115,7 +115,16 @@ object SnapshotProps {
 
   def write(v: JValue): String = JsonMethods.compact(JsonMethods.render(v))
 
-  /** Lenient: legacy non-JSON values become JSON strings. */
+  /** Lenient: legacy non-JSON values become JSON strings.
+    *
+    * Known edge, by design: a value written through the PLAIN string API
+    * that happens to be valid JSON (`"123"`, `"true"`, `"null"`) decodes
+    * as the typed value (number/boolean/null), not as a string — under
+    * the wire contract "each value holds one JSON document" a stored
+    * `123` IS the JSON number 123. Callers who need a value to stay a
+    * string must write through [[graft.repo.Session.commitJson]] with
+    * `JString`, which quotes on encode and round-trips losslessly.
+    */
   def read(s: String): JValue =
     try JsonMethods.parse(s)
     catch { case _: Exception => JString(s) }

@@ -8,11 +8,14 @@ import org.apache.spark.sql.functions._
   *
   * Image decode is REAL for the formats the JDK ships codecs for
   * (PNG/JPEG/BMP/GIF via `javax.imageio` — [[decodeImage]] /
-  * [[imageFeatures]]). Audio/video codecs are NOT available in this
-  * environment, so those decode steps are clearly-marked deterministic
-  * STUBs (`fakeDecode*`); the Spark-side plumbing — schema, batch shape,
-  * partitioning, feature extraction over the decoded buffer — is real and
-  * tested. Swapping a stub for a JNI/FFmpeg decoder changes one function.
+  * [[imageFeatures]]), and audio decode is REAL for PCM containers
+  * (WAV/AIFF/AU via `javax.sound.sampled` — [[decodeAudio]] /
+  * [[audioFeatures]]). Video codecs are NOT available in this
+  * environment, so that decode step is a clearly-marked deterministic
+  * STUB (`fakeDecode*` / [[sampleFrames]]); the Spark-side plumbing —
+  * schema, batch shape, partitioning, feature extraction over the decoded
+  * buffer — is real and tested. Swapping the stub for a JNI/FFmpeg
+  * decoder changes one function.
   */
 object Multimodal {
 
@@ -79,6 +82,100 @@ object Multimodal {
       .drop("_img")
   }
 
+  /** Decoded audio summary: container format facts + signal features. */
+  final case class DecodedAudio(sample_rate: Double, channels: Int,
+      bits: Int, n_frames: Long, duration_s: Double, rms: Double,
+      peak: Double)
+
+  /** Minimal RIFF/WAVE writer: 16-bit signed little-endian PCM, mono —
+    * the deterministic synthesis side of the audio tests (and a generally
+    * useful "PCM buffer → playable bytes" utility).
+    */
+  def wavPcm16Mono(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes).putInt(36 + dataLen).put("WAVE".getBytes)
+    buf.put("fmt ".getBytes).putInt(16)
+      .putShort(1) // PCM
+      .putShort(1) // mono
+      .putInt(sampleRate)
+      .putInt(sampleRate * 2) // byte rate
+      .putShort(2) // block align
+      .putShort(16) // bits
+    buf.put("data".getBytes).putInt(dataLen)
+    samples.foreach(buf.putShort)
+    buf.array()
+  }
+
+  /** REAL audio decode (WAV/AIFF/AU PCM — whatever `javax.sound.sampled`
+    * has a reader for): BINARY payload → format facts (sample rate,
+    * channels, bit depth, frame count, duration) + signal features (RMS
+    * and peak amplitude in raw sample units, channel-interleaved).
+    * Supports 8-bit and 16-bit PCM, signed or unsigned, either
+    * endianness. Undecodable payloads → null (the caller filters).
+    */
+  val decodeAudio: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((bytes: Array[Byte]) => {
+      if (bytes == null) null
+      else
+        try {
+          val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          val fmt = in.getFormat
+          val bits = fmt.getSampleSizeInBits
+          val signed = fmt.getEncoding ==
+            javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+          val unsigned = fmt.getEncoding ==
+            javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED
+          if (!(signed || unsigned) || (bits != 8 && bits != 16)) null
+          else {
+            val data = in.readAllBytes()
+            val n = data.length / (bits / 8)
+            var i = 0
+            var sumSq = 0.0
+            var peak = 0.0
+            while (i < n) {
+              val v: Double =
+                if (bits == 8) {
+                  val b = data(i)
+                  if (signed) b.toDouble else (b & 0xff) - 128.0
+                } else {
+                  val (lo, hi) =
+                    if (fmt.isBigEndian) (data(2 * i + 1), data(2 * i))
+                    else (data(2 * i), data(2 * i + 1))
+                  val s = ((hi << 8) | (lo & 0xff)).toShort
+                  if (signed) s.toDouble else ((s & 0xffff) - 32768).toDouble
+                }
+              sumSq += v * v
+              if (math.abs(v) > peak) peak = math.abs(v)
+              i += 1
+            }
+            val frames = in.getFrameLength
+            DecodedAudio(fmt.getSampleRate.toDouble, fmt.getChannels, bits,
+              frames, frames / fmt.getSampleRate.toDouble,
+              if (n > 0) math.sqrt(sumSq / n) else 0.0, peak)
+          }
+        } catch { case _: Exception => null }
+    })
+
+  /** Audio feature columns over real decode — the audio analog of
+    * [[imageFeatures]]. Rows whose payload no installed reader handles
+    * get null features.
+    */
+  def audioFeatures(df: DataFrame, binCol: String): DataFrame = {
+    val decoded = df.withColumn("_aud", decodeAudio(col(binCol)))
+    decoded
+      .withColumn("audio_sample_rate", col("_aud.sample_rate"))
+      .withColumn("audio_channels", col("_aud.channels"))
+      .withColumn("audio_bits", col("_aud.bits"))
+      .withColumn("audio_frames", col("_aud.n_frames"))
+      .withColumn("audio_duration_s", round(col("_aud.duration_s"), 6))
+      .withColumn("audio_rms", round(col("_aud.rms"), 4))
+      .withColumn("audio_peak", col("_aud.peak"))
+      .drop("_aud")
+  }
+
   /** Canonical multimodal schema fragment: payload + typed metadata. */
   def withMediaMetadata(df: DataFrame, binCol: String): DataFrame =
     df.withColumn("media_meta", struct(
@@ -87,9 +184,9 @@ object Multimodal {
       xxhash64(col(binCol)).as("content_hash")))
 
   // =================================================================
-  // STUB decoders — deterministic fakes standing in for image/audio
-  // codecs (the container has no libjpeg/ffmpeg). Real implementations
-  // replace the body, signatures stay.
+  // STUB decoders — deterministic fakes standing in for video codecs
+  // (the container has no ffmpeg). Real implementations replace the
+  // body, signatures stay.
   // =================================================================
 
   /** STUB image decode: "pixels" = raw bytes reinterpreted as unsigned

@@ -597,7 +597,51 @@ final class Session private[repo] (
 
     var newRefs: Map[String, Seq[ManifestRef]] = Map.empty
     var touchedSplits: Map[String, Set[Int]] = Map.empty
-    if (changedIds.nonEmpty) {
+
+    // ---- small-commit fast path: point-only changesets merge + write
+    // entirely DRIVER-side (no Spark job anywhere in the flush) — the
+    // reference's sub-second interactive commit (benches/manifest.rs:329).
+    // Eligible when every edit is a driver-held point edit, no shape
+    // shrink/reindex forces a full rewrite, and each previous shard to
+    // merge is small enough to hold in memory (same 10 k bound as the
+    // split cache). Everything else falls through to the Spark path.
+    def splitOfRef(r: ChunkRef): Int = {
+      val (axis, sz) = cfg.splitFor(byId(r.node_id))
+      (if (axis < r.coord.size) r.coord(axis) else 0) / sz
+    }
+    lazy val pointRefs = changeSet.resolvedPointEdits
+      .filter(r => changedIds.contains(r.node_id))
+    val fastEligible = changedIds.nonEmpty && changeSet.pointOnly &&
+      shrunkIds.isEmpty && changeSet.rewrittenNodes.isEmpty &&
+      pointRefs.nonEmpty && pointRefs.size <= Session.SmallCommitMaxRefs &&
+      pointRefs.groupBy(_.node_id).forall { case (id, refs) =>
+        val touched = refs.map(splitOfRef).toSet
+        baseSnapshot.manifests.getOrElse(id, Nil)
+          .filter(m => touched.contains(m.split))
+          .forall(_.numRefs <= Session.SmallCommitMaxShardRefs)
+      }
+    if (fastEligible) {
+      val byShard = pointRefs.groupBy(r => (r.node_id, splitOfRef(r)))
+      touchedSplits = byShard.keys.toSeq.groupBy(_._1)
+        .map { case (n, ks) => n -> ks.map(_._2).toSet }
+      val shards = byShard.flatMap { case (key @ (node, split), edits) =>
+        val editedCoords = edits.map(r => (r.coord: Seq[Int])).toSet
+        val prev = baseSnapshot.manifests.getOrElse(node, Nil)
+          .filter(_.split == split)
+          .flatMap(m => assets.shardRefsDriver(m, node))
+          .filterNot(r => editedCoords.contains(r.coord))
+        val grid = byId(node).numChunksPerDim
+        val merged = (prev ++ edits)
+          .filter(_.kind != ChunkRef.KindDelete)
+          .filter(r => r.coord.size == grid.size &&
+            r.coord.zip(grid).forall { case (c, n) => c >= 0 && c < n })
+        if (merged.isEmpty) None else Some(key -> merged)
+      }
+      if (shards.nonEmpty) {
+        val manifestId = Ids.toBase32(Ids.newObjectId())
+        newRefs = assets.writeManifestShardsDriver(manifestId, shards)
+      }
+    } else if (changedIds.nonEmpty) {
       val changes = changeSet.chunkChanges(spark)
         .filter(col("node_id").isin(changedIds.toSeq: _*))
       // manifest split bucketing (config DSL — config.rs:168-263)
@@ -728,6 +772,16 @@ final class Session private[repo] (
           else EditRow.DeleteGroup,
           baseSnapshot.nodes.find(_.path == p).map(_.id).getOrElse(""), p) } ++
       changeSet.moves.map { case (id, f, t) => EditRow.move(id, f, t) }
+    // point-only changesets know every row driver-side — write the log
+    // without a Spark job (pairs with the small-commit manifest fast path)
+    if (changeSet.pointOnly && mergeTxLogOf.filter(assets.txLogExists).isEmpty) {
+      val chunkRows =
+        if (!changeSet.hasChunkChanges) Nil
+        else changeSet.resolvedPointEdits.map(r =>
+          EditRow.chunk(r.node_id, pathOf.getOrElse(r.node_id, null), r.coord))
+      assets.writeTxLogDriver(snapshot.id, nodeEdits.toSeq ++ chunkRows)
+      return
+    }
     val nodeDf = spark.createDataset(nodeEdits.toSeq)(editRowEnc).toDF()
     val chunkDf =
       if (!changeSet.hasChunkChanges) spark.emptyDataset(editRowEnc).toDF()
@@ -849,4 +903,14 @@ final class Session private[repo] (
   def flushJson(message: String,
                 properties: Map[String, org.json4s.JValue]): Snapshot =
     flush(message, graft.meta.SnapshotProps.encode(properties))
+}
+
+object Session {
+  /** Small-commit fast-path bounds: a point-only changeset up to this many
+    * refs, merging previous shards up to this many refs each, flushes
+    * entirely driver-side (no Spark job). Matches the split cache's
+    * preload cap (asset_manager.rs:71-147 in the reference).
+    */
+  private[repo] val SmallCommitMaxRefs = 10000
+  private[repo] val SmallCommitMaxShardRefs = 10000
 }

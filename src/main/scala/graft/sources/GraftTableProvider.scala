@@ -109,9 +109,18 @@ object GraftTableProvider {
           throw new graft.repo.GraftException(
             s"graft-v2 values mode requires a regular chunk grid ($array " +
               "is rectilinear)")
-        valuesSchema(node.shape.size, opts.getOrElse("dtype",
+        val base = valuesSchema(node.shape.size, opts.getOrElse("dtype",
           throw new graft.repo.GraftException(
             "option 'dtype' required for values mode")))
+        // `clustered=true`: the table carries `_c0.._cN` chunk-coord
+        // columns so a provider-routed WRITE can require a clustered
+        // distribution on plain field references (no FunctionCatalog) —
+        // the analyzer validates input arity against this schema before
+        // the WriteBuilder ever runs
+        if (opts.get("clustered").contains("true"))
+          StructType(base.fields ++
+            (0 until node.shape.size).map(d => StructField(s"_c$d", LongType)))
+        else base
       case _ => RefSchema
     }
 
@@ -869,18 +878,29 @@ class GraftValuesWriteBuilder(opts: Map[String, String],
       throw new graft.repo.GraftException("dtype required for values write"))
     val expected = GraftTableProvider.valuesSchema(node.shape.size, dtype)
     val got = info.schema()
-    if (got.fieldNames.toSeq != expected.fieldNames.toSeq)
+    val ndim = node.shape.size
+    // provider-routed writes may append precomputed chunk-coord helper
+    // columns `_c0.._cN` (= i_d div chunkShape(d)); they are plain field
+    // references, so Spark clusters on them WITHOUT a FunctionCatalog —
+    // the same whole-chunks-per-task plan the catalog route gets from its
+    // chunk_coord transform
+    val helperCols = (0 until ndim).map(d => s"_c$d")
+    val helperClustered =
+      got.fieldNames.toSeq == expected.fieldNames.toSeq ++ helperCols
+    if (!helperClustered && got.fieldNames.toSeq != expected.fieldNames.toSeq)
       throw new graft.repo.GraftException(
         s"values write schema mismatch: got ${got.fieldNames.mkString(",")}" +
-          s", expected ${expected.fieldNames.mkString(",")}")
+          s", expected ${expected.fieldNames.mkString(",")}" +
+          s" (optionally + ${helperCols.mkString(",")})")
     new GraftValuesWrite(opts, got, node.chunkShape, node.shape, dtype,
-      opts.getOrElse("compression", "raw"))
+      opts.getOrElse("compression", "raw"), helperClustered)
   }
 }
 
 class GraftValuesWrite(opts: Map[String, String], schema: StructType,
                        chunkShape: Seq[Long], shape: Seq[Long],
-                       dtype: String, compression: String)
+                       dtype: String, compression: String,
+                       helperClustered: Boolean = false)
     extends Write with RequiresDistributionAndOrdering {
   import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection}
   import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
@@ -891,8 +911,14 @@ class GraftValuesWrite(opts: Map[String, String], schema: StructType,
     * cluster on the real chunk coordinate (`chunk_coord` transform) —
     * every task gets whole chunks, nothing takes the leftover path.
     * Provider-routed writes (`df.write.format`) have no FunctionCatalog
-    * and Spark translates only plain field references there, hence the
-    * ordered-distribution stripe plan.
+    * and Spark translates only plain field references there; they get the
+    * same whole-chunk plan by appending precomputed `_c0.._cN` chunk-coord
+    * columns (`helperClustered`), and otherwise fall back to the
+    * ordered-distribution stripe plan. The catalog INSERT (or the helper
+    * columns) is the bulk-write path of record: at 100 TB the clustered
+    * exchange is one hash shuffle sized by AQE, while the ordered plan
+    * needs a global range sort whose partition count is capped by stripe
+    * geometry.
     */
   private val viaCatalog = opts.get("via-catalog").contains("true")
 
@@ -908,13 +934,23 @@ class GraftValuesWrite(opts: Map[String, String], schema: StructType,
         Expressions.literal(Long.box(chunkShape(d))))
         : org.apache.spark.sql.connector.expressions.Expression).toArray
 
+  private def helperRefs
+      : Array[org.apache.spark.sql.connector.expressions.Expression] =
+    (0 until ndim).map(d =>
+      Expressions.column(s"_c$d")
+        : org.apache.spark.sql.connector.expressions.Expression).toArray
+
   override def requiredDistribution(): Distribution =
     if (viaCatalog) Distributions.clustered(chunkTransforms)
+    else if (helperClustered) Distributions.clustered(helperRefs)
     else Distributions.ordered(iSorts)
   override def requiredOrdering()
       : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
     if (viaCatalog)
       (chunkTransforms.map(t =>
+        Expressions.sort(t, SortDirection.ASCENDING)) ++ iSorts)
+    else if (helperClustered)
+      (helperRefs.map(t =>
         Expressions.sort(t, SortDirection.ASCENDING)) ++ iSorts)
     else iSorts
 
@@ -927,7 +963,7 @@ class GraftValuesWrite(opts: Map[String, String], schema: StructType,
     * Spark/AQE size the exchange).
     */
   override def requiredNumPartitions(): Int =
-    if (viaCatalog) 0
+    if (viaCatalog || helperClustered) 0
     else {
       val stripes = math.max(1L,
         (shape.head + chunkShape.head - 1) / chunkShape.head)
@@ -937,7 +973,8 @@ class GraftValuesWrite(opts: Map[String, String], schema: StructType,
     }
 
   override def toBatch: BatchWrite =
-    new GraftValuesBatchWrite(opts, schema, chunkShape, dtype, compression)
+    new GraftValuesBatchWrite(opts, schema, chunkShape, dtype, compression,
+      helperClustered)
 
   override def supportedCustomMetrics()
       : Array[org.apache.spark.sql.connector.metric.CustomMetric] =
@@ -967,7 +1004,9 @@ case class StagedValuesMessage(refsKey: String, refRows: Long,
 
 class GraftValuesBatchWrite(opts: Map[String, String], schema: StructType,
                             chunkShape: Seq[Long], dtype: String,
-                            compression: String) extends BatchWrite {
+                            compression: String,
+                            helperClustered: Boolean = false)
+    extends BatchWrite {
   import org.apache.spark.sql.functions.{col, lit}
   private val stagingRoot = graft.meta.Layout.stagingPrefix(
     graft.core.Ids.toBase32(graft.core.Ids.newObjectId()))
@@ -978,7 +1017,8 @@ class GraftValuesBatchWrite(opts: Map[String, String], schema: StructType,
     val (repo, _, _) = GraftTableProvider.open(opts)
     new GraftValuesWriterFactory(repo.store.conf, stagingRoot, schema,
       chunkShape.toArray, dtype, compression,
-      clustered = opts.get("via-catalog").contains("true"))
+      clustered = helperClustered ||
+        opts.get("via-catalog").contains("true"))
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {

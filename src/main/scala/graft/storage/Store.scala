@@ -178,7 +178,8 @@ final case class GcsStoreConf(
     prefix: String = "",
     bearerToken: String = "",
     // resumable-upload cutover + chunk size (chunks must be 256 KiB
-    // multiples per the API contract; the default is)
+    // multiples per the API contract; the default is one, and an
+    // unaligned size is rounded up to the next multiple at upload time)
     resumableThresholdBytes: Long = 64L * 1024 * 1024,
     resumableChunkBytes: Long = 32L * 1024 * 1024) extends StoreConf {
   override def open(): Store = new graft.storage.gcs.GcsStore(this)

@@ -15,7 +15,8 @@ import scala.jdk.CollectionConverters._
   *  - `PUT` BlockBlob; `If-None-Match: *` → 409 BlobAlreadyExists (the
   *    conditional-create primitive)
   *  - `GET /{container}?restype=container&comp=list` → name-ordered XML
-  *    pages; `marker` is strictly-after, `NextMarker` the last name
+  *    pages; `marker` is an opaque token the server issued (anything
+  *    else → 400, as in production), `NextMarker` the next such token
   *  - `PUT` with `x-ms-copy-source` → server-side copy; per-blob DELETE
   *
   * One ConcurrentSkipListMap per container, so listings are genuinely
@@ -207,8 +208,18 @@ final class AzureMemServer {
     val marker = q.get("marker").filter(_.nonEmpty)
     val maxResults = q.get("maxresults").flatMap(_.toIntOption)
       .getOrElse(5000).min(5000).max(1)
+    // Markers are OPAQUE continuation tokens, exactly like production
+    // Azure: this stub only honors tokens it issued itself ("tok:" +
+    // base64 of the resume point) and answers 400 for anything else —
+    // a client that seeds marker with a blob name must fail here too.
     val from = marker match {
-      case Some(m) if m >= prefix => blobs.tailMap(m, false)
+      case Some(m) if m.startsWith("tok:") =>
+        val resume = new String(java.util.Base64.getUrlDecoder
+          .decode(m.drop(4)), UTF_8)
+        blobs.tailMap(resume, false)
+      case Some(_) =>
+        respond(ex, 400, xmlError("OutOfRangeQueryParameterValue", "marker"))
+        return
       case _ => blobs.tailMap(prefix, true)
     }
     val page = from.entrySet().iterator().asScala
@@ -227,7 +238,9 @@ final class AzureMemServer {
         "</Properties></Blob>"
     }.mkString
     val next =
-      if (truncated) s"<NextMarker>${xmlEscape(out.last.getKey)}</NextMarker>"
+      if (truncated) "<NextMarker>tok:" +
+        java.util.Base64.getUrlEncoder.withoutPadding
+          .encodeToString(out.last.getKey.getBytes(UTF_8)) + "</NextMarker>"
       else "<NextMarker/>"
     val xml =
       s"""<?xml version="1.0" encoding="utf-8"?>

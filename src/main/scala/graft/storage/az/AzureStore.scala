@@ -261,13 +261,16 @@ final class AzureStore(val azConf: AzureStoreConf) extends Store {
 
   override def listPage(prefix0: String, startAfter: Option[String],
                         maxKeys: Int): Seq[ObjectInfo] = {
-    // Azure's marker is a continuation token, not a name floor: walk the
-    // marker protocol, dropping keys <= startAfter. For the engine's hot
+    // Azure's marker is an OPAQUE continuation token — production rejects
+    // arbitrary blob names with an invalid-marker 400, so never seed it
+    // from startAfter. Walk the marker protocol from the start of the
+    // prefix and drop keys <= startAfter client-side. For the engine's hot
     // call (latest pointer generation: reverse-encoded keys, no
-    // startAfter) this stays a single one-key page.
+    // startAfter) this stays a single one-key page; startAfter callers
+    // (generation pruning) pay page skips, which that path amortizes.
     val out = Vector.newBuilder[ObjectInfo]
     var got = 0
-    var marker: Option[String] = startAfter.map(fullKey)
+    var marker: Option[String] = None
     var more = true
     while (more && got < maxKeys) {
       val (page, next) = listCall(prefix0, marker, maxKeys + 1)

@@ -144,9 +144,23 @@ final class GcsMemServer {
       .getOrElse("")
     val m = "bytes (\\d+)-(\\d+)/(\\d+)".r.findFirstMatchIn(range)
     if (m.isEmpty) { respond(ex, 400, jsonError(s"bad range: $range")); return }
-    s.buf.write(bytes)
+    val start = m.get.group(1).toLong
     val end = m.get.group(2).toLong
     val total = m.get.group(3).toLong
+    // production constraints: chunks arrive in order with no gaps, and
+    // every chunk but the last must be a 256 KiB multiple — a client that
+    // ships an unaligned intermediate chunk must fail here like it would
+    // against real GCS
+    if (start != s.buf.size) {
+      respond(ex, 400, jsonError(
+        s"offset $start does not resume at ${s.buf.size}")); return
+    }
+    if (end + 1 != total && bytes.length % (256 * 1024) != 0) {
+      respond(ex, 400, jsonError(
+        s"intermediate chunk ${bytes.length} not a 256 KiB multiple"))
+      return
+    }
+    s.buf.write(bytes)
     if (end + 1 == total) {
       sessions.remove(id)
       val data = s.buf.toByteArray
@@ -218,8 +232,11 @@ final class GcsMemServer {
     val objects = buckets.get(bucket)
     if (objects == null) { respond(ex, 404, jsonError(bucket)); return }
     val prefix = q.getOrElse("prefix", "")
+    // GCS documents that a page may hold FEWER items than maxResults while
+    // more results exist — cap pages well below typical maxResults so any
+    // client that reads one short page as exhaustion fails in tests
     val maxResults = q.get("maxResults").flatMap(_.toIntOption)
-      .getOrElse(1000).min(1000).max(1)
+      .getOrElse(1000).min(1000).max(1).min(7)
     // pageToken (strictly-after continuation) wins over startOffset
     // (inclusive name floor) — GCS semantics
     val from = (q.get("pageToken"), q.get("startOffset")) match {

@@ -174,7 +174,11 @@ final class GcsStore(val gcsConf: GcsStoreConf) extends Store {
     val session = init.headers().firstValue("Location").orElse(null)
     if (session == null || session.isEmpty)
       throw new IllegalStateException(s"resumable init for $key: no Location")
-    val part = math.max(256L * 1024, resumableChunkBytes).toInt
+    // intermediate chunks MUST be 256 KiB multiples per the GCS contract —
+    // round a user-supplied size UP to the next multiple, don't trust it
+    val quantum = 256L * 1024
+    val part = ((math.max(quantum, resumableChunkBytes) + quantum - 1)
+      / quantum * quantum).toInt
     var off = 0
     while (off < bytes.length) {
       val end = math.min(off.toLong + part, bytes.length.toLong).toInt
@@ -239,10 +243,25 @@ final class GcsStore(val gcsConf: GcsStoreConf) extends Store {
   override def listPage(prefix0: String, startAfter: Option[String],
                         maxKeys: Int): Seq[ObjectInfo] = {
     // startOffset is INCLUSIVE of the offset name: fetch one extra and
-    // drop keys <= startAfter client-side
-    val (page, _) = listCall(prefix0, startAfter.map(fullKey),
-      None, maxKeys + 1)
-    page.filter(o => startAfter.forall(o.key > _)).take(maxKeys)
+    // drop keys <= startAfter client-side. GCS may return SHORT pages
+    // (fewer items than maxResults, even zero) while more results exist,
+    // so a single call is not exhaustion — loop on nextPageToken until
+    // maxKeys items are collected or the token runs out.
+    val out = Vector.newBuilder[ObjectInfo]
+    var got = 0
+    var token: Option[String] = None
+    var first = true
+    while ((first || token.nonEmpty) && got < maxKeys) {
+      first = false
+      val (page, next) = listCall(prefix0, startAfter.map(fullKey),
+        token, maxKeys + 1)
+      val fresh = page.filter(o => startAfter.forall(o.key > _))
+        .take(maxKeys - got)
+      out ++= fresh
+      got += fresh.size
+      token = next
+    }
+    out.result()
   }
 
   override def list(prefix0: String): Seq[ObjectInfo] = {

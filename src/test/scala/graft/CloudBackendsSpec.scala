@@ -222,4 +222,24 @@ class CloudBackendsSpec extends SparkTestBase {
       assert(a.getBytes("k2").toSeq == Seq[Byte](3))
     } finally { gcs.stop(); az.stop() }
   }
+
+  test("gcs resumable upload rounds an unaligned chunk size to 256 KiB") {
+    val server = new GcsMemServer
+    server.createBucket("rs")
+    try {
+      // 300 000 is NOT a 256 KiB multiple; the client must round up to
+      // 524 288 or the stub (like production) rejects each intermediate
+      // chunk with 400
+      val store = GcsStoreConf(server.endpoint, "rs",
+        resumableThresholdBytes = 512L * 1024,
+        resumableChunkBytes = 300000L).open()
+      val payload = Array.tabulate(700000)(i => (i * 31 % 251).toByte)
+      store.putBytes("big/object", payload)
+      assert(server.opCounts.get("resumable_chunk").get() >= 2)
+      assert(store.getBytes("big/object").toSeq == payload.toSeq)
+      // ranged read straddling the chunk boundary the upload used
+      assert(store.getRange("big/object", 524280, 16).toSeq ==
+        payload.slice(524280, 524296).toSeq)
+    } finally server.stop()
+  }
 }

@@ -201,4 +201,41 @@ class GraftTableProviderSpec extends SparkTestBase {
     assert(repo.info().ancestry(repo.lookupBranch("main").get).head
       .message == "v2 values")
   }
+
+  test("DSv2 values write: _c helper columns take the clustered plan") {
+    val dir = tmpDir("repo")
+    val store = Store.local(dir)
+    val repo = Repository.create(store, spark,
+      GraftConfig(splits = Seq(SplitRule(".*", 0, 4))))
+    val s = repo.writableSession("main")
+    s.addArray("/m", Seq(8, 10), Seq(4, 5)) // 2x2 chunks, 80 cells
+    s.commit("init")
+
+    // provider route + precomputed chunk-coord columns: Spark clusters on
+    // the plain _c0/_c1 references (no FunctionCatalog), every task gets
+    // whole chunks, nothing takes the boundary-leftover path
+    import spark.implicits._
+    val rows = (for {
+      i <- 0L until 8L; j <- 0L until 10L if (i + j) % 3 != 0
+    } yield (i, j, (i * 100 + j).toDouble))
+    scala.util.Random.shuffle(rows).toDF("i0", "i1", "value")
+      .selectExpr("i0", "i1", "value", "i0 div 4 as _c0", "i1 div 5 as _c1")
+      .repartition(7)
+      .write.format("graft-v2")
+      .option("path", dir).option("array", "/m")
+      .option("mode", "values").option("dtype", "float64")
+      .option("clustered", "true")
+      .option("message", "v2 clustered").mode("append").save()
+
+    val back = spark.read.format("graft-v2")
+      .option("path", dir).option("array", "/m")
+      .option("mode", "values").option("dtype", "float64").load()
+    assert(back.count() == 80)
+    val got = back.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    rows.foreach { case (i, j, v) => assert(got((i, j)) == v, s"($i,$j)") }
+    assert(store.list("staging/").isEmpty)
+    val ro = repo.readonlySession(VersionRef.Branch("main"))
+    assert(ro.refs("/m").count() == 4) // whole chunks, one object each
+  }
 }

@@ -163,6 +163,34 @@ class PipelineSpec extends SparkTestBase {
     assert(feats(2).isNullAt(feats(2).fieldIndex("img_width")))
   }
 
+  test("real audio decode: WAV PCM bytes yield format facts and RMS/peak") {
+    import graft.pipeline.Multimodal
+    // square wave amp 2000, 1600 frames @ 8 kHz: RMS == amp, 0.2 s
+    val square = Multimodal.wavPcm16Mono(8000,
+      Array.tabulate(1600)(i => if ((i / 8) % 2 == 0) 2000.toShort
+        else (-2000).toShort))
+    // all-zero signal: rms 0, peak 0
+    val silence = Multimodal.wavPcm16Mono(44100, new Array[Short](441))
+    val noise = "definitely not audio".getBytes
+    import spark.implicits._
+    val feats = Multimodal.audioFeatures(
+        Seq((1L, square), (2L, silence), (3L, noise)).toDF("id", "media"),
+        "media")
+      .orderBy("id").collect()
+    assert(feats(0).getAs[Double]("audio_sample_rate") == 8000.0)
+    assert(feats(0).getAs[Int]("audio_channels") == 1)
+    assert(feats(0).getAs[Int]("audio_bits") == 16)
+    assert(feats(0).getAs[Long]("audio_frames") == 1600L)
+    assert(feats(0).getAs[Double]("audio_duration_s") == 0.2)
+    assert(feats(0).getAs[Double]("audio_rms") == 2000.0)
+    assert(feats(0).getAs[Double]("audio_peak") == 2000.0)
+    assert(feats(1).getAs[Double]("audio_sample_rate") == 44100.0)
+    assert(feats(1).getAs[Double]("audio_rms") == 0.0)
+    assert(feats(1).getAs[Double]("audio_peak") == 0.0)
+    // undecodable payload: null features, no crash
+    assert(feats(2).isNullAt(feats(2).fieldIndex("audio_sample_rate")))
+  }
+
   test("minhash LSH candidates contain every truly-similar pair") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val candidates = Dedup.minhashCandidates(docs, numHashes = 32, bands = 8)

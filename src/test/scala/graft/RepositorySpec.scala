@@ -384,9 +384,19 @@ class RepositorySpec extends SparkTestBase {
     // legacy plain-string properties still decode (as JSON strings)
     val s2 = repo.writableSession("main")
     s2.addGroup("/h")
-    val id2 = s2.commit("legacy props", Map("owner" -> "alice"))
-    assert(repo.lookupSnapshot(id2).typedProperties("owner") ==
-      JString("alice"))
+    val id2 = s2.commit("legacy props",
+      Map("owner" -> "alice", "build" -> "123"))
+    val legacy = repo.lookupSnapshot(id2).typedProperties
+    assert(legacy("owner") == JString("alice"))
+    // documented edge (SnapshotProps.read): a plain-API value that IS
+    // valid JSON decodes typed — "123" is the JSON number 123. Callers
+    // needing string fidelity use commitJson with JString, which quotes:
+    assert(legacy("build") == JInt(123))
+    val s3 = repo.writableSession("main")
+    s3.addGroup("/i")
+    val id3 = s3.commitJson("quoted", Map("build" -> JString("123")))
+    assert(repo.lookupSnapshot(id3).typedProperties("build") ==
+      JString("123"))
   }
 
   test("config map round-trips through toMap/fromMap") {
