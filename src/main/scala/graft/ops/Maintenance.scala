@@ -78,7 +78,12 @@ final case class GCSummary(
 object GC {
   /** Delete storage objects unreachable from any branch/tag ancestry and
     * older than `olderThan` (the age guard keeps in-flight commits safe —
-    * gc.rs:44-180). Reachability:
+    * gc.rs:44-180). `olderThan` must sit WELL in the past (the reference
+    * uses hours/days): object mtimes come from the storage backend's
+    * clock — on a local filesystem the kernel's coarse clock, which can
+    * lag `Instant.now()` by a tick — so a cutoff within milliseconds of
+    * "now" can misclassify a just-uploaded object as old and delete an
+    * in-flight commit's data. Reachability:
     *  - live snapshots: ancestry closure of all branch/tag tips
     *  - live manifests/tx-logs: referenced by live snapshots
     *  - live chunks: `chunk_id`s in live manifests (one Spark anti-join)

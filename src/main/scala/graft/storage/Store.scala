@@ -204,6 +204,16 @@ final case class AzureStoreConf(
   override def open(): Store = new graft.storage.az.AzureStore(this)
 }
 
+/** Read-only repository hosting over plain HTTP(S) (WebDAV PROPFIND for
+  * listing — the reference's `object_store` HTTP arm). All mutations
+  * throw; use a writable backend to author, HTTP to distribute.
+  */
+final case class HttpStoreConf(
+    endpoint: String // e.g. "https://data.example.com/repos/alpha"
+) extends StoreConf {
+  override def open(): Store = new graft.storage.http.HttpStore(this)
+}
+
 object StoreConf {
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[StoreConf, Store]()
@@ -380,8 +390,10 @@ object Store {
         opts("azure.container"),
         opts.getOrElse("azure.prefix", ""),
         opts.getOrElse("azure.sas", "")).open()
-    } else local(opts.getOrElse("path",
+    } else if (opts.contains("http.endpoint"))
+      HttpStoreConf(opts("http.endpoint")).open()
+    else local(opts.getOrElse("path",
       throw new IllegalArgumentException(
-        "option 'path' (repo root), 's3.endpoint', 'gcs.bucket', or " +
-          "'azure.container' is required")))
+        "option 'path' (repo root), 's3.endpoint', 'gcs.bucket', " +
+          "'azure.container', or 'http.endpoint' is required")))
 }

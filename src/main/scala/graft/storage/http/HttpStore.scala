@@ -1,0 +1,168 @@
+package graft.storage.http
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.charset.StandardCharsets.UTF_8
+import graft.storage.{HttpStoreConf, ObjectInfo, StatInfo, Store, StoreConf}
+
+/** READ-ONLY repository hosting over plain HTTP(S) — the analog of the
+  * reference's `object_store` HTTP arm
+  * (icechunk-arrow-object-store/src/lib.rs), which speaks WebDAV for the
+  * one operation static HTTP lacks: listing. Reads map to standard
+  * verbs — `GET` (+ `Range:` for partial reads), `HEAD` for stat — and
+  * listing to WebDAV `PROPFIND` `Depth: infinity` multistatus XML (the
+  * public protocol nginx/apache DAV modules serve). Every mutation throws
+  * `UnsupportedOperationException`: an HTTP endpoint is a distribution
+  * channel, not a writable backend, and failing loudly beats a commit
+  * half-applied through a misconfigured proxy.
+  */
+final class HttpStore(val httpConf: HttpStoreConf) extends Store {
+  import httpConf._
+
+  private val http = HttpClient.newBuilder()
+    .followRedirects(HttpClient.Redirect.NORMAL)
+    .connectTimeout(java.time.Duration.ofSeconds(30))
+    .build()
+
+  val authority: String = "http-" +
+    graft.storage.s3.SigV4.sha256Hex(endpoint.getBytes(UTF_8)).take(16)
+
+  override def rootUri: String = s"graft://$authority"
+  override def conf: StoreConf = httpConf
+
+  private def keyUri(key: String): URI = {
+    val enc = key.split("/", -1).map(seg =>
+      java.net.URLEncoder.encode(seg, UTF_8)
+        .replace("+", "%20").replace("*", "%2A").replace("%7E", "~"))
+      .mkString("/")
+    URI.create(endpoint.stripSuffix("/") + "/" + enc)
+  }
+
+  private def request(method: String, key: String,
+                      headers: Map[String, String] = Map.empty)
+      : HttpResponse[Array[Byte]] = {
+    val b = HttpRequest.newBuilder(keyUri(key))
+      .method(method, HttpRequest.BodyPublishers.noBody())
+    headers.foreach { case (k, v) => b.header(k, v) }
+    http.send(b.build(), HttpResponse.BodyHandlers.ofByteArray())
+  }
+
+  private def failed(op: String, key: String,
+                     r: HttpResponse[Array[Byte]]): Nothing =
+    throw new java.io.IOException(
+      s"http $op $key: HTTP ${r.statusCode()} " +
+        new String(r.body(), UTF_8).take(200))
+
+  private def readOnly(op: String): Nothing =
+    throw new UnsupportedOperationException(
+      s"http store is read-only: $op rejected (host repos you write " +
+        "through s3/gcs/azure/local backends; serve them over HTTP)")
+
+  // ---- reads ----
+
+  override def getBytes(key: String): Array[Byte] = {
+    val r = request("GET", key)
+    if (r.statusCode() == 200) r.body()
+    else if (r.statusCode() == 404)
+      throw new java.nio.file.NoSuchFileException(key)
+    else failed("GET", key, r)
+  }
+
+  override def getRange(key: String, offset: Long,
+                        length: Long): Array[Byte] = {
+    val range =
+      if (length <= 0) s"bytes=$offset-"
+      else s"bytes=$offset-${offset + length - 1}"
+    val r = request("GET", key, Map("Range" -> range))
+    r.statusCode() match {
+      case 206 => r.body()
+      case 200 => // server ignored Range: slice client-side
+        val all = r.body()
+        if (offset >= all.length) Array.emptyByteArray
+        else {
+          val end =
+            if (length <= 0) all.length
+            else math.min(offset + length, all.length.toLong).toInt
+          java.util.Arrays.copyOfRange(all, offset.toInt, end)
+        }
+      case 416 => Array.emptyByteArray // requested range past EOF
+      case 404 => throw new java.nio.file.NoSuchFileException(key)
+      case _ => failed("GET(range)", key, r)
+    }
+  }
+
+  override def exists(key: String): Boolean =
+    request("HEAD", key).statusCode() == 200
+
+  override def stat(key: String): Option[StatInfo] = {
+    val r = request("HEAD", key)
+    if (r.statusCode() != 200) None
+    else Some(StatInfo(
+      r.headers().firstValue("Content-Length").map[Long](_.toLong)
+        .orElse(0L),
+      r.headers().firstValue("Last-Modified").map[Long](parseHttpDate)
+        .orElse(0L),
+      r.headers().firstValue("ETag").orElse("")))
+  }
+
+  private def parseHttpDate(s: String): Long =
+    try java.time.ZonedDateTime.parse(s,
+      java.time.format.DateTimeFormatter.RFC_1123_DATE_TIME)
+      .toInstant.toEpochMilli
+    catch { case _: Exception => 0L }
+
+  // ---- listing: WebDAV PROPFIND (multistatus XML) ----
+
+  override def list(prefix: String): Seq[ObjectInfo] = {
+    val b = HttpRequest.newBuilder(keyUri(prefix))
+      .method("PROPFIND", HttpRequest.BodyPublishers.ofString(
+        """<?xml version="1.0"?><propfind xmlns="DAV:"><prop>""" +
+          "<getcontentlength/><getlastmodified/></prop></propfind>"))
+      .header("Depth", "infinity")
+      .header("Content-Type", "application/xml")
+    val r = http.send(b.build(), HttpResponse.BodyHandlers.ofByteArray())
+    if (r.statusCode() == 404) return Nil
+    if (r.statusCode() != 207) failed("PROPFIND", prefix, r)
+    val dbf = javax.xml.parsers.DocumentBuilderFactory.newInstance()
+    dbf.setNamespaceAware(true) // DAV: elements arrive ns-prefixed
+    val doc = dbf.newDocumentBuilder()
+      .parse(new java.io.ByteArrayInputStream(r.body()))
+    val responses = doc.getElementsByTagNameNS("DAV:", "response")
+    val base = URI.create(endpoint.stripSuffix("/") + "/")
+    (0 until responses.getLength).flatMap { i =>
+      val el = responses.item(i).asInstanceOf[org.w3c.dom.Element]
+      def tag(name: String): Option[String] = {
+        val ns = el.getElementsByTagNameNS("DAV:", name)
+        if (ns.getLength == 0) None else Some(ns.item(0).getTextContent)
+      }
+      val href = tag("href").getOrElse("")
+      // directories (collections) end with '/'; only files are objects.
+      // href may be an absolute URL or (more commonly) an absolute path.
+      if (href.isEmpty || href.endsWith("/")) None
+      else {
+        val path = if (href.startsWith("http")) URI.create(href).getPath
+          else href
+        val key = java.net.URLDecoder.decode(
+          path.stripPrefix(base.getPath).stripPrefix("/"), UTF_8)
+        val size = tag("getcontentlength").flatMap(_.toLongOption)
+          .getOrElse(0L)
+        val mtime = tag("getlastmodified").map(parseHttpDate).getOrElse(0L)
+        if (key.startsWith(prefix)) Some(ObjectInfo(key, size, mtime))
+        else None
+      }
+    }.sortBy(_.key)
+  }
+
+  // ---- mutations: rejected ----
+
+  override def putBytes(key: String, bytes: Array[Byte]): Unit =
+    readOnly(s"PUT $key")
+  override def putIfAbsent(key: String, bytes: Array[Byte]): Boolean =
+    readOnly(s"PUT(if-absent) $key")
+  override def delete(keys: Iterable[String]): Unit =
+    if (keys.nonEmpty) readOnly(s"DELETE ${keys.head}...")
+  override def deletePrefix(prefix: String): Unit =
+    readOnly(s"DELETE-PREFIX $prefix")
+  override def copy(srcKey: String, dstKey: String): Unit =
+    readOnly(s"COPY $srcKey")
+}

@@ -191,6 +191,99 @@ class ShuttleSpec extends SparkTestBase {
     assert(runs == 40, s"only $runs schedules explored")
   }
 
+  test("scheduled GC vs concurrent commit: no live chunk ever deleted") {
+    // the reference's gc-vs-writer protection (ops/gc.rs:360-380 age
+    // guard + retry-on-concurrent-update): garbage_collect computes
+    // liveness from one pointer read, then deletes — a commit landing
+    // anywhere inside that window must keep every chunk its snapshot
+    // references, under EVERY explored interleaving of their store ops.
+    val payload = Array.tabulate(1024)(_.toByte) // > inline threshold
+    val runs = explore(25, { store =>
+      val repo = Repository.create(store, spark)
+      // reachable base data (must survive GC even though it pre-dates
+      // the cutoff: it is live via main's ancestry)
+      val s0 = repo.writableSession("main")
+      s0.addArray("/a", Seq(8), Seq(1))
+      s0.writeChunk("/a", Seq(0), payload)
+      s0.commit("base")
+      // orphan garbage: a branch committed then deleted — its snapshot,
+      // manifest, and chunk object become unreachable
+      repo.createBranch("tmp", repo.lookupBranch("main").get)
+      val st = repo.writableSession("tmp")
+      st.writeChunk("/a", Seq(7), payload.map(b => (b ^ 0x5a).toByte))
+      st.commit("orphan")
+      repo.deleteBranch("tmp")
+      Thread.sleep(30) // mtime granularity: everything above < cutoff
+      val cutoff = java.time.Instant.now()
+      // file mtimes come from the kernel's COARSE clock, which can lag
+      // Instant.now() by a tick — settle past it so racer uploads can
+      // never stamp "before" the cutoff (at production cutoffs, hours in
+      // the past, this window does not exist; see GC.garbageCollect doc)
+      Thread.sleep(50)
+      (repo, Seq(
+        () => {
+          val s = repo.writableSession("main")
+          s.writeChunk("/a", Seq(3), payload.map(b => (b ^ 0x33).toByte))
+          s.commit("racer")
+          ()
+        },
+        () => {
+          graft.ops.GC.garbageCollect(repo, cutoff)
+          ()
+        }))
+    }) { repo =>
+      // the racer's commit is on main and every chunk of the final tip
+      // resolves — GC never deleted a live object
+      val tip = repo.readonlySession(VersionRef.Branch("main"))
+      assert(tip.getChunk("/a", Seq(0)).get.toSeq == payload.toSeq,
+        "base chunk lost to GC")
+      assert(tip.getChunk("/a", Seq(3)).isDefined, "racer chunk lost")
+      val messages = repo.ancestry(VersionRef.Branch("main")).map(_.message)
+      assert(messages.contains("racer"), "racer commit lost")
+      assert(messages.contains("base"))
+      assertOpsNewestFirst(repo)
+    }
+    assert(runs == 25, s"only $runs schedules explored")
+  }
+
+  test("scheduled expire vs concurrent commit: history cut, tip intact") {
+    val payload = Array.tabulate(600)(_.toByte)
+    val runs = explore(15, { store =>
+      val repo = Repository.create(store, spark)
+      val s0 = repo.writableSession("main")
+      s0.addArray("/a", Seq(4), Seq(1))
+      s0.writeChunk("/a", Seq(0), payload)
+      s0.commit("old-1")
+      val s1 = repo.writableSession("main")
+      s1.writeChunk("/a", Seq(1), payload)
+      s1.commit("old-2")
+      Thread.sleep(30)
+      val cutoff = java.time.Instant.now()
+      Thread.sleep(50) // coarse-clock settle (see the GC race test)
+      (repo, Seq(
+        () => {
+          val s = repo.writableSession("main")
+          s.writeChunk("/a", Seq(2), payload)
+          s.commit("fresh")
+          ()
+        },
+        () => {
+          graft.ops.GC.expire(repo, cutoff)
+          ()
+        }))
+    }) { repo =>
+      // whatever the interleaving, the branch tip stays readable and the
+      // fresh commit is never lost; expire only squashes pre-cutoff links
+      val tip = repo.readonlySession(VersionRef.Branch("main"))
+      assert(tip.getChunk("/a", Seq(0)).isDefined, "old chunk data lost")
+      assert(tip.getChunk("/a", Seq(2)).isDefined, "fresh chunk lost")
+      val messages = repo.ancestry(VersionRef.Branch("main")).map(_.message)
+      assert(messages.contains("fresh"), "fresh commit lost")
+      assertOpsNewestFirst(repo)
+    }
+    assert(runs == 15, s"only $runs schedules explored")
+  }
+
   test("scheduled 2-committer races: every interleaving keeps both commits") {
     val runs = explore(10, { store =>
       val repo = Repository.create(store, spark)

@@ -397,6 +397,87 @@ class S3RepositorySpec extends SparkTestBase {
       assert(repo.opsLog().nonEmpty) // stops cleanly at pruned horizon
     } finally server.stop()
   }
+
+  // ---- read-only HTTP backend (WebDAV listing; mutations rejected) ----
+
+  test("http: read-path conformance against the WebDAV stub") {
+    val server = new graft.storage.http.HttpMemServer
+    try {
+      val payload = Array.tabulate[Byte](10000)(i => (i % 251).toByte)
+      server.put("a/b/obj1", payload)
+      (0 until 25).foreach(i => server.put(f"list/k$i%03d", Array[Byte](1)))
+      server.put("other/x", Array[Byte](1))
+      val store = HttpStoreConf(server.endpoint).open()
+
+      // whole + ranged + split reads
+      assert(store.getBytes("a/b/obj1").toSeq == payload.toSeq)
+      assert(store.getRange("a/b/obj1", 100, 16).toSeq ==
+        payload.slice(100, 116).toSeq)
+      assert(store.getRange("a/b/obj1", 9990, 100).toSeq ==
+        payload.slice(9990, 10000).toSeq) // range past EOF truncates
+      assert(store.getRange("a/b/obj1", 20000, 10).isEmpty) // fully past
+      assert(store.getRangeSplit("a/b/obj1", 0, 10000, idealBytes = 1024)
+        .toSeq == payload.toSeq)
+      assert(server.opCounts.get("ranged_get").get() >= 10) // split real
+
+      // existence + stat via HEAD
+      assert(store.exists("a/b/obj1"))
+      assert(!store.exists("a/b/nope"))
+      intercept[Exception](store.getBytes("a/b/nope"))
+      val st = store.stat("a/b/obj1").get
+      assert(st.size == 10000 && st.etag.nonEmpty)
+
+      // WebDAV listing + derived paged listing
+      assert(store.list("list/").size == 25)
+      val p1 = store.listPage("list/", None, 10)
+      assert(p1.map(_.key) == (0 until 10).map(i => f"list/k$i%03d"))
+      val p2 = store.listPage("list/", Some(p1.last.key), 10)
+      assert(p2.map(_.key) == (10 until 20).map(i => f"list/k$i%03d"))
+      assert(store.list("nope/").isEmpty)
+
+      // every mutation rejected loudly — and none reached the server
+      intercept[UnsupportedOperationException](
+        store.putBytes("new", Array[Byte](1)))
+      intercept[UnsupportedOperationException](
+        store.putIfAbsent("new", Array[Byte](1)))
+      intercept[UnsupportedOperationException](store.delete(Seq("a/b/obj1")))
+      intercept[UnsupportedOperationException](store.deletePrefix("a/"))
+      intercept[UnsupportedOperationException](store.copy("a/b/obj1", "c"))
+      assert(store.exists("a/b/obj1"))
+    } finally server.stop()
+  }
+
+  test("http: a repo authored on local FS serves read-only over HTTP") {
+    // author with a writable backend...
+    val dir = tmpDir("http-repo")
+    val local = Store.local(dir)
+    val repo = Repository.create(local, spark)
+    val s = repo.writableSession("main")
+    s.addArray("/cube", Seq(8, 8), Seq(4, 4))
+    for (i <- 0 until 2; j <- 0 until 2)
+      s.writeChunk("/cube", Seq(i, j),
+        Array.fill[Byte](2048)((i * 2 + j).toByte))
+    s.commit("authored locally")
+    // ...mirror the objects to a static host...
+    val server = new graft.storage.http.HttpMemServer
+    try {
+      local.list("").foreach(o => server.put(o.key, local.getBytes(o.key)))
+      // ...and open + read the repo over HTTP: pointer discovery
+      // (PROPFIND), snapshot/manifest reads (graft:// over ranged GETs),
+      // chunk reads
+      val httpRepo = Repository.open(HttpStoreConf(server.endpoint).open(),
+        spark)
+      val ro = httpRepo.readonlySession(VersionRef.Branch("main"))
+      assert(ro.refs("/cube").count() == 4)
+      assert(ro.getChunk("/cube", Seq(1, 1)).get.head == 3.toByte)
+      assert(httpRepo.ancestry(VersionRef.Branch("main"))
+        .map(_.message).contains("authored locally"))
+      // a write session fails at the first mutation, loudly
+      val ws = httpRepo.writableSession("main")
+      ws.addGroup("/g")
+      intercept[Exception](ws.commit("should fail"))
+    } finally server.stop()
+  }
 }
 
 /** JVM-wide chunk-byte LRU (CachingConfig.num_bytes_chunks analog). */
