@@ -351,6 +351,20 @@ final class AssetManager(val store: Store, spark: SparkSession) {
   def readTxLog(snapshotId: String): DataFrame =
     spark.read.parquet(store.uri(Layout.txLogPrefix(snapshotId)))
 
+  /** One commit's tx-log rows read entirely DRIVER-side (no Spark job),
+    * when the log is small enough to hold in memory — the common case for
+    * interactive commits, and what keeps rebase retry loops job-free.
+    * None ⇒ too large, use [[readTxLog]].
+    */
+  def readTxLogRowsDriver(snapshotId: String,
+      maxBytes: Long = 8L * 1024 * 1024): Option[Seq[EditRow]] = {
+    val files = store.list(Layout.txLogPrefix(snapshotId) + "/")
+      .filter(_.key.endsWith(".parquet"))
+    if (files.isEmpty || files.map(_.size).sum > maxBytes) None
+    else Some(files.flatMap(f =>
+      DriverParquet.readEditRows(store.getBytes(f.key))))
+  }
+
   def txLogExists(snapshotId: String): Boolean =
     store.list(Layout.txLogPrefix(snapshotId)).nonEmpty
 

@@ -142,6 +142,38 @@ object DriverParquet {
     } finally Files.deleteIfExists(tmp)
   }
 
+  /** Read one tx-log data file (either writer's output) back into
+    * [[EditRow]]s — feeds driver-side conflict detection on rebase.
+    */
+  def readEditRows(bytes: Array[Byte]): Seq[EditRow] = {
+    val tmp = Files.createTempFile("graft-driver-tx", ".parquet")
+    try {
+      Files.write(tmp, bytes)
+      val reader = ParquetReader
+        .builder(new GroupReadSupport(),
+          new org.apache.hadoop.fs.Path(tmp.toUri))
+        .withConf(new org.apache.hadoop.conf.Configuration())
+        .build()
+      try {
+        val out = Vector.newBuilder[EditRow]
+        var g = reader.read()
+        while (g != null) {
+          val coord =
+            if (g.getFieldRepetitionCount("coord") == 0) null
+            else {
+              val lg = g.getGroup("coord", 0)
+              (0 until lg.getFieldRepetitionCount("list"))
+                .map(i => lg.getGroup("list", i).getInteger("element", 0))
+            }
+          out += EditRow(optStr(g, "edit"), optStr(g, "node_id"),
+            optStr(g, "path"), coord, optStr(g, "to_path"))
+          g = reader.read()
+        }
+        out.result()
+      } finally reader.close()
+    } finally Files.deleteIfExists(tmp)
+  }
+
   private def optStr(g: Group, field: String): String =
     if (g.getFieldRepetitionCount(field) == 0) null
     else g.getString(field, 0)

@@ -597,6 +597,8 @@ final class Session private[repo] (
 
     var newRefs: Map[String, Seq[ManifestRef]] = Map.empty
     var touchedSplits: Map[String, Set[Int]] = Map.empty
+    // Spark-path flush cache (bucketed changeset), released before return
+    var flushCached: Option[DataFrame] = None
 
     // ---- small-commit fast path: point-only changesets merge + write
     // entirely DRIVER-side (no Spark job anywhere in the flush) — the
@@ -642,7 +644,14 @@ final class Session private[repo] (
         newRefs = assets.writeManifestShardsDriver(manifestId, shards)
       }
     } else if (changedIds.nonEmpty) {
-      val changes = changeSet.chunkChanges(spark)
+      // persist the resolved changeset for the flush's duration: the
+      // precedence window behind chunkChanges otherwise re-shuffles for
+      // the touched-splits collect, the manifest write, AND the tx log —
+      // 3 recomputations per flush (released before flushInternal returns)
+      val changesAll = changeSet.chunkChanges(spark)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      flushCached = Some(changesAll)
+      val changes = changesAll
         .filter(col("node_id").isin(changedIds.toSeq: _*))
       // manifest split bucketing (config DSL — config.rs:168-263)
       val splitSpecs = changedIds.toSeq.map { id =>
@@ -751,7 +760,8 @@ final class Session private[repo] (
       nodes = effective,
       manifests = manifests)
     assets.writeSnapshot(snapshot)
-    writeTxLog(snapshot, changedIds, mergeTxLogOf)
+    try writeTxLog(snapshot, changedIds, mergeTxLogOf, flushCached)
+    finally flushCached.foreach(_.unpersist(false))
     snapshot
   }
 
@@ -759,7 +769,8 @@ final class Session private[repo] (
     * driver-known; chunk edit coords stream from the changeset DataFrame.
     */
   private def writeTxLog(snapshot: Snapshot, changedIds: Set[String],
-                         mergeTxLogOf: Option[String] = None): Unit = {
+                         mergeTxLogOf: Option[String] = None,
+                         cachedChanges: Option[DataFrame] = None): Unit = {
     val pathOf = (nodes ++ baseSnapshot.nodes).map(n => n.id -> n.path).toMap
     val nodeEdits =
       changeSet.newNodes.values.map(n => EditRow.node(
@@ -792,7 +803,9 @@ final class Session private[repo] (
             r.coord)))(editRowEnc).toDF()
       else {
         val pathDf = spark.createDataset(pathOf.toSeq)(strPairEnc).toDF("node_id", "path")
-        changeSet.chunkChanges(spark)
+        // reuse the flush's persisted changeset when available — the
+        // precedence window is expensive and already materialized
+        cachedChanges.getOrElse(changeSet.chunkChanges(spark))
           .select("node_id", "coord")
           .join(broadcast(pathDf), Seq("node_id"), "left")
           .select(lit(EditRow.Chunk).as("edit"), col("node_id"), col("path"),
@@ -876,7 +889,14 @@ final class Session private[repo] (
         cleanupStaging() // refs are in the manifest now
         return snapshot.id
       }
-      // lost the CAS race — reload and retry (with rebase if needed)
+      // lost the CAS race — reload and retry (with rebase if needed),
+      // after a short jittered backoff so N racers don't convoy: without
+      // it, a loser that reloads instantly keeps colliding with the same
+      // peers while the winner's successor is already committing
+      // (ops/gc.rs retry-on-concurrent-update uses the same pattern)
+      Thread.sleep(
+        math.min(200L, 10L << math.min(attempts, 4)) +
+          scala.util.Random.nextInt(25))
     }
     throw new ConflictException(
       s"commit failed after ${cfg.commitRetries} attempts on $branchName")

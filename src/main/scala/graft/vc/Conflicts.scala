@@ -40,6 +40,88 @@ object ConflictDetector {
       .select("edit", "node_id", "path", "to_path").collect()
       .map(r => (r.getString(0), r.getString(1), r.getString(2),
         r.getString(3)))
+    val out = nodeConflicts(session, theirNodeEdits)
+
+    // chunk-level conflicts (semi join over the edit DataFrames)
+    if (cs.hasChunkChanges) {
+      val theirUpdated = theirNodeEdits.collect {
+        case (e, id, p, _) if e == EditRow.UpdateArray ||
+          e == EditRow.UpdateGroup => (id, p, e)
+      }
+      val theirDeleted = theirNodeEdits.collect {
+        case (e, id, p, _) if e == EditRow.DeleteArray ||
+          e == EditRow.DeleteGroup => (id, p)
+      }
+      val ours = cs.chunkChanges(spark).select("node_id", "coord")
+      val theirChunks = theirLog.filter(col("edit") === EditRow.Chunk)
+      // double update: same (node, coord) written on both sides
+      val doubles = ours.join(theirChunks.select("node_id", "coord"),
+          Seq("node_id", "coord"), "left_semi")
+        .groupBy("node_id").count().collect()
+      out ++= doubles.map(r => Conflict(Conflict.ChunkDoubleUpdate,
+        "", r.getString(0), r.getLong(1)))
+      // chunks written into arrays they deleted / updated (point-only
+      // changesets know their node set driver-side — no Spark job)
+      val ourChunkNodes =
+        if (cs.pointOnly) cs.resolvedPointEdits.map(_.node_id).toSet
+        else ours.select("node_id").distinct()
+          .collect().map(_.getString(0)).toSet
+      out ++= chunkNodeConflicts(ourChunkNodes, theirDeleted, theirUpdated)
+    }
+    out.toSeq
+  }
+
+  /** Fully driver-side detection: our changeset is point-only (coords in
+    * memory) and their tx log arrived as in-memory rows (small commits
+    * write driver-readable logs) — zero Spark jobs per rebase pass, the
+    * difference between an interactive retry loop and a job queue.
+    */
+  def detectLocal(session: Session, theirRows: Seq[EditRow]): Seq[Conflict] = {
+    val cs = session.changeSet
+    require(cs.pointOnly, "detectLocal requires a point-only changeset")
+    val theirNodeEdits = theirRows.filter(_.edit != EditRow.Chunk)
+      .map(r => (r.edit, r.node_id, r.path, r.to_path)).toArray
+    val out = nodeConflicts(session, theirNodeEdits)
+    if (cs.hasChunkChanges) {
+      val theirUpdated = theirNodeEdits.collect {
+        case (e, id, p, _) if e == EditRow.UpdateArray ||
+          e == EditRow.UpdateGroup => (id, p, e)
+      }
+      val theirDeleted = theirNodeEdits.collect {
+        case (e, id, p, _) if e == EditRow.DeleteArray ||
+          e == EditRow.DeleteGroup => (id, p)
+      }
+      val theirChunkKeys = theirRows.filter(_.edit == EditRow.Chunk)
+        .map(r => (r.node_id, r.coord: Seq[Int])).toSet
+      val doubles = cs.resolvedPointEdits
+        .filter(r => theirChunkKeys.contains((r.node_id, r.coord)))
+        .groupBy(_.node_id)
+      out ++= doubles.map { case (id, rs) =>
+        Conflict(Conflict.ChunkDoubleUpdate, "", id, rs.size.toLong) }
+      val ourChunkNodes = cs.resolvedPointEdits.map(_.node_id).toSet
+      out ++= chunkNodeConflicts(ourChunkNodes, theirDeleted, theirUpdated)
+    }
+    out.toSeq
+  }
+
+  private def chunkNodeConflicts(ourChunkNodes: Set[String],
+      theirDeleted: Array[(String, String)],
+      theirUpdated: Array[(String, String, String)])
+      : Seq[Conflict] = {
+    val out = scala.collection.mutable.ArrayBuffer[Conflict]()
+    for ((id, p) <- theirDeleted if ourChunkNodes.contains(id))
+      out += Conflict(Conflict.ChunksUpdatedInDeletedArray, p, id)
+    for ((id, p, e) <- theirUpdated
+         if e == EditRow.UpdateArray && ourChunkNodes.contains(id))
+      out += Conflict(Conflict.ChunksUpdatedInUpdatedArray, p, id)
+    out.toSeq
+  }
+
+  /** Node-level conflict classes (driver-held on both sides). */
+  private def nodeConflicts(session: Session,
+      theirNodeEdits: Array[(String, String, String, String)])
+      : scala.collection.mutable.ArrayBuffer[Conflict] = {
+    val cs = session.changeSet
     val theirNewPaths = theirNodeEdits.collect {
       case (e, _, p, _) if e == EditRow.NewArray || e == EditRow.NewGroup => p
     }.toSet
@@ -90,29 +172,7 @@ object ConflictDetector {
         if (t == graft.meta.NodeSpec.Array) Conflict.DeleteOfUpdatedArray
         else Conflict.DeleteOfUpdatedGroup, p, "")
 
-    // chunk-level conflicts
-    if (cs.hasChunkChanges) {
-      val ours = cs.chunkChanges(spark).select("node_id", "coord")
-      val theirChunks = theirLog.filter(col("edit") === EditRow.Chunk)
-      // double update: same (node, coord) written on both sides
-      val doubles = ours.join(theirChunks.select("node_id", "coord"),
-          Seq("node_id", "coord"), "left_semi")
-        .groupBy("node_id").count().collect()
-      out ++= doubles.map(r => Conflict(Conflict.ChunkDoubleUpdate,
-        "", r.getString(0), r.getLong(1)))
-      // chunks written into arrays they deleted / updated (point-only
-      // changesets know their node set driver-side — no Spark job)
-      val ourChunkNodes =
-        if (cs.pointOnly) cs.resolvedPointEdits.map(_.node_id).toSet
-        else ours.select("node_id").distinct()
-          .collect().map(_.getString(0)).toSet
-      for ((id, p) <- theirDeleted if ourChunkNodes.contains(id))
-        out += Conflict(Conflict.ChunksUpdatedInDeletedArray, p, id)
-      for ((id, p, e) <- theirUpdated
-           if e == EditRow.UpdateArray && ourChunkNodes.contains(id))
-        out += Conflict(Conflict.ChunksUpdatedInUpdatedArray, p, id)
-    }
-    out.toSeq
+    out
   }
 }
 
@@ -202,9 +262,29 @@ object Rebase {
     if (missed.isEmpty) return
     missed.foreach { snapId =>
       if (assets.txLogExists(snapId)) {
-        val theirLog = assets.readTxLog(snapId)
-        val conflicts = ConflictDetector.detect(session, theirLog)
-        if (conflicts.nonEmpty) solver.solve(session, theirLog, conflicts)
+        // driver fast path: point-only changeset + small tx log ⇒ detect
+        // in memory, zero Spark jobs per rebase pass; the solver gets a
+        // local DataFrame only if it actually has conflicts to resolve
+        val localRows =
+          if (session.changeSet.pointOnly)
+            assets.readTxLogRowsDriver(snapId)
+          else None
+        localRows match {
+          case Some(rows) =>
+            val conflicts = ConflictDetector.detectLocal(session, rows)
+            if (conflicts.nonEmpty) {
+              val spark = session.repo.spark
+              import graft.meta.GraftEncoders.editRowEnc
+              solver.solve(session,
+                spark.createDataset(rows.toVector)(editRowEnc).toDF(),
+                conflicts)
+            }
+          case None =>
+            val theirLog = assets.readTxLog(snapId)
+            val conflicts = ConflictDetector.detect(session, theirLog)
+            if (conflicts.nonEmpty)
+              solver.solve(session, theirLog, conflicts)
+        }
       } else
         // expired ancestor: its tx log was pruned, rebase cannot see what
         // changed (pruned_ancestor_tx_logs, session.rs:1981-2009)

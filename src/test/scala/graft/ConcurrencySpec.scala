@@ -53,9 +53,12 @@ class ConcurrencySpec extends SparkTestBase {
 
     val pool = Executors.newFixedThreadPool(4)
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
-    val futures = (0 until 4).map { w =>
+    // sessions open BEFORE the race: a session opened after the winner's
+    // commit would base on the new tip and commit cleanly (no conflict to
+    // detect) — the test is about concurrent sessions from the SAME base
+    val sessions = (0 until 4).map(_ => repo.writableSession("main"))
+    val futures = sessions.zipWithIndex.map { case (s, w) =>
       Future {
-        val s = repo.writableSession("main")
         s.writeChunk("/a", Seq(3), Array[Byte](w.toByte)) // same cell!
         try {
           s.commit(s"racer $w", solver = graft.vc.BasicConflictSolver(
@@ -100,8 +103,14 @@ class ConcurrencySpec extends SparkTestBase {
     assert(repo.listTags().toSet == Set("t0", "t1", "t2"))
     assert(repo.readonlySession(VersionRef.Branch("main"))
       .refs("/a").count() == 3)
-    // ops log monotone (shuttle invariant, test_shuttle.rs:28-41)
-    val ts = repo.opsLog().map(_.ts)
-    assert(ts == ts.sorted.reverse)
+    // ops log monotone (shuttle invariant, test_shuttle.rs:28-41).
+    // Compare PARSED instants: Instant.toString drops trailing zero
+    // nanos, so raw-string order diverges from time order at precision
+    // boundaries ("...123Z" sorts after "...1234Z").
+    val ts = repo.opsLog().map(e => java.time.Instant.parse(e.ts))
+    ts.sliding(2).foreach {
+      case Seq(a, b) => assert(!a.isBefore(b), s"ops log out of order: $a before $b")
+      case _ => ()
+    }
   }
 }
