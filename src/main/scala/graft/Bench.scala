@@ -262,12 +262,53 @@ object Bench {
       r
     }
 
+    // JIT/codegen warmup of the WRITE paths before any measured pass: the
+    // query section above warms the read machinery, but the values-write
+    // stack (writer codegen, parquet-mr, commit) otherwise compiles
+    // inside pass 1 and skews its median entry by 3-5×
+    if (sys.env.getOrElse("SPARK_GRAFT_BENCH_WARM", "1") == "1") {
+      val wdir = java.nio.file.Files.createTempDirectory("graft-bench-warm")
+      try {
+        val repo = Repository.create(Store.local(wdir.toString), spark,
+          GraftConfig())
+        val s = repo.writableSession("main")
+        s.addArray("/w", Seq(32, 32, 32), Seq(4, 32, 32))
+        s.addArray("/w2", Seq(32, 32, 32), Seq(4, 32, 32),
+          userData = """{"dtype":"int64"}""")
+        s.commit("warm")
+        val cells = spark.range(32L * 32 * 32).selectExpr(
+          "id div 1024 as i0", "(id div 32) % 32 as i1", "id % 32 as i2",
+          "id as value")
+        cells.selectExpr("*", "i0 div 4 as _c0", "0L as _c1", "0L as _c2")
+          .write.format("graft-v2")
+          .option("path", wdir.toString).option("array", "/w")
+          .option("mode", "values").option("dtype", "int64")
+          .option("clustered", "true").mode("append").save()
+        spark.conf.set("spark.sql.catalog.graftwarm",
+          classOf[graft.sources.GraftCatalog].getName)
+        spark.conf.set("spark.sql.catalog.graftwarm.path", wdir.toString)
+        cells.createOrReplaceTempView("warm_cells")
+        spark.sql("INSERT INTO graftwarm.w2 SELECT * FROM warm_cells")
+      } catch { case t: Throwable =>
+        System.err.println(s"[bench] write warmup failed: $t")
+      } finally {
+        try org.apache.commons.io.FileUtils.deleteDirectory(wdir.toFile)
+        catch { case _: Throwable => () }
+        resetCaches()
+      }
+    }
+
     // engine workloads must never take the query timings down with them:
     // any failure below still leaves a complete JSON line for the driver
     val passes = (0 until reps).flatMap { rep =>
       val dir = java.nio.file.Files.createTempDirectory(s"graft-bench-$rep")
       val out =
-        try Some(enginePass(dir, rep))
+        try {
+          val r = enginePass(dir, rep)
+          System.err.println(s"[bench] pass $rep: " + r.map {
+            case (k, v) => f"$k=$v%.2f" }.mkString(" "))
+          Some(r)
+        }
         catch { case t: Throwable =>
           System.err.println(s"[bench] engine pass $rep aborted: $t"); None }
         finally {

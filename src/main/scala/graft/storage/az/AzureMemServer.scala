@@ -187,13 +187,16 @@ final class AzureMemServer {
     val xml = new String(ex.getRequestBody.readAllBytes(), UTF_8)
     val ids = "<Latest>([^<]*)</Latest>".r.findAllMatchIn(xml)
       .map(_.group(1)).toVector
-    val parts = ids.map(id =>
-      Option(stagedBlocks.remove((container, name, id))))
-    if (parts.exists(_.isEmpty)) {
+    // validate BEFORE consuming: a failed commit leaves every staged
+    // block in place (as production does — the client may retry with a
+    // corrected list)
+    if (ids.exists(id => !stagedBlocks.containsKey((container, name, id)))) {
       respond(ex, 400, xmlError("InvalidBlockList", name)); return
     }
+    val parts = ids.flatMap(id =>
+      Option(stagedBlocks.remove((container, name, id))))
     val out = new java.io.ByteArrayOutputStream()
-    parts.flatten.foreach(out.write)
+    parts.foreach(out.write)
     val data = out.toByteArray
     blobs.put(name, Blob(data, Instant.now(),
       "\"" + graft.storage.s3.SigV4.sha256Hex(data).take(32) + "\""))

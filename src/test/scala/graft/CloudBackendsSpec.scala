@@ -223,6 +223,73 @@ class CloudBackendsSpec extends SparkTestBase {
     } finally { gcs.stop(); az.stop() }
   }
 
+  test("azure block list: blob assembles in LIST order, unstaged id is 400") {
+    // raw-protocol vector: Put Block / Put Block List semantics the
+    // client relies on — the committed blob is the concatenation in
+    // BLOCK-LIST order (not upload order), and a list naming an unstaged
+    // id fails whole (nothing committed)
+    val server = new AzureMemServer
+    server.createContainer("bl")
+    try {
+      val http = java.net.http.HttpClient.newHttpClient()
+      def put(url: String, body: Array[Byte]): Int =
+        http.send(java.net.http.HttpRequest.newBuilder(
+            java.net.URI.create(url))
+          .PUT(java.net.http.HttpRequest.BodyPublishers.ofByteArray(body))
+          .build(), java.net.http.HttpResponse.BodyHandlers.discarding())
+          .statusCode()
+      val base = s"${server.endpoint}/bl/obj"
+      // stage B FIRST, then A — upload order must not matter
+      assert(put(s"$base?comp=block&blockid=QjI%3D", "BBBB".getBytes) == 201)
+      assert(put(s"$base?comp=block&blockid=QTE%3D", "AAAA".getBytes) == 201)
+      // a list naming an unstaged id fails whole and consumes NOTHING —
+      // the same staged blocks then commit with a corrected list
+      assert(put(s"$base?comp=blocklist",
+        ("<?xml version=\"1.0\"?><BlockList><Latest>QTE=</Latest>" +
+          "<Latest>nope</Latest></BlockList>").getBytes) == 400)
+      assert(put(s"$base?comp=blocklist",
+        ("<?xml version=\"1.0\"?><BlockList><Latest>QTE=</Latest>" +
+          "<Latest>QjI=</Latest></BlockList>").getBytes) == 201)
+      val got = http.send(java.net.http.HttpRequest.newBuilder(
+          java.net.URI.create(base)).GET().build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString()).body()
+      assert(got == "AAAABBBB") // list order, not upload order
+    } finally server.stop()
+  }
+
+  test("gcs resumable: 308 echoes received range; wrong resume offset is 400") {
+    val server = new GcsMemServer
+    server.createBucket("rv")
+    try {
+      val http = java.net.http.HttpClient.newHttpClient()
+      val init = http.send(java.net.http.HttpRequest.newBuilder(
+          java.net.URI.create(s"${server.endpoint}/upload/storage/v1/b/rv/o" +
+            "?uploadType=resumable&name=big"))
+        .POST(java.net.http.HttpRequest.BodyPublishers.noBody()).build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+      assert(init.statusCode() == 200)
+      val session = init.headers().firstValue("Location").get()
+      val quantum = 256 * 1024
+      val total = quantum + 1000
+      def putChunk(from: Int, to: Int, body: Array[Byte]) =
+        http.send(java.net.http.HttpRequest.newBuilder(
+            java.net.URI.create(session))
+          .PUT(java.net.http.HttpRequest.BodyPublishers.ofByteArray(body))
+          .header("Content-Range", s"bytes $from-$to/$total")
+          .build(), java.net.http.HttpResponse.BodyHandlers.ofString())
+      val c1 = putChunk(0, quantum - 1, new Array[Byte](quantum))
+      assert(c1.statusCode() == 308)
+      // 308 echoes the byte range received so far (resume protocol)
+      assert(c1.headers().firstValue("Range").get() ==
+        s"bytes=0-${quantum - 1}")
+      // resuming at the wrong offset is 400 (server tracks received size)
+      assert(putChunk(1000, 1999, new Array[Byte](1000)).statusCode() == 400)
+      // correct final chunk completes the object
+      assert(putChunk(quantum, total - 1,
+        new Array[Byte](1000)).statusCode() == 200)
+    } finally server.stop()
+  }
+
   test("gcs resumable upload rounds an unaligned chunk size to 256 KiB") {
     val server = new GcsMemServer
     server.createBucket("rs")
