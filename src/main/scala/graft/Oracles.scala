@@ -465,5 +465,17 @@ object Oracles {
         |    AS audio_duration_s,
         |  round(CAST(1000 + (doc_id % 7) * 100 AS DOUBLE), 4) AS audio_rms,
         |  CAST(1000 + (doc_id % 7) * 100 AS DOUBLE) AS audio_peak
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // the Spark side synthesizes an MJPEG AVI per doc (k = doc_id%3+2
+    // frames at 16x16, 25 fps), walks the RIFF container and JPEG-decodes
+    // every 2nd frame — container facts are exact arithmetic
+    "q_video_frames" ->
+      """SELECT doc_id,
+        |  16 AS video_width,
+        |  16 AS video_height,
+        |  CAST(25 AS DOUBLE) AS video_fps,
+        |  CAST((doc_id % 3) + 2 AS INT) AS video_frames,
+        |  CAST(((doc_id % 3) + 2 + 1) // 2 AS INT) AS video_decoded_frames
         |FROM documents ORDER BY doc_id""".stripMargin)
 }

@@ -614,6 +614,36 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** REAL video decode end-to-end: per doc, synthesize an MJPEG-in-AVI
+    * (k solid-gray JPEG frames, k = doc_id%3+2), walk the RIFF container
+    * and JPEG-decode every 2nd frame. Container facts (dimensions, fps
+    * from the stream header, frame counts) are exact closed-form
+    * arithmetic for the oracle; pixel-level accuracy is asserted with a
+    * JPEG tolerance in PipelineSpec (lossy codec — not oracle material).
+    */
+  val q_video_frames: Q = (s, d) => {
+    val synth = udf((id: Long) => {
+      val k = (id % 3).toInt + 2
+      val frames = (0 until k).map { i =>
+        val lum = ((id * 10 + i * 40) % 256).toInt
+        val img = new java.awt.image.BufferedImage(16, 16,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val rgb = (lum << 16) | (lum << 8) | lum
+        for (y <- 0 until 16; x <- 0 until 16) img.setRGB(x, y, rgb)
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "jpg", bos)
+        bos.toByteArray
+      }
+      Multimodal.aviMjpeg(frames, 16, 16, 25)
+    })
+    Multimodal.videoFeatures(
+        t(s, d, "documents").select(col("doc_id"))
+          .withColumn("avi", synth(col("doc_id"))), "avi", stride = 2)
+      .select(col("doc_id"), col("video_width"), col("video_height"),
+        col("video_fps"), col("video_frames"), col("video_decoded_frames"))
+      .orderBy("doc_id")
+  }
+
   // insertion-ordered: Verify/Bench iterate this map, and a stable entry
   // order is what makes bench runs comparable round-over-round
   val all: Map[String, Q] = scala.collection.immutable.ListMap(
@@ -662,5 +692,6 @@ object Queries {
     "q_multimodal_meta" -> q_multimodal_meta,
     "q_frame_sample" -> q_frame_sample,
     "q_multimodal_features" -> q_multimodal_features,
-    "q_multimodal_audio" -> q_multimodal_audio)
+    "q_multimodal_audio" -> q_multimodal_audio,
+    "q_video_frames" -> q_video_frames)
 }

@@ -6,16 +6,15 @@ import org.apache.spark.sql.functions._
 /** Multimodal-column plumbing: image/audio/video as opaque BINARY columns
   * with typed metadata, processed in batched per-partition passes.
   *
-  * Image decode is REAL for the formats the JDK ships codecs for
-  * (PNG/JPEG/BMP/GIF via `javax.imageio` — [[decodeImage]] /
-  * [[imageFeatures]]), and audio decode is REAL for PCM containers
-  * (WAV/AIFF/AU via `javax.sound.sampled` — [[decodeAudio]] /
-  * [[audioFeatures]]). Video codecs are NOT available in this
-  * environment, so that decode step is a clearly-marked deterministic
-  * STUB (`fakeDecode*` / [[sampleFrames]]); the Spark-side plumbing —
-  * schema, batch shape, partitioning, feature extraction over the decoded
-  * buffer — is real and tested. Swapping the stub for a JNI/FFmpeg
-  * decoder changes one function.
+  * Decode is REAL for everything the pure JVM can handle:
+  * images (PNG/JPEG/BMP/GIF via `javax.imageio` — [[decodeImage]] /
+  * [[imageFeatures]]), audio (WAV/AIFF/AU PCM via `javax.sound.sampled`
+  * — [[decodeAudio]] / [[audioFeatures]]), and video for MJPEG-in-AVI
+  * (RIFF container walk + per-frame JPEG decode — [[decodeVideoMjpeg]] /
+  * [[videoFeatures]]). Other video codecs need an FFmpeg binding this
+  * container lacks; the generic byte-plumbing stubs (`fakeDecode*` /
+  * [[sampleFrames]]) remain for payloads with no installed decoder, and
+  * swapping in a JNI decoder changes one function.
   */
 object Multimodal {
 
@@ -176,6 +175,172 @@ object Multimodal {
       .drop("_aud")
   }
 
+  /** Decoded video summary: container facts + per-sampled-frame mean
+    * luminance (REAL decode of each sampled frame).
+    */
+  final case class DecodedVideo(width: Int, height: Int, fps: Double,
+      n_frames: Int, decoded_frames: Int, frame_means: Seq[Double])
+
+  /** Minimal MJPEG-in-AVI writer (RIFF 'AVI ' with 'hdrl' headers and a
+    * 'movi' list of '00dc' JPEG frames) — the deterministic synthesis
+    * side of the video tests, and a "JPEG frames → playable container"
+    * utility. Every frame must be a complete JPEG image.
+    */
+  def aviMjpeg(frames: Seq[Array[Byte]], width: Int, height: Int,
+               fps: Int): Array[Byte] = {
+    def chunk(fourcc: String, body: Array[Byte]): Array[Byte] = {
+      val padded = if (body.length % 2 == 1) body :+ 0.toByte else body
+      val b = java.nio.ByteBuffer.allocate(8 + padded.length)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put(fourcc.getBytes).putInt(body.length).put(padded)
+      b.array()
+    }
+    def list(kind: String, body: Array[Byte]): Array[Byte] =
+      chunk("LIST", kind.getBytes ++ body)
+    val avih = {
+      val b = java.nio.ByteBuffer.allocate(56)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.putInt(1000000 / fps).putInt(0).putInt(0).putInt(0)
+      b.putInt(frames.size).putInt(0).putInt(1).putInt(0)
+      b.putInt(width).putInt(height)
+      b.array() // 16 reserved bytes stay zero
+    }
+    val strh = {
+      val b = java.nio.ByteBuffer.allocate(56)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put("vids".getBytes).put("MJPG".getBytes)
+      b.putInt(0).putInt(0).putInt(0)
+      b.putInt(1).putInt(fps) // dwScale / dwRate: fps = rate/scale
+      b.putInt(0).putInt(frames.size).putInt(0).putInt(-1).putInt(0)
+      b.putShort(0).putShort(0)
+        .putShort(width.toShort).putShort(height.toShort)
+      b.array()
+    }
+    val strf = {
+      val b = java.nio.ByteBuffer.allocate(40)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.putInt(40).putInt(width).putInt(height).putShort(1).putShort(24)
+      b.put("MJPG".getBytes).putInt(width * height * 3)
+      b.putInt(0).putInt(0).putInt(0).putInt(0)
+      b.array()
+    }
+    val hdrl = list("hdrl", chunk("avih", avih) ++
+      list("strl", chunk("strh", strh) ++ chunk("strf", strf)))
+    val movi = list("movi",
+      frames.flatMap(f => chunk("00dc", f)).toArray)
+    chunk("RIFF", "AVI ".getBytes ++ hdrl ++ movi)
+  }
+
+  /** REAL video decode for MJPEG-in-AVI (the one video codec the pure
+    * JVM can handle: RIFF container walking + per-frame JPEG decode via
+    * `javax.imageio`): container facts (dimensions, fps from the stream
+    * header's rate/scale, frame count) plus mean luminance of every
+    * `stride`-th frame, each frame ACTUALLY decoded. Other containers /
+    * codecs return null — swapping in an FFmpeg binding widens the
+    * format matrix without touching the plumbing.
+    */
+  def decodeVideoMjpeg(bytes: Array[Byte], stride: Int): DecodedVideo = {
+    if (bytes == null || bytes.length < 12) return null
+    val buf = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def fourcc(): String = {
+      val a = new Array[Byte](4); buf.get(a); new String(a, "US-ASCII")
+    }
+    if (fourcc() != "RIFF") return null
+    buf.getInt // riff size
+    if (fourcc() != "AVI ") return null
+    var width, height, nFrames = 0
+    var scale, rate = 0
+    val frames = Vector.newBuilder[Array[Byte]]
+    // walk the chunk tree; LISTs of interest ('hdrl'/'strl'/'movi')
+    // recurse, everything else skips by size
+    def walk(end: Int): Unit = {
+      while (buf.position() + 8 <= end) {
+        val start = buf.position()
+        val id = fourcc()
+        val size = buf.getInt
+        if (size < 0 || start + 8 + size > bytes.length) return // malformed
+        val next = start + 8 + size + (size % 2)
+        id match {
+          case "LIST" =>
+            val kind = fourcc()
+            if (kind == "hdrl" || kind == "strl" || kind == "movi")
+              walk(buf.position() + size - 4)
+          case "avih" =>
+            val p = buf.position()
+            nFrames = buf.getInt(p + 16)
+            width = buf.getInt(p + 32)
+            height = buf.getInt(p + 36)
+          case "strh" =>
+            val p = buf.position()
+            val a = new Array[Byte](4)
+            buf.get(p, a)
+            if (new String(a, "US-ASCII") == "vids") {
+              scale = buf.getInt(p + 20)
+              rate = buf.getInt(p + 24)
+            }
+          case dc if dc.endsWith("dc") || dc.endsWith("db") =>
+            val body = new Array[Byte](size)
+            buf.get(buf.position(), body)
+            frames += body
+          case _ => ()
+        }
+        buf.position(math.min(next, end)) // always advances: next > start
+      }
+    }
+    try walk(bytes.length)
+    catch { case _: Exception => return null }
+    val all = frames.result()
+    if (all.isEmpty && nFrames == 0) return null
+    val sampled = all.zipWithIndex.filter(_._2 % stride == 0).map(_._1)
+    var decoded = 0
+    val means = sampled.flatMap { f =>
+      try {
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(f))
+        if (img == null) None
+        else {
+          decoded += 1
+          var sum = 0L
+          var y = 0
+          while (y < img.getHeight) {
+            var x = 0
+            while (x < img.getWidth) {
+              val rgb = img.getRGB(x, y)
+              sum += (((rgb >> 16) & 0xff) * 299 +
+                ((rgb >> 8) & 0xff) * 587 + (rgb & 0xff) * 114) / 1000
+              x += 1
+            }
+            y += 1
+          }
+          Some(sum.toDouble / (img.getWidth * img.getHeight))
+        }
+      } catch { case _: Exception => None }
+    }
+    DecodedVideo(width, height,
+      if (scale > 0) rate.toDouble / scale else 0.0,
+      if (nFrames > 0) nFrames else all.size, decoded, means)
+  }
+
+  /** Video feature columns over real MJPEG/AVI decode — the video analog
+    * of [[imageFeatures]]/[[audioFeatures]]. `stride` samples every n-th
+    * frame for the luminance features; undecodable payloads get nulls.
+    */
+  def videoFeatures(df: DataFrame, binCol: String,
+                    stride: Int = 1): DataFrame = {
+    val dec = udf((b: Array[Byte]) => decodeVideoMjpeg(b, stride))
+    val decoded = df.withColumn("_vid", dec(col(binCol)))
+    decoded
+      .withColumn("video_width", col("_vid.width"))
+      .withColumn("video_height", col("_vid.height"))
+      .withColumn("video_fps", round(col("_vid.fps"), 4))
+      .withColumn("video_frames", col("_vid.n_frames"))
+      .withColumn("video_decoded_frames", col("_vid.decoded_frames"))
+      .withColumn("video_frame_means",
+        transform(col("_vid.frame_means"), m => round(m, 2)))
+      .drop("_vid")
+  }
+
   /** Canonical multimodal schema fragment: payload + typed metadata. */
   def withMediaMetadata(df: DataFrame, binCol: String): DataFrame =
     df.withColumn("media_meta", struct(
@@ -184,9 +349,9 @@ object Multimodal {
       xxhash64(col(binCol)).as("content_hash")))
 
   // =================================================================
-  // STUB decoders — deterministic fakes standing in for video codecs
-  // (the container has no ffmpeg). Real implementations replace the
-  // body, signatures stay.
+  // STUB decoders — deterministic byte-level fakes for payloads with no
+  // installed decoder (non-MJPEG video, proprietary formats). Real
+  // implementations replace the body, signatures stay.
   // =================================================================
 
   /** STUB image decode: "pixels" = raw bytes reinterpreted as unsigned

@@ -191,6 +191,39 @@ class PipelineSpec extends SparkTestBase {
     assert(feats(2).isNullAt(feats(2).fieldIndex("audio_sample_rate")))
   }
 
+  test("real video decode: MJPEG AVI yields container facts and frame luminance") {
+    import graft.pipeline.Multimodal
+    import java.awt.image.BufferedImage
+    def jpegFrame(lum: Int): Array[Byte] = {
+      val img = new BufferedImage(16, 16, BufferedImage.TYPE_INT_RGB)
+      val rgb = (lum << 16) | (lum << 8) | lum
+      for (y <- 0 until 16; x <- 0 until 16) img.setRGB(x, y, rgb)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+    val lums = Seq(30, 100, 170, 240)
+    val avi = Multimodal.aviMjpeg(lums.map(jpegFrame), 16, 16, 30)
+    val dec = Multimodal.decodeVideoMjpeg(avi, stride = 1)
+    assert(dec.width == 16 && dec.height == 16)
+    assert(dec.fps == 30.0)
+    assert(dec.n_frames == 4 && dec.decoded_frames == 4)
+    // JPEG is lossy: solid frames decode within a small DC tolerance
+    dec.frame_means.zip(lums).foreach { case (m, l) =>
+      assert(math.abs(m - l) <= 3.0, s"frame mean $m vs luminance $l") }
+    // stride sampling decodes only every n-th frame
+    val strided = Multimodal.decodeVideoMjpeg(avi, stride = 3)
+    assert(strided.n_frames == 4 && strided.decoded_frames == 2)
+    // non-video payloads: null, no crash (and through the UDF column too)
+    assert(Multimodal.decodeVideoMjpeg("not an avi".getBytes, 1) == null)
+    import spark.implicits._
+    val feats = Multimodal.videoFeatures(
+        Seq((1L, avi), (2L, "junk".getBytes)).toDF("id", "media"), "media")
+      .orderBy("id").collect()
+    assert(feats(0).getAs[Int]("video_frames") == 4)
+    assert(feats(1).isNullAt(feats(1).fieldIndex("video_width")))
+  }
+
   test("minhash LSH candidates contain every truly-similar pair") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val candidates = Dedup.minhashCandidates(docs, numHashes = 32, bands = 8)
