@@ -244,15 +244,20 @@ object Dedup {
     val b = withSh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"),
       col("sz").as("sz_b"))
     // stage the intersection size once — it is the dominant per-pair cost
-    // of the verify stage and feeds both the numerator and denominator
+    // of the verify stage. The threshold filter is the single-reference
+    // form c·(1+t) ≥ t·(|A|+|B|) (⇔ c/(|A|+|B|−c) ≥ t, exact for t with
+    // a short binary expansion like 0.5): a jaccard-form filter would be
+    // pushed into the join condition with `common` re-expanded, costing a
+    // SECOND array_intersect per candidate pair.
     candidates.join(a, Seq("doc_a")).join(b, Seq("doc_b"))
       .withColumn("common",
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
+      .filter(col("common") * lit(1.0 + threshold) >=
+        lit(threshold) * (col("sz_a") + col("sz_b")))
       .select(col("doc_a"), col("doc_b"),
         (col("common") /
           (col("sz_a") + col("sz_b") - col("common")).cast("double"))
           .as("jaccard"))
-      .filter(col("jaccard") >= threshold)
   }
 
   /** Near-duplicate *clusters*: MinHash-LSH candidate pairs (filtered by

@@ -78,6 +78,15 @@ object Plans {
             "reader feeding whole-stage codegen.",
           fmt(sliced))
       },
+      ("q_dedup_ngram_lsh — LSH blocking + containment audit",
+        "The production path is the bucket join (minhash bands → " +
+          "equi-join); the verify threshold is the single-reference form " +
+          "c·(1+t) ≥ t·(|A|+|B|), so the filter pushed into the join " +
+          "evaluates size(array_intersect) ONCE per candidate (a " +
+          "jaccard-form filter re-expands the staged alias and doubles " +
+          "it — PlanCheckSpec guards this); the exact all-pairs side " +
+          "exists only to audit recall at test scale.",
+        fmt(graft.Queries.q_dedup_ngram_lsh(spark, d))),
       ("q_sample_split — deterministic hash split",
         "The split assignment is a pure projection over the scan (no " +
           "shuffle, no RNG state): the only exchange is the final " +
