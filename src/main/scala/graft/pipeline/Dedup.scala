@@ -313,7 +313,22 @@ object Dedup {
       .agg(collect_list(struct(col("id"), col("v"))).as("vecs"))
     val a = blocks.select(col("blk").as("blk_a"), col("vecs").as("vecs_a"))
     val b = blocks.select(col("blk").as("blk_b"), col("vecs").as("vecs_b"))
-    a.join(b, col("blk_a") <= col("blk_b"))
+    // enumerate the upper-triangle block PAIRS as a tiny broadcast
+    // relation and equi-join each side: hash joins that distribute block
+    // rows to their tiles. A `blk_a <= blk_b` theta-join would plan a
+    // BroadcastNestedLoopJoin and broadcast EVERY vector — fine at test
+    // scale, a >8 GB broadcast at 100 TB (PlanCheckSpec guards this).
+    val spark = embeddings.sparkSession
+    import scala.jdk.CollectionConverters._
+    val pairDf = spark.createDataFrame(
+      (for { i <- 0 until numBlocks; j <- i until numBlocks }
+        yield org.apache.spark.sql.Row(i, j)).asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("blk_a",
+          org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("blk_b",
+          org.apache.spark.sql.types.IntegerType))))
+    broadcast(pairDf).join(a, Seq("blk_a")).join(b, Seq("blk_b"))
       .select(explode(graft.functions.VectorFunctions.cosine_pairs(
         col("vecs_a"), col("vecs_b"), col("blk_a") === col("blk_b"),
         threshold)).as("p"))
