@@ -78,6 +78,14 @@ object Bench {
       // catalog bound to its own repo dir
       val cat = s"graftbench$rep"
       val r = scala.collection.mutable.LinkedHashMap[String, Double]()
+      // collect BEFORE each timed entry (outside the timer): the cube
+      // workloads allocate humongous arrays whose GC debt otherwise lands
+      // in whichever later entry the collector happens to fire during —
+      // the source of this entry set's historical bimodality
+      def entry[A](name: String)(body: => A): Unit = {
+        System.gc()
+        r(name) = timed(body)
+      }
       val repo = Repository.create(Store.local(dir.toString), spark,
         GraftConfig(splits = Seq(SplitRule(".*", 0, refCount / 100))))
       val s0 = repo.writableSession("main")
@@ -94,13 +102,13 @@ object Bench {
 
       // set_chunks + commit_split_manifests: full bulk write of N refs
       // into 100 split manifests, one commit
-      r("engine_write_500k_refs") = timed {
+      entry("engine_write_500k_refs") {
         val s = repo.writableSession("main")
         s.stageChunkRefs("/long1d", refsDf(0, refCount))
         s.commit("bulk")
       }
       // append_split_manifests: extend by 1% — rewrites ONE shard
-      r("engine_append_one_shard") = timed {
+      entry("engine_append_one_shard") {
         val s = repo.writableSession("main")
         s.updateArray("/long1d", Seq((refCount + refCount / 100).toLong * 1000),
           Seq(1000))
@@ -111,7 +119,7 @@ object Bench {
       // branch; the loser's commit detects the moved tip, rebases its
       // staged refs over the winner's snapshot and retries the CAS
       // (manifest.rs:481-520)
-      r("engine_commit_rebase") = timed {
+      entry("engine_commit_rebase") {
         val a = repo.writableSession("main")
         val b = repo.writableSession("main")
         a.stageChunkRefs("/long1d", refsDf(0, refCount / 100))
@@ -123,7 +131,7 @@ object Bench {
       // small-commit latency: 10 sequential point-edit commits (the
       // interactive write pattern — driver-side precedence/split fast
       // path, no per-flush window shuffle)
-      r("engine_commit_small_x10") = timed {
+      entry("engine_commit_small_x10") {
         (0 until 10).foreach { i =>
           val s = repo.writableSession("main")
           (0 until 3).foreach(j => s.writeChunk("/long1d",
@@ -133,36 +141,36 @@ object Bench {
       }
       // get_chunks: full scan of the committed ref relation
       val ro = repo.readonlySession(VersionRef.Branch("main"))
-      r("engine_read_refs_scan") = timed {
+      entry("engine_read_refs_scan") {
         assert(ro.refs("/long1d").count() == refCount + refCount / 100)
       }
       // DSv2 refs scan: manifest rows as columnar batches (vectorized)
-      r("engine_v2_refs_scan") = timed {
+      entry("engine_v2_refs_scan") {
         val df = spark.read.format("graft-v2")
           .option("path", dir.toString).option("array", "/long1d").load()
         assert(df.count() == refCount + refCount / 100)
       }
       // chunk point lookups (extent-pruned manifest access)
-      r("engine_point_lookups_x20") = timed {
+      entry("engine_point_lookups_x20") {
         (0 until 20).foreach { i =>
           ro.getChunkRef("/long1d", Seq(i * (refCount / 20) + 7))
         }
       }
       // hot repeat of the same lookups: chunk-byte LRU + split cache
       // (reference hot-cache read benchmarks, test_benchmark_reads.py)
-      r("engine_point_lookups_hot") = timed {
+      entry("engine_point_lookups_hot") {
         (0 until 20).foreach { i =>
           ro.getChunkRef("/long1d", Seq(i * (refCount / 20) + 7))
         }
       }
       // getsize_prefix over the zarr key surface
-      r("engine_getsize_prefix") = timed {
+      entry("engine_getsize_prefix") {
         new graft.zarr.ZarrStore(ro).getSizePrefix("long1d")
       }
       // 1 GiB synthetic int64 cube, 8 MB chunks — the BASELINE read suite
       // (512³ int64, chunks (4,512,512); datasets.py:300-321, 471-487)
       val chunkElems = 4 * cube * cube
-      r("engine_cube_write_1g") = timed {
+      entry("engine_cube_write_1g") {
         val s = repo.writableSession("main")
         s.addArray("/cube", Seq(cube, cube, cube), Seq(4, cube, cube),
           Seq("t", "y", "x"))
@@ -176,7 +184,7 @@ object Bench {
       }
       // cold read: decode every chunk, reduce every element (native
       // per-chunk kernel — no row explode)
-      r("engine_cube_read_1g") = timed {
+      entry("engine_cube_read_1g") {
         val ro = repo.readonlySession(VersionRef.Branch("main"))
         val stats = graft.tensor.TensorPlane.arrayStats(ro, "/cube", "int64")
           .head()
@@ -184,7 +192,7 @@ object Bench {
       }
       // slice read + reduce: all-dim split pruning + in-chunk sub-block
       // kernel (aggregation pushdown — no row explode at all)
-      r("engine_cube_slice_read") = timed {
+      entry("engine_cube_slice_read") {
         val ro = repo.readonlySession(VersionRef.Branch("main"))
         val st = graft.tensor.TensorPlane.sliceStats(ro, "/cube", "int64",
           Seq((0L, 4L), (0L, cube.toLong), (0L, cube.toLong))).head()
@@ -192,7 +200,7 @@ object Bench {
       }
       // DSv2 columnar values scan over the whole cube: vectorized batches
       // from the sub-block decoder straight into whole-stage codegen
-      r("engine_v2_columnar_scan") = timed {
+      entry("engine_v2_columnar_scan") {
         val v = spark.read.format("graft-v2")
           .option("path", dir.toString).option("array", "/cube")
           .option("mode", "values").option("dtype", "int64").load()
@@ -203,7 +211,7 @@ object Bench {
       // the `_c0.._cN` helper columns (plain field references — no
       // FunctionCatalog needed): whole chunks per task, no leftover merge,
       // one CAS commit. Half resolution (cube/2)³ cells.
-      r("engine_v2_values_write") = timed {
+      entry("engine_v2_values_write") {
         val n = cube / 2
         val s = repo.writableSession("main")
         s.addArray("/cube2", Seq(n, n, n), Seq(4, n, n))
@@ -233,7 +241,7 @@ object Bench {
       // same write through the SQL catalog: the FunctionCatalog supplies
       // chunk_coord, so the distribution clusters on the CHUNK coordinate
       // (whole chunks per task, no boundary-leftover merge)
-      r("engine_catalog_values_write") = timed {
+      entry("engine_catalog_values_write") {
         val n = cube / 2
         val s = repo.writableSession("main")
         s.addArray("/cube3", Seq(n, n, n), Seq(4, n, n),
@@ -252,7 +260,7 @@ object Bench {
       }
       // row-returning region read: sub-block decode emits only the
       // requested cells, then the usual (i0..iN, value) explode
-      r("engine_cube_slice_rows") = timed {
+      entry("engine_cube_slice_rows") {
         val ro = repo.readonlySession(VersionRef.Branch("main"))
         val rows = graft.tensor.TensorPlane.valuesRegion(ro, "/cube",
           "int64", Seq((0L, 4L), (0L, 64L), (0L, cube.toLong)))
