@@ -265,8 +265,9 @@ object Oracles {
     // oracle for the LSH-blocked scale path: exact ALL-pairs jaccard (no
     // lang blocking) with constant TRUE — the Spark side emits lsh_ok =
     // false for any soundness violation (LSH pair outside the exact set)
-    // or recall violation (exact pair with j ≥ 0.6 the 8×4 banding
-    // missed), so hash equality proves both containment directions
+    // or recall violation (exact pair with j ≥ 0.85 the 8×4 banding
+    // missed — miss prob ≈ 0.3% per pair up there, vs ~33% at the 0.6
+    // knee), so hash equality proves both containment directions
     "q_dedup_ngram_lsh" ->
       """WITH sh AS (
         |  SELECT doc_id,

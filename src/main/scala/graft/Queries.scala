@@ -328,10 +328,13 @@ object Queries {
     * contract the oracle can check by plain equality:
     *   - an LSH pair outside the exact set would surface as an extra row
     *     with `lsh_ok = false` (soundness: output ⊆ exact all-pairs);
-    *   - an exact pair with j ≥ 0.6 that LSH missed gets
-    *     `lsh_ok = false` (recall above threshold + margin);
-    *   - exact pairs with j < 0.6 are `lsh_ok = true` either way (inside
-    *     the LSH S-curve's probabilistic band, allowed to miss).
+    *   - an exact pair with j ≥ 0.85 that LSH missed gets
+    *     `lsh_ok = false` (recall WELL ABOVE the knee: per-pair miss
+    *     probability at j = 0.85 is (1−0.85⁴)^8 ≈ 0.3%, vs ~33% at the
+    *     knee itself — the audit must not fire on the S-curve's
+    *     legitimate probabilistic misses);
+    *   - exact pairs with j < 0.85 are `lsh_ok = true` either way (the
+    *     probabilistic band, allowed to miss by construction).
     * The oracle is the exact all-pairs CTE with constant TRUE — equality
     * holds iff both containment directions hold. The exact all-pairs side
     * exists only to audit at test scale; at 100 TB one runs the LSH path
@@ -349,7 +352,7 @@ object Queries {
       .select(col("doc_a"), col("doc_b"),
         round(coalesce(col("j_exact"), col("j_lsh")), 6).as("jaccard"),
         when(col("j_exact").isNull, lit(false)) // unsound LSH pair
-          .otherwise(col("j_lsh").isNotNull || col("j_exact") < 0.6)
+          .otherwise(col("j_lsh").isNotNull || col("j_exact") < 0.85)
           .as("lsh_ok"))
       .orderBy("doc_a", "doc_b")
   }

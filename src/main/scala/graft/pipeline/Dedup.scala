@@ -20,6 +20,14 @@ object Dedup {
     *      Dedup.releaseCaches()  }}}
     * Verify/Bench call this between entries so one query's cache never
     * pressures the next query's executors.
+    *
+    * Contract limits (JVM-global registry, deliberately simple): run ONE
+    * dedup pipeline at a time per JVM — releaseCaches() drains every
+    * registered handle, so concurrent pipelines would unpersist each
+    * other's in-flight inputs (they recompute correctly, just slower).
+    * A caller that never releases holds the staged frames for the JVM
+    * lifetime; long-running services should release between pipelines
+    * (or call `spark.catalog.clearCache()`, which subsumes this).
     */
   private val liveCaches =
     new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()

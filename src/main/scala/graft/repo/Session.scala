@@ -597,8 +597,12 @@ final class Session private[repo] (
 
     var newRefs: Map[String, Seq[ManifestRef]] = Map.empty
     var touchedSplits: Map[String, Set[Int]] = Map.empty
-    // Spark-path flush cache (bucketed changeset), released before return
+    // Spark-path flush cache (resolved changeset); released in the
+    // enclosing finally so a throw ANYWHERE after the persist (collect,
+    // manifest write, snapshot write) cannot leak blocks into the CAS
+    // retry loop's next attempt
     var flushCached: Option[DataFrame] = None
+    try {
 
     // ---- small-commit fast path: point-only changesets merge + write
     // entirely DRIVER-side (no Spark job anywhere in the flush) — the
@@ -760,9 +764,10 @@ final class Session private[repo] (
       nodes = effective,
       manifests = manifests)
     assets.writeSnapshot(snapshot)
-    try writeTxLog(snapshot, changedIds, mergeTxLogOf, flushCached)
-    finally flushCached.foreach(_.unpersist(false))
+    writeTxLog(snapshot, changedIds, mergeTxLogOf, flushCached)
     snapshot
+
+    } finally flushCached.foreach(_.unpersist(false))
   }
 
   /** Transaction log for this flush (transaction_log.rs): node edits are

@@ -10,9 +10,12 @@ import com.sun.net.httpserver.{HttpExchange, HttpServer}
   * [[HttpStore]] in a zero-egress environment (the role an nginx
   * `dav_methods`/`autoindex` host plays in public CI). Serves:
   *
-  *  - `GET /{key}` with `Range:` → 206 partial content (416 past EOF)
+  *  - `GET /{key}` with `Range:` → 206 partial content (incl. RFC 7233
+  *    suffix ranges `bytes=-N`; 416 past EOF)
   *  - `HEAD /{key}` → Content-Length / Last-Modified / ETag
-  *  - `PROPFIND` with `Depth` → `207 Multistatus` WebDAV XML
+  *  - `PROPFIND` on a file or collection RESOURCE with `Depth: 0|1|
+  *    infinity` → `207 Multistatus` (percent-encoded hrefs, trailing
+  *    '/' on collections); a non-resource path → 404, like a real host
   *  - everything else (PUT/DELETE/...) → 405, like a static host
   */
 final class HttpMemServer {
@@ -48,8 +51,10 @@ final class HttpMemServer {
       _ => new java.util.concurrent.atomic.AtomicLong()).incrementAndGet()
 
   private def handle(ex: HttpExchange): Unit = {
+    // URI-path decode: percent sequences only ('+' is literal in paths)
     val key = java.net.URLDecoder.decode(
-      ex.getRequestURI.getRawPath.stripPrefix("/"), UTF_8)
+      ex.getRequestURI.getRawPath.stripPrefix("/").replace("+", "%2B"),
+      UTF_8)
     ex.getRequestMethod match {
       case "GET" => get(ex, key)
       case "HEAD" => head(ex, key)
@@ -75,13 +80,16 @@ final class HttpMemServer {
         count("ranged_get")
         val spec = r.stripPrefix("bytes=")
         val Array(a, b) = (spec.split("-", -1) ++ Array("")).take(2)
-        val start = a.toLong
-        if (start >= o.bytes.length) { respond(ex, 416, Array.empty); return }
-        val end =
-          if (b.isEmpty) o.bytes.length - 1L
-          else math.min(b.toLong, o.bytes.length - 1L)
-        ex.getResponseHeaders.set("Content-Range",
-          s"bytes $start-$end/${o.bytes.length}")
+        val len = o.bytes.length.toLong
+        // RFC 7233: "bytes=-N" is a suffix range (last N bytes)
+        val (start, end) =
+          if (a.isEmpty) (math.max(0L, len - b.toLong), len - 1)
+          else (a.toLong,
+            if (b.isEmpty) len - 1 else math.min(b.toLong, len - 1))
+        if (start >= len || start > end) {
+          respond(ex, 416, Array.empty); return
+        }
+        ex.getResponseHeaders.set("Content-Range", s"bytes $start-$end/$len")
         respond(ex, 206,
           java.util.Arrays.copyOfRange(o.bytes, start.toInt, end.toInt + 1))
       case _ => respond(ex, 200, o.bytes)
@@ -102,25 +110,64 @@ final class HttpMemServer {
   private def xmlEscape(s: String): String =
     s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
 
-  private def propfind(ex: HttpExchange, prefix: String): Unit = {
+  private def encPath(key: String): String =
+    key.split("/", -1).map(seg =>
+      java.net.URLEncoder.encode(seg, UTF_8)
+        .replace("+", "%20").replace("*", "%2A").replace("%7E", "~"))
+      .mkString("/")
+
+  /** RFC 4918 PROPFIND over the flat key map: a request names a RESOURCE
+    * — a file (exact key) or a collection (directory path) — never a
+    * filename prefix; anything else is 404, exactly like a real DAV
+    * host. `Depth: 0` answers the resource alone, `1` adds immediate
+    * members (files + sub-collections, hrefs percent-encoded with
+    * trailing '/' on collections), `infinity` the whole subtree.
+    */
+  private def propfind(ex: HttpExchange, target: String): Unit = {
     count("propfind")
     import scala.jdk.CollectionConverters._
-    val hits = objects.entrySet().iterator().asScala
-      .filter(_.getKey.startsWith(prefix)).toVector
-    if (hits.isEmpty && prefix.nonEmpty) {
-      respond(ex, 404, Array.empty); return
-    }
-    val entries = hits.map { e =>
-      s"""<D:response><D:href>/${xmlEscape(e.getKey)}</D:href>
+    val depth = Option(ex.getRequestHeaders.getFirst("Depth"))
+      .getOrElse("infinity")
+    def fileEntry(key: String, o: Obj): String =
+      s"""<D:response><D:href>/${xmlEscape(encPath(key))}</D:href>
          |<D:propstat><D:prop>
-         |<D:getcontentlength>${e.getValue.bytes.length}</D:getcontentlength>
-         |<D:getlastmodified>${httpDate(e.getValue.mtime)}</D:getlastmodified>
+         |<D:getcontentlength>${o.bytes.length}</D:getcontentlength>
+         |<D:getlastmodified>${httpDate(o.mtime)}</D:getlastmodified>
          |</D:prop><D:status>HTTP/1.1 200 OK</D:status></D:propstat>
          |</D:response>""".stripMargin
-    }.mkString
+    def dirEntry(path: String): String =
+      s"""<D:response><D:href>/${xmlEscape(encPath(path.stripSuffix("/")))}/</D:href>
+         |<D:propstat><D:prop><D:resourcetype><D:collection/></D:resourcetype>
+         |</D:prop><D:status>HTTP/1.1 200 OK</D:status></D:propstat>
+         |</D:response>""".stripMargin
+    val exact = Option(objects.get(target))
+    val dirPath = // normalized collection path ("" = root, else "a/b/")
+      if (target.isEmpty) "" else target.stripSuffix("/") + "/"
+    val under = objects.entrySet().iterator().asScala
+      .filter(_.getKey.startsWith(dirPath)).toVector
+    val entries: Seq[String] = exact match {
+      case Some(o) => Seq(fileEntry(target, o)) // a file resource
+      case None if under.isEmpty && dirPath.nonEmpty =>
+        respond(ex, 404, Array.empty); return
+      case None =>
+        val self = dirEntry(dirPath)
+        depth match {
+          case "0" => Seq(self)
+          case "1" =>
+            val files = under.filter(
+              !_.getKey.drop(dirPath.length).contains('/'))
+              .map(e => fileEntry(e.getKey, e.getValue))
+            val subdirs = under.map(_.getKey.drop(dirPath.length))
+              .filter(_.contains('/')).map(k => k.takeWhile(_ != '/'))
+              .distinct.map(d => dirEntry(dirPath + d))
+            self +: (subdirs ++ files)
+          case _ => // infinity
+            self +: under.map(e => fileEntry(e.getKey, e.getValue))
+        }
+    }
     val xml =
       s"""<?xml version="1.0" encoding="utf-8"?>
-         |<D:multistatus xmlns:D="DAV:">$entries</D:multistatus>""".stripMargin
+         |<D:multistatus xmlns:D="DAV:">${entries.mkString}</D:multistatus>""".stripMargin
     ex.getResponseHeaders.set("Content-Type", "application/xml")
     respond(ex, 207, xml.getBytes(UTF_8))
   }

@@ -10,8 +10,10 @@ import graft.storage.{HttpStoreConf, ObjectInfo, StatInfo, Store, StoreConf}
   * (icechunk-arrow-object-store/src/lib.rs), which speaks WebDAV for the
   * one operation static HTTP lacks: listing. Reads map to standard
   * verbs — `GET` (+ `Range:` for partial reads), `HEAD` for stat — and
-  * listing to WebDAV `PROPFIND` `Depth: infinity` multistatus XML (the
-  * public protocol nginx/apache DAV modules serve). Every mutation throws
+  * listing to WebDAV `PROPFIND` `Depth: 1` on COLLECTION resources with
+  * a client-side recursive walk (the protocol subset every nginx/apache
+  * DAV module serves: prefix URIs are not resources, and RFC 4918 lets
+  * servers refuse `Depth: infinity`). Every mutation throws
   * `UnsupportedOperationException`: an HTTP endpoint is a distribution
   * channel, not a writable backend, and failing loudly beats a commit
   * half-applied through a misconfigured proxy.
@@ -111,46 +113,77 @@ final class HttpStore(val httpConf: HttpStoreConf) extends Store {
       .toInstant.toEpochMilli
     catch { case _: Exception => 0L }
 
-  // ---- listing: WebDAV PROPFIND (multistatus XML) ----
+  // ---- listing: WebDAV PROPFIND, Depth 1, recursive collection walk.
+  // Real DAV hosts answer PROPFIND only on RESOURCES (collections or
+  // files) — a filename-prefix URI is 404 — and many reject
+  // `Depth: infinity` outright (RFC 4918 §9.1 allows 403), so the walk
+  // PROPFINDs the deepest collection ancestor of the key prefix with
+  // Depth 1, filters members client-side, and recurses into
+  // sub-collections that can still contain matching keys. ----
 
-  override def list(prefix: String): Seq[ObjectInfo] = {
-    val b = HttpRequest.newBuilder(keyUri(prefix))
+  /** One member of a Depth-1 multistatus: key path (collection keys end
+    * with '/'), size, mtime.
+    */
+  private def propfindDepth1(dirPath: String): Option[Seq[ObjectInfo]] = {
+    val b = HttpRequest.newBuilder(keyUri(dirPath))
       .method("PROPFIND", HttpRequest.BodyPublishers.ofString(
         """<?xml version="1.0"?><propfind xmlns="DAV:"><prop>""" +
           "<getcontentlength/><getlastmodified/></prop></propfind>"))
-      .header("Depth", "infinity")
+      .header("Depth", "1")
       .header("Content-Type", "application/xml")
     val r = http.send(b.build(), HttpResponse.BodyHandlers.ofByteArray())
-    if (r.statusCode() == 404) return Nil
-    if (r.statusCode() != 207) failed("PROPFIND", prefix, r)
+    if (r.statusCode() == 404) return None
+    if (r.statusCode() != 207) failed("PROPFIND", dirPath, r)
     val dbf = javax.xml.parsers.DocumentBuilderFactory.newInstance()
     dbf.setNamespaceAware(true) // DAV: elements arrive ns-prefixed
     val doc = dbf.newDocumentBuilder()
       .parse(new java.io.ByteArrayInputStream(r.body()))
     val responses = doc.getElementsByTagNameNS("DAV:", "response")
     val base = URI.create(endpoint.stripSuffix("/") + "/")
-    (0 until responses.getLength).flatMap { i =>
+    Some((0 until responses.getLength).flatMap { i =>
       val el = responses.item(i).asInstanceOf[org.w3c.dom.Element]
       def tag(name: String): Option[String] = {
         val ns = el.getElementsByTagNameNS("DAV:", name)
         if (ns.getLength == 0) None else Some(ns.item(0).getTextContent)
       }
       val href = tag("href").getOrElse("")
-      // directories (collections) end with '/'; only files are objects.
-      // href may be an absolute URL or (more commonly) an absolute path.
-      if (href.isEmpty || href.endsWith("/")) None
+      if (href.isEmpty) None
       else {
         val path = if (href.startsWith("http")) URI.create(href).getPath
           else href
-        val key = java.net.URLDecoder.decode(
-          path.stripPrefix(base.getPath).stripPrefix("/"), UTF_8)
-        val size = tag("getcontentlength").flatMap(_.toLongOption)
-          .getOrElse(0L)
-        val mtime = tag("getlastmodified").map(parseHttpDate).getOrElse(0L)
-        if (key.startsWith(prefix)) Some(ObjectInfo(key, size, mtime))
-        else None
+        val key = pathDecode(path.stripPrefix(base.getPath)
+          .stripPrefix("/"))
+        // skip the collection's own entry; keep files AND sub-collections
+        // (the latter keep their trailing '/' so the caller can recurse)
+        if (key.isEmpty || key == dirPath) None
+        else Some(ObjectInfo(key,
+          tag("getcontentlength").flatMap(_.toLongOption).getOrElse(0L),
+          tag("getlastmodified").map(parseHttpDate).getOrElse(0L)))
       }
-    }.sortBy(_.key)
+    })
+  }
+
+  /** URI path decode: percent sequences only — '+' is a literal in paths
+    * (URLDecoder's form rules would eat it). Hrefs some servers emit
+    * unencoded (a raw '%') fall back to the raw string.
+    */
+  private def pathDecode(s: String): String =
+    try java.net.URLDecoder.decode(s.replace("+", "%2B"), UTF_8)
+    catch { case _: IllegalArgumentException => s }
+
+  override def list(prefix: String): Seq[ObjectInfo] = {
+    val out = Vector.newBuilder[ObjectInfo]
+    def walk(dirPath: String): Unit =
+      propfindDepth1(dirPath).getOrElse(Nil).foreach { m =>
+        if (m.key.endsWith("/")) {
+          // recurse only where matches can live: the collection is under
+          // the prefix, or is an ancestor of it
+          if (m.key.startsWith(prefix) || prefix.startsWith(m.key))
+            walk(m.key)
+        } else if (m.key.startsWith(prefix)) out += m
+      }
+    walk(prefix.substring(0, prefix.lastIndexOf('/') + 1))
+    out.result().sortBy(_.key)
   }
 
   // ---- mutations: rejected ----

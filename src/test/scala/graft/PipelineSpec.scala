@@ -125,8 +125,11 @@ class PipelineSpec extends SparkTestBase {
       .select("doc_a", "doc_b").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(viaLang.nonEmpty)
-    // at j >= 0.5 with 16x2 banding, LSH recall is ~1 on near-identical
-    // fixture dups; exact verify makes precision exact
+    // 8x4 banding: the S-curve knee sits near j ~ 0.6, so recall at the
+    // 0.5 threshold is only high for HIGH-j pairs — the fixture's true
+    // dups are near-identical (j ~ 1.0, miss prob ~ 2e-4 per pair),
+    // which is what makes this subset assertion deterministic in
+    // practice; exact verify makes precision exact
     // viaLsh may add legitimate cross-lang pairs; it must not MISS any
     // same-lang pair
     assert(viaLang.subsetOf(viaLsh),

@@ -435,6 +435,19 @@ class S3RepositorySpec extends SparkTestBase {
       assert(p2.map(_.key) == (10 until 20).map(i => f"list/k$i%03d"))
       assert(store.list("nope/").isEmpty)
 
+      // deep nesting: the Depth-1 walk recurses through sub-collections
+      server.put("deep/a/b/c/leaf1", Array[Byte](7))
+      server.put("deep/a/b/leaf2", Array[Byte](8))
+      assert(store.list("deep/").map(_.key).sorted ==
+        Seq("deep/a/b/c/leaf1", "deep/a/b/leaf2"))
+      assert(store.list("deep/a/b/c").map(_.key) == Seq("deep/a/b/c/leaf1"))
+      // '+' is a literal in URI paths (form decoding would eat it)
+      server.put("plus+key/x", Array[Byte](9))
+      assert(store.list("plus+key/").map(_.key) == Seq("plus+key/x"))
+      assert(store.getBytes("plus+key/x").toSeq == Seq[Byte](9))
+      // RFC 7233 suffix range against the stub
+      assert(store.getRange("a/b/obj1", 9000, -1).length == 1000)
+
       // every mutation rejected loudly — and none reached the server
       intercept[UnsupportedOperationException](
         store.putBytes("new", Array[Byte](1)))
