@@ -36,13 +36,21 @@ object Bench {
     spark.range(1000000).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/region.parquet").count()
 
-    def timed[A](body: => A): Double = {
+    // entry name -> failure message; surfaces in the JSON line as
+    // "errors":[...] so a crashed entry can never masquerade as a fast
+    // success (its recorded time is also NEGATED as a second marker)
+    val errors = scala.collection.mutable.ArrayBuffer[String]()
+    def timed[A](name: String)(body: => A): Double = {
       val t0 = System.nanoTime()
       // a failed entry must not take the JSON line down with it, but it
       // must not fail silently either
-      try body catch { case t: Throwable =>
-        System.err.println(s"[bench] entry failed: $t") }
-      (System.nanoTime() - t0) / 1e9
+      try { body; (System.nanoTime() - t0) / 1e9 }
+      catch { case t: Throwable =>
+        System.err.println(s"[bench] entry $name failed: $t")
+        errors += s"$name: ${t.getClass.getSimpleName}: " +
+          Option(t.getMessage).getOrElse("").take(160)
+        -((System.nanoTime() - t0) / 1e9)
+      }
     }
 
     /** Drop per-entry state: dedup self-join caches, Spark's SQL cache,
@@ -56,7 +64,7 @@ object Bench {
 
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
     SparkEntry.queries.foreach { case (name, fn) =>
-      results(name) = timed(fn(spark, sfDir).count())
+      results(name) = timed(name)(fn(spark, sfDir).count())
       resetCaches()
     }
 
@@ -84,7 +92,7 @@ object Bench {
       // the source of this entry set's historical bimodality
       def entry[A](name: String)(body: => A): Unit = {
         System.gc()
-        r(name) = timed(body)
+        r(name) = timed(s"$name (pass $rep)")(body)
       }
       val repo = Repository.create(Store.local(dir.toString), spark,
         GraftConfig(splits = Seq(SplitRule(".*", 0, refCount / 100))))
@@ -338,7 +346,14 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def jstr(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => " "
+      case c => c.toString
+    } + "\""
+    val errJson = errors.map(jstr).mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

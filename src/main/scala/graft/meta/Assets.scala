@@ -56,11 +56,45 @@ final class RepoPointer(store: Store) {
     MetaJson.readRepoInfo(
       new String(store.getBytes(Layout.pointerKey(gen)), UTF_8))
 
-  /** CAS: succeeds only if `expectedGen` is still the tip. */
+  /** CAS: succeeds only if `expectedGen` is still the tip.
+    *
+    * Lost-success-response recovery (reference Changelog #2156,
+    * `Changelog.md` 2.1.2 Fixes): a conditional PUT can LAND on storage
+    * while its 200 response is lost in transit — a naive committer then
+    * reloads, finds the chain advanced (by itself!), and rebases over its
+    * own commit, landing it twice. Every generation upload is therefore
+    * stamped with a unique `writeId`; on ANY failure — condition-failed
+    * `false` or a transport exception — generation N+1 is read back, and
+    * finding our own `writeId` there IS success. An exception with
+    * nothing landed is a safe retry (the conditional semantics still
+    * hold); persistent transport failure rethrows.
+    */
   def compareAndSwap(expectedGen: Long, next: RepoInfo): Boolean = {
     require(next.gen == expectedGen + 1, "next.gen must be expectedGen+1")
-    store.putIfAbsent(Layout.pointerKey(next.gen),
-      MetaJson.writeRepoInfo(next).getBytes(UTF_8))
+    val stamped = next.copy(writeId = Ids.toBase32(Ids.newObjectId()))
+    val key = Layout.pointerKey(stamped.gen)
+    val bytes = MetaJson.writeRepoInfo(stamped).getBytes(UTF_8)
+    // Some(true) = our write landed; Some(false) = someone else's did;
+    // None = nothing landed (or unreadable — treated as not landed)
+    def landedWrite(): Option[Boolean] =
+      try Some(MetaJson.readRepoInfo(
+        new String(store.getBytes(key), UTF_8)).writeId == stamped.writeId)
+      catch { case _: Exception => None }
+    var attempts = 0
+    while (true) {
+      attempts += 1
+      try {
+        if (store.putIfAbsent(key, bytes)) return true
+        return landedWrite().contains(true)
+      } catch {
+        case e: Exception =>
+          landedWrite() match {
+            case Some(own) => return own
+            case None => if (attempts >= 3) throw e
+          }
+      }
+    }
+    false // unreachable
   }
 
   /** Full ops history: the ring in the tip plus older generations' rings

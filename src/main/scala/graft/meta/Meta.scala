@@ -157,7 +157,15 @@ final case class RepoInfo(
       * repo-level switchboard of the reference's feature_flags.rs (e.g.
       * move-requires-flag, session.rs:1548-1554). Absent = enabled.
       */
-    flags: Map[String, Boolean] = Map.empty) {
+    flags: Map[String, Boolean] = Map.empty,
+    /** Unique id stamped by [[RepoPointer.compareAndSwap]] on every
+      * generation upload — the lost-success-response recovery token
+      * (reference Changelog #2156): a committer whose conditional PUT
+      * landed but whose 200 was lost reads generation N+1 back and
+      * recognizes its own `writeId` as success instead of rebasing over
+      * its own commit. Empty in pre-upgrade pointer files (still valid).
+      */
+    writeId: String = "") {
   def snapshotInfo(id: String): Option[SnapshotInfo] =
     snapshots.find(_.id == id)
 

@@ -76,14 +76,40 @@ final case class GCSummary(
 
 /** Garbage collection + expiration (ops/gc.rs). */
 object GC {
+  /** Store-observed clock skew in milliseconds, ≤ 0 (reference #2310: GC
+    * deleted still-referenced tx logs when the host and object-store
+    * clocks disagreed — the fix derives the age cutoff from
+    * store-observed time, not the host clock). A tiny probe object is
+    * written and its store-assigned mtime compared against the host
+    * clock. The estimate `mtime − hostAfter` can only UNDER-estimate the
+    * store clock (the mtime was assigned before `stat` returned), and
+    * positive values are clamped to zero: a store clock AHEAD of the
+    * host only makes uncorrected GC keep objects longer (safe), while a
+    * store clock BEHIND the host makes just-written objects look older
+    * than the cutoff and deletes in-flight commits' data — so only the
+    * lag is corrected, and an under-estimated lag only deletes less.
+    */
+  private[ops] def storeClockSkewMs(store: graft.storage.Store): Long = {
+    val key = "gc/.clock-probe-" +
+      graft.core.Ids.toBase32(graft.core.Ids.newObjectId())
+    try {
+      store.putBytes(key, Array[Byte](0))
+      val hostAfter = System.currentTimeMillis()
+      store.stat(key)
+        .map(s => math.min(0L, s.mtimeMillis - hostAfter))
+        .getOrElse(0L)
+    } finally
+      try store.delete(Seq(key)) catch { case _: Exception => () }
+  }
+
   /** Delete storage objects unreachable from any branch/tag ancestry and
     * older than `olderThan` (the age guard keeps in-flight commits safe —
     * gc.rs:44-180). `olderThan` must sit WELL in the past (the reference
     * uses hours/days): object mtimes come from the storage backend's
-    * clock — on a local filesystem the kernel's coarse clock, which can
-    * lag `Instant.now()` by a tick — so a cutoff within milliseconds of
-    * "now" can misclassify a just-uploaded object as old and delete an
-    * in-flight commit's data. Reachability:
+    * clock, so the cutoff is translated into store-clock coordinates via
+    * [[storeClockSkewMs]] before any comparison — a backend clock behind
+    * the host can no longer make a just-uploaded object look old enough
+    * to delete an in-flight commit's data (#2310). Reachability:
     *  - live snapshots: ancestry closure of all branch/tag tips
     *  - live manifests/tx-logs: referenced by live snapshots
     *  - live chunks: `chunk_id`s in live manifests (one Spark anti-join)
@@ -99,7 +125,10 @@ object GC {
     val liveManifests: Set[String] = liveSnapshots.flatMap { sid =>
       repo.assets.readSnapshot(sid).manifests.values.flatten.map(_.manifestId)
     }
-    val cutoffMs = olderThan.toEpochMilli
+    // age cutoff in STORE-clock coordinates (#2310): a store clock that
+    // lags the host shifts the cutoff back by the observed lag, so a
+    // just-written object can never look older than the window
+    val cutoffMs = olderThan.toEpochMilli + storeClockSkewMs(store)
 
     // snapshots & tx logs: driver-side (metadata counts are small)
     val deadSnaps = store.list("snapshots/")

@@ -101,6 +101,41 @@ object VersionRef {
   val Main: Branch = Branch("main")
 }
 
-class GraftException(msg: String) extends RuntimeException(msg)
+/** Stable machine-readable error kinds carried by every
+  * [[GraftException]] (reference `icechunk/src/error.rs` + Changelog
+  * #2267: public errors expose a `kind` code tooling can match on
+  * without parsing prose). Codes are part of the public API — never
+  * renumber or reword, only append.
+  */
+object GraftError {
+  /** Unclassified failure (the default for internal errors). */
+  val Generic = "error"
+  /** Commit/CAS/rebase lost to a concurrent writer and could not be
+    * resolved. */
+  val Conflict = "conflict"
+  /** Branch, tag, or snapshot id does not exist. */
+  val RefNotFound = "ref_not_found"
+  /** Array/group node path does not exist (or is the wrong node type). */
+  val NodeNotFound = "node_not_found"
+  /** Mutation attempted on a read-only session or read-only storage. */
+  val ReadOnly = "read_only"
+  /** Chunk/element coordinate outside the array's grid. */
+  val Bounds = "out_of_bounds"
+  /** Storage credential / authorization failure (401/403). */
+  val Auth = "auth"
+  /** Object-store I/O failure (network, 5xx, checksum). */
+  val Storage = "storage"
+  /** Malformed or contradictory configuration / options. */
+  val InvalidConfig = "invalid_config"
+  /** Caller-supplied schema or dtype does not match the node. */
+  val SchemaMismatch = "schema_mismatch"
+  /** A distributed values write reached the writer un-clustered
+    * (mis-computed helper columns or missing required distribution). */
+  val WriteNotClustered = "write_not_clustered"
+}
+
+class GraftException(msg: String, val kind: String = GraftError.Generic,
+                     cause: Throwable = null)
+  extends RuntimeException(msg, cause)
 class ConflictException(msg: String, val conflicts: Seq[String] = Nil)
-  extends GraftException(msg)
+  extends GraftException(msg, GraftError.Conflict)

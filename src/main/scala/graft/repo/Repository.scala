@@ -66,7 +66,7 @@ final class Repository private (
   def resetBranch(name: String, snapshotId: String): Unit =
     casUpdate("reset_branch", s"$name -> $snapshotId") { i =>
       if (!i.branches.contains(name))
-        throw new GraftException(s"no branch $name")
+        throw new GraftException(s"no branch $name", GraftError.RefNotFound)
       require(i.snapshotInfo(snapshotId).isDefined, s"unknown snapshot")
       i.copy(branches = i.branches.updated(name, snapshotId))
     }
@@ -123,7 +123,7 @@ final class Repository private (
 
   def deleteTag(name: String): Unit =
     casUpdate("delete_tag", name) { i =>
-      if (!i.tags.contains(name)) throw new GraftException(s"no tag $name")
+      if (!i.tags.contains(name)) throw new GraftException(s"no tag $name", GraftError.RefNotFound)
       i.copy(tags = i.tags.removed(name),
         deletedTags = i.deletedTags :+ name)
     }
@@ -134,9 +134,9 @@ final class Repository private (
 
   def resolveVersion(ref: VersionRef): String = ref match {
     case VersionRef.Branch(b) => lookupBranch(b).getOrElse(
-      throw new GraftException(s"no branch $b"))
+      throw new GraftException(s"no branch $b", GraftError.RefNotFound))
     case VersionRef.Tag(t) => lookupTag(t).getOrElse(
-      throw new GraftException(s"no tag $t"))
+      throw new GraftException(s"no tag $t", GraftError.RefNotFound))
     case VersionRef.SnapshotVer(id) => id
   }
 
@@ -206,7 +206,7 @@ final class Repository private (
 
   def writableSession(branchName: String): Session = {
     val tip = lookupBranch(branchName).getOrElse(
-      throw new GraftException(s"no branch $branchName"))
+      throw new GraftException(s"no branch $branchName", GraftError.RefNotFound))
     new Session(this, Some(branchName), assets.readSnapshot(tip))
   }
 
@@ -216,7 +216,7 @@ final class Repository private (
     */
   def rearrangeSession(branchName: String): Session = {
     val tip = lookupBranch(branchName).getOrElse(
-      throw new GraftException(s"no branch $branchName"))
+      throw new GraftException(s"no branch $branchName", GraftError.RefNotFound))
     new Session(this, Some(branchName), assets.readSnapshot(tip),
       moveOnly = true)
   }

@@ -57,7 +57,7 @@ final class Session private[repo] (
   def readOnly: Boolean = branch.isEmpty
 
   private def requireWritable(): Unit = {
-    if (readOnly) throw new GraftException("session is read-only")
+    if (readOnly) throw new GraftException("session is read-only", GraftError.ReadOnly)
   }
 
   /** rearrange sessions (repository.rs:1992) accept ONLY move edits —
@@ -98,7 +98,7 @@ final class Session private[repo] (
 
   private def arrayNode(path: String): NodeSpec =
     node(path).filter(_.isArray).getOrElse(
-      throw new GraftException(s"no array at $path"))
+      throw new GraftException(s"no array at $path", GraftError.NodeNotFound))
 
   /** `list_nodes(prefix)` (session.rs:1415). */
   def listNodes(prefix: String = "/"): Seq[NodeSpec] = {
@@ -191,7 +191,7 @@ final class Session private[repo] (
     requireWritable()
     requireNotMoveOnly()
     val cur = node(path).filter(!_.isArray)
-      .getOrElse(throw new GraftException(s"no group at $path"))
+      .getOrElse(throw new GraftException(s"no group at $path", GraftError.NodeNotFound))
     val spec = cur.copy(userData = userData)
     if (changeSet.newNodes.contains(cur.path))
       changeSet.newNodes.put(cur.path, spec)
@@ -204,7 +204,7 @@ final class Session private[repo] (
     requireWritable()
     requireNotMoveOnly()
     val n = node(path).getOrElse(
-      throw new GraftException(s"no node at $path"))
+      throw new GraftException(s"no node at $path", GraftError.NodeNotFound))
     val doomed = nodes.filter(x =>
       x.path == n.path || NodePath.isAncestorOf(n.path, x.path))
     doomed.foreach { d =>
@@ -223,7 +223,7 @@ final class Session private[repo] (
     requireWritable()
     repo.requireFlag(repo.Flags.MoveNode, "move_node")
     val f = NodePath.normalize(from); val t = NodePath.normalize(to)
-    val n = node(f).getOrElse(throw new GraftException(s"no node at $f"))
+    val n = node(f).getOrElse(throw new GraftException(s"no node at $f", GraftError.NodeNotFound))
     if (node(t).isDefined) throw new GraftException(s"node exists at $t")
     node(NodePath.parent(t).getOrElse("/")) match {
       case Some(p) if p.isArray =>
@@ -248,7 +248,7 @@ final class Session private[repo] (
     val n = arrayNode(path)
     if (!n.validCoord(coord))
       throw new GraftException(
-        s"coord ${coord.mkString(",")} out of bounds for ${n.path}")
+        s"coord ${coord.mkString(",")} out of bounds for ${n.path}", GraftError.Bounds)
     // authorization at set-time also for raw refs (session.rs:631-655)
     if (ref.kind == ChunkRef.KindVirtual)
       repo.virtualResolver.validateLocation(ref.location)
@@ -859,7 +859,7 @@ final class Session private[repo] (
       val info = repo.pointer.load().getOrElse(
         throw new GraftException("repository not initialized"))
       val tip = info.branches.getOrElse(branchName,
-        throw new GraftException(s"branch $branchName does not exist"))
+        throw new GraftException(s"branch $branchName does not exist", GraftError.RefNotFound))
       if (tip != baseSnapshot.id) {
         if (amend) throw new ConflictException(
           s"amend on $branchName: tip moved ($tip != ${baseSnapshot.id})")
@@ -898,10 +898,13 @@ final class Session private[repo] (
       // after a short jittered backoff so N racers don't convoy: without
       // it, a loser that reloads instantly keeps colliding with the same
       // peers while the winner's successor is already committing
-      // (ops/gc.rs retry-on-concurrent-update uses the same pattern)
-      Thread.sleep(
-        math.min(200L, 10L << math.min(attempts, 4)) +
-          scala.util.Random.nextInt(25))
+      // (ops/gc.rs retry-on-concurrent-update uses the same pattern).
+      // No sleep when retries are exhausted — nothing follows it but the
+      // ConflictException below.
+      if (attempts < cfg.commitRetries)
+        Thread.sleep(
+          math.min(200L, 10L << math.min(attempts, 4)) +
+            scala.util.Random.nextInt(25))
     }
     throw new ConflictException(
       s"commit failed after ${cfg.commitRetries} attempts on $branchName")

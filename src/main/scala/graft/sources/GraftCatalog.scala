@@ -212,7 +212,11 @@ class ChunkCoordFunction extends UnboundFunction {
   }
 }
 
-/** Bound scalar: codegen calls the `invoke` magic method directly;
+/** Bound scalar: the `invoke` magic method lives on the companion
+  * object, so scalac emits a STATIC `invoke(JJ)J` forwarder on this
+  * class and Spark's scalar-function resolution binds it as
+  * `StaticInvoke` — a direct static call in generated code, no bound
+  * object reference in the exchange partitioner or sort comparator.
   * `produceResult` is the interpreted fallback.
   */
 private[sources] class ChunkCoordBoundFunction extends ScalarFunction[java.lang.Long] {
@@ -223,5 +227,8 @@ private[sources] class ChunkCoordBoundFunction extends ScalarFunction[java.lang.
   override def isResultNullable: Boolean = false
   override def produceResult(input: InternalRow): java.lang.Long =
     java.lang.Math.floorDiv(input.getLong(0), input.getLong(1))
+}
+
+private[sources] object ChunkCoordBoundFunction {
   def invoke(i: Long, extent: Long): Long = java.lang.Math.floorDiv(i, extent)
 }

@@ -944,14 +944,20 @@ class GraftValuesWrite(opts: Map[String, String], schema: StructType,
     if (viaCatalog) Distributions.clustered(chunkTransforms)
     else if (helperClustered) Distributions.clustered(helperRefs)
     else Distributions.ordered(iSorts)
+  /** Clustered modes sort on the CLUSTER KEYS ONLY: the clustered
+    * writer needs each chunk's rows contiguous (it flushes the open
+    * chunk when the coord changes) but computes every cell's in-chunk
+    * position from `i0..iN` directly, so intra-chunk row order is
+    * irrelevant — appending `i0..iN` tiebreakers would double the sort
+    * comparator's key evaluations for nothing. Ordered mode keeps the
+    * full row-major sort (the stripe plan depends on it).
+    */
   override def requiredOrdering()
       : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
     if (viaCatalog)
-      (chunkTransforms.map(t =>
-        Expressions.sort(t, SortDirection.ASCENDING)) ++ iSorts)
+      chunkTransforms.map(t => Expressions.sort(t, SortDirection.ASCENDING))
     else if (helperClustered)
-      (helperRefs.map(t =>
-        Expressions.sort(t, SortDirection.ASCENDING)) ++ iSorts)
+      helperRefs.map(t => Expressions.sort(t, SortDirection.ASCENDING))
     else iSorts
 
   /** Ordered mode: tasks must span MANY chunk-row stripes — only a task's
@@ -1072,10 +1078,32 @@ class GraftValuesBatchWrite(opts: Map[String, String], schema: StructType,
       case (a, b) => a.orElse(b)
     }
     allRefs.foreach { refs =>
-      session.trackStaging(stagingRoot)
-      session.stageChunkRefs(array, refs
-        .withColumn("kind", lit(graft.meta.ChunkRef.KindRef))
-        .withColumn("offset", lit(0L)))
+      // cross-task duplicate guard: user-supplied `_c0.._cN` helper
+      // columns are trusted for clustering but never re-derived row-by-row
+      // (that would defeat their purpose), so a MIS-computed helper can
+      // spread one true chunk's rows over several tasks — each uploads a
+      // partial fill-0 chunk for the same coord, which the per-task
+      // flushedCoords guard cannot see. One staged-ref row exists per
+      // uploaded chunk (not per cell), so this duplicate check is a tiny
+      // aggregation over chunk-count rows; failing loudly here beats
+      // last-wins silently keeping one partial chunk (data loss).
+      val cached = refs.cache()
+      try {
+        val dup = cached.groupBy(col("coord"))
+          .count().filter(col("count") > 1).limit(5)
+          .collect()
+        if (dup.nonEmpty)
+          throw new graft.repo.GraftException(
+            "values write produced the same chunk coord from multiple " +
+              "tasks (mis-computed _c0.._cN helper columns, or the " +
+              "required clustering was not applied): " +
+              dup.map(_.get(0)).mkString(", "),
+            kind = graft.repo.GraftError.WriteNotClustered)
+        session.trackStaging(stagingRoot)
+        session.stageChunkRefs(array, cached
+          .withColumn("kind", lit(graft.meta.ChunkRef.KindRef))
+          .withColumn("offset", lit(0L)))
+      } finally cached.unpersist()
     }
     session.commit(opts.getOrElse("message", s"v2 values write $array"),
       allowEmpty = true)

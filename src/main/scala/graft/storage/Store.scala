@@ -207,9 +207,13 @@ final case class AzureStoreConf(
 /** Read-only repository hosting over plain HTTP(S) (WebDAV PROPFIND for
   * listing — the reference's `object_store` HTTP arm). All mutations
   * throw; use a writable backend to author, HTTP to distribute.
+  * `headers` are attached to EVERY request (reference
+  * `http_storage(headers=...)`, #2143) — bearer tokens / API keys for
+  * protected static hosts.
   */
 final case class HttpStoreConf(
-    endpoint: String // e.g. "https://data.example.com/repos/alpha"
+    endpoint: String, // e.g. "https://data.example.com/repos/alpha"
+    headers: Map[String, String] = Map.empty
 ) extends StoreConf {
   override def open(): Store = new graft.storage.http.HttpStore(this)
 }
@@ -391,7 +395,12 @@ object Store {
         opts.getOrElse("azure.prefix", ""),
         opts.getOrElse("azure.sas", "")).open()
     } else if (opts.contains("http.endpoint"))
-      HttpStoreConf(opts("http.endpoint")).open()
+      // http.header.<Name> options become per-request headers (#2143):
+      // e.g. http.header.Authorization = "Bearer …"
+      HttpStoreConf(opts("http.endpoint"),
+        opts.collect { case (k, v) if k.startsWith("http.header.") =>
+          k.stripPrefix("http.header.") -> v
+        }).open()
     else local(opts.getOrElse("path",
       throw new IllegalArgumentException(
         "option 'path' (repo root), 's3.endpoint', 'gcs.bucket', " +

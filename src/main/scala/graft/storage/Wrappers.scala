@@ -7,8 +7,11 @@ package graft.storage
 
 /** Retry transient failures with exponential backoff. `putIfAbsent` is NOT
   * retried blindly: a retry after an ambiguous failure could observe its
-  * own first attempt and report a lost race — callers (the commit CAS
-  * loop) already handle retry at the protocol level where it is safe.
+  * own first attempt and report a lost race — callers handle retry at the
+  * protocol level where it is safe ([[graft.meta.RepoPointer
+  * .compareAndSwap]] stamps each generation with a write id and reads it
+  * back on ambiguous failure, so a landed-but-unacknowledged PUT is
+  * recognized as success, never as a lost race).
   */
 final class RetryingStore(inner: Store, maxAttempts: Int = 5,
                           baseBackoffMs: Long = 20,
@@ -111,6 +114,87 @@ final class FlakyStore(inner: Store,
     { maybeFail("delete"); inner.delete(keys) }
   override def deletePrefix(prefix: String): Unit =
     { maybeFail("deletePrefix"); inner.deletePrefix(prefix) }
+}
+
+/** Fault injection AFTER the operation took effect: the mutation LANDS on
+  * storage but its success response is "lost in transit" (an exception is
+  * thrown instead) — the ambiguous network failure mode behind reference
+  * Changelog #2156 that [[graft.meta.RepoPointer.compareAndSwap]]'s
+  * write-id read-back recovers from. Drops the next `losses` responses of
+  * operations named in `lossOps`.
+  */
+final class LostResponseStore(inner: Store,
+                              @volatile var losses: Int,
+                              lossOps: Set[String] = Set("putIfAbsent"))
+    extends Store {
+  private def maybeDrop[A](op: String)(result: A): A =
+    this.synchronized {
+      if (losses > 0 && lossOps.contains(op)) {
+        losses -= 1
+        throw new TransientStorageException(
+          s"injected lost response after successful $op ($losses left)")
+      }
+      result
+    }
+
+  override def rootUri: String = inner.rootUri
+  override def conf: StoreConf = inner.conf
+  override def getBytes(key: String): Array[Byte] =
+    maybeDrop("getBytes")(inner.getBytes(key))
+  override def getRange(key: String, offset: Long, length: Long): Array[Byte] =
+    maybeDrop("getRange")(inner.getRange(key, offset, length))
+  override def putBytes(key: String, bytes: Array[Byte]): Unit =
+    maybeDrop("putBytes")(inner.putBytes(key, bytes))
+  override def putIfAbsent(key: String, bytes: Array[Byte]): Boolean =
+    maybeDrop("putIfAbsent")(inner.putIfAbsent(key, bytes))
+  override def list(prefix: String): Seq[ObjectInfo] =
+    maybeDrop("list")(inner.list(prefix))
+  override def listPage(prefix: String, startAfter: Option[String],
+                        maxKeys: Int): Seq[ObjectInfo] =
+    maybeDrop("listPage")(inner.listPage(prefix, startAfter, maxKeys))
+  override def copy(srcKey: String, dstKey: String): Unit =
+    maybeDrop("copy")(inner.copy(srcKey, dstKey))
+  override def exists(key: String): Boolean =
+    maybeDrop("exists")(inner.exists(key))
+  override def stat(key: String): Option[StatInfo] =
+    maybeDrop("stat")(inner.stat(key))
+  override def delete(keys: Iterable[String]): Unit =
+    maybeDrop("delete")(inner.delete(keys))
+  override def deletePrefix(prefix: String): Unit =
+    maybeDrop("deletePrefix")(inner.deletePrefix(prefix))
+}
+
+/** Reports every object mtime shifted by `skewMs` — a storage backend
+  * whose clock disagrees with the host's by that amount (negative =
+  * store clock behind the host). Exercises the reference-#2310 hazard:
+  * GC's age guard must compare its cutoff against store-observed time,
+  * or a lagging store clock makes just-written objects look old enough
+  * to delete.
+  */
+final class SkewedClockStore(inner: Store, skewMs: Long) extends Store {
+  private def shift(o: ObjectInfo): ObjectInfo =
+    o.copy(mtimeMillis = o.mtimeMillis + skewMs)
+  override def rootUri: String = inner.rootUri
+  override def conf: StoreConf = inner.conf
+  override def getBytes(key: String): Array[Byte] = inner.getBytes(key)
+  override def getRange(key: String, offset: Long, length: Long): Array[Byte] =
+    inner.getRange(key, offset, length)
+  override def putBytes(key: String, bytes: Array[Byte]): Unit =
+    inner.putBytes(key, bytes)
+  override def putIfAbsent(key: String, bytes: Array[Byte]): Boolean =
+    inner.putIfAbsent(key, bytes)
+  override def list(prefix: String): Seq[ObjectInfo] =
+    inner.list(prefix).map(shift)
+  override def listPage(prefix: String, startAfter: Option[String],
+                        maxKeys: Int): Seq[ObjectInfo] =
+    inner.listPage(prefix, startAfter, maxKeys).map(shift)
+  override def copy(srcKey: String, dstKey: String): Unit =
+    inner.copy(srcKey, dstKey)
+  override def exists(key: String): Boolean = inner.exists(key)
+  override def stat(key: String): Option[StatInfo] =
+    inner.stat(key).map(s => s.copy(mtimeMillis = s.mtimeMillis + skewMs))
+  override def delete(keys: Iterable[String]): Unit = inner.delete(keys)
+  override def deletePrefix(prefix: String): Unit = inner.deletePrefix(prefix)
 }
 
 /** Operation logging (logging.rs analog): counts + logs each op. */

@@ -98,6 +98,9 @@ final class AzureStore(val azConf: AzureStoreConf) extends Store {
     val body = new String(r.body(), UTF_8).take(300)
     if (r.statusCode() == 404)
       throw new java.nio.file.NoSuchFileException(key)
+    if (r.statusCode() == 401 || r.statusCode() == 403)
+      throw new graft.repo.GraftException(
+        s"$op $key: HTTP ${r.statusCode()} $body", graft.repo.GraftError.Auth)
     if (r.statusCode() >= 500 || r.statusCode() == 429)
       throw new TransientStorageException(
         s"$op $key: HTTP ${r.statusCode()} $body")
@@ -279,7 +282,10 @@ final class AzureStore(val azConf: AzureStoreConf) extends Store {
       out ++= fresh
       got += fresh.size
       marker = next
-      more = next.nonEmpty && page.nonEmpty
+      // Azure may legally return an EMPTY page with a continuation token
+      // (the same short-page hazard GcsStore.listPage handles): keep
+      // walking while a token is present or results silently truncate.
+      more = next.nonEmpty
     }
     out.result()
   }

@@ -17,8 +17,12 @@ import com.sun.net.httpserver.{HttpExchange, HttpServer}
   *    infinity` → `207 Multistatus` (percent-encoded hrefs, trailing
   *    '/' on collections); a non-resource path → 404, like a real host
   *  - everything else (PUT/DELETE/...) → 405, like a static host
+  *
+  * `requiredAuth` (e.g. `Some("Bearer sekrit")`) makes every request
+  * demand that exact `Authorization` header value, 401 otherwise — the
+  * protected-static-host setup of reference #2143.
   */
-final class HttpMemServer {
+final class HttpMemServer(requiredAuth: Option[String] = None) {
   private final case class Obj(bytes: Array[Byte], mtime: Instant,
                                etag: String)
   private val objects =
@@ -55,6 +59,12 @@ final class HttpMemServer {
     val key = java.net.URLDecoder.decode(
       ex.getRequestURI.getRawPath.stripPrefix("/").replace("+", "%2B"),
       UTF_8)
+    if (requiredAuth.exists(a =>
+        Option(ex.getRequestHeaders.getFirst("Authorization")) != Some(a))) {
+      count("unauthorized")
+      respond(ex, 401, "unauthorized".getBytes(UTF_8))
+      return
+    }
     ex.getRequestMethod match {
       case "GET" => get(ex, key)
       case "HEAD" => head(ex, key)

@@ -45,15 +45,21 @@ final class HttpStore(val httpConf: HttpStoreConf) extends Store {
       : HttpResponse[Array[Byte]] = {
     val b = HttpRequest.newBuilder(keyUri(key))
       .method(method, HttpRequest.BodyPublishers.noBody())
+    // configured headers first (reference http_storage(headers=...),
+    // #2143 — bearer tokens for protected hosts), then per-call ones
+    httpConf.headers.foreach { case (k, v) => b.header(k, v) }
     headers.foreach { case (k, v) => b.header(k, v) }
     http.send(b.build(), HttpResponse.BodyHandlers.ofByteArray())
   }
 
   private def failed(op: String, key: String,
-                     r: HttpResponse[Array[Byte]]): Nothing =
-    throw new java.io.IOException(
-      s"http $op $key: HTTP ${r.statusCode()} " +
-        new String(r.body(), UTF_8).take(200))
+                     r: HttpResponse[Array[Byte]]): Nothing = {
+    val msg = s"http $op $key: HTTP ${r.statusCode()} " +
+      new String(r.body(), UTF_8).take(200)
+    if (r.statusCode() == 401 || r.statusCode() == 403)
+      throw new graft.repo.GraftException(msg, graft.repo.GraftError.Auth)
+    throw new java.io.IOException(msg)
+  }
 
   private def readOnly(op: String): Nothing =
     throw new UnsupportedOperationException(
@@ -131,6 +137,7 @@ final class HttpStore(val httpConf: HttpStoreConf) extends Store {
           "<getcontentlength/><getlastmodified/></prop></propfind>"))
       .header("Depth", "1")
       .header("Content-Type", "application/xml")
+    httpConf.headers.foreach { case (k, v) => b.header(k, v) }
     val r = http.send(b.build(), HttpResponse.BodyHandlers.ofByteArray())
     if (r.statusCode() == 404) return None
     if (r.statusCode() != 207) failed("PROPFIND", dirPath, r)

@@ -99,6 +99,9 @@ final class S3Store(val s3conf: S3StoreConf) extends Store {
     val body = new String(r.body(), UTF_8).take(300)
     if (r.statusCode() == 404)
       throw new java.nio.file.NoSuchFileException(key)
+    if (r.statusCode() == 401 || r.statusCode() == 403)
+      throw new graft.repo.GraftException(
+        s"$op $key: HTTP ${r.statusCode()} $body", graft.repo.GraftError.Auth)
     if (r.statusCode() >= 500 || r.statusCode() == 429)
       throw new TransientStorageException(
         s"$op $key: HTTP ${r.statusCode()} $body")

@@ -138,6 +138,12 @@ object Cli {
           println(s"$key = $value (applies to future opens)")
         case _ => usage()
       }
+    } catch {
+      // stable machine-readable failure codes (#2267): tooling matches
+      // on `error[<kind>]`, never on the prose
+      case e: GraftException =>
+        System.err.println(s"error[${e.kind}]: ${e.getMessage}")
+        sys.exit(1)
     } finally spark.stop()
   }
 }

@@ -1,7 +1,7 @@
 package graft.virt
 
-import graft.storage.{AzureStoreConf, GcsStoreConf, LocalStoreConf,
-  S3StoreConf, StoreConf}
+import graft.storage.{AzureStoreConf, GcsStoreConf, HttpStoreConf,
+  LocalStoreConf, S3StoreConf, StoreConf}
 
 /** Virtual chunk containers: registered external URL prefixes whose files
   * hold chunk bytes (virtual_chunks.rs:96-110). Locations are matched to a
@@ -102,6 +102,15 @@ final class VirtualChunkResolver(val containers: Seq[VirtualChunkContainer])
         val root = java.nio.file.Paths.get(l.root).toAbsolutePath
         root.relativize(java.nio.file.Paths.get(java.net.URI.create(location))
           .toAbsolutePath).toString.replace('\\', '/')
+      case h: HttpStoreConf =>
+        // http(s):// locations under the endpoint; key = relative path.
+        // Per-container headers (#2143) ride on the conf itself.
+        val ep = h.endpoint.stripSuffix("/") + "/"
+        if (!location.startsWith(ep))
+          throw new graft.repo.GraftException(
+            s"HTTP container store endpoint '${h.endpoint}' does not " +
+              s"cover $location")
+        location.drop(ep.length)
     }
 
   private def stripConfPrefix(prefix: String, path: String,
@@ -181,6 +190,8 @@ object VirtualChunkResolver {
     * virtual.<name>.s3.{region,prefix,access-key,secret-key}
     * virtual.<name>.gcs.{endpoint,bucket,prefix,token}      (GCS store)
     * virtual.<name>.azure.{endpoint,account,container,prefix,sas}
+    * virtual.<name>.http.endpoint                           (HTTP store)
+    * virtual.<name>.http.header.<Name>    (per-request headers, #2143)
     * }}}
     *
     * The `file:` catch-all of [[default]] stays registered alongside.
@@ -189,7 +200,7 @@ object VirtualChunkResolver {
     val names = opts.keys.collect {
       case k if k.startsWith("virtual.") && k.endsWith(".prefix") &&
         !k.contains(".s3.") && !k.contains(".gcs.") &&
-        !k.contains(".azure.") =>
+        !k.contains(".azure.") && !k.contains(".http.") =>
         k.stripPrefix("virtual.").stripSuffix(".prefix")
     }.toSeq.sorted
     if (names.isEmpty) default
@@ -221,6 +232,11 @@ object VirtualChunkResolver {
           account, container,
           azOpt("prefix").getOrElse(""),
           azOpt("sas").getOrElse("")): StoreConf
+      }).orElse(opts.get(s"virtual.$n.http.endpoint").map { ep =>
+        HttpStoreConf(ep, opts.collect {
+          case (k, v) if k.startsWith(s"virtual.$n.http.header.") =>
+            k.stripPrefix(s"virtual.$n.http.header.") -> v
+        }): StoreConf
       })
       VirtualChunkContainer(opts(s"virtual.$n.prefix"), n, store)
     } :+ VirtualChunkContainer("file:"))

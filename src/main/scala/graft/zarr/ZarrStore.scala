@@ -154,14 +154,19 @@ final class ZarrStore(val session: Session) {
   def setIfNotExists(key: String, bytes: Array[Byte]): Boolean =
     if (exists(key)) false else { set(key, bytes); true }
 
-  /** `Store::delete` (store.rs:515). */
+  /** `Store::delete` (store.rs:515). Deleting a chunk key that cannot
+    * exist — missing node, group node, or out-of-grid coordinates — is a
+    * no-op matching zarr-python (reference #2312); out-of-grid WRITES
+    * still reject via [[Session.setChunkRef]]'s bounds check.
+    */
   def delete(key: String): Unit =
     ZarrKey.parse(key) match {
       case Left(err) => throw new GraftException(err)
       case Right(Metadata(path)) =>
         if (session.node(path).isDefined) session.deleteNode(path)
       case Right(Chunk(path, coords)) =>
-        session.deleteChunk(path, coords)
+        if (session.node(path).filter(_.isArray).exists(_.validCoord(coords)))
+          session.deleteChunk(path, coords)
     }
 
   /** Recursive delete under a prefix (`delete_dir`). */

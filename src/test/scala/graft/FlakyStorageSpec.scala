@@ -27,7 +27,8 @@ class FlakyStorageSpec extends SparkTestBase {
     assert(ro.getChunk("/a", Seq(0)).get.length == 600)
   }
 
-  test("failed putIfAbsent surfaces as a retryable commit, not corruption") {
+  test("failed putIfAbsent: transient heals via read-back, persistent " +
+      "surfaces without corruption") {
     val dir = tmpDir("repo")
     val flaky = new FlakyStore(Store.local(dir), failures = 0,
       failOps = Set("putIfAbsent"))
@@ -39,14 +40,52 @@ class FlakyStorageSpec extends SparkTestBase {
 
     val s2 = repo.writableSession("main")
     s2.writeChunk("/a", Seq(1), Array[Byte](1))
-    // fail exactly at the pointer swap: the commit loop reloads and retries
-    // (the snapshot files written before the failed CAS are orphans -> GC)
+    // fail exactly at the pointer swap. The CAS read-back (#2156) finds
+    // NOTHING landed, so the conditional semantics still hold and the
+    // protocol-level retry inside compareAndSwap heals the commit — a
+    // transient transport blip at the swap is invisible to the caller.
     flaky.failures = 1
-    intercept[Exception](s2.commit("will fail at CAS"))
-    // the repo is NOT corrupted: a fresh session commits cleanly
+    s2.commit("heals through transient CAS failure")
+    assert(repo.readonlySession(VersionRef.Branch("main"))
+      .refs("/a").count() == 1)
+
+    // persistent transport failure: surfaces after bounded attempts, and
+    // the repo is NOT corrupted — a fresh session commits cleanly
     val s3 = repo.writableSession("main")
     s3.writeChunk("/a", Seq(2), Array[Byte](2))
-    s3.commit("recovers")
+    flaky.failures = 100
+    intercept[Exception](s3.commit("will fail at CAS"))
+    flaky.failures = 0
+    val s4 = repo.writableSession("main")
+    s4.writeChunk("/a", Seq(3), Array[Byte](3))
+    s4.commit("recovers")
+    assert(repo.readonlySession(VersionRef.Branch("main"))
+      .refs("/a").count() == 2)
+  }
+
+  test("lost CAS success response: exactly one commit lands, no " +
+      "duplicate, no spurious self-rebase (#2156)") {
+    val dir = tmpDir("repo")
+    val lossy = new LostResponseStore(Store.local(dir), losses = 0)
+    val repo = Repository.create(lossy, spark)
+    val s = repo.writableSession("main")
+    s.addArray("/a", Seq(10), Seq(1))
+    s.commit("init")
+    val baseLen = repo.ancestry(VersionRef.Branch("main")).size
+
+    // the conditional PUT LANDS but its success response is lost: the
+    // write-id read-back must recognize the landed generation as our own
+    // write — success, not a conflict to rebase over (which would land
+    // the commit twice)
+    val s2 = repo.writableSession("main")
+    s2.writeChunk("/a", Seq(1), Array[Byte](1))
+    lossy.losses = 1
+    val cid = s2.commit("landed but unacknowledged")
+    assert(lossy.losses == 0) // the injection fired
+    val chain = repo.ancestry(VersionRef.Branch("main"))
+    assert(chain.size == baseLen + 1) // exactly one new commit
+    assert(chain.head.id == cid)
+    assert(chain.count(_.message == "landed but unacknowledged") == 1)
     assert(repo.readonlySession(VersionRef.Branch("main"))
       .refs("/a").count() == 1)
   }

@@ -86,6 +86,29 @@ class OpsSpec extends SparkTestBase {
     assert(store.exists("staging/live-tok/.lease"))
   }
 
+  test("GC age cutoff follows the store clock, not the host clock (#2310)") {
+    // store clock 10 minutes BEHIND the host — the reference-#2310 setup
+    // where GC deleted still-referenced data because host-clock cutoffs
+    // were compared against (lagging) store-assigned mtimes
+    val store = new graft.storage.SkewedClockStore(
+      Store.local(tmpDir("skewrepo")), -600000L)
+    val repo = Repository.create(store, spark)
+    val s = repo.writableSession("main")
+    s.addArray("/a", Seq(100), Seq(10))
+    s.writeChunk("/a", Seq(0), Array.fill(600)(1.toByte)) // uploaded, uncommitted
+    store.putBytes("staging/live-tok/part-0.parquet", Array[Byte](1, 2))
+    // host-clock cutoff 5 min ago: every just-written object's
+    // store-observed mtime (host − 10 min) looks OLDER than this, so a
+    // naive host-clock comparison would sweep the in-flight commit's
+    // chunk and the live staging token
+    val summary = GC.garbageCollect(repo, Instant.now().minusSeconds(300))
+    assert(summary.chunksDeleted == 0 && summary.txLogsDeleted == 0)
+    assert(store.exists("staging/live-tok/part-0.parquet"))
+    s.commit("c1")
+    val ro = repo.readonlySession(VersionRef.Branch("main"))
+    assert(ro.getChunk("/a", Seq(0)).get.length == 600)
+  }
+
   test("expire squashes old ancestry; rebase over expired boundary fails") {
     val repo = freshRepo()
     val s = repo.writableSession("main")

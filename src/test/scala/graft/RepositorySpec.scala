@@ -109,6 +109,32 @@ class RepositorySpec extends SparkTestBase {
     assert(ro2.getChunkRef("/long1d", Seq(555)).exists(_.kind == "virtual"))
   }
 
+  test("public failures carry stable machine-readable kinds (#2267)") {
+    val repo = Repository.create(Store.local(tmpDir("repo")), spark)
+    def kindOf(body: => Any): String =
+      intercept[GraftException](body).kind
+    // ref_not_found
+    assert(kindOf(repo.ancestry(VersionRef.Branch("nope"))) ==
+      GraftError.RefNotFound)
+    assert(kindOf(repo.resolveVersion(VersionRef.Tag("nope"))) ==
+      GraftError.RefNotFound)
+    assert(kindOf(repo.writableSession("nope")) == GraftError.RefNotFound)
+    // node_not_found / out_of_bounds on the write surface
+    val s = repo.writableSession("main")
+    assert(kindOf(s.writeChunk("/nope", Seq(0), Array[Byte](1))) ==
+      GraftError.NodeNotFound)
+    s.addArray("/a", Seq(10), Seq(1))
+    assert(kindOf(s.writeChunk("/a", Seq(99), Array[Byte](1))) ==
+      GraftError.Bounds)
+    // read_only
+    val ro = repo.readonlySession(VersionRef.Branch("main"))
+    assert(kindOf(ro.addGroup("/g")) == GraftError.ReadOnly)
+    // conflict rides on ConflictException by construction
+    assert(new ConflictException("x").kind == GraftError.Conflict)
+    // kinds are part of the API: the generic default stays "error"
+    assert(new GraftException("x").kind == GraftError.Generic)
+  }
+
   test("branches, tags, diff, reset") {
     val repo = Repository.create(Store.local(tmpDir("repo")), spark)
     val s = repo.writableSession("main")

@@ -460,6 +460,41 @@ class S3RepositorySpec extends SparkTestBase {
     } finally server.stop()
   }
 
+  test("http: configured headers reach every request (#2143)") {
+    val server = new graft.storage.http.HttpMemServer(
+      requiredAuth = Some("Bearer sekrit"))
+    try {
+      server.put("d/obj", Array.tabulate[Byte](100)(_.toByte))
+      // without the header every read is 401, surfaced with the stable
+      // machine-readable `auth` kind (#2267)
+      val anon = HttpStoreConf(server.endpoint).open()
+      val e = intercept[GraftException](anon.getBytes("d/obj"))
+      assert(e.kind == GraftError.Auth)
+      assert(!anon.exists("d/obj")) // HEAD → 401, not 200
+      intercept[GraftException](anon.list("d/"))
+      // with it — built through the connector-option path — all verbs work
+      val store = Store.fromOptions(Map(
+        "http.endpoint" -> server.endpoint,
+        "http.header.Authorization" -> "Bearer sekrit"))
+      assert(store.getBytes("d/obj").length == 100)
+      assert(store.getRange("d/obj", 10, 5).toSeq == (10 until 15)
+        .map(_.toByte))
+      assert(store.stat("d/obj").exists(_.size == 100))
+      assert(store.list("d/").map(_.key) == Seq("d/obj")) // PROPFIND too
+      assert(server.opCounts.get("unauthorized").get() >= 3)
+
+      // per-container HTTP credentials for http(s):// virtual chunks
+      val resolver = graft.virt.VirtualChunkResolver.fromOptions(Map(
+        "virtual.ext.prefix" -> s"${server.endpoint}/d/",
+        "virtual.ext.http.endpoint" -> server.endpoint,
+        "virtual.ext.http.header.Authorization" -> "Bearer sekrit"))
+      assert(resolver.ranged(s"${server.endpoint}/d/obj", 20, 10).toSeq ==
+        (20 until 30).map(_.toByte))
+      assert(resolver.fetch("vcc://ext/obj", 0, 4, null, 0).toSeq ==
+        (0 until 4).map(_.toByte))
+    } finally server.stop()
+  }
+
   test("http: a repo authored on local FS serves read-only over HTTP") {
     // author with a writable backend...
     val dir = tmpDir("http-repo")

@@ -51,6 +51,29 @@ class ZarrStoreSpec extends SparkTestBase {
     assert(store.setIfNotExists("a/c/5", Array[Byte](1)))
   }
 
+  test("delete of an impossible chunk key is a no-op; writes still reject (#2312)") {
+    val (_, store) = freshStore()
+    val arrDoc = """{"zarr_format":3,"node_type":"array","shape":[100],""" +
+      """"chunk_grid":{"name":"regular","configuration":{"chunk_shape":[10]}}}"""
+    store.set("g/zarr.json", """{"node_type":"group"}""".getBytes)
+    store.set("a/zarr.json", arrDoc.getBytes)
+    store.set("a/c/0", Array.tabulate(20)(_.toByte))
+    // out-of-grid coordinate, missing node, group path: all no-ops
+    store.delete("a/c/99")
+    store.delete("nope/c/0")
+    store.delete("g/c/0")
+    // metadata delete of a missing node also no-ops
+    store.delete("nope/zarr.json")
+    assert(store.get("a/c/0").isDefined)
+    // a real delete still works
+    store.delete("a/c/0")
+    assert(store.get("a/c/0").isEmpty)
+    // WRITES outside the grid still reject
+    intercept[GraftException](store.set("a/c/99", Array[Byte](1)))
+    intercept[GraftException](store.set("nope/c/0", Array[Byte](1)))
+    intercept[GraftException](store.set("g/c/0", Array[Byte](1)))
+  }
+
   test("list_prefix, list_dir, getsize_prefix over committed + staged") {
     val (repo, store) = freshStore()
     store.set("g/zarr.json", """{"node_type":"group"}""".getBytes)
