@@ -21,6 +21,44 @@ import graft.storage.Store
   * run-to-run and a single sample cannot separate code from weather.
   */
 object Bench {
+  /** Time one entry; a failure records a NEGATIVE wall time and appends
+    * `name: ExceptionClass: message` to `errors`, so in the JSON line a
+    * crashed entry can never masquerade as a fast success.
+    */
+  private[graft] def timedEntry[A](
+      name: String, errors: scala.collection.mutable.Buffer[String])(
+      body: => A): Double = {
+    val t0 = System.nanoTime()
+    // a failed entry must not take the JSON line down with it, but it
+    // must not fail silently either
+    try { body; (System.nanoTime() - t0) / 1e9 }
+    catch { case t: Throwable =>
+      System.err.println(s"[bench] entry $name failed: $t")
+      errors += s"$name: ${t.getClass.getSimpleName}: " +
+        Option(t.getMessage).getOrElse("").take(160)
+      -((System.nanoTime() - t0) / 1e9)
+    }
+  }
+
+  /** The one-line JSON contract the driver parses: entry seconds plus an
+    * explicit `errors` array (failed entries also carry negative times).
+    */
+  private[graft] def jsonLine(results: collection.Map[String, Double],
+                              errors: collection.Seq[String],
+                              sfDir: String): String = {
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val total = if (results.nonEmpty) results.values.sum else 0.0
+    def jstr(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => " "
+      case c => c.toString
+    } + "\""
+    val errJson = errors.map(jstr).mkString("[", ",", "]")
+    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -36,22 +74,9 @@ object Bench {
     spark.range(1000000).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/region.parquet").count()
 
-    // entry name -> failure message; surfaces in the JSON line as
-    // "errors":[...] so a crashed entry can never masquerade as a fast
-    // success (its recorded time is also NEGATED as a second marker)
     val errors = scala.collection.mutable.ArrayBuffer[String]()
-    def timed[A](name: String)(body: => A): Double = {
-      val t0 = System.nanoTime()
-      // a failed entry must not take the JSON line down with it, but it
-      // must not fail silently either
-      try { body; (System.nanoTime() - t0) / 1e9 }
-      catch { case t: Throwable =>
-        System.err.println(s"[bench] entry $name failed: $t")
-        errors += s"$name: ${t.getClass.getSimpleName}: " +
-          Option(t.getMessage).getOrElse("").take(160)
-        -((System.nanoTime() - t0) / 1e9)
-      }
-    }
+    def timed[A](name: String)(body: => A): Double =
+      timedEntry(name, errors)(body)
 
     /** Drop per-entry state: dedup self-join caches, Spark's SQL cache,
       * and the chunk-byte LRU. Each entry starts from the same floor.
@@ -343,17 +368,7 @@ object Bench {
       }
     }
 
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    def jstr(s: String): String = "\"" + s.flatMap {
-      case '"' => "\\\""
-      case '\\' => "\\\\"
-      case c if c < ' ' => " "
-      case c => c.toString
-    } + "\""
-    val errJson = errors.map(jstr).mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
+    println(jsonLine(results, errors, sfDir))
     spark.stop()
   }
 }

@@ -238,4 +238,48 @@ class GraftTableProviderSpec extends SparkTestBase {
     val ro = repo.readonlySession(VersionRef.Branch("main"))
     assert(ro.refs("/m").count() == 4) // whole chunks, one object each
   }
+
+  test("mis-computed _c helpers fail the write loudly, never a silent " +
+      "partial chunk") {
+    val dir = tmpDir("repo")
+    val repo = Repository.create(Store.local(dir), spark)
+    val s = repo.writableSession("main")
+    s.addArray("/m", Seq(8, 10), Seq(4, 5))
+    s.commit("init")
+
+    // _c1 = i1 (identity, not i1 div 5): rows of one TRUE chunk spread
+    // over several clusters, hence several tasks; each task uploads a
+    // partial fill-0 chunk for the same coord, and last-wins would
+    // silently drop cells. Because the mis-clustering is still MONOTONE
+    // in the true coord, no task ever revisits a flushed coord — the
+    // intra-task flushedCoords guard cannot see it; only the driver-side
+    // cross-task duplicate check can, with the stable
+    // write_not_clustered kind.
+    import spark.implicits._
+    val rows = for { i <- 0L until 8L; j <- 0L until 10L }
+      yield (i, j, (i * 100 + j).toDouble)
+    // keep AQE from coalescing this tiny input into ONE task (which
+    // would hide the cross-task hazard this test exists to exercise)
+    val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
+    val prev = spark.conf.get(coalesceKey)
+    val thrown = intercept[Throwable] {
+      try {
+        spark.conf.set(coalesceKey, "false")
+        rows.toDF("i0", "i1", "value")
+          .selectExpr("i0", "i1", "value", "i0 div 4 as _c0", "i1 as _c1")
+          .write.format("graft-v2")
+          .option("path", dir).option("array", "/m")
+          .option("mode", "values").option("dtype", "float64")
+          .option("clustered", "true")
+          .option("message", "bad helpers").mode("append").save()
+      } finally spark.conf.set(coalesceKey, prev)
+    }
+    val graftCause = Iterator.iterate(thrown)(_.getCause)
+      .takeWhile(_ != null).collectFirst { case g: GraftException => g }
+    assert(graftCause.exists(_.kind == GraftError.WriteNotClustered),
+      s"expected write_not_clustered, got $thrown")
+    // nothing landed: the branch still has zero refs for /m
+    val ro = repo.readonlySession(VersionRef.Branch("main"))
+    assert(ro.refs("/m").count() == 0)
+  }
 }

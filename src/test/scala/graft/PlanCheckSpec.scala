@@ -57,6 +57,78 @@ class PlanCheckSpec extends SparkTestBase {
       "top-k lost TakeOrderedAndProject (global Sort+Exchange instead)")
   }
 
+  test("catalog INSERT: one exchange, sort on chunk transforms only") {
+    // the bulk-write path of record: Spark clusters rows by the
+    // chunk_coord function transform in ONE exchange and sorts on the
+    // CLUSTER KEYS ONLY — re-adding i0..iN tiebreakers (the round-5
+    // inversion: 6-key sort, 2.7× the provider route) or a second
+    // exchange would silently re-tax every 100 TB ingest
+    import graft.repo._
+    import graft.storage.Store
+    val dir = tmpDir("plans-cat")
+    val repo = Repository.create(Store.local(dir.toString), spark)
+    val s = repo.writableSession("main")
+    s.addArray("/cube", Seq(16, 16), Seq(4, 16),
+      userData = """{"dtype":"int64"}""")
+    s.commit("init")
+    spark.conf.set("spark.sql.catalog.plancat",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.plancat.path", dir.toString)
+    val p = spark.sql(
+      """EXPLAIN FORMATTED INSERT INTO plancat.cube
+        |SELECT id div 16 AS i0, id % 16 AS i1, id AS value
+        |FROM range(256)""".stripMargin)
+      .collect().map(_.getString(0)).mkString("\n")
+    val exchanges = "(?m)^\\(\\d+\\) Exchange".r.findAllIn(p).size
+    assert(exchanges == 1, s"expected exactly 1 exchange, found $exchanges\n$p")
+    // the static-invoke binding of chunk_coord (no per-row bound-object
+    // call inside the exchange partitioner)
+    assert(p.contains("static_invoke(graft.sources.ChunkCoordBoundFunction"),
+      s"chunk_coord did not bind via StaticInvoke:\n$p")
+    // sort keys: cluster transforms only, never the raw i columns
+    assert(!"i0#\\d+L? ASC".r.findFirstIn(p).isDefined,
+      s"sort re-acquired an i0 tiebreaker (6-key sort regression):\n$p")
+  }
+
+  test("values-write distribution contract: cluster keys only, no " +
+      "i-tiebreakers") {
+    // the DSv2 write command never reaches the QueryExecutionListener,
+    // so this guards the RequiresDistributionAndOrdering contract
+    // directly: the 6-key sort regression (cluster keys + i0..iN
+    // tiebreakers — the round-5 2.7× inversion) cannot reappear in
+    // either clustered route without failing here
+    import org.apache.spark.sql.types._
+    val base = StructType(Seq("i0", "i1", "value")
+      .map(n => StructField(n, LongType)))
+    val withHelpers = StructType(base.fields ++ Seq("_c0", "_c1")
+      .map(n => StructField(n, LongType)))
+    def keys(w: graft.sources.GraftValuesWrite): Seq[String] =
+      w.requiredOrdering().toSeq.map(_.expression().describe())
+
+    // provider route + _c helpers: sort on the two helper refs only
+    val wp = new graft.sources.GraftValuesWrite(Map.empty, withHelpers,
+      Seq(4L, 16L), Seq(16L, 16L), "int64", "raw", helperClustered = true)
+    assert(keys(wp) == Seq("_c0", "_c1"), s"helper sort keys: ${keys(wp)}")
+    assert(wp.requiredNumPartitions() == 0) // AQE sizes the exchange
+
+    // catalog route: sort on the two chunk_coord transforms only
+    val wc = new graft.sources.GraftValuesWrite(
+      Map("via-catalog" -> "true"), base,
+      Seq(4L, 16L), Seq(16L, 16L), "int64", "raw")
+    val ck = keys(wc)
+    assert(ck.length == 2 && ck.forall(_.contains("chunk_coord")),
+      s"catalog sort keys: $ck")
+    assert(ck.forall(k => !k.startsWith("i")), s"catalog sort keys: $ck")
+    assert(wc.requiredNumPartitions() == 0)
+
+    // ordered fallback keeps the FULL row-major sort (the stripe plan
+    // depends on it) and caps partitions by stripe geometry
+    val wo = new graft.sources.GraftValuesWrite(Map.empty, base,
+      Seq(4L, 16L), Seq(16L, 16L), "int64", "raw")
+    assert(keys(wo) == Seq("i0", "i1"), s"ordered sort keys: ${keys(wo)}")
+    assert(wo.requiredNumPartitions() >= 1)
+  }
+
   test("no pipeline query plans a cartesian or nested-loop join") {
     val checked = Seq("q_dedup_minhash", "q_dedup_simhash",
       "q_dedup_ngram_jaccard", "q_dedup_ngram_lsh", "q_embedding_neardups",
