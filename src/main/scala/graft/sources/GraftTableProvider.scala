@@ -891,7 +891,8 @@ class GraftValuesWriteBuilder(opts: Map[String, String],
       throw new graft.repo.GraftException(
         s"values write schema mismatch: got ${got.fieldNames.mkString(",")}" +
           s", expected ${expected.fieldNames.mkString(",")}" +
-          s" (optionally + ${helperCols.mkString(",")})")
+          s" (optionally + ${helperCols.mkString(",")})",
+        kind = graft.repo.GraftError.SchemaMismatch)
     new GraftValuesWrite(opts, got, node.chunkShape, node.shape, dtype,
       opts.getOrElse("compression", "raw"), helperClustered)
   }

@@ -178,19 +178,37 @@ final class HttpStore(val httpConf: HttpStoreConf) extends Store {
     try java.net.URLDecoder.decode(s.replace("+", "%2B"), UTF_8)
     catch { case _: IllegalArgumentException => s }
 
+  /** Recursive WebDAV walk, one PROPFIND per collection, SIBLING
+    * collections fetched concurrently on the shared fetch pool (a
+    * breadth-first frontier): a deep repo tree costs one round-trip per
+    * LEVEL of fan-out, not one per directory — the difference between
+    * seconds and minutes when a manifest tree holds thousands of shard
+    * directories on a real (multi-ms RTT) host.
+    */
   override def list(prefix: String): Seq[ObjectInfo] = {
-    val out = Vector.newBuilder[ObjectInfo]
-    def walk(dirPath: String): Unit =
-      propfindDepth1(dirPath).getOrElse(Nil).foreach { m =>
-        if (m.key.endsWith("/")) {
-          // recurse only where matches can live: the collection is under
-          // the prefix, or is an ancestor of it
-          if (m.key.startsWith(prefix) || prefix.startsWith(m.key))
-            walk(m.key)
-        } else if (m.key.startsWith(prefix)) out += m
-      }
-    walk(prefix.substring(0, prefix.lastIndexOf('/') + 1))
-    out.result().sortBy(_.key)
+    import scala.jdk.CollectionConverters._
+    val out = new java.util.concurrent.ConcurrentLinkedQueue[ObjectInfo]()
+    var frontier = Seq(prefix.substring(0, prefix.lastIndexOf('/') + 1))
+    while (frontier.nonEmpty) {
+      val tasks: Seq[java.util.concurrent.Callable[Seq[String]]] =
+        frontier.map { dirPath =>
+          (() => {
+            val next = Seq.newBuilder[String]
+            propfindDepth1(dirPath).getOrElse(Nil).foreach { m =>
+              if (m.key.endsWith("/")) {
+                // recurse only where matches can live: the collection is
+                // under the prefix, or is an ancestor of it
+                if (m.key.startsWith(prefix) || prefix.startsWith(m.key))
+                  next += m.key
+              } else if (m.key.startsWith(prefix)) out.add(m)
+            }
+            next.result()
+          }): java.util.concurrent.Callable[Seq[String]]
+        }
+      frontier = graft.storage.Store.fetchPool.invokeAll(tasks.asJava)
+        .asScala.flatMap(_.get()).toSeq
+    }
+    out.asScala.toVector.sortBy(_.key)
   }
 
   // ---- mutations: rejected ----

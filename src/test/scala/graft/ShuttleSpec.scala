@@ -306,4 +306,34 @@ class ShuttleSpec extends SparkTestBase {
     }
     assert(runs == 10, s"only $runs schedules explored")
   }
+
+  test("scheduled 2-committer race with a lost CAS success response: " +
+      "one landing each, never a duplicate (#2156)") {
+    val runs = explore(10, { store =>
+      // the first pointer CAS that SUCCEEDS has its success response
+      // dropped (the PUT lands, the 200 is lost): the write-id read-back
+      // must recognize the landed generation as its own — a committer
+      // that instead treated it as a lost race would rebase over ITSELF
+      // and land its commit twice
+      val lossy = new graft.storage.LostResponseStore(store, losses = 0)
+      val repo = Repository.create(lossy, spark)
+      lossy.losses = 1
+      (repo, (0 until 2).map(i => () => {
+        val s = repo.writableSession("main")
+        s.addGroup(s"/g$i")
+        s.commit(s"commit g$i")
+        ()
+      }))
+    }) { repo =>
+      val tip = repo.readonlySession(VersionRef.Branch("main"))
+      assert(tip.node("/g0").isDefined, "g0 lost")
+      assert(tip.node("/g1").isDefined, "g1 lost")
+      val messages = repo.ancestry(VersionRef.Branch("main")).map(_.message)
+      assert(messages.count(_ == "commit g0") == 1, s"duplicate g0: $messages")
+      assert(messages.count(_ == "commit g1") == 1, s"duplicate g1: $messages")
+      assertGapFreeChain(repo)
+      assertOpsNewestFirst(repo)
+    }
+    assert(runs == 10, s"only $runs schedules explored")
+  }
 }
