@@ -160,7 +160,11 @@ final case class S3StoreConf(
     accessKey: String = "", // empty = unsigned requests (stub/anonymous)
     secretKey: String = "",
     multipartThresholdBytes: Long = 64L * 1024 * 1024,
-    multipartPartBytes: Long = 32L * 1024 * 1024) extends StoreConf {
+    multipartPartBytes: Long = 32L * 1024 * 1024,
+    // attached to EVERY request (reference s3_storage(headers=...),
+    // #2246) — proxy keys, requester-pays markers, etc.; `x-amz-*`
+    // entries participate in SigV4 signing
+    headers: Map[String, String] = Map.empty) extends StoreConf {
   override def open(): Store = new graft.storage.s3.S3Store(this)
 }
 
@@ -181,7 +185,9 @@ final case class GcsStoreConf(
     // multiples per the API contract; the default is one, and an
     // unaligned size is rounded up to the next multiple at upload time)
     resumableThresholdBytes: Long = 64L * 1024 * 1024,
-    resumableChunkBytes: Long = 32L * 1024 * 1024) extends StoreConf {
+    resumableChunkBytes: Long = 32L * 1024 * 1024,
+    // attached to EVERY request (gcs_storage(headers=...), #2246)
+    headers: Map[String, String] = Map.empty) extends StoreConf {
   override def open(): Store = new graft.storage.gcs.GcsStore(this)
 }
 
@@ -200,7 +206,9 @@ final case class AzureStoreConf(
     sasToken: String = "",
     // Put Block / Put Block List cutover + block size
     blockThresholdBytes: Long = 64L * 1024 * 1024,
-    blockBytes: Long = 32L * 1024 * 1024) extends StoreConf {
+    blockBytes: Long = 32L * 1024 * 1024,
+    // attached to EVERY request (#2246 analog for Azure)
+    headers: Map[String, String] = Map.empty) extends StoreConf {
   override def open(): Store = new graft.storage.az.AzureStore(this)
 }
 
@@ -369,6 +377,13 @@ object Store {
     * `azure.container` → Azure Blob; otherwise `path` is a local repo
     * root.
     */
+  /** `<backend>.header.<Name>` options → per-request headers (#2246). */
+  private def headerOpts(opts: Map[String, String],
+                         backend: String): Map[String, String] =
+    opts.collect { case (k, v) if k.startsWith(s"$backend.header.") =>
+      k.stripPrefix(s"$backend.header.") -> v
+    }
+
   def fromOptions(opts: Map[String, String]): Store =
     if (opts.contains("s3.endpoint"))
       s3(S3StoreConf(opts("s3.endpoint"),
@@ -377,13 +392,15 @@ object Store {
           throw new IllegalArgumentException("option 's3.bucket' required")),
         opts.getOrElse("s3.prefix", ""),
         opts.getOrElse("s3.access-key", ""),
-        opts.getOrElse("s3.secret-key", "")))
+        opts.getOrElse("s3.secret-key", ""),
+        headers = headerOpts(opts, "s3")))
     else if (opts.contains("gcs.bucket"))
       GcsStoreConf(
         opts.getOrElse("gcs.endpoint", "https://storage.googleapis.com"),
         opts("gcs.bucket"),
         opts.getOrElse("gcs.prefix", ""),
-        opts.getOrElse("gcs.token", "")).open()
+        opts.getOrElse("gcs.token", ""),
+        headers = headerOpts(opts, "gcs")).open()
     else if (opts.contains("azure.container")) {
       val account = opts.getOrElse("azure.account",
         throw new IllegalArgumentException("option 'azure.account' required"))
@@ -393,14 +410,13 @@ object Store {
         account,
         opts("azure.container"),
         opts.getOrElse("azure.prefix", ""),
-        opts.getOrElse("azure.sas", "")).open()
+        opts.getOrElse("azure.sas", ""),
+        headers = headerOpts(opts, "azure")).open()
     } else if (opts.contains("http.endpoint"))
       // http.header.<Name> options become per-request headers (#2143):
       // e.g. http.header.Authorization = "Bearer …"
       HttpStoreConf(opts("http.endpoint"),
-        opts.collect { case (k, v) if k.startsWith("http.header.") =>
-          k.stripPrefix("http.header.") -> v
-        }).open()
+        headerOpts(opts, "http")).open()
     else local(opts.getOrElse("path",
       throw new IllegalArgumentException(
         "option 'path' (repo root), 's3.endpoint', 'gcs.bucket', " +

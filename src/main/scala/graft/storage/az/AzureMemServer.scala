@@ -22,7 +22,7 @@ import scala.jdk.CollectionConverters._
   * One ConcurrentSkipListMap per container, so listings are genuinely
   * ordered/paged.
   */
-final class AzureMemServer {
+final class AzureMemServer(requiredHeader: Option[(String, String)] = None) {
   private final case class Blob(bytes: Array[Byte], mtime: Instant,
                                 etag: String)
   private val containers =
@@ -65,6 +65,12 @@ final class AzureMemServer {
   // -----------------------------------------------------------------
 
   private def handle(ex: HttpExchange): Unit = {
+    if (requiredHeader.exists { case (h, v) =>
+        Option(ex.getRequestHeaders.getFirst(h)) != Some(v) }) {
+      count("denied")
+      respond(ex, 403, "missing required header".getBytes)
+      return
+    }
     val path = ex.getRequestURI.getRawPath.stripPrefix("/")
     val (c0, b0) = path.span(_ != '/')
     val container = decodeSegment(c0)

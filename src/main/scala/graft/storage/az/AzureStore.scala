@@ -85,6 +85,8 @@ final class AzureStore(val azConf: AzureStoreConf) extends Store {
       if (body == null) HttpRequest.BodyPublishers.noBody()
       else HttpRequest.BodyPublishers.ofByteArray(body))
     b.header("x-ms-version", "2021-12-02")
+    // configured headers first (#2246 analog), then per-call ones
+    azConf.headers.foreach { case (k, v) => b.header(k, v) }
     headers.foreach { case (k, v) => b.header(k, v) }
     try http.send(b.build(), HttpResponse.BodyHandlers.ofByteArray())
     catch {

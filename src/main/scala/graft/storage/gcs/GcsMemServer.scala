@@ -22,7 +22,7 @@ import scala.jdk.CollectionConverters._
   * One ConcurrentSkipListMap per bucket, so listings are genuinely
   * ordered/paged.
   */
-final class GcsMemServer {
+final class GcsMemServer(requiredHeader: Option[(String, String)] = None) {
   private final case class Obj(bytes: Array[Byte], mtime: Instant,
                                etag: String, generation: Long)
   private val buckets =
@@ -67,6 +67,12 @@ final class GcsMemServer {
   // -----------------------------------------------------------------
 
   private def handle(ex: HttpExchange): Unit = {
+    if (requiredHeader.exists { case (h, v) =>
+        Option(ex.getRequestHeaders.getFirst(h)) != Some(v) }) {
+      count("denied")
+      respond(ex, 403, "missing required header".getBytes)
+      return
+    }
     val raw = ex.getRequestURI.getRawPath
     val segs = raw.stripPrefix("/").split("/", -1).toSeq.map(decodeSegment)
     val q = parseQuery(Option(ex.getRequestURI.getRawQuery).getOrElse(""))

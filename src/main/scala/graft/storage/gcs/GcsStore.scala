@@ -80,6 +80,9 @@ final class GcsStore(val gcsConf: GcsStoreConf) extends Store {
       if (body == null) HttpRequest.BodyPublishers.noBody()
       else HttpRequest.BodyPublishers.ofByteArray(body))
     if (bearerToken.nonEmpty) b.header("Authorization", s"Bearer $bearerToken")
+    // configured headers first (gcs_storage(headers=...), #2246), then
+    // per-call ones
+    gcsConf.headers.foreach { case (k, v) => b.header(k, v) }
     headers.foreach { case (k, v) => b.header(k, v) }
     val client = if (followRedirects) http else httpNoRedirect
     try client.send(b.build(), HttpResponse.BodyHandlers.ofByteArray())

@@ -206,7 +206,13 @@ final class HttpStore(val httpConf: HttpStoreConf) extends Store {
           }): java.util.concurrent.Callable[Seq[String]]
         }
       frontier = graft.storage.Store.fetchPool.invokeAll(tasks.asJava)
-        .asScala.flatMap(_.get()).toSeq
+        .asScala.flatMap { f =>
+          // surface the walk's own failure, not the pool's wrapper (a
+          // 401 must still arrive as GraftException(kind=auth))
+          try f.get()
+          catch { case e: java.util.concurrent.ExecutionException =>
+            throw Option(e.getCause).getOrElse(e) }
+        }.toSeq
     }
     out.asScala.toVector.sortBy(_.key)
   }

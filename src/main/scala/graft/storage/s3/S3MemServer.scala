@@ -26,7 +26,7 @@ import scala.jdk.CollectionConverters._
   * role of the reference's storage conformance suite
   * (icechunk/tests/test_storage.rs).
   */
-final class S3MemServer {
+final class S3MemServer(requiredHeader: Option[(String, String)] = None) {
   private final case class Obj(bytes: Array[Byte], mtime: Instant,
                                etag: String)
   private val buckets =
@@ -70,6 +70,12 @@ final class S3MemServer {
   // -----------------------------------------------------------------
 
   private def handle(ex: HttpExchange): Unit = {
+    if (requiredHeader.exists { case (h, v) =>
+        Option(ex.getRequestHeaders.getFirst(h)) != Some(v) }) {
+      count("denied")
+      respond(ex, 403, xmlError("AccessDenied", "missing required header"))
+      return
+    }
     // Parse from the RAW path and percent-decode exactly once: getPath
     // already decodes, so decoding its result again would corrupt keys
     // containing '+' or '%'.

@@ -68,8 +68,11 @@ final class S3Store(val s3conf: S3StoreConf) extends Store {
   private val EmptySha = SigV4.sha256Hex(Array.emptyByteArray)
 
   private def send(method: String, uri: URI, body: Array[Byte],
-                   headers: Map[String, String] = Map.empty)
+                   headers0: Map[String, String] = Map.empty)
       : HttpResponse[Array[Byte]] = {
+    // configured headers under per-call ones (s3_storage(headers=...),
+    // #2246); merged BEFORE signing so custom x-amz-* entries are signed
+    val headers = s3conf.headers ++ headers0
     val payloadSha =
       if (body == null) EmptySha else SigV4.sha256Hex(body)
     val signed =

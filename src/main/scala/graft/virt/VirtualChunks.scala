@@ -208,6 +208,12 @@ object VirtualChunkResolver {
       def s3opt(f: String) = opts.get(s"virtual.$n.s3.$f")
       def gcsOpt(f: String) = opts.get(s"virtual.$n.gcs.$f")
       def azOpt(f: String) = opts.get(s"virtual.$n.azure.$f")
+      // virtual.<n>.<backend>.header.<Name> → per-request headers
+      // (#2246/#2143) on the container's store client
+      def hdrs(backend: String): Map[String, String] = opts.collect {
+        case (k, v) if k.startsWith(s"virtual.$n.$backend.header.") =>
+          k.stripPrefix(s"virtual.$n.$backend.header.") -> v
+      }
       val store: Option[StoreConf] = s3opt("endpoint").map { ep =>
         S3StoreConf(ep,
           s3opt("region").getOrElse("us-east-1"),
@@ -215,13 +221,15 @@ object VirtualChunkResolver {
             s"virtual container '$n': s3.bucket required with s3.endpoint")),
           s3opt("prefix").getOrElse(""),
           s3opt("access-key").getOrElse(""),
-          s3opt("secret-key").getOrElse("")): StoreConf
+          s3opt("secret-key").getOrElse(""),
+          headers = hdrs("s3")): StoreConf
       }.orElse(gcsOpt("bucket").map { bucket =>
         GcsStoreConf(
           gcsOpt("endpoint").getOrElse("https://storage.googleapis.com"),
           bucket,
           gcsOpt("prefix").getOrElse(""),
-          gcsOpt("token").getOrElse("")): StoreConf
+          gcsOpt("token").getOrElse(""),
+          headers = hdrs("gcs")): StoreConf
       }).orElse(azOpt("container").map { container =>
         val account = azOpt("account").getOrElse(
           throw new graft.repo.GraftException(
@@ -231,12 +239,10 @@ object VirtualChunkResolver {
             s"https://$account.blob.core.windows.net"),
           account, container,
           azOpt("prefix").getOrElse(""),
-          azOpt("sas").getOrElse("")): StoreConf
+          azOpt("sas").getOrElse(""),
+          headers = hdrs("azure")): StoreConf
       }).orElse(opts.get(s"virtual.$n.http.endpoint").map { ep =>
-        HttpStoreConf(ep, opts.collect {
-          case (k, v) if k.startsWith(s"virtual.$n.http.header.") =>
-            k.stripPrefix(s"virtual.$n.http.header.") -> v
-        }): StoreConf
+        HttpStoreConf(ep, hdrs("http")): StoreConf
       })
       VirtualChunkContainer(opts(s"virtual.$n.prefix"), n, store)
     } :+ VirtualChunkContainer("file:"))

@@ -460,6 +460,62 @@ class S3RepositorySpec extends SparkTestBase {
     } finally server.stop()
   }
 
+  test("s3/gcs/azure: configured headers reach every request (#2246)") {
+    // reference s3_storage/gcs_storage(headers=...): static headers on
+    // every object-store request; the stubs demand one and 403 otherwise
+    locally {
+      val srv = new S3MemServer(requiredHeader = Some("x-api-key" -> "k1"))
+      try {
+        srv.createBucket("b")
+        val denied = Store.fromOptions(Map(
+          "s3.endpoint" -> srv.endpoint, "s3.bucket" -> "b"))
+        val e = intercept[GraftException](
+          denied.putBytes("k", Array[Byte](1)))
+        assert(e.kind == GraftError.Auth)
+        val store = Store.fromOptions(Map(
+          "s3.endpoint" -> srv.endpoint, "s3.bucket" -> "b",
+          "s3.header.x-api-key" -> "k1"))
+        store.putBytes("k", Array[Byte](1, 2))
+        assert(store.getBytes("k").length == 2)
+        assert(store.list("").map(_.key) == Seq("k")) // LIST carries it too
+      } finally srv.stop()
+    }
+    locally {
+      val srv = new graft.storage.gcs.GcsMemServer(
+        requiredHeader = Some("x-goog-user-project" -> "proj1"))
+      try {
+        srv.createBucket("b")
+        val denied = Store.fromOptions(Map("gcs.endpoint" -> srv.endpoint,
+          "gcs.bucket" -> "b"))
+        assert(intercept[GraftException](
+          denied.putBytes("k", Array[Byte](1))).kind == GraftError.Auth)
+        val store = Store.fromOptions(Map("gcs.endpoint" -> srv.endpoint,
+          "gcs.bucket" -> "b",
+          "gcs.header.x-goog-user-project" -> "proj1"))
+        store.putBytes("k", Array[Byte](1, 2))
+        assert(store.getBytes("k").length == 2)
+        assert(store.list("").map(_.key) == Seq("k"))
+      } finally srv.stop()
+    }
+    locally {
+      val srv = new graft.storage.az.AzureMemServer(
+        requiredHeader = Some("x-ms-client-request-id" -> "rid1"))
+      try {
+        srv.createContainer("c")
+        val denied = Store.fromOptions(Map("azure.endpoint" -> srv.endpoint,
+          "azure.account" -> "acct", "azure.container" -> "c"))
+        assert(intercept[GraftException](
+          denied.putBytes("k", Array[Byte](1))).kind == GraftError.Auth)
+        val store = Store.fromOptions(Map("azure.endpoint" -> srv.endpoint,
+          "azure.account" -> "acct", "azure.container" -> "c",
+          "azure.header.x-ms-client-request-id" -> "rid1"))
+        store.putBytes("k", Array[Byte](1, 2))
+        assert(store.getBytes("k").length == 2)
+        assert(store.list("").map(_.key) == Seq("k"))
+      } finally srv.stop()
+    }
+  }
+
   test("http: configured headers reach every request (#2143)") {
     val server = new graft.storage.http.HttpMemServer(
       requiredAuth = Some("Bearer sekrit"))
