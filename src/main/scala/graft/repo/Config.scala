@@ -14,7 +14,15 @@ final case class GraftConfig(
     commitRetries: Int = 20,
     splits: Seq[SplitRule] = Nil,
     preloads: Seq[PreloadRule] = Nil,
-    preloadMaxArrays: Int = 50) { // scan cap mirrors config.rs:294-299
+    preloadMaxArrays: Int = 50, // scan cap mirrors config.rs:294-299
+    /** How many previous manifest shards the DRIVER-side flush fast path
+      * fetches concurrently (`ManifestConfig
+      * .max_concurrent_manifest_fetches_during_commit`, reference #2274).
+      * Default 1 = serial, matching the reference; raise on real object
+      * stores where each shard fetch is a multi-ms ranged GET. The Spark
+      * flush path is unaffected (its parallelism is the cluster's).
+      */
+    manifestFetchConcurrency: Int = 1) {
 
   /** Manifest split spec for an array: (axis, chunksPerSplit). The default
     * (no rule matches) is a single split — same as the reference without a
@@ -34,7 +42,8 @@ final case class GraftConfig(
     "max_chunk_refs_per_commit" -> maxChunkRefsPerCommit.toString,
     "ops_ring_size" -> opsRingSize.toString,
     "commit_retries" -> commitRetries.toString,
-    "preload_max_arrays" -> preloadMaxArrays.toString) ++
+    "preload_max_arrays" -> preloadMaxArrays.toString,
+    "manifest_fetch_concurrency" -> manifestFetchConcurrency.toString) ++
     splits.zipWithIndex.map { case (r, i) =>
       s"split.$i" -> s"${r.axis}|${r.chunksPerSplit}|${r.pathRegex}"
     } ++
@@ -67,7 +76,9 @@ object GraftConfig {
         val Array(max, re) = v.split("\\|", 2)
         PreloadRule(re, max.toLong)
       },
-      preloadMaxArrays = i("preload_max_arrays", d.preloadMaxArrays))
+      preloadMaxArrays = i("preload_max_arrays", d.preloadMaxArrays),
+      manifestFetchConcurrency =
+        i("manifest_fetch_concurrency", d.manifestFetchConcurrency))
   }
 }
 

@@ -630,6 +630,28 @@ final class Session private[repo] (
       val byShard = pointRefs.groupBy(r => (r.node_id, splitOfRef(r)))
       touchedSplits = byShard.keys.toSeq.groupBy(_._1)
         .map { case (n, ks) => n -> ks.map(_._2).toSet }
+      // bounded-concurrency prefetch of the previous shards (#2274,
+      // `max_concurrent_manifest_fetches_during_commit`): each shard is
+      // one ranged GET on a real object store, and the merge loop below
+      // then reads them from the warmed split cache. Default 1 keeps the
+      // reference's serial behavior.
+      val prevShards = byShard.keys.toSeq.flatMap { case (node, split) =>
+        baseSnapshot.manifests.getOrElse(node, Nil)
+          .filter(_.split == split).map(m => (m, node))
+      }.distinct
+      if (cfg.manifestFetchConcurrency > 1 && prevShards.size > 1) {
+        import scala.jdk.CollectionConverters._
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          math.min(cfg.manifestFetchConcurrency, prevShards.size))
+        try pool.invokeAll(prevShards.map { case (m, node) =>
+          (() => { assets.shardRefsDriver(m, node); () }):
+            java.util.concurrent.Callable[Unit]
+        }.asJava).asScala.foreach { f =>
+          try f.get()
+          catch { case e: java.util.concurrent.ExecutionException =>
+            throw Option(e.getCause).getOrElse(e) }
+        } finally pool.shutdown()
+      }
       val shards = byShard.flatMap { case (key @ (node, split), edits) =>
         val editedCoords = edits.map(r => (r.coord: Seq[Int])).toSet
         val prev = baseSnapshot.manifests.getOrElse(node, Nil)

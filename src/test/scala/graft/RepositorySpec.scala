@@ -429,8 +429,35 @@ class RepositorySpec extends SparkTestBase {
     val cfg = GraftConfig(inlineThresholdBytes = 1, opsRingSize = 7,
       maxChunkRefsPerCommit = 123L, commitRetries = 3,
       splits = Seq(SplitRule("a|b.*", 1, 2), SplitRule(".*", 0, 9)),
-      preloads = Seq(PreloadRule("x\\|y", 42)), preloadMaxArrays = 2)
+      preloads = Seq(PreloadRule("x\\|y", 42)), preloadMaxArrays = 2,
+      manifestFetchConcurrency = 4)
     assert(GraftConfig.fromMap(cfg.toMap) == cfg)
     assert(GraftConfig.fromMap(Map.empty) == GraftConfig())
+  }
+
+  test("concurrent manifest prefetch (#2274) merges small commits " +
+      "identically") {
+    // manifestFetchConcurrency > 1 prefetches previous shards on a
+    // bounded pool before the driver-side merge — results must be
+    // byte-identical to the serial default
+    val cfg = GraftConfig(splits = Seq(SplitRule(".*", 0, 5)),
+      manifestFetchConcurrency = 4)
+    val repo = Repository.create(Store.local(tmpDir("repo")), spark, cfg)
+    val s0 = repo.writableSession("main")
+    s0.addArray("/a", Seq(40), Seq(1)) // 8 shards of 5 chunks
+    for (i <- 0 until 40)
+      s0.writeChunk("/a", Seq(i), Array[Byte](i.toByte))
+    s0.commit("bulk")
+    // point commit touching MANY shards → many previous-shard fetches
+    val s1 = repo.writableSession("main")
+    for (i <- Seq(0, 7, 14, 21, 28, 35))
+      s1.writeChunk("/a", Seq(i), Array[Byte]((100 + i).toByte))
+    s1.commit("points across shards")
+    val ro = repo.readonlySession(VersionRef.Branch("main"))
+    assert(ro.refs("/a").count() == 40)
+    for (i <- 0 until 40) {
+      val expected = if (Set(0, 7, 14, 21, 28, 35)(i)) (100 + i) else i
+      assert(ro.getChunk("/a", Seq(i)).get.head == expected.toByte, s"i=$i")
+    }
   }
 }
