@@ -46,17 +46,19 @@ object Bench {
   private[graft] def jsonLine(results: collection.Map[String, Double],
                               errors: collection.Seq[String],
                               sfDir: String): String = {
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
     def jstr(s: String): String = "\"" + s.flatMap {
       case '"' => "\\\""
       case '\\' => "\\\\"
       case c if c < ' ' => " "
       case c => c.toString
     } + "\""
+    // every string field goes through jstr — an sfDir with a backslash
+    // or quote must not invalidate the whole line's JSON
+    val qs = results.map { case (k, v) => jstr(k) + ":" + v }
+      .mkString("{", ",", "}")
+    val total = if (results.nonEmpty) results.values.sum else 0.0
     val errJson = errors.map(jstr).mkString("[", ",", "]")
-    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
+    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":${jstr(sfDir)}}"""
   }
 
   def main(args: Array[String]): Unit = {

@@ -75,21 +75,46 @@ final class RepoPointer(store: Store) {
     val key = Layout.pointerKey(stamped.gen)
     val bytes = MetaJson.writeRepoInfo(stamped).getBytes(UTF_8)
     // Some(true) = our write landed; Some(false) = someone else's did;
-    // None = nothing landed (or unreadable — treated as not landed)
+    // None = nothing landed (or unreadable — the caller decides which)
     def landedWrite(): Option[Boolean] =
       try Some(MetaJson.readRepoInfo(
         new String(store.getBytes(key), UTF_8)).writeId == stamped.writeId)
       catch { case _: Exception => None }
+    /** putIfAbsent returned false, so the generation definitively EXISTS
+      * — adjudicate whose it is. Unreadable must NEVER be reported as a
+      * lost race: the object could be our own landed write from an
+      * earlier ambiguous attempt, and a false "lost" re-opens the #2156
+      * duplicate-commit window. Persistent unreadability throws.
+      */
+    def adjudicate(): Boolean = {
+      var reads = 0
+      while (true) {
+        landedWrite() match {
+          case Some(own) => return own
+          case None =>
+            reads += 1
+            if (reads >= 3) throw new graft.repo.GraftException(
+              s"cannot read back generation ${stamped.gen} to adjudicate " +
+                "a failed conditional write",
+              graft.repo.GraftError.Storage)
+            Thread.sleep(10L * reads)
+        }
+      }
+      false // unreachable
+    }
     var attempts = 0
     while (true) {
       attempts += 1
       try {
         if (store.putIfAbsent(key, bytes)) return true
-        return landedWrite().contains(true)
+        return adjudicate()
       } catch {
         case e: Exception =>
           landedWrite() match {
             case Some(own) => return own
+            // None here may genuinely mean NOTHING landed — retrying the
+            // conditional PUT is safe (it stays conditional); persistent
+            // transport failure rethrows
             case None => if (attempts >= 3) throw e
           }
       }

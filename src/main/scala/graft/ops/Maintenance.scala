@@ -98,6 +98,10 @@ object GC {
       store.stat(key)
         .map(s => math.min(0L, s.mtimeMillis - hostAfter))
         .getOrElse(0L)
+    } catch {
+      // a store that cannot take the probe (read-only HTTP dry runs)
+      // falls back to the host clock — the pre-#2310 behavior
+      case _: Exception => 0L
     } finally
       try store.delete(Seq(key)) catch { case _: Exception => () }
   }
@@ -127,8 +131,12 @@ object GC {
     }
     // age cutoff in STORE-clock coordinates (#2310): a store clock that
     // lags the host shifts the cutoff back by the observed lag, so a
-    // just-written object can never look older than the window
-    val cutoffMs = olderThan.toEpochMilli + storeClockSkewMs(store)
+    // just-written object can never look older than the window. A dry
+    // run must not mutate storage, so it keeps the host-clock cutoff (it
+    // deletes nothing anyway — the counts may differ from the real run
+    // by exactly the skew window, which the doc warns about).
+    val cutoffMs = olderThan.toEpochMilli +
+      (if (dryRun) 0L else storeClockSkewMs(store))
 
     // snapshots & tx logs: driver-side (metadata counts are small)
     val deadSnaps = store.list("snapshots/")
@@ -181,12 +189,16 @@ object GC {
       .groupBy(_.key.stripPrefix("staging/").takeWhile(_ != '/'))
       .values.filter(_.map(_.mtimeMillis).max < cutoffMs)
       .flatten.toSeq
+    // clock probes orphaned by a failed delete (flaky stores): swept by
+    // age like everything else, so they can never accumulate
+    val deadProbes = store.list("gc/").filter(_.mtimeMillis < cutoffMs)
 
     val bytes = deadChunks.map(_._2).sum + deadSnaps.map(_.size).sum +
       deadTx.map(_.size).sum + deadManifestFiles.map(_.size).sum +
       deadStaging.map(_.size).sum
     if (!dryRun) {
       store.delete(deadStaging.map(_.key))
+      store.delete(deadProbes.map(_.key))
       repo.pointer.pruneGenerations(keep = repo.config.opsRingSize)
       // batched deletes; at cluster scale this is a foreachPartition over
       // the dead-chunk frame with a per-executor store client

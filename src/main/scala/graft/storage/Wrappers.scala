@@ -5,6 +5,34 @@ package graft.storage
   * logging.rs; retry-with-backoff in asset_manager.rs:25-30).
   */
 
+/** Pass-through decorator base: a wrapper overrides ONLY the operations
+  * it changes, and a future `Store` method can never be silently missed
+  * by a decorator (it forwards by default instead of failing to compile
+  * in five places).
+  */
+trait ForwardingStore extends Store {
+  protected def inner: Store
+  override def rootUri: String = inner.rootUri
+  override def conf: StoreConf = inner.conf
+  override def getBytes(key: String): Array[Byte] = inner.getBytes(key)
+  override def getRange(key: String, offset: Long, length: Long): Array[Byte] =
+    inner.getRange(key, offset, length)
+  override def putBytes(key: String, bytes: Array[Byte]): Unit =
+    inner.putBytes(key, bytes)
+  override def putIfAbsent(key: String, bytes: Array[Byte]): Boolean =
+    inner.putIfAbsent(key, bytes)
+  override def list(prefix: String): Seq[ObjectInfo] = inner.list(prefix)
+  override def listPage(prefix: String, startAfter: Option[String],
+                        maxKeys: Int): Seq[ObjectInfo] =
+    inner.listPage(prefix, startAfter, maxKeys)
+  override def exists(key: String): Boolean = inner.exists(key)
+  override def stat(key: String): Option[StatInfo] = inner.stat(key)
+  override def delete(keys: Iterable[String]): Unit = inner.delete(keys)
+  override def deletePrefix(prefix: String): Unit = inner.deletePrefix(prefix)
+  override def copy(srcKey: String, dstKey: String): Unit =
+    inner.copy(srcKey, dstKey)
+}
+
 /** Retry transient failures with exponential backoff. `putIfAbsent` is NOT
   * retried blindly: a retry after an ambiguous failure could observe its
   * own first attempt and report a lost race — callers handle retry at the
@@ -171,30 +199,17 @@ final class LostResponseStore(inner: Store,
   * or a lagging store clock makes just-written objects look old enough
   * to delete.
   */
-final class SkewedClockStore(inner: Store, skewMs: Long) extends Store {
+final class SkewedClockStore(protected val inner: Store, skewMs: Long)
+    extends ForwardingStore {
   private def shift(o: ObjectInfo): ObjectInfo =
     o.copy(mtimeMillis = o.mtimeMillis + skewMs)
-  override def rootUri: String = inner.rootUri
-  override def conf: StoreConf = inner.conf
-  override def getBytes(key: String): Array[Byte] = inner.getBytes(key)
-  override def getRange(key: String, offset: Long, length: Long): Array[Byte] =
-    inner.getRange(key, offset, length)
-  override def putBytes(key: String, bytes: Array[Byte]): Unit =
-    inner.putBytes(key, bytes)
-  override def putIfAbsent(key: String, bytes: Array[Byte]): Boolean =
-    inner.putIfAbsent(key, bytes)
   override def list(prefix: String): Seq[ObjectInfo] =
     inner.list(prefix).map(shift)
   override def listPage(prefix: String, startAfter: Option[String],
                         maxKeys: Int): Seq[ObjectInfo] =
     inner.listPage(prefix, startAfter, maxKeys).map(shift)
-  override def copy(srcKey: String, dstKey: String): Unit =
-    inner.copy(srcKey, dstKey)
-  override def exists(key: String): Boolean = inner.exists(key)
   override def stat(key: String): Option[StatInfo] =
     inner.stat(key).map(s => s.copy(mtimeMillis = s.mtimeMillis + skewMs))
-  override def delete(keys: Iterable[String]): Unit = inner.delete(keys)
-  override def deletePrefix(prefix: String): Unit = inner.deletePrefix(prefix)
 }
 
 /** Operation logging (logging.rs analog): counts + logs each op. */

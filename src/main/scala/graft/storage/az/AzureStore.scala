@@ -85,9 +85,11 @@ final class AzureStore(val azConf: AzureStoreConf) extends Store {
       if (body == null) HttpRequest.BodyPublishers.noBody()
       else HttpRequest.BodyPublishers.ofByteArray(body))
     b.header("x-ms-version", "2021-12-02")
-    // configured headers first (#2246 analog), then per-call ones
-    azConf.headers.foreach { case (k, v) => b.header(k, v) }
-    headers.foreach { case (k, v) => b.header(k, v) }
+    // configured headers first (#2246 analog), then per-call ones.
+    // setHeader REPLACES, so a configured x-ms-version overrides the
+    // default instead of arriving twice (Azure 400s doubled headers)
+    azConf.headers.foreach { case (k, v) => b.setHeader(k, v) }
+    headers.foreach { case (k, v) => b.setHeader(k, v) }
     try http.send(b.build(), HttpResponse.BodyHandlers.ofByteArray())
     catch {
       case e: java.io.IOException =>

@@ -81,9 +81,11 @@ final class GcsStore(val gcsConf: GcsStoreConf) extends Store {
       else HttpRequest.BodyPublishers.ofByteArray(body))
     if (bearerToken.nonEmpty) b.header("Authorization", s"Bearer $bearerToken")
     // configured headers first (gcs_storage(headers=...), #2246), then
-    // per-call ones
-    gcsConf.headers.foreach { case (k, v) => b.header(k, v) }
-    headers.foreach { case (k, v) => b.header(k, v) }
+    // per-call ones. setHeader REPLACES: a configured Authorization
+    // overrides the bearer token instead of riding alongside it (doubled
+    // auth headers are rejected outright)
+    gcsConf.headers.foreach { case (k, v) => b.setHeader(k, v) }
+    headers.foreach { case (k, v) => b.setHeader(k, v) }
     val client = if (followRedirects) http else httpNoRedirect
     try client.send(b.build(), HttpResponse.BodyHandlers.ofByteArray())
     catch {

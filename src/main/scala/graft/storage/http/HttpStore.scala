@@ -46,9 +46,10 @@ final class HttpStore(val httpConf: HttpStoreConf) extends Store {
     val b = HttpRequest.newBuilder(keyUri(key))
       .method(method, HttpRequest.BodyPublishers.noBody())
     // configured headers first (reference http_storage(headers=...),
-    // #2143 — bearer tokens for protected hosts), then per-call ones
-    httpConf.headers.foreach { case (k, v) => b.header(k, v) }
-    headers.foreach { case (k, v) => b.header(k, v) }
+    // #2143 — bearer tokens for protected hosts), then per-call ones;
+    // setHeader REPLACES so Range/Depth can never arrive doubled
+    httpConf.headers.foreach { case (k, v) => b.setHeader(k, v) }
+    headers.foreach { case (k, v) => b.setHeader(k, v) }
     http.send(b.build(), HttpResponse.BodyHandlers.ofByteArray())
   }
 
@@ -137,7 +138,11 @@ final class HttpStore(val httpConf: HttpStoreConf) extends Store {
           "<getcontentlength/><getlastmodified/></prop></propfind>"))
       .header("Depth", "1")
       .header("Content-Type", "application/xml")
-    httpConf.headers.foreach { case (k, v) => b.header(k, v) }
+    // setHeader: configured entries may not duplicate Depth/Content-Type
+    httpConf.headers.foreach { case (k, v) =>
+      if (!k.equalsIgnoreCase("Depth") &&
+          !k.equalsIgnoreCase("Content-Type")) b.setHeader(k, v)
+    }
     val r = http.send(b.build(), HttpResponse.BodyHandlers.ofByteArray())
     if (r.statusCode() == 404) return None
     if (r.statusCode() != 207) failed("PROPFIND", dirPath, r)

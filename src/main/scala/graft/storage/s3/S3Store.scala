@@ -71,8 +71,15 @@ final class S3Store(val s3conf: S3StoreConf) extends Store {
                    headers0: Map[String, String] = Map.empty)
       : HttpResponse[Array[Byte]] = {
     // configured headers under per-call ones (s3_storage(headers=...),
-    // #2246); merged BEFORE signing so custom x-amz-* entries are signed
-    val headers = s3conf.headers ++ headers0
+    // #2246); merged BEFORE signing so custom x-amz-* entries are
+    // signed. x-amz-* keys are lowercased and values trimmed so the
+    // signed copy REPLACES the original in the merge — a mixed-case
+    // key would otherwise survive alongside its lowercased signed twin
+    // and the doubled header breaks the SigV4 signature.
+    val headers = (s3conf.headers ++ headers0).map { case (k, v) =>
+      (if (k.toLowerCase.startsWith("x-amz-")) k.toLowerCase else k) ->
+        v.trim
+    }
     val payloadSha =
       if (body == null) EmptySha else SigV4.sha256Hex(body)
     val signed =
@@ -86,8 +93,10 @@ final class S3Store(val s3conf: S3StoreConf) extends Store {
     if (accessKey.nonEmpty)
       b.header("x-amz-content-sha256", payloadSha)
     signed.foreach { case (k, v) =>
+      // setHeader (replace, never add): a configured header must not
+      // duplicate a built-in one — doubled headers break signatures
       if (!k.equalsIgnoreCase("host") &&
-          !k.equalsIgnoreCase("x-amz-content-sha256")) b.header(k, v)
+          !k.equalsIgnoreCase("x-amz-content-sha256")) b.setHeader(k, v)
     }
     try http.send(b.build(), HttpResponse.BodyHandlers.ofByteArray())
     catch {

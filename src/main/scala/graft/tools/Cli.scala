@@ -46,6 +46,7 @@ object Cli {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    var failed = false
     try {
       if (cmd == "init") {
         val repo = Repository.create(Store.local(dir), spark)
@@ -140,10 +141,13 @@ object Cli {
       }
     } catch {
       // stable machine-readable failure codes (#2267): tooling matches
-      // on `error[<kind>]`, never on the prose
+      // on `error[<kind>]`, never on the prose. The exit happens AFTER
+      // the finally below — sys.exit inside the catch would skip
+      // spark.stop().
       case e: GraftException =>
         System.err.println(s"error[${e.kind}]: ${e.getMessage}")
-        sys.exit(1)
+        failed = true
     } finally spark.stop()
+    if (failed) sys.exit(1)
   }
 }
