@@ -195,6 +195,28 @@ object Oracles {
         |  FROM documents GROUP BY text) m ON d.text = m.text
         |ORDER BY d.doc_id""".stripMargin,
 
+    "q_source_curation" ->
+      """WITH base AS (
+        |  SELECT source, count(*) AS n_docs,
+        |    count(DISTINCT text) AS n_distinct_texts,
+        |    round(1 - count(DISTINCT text) * 1.0 / count(*), 4) AS dup_rate,
+        |    round(avg(CASE WHEN n_chars < 100 THEN 1.0 ELSE 0.0 END), 4)
+        |      AS short_rate,
+        |    round(avg(n_chars), 4) AS avg_chars
+        |  FROM documents GROUP BY source),
+        |pl AS (
+        |  SELECT source, lang, count(*) AS n
+        |  FROM documents GROUP BY source, lang),
+        |ent AS (
+        |  SELECT source,
+        |    round(ln(sum(n)) - sum(n * ln(n)) / sum(n), 4) AS lang_entropy
+        |  FROM pl GROUP BY source)
+        |SELECT b.source, b.n_docs, b.n_distinct_texts, b.dup_rate,
+        |  b.short_rate, b.avg_chars, e.lang_entropy,
+        |  (b.dup_rate < 0.5 AND b.short_rate < 0.5) AS keep
+        |FROM base b JOIN ent e ON b.source = e.source
+        |ORDER BY b.source""".stripMargin,
+
     "q_dedup_clusters" ->
       """WITH RECURSIVE docs AS (
         |  SELECT doc_id, lang, n_chars FROM documents),

@@ -544,6 +544,13 @@ object Queries {
   val q_corpus_stats: Q = (s, d) =>
     TextAnalysis.corpusStats(t(s, d, "documents")).orderBy("lang")
 
+  /** Per-source curation rollup: dup rate, short rate, language
+    * entropy, keep/drop decision (the source-pruning pass of a
+    * training-data pipeline).
+    */
+  val q_source_curation: Q = (s, d) =>
+    TextAnalysis.sourceCuration(t(s, d, "documents")).orderBy("source")
+
   /** Rolling-hash fingerprint (no SQL oracle — crc32-based). */
   val q_fingerprint: Q = (s, d) =>
     t(s, d, "documents")
@@ -676,6 +683,7 @@ object Queries {
     "q_dedup_clusters" -> q_dedup_clusters,
     "q_sample_split" -> q_sample_split,
     "q_corpus_stats" -> q_corpus_stats,
+    "q_source_curation" -> q_source_curation,
     "q_dedup_ngram_jaccard" -> q_dedup_ngram_jaccard,
     "q_dedup_ngram_lsh" -> q_dedup_ngram_lsh,
     "q_decontaminate" -> q_decontaminate,

@@ -145,6 +145,37 @@ object TextAnalysis {
         round(percentile(col("n_tokens"), lit(0.9)), 4).as("p90_tokens"),
         max("n_tokens").as("max_tokens"))
 
+  /** Per-source corpus curation rollup — the FineWeb/C4-style source
+    * (dump/domain) pruning step: exact duplicate rate, short-document
+    * rate, size stats, and language entropy per source, with a
+    * keep/drop decision by threshold. Two hash aggregations on
+    * `source` (one via (source, lang) for the entropy) plus a join of
+    * two ~#sources-row relations — at 100 TB this is the cheapest
+    * possible full-corpus pass: map-side partial aggregation reduces
+    * each partition to #sources rows before any shuffle, and the final
+    * join is broadcast-sized by construction.
+    */
+  def sourceCuration(docs: DataFrame, textCol: String = "text",
+                     minChars: Int = 100, maxDupRate: Double = 0.5,
+                     maxShortRate: Double = 0.5): DataFrame = {
+    val base = docs.groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      countDistinct(col(textCol)).as("n_distinct_texts"),
+      round(lit(1.0) - countDistinct(col(textCol)) / count(lit(1)), 4)
+        .as("dup_rate"),
+      round(avg(when(col("n_chars") < minChars, 1.0).otherwise(0.0)), 4)
+        .as("short_rate"),
+      round(avg(col("n_chars")), 4).as("avg_chars"))
+    // Shannon entropy over the language mix: H = ln N − Σ n·ln n / N
+    val perLang = docs.groupBy("source", "lang").agg(count(lit(1)).as("n"))
+    val ent = perLang.groupBy("source").agg(
+      round(log(sum("n")) -
+        sum(col("n") * log(col("n"))) / sum("n"), 4).as("lang_entropy"))
+    base.join(ent, "source")
+      .withColumn("keep",
+        col("dup_rate") < maxDupRate && col("short_rate") < maxShortRate)
+  }
+
   /** Per-document report: one row per doc with all text metrics. */
   def analyze(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)

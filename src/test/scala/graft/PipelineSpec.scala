@@ -266,6 +266,27 @@ class PipelineSpec extends SparkTestBase {
     assert(local == labels)
   }
 
+  test("source curation: rates bounded, entropy sane, keep respects " +
+      "thresholds") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val rows = graft.pipeline.TextAnalysis.sourceCuration(docs).collect()
+    assert(rows.nonEmpty)
+    val total = rows.map(_.getAs[Long]("n_docs")).sum
+    assert(total == docs.count()) // partition of the corpus by source
+    val nLangs = docs.select("lang").distinct().count()
+    rows.foreach { r =>
+      val dup = r.getAs[Double]("dup_rate")
+      val short = r.getAs[Double]("short_rate")
+      val ent = r.getAs[Double]("lang_entropy")
+      assert(dup >= 0.0 && dup <= 1.0)
+      assert(short >= 0.0 && short <= 1.0)
+      // 0 ≤ H ≤ ln(#langs in corpus)
+      assert(ent >= -1e-9 && ent <= math.log(nLangs.toDouble) + 1e-9)
+      assert(r.getAs[Boolean]("keep") == (dup < 0.5 && short < 0.5))
+      assert(r.getAs[Long]("n_distinct_texts") <= r.getAs[Long]("n_docs"))
+    }
+  }
+
   test("deterministic split: stable, exhaustive, near-requested fractions") {
     import graft.pipeline.Sampling
     val docs = spark.read.parquet(s"$sf/documents.parquet")
