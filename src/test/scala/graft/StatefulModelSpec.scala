@@ -93,6 +93,59 @@ class StatefulModelSpec extends SparkTestBase {
     assert(snapshots.nonEmpty, "scenario should have taken tags")
   }
 
+  test("zarr store model: 200 random string-keyed ops match a dict, " +
+      "impossible deletes no-op (#2312)") {
+    val rng = new Random(777)
+    val repo = Repository.create(Store.local(tmpDir("repo")), spark)
+    val store = new graft.zarr.ZarrStore(repo.writableSession("main"))
+    store.set("a/zarr.json",
+      ("""{"zarr_format":3,"node_type":"array","shape":[80],""" +
+        """"chunk_grid":{"name":"regular","configuration":""" +
+        """{"chunk_shape":[5]}}}""").getBytes)
+    val model = mutable.Map[Int, Byte]() // chunk index -> payload head
+    for (step <- 1 to 200) {
+      rng.nextInt(10) match {
+        case 0 | 1 | 2 | 3 => // in-grid chunk write (16 chunks)
+          val c = rng.nextInt(16)
+          val v = rng.nextInt(120).toByte
+          store.set(s"a/c/$c", Array(v))
+          model(c) = v
+        case 4 => // in-grid delete, present or not: model delete
+          val c = rng.nextInt(16)
+          store.delete(s"a/c/$c")
+          model.remove(c)
+        case 5 => // impossible deletes are no-ops, never errors (#2312)
+          rng.nextInt(3) match {
+            case 0 => store.delete(s"a/c/${16 + rng.nextInt(100)}")
+            case 1 => store.delete("missing/c/0")
+            case 2 => store.delete("missing/zarr.json")
+          }
+        case 6 => // out-of-grid / missing-node WRITES still reject
+          intercept[GraftException](
+            store.set(s"a/c/${16 + rng.nextInt(100)}", Array[Byte](1)))
+          intercept[GraftException](
+            store.set("missing/c/0", Array[Byte](1)))
+        case 7 | 8 => // point read equals the model
+          val c = rng.nextInt(20)
+          assert(store.get(s"a/c/$c").map(_.head) == model.get(c),
+            s"step $step chunk $c")
+          assert(store.exists(s"a/c/$c") == model.contains(c))
+        case 9 => // full listing equals the model's key set
+          val keys = store.listPrefix("a/c").toSet
+          assert(keys == model.keys.map(c => s"a/c/$c").toSet,
+            s"step $step listing mismatch")
+      }
+    }
+    // commit and re-read through a fresh session: state survives
+    store.session.commit("model final")
+    val ro = new graft.zarr.ZarrStore(
+      repo.readonlySession(VersionRef.Branch("main")))
+    model.foreach { case (c, v) =>
+      assert(ro.get(s"a/c/$c").map(_.head).contains(v))
+    }
+    assert(ro.getSizePrefix("a/c") == model.size.toLong) // 1 byte each
+  }
+
   test("tensor model: random region writes then region reads match the array") {
     import org.apache.spark.sql.functions._
     val rng = new Random(7)
