@@ -217,6 +217,16 @@ object Oracles {
         |FROM base b JOIN ent e ON b.source = e.source
         |ORDER BY b.source""".stripMargin,
 
+    "q_cross_source" ->
+      """SELECT min(doc_id) AS canonical_id,
+        |  count(DISTINCT source) AS n_sources,
+        |  count(*) AS n_copies,
+        |  min(source) AS first_source,
+        |  max(source) AS last_source
+        |FROM documents GROUP BY substr(text, 1, 40)
+        |HAVING count(DISTINCT source) > 1
+        |ORDER BY canonical_id""".stripMargin,
+
     "q_dedup_clusters" ->
       """WITH RECURSIVE docs AS (
         |  SELECT doc_id, lang, n_chars FROM documents),

@@ -551,6 +551,28 @@ object Queries {
   val q_source_curation: Q = (s, d) =>
     TextAnalysis.sourceCuration(t(s, d, "documents")).orderBy("source")
 
+  /** Cross-source leakage audit: documents whose leading-prefix probe
+    * (40 chars — byte-exact duplicates rarely survive re-crawling, a
+    * prefix fingerprint does) appears under MORE THAN ONE source — a
+    * benchmark document leaking into several dumps, or syndicated
+    * content inflating several domains. One hash aggregation on a
+    * fixed-width key; the 100 TB shape is identical with the prefix
+    * replaced by any digest column.
+    */
+  val q_cross_source: Q = (s, d) =>
+    t(s, d, "documents")
+      .groupBy(substring(col("text"), 1, 40).as("probe"))
+      .agg(
+        countDistinct(col("source")).as("n_sources"),
+        count(lit(1)).as("n_copies"),
+        min("doc_id").as("canonical_id"),
+        min("source").as("first_source"),
+        max("source").as("last_source"))
+      .filter(col("n_sources") > 1)
+      .select("canonical_id", "n_sources", "n_copies",
+        "first_source", "last_source")
+      .orderBy("canonical_id")
+
   /** Rolling-hash fingerprint (no SQL oracle — crc32-based). */
   val q_fingerprint: Q = (s, d) =>
     t(s, d, "documents")
@@ -684,6 +706,7 @@ object Queries {
     "q_sample_split" -> q_sample_split,
     "q_corpus_stats" -> q_corpus_stats,
     "q_source_curation" -> q_source_curation,
+    "q_cross_source" -> q_cross_source,
     "q_dedup_ngram_jaccard" -> q_dedup_ngram_jaccard,
     "q_dedup_ngram_lsh" -> q_dedup_ngram_lsh,
     "q_decontaminate" -> q_decontaminate,
