@@ -11,6 +11,16 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench driver parses the LAST stdout line as the JSON result; sbt's
+// "[success] Total time: ..." trailer after `run` was breaking that
+// (every BENCH_r*.json so far has parsed=null). Suppress it so the JSON
+// line Bench prints is the final line of output.
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
+// ... and forked `run` stdout must pass through verbatim (no "[info] "
+// prefix), so the line Bench prints is exactly what the parser sees.
+run / connectInput := false
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

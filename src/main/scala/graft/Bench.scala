@@ -90,10 +90,40 @@ object Bench {
     }
 
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
-    SparkEntry.queries.foreach { case (name, fn) =>
-      results(name) = timed(name)(fn(spark, sfDir).count())
-      resetCaches()
+
+    /** Per-entry median across passes, in first-pass entry order. Failed
+      * samples carry negative times and sort first, so an entry that
+      * succeeds in a majority of passes reports a (positive) success
+      * median and one that mostly fails stays visibly negative.
+      */
+    def medianInto(
+        passes: Seq[scala.collection.Map[String, Double]]): Unit =
+      passes.headOption.foreach { first =>
+        first.keys.foreach { k =>
+          val samples = passes.flatMap(_.get(k)).sorted
+          if (samples.nonEmpty) results(k) = samples(samples.size / 2)
+        }
+      }
+
+    // The query section gets the same median-of-N discipline as the
+    // engine section: round 6's single-sample run reported q_zarr_keys at
+    // 25 s (29× its round-5 number) purely from one I/O hiccup — a
+    // number nobody can defend. Order is fixed within a pass and caches
+    // are dropped after every entry, so no entry inherits another's
+    // block-manager or LRU state.
+    val queryReps =
+      math.max(1, sys.env.getOrElse("SPARK_GRAFT_QUERY_REPS", "3").toInt)
+    val queryPasses = (0 until queryReps).map { rep =>
+      val r = scala.collection.mutable.LinkedHashMap[String, Double]()
+      SparkEntry.queries.foreach { case (name, fn) =>
+        r(name) = timed(s"$name (pass $rep)")(fn(spark, sfDir).count())
+        resetCaches()
+      }
+      System.err.println(s"[bench] query pass $rep: " + r.map {
+        case (k, v) => f"$k=$v%.2f" }.mkString(" "))
+      r
     }
+    medianInto(queryPasses)
 
     // ---- engine workloads (BASELINE.md starred rows) ----
     // 500 000 refs, 100 splits — the large-manifest dataset shape
@@ -296,11 +326,12 @@ object Bench {
       // row-returning region read: sub-block decode emits only the
       // requested cells, then the usual (i0..iN, value) explode
       entry("engine_cube_slice_rows") {
+        val w = math.min(64L, cube.toLong) // stay in-bounds at smoke scales
         val ro = repo.readonlySession(VersionRef.Branch("main"))
         val rows = graft.tensor.TensorPlane.valuesRegion(ro, "/cube",
-          "int64", Seq((0L, 4L), (0L, 64L), (0L, cube.toLong)))
+          "int64", Seq((0L, 4L), (0L, w), (0L, cube.toLong)))
           .agg(sum(col("value")), count(lit(1))).head()
-        assert(rows.getLong(1) == 4L * 64L * cube)
+        assert(rows.getLong(1) == 4L * w * cube)
       }
       r
     }
@@ -362,13 +393,7 @@ object Bench {
         }
       out
     }
-    // per-entry median across passes, in first-pass entry order
-    passes.headOption.foreach { first =>
-      first.keys.foreach { k =>
-        val samples = passes.flatMap(_.get(k)).sorted
-        if (samples.nonEmpty) results(k) = samples(samples.size / 2)
-      }
-    }
+    medianInto(passes)
 
     println(jsonLine(results, errors, sfDir))
     spark.stop()

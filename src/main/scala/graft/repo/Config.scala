@@ -103,12 +103,19 @@ final case class PreloadRule(pathRegex: String, maxRefs: Long = 10000) {
     node.isArray && re.pattern.matcher(node.path).matches()
 }
 
-/** Version reference — branch / tag / snapshot id (refs.rs:61-67). */
+/** Version reference — branch / tag / snapshot id (refs.rs:61-67), plus
+  * the branch-history time travel form (`VersionInfo::AsOf`,
+  * repository.rs:69; resolution repository.rs:1773-1808).
+  */
 sealed trait VersionRef
 object VersionRef {
   final case class Branch(name: String) extends VersionRef
   final case class Tag(name: String) extends VersionRef
   final case class SnapshotVer(id: String) extends VersionRef
+  /** The last snapshot on `branch` flushed at or before `atMillis`
+    * (epoch ms, UTC) — errors if the branch has no snapshot that old.
+    */
+  final case class AsOf(branch: String, atMillis: Long) extends VersionRef
   val Main: Branch = Branch("main")
 }
 

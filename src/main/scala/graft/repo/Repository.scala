@@ -138,6 +138,18 @@ final class Repository private (
     case VersionRef.Tag(t) => lookupTag(t).getOrElse(
       throw new GraftException(s"no tag $t", GraftError.RefNotFound))
     case VersionRef.SnapshotVer(id) => id
+    case VersionRef.AsOf(branch, atMillis) =>
+      // newest-first ancestry walk, skip-while newer than the cutoff —
+      // the first remaining snapshot is the branch state at `atMillis`
+      // (repository.rs:1785-1799)
+      ancestry(VersionRef.Branch(branch))
+        .find(s => java.time.Instant.parse(s.flushedAt).toEpochMilli
+          <= atMillis)
+        .map(_.id)
+        .getOrElse(throw new GraftException(
+          s"branch $branch has no snapshot at or before " +
+            java.time.Instant.ofEpochMilli(atMillis),
+          GraftError.RefNotFound))
   }
 
   /** `ancestry(ref)` — ordered, most recent first (repository.rs:970). */

@@ -87,9 +87,55 @@ class GraftCatalog extends TableCatalog with FunctionCatalog {
       .map(n => identOf(n.path)).toArray
   }
 
-  override def loadTable(ident: Identifier): Table = {
+  override def loadTable(ident: Identifier): Table =
+    loadTableAt(ident, None)
+
+  /** `SELECT ... VERSION AS OF 'v'`: `v` is a `branch:`/`tag:`/
+    * `snapshot:`-prefixed ref or a bare name resolved as branch, then
+    * tag, then snapshot id (the reference's `readonly_session(branch=/
+    * tag=/snapshot_id=)` surface, repository.py:1497-1537).
+    */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val r = repo
+    val normalized = version match {
+      case v if v.startsWith("branch:") || v.startsWith("tag:") ||
+        v.startsWith("snapshot:") || v.startsWith("asof:") => v
+      case v if r.lookupBranch(v).isDefined => s"branch:$v"
+      case v if r.lookupTag(v).isDefined => s"tag:$v"
+      case v => s"snapshot:$v"
+    }
+    loadTableAt(ident, Some(normalized))
+  }
+
+  /** `SELECT ... TIMESTAMP AS OF t`: the last snapshot on the catalog's
+    * branch flushed at or before `t` (`as_of`, repository.py:1520-1522;
+    * resolution repository.rs:1785-1799). Spark passes microseconds.
+    */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
     val branch = options.getOrElse("branch", "main")
-    val session = repo.readonlySession(VersionRef.Branch(branch))
+    val snap = repo.resolveVersion(
+      VersionRef.AsOf(branch, timestampMicros / 1000L))
+    loadTableAt(ident, Some(s"snapshot:$snap"))
+  }
+
+  private def loadTableAt(ident: Identifier,
+                          version: Option[String]): Table = {
+    val branch = options.getOrElse("branch", "main")
+    val ref = version match {
+      case None => VersionRef.Branch(branch)
+      case Some(v) if v.startsWith("branch:") => VersionRef.Branch(v.drop(7))
+      case Some(v) if v.startsWith("tag:") => VersionRef.Tag(v.drop(4))
+      case Some(v) if v.startsWith("asof:") =>
+        val spec = v.drop(5)
+        val at = spec.lastIndexOf('@')
+        require(at >= 0, s"asof version must be 'asof:<branch>@<instant>'")
+        val when = spec.drop(at + 1)
+        VersionRef.AsOf(spec.take(at),
+          if (when.forall(_.isDigit)) when.toLong
+          else java.time.Instant.parse(when).toEpochMilli)
+      case Some(v) => VersionRef.SnapshotVer(v.stripPrefix("snapshot:"))
+    }
+    val session = repo.readonlySession(ref)
     val path = pathOf(ident)
     val node = session.node(path).filter(_.isArray).getOrElse(
       throw new org.apache.spark.sql.catalyst.analysis
@@ -99,7 +145,8 @@ class GraftCatalog extends TableCatalog with FunctionCatalog {
       "branch" -> branch,
       // flags the catalog write path: a FunctionCatalog rides along, so
       // the write may require chunk_coord-clustered distribution
-      "via-catalog" -> "true")
+      "via-catalog" -> "true") ++
+      version.map("version" -> _)
     new GraftTable(opts, GraftTableProvider.schemaFor(opts))
   }
 

@@ -135,6 +135,17 @@ object GraftTableProvider {
       case v if v.startsWith("branch:") => VersionRef.Branch(v.drop(7))
       case v if v.startsWith("tag:") => VersionRef.Tag(v.drop(4))
       case v if v.startsWith("snapshot:") => VersionRef.SnapshotVer(v.drop(9))
+      // time travel: `asof:<branch>@<ISO-8601 instant | epoch millis>`
+      case v if v.startsWith("asof:") =>
+        val spec = v.drop(5)
+        val at = spec.lastIndexOf('@')
+        if (at < 0) throw new graft.repo.GraftException(
+          s"asof version must be 'asof:<branch>@<instant>', got '$v'")
+        val when = spec.drop(at + 1)
+        val millis =
+          if (when.forall(_.isDigit)) when.toLong
+          else java.time.Instant.parse(when).toEpochMilli
+        VersionRef.AsOf(spec.take(at), millis)
       case v => VersionRef.Branch(v)
     }
     (repo, repo.readonlySession(ref), array)

@@ -26,7 +26,21 @@ object ByteFetch {
     sys.props.getOrElse("graft.azure.endpoint",
       s"https://$account.blob.core.windows.net")
 
-  def ranged(uri: String, offset: Long, length: Long): Array[Byte] =
+  /** Disambiguation schemes accepted on HTTP locations (reference #2262:
+    * `http+icechunk`, `http+ic`, `https+icechunk`, `https+ic` must strip
+    * to plain `http`/`https` targets; here spelled with the project name).
+    */
+  private[virt] def normalizeScheme(uri: String): String = {
+    val plus = Seq("http", "https").flatMap(base =>
+      Seq("graft", "g").map(tag => s"$base+$tag://" -> s"$base://"))
+    plus.collectFirst {
+      case (from, to) if uri.startsWith(from) =>
+        to + uri.stripPrefix(from)
+    }.getOrElse(uri)
+  }
+
+  def ranged(uri0: String, offset: Long, length: Long): Array[Byte] = {
+    val uri = normalizeScheme(uri0)
     if (uri.startsWith("file:")) rangedFile(uri, offset, length)
     else if (uri.startsWith("http://") || uri.startsWith("https://"))
       rangedHttp(uri, offset, length)
@@ -36,6 +50,7 @@ object ByteFetch {
       rangedHttp(azureUrl(uri), offset, length)
     else throw new IllegalArgumentException(
       s"no fetcher for scheme of $uri")
+  }
 
   /** `gs://bucket/key` → the XML-API URL (`{endpoint}/bucket/key`), which
     * serves public objects with standard `Range:` semantics.

@@ -34,7 +34,14 @@ final class VirtualChunkResolver(val containers: Seq[VirtualChunkContainer])
     * `expand_location`, manifest.rs:284-433, virtual_chunks.rs:409).
     * Absolute locations pass through unchanged.
     */
-  def expandLocation(location: String): String =
+  /** Expansion also strips the `http+graft` / `http+g` (and https)
+    * disambiguation schemes to their plain-HTTP targets (reference
+    * #2262: `http+icechunk`-style URLs failed to resolve), so container
+    * matching, set-time validation, and executor fetch all see the same
+    * canonical `http(s)://` form.
+    */
+  def expandLocation(location0: String): String = {
+    val location = ByteFetch.normalizeScheme(location0)
     if (!location.startsWith("vcc://")) location
     else {
       val rest = location.stripPrefix("vcc://")
@@ -46,6 +53,7 @@ final class VirtualChunkResolver(val containers: Seq[VirtualChunkContainer])
           s"no virtual chunk container named '$cname' for $location")
       }
     }
+  }
 
   def validateLocation(location: String): Unit = {
     val expanded = expandLocation(location)

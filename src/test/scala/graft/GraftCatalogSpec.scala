@@ -67,4 +67,59 @@ class GraftCatalogSpec extends SparkTestBase {
     assert(msgs.exists(_.startsWith("create table")))
     assert(msgs.exists(_.startsWith("drop table")))
   }
+
+  test("SQL time travel: VERSION AS OF and TIMESTAMP AS OF " +
+      "(readonly_session branch/tag/snapshot_id/as_of analog)") {
+    val dir = tmpDir("ttrepo")
+    val repo = Repository.create(Store.local(dir), spark)
+    val s = repo.writableSession("main")
+    s.addArray("/t", Seq(8), Seq(4), userData = """{"dtype":"int64"}""")
+    s.commit("init")
+
+    val cat = "gtt" + (System.nanoTime() % 100000)
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.path", dir)
+
+    spark.sql(s"INSERT INTO $cat.t SELECT id AS i0, id AS value FROM range(8)")
+    val snap1 = repo.resolveVersion(VersionRef.Branch("main"))
+    repo.createTag("v1", snap1)
+    Thread.sleep(25) // commits straddle tMid by a visible margin
+    val tMid = java.time.Instant.now()
+    Thread.sleep(25)
+    spark.sql(
+      s"INSERT INTO $cat.t SELECT id AS i0, id * 10 AS value FROM range(8)")
+
+    val now = spark.sql(s"SELECT sum(value) FROM $cat.t").head().getLong(0)
+    assert(now == (0 until 8).map(_ * 10).sum)
+    // snapshot id, tag name, and branch name all resolve via VERSION AS OF
+    for (v <- Seq(snap1, "v1", s"tag:v1", s"snapshot:$snap1")) {
+      val old = spark.sql(
+        s"SELECT sum(value) FROM $cat.t VERSION AS OF '$v'").head().getLong(0)
+      assert(old == (0 until 8).sum, s"VERSION AS OF '$v'")
+    }
+    assert(spark.sql(s"SELECT sum(value) FROM $cat.t VERSION AS OF 'main'")
+      .head().getLong(0) == now)
+    // TIMESTAMP AS OF between the two commits sees the first state
+    val oldTs = spark.sql(s"SELECT sum(value) FROM $cat.t " +
+      s"TIMESTAMP AS OF '$tMid'").head().getLong(0)
+    assert(oldTs == (0 until 8).sum)
+    // a timestamp before the repo existed is an error, matching the
+    // reference's InvalidAsOfSpec (repository.rs:1794-1799)
+    val err = intercept[Exception] {
+      spark.sql(s"SELECT sum(value) FROM $cat.t " +
+        "TIMESTAMP AS OF '1999-01-01 00:00:00'").head()
+    }
+    val errChain = Iterator.iterate(err: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(e => Option(e.getMessage).getOrElse(""))
+    assert(errChain.exists(_.contains("no snapshot at or before")))
+
+    // provider route: the asof:<branch>@<instant> version option
+    val viaProvider = spark.read.format("graft-v2")
+      .option("path", dir).option("array", "/t")
+      .option("mode", "values").option("dtype", "int64")
+      .option("version", s"asof:main@$tMid").load()
+      .agg(org.apache.spark.sql.functions.sum("value")).head().getLong(0)
+    assert(viaProvider == (0 until 8).sum)
+  }
 }

@@ -139,6 +139,35 @@ class VirtualContainersSpec extends SparkTestBase {
     } finally server.stop()
   }
 
+  test("http+graft / http+g schemes resolve to plain-http targets (#2262)") {
+    val server = new graft.storage.http.HttpMemServer
+    try {
+      val payload = Array.tabulate[Byte](512)(i => (i % 127).toByte)
+      server.put("data/blob.bin", payload)
+      // the container is registered against the CANONICAL http:// prefix;
+      // refs carrying a +graft/+g disambiguation scheme must match it
+      val resolver = new VirtualChunkResolver(Seq(
+        VirtualChunkContainer(s"${server.endpoint}/data/", "pub")))
+      assert(resolver.expandLocation(
+        s"http+graft://127.0.0.1:${server.port}/data/blob.bin") ==
+        s"${server.endpoint}/data/blob.bin")
+      assert(resolver.expandLocation("https+g://h/x") == "https://h/x")
+      val repo = Repository.create(Store.local(tmpDir("plushttp")), spark,
+        resolver = resolver)
+      val s = repo.writableSession("main")
+      s.addArray("/v", Seq(2), Seq(1))
+      s.setVirtualRef("/v", Seq(0),
+        s"http+graft://127.0.0.1:${server.port}/data/blob.bin", 0, 64)
+      s.setVirtualRef("/v", Seq(1),
+        s"http+g://127.0.0.1:${server.port}/data/blob.bin", 100, 32)
+      s.commit("tagged-scheme refs")
+      val ro = repo.readonlySession(VersionRef.Branch("main"))
+      assert(ro.getChunk("/v", Seq(0)).get.toSeq == payload.take(64).toSeq)
+      assert(ro.getChunk("/v", Seq(1)).get.toSeq ==
+        payload.slice(100, 132).toSeq)
+    } finally server.stop()
+  }
+
   test("fromOptions: prefix-only containers fall back to scheme dispatch") {
     val r = VirtualChunkResolver.fromOptions(Map(
       "virtual.pub.prefix" -> "https://example.org/data/"))
