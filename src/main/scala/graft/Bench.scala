@@ -339,20 +339,27 @@ object Bench {
     // JIT/codegen warmup of the WRITE paths before any measured pass: the
     // query section above warms the read machinery, but the values-write
     // stack (writer codegen, parquet-mr, commit) otherwise compiles
-    // inside pass 1 and skews its median entry by 3-5×
+    // inside pass 1 and skews its median entry by 3-5×. The warmup cube
+    // is 128³ (2.1 M rows), not a toy: WBench order-swap experiments show
+    // the FIRST large write in the JVM pays a 3-5× premium whichever
+    // route runs first (provider 16.8 s → 3.0 s warm; catalog-first
+    // flips it), and a 32³ warmup was too small to trigger the same
+    // JIT/allocation profile — the premium then landed on the first
+    // timed values entry and read as a route regression.
     if (sys.env.getOrElse("SPARK_GRAFT_BENCH_WARM", "1") == "1") {
       val wdir = java.nio.file.Files.createTempDirectory("graft-bench-warm")
       try {
+        val wn = 128L
         val repo = Repository.create(Store.local(wdir.toString), spark,
           GraftConfig())
         val s = repo.writableSession("main")
-        s.addArray("/w", Seq(32, 32, 32), Seq(4, 32, 32))
-        s.addArray("/w2", Seq(32, 32, 32), Seq(4, 32, 32),
+        s.addArray("/w", Seq(wn, wn, wn), Seq(4, wn, wn))
+        s.addArray("/w2", Seq(wn, wn, wn), Seq(4, wn, wn),
           userData = """{"dtype":"int64"}""")
         s.commit("warm")
-        val cells = spark.range(32L * 32 * 32).selectExpr(
-          "id div 1024 as i0", "(id div 32) % 32 as i1", "id % 32 as i2",
-          "id as value")
+        val cells = spark.range(wn * wn * wn).selectExpr(
+          s"id div ${wn * wn} as i0", s"(id div $wn) % $wn as i1",
+          s"id % $wn as i2", "id as value")
         cells.selectExpr("*", "i0 div 4 as _c0", "0L as _c1", "0L as _c2")
           .write.format("graft-v2")
           .option("path", wdir.toString).option("array", "/w")

@@ -118,36 +118,106 @@ class GraftCatalog extends TableCatalog with FunctionCatalog {
     loadTableAt(ident, Some(s"snapshot:$snap"))
   }
 
+  private def parseRef(version: Option[String],
+                       branch: String): VersionRef = version match {
+    case None => VersionRef.Branch(branch)
+    case Some(v) if v.startsWith("branch:") => VersionRef.Branch(v.drop(7))
+    case Some(v) if v.startsWith("tag:") => VersionRef.Tag(v.drop(4))
+    case Some(v) if v.startsWith("asof:") =>
+      val spec = v.drop(5)
+      val at = spec.lastIndexOf('@')
+      require(at >= 0, s"asof version must be 'asof:<branch>@<instant>'")
+      val when = spec.drop(at + 1)
+      VersionRef.AsOf(spec.take(at),
+        if (when.forall(_.isDigit)) when.toLong
+        else java.time.Instant.parse(when).toEpochMilli)
+    case Some(v) => VersionRef.SnapshotVer(v.stripPrefix("snapshot:"))
+  }
+
   private def loadTableAt(ident: Identifier,
                           version: Option[String]): Table = {
     val branch = options.getOrElse("branch", "main")
-    val ref = version match {
-      case None => VersionRef.Branch(branch)
-      case Some(v) if v.startsWith("branch:") => VersionRef.Branch(v.drop(7))
-      case Some(v) if v.startsWith("tag:") => VersionRef.Tag(v.drop(4))
-      case Some(v) if v.startsWith("asof:") =>
-        val spec = v.drop(5)
-        val at = spec.lastIndexOf('@')
-        require(at >= 0, s"asof version must be 'asof:<branch>@<instant>'")
-        val when = spec.drop(at + 1)
-        VersionRef.AsOf(spec.take(at),
-          if (when.forall(_.isDigit)) when.toLong
-          else java.time.Instant.parse(when).toEpochMilli)
-      case Some(v) => VersionRef.SnapshotVer(v.stripPrefix("snapshot:"))
-    }
+    val ref = parseRef(version, branch)
     val session = repo.readonlySession(ref)
     val path = pathOf(ident)
-    val node = session.node(path).filter(_.isArray).getOrElse(
-      throw new org.apache.spark.sql.catalyst.analysis
-        .NoSuchTableException(ident))
-    val opts = options ++ Map(
-      "array" -> path, "mode" -> "values", "dtype" -> dtypeOf(node),
-      "branch" -> branch,
-      // flags the catalog write path: a FunctionCatalog rides along, so
-      // the write may require chunk_coord-clustered distribution
-      "via-catalog" -> "true") ++
-      version.map("version" -> _)
-    new GraftTable(opts, GraftTableProvider.schemaFor(opts))
+    session.node(path).filter(_.isArray) match {
+      case Some(node) =>
+        val opts = options ++ Map(
+          "array" -> path, "mode" -> "values", "dtype" -> dtypeOf(node),
+          "branch" -> branch,
+          // flags the catalog write path: a FunctionCatalog rides along,
+          // so the write may require chunk_coord-clustered distribution
+          "via-catalog" -> "true") ++
+          version.map("version" -> _)
+        new GraftTable(opts, GraftTableProvider.schemaFor(opts))
+      case None =>
+        metadataTable(ident, branch, version).getOrElse(
+          throw new org.apache.spark.sql.catalyst.analysis
+            .NoSuchTableException(ident))
+    }
+  }
+
+  // ----------------------------------------------------------------
+  // metadata tables (the observability surface as SQL relations —
+  // ancestry / refs / ops_log / list_branches / list_tags,
+  // repository.rs:970-1461, exposed the way lakehouse catalogs expose
+  // their snapshot/file listings)
+  // ----------------------------------------------------------------
+
+  /** Repo-level: `cat.snapshots` (catalog branch's ancestry),
+    * `cat.branches`, `cat.tags`, `cat.ops`. Array-level:
+    * `cat.<ns...>.<array>.refs` — the array's chunk-ref relation as a
+    * DISTRIBUTED DSv2 scan (manifest-shard partitions), since refs scale
+    * with the array while the others are bounded metadata (LocalScan:
+    * driver rows, no job). Real nodes shadow metadata names.
+    */
+  private def metadataTable(ident: Identifier, branch: String,
+                            version: Option[String]): Option[Table] = {
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    import org.apache.spark.unsafe.types.UTF8String
+    def str(s: String): Any = UTF8String.fromString(s)
+    def rows2(xs: Seq[(String, String)]): Array[InternalRow] =
+      xs.map { case (a, b) =>
+        new GenericInternalRow(Array[Any](str(a), str(b))): InternalRow
+      }.toArray
+    val r = repo
+    (ident.namespace().toSeq, ident.name()) match {
+      case (ns, "refs") if ns.nonEmpty =>
+        val arrayPath = "/" + ns.mkString("/")
+        val session = r.readonlySession(VersionRef.Branch(branch))
+        session.node(arrayPath).filter(_.isArray).map { _ =>
+          val opts = options ++ Map(
+            "array" -> arrayPath, "mode" -> "refs",
+            "branch" -> branch) ++ version.map("version" -> _)
+          new GraftTable(opts, GraftTableProvider.schemaFor(opts))
+        }
+      case (Nil, "snapshots") =>
+        val tip = parseRef(version, branch)
+        Some(new GraftMetaTable(s"${name()}.snapshots",
+          GraftCatalog.SnapshotsSchema,
+          () => r.ancestry(tip).map { si =>
+            new GenericInternalRow(Array[Any](str(si.id),
+              si.parentId.map(str).orNull, str(si.message),
+              str(si.flushedAt))): InternalRow
+          }.toArray))
+      case (Nil, "branches") =>
+        Some(new GraftMetaTable(s"${name()}.branches",
+          GraftCatalog.RefsSchema,
+          () => rows2(r.listBranches().map(b =>
+            b -> r.lookupBranch(b).getOrElse("")))))
+      case (Nil, "tags") =>
+        Some(new GraftMetaTable(s"${name()}.tags",
+          GraftCatalog.RefsSchema,
+          () => rows2(r.listTags().map(t =>
+            t -> r.lookupTag(t).getOrElse("")))))
+      case (Nil, "ops") =>
+        Some(new GraftMetaTable(s"${name()}.ops", GraftCatalog.OpsSchema,
+          () => r.opsLog().map { e =>
+            new GenericInternalRow(Array[Any](str(e.ts), str(e.op),
+              str(e.detail))): InternalRow
+          }.toArray))
+      case _ => None
+    }
   }
 
   override def createTable(ident: Identifier, schema: StructType,
@@ -278,4 +348,50 @@ private[sources] class ChunkCoordBoundFunction extends ScalarFunction[java.lang.
 
 private[sources] object ChunkCoordBoundFunction {
   def invoke(i: Long, extent: Long): Long = java.lang.Math.floorDiv(i, extent)
+}
+
+object GraftCatalog {
+  /** `cat.snapshots` — the catalog branch's ancestry, newest first. */
+  val SnapshotsSchema: StructType = StructType(Seq(
+    StructField("snapshot_id", StringType, nullable = false),
+    StructField("parent_id", StringType),
+    StructField("message", StringType),
+    StructField("flushed_at", StringType)))
+  /** `cat.branches` / `cat.tags` — name → tip snapshot. */
+  val RefsSchema: StructType = StructType(Seq(
+    StructField("name", StringType, nullable = false),
+    StructField("snapshot_id", StringType)))
+  /** `cat.ops` — the repo-pointer operations log, newest first. */
+  val OpsSchema: StructType = StructType(Seq(
+    StructField("ts", StringType),
+    StructField("op", StringType),
+    StructField("detail", StringType)))
+}
+
+/** Bounded metadata as a driver-local relation: a [[LocalScan]] hands
+  * Spark the rows directly (no job, no partitions) — right-sized for
+  * ancestry / branch / tag / ops listings, which are pointer-file
+  * metadata no matter how big the arrays get. The rows thunk runs at
+  * scan time, so the relation always reflects the CURRENT repo state.
+  */
+private[sources] class GraftMetaTable(
+    tableName: String, tableSchema: StructType,
+    rowsThunk: () => Array[InternalRow])
+    extends Table
+    with org.apache.spark.sql.connector.catalog.SupportsRead {
+  import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, LocalScan}
+
+  override def name(): String = tableName
+  override def schema(): StructType = tableSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(
+      options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new LocalScan {
+        override def readSchema(): StructType = tableSchema
+        override def rows(): Array[InternalRow] = rowsThunk()
+      }
+    }
 }

@@ -124,6 +124,76 @@ object GraftTableProvider {
       case _ => RefSchema
     }
 
+  /** Translate v1 delete filters to inclusive CHUNK-coordinate bounds.
+    * `Some(bounds)` when every filter is a conjunction of comparisons on
+    * `i<d>` columns and the resulting per-dim cell range [lo, hi) is
+    * chunk-aligned (lo and hi on chunk boundaries, or hi at the array
+    * edge); `None` otherwise. A contradictory range comes back as an
+    * empty marker (lo > hi), which is deletable (nothing to do).
+    */
+  private[sources] def deleteChunkBounds(
+      filters: Array[org.apache.spark.sql.sources.Filter],
+      shape: Seq[Long], chunkShape: Seq[Long]): Option[Seq[(Int, Int)]] = {
+    import org.apache.spark.sql.sources._
+    val ndim = shape.size
+    val lo = Array.tabulate(ndim)(_ => 0L)
+    val hi = Array.tabulate(ndim)(shape(_)) // exclusive
+    val IdxCol = """i(\d+)""".r
+    def dimOf(attr: String): Option[Int] = attr match {
+      case IdxCol(d) if d.toInt < ndim => Some(d.toInt)
+      case _ => None
+    }
+    def num(v: Any): Option[Long] = v match {
+      case l: Long => Some(l)
+      case i: Int => Some(i.toLong)
+      case s: Short => Some(s.toLong)
+      case b: Byte => Some(b.toLong)
+      case _ => None
+    }
+    var alwaysFalse = false
+    def apply(f: Filter): Boolean = f match {
+      case And(a, b) => apply(a) && apply(b)
+      // Catalyst constant-folds contradictory/trivial predicates before
+      // pushdown (e.g. `i0 >= 12 AND i0 < 12` arrives as AlwaysFalse)
+      case _: AlwaysTrue => true
+      case _: AlwaysFalse => alwaysFalse = true; true
+      case IsNotNull(attr) => dimOf(attr).isDefined
+      case EqualTo(attr, v) => (dimOf(attr), num(v)) match {
+        case (Some(d), Some(x)) =>
+          lo(d) = math.max(lo(d), x); hi(d) = math.min(hi(d), x + 1); true
+        case _ => false
+      }
+      case GreaterThan(attr, v) => (dimOf(attr), num(v)) match {
+        case (Some(d), Some(x)) => lo(d) = math.max(lo(d), x + 1); true
+        case _ => false
+      }
+      case GreaterThanOrEqual(attr, v) => (dimOf(attr), num(v)) match {
+        case (Some(d), Some(x)) => lo(d) = math.max(lo(d), x); true
+        case _ => false
+      }
+      case LessThan(attr, v) => (dimOf(attr), num(v)) match {
+        case (Some(d), Some(x)) => hi(d) = math.min(hi(d), x); true
+        case _ => false
+      }
+      case LessThanOrEqual(attr, v) => (dimOf(attr), num(v)) match {
+        case (Some(d), Some(x)) => hi(d) = math.min(hi(d), x + 1); true
+        case _ => false
+      }
+      case _ => false
+    }
+    if (!filters.forall(apply)) return None
+    if (alwaysFalse) return Some(Seq.fill(ndim)((1, 0))) // empty region
+    val perDim = (0 until ndim).map { d =>
+      if (lo(d) >= hi(d)) Some((1, 0)) // empty marker
+      else if (lo(d) % chunkShape(d) == 0 &&
+        (hi(d) % chunkShape(d) == 0 || hi(d) == shape(d)))
+        Some(((lo(d) / chunkShape(d)).toInt,
+          ((hi(d) + chunkShape(d) - 1) / chunkShape(d) - 1).toInt))
+      else None // mid-chunk cut — not deletable as metadata
+    }
+    if (perDim.forall(_.isDefined)) Some(perDim.map(_.get)) else None
+  }
+
   private[sources] def open(opts: Map[String, String])
       : (Repository, graft.repo.Session, String) = {
     val array = opts.getOrElse("array",
@@ -153,8 +223,48 @@ object GraftTableProvider {
 }
 
 class GraftTable(opts: Map[String, String], declaredSchema: StructType)
-    extends Table with SupportsRead with SupportsWrite {
+    extends Table with SupportsRead with SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
   private def mode = opts.getOrElse("mode", "refs")
+
+  /** `DELETE FROM t WHERE <i-bounds>` / `TRUNCATE TABLE t`: deletable
+    * when the predicate describes a CHUNK-ALIGNED box over the index
+    * columns (each dim's [lo, hi) lands on chunk boundaries or the array
+    * edge) — then the delete is a metadata operation: one distributed
+    * filter over the ref relation (manifest-split pruned) staging
+    * tombstones, one commit. Unaligned predicates are refused here so
+    * Spark reports them unsupported instead of silently rewriting data
+    * (partial-chunk deletes would need a read-modify-write the engine
+    * reserves for explicit writes; zarr semantics, store.rs:515).
+    */
+  override def canDeleteWhere(
+      filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
+    mode == "values" && {
+      val (_, session, array) = GraftTableProvider.open(opts)
+      session.node(array).filter(_.isArray).exists(node =>
+        GraftTableProvider.deleteChunkBounds(filters, node.shape,
+          node.chunkShape).isDefined)
+    }
+
+  override def deleteWhere(
+      filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val (repo, ro, array) = GraftTableProvider.open(opts)
+    val node = ro.node(array).filter(_.isArray).getOrElse(
+      throw new graft.repo.GraftException(s"no array at $array"))
+    val bounds = GraftTableProvider.deleteChunkBounds(filters, node.shape,
+      node.chunkShape).getOrElse(throw new graft.repo.GraftException(
+      s"unsupported delete predicate ${filters.mkString(", ")} — only " +
+        "chunk-aligned index ranges can be deleted"))
+    if (bounds.exists { case (lo, hi) => lo > hi }) return // empty region
+    val session = repo.writableSession(opts.getOrElse("branch", "main"))
+    session.stageChunkRefs(array,
+      session.refsBounded(array, bounds).select(col("coord"))
+        .withColumn("kind", lit(graft.meta.ChunkRef.KindDelete)))
+    session.commit(opts.getOrElse("message",
+      s"delete where ${filters.mkString(" and ")} $array"),
+      allowEmpty = true)
+  }
   override def name(): String =
     s"graft:${opts.getOrElse("path", "?")}${opts.getOrElse("array", "?")}" +
       s"@${opts.getOrElse("version", "branch:main")}"
@@ -162,7 +272,8 @@ class GraftTable(opts: Map[String, String], declaredSchema: StructType)
     if (declaredSchema != null && declaredSchema.nonEmpty) declaredSchema
     else GraftTableProvider.schemaFor(opts)
   override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.STREAMING_WRITE).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(opts, schema())
@@ -804,6 +915,10 @@ class GraftWriteBuilder(opts: Map[String, String], info: LogicalWriteInfo)
     extends WriteBuilder {
   override def build(): Write = new Write {
     override def toBatch: BatchWrite = new GraftBatchWrite(opts, info.schema())
+    override def toStreaming
+        : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+      new GraftStreamingWrite(opts, info.queryId(),
+        new GraftBatchWrite(opts, info.schema()))
   }
 }
 
@@ -817,8 +932,16 @@ case class StagedRefsMessage(stagingKey: String, rows: Long)
   * staging prefix (chunk objects referenced by aborted refs are left to
   * GC, matching the reference's orphan policy).
   */
+/** A batch write whose commit can stamp extra snapshot properties —
+  * what [[GraftStreamingWrite]] needs to reuse a write path per epoch.
+  */
+trait GraftEpochCommittable extends BatchWrite {
+  def commitWithProps(messages: Array[WriterCommitMessage],
+                      props: Map[String, String]): Unit
+}
+
 class GraftBatchWrite(opts: Map[String, String], schema: StructType)
-    extends BatchWrite {
+    extends GraftEpochCommittable {
   private val stagingRoot = graft.meta.Layout.stagingPrefix(
     graft.core.Ids.toBase32(graft.core.Ids.newObjectId()))
 
@@ -828,7 +951,14 @@ class GraftBatchWrite(opts: Map[String, String], schema: StructType)
     new GraftRefWriterFactory(repo.store.conf, stagingRoot, schema)
   }
 
-  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+  override def commit(messages: Array[WriterCommitMessage]): Unit =
+    commitWithProps(messages, Map.empty)
+
+  /** Same commit, stamping `props` onto the snapshot (the streaming
+    * adapter records its epoch marker this way).
+    */
+  def commitWithProps(messages: Array[WriterCommitMessage],
+                      props: Map[String, String]): Unit = {
     val (repo, _, array) = GraftTableProvider.open(opts)
     val spark = org.apache.spark.sql.SparkSession.active
     val session = repo.writableSession(opts.getOrElse("branch", "main"))
@@ -843,7 +973,7 @@ class GraftBatchWrite(opts: Map[String, String], schema: StructType)
       session.stageChunkRefs(array, staged)
     }
     session.commit(opts.getOrElse("message", s"v2 write $array"),
-      allowEmpty = true)
+      properties = props, allowEmpty = true)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
@@ -905,14 +1035,16 @@ class GraftValuesWriteBuilder(opts: Map[String, String],
           s" (optionally + ${helperCols.mkString(",")})",
         kind = graft.repo.GraftError.SchemaMismatch)
     new GraftValuesWrite(opts, got, node.chunkShape, node.shape, dtype,
-      opts.getOrElse("compression", "raw"), helperClustered)
+      opts.getOrElse("compression", "raw"), helperClustered,
+      queryId = info.queryId())
   }
 }
 
 class GraftValuesWrite(opts: Map[String, String], schema: StructType,
                        chunkShape: Seq[Long], shape: Seq[Long],
                        dtype: String, compression: String,
-                       helperClustered: Boolean = false)
+                       helperClustered: Boolean = false,
+                       queryId: String = "")
     extends Write with RequiresDistributionAndOrdering {
   import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection}
   import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
@@ -994,6 +1126,16 @@ class GraftValuesWrite(opts: Map[String, String], schema: StructType,
     new GraftValuesBatchWrite(opts, schema, chunkShape, dtype, compression,
       helperClustered)
 
+  /** Streaming values sink: one engine commit per micro-batch epoch via
+    * the same staged-chunks machinery (the distribution/ordering above
+    * applies per micro-batch).
+    */
+  override def toStreaming
+      : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+    new GraftStreamingWrite(opts, queryId,
+      new GraftValuesBatchWrite(opts, schema, chunkShape, dtype, compression,
+        helperClustered))
+
   override def supportedCustomMetrics()
       : Array[org.apache.spark.sql.connector.metric.CustomMetric] =
     Array(new GraftMetrics.ChunksUploaded, new GraftMetrics.BytesUploaded)
@@ -1024,7 +1166,7 @@ class GraftValuesBatchWrite(opts: Map[String, String], schema: StructType,
                             chunkShape: Seq[Long], dtype: String,
                             compression: String,
                             helperClustered: Boolean = false)
-    extends BatchWrite {
+    extends GraftEpochCommittable {
   import org.apache.spark.sql.functions.{col, lit}
   private val stagingRoot = graft.meta.Layout.stagingPrefix(
     graft.core.Ids.toBase32(graft.core.Ids.newObjectId()))
@@ -1039,7 +1181,14 @@ class GraftValuesBatchWrite(opts: Map[String, String], schema: StructType,
         opts.get("via-catalog").contains("true"))
   }
 
-  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+  override def commit(messages: Array[WriterCommitMessage]): Unit =
+    commitWithProps(messages, Map.empty)
+
+  /** Same commit, stamping `props` onto the snapshot (the streaming
+    * adapter records its epoch marker this way).
+    */
+  def commitWithProps(messages: Array[WriterCommitMessage],
+                      props: Map[String, String]): Unit = {
     val (repo, _, array) = GraftTableProvider.open(opts)
     val spark = org.apache.spark.sql.SparkSession.active
     val session = repo.writableSession(opts.getOrElse("branch", "main"))
@@ -1118,7 +1267,7 @@ class GraftValuesBatchWrite(opts: Map[String, String], schema: StructType,
       } finally cached.unpersist()
     }
     session.commit(opts.getOrElse("message", s"v2 values write $array"),
-      allowEmpty = true)
+      properties = props, allowEmpty = true)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
@@ -1305,6 +1454,83 @@ class GraftValuesDataWriter(storeConf: StoreConf, stagingRoot: String,
     if (refWriter != null) { refWriter.abort(); leftWriter.abort() }
   }
   override def close(): Unit = ()
+}
+
+/** Structured-Streaming sink (`df.writeStream.format("graft-v2")`): one
+  * engine commit per micro-batch epoch through the SAME staged-write
+  * machinery as the batch path — executors stage Parquet/chunk objects,
+  * the epoch commit stages them on a session and runs one CAS commit.
+  *
+  * Exactly-once: every epoch commit stamps `(graft.stream.query,
+  * graft.stream.epoch)` snapshot properties; a replayed epoch (restart
+  * re-runs the last possibly-uncommitted batch) is detected by a bounded
+  * newest-first ancestry walk and skipped. This is the commit-per-batch
+  * + transaction-marker protocol of the reference's incremental append
+  * workflow (SURVEY §2.9) in DSv2 form — no library code needed at the
+  * call site.
+  */
+class GraftStreamingWrite(opts: Map[String, String], queryId: String,
+                          inner: GraftEpochCommittable)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+  import org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory
+
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo): StreamingDataWriterFactory = {
+    val batchFactory = inner.createBatchWriterFactory(info)
+    // task ids are unique across epochs within an app run, and each
+    // restart builds a fresh StreamingWrite (fresh staging root), so the
+    // batch factory's (partitionId, taskId) keys never collide
+    new GraftStreamingWriterFactory(batchFactory)
+  }
+
+  override def commit(epochId: Long,
+                      messages: Array[WriterCommitMessage]): Unit = {
+    val (repo, _, _) = GraftTableProvider.open(opts)
+    val branch = opts.getOrElse("branch", "main")
+    val replayed = GraftStreamingWrite
+      .lastEpoch(repo, branch, queryId).exists(_ >= epochId)
+    if (replayed) return // this epoch's commit already landed
+    inner.commitWithProps(messages, Map(
+      GraftStreamingWrite.QueryProp -> queryId,
+      GraftStreamingWrite.EpochProp -> epochId.toString))
+  }
+
+  override def abort(epochId: Long,
+                     messages: Array[WriterCommitMessage]): Unit =
+    inner.abort(messages)
+}
+
+object GraftStreamingWrite {
+  val QueryProp = "graft.stream.query"
+  val EpochProp = "graft.stream.epoch"
+
+  /** The most recent epoch `queryId` committed on `branch`, from a
+    * bounded newest-first ancestry walk (the marker is almost always at
+    * or near the tip — a replay happens right after the original). A
+    * marker deeper than `maxDepth` means >64 other commits landed since
+    * this query's last batch; the walk gives up and the epoch commits
+    * (at-least-once for that pathological interleaving, never silent
+    * loss).
+    */
+  def lastEpoch(repo: Repository, branch: String, queryId: String,
+                maxDepth: Int = 64): Option[Long] =
+    repo.ancestry(VersionRef.Branch(branch)).iterator.take(maxDepth)
+      .map(si => repo.assets.readSnapshot(si.id))
+      .collectFirst {
+        case s if s.properties.get(QueryProp).contains(queryId) =>
+          s.properties(EpochProp).toLong
+      }
+}
+
+/** Streaming writer factory: epoch-agnostic delegation to the batch
+  * factory (staging keys are already unique per task attempt).
+  */
+class GraftStreamingWriterFactory(inner: DataWriterFactory)
+    extends org.apache.spark.sql.connector.write.streaming
+      .StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+                            epochId: Long): DataWriter[InternalRow] =
+    inner.createWriter(partitionId, taskId)
 }
 
 class GraftRefWriterFactory(storeConf: StoreConf, stagingRoot: String,

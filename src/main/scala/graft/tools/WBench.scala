@@ -29,17 +29,40 @@ object WBench {
       println(f"[wbench] $name ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
 
+    // SPARK_GRAFT_WBENCH_CONTEXT=1 reproduces the Bench repo state the
+    // values writes run against (split config + a 500 k-ref /long1d
+    // manifest already on the branch): the standalone numbers and the
+    // in-bench numbers have historically disagreed 3-5×, and the state
+    // is the suspect, not the write path.
+    val context = sys.env.getOrElse("SPARK_GRAFT_WBENCH_CONTEXT", "0") == "1"
+    val refCount = 500000
     val n = cube
     (0 until reps).foreach { rep =>
       val dir = java.nio.file.Files.createTempDirectory(s"graft-wbench-$rep")
-      val repo = Repository.create(Store.local(dir.toString), spark)
+      val repo = Repository.create(Store.local(dir.toString), spark,
+        if (context) GraftConfig(splits = Seq(SplitRule(".*", 0, refCount / 100)))
+        else GraftConfig())
       val s = repo.writableSession("main")
       s.addArray("/cube2", Seq(n, n, n), Seq(4, n, n))
       s.addArray("/cube3", Seq(n, n, n), Seq(4, n, n),
         userData = """{"dtype":"int64"}""")
       s.commit("init")
+      if (context) timed(s"context_500k_refs_$rep") {
+        val sc = repo.writableSession("main")
+        sc.addArray("/long1d", Seq(refCount.toLong * 1000), Seq(1000))
+        sc.stageChunkRefs("/long1d", spark.range(0, refCount).select(
+          org.apache.spark.sql.functions.array(
+            org.apache.spark.sql.functions.col("id").cast("int")).as("coord"),
+          org.apache.spark.sql.functions.lit("virtual").as("kind"),
+          org.apache.spark.sql.functions.concat(
+            org.apache.spark.sql.functions.lit("file:///ext/part-"),
+            org.apache.spark.sql.functions.col("id") % 1000).as("location"),
+          (org.apache.spark.sql.functions.col("id") * 8000).as("offset"),
+          org.apache.spark.sql.functions.lit(8000L).as("length")))
+        sc.commit("bulk")
+      }
 
-      timed(s"provider_helper_clustered_$rep") {
+      def providerWrite(): Unit = timed(s"provider_helper_clustered_$rep") {
         spark.range(n.toLong * n * n).selectExpr(
           s"id div ${n.toLong * n} as i0",
           s"(id div $n) % $n as i1",
@@ -69,7 +92,16 @@ object WBench {
       if (rep == 0)
         spark.sql(s"EXPLAIN FORMATTED $insert").collect()
           .foreach(r => println(r.getString(0)))
-      timed(s"catalog_insert_$rep") { spark.sql(insert) }
+      def catalogWrite(): Unit =
+        timed(s"catalog_insert_$rep") { spark.sql(insert) }
+
+      // SPARK_GRAFT_WBENCH_ORDER=catalog_first swaps entry order: the
+      // first large write after a heavy commit historically absorbs the
+      // JVM's deferred cost (GC debt, page-cache pressure), and order —
+      // not route — may be what the in-bench gap measures.
+      if (sys.env.getOrElse("SPARK_GRAFT_WBENCH_ORDER", "") == "catalog_first") {
+        catalogWrite(); providerWrite()
+      } else { providerWrite(); catalogWrite() }
 
       org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
     }

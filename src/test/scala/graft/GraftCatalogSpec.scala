@@ -122,4 +122,100 @@ class GraftCatalogSpec extends SparkTestBase {
       .agg(org.apache.spark.sql.functions.sum("value")).head().getLong(0)
     assert(viaProvider == (0 until 8).sum)
   }
+
+  test("metadata tables: snapshots / branches / tags / ops local scans, " +
+      "array refs as a distributed relation") {
+    val dir = tmpDir("metarepo")
+    val repo = Repository.create(Store.local(dir), spark)
+    val s = repo.writableSession("main")
+    s.addArray("/g/a", Seq(8), Seq(4), userData = """{"dtype":"int64"}""")
+    s.commit("init array")
+    val snap = repo.resolveVersion(VersionRef.Branch("main"))
+    repo.createTag("rel", snap)
+    repo.createBranch("dev", snap)
+
+    val cat = "gmeta" + (System.nanoTime() % 100000)
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.path", dir)
+    spark.sql(s"INSERT INTO $cat.g.a " +
+      "SELECT id AS i0, id * 7 AS value FROM range(8)")
+
+    // snapshots: ancestry newest-first; LocalScan reflects current state
+    val snaps = spark.sql(
+      s"SELECT snapshot_id, message FROM $cat.snapshots").collect()
+    assert(snaps.length >= 3) // repo init + array init + insert
+    assert(snaps.exists(_.getString(1) == "init array"))
+    // plain SQL over the relation works (filter/agg on the local rows)
+    assert(spark.sql(s"SELECT count(*) AS n FROM $cat.snapshots " +
+      "WHERE message = 'init array'").head().getLong(0) == 1)
+
+    val branches = spark.sql(s"SELECT name FROM $cat.branches").collect()
+      .map(_.getString(0)).toSet
+    assert(branches == Set("main", "dev"))
+    val tags = spark.sql(
+      s"SELECT name, snapshot_id FROM $cat.tags").collect()
+    assert(tags.map(_.getString(0)).toSeq == Seq("rel"))
+    assert(tags.head.getString(1) == snap)
+    assert(spark.sql(s"SELECT op FROM $cat.ops").collect()
+      .map(_.getString(0)).contains("create_tag"))
+
+    // array-level refs: the chunk-ref relation as a DSv2 scan
+    val refs = spark.sql(
+      s"SELECT count(*) AS n FROM $cat.g.a.refs").head().getLong(0)
+    assert(refs == 2) // 8 cells / 4-cell chunks
+
+    // a real array shadows nothing: unknown names still error
+    val nope = intercept[Exception] {
+      spark.sql(s"SELECT * FROM $cat.nosuch").collect()
+    }
+    assert(nope.getMessage.toLowerCase.contains("table"))
+  }
+
+  test("SQL DELETE tombstones chunk-aligned ranges; TRUNCATE clears; " +
+      "mid-chunk predicates are refused") {
+    val dir = tmpDir("delrepo")
+    val repo = Repository.create(Store.local(dir), spark)
+    val s = repo.writableSession("main")
+    s.addArray("/t", Seq(16), Seq(4), userData = """{"dtype":"int64"}""")
+    s.commit("init")
+    val cat = "gdel" + (System.nanoTime() % 100000)
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.path", dir)
+    spark.sql(s"INSERT INTO $cat.t SELECT id AS i0, id AS value FROM range(16)")
+
+    // [0, 8) covers chunks 0-1 exactly -> metadata delete, one commit
+    spark.sql(s"DELETE FROM $cat.t WHERE i0 < 8")
+    val left = spark.sql(
+      s"SELECT count(*) AS n, sum(value) AS s FROM $cat.t").head()
+    assert(left.getLong(0) == 8)
+    assert(left.getLong(1) == (8 until 16).sum)
+    val ro = repo.readonlySession(VersionRef.Branch("main"))
+    assert(ro.refs("/t").count() == 2) // chunks 2,3 survive
+
+    // mid-chunk cut: refused (the engine does not silently rewrite)
+    val err = intercept[Exception] {
+      spark.sql(s"DELETE FROM $cat.t WHERE i0 >= 10")
+    }
+    assert(err.getMessage.toLowerCase.contains("delete"), err.getMessage)
+
+    // aligned range via two bounds; also an empty region is a no-op
+    spark.sql(s"DELETE FROM $cat.t WHERE i0 >= 8 AND i0 < 12")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.t").head().getLong(0) == 4)
+    spark.sql(s"DELETE FROM $cat.t WHERE i0 >= 12 AND i0 < 12")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.t").head().getLong(0) == 4)
+
+    // TRUNCATE TABLE = delete-all (SupportsDelete.truncateTable default)
+    spark.sql(s"TRUNCATE TABLE $cat.t")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.t").head().getLong(0) == 0)
+    val ro2 = repo.readonlySession(VersionRef.Branch("main"))
+    assert(ro2.refs("/t").count() == 0)
+    // history preserved: time travel still sees the pre-delete state
+    val full = repo.ancestry(VersionRef.Branch("main"))
+      .find(_.message.startsWith("v2 values write")).get.id
+    assert(spark.sql(
+      s"SELECT count(*) FROM $cat.t VERSION AS OF '$full'")
+      .head().getLong(0) == 16)
+  }
 }

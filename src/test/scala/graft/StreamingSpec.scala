@@ -19,6 +19,10 @@ class StreamingSpec extends SparkTestBase {
     val source = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Long]
     val stream = source.toDF().select(col("value"))
 
+    // data must be in the source BEFORE start: AvailableNow snapshots
+    // the available offsets at query start, so late addData races the
+    // planner and the query can exit having committed nothing
+    source.addData(0L until 10L: _*)
     val query = StreamingAppend.start(stream, repo, "main",
       tmpDir("ckpt"), Trigger.AvailableNow()) { (session, batch, _) =>
       val refs = batch.select(
@@ -28,10 +32,10 @@ class StreamingSpec extends SparkTestBase {
         lit(0L).as("offset"), lit(8L).as("length"))
       session.stageChunkRefs("/stream", refs)
     }
-    source.addData(0L until 10L: _*)
     query.processAllAvailable()
     query.stop()
 
+    source.addData(10L until 25L: _*)
     val q2 = StreamingAppend.start(stream, repo, "main",
       tmpDir("ckpt2"), Trigger.AvailableNow()) { (session, batch, _) =>
       val refs = batch.select(
@@ -41,7 +45,6 @@ class StreamingSpec extends SparkTestBase {
         lit(0L).as("offset"), lit(8L).as("length"))
       session.stageChunkRefs("/stream", refs)
     }
-    source.addData(10L until 25L: _*)
     q2.processAllAvailable()
     q2.stop()
 
@@ -120,5 +123,75 @@ class StreamingSpec extends SparkTestBase {
       .map(_.getString(0)).toSeq
     // both "alpha" copies land inside the watermark window -> one survivor
     assert(texts.sorted == Seq("alpha", "beta", "gamma"), texts)
+  }
+
+  test("DSv2 streaming values sink: writeStream format(graft-v2), one " +
+      "commit per epoch with exactly-once markers") {
+    val dir = tmpDir("v2stream")
+    val repo = Repository.create(Store.local(dir), spark)
+    val s0 = repo.writableSession("main")
+    s0.addArray("/a", Seq(16), Seq(4), userData = """{"dtype":"int64"}""")
+    s0.commit("init")
+
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val source = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Long]
+    // (i0, value) + precomputed chunk-coord helper — the provider-route
+    // clustered plan, per micro-batch
+    val q = source.toDF().selectExpr("value as i0", "value * 3 as value",
+        "value div 4 as _c0")
+      .writeStream.format("graft-v2")
+      .option("path", dir).option("array", "/a")
+      .option("mode", "values").option("dtype", "int64")
+      .option("clustered", "true")
+      .option("checkpointLocation", tmpDir("v2ckpt"))
+      .start()
+    source.addData(0L until 8L: _*)
+    q.processAllAvailable()
+    source.addData(8L until 16L: _*)
+    q.processAllAvailable()
+    q.stop()
+
+    val back = spark.read.format("graft-v2")
+      .option("path", dir).option("array", "/a")
+      .option("mode", "values").option("dtype", "int64").load()
+    assert(back.count() == 16)
+    assert(back.agg(sum("value")).head().getLong(0) ==
+      (0 until 16).map(_ * 3L).sum)
+
+    // each non-empty epoch committed once, stamped with query/epoch props
+    val marked = repo.ancestry(VersionRef.Branch("main"))
+      .map(si => repo.assets.readSnapshot(si.id))
+      .filter(_.properties.contains(
+        graft.sources.GraftStreamingWrite.QueryProp))
+    assert(marked.size == 2, marked.map(_.message))
+    assert(marked.map(_.properties(
+      graft.sources.GraftStreamingWrite.EpochProp)).toSet == Set("0", "1"))
+  }
+
+  test("streaming epoch replay is skipped (lost-ack commit recovery)") {
+    val dir = tmpDir("v2replay")
+    val repo = Repository.create(Store.local(dir), spark)
+    val s0 = repo.writableSession("main")
+    s0.addArray("/a", Seq(8), Seq(4), userData = """{"dtype":"int64"}""")
+    s0.commit("init")
+    val opts = Map("path" -> dir, "array" -> "/a", "mode" -> "refs")
+    val w = new graft.sources.GraftStreamingWrite(opts, "query-xyz",
+      new graft.sources.GraftBatchWrite(opts,
+        graft.sources.GraftTableProvider.RefSchema))
+    val none = Array.empty[org.apache.spark.sql.connector.write.WriterCommitMessage]
+    w.commit(0L, none)
+    w.commit(0L, none) // replay after a lost acknowledgement
+    w.commit(1L, none)
+    w.commit(1L, none)
+    val depth0 = repo.ancestry(VersionRef.Branch("main")).size
+    // init commit + repo-init + exactly TWO epoch commits — replays no-op
+    val epochs = repo.ancestry(VersionRef.Branch("main"))
+      .map(si => repo.assets.readSnapshot(si.id))
+      .filter(_.properties.get(
+        graft.sources.GraftStreamingWrite.QueryProp).contains("query-xyz"))
+    assert(epochs.size == 2, s"depth=$depth0")
+    assert(epochs.map(_.properties(
+      graft.sources.GraftStreamingWrite.EpochProp)).toSet == Set("0", "1"))
   }
 }
