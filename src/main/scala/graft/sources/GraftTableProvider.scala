@@ -272,8 +272,12 @@ class GraftTable(opts: Map[String, String], declaredSchema: StructType)
     if (declaredSchema != null && declaredSchema.nonEmpty) declaredSchema
     else GraftTableProvider.schemaFor(opts)
   override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.STREAMING_WRITE).asJava
+    (Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.STREAMING_WRITE) ++
+      // INSERT OVERWRITE (single-commit truncate+write) is a values-mode
+      // operation; the refs relation has no overwrite semantics
+      (if (mode == "values") Set(TableCapability.TRUNCATE)
+       else Set.empty[TableCapability])).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(opts, schema())
@@ -1007,7 +1011,17 @@ class GraftBatchWrite(opts: Map[String, String], schema: StructType)
   * cells, not O(data)).
   */
 class GraftValuesWriteBuilder(opts: Map[String, String],
-                              info: LogicalWriteInfo) extends WriteBuilder {
+                              info: LogicalWriteInfo) extends WriteBuilder
+    with org.apache.spark.sql.connector.write.SupportsTruncate {
+  /** `INSERT OVERWRITE` / `SaveMode.Overwrite`: ONE commit that stages
+    * tombstones for every existing chunk the incoming data does not
+    * rewrite, alongside the new refs — readers at the previous snapshot
+    * keep the old state, readers at the new one see exactly the new data
+    * (not a truncate commit followed by a write commit).
+    */
+  override def truncate(): WriteBuilder =
+    new GraftValuesWriteBuilder(opts + ("truncate" -> "true"), info)
+
   override def build(): Write = {
     val (_, session, array) = GraftTableProvider.open(opts)
     val node = session.node(array).getOrElse(
@@ -1238,33 +1252,52 @@ class GraftValuesBatchWrite(opts: Map[String, String], schema: StructType,
       case (Some(a), Some(b)) => Some(a.unionByName(b))
       case (a, b) => a.orElse(b)
     }
-    allRefs.foreach { refs =>
-      // cross-task duplicate guard: user-supplied `_c0.._cN` helper
-      // columns are trusted for clustering but never re-derived row-by-row
-      // (that would defeat their purpose), so a MIS-computed helper can
-      // spread one true chunk's rows over several tasks — each uploads a
-      // partial fill-0 chunk for the same coord, which the per-task
-      // flushedCoords guard cannot see. One staged-ref row exists per
-      // uploaded chunk (not per cell), so this duplicate check is a tiny
-      // aggregation over chunk-count rows; failing loudly here beats
-      // last-wins silently keeping one partial chunk (data loss).
-      val cached = refs.cache()
-      try {
-        val dup = cached.groupBy(col("coord"))
-          .count().filter(col("count") > 1).limit(5)
-          .collect()
-        if (dup.nonEmpty)
-          throw new graft.repo.GraftException(
-            "values write produced the same chunk coord from multiple " +
-              "tasks (mis-computed _c0.._cN helper columns, or the " +
-              "required clustering was not applied): " +
-              dup.map(_.get(0)).mkString(", "),
-            kind = graft.repo.GraftError.WriteNotClustered)
-        session.trackStaging(stagingRoot)
-        session.stageChunkRefs(array, cached
-          .withColumn("kind", lit(graft.meta.ChunkRef.KindRef))
-          .withColumn("offset", lit(0L)))
-      } finally cached.unpersist()
+    // INSERT OVERWRITE: the same commit also tombstones every existing
+    // chunk the new data does not rewrite (plan captured BEFORE staging,
+    // so it sees only the committed state)
+    val truncate = opts.get("truncate").contains("true")
+    val priorCoords =
+      if (truncate) Some(session.refs(array).select(col("coord")))
+      else None
+    allRefs match {
+      case Some(refs) =>
+        // cross-task duplicate guard: user-supplied `_c0.._cN` helper
+        // columns are trusted for clustering but never re-derived
+        // row-by-row (that would defeat their purpose), so a MIS-computed
+        // helper can spread one true chunk's rows over several tasks —
+        // each uploads a partial fill-0 chunk for the same coord, which
+        // the per-task flushedCoords guard cannot see. One staged-ref row
+        // exists per uploaded chunk (not per cell), so this duplicate
+        // check is a tiny aggregation over chunk-count rows; failing
+        // loudly here beats last-wins silently keeping one partial chunk
+        // (data loss).
+        val cached = refs.cache()
+        try {
+          val dup = cached.groupBy(col("coord"))
+            .count().filter(col("count") > 1).limit(5)
+            .collect()
+          if (dup.nonEmpty)
+            throw new graft.repo.GraftException(
+              "values write produced the same chunk coord from multiple " +
+                "tasks (mis-computed _c0.._cN helper columns, or the " +
+                "required clustering was not applied): " +
+                dup.map(_.get(0)).mkString(", "),
+              kind = graft.repo.GraftError.WriteNotClustered)
+          priorCoords.foreach { prior =>
+            session.stageChunkRefs(array,
+              prior.join(cached.select(col("coord")), Seq("coord"),
+                "left_anti")
+                .withColumn("kind", lit(graft.meta.ChunkRef.KindDelete)))
+          }
+          session.trackStaging(stagingRoot)
+          session.stageChunkRefs(array, cached
+            .withColumn("kind", lit(graft.meta.ChunkRef.KindRef))
+            .withColumn("offset", lit(0L)))
+        } finally cached.unpersist()
+      case None =>
+        // empty overwrite input = clear the array
+        priorCoords.foreach(prior => session.stageChunkRefs(array,
+          prior.withColumn("kind", lit(graft.meta.ChunkRef.KindDelete))))
     }
     session.commit(opts.getOrElse("message", s"v2 values write $array"),
       properties = props, allowEmpty = true)

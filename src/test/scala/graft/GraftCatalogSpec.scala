@@ -218,4 +218,35 @@ class GraftCatalogSpec extends SparkTestBase {
       s"SELECT count(*) FROM $cat.t VERSION AS OF '$full'")
       .head().getLong(0) == 16)
   }
+
+  test("INSERT OVERWRITE replaces the table in ONE commit (tombstones + " +
+      "new refs together)") {
+    val dir = tmpDir("ovrrepo")
+    val repo = Repository.create(Store.local(dir), spark)
+    val s = repo.writableSession("main")
+    s.addArray("/t", Seq(16), Seq(4), userData = """{"dtype":"int64"}""")
+    s.commit("init")
+    val cat = "govr" + (System.nanoTime() % 100000)
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.path", dir)
+    spark.sql(s"INSERT INTO $cat.t SELECT id AS i0, id AS value FROM range(16)")
+    val depthBefore = repo.ancestry(VersionRef.Branch("main")).size
+
+    // new data covers chunks 0-1 only; chunks 2-3 must be tombstoned in
+    // the SAME commit
+    spark.sql(s"INSERT OVERWRITE $cat.t " +
+      "SELECT id AS i0, id * 100 AS value FROM range(8)")
+    val after = spark.sql(
+      s"SELECT count(*) AS n, sum(value) AS s FROM $cat.t").head()
+    assert(after.getLong(0) == 8)
+    assert(after.getLong(1) == (0 until 8).map(_ * 100L).sum)
+    val anc = repo.ancestry(VersionRef.Branch("main"))
+    assert(anc.size == depthBefore + 1, anc.map(_.message)) // one commit
+    val ro = repo.readonlySession(VersionRef.Branch("main"))
+    assert(ro.refs("/t").count() == 2)
+    // the pre-overwrite snapshot still reads the full 16 rows
+    assert(spark.sql(s"SELECT count(*) FROM $cat.t VERSION AS OF " +
+      s"'${anc(1).id}'").head().getLong(0) == 16)
+  }
 }
