@@ -118,21 +118,14 @@ class GraftCatalog extends TableCatalog with FunctionCatalog {
     loadTableAt(ident, Some(s"snapshot:$snap"))
   }
 
+  /** Shared prefixed-ref grammar lives in [[GraftTableProvider
+    * .parseVersion]]; bare strings here are snapshot ids (loadTable
+    * already resolved branch/tag names to prefixed forms).
+    */
   private def parseRef(version: Option[String],
-                       branch: String): VersionRef = version match {
-    case None => VersionRef.Branch(branch)
-    case Some(v) if v.startsWith("branch:") => VersionRef.Branch(v.drop(7))
-    case Some(v) if v.startsWith("tag:") => VersionRef.Tag(v.drop(4))
-    case Some(v) if v.startsWith("asof:") =>
-      val spec = v.drop(5)
-      val at = spec.lastIndexOf('@')
-      require(at >= 0, s"asof version must be 'asof:<branch>@<instant>'")
-      val when = spec.drop(at + 1)
-      VersionRef.AsOf(spec.take(at),
-        if (when.forall(_.isDigit)) when.toLong
-        else java.time.Instant.parse(when).toEpochMilli)
-    case Some(v) => VersionRef.SnapshotVer(v.stripPrefix("snapshot:"))
-  }
+                       branch: String): VersionRef =
+    version.map(GraftTableProvider.parseVersion(_, VersionRef.SnapshotVer(_)))
+      .getOrElse(VersionRef.Branch(branch))
 
   private def loadTableAt(ident: Identifier,
                           version: Option[String]): Table = {
@@ -184,7 +177,10 @@ class GraftCatalog extends TableCatalog with FunctionCatalog {
     (ident.namespace().toSeq, ident.name()) match {
       case (ns, "refs") if ns.nonEmpty =>
         val arrayPath = "/" + ns.mkString("/")
-        val session = r.readonlySession(VersionRef.Branch(branch))
+        // existence must be checked at the REQUESTED version — an array
+        // dropped at the tip is still readable under VERSION AS OF, and
+        // one created after it is not
+        val session = r.readonlySession(parseRef(version, branch))
         session.node(arrayPath).filter(_.isArray).map { _ =>
           val opts = options ++ Map(
             "array" -> arrayPath, "mode" -> "refs",
@@ -257,11 +253,43 @@ class GraftCatalog extends TableCatalog with FunctionCatalog {
     loadTable(ident)
   }
 
+  /** `ALTER TABLE t SET TBLPROPERTIES('shape'='d0,d1,...')` — resize the
+    * array (the reference's `update_array` shape change; the xarray
+    * `append_dim` growth pattern as DDL). Chunk grid is immutable this
+    * way (that is `rewrite_manifests`/reindex territory); other property
+    * or schema changes are rejected.
+    */
   override def alterTable(ident: Identifier,
-      changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "ALTER TABLE is not supported; use the session API " +
-        "(updateArray / reindexArray)")
+      changes: TableChange*): Table = {
+    val session = repo.writableSession(options.getOrElse("branch", "main"))
+    val path = pathOf(ident)
+    val node = session.node(path).filter(_.isArray).getOrElse(
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchTableException(ident))
+    changes.foreach {
+      case p: TableChange.SetProperty if p.property() == "shape" =>
+        val shape = p.value().split(",").map(_.trim.toLong).toSeq
+        require(shape.size == node.shape.size,
+          s"shape must keep rank ${node.shape.size}, got ${shape.size}")
+        // growth only: a DDL shrink would silently tombstone committed
+        // chunks beyond the new bound (the same refuse-loudly posture as
+        // mid-chunk DELETE; shrinking is session-API territory where the
+        // data loss is explicit)
+        shape.zip(node.shape).zipWithIndex.foreach { case ((n2, cur), d) =>
+          if (n2 < cur) throw new graft.repo.GraftException(
+            s"ALTER TABLE shape would shrink dim $d from $cur to $n2, " +
+              "discarding committed chunks; use the session API " +
+              "(updateArray) if that is intended")
+        }
+        session.updateArray(path, shape, node.chunkShape)
+      case other => throw new UnsupportedOperationException(
+        s"unsupported ALTER TABLE change $other — only " +
+          "SET TBLPROPERTIES('shape'=...) resizes; use the session API " +
+          "(updateArray / reindexArray) for everything else")
+    }
+    session.commit(s"alter table ${ident.toString}")
+    loadTable(ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val session = repo.writableSession(options.getOrElse("branch", "main"))

@@ -194,6 +194,31 @@ object GraftTableProvider {
     if (perDim.forall(_.isDefined)) Some(perDim.map(_.get)) else None
   }
 
+  /** The ONE parser for version strings — `branch:` / `tag:` /
+    * `snapshot:` prefixed refs plus the `asof:<branch>@<ISO-8601 |
+    * epoch-millis>` time-travel form. Unprefixed strings go to `bare`
+    * (the provider treats them as a branch name; the SQL catalog
+    * resolves branch → tag → snapshot id first and falls back to a
+    * snapshot id).
+    */
+  private[graft] def parseVersion(v: String,
+                                  bare: String => VersionRef): VersionRef =
+    v match {
+      case s if s.startsWith("branch:") => VersionRef.Branch(s.drop(7))
+      case s if s.startsWith("tag:") => VersionRef.Tag(s.drop(4))
+      case s if s.startsWith("snapshot:") => VersionRef.SnapshotVer(s.drop(9))
+      case s if s.startsWith("asof:") =>
+        val spec = s.drop(5)
+        val at = spec.lastIndexOf('@')
+        if (at < 0) throw new graft.repo.GraftException(
+          s"asof version must be 'asof:<branch>@<instant>', got '$s'")
+        val when = spec.drop(at + 1)
+        VersionRef.AsOf(spec.take(at),
+          if (when.nonEmpty && when.forall(_.isDigit)) when.toLong
+          else java.time.Instant.parse(when).toEpochMilli)
+      case s => bare(s)
+    }
+
   private[sources] def open(opts: Map[String, String])
       : (Repository, graft.repo.Session, String) = {
     val array = opts.getOrElse("array",
@@ -201,23 +226,8 @@ object GraftTableProvider {
     val spark = org.apache.spark.sql.SparkSession.active
     val repo = Repository.open(Store.fromOptions(opts), spark,
       resolver = graft.virt.VirtualChunkResolver.fromOptions(opts))
-    val ref = opts.getOrElse("version", "branch:main") match {
-      case v if v.startsWith("branch:") => VersionRef.Branch(v.drop(7))
-      case v if v.startsWith("tag:") => VersionRef.Tag(v.drop(4))
-      case v if v.startsWith("snapshot:") => VersionRef.SnapshotVer(v.drop(9))
-      // time travel: `asof:<branch>@<ISO-8601 instant | epoch millis>`
-      case v if v.startsWith("asof:") =>
-        val spec = v.drop(5)
-        val at = spec.lastIndexOf('@')
-        if (at < 0) throw new graft.repo.GraftException(
-          s"asof version must be 'asof:<branch>@<instant>', got '$v'")
-        val when = spec.drop(at + 1)
-        val millis =
-          if (when.forall(_.isDigit)) when.toLong
-          else java.time.Instant.parse(when).toEpochMilli
-        VersionRef.AsOf(spec.take(at), millis)
-      case v => VersionRef.Branch(v)
-    }
+    val ref = parseVersion(opts.getOrElse("version", "branch:main"),
+      VersionRef.Branch(_))
     (repo, repo.readonlySession(ref), array)
   }
 }
@@ -237,20 +247,28 @@ class GraftTable(opts: Map[String, String], declaredSchema: StructType)
     * (partial-chunk deletes would need a read-modify-write the engine
     * reserves for explicit writes; zarr semantics, store.rs:515).
     */
+  /** Node spec resolved once per table instance — planning calls
+    * `canDeleteWhere` and execution `deleteWhere` back-to-back, and each
+    * repo open is a pointer round-trip on object storage. A fresh
+    * `loadTable` builds a fresh GraftTable, so DDL changes are seen by
+    * subsequent statements.
+    */
+  private lazy val arrayNodeSpec: Option[graft.meta.NodeSpec] = {
+    val (_, session, array) = GraftTableProvider.open(opts)
+    session.node(array).filter(_.isArray)
+  }
+
   override def canDeleteWhere(
       filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
-    mode == "values" && {
-      val (_, session, array) = GraftTableProvider.open(opts)
-      session.node(array).filter(_.isArray).exists(node =>
-        GraftTableProvider.deleteChunkBounds(filters, node.shape,
-          node.chunkShape).isDefined)
-    }
+    mode == "values" && arrayNodeSpec.exists(node =>
+      GraftTableProvider.deleteChunkBounds(filters, node.shape,
+        node.chunkShape).isDefined)
 
   override def deleteWhere(
       filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
     import org.apache.spark.sql.functions.{col, lit}
-    val (repo, ro, array) = GraftTableProvider.open(opts)
-    val node = ro.node(array).filter(_.isArray).getOrElse(
+    val (repo, _, array) = GraftTableProvider.open(opts)
+    val node = arrayNodeSpec.getOrElse(
       throw new graft.repo.GraftException(s"no array at $array"))
     val bounds = GraftTableProvider.deleteChunkBounds(filters, node.shape,
       node.chunkShape).getOrElse(throw new graft.repo.GraftException(
@@ -1259,20 +1277,24 @@ class GraftValuesBatchWrite(opts: Map[String, String], schema: StructType,
     val priorCoords =
       if (truncate) Some(session.refs(array).select(col("coord")))
       else None
-    allRefs match {
-      case Some(refs) =>
-        // cross-task duplicate guard: user-supplied `_c0.._cN` helper
-        // columns are trusted for clustering but never re-derived
-        // row-by-row (that would defeat their purpose), so a MIS-computed
-        // helper can spread one true chunk's rows over several tasks —
-        // each uploads a partial fill-0 chunk for the same coord, which
-        // the per-task flushedCoords guard cannot see. One staged-ref row
-        // exists per uploaded chunk (not per cell), so this duplicate
-        // check is a tiny aggregation over chunk-count rows; failing
-        // loudly here beats last-wins silently keeping one partial chunk
-        // (data loss).
-        val cached = refs.cache()
-        try {
+    // the cache must OUTLIVE the commit: the staged batches are lazy and
+    // flush re-evaluates them — with the cache dropped, the boundary-
+    // chunk merge job (a side-effecting mapPartitions that encodes and
+    // UPLOADS chunks) would run again and strand fresh orphan objects
+    val cachedRefs = allRefs.map(_.cache())
+    try {
+      cachedRefs match {
+        case Some(cached) =>
+          // cross-task duplicate guard: user-supplied `_c0.._cN` helper
+          // columns are trusted for clustering but never re-derived
+          // row-by-row (that would defeat their purpose), so a
+          // MIS-computed helper can spread one true chunk's rows over
+          // several tasks — each uploads a partial fill-0 chunk for the
+          // same coord, which the per-task flushedCoords guard cannot
+          // see. One staged-ref row exists per uploaded chunk (not per
+          // cell), so this duplicate check is a tiny aggregation over
+          // chunk-count rows; failing loudly here beats last-wins
+          // silently keeping one partial chunk (data loss).
           val dup = cached.groupBy(col("coord"))
             .count().filter(col("count") > 1).limit(5)
             .collect()
@@ -1293,14 +1315,14 @@ class GraftValuesBatchWrite(opts: Map[String, String], schema: StructType,
           session.stageChunkRefs(array, cached
             .withColumn("kind", lit(graft.meta.ChunkRef.KindRef))
             .withColumn("offset", lit(0L)))
-        } finally cached.unpersist()
-      case None =>
-        // empty overwrite input = clear the array
-        priorCoords.foreach(prior => session.stageChunkRefs(array,
-          prior.withColumn("kind", lit(graft.meta.ChunkRef.KindDelete))))
-    }
-    session.commit(opts.getOrElse("message", s"v2 values write $array"),
-      properties = props, allowEmpty = true)
+        case None =>
+          // empty overwrite input = clear the array
+          priorCoords.foreach(prior => session.stageChunkRefs(array,
+            prior.withColumn("kind", lit(graft.meta.ChunkRef.KindDelete))))
+      }
+      session.commit(opts.getOrElse("message", s"v2 values write $array"),
+        properties = props, allowEmpty = true)
+    } finally cachedRefs.foreach(_.unpersist())
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
@@ -1522,7 +1544,13 @@ class GraftStreamingWrite(opts: Map[String, String], queryId: String,
     val branch = opts.getOrElse("branch", "main")
     val replayed = GraftStreamingWrite
       .lastEpoch(repo, branch, queryId).exists(_ >= epochId)
-    if (replayed) return // this epoch's commit already landed
+    if (replayed) {
+      // this epoch's commit already landed — but the REPLAY's tasks
+      // re-staged parquet (and values chunks) that nothing will read;
+      // abort deletes the staged prefix rather than stranding it for GC
+      inner.abort(messages)
+      return
+    }
     inner.commitWithProps(messages, Map(
       GraftStreamingWrite.QueryProp -> queryId,
       GraftStreamingWrite.EpochProp -> epochId.toString))

@@ -30,14 +30,15 @@ object ByteFetch {
     * `http+icechunk`, `http+ic`, `https+icechunk`, `https+ic` must strip
     * to plain `http`/`https` targets; here spelled with the project name).
     */
-  private[virt] def normalizeScheme(uri: String): String = {
-    val plus = Seq("http", "https").flatMap(base =>
+  private val PlusSchemes: Seq[(String, String)] =
+    Seq("http", "https").flatMap(base =>
       Seq("graft", "g").map(tag => s"$base+$tag://" -> s"$base://"))
-    plus.collectFirst {
+
+  private[virt] def normalizeScheme(uri: String): String =
+    PlusSchemes.collectFirst {
       case (from, to) if uri.startsWith(from) =>
         to + uri.stripPrefix(from)
     }.getOrElse(uri)
-  }
 
   def ranged(uri0: String, offset: Long, length: Long): Array[Byte] = {
     val uri = normalizeScheme(uri0)

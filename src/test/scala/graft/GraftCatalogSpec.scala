@@ -165,6 +165,17 @@ class GraftCatalogSpec extends SparkTestBase {
       s"SELECT count(*) AS n FROM $cat.g.a.refs").head().getLong(0)
     assert(refs == 2) // 8 cells / 4-cell chunks
 
+    // the refs table resolves existence at the REQUESTED version: the
+    // array stays readable under VERSION AS OF after a DROP at the tip
+    val preDrop = repo.resolveVersion(VersionRef.Branch("main"))
+    spark.sql(s"DROP TABLE $cat.g.a")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.g.a.refs " +
+      s"VERSION AS OF '$preDrop'").head().getLong(0) == 2)
+    val gone = intercept[Exception] {
+      spark.sql(s"SELECT count(*) FROM $cat.g.a.refs").collect()
+    }
+    assert(gone.getMessage.toLowerCase.contains("table"))
+
     // a real array shadows nothing: unknown names still error
     val nope = intercept[Exception] {
       spark.sql(s"SELECT * FROM $cat.nosuch").collect()
@@ -248,5 +259,17 @@ class GraftCatalogSpec extends SparkTestBase {
     // the pre-overwrite snapshot still reads the full 16 rows
     assert(spark.sql(s"SELECT count(*) FROM $cat.t VERSION AS OF " +
       s"'${anc(1).id}'").head().getLong(0) == 16)
+
+    // ALTER TABLE SET TBLPROPERTIES('shape') grows the array (update_
+    // array / append_dim as DDL); the new region is writable immediately
+    spark.sql(s"ALTER TABLE $cat.t SET TBLPROPERTIES('shape'='24')")
+    spark.sql(s"INSERT INTO $cat.t SELECT id + 16 AS i0, id AS value " +
+      "FROM range(8)")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.t").head().getLong(0) == 16)
+    // chunk-grid changes stay rejected
+    val bad = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.t SET TBLPROPERTIES('chunk_shape'='8')")
+    }
+    assert(bad.getMessage.contains("unsupported ALTER TABLE change"))
   }
 }

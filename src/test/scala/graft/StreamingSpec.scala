@@ -186,12 +186,23 @@ class StreamingSpec extends SparkTestBase {
     w.commit(1L, none)
     val depth0 = repo.ancestry(VersionRef.Branch("main")).size
     // init commit + repo-init + exactly TWO epoch commits — replays no-op
-    val epochs = repo.ancestry(VersionRef.Branch("main"))
+    def epochs() = repo.ancestry(VersionRef.Branch("main"))
       .map(si => repo.assets.readSnapshot(si.id))
       .filter(_.properties.get(
         graft.sources.GraftStreamingWrite.QueryProp).contains("query-xyz"))
-    assert(epochs.size == 2, s"depth=$depth0")
-    assert(epochs.map(_.properties(
+    assert(epochs().size == 2, s"depth=$depth0")
+    assert(epochs().map(_.properties(
       graft.sources.GraftStreamingWrite.EpochProp)).toSet == Set("0", "1"))
+
+    // replay detection survives OTHER writers' commits landing between
+    // the original epoch and its replay (the marker is no longer at the
+    // tip — the bounded ancestry walk finds it deeper)
+    (0 until 3).foreach { i =>
+      val o = repo.writableSession("main")
+      o.writeChunk("/a", Seq(i % 2), Array[Byte](9))
+      o.commit(s"other writer $i")
+    }
+    w.commit(1L, none) // replay of epoch 1, three commits deep
+    assert(epochs().size == 2, "replay behind foreign commits must no-op")
   }
 }
