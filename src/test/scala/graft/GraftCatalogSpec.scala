@@ -121,6 +121,13 @@ class GraftCatalogSpec extends SparkTestBase {
       .option("version", s"asof:main@$tMid").load()
       .agg(org.apache.spark.sql.functions.sum("value")).head().getLong(0)
     assert(viaProvider == (0 until 8).sum)
+    // same, with the epoch-millis spelling of the instant
+    val viaMillis = spark.read.format("graft-v2")
+      .option("path", dir).option("array", "/t")
+      .option("mode", "values").option("dtype", "int64")
+      .option("version", s"asof:main@${tMid.toEpochMilli}").load()
+      .agg(org.apache.spark.sql.functions.sum("value")).head().getLong(0)
+    assert(viaMillis == (0 until 8).sum)
   }
 
   test("metadata tables: snapshots / branches / tags / ops local scans, " +
