@@ -40,7 +40,8 @@ import graft.storage.Store
   * (deletes the node), and RENAME (graft `move`). Each DDL statement is
   * one commit.
   */
-class GraftCatalog extends TableCatalog with FunctionCatalog {
+class GraftCatalog extends TableCatalog with FunctionCatalog
+    with SupportsNamespaces {
   private var catalogName: String = _
   private var options: Map[String, String] = _
 
@@ -321,6 +322,77 @@ class GraftCatalog extends TableCatalog with FunctionCatalog {
       val p = "/" + ns.mkString("/")
       if (session.node(p).isEmpty) session.addGroup(p)
     }
+
+  // ----------------------------------------------------------------
+  // SupportsNamespaces — groups as SQL namespaces (the reference's
+  // group nodes, repository hierarchy of SURVEY §1.1): CREATE/DROP
+  // NAMESPACE are group commits, SHOW NAMESPACES lists group children.
+  // ----------------------------------------------------------------
+
+  private def roSession() =
+    repo.readonlySession(VersionRef.Branch(options.getOrElse("branch", "main")))
+
+  override def listNamespaces(): Array[Array[String]] =
+    listNamespaces(Array.empty)
+
+  override def listNamespaces(
+      namespace: Array[String]): Array[Array[String]] = {
+    val session = roSession()
+    val prefix = "/" + namespace.mkString("/")
+    if (namespace.nonEmpty &&
+      !session.node(prefix).exists(n => !n.isArray))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchNamespaceException(namespace)
+    session.listNodes(prefix).filter(n => !n.isArray)
+      .filter { n => // direct child groups only
+        val rel = n.path.stripPrefix(prefix).stripPrefix("/")
+        rel.nonEmpty && !rel.contains('/')
+      }
+      .map(n => namespace :+ n.path.split("/").last).toArray
+  }
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    namespace.isEmpty ||
+      roSession().node("/" + namespace.mkString("/")).exists(n => !n.isArray)
+
+  override def loadNamespaceMetadata(
+      namespace: Array[String]): util.Map[String, String] = {
+    if (!namespaceExists(namespace))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchNamespaceException(namespace)
+    val node = roSession().node("/" + namespace.mkString("/"))
+    Map("user_data" -> node.map(_.userData).getOrElse("")).asJava
+  }
+
+  override def createNamespace(namespace: Array[String],
+      metadata: util.Map[String, String]): Unit = {
+    if (namespaceExists(namespace))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NamespaceAlreadyExistsException(namespace)
+    val session = repo.writableSession(options.getOrElse("branch", "main"))
+    ensureGroups(session, namespace)
+    session.commit(s"create namespace ${namespace.mkString(".")}")
+  }
+
+  override def alterNamespace(namespace: Array[String],
+      changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException(
+      "ALTER NAMESPACE is not supported (group user data is set via the " +
+        "session API)")
+
+  override def dropNamespace(namespace: Array[String],
+                             cascade: Boolean): Boolean = {
+    if (!namespaceExists(namespace) || namespace.isEmpty) return false
+    val session = repo.writableSession(options.getOrElse("branch", "main"))
+    val path = "/" + namespace.mkString("/")
+    val children = session.listNodes(path).filter(_.path != path)
+    if (children.nonEmpty && !cascade)
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NonEmptyNamespaceException(namespace)
+    session.deleteNode(path) // deletes the subtree (delete_group)
+    session.commit(s"drop namespace ${namespace.mkString(".")}")
+    true
+  }
 
   // ----------------------------------------------------------------
   // FunctionCatalog

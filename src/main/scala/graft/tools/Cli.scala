@@ -32,10 +32,14 @@ object Cli {
     sys.exit(2)
   }
 
+  /** Shared prefixed grammar (branch:/tag:/snapshot:/asof:); bare names
+    * resolve branch → tag → snapshot id, like the SQL catalog.
+    */
   private def parseRef(repo: Repository, s: String): VersionRef =
-    if (repo.lookupBranch(s).isDefined) VersionRef.Branch(s)
-    else if (repo.lookupTag(s).isDefined) VersionRef.Tag(s)
-    else VersionRef.SnapshotVer(s)
+    graft.sources.GraftTableProvider.parseVersion(s, bare =>
+      if (repo.lookupBranch(bare).isDefined) VersionRef.Branch(bare)
+      else if (repo.lookupTag(bare).isDefined) VersionRef.Tag(bare)
+      else VersionRef.SnapshotVer(bare))
 
   def main(args: Array[String]): Unit = {
     if (args.length < 2) usage()

@@ -237,6 +237,40 @@ class GraftCatalogSpec extends SparkTestBase {
       .head().getLong(0) == 16)
   }
 
+  test("namespaces: CREATE / SHOW / DROP NAMESPACE are group commits") {
+    val dir = tmpDir("nsrepo")
+    val repo = Repository.create(Store.local(dir), spark)
+    val cat = "gns" + (System.nanoTime() % 100000)
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.path", dir)
+
+    spark.sql(s"CREATE NAMESPACE $cat.climate.eu")
+    val ro = repo.readonlySession(VersionRef.Branch("main"))
+    assert(ro.node("/climate").exists(n => !n.isArray))
+    assert(ro.node("/climate/eu").exists(n => !n.isArray))
+    assert(spark.sql(s"SHOW NAMESPACES IN $cat").collect()
+      .map(_.getString(0)).contains("climate"))
+    assert(spark.sql(s"SHOW NAMESPACES IN $cat.climate").collect()
+      .map(_.getString(0)).contains("climate.eu"))
+
+    // a populated namespace refuses a bare DROP, cascades on request
+    spark.sql(s"CREATE TABLE $cat.climate.eu.t (i0 BIGINT, value BIGINT) " +
+      "TBLPROPERTIES('shape'='8','chunk_shape'='4')")
+    intercept[Exception] {
+      spark.sql(s"DROP NAMESPACE $cat.climate.eu")
+    }
+    spark.sql(s"DROP NAMESPACE $cat.climate.eu CASCADE")
+    val ro2 = repo.readonlySession(VersionRef.Branch("main"))
+    assert(ro2.node("/climate/eu").isEmpty)
+    assert(ro2.node("/climate/eu/t").isEmpty)
+    assert(ro2.node("/climate").isDefined) // parent untouched
+    // each namespace op is an ordinary commit in the history
+    val msgs = repo.ancestry(VersionRef.Branch("main")).map(_.message)
+    assert(msgs.exists(_.startsWith("create namespace")))
+    assert(msgs.exists(_.startsWith("drop namespace")))
+  }
+
   test("INSERT OVERWRITE replaces the table in ONE commit (tombstones + " +
       "new refs together)") {
     val dir = tmpDir("ovrrepo")
