@@ -76,15 +76,18 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
   // TableCatalog
   // ----------------------------------------------------------------
 
-  override def listTables(namespace: Array[String]): Array[Identifier] = {
-    val prefix = "/" + namespace.mkString("/")
-    val session = repo.readonlySession(
-      VersionRef.Branch(options.getOrElse("branch", "main")))
-    session.listNodes(prefix).filter(_.isArray)
-      .filter { n => // direct children of the namespace only
+  /** Direct children of `prefix` in `session`, arrays or groups. */
+  private def directChildren(session: graft.repo.Session, prefix: String,
+                             wantArray: Boolean): Seq[graft.meta.NodeSpec] =
+    session.listNodes(prefix).filter(_.isArray == wantArray)
+      .filter { n =>
         val rel = n.path.stripPrefix(prefix).stripPrefix("/")
         rel.nonEmpty && !rel.contains('/')
       }
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val prefix = "/" + namespace.mkString("/")
+    directChildren(roSession(), prefix, wantArray = true)
       .map(n => identOf(n.path)).toArray
   }
 
@@ -315,12 +318,20 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
     session.commit(s"rename ${oldIdent.toString} to ${newIdent.toString}")
   }
 
-  /** mkdir -p for the namespace chain (catalog namespaces are groups). */
+  /** mkdir -p for the namespace chain (catalog namespaces are groups).
+    * A chain segment occupied by an ARRAY fails loudly — arrays are
+    * leaves, and silently nesting under one would corrupt the hierarchy.
+    */
   private def ensureGroups(session: graft.repo.Session,
                            namespace: Array[String]): Unit =
     namespace.inits.toSeq.reverse.filter(_.nonEmpty).foreach { ns =>
       val p = "/" + ns.mkString("/")
-      if (session.node(p).isEmpty) session.addGroup(p)
+      session.node(p) match {
+        case None => session.addGroup(p)
+        case Some(n) if n.isArray => throw new graft.repo.GraftException(
+          s"$p is an array; cannot use it as a namespace")
+        case _ => ()
+      }
     }
 
   // ----------------------------------------------------------------
@@ -343,11 +354,7 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
       !session.node(prefix).exists(n => !n.isArray))
       throw new org.apache.spark.sql.catalyst.analysis
         .NoSuchNamespaceException(namespace)
-    session.listNodes(prefix).filter(n => !n.isArray)
-      .filter { n => // direct child groups only
-        val rel = n.path.stripPrefix(prefix).stripPrefix("/")
-        rel.nonEmpty && !rel.contains('/')
-      }
+    directChildren(session, prefix, wantArray = false)
       .map(n => namespace :+ n.path.split("/").last).toArray
   }
 
@@ -357,20 +364,46 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
 
   override def loadNamespaceMetadata(
       namespace: Array[String]): util.Map[String, String] = {
-    if (!namespaceExists(namespace))
-      throw new org.apache.spark.sql.catalyst.analysis
-        .NoSuchNamespaceException(namespace)
-    val node = roSession().node("/" + namespace.mkString("/"))
+    // one session for check + read: a concurrent drop must surface as
+    // NoSuchNamespace, not as empty metadata
+    val node =
+      if (namespace.isEmpty) None
+      else roSession().node("/" + namespace.mkString("/"))
+        .filter(n => !n.isArray)
+        .map(Some(_)).getOrElse(
+          throw new org.apache.spark.sql.catalyst.analysis
+            .NoSuchNamespaceException(namespace))
     Map("user_data" -> node.map(_.userData).getOrElse("")).asJava
   }
 
   override def createNamespace(namespace: Array[String],
       metadata: util.Map[String, String]): Unit = {
+    // '/'-bearing segments (backtick-quoted idents) would create nodes
+    // outside the namespace⇄path bijection — refuse loudly
+    namespace.foreach(seg => if (seg.contains('/') || seg.isEmpty)
+      throw new IllegalArgumentException(
+        s"invalid namespace segment '$seg'"))
     if (namespaceExists(namespace))
       throw new org.apache.spark.sql.catalyst.analysis
         .NamespaceAlreadyExistsException(namespace)
     val session = repo.writableSession(options.getOrElse("branch", "main"))
-    ensureGroups(session, namespace)
+    // any prefix of the chain occupied by an ARRAY is a collision, not a
+    // parent — groups cannot nest under arrays (arrays are leaves)
+    namespace.inits.toSeq.reverse.filter(_.nonEmpty).foreach { ns =>
+      val p = "/" + ns.mkString("/")
+      if (session.node(p).exists(_.isArray))
+        throw new graft.repo.GraftException(
+          s"cannot create namespace ${namespace.mkString(".")}: $p is an " +
+            "array")
+    }
+    ensureGroups(session, namespace.init)
+    // CREATE NAMESPACE ... WITH PROPERTIES lands in the group's userData
+    session.addGroup("/" + namespace.mkString("/"),
+      userData =
+        if (metadata.isEmpty) ""
+        else graft.meta.SnapshotProps.write(org.json4s.JObject(
+          metadata.asScala.toList.map { case (k, v) =>
+            k -> (org.json4s.JString(v): org.json4s.JValue) })))
     session.commit(s"create namespace ${namespace.mkString(".")}")
   }
 

@@ -269,6 +269,22 @@ class GraftCatalogSpec extends SparkTestBase {
     val msgs = repo.ancestry(VersionRef.Branch("main")).map(_.message)
     assert(msgs.exists(_.startsWith("create namespace")))
     assert(msgs.exists(_.startsWith("drop namespace")))
+
+    // WITH PROPERTIES lands in the group's userData and reads back
+    spark.sql(s"CREATE NAMESPACE $cat.tagged WITH PROPERTIES('team'='x')")
+    val ro3 = repo.readonlySession(VersionRef.Branch("main"))
+    assert(ro3.node("/tagged").exists(_.userData.contains("\"team\"")))
+
+    // arrays are leaves: namespaces can neither collide with nor nest
+    // under an array
+    spark.sql(s"CREATE TABLE $cat.arr (i0 BIGINT, value BIGINT) " +
+      "TBLPROPERTIES('shape'='8','chunk_shape'='4')")
+    val collide = intercept[Exception] {
+      spark.sql(s"CREATE NAMESPACE $cat.arr.sub")
+    }
+    assert(collide.getMessage.contains("array"), collide.getMessage)
+    assert(repo.readonlySession(VersionRef.Branch("main"))
+      .node("/arr/sub").isEmpty)
   }
 
   test("INSERT OVERWRITE replaces the table in ONE commit (tombstones + " +
