@@ -289,6 +289,21 @@ class GraftTable(opts: Map[String, String], declaredSchema: StructType)
   override def schema(): StructType =
     if (declaredSchema != null && declaredSchema.nonEmpty) declaredSchema
     else GraftTableProvider.schemaFor(opts)
+
+  /** `SHOW TBLPROPERTIES` / `DESCRIBE EXTENDED`: surface the array's
+    * geometry and dtype (driver metadata; empty for a vanished node
+    * rather than failing a describe).
+    */
+  override def properties(): util.Map[String, String] =
+    (arrayNodeSpec match {
+      case Some(n) => Map(
+        "shape" -> n.shape.mkString(","),
+        "chunk_shape" -> (if (n.isRectilinear) "rectilinear"
+                          else n.chunkShape.mkString(",")),
+        "mode" -> mode) ++ opts.get("dtype").map("dtype" -> _) ++
+        opts.get("version").map("version" -> _)
+      case None => Map.empty[String, String]
+    }).asJava
   override def capabilities(): util.Set[TableCapability] =
     (Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.STREAMING_WRITE) ++

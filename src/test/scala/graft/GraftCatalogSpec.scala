@@ -285,6 +285,12 @@ class GraftCatalogSpec extends SparkTestBase {
     assert(collide.getMessage.contains("array"), collide.getMessage)
     assert(repo.readonlySession(VersionRef.Branch("main"))
       .node("/arr/sub").isEmpty)
+
+    // SHOW TBLPROPERTIES surfaces the array geometry
+    val props = spark.sql(s"SHOW TBLPROPERTIES $cat.arr").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props.get("shape").contains("8"), props)
+    assert(props.get("chunk_shape").contains("4"), props)
   }
 
   test("INSERT OVERWRITE replaces the table in ONE commit (tombstones + " +
