@@ -108,7 +108,8 @@ object GraftTableProvider {
         if (node.isRectilinear)
           throw new graft.repo.GraftException(
             s"graft-v2 values mode requires a regular chunk grid ($array " +
-              "is rectilinear)")
+              "is rectilinear); use format(\"graft\") values mode or " +
+              "TensorPlane.values, which handle rectilinear grids")
         val base = valuesSchema(node.shape.size, opts.getOrElse("dtype",
           throw new graft.repo.GraftException(
             "option 'dtype' required for values mode")))
@@ -441,7 +442,8 @@ class GraftScan(opts: Map[String, String], lo: Map[Int, Long],
     if (mode == "values" && node.isRectilinear)
       throw new graft.repo.GraftException(
         s"graft-v2 values mode requires a regular chunk grid ($array " +
-          "is rectilinear)")
+          "is rectilinear); use format(\"graft\") values mode or " +
+          "TensorPlane.values, which handle rectilinear grids")
     val ndim = node.shape.size
     // chunk-coord bounds: refs-mode bounds are chunk coords already;
     // values-mode bounds are element indices
