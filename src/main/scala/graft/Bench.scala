@@ -40,8 +40,25 @@ object Bench {
     }
   }
 
+  /** Compact JSON number: 4 significant digits, trailing zeros trimmed.
+    * Full-precision nanos in ~65 entries pushed the round-6 line past the
+    * driver's tail-capture window, which truncated the line's START and
+    * made it unparseable; 4 sig figs keeps the whole line well inside the
+    * window while preserving sub-ms resolution for the hot-cache entries.
+    */
+  private[graft] def jnum(v: Double): String = {
+    val s = String.format(java.util.Locale.ROOT, "%.4g", Double.box(v))
+    if (s.indexOf('e') >= 0 || s.indexOf('E') >= 0 || s.indexOf('.') < 0) s
+    else {
+      val t = s.reverse.dropWhile(_ == '0').reverse.stripSuffix(".")
+      if (t.isEmpty || t == "-") "0" else t
+    }
+  }
+
   /** The one-line JSON contract the driver parses: entry seconds plus an
     * explicit `errors` array (failed entries also carry negative times).
+    * MUST stay the last line of stdout (build.sbt suppresses sbt's
+    * "[success]" trailer) and short enough for a ~2.5 KB tail capture.
     */
   private[graft] def jsonLine(results: collection.Map[String, Double],
                               errors: collection.Seq[String],
@@ -54,11 +71,11 @@ object Bench {
     } + "\""
     // every string field goes through jstr — an sfDir with a backslash
     // or quote must not invalidate the whole line's JSON
-    val qs = results.map { case (k, v) => jstr(k) + ":" + v }
+    val qs = results.map { case (k, v) => jstr(k) + ":" + jnum(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val errJson = errors.map(jstr).mkString("[", ",", "]")
-    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":${jstr(sfDir)}}"""
+    s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":$qs,"errors":$errJson,"sf":${jstr(sfDir)}}"""
   }
 
   def main(args: Array[String]): Unit = {

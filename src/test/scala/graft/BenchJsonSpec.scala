@@ -37,4 +37,36 @@ class BenchJsonSpec extends AnyFunSuite {
     assert(line.contains("\"errors\":[]"))
     assert(line.contains("\"a\":1.5"))
   }
+
+  test("numbers are compact (4 sig figs) but keep sub-ms resolution") {
+    assert(Bench.jnum(25.337620562) == "25.34")
+    assert(Bench.jnum(0.579926638) == "0.5799")
+    assert(Bench.jnum(0.001683668) == "0.001684") // hot-cache entries stay visible
+    assert(Bench.jnum(1.5) == "1.5")
+    assert(Bench.jnum(-0.25) == "-0.25") // failure markers keep their sign
+    assert(Bench.jnum(0.0) == "0")
+  }
+
+  test("a full-size result line fits the driver's tail-capture window") {
+    // the REAL key set (every query entry + every engine entry): the
+    // round-6 line at full nanosecond precision overflowed the ~2.5 KB
+    // tail capture, truncating the line's start and making it
+    // unparseable. Guard the budget against the actual names.
+    val engineKeys = Seq(
+      "engine_write_500k_refs", "engine_append_one_shard",
+      "engine_commit_rebase", "engine_commit_small_x10",
+      "engine_read_refs_scan", "engine_v2_refs_scan",
+      "engine_point_lookups_x20", "engine_point_lookups_hot",
+      "engine_getsize_prefix", "engine_cube_write_1g",
+      "engine_cube_read_1g", "engine_cube_slice_read",
+      "engine_v2_columnar_scan", "engine_v2_values_write",
+      "engine_catalog_values_write", "engine_cube_slice_rows")
+    val results = scala.collection.mutable.LinkedHashMap(
+      (SparkEntry.queries.keys.toSeq ++ engineKeys)
+        .map(_ -> 123.456789012): _*)
+    val line = Bench.jsonLine(results, Nil, "/root/testdata/sf0.1")
+    assert(line.length < 2500, s"bench JSON line too long: ${line.length}")
+    // and it is parse-checkable: balanced object, last char is '}'
+    assert(line.startsWith("{\"metric\":\"total\"") && line.endsWith("}"))
+  }
 }
