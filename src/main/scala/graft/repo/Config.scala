@@ -150,6 +150,9 @@ object GraftError {
   /** A distributed values write reached the writer un-clustered
     * (mis-computed helper columns or missing required distribution). */
   val WriteNotClustered = "write_not_clustered"
+  /** The requested operation exists in SQL but has no sound meaning for
+    * this table (e.g. row-level DELETE of individual dense-array cells). */
+  val Unsupported = "unsupported"
 }
 
 class GraftException(msg: String, val kind: String = GraftError.Generic,

@@ -64,6 +64,46 @@ class GraftTableProvider extends TableProvider with DataSourceRegister {
 }
 
 object GraftTableProvider {
+  /** Metadata column exposed by values-mode tables: the chunk's
+    * linearized ordinal in the chunk grid (row-major over
+    * `ceil(shape/chunkShape)`). It is the GROUP ID for row-level
+    * operations — Spark's runtime group filter computes
+    * `DISTINCT _chunk_ord WHERE <condition>` and hands the set back to
+    * the scan, which then fetches/decodes only the affected chunks.
+    */
+  val ChunkOrdCol = "_chunk_ord"
+
+  /** The `_chunk_ord` metadata column definition. Not preserved on
+    * update/delete rewrites — the writer re-derives chunk membership
+    * from the index columns, so carrying it through the shuffle would
+    * be 8 wasted bytes per cell.
+    */
+  object ChunkOrdMetaCol
+      extends org.apache.spark.sql.connector.catalog.MetadataColumn {
+    import org.apache.spark.sql.connector.catalog.{MetadataColumn => MC}
+    override def name(): String = ChunkOrdCol
+    override def dataType(): DataType = LongType
+    override def isNullable: Boolean = false
+    override def comment(): String =
+      "linearized chunk-grid ordinal (row-level operation group id)"
+    override def metadataInJSON(): String =
+      s"""{"${MC.PRESERVE_ON_UPDATE}": false, "${MC.PRESERVE_ON_DELETE}": false}"""
+  }
+
+  /** Row-major strides over the chunk GRID (`ceil(shape/chunk)` per dim):
+    * `ord(coord) = Σ coord(d) * gridStrides(d)`.
+    */
+  private[sources] def gridStrides(shape: Seq[Long],
+                                   chunk: Seq[Long]): Array[Long] = {
+    val ndim = shape.size
+    val dims = Array.tabulate(ndim)(d => (shape(d) + chunk(d) - 1) / chunk(d))
+    val s = new Array[Long](ndim)
+    s(ndim - 1) = 1
+    var d = ndim - 2
+    while (d >= 0) { s(d) = s(d + 1) * math.max(1L, dims(d + 1)); d -= 1 }
+    s
+  }
+
   /** Fixed physical schema of a manifest split data file + restored
     * partition identity columns.
     */
@@ -235,7 +275,9 @@ object GraftTableProvider {
 
 class GraftTable(opts: Map[String, String], declaredSchema: StructType)
     extends Table with SupportsRead with SupportsWrite
-    with org.apache.spark.sql.connector.catalog.SupportsDelete {
+    with org.apache.spark.sql.connector.catalog.SupportsDelete
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
   private def mode = opts.getOrElse("mode", "refs")
 
   /** `DELETE FROM t WHERE <i-bounds>` / `TRUNCATE TABLE t`: deletable
@@ -319,6 +361,27 @@ class GraftTable(opts: Map[String, String], declaredSchema: StructType)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     if (mode == "values") new GraftValuesWriteBuilder(opts, info)
     else new GraftWriteBuilder(opts, info)
+
+  /** Values tables expose `_chunk_ord` (the chunk's linearized grid
+    * ordinal) — the group id Spark's runtime group filter keys row-level
+    * UPDATE/MERGE rewrites on. Readable in plain queries too
+    * (`SELECT _chunk_ord, ...`), like any DSv2 metadata column.
+    */
+  override def metadataColumns()
+      : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    if (mode == "values") Array(GraftTableProvider.ChunkOrdMetaCol)
+    else Array.empty
+
+  override def newRowLevelOperationBuilder(
+      info: RowLevelOperationInfo): RowLevelOperationBuilder = () => {
+    if (mode != "values")
+      throw new graft.repo.GraftException(
+        "row-level operations (UPDATE/MERGE/DELETE rewrites) apply to " +
+          "values-mode tables only; the refs relation is append/delete " +
+          "by chunk coordinate",
+        kind = graft.repo.GraftError.Unsupported)
+    new GraftRowLevelOperation(opts, info.command())
+  }
 }
 
 /** Executor-side observability: DSv2 custom metrics surfaced per query in
@@ -361,7 +424,8 @@ object GraftMetrics {
 // read path
 // ===================================================================
 
-class GraftScanBuilder(opts: Map[String, String], tableSchema: StructType)
+class GraftScanBuilder(opts: Map[String, String], tableSchema: StructType,
+                       onBuild: GraftScan => Unit = _ => ())
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns {
   private val mode = opts.getOrElse("mode", "refs")
@@ -397,8 +461,11 @@ class GraftScanBuilder(opts: Map[String, String], tableSchema: StructType)
   override def pruneColumns(requiredSchema: StructType): Unit =
     if (requiredSchema.nonEmpty) required = requiredSchema
 
-  override def build(): Scan =
-    new GraftScan(opts, lo.toMap, hi.toMap, required)
+  override def build(): Scan = {
+    val s = new GraftScan(opts, lo.toMap, hi.toMap, required)
+    onBuild(s)
+    s
+  }
 }
 
 /** One manifest split to read (refs mode). `fsConf` makes graft:// URIs
@@ -409,7 +476,9 @@ case class SplitPartition(files: Array[String], nodeId: String, split: Int,
 
 /** One manifest split to decode (values mode): ref files + the geometry
   * and element bounds for the sub-block decode, and the store/virtual
-  * plumbing for chunk fetch.
+  * plumbing for chunk fetch. `keepOrds` (null = all) is the runtime
+  * group filter for row-level operations: linearized chunk ordinals to
+  * read — every other chunk is skipped before fetch/decode.
   */
 case class ValuesPartition(files: Array[String], nodeId: String,
                            fsConf: Map[String, String],
@@ -417,15 +486,67 @@ case class ValuesPartition(files: Array[String], nodeId: String,
                            resolver: graft.virt.VirtualChunkResolver,
                            dtype: String, compression: String,
                            chunkShape: Seq[Long], shape: Seq[Long],
-                           boundLo: Seq[Long], boundHi: Seq[Long])
+                           boundLo: Seq[Long], boundHi: Seq[Long],
+                           keepOrds: Array[Long] = null)
   extends InputPartition
 
 class GraftScan(opts: Map[String, String], lo: Map[Int, Long],
                 hi: Map[Int, Long], required: StructType)
-    extends Scan with Batch {
+    extends Scan with Batch
+    with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
   private val mode = opts.getOrElse("mode", "refs")
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+
+  /** Runtime group filter (row-level UPDATE/MERGE): the set of linearized
+    * chunk ordinals that contain matching rows, computed by Spark's
+    * `RowLevelOperationRuntimeGroupFiltering` as a `DISTINCT _chunk_ord`
+    * subquery and delivered here before partition planning. `None` =
+    * no filter arrived (read everything).
+    */
+  @volatile private[sources] var runtimeOrds: Option[Array[Long]] = None
+
+  override def filterAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    if (mode == "values")
+      Array(org.apache.spark.sql.connector.expressions.Expressions
+        .column(GraftTableProvider.ChunkOrdCol))
+    else Array.empty
+
+  override def filter(
+      predicates: Array[org.apache.spark.sql.connector.expressions
+        .filter.Predicate]): Unit = {
+    def ordRef(e: org.apache.spark.sql.connector.expressions.Expression) =
+      e match {
+        case r: org.apache.spark.sql.connector.expressions.NamedReference =>
+          r.fieldNames.toSeq == Seq(GraftTableProvider.ChunkOrdCol)
+        case _ => false
+      }
+    def lit(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[Long] =
+      e match {
+        case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
+          l.value match {
+            case n: java.lang.Number => Some(n.longValue())
+            case _ => None
+          }
+        case _ => None
+      }
+    // only a filter we FULLY understand may prune (partial parses must
+    // not drop chunks the operation still needs to rewrite)
+    val parsed = predicates.toSeq.flatMap { p =>
+      p.name() match {
+        case "IN" if p.children().nonEmpty && ordRef(p.children()(0)) =>
+          val vs = p.children().drop(1).map(lit)
+          if (vs.forall(_.isDefined)) Some(vs.flatten.toSeq) else None
+        case "=" if p.children().length == 2 && ordRef(p.children()(0)) =>
+          lit(p.children()(1)).map(Seq(_))
+        case _ => None
+      }
+    }
+    if (parsed.nonEmpty) // predicates are conjunctive -> intersect the sets
+      runtimeOrds = Some(parsed.map(_.toSet).reduce(_ intersect _).toArray)
+  }
   override def description(): String = {
     val bounds = (lo.keySet ++ hi.keySet).toSeq.sorted.map(d =>
       s"d$d in [${lo.getOrElse(d, Long.MinValue)}," +
@@ -517,6 +638,29 @@ class GraftScan(opts: Map[String, String], lo: Map[Int, Long],
                   math.min(bh(d0), (b + 1) * node.chunkShape(d0)))))
             }
           }
+        }
+      }.flatMap { p =>
+        // runtime group filter: drop partitions whose chunk box holds no
+        // matching ordinal; survivors carry the set so the cursor skips
+        // non-matching chunks before the byte fetch
+        runtimeOrds match {
+          case None => Some(p)
+          case Some(ords) =>
+            val gs = GraftTableProvider.gridStrides(node.shape,
+              node.chunkShape)
+            val dims = (0 until ndim).map(d =>
+              (node.shape(d) + node.chunkShape(d) - 1) / node.chunkShape(d))
+            val cLo = (0 until ndim).map(d => p.boundLo(d) / node.chunkShape(d))
+            val cHi = (0 until ndim).map(d =>
+              (math.max(p.boundLo(d) + 1, p.boundHi(d)) - 1) /
+                node.chunkShape(d))
+            val inside = ords.filter { o =>
+              (0 until ndim).forall { d =>
+                val c = (o / gs(d)) % math.max(1L, dims(d))
+                c >= cLo(d) && c <= cHi(d)
+              }
+            }
+            if (inside.isEmpty) None else Some(p.copy(keepOrds = inside))
         }
       }.map(p => p: InputPartition).toArray
     } else
@@ -741,6 +885,24 @@ private[sources] final class ValuesChunkCursor(part: ValuesPartition) {
     while (d >= 0) { s(d) = s(d + 1) * chunkArr(d + 1); d -= 1 }
     s
   }
+  private val gridStridesArr: Array[Long] =
+    GraftTableProvider.gridStrides(part.shape, part.chunkShape)
+  /** Linearized chunk-grid ordinal of `coord` (the `_chunk_ord` value). */
+  def chunkOrd(coord: Array[Int]): Long = {
+    var o = 0L
+    var d = 0
+    while (d < ndim) { o += coord(d).toLong * gridStridesArr(d); d += 1 }
+    o
+  }
+  // runtime group filter: chunks outside the set are skipped BEFORE the
+  // byte fetch — a row-level UPDATE touching k chunks costs k fetches
+  private val keepSet: java.util.HashSet[java.lang.Long] =
+    if (part.keepOrds == null) null
+    else {
+      val s = new java.util.HashSet[java.lang.Long](part.keepOrds.length * 2)
+      part.keepOrds.foreach(o => s.add(o))
+      s
+    }
   // element bounds ∩ array shape (clip partial edge chunks)
   private val loArr = part.boundLo.toArray
   private val hiArr = part.boundHi.zip(part.shape).map { case (h, s) =>
@@ -778,7 +940,9 @@ private[sources] final class ValuesChunkCursor(part: ValuesPartition) {
       val g = it.next()
       if (g == null) return null
       val coord = it.coordOf(g)
-      val blk = SliceGeom.block(coord, chunkArr, loArr, hiArr)
+      val blk =
+        if (keepSet != null && !keepSet.contains(chunkOrd(coord))) null
+        else SliceGeom.block(coord, chunkArr, loArr, hiArr)
       if (blk != null) {
         chunksDecoded += 1
         val raw = ChunkCodec.decompress(fetchBytes(g), part.compression)
@@ -833,6 +997,8 @@ class GraftValuesReader(part: ValuesPartition, required: StructType)
     val pos = cells.positions(idx - 1)
     val vals = required.fields.map { f =>
       if (f.name == "value") valueAt(pos)
+      else if (f.name == GraftTableProvider.ChunkOrdCol)
+        cursor.chunkOrd(cells.coord)
       else {
         val d = f.name.drop(1).toInt
         cells.coord(d).toLong * cursor.chunkArr(d) +
@@ -913,6 +1079,10 @@ class GraftValuesColumnarReader(part: ValuesPartition, required: StructType)
               else while (j < take) {
                 vec.putDouble(row + j, bb.getDouble(cells.positions(idx + j).toInt * 8)); j += 1 }
           }
+        } else if (f.name == GraftTableProvider.ChunkOrdCol) {
+          val ord = cursor.chunkOrd(cells.coord) // constant for the run
+          var j = 0
+          while (j < take) { vec.putLong(row + j, ord); j += 1 }
         } else {
           val d = f.name.drop(1).toInt
           val base = cells.coord(d).toLong * cursor.chunkArr(d)
@@ -1046,7 +1216,9 @@ class GraftBatchWrite(opts: Map[String, String], schema: StructType)
   * cells, not O(data)).
   */
 class GraftValuesWriteBuilder(opts: Map[String, String],
-                              info: LogicalWriteInfo) extends WriteBuilder
+                              info: LogicalWriteInfo,
+                              rowLevel: Option[GraftRowLevelOperation] = None)
+    extends WriteBuilder
     with org.apache.spark.sql.connector.write.SupportsTruncate {
   /** `INSERT OVERWRITE` / `SaveMode.Overwrite`: ONE commit that stages
     * tombstones for every existing chunk the incoming data does not
@@ -1077,7 +1249,11 @@ class GraftValuesWriteBuilder(opts: Map[String, String],
     val helperCols = (0 until ndim).map(d => s"_c$d")
     val helperClustered =
       got.fieldNames.toSeq == expected.fieldNames.toSeq ++ helperCols
-    if (!helperClustered && got.fieldNames.toSeq != expected.fieldNames.toSeq)
+    // row-level rewrites may carry the _chunk_ord metadata column along;
+    // the writer indexes fields by name and simply never reads it
+    val gotData = got.fieldNames.toSeq.filterNot(n =>
+      rowLevel.isDefined && n == GraftTableProvider.ChunkOrdCol)
+    if (!helperClustered && gotData != expected.fieldNames.toSeq)
       throw new graft.repo.GraftException(
         s"values write schema mismatch: got ${got.fieldNames.mkString(",")}" +
           s", expected ${expected.fieldNames.mkString(",")}" +
@@ -1085,15 +1261,68 @@ class GraftValuesWriteBuilder(opts: Map[String, String],
         kind = graft.repo.GraftError.SchemaMismatch)
     new GraftValuesWrite(opts, got, node.chunkShape, node.shape, dtype,
       opts.getOrElse("compression", "raw"), helperClustered,
-      queryId = info.queryId())
+      queryId = info.queryId(), rowLevel = rowLevel)
   }
+}
+
+/** Group-based (copy-on-write) row-level operation over a values table:
+  * the GROUP is the CHUNK. Spark rewrites `UPDATE` / `MERGE INTO` into a
+  * ReplaceData plan that (1) finds the chunks containing matching rows
+  * via a `DISTINCT _chunk_ord` runtime subquery, (2) re-reads ONLY those
+  * chunks through this operation's scan, and (3) writes every surviving
+  * row back through the ordinary clustered values write — whole chunks
+  * per task, one CAS commit. Chunks the operation scanned but the tasks
+  * did not rewrite are tombstoned in the same commit.
+  *
+  * Row-level DELETE is refused: removing individual cells from a dense
+  * array would silently zero-fill the survivors' chunk-mates. Chunk-
+  * aligned DELETE keeps working through the metadata path
+  * (`SupportsDelete`), which Spark's optimizer tries first.
+  *
+  * Reference analog: zarr-style in-place array edits are set_chunks over
+  * affected chunks (store.rs:515); the copy-on-write group rewrite is
+  * the same operation derived from a predicate instead of explicit
+  * coordinates.
+  */
+class GraftRowLevelOperation(opts: Map[String, String],
+                             cmd: RowLevelOperation.Command)
+    extends RowLevelOperation {
+  // every scan this operation builds; the one Spark group-filters at
+  // runtime carries the replaced-group ordinals the commit needs
+  @volatile private var scans: List[GraftScan] = Nil
+  private[sources] def replacedOrds(): Option[Array[Long]] =
+    scans.flatMap(_.runtimeOrds).headOption
+
+  override def command(): RowLevelOperation.Command = cmd
+  override def description(): String = s"GraftRowLevel($cmd)"
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftScanBuilder(opts, GraftTableProvider.schemaFor(opts),
+      onBuild = s => synchronized { scans = s :: scans })
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    if (cmd == RowLevelOperation.Command.DELETE)
+      throw new graft.repo.GraftException(
+        "row-level DELETE on a dense array would zero-fill the " +
+          "surviving cells of partially-deleted chunks; only " +
+          "chunk-aligned index ranges can be deleted (use a bounds " +
+          "predicate on the index columns, or TRUNCATE)",
+        kind = graft.repo.GraftError.Unsupported)
+    new GraftValuesWriteBuilder(opts, info, rowLevel = Some(this))
+  }
+
+  override def requiredMetadataAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions
+      .column(GraftTableProvider.ChunkOrdCol))
 }
 
 class GraftValuesWrite(opts: Map[String, String], schema: StructType,
                        chunkShape: Seq[Long], shape: Seq[Long],
                        dtype: String, compression: String,
                        helperClustered: Boolean = false,
-                       queryId: String = "")
+                       queryId: String = "",
+                       rowLevel: Option[GraftRowLevelOperation] = None)
     extends Write with RequiresDistributionAndOrdering {
   import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection}
   import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
@@ -1173,7 +1402,8 @@ class GraftValuesWrite(opts: Map[String, String], schema: StructType,
 
   override def toBatch: BatchWrite =
     new GraftValuesBatchWrite(opts, schema, chunkShape, dtype, compression,
-      helperClustered)
+      helperClustered, shape = shape,
+      rowLevel = rowLevel.map(op => () => op.replacedOrds()))
 
   /** Streaming values sink: one engine commit per micro-batch epoch via
     * the same staged-chunks machinery (the distribution/ordering above
@@ -1214,7 +1444,9 @@ case class StagedValuesMessage(refsKey: String, refRows: Long,
 class GraftValuesBatchWrite(opts: Map[String, String], schema: StructType,
                             chunkShape: Seq[Long], dtype: String,
                             compression: String,
-                            helperClustered: Boolean = false)
+                            helperClustered: Boolean = false,
+                            shape: Seq[Long] = Nil,
+                            rowLevel: Option[() => Option[Array[Long]]] = None)
     extends GraftEpochCommittable {
   import org.apache.spark.sql.functions.{col, lit}
   private val stagingRoot = graft.meta.Layout.stagingPrefix(
@@ -1291,9 +1523,31 @@ class GraftValuesBatchWrite(opts: Map[String, String], schema: StructType,
     // chunk the new data does not rewrite (plan captured BEFORE staging,
     // so it sees only the committed state)
     val truncate = opts.get("truncate").contains("true")
+    // Row-level UPDATE/MERGE (ReplaceData): the REPLACED GROUPS are the
+    // chunks the operation scanned — the runtime group filter's ordinal
+    // set when it ran, every chunk when it did not. A replaced chunk the
+    // tasks did not rewrite (e.g. every cell merge-deleted) gets a
+    // tombstone in the same commit, mirroring the truncate path.
+    val replacedOrds: Option[Option[Array[Long]]] = rowLevel.map(_())
+    def chunkOrdCol: org.apache.spark.sql.Column = {
+      val gs = GraftTableProvider.gridStrides(shape, chunkShape)
+      (0 until chunkShape.size).map(d =>
+        col("coord").getItem(d).cast("long") * lit(gs(d))).reduce(_ + _)
+    }
+    def ordsDf(ords: Array[Long]): org.apache.spark.sql.DataFrame =
+      org.apache.spark.sql.functions.broadcast(
+        spark.createDataset(ords.toSeq)(
+          org.apache.spark.sql.Encoders.scalaLong).toDF("_ord"))
     val priorCoords =
       if (truncate) Some(session.refs(array).select(col("coord")))
-      else None
+      else replacedOrds.map {
+        case None => session.refs(array).select(col("coord"))
+        case Some(ords) =>
+          session.refs(array).select(col("coord"))
+            .withColumn("_ord", chunkOrdCol)
+            .join(ordsDf(ords), Seq("_ord"), "left_semi")
+            .select(col("coord"))
+      }
     // the cache must OUTLIVE the commit: the staged batches are lazy and
     // flush re-evaluates them — with the cache dropped, the boundary-
     // chunk merge job (a side-effecting mapPartitions that encodes and
@@ -1322,6 +1576,28 @@ class GraftValuesBatchWrite(opts: Map[String, String], schema: StructType,
                 "required clustering was not applied): " +
                 dup.map(_.get(0)).mkString(", "),
               kind = graft.repo.GraftError.WriteNotClustered)
+          // Row-level guard: a MERGE insert whose cells land in an
+          // EXISTING chunk the operation did not scan would replace that
+          // chunk with a partial fill-0 one (the scan never read its
+          // other cells) — data loss. Refuse loudly; the fix is an ON
+          // condition that covers the target chunks, or a plain INSERT
+          // of whole chunks. Chunk-count-sized joins, not data-sized.
+          replacedOrds.flatten.foreach { ords =>
+            val offenders = cached.select(col("coord"))
+              .withColumn("_ord", chunkOrdCol)
+              .join(ordsDf(ords), Seq("_ord"), "left_anti")
+              .join(session.refs(array).select(col("coord")),
+                Seq("coord"), "left_semi")
+              .limit(5).collect()
+            if (offenders.nonEmpty)
+              throw new graft.repo.GraftException(
+                "row-level write touches existing chunks outside the " +
+                  "scanned groups (a MERGE insert into a chunk the ON " +
+                  "condition did not match): " +
+                  offenders.map(_.get(0)).mkString(", ") +
+                  " — widen the ON condition or insert whole chunks",
+                kind = graft.repo.GraftError.WriteNotClustered)
+          }
           priorCoords.foreach { prior =>
             session.stageChunkRefs(array,
               prior.join(cached.select(col("coord")), Seq("coord"),
