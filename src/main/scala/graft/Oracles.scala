@@ -447,6 +447,38 @@ object Oracles {
         |    / 1000000 AS quality
         |FROM m ORDER BY doc_id""".stripMargin,
 
+    // concat-and-chunk packing: DuckDB can afford the single global
+    // window at oracle scale; the engine reproduces it with per-bucket
+    // windows + prefix offsets
+    "q_pack_sequences" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+        |      x -> len(x) > 0)) AS BIGINT) AS tokens
+        |  FROM documents),
+        |nz AS (SELECT * FROM toks WHERE tokens > 0),
+        |c AS (SELECT doc_id, tokens,
+        |  CAST(sum(tokens) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum
+        |  FROM nz)
+        |SELECT doc_id, tokens,
+        |  cum - tokens AS start_pos,
+        |  (cum - tokens) // 512 AS pack_first,
+        |  (cum - 1) // 512 AS pack_last,
+        |  (cum - 1) // 512 - (cum - tokens) // 512 + 1 AS n_spans
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    "q_shuffle_shard" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    (doc_id * 2654435761 + 42) % 4294967291 AS mix
+        |  FROM documents)
+        |SELECT doc_id, mix % 8 AS shard,
+        |  CAST(row_number() OVER (PARTITION BY mix % 8
+        |    ORDER BY mix, doc_id) AS BIGINT) AS pos
+        |FROM m ORDER BY shard, pos""".stripMargin,
+
     "q_pii_scrub" ->
       """SELECT doc_id,
         |  regexp_replace(regexp_replace(regexp_replace(

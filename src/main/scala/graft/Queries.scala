@@ -3,8 +3,8 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import graft.pipeline.{Decontaminate, Dedup, Multimodal, Similarity,
-  TextAnalysis}
+import graft.pipeline.{Decontaminate, Dedup, Multimodal, Packing,
+  Similarity, TextAnalysis}
 
 /** The declared operator surface (SURVEY.md §2) exercised as relational
   * queries over the driver-provided parquet tables, each mirrored by an
@@ -471,6 +471,21 @@ object Queries {
         .as("quality"))
       .orderBy("doc_id")
 
+  /** Concat-and-chunk sequence packing (512-token training sequences):
+    * per-bucket windows + driver prefix offsets — no global sort.
+    */
+  val q_pack_sequences: Q = (s, d) =>
+    Packing.packSequences(t(s, d, "documents"), "doc_id",
+      TextAnalysis.tokenCount(col("text")), window = 512L)
+      .orderBy("doc_id")
+
+  /** Deterministic seeded shuffle into 8 training shards: reproducible
+    * permutation via int64 arithmetic, per-shard windows.
+    */
+  val q_shuffle_shard: Q = (s, d) =>
+    Packing.shuffleShards(t(s, d, "documents"), "doc_id", shards = 8)
+      .orderBy("shard", "pos")
+
   /** PII scrub over synthesized PII (the fixture is clean, so the query
     * plants a deterministic email/phone/IP per doc with plain concat —
     * identically in the oracle — and both engines must redact them the
@@ -720,6 +735,8 @@ object Queries {
     "q_ann_neighbors" -> q_ann_neighbors,
     "q_text_analysis" -> q_text_analysis,
     "q_quality_score" -> q_quality_score,
+    "q_pack_sequences" -> q_pack_sequences,
+    "q_shuffle_shard" -> q_shuffle_shard,
     "q_pii_scrub" -> q_pii_scrub,
     "q_repetition" -> q_repetition,
     "q_fingerprint" -> q_fingerprint,
