@@ -427,18 +427,32 @@ object GraftMetrics {
 class GraftScanBuilder(opts: Map[String, String], tableSchema: StructType,
                        onBuild: GraftScan => Unit = _ => ())
     extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns {
+    with SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
   private val mode = opts.getOrElse("mode", "refs")
   private val prefix = if (mode == "values") "i" else "c"
   // per-dim [lo, hi] (inclusive) bounds from pushed predicates
   private val lo = scala.collection.mutable.Map[Int, Long]().withDefaultValue(Long.MinValue)
   private val hi = scala.collection.mutable.Map[Int, Long]().withDefaultValue(Long.MaxValue)
   private var required: StructType = tableSchema
+  private var accepted: Array[Filter] = Array.empty
+  private var pushedAgg: Option[Seq[String]] = None
 
   private def dimOf(att: String): Option[Int] =
     if (att.startsWith(prefix) && att.drop(1).nonEmpty &&
         att.drop(1).forall(_.isDigit)) Some(att.drop(1).toInt)
     else None
+
+  /** Whole-number literal — the only kind Catalyst delivers against a
+    * long index column without an intervening cast (which blocks filter
+    * translation), asserted here anyway so a fractional bound can never
+    * be claimed as exactly pushed.
+    */
+  private def integral(v: Any): Boolean = v match {
+    case _: java.lang.Long | _: java.lang.Integer | _: java.lang.Short |
+         _: java.lang.Byte => true
+    case _ => false
+  }
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     filters.foreach {
@@ -454,15 +468,78 @@ class GraftScanBuilder(opts: Map[String, String], tableSchema: StructType,
         hi(d) = math.min(hi(d), v.longValue) }
       case _ => ()
     }
-    filters // pruning only — Spark re-evaluates everything
+    // Values mode honors i-dim range bounds EXACTLY (SliceGeom clips at
+    // CELL granularity, not just chunk pruning), so those filters are
+    // fully pushed — which is what lets Spark push an aggregation down
+    // on top of a sliced scan. Refs mode prunes at manifest granularity
+    // only, so it keeps every filter for Spark to re-evaluate.
+    val (push, keep) =
+      if (mode != "values") (Array.empty[Filter], filters)
+      else filters.partition {
+        case EqualTo(a, v) => dimOf(a).isDefined && integral(v)
+        case GreaterThan(a, v) => dimOf(a).isDefined && integral(v)
+        case GreaterThanOrEqual(a, v) => dimOf(a).isDefined && integral(v)
+        case LessThan(a, v) => dimOf(a).isDefined && integral(v)
+        case LessThanOrEqual(a, v) => dimOf(a).isDefined && integral(v)
+        // the decoder never emits null cells or indices, so IsNotNull
+        // on any values column is trivially exact — and leaving it
+        // unclaimed would keep a residual Filter that blocks aggregate
+        // pushdown under range predicates
+        case org.apache.spark.sql.sources.IsNotNull(a) =>
+          dimOf(a).isDefined || a == "value" ||
+            a == GraftTableProvider.ChunkOrdCol
+        case _ => false
+      }
+    accepted = push
+    keep
   }
-  override def pushedFilters(): Array[Filter] = Array.empty
+  override def pushedFilters(): Array[Filter] = accepted
+
+  /** Partial aggregate pushdown (global COUNT/SUM/MIN/MAX over `value`):
+    * each partition reduces its chunks in one tight decode loop and
+    * emits a single partial row — no per-cell batches reach Spark's
+    * aggregate at all. Spark runs the final merge, so this composes
+    * with every partitioning and with the exactly-pushed slice bounds
+    * above. GROUP BY is not pushed (Spark aggregates the cell stream).
+    */
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean = {
+    import org.apache.spark.sql.connector.expressions.aggregate._
+    import org.apache.spark.sql.connector.expressions.NamedReference
+    if (mode != "values" || agg.groupByExpressions().nonEmpty) return false
+    def isValue(e: org.apache.spark.sql.connector.expressions.Expression) =
+      e match {
+        case r: NamedReference => r.fieldNames.toSeq == Seq("value")
+        case _ => false
+      }
+    val specs = agg.aggregateExpressions().toSeq.map {
+      case _: CountStar => Some("count")
+      case c: Count if !c.isDistinct && isValue(c.column) => Some("count")
+      case s: Sum if !s.isDistinct && isValue(s.column) => Some("sum")
+      case m: Min if isValue(m.column) => Some("min")
+      case m: Max if isValue(m.column) => Some("max")
+      case _ => None
+    }
+    if (!specs.forall(_.isDefined)) return false
+    val isInt = ChunkCodec.IntDtypes.contains(opts.getOrElse("dtype", ""))
+    val valT: DataType = if (isInt) LongType else DoubleType
+    pushedAgg = Some(specs.flatten)
+    // positional contract: one output column per pushed aggregate, in
+    // order; Spark matches them by position, names are cosmetic
+    required = StructType(specs.flatten.zipWithIndex.map {
+      case ("count", i) => StructField(s"agg$i", LongType, nullable = false)
+      case (f, i) => StructField(s"agg$i", valT, nullable = true)
+    })
+    true
+  }
 
   override def pruneColumns(requiredSchema: StructType): Unit =
-    if (requiredSchema.nonEmpty) required = requiredSchema
+    if (requiredSchema.nonEmpty && pushedAgg.isEmpty)
+      required = requiredSchema
 
   override def build(): Scan = {
-    val s = new GraftScan(opts, lo.toMap, hi.toMap, required)
+    val s = new GraftScan(opts, lo.toMap, hi.toMap, required, pushedAgg)
     onBuild(s)
     s
   }
@@ -491,7 +568,8 @@ case class ValuesPartition(files: Array[String], nodeId: String,
   extends InputPartition
 
 class GraftScan(opts: Map[String, String], lo: Map[Int, Long],
-                hi: Map[Int, Long], required: StructType)
+                hi: Map[Int, Long], required: StructType,
+                pushedAgg: Option[Seq[String]] = None)
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
   private val mode = opts.getOrElse("mode", "refs")
@@ -551,7 +629,9 @@ class GraftScan(opts: Map[String, String], lo: Map[Int, Long],
     val bounds = (lo.keySet ++ hi.keySet).toSeq.sorted.map(d =>
       s"d$d in [${lo.getOrElse(d, Long.MinValue)}," +
         s"${hi.getOrElse(d, Long.MaxValue)}]").mkString(", ")
-    s"GraftScan(${opts.getOrElse("array", "?")}, mode=$mode, $bounds)"
+    val agg = pushedAgg.map(a =>
+      s", PushedAggregates: [${a.mkString(", ")}]").getOrElse("")
+    s"GraftScan(${opts.getOrElse("array", "?")}, mode=$mode, $bounds$agg)"
   }
 
   override def planInputPartitions(): Array[InputPartition] = {
@@ -669,7 +749,10 @@ class GraftScan(opts: Map[String, String], lo: Map[Int, Long],
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new GraftReaderFactory(required)
+    pushedAgg match {
+      case Some(specs) => new GraftAggReaderFactory(specs.toArray)
+      case None => new GraftReaderFactory(required)
+    }
 
   override def supportedCustomMetrics()
       : Array[org.apache.spark.sql.connector.metric.CustomMetric] =
@@ -858,14 +941,21 @@ class GraftRefsColumnarReader(part: SplitPartition, required: StructType)
 /** One decoded sub-block: the chunk's coord, its (decompressed) byte
   * buffer, and the in-chunk positions inside the requested region.
   */
+/** One overlapping chunk's decoded cells. Exactly one of `positions`
+  * (per-cell element positions, for the row/columnar readers) or `runs`
+  * (packed (base, len) pairs of contiguous cells, for the aggregate
+  * reader — no per-cell array is ever materialized) is non-null.
+  */
 private[sources] final case class ChunkCells(coord: Array[Int],
                                              bb: java.nio.ByteBuffer,
-                                             positions: Array[Long])
+                                             positions: Array[Long],
+                                             runs: Array[Long] = null)
 
 /** Shared cursor of values-mode readers: ref rows → ranged chunk fetch →
   * sub-block geometry. Yields one [[ChunkCells]] per overlapping chunk.
   */
-private[sources] final class ValuesChunkCursor(part: ValuesPartition) {
+private[sources] final class ValuesChunkCursor(part: ValuesPartition,
+                                               wantRuns: Boolean = false) {
   private val it = new SplitGroupIterator(part.files, part.fsConf)
   private lazy val store = StoreConf.cached(part.storeConf)
   private var bytesFetched = 0L
@@ -948,13 +1038,20 @@ private[sources] final class ValuesChunkCursor(part: ValuesPartition) {
         val raw = ChunkCodec.decompress(fetchBytes(g), part.compression)
         val bb = java.nio.ByteBuffer.wrap(raw)
           .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-        val ps = new scala.collection.mutable.ArrayBuilder.ofLong
-        SliceGeom.foreachRun(blk)((base, len) => {
-          var j = 0
-          while (j < len) { ps += base + j; j += 1 }
-        })
-        val arr = ps.result()
-        if (arr.nonEmpty) return ChunkCells(coord, bb, arr)
+        if (wantRuns) {
+          val rs = new scala.collection.mutable.ArrayBuilder.ofLong
+          SliceGeom.foreachRun(blk)((base, len) => { rs += base; rs += len })
+          val arr = rs.result()
+          if (arr.nonEmpty) return ChunkCells(coord, bb, null, arr)
+        } else {
+          val ps = new scala.collection.mutable.ArrayBuilder.ofLong
+          SliceGeom.foreachRun(blk)((base, len) => {
+            var j = 0
+            while (j < len) { ps += base + j; j += 1 }
+          })
+          val arr = ps.result()
+          if (arr.nonEmpty) return ChunkCells(coord, bb, arr)
+        }
       }
     }
     null
@@ -1006,6 +1103,104 @@ class GraftValuesReader(part: ValuesPartition, required: StructType)
       }
     }
     new GenericInternalRow(vals.toArray[Any])
+  }
+
+  override def close(): Unit = cursor.close()
+}
+
+class GraftAggReaderFactory(specs: Array[String])
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition)
+      : PartitionReader[InternalRow] =
+    new GraftValuesAggReader(partition.asInstanceOf[ValuesPartition], specs)
+}
+
+/** Pushed-aggregate reader: reduces every in-bounds cell of the
+  * partition's chunks in one tight decode loop and emits a SINGLE
+  * partial row (count/sum/min/max per pushed spec) — per-cell batches
+  * never exist, Spark's final aggregate merges #partitions rows. Empty
+  * partitions emit count=0 and null sum/min/max so the final merge
+  * keeps exact SQL semantics (global sum over zero cells is NULL).
+  */
+class GraftValuesAggReader(part: ValuesPartition, specs: Array[String])
+    extends PartitionReader[InternalRow] {
+  private val cursor = new ValuesChunkCursor(part, wantRuns = true)
+  private val isInt = ChunkCodec.IntDtypes.contains(part.dtype)
+  private var emitted = false
+
+  override def next(): Boolean = !emitted
+
+  override def currentMetricsValues()
+      : Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+    cursor.metricsValues
+
+  override def get(): InternalRow = {
+    emitted = true
+    var n = 0L
+    var sumL = 0L
+    var sumD = 0.0
+    var minL = Long.MaxValue
+    var maxL = Long.MinValue
+    var minD = Double.PositiveInfinity
+    var maxD = Double.NegativeInfinity
+    // dtype dispatch hoisted out of the per-cell loop
+    val kind = part.dtype match {
+      case "int8" => 0
+      case "int16" => 1
+      case "int32" => 2
+      case "int64" => 3
+      case "float32" => 4
+      case _ => 5
+    }
+    var cells = cursor.nextChunk()
+    while (cells != null) {
+      val bb = cells.bb
+      val runs = cells.runs
+      var r = 0
+      while (r < runs.length) {
+        val base = runs(r).toInt
+        val len = runs(r + 1).toInt
+        var p = base
+        val end = base + len
+        if (isInt) {
+          while (p < end) {
+            val v = kind match {
+              case 0 => bb.get(p).toLong
+              case 1 => bb.getShort(p * 2).toLong
+              case 2 => bb.getInt(p * 4).toLong
+              case _ => bb.getLong(p * 8)
+            }
+            sumL += v
+            if (v < minL) minL = v
+            if (v > maxL) maxL = v
+            p += 1
+          }
+        } else {
+          while (p < end) {
+            val v =
+              if (kind == 4) bb.getFloat(p * 4).toDouble
+              else bb.getDouble(p * 8)
+            sumD += v
+            if (v < minD) minD = v
+            if (v > maxD) maxD = v
+            p += 1
+          }
+        }
+        n += len
+        r += 2
+      }
+      cells = cursor.nextChunk()
+    }
+    val vals: Array[Any] = specs.map {
+      case "count" => n: Any
+      case "sum" =>
+        if (n == 0L) null else if (isInt) sumL: Any else sumD: Any
+      case "min" =>
+        if (n == 0L) null else if (isInt) minL: Any else minD: Any
+      case _ =>
+        if (n == 0L) null else if (isInt) maxL: Any else maxD: Any
+    }
+    new GenericInternalRow(vals)
   }
 
   override def close(): Unit = cursor.close()
