@@ -289,6 +289,16 @@ object Bench {
         val res = v.agg(sum(col("value")), count(lit(1))).head()
         assert(res.getLong(1) == cube.toLong * cube * cube)
       }
+      // per-timestep stats via pushed GROUP BY: partials are
+      // #partitions × #groups rows, never cells
+      entry("engine_v2_groupby_agg") {
+        val v = spark.read.format("graft-v2")
+          .option("path", dir.toString).option("array", "/cube")
+          .option("mode", "values").option("dtype", "int64").load()
+        val rows = v.groupBy(col("i0")).agg(sum(col("value")),
+          count(lit(1)), max(col("value"))).collect()
+        assert(rows.length == cube)
+      }
       // DSv2 values WRITE through the provider route, chunk-clustered via
       // the `_c0.._cN` helper columns (plain field references — no
       // FunctionCatalog needed): whole chunks per task, no leftover merge,

@@ -436,7 +436,7 @@ class GraftScanBuilder(opts: Map[String, String], tableSchema: StructType,
   private val hi = scala.collection.mutable.Map[Int, Long]().withDefaultValue(Long.MaxValue)
   private var required: StructType = tableSchema
   private var accepted: Array[Filter] = Array.empty
-  private var pushedAgg: Option[Seq[String]] = None
+  private var pushedAgg: Option[PushedAgg] = None
 
   private def dimOf(att: String): Option[Int] =
     if (att.startsWith(prefix) && att.drop(1).nonEmpty &&
@@ -495,24 +495,32 @@ class GraftScanBuilder(opts: Map[String, String], tableSchema: StructType,
   }
   override def pushedFilters(): Array[Filter] = accepted
 
-  /** Partial aggregate pushdown (global COUNT/SUM/MIN/MAX over `value`):
-    * each partition reduces its chunks in one tight decode loop and
-    * emits a single partial row — no per-cell batches reach Spark's
-    * aggregate at all. Spark runs the final merge, so this composes
-    * with every partitioning and with the exactly-pushed slice bounds
-    * above. GROUP BY is not pushed (Spark aggregates the cell stream).
+  /** Partial aggregate pushdown (COUNT/SUM/MIN/MAX over `value`,
+    * optionally GROUP BY index columns): each partition reduces its
+    * chunks in one tight decode loop and emits one partial row per
+    * group — per-cell batches never reach Spark's aggregate. Spark runs
+    * the final merge, so this composes with every partitioning and with
+    * the exactly-pushed slice bounds above. The canonical tensor query
+    * `SELECT i0, avg(value) GROUP BY i0` (per-timestep stats) collapses
+    * from a cells-sized shuffle to (#partitions × #groups) rows.
     */
   override def pushAggregation(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
       : Boolean = {
     import org.apache.spark.sql.connector.expressions.aggregate._
     import org.apache.spark.sql.connector.expressions.NamedReference
-    if (mode != "values" || agg.groupByExpressions().nonEmpty) return false
+    if (mode != "values") return false
     def isValue(e: org.apache.spark.sql.connector.expressions.Expression) =
       e match {
         case r: NamedReference => r.fieldNames.toSeq == Seq("value")
         case _ => false
       }
+    val groupDims = agg.groupByExpressions().toSeq.map {
+      case r: NamedReference if r.fieldNames.length == 1 =>
+        dimOf(r.fieldNames.head)
+      case _ => None
+    }
+    if (!groupDims.forall(_.isDefined)) return false
     val specs = agg.aggregateExpressions().toSeq.map {
       case _: CountStar => Some("count")
       case c: Count if !c.isDistinct && isValue(c.column) => Some("count")
@@ -524,13 +532,16 @@ class GraftScanBuilder(opts: Map[String, String], tableSchema: StructType,
     if (!specs.forall(_.isDefined)) return false
     val isInt = ChunkCodec.IntDtypes.contains(opts.getOrElse("dtype", ""))
     val valT: DataType = if (isInt) LongType else DoubleType
-    pushedAgg = Some(specs.flatten)
-    // positional contract: one output column per pushed aggregate, in
-    // order; Spark matches them by position, names are cosmetic
-    required = StructType(specs.flatten.zipWithIndex.map {
-      case ("count", i) => StructField(s"agg$i", LongType, nullable = false)
-      case (f, i) => StructField(s"agg$i", valT, nullable = true)
-    })
+    pushedAgg = Some(PushedAgg(groupDims.flatten, specs.flatten))
+    // positional contract: group columns first (in groupBy order), then
+    // one output column per pushed aggregate; Spark matches by position
+    required = StructType(
+      groupDims.flatten.map(d =>
+        StructField(s"g$d", LongType, nullable = false)) ++
+      specs.flatten.zipWithIndex.map {
+        case ("count", i) => StructField(s"agg$i", LongType, nullable = false)
+        case (_, i) => StructField(s"agg$i", valT, nullable = true)
+      })
     true
   }
 
@@ -544,6 +555,12 @@ class GraftScanBuilder(opts: Map[String, String], tableSchema: StructType,
     s
   }
 }
+
+/** A pushed partial aggregation: `groupDims` (index dims to group by,
+  * in groupBy order) and `funcs` (count/sum/min/max per output column).
+  */
+private[sources] final case class PushedAgg(groupDims: Seq[Int],
+                                            funcs: Seq[String])
 
 /** One manifest split to read (refs mode). `fsConf` makes graft:// URIs
   * resolvable on executors.
@@ -569,7 +586,7 @@ case class ValuesPartition(files: Array[String], nodeId: String,
 
 class GraftScan(opts: Map[String, String], lo: Map[Int, Long],
                 hi: Map[Int, Long], required: StructType,
-                pushedAgg: Option[Seq[String]] = None)
+                pushedAgg: Option[PushedAgg] = None)
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
   private val mode = opts.getOrElse("mode", "refs")
@@ -630,7 +647,10 @@ class GraftScan(opts: Map[String, String], lo: Map[Int, Long],
       s"d$d in [${lo.getOrElse(d, Long.MinValue)}," +
         s"${hi.getOrElse(d, Long.MaxValue)}]").mkString(", ")
     val agg = pushedAgg.map(a =>
-      s", PushedAggregates: [${a.mkString(", ")}]").getOrElse("")
+      s", PushedAggregates: [${a.funcs.mkString(", ")}]" +
+        (if (a.groupDims.nonEmpty)
+          s", PushedGroupBy: [${a.groupDims.map(d => s"i$d").mkString(", ")}]"
+        else "")).getOrElse("")
     s"GraftScan(${opts.getOrElse("array", "?")}, mode=$mode, $bounds$agg)"
   }
 
@@ -750,7 +770,7 @@ class GraftScan(opts: Map[String, String], lo: Map[Int, Long],
 
   override def createReaderFactory(): PartitionReaderFactory =
     pushedAgg match {
-      case Some(specs) => new GraftAggReaderFactory(specs.toArray)
+      case Some(spec) => new GraftAggReaderFactory(spec)
       case None => new GraftReaderFactory(required)
     }
 
@@ -1108,42 +1128,51 @@ class GraftValuesReader(part: ValuesPartition, required: StructType)
   override def close(): Unit = cursor.close()
 }
 
-class GraftAggReaderFactory(specs: Array[String])
+class GraftAggReaderFactory(spec: PushedAgg)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition)
       : PartitionReader[InternalRow] =
-    new GraftValuesAggReader(partition.asInstanceOf[ValuesPartition], specs)
+    new GraftValuesAggReader(partition.asInstanceOf[ValuesPartition], spec)
+}
+
+/** Per-group partial accumulator for the pushed-aggregate reader. */
+private final class AggAcc {
+  var n = 0L
+  var sumL = 0L
+  var sumD = 0.0
+  var minL: Long = Long.MaxValue
+  var maxL: Long = Long.MinValue
+  var minD: Double = Double.PositiveInfinity
+  var maxD: Double = Double.NegativeInfinity
 }
 
 /** Pushed-aggregate reader: reduces every in-bounds cell of the
-  * partition's chunks in one tight decode loop and emits a SINGLE
-  * partial row (count/sum/min/max per pushed spec) — per-cell batches
-  * never exist, Spark's final aggregate merges #partitions rows. Empty
-  * partitions emit count=0 and null sum/min/max so the final merge
-  * keeps exact SQL semantics (global sum over zero cells is NULL).
+  * partition's chunks in one run-based decode loop and emits one
+  * partial row PER GROUP (count/sum/min/max per pushed func) — per-cell
+  * batches never exist, Spark's final aggregate merges
+  * #partitions × #groups rows. The global (no GROUP BY) case always
+  * emits its single row, with count=0 and null sum/min/max when the
+  * partition holds no cells, so the final merge keeps exact SQL
+  * semantics (global sum over zero cells is NULL).
+  *
+  * Group keys are index-dim values. A decode run is contiguous in the
+  * LAST dim only, so every grouped dim except the last is constant per
+  * run — the accumulator is fetched once per run unless the group
+  * includes the innermost dim.
   */
-class GraftValuesAggReader(part: ValuesPartition, specs: Array[String])
+class GraftValuesAggReader(part: ValuesPartition, spec: PushedAgg)
     extends PartitionReader[InternalRow] {
   private val cursor = new ValuesChunkCursor(part, wantRuns = true)
   private val isInt = ChunkCodec.IntDtypes.contains(part.dtype)
-  private var emitted = false
-
-  override def next(): Boolean = !emitted
+  private val ndim = part.chunkShape.size
+  private val groupDims = spec.groupDims.toArray
+  private var out: Iterator[InternalRow] = _
 
   override def currentMetricsValues()
       : Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
     cursor.metricsValues
 
-  override def get(): InternalRow = {
-    emitted = true
-    var n = 0L
-    var sumL = 0L
-    var sumD = 0.0
-    var minL = Long.MaxValue
-    var maxL = Long.MinValue
-    var minD = Double.PositiveInfinity
-    var maxD = Double.NegativeInfinity
-    // dtype dispatch hoisted out of the per-cell loop
+  private def reduceAll(): Iterator[InternalRow] = {
     val kind = part.dtype match {
       case "int8" => 0
       case "int16" => 1
@@ -1152,57 +1181,111 @@ class GraftValuesAggReader(part: ValuesPartition, specs: Array[String])
       case "float32" => 4
       case _ => 5
     }
+    val groups =
+      scala.collection.mutable.LinkedHashMap[Seq[Long], AggAcc]()
+    val global = new AggAcc // used when groupDims is empty
+    val lastDimGrouped = groupDims.contains(ndim - 1)
+    val key = new Array[Long](groupDims.length)
+
+    @inline def accum(acc: AggAcc, bb: java.nio.ByteBuffer, from: Int,
+                      until: Int): Unit = {
+      var p = from
+      if (isInt) {
+        while (p < until) {
+          val v = kind match {
+            case 0 => bb.get(p).toLong
+            case 1 => bb.getShort(p * 2).toLong
+            case 2 => bb.getInt(p * 4).toLong
+            case _ => bb.getLong(p * 8)
+          }
+          acc.sumL += v
+          if (v < acc.minL) acc.minL = v
+          if (v > acc.maxL) acc.maxL = v
+          p += 1
+        }
+      } else {
+        while (p < until) {
+          val v = if (kind == 4) bb.getFloat(p * 4).toDouble
+                  else bb.getDouble(p * 8)
+          acc.sumD += v
+          if (v < acc.minD) acc.minD = v
+          if (v > acc.maxD) acc.maxD = v
+          p += 1
+        }
+      }
+      acc.n += until - from
+    }
+
     var cells = cursor.nextChunk()
     while (cells != null) {
       val bb = cells.bb
       val runs = cells.runs
+      val coord = cells.coord
       var r = 0
       while (r < runs.length) {
         val base = runs(r).toInt
         val len = runs(r + 1).toInt
-        var p = base
-        val end = base + len
-        if (isInt) {
-          while (p < end) {
-            val v = kind match {
-              case 0 => bb.get(p).toLong
-              case 1 => bb.getShort(p * 2).toLong
-              case 2 => bb.getInt(p * 4).toLong
-              case _ => bb.getLong(p * 8)
-            }
-            sumL += v
-            if (v < minL) minL = v
-            if (v > maxL) maxL = v
-            p += 1
+        if (groupDims.isEmpty) {
+          accum(global, bb, base, base + len)
+        } else if (!lastDimGrouped) {
+          // all grouped dims constant across the run: one map probe
+          var k = 0
+          while (k < groupDims.length) {
+            val d = groupDims(k)
+            key(k) = coord(d).toLong * cursor.chunkArr(d) +
+              (base / cursor.strides(d)) % cursor.chunkArr(d)
+            k += 1
           }
+          val acc = groups.getOrElseUpdate(
+            scala.collection.immutable.ArraySeq.unsafeWrapArray(key.clone()),
+            new AggAcc)
+          accum(acc, bb, base, base + len)
         } else {
-          while (p < end) {
-            val v =
-              if (kind == 4) bb.getFloat(p * 4).toDouble
-              else bb.getDouble(p * 8)
-            sumD += v
-            if (v < minD) minD = v
-            if (v > maxD) maxD = v
+          // innermost dim grouped: key changes per cell
+          var p = base
+          while (p < base + len) {
+            var k = 0
+            while (k < groupDims.length) {
+              val d = groupDims(k)
+              key(k) = coord(d).toLong * cursor.chunkArr(d) +
+                (p / cursor.strides(d)) % cursor.chunkArr(d)
+              k += 1
+            }
+            val acc = groups.getOrElseUpdate(
+              scala.collection.immutable.ArraySeq
+                .unsafeWrapArray(key.clone()),
+              new AggAcc)
+            accum(acc, bb, p, p + 1)
             p += 1
           }
         }
-        n += len
         r += 2
       }
       cells = cursor.nextChunk()
     }
-    val vals: Array[Any] = specs.map {
-      case "count" => n: Any
-      case "sum" =>
-        if (n == 0L) null else if (isInt) sumL: Any else sumD: Any
-      case "min" =>
-        if (n == 0L) null else if (isInt) minL: Any else minD: Any
-      case _ =>
-        if (n == 0L) null else if (isInt) maxL: Any else maxD: Any
+
+    def row(groupKey: Seq[Long], acc: AggAcc): InternalRow = {
+      val aggVals: Seq[Any] = spec.funcs.map {
+        case "count" => acc.n: Any
+        case "sum" =>
+          if (acc.n == 0L) null else if (isInt) acc.sumL: Any else acc.sumD: Any
+        case "min" =>
+          if (acc.n == 0L) null else if (isInt) acc.minL: Any else acc.minD: Any
+        case _ =>
+          if (acc.n == 0L) null else if (isInt) acc.maxL: Any else acc.maxD: Any
+      }
+      new GenericInternalRow(
+        (groupKey.map(v => v: Any) ++ aggVals).toArray)
     }
-    new GenericInternalRow(vals)
+    if (groupDims.isEmpty) Iterator(row(Nil, global))
+    else groups.iterator.map { case (k, acc) => row(k, acc) }
   }
 
+  override def next(): Boolean = {
+    if (out == null) out = reduceAll()
+    out.hasNext
+  }
+  override def get(): InternalRow = out.next()
   override def close(): Unit = cursor.close()
 }
 

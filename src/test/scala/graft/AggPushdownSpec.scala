@@ -88,6 +88,43 @@ class AggPushdownSpec extends SparkTestBase {
     assert(r.isNullAt(1))
   }
 
+  test("GROUP BY index dims pushes with the aggregates") {
+    val dir = mkRepo("int64")
+    // outer dim: group key constant per decode run (fast path)
+    val byI0 = read(dir, "int64").groupBy("i0").agg(
+      sum("value").as("s"), count(lit(1)).as("n"), max("value").as("m"))
+      .orderBy("i0")
+    assert(scanOf(byI0).contains("PushedGroupBy"), scanOf(byI0))
+    val rows = byI0.collect()
+    assert(rows.length == 8)
+    rows.foreach { r =>
+      val i0 = r.getLong(0)
+      val exp = (0 until 80).filter(_ / 10 == i0).map(_ - 40)
+      assert(r.getLong(1) == exp.sum.toLong, s"i0=$i0")
+      assert(r.getLong(2) == 10L && r.getLong(3) == exp.max.toLong)
+    }
+
+    // innermost dim: key changes per cell (slow path), plus slice bounds
+    val byI1 = read(dir, "int64").filter(col("i0") >= 2)
+      .groupBy("i1").agg(min("value").as("lo")).orderBy("i1")
+    assert(scanOf(byI1).contains("PushedGroupBy"), scanOf(byI1))
+    val r1 = byI1.collect()
+    assert(r1.length == 10)
+    r1.foreach { r =>
+      val i1 = r.getLong(0)
+      val exp = (0 until 80).filter(id => id % 10 == i1 && id / 10 >= 2)
+        .map(_ - 40)
+      assert(r.getLong(1) == exp.min.toLong, s"i1=$i1")
+    }
+
+    // both dims grouped = per-cell identity: equals the raw relation
+    val byBoth = read(dir, "int64").groupBy("i0", "i1")
+      .agg(sum("value").as("v")).orderBy("i0", "i1").collect()
+    assert(byBoth.length == 80)
+    assert(byBoth.map(_.getLong(2)).toSeq ==
+      (0 until 80).map(id => (id - 40).toLong))
+  }
+
   test("SQL over the catalog takes the same pushed path") {
     val dir = mkRepo("int64")
     val cat = "gagg" + (System.nanoTime() % 100000)

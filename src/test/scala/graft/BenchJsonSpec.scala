@@ -59,7 +59,8 @@ class BenchJsonSpec extends AnyFunSuite {
       "engine_point_lookups_x20", "engine_point_lookups_hot",
       "engine_getsize_prefix", "engine_cube_write_1g",
       "engine_cube_read_1g", "engine_cube_slice_read",
-      "engine_v2_columnar_scan", "engine_v2_values_write",
+      "engine_v2_columnar_scan", "engine_v2_groupby_agg",
+      "engine_v2_values_write",
       "engine_catalog_values_write", "engine_cube_slice_rows")
     val results = scala.collection.mutable.LinkedHashMap(
       (SparkEntry.queries.keys.toSeq ++ engineKeys)
