@@ -237,6 +237,29 @@ class GraftCatalogSpec extends SparkTestBase {
       .head().getLong(0) == 16)
   }
 
+  test("CREATE TABLE AS SELECT: one DDL commit + clustered write") {
+    val dir = tmpDir("ctasrepo")
+    Repository.create(Store.local(dir), spark)
+    val cat = "gctas" + (System.nanoTime() % 100000)
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.path", dir)
+
+    spark.sql(s"""CREATE TABLE $cat.ct
+      |TBLPROPERTIES('shape'='24','chunk_shape'='8')
+      |AS SELECT id AS i0, id * 3 AS value FROM range(24)""".stripMargin)
+    val r = spark.sql(s"SELECT sum(value) AS s, count(*) AS n FROM $cat.ct")
+      .head()
+    assert(r.getLong(1) == 24L)
+    assert(r.getLong(0) == (0 until 24).map(_ * 3).sum.toLong)
+    // REPLACE TABLE AS SELECT overwrites in place
+    spark.sql(s"""REPLACE TABLE $cat.ct
+      |TBLPROPERTIES('shape'='24','chunk_shape'='8')
+      |AS SELECT id AS i0, id AS value FROM range(24)""".stripMargin)
+    assert(spark.sql(s"SELECT sum(value) FROM $cat.ct").head()
+      .getLong(0) == (0 until 24).sum.toLong)
+  }
+
   test("namespaces: CREATE / SHOW / DROP NAMESPACE are group commits") {
     val dir = tmpDir("nsrepo")
     val repo = Repository.create(Store.local(dir), spark)
