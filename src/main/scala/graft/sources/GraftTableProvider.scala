@@ -446,11 +446,15 @@ class GraftScanBuilder(opts: Map[String, String], tableSchema: StructType,
   /** Whole-number literal — the only kind Catalyst delivers against a
     * long index column without an intervening cast (which blocks filter
     * translation), asserted here anyway so a fractional bound can never
-    * be claimed as exactly pushed.
+    * be claimed as exactly pushed. Long.MinValue/MaxValue are excluded:
+    * the strict comparisons compute v±1, and a wrapped bound would
+    * silently widen a filter the scan just claimed to have applied.
     */
   private def integral(v: Any): Boolean = v match {
-    case _: java.lang.Long | _: java.lang.Integer | _: java.lang.Short |
-         _: java.lang.Byte => true
+    case l: java.lang.Long =>
+      l.longValue != Long.MaxValue && l.longValue != Long.MinValue
+    case _: java.lang.Integer | _: java.lang.Short | _: java.lang.Byte =>
+      true
     case _ => false
   }
 
@@ -588,10 +592,50 @@ class GraftScan(opts: Map[String, String], lo: Map[Int, Long],
                 hi: Map[Int, Long], required: StructType,
                 pushedAgg: Option[PushedAgg] = None)
     extends Scan with Batch
-    with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
+    with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
   private val mode = opts.getOrElse("mode", "refs")
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+
+  /** Post-pushdown size estimate so Catalyst can broadcast a sliced
+    * tensor read in a join. Values mode: the in-bounds cell count
+    * (bounds ∩ shape, dense upper bound — honest for committed arrays,
+    * conservative for sparse ones); with a pushed aggregation the output
+    * is a handful of partial rows. Refs mode reports no estimate.
+    */
+  override def estimateStatistics()
+      : org.apache.spark.sql.connector.read.Statistics =
+    new org.apache.spark.sql.connector.read.Statistics {
+      private val est: Option[Long] =
+        if (mode != "values") None
+        else try {
+          val (_, session, array) = GraftTableProvider.open(opts)
+          session.node(array).filter(_.isArray).map { node =>
+            val cells = node.shape.indices.map { d =>
+              val l = math.max(0L, lo.getOrElse(d, 0L))
+              val h0 = hi.getOrElse(d, Long.MaxValue)
+              val h = if (h0 == Long.MaxValue) node.shape(d)
+                      else math.min(node.shape(d), h0 + 1)
+              math.max(0L, h - l)
+            }.product
+            pushedAgg match {
+              case Some(a) if a.groupDims.isEmpty => 1L
+              case Some(a) =>
+                // one partial row per group value (bounded by cells)
+                math.min(cells, a.groupDims.map(d => node.shape(d)).product)
+              case None => cells
+            }
+          }
+        } catch { case _: Throwable => None }
+      override def sizeInBytes(): java.util.OptionalLong =
+        est.map(r => java.util.OptionalLong.of(
+          r * 8L * math.max(1, required.fields.length)))
+          .getOrElse(java.util.OptionalLong.empty())
+      override def numRows(): java.util.OptionalLong =
+        est.map(java.util.OptionalLong.of)
+          .getOrElse(java.util.OptionalLong.empty())
+    }
 
   /** Runtime group filter (row-level UPDATE/MERGE): the set of linearized
     * chunk ordinals that contain matching rows, computed by Spark's
@@ -601,9 +645,17 @@ class GraftScan(opts: Map[String, String], lo: Map[Int, Long],
     */
   @volatile private[sources] var runtimeOrds: Option[Array[Long]] = None
 
+  /** Advertise `_chunk_ord` as runtime-filterable ONLY when it is in
+    * the read schema (row-level operation scans request it via
+    * requiredMetadataAttributes). Spark's dynamic-pruning rules resolve
+    * these refs against the scan OUTPUT — advertising a column a plain
+    * scan does not emit makes every broadcast join over the scan throw
+    * at planning.
+    */
   override def filterAttributes()
       : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
-    if (mode == "values")
+    if (mode == "values" &&
+        required.fieldNames.contains(GraftTableProvider.ChunkOrdCol))
       Array(org.apache.spark.sql.connector.expressions.Expressions
         .column(GraftTableProvider.ChunkOrdCol))
     else Array.empty

@@ -125,6 +125,19 @@ class AggPushdownSpec extends SparkTestBase {
       (0 until 80).map(id => (id - 40).toLong))
   }
 
+  test("sliced values scans report post-pushdown stats and broadcast") {
+    val dir = mkRepo("int64")
+    val sliced = read(dir, "int64").filter(col("i0") === 2)
+    // rows estimate = bounds ∩ shape (10 cells) -> tiny sizeInBytes
+    val stats = sliced.queryExecution.optimizedPlan.stats
+    assert(stats.sizeInBytes < 10000, s"stats=$stats")
+    // ... which is what lets Catalyst broadcast the tensor side of a
+    // join instead of shuffling both sides
+    val joined = spark.range(100000).toDF("i1").join(sliced, "i1")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(1500))
+  }
+
   test("SQL over the catalog takes the same pushed path") {
     val dir = mkRepo("int64")
     val cat = "gagg" + (System.nanoTime() % 100000)
