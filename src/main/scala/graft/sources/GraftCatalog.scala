@@ -436,12 +436,26 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
 
   override def loadFunction(ident: Identifier): UnboundFunction =
     if (ident.name() == ChunkCoordFunction.Name) new ChunkCoordFunction
-    else throw new org.apache.spark.sql.catalyst.analysis
-      .NoSuchFunctionException(ident)
+    else ChunkCoordFunction.parseFixed(ident.name()) match {
+      case Some(extent) => new ChunkCoordFixedFunction(extent)
+      case None => throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchFunctionException(ident)
+    }
 }
 
 object ChunkCoordFunction {
   val Name = "chunk_coord"
+  /** Single-argument spelling `chunk_coord_<extent>(i)` — the form
+    * storage-partitioned-join planning requires (Spark only supports
+    * partition transforms with exactly one column child). The extent
+    * lives in the function NAME, so two arrays' partitionings compare
+    * compatible exactly when their chunk extents match.
+    */
+  def fixedName(extent: Long): String = s"${Name}_$extent"
+  def parseFixed(name: String): Option[Long] =
+    if (name.startsWith(Name + "_"))
+      name.drop(Name.length + 1).toLongOption.filter(_ > 0)
+    else None
 }
 
 /** `chunk_coord(i, extent) = floor(i / extent)` — the chunk-grid
@@ -481,6 +495,36 @@ private[sources] class ChunkCoordBoundFunction extends ScalarFunction[java.lang.
 
 private[sources] object ChunkCoordBoundFunction {
   def invoke(i: Long, extent: Long): Long = java.lang.Math.floorDiv(i, extent)
+}
+
+/** The one-argument family `chunk_coord_<extent>` used as a
+  * storage-partitioned-join partition transform. `canonicalName`
+  * carries the extent, so the planner treats two scans as co-partitioned
+  * only when their chunk grids actually match.
+  */
+private[sources] class ChunkCoordFixedFunction(extent: Long)
+    extends UnboundFunction {
+  override def name(): String = ChunkCoordFunction.fixedName(extent)
+  override def description(): String =
+    s"${name()}(i): chunk-grid coordinate floor(i / $extent)"
+  override def bind(inputType: StructType): BoundFunction = {
+    if (inputType.fields.length != 1)
+      throw new UnsupportedOperationException(
+        s"${name()} takes (index), got ${inputType.simpleString}")
+    new ChunkCoordFixedBoundFunction(extent)
+  }
+}
+
+private[sources] class ChunkCoordFixedBoundFunction(extent: Long)
+    extends ScalarFunction[java.lang.Long] {
+  override def inputTypes(): Array[DataType] = Array(LongType)
+  override def resultType(): DataType = LongType
+  override def name(): String = ChunkCoordFunction.fixedName(extent)
+  override def canonicalName(): String =
+    "graft." + ChunkCoordFunction.fixedName(extent)
+  override def isResultNullable: Boolean = false
+  override def produceResult(input: InternalRow): java.lang.Long =
+    java.lang.Math.floorDiv(input.getLong(0), extent)
 }
 
 object GraftCatalog {

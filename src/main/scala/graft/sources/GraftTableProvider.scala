@@ -588,12 +588,21 @@ case class ValuesPartition(files: Array[String], nodeId: String,
                            keepOrds: Array[Long] = null)
   extends InputPartition
 
+object GraftScan {
+  /** Upper bound on per-chunk partitions a storage-partitioned scan may
+    * plan; beyond it the scan falls back to range-subdivided partitions
+    * (and a shuffle join) rather than flooding the scheduler.
+    */
+  val SpjMaxPartitions = 8192
+}
+
 class GraftScan(opts: Map[String, String], lo: Map[Int, Long],
                 hi: Map[Int, Long], required: StructType,
                 pushedAgg: Option[PushedAgg] = None)
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
-    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics
+    with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
   private val mode = opts.getOrElse("mode", "refs")
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -703,8 +712,111 @@ class GraftScan(opts: Map[String, String], lo: Map[Int, Long],
         (if (a.groupDims.nonEmpty)
           s", PushedGroupBy: [${a.groupDims.map(d => s"i$d").mkString(", ")}]"
         else "")).getOrElse("")
-    s"GraftScan(${opts.getOrElse("array", "?")}, mode=$mode, $bounds$agg)"
+    val spj = if (spjInfo.isDefined) ", KeyGroupedByChunk" else ""
+    s"GraftScan(${opts.getOrElse("array", "?")}, mode=$mode, $bounds$agg$spj)"
   }
+
+  /** Storage-partitioned-join planning: when Spark's v2 bucketing is on
+    * and the table came through the catalog (whose FunctionCatalog can
+    * resolve `chunk_coord`), enumerate one partition per chunk inside
+    * the manifest extents ∩ pushed bounds, each keyed by its chunk-grid
+    * coordinate. Two arrays with the SAME chunk grid joined on their
+    * index columns then plan with NO shuffle on either side — the
+    * chunk-diff / mask-apply / two-variable-combine family at 100 TB.
+    * Falls back (None) beyond [[GraftScan.SpjMaxPartitions]] chunks per
+    * scan, for rectilinear grids, and under a pushed aggregation.
+    */
+  private lazy val spjInfo: Option[(graft.meta.NodeSpec,
+      Seq[(graft.meta.ManifestRef, Array[Long])])] =
+    if (mode != "values" || pushedAgg.isDefined ||
+        !opts.get("via-catalog").contains("true") ||
+        !org.apache.spark.sql.SparkSession.active.conf
+          .get("spark.sql.sources.v2.bucketing.enabled", "false").toBoolean)
+      None
+    else try {
+      val (_, session, array) = GraftTableProvider.open(opts)
+      session.node(array).filter(n => n.isArray && !n.isRectilinear)
+        .flatMap { node =>
+          val ndim = node.shape.size
+          val bl = (0 until ndim).map(d => math.max(0L, lo.getOrElse(d, 0L)))
+          val bh = (0 until ndim).map { d =>
+            val h = hi.getOrElse(d, Long.MaxValue)
+            if (h == Long.MaxValue) node.shape(d)
+            else math.min(node.shape(d), h + 1)
+          }
+          if ((0 until ndim).exists(d => bh(d) <= bl(d))) None
+          else spjEnumerate(session, node, bl, bh)
+        }
+    } catch { case _: Throwable => None }
+
+  /** One (manifest, chunk-coord) pair per chunk inside the manifest
+    * extents ∩ bounds, distinct by coord, capped at SpjMaxPartitions.
+    */
+  private def spjEnumerate(session: graft.repo.Session,
+      node: graft.meta.NodeSpec, bl: Seq[Long], bh: Seq[Long])
+      : Option[(graft.meta.NodeSpec,
+        Seq[(graft.meta.ManifestRef, Array[Long])])] = {
+    val ndim = node.shape.size
+    val cLoB = (0 until ndim).map(d => bl(d) / node.chunkShape(d))
+    val cHiB = (0 until ndim).map(d => (bh(d) - 1) / node.chunkShape(d))
+    val seen = scala.collection.mutable.LinkedHashSet[Seq[Long]]()
+    val out = scala.collection.mutable.ArrayBuffer[
+      (graft.meta.ManifestRef, Array[Long])]()
+    val manifests = session.base.manifests.getOrElse(node.id, Nil)
+    var overflow = false
+    manifests.foreach { m =>
+      if (!overflow && m.emin.size == ndim) {
+        val clo = (0 until ndim).map(d =>
+          math.max(m.emin(d).toLong, cLoB(d)))
+        val chi = (0 until ndim).map(d =>
+          math.min(m.emax(d).toLong, cHiB(d)))
+        if ((0 until ndim).forall(d => clo(d) <= chi(d))) {
+          def rec(d: Int, acc: List[Long]): Unit =
+            if (overflow) ()
+            else if (d == ndim) {
+              val key = acc.reverse
+              if (!seen.contains(key)) {
+                if (seen.size >= GraftScan.SpjMaxPartitions)
+                  overflow = true
+                else { seen += key; out += ((m, key.toArray)) }
+              }
+            } else {
+              var c = clo(d)
+              while (c <= chi(d) && !overflow) {
+                rec(d + 1, c :: acc); c += 1
+              }
+            }
+          rec(0, Nil)
+        }
+      }
+    }
+    if (overflow || out.isEmpty) None else Some((node, out.toSeq))
+  }
+
+  /** Report chunk-grid key grouping so the planner can match two
+    * same-grid arrays without an exchange (UnknownPartitioning
+    * otherwise — planner behaves exactly as before).
+    */
+  override def outputPartitioning()
+      : org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    spjInfo match {
+      case Some((node, chunks)) =>
+        import org.apache.spark.sql.connector.expressions.Expressions
+        // single-argument transform family: SPJ planning only supports
+        // transforms whose sole child is a column reference, so the
+        // chunk extent rides in the function name (and canonicalName —
+        // grids match only when extents match)
+        val exprs = node.shape.indices.map(d =>
+          Expressions.apply(
+            ChunkCoordFunction.fixedName(node.chunkShape(d)),
+            Expressions.column(s"i$d"))
+            : org.apache.spark.sql.connector.expressions.Expression).toArray
+        new org.apache.spark.sql.connector.read.partitioning
+          .KeyGroupedPartitioning(exprs, chunks.size)
+      case None =>
+        new org.apache.spark.sql.connector.read.partitioning
+          .UnknownPartitioning(0)
+    }
 
   override def planInputPartitions(): Array[InputPartition] = {
     val (repo, session, array) = GraftTableProvider.open(opts)
@@ -753,6 +865,34 @@ class GraftScan(opts: Map[String, String], lo: Map[Int, Long],
         val h = hi.getOrElse(d, Long.MaxValue)
         if (h == Long.MaxValue) node.shape(d)
         else math.min(node.shape(d), h + 1) // inclusive -> exclusive
+      }
+      // storage-partitioned-join mode: one KEYED partition per chunk
+      // (coord = partition key), pruned by the runtime group filter if
+      // one arrived; file lists are resolved per manifest once
+      spjInfo.foreach { case (spjNode, chunks) =>
+        val files =
+          scala.collection.mutable.Map[graft.meta.ManifestRef, Array[String]]()
+        val gs = GraftTableProvider.gridStrides(spjNode.shape,
+          spjNode.chunkShape)
+        val ordsOk: Array[Long] => Boolean = runtimeOrds match {
+          case None => _ => true
+          case Some(set0) =>
+            val set = set0.toSet
+            key => set.contains(
+              key.indices.map(d => key(d) * gs(d)).sum)
+        }
+        return chunks.filter { case (_, key) => ordsOk(key) }
+          .map { case (m, key) =>
+            val pLo = (0 until ndim).map(d =>
+              math.max(bl(d), key(d) * spjNode.chunkShape(d)))
+            val pHi = (0 until ndim).map(d =>
+              math.min(bh(d), (key(d) + 1) * spjNode.chunkShape(d)))
+            KeyedValuesPartition(ValuesPartition(
+              files.getOrElseUpdate(m, filesOf(m)), node.id, fsConf,
+              store.conf, repo.virtualResolver, dtype,
+              opts.getOrElse("compression", "raw"), node.chunkShape,
+              node.shape, pLo, pHi), key): InputPartition
+          }.toArray
       }
       // one split can hold thousands of chunks: subdivide its chunk range
       // along the widest dim so a single-split array still saturates the
@@ -832,12 +972,25 @@ class GraftScan(opts: Map[String, String], lo: Map[Int, Long],
       new GraftMetrics.ChunksDecoded)
 }
 
+/** One chunk's partition under storage-partitioned-join planning: the
+  * partition KEY is the chunk-grid coordinate (`chunk_coord(i_d)` per
+  * dim), so Spark can group both join sides by chunk and skip the
+  * shuffle entirely when two arrays share a chunk grid.
+  */
+case class KeyedValuesPartition(vp: ValuesPartition, keyVals: Array[Long])
+    extends InputPartition
+    with org.apache.spark.sql.connector.read.HasPartitionKey {
+  override def partitionKey(): InternalRow =
+    new GenericInternalRow(keyVals.map(v => v: Any))
+}
+
 class GraftReaderFactory(required: StructType)
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     p match {
       case sp: SplitPartition => new GraftPartitionReader(sp, required)
       case vp: ValuesPartition => new GraftValuesReader(vp, required)
+      case kp: KeyedValuesPartition => new GraftValuesReader(kp.vp, required)
     }
 
   /** Both modes hand Spark '''columnar batches''': values fill primitive
@@ -853,6 +1006,8 @@ class GraftReaderFactory(required: StructType)
     p match {
       case vp: ValuesPartition => new GraftValuesColumnarReader(vp, required)
       case sp: SplitPartition => new GraftRefsColumnarReader(sp, required)
+      case kp: KeyedValuesPartition =>
+        new GraftValuesColumnarReader(kp.vp, required)
     }
 }
 

@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.repo._
+import graft.storage.Store
+
+/** Storage-partitioned joins: two arrays sharing a chunk grid join on
+  * their index columns with NO shuffle on either side — each scan
+  * reports KeyGroupedPartitioning over `chunk_coord(i_d)` and plans one
+  * keyed partition per chunk. The chunk-diff / mask-apply family at
+  * 100 TB is exactly this shape.
+  */
+class StoragePartitionedJoinSpec extends SparkTestBase {
+
+  private def setup(): (String, String) = {
+    val dir = tmpDir("spjrepo")
+    val repo = Repository.create(Store.local(dir), spark,
+      GraftConfig(splits = Seq(SplitRule(".*", 0, 100))))
+    val s = repo.writableSession("main")
+    s.addArray("/a", Seq(8, 10), Seq(4, 5), userData = """{"dtype":"int64"}""")
+    s.addArray("/b", Seq(8, 10), Seq(4, 5), userData = """{"dtype":"int64"}""")
+    // same grid, different chunking -> incompatible partitioning
+    s.addArray("/c", Seq(8, 10), Seq(2, 5), userData = """{"dtype":"int64"}""")
+    s.commit("init")
+    val cat = "gspj" + (System.nanoTime() % 100000)
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.path", dir)
+    Seq("a" -> 1L, "b" -> 7L, "c" -> 7L).foreach { case (t, mult) =>
+      spark.sql(s"INSERT INTO $cat.$t SELECT id div 10, id % 10, " +
+        s"id * $mult FROM range(80)")
+    }
+    (cat, dir)
+  }
+
+  private def shuffles(df: org.apache.spark.sql.DataFrame): Int =
+    df.queryExecution.executedPlan.toString
+      .linesIterator.count(_.contains("Exchange hashpartitioning"))
+
+  private def withSpj[A](body: => A): A = {
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try body
+    finally {
+      spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
+  test("same-grid arrays join with zero shuffles") {
+    val (cat, _) = setup()
+    withSpj {
+      val df = spark.sql(
+        s"""SELECT sum(abs(a.value - b.value)) AS d, count(*) AS n
+           |FROM $cat.a a JOIN $cat.b b
+           |ON a.i0 = b.i0 AND a.i1 = b.i1""".stripMargin)
+      assert(shuffles(df) == 0,
+        df.queryExecution.executedPlan.toString.take(3000))
+      val r = df.head()
+      assert(r.getLong(1) == 80L)
+      assert(r.getLong(0) == (0 until 80).map(id => math.abs(id - id * 7L)).sum)
+    }
+  }
+
+  test("mismatched chunk grids fall back to a shuffle join, still correct") {
+    val (cat, _) = setup()
+    withSpj {
+      val df = spark.sql(
+        s"""SELECT sum(a.value + c.value) AS s
+           |FROM $cat.a a JOIN $cat.c c
+           |ON a.i0 = c.i0 AND a.i1 = c.i1""".stripMargin)
+      assert(shuffles(df) > 0)
+      assert(df.head().getLong(0) == (0 until 80).map(id => id + id * 7L).sum)
+    }
+  }
+
+  test("bucketing off keeps the old plans (no keyed partitions)") {
+    val (cat, _) = setup()
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = spark.sql(
+        s"""SELECT count(*) AS n FROM $cat.a a JOIN $cat.b b
+           |ON a.i0 = b.i0 AND a.i1 = b.i1""".stripMargin)
+      assert(shuffles(df) > 0)
+      assert(df.head().getLong(0) == 80L)
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
+  test("SPJ composes with slice bounds and runtime-pruned scans") {
+    val (cat, _) = setup()
+    withSpj {
+      // slice both sides to the same chunk rows; keys stay aligned
+      val df = spark.sql(
+        s"""SELECT sum(a.value - b.value) AS d, count(*) AS n
+           |FROM $cat.a a JOIN $cat.b b
+           |ON a.i0 = b.i0 AND a.i1 = b.i1
+           |WHERE a.i0 >= 4 AND b.i0 >= 4""".stripMargin)
+      val r = df.head()
+      val ids = (0 until 80).filter(_ / 10 >= 4)
+      assert(r.getLong(1) == ids.length.toLong)
+      assert(r.getLong(0) == ids.map(id => id - id * 7L).sum)
+    }
+  }
+}
