@@ -86,6 +86,25 @@ class StoragePartitionedJoinSpec extends SparkTestBase {
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 
+  test("snapshot-vs-snapshot value diff via time travel joins shuffle-free") {
+    val (cat, dir) = setup()
+    // tag the current state, then overwrite one chunk's worth of cells
+    val repo = Repository.open(Store.local(dir), spark)
+    repo.createTag("v1", repo.resolveVersion(VersionRef.Branch("main")))
+    spark.sql(s"UPDATE $cat.a SET value = value + 1000 " +
+      "WHERE i0 >= 4 AND i1 >= 5")
+    withSpj {
+      val df = spark.sql(
+        s"""SELECT count(*) AS changed
+           |FROM $cat.a cur JOIN $cat.a VERSION AS OF 'v1' old
+           |ON cur.i0 = old.i0 AND cur.i1 = old.i1
+           |WHERE cur.value <> old.value""".stripMargin)
+      assert(shuffles(df) == 0,
+        df.queryExecution.executedPlan.toString.take(3000))
+      assert(df.head().getLong(0) == 20L) // one 4x5 chunk rewritten
+    }
+  }
+
   test("SPJ composes with slice bounds and runtime-pruned scans") {
     val (cat, _) = setup()
     withSpj {
