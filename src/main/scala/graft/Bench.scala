@@ -354,6 +354,23 @@ object Bench {
              |       id % 1000 - 500 AS value
              |FROM range(${n.toLong * n * n})""".stripMargin)
       }
+      // value-plane snapshot diff: rewrite 4 of the cube's chunks, then
+      // diff the two versions — the metadata join prunes to the 4
+      // changed coords, so only 8 chunk payloads are decoded out of 128
+      entry("engine_values_diff") {
+        val before = repo.readonlySession(VersionRef.Branch("main"))
+        val sd = repo.writableSession("main")
+        (0 until 4).foreach { c =>
+          val vals = Array.tabulate(chunkElems)(i => -((i % 1000) - 500).toLong)
+          sd.writeChunk("/cube", Seq(c * (cube / 16), 0, 0),
+            graft.functions.ChunkCodec.encodeLongs(vals, "int64"))
+        }
+        sd.commit("diff edits")
+        val after = repo.readonlySession(VersionRef.Branch("main"))
+        val n = graft.tensor.TensorPlane
+          .valueDiff(before, after, "/cube", "int64").count()
+        assert(n > 0)
+      }
       // row-returning region read: sub-block decode emits only the
       // requested cells, then the usual (i0..iN, value) explode
       entry("engine_cube_slice_rows") {

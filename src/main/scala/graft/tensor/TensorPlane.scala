@@ -119,6 +119,75 @@ object TensorPlane {
       col("col").as("value"): _*)
   }
 
+  /** Chunk refs that DIFFER between two versions of `path`: full-outer
+    * join of the two ref relations on coord, keeping rows where any ref
+    * field changed (rewritten chunk id, inline payload, virtual
+    * location/range) or where the chunk exists on one side only. This
+    * is the metadata prune of [[valueDiff]] — on a 100 TB array with
+    * one rewritten chunk it returns one row.
+    */
+  def changedChunkRefs(oldSession: Session, newSession: Session,
+                       path: String): DataFrame = {
+    def side(s: Session, tag: String) = s.refs(path).select(col("coord"),
+      struct(col("kind"), col("inline"), col("chunk_id"), col("location"),
+        col("offset"), col("length")).as(tag))
+    side(oldSession, "o")
+      .join(side(newSession, "n"), Seq("coord"), "full_outer")
+      .filter(!(col("o") <=> col("n")))
+  }
+
+  /** Value-plane snapshot diff: `(i0..iN, old_value, new_value)` for
+    * every cell whose value differs between two versions — decoding
+    * ONLY chunks whose refs differ ([[changedChunkRefs]] prunes first,
+    * so cost scales with the CHANGE, not the array). A chunk present on
+    * one side only reads as fill (0) on the other, matching zarr's
+    * missing-chunk semantics. Both versions must share the chunk grid
+    * (diff across a reindex/reshape is a different operation).
+    */
+  def valueDiff(oldSession: Session, newSession: Session, path: String,
+                dtype: String, compression: String = "raw"): DataFrame = {
+    val nodeN = newSession.node(path).filter(_.isArray).getOrElse(
+      throw new GraftException(s"no array at $path (new version)"))
+    val nodeO = oldSession.node(path).filter(_.isArray).getOrElse(
+      throw new GraftException(s"no array at $path (old version)"))
+    if (nodeN.isRectilinear || nodeO.isRectilinear)
+      throw new GraftException("valueDiff requires a regular chunk grid")
+    if (nodeN.chunkShape != nodeO.chunkShape)
+      throw new GraftException(
+        s"valueDiff requires both versions to share the chunk grid " +
+          s"(${nodeO.chunkShape.mkString("x")} vs " +
+          s"${nodeN.chunkShape.mkString("x")})")
+    val ndim = nodeN.shape.size
+    val cells = nodeN.chunkShape.product.toInt
+    val isInt = ChunkCodec.IntDtypes.contains(dtype)
+    val fill =
+      if (isInt) array_repeat(lit(0L), cells)
+      else array_repeat(lit(0.0), cells)
+    val fetch = sessionFetch(newSession)
+    def bytesOf(tag: String) = fetch(col(s"$tag.kind"), col(s"$tag.inline"),
+      col(s"$tag.chunk_id"), col(s"$tag.location"), col(s"$tag.offset"),
+      col(s"$tag.length"))
+    val spark = newSession.refs(path).sparkSession
+    val decoded = changedChunkRefs(oldSession, newSession, path)
+      .repartition(spark.sparkContext.defaultParallelism * 2, col("coord"))
+      .select(col("coord"),
+        coalesce(CodecFunctions.decode_chunk(bytesOf("o"), dtype,
+          compression), fill).as("oa"),
+        coalesce(CodecFunctions.decode_chunk(bytesOf("n"), dtype,
+          compression), fill).as("na"))
+    val exploded = decoded.select(col("coord"),
+      posexplode(arrays_zip(col("oa"), col("na"))))
+    val withIdx = regularIndex(exploded, nodeN, ndim)
+    val bounded = (0 until ndim).foldLeft(withIdx) { case (df, i) =>
+      df.filter(col(s"i$i") <
+        math.max(nodeO.shape(i), nodeN.shape(i)))
+    }
+    bounded
+      .filter(!(col("col.oa") <=> col("col.na")))
+      .select((0 until ndim).map(i => col(s"i$i")) ++ Seq(
+        col("col.oa").as("old_value"), col("col.na").as("new_value")): _*)
+  }
+
   /** Global (i0..iN) indices for a regular grid from (coord, pos) —
     * constant chunk extents and strides.
     */
