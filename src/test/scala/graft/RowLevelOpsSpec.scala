@@ -160,6 +160,39 @@ class RowLevelOpsSpec extends SparkTestBase {
     assert(chunkIds(repo).keySet == Set(Seq(0, 0), Seq(0, 1)))
   }
 
+  test("concurrent UPDATEs on disjoint chunks both land via rebase") {
+    val (cat, repo, _) = setup()
+    val latch = new java.util.concurrent.CountDownLatch(2)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    def updater(cond: String, delta: Long): Thread = {
+      val t = new Thread(() => {
+        try {
+          latch.countDown(); latch.await()
+          spark.sql(s"UPDATE $cat.climate.temp " +
+            s"SET value = value + $delta WHERE $cond")
+        } catch { case e: Throwable => errs.add(e) }
+      })
+      t.start(); t
+    }
+    // chunk (0,0) vs chunk (1,1): disjoint edits — the loser of the CAS
+    // race must rebase its staged chunk over the winner's snapshot
+    val a = updater("i0 < 4 AND i1 < 5", 1000)
+    val b = updater("i0 >= 4 AND i1 >= 5", 2000)
+    a.join(60000); b.join(60000)
+    assert(errs.isEmpty, errs.toArray.mkString(";"))
+    val r = spark.sql(s"SELECT sum(value) FROM $cat.climate.temp").head()
+    val expected = (0 until 80).map { id =>
+      val (i0, i1) = (id / 10, id % 10)
+      if (i0 < 4 && i1 < 5) id + 1000L
+      else if (i0 >= 4 && i1 >= 5) id + 2000L
+      else id.toLong
+    }.sum
+    assert(r.getLong(0) == expected)
+    // two commits on top of the insert — nothing was lost or collapsed
+    assert(repo.ancestry(VersionRef.Branch("main"))
+      .count(_.message.startsWith("v2 values write")) >= 3)
+  }
+
   test("_chunk_ord is a queryable metadata column") {
     val (cat, _, _) = setup()
     val rows = spark.sql(s"SELECT _chunk_ord, count(*) AS n " +
