@@ -371,6 +371,25 @@ object Bench {
           .valueDiff(before, after, "/cube", "int64").count()
         assert(n > 0)
       }
+      // full-array regrid: (4,c,c) chunks -> (8,c/2,c/2) — the rechunk
+      // job's shuffle carries ONLY the (src,dst) coord relation (bytes
+      // per chunk); payloads move as object-store reads on the
+      // destination tasks + uploads, never through the exchange
+      entry("engine_rechunk_1g") {
+        val s = repo.writableSession("main")
+        graft.tensor.TensorPlane.rechunk(s, "/cube",
+          Seq(8L, (cube / 2).toLong, (cube / 2).toLong), "int64")
+        s.commit("rechunk")
+      }
+      // verify outside the timer
+      locally {
+        val ro = repo.readonlySession(VersionRef.Branch("main"))
+        assert(ro.node("/cube").get.chunkShape ==
+          Seq(8L, (cube / 2).toLong, (cube / 2).toLong), "rechunk grid")
+        if (cube % 8 == 0)
+          assert(ro.refs("/cube").count() == (cube / 8).toLong * 4,
+            "rechunk ref count")
+      }
       // row-returning region read: sub-block decode emits only the
       // requested cells, then the usual (i0..iN, value) explode
       entry("engine_cube_slice_rows") {

@@ -479,6 +479,20 @@ object Oracles {
         |    ORDER BY mix, doc_id) AS BIGINT) AS pos
         |FROM m ORDER BY shard, pos""".stripMargin,
 
+    // the engine side runs a REAL distributed rechunk (1,000-cell ->
+    // 1,600-cell grid) and aggregates per NEW chunk; the pattern
+    // v(i) = (i*7) % 1000 - 500 makes every column closed-form arithmetic
+    "q_rechunk" ->
+      """WITH cells AS (
+        |  SELECT range AS i, (range * 7) % 1000 - 500 AS v
+        |  FROM range(60000))
+        |SELECT i // 1600 AS chunk_id,
+        |  count(*) AS n,
+        |  CAST(sum(v) AS BIGINT) AS total,
+        |  CAST(min(v) AS BIGINT) AS vmin,
+        |  CAST(max(v) AS BIGINT) AS vmax
+        |FROM cells GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q_pii_scrub" ->
       """SELECT doc_id,
         |  regexp_replace(regexp_replace(regexp_replace(

@@ -691,6 +691,39 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** REAL distributed rechunk end-to-end: build a repo with a closed-form
+    * int64 pattern on a 1,000-cell grid, regrid it to 1,600-cell chunks
+    * with [[graft.tensor.TensorPlane.rechunk]] (block copies — no cell
+    * shuffle), then aggregate per NEW chunk. Every output is plain
+    * arithmetic over `range(60000)` for the DuckDB oracle, so a block
+    * misplaced by even one cell changes a sum. The fixture is rebuilt per
+    * call (temp dir) — deterministic by construction.
+    */
+  val q_rechunk: Q = (s, _) => {
+    val dir = java.nio.file.Files.createTempDirectory("graft-q-rechunk")
+    val repo = graft.repo.Repository.create(
+      graft.storage.Store.local(dir.toString), s)
+    val w = repo.writableSession("main")
+    w.addArray("/a", Seq(60000L), Seq(1000L))
+    for (c <- 0 until 60) {
+      val vals = Array.tabulate(1000) { i =>
+        val g = c * 1000L + i; (g * 7) % 1000 - 500
+      }
+      w.writeChunk("/a", Seq(c),
+        graft.functions.ChunkCodec.encodeLongs(vals, "int64"))
+    }
+    w.commit("init")
+    val rs = repo.writableSession("main")
+    graft.tensor.TensorPlane.rechunk(rs, "/a", Seq(1600L), "int64")
+    rs.commit("regrid")
+    val ro = repo.readonlySession(graft.repo.VersionRef.Branch("main"))
+    graft.tensor.TensorPlane.values(ro, "/a", "int64")
+      .groupBy(expr("i0 div 1600").as("chunk_id"))
+      .agg(count(lit(1)).as("n"), sum("value").as("total"),
+        min("value").as("vmin"), max("value").as("vmax"))
+      .orderBy("chunk_id")
+  }
+
   // insertion-ordered: Verify/Bench iterate this map, and a stable entry
   // order is what makes bench runs comparable round-over-round
   val all: Map[String, Q] = scala.collection.immutable.ListMap(
@@ -737,6 +770,7 @@ object Queries {
     "q_quality_score" -> q_quality_score,
     "q_pack_sequences" -> q_pack_sequences,
     "q_shuffle_shard" -> q_shuffle_shard,
+    "q_rechunk" -> q_rechunk,
     "q_pii_scrub" -> q_pii_scrub,
     "q_repetition" -> q_repetition,
     "q_fingerprint" -> q_fingerprint,

@@ -77,6 +77,36 @@ object ChunkCodec {
     }
     bb.array()
   }
+
+  /** Decode raw little-endian bytes into a primitive long array — the
+    * task-side twin of [[DecodeChunkExpr]] for kernels that operate on
+    * whole chunk buffers (rechunk's block copies) rather than columns.
+    */
+  def decodeLongs(raw: Array[Byte], dtype: String): Array[Long] = {
+    val bb = ByteBuffer.wrap(raw).order(ByteOrder.LITTLE_ENDIAN)
+    dtype match {
+      case "int8" => Array.tabulate(raw.length)(i => bb.get(i).toLong)
+      case "int16" =>
+        Array.tabulate(raw.length / 2)(i => bb.getShort(i * 2).toLong)
+      case "int32" =>
+        Array.tabulate(raw.length / 4)(i => bb.getInt(i * 4).toLong)
+      case "int64" => Array.tabulate(raw.length / 8)(i => bb.getLong(i * 8))
+      case other =>
+        throw new IllegalArgumentException(s"not an int dtype: $other")
+    }
+  }
+
+  def decodeDoubles(raw: Array[Byte], dtype: String): Array[Double] = {
+    val bb = ByteBuffer.wrap(raw).order(ByteOrder.LITTLE_ENDIAN)
+    dtype match {
+      case "float32" =>
+        Array.tabulate(raw.length / 4)(i => bb.getFloat(i * 4).toDouble)
+      case "float64" =>
+        Array.tabulate(raw.length / 8)(i => bb.getDouble(i * 8))
+      case other =>
+        throw new IllegalArgumentException(s"not a float dtype: $other")
+    }
+  }
 }
 
 /** Decode chunk bytes into a numeric array column: ARRAY<BIGINT> for

@@ -351,6 +351,30 @@ final class Session private[repo] (
     reindexArray(path, coord =>
       zip_with(coord, lit(offsets.toArray), (c, o) => c + o))
 
+  /** Swap an array's chunk grid AND its whole ref relation in one
+    * changeset action — the commit side of a rechunk
+    * ([[graft.tensor.TensorPlane.rechunk]] computes `refs` as a
+    * distributed block-copy job first). Rewritten-node semantics, like
+    * [[reindexArray]]: committed refs for the node are dropped, earlier
+    * in-session edits for it are discarded, and `refs` (already on the
+    * NEW grid) becomes the node's entire coordinate table. `refs` must be
+    * re-evaluable without side effects (a staging-Parquet read, not a
+    * live job) — flush/rebase replay it.
+    */
+  def rechunkArray(path: String, newChunkShape: Seq[Long],
+                   refs: DataFrame): Unit = {
+    requireWritable()
+    requireNotMoveOnly()
+    val n = arrayNode(path)
+    if (n.isRectilinear) throw new GraftException(
+      s"rechunk requires a regular chunk grid (${n.path} is rectilinear)")
+    graft.core.ArrayShape.regular(n.shape, newChunkShape) // validates
+    updateArray(path, n.shape, newChunkShape)
+    changeSet.rewrittenNodes += n.id
+    changeSet.clearChunks(n.id)
+    stageChunkRefs(path, refs)
+  }
+
   // ------------------------------------------------------------------
   // chunk reads (changeset-first — §3.1)
   // ------------------------------------------------------------------

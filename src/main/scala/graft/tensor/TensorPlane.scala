@@ -31,22 +31,36 @@ object TensorPlane {
                     resolver: graft.virt.VirtualChunkResolver =
                       graft.virt.VirtualChunkResolver.default) = udf(
     (kind: String, inline: Array[Byte], chunkId: String, location: String,
-     offset: Long, length: Long) => {
-      kind match {
-        case ChunkRef.KindInline => inline
-        case ChunkRef.KindRef =>
-          val store = graft.storage.StoreConf.cached(conf)
-          val key = graft.meta.Layout.chunkKey(chunkId)
-          // value-plane scans read each (sub-)range once per query:
-          // bypass the chunk cache (bulk-scan contract — see ChunkCache)
-          graft.storage.ChunkCache.getOrFetch(store, key, offset, length,
-            cacheable = false)(
-            store.getRangeSplit(key, offset, length))
-        case ChunkRef.KindVirtual =>
-          resolver.ranged(location, offset, length)
-        case _ => null
-      }
-    })
+     offset: Long, length: Long) =>
+      fetchRef(conf, resolver, kind, inline, chunkId, location, offset,
+        length,
+        // value-plane scans read each (sub-)range once per query:
+        // bypass the chunk cache (bulk-scan contract — see ChunkCache)
+        cacheable = false))
+
+  /** Task-side ref→bytes dispatch (the plain-function twin of
+    * [[fetchBytesUdf]] for mapPartitions kernels). `cacheable = true`
+    * routes through the per-executor chunk LRU — right when the SAME
+    * chunk is read by several consumers in one job (rechunk fragments).
+    */
+  private[graft] def fetchRef(conf: graft.storage.StoreConf,
+                              resolver: graft.virt.VirtualChunkResolver,
+                              kind: String, inline: Array[Byte],
+                              chunkId: String, location: String,
+                              offset: Long, length: Long,
+                              cacheable: Boolean): Array[Byte] =
+    kind match {
+      case ChunkRef.KindInline => inline
+      case ChunkRef.KindRef =>
+        val store = graft.storage.StoreConf.cached(conf)
+        val key = graft.meta.Layout.chunkKey(chunkId)
+        graft.storage.ChunkCache.getOrFetch(store, key, offset, length,
+          cacheable = cacheable)(
+          store.getRangeSplit(key, offset, length))
+      case ChunkRef.KindVirtual =>
+        resolver.ranged(location, offset, length)
+      case _ => null
+    }
 
   /** Chunk-ref rows with a materialized `bytes` column. */
   def chunkBytes(session: Session, path: String): DataFrame = {
@@ -424,6 +438,234 @@ object TensorPlane {
       .withColumn("offset", lit(0L))
     session.trackStaging(stagingKey)
     session.stageChunkRefs(path, refs)
+  }
+
+  /** Rechunk a regular-grid array onto a new chunk shape as a distributed
+    * block-copy job — the missing zarr-ecosystem workflow (the reference
+    * stores whatever grid the writer chose; changing it is an external
+    * "rechunker" pipeline). Spark-first scale shape:
+    *
+    *  1. the ref relation maps each SOURCE chunk to the destination
+    *     chunks it overlaps — pure per-dim arithmetic exploded from the
+    *     coord column, so the only thing that ever SHUFFLES is this
+    *     (src, dst) coordinate relation: tens of bytes per chunk.
+    *     Payload bytes move via object-store reads on the destination's
+    *     task, never through a Spark shuffle (contrast: rechunk-by-
+    *     `values()`+`writeValues` would shuffle every CELL — 100 TB
+    *     through the exchange);
+    *  2. `repartition(dst)` + sort brings each destination chunk's
+    *     fragments together, neighbors adjacent — a per-task decoded-
+    *     source LRU (byte-budgeted) plus the per-executor chunk-byte LRU
+    *     make a source shared by several destinations decode ~once;
+    *  3. each destination chunk is assembled with row-major
+    *     `System.arraycopy` runs, encoded, and uploaded from the
+    *     executor; refs land in a staging Parquet dataset that
+    *     flush/rebase replay (same idempotence contract as
+    *     [[writeValues]]);
+    *  4. [[Session.rechunkArray]] swaps the chunk grid and the whole ref
+    *     relation atomically in the changeset (rewritten-node semantics).
+    *
+    * Absent source chunks stay absent: a destination chunk all of whose
+    * sources are missing is simply not written (fill semantics), so
+    * rechunking a sparse array stays sparse along chunk-aligned holes.
+    */
+  def rechunk(session: Session, path: String, newChunks: Seq[Long],
+              dtype: String, compression: String = "raw"): Unit = {
+    val node = session.node(path).filter(_.isArray).getOrElse(
+      throw new GraftException(s"no array at $path"))
+    if (node.isRectilinear) throw new GraftException(
+      s"rechunk requires a regular chunk grid ($path is rectilinear)")
+    val shape = node.shape
+    val ndim = shape.size
+    require(newChunks.size == ndim && newChunks.forall(_ > 0),
+      s"bad target chunk shape ${newChunks.mkString("x")}")
+    if (newChunks == node.chunkShape) return // already on that grid
+    graft.core.ArrayShape.regular(shape, newChunks) // validate up front
+    val srcChunks = node.chunkShape
+    val srcCells = srcChunks.product.toInt
+    val dstCells = newChunks.product.toInt
+    val isInt = ChunkCodec.IntDtypes.contains(dtype)
+    val spark = session.repo.spark
+    import spark.implicits._
+    val conf = session.repo.store.conf
+    val resolver = session.repo.virtualResolver
+
+    // 1. source ref -> overlapping destination coords (inclusive ranges
+    // per dim; `div` keeps the arithmetic integral end to end)
+    var fr = session.refs(path).select(col("coord"), col("kind"),
+      col("inline"), col("chunk_id"), col("location"), col("offset"),
+      col("length"))
+    for (i <- 0 until ndim) {
+      val cs = srcChunks(i); val ds = newChunks(i); val sh = shape(i)
+      fr = fr.withColumn(s"_d$i", explode(sequence(
+        expr(s"int((element_at(coord, ${i + 1}) * ${cs}L) div $ds)"),
+        expr(s"int((least(element_at(coord, ${i + 1}) * ${cs}L + $cs, " +
+          s"${sh}L) - 1) div $ds)"))))
+    }
+    val frags = fr
+      .withColumn("dst", array((0 until ndim).map(i => col(s"_d$i")): _*))
+      .select(col("dst"), col("coord").as("src"), col("kind"),
+        col("inline"), col("chunk_id"), col("location"), col("offset"),
+        col("length"))
+
+    val parts = spark.sparkContext.defaultParallelism * 2
+    // tuple encoders resolve by field name, not position
+    val sorted = frags
+      .repartition(parts, col("dst"))
+      .sortWithinPartitions("dst", "src")
+      .toDF("_1", "_2", "_3", "_4", "_5", "_6", "_7", "_8")
+      .as[(Seq[Int], Seq[Int], String, Array[Byte], String, String,
+        Long, Long)]
+
+    val (srcA, dstA, shpA) =
+      (srcChunks.toArray, newChunks.toArray, shape.toArray)
+    val refsDf =
+      (if (isInt)
+        sorted.mapPartitions { it =>
+          assembleChunks[Long](it, srcA, dstA, shpA,
+            () => new Array[Long](dstCells),
+            raw => {
+              val a = ChunkCodec.decodeLongs(
+                ChunkCodec.decompress(raw, compression), dtype)
+              if (a.length >= srcCells) a
+              else java.util.Arrays.copyOf(a, srcCells) // short edge chunk
+            },
+            arr => ChunkCodec.compress(
+              ChunkCodec.encodeLongs(arr, dtype), compression),
+            conf, resolver)
+        }
+      else
+        sorted.mapPartitions { it =>
+          assembleChunks[Double](it, srcA, dstA, shpA,
+            () => new Array[Double](dstCells),
+            raw => {
+              val a = ChunkCodec.decodeDoubles(
+                ChunkCodec.decompress(raw, compression), dtype)
+              if (a.length >= srcCells) a
+              else java.util.Arrays.copyOf(a, srcCells)
+            },
+            arr => ChunkCodec.compress(
+              ChunkCodec.encodeDoubles(arr, dtype), compression),
+            conf, resolver)
+        }).toDF("coord", "chunk_id", "length")
+
+    // run the copy job exactly once; changeset actions replay from the
+    // staging Parquet (flush, tx log, rebase retries)
+    val stagingKey = graft.meta.Layout.stagingPrefix(
+      graft.core.Ids.toBase32(graft.core.Ids.newObjectId()))
+    refsDf.write.parquet(session.repo.store.uri(stagingKey))
+    val refs = spark.read.parquet(session.repo.store.uri(stagingKey))
+      .withColumn("kind", lit(ChunkRef.KindRef))
+      .withColumn("offset", lit(0L))
+    session.trackStaging(stagingKey)
+    session.rechunkArray(path, newChunks, refs)
+  }
+
+  /** Assemble destination chunks from a (dst, src, ref...) run sorted by
+    * dst: fetch + decode each source once per miss (decoded LRU, byte
+    * budget ~64 MB), block-copy the overlap, upload, emit
+    * (coord, chunk_id, encodedLength).
+    */
+  private[graft] def assembleChunks[V](
+      it: Iterator[(Seq[Int], Seq[Int], String, Array[Byte], String,
+        String, Long, Long)],
+      srcChunks: Array[Long], dstChunks: Array[Long], shape: Array[Long],
+      alloc: () => Array[V],
+      decode: Array[Byte] => Array[V],
+      encode: Array[V] => Array[Byte],
+      conf: graft.storage.StoreConf,
+      resolver: graft.virt.VirtualChunkResolver)
+      : Iterator[(Seq[Int], String, Long)] = {
+    val store = graft.storage.StoreConf.cached(conf)
+    val capacity = math.max(1L,
+      (64L << 20) / math.max(1L, srcChunks.product * 8L)).toInt
+    val lru = new java.util.LinkedHashMap[Seq[Int], Array[V]](16, 0.75f,
+      true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[Seq[Int], Array[V]]): Boolean =
+        size() > capacity
+    }
+    val buf = it.buffered
+    new Iterator[(Seq[Int], String, Long)] {
+      override def hasNext: Boolean = buf.hasNext
+      override def next(): (Seq[Int], String, Long) = {
+        val dst = buf.head._1
+        val arr = alloc()
+        while (buf.hasNext && buf.head._1 == dst) {
+          val (_, src, kind, inline, chunkId, location, offset, length) =
+            buf.next()
+          var decoded = lru.get(src)
+          if (decoded == null) {
+            val raw = fetchRef(conf, resolver, kind, inline, chunkId,
+              location, offset, length, cacheable = true)
+            decoded = decode(raw)
+            lru.put(src, decoded)
+          }
+          copyBlock(decoded, arr, src.toArray, dst.toArray, srcChunks,
+            dstChunks, shape)
+        }
+        val bytes = encode(arr)
+        val id = graft.core.Ids.toBase32(graft.core.Ids.newObjectId())
+        store.putBytes(graft.meta.Layout.chunkKey(id), bytes)
+        (dst, id, bytes.length.toLong)
+      }
+    }
+  }
+
+  /** Copy the overlap of source chunk `srcCoord` and destination chunk
+    * `dstCoord` (both row-major buffers) as contiguous innermost-dim runs
+    * via `System.arraycopy` — no per-element work, no boxing (the arrays
+    * stay primitive; this method only ever passes them whole).
+    */
+  private[graft] def copyBlock(src: AnyRef, dst: AnyRef,
+                               srcCoord: Array[Int], dstCoord: Array[Int],
+                               srcChunks: Array[Long],
+                               dstChunks: Array[Long],
+                               shape: Array[Long]): Unit = {
+    val ndim = srcChunks.length
+    val lo = new Array[Long](ndim); val hi = new Array[Long](ndim)
+    var i = 0
+    while (i < ndim) {
+      lo(i) = math.max(srcCoord(i).toLong * srcChunks(i),
+        dstCoord(i).toLong * dstChunks(i))
+      hi(i) = math.min(math.min((srcCoord(i) + 1L) * srcChunks(i),
+        (dstCoord(i) + 1L) * dstChunks(i)), shape(i))
+      if (hi(i) <= lo(i)) return // disjoint (possible on clipped dims)
+      i += 1
+    }
+    val srcStride = new Array[Long](ndim)
+    val dstStride = new Array[Long](ndim)
+    srcStride(ndim - 1) = 1; dstStride(ndim - 1) = 1
+    var k = ndim - 2
+    while (k >= 0) {
+      srcStride(k) = srcStride(k + 1) * srcChunks(k + 1)
+      dstStride(k) = dstStride(k + 1) * dstChunks(k + 1)
+      k -= 1
+    }
+    val run = (hi(ndim - 1) - lo(ndim - 1)).toInt
+    val g = lo.clone()
+    var done = false
+    while (!done) {
+      var so = 0L; var dofs = 0L
+      var j = 0
+      while (j < ndim) {
+        val gj = if (j == ndim - 1) lo(j) else g(j)
+        so += (gj - srcCoord(j).toLong * srcChunks(j)) * srcStride(j)
+        dofs += (gj - dstCoord(j).toLong * dstChunks(j)) * dstStride(j)
+        j += 1
+      }
+      System.arraycopy(src, so.toInt, dst, dofs.toInt, run)
+      if (ndim == 1) done = true
+      else {
+        var d = ndim - 2
+        var carry = true
+        while (carry && d >= 0) {
+          g(d) += 1
+          if (g(d) < hi(d)) carry = false else { g(d) = lo(d); d -= 1 }
+        }
+        if (carry) done = true
+      }
+    }
   }
 
   /** Stream one sorted (coord, pos, value) run: assemble, encode, and
