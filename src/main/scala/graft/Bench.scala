@@ -437,6 +437,15 @@ object Bench {
         spark.conf.set("spark.sql.catalog.graftwarm.path", wdir.toString)
         cells.createOrReplaceTempView("warm_cells")
         spark.sql("INSERT INTO graftwarm.w2 SELECT * FROM warm_cells")
+        // rechunk's assemble/copy kernels JIT-compile on first use (a
+        // cold first pass measured 3-6x the warm cost) — regrid the
+        // warmup cube so the measured passes start warm
+        locally {
+          val ws = repo.writableSession("main")
+          graft.tensor.TensorPlane.rechunk(ws, "/w",
+            Seq(8L, wn / 2, wn / 2), "int64")
+          ws.commit("warm rechunk")
+        }
       } catch { case t: Throwable =>
         System.err.println(s"[bench] write warmup failed: $t")
       } finally {

@@ -479,6 +479,32 @@ object Oracles {
         |    ORDER BY mix, doc_id) AS BIGINT) AS pos
         |FROM m ORDER BY shard, pos""".stripMargin,
 
+    // temperature mixing: rate_s = n_s^0.5 / Σ n^0.5 * N / n_s, copies =
+    // floor(rate) + (md5 bucket < fractional remainder); epoch enumerates
+    // the copies. Engine and oracle share the md5-bucket definition.
+    "q_temperature_mix" ->
+      """WITH c AS (
+        |  SELECT source, count(*)::DOUBLE AS n FROM documents
+        |  GROUP BY source),
+        |t AS (
+        |  SELECT sum(pow(n, 0.5)) AS w,
+        |    (SELECT count(*) FROM documents) AS target FROM c),
+        |r AS (
+        |  SELECT source, pow(n, 0.5) / (SELECT w FROM t)
+        |    * (SELECT target FROM t) / n AS rate FROM c),
+        |k AS (
+        |  SELECT d.doc_id, d.source,
+        |    CAST(floor(r.rate) AS INT) +
+        |    CASE WHEN (('0x' || substr(md5(d.source || '|' ||
+        |        d.doc_id::VARCHAR), 1, 4))::INT % 10000)
+        |      < CAST(round((r.rate - floor(r.rate)) * 10000) AS INT)
+        |      THEN 1 ELSE 0 END AS copies
+        |  FROM documents d JOIN r ON d.source = r.source)
+        |SELECT doc_id, source,
+        |  CAST(unnest(generate_series(0, copies - 1)) AS BIGINT) AS epoch
+        |FROM k WHERE copies > 0
+        |ORDER BY doc_id, epoch""".stripMargin,
+
     // the engine side runs a REAL distributed rechunk (1,000-cell ->
     // 1,600-cell grid) and aggregates per NEW chunk; the pattern
     // v(i) = (i*7) % 1000 - 500 makes every column closed-form arithmetic

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.pipeline.{Decontaminate, Dedup, Multimodal, Packing,
-  Similarity, TextAnalysis}
+  Sampling, Similarity, TextAnalysis}
 
 /** The declared operator surface (SURVEY.md §2) exercised as relational
   * queries over the driver-provided parquet tables, each mirrored by an
@@ -691,6 +691,21 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** Temperature-weighted source mixing (alpha = 0.5, target = corpus
+    * size): small sources upsample (rows repeat with an `epoch` copy
+    * index), large sources downsample — the multinomial mixture step of
+    * a multi-source training pipeline, deterministic via the md5 bucket
+    * so DuckDB recomputes every membership and copy count.
+    */
+  val q_temperature_mix: Q = (s, d) => {
+    val docs = t(s, d, "documents")
+    Sampling.temperatureMix(docs.select(col("doc_id"), col("source")),
+      "doc_id", "source", alpha = 0.5, targetRows = docs.count(),
+      method = "md5")
+      .select("doc_id", "source", "epoch")
+      .orderBy("doc_id", "epoch")
+  }
+
   /** REAL distributed rechunk end-to-end: build a repo with a closed-form
     * int64 pattern on a 1,000-cell grid, regrid it to 1,600-cell chunks
     * with [[graft.tensor.TensorPlane.rechunk]] (block copies — no cell
@@ -752,6 +767,7 @@ object Queries {
     "q_dedup_exact" -> q_dedup_exact,
     "q_dedup_clusters" -> q_dedup_clusters,
     "q_sample_split" -> q_sample_split,
+    "q_temperature_mix" -> q_temperature_mix,
     "q_corpus_stats" -> q_corpus_stats,
     "q_source_curation" -> q_source_curation,
     "q_cross_source" -> q_cross_source,

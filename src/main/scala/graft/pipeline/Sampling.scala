@@ -59,6 +59,60 @@ object Sampling {
     df.withColumn("split", assign)
   }
 
+  /** Temperature-weighted source mixing — the multinomial sampling used
+    * to build multi-source / multilingual training mixtures: source `s`
+    * with `n_s` rows is drawn with probability `n_s^alpha / Σ n^alpha`
+    * (alpha < 1 flattens the mix toward small sources; alpha = 1 is
+    * proportional; alpha = 0 uniform-by-source), scaled to `targetRows`
+    * total. The realized per-source rate can exceed 1, in which case rows
+    * REPEAT: each kept row carries an `epoch` column (0-based copy
+    * index), `floor(rate)` guaranteed copies plus one more for rows whose
+    * deterministic hash falls under the fractional remainder.
+    *
+    * Scale shape: one small per-source count aggregation (#sources rows
+    * through the driver — bounded metadata, not a data-plane collect),
+    * then a single scan with a hash filter + bounded explode. No
+    * shuffle, no RNG state; membership and copy counts are stable across
+    * reruns and engines (`method = "md5"`, like [[hashBucket]]).
+    */
+  def temperatureMix(df: DataFrame, idCol: String, sourceCol: String,
+                     alpha: Double, targetRows: Long,
+                     buckets: Int = 10000,
+                     method: String = "xxhash64"): DataFrame = {
+    require(alpha >= 0, s"alpha must be >= 0, got $alpha")
+    require(targetRows > 0, s"targetRows must be > 0, got $targetRows")
+    val counts = df.groupBy(sourceCol).count().collect()
+      .map(r => (r.get(0), r.getLong(1)))
+    require(counts.nonEmpty, "temperatureMix on an empty relation")
+    // deterministic derivation order (sorted by source) so another
+    // engine can reproduce the same double arithmetic
+    val sorted = counts.sortBy(_._1.toString)
+    val wsum = sorted.map { case (_, n) => math.pow(n.toDouble, alpha) }.sum
+    val b = hashBucket(
+      concat(col(sourceCol).cast("string"), lit("|"),
+        col(idCol).cast("string")), buckets, method)
+    val copies = sorted.foldLeft(lit(0): Column) {
+      case (acc, (srcVal, n)) =>
+        val rate = math.pow(n.toDouble, alpha) / wsum * targetRows / n
+        val base = math.floor(rate).toInt
+        // integral threshold (bucket count): a rate of 1 ± ulp rounds to
+        // exactly `base + 0/10000ths` instead of leaking one stray copy
+        // per 10^4 rows — and an integer < integer compare is what lets
+        // another engine reproduce membership bit-for-bit
+        val thresh = math.round((rate - math.floor(rate)) * buckets).toInt
+        when(col(sourceCol) === srcVal,
+          lit(base) + when(b < lit(thresh), 1).otherwise(0))
+          .otherwise(acc)
+    }
+    df.withColumn("_copies", copies)
+      .filter(col("_copies") > 0)
+      // _copies >= 1 here, so the sequence is always ascending (Spark's
+      // sequence() would count DOWN for an empty 0..-1 range)
+      .withColumn("epoch",
+        explode(sequence(lit(0L), col("_copies").cast("long") - 1)))
+      .drop("_copies")
+  }
+
   /** Deterministic per-stratum subsample: keep a `fraction(stratum)` share
     * of rows, chosen by hash of (stratum, id) so membership is stable and
     * independent across strata. Strata missing from `fractions` fall back

@@ -259,9 +259,12 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
 
   /** `ALTER TABLE t SET TBLPROPERTIES('shape'='d0,d1,...')` — resize the
     * array (the reference's `update_array` shape change; the xarray
-    * `append_dim` growth pattern as DDL). Chunk grid is immutable this
-    * way (that is `rewrite_manifests`/reindex territory); other property
-    * or schema changes are rejected.
+    * `append_dim` growth pattern as DDL) — and
+    * `SET TBLPROPERTIES('chunk_shape'='c0,c1,...')` — regrid the array
+    * through the distributed rechunk job
+    * ([[graft.tensor.TensorPlane.rechunk]]: block copies, payloads never
+    * shuffle), committed like any other DDL. Other property or schema
+    * changes are rejected.
     */
   override def alterTable(ident: Identifier,
       changes: TableChange*): Table = {
@@ -286,10 +289,18 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
               "(updateArray) if that is intended")
         }
         session.updateArray(path, shape, node.chunkShape)
+      case p: TableChange.SetProperty if p.property() == "chunk_shape" =>
+        val chunks = p.value().split(",").map(_.trim.toLong).toSeq
+        require(chunks.size == node.shape.size,
+          s"chunk_shape must keep rank ${node.shape.size}, " +
+            s"got ${chunks.size}")
+        graft.tensor.TensorPlane.rechunk(session, path, chunks,
+          dtypeOf(node))
       case other => throw new UnsupportedOperationException(
         s"unsupported ALTER TABLE change $other — only " +
-          "SET TBLPROPERTIES('shape'=...) resizes; use the session API " +
-          "(updateArray / reindexArray) for everything else")
+          "SET TBLPROPERTIES('shape'=...) resizes and " +
+          "SET TBLPROPERTIES('chunk_shape'=...) regrids; use the session " +
+          "API (updateArray / reindexArray) for everything else")
     }
     session.commit(s"alter table ${ident.toString}")
     loadTable(ident)

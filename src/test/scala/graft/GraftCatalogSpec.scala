@@ -352,10 +352,43 @@ class GraftCatalogSpec extends SparkTestBase {
     spark.sql(s"INSERT INTO $cat.t SELECT id + 16 AS i0, id AS value " +
       "FROM range(8)")
     assert(spark.sql(s"SELECT count(*) FROM $cat.t").head().getLong(0) == 16)
-    // chunk-grid changes stay rejected
+    // rank-breaking grid changes are rejected before any job runs
     val bad = intercept[Exception] {
-      spark.sql(s"ALTER TABLE $cat.t SET TBLPROPERTIES('chunk_shape'='8')")
+      spark.sql(s"ALTER TABLE $cat.t SET TBLPROPERTIES('chunk_shape'='8,8')")
     }
-    assert(bad.getMessage.contains("unsupported ALTER TABLE change"))
+    assert(bad.getMessage.contains("rank"), bad.getMessage)
+  }
+
+  test("ALTER TABLE chunk_shape regrids through the distributed rechunk") {
+    val dir = tmpDir("rchrepo")
+    val repo = Repository.create(Store.local(dir), spark)
+    val s = repo.writableSession("main")
+    s.addArray("/t", Seq(24), Seq(4), userData = """{"dtype":"int64"}""")
+    s.commit("init")
+    val cat = "grch" + (System.nanoTime() % 100000)
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.path", dir)
+    spark.sql(s"INSERT INTO $cat.t SELECT id AS i0, id * 3 AS value " +
+      "FROM range(24)")
+    val before = spark.sql(
+      s"SELECT count(*) AS n, sum(value) AS s FROM $cat.t").head()
+
+    // regrid 4 -> 6 cells per chunk: one DDL commit, values identical
+    spark.sql(s"ALTER TABLE $cat.t SET TBLPROPERTIES('chunk_shape'='6')")
+    val ro = repo.readonlySession(VersionRef.Branch("main"))
+    assert(ro.node("/t").get.chunkShape == Seq(6L))
+    assert(ro.refs("/t").count() == 4)
+    val after = spark.sql(
+      s"SELECT count(*) AS n, sum(value) AS s FROM $cat.t").head()
+    assert(after.getLong(0) == before.getLong(0))
+    assert(after.getLong(1) == before.getLong(1))
+    // point reads land on the new grid
+    assert(spark.sql(s"SELECT value FROM $cat.t WHERE i0 = 17").head()
+      .getLong(0) == 51)
+    // time travel still decodes the OLD grid
+    val anc = repo.ancestry(VersionRef.Branch("main"))
+    assert(spark.sql(s"SELECT count(*) FROM $cat.t VERSION AS OF " +
+      s"'${anc(1).id}'").head().getLong(0) == 24)
   }
 }

@@ -317,6 +317,49 @@ class PipelineSpec extends SparkTestBase {
     assert(!byLang.contains("fr")) // default fraction 0
   }
 
+  test("temperature mix: alpha flattens sources, epochs mark upsampling") {
+    import graft.pipeline.Sampling
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "source")
+    val n = docs.count()
+    val bySrc = docs.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+
+    val mixed = Sampling.temperatureMix(docs, "doc_id", "source",
+      alpha = 0.5, targetRows = n)
+    val out = mixed.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // total lands near the target (hash granularity ±1%)
+    val total = out.values.sum.toDouble
+    assert(math.abs(total - n) / n < 0.02, s"total $total vs target $n")
+    // expected per-source share: n_s^0.5 / sum — realized within 5%
+    val wsum = bySrc.values.map(c => math.sqrt(c.toDouble)).sum
+    bySrc.foreach { case (s, c) =>
+      val want = math.sqrt(c.toDouble) / wsum * n
+      assert(math.abs(out(s) - want) <= math.max(3.0, want * 0.05),
+        s"$s: got ${out(s)}, want ~$want")
+    }
+    // smallest source upsamples (rate > 1): some rows carry epoch >= 1,
+    // and every epoch run is dense 0..copies-1 per doc
+    val small = bySrc.minBy(_._2)._1
+    val epochs = mixed.filter(col("source") === small)
+      .groupBy("doc_id").agg(max("epoch").as("mx"),
+        countDistinct("epoch").as("k")).collect()
+    assert(epochs.forall(r => r.getAs[Long]("k") == r.getAs[Long]("mx") + 1))
+    if (math.sqrt(bySrc(small).toDouble) / wsum * n / bySrc(small) > 1.0)
+      assert(epochs.exists(_.getAs[Long]("mx") >= 1))
+    // deterministic: rerun is bit-identical
+    val again = Sampling.temperatureMix(docs, "doc_id", "source",
+      alpha = 0.5, targetRows = n)
+    assert(mixed.exceptAll(again).isEmpty && again.exceptAll(mixed).isEmpty)
+    // alpha = 1 is proportional sampling: every rate is exactly 1 when
+    // target = corpus size, so the mix is the corpus itself at epoch 0
+    val prop = Sampling.temperatureMix(docs, "doc_id", "source",
+      alpha = 1.0, targetRows = n)
+    assert(prop.count() == n)
+    assert(prop.agg(max("epoch")).head().getLong(0) == 0L)
+  }
+
   test("near-dup clusters merge transitive LSH pairs; singletons self-label") {
     import spark.implicits._
     val base = "the quick brown fox jumps over the lazy dog " * 8
