@@ -505,6 +505,16 @@ object Oracles {
         |FROM k WHERE copies > 0
         |ORDER BY doc_id, epoch""".stripMargin,
 
+    // the engine side histograms v(i) = (i*i) % 1000 - 500 inside the
+    // chunk kernel (20 bins over [-500, 500)); integral bin arithmetic
+    // here reproduces the kernel's fp binning exactly (quotients of
+    // small ints by 50 are either exact or far from bin boundaries)
+    "q_histogram" ->
+      """WITH cells AS (
+        |  SELECT (range * range) % 1000 - 500 AS v FROM range(60000))
+        |SELECT CAST((v + 500) // 50 AS BIGINT) AS bin, count(*) AS n
+        |FROM cells GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // the engine side runs a REAL distributed rechunk (1,000-cell ->
     // 1,600-cell grid) and aggregates per NEW chunk; the pattern
     // v(i) = (i*7) % 1000 - 500 makes every column closed-form arithmetic

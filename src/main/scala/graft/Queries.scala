@@ -706,6 +706,33 @@ object Queries {
       .orderBy("doc_id", "epoch")
   }
 
+  /** Value histogram with counting pushed into the chunk kernel: build a
+    * repo with the (non-uniform) quadratic-residue pattern
+    * v(i) = (i²) % 1000 − 500, histogram it in-engine (one decode pass,
+    * per-chunk count arrays, no row explode), and compare every bin
+    * count against DuckDB's integral arithmetic over `range(60000)`.
+    */
+  val q_histogram: Q = (s, _) => {
+    val dir = java.nio.file.Files.createTempDirectory("graft-q-hist")
+    val repo = graft.repo.Repository.create(
+      graft.storage.Store.local(dir.toString), s)
+    val w = repo.writableSession("main")
+    w.addArray("/a", Seq(60000L), Seq(1000L))
+    for (c <- 0 until 60) {
+      val vals = Array.tabulate(1000) { i =>
+        val g = c * 1000L + i; (g * g) % 1000 - 500
+      }
+      w.writeChunk("/a", Seq(c),
+        graft.functions.ChunkCodec.encodeLongs(vals, "int64"))
+    }
+    w.commit("init")
+    val ro = repo.readonlySession(graft.repo.VersionRef.Branch("main"))
+    graft.tensor.TensorPlane.histogram(ro, "/a", "int64",
+        -500.0, 500.0, 20)
+      .select(col("bin").cast("long").as("bin"), col("n"))
+      .orderBy("bin")
+  }
+
   /** REAL distributed rechunk end-to-end: build a repo with a closed-form
     * int64 pattern on a 1,000-cell grid, regrid it to 1,600-cell chunks
     * with [[graft.tensor.TensorPlane.rechunk]] (block copies — no cell
@@ -787,6 +814,7 @@ object Queries {
     "q_pack_sequences" -> q_pack_sequences,
     "q_shuffle_shard" -> q_shuffle_shard,
     "q_rechunk" -> q_rechunk,
+    "q_histogram" -> q_histogram,
     "q_pii_scrub" -> q_pii_scrub,
     "q_repetition" -> q_repetition,
     "q_fingerprint" -> q_fingerprint,

@@ -196,6 +196,58 @@ case class ChunkStatsExpr(child: Expression, dtype: String,
     copy(child = c)
 }
 
+/** Per-chunk fixed-width histogram without exploding to rows: decode +
+  * one tight loop → ARRAY<BIGINT> of `nbins + 2` counts
+  * (`[underflow, bin_0..bin_{nbins-1}, overflow]` over `[lo, hi)`).
+  * The rollup over chunks is an elementwise sum of tiny arrays — the
+  * whole distribution sketch of a 100 TB array moves
+  * `chunks × (nbins+2)` longs, never cells. Same padding caveat as
+  * [[ChunkStatsExpr]]: partial edge chunks contribute their fill cells.
+  */
+case class ChunkHistogramExpr(child: Expression, dtype: String,
+                              compression: String, lo: Double, hi: Double,
+                              nbins: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(nbins > 0 && nbins <= (1 << 20), s"bad nbins $nbins")
+  require(hi > lo, s"bad histogram range [$lo, $hi)")
+  override def dataType: DataType = ArrayType(LongType,
+    containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val raw = ChunkCodec.decompress(input.asInstanceOf[Array[Byte]],
+      compression)
+    val bb = ByteBuffer.wrap(raw).order(ByteOrder.LITTLE_ENDIAN)
+    val counts = new Array[Long](nbins + 2)
+    val width = (hi - lo) / nbins
+    @inline def acc(v: Double): Unit = {
+      if (v < lo) counts(0) += 1
+      else if (v >= hi) counts(nbins + 1) += 1
+      else {
+        // clamp: v == hi - ulp can floor to nbins under fp division
+        val b = math.min(((v - lo) / width).toInt, nbins - 1)
+        counts(b + 1) += 1
+      }
+    }
+    dtype match {
+      case "int8" => var i = 0; while (i < raw.length) { acc(bb.get(i)); i += 1 }
+      case "int16" => var i = 0
+        while (i < raw.length / 2) { acc(bb.getShort(i * 2)); i += 1 }
+      case "int32" => var i = 0
+        while (i < raw.length / 4) { acc(bb.getInt(i * 4)); i += 1 }
+      case "int64" => var i = 0
+        while (i < raw.length / 8) { acc(bb.getLong(i * 8).toDouble); i += 1 }
+      case "float32" => var i = 0
+        while (i < raw.length / 4) { acc(bb.getFloat(i * 4)); i += 1 }
+      case "float64" => var i = 0
+        while (i < raw.length / 8) { acc(bb.getDouble(i * 8)); i += 1 }
+    }
+    new GenericArrayData(counts)
+  }
+
+  override protected def withNewChildInternal(
+      c: Expression): ChunkHistogramExpr = copy(child = c)
+}
+
 /** Shared sub-block geometry for the slice kernels: intersect the global
   * element bounds `[lo, hi)` with one chunk (identified by its coord),
   * yielding per-dim in-chunk ranges + row-major strides. Returns null when
@@ -389,4 +441,9 @@ object CodecFunctions {
                          lo: Seq[Long], hi: Seq[Long]): Column =
     column(DecodeChunkSliceExpr(expression(bytes), expression(coord), dtype,
       compression, chunkShape, lo, hi))
+
+  def chunk_histogram(bytes: Column, dtype: String, compression: String,
+                      lo: Double, hi: Double, nbins: Int): Column =
+    column(ChunkHistogramExpr(expression(bytes), dtype, compression, lo,
+      hi, nbins))
 }

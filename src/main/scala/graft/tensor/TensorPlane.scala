@@ -440,6 +440,79 @@ object TensorPlane {
     session.stageChunkRefs(path, refs)
   }
 
+  /** Fixed-width value histogram with the counting pushed into the chunk
+    * kernel ([[ChunkHistogramExpr]]): each chunk contributes one
+    * `nbins + 2` count array (underflow + bins over `[lo, hi)` +
+    * overflow), the rollup sums `chunks × (nbins+2)` longs — NO row
+    * explode, so the cost of the full distribution sketch is one decode
+    * pass. Returns `(bin, lo, hi, n)` rows, bin −1 = underflow, `nbins` =
+    * overflow, only non-empty bins. Padding caveat of [[arrayStats]]
+    * applies on non-chunk-aligned arrays.
+    */
+  def histogram(session: Session, path: String, dtype: String,
+                lo: Double, hi: Double, nbins: Int,
+                compression: String = "raw"): DataFrame = {
+    val fetch = sessionFetch(session)
+    val spark = session.repo.spark
+    val width = (hi - lo) / nbins
+    session.refs(path)
+      .repartition(spark.sparkContext.defaultParallelism * 2, col("coord"))
+      .withColumn("bytes", fetch(col("kind"), col("inline"), col("chunk_id"),
+        col("location"), col("offset"), col("length")))
+      .select(posexplode(CodecFunctions.chunk_histogram(col("bytes"),
+        dtype, compression, lo, hi, nbins)))
+      .groupBy((col("pos") - 1).cast("long").as("bin"))
+      .agg(sum(col("col")).as("n"))
+      .filter(col("n") > 0)
+      .select(col("bin"),
+        when(col("bin") < 0, lit(Double.NegativeInfinity))
+          .otherwise(lit(lo) + col("bin") * width).as("lo"),
+        when(col("bin") >= nbins, lit(Double.PositiveInfinity))
+          .otherwise(lit(lo) + (col("bin") + 1) * width).as("hi"),
+        col("n"))
+      .orderBy("bin")
+  }
+
+  /** Approximate quantiles via two kernel passes and zero row explode:
+    * pass 1 = [[arrayStats]] (min/max bound the histogram), pass 2 =
+    * [[histogram]] at `nbins` resolution, then linear interpolation
+    * inside the target bin on the driver (`nbins + 2` rows). Error is
+    * bounded by one bin width, `(max-min)/nbins` — the 100 TB shape for
+    * "p50/p99 of a tensor" (decode cost × 2, row cost zero).
+    */
+  def approxQuantiles(session: Session, path: String, dtype: String,
+                      probs: Seq[Double], nbins: Int = 1000,
+                      compression: String = "raw"): Seq[Double] = {
+    require(probs.forall(p => p >= 0 && p <= 1), s"bad probs $probs")
+    val st = arrayStats(session, path, dtype, compression).head()
+    val (mn, mx) = (st.getAs[Double]("min"), st.getAs[Double]("max"))
+    if (mn == mx) return probs.map(_ => mn)
+    // hi is exclusive in the kernel: widen by one ulp so max lands in
+    // the top bin instead of overflow
+    val hiEx = math.nextUp(mx)
+    val width = (hiEx - mn) / nbins
+    val bins = histogram(session, path, dtype, mn, hiEx, nbins,
+      compression)
+      .collect().map(r => (r.getAs[Long]("bin"), r.getAs[Long]("n")))
+      .sortBy(_._1)
+    val total = bins.map(_._2).sum.toDouble
+    probs.map { p =>
+      val target = p * total
+      var acc = 0.0
+      var res = mx
+      var found = false
+      for ((bin, n) <- bins if !found) {
+        if (acc + n >= target && n > 0) {
+          val frac = math.max(0.0, (target - acc) / n)
+          res = mn + (bin + frac) * width
+          found = true
+        }
+        acc += n
+      }
+      if (found) math.min(res, mx) else mx
+    }
+  }
+
   /** Rechunk a regular-grid array onto a new chunk shape as a distributed
     * block-copy job — the missing zarr-ecosystem workflow (the reference
     * stores whatever grid the writer chose; changing it is an external

@@ -28,7 +28,7 @@ object Cli {
   private def usage(): Nothing = {
     System.err.println(
       "usage: Cli <repoDir> init|log|branch|tag|ls|mv|inspect|ops|diff|" +
-        "gc|compact|flags|config ...")
+        "gc|compact|rechunk|flags|config ...")
     sys.exit(2)
   }
 
@@ -123,6 +123,14 @@ object Cli {
         case ("compact", _) =>
           val id = graft.ops.Compaction.rewriteManifests(repo, "main")
           println(s"compacted -> $id")
+        case ("rechunk", path :: chunks :: dtype :: restFlags) =>
+          val newChunks = chunks.split(",").map(_.trim.toLong).toSeq
+          val rs = repo.writableSession("main")
+          graft.tensor.TensorPlane.rechunk(rs, path, newChunks, dtype,
+            restFlags.headOption.getOrElse("raw"))
+          val id = rs.commit(
+            s"rechunk $path -> ${newChunks.mkString("x")}")
+          println(s"rechunked $path -> ${newChunks.mkString("x")} ($id)")
         case ("flags", Nil) | ("flags", "list" :: _) =>
           val known = Seq(repo.Flags.MoveNode, repo.Flags.Amend,
             repo.Flags.Expire)

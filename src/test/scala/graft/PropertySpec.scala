@@ -136,4 +136,85 @@ class PropertySpec extends AnyFunSuite {
       assert(a == e2.eval(null)) // order-independent
     }
   }
+
+  test("rechunk kernel: random grids reassemble the global array exactly") {
+    // pure-JVM simulation of the rechunk job: the (src,dst) overlap
+    // arithmetic (same formula as TensorPlane.rechunk's exploded ranges)
+    // plus copyBlock must reassemble every in-bounds cell and leave
+    // destination padding at fill(0) — for arbitrary shapes ≤ 3 dims and
+    // arbitrary source/destination chunk grids
+    def chunksFor(shape: List[Long]): Gen[List[Long]] =
+      shape.foldRight(Gen.const(List.empty[Long])) { (s, acc) =>
+        for { c <- Gen.choose(1L, s); rest <- acc } yield c :: rest
+      }
+    val caseGen = for {
+      nd <- Gen.choose(1, 3)
+      shape <- Gen.listOfN(nd, Gen.choose(1, 18)).map(_.map(_.toLong))
+      srcC <- chunksFor(shape)
+      dstC <- chunksFor(shape)
+    } yield (shape, srcC, dstC)
+
+    forAll(caseGen, 60) { case (shape, srcC, dstC) =>
+      val nd = shape.size
+      def gridOf(c: List[Long]) =
+        shape.zip(c).map { case (s, cc) => ((s + cc - 1) / cc).toInt }
+      def coords(grid: Seq[Int]): Seq[List[Int]] =
+        grid.foldRight(Seq(List.empty[Int])) { (g, acc) =>
+          (0 until g).flatMap(i => acc.map(i :: _))
+        }
+      def vOf(g: Seq[Long]): Long = // distinct value per global cell
+        1L + g.zip(shape).foldLeft(0L) { case (a, (gi, s)) => a * s + gi }
+
+      // materialize every source chunk (padding cells = 0)
+      def fill(c: List[Int], chunk: List[Long]): Array[Long] = {
+        val cells = chunk.product.toInt
+        val arr = new Array[Long](cells)
+        for (p <- 0 until cells) {
+          var rem = p; val g = new Array[Long](nd)
+          for (i <- (nd - 1) to 0 by -1) {
+            g(i) = c(i).toLong * chunk(i) + rem % chunk(i)
+            rem /= chunk(i).toInt
+          }
+          if (g.toSeq.zip(shape).forall { case (gi, s) => gi < s })
+            arr(p) = vOf(g.toSeq)
+        }
+        arr
+      }
+      val srcBufs = coords(gridOf(srcC)).map(c => c -> fill(c, srcC)).toMap
+
+      // destination side: overlap ranges via the job's div arithmetic
+      val dstBufs = scala.collection.mutable.Map[List[Int], Array[Long]]()
+      for ((sc, buf) <- srcBufs) {
+        val los = (0 until nd).map(i => (sc(i) * srcC(i)) / dstC(i))
+        val his = (0 until nd).map(i =>
+          (math.min(sc(i) * srcC(i) + srcC(i), shape(i)) - 1) / dstC(i))
+        for (dc <- los.zip(his).foldRight(Seq(List.empty[Int])) {
+            case ((lo, hi), acc) =>
+              (lo.toInt to hi.toInt).flatMap(i => acc.map(i :: _))
+          }) {
+          val dst = dstBufs.getOrElseUpdate(dc,
+            new Array[Long](dstC.product.toInt))
+          graft.tensor.TensorPlane.copyBlock(buf, dst, sc.toArray,
+            dc.toArray, srcC.toArray, dstC.toArray, shape.toArray)
+        }
+      }
+
+      // every in-bounds cell present with the right value; padding = 0
+      for (dc <- coords(gridOf(dstC))) {
+        val dst = dstBufs(dc)
+        for (p <- dst.indices) {
+          var rem = p; val g = new Array[Long](nd)
+          for (i <- (nd - 1) to 0 by -1) {
+            g(i) = dc(i).toLong * dstC(i) + rem % dstC(i)
+            rem /= dstC(i).toInt
+          }
+          val inBounds = g.toSeq.zip(shape).forall { case (gi, s) => gi < s }
+          val want = if (inBounds) vOf(g.toSeq) else 0L
+          assert(dst(p) == want,
+            s"shape=$shape src=$srcC dst=$dstC chunk=$dc pos=$p: " +
+              s"got ${dst(p)}, want $want")
+        }
+      }
+    }
+  }
 }

@@ -186,4 +186,55 @@ class TensorPlaneSpec extends SparkTestBase {
       Seq((11L, 12L), (9L, 10L))).collect()
     assert(one.length == 1 && one(0).getDouble(2) == 119.0)
   }
+
+  test("histogram kernel matches exploded counts; quantiles within a bin") {
+    val repo = Repository.create(Store.local(tmpDir("repo")), spark)
+    val s = repo.writableSession("main")
+    s.addArray("/h", Seq(4000), Seq(500)) // aligned: no padding caveat
+    for (c <- 0 until 8) {
+      val vals = Array.tabulate(500) { i =>
+        val g = c * 500L + i; (g * 13) % 400 - 100 // values in [-100, 300)
+      }
+      s.writeChunk("/h", Seq(c), ChunkCodec.encodeLongs(vals, "int64"))
+    }
+    s.commit("init")
+    val ro = repo.readonlySession(VersionRef.Branch("main"))
+
+    // kernel histogram vs the row-exploded oracle, incl. under/overflow
+    val hist = TensorPlane.histogram(ro, "/h", "int64", 0.0, 200.0, 10)
+      .collect().map(r => r.getAs[Long]("bin") -> r.getAs[Long]("n")).toMap
+    val vals = TensorPlane.values(ro, "/h", "int64")
+      .select("value").collect().map(_.getLong(0))
+    val oracle = vals.groupBy { v =>
+      if (v < 0) -1L else if (v >= 200) 10L else v / 20
+    }.map { case (b, xs) => b -> xs.length.toLong }
+    assert(hist == oracle)
+    assert(hist(-1L) > 0 && hist(10L) > 0) // both sentinels exercised
+    // bin bounds surface correctly
+    val row0 = TensorPlane.histogram(ro, "/h", "int64", 0.0, 200.0, 10)
+      .filter(col("bin") === 3).head()
+    assert(row0.getAs[Double]("lo") == 60.0 && row0.getAs[Double]("hi") == 80.0)
+
+    // approx quantiles land within one bin width of the exact ones
+    val sortedVals = vals.sorted
+    val probs = Seq(0.1, 0.5, 0.9)
+    val approx = TensorPlane.approxQuantiles(ro, "/h", "int64", probs,
+      nbins = 200)
+    val binW = (sortedVals.last - sortedVals.head).toDouble / 200
+    probs.zip(approx).foreach { case (p, a) =>
+      val exact = sortedVals(math.min(sortedVals.length - 1,
+        (p * sortedVals.length).toInt)).toDouble
+      assert(math.abs(a - exact) <= binW + 1e-9,
+        s"p$p: approx $a vs exact $exact (binW $binW)")
+    }
+    // degenerate constant array short-circuits
+    val s2 = repo.writableSession("main")
+    s2.addArray("/const", Seq(100), Seq(50))
+    for (c <- 0 until 2) s2.writeChunk("/const", Seq(c),
+      ChunkCodec.encodeLongs(Array.fill(50)(7L), "int64"))
+    s2.commit("const")
+    val ro2 = repo.readonlySession(VersionRef.Branch("main"))
+    assert(TensorPlane.approxQuantiles(ro2, "/const", "int64",
+      Seq(0.0, 0.5, 1.0)) == Seq(7.0, 7.0, 7.0))
+  }
 }
