@@ -28,7 +28,7 @@ object Cli {
   private def usage(): Nothing = {
     System.err.println(
       "usage: Cli <repoDir> init|log|branch|tag|ls|mv|inspect|ops|diff|" +
-        "gc|compact|rechunk|flags|config ...")
+        "gc|compact|rechunk|import|flags|config ...")
     sys.exit(2)
   }
 
@@ -123,6 +123,12 @@ object Cli {
         case ("compact", _) =>
           val id = graft.ops.Compaction.rewriteManifests(repo, "main")
           println(s"compacted -> $id")
+        case ("import", srcDir :: importFlags) =>
+          val id = graft.ops.ZarrImport.importStore(repo, "main",
+            Store.local(srcDir), copy = importFlags.contains("--copy"))
+          println(s"imported zarr store $srcDir -> $id " +
+            (if (importFlags.contains("--copy")) "(copied)"
+             else "(virtual refs)"))
         case ("rechunk", path :: chunks :: dtype :: restFlags) =>
           val newChunks = chunks.split(",").map(_.trim.toLong).toSeq
           val rs = repo.writableSession("main")

@@ -1,0 +1,171 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.functions._
+import graft.functions.ChunkCodec
+import graft.ops.ZarrImport
+import graft.repo._
+import graft.storage.Store
+import graft.tensor.TensorPlane
+
+/** Adopting a plain Zarr v3 store: virtual (zero-copy) and copy modes,
+  * both chunk-key encodings, metadata preservation, refusal paths.
+  */
+class ZarrImportSpec extends SparkTestBase {
+
+  /** Write a small zarr v3 store: root group, 1-D int64 array `temp`
+    * (default `c/` keys), 2-D float64 array `grid` (v2 `.` keys).
+    */
+  private def writeFixture(dir: String): Unit = {
+    def put(rel: String, bytes: Array[Byte]): Unit = {
+      val p = Paths.get(dir, rel)
+      Files.createDirectories(p.getParent)
+      Files.write(p, bytes)
+    }
+    def putS(rel: String, s: String): Unit =
+      put(rel, s.getBytes("UTF-8"))
+    putS("zarr.json", """{"zarr_format":3,"node_type":"group"}""")
+    putS("temp/zarr.json",
+      """{"zarr_format":3,"node_type":"array","shape":[10],
+        |"chunk_grid":{"name":"regular","configuration":{"chunk_shape":[4]}},
+        |"data_type":"int64","dimension_names":["x"],
+        |"codecs":[{"name":"bytes","configuration":{"endian":"little"}}],
+        |"attributes":{"units":"kelvin"}}""".stripMargin)
+    for (c <- 0 until 3)
+      put(s"temp/c/$c", ChunkCodec.encodeLongs(
+        Array.tabulate(4)(i => c * 40L + i * 10), "int64"))
+    putS("grid/zarr.json",
+      """{"zarr_format":3,"node_type":"array","shape":[4,6],
+        |"chunk_grid":{"name":"regular","configuration":{"chunk_shape":[2,3]}},
+        |"data_type":"float64",
+        |"chunk_key_encoding":{"name":"v2","configuration":{"separator":"."}}}
+        |""".stripMargin)
+    for (c0 <- 0 until 2; c1 <- 0 until 2)
+      put(s"grid/$c0.$c1", ChunkCodec.encodeDoubles(
+        Array.tabulate(6)(i => (c0 * 100 + c1 * 10 + i).toDouble),
+        "float64"))
+  }
+
+  test("virtual import: zero-copy adoption, values readable, metadata kept") {
+    val srcDir = tmpDir("zsrc")
+    writeFixture(srcDir)
+    val repo = Repository.create(Store.local(tmpDir("repo")), spark)
+    val id = ZarrImport.importStore(repo, "main", Store.local(srcDir))
+    assert(id.nonEmpty)
+
+    val ro = repo.readonlySession(VersionRef.Branch("main"))
+    // node tree + metadata survived (full zarr.json doc as userData)
+    val temp = ro.node("/temp").get
+    assert(temp.shape == Seq(10L) && temp.chunkShape == Seq(4L))
+    assert(temp.dimNames == Seq("x"))
+    assert(temp.userData.contains("\"units\":\"kelvin\"") ||
+      temp.userData.contains("kelvin"))
+    // refs are VIRTUAL and point at the source files
+    val refs = ro.refs("/temp").collect()
+    assert(refs.length == 3)
+    assert(refs.forall(_.getAs[String]("kind") == "virtual"))
+    assert(refs.forall(_.getAs[String]("location")
+      .startsWith("file:")), refs.map(_.getAs[String]("location")).toSeq)
+    // values decode through the virtual fetch; bounds clip cell 10,11
+    val vals = TensorPlane.values(ro, "/temp", "int64").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(vals.size == 10)
+    assert(vals(0L) == 0 && vals(5L) == 50 && vals(9L) == 90)
+
+    // 2-D v2-encoded array
+    val g = TensorPlane.values(ro, "/grid", "float64").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(g.size == 24)
+    assert(g((0L, 0L)) == 0.0 && g((2L, 4L)) == 111.0 &&
+      g((3L, 5L)) == 115.0)
+
+    // catalog dtype probe reads data_type straight from the adopted doc
+    val cat = "zimp" + (System.nanoTime() % 100000)
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.path",
+      repo.store.rootUri.stripPrefix("file:"))
+    val r = spark.sql(s"SELECT sum(value) AS s FROM $cat.temp").head()
+    assert(r.getLong(0) == (0 until 10).map(_ * 10L).sum)
+  }
+
+  test("copy import decouples from the source store") {
+    val srcDir = tmpDir("zsrc2")
+    writeFixture(srcDir)
+    val repo = Repository.create(Store.local(tmpDir("repo2")), spark)
+    ZarrImport.importStore(repo, "main", Store.local(srcDir), copy = true)
+    // delete the source entirely: native chunk objects must still serve
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(srcDir))
+    val ro = repo.readonlySession(VersionRef.Branch("main"))
+    assert(ro.refs("/temp").collect()
+      .forall(_.getAs[String]("kind") == "ref"))
+    val vals = TensorPlane.values(ro, "/temp", "int64").collect()
+    assert(vals.length == 10)
+    val st = TensorPlane.arrayStats(ro, "/grid", "float64").head()
+    assert(st.getAs[Long]("n") == 24) // aligned: no padding
+  }
+
+  test("refusals: unsupported codecs, bad chunk keys, non-zarr dirs") {
+    val d1 = tmpDir("zbad1")
+    Files.createDirectories(Paths.get(d1, "a"))
+    Files.write(Paths.get(d1, "a", "zarr.json"),
+      """{"zarr_format":3,"node_type":"array","shape":[4],
+        |"chunk_grid":{"name":"regular","configuration":{"chunk_shape":[2]}},
+        |"data_type":"int64","codecs":[{"name":"blosc"}]}"""
+        .stripMargin.getBytes("UTF-8"))
+    val r1 = Repository.create(Store.local(tmpDir("zr1")), spark)
+    val e1 = intercept[GraftException] {
+      ZarrImport.importStore(r1, "main", Store.local(d1))
+    }
+    assert(e1.getMessage.contains("unsupported codecs"), e1.getMessage)
+
+    val d2 = tmpDir("zbad2")
+    Files.createDirectories(Paths.get(d2, "a", "c"))
+    Files.write(Paths.get(d2, "a", "zarr.json"),
+      """{"zarr_format":3,"node_type":"array","shape":[4],
+        |"chunk_grid":{"name":"regular","configuration":{"chunk_shape":[2]}},
+        |"data_type":"int64"}""".stripMargin.getBytes("UTF-8"))
+    Files.write(Paths.get(d2, "a", "c", "notanumber"),
+      Array[Byte](1, 2))
+    val r2 = Repository.create(Store.local(tmpDir("zr2")), spark)
+    val e2 = intercept[GraftException] {
+      ZarrImport.importStore(r2, "main", Store.local(d2))
+    }
+    assert(e2.getMessage.contains("unparseable chunk key"), e2.getMessage)
+
+    val d3 = tmpDir("zbad3")
+    Files.createDirectories(Paths.get(d3))
+    Files.write(Paths.get(d3, "readme.txt"), "hi".getBytes("UTF-8"))
+    val r3 = Repository.create(Store.local(tmpDir("zr3")), spark)
+    val e3 = intercept[GraftException] {
+      ZarrImport.importStore(r3, "main", Store.local(d3))
+    }
+    assert(e3.getMessage.contains("no zarr.json"), e3.getMessage)
+  }
+
+  test("imported store keeps versioning: edits fork, original time-travels") {
+    val srcDir = tmpDir("zsrc3")
+    writeFixture(srcDir)
+    val repo = Repository.create(Store.local(tmpDir("repo3")), spark)
+    ZarrImport.importStore(repo, "main", Store.local(srcDir))
+    val v0 = repo.readonlySession(VersionRef.Branch("main")).base.id
+
+    // overwrite one chunk natively; source files stay untouched
+    val s = repo.writableSession("main")
+    s.writeChunk("/temp", Seq(0),
+      ChunkCodec.encodeLongs(Array.fill(4)(-1L), "int64"))
+    s.commit("edit after adoption")
+    val now = TensorPlane.values(
+      repo.readonlySession(VersionRef.Branch("main")), "/temp", "int64")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(now(0L) == -1 && now(5L) == 50)
+    val old = TensorPlane.values(
+      repo.readonlySession(VersionRef.SnapshotVer(v0)), "/temp", "int64")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(old(0L) == 0)
+    // the source chunk file is byte-identical (nothing wrote through)
+    assert(Files.readAllBytes(Paths.get(srcDir, "temp/c/0")).sameElements(
+      ChunkCodec.encodeLongs(Array.tabulate(4)(i => i * 10L), "int64")))
+  }
+}
