@@ -64,9 +64,8 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
     Identifier.of(parts.init, parts.last)
   }
 
-  private val DtypeRe = """"(?:dtype|data_type)"\s*:\s*"([A-Za-z0-9_]+)"""".r
   private def dtypeOf(node: graft.meta.NodeSpec): String =
-    DtypeRe.findFirstMatchIn(node.userData).map(_.group(1))
+    GraftCatalog.dtypeFromUserData(node.userData)
       .orElse(options.get("dtype"))
       .getOrElse(throw new graft.repo.GraftException(
         s"array ${node.path} has no dtype in userData and the catalog " +
@@ -539,6 +538,14 @@ private[sources] class ChunkCoordFixedBoundFunction(extent: Long)
 }
 
 object GraftCatalog {
+  /** Shared dtype probe over node userData: `"dtype"` or zarr-style
+    * `"data_type"` (used by the catalog's table loader and ZarrExport).
+    */
+  private val DtypeRe =
+    """"(?:dtype|data_type)"\s*:\s*"([A-Za-z0-9_]+)"""".r
+  def dtypeFromUserData(userData: String): Option[String] =
+    DtypeRe.findFirstMatchIn(userData).map(_.group(1))
+
   /** `cat.snapshots` — the catalog branch's ancestry, newest first. */
   val SnapshotsSchema: StructType = StructType(Seq(
     StructField("snapshot_id", StringType, nullable = false),

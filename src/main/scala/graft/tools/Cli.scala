@@ -28,7 +28,7 @@ object Cli {
   private def usage(): Nothing = {
     System.err.println(
       "usage: Cli <repoDir> init|log|branch|tag|ls|mv|inspect|ops|diff|" +
-        "gc|compact|rechunk|import|flags|config ...")
+        "gc|compact|rechunk|import|export|flags|config ...")
     sys.exit(2)
   }
 
@@ -123,6 +123,12 @@ object Cli {
         case ("compact", _) =>
           val id = graft.ops.Compaction.rewriteManifests(repo, "main")
           println(s"compacted -> $id")
+        case ("export", refName :: dstDir :: _) =>
+          val ro = repo.readonlySession(parseRef(repo, refName))
+          val nChunks = graft.ops.ZarrExport.exportStore(ro,
+            Store.local(dstDir))
+          println(s"exported $refName -> $dstDir " +
+            s"($nChunks chunk objects, plain zarr v3)")
         case ("import", srcDir :: importFlags) =>
           val id = graft.ops.ZarrImport.importStore(repo, "main",
             Store.local(srcDir), copy = importFlags.contains("--copy"))

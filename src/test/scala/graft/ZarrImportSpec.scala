@@ -144,6 +144,63 @@ class ZarrImportSpec extends SparkTestBase {
     assert(e3.getMessage.contains("no zarr.json"), e3.getMessage)
   }
 
+  test("export: a pinned version publishes as plain zarr; round-trips") {
+    val repo = Repository.create(Store.local(tmpDir("xrepo")), spark)
+    val s = repo.writableSession("main")
+    s.addArray("/t", Seq(10), Seq(4), Seq("x"),
+      userData = """{"dtype":"int64"}""")
+    for (c <- 0 until 3)
+      s.writeChunk("/t", Seq(c), ChunkCodec.encodeLongs(
+        Array.tabulate(4)(i => c * 4L + i), "int64"))
+    s.commit("v1")
+    val v1 = repo.readonlySession(VersionRef.Branch("main")).base.id
+    // branch advances AFTER the pin: the export must not see this
+    val s2 = repo.writableSession("main")
+    s2.writeChunk("/t", Seq(0),
+      ChunkCodec.encodeLongs(Array.fill(4)(99L), "int64"))
+    s2.commit("v2")
+
+    val out = tmpDir("zout")
+    val pinned = repo.readonlySession(VersionRef.SnapshotVer(v1))
+    val nChunks = graft.ops.ZarrExport.exportStore(pinned,
+      Store.local(out))
+    assert(nChunks == 3)
+    // the published layout is plain zarr v3
+    val doc = new String(Files.readAllBytes(Paths.get(out, "t/zarr.json")),
+      "UTF-8")
+    assert(doc.contains("\"zarr_format\":3") &&
+      doc.contains("\"chunk_shape\":[4]") &&
+      doc.contains("\"data_type\":\"int64\"") &&
+      doc.contains("\"dimension_names\":[\"x\"]"), doc)
+    // chunk 0 carries v1 bytes, not the later edit
+    assert(Files.readAllBytes(Paths.get(out, "t/c/0")).sameElements(
+      ChunkCodec.encodeLongs(Array.tabulate(4)(_.toLong), "int64")))
+
+    // round trip: re-import the export into a fresh repo
+    val repo2 = Repository.create(Store.local(tmpDir("xrepo2")), spark)
+    graft.ops.ZarrImport.importStore(repo2, "main", Store.local(out))
+    val vals = TensorPlane.values(
+      repo2.readonlySession(VersionRef.Branch("main")), "/t", "int64")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(vals == (0 until 10).map(i => i.toLong -> i.toLong).toMap)
+  }
+
+  test("export re-emits adopted zarr docs verbatim (attributes survive)") {
+    val srcDir = tmpDir("zsrc4")
+    writeFixture(srcDir)
+    val repo = Repository.create(Store.local(tmpDir("arepo")), spark)
+    ZarrImport.importStore(repo, "main", Store.local(srcDir))
+    val out = tmpDir("zout2")
+    graft.ops.ZarrExport.exportStore(
+      repo.readonlySession(VersionRef.Branch("main")), Store.local(out))
+    val doc = new String(
+      Files.readAllBytes(Paths.get(out, "temp/zarr.json")), "UTF-8")
+    assert(doc.contains("kelvin"), doc) // attributes preserved end to end
+    // exported chunks are byte-identical to the adopted source
+    assert(Files.readAllBytes(Paths.get(out, "temp/c/1")).sameElements(
+      Files.readAllBytes(Paths.get(srcDir, "temp/c/1"))))
+  }
+
   test("imported store keeps versioning: edits fork, original time-travels") {
     val srcDir = tmpDir("zsrc3")
     writeFixture(srcDir)
