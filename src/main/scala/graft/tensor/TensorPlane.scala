@@ -563,42 +563,7 @@ object TensorPlane {
     val conf = session.repo.store.conf
     val resolver = session.repo.virtualResolver
 
-    // 1. source ref -> overlapping destination coords (inclusive ranges
-    // per dim; `div` keeps the arithmetic integral end to end)
-    var fr = session.refs(path).select(col("coord"), col("kind"),
-      col("inline"), col("chunk_id"), col("location"), col("offset"),
-      col("length"))
-    for (i <- 0 until ndim) {
-      val cs = srcChunks(i); val ds = newChunks(i); val sh = shape(i)
-      fr = fr.withColumn(s"_d$i", explode(sequence(
-        expr(s"int((element_at(coord, ${i + 1}) * ${cs}L) div $ds)"),
-        expr(s"int((least(element_at(coord, ${i + 1}) * ${cs}L + $cs, " +
-          s"${sh}L) - 1) div $ds)"))))
-    }
-    // destination grid extents, for the row-major linear index below
-    val dstGrid = shape.zip(newChunks).map { case (s, c) => (s + c - 1) / c }
-    val dlExpr = (0 until ndim).map(i =>
-        s"_d$i * ${dstGrid.drop(i + 1).product}L").mkString(" + ")
-    val frags = fr
-      .withColumn("dst", array((0 until ndim).map(i => col(s"_d$i")): _*))
-      .withColumn("_dl", expr(dlExpr))
-      .select(col("_dl"), col("dst"), col("coord").as("src"), col("kind"),
-        col("inline"), col("chunk_id"), col("location"), col("offset"),
-        col("length"))
-
-    val parts = spark.sparkContext.defaultParallelism * 2
-    // RANGE-partition by the destination's row-major linear index, not
-    // hash: destination chunks sharing source chunks are neighbors in
-    // linear order, so ranging puts a source's consumers in the SAME
-    // task where the decoded-source LRU makes it decode (and fetch)
-    // once. Hash partitioning scattered them — each 8 MB source was
-    // fetched and decoded once per consumer (~4x memory traffic, and
-    // the measured wall time with it).
-    // tuple encoders resolve by field name, not position
-    val sorted = frags
-      .repartitionByRange(parts, col("_dl"))
-      .sortWithinPartitions("_dl", "src")
-      .drop("_dl")
+    val sorted = rechunkFragments(session, path, newChunks)
       .toDF("_1", "_2", "_3", "_4", "_5", "_6", "_7", "_8")
       .as[(Seq[Int], Seq[Int], String, Array[Byte], String, String,
         Long, Long)]
@@ -645,6 +610,57 @@ object TensorPlane {
       .withColumn("offset", lit(0L))
     session.trackStaging(stagingKey)
     session.rechunkArray(path, newChunks, refs)
+  }
+
+  /** The rechunk job's shuffled relation, exposed for plan guards:
+    * (dst, src, kind, inline, chunk_id, location, offset, length) rows,
+    * range-partitioned and sorted by the destination's row-major linear
+    * index. This is the ONLY thing the job shuffles — coordinate pairs
+    * and ref metadata, never payloads.
+    *
+    * RANGE-partitioned, not hash: destination chunks sharing source
+    * chunks are neighbors in linear order, so ranging puts a source's
+    * consumers in the SAME task, where the decoded-source LRU makes the
+    * source fetch+decode once. Hash partitioning scattered them — each
+    * 8 MB source was fetched and decoded once per consumer (~4x memory
+    * traffic, and the measured wall time with it: warm 1 GiB regrid
+    * 8.4 s hashed vs 4.3 s ranged).
+    */
+  private[graft] def rechunkFragments(session: Session, path: String,
+                                      newChunks: Seq[Long]): DataFrame = {
+    val node = session.node(path).filter(_.isArray).getOrElse(
+      throw new GraftException(s"no array at $path"))
+    val shape = node.shape
+    val ndim = shape.size
+    val srcChunks = node.chunkShape
+    val spark = session.repo.spark
+    // source ref -> overlapping destination coords (inclusive ranges
+    // per dim; `div` keeps the arithmetic integral end to end)
+    var fr = session.refs(path).select(col("coord"), col("kind"),
+      col("inline"), col("chunk_id"), col("location"), col("offset"),
+      col("length"))
+    for (i <- 0 until ndim) {
+      val cs = srcChunks(i); val ds = newChunks(i); val sh = shape(i)
+      fr = fr.withColumn(s"_d$i", explode(sequence(
+        expr(s"int((element_at(coord, ${i + 1}) * ${cs}L) div $ds)"),
+        expr(s"int((least(element_at(coord, ${i + 1}) * ${cs}L + $cs, " +
+          s"${sh}L) - 1) div $ds)"))))
+    }
+    // destination grid extents, for the row-major linear index
+    val dstGrid = shape.zip(newChunks).map { case (s, c) => (s + c - 1) / c }
+    val dlExpr = (0 until ndim).map(i =>
+        s"_d$i * ${dstGrid.drop(i + 1).product}L").mkString(" + ")
+    val frags = fr
+      .withColumn("dst", array((0 until ndim).map(i => col(s"_d$i")): _*))
+      .withColumn("_dl", expr(dlExpr))
+      .select(col("_dl"), col("dst"), col("coord").as("src"), col("kind"),
+        col("inline"), col("chunk_id"), col("location"), col("offset"),
+        col("length"))
+    val parts = spark.sparkContext.defaultParallelism * 2
+    frags
+      .repartitionByRange(parts, col("_dl"))
+      .sortWithinPartitions("_dl", "src")
+      .drop("_dl")
   }
 
   /** Assemble destination chunks from a (dst, src, ref...) run sorted by

@@ -141,4 +141,35 @@ class PlanCheckSpec extends SparkTestBase {
         s"$name plans a BroadcastNestedLoopJoin")
     }
   }
+
+  test("rechunk shuffles only the coord relation through ONE range " +
+      "exchange") {
+    // the whole 100 TB story of rechunk: payload bytes move as
+    // object-store reads on destination tasks, so the PLAN must contain
+    // exactly one exchange — rangepartitioning on the destination's
+    // linear index (locality for the decoded-source LRU) — and no hash
+    // shuffle, join, or extra sort that would re-tax the coordinate
+    // relation
+    import graft.repo._
+    import graft.storage.Store
+    val dir = tmpDir("plans-rechunk")
+    val repo = Repository.create(Store.local(dir), spark)
+    val s = repo.writableSession("main")
+    s.addArray("/a", Seq(64), Seq(8))
+    for (c <- 0 until 8)
+      s.writeChunk("/a", Seq(c), graft.functions.ChunkCodec.encodeLongs(
+        Array.fill(8)(c.toLong), "int64"))
+    s.commit("init")
+    val frags = graft.tensor.TensorPlane.rechunkFragments(
+      repo.writableSession("main"), "/a", Seq(16))
+    val p = frags.queryExecution.executedPlan.toString
+    assert("Exchange rangepartitioning".r.findAllIn(p).size == 1,
+      s"expected exactly one range exchange:\n${p.take(3000)}")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"unexpected hash shuffle in the rechunk plan:\n${p.take(3000)}")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("SortMergeJoin"),
+      s"rechunk fragments must not plan a join:\n${p.take(3000)}")
+  }
 }
