@@ -28,12 +28,23 @@ object ZarrExport {
     * codec only, "zstd"/"gzip" → bytes + that codec).
     */
   def exportStore(session: Session, dst: Store, dstPrefix: String = "",
-                  compression: String = "raw"): Long = {
+                  compression: String = "raw",
+                  paths: Seq[String] = Nil): Long = {
     val spark = session.repo.spark
     val prefix =
       if (dstPrefix.isEmpty || dstPrefix.endsWith("/")) dstPrefix
       else dstPrefix + "/"
-    val nodes = session.nodes
+    val all = session.nodes
+    // path filter: the named nodes (and their descendants) plus the
+    // ancestor groups that give the exported tree its zarr.json docs
+    val nodes =
+      if (paths.isEmpty) all
+      else {
+        val wanted = paths.map(graft.core.NodePath.normalize).toSet
+        all.filter(n => wanted.exists(w => n.path == w ||
+          graft.core.NodePath.isAncestorOf(w, n.path) ||
+          graft.core.NodePath.isAncestorOf(n.path, w)))
+      }
     if (nodes.isEmpty) throw new GraftException("empty tree: nothing to export")
 
     var written = 0L
