@@ -25,13 +25,13 @@ import graft.storage.{ObjectInfo, Store}
   *    objects from executors (decouples the repo from the source at the
   *    cost of one full read+write).
   *
-  * Scale shape: `zarr.json` documents are a driver concern (#arrays of
-  * them), but the chunk-key inventory — the big list — is parsed with
-  * DataFrame string expressions and staged through
-  * [[graft.repo.Session.stageChunkRefs]] (executor-staged refs, one
-  * commit), so beyond the listing itself no per-chunk driver object is
-  * built. Unknown keys are counted and reported, never silently
-  * dropped.
+  * Scale shape: `zarr.json` documents and the key LISTING are driver
+  * concerns (the listing necessarily is — it comes back from the object
+  * store's list API); coords parse and validate inline on that listing,
+  * then everything payload-shaped (copy-mode fetch+upload) and the ref
+  * staging itself run on executors through
+  * [[graft.repo.Session.stageChunkRefs]], one commit. Unknown keys are
+  * counted and reported, never silently dropped.
   *
   * Supported zarr metadata: v3, regular chunk grids, `bytes` codec
   * (little-endian) with optional gzip/zstd compression, `default`
@@ -105,23 +105,24 @@ object ZarrImport {
       if (chunkKeys.nonEmpty) {
         import spark.implicits._
         val ndim = a.shape.size
-        val keyed = chunkKeys.map(e => (e.key, e.size))
-          .toDF("key", "size")
-          .withColumn("rest",
-            expr(s"substring(key, ${a.keyPrefix.length + 1})"))
-          .withColumn("parts", split(col("rest"),
-            if (a.sep == ".") "\\." else "/"))
-          // refuse-loudly posture: a chunk-looking key that does not
-          // parse as exactly ndim integers fails the import, it does
-          // not vanish (try_cast, not cast: ANSI mode would throw a
-          // generic error inside the job instead of naming the key)
-          .withColumn("coord",
-            expr("transform(parts, p -> try_cast(p as int))"))
-        val bad = keyed.filter(size(col("coord")) =!= ndim ||
-          exists(col("coord"), c => c.isNull)).limit(1).collect()
-        if (bad.nonEmpty) throw new GraftException(
-          s"unparseable chunk key under ${a.keyPrefix}: " +
-            bad.head.getAs[String]("key"))
+        // the listing is already a driver-side relation; parse and
+        // validate the coords right there (refuse-loudly posture: a
+        // chunk-looking key that does not parse as exactly ndim
+        // integers fails the import BY NAME, it does not vanish), then
+        // everything payload-shaped happens on executors
+        val parsed = chunkKeys.map { e =>
+          val rest = e.key.substring(a.keyPrefix.length)
+          val parts = rest.split(if (a.sep == ".") "\\." else "/", -1)
+          val coord = parts.map(p => p.toIntOption.getOrElse(-1))
+          if (coord.length != ndim || coord.exists(_ < 0))
+            throw new GraftException(
+              s"unparseable chunk key under ${a.keyPrefix}: ${e.key}")
+          (coord.toSeq, e.key, e.size)
+        }
+        val keyed = parsed.toDF("coord", "key", "size")
+          .repartition(math.max(1,
+            math.min(spark.sparkContext.defaultParallelism * 2,
+              parsed.size / 64 + 1)))
         val refs =
           if (!copy)
             keyed.select(col("coord"), lit("virtual").as("kind"),
@@ -130,18 +131,18 @@ object ZarrImport {
           else {
             val srcConf = src.conf
             val dstConf = repo.store.conf
-            keyed.select(col("key")).as[String].mapPartitions { it =>
-              val s = graft.storage.StoreConf.cached(srcConf)
-              val d = graft.storage.StoreConf.cached(dstConf)
-              it.map { key =>
-                val bytes = s.getBytes(key)
-                val id = graft.core.Ids.toBase32(
-                  graft.core.Ids.newObjectId())
-                d.putBytes(graft.meta.Layout.chunkKey(id), bytes)
-                (key, id, bytes.length.toLong)
-              }
-            }.toDF("key", "chunk_id", "length")
-              .join(keyed.select("key", "coord"), "key")
+            keyed.select(col("coord"), col("key"))
+              .as[(Seq[Int], String)].mapPartitions { it =>
+                val s = graft.storage.StoreConf.cached(srcConf)
+                val d = graft.storage.StoreConf.cached(dstConf)
+                it.map { case (coord, key) =>
+                  val bytes = s.getBytes(key)
+                  val id = graft.core.Ids.toBase32(
+                    graft.core.Ids.newObjectId())
+                  d.putBytes(graft.meta.Layout.chunkKey(id), bytes)
+                  (coord, id, bytes.length.toLong)
+                }
+              }.toDF("coord", "chunk_id", "length")
               .select(col("coord"), lit("ref").as("kind"),
                 col("chunk_id"), lit(0L).as("offset"), col("length"))
           }
