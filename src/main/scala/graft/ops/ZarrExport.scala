@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.functions._
 import org.json4s._
+import org.json4s.JsonDSL._
 import org.json4s.jackson.JsonMethods
 import graft.repo.{GraftException, Session}
 import graft.storage.Store
@@ -85,17 +86,28 @@ object ZarrExport {
   }
 
   /** zarr.json for a node: if its userData already IS a zarr v3 doc
-    * (e.g. the node was imported), re-emit it verbatim — attributes and
-    * fill values survive the round trip. Otherwise synthesize one from
-    * the node spec + the userData dtype probe.
+    * (e.g. the node was imported), re-emit it — attributes and fill
+    * values survive the round trip — EXCEPT its `chunk_key_encoding`,
+    * which is rewritten to the default `c/` form because that is what
+    * this exporter actually writes (an array adopted from zarr v2
+    * carries a v2-`.` declaration that would mislabel the exported
+    * keys). Otherwise synthesize a doc from the node spec + the
+    * userData dtype probe.
     */
   private def docFor(n: graft.meta.NodeSpec, compression: String): String = {
+    val defaultEnc: JValue = JObject(
+      "name" -> JString("default"),
+      "configuration" -> JObject("separator" -> JString("/")))
     val fromUser =
       try {
         val j = JsonMethods.parse(n.userData)
         (j \ "zarr_format", j \ "node_type") match {
           case (JInt(v), JString(t)) if v == 3 &&
-            (t == "array") == n.isArray => Some(n.userData)
+            (t == "array") == n.isArray =>
+            if (!n.isArray) Some(n.userData)
+            else Some(JsonMethods.compact(JsonMethods.render(
+              j.removeField(_._1 == "chunk_key_encoding").asInstanceOf[JObject] ~
+                ("chunk_key_encoding" -> defaultEnc))))
           case _ => None
         }
       } catch { case _: Exception => None }

@@ -63,44 +63,68 @@ object ZarrImport {
     val entries = src.list(prefix)
     if (entries.isEmpty)
       throw new GraftException(s"no objects under '$prefix'")
-    val metaDocs = entries.filter(_.key.endsWith("zarr.json"))
+    val V2Meta = Set(".zarray", ".zgroup", ".zattrs", ".zmetadata")
+    def isMeta(key: String): Boolean =
+      key.endsWith("zarr.json") || V2Meta.exists(key.endsWith)
+    val metaDocs = entries.filter(e => e.key.endsWith("zarr.json") ||
+      e.key.endsWith(".zarray") || e.key.endsWith(".zgroup"))
     if (metaDocs.isEmpty)
       throw new GraftException(
-        s"no zarr.json under '$prefix' — not a zarr v3 store")
+        s"no zarr.json/.zarray/.zgroup under '$prefix' — not a zarr store")
+
+    def readDoc(key: String): String = new String(src.getBytes(key),
+      java.nio.charset.StandardCharsets.UTF_8)
+    // v2 attributes live in a SIBLING .zattrs file; fold them into the
+    // synthesized v3 doc so the adoption is lossless
+    def attrsFor(base: String): Option[String] =
+      entries.find(_.key == base + ".zattrs").map(e => readDoc(e.key))
 
     val session = repo.writableSession(branch)
     var arrays = List.empty[ArraySpec]
     // parents before children so group docs land before member arrays
     for (m <- metaDocs.sortBy(_.key.count(_ == '/'))) {
-      val rel = m.key.stripPrefix(prefix).stripSuffix("zarr.json")
+      val name = m.key.substring(m.key.lastIndexOf('/') + 1)
+      val rel = m.key.stripPrefix(prefix).stripSuffix(name)
         .stripSuffix("/")
       val nodePath = "/" + rel
-      val doc = new String(src.getBytes(m.key),
-        java.nio.charset.StandardCharsets.UTF_8)
+      val base = if (rel.isEmpty) prefix else s"$prefix$rel/"
+      val doc = readDoc(m.key)
       val j = JsonMethods.parse(doc)
-      (j \ "zarr_format") match {
-        case JInt(v) if v == 3 => ()
-        case other => throw new GraftException(
-          s"${m.key}: unsupported zarr_format $other (v3 only)")
-      }
-      (j \ "node_type") match {
-        case JString("group") =>
-          if (rel.nonEmpty) session.addGroup(nodePath, userData = doc)
-        case JString("array") =>
-          arrays ::= parseArray(nodePath, rel, doc, j, prefix)
+      name match {
+        case "zarr.json" =>
+          (j \ "zarr_format") match {
+            case JInt(v) if v == 3 => ()
+            case other => throw new GraftException(
+              s"${m.key}: unsupported zarr_format $other (v3 only)")
+          }
+          (j \ "node_type") match {
+            case JString("group") =>
+              if (rel.nonEmpty) session.addGroup(nodePath, userData = doc)
+            case JString("array") =>
+              arrays ::= parseArray(nodePath, rel, doc, j, prefix)
+              val a = arrays.head
+              session.addArray(a.path, a.shape, a.chunks, a.dimNames,
+                userData = a.doc)
+            case other => throw new GraftException(
+              s"${m.key}: unknown node_type $other")
+          }
+        case ".zgroup" =>
+          if (rel.nonEmpty) session.addGroup(nodePath,
+            userData = groupDocV3(attrsFor(base)))
+        case ".zarray" =>
+          arrays ::= parseArrayV2(nodePath, rel, m.key, j, prefix,
+            attrsFor(base))
           val a = arrays.head
           session.addArray(a.path, a.shape, a.chunks, a.dimNames,
             userData = a.doc)
-        case other => throw new GraftException(
-          s"${m.key}: unknown node_type $other")
       }
     }
 
     val srcRoot = src.rootUri.stripSuffix("/")
-    var unknown = entries.size - metaDocs.size
+    var unknown = entries.size - entries.count(e => isMeta(e.key))
     for (a <- arrays) {
       val chunkKeys = entries.filter(e => e.key.startsWith(a.keyPrefix) &&
-        !e.key.endsWith("zarr.json"))
+        !isMeta(e.key))
       unknown -= chunkKeys.size
       if (chunkKeys.nonEmpty) {
         import spark.implicits._
@@ -153,6 +177,103 @@ object ZarrImport {
       System.err.println(s"[zarr-import] $unknown non-chunk, " +
         "non-metadata keys ignored")
     session.commit(message)
+  }
+
+  /** v2 → v3 dtype map; unsigned/big-endian/exotic dtypes are refused
+    * (the value plane has no decode for them), not silently narrowed.
+    */
+  private def dtypeV2(d: String, where: String): String = d match {
+    case "<i1" | "|i1" => "int8"
+    case "<i2" => "int16"
+    case "<i4" => "int32"
+    case "<i8" => "int64"
+    case "<f4" => "float32"
+    case "<f8" => "float64"
+    case other => throw new GraftException(
+      s"$where: unsupported v2 dtype '$other' " +
+        "(little-endian signed int / float only)")
+  }
+
+  private def groupDocV3(attrs: Option[String]): String =
+    attrs match {
+      case Some(a) =>
+        s"""{"zarr_format":3,"node_type":"group","attributes":$a}"""
+      case None => """{"zarr_format":3,"node_type":"group"}"""
+    }
+
+  /** Parse a zarr v2 `.zarray` document into the same [[ArraySpec]] the
+    * v3 path produces, synthesizing a v3 `zarr.json` as userData (with
+    * the sibling `.zattrs` folded in) — importing a v2 store and
+    * exporting it back out IS the v2 → v3 migration.
+    */
+  private def parseArrayV2(nodePath: String, rel: String, key: String,
+                           j: JValue, prefix: String,
+                           attrs: Option[String]): ArraySpec = {
+    (j \ "zarr_format") match {
+      case JInt(v) if v == 2 => ()
+      case other => throw new GraftException(
+        s"$key: .zarray with zarr_format $other")
+    }
+    def longs(v: JValue, what: String): Seq[Long] = v match {
+      case JArray(xs) => xs.map {
+        case JInt(n) => n.toLong
+        case other =>
+          throw new GraftException(s"$nodePath: bad $what element $other")
+      }
+      case other =>
+        throw new GraftException(s"$nodePath: missing $what ($other)")
+    }
+    val shape = longs(j \ "shape", "shape")
+    val chunks = longs(j \ "chunks", "chunks")
+    val dtype = (j \ "dtype") match {
+      case JString(d) => dtypeV2(d, nodePath)
+      case other =>
+        throw new GraftException(s"$nodePath: missing dtype ($other)")
+    }
+    (j \ "order") match {
+      case JString("C") | JNothing => ()
+      case other => throw new GraftException(
+        s"$nodePath: unsupported order $other (row-major C only)")
+    }
+    (j \ "filters") match {
+      case JNull | JNothing | JArray(Nil) => ()
+      case other => throw new GraftException(
+        s"$nodePath: v2 filters unsupported ($other)")
+    }
+    val codec = (j \ "compressor") match {
+      case JNull | JNothing => None
+      case o =>
+        (o \ "id") match {
+          case JString("gzip") => Some("gzip")
+          case JString("zstd") => Some("zstd")
+          case other => throw new GraftException(
+            s"$nodePath: unsupported v2 compressor $other " +
+              "(null | gzip | zstd)")
+        }
+    }
+    val sep = (j \ "dimension_separator") match {
+      case JString(s) => s
+      case _ => "." // the v2 default
+    }
+    val codecJson = codec match {
+      case Some(c) =>
+        s"""[{"name":"bytes","configuration":{"endian":"little"}},""" +
+          s"""{"name":"$c"}]"""
+      case None =>
+        """[{"name":"bytes","configuration":{"endian":"little"}}]"""
+    }
+    val attrJson = attrs.map(a => s""","attributes":$a""").getOrElse("")
+    val doc =
+      s"""{"zarr_format":3,"node_type":"array",""" +
+        s""""shape":[${shape.mkString(",")}],""" +
+        s""""chunk_grid":{"name":"regular","configuration":""" +
+        s"""{"chunk_shape":[${chunks.mkString(",")}]}},""" +
+        s""""data_type":"$dtype",""" +
+        s""""chunk_key_encoding":{"name":"v2",""" +
+        s""""configuration":{"separator":"$sep"}},""" +
+        s""""fill_value":0,"codecs":$codecJson$attrJson}"""
+    val base = if (rel.isEmpty) prefix else s"$prefix$rel/"
+    ArraySpec(nodePath, shape, chunks, dtype, Nil, base, sep, doc)
   }
 
   private def parseArray(nodePath: String, rel: String, doc: String,

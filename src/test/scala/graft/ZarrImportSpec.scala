@@ -201,6 +201,69 @@ class ZarrImportSpec extends SparkTestBase {
       Files.readAllBytes(Paths.get(srcDir, "temp/c/1"))))
   }
 
+  test("zarr v2 stores import; import -> export is the v2 -> v3 migration") {
+    val srcDir = tmpDir("v2src")
+    def put(rel: String, bytes: Array[Byte]): Unit = {
+      val p = Paths.get(srcDir, rel)
+      Files.createDirectories(p.getParent)
+      Files.write(p, bytes)
+    }
+    def putS(rel: String, s: String): Unit = put(rel, s.getBytes("UTF-8"))
+    putS(".zgroup", """{"zarr_format":2}""")
+    putS("legacy/.zarray",
+      """{"zarr_format":2,"shape":[6],"chunks":[3],"dtype":"<i8",
+        |"compressor":null,"order":"C","filters":null}""".stripMargin)
+    putS("legacy/.zattrs", """{"source":"pre-graft pipeline"}""")
+    for (c <- 0 until 2)
+      put(s"legacy/$c", ChunkCodec.encodeLongs(
+        Array.tabulate(3)(i => c * 30L + i), "int64"))
+
+    val repo = Repository.create(Store.local(tmpDir("v2repo")), spark)
+    ZarrImport.importStore(repo, "main", Store.local(srcDir))
+    val ro = repo.readonlySession(VersionRef.Branch("main"))
+    val n = ro.node("/legacy").get
+    assert(n.shape == Seq(6L) && n.chunkShape == Seq(3L))
+    // synthesized v3 doc: dtype mapped, .zattrs folded in
+    assert(n.userData.contains("\"data_type\":\"int64\"") &&
+      n.userData.contains("pre-graft pipeline"), n.userData)
+    val vals = TensorPlane.values(ro, "/legacy", "int64").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(vals == Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 30L,
+      4L -> 31L, 5L -> 32L))
+
+    // migration: export the adopted v2 store -> plain zarr V3
+    val out = tmpDir("v2out")
+    graft.ops.ZarrExport.exportStore(ro, Store.local(out))
+    val doc = new String(
+      Files.readAllBytes(Paths.get(out, "legacy/zarr.json")), "UTF-8")
+    assert(doc.contains("\"zarr_format\":3") &&
+      doc.contains("pre-graft pipeline"), doc)
+    // v3 keys use the doc's declared (v2 ".") encoding? No: export
+    // always writes default c/ keys and says so in the fresh doc it
+    // could not have copied — the ADOPTED doc declares v2 encoding, so
+    // the exporter's verbatim re-emit would mislabel the keys it wrote.
+    // Instead the exported chunks must be readable as declared:
+    val repo2 = Repository.create(Store.local(tmpDir("v2repo2")), spark)
+    ZarrImport.importStore(repo2, "main", Store.local(out))
+    val vals2 = TensorPlane.values(
+      repo2.readonlySession(VersionRef.Branch("main")), "/legacy",
+      "int64").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(vals2 == vals)
+
+    // refusals: big-endian dtype, blosc compressor
+    val bad = tmpDir("v2bad")
+    Files.createDirectories(Paths.get(bad, "x"))
+    Files.write(Paths.get(bad, "x", ".zarray"),
+      """{"zarr_format":2,"shape":[4],"chunks":[2],"dtype":">i8",
+        |"compressor":null,"order":"C","filters":null}"""
+        .stripMargin.getBytes("UTF-8"))
+    val rb = Repository.create(Store.local(tmpDir("v2rb")), spark)
+    val e = intercept[GraftException] {
+      ZarrImport.importStore(rb, "main", Store.local(bad))
+    }
+    assert(e.getMessage.contains("unsupported v2 dtype"), e.getMessage)
+  }
+
   test("imported store keeps versioning: edits fork, original time-travels") {
     val srcDir = tmpDir("zsrc3")
     writeFixture(srcDir)
