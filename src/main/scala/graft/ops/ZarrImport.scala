@@ -191,7 +191,8 @@ object ZarrImport {
     case "<f8" => "float64"
     case other => throw new GraftException(
       s"$where: unsupported v2 dtype '$other' " +
-        "(little-endian signed int / float only)")
+        "(little-endian signed int / float only)",
+      graft.repo.GraftError.InvalidConfig)
   }
 
   private def groupDocV3(attrs: Option[String]): String =
@@ -312,7 +313,7 @@ object ZarrImport {
         val badCodecs = names.filterNot(ok)
         if (badCodecs.nonEmpty) throw new GraftException(
           s"$nodePath: unsupported codecs ${badCodecs.mkString(",")} " +
-            "(bytes[+gzip|zstd] only)")
+            "(bytes[+gzip|zstd] only)", graft.repo.GraftError.InvalidConfig)
       case JNothing => () // absent codecs = raw bytes
       case other =>
         throw new GraftException(s"$nodePath: bad codecs $other")

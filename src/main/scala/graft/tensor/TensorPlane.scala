@@ -550,8 +550,10 @@ object TensorPlane {
       s"rechunk requires a regular chunk grid ($path is rectilinear)")
     val shape = node.shape
     val ndim = shape.size
-    require(newChunks.size == ndim && newChunks.forall(_ > 0),
-      s"bad target chunk shape ${newChunks.mkString("x")}")
+    if (newChunks.size != ndim || newChunks.exists(_ <= 0))
+      throw new GraftException(
+        s"bad target chunk shape ${newChunks.mkString("x")} for " +
+          s"rank-$ndim $path", graft.repo.GraftError.InvalidConfig)
     if (newChunks == node.chunkShape) return // already on that grid
     graft.core.ArrayShape.regular(shape, newChunks) // validate up front
     val srcChunks = node.chunkShape

@@ -150,9 +150,10 @@ class RechunkSpec extends SparkTestBase {
       TensorPlane.rechunk(s, "/r", Seq(5), "int64")
     }
     s.addArray("/ok", Seq(10), Seq(5))
-    intercept[IllegalArgumentException] {
+    val rank = intercept[GraftException] {
       TensorPlane.rechunk(s, "/ok", Seq(5, 5), "int64") // rank mismatch
     }
+    assert(rank.kind == GraftError.InvalidConfig)
     // no-op rechunk leaves the session without chunk changes
     TensorPlane.rechunk(s, "/ok", Seq(5), "int64")
   }
