@@ -248,6 +248,74 @@ case class ChunkHistogramExpr(child: Expression, dtype: String,
       c: Expression): ChunkHistogramExpr = copy(child = c)
 }
 
+/** Cell-level diff of two chunk payloads WITHOUT exploding every cell:
+  * decode both sides in one pass and emit ONLY the differing positions
+  * as `ARRAY<STRUCT<pos, old, new>>`. A one-cell patch in a 16 M-cell
+  * chunk emits one row instead of 16 M filtered ones — row-machinery
+  * cost proportional to the CHANGE (the chunk-level prune in
+  * `changedChunkRefs` bounds which chunks decode; this bounds what they
+  * emit). A null side reads as fill (0), zarr's missing-chunk
+  * semantics; length mismatches read the shorter side as 0-padded.
+  */
+case class DiffChunkExpr(left: Expression, right: Expression,
+                         dtype: String, compression: String)
+    extends BinaryExpression with CodegenFallback {
+  private val isInt = ChunkCodec.IntDtypes.contains(dtype)
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("pos", LongType, nullable = false),
+    StructField("old", if (isInt) LongType else DoubleType,
+      nullable = false),
+    StructField("new", if (isInt) LongType else DoubleType,
+      nullable = false))), containsNull = false)
+  override def nullable: Boolean = false
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val l = left.eval(input).asInstanceOf[Array[Byte]]
+    val r = right.eval(input).asInstanceOf[Array[Byte]]
+    if (l == null && r == null) return new GenericArrayData(Array.empty[Any])
+    val out = scala.collection.mutable.ArrayBuffer[Any]()
+    if (isInt) {
+      val a = if (l == null) Array.empty[Long]
+        else ChunkCodec.decodeLongs(ChunkCodec.decompress(l, compression),
+          dtype)
+      val b = if (r == null) Array.empty[Long]
+        else ChunkCodec.decodeLongs(ChunkCodec.decompress(r, compression),
+          dtype)
+      val n = math.max(a.length, b.length)
+      var i = 0
+      while (i < n) {
+        val x = if (i < a.length) a(i) else 0L
+        val y = if (i < b.length) b(i) else 0L
+        if (x != y) out += org.apache.spark.sql.catalyst.InternalRow(
+          i.toLong, x, y)
+        i += 1
+      }
+    } else {
+      val a = if (l == null) Array.empty[Double]
+        else ChunkCodec.decodeDoubles(
+          ChunkCodec.decompress(l, compression), dtype)
+      val b = if (r == null) Array.empty[Double]
+        else ChunkCodec.decodeDoubles(
+          ChunkCodec.decompress(r, compression), dtype)
+      val n = math.max(a.length, b.length)
+      var i = 0
+      while (i < n) {
+        val x = if (i < a.length) a(i) else 0.0
+        val y = if (i < b.length) b(i) else 0.0
+        // NaN-safe inequality: the row explode used <=> semantics
+        if (x != y && !(x.isNaN && y.isNaN))
+          out += org.apache.spark.sql.catalyst.InternalRow(i.toLong, x, y)
+        i += 1
+      }
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): DiffChunkExpr = copy(left = l,
+    right = r)
+}
+
 /** Shared sub-block geometry for the slice kernels: intersect the global
   * element bounds `[lo, hi)` with one chunk (identified by its coord),
   * yielding per-dim in-chunk ranges + row-major strides. Returns null when
@@ -446,4 +514,9 @@ object CodecFunctions {
                       lo: Double, hi: Double, nbins: Int): Column =
     column(ChunkHistogramExpr(expression(bytes), dtype, compression, lo,
       hi, nbins))
+
+  def diff_chunks(oldBytes: Column, newBytes: Column, dtype: String,
+                  compression: String): Column =
+    column(DiffChunkExpr(expression(oldBytes), expression(newBytes),
+      dtype, compression))
 }

@@ -151,12 +151,16 @@ object TensorPlane {
   }
 
   /** Value-plane snapshot diff: `(i0..iN, old_value, new_value)` for
-    * every cell whose value differs between two versions — decoding
-    * ONLY chunks whose refs differ ([[changedChunkRefs]] prunes first,
-    * so cost scales with the CHANGE, not the array). A chunk present on
-    * one side only reads as fill (0) on the other, matching zarr's
-    * missing-chunk semantics. Both versions must share the chunk grid
-    * (diff across a reindex/reshape is a different operation).
+    * every cell whose value differs between two versions. Cost scales
+    * with the CHANGE at both granularities: [[changedChunkRefs]] prunes
+    * to chunks whose refs differ before any payload is read, and the
+    * [[DiffChunkExpr]] kernel emits ONLY differing cells — a one-cell
+    * patch in a 100 TB array decodes two chunks and explodes one row
+    * (the pre-round-7 shape exploded every cell of each changed chunk
+    * and filtered). A chunk present on one side only reads as fill (0),
+    * matching zarr's missing-chunk semantics. Both versions must share
+    * the chunk grid (diff across a reindex/reshape is a different
+    * operation).
     */
   def valueDiff(oldSession: Session, newSession: Session, path: String,
                 dtype: String, compression: String = "raw"): DataFrame = {
@@ -172,34 +176,24 @@ object TensorPlane {
           s"(${nodeO.chunkShape.mkString("x")} vs " +
           s"${nodeN.chunkShape.mkString("x")})")
     val ndim = nodeN.shape.size
-    val cells = nodeN.chunkShape.product.toInt
-    val isInt = ChunkCodec.IntDtypes.contains(dtype)
-    val fill =
-      if (isInt) array_repeat(lit(0L), cells)
-      else array_repeat(lit(0.0), cells)
     val fetch = sessionFetch(newSession)
     def bytesOf(tag: String) = fetch(col(s"$tag.kind"), col(s"$tag.inline"),
       col(s"$tag.chunk_id"), col(s"$tag.location"), col(s"$tag.offset"),
       col(s"$tag.length"))
     val spark = newSession.refs(path).sparkSession
-    val decoded = changedChunkRefs(oldSession, newSession, path)
+    val exploded = changedChunkRefs(oldSession, newSession, path)
       .repartition(spark.sparkContext.defaultParallelism * 2, col("coord"))
-      .select(col("coord"),
-        coalesce(CodecFunctions.decode_chunk(bytesOf("o"), dtype,
-          compression), fill).as("oa"),
-        coalesce(CodecFunctions.decode_chunk(bytesOf("n"), dtype,
-          compression), fill).as("na"))
-    val exploded = decoded.select(col("coord"),
-      posexplode(arrays_zip(col("oa"), col("na"))))
+      .select(col("coord"), explode(CodecFunctions.diff_chunks(
+        bytesOf("o"), bytesOf("n"), dtype, compression)).as("e"))
+      .select(col("coord"), col("e.pos").as("pos"),
+        col("e.old").as("_ov"), col("e.new").as("_nv"))
     val withIdx = regularIndex(exploded, nodeN, ndim)
     val bounded = (0 until ndim).foldLeft(withIdx) { case (df, i) =>
       df.filter(col(s"i$i") <
         math.max(nodeO.shape(i), nodeN.shape(i)))
     }
-    bounded
-      .filter(!(col("col.oa") <=> col("col.na")))
-      .select((0 until ndim).map(i => col(s"i$i")) ++ Seq(
-        col("col.oa").as("old_value"), col("col.na").as("new_value")): _*)
+    bounded.select((0 until ndim).map(i => col(s"i$i")) ++ Seq(
+      col("_ov").as("old_value"), col("_nv").as("new_value")): _*)
   }
 
   /** Global (i0..iN) indices for a regular grid from (coord, pos) —
