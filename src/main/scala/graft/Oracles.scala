@@ -505,6 +505,15 @@ object Oracles {
         |FROM k WHERE copies > 0
         |ORDER BY doc_id, epoch""".stripMargin,
 
+    // the engine diffs two committed versions; only cells rewritten in
+    // chunks 5..9 AND actually changed (every 5th) may appear
+    "q_value_diff" ->
+      """SELECT range AS i0,
+        |  (range * 3) % 1000 AS old_value,
+        |  (range * 3) % 1000 + 1000 AS new_value
+        |FROM range(5000, 10000) WHERE range % 5 = 0
+        |ORDER BY i0""".stripMargin,
+
     // the engine side histograms v(i) = (i*i) % 1000 - 500 inside the
     // chunk kernel (20 bins over [-500, 500)); integral bin arithmetic
     // here reproduces the kernel's fp binning exactly (quotients of

@@ -706,6 +706,42 @@ object Queries {
       .orderBy("doc_id", "epoch")
   }
 
+  /** REAL value-plane snapshot diff: v1 writes a closed-form pattern,
+    * v2 rewrites chunks 5..9 bumping every 5th cell by 1000, and the
+    * diff must emit EXACTLY those cells (ref prune picks the 5 chunks,
+    * the [[graft.functions.DiffChunkExpr]] kernel picks the cells) with
+    * both sides' values — all plain arithmetic for the DuckDB oracle.
+    */
+  val q_value_diff: Q = (s, _) => {
+    val dir = java.nio.file.Files.createTempDirectory("graft-q-vdiff")
+    val repo = graft.repo.Repository.create(
+      graft.storage.Store.local(dir.toString), s)
+    def pattern(c: Int, bump: Boolean): Array[Long] =
+      Array.tabulate(1000) { i =>
+        val g = c * 1000L + i
+        val base = (g * 3) % 1000
+        if (bump && g % 5 == 0) base + 1000 else base
+      }
+    val w = repo.writableSession("main")
+    w.addArray("/a", Seq(60000L), Seq(1000L))
+    for (c <- 0 until 60)
+      w.writeChunk("/a", Seq(c),
+        graft.functions.ChunkCodec.encodeLongs(pattern(c, bump = false),
+          "int64"))
+    val v1 = w.commit("v1")
+    val w2 = repo.writableSession("main")
+    for (c <- 5 until 10)
+      w2.writeChunk("/a", Seq(c),
+        graft.functions.ChunkCodec.encodeLongs(pattern(c, bump = true),
+          "int64"))
+    w2.commit("v2")
+    graft.tensor.TensorPlane.valueDiff(
+        repo.readonlySession(graft.repo.VersionRef.SnapshotVer(v1)),
+        repo.readonlySession(graft.repo.VersionRef.Branch("main")),
+        "/a", "int64")
+      .orderBy("i0")
+  }
+
   /** Value histogram with counting pushed into the chunk kernel: build a
     * repo with the (non-uniform) quadratic-residue pattern
     * v(i) = (i²) % 1000 − 500, histogram it in-engine (one decode pass,
@@ -815,6 +851,7 @@ object Queries {
     "q_shuffle_shard" -> q_shuffle_shard,
     "q_rechunk" -> q_rechunk,
     "q_histogram" -> q_histogram,
+    "q_value_diff" -> q_value_diff,
     "q_pii_scrub" -> q_pii_scrub,
     "q_repetition" -> q_repetition,
     "q_fingerprint" -> q_fingerprint,

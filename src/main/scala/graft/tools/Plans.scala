@@ -106,6 +106,26 @@ object Plans {
             "tx-log Parquet directly. The same scan serves readStream " +
             "micro-batches with ancestry-depth offsets.",
           fmt(cf))
+      }, {
+        val dir = Files.createTempDirectory("plans-rch").toString
+        val repo = graft.repo.Repository.create(
+          graft.storage.Store.local(dir), spark)
+        val s = repo.writableSession("main")
+        s.addArray("/a", Seq(64), Seq(8))
+        for (c <- 0 until 8)
+          s.writeChunk("/a", Seq(c),
+            graft.functions.ChunkCodec.encodeLongs(
+              Array.fill(8)(c.toLong), "int64"))
+        s.commit("init")
+        ("rechunk — the (src,dst) fragment relation",
+          "The ONLY thing the regrid job shuffles: coordinate pairs + " +
+            "ref metadata through ONE rangepartitioning exchange on the " +
+            "destination's linear index (locality for the decoded-source " +
+            "LRU). Payload bytes move as object-store reads on the " +
+            "destination tasks — never through this exchange. " +
+            "PlanCheckSpec pins the shape.",
+          fmt(graft.tensor.TensorPlane.rechunkFragments(
+            repo.writableSession("main"), "/a", Seq(16))))
       })
 
     val md = new StringBuilder

@@ -81,4 +81,30 @@ class ValueDiffSpec extends SparkTestBase {
       .getLong(0) == 0L)
     assert(diff.agg(min("new_value")).head().getLong(0) == 7000L)
   }
+
+  test("a one-cell patch diffs to exactly one row (cell-level kernel)") {
+    val dir = tmpDir("vdiff3")
+    val repo = Repository.create(Store.local(dir), spark, GraftConfig())
+    val s = repo.writableSession("main")
+    s.addArray("/p", Seq(8, 10), Seq(4, 5))
+    for (c0 <- 0 to 1; c1 <- 0 to 1)
+      s.writeChunk("/p", Seq(c0, c1), chunkBytes(100 * c0 + 10 * c1))
+    val v1 = s.commit("v1")
+    // rewrite ONE chunk changing ONE cell (pos 7 -> local (1,2))
+    val s2 = repo.writableSession("main")
+    val edited = Array.tabulate(20)(j => (100 + j).toLong)
+    edited(7) = -42L
+    s2.writeChunk("/p", Seq(1, 0),
+      ChunkCodec.encodeLongs(edited, "int64"))
+    s2.commit("patch")
+    val diff = graft.tensor.TensorPlane.valueDiff(
+      repo.readonlySession(VersionRef.SnapshotVer(v1)),
+      repo.readonlySession(VersionRef.Branch("main")), "/p", "int64")
+      .collect()
+    // not 20-cells-filtered: the kernel emits the single differing cell
+    assert(diff.length == 1)
+    val r = diff.head
+    assert(r.getLong(0) == 5 && r.getLong(1) == 2) // global (4+1, 0+2)
+    assert(r.getLong(2) == 107 && r.getLong(3) == -42)
+  }
 }
