@@ -25,7 +25,8 @@ object Demo {
     val s = repo.writableSession("main")
     s.addGroup("/climate")
     s.addArray("/climate/temp", shape = Seq(128, 64, 64),
-      chunkShape = Seq(32, 64, 64), dimNames = Seq("t", "y", "x"))
+      chunkShape = Seq(32, 64, 64), dimNames = Seq("t", "y", "x"),
+      userData = """{"dtype":"int8"}""")
     for (i <- 0 until 4)
       s.writeChunk("/climate/temp", Seq(i, 0, 0),
         Array.tabulate(64)(j => (i * 64 + j).toByte))
@@ -56,6 +57,30 @@ object Demo {
     println(s"[demo] diff v1..main chunk edits=" +
       d.filter(org.apache.spark.sql.functions.col("edit") === "chunk").count())
     println(s"[demo] ops=${repo.opsLog(5).map(_.op)}")
+
+    // regrid the array (distributed block copies; only coords shuffle)
+    val s4 = repo.writableSession("main")
+    graft.tensor.TensorPlane.rechunk(s4, "/climate/temp",
+      Seq(64, 64, 64), "int8")
+    s4.commit("rechunk to 64x64x64")
+    val regridded = repo.readonlySession(VersionRef.Branch("main"))
+    println(s"[demo] rechunked refs=" +
+      regridded.refs("/climate/temp").count() +
+      s" grid=${regridded.node("/climate/temp").get.chunkShape.mkString("x")}")
+
+    // publish the current version as plain zarr v3, then adopt it back
+    // into a fresh repo with zero-copy virtual refs
+    val pubDir = java.nio.file.Files.createTempDirectory("demo-pub")
+    val nChunks = graft.ops.ZarrExport.exportStore(regridded,
+      Store.local(pubDir.toString))
+    val repo2 = Repository.create(
+      Store.local(java.nio.file.Files.createTempDirectory("demo-adopt")
+        .toString), spark)
+    graft.ops.ZarrImport.importStore(repo2, "main",
+      Store.local(pubDir.toString))
+    println(s"[demo] zarr publish chunks=$nChunks adopted refs=" +
+      repo2.readonlySession(VersionRef.Branch("main"))
+        .refs("/climate/temp").count())
     spark.stop()
     println("[demo] OK")
   }
