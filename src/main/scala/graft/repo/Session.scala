@@ -366,10 +366,15 @@ final class Session private[repo] (
     requireWritable()
     requireNotMoveOnly()
     val n = arrayNode(path)
-    if (n.isRectilinear) throw new GraftException(
-      s"rechunk requires a regular chunk grid (${n.path} is rectilinear)")
     graft.core.ArrayShape.regular(n.shape, newChunkShape) // validates
-    updateArray(path, n.shape, newChunkShape)
+    // the target grid is always REGULAR; a rectilinear source converts
+    // (the one-way door out of the rectilinear feature subset), so the
+    // spec swap clears chunkSizesPerDim rather than going through
+    // updateArray (which refuses rectilinear nodes)
+    val spec = n.copy(chunkShape = newChunkShape, chunkSizesPerDim = Nil)
+    if (changeSet.newNodes.contains(n.path))
+      changeSet.newNodes.put(n.path, spec)
+    else changeSet.updatedNodes.put(n.path, spec)
     changeSet.rewrittenNodes += n.id
     changeSet.clearChunks(n.id)
     stageChunkRefs(path, refs)

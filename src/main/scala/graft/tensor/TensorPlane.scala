@@ -535,23 +535,25 @@ object TensorPlane {
     * Absent source chunks stay absent: a destination chunk all of whose
     * sources are missing is simply not written (fill semantics), so
     * rechunking a sparse array stays sparse along chunk-aligned holes.
+    *
+    * Rectilinear SOURCES are accepted — the target grid is always
+    * regular, so this is also the one-way conversion out of the
+    * rectilinear feature subset (region reads, values writes, SQL
+    * tables, and diffs all require a regular grid).
     */
   def rechunk(session: Session, path: String, newChunks: Seq[Long],
               dtype: String, compression: String = "raw"): Unit = {
     val node = session.node(path).filter(_.isArray).getOrElse(
       throw new GraftException(s"no array at $path"))
-    if (node.isRectilinear) throw new GraftException(
-      s"rechunk requires a regular chunk grid ($path is rectilinear)")
     val shape = node.shape
     val ndim = shape.size
     if (newChunks.size != ndim || newChunks.exists(_ <= 0))
       throw new GraftException(
         s"bad target chunk shape ${newChunks.mkString("x")} for " +
           s"rank-$ndim $path", graft.repo.GraftError.InvalidConfig)
-    if (newChunks == node.chunkShape) return // already on that grid
+    if (!node.isRectilinear && newChunks == node.chunkShape)
+      return // already on that grid
     graft.core.ArrayShape.regular(shape, newChunks) // validate up front
-    val srcChunks = node.chunkShape
-    val srcCells = srcChunks.product.toInt
     val dstCells = newChunks.product.toInt
     val isInt = ChunkCodec.IntDtypes.contains(dtype)
     val spark = session.repo.spark
@@ -564,33 +566,45 @@ object TensorPlane {
       .as[(Seq[Int], Seq[Int], String, Array[Byte], String, String,
         Long, Long)]
 
-    val (srcA, dstA, shpA) =
-      (srcChunks.toArray, newChunks.toArray, shape.toArray)
+    // per-source-chunk geometry (global start + stored-buffer extent per
+    // dim): closed-form for regular grids, per-dim prefix-sum tables for
+    // rectilinear ones (already driver-materialized in the node spec)
+    val srcGeom: Seq[Int] => (Array[Long], Array[Long]) =
+      if (!node.isRectilinear) {
+        val cs = node.chunkShape.toArray
+        c => (Array.tabulate(ndim)(i => c(i).toLong * cs(i)), cs)
+      } else {
+        val sizes = node.chunkSizesPerDim.map(_.toArray)
+        val starts = sizes.map(_.scanLeft(0L)(_ + _).dropRight(1))
+        c => (Array.tabulate(ndim)(i => starts(i)(c(i))),
+          Array.tabulate(ndim)(i => sizes(i)(c(i))))
+      }
+    val maxSrcCells =
+      if (!node.isRectilinear) node.chunkShape.product
+      else node.chunkSizesPerDim.map(_.max).product
+
+    val (dstA, shpA) = (newChunks.toArray, shape.toArray)
     val refsDf =
       (if (isInt)
         sorted.mapPartitions { it =>
-          assembleChunks[Long](it, srcA, dstA, shpA,
+          assembleChunks[Long](it, srcGeom, maxSrcCells, dstA, shpA,
             () => new Array[Long](dstCells),
-            raw => {
-              val a = ChunkCodec.decodeLongs(
-                ChunkCodec.decompress(raw, compression), dtype)
-              if (a.length >= srcCells) a
-              else java.util.Arrays.copyOf(a, srcCells) // short edge chunk
-            },
+            raw => ChunkCodec.decodeLongs(
+              ChunkCodec.decompress(raw, compression), dtype),
+            (a, n) => if (a.length >= n) a
+              else java.util.Arrays.copyOf(a, n), // short edge chunk
             arr => ChunkCodec.compress(
               ChunkCodec.encodeLongs(arr, dtype), compression),
             conf, resolver)
         }
       else
         sorted.mapPartitions { it =>
-          assembleChunks[Double](it, srcA, dstA, shpA,
+          assembleChunks[Double](it, srcGeom, maxSrcCells, dstA, shpA,
             () => new Array[Double](dstCells),
-            raw => {
-              val a = ChunkCodec.decodeDoubles(
-                ChunkCodec.decompress(raw, compression), dtype)
-              if (a.length >= srcCells) a
-              else java.util.Arrays.copyOf(a, srcCells)
-            },
+            raw => ChunkCodec.decodeDoubles(
+              ChunkCodec.decompress(raw, compression), dtype),
+            (a, n) => if (a.length >= n) a
+              else java.util.Arrays.copyOf(a, n),
             arr => ChunkCodec.compress(
               ChunkCodec.encodeDoubles(arr, dtype), compression),
             conf, resolver)
@@ -628,19 +642,34 @@ object TensorPlane {
       throw new GraftException(s"no array at $path"))
     val shape = node.shape
     val ndim = shape.size
-    val srcChunks = node.chunkShape
     val spark = session.repo.spark
     // source ref -> overlapping destination coords (inclusive ranges
-    // per dim; `div` keeps the arithmetic integral end to end)
+    // per dim; `div` keeps the arithmetic integral end to end). For
+    // rectilinear sources the per-dim destination ranges ship as literal
+    // lookup tables (the chunk-size lists are already driver-resident on
+    // the node spec; a rectilinear dim's chunk count is by construction
+    // a driver-sized list)
     var fr = session.refs(path).select(col("coord"), col("kind"),
       col("inline"), col("chunk_id"), col("location"), col("offset"),
       col("length"))
     for (i <- 0 until ndim) {
-      val cs = srcChunks(i); val ds = newChunks(i); val sh = shape(i)
-      fr = fr.withColumn(s"_d$i", explode(sequence(
-        expr(s"int((element_at(coord, ${i + 1}) * ${cs}L) div $ds)"),
-        expr(s"int((least(element_at(coord, ${i + 1}) * ${cs}L + $cs, " +
-          s"${sh}L) - 1) div $ds)"))))
+      val ds = newChunks(i); val sh = shape(i)
+      if (!node.isRectilinear) {
+        val cs = node.chunkShape(i)
+        fr = fr.withColumn(s"_d$i", explode(sequence(
+          expr(s"int((element_at(coord, ${i + 1}) * ${cs}L) div $ds)"),
+          expr(s"int((least(element_at(coord, ${i + 1}) * ${cs}L + $cs, " +
+            s"${sh}L) - 1) div $ds)"))))
+      } else {
+        val sizes = node.chunkSizesPerDim(i)
+        val starts = sizes.scanLeft(0L)(_ + _).dropRight(1)
+        val lo = starts.map(st => (st / ds).toInt)
+        val hi = starts.zip(sizes).map { case (st, ex) =>
+          ((math.min(st + ex, sh) - 1) / ds).toInt }
+        fr = fr.withColumn(s"_d$i", explode(sequence(
+          element_at(typedLit(lo), element_at(col("coord"), i + 1) + 1),
+          element_at(typedLit(hi), element_at(col("coord"), i + 1) + 1))))
+      }
     }
     // destination grid extents, for the row-major linear index
     val dstGrid = shape.zip(newChunks).map { case (s, c) => (s + c - 1) / c }
@@ -667,16 +696,18 @@ object TensorPlane {
   private[graft] def assembleChunks[V](
       it: Iterator[(Seq[Int], Seq[Int], String, Array[Byte], String,
         String, Long, Long)],
-      srcChunks: Array[Long], dstChunks: Array[Long], shape: Array[Long],
+      srcGeom: Seq[Int] => (Array[Long], Array[Long]),
+      maxSrcCells: Long, dstChunks: Array[Long], shape: Array[Long],
       alloc: () => Array[V],
       decode: Array[Byte] => Array[V],
+      pad: (Array[V], Int) => Array[V],
       encode: Array[V] => Array[Byte],
       conf: graft.storage.StoreConf,
       resolver: graft.virt.VirtualChunkResolver)
       : Iterator[(Seq[Int], String, Long)] = {
     val store = graft.storage.StoreConf.cached(conf)
     val capacity = math.max(1L,
-      (64L << 20) / math.max(1L, srcChunks.product * 8L)).toInt
+      (64L << 20) / math.max(1L, maxSrcCells * 8L)).toInt
     val lru = new java.util.LinkedHashMap[Seq[Int], Array[V]](16, 0.75f,
       true) {
       override def removeEldestEntry(
@@ -692,6 +723,7 @@ object TensorPlane {
         while (buf.hasNext && buf.head._1 == dst) {
           val (_, src, kind, inline, chunkId, location, offset, length) =
             buf.next()
+          val (srcStart, srcExt) = srcGeom(src)
           var decoded = lru.get(src)
           if (decoded == null) {
             // bulk-scan contract (cacheable=false): range partitioning
@@ -700,10 +732,10 @@ object TensorPlane {
             // hot point-lookup entries it exists for
             val raw = fetchRef(conf, resolver, kind, inline, chunkId,
               location, offset, length, cacheable = false)
-            decoded = decode(raw)
+            decoded = pad(decode(raw), srcExt.product.toInt)
             lru.put(src, decoded)
           }
-          copyBlock(decoded, arr, src.toArray, dst.toArray, srcChunks,
+          copyBlock(decoded, arr, srcStart, srcExt, dst.toArray,
             dstChunks, shape)
         }
         val bytes = encode(arr)
@@ -714,23 +746,24 @@ object TensorPlane {
     }
   }
 
-  /** Copy the overlap of source chunk `srcCoord` and destination chunk
-    * `dstCoord` (both row-major buffers) as contiguous innermost-dim runs
-    * via `System.arraycopy` — no per-element work, no boxing (the arrays
-    * stay primitive; this method only ever passes them whole).
+  /** Copy the overlap of a source chunk (global start `srcStart`,
+    * row-major buffer extents `srcExt`) and destination chunk `dstCoord`
+    * as contiguous innermost-dim runs via `System.arraycopy` — no
+    * per-element work, no boxing (the arrays stay primitive; this method
+    * only ever passes them whole). Geometry-parameterized so regular and
+    * rectilinear source grids share one kernel.
     */
   private[graft] def copyBlock(src: AnyRef, dst: AnyRef,
-                               srcCoord: Array[Int], dstCoord: Array[Int],
-                               srcChunks: Array[Long],
+                               srcStart: Array[Long], srcExt: Array[Long],
+                               dstCoord: Array[Int],
                                dstChunks: Array[Long],
                                shape: Array[Long]): Unit = {
-    val ndim = srcChunks.length
+    val ndim = srcExt.length
     val lo = new Array[Long](ndim); val hi = new Array[Long](ndim)
     var i = 0
     while (i < ndim) {
-      lo(i) = math.max(srcCoord(i).toLong * srcChunks(i),
-        dstCoord(i).toLong * dstChunks(i))
-      hi(i) = math.min(math.min((srcCoord(i) + 1L) * srcChunks(i),
+      lo(i) = math.max(srcStart(i), dstCoord(i).toLong * dstChunks(i))
+      hi(i) = math.min(math.min(srcStart(i) + srcExt(i),
         (dstCoord(i) + 1L) * dstChunks(i)), shape(i))
       if (hi(i) <= lo(i)) return // disjoint (possible on clipped dims)
       i += 1
@@ -740,7 +773,7 @@ object TensorPlane {
     srcStride(ndim - 1) = 1; dstStride(ndim - 1) = 1
     var k = ndim - 2
     while (k >= 0) {
-      srcStride(k) = srcStride(k + 1) * srcChunks(k + 1)
+      srcStride(k) = srcStride(k + 1) * srcExt(k + 1)
       dstStride(k) = dstStride(k + 1) * dstChunks(k + 1)
       k -= 1
     }
@@ -752,7 +785,7 @@ object TensorPlane {
       var j = 0
       while (j < ndim) {
         val gj = if (j == ndim - 1) lo(j) else g(j)
-        so += (gj - srcCoord(j).toLong * srcChunks(j)) * srcStride(j)
+        so += (gj - srcStart(j)) * srcStride(j)
         dofs += (gj - dstCoord(j).toLong * dstChunks(j)) * dstStride(j)
         j += 1
       }

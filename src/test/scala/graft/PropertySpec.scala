@@ -194,8 +194,9 @@ class PropertySpec extends AnyFunSuite {
           }) {
           val dst = dstBufs.getOrElseUpdate(dc,
             new Array[Long](dstC.product.toInt))
-          graft.tensor.TensorPlane.copyBlock(buf, dst, sc.toArray,
-            dc.toArray, srcC.toArray, dstC.toArray, shape.toArray)
+          val srcStart = Array.tabulate(nd)(i => sc(i).toLong * srcC(i))
+          graft.tensor.TensorPlane.copyBlock(buf, dst, srcStart,
+            srcC.toArray, dc.toArray, dstC.toArray, shape.toArray)
         }
       }
 

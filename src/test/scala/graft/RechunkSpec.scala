@@ -142,13 +142,9 @@ class RechunkSpec extends SparkTestBase {
     assert(vals(Seq(0L)) == 1.0 && vals(Seq(4L)) == 50.0)
   }
 
-  test("guards: rectilinear grids and non-tiling shapes are rejected") {
+  test("guards: rank mismatches rejected; same-grid rechunk is a no-op") {
     val repo = Repository.create(Store.local(tmpDir("repo")), spark)
     val s = repo.writableSession("main")
-    s.addArrayRectilinear("/r", Seq(10), Seq(Seq(4L, 6L)))
-    intercept[GraftException] {
-      TensorPlane.rechunk(s, "/r", Seq(5), "int64")
-    }
     s.addArray("/ok", Seq(10), Seq(5))
     val rank = intercept[GraftException] {
       TensorPlane.rechunk(s, "/ok", Seq(5, 5), "int64") // rank mismatch
@@ -156,6 +152,53 @@ class RechunkSpec extends SparkTestBase {
     assert(rank.kind == GraftError.InvalidConfig)
     // no-op rechunk leaves the session without chunk changes
     TensorPlane.rechunk(s, "/ok", Seq(5), "int64")
+  }
+
+  test("rectilinear source converts to a regular grid (one-way door)") {
+    val repo = Repository.create(Store.local(tmpDir("repo")), spark)
+    val s = repo.writableSession("main")
+    // uneven 4+6 split; values v(i) = i * 2
+    s.addArrayRectilinear("/r", Seq(10), Seq(Seq(4L, 6L)))
+    s.writeChunk("/r", Seq(0),
+      ChunkCodec.encodeLongs(Array.tabulate(4)(i => i * 2L), "int64"))
+    s.writeChunk("/r", Seq(1),
+      ChunkCodec.encodeLongs(Array.tabulate(6)(i => (4 + i) * 2L),
+        "int64"))
+    s.commit("rect")
+    val before = valueMap(
+      repo.readonlySession(VersionRef.Branch("main")), "/r", "int64")
+    assert(before.size == 10)
+
+    val rs = repo.writableSession("main")
+    TensorPlane.rechunk(rs, "/r", Seq(5), "int64")
+    rs.commit("to regular")
+    val ro = repo.readonlySession(VersionRef.Branch("main"))
+    val n = ro.node("/r").get
+    assert(!n.isRectilinear && n.chunkShape == Seq(5L))
+    assert(valueMap(ro, "/r", "int64") == before)
+    // the full regular-grid feature set now applies, e.g. region reads
+    val st = TensorPlane.sliceStats(ro, "/r", "int64", Seq((2L, 7L)))
+      .head()
+    assert(st.getAs[Long]("n") == 5)
+    assert(st.getAs[Double]("sum") == (2 until 7).map(_ * 2).sum.toDouble)
+    // 2-D rectilinear with ragged coverage
+    val s2 = repo.writableSession("main")
+    s2.addArrayRectilinear("/r2", Seq(5, 7), Seq(Seq(2L, 3L), Seq(4L, 3L)))
+    var v = 0L
+    for (c0 <- 0 until 2; c1 <- 0 until 2) {
+      val cells = (if (c0 == 0) 2 else 3) * (if (c1 == 0) 4 else 3)
+      s2.writeChunk("/r2", Seq(c0, c1), ChunkCodec.encodeLongs(
+        Array.tabulate(cells)(i => c0 * 1000L + c1 * 100 + i), "int64"))
+    }
+    s2.commit("rect2")
+    val before2 = valueMap(
+      repo.readonlySession(VersionRef.Branch("main")), "/r2", "int64")
+    assert(before2.size == 35)
+    val rs2 = repo.writableSession("main")
+    TensorPlane.rechunk(rs2, "/r2", Seq(3, 3), "int64")
+    rs2.commit("to regular 2d")
+    val ro2 = repo.readonlySession(VersionRef.Branch("main"))
+    assert(valueMap(ro2, "/r2", "int64") == before2)
   }
 
   test("old-grid chunk objects survive for time travel; GC reclaims them") {
