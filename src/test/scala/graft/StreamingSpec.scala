@@ -103,6 +103,47 @@ class StreamingSpec extends SparkTestBase {
     assert(got.toSeq == Seq("c3"), got)
   }
 
+  test("cell-level change feed: pollValues emits exactly the changed " +
+      "cells per poll") {
+    import graft.functions.ChunkCodec
+    val dir = tmpDir("vcf")
+    val repo = Repository.create(Store.local(dir), spark)
+    val s0 = repo.writableSession("main")
+    s0.addArray("/a", Seq(20), Seq(5))
+    for (c <- 0 until 4)
+      s0.writeChunk("/a", Seq(c), ChunkCodec.encodeLongs(
+        Array.tabulate(5)(i => c * 5L + i), "int64"))
+    val base = s0.commit("base")
+
+    // no movement -> no batch
+    assert(graft.streaming.ChangesFeed.pollValues(repo, "main", base,
+      "/a", "int64").isEmpty)
+
+    // one chunk rewritten, one cell actually changed
+    val s1 = repo.writableSession("main")
+    val edited = Array.tabulate(5)(i => 10L + i); edited(2) = -7L
+    s1.writeChunk("/a", Seq(2), ChunkCodec.encodeLongs(edited, "int64"))
+    s1.commit("patch")
+    val Some((tip1, batch1)) = graft.streaming.ChangesFeed.pollValues(
+      repo, "main", base, "/a", "int64")
+    val rows1 = batch1.collect()
+    assert(rows1.length == 1)
+    assert(rows1.head.getLong(0) == 12 && rows1.head.getLong(1) == 12 &&
+      rows1.head.getLong(2) == -7)
+
+    // subsequent poll from the consumed tip sees only the NEXT commit
+    val s2 = repo.writableSession("main")
+    s2.writeChunk("/a", Seq(0), ChunkCodec.encodeLongs(
+      Array.fill(5)(99L), "int64"))
+    s2.commit("rewrite chunk 0")
+    val Some((_, batch2)) = graft.streaming.ChangesFeed.pollValues(
+      repo, "main", tip1, "/a", "int64")
+    val rows2 = batch2.collect()
+    assert(rows2.length == 5) // 0..4 all changed to 99
+    assert(rows2.forall(_.getLong(2) == 99L))
+    assert(rows2.map(_.getLong(0)).toSet == Set(0L, 1L, 2L, 3L, 4L))
+  }
+
   test("streaming exact dedup suppresses in-window duplicates") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
