@@ -735,11 +735,12 @@ object Queries {
         graft.functions.ChunkCodec.encodeLongs(pattern(c, bump = true),
           "int64"))
     w2.commit("v2")
-    graft.tensor.TensorPlane.valueDiff(
-        repo.readonlySession(graft.repo.VersionRef.SnapshotVer(v1)),
-        repo.readonlySession(graft.repo.VersionRef.Branch("main")),
-        "/a", "int64")
-      .orderBy("i0")
+    finishFixture(dir,
+      graft.tensor.TensorPlane.valueDiff(
+          repo.readonlySession(graft.repo.VersionRef.SnapshotVer(v1)),
+          repo.readonlySession(graft.repo.VersionRef.Branch("main")),
+          "/a", "int64")
+        .orderBy("i0"))
   }
 
   /** Value histogram with counting pushed into the chunk kernel: build a
@@ -763,10 +764,11 @@ object Queries {
     }
     w.commit("init")
     val ro = repo.readonlySession(graft.repo.VersionRef.Branch("main"))
-    graft.tensor.TensorPlane.histogram(ro, "/a", "int64",
-        -500.0, 500.0, 20)
-      .select(col("bin").cast("long").as("bin"), col("n"))
-      .orderBy("bin")
+    finishFixture(dir,
+      graft.tensor.TensorPlane.histogram(ro, "/a", "int64",
+          -500.0, 500.0, 20)
+        .select(col("bin").cast("long").as("bin"), col("n"))
+        .orderBy("bin"))
   }
 
   /** REAL distributed rechunk end-to-end: build a repo with a closed-form
@@ -795,11 +797,25 @@ object Queries {
     graft.tensor.TensorPlane.rechunk(rs, "/a", Seq(1600L), "int64")
     rs.commit("regrid")
     val ro = repo.readonlySession(graft.repo.VersionRef.Branch("main"))
-    graft.tensor.TensorPlane.values(ro, "/a", "int64")
-      .groupBy(expr("i0 div 1600").as("chunk_id"))
-      .agg(count(lit(1)).as("n"), sum("value").as("total"),
-        min("value").as("vmin"), max("value").as("vmax"))
-      .orderBy("chunk_id")
+    finishFixture(dir,
+      graft.tensor.TensorPlane.values(ro, "/a", "int64")
+        .groupBy(expr("i0 div 1600").as("chunk_id"))
+        .agg(count(lit(1)).as("n"), sum("value").as("total"),
+          min("value").as("vmin"), max("value").as("vmax"))
+        .orderBy("chunk_id"))
+  }
+
+  /** Fixture-backed queries build a throwaway repo per call: materialize
+    * the (small) result with an eager localCheckpoint so the repo
+    * directory can be deleted immediately instead of leaking per bench
+    * pass — the returned frame no longer references it.
+    */
+  private def finishFixture(dir: java.nio.file.Path,
+                            df: DataFrame): DataFrame = {
+    val out = df.localCheckpoint(true)
+    try org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+    catch { case _: Throwable => () }
+    out
   }
 
   // insertion-ordered: Verify/Bench iterate this map, and a stable entry

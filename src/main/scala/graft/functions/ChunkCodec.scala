@@ -210,6 +210,9 @@ case class ChunkHistogramExpr(child: Expression, dtype: String,
     extends UnaryExpression with CodegenFallback {
   require(nbins > 0 && nbins <= (1 << 20), s"bad nbins $nbins")
   require(hi > lo, s"bad histogram range [$lo, $hi)")
+  require(ChunkCodec.IntDtypes.contains(dtype) ||
+    ChunkCodec.FloatDtypes.contains(dtype),
+    s"unknown dtype $dtype") // refuse at plan time, not per-row in a task
   override def dataType: DataType = ArrayType(LongType,
     containsNull = false)
 

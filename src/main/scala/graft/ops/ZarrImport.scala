@@ -99,7 +99,10 @@ object ZarrImport {
           }
           (j \ "node_type") match {
             case JString("group") =>
+              // the root group already exists — carry its doc (global
+              // attributes live there) instead of dropping it
               if (rel.nonEmpty) session.addGroup(nodePath, userData = doc)
+              else session.updateGroup("/", doc)
             case JString("array") =>
               arrays ::= parseArray(nodePath, rel, doc, j, prefix)
               val a = arrays.head
@@ -111,6 +114,7 @@ object ZarrImport {
         case ".zgroup" =>
           if (rel.nonEmpty) session.addGroup(nodePath,
             userData = groupDocV3(attrsFor(base)))
+          else session.updateGroup("/", groupDocV3(attrsFor(base)))
         case ".zarray" =>
           arrays ::= parseArrayV2(nodePath, rel, m.key, j, prefix,
             attrsFor(base))
@@ -155,7 +159,7 @@ object ZarrImport {
           else {
             val srcConf = src.conf
             val dstConf = repo.store.conf
-            keyed.select(col("coord"), col("key"))
+            val copied = keyed.select(col("coord"), col("key"))
               .as[(Seq[Int], String)].mapPartitions { it =>
                 val s = graft.storage.StoreConf.cached(srcConf)
                 val d = graft.storage.StoreConf.cached(dstConf)
@@ -169,6 +173,16 @@ object ZarrImport {
               }.toDF("coord", "chunk_id", "length")
               .select(col("coord"), lit("ref").as("kind"),
                 col("chunk_id"), lit(0L).as("offset"), col("length"))
+            // the upload job is side-effecting: run it EXACTLY once and
+            // let changeset actions (commit's node-id scan, flush, CAS
+            // retries) replay from the staging Parquet — the same
+            // contract as writeValues/rechunk. Without this every
+            // re-evaluation re-uploaded the whole store under fresh ids.
+            val stagingKey = graft.meta.Layout.stagingPrefix(
+              graft.core.Ids.toBase32(graft.core.Ids.newObjectId()))
+            copied.write.parquet(repo.store.uri(stagingKey))
+            session.trackStaging(stagingKey)
+            spark.read.parquet(repo.store.uri(stagingKey))
           }
         session.stageChunkRefs(a.path, refs)
       }
@@ -264,6 +278,15 @@ object ZarrImport {
         """[{"name":"bytes","configuration":{"endian":"little"}}]"""
     }
     val attrJson = attrs.map(a => s""","attributes":$a""").getOrElse("")
+    // carry the source's fill_value verbatim — climate stores commonly
+    // use -9999/NaN, and a synthesized 0 would mislabel every missing
+    // chunk for downstream zarr consumers. (The engine's own value
+    // plane does not synthesize fill rows for absent chunks, so present
+    // data reads identically either way.)
+    val fillJson = (j \ "fill_value") match {
+      case JNothing => "0"
+      case v => JsonMethods.compact(JsonMethods.render(v))
+    }
     val doc =
       s"""{"zarr_format":3,"node_type":"array",""" +
         s""""shape":[${shape.mkString(",")}],""" +
@@ -272,7 +295,7 @@ object ZarrImport {
         s""""data_type":"$dtype",""" +
         s""""chunk_key_encoding":{"name":"v2",""" +
         s""""configuration":{"separator":"$sep"}},""" +
-        s""""fill_value":0,"codecs":$codecJson$attrJson}"""
+        s""""fill_value":$fillJson,"codecs":$codecJson$attrJson}"""
     val base = if (rel.isEmpty) prefix else s"$prefix$rel/"
     ArraySpec(nodePath, shape, chunks, dtype, Nil, base, sep, doc)
   }

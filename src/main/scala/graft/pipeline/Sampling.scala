@@ -84,6 +84,10 @@ object Sampling {
     val counts = df.groupBy(sourceCol).count().collect()
       .map(r => (r.get(0), r.getLong(1)))
     require(counts.nonEmpty, "temperatureMix on an empty relation")
+    if (counts.exists(_._1 == null))
+      throw new IllegalArgumentException(
+        s"temperatureMix: null values in '$sourceCol' — rows without a " +
+          "source have no defined mixture weight; filter or impute first")
     // deterministic derivation order (sorted by source) so another
     // engine can reproduce the same double arithmetic
     val sorted = counts.sortBy(_._1.toString)

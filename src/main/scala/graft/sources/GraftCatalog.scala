@@ -64,6 +64,15 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
     Identifier.of(parts.init, parts.last)
   }
 
+  /** Per-array codec: a zarr-doc userData (adopted stores) declares it
+    * in `codecs`; else the catalog-level `compression` option; else raw.
+    * Without this, a gzip/zstd-adopted store would decode its compressed
+    * bytes as raw little-endian values — silent garbage.
+    */
+  private def compressionOf(node: graft.meta.NodeSpec): String =
+    GraftCatalog.compressionFromUserData(node.userData)
+      .orElse(options.get("compression")).getOrElse("raw")
+
   private def dtypeOf(node: graft.meta.NodeSpec): String =
     GraftCatalog.dtypeFromUserData(node.userData)
       .orElse(options.get("dtype"))
@@ -140,6 +149,7 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
       case Some(node) =>
         val opts = options ++ Map(
           "array" -> path, "mode" -> "values", "dtype" -> dtypeOf(node),
+          "compression" -> compressionOf(node),
           "branch" -> branch,
           // flags the catalog write path: a FunctionCatalog rides along,
           // so the write may require chunk_coord-clustered distribution
@@ -293,8 +303,10 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
         require(chunks.size == node.shape.size,
           s"chunk_shape must keep rank ${node.shape.size}, " +
             s"got ${chunks.size}")
+        // the node's declared codec, NOT raw: regridding a compressed
+        // array with the wrong codec would silently re-encode garbage
         graft.tensor.TensorPlane.rechunk(session, path, chunks,
-          dtypeOf(node))
+          dtypeOf(node), compressionOf(node))
       case other => throw new UnsupportedOperationException(
         s"unsupported ALTER TABLE change $other — only " +
           "SET TBLPROPERTIES('shape'=...) resizes and " +
@@ -545,6 +557,16 @@ object GraftCatalog {
     """"(?:dtype|data_type)"\s*:\s*"([A-Za-z0-9_]+)"""".r
   def dtypeFromUserData(userData: String): Option[String] =
     DtypeRe.findFirstMatchIn(userData).map(_.group(1))
+
+  /** Codec probe over a zarr-doc userData: the first gzip/zstd codec
+    * name inside the `codecs` list (absent or bytes-only = raw/None).
+    */
+  private val CodecRe = """"name"\s*:\s*"(gzip|zstd)"""".r
+  def compressionFromUserData(userData: String): Option[String] = {
+    val at = userData.indexOf("\"codecs\"")
+    if (at < 0) None
+    else CodecRe.findFirstMatchIn(userData.substring(at)).map(_.group(1))
+  }
 
   /** `cat.snapshots` — the catalog branch's ancestry, newest first. */
   val SnapshotsSchema: StructType = StructType(Seq(

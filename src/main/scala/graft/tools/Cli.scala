@@ -123,12 +123,16 @@ object Cli {
         case ("compact", _) =>
           val id = graft.ops.Compaction.rewriteManifests(repo, "main")
           println(s"compacted -> $id")
-        case ("export", refName :: dstDir :: _) =>
+        case ("export", refName :: dstDir :: exportRest) =>
           val ro = repo.readonlySession(parseRef(repo, refName))
+          // the stored payloads are written verbatim — the caller must
+          // declare their true codec or the exported zarr.json mislabels
+          // them (raw | gzip | zstd)
+          val comp = exportRest.headOption.getOrElse("raw")
           val nChunks = graft.ops.ZarrExport.exportStore(ro,
-            Store.local(dstDir))
+            Store.local(dstDir), compression = comp)
           println(s"exported $refName -> $dstDir " +
-            s"($nChunks chunk objects, plain zarr v3)")
+            s"($nChunks chunk objects, plain zarr v3, codec=$comp)")
         case ("import", srcDir :: importFlags) =>
           val id = graft.ops.ZarrImport.importStore(repo, "main",
             Store.local(srcDir), copy = importFlags.contains("--copy"))

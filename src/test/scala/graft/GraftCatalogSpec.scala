@@ -359,6 +359,35 @@ class GraftCatalogSpec extends SparkTestBase {
     assert(bad.getMessage.contains("rank"), bad.getMessage)
   }
 
+  test("catalog codec probe: adopted compressed arrays decode correctly") {
+    val dir = tmpDir("gzrepo")
+    val repo = Repository.create(Store.local(dir), spark)
+    val s = repo.writableSession("main")
+    // a zarr-doc userData with a gzip codec — what ZarrImport adopts
+    s.addArray("/z", Seq(8), Seq(4), userData =
+      """{"zarr_format":3,"node_type":"array","data_type":"int64",
+        |"codecs":[{"name":"bytes","configuration":{"endian":"little"}},
+        |{"name":"gzip"}]}""".stripMargin)
+    for (c <- 0 until 2)
+      s.writeChunk("/z", Seq(c), graft.functions.ChunkCodec.compress(
+        graft.functions.ChunkCodec.encodeLongs(
+          Array.tabulate(4)(i => c * 4L + i), "int64"), "gzip"))
+    s.commit("gz")
+    val cat = "gzc" + (System.nanoTime() % 100000)
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.path", dir)
+    // without the probe this decoded gzip streams as raw ints — garbage
+    val r = spark.sql(
+      s"SELECT sum(value) AS s, count(*) AS n FROM $cat.z").head()
+    assert(r.getLong(1) == 8 && r.getLong(0) == (0 until 8).sum)
+    // ALTER TABLE chunk_shape re-encodes under the SAME codec
+    spark.sql(s"ALTER TABLE $cat.z SET TBLPROPERTIES('chunk_shape'='8')")
+    val r2 = spark.sql(
+      s"SELECT sum(value) AS s, count(*) AS n FROM $cat.z").head()
+    assert(r2.getLong(1) == 8 && r2.getLong(0) == (0 until 8).sum)
+  }
+
   test("ALTER TABLE chunk_shape regrids through the distributed rechunk") {
     val dir = tmpDir("rchrepo")
     val repo = Repository.create(Store.local(dir), spark)
