@@ -303,6 +303,21 @@ object Bench {
           count(lit(1)), max(col("value"))).collect()
         assert(rows.length == cube)
       }
+      // factor-4³ mean pyramid level over the 1 GiB cube: the partial
+      // kernel emits destination-volume rows (1/64th), so the combine
+      // shuffle moves ~16 MB for 1 GiB decoded
+      entry("engine_downsample_1g") {
+        val s = repo.writableSession("main")
+        graft.tensor.TensorPlane.downsample(s, "/cube", "/cube_l1",
+          Seq(4, 4, 4), "int64")
+        s.commit("pyramid level 1")
+      }
+      // verify outside the timer
+      locally {
+        val ro = repo.readonlySession(VersionRef.Branch("main"))
+        assert(ro.node("/cube_l1").get.shape ==
+          Seq((cube + 3L) / 4, (cube + 3L) / 4, (cube + 3L) / 4))
+      }
       // DSv2 values WRITE through the provider route, chunk-clustered via
       // the `_c0.._cN` helper columns (plain field references — no
       // FunctionCatalog needed): whole chunks per task, no leftover merge,

@@ -505,6 +505,15 @@ object Oracles {
         |FROM k WHERE copies > 0
         |ORDER BY doc_id, epoch""".stripMargin,
 
+    // factor-8 mean pyramid level over v(i) = (i*3) % 1000; sums of 8
+    // small ints are exact in double so the means compare bit-for-bit
+    "q_downsample" ->
+      """WITH cells AS (
+        |  SELECT range AS i, (range * 3) % 1000 AS v FROM range(60000))
+        |SELECT i // 8 AS i0,
+        |  CAST(sum(v) AS DOUBLE) / count(*) AS value
+        |FROM cells GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // the engine diffs two committed versions; only cells rewritten in
     // chunks 5..9 AND actually changed (every 5th) may appear
     "q_value_diff" ->

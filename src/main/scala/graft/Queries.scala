@@ -743,6 +743,35 @@ object Queries {
         .orderBy("i0"))
   }
 
+  /** REAL multiscale downsample: write a closed-form pattern, build the
+    * factor-8 mean pyramid level with
+    * [[graft.tensor.TensorPlane.downsample]] (per-chunk partial kernel —
+    * rows scale with the destination volume), read the level back. Sums
+    * of ≤8 small ints are exact in double, so DuckDB reproduces every
+    * mean bit-for-bit.
+    */
+  val q_downsample: Q = (s, _) => {
+    val dir = java.nio.file.Files.createTempDirectory("graft-q-down")
+    val repo = graft.repo.Repository.create(
+      graft.storage.Store.local(dir.toString), s)
+    val w = repo.writableSession("main")
+    w.addArray("/a", Seq(60000L), Seq(1000L))
+    for (c <- 0 until 60) {
+      val vals = Array.tabulate(1000) { i =>
+        val g = c * 1000L + i; (g * 3) % 1000
+      }
+      w.writeChunk("/a", Seq(c),
+        graft.functions.ChunkCodec.encodeLongs(vals, "int64"))
+    }
+    w.commit("src")
+    val w2 = repo.writableSession("main")
+    graft.tensor.TensorPlane.downsample(w2, "/a", "/l1", Seq(8), "int64")
+    w2.commit("level 1")
+    val ro = repo.readonlySession(graft.repo.VersionRef.Branch("main"))
+    finishFixture(dir,
+      graft.tensor.TensorPlane.values(ro, "/l1", "float64").orderBy("i0"))
+  }
+
   /** Value histogram with counting pushed into the chunk kernel: build a
     * repo with the (non-uniform) quadratic-residue pattern
     * v(i) = (i²) % 1000 − 500, histogram it in-engine (one decode pass,
@@ -868,6 +897,7 @@ object Queries {
     "q_rechunk" -> q_rechunk,
     "q_histogram" -> q_histogram,
     "q_value_diff" -> q_value_diff,
+    "q_downsample" -> q_downsample,
     "q_pii_scrub" -> q_pii_scrub,
     "q_repetition" -> q_repetition,
     "q_fingerprint" -> q_fingerprint,

@@ -251,6 +251,145 @@ case class ChunkHistogramExpr(child: Expression, dtype: String,
       c: Expression): ChunkHistogramExpr = copy(child = c)
 }
 
+/** Per-chunk downsample partials WITHOUT exploding source cells: decode
+  * + one pass accumulating into the chunk's DESTINATION-space footprint,
+  * emitting one `(dl, sum, cnt)` row per destination cell this chunk
+  * touches (`dl` = row-major linear index in the coarse array). Row
+  * machinery scales with the DESTINATION volume (source/∏factors); the
+  * cross-chunk combine is a plain groupBy over those partials. `stride`
+  * mode keeps only exact sample points (`g_i % k_i == 0`), so cnt is
+  * 0/1 and sum IS the sampled value.
+  */
+case class DownsampleChunkExpr(left: Expression, right: Expression,
+                               dtype: String, compression: String,
+                               chunkShape: Seq[Long], shape: Seq[Long],
+                               factors: Seq[Int], mode: String)
+    extends BinaryExpression with CodegenFallback {
+  require(mode == "mean" || mode == "stride", s"unknown mode $mode")
+  require(factors.forall(_ >= 1), s"bad factors $factors")
+  require(ChunkCodec.IntDtypes.contains(dtype) ||
+    ChunkCodec.FloatDtypes.contains(dtype), s"unknown dtype $dtype")
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("dl", LongType, nullable = false),
+    StructField("sum", DoubleType, nullable = false),
+    StructField("cnt", LongType, nullable = false))),
+    containsNull = false)
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val bytes = left.eval(input).asInstanceOf[Array[Byte]]
+    val coordRaw = right.eval(input)
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    if (bytes == null) return new GenericArrayData(Array.empty[Any])
+    val nd = chunkShape.size
+    val coord = Array.tabulate(nd)(coordRaw.getInt)
+    val raw = ChunkCodec.decompress(bytes, compression)
+    val isInt = ChunkCodec.IntDtypes.contains(dtype)
+    val vals: Int => Double = {
+      val bb = ByteBuffer.wrap(raw).order(ByteOrder.LITTLE_ENDIAN)
+      dtype match {
+        case "int8" => i => bb.get(i).toDouble
+        case "int16" => i => bb.getShort(i * 2).toDouble
+        case "int32" => i => bb.getInt(i * 4).toDouble
+        case "int64" => i => bb.getLong(i * 8).toDouble
+        case "float32" => i => bb.getFloat(i * 4).toDouble
+        case "float64" => i => bb.getDouble(i * 8)
+      }
+    }
+    val width = dtype match {
+      case "int8" => 1; case "int16" => 2
+      case "int32" | "float32" => 4; case _ => 8
+    }
+    val nCells = raw.length / width
+    // chunk-local buffer geometry + the chunk's destination footprint
+    val base = Array.tabulate(nd)(i => coord(i).toLong * chunkShape(i))
+    val dstShape = Array.tabulate(nd)(i =>
+      (shape(i) + factors(i) - 1) / factors(i))
+    val dstStride = new Array[Long](nd)
+    dstStride(nd - 1) = 1
+    for (i <- (nd - 2) to 0 by -1)
+      dstStride(i) = dstStride(i + 1) * dstShape(i + 1)
+    val footLo = Array.tabulate(nd)(i => base(i) / factors(i))
+    val footHi = Array.tabulate(nd)(i =>
+      math.min((math.min(base(i) + chunkShape(i), shape(i)) - 1)
+        / factors(i), dstShape(i) - 1))
+    val footExt = Array.tabulate(nd)(i => (footHi(i) - footLo(i) + 1).toInt)
+    val footCells = footExt.product
+    if (footCells <= 0) return new GenericArrayData(Array.empty[Any])
+    val footStride = new Array[Int](nd)
+    footStride(nd - 1) = 1
+    for (i <- (nd - 2) to 0 by -1)
+      footStride(i) = footStride(i + 1) * footExt(i + 1)
+    val sums = new Array[Double](footCells)
+    val cnts = new Array[Long](footCells)
+    // odometer over in-chunk cells; track global + destination indices
+    // incrementally (no per-cell div)
+    val g = base.clone()
+    val rem = new Array[Int](nd) // g_i % factors(i)
+    val d = new Array[Long](nd)
+    for (i <- 0 until nd) { d(i) = base(i) / factors(i); rem(i) = (base(i) % factors(i)).toInt }
+    val chunkCells = chunkShape.product.toInt
+    var pos = 0
+    val limit = math.min(nCells, chunkCells)
+    while (pos < limit) {
+      var inBounds = true
+      var i = 0
+      while (i < nd) { if (g(i) >= shape(i)) { inBounds = false; i = nd }; i += 1 }
+      if (inBounds) {
+        val keep = mode == "mean" || {
+          var ok = true; var j = 0
+          while (j < nd) { if (rem(j) != 0) { ok = false; j = nd }; j += 1 }
+          ok
+        }
+        if (keep) {
+          var f = 0; var k = 0
+          while (k < nd) {
+            f = f * footExt(k) + (d(k) - footLo(k)).toInt; k += 1
+          }
+          sums(f) += vals(pos); cnts(f) += 1
+        }
+      }
+      // increment the innermost dim, with carry
+      pos += 1
+      var dim = nd - 1
+      var carry = true
+      while (carry && dim >= 0) {
+        g(dim) += 1
+        rem(dim) += 1
+        if (rem(dim) == factors(dim)) { rem(dim) = 0; d(dim) += 1 }
+        if (g(dim) < base(dim) + chunkShape(dim)) carry = false
+        else {
+          g(dim) = base(dim); d(dim) = base(dim) / factors(dim)
+          rem(dim) = (base(dim) % factors(dim)).toInt
+          dim -= 1
+        }
+      }
+    }
+    val out = scala.collection.mutable.ArrayBuffer[Any]()
+    var f = 0
+    while (f < footCells) {
+      if (cnts(f) > 0) {
+        // footprint-local -> destination-global linear index
+        var remf = f; var dl = 0L; var i = 0
+        while (i < nd) {
+          val di = footLo(i) + remf / footStride(i)
+          remf = remf % footStride(i)
+          dl += di * dstStride(i)
+          i += 1
+        }
+        out += org.apache.spark.sql.catalyst.InternalRow(dl, sums(f),
+          cnts(f))
+      }
+      f += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): DownsampleChunkExpr =
+    copy(left = l, right = r)
+}
+
 /** Cell-level diff of two chunk payloads WITHOUT exploding every cell:
   * decode both sides in one pass and emit ONLY the differing positions
   * as `ARRAY<STRUCT<pos, old, new>>`. A one-cell patch in a 16 M-cell
@@ -522,4 +661,11 @@ object CodecFunctions {
                   compression: String): Column =
     column(DiffChunkExpr(expression(oldBytes), expression(newBytes),
       dtype, compression))
+
+  def downsample_chunk(bytes: Column, coord: Column, dtype: String,
+                       compression: String, chunkShape: Seq[Long],
+                       shape: Seq[Long], factors: Seq[Int],
+                       mode: String): Column =
+    column(DownsampleChunkExpr(expression(bytes), expression(coord),
+      dtype, compression, chunkShape, shape, factors, mode))
 }

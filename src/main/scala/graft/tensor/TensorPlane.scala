@@ -507,6 +507,74 @@ object TensorPlane {
     }
   }
 
+  /** Downsample an array by integer factors into a NEW array — the
+    * multiscale-pyramid level builder (zarr's OME-NGFF multiscale
+    * convention; climate/imagery overview levels). `mode = "mean"`
+    * averages each k₀×…×k_{n-1} block (partial blocks at the edges
+    * average what exists); `mode = "stride"` samples every k-th point.
+    *
+    * Scale shape: the [[DownsampleChunkExpr]] kernel pre-aggregates each
+    * source chunk into its destination-space footprint, so rows (and the
+    * combine shuffle) scale with the DESTINATION volume — source/∏k —
+    * not the source; a source cell never becomes a Spark row. The
+    * combine is one groupBy over `(dl, sum, cnt)` partials (map-side
+    * combined), and the coarse array lands through the ordinary
+    * streamed [[writeValues]] sink in the same session (one commit for
+    * level creation + data).
+    */
+  def downsample(session: Session, srcPath: String, dstPath: String,
+                 factors: Seq[Int], srcDtype: String,
+                 mode: String = "mean", dstDtype: String = null,
+                 dstChunks: Seq[Long] = Nil,
+                 compression: String = "raw"): Unit = {
+    val node = session.node(srcPath).filter(_.isArray).getOrElse(
+      throw new GraftException(s"no array at $srcPath"))
+    if (node.isRectilinear) throw new GraftException(
+      s"downsample requires a regular chunk grid ($srcPath)")
+    val shape = node.shape
+    val ndim = shape.size
+    if (factors.size != ndim || factors.exists(_ < 1))
+      throw new GraftException(s"bad factors ${factors.mkString("x")}",
+        graft.repo.GraftError.InvalidConfig)
+    // mean of ints is fractional: the level defaults to float64 unless
+    // the caller picks; stride keeps the source dtype exactly
+    val outDtype = Option(dstDtype).getOrElse(
+      if (mode == "mean") "float64" else srcDtype)
+    val dstShape = shape.zip(factors).map { case (s, k) =>
+      (s + k - 1) / k }
+    val chunks =
+      if (dstChunks.nonEmpty) dstChunks
+      else node.chunkShape.zip(factors).zip(dstShape).map {
+        case ((c, k), ds) => math.max(1L, math.min(c / k, ds)) }
+    session.addArray(dstPath, dstShape, chunks, node.dimNames,
+      userData = s"""{"dtype":"$outDtype"}""")
+    val fetch = sessionFetch(session)
+    val spark = session.repo.spark
+    val isInt = ChunkCodec.IntDtypes.contains(outDtype)
+    val dstStrides = dstShape.indices.map(i =>
+      dstShape.drop(i + 1).product)
+    val partials = session.refs(srcPath)
+      .repartition(spark.sparkContext.defaultParallelism * 2, col("coord"))
+      .withColumn("bytes", fetch(col("kind"), col("inline"),
+        col("chunk_id"), col("location"), col("offset"), col("length")))
+      .select(explode(CodecFunctions.downsample_chunk(col("bytes"),
+        col("coord"), srcDtype, compression, node.chunkShape, shape,
+        factors, mode)).as("p"))
+      .groupBy(col("p.dl").as("dl"))
+      .agg(sum("p.sum").as("s"), sum("p.cnt").as("c"))
+    val withDims = (0 until ndim).foldLeft(partials) { case (df, i) =>
+      df.withColumn(s"i$i",
+        pmod(expr(s"dl div ${dstStrides(i)}"), lit(dstShape(i))))
+    }
+    val valueCol =
+      if (mode == "stride") col("s") // cnt is exactly 1 per kept sample
+      else col("s") / col("c")
+    writeValues(session, dstPath,
+      withDims.select((0 until ndim).map(i => col(s"i$i")) :+
+        valueCol.cast(if (isInt) "long" else "double").as("value"): _*),
+      outDtype, compression)
+  }
+
   /** Rechunk a regular-grid array onto a new chunk shape as a distributed
     * block-copy job — the missing zarr-ecosystem workflow (the reference
     * stores whatever grid the writer chose; changing it is an external
