@@ -569,6 +569,82 @@ object Oracles {
         |  len(list_distinct(toks)) AS n_distinct
         |FROM base ORDER BY doc_id""".stripMargin,
 
+    "q_word_freq" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(lower(text), '\s+'),
+        |      x -> len(x) > 0)) AS token
+        |  FROM documents)
+        |SELECT token, count(*) AS n_occ, count(DISTINCT doc_id) AS n_docs
+        |FROM tok GROUP BY token
+        |ORDER BY n_occ DESC, token LIMIT 100""".stripMargin,
+
+    // identical literal arithmetic and association order as the Spark
+    // side (TextAnalysis.bm25) so the 4-dp-rounded scores hash-match;
+    // avgdl is EXACT in both engines (sum of small ints in double), so
+    // the only inexact steps are the shared per-document expression
+    "q_bm25" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'),
+        |      x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |tf AS (
+        |  SELECT doc_id, len(toks) AS dl,
+        |    len(list_filter(toks, x -> x = 'spark')) AS tf_0,
+        |    len(list_filter(toks, x -> x = 'vector')) AS tf_1,
+        |    len(list_filter(toks, x -> x = 'stream')) AS tf_2,
+        |    len(list_filter(toks, x -> x = 'window')) AS tf_3
+        |  FROM base),
+        |st AS (
+        |  SELECT count(*) AS nn, avg(dl) AS avgdl,
+        |    sum(CASE WHEN tf_0 > 0 THEN 1 ELSE 0 END) AS df_0,
+        |    sum(CASE WHEN tf_1 > 0 THEN 1 ELSE 0 END) AS df_1,
+        |    sum(CASE WHEN tf_2 > 0 THEN 1 ELSE 0 END) AS df_2,
+        |    sum(CASE WHEN tf_3 > 0 THEN 1 ELSE 0 END) AS df_3
+        |  FROM tf),
+        |sc AS (
+        |  SELECT doc_id, round(
+        |    ln(1.0 + (nn - df_0 + 0.5) / (df_0 + 0.5)) * (tf_0 * (1.2 + 1))
+        |      / (tf_0 + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+        |    + ln(1.0 + (nn - df_1 + 0.5) / (df_1 + 0.5)) * (tf_1 * (1.2 + 1))
+        |      / (tf_1 + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+        |    + ln(1.0 + (nn - df_2 + 0.5) / (df_2 + 0.5)) * (tf_2 * (1.2 + 1))
+        |      / (tf_2 + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+        |    + ln(1.0 + (nn - df_3 + 0.5) / (df_3 + 0.5)) * (tf_3 * (1.2 + 1))
+        |      / (tf_3 + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)), 4) AS bm25
+        |  FROM tf, st)
+        |SELECT doc_id, bm25 FROM sc
+        |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin,
+
+    "q_substring_spans" ->
+      """WITH sh AS (
+        |  SELECT doc_id, pos, substr(text, pos, 40) AS sub
+        |  FROM (SELECT doc_id, text,
+        |          unnest(range(1, len(text) - 40 + 2)) AS pos
+        |        FROM documents WHERE len(text) >= 40)),
+        |dup AS (
+        |  SELECT sub FROM sh GROUP BY sub
+        |  HAVING count(DISTINCT doc_id) > 1),
+        |dp AS (SELECT s.doc_id, s.pos FROM sh s JOIN dup d USING (sub)),
+        |isl AS (
+        |  SELECT doc_id, pos,
+        |    pos - (row_number() OVER (PARTITION BY doc_id ORDER BY pos) - 1)
+        |      AS grp
+        |  FROM dp),
+        |sp AS (
+        |  SELECT doc_id, grp, count(*) AS n, min(pos) AS mn, max(pos) AS mx
+        |  FROM isl GROUP BY doc_id, grp),
+        |agg AS (
+        |  SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_dup_shingles,
+        |    count(*) AS n_spans,
+        |    CAST(sum(mx - mn + 40) AS BIGINT) AS dup_chars
+        |  FROM sp GROUP BY doc_id)
+        |SELECT a.doc_id, (len(d.text) - 39) AS n_shingles,
+        |  a.n_dup_shingles, a.n_spans, a.dup_chars
+        |FROM agg a JOIN documents d ON a.doc_id = d.doc_id
+        |ORDER BY a.doc_id""".stripMargin,
+
     "q_multimodal_meta" ->
       """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
         |  CAST(floor(greatest(octet_length(encode(text)) - 1, 0) / 256) + 1

@@ -588,6 +588,49 @@ object Queries {
         "first_source", "last_source")
       .orderBy("canonical_id")
 
+  /** Corpus word-frequency table (vocabulary/Zipf audit): top 100 tokens
+    * by occurrence count with document frequencies.
+    */
+  val q_word_freq: Q = (s, d) =>
+    TextAnalysis.wordFrequencies(t(s, d, "documents"), topK = 100)
+
+  /** BM25 sparse retrieval: rank the corpus against a 4-term query. The
+    * oracle recomputes the identical closed-form arithmetic in DuckDB.
+    */
+  val q_bm25: Q = (s, d) =>
+    TextAnalysis.bm25(t(s, d, "documents"),
+      Seq("spark", "vector", "stream", "window"), topK = 20)
+
+  /** Exact duplicated-substring spans (Lee et al. 2022 granularity):
+    * per-document duplicated 40-char shingle runs. `hashed=false` so the
+    * DuckDB oracle can group by the raw substring; PipelineSpec pins the
+    * hashed (8-byte-shuffle) scale path to identical output.
+    */
+  val q_substring_spans: Q = (s, d) =>
+    Dedup.duplicatedSpans(t(s, d, "documents"), k = 40, stride = 1,
+        hashed = false)
+      .orderBy("doc_id")
+
+  /** BPE vocabulary induction: 40 merges learned from the corpus word
+    * counts (no SQL oracle — iterative merge loop; PipelineSpec verifies
+    * the algorithm against hand-computed merges).
+    */
+  val q_bpe_vocab: Q = (s, d) =>
+    graft.pipeline.Bpe.mergesDf(s,
+        graft.pipeline.Bpe.learn(t(s, d, "documents"), numMerges = 40))
+      .orderBy("rank")
+
+  /** Distributed BPE encoding under the learned merges: per-document
+    * subword token counts (no SQL oracle — spec-verified kernel).
+    */
+  val q_bpe_encode: Q = (s, d) => {
+    val merges = graft.pipeline.Bpe.learn(t(s, d, "documents"), numMerges = 40)
+    t(s, d, "documents")
+      .select(col("doc_id"),
+        graft.pipeline.Bpe.tokenCount(col("text"), merges).as("n_bpe"))
+      .orderBy("doc_id")
+  }
+
   /** Rolling-hash fingerprint (no SQL oracle — crc32-based). */
   val q_fingerprint: Q = (s, d) =>
     t(s, d, "documents")
@@ -900,6 +943,11 @@ object Queries {
     "q_downsample" -> q_downsample,
     "q_pii_scrub" -> q_pii_scrub,
     "q_repetition" -> q_repetition,
+    "q_word_freq" -> q_word_freq,
+    "q_bm25" -> q_bm25,
+    "q_substring_spans" -> q_substring_spans,
+    "q_bpe_vocab" -> q_bpe_vocab,
+    "q_bpe_encode" -> q_bpe_encode,
     "q_fingerprint" -> q_fingerprint,
     "q_multimodal_meta" -> q_multimodal_meta,
     "q_frame_sample" -> q_frame_sample,

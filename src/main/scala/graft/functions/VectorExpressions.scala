@@ -260,6 +260,85 @@ case class CosinePairsExpr(blockA: Expression, blockB: Expression,
     copy(blockA = f, blockB = s, sameBlock = t)
 }
 
+/** BPE segmentation of a (pre-lowercased) string under a learned merge
+  * table ([[graft.pipeline.Bpe]]): whitespace tokenize, then per word
+  * start from characters + an end-of-word marker and greedily fuse the
+  * lowest-rank adjacent pair until none applies — the standard BPE
+  * segmenter. The merge ranks ride as expression literals (no join, no
+  * broadcast); a per-task word-type memo makes the amortized cost one
+  * lookup per word, since natural-language word types repeat heavily.
+  */
+case class BpeEncodeExpr(child: Expression, merges: Seq[(String, String)])
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  @transient private lazy val rank: java.util.HashMap[(String, String), Int] = {
+    val m = new java.util.HashMap[(String, String), Int]()
+    merges.zipWithIndex.foreach { case (p, i) => m.put(p, i) }
+    m
+  }
+  @transient private lazy val memo = new java.util.HashMap[String, Array[String]]()
+
+  private def encodeWord(w: String): Array[String] = {
+    val cached = memo.get(w)
+    if (cached != null) return cached
+    var syms = scala.collection.mutable.ArrayBuffer[String]()
+    w.foreach(c => syms += c.toString)
+    syms += graft.pipeline.Bpe.EndOfWord
+    var continue = syms.length >= 2 && !rank.isEmpty
+    while (continue) {
+      var bestRank = Int.MaxValue
+      var i = 0
+      while (i < syms.length - 1) {
+        val r = rank.getOrDefault((syms(i), syms(i + 1)), Int.MaxValue)
+        if (r < bestRank) bestRank = r
+        i += 1
+      }
+      if (bestRank == Int.MaxValue) continue = false
+      else {
+        val (l, r) = merges(bestRank)
+        val fused = l + r
+        val out = scala.collection.mutable.ArrayBuffer[String]()
+        var j = 0
+        while (j < syms.length) {
+          if (j < syms.length - 1 && syms(j) == l && syms(j + 1) == r) {
+            out += fused; j += 2
+          } else { out += syms(j); j += 1 }
+        }
+        syms = out
+        if (syms.length < 2) continue = false
+      }
+    }
+    val arr = syms.toArray
+    if (memo.size < 65536) memo.put(w, arr)
+    arr
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.toString
+    val out = scala.collection.mutable.ArrayBuffer[org.apache.spark.unsafe.types.UTF8String]()
+    var i = 0
+    val len = s.length
+    while (i < len) {
+      while (i < len && Character.isWhitespace(s.charAt(i))) i += 1
+      val start = i
+      while (i < len && !Character.isWhitespace(s.charAt(i))) i += 1
+      if (i > start) {
+        val toks = encodeWord(s.substring(start, i))
+        var j = 0
+        while (j < toks.length) {
+          out += org.apache.spark.unsafe.types.UTF8String.fromString(toks(j))
+          j += 1
+        }
+      }
+    }
+    new GenericArrayData(out.toArray[Any])
+  }
+
+  override protected def withNewChildInternal(c: Expression): BpeEncodeExpr =
+    copy(child = c)
+}
+
 object VectorFunctions {
   /** Codegen'd Σ aᵢ·bᵢ. */
   def dot_product(a: Column, b: Column): Column =
@@ -280,4 +359,7 @@ object VectorFunctions {
                    threshold: Double): Column =
     column(CosinePairsExpr(expression(blockA), expression(blockB),
       expression(sameBlock), threshold))
+
+  def bpe_encode(loweredText: Column, merges: Seq[(String, String)]): Column =
+    column(BpeEncodeExpr(expression(loweredText), merges))
 }

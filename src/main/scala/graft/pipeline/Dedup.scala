@@ -232,6 +232,64 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Exact duplicated-SUBSTRING spans (character shingles), the
+    * within-document granularity of Lee et al. 2022's "Deduplicating
+    * Training Data" — a document that merely EMBEDS a copied passage
+    * slips past whole-document dedup, but its duplicated span shows up
+    * here. For every document (≥ k chars), every k-char shingle at
+    * positions 1, 1+stride, … is checked for occurrence in ANY OTHER
+    * document; duplicated positions then merge into maximal runs
+    * (consecutive stride-spaced positions), and the result is one row
+    * per affected document: total shingles, duplicated shingles, merged
+    * span count, and the char width those spans cover
+    * (`max−min+k` per run).
+    *
+    * Scale shape: the only data-sized shuffles are the shingle groupBy
+    * and the posting join back — both keyed on the shingle, so work
+    * scales with corpus chars/stride, never with the pair space. The
+    * run-merge is a per-document window (partition = doc). At 100 TB:
+    * raise `stride` (span boundaries coarsen to ±stride) and set
+    * `hashed=true` so the shuffle carries 8-byte xxhash64 keys instead
+    * of k-char strings — a false merge needs a 64-bit collision AND
+    * co-location, vanishingly rare and harmless for a dedup *detector*.
+    * (The oracle query runs `hashed=false` so DuckDB can mirror it;
+    * PipelineSpec pins hashed ≡ raw on the test corpus.)
+    */
+  def duplicatedSpans(docs: DataFrame, k: Int = 40, stride: Int = 1,
+                      hashed: Boolean = true,
+                      textCol: String = "text"): DataFrame = {
+    require(k >= 2 && stride >= 1, "duplicatedSpans: k >= 2, stride >= 1")
+    val eligible = docs.filter(length(col(textCol)) >= k)
+    val sh = eligible.select(
+      col("doc_id"),
+      explode(transform(
+        sequence(lit(1), length(col(textCol)) - (k - 1), lit(stride)),
+        p => struct(p.as("pos"),
+          (if (hashed) xxhash64(col(textCol).substr(p, lit(k)))
+           else col(textCol).substr(p, lit(k)).cast("string")).as("sub"))))
+        .as("ps"))
+      .select(col("doc_id"), col("ps.pos").as("pos"), col("ps.sub").as("sub"))
+    val dup = sh.groupBy("sub")
+      .agg(count_distinct(col("doc_id")).as("nd"))
+      .filter(col("nd") > 1)
+      .select("sub")
+    val dp = sh.join(dup, Seq("sub")).select("doc_id", "pos")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    val isl = dp.withColumn("grp",
+      col("pos") - (row_number().over(w) - 1) * stride)
+    val spans = isl.groupBy("doc_id", "grp")
+      .agg(count(lit(1)).as("n"), min("pos").as("mn"), max("pos").as("mx"))
+    val tot = eligible.select(col("doc_id"),
+      (length(col(textCol)) - (k - 1)).as("n_shingles"))
+    spans.groupBy("doc_id")
+      .agg(sum("n").as("n_dup_shingles"), count(lit(1)).as("n_spans"),
+        sum(col("mx") - col("mn") + k).as("dup_chars"))
+      .join(tot, Seq("doc_id"))
+      .select(col("doc_id"), col("n_shingles"), col("n_dup_shingles"),
+        col("n_spans"), col("dup_chars"))
+  }
+
   /** The 100 TB n-gram verification path: block candidate pairs on
     * MinHash-LSH buckets instead of a metadata column, then verify each
     * candidate with EXACT n-gram Jaccard. A metadata block key (e.g.

@@ -176,6 +176,67 @@ object TextAnalysis {
         col("dup_rate") < maxDupRate && col("short_rate") < maxShortRate)
   }
 
+  /** Corpus word-frequency table: total occurrences + document frequency
+    * per token, top-k by occurrence count. ONE explode feeding a
+    * map-side-combined aggregation (the expand for `count_distinct` keeps
+    * partials bounded by word-type cardinality per partition), and the
+    * top-k is a `TakeOrdered` — no global sort shuffle. The standard
+    * vocabulary/Zipf audit over a training corpus; at 100 TB the shuffle
+    * carries word TYPES, not tokens.
+    */
+  def wordFrequencies(docs: DataFrame, textCol: String = "text",
+                      topK: Int = 100): DataFrame =
+    docs.select(col("doc_id"), explode(tokens(col(textCol))).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("n_occ"),
+        count_distinct(col("doc_id")).as("n_docs"))
+      .orderBy(col("n_occ").desc, col("token"))
+      .limit(topK)
+
+  /** BM25 ranking of every document against a small bag-of-terms query —
+    * classical sparse retrieval (Robertson–Spärck Jones), using Lucene's
+    * non-negative idf form `ln(1 + (N − df + 0.5)/(df + 0.5))`.
+    *
+    * Scale shape: for a fixed small query the per-term term frequencies
+    * are pure projections over the scan (`filter` HOF per term — no
+    * posting-list explode, no per-document shuffle); the corpus statistics
+    * (N, avgdl, per-term document frequencies) reduce to ONE row that
+    * broadcasts back onto the same projection, so the whole ranking is two
+    * streaming passes over the corpus and the only exchanged row is that
+    * singleton. The top-k is a `TakeOrdered`.
+    *
+    * Oracle parity: literal arithmetic mirrors the DuckDB SQL token for
+    * token (same association order, same literals) so the rounded scores
+    * hash-match.
+    */
+  def bm25(docs: DataFrame, terms: Seq[String], k1: Double = 1.2,
+           b: Double = 0.75, topK: Int = 20,
+           textCol: String = "text"): DataFrame = {
+    require(terms.nonEmpty && terms.size <= 32, "bm25: 1..32 query terms")
+    val base = docs.select(
+      col("doc_id") +: size(tokens(col(textCol))).as("dl") +:
+        terms.zipWithIndex.map { case (term, i) =>
+          size(filter(tokens(col(textCol)), x => x === lit(term)))
+            .as(s"tf_$i")
+        }: _*)
+    val statAggs =
+      count(lit(1)).as("nn") +: avg(col("dl")).as("avgdl") +:
+        terms.indices.map(i =>
+          sum(when(col(s"tf_$i") > 0, 1).otherwise(0)).as(s"df_$i"))
+    val stats = base.agg(statAggs.head, statAggs.tail: _*)
+    val score = terms.indices.map { i =>
+      val tf = col(s"tf_$i")
+      val df = col(s"df_$i")
+      val idf = log(lit(1.0) + (col("nn") - df + lit(0.5)) / (df + lit(0.5)))
+      idf * (tf * (lit(k1) + lit(1))) /
+        (tf + lit(k1) * (lit(1) - lit(b) + lit(b) * col("dl") / col("avgdl")))
+    }.reduce(_ + _)
+    base.crossJoin(broadcast(stats))
+      .select(col("doc_id"), round(score, 4).as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(topK)
+  }
+
   /** Per-document report: one row per doc with all text metrics. */
   def analyze(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)

@@ -290,12 +290,22 @@ final class LocalStore(val root: Path) extends Store {
   override def putIfAbsent(key: String, bytes: Array[Byte]): Boolean = {
     val path = p(key)
     Files.createDirectories(path.getParent)
+    // Write the full content to a temp file, then HARD-LINK it into place:
+    // link creation is an atomic create-if-absent on POSIX, and — unlike
+    // CREATE_NEW + write, which exposes a zero-length file between the
+    // create and the write — a concurrent reader either misses the key or
+    // sees the complete bytes. (ATOMIC_MOVE without REPLACE_EXISTING is
+    // NOT a safe substitute: the JDK pre-checks existence then rename(2)s,
+    // which silently replaces a concurrent winner — a lost CAS.)
+    val tmp = path.resolveSibling(path.getFileName.toString + ".tmp." +
+      java.util.UUID.randomUUID().toString)
+    Files.write(tmp, bytes)
     try {
-      val ch = Files.newByteChannel(path, StandardOpenOption.WRITE,
-        StandardOpenOption.CREATE_NEW)
-      try ch.write(java.nio.ByteBuffer.wrap(bytes)) finally ch.close()
+      Files.createLink(path, tmp)
       true
-    } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException => false
+    } finally Files.deleteIfExists(tmp)
   }
 
   override def list(prefix: String): Seq[ObjectInfo] = {

@@ -378,4 +378,78 @@ class PipelineSpec extends SparkTestBase {
     assert(clusters(10L) == 10L && clusters(11L) == 10L)
     assert(clusters(20L) == 20L)
   }
+
+  test("BPE merge loop matches hand-computed merges; encoder segments accordingly") {
+    import graft.pipeline.Bpe
+    // Sennrich et al.'s canonical tiny example: merge decisions from
+    // word-TYPE counts, ties by lexicographic pair
+    val wc = Seq("low" -> 5L, "lower" -> 2L, "newest" -> 6L, "widest" -> 3L)
+    val merges = Bpe.learnFromCounts(wc, 4)
+    assert(merges.map(m => (m.left, m.right, m.freq)) == Seq(
+      ("e", "s", 9L),          // (e,s)/(s,t)/(t,</w>) tie at 9 → lexicographic
+      ("es", "t", 9L),
+      ("est", Bpe.EndOfWord, 9L),
+      ("l", "o", 7L)))         // (l,o)/(o,w) tie at 7 → lexicographic
+    // greedy lowest-rank-first segmentation of an UNSEEN word
+    import spark.implicits._
+    val out = Seq((1L, "lowest newest")).toDF("doc_id", "text")
+      .select(Bpe.encode(col("text"), merges).as("toks"))
+      .head().getSeq[String](0)
+    assert(out == Seq("lo", "w", "est" + Bpe.EndOfWord,
+      "n", "e", "w", "est" + Bpe.EndOfWord))
+  }
+
+  test("BPE learn on the corpus is deterministic and encode covers every word") {
+    import graft.pipeline.Bpe
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val m1 = Bpe.learn(docs, numMerges = 20)
+    val m2 = Bpe.learn(docs, numMerges = 20)
+    assert(m1 == m2 && m1.size == 20)
+    // every document's encoding ends each word with an EndOfWord-suffixed
+    // symbol, so token counts are >= word counts and > 0 for nonempty text
+    val bad = docs.select(
+        graft.pipeline.TextAnalysis.tokenCount(col("text")).as("nw"),
+        org.apache.spark.sql.functions.size(
+          Bpe.encode(col("text"), m1)).as("nb"))
+      .filter(col("nb") < col("nw")).count()
+    assert(bad == 0L)
+  }
+
+  test("duplicatedSpans: known span geometry; hashed scale path ≡ raw substrings") {
+    import spark.implicits._
+    val passage = ("shared-passage-" * 4) + "0123456789" // 70 chars
+    assert(passage.length == 70)
+    val docs = Seq(
+      (1L, "AAAAAAAAAA" + passage + "____tail_one________"), // passage at 11
+      (2L, "BBBBB" + passage + "~~~~tail_two~~~~"),          // passage at 6
+      (3L, "an unrelated document long enough to clear the forty char bar")
+    ).toDF("doc_id", "text")
+    val raw = Dedup.duplicatedSpans(docs, k = 40, stride = 1, hashed = false)
+      .orderBy("doc_id").collect()
+    // 70-char shared passage → 31 duplicated 40-char windows merging into
+    // ONE span covering exactly the 70 shared chars
+    assert(raw.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    raw.foreach { r =>
+      assert(r.getAs[Long]("n_dup_shingles") == 31L, r.toString)
+      assert(r.getAs[Long]("n_spans") == 1L, r.toString)
+      assert(r.getAs[Long]("dup_chars") == 70L, r.toString)
+    }
+    val hashed = Dedup.duplicatedSpans(docs, k = 40, stride = 1, hashed = true)
+      .orderBy("doc_id").collect()
+    assert(raw.map(_.toString).toSeq == hashed.map(_.toString).toSeq)
+    // stride > 1 samples positions but still finds the span
+    val strided = Dedup.duplicatedSpans(docs, k = 40, stride = 5)
+      .orderBy("doc_id").collect()
+    assert(strided.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    assert(strided.forall(_.getAs[Long]("n_spans") >= 1L))
+  }
+
+  test("duplicatedSpans on the corpus: hashed ≡ raw (64-bit collisions absent)") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val raw = Dedup.duplicatedSpans(docs, k = 40, hashed = false)
+      .orderBy("doc_id").collect().map(_.toString).toSeq
+    val hashed = Dedup.duplicatedSpans(docs, k = 40, hashed = true)
+      .orderBy("doc_id").collect().map(_.toString).toSeq
+    assert(raw == hashed && raw.nonEmpty)
+  }
 }
