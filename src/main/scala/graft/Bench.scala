@@ -445,6 +445,20 @@ object Bench {
           .agg(sum(col("value")), count(lit(1))).head()
         assert(rows.getLong(1) == 4L * w * cube)
       }
+      // closure-aware branch replication into a second store ("push a
+      // branch to another bucket"): snapshots/tx logs driver-side,
+      // manifest objects + chunk payloads copied executor-side. The
+      // incremental re-push is the steady-state cost — one metadata walk
+      // plus a parallel HEAD per chunk, zero bytes moved.
+      val pushDir = dir.resolve("push-replica").toString
+      entry("engine_repo_push") {
+        val sum = graft.ops.Replicate.sync(repo, Store.local(pushDir), "main")
+        assert(sum.chunksCopied > 0)
+      }
+      entry("engine_repo_push_incr") {
+        val sum = graft.ops.Replicate.sync(repo, Store.local(pushDir), "main")
+        assert(sum.chunksCopied == 0 && sum.snapshotsCopied == 0)
+      }
       r
     }
 

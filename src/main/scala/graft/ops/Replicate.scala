@@ -1,0 +1,208 @@
+package graft.ops
+
+import java.time.Instant
+
+import org.apache.spark.sql.functions._
+import graft.meta.{ChunkRef, Layout, OpLogEntry, RepoInfo, RepoPointer,
+  SnapshotInfo}
+import graft.repo.{ConflictException, GraftConfig, GraftError,
+  GraftException, Repository}
+import graft.storage.{Store, StoreConf}
+
+/** One replication run's outcome (all counts are objects COPIED this
+  * run — an incremental re-sync of an unchanged branch reports zeros
+  * except `chunksSkipped`).
+  */
+final case class SyncSummary(
+    ref: String,
+    snapshotId: String,
+    snapshotsCopied: Int,
+    txObjectsCopied: Int,
+    manifestObjectsCopied: Int,
+    chunksCopied: Long,
+    chunkBytesCopied: Long,
+    chunksSkipped: Long)
+
+/** Branch/tag replication between repositories — "push a branch to
+  * another bucket". The reference leaves cross-store copying to generic
+  * object-sync tools, which are unaware of the commit closure: they
+  * either copy everything (including garbage) or tear a repo mid-commit.
+  * Closure-aware sync copies exactly the reachable set of one ref and
+  * lands the destination pointer with the same CAS discipline as a
+  * commit, so a reader of the destination never observes a half-pushed
+  * branch: content objects first (immutable, content-addressed — safe to
+  * copy in any order), the pointer generation last.
+  *
+  * Scale shape: snapshots and tx logs are metadata (driver-side, bounded
+  * by history length); manifest Parquet objects and chunk payloads copy
+  * EXECUTOR-SIDE — the chunk relation comes straight out of the
+  * manifests as a DataFrame, and each task opens cached store clients
+  * ([[StoreConf.cached]]) and performs exists-check + conditional copy
+  * per object. Incremental syncs therefore cost one metadata walk plus
+  * one parallel HEAD per chunk (content-addressed ids make "exists" a
+  * correct skip test — no listing of a 100 M-object destination, no
+  * byte-level diff). Virtual chunk refs are pointers into EXTERNAL
+  * stores and are not copied (their containers resolve identically from
+  * the replica); inline chunks live inside manifests and travel with
+  * them.
+  *
+  * Concurrent GC on the SOURCE can delete objects between the closure
+  * walk and the copy — the same hazard window the reference documents
+  * for its expire/GC vs reader races. Run syncs outside GC windows (or
+  * retry: the copy fails loudly on a missing source object, it never
+  * lands a dangling pointer).
+  */
+object Replicate {
+
+  /** Sync one source ref (branch or tag name) into the repository at
+    * `dst`, creating the destination repo (no root commit of its own —
+    * the source's history IS the history) if it does not exist.
+    *
+    * Fast-forward discipline: if the destination branch already exists,
+    * its tip must be inside the pushed closure (the push strictly
+    * advances it); anything else is refused with kind `conflict` unless
+    * `force = true` (which resets the branch, like `reset_branch`).
+    */
+  def sync(src: Repository, dst: Store, ref: String,
+           dstRef: String = null, force: Boolean = false): SyncSummary = {
+    val spark = src.spark
+    val info = src.info()
+    val (isTag, tip) = info.branches.get(ref) match {
+      case Some(t) => (false, t)
+      case None => info.tags.get(ref) match {
+        case Some(t) => (true, t)
+        case None => throw new GraftException(
+          s"no branch or tag named $ref", GraftError.RefNotFound)
+      }
+    }
+    val targetRef = Option(dstRef).getOrElse(ref)
+    val closure: Seq[SnapshotInfo] =
+      (info.snapshotInfo(tip).toSeq ++ info.ancestry(tip)).distinctBy(_.id)
+    val closureIds = closure.map(_.id).toSet
+
+    // ---- metadata: snapshots + tx logs (driver-side, bounded) ----
+    var snapsCopied = 0
+    var txCopied = 0
+    val manifestIds = scala.collection.mutable.LinkedHashSet[String]()
+    closure.foreach { si =>
+      val snapKey = Layout.snapshotKey(si.id)
+      if (!dst.exists(snapKey)) {
+        dst.putBytes(snapKey, src.store.getBytes(snapKey))
+        snapsCopied += 1
+      }
+      // the snapshot body names the manifests this commit reads
+      manifestIds ++= src.assets.readSnapshot(si.id)
+        .manifests.values.flatten.map(_.manifestId)
+      src.store.list(Layout.txLogPrefix(si.id) + "/").foreach { o =>
+        if (!dst.exists(o.key)) {
+          dst.putBytes(o.key, src.store.getBytes(o.key))
+          txCopied += 1
+        }
+      }
+    }
+
+    // ---- manifest Parquet objects (executor-side copy) ----
+    val srcConf = src.store.conf
+    val dstConf = dst.conf
+    val manifestKeys: Seq[String] = manifestIds.toSeq.flatMap(mid =>
+      src.store.list(Layout.manifestPrefix(mid) + "/").map(_.key))
+    val manifestsCopied =
+      if (manifestKeys.isEmpty) 0
+      else spark.sparkContext
+        .parallelize(manifestKeys, math.max(1, manifestKeys.size / 64))
+        .mapPartitions { keys =>
+          val s = StoreConf.cached(srcConf)
+          val d = StoreConf.cached(dstConf)
+          var n = 0
+          keys.foreach { k =>
+            if (!d.exists(k)) { d.putBytes(k, s.getBytes(k)); n += 1 }
+          }
+          Iterator.single(n)
+        }.sum().toInt
+
+    // ---- chunk payloads: the data-plane copy (executor-side) ----
+    import spark.implicits._
+    val chunkIds =
+      if (manifestIds.isEmpty) spark.emptyDataset[String].toDF("chunk_id")
+      else manifestIds.toSeq.map { mid =>
+        spark.read.schema(src.assets.manifestSchema)
+          .parquet(src.assets.manifestUri(mid))
+          .filter(col("kind") === ChunkRef.KindRef)
+          .select("chunk_id")
+      }.reduce(_ unionByName _).distinct()
+    val (chunksCopied, bytesCopied, chunksSkipped) = {
+      val stats = chunkIds.as[String].mapPartitions { ids =>
+        val s = StoreConf.cached(srcConf)
+        val d = StoreConf.cached(dstConf)
+        var copied = 0L; var bytes = 0L; var skipped = 0L
+        ids.foreach { id =>
+          val key = Layout.chunkKey(id)
+          if (d.exists(key)) skipped += 1
+          else {
+            val payload = s.getBytes(key)
+            // putIfAbsent: concurrent syncs of overlapping closures are
+            // idempotent on content-addressed objects
+            if (d.putIfAbsent(key, payload)) { copied += 1; bytes += payload.length }
+            else skipped += 1
+          }
+        }
+        Iterator.single((copied, bytes, skipped))
+      }.collect()
+      (stats.map(_._1).sum, stats.map(_._2).sum, stats.map(_._3).sum)
+    }
+
+    // ---- pointer: land the ref with commit-grade CAS, content first ----
+    val dstPointer = new RepoPointer(dst)
+    var attempts = 0
+    var landed = false
+    while (!landed && attempts < 10) {
+      attempts += 1
+      dstPointer.load() match {
+        case None =>
+          val fresh = RepoInfo(
+            gen = 0L,
+            branches = if (isTag) Map("main" -> tip)
+                       else Map(targetRef -> tip),
+            tags = if (isTag) Map(targetRef -> tip)
+                   else Map.empty[String, String],
+            snapshots = closure,
+            ops = Seq(OpLogEntry(Instant.now().toString, "replicate_in",
+              s"$ref@${tip.take(12)} from ${src.store.rootUri}")),
+            config = info.config)
+          landed = dstPointer.compareAndSwap(-1L, fresh)
+        case Some(cur) =>
+          if (!isTag) cur.branches.get(targetRef).foreach { existingTip =>
+            if (existingTip != tip && !closureIds.contains(existingTip) &&
+                !force)
+              throw new GraftException(
+                s"destination branch $targetRef is at $existingTip, not an " +
+                  "ancestor of the pushed tip — diverged (use force to reset)",
+                GraftError.Conflict)
+          }
+          if (isTag) cur.tags.get(targetRef).foreach { existing =>
+            if (existing != tip) throw new GraftException(
+              s"destination tag $targetRef already points at $existing",
+              GraftError.Conflict)
+          }
+          val mergedSnaps = (cur.snapshots ++ closure).distinctBy(_.id)
+          val next = cur.copy(
+            gen = cur.gen + 1,
+            branches = if (isTag) cur.branches
+                       else cur.branches.updated(targetRef, tip),
+            tags = if (isTag) cur.tags.updated(targetRef, tip) else cur.tags,
+            snapshots = mergedSnaps,
+            ops = (cur.ops :+ OpLogEntry(Instant.now().toString,
+              "replicate_in",
+              s"$ref@${tip.take(12)} from ${src.store.rootUri}"))
+              .takeRight(GraftConfig.fromMap(cur.config).opsRingSize))
+          landed = dstPointer.compareAndSwap(cur.gen, next)
+      }
+      if (!landed) Thread.sleep(25L * attempts)
+    }
+    if (!landed) throw new ConflictException(
+      s"replicate lost the destination CAS race $attempts times")
+
+    SyncSummary(ref, tip, snapsCopied, txCopied, manifestsCopied,
+      chunksCopied, bytesCopied, chunksSkipped)
+  }
+}

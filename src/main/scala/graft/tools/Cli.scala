@@ -28,7 +28,7 @@ object Cli {
   private def usage(): Nothing = {
     System.err.println(
       "usage: Cli <repoDir> init|log|branch|tag|ls|mv|inspect|ops|diff|" +
-        "gc|compact|rechunk|import|export|flags|config ...")
+        "gc|compact|push|rechunk|import|export|flags|config ...")
     sys.exit(2)
   }
 
@@ -123,6 +123,12 @@ object Cli {
         case ("compact", _) =>
           val id = graft.ops.Compaction.rewriteManifests(repo, "main")
           println(s"compacted -> $id")
+        case ("push", refName :: dstDir :: pushFlags) =>
+          val sum = graft.ops.Replicate.sync(repo, Store.local(dstDir),
+            refName, force = pushFlags.contains("--force"))
+          println(s"pushed $refName@${sum.snapshotId.take(12)} -> $dstDir " +
+            s"(snapshots=${sum.snapshotsCopied} chunks=${sum.chunksCopied} " +
+            s"bytes=${sum.chunkBytesCopied} skipped=${sum.chunksSkipped})")
         case ("export", refName :: dstDir :: exportRest) =>
           val ro = repo.readonlySession(parseRef(repo, refName))
           // the stored payloads are written verbatim — the caller must

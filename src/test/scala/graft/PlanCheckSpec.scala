@@ -129,10 +129,32 @@ class PlanCheckSpec extends SparkTestBase {
     assert(wo.requiredNumPartitions() >= 1)
   }
 
+  test("bm25 broadcasts the singleton stats row and takes top-k without " +
+      "a global sort") {
+    val p = plan(Queries.q_bm25(spark, sf))
+    // the cross join against the 1-row corpus-stats aggregate must stay
+    // broadcast — a shuffled join here re-taxes the whole corpus scan
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"),
+      s"corpus stats row is not broadcast:\n${p.take(2000)}")
+    assert(!p.contains("CartesianProduct"), "bm25 planned a CartesianProduct")
+    assert(p.contains("TakeOrderedAndProject"),
+      "bm25 top-k lost TakeOrderedAndProject")
+  }
+
+  test("word frequencies: map-side combined aggregate, top-k not a global sort") {
+    val p = plan(Queries.q_word_freq(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"),
+      "word-freq top-k lost TakeOrderedAndProject")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "word-freq aggregate lost its partial (map-side) phase")
+  }
+
   test("no pipeline query plans a cartesian or nested-loop join") {
     val checked = Seq("q_dedup_minhash", "q_dedup_simhash",
       "q_dedup_ngram_jaccard", "q_dedup_ngram_lsh", "q_embedding_neardups",
-      "q_ann_neighbors", "q_decontaminate", "q_dedup_clusters")
+      "q_ann_neighbors", "q_decontaminate", "q_dedup_clusters",
+      "q_substring_spans")
     checked.foreach { name =>
       val p = plan(Queries.all(name)(spark, sf))
       assert(!p.contains("CartesianProduct"),

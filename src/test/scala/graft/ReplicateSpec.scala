@@ -1,0 +1,120 @@
+package graft
+
+import graft.ops.Replicate
+import graft.repo.{GraftError, GraftException, Repository, VersionRef}
+import graft.storage.Store
+
+/** Closure-aware branch replication between stores: full push, incremental
+  * re-push, fast-forward discipline, tag push.
+  */
+class ReplicateSpec extends SparkTestBase {
+
+  private def bigChunk(fill: Byte): Array[Byte] = Array.fill(1024)(fill)
+
+  test("push a branch into an empty store; replica reads identically") {
+    val src = Repository.create(Store.local(tmpDir("rep-src")), spark)
+    val s = src.writableSession("main")
+    s.addArray("/a", Seq(8), Seq(2))
+    s.writeChunk("/a", Seq(0), bigChunk(1)) // > inline threshold
+    s.writeChunk("/a", Seq(1), bigChunk(2))
+    s.commit("first")
+    val s2 = src.writableSession("main")
+    s2.writeChunk("/a", Seq(2), bigChunk(3))
+    val tip = s2.commit("second")
+
+    val dstStore = Store.local(tmpDir("rep-dst"))
+    val sum = Replicate.sync(src, dstStore, "main")
+    assert(sum.snapshotId == tip)
+    assert(sum.snapshotsCopied >= 3) // root + 2 commits
+    assert(sum.chunksCopied == 3 && sum.chunksSkipped == 0)
+    assert(sum.chunkBytesCopied == 3 * 1024)
+
+    val dst = Repository.open(dstStore, spark)
+    assert(dst.lookupBranch("main").contains(tip))
+    val ro = dst.readonlySession(VersionRef.Branch("main"))
+    assert(ro.getChunk("/a", Seq(0)).get.head == 1)
+    assert(ro.getChunk("/a", Seq(2)).get.head == 3)
+    // history replicated: ancestry messages match the source
+    assert(dst.ancestry(VersionRef.Branch("main")).map(_.message) ==
+      src.ancestry(VersionRef.Branch("main")).map(_.message))
+    // time travel on the replica works (tx logs + old manifests present)
+    val anc = dst.ancestry(VersionRef.Branch("main"))
+    val prev = dst.readonlySession(VersionRef.SnapshotVer(anc(1).id))
+    assert(prev.getChunk("/a", Seq(2)).isEmpty)
+  }
+
+  test("incremental re-push copies only the delta; unchanged push is a no-op") {
+    val src = Repository.create(Store.local(tmpDir("rep-src2")), spark)
+    val s = src.writableSession("main")
+    s.addArray("/a", Seq(8), Seq(2))
+    s.writeChunk("/a", Seq(0), bigChunk(1))
+    s.commit("first")
+    val dstStore = Store.local(tmpDir("rep-dst2"))
+    val first = Replicate.sync(src, dstStore, "main")
+    assert(first.chunksCopied == 1)
+
+    val s2 = src.writableSession("main")
+    s2.writeChunk("/a", Seq(1), bigChunk(2))
+    val tip2 = s2.commit("second")
+    val second = Replicate.sync(src, dstStore, "main")
+    assert(second.snapshotId == tip2)
+    assert(second.snapshotsCopied == 1, second.toString) // just the new one
+    assert(second.chunksCopied == 1 && second.chunksSkipped == 1)
+
+    val third = Replicate.sync(src, dstStore, "main")
+    assert(third.snapshotsCopied == 0 && third.chunksCopied == 0 &&
+      third.chunksSkipped == 2)
+    assert(Repository.open(dstStore, spark).lookupBranch("main")
+      .contains(tip2))
+  }
+
+  test("diverged destination branch refuses without force; force resets") {
+    val src = Repository.create(Store.local(tmpDir("rep-src3")), spark)
+    val s = src.writableSession("main")
+    s.addArray("/a", Seq(4), Seq(2))
+    s.writeChunk("/a", Seq(0), bigChunk(1))
+    s.commit("src c1")
+    val dstStore = Store.local(tmpDir("rep-dst3"))
+    Replicate.sync(src, dstStore, "main")
+
+    // destination advances on its own → divergence
+    val dst = Repository.open(dstStore, spark)
+    val ds = dst.writableSession("main")
+    ds.writeChunk("/a", Seq(1), bigChunk(9))
+    ds.commit("dst-only commit")
+
+    val s2 = src.writableSession("main")
+    s2.writeChunk("/a", Seq(1), bigChunk(2))
+    val tip2 = s2.commit("src c2")
+    val ex = intercept[GraftException] {
+      Replicate.sync(src, dstStore, "main")
+    }
+    assert(ex.kind == GraftError.Conflict)
+    // force wins: branch resets to the pushed tip
+    val sum = Replicate.sync(src, dstStore, "main", force = true)
+    assert(sum.snapshotId == tip2)
+    assert(Repository.open(dstStore, spark).lookupBranch("main")
+      .contains(tip2))
+  }
+
+  test("tag push lands the tag and a readable closure; unknown ref refused") {
+    val src = Repository.create(Store.local(tmpDir("rep-src4")), spark)
+    val s = src.writableSession("main")
+    s.addArray("/a", Seq(4), Seq(2))
+    s.writeChunk("/a", Seq(0), bigChunk(7))
+    val c1 = s.commit("tagged content")
+    src.createTag("v1", c1)
+
+    val dstStore = Store.local(tmpDir("rep-dst4"))
+    val sum = Replicate.sync(src, dstStore, "v1")
+    assert(sum.snapshotId == c1)
+    val dst = Repository.open(dstStore, spark)
+    val ro = dst.readonlySession(VersionRef.Tag("v1"))
+    assert(ro.getChunk("/a", Seq(0)).get.head == 7)
+
+    val ex = intercept[GraftException] {
+      Replicate.sync(src, dstStore, "nope")
+    }
+    assert(ex.kind == GraftError.RefNotFound)
+  }
+}
