@@ -445,6 +445,23 @@ object Bench {
           .agg(sum(col("value")), count(lit(1))).head()
         assert(rows.getLong(1) == 4L * w * cube)
       }
+      // axis permutation of the 1 GiB cube: a pure map over the ref
+      // relation (no shuffle) — each chunk decodes, re-strides, encodes,
+      // uploads on its executor
+      entry("engine_transpose_1g") {
+        val s = repo.writableSession("main")
+        graft.tensor.TensorPlane.transpose(s, "/cube", "/cube_t",
+          Seq(2, 0, 1), "int64")
+        s.commit("transpose")
+      }
+      // verify outside the timer
+      locally {
+        val ro = repo.readonlySession(VersionRef.Branch("main"))
+        assert(ro.node("/cube_t").get.shape ==
+          Seq(cube.toLong, cube.toLong, cube.toLong))
+        assert(ro.refs("/cube_t").count() == ro.refs("/cube").count(),
+          "transpose chunk count")
+      }
       // closure-aware branch replication into a second store ("push a
       // branch to another bucket"): snapshots/tx logs driver-side,
       // manifest objects + chunk payloads copied executor-side. The

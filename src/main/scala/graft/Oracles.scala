@@ -547,6 +547,21 @@ object Oracles {
         |  CAST(max(v) AS BIGINT) AS vmax
         |FROM cells GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // the engine side transposes a 200x300 array (64x64 chunks, ragged
+    // edges) via the per-chunk re-stride job; the oracle enumerates the
+    // TRANSPOSED cells directly: at(i0,i1) = v(i1,i0) with the
+    // closed-form fill v(i,j) = (i*7 + j*13) % 1000 - 500
+    "q_transpose" ->
+      """WITH cells AS (
+        |  SELECT (range // 200) AS i0, (range % 200) AS i1,
+        |    ((range % 200) * 7 + (range // 200) * 13) % 1000 - 500 AS v
+        |  FROM range(60000))
+        |SELECT i0 // 64 AS blk, count(*) AS n,
+        |  CAST(sum(v) AS BIGINT) AS total,
+        |  CAST(min(v) AS BIGINT) AS vmin,
+        |  CAST(max(v) AS BIGINT) AS vmax
+        |FROM cells GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q_pii_scrub" ->
       """SELECT doc_id,
         |  regexp_replace(regexp_replace(regexp_replace(

@@ -877,6 +877,38 @@ object Queries {
         .orderBy("chunk_id"))
   }
 
+  /** Axis permutation: a 200x300 int64 array (64x64 chunks, ragged
+    * edges) transposes to 300x200 via the per-chunk re-stride job; the
+    * oracle recomputes every cell of the TRANSPOSED array from the
+    * closed-form fill and checks per-block rollups.
+    */
+  val q_transpose: Q = (s, _) => {
+    val dir = java.nio.file.Files.createTempDirectory("graft-q-transpose")
+    val repo = graft.repo.Repository.create(
+      graft.storage.Store.local(dir.toString), s)
+    val w = repo.writableSession("main")
+    w.addArray("/m", Seq(200L, 300L), Seq(64L, 64L))
+    for (ci <- 0 until 4; cj <- 0 until 5) {
+      val vals = Array.tabulate(64 * 64) { k =>
+        val i = ci * 64 + k / 64; val j = cj * 64 + k % 64
+        if (i < 200 && j < 300) ((i * 7L + j * 13L) % 1000) - 500 else -1L
+      }
+      w.writeChunk("/m", Seq(ci, cj),
+        graft.functions.ChunkCodec.encodeLongs(vals, "int64"))
+    }
+    w.commit("init")
+    val t = repo.writableSession("main")
+    graft.tensor.TensorPlane.transpose(t, "/m", "/mt", Seq(1, 0), "int64")
+    t.commit("transpose")
+    val ro = repo.readonlySession(graft.repo.VersionRef.Branch("main"))
+    finishFixture(dir,
+      graft.tensor.TensorPlane.values(ro, "/mt", "int64")
+        .groupBy(expr("i0 div 64").as("blk"))
+        .agg(count(lit(1)).as("n"), sum("value").as("total"),
+          min("value").as("vmin"), max("value").as("vmax"))
+        .orderBy("blk"))
+  }
+
   /** Fixture-backed queries build a throwaway repo per call: materialize
     * the (small) result with an eager localCheckpoint so the repo
     * directory can be deleted immediately instead of leaking per bench
@@ -938,6 +970,7 @@ object Queries {
     "q_pack_sequences" -> q_pack_sequences,
     "q_shuffle_shard" -> q_shuffle_shard,
     "q_rechunk" -> q_rechunk,
+    "q_transpose" -> q_transpose,
     "q_histogram" -> q_histogram,
     "q_value_diff" -> q_value_diff,
     "q_downsample" -> q_downsample,

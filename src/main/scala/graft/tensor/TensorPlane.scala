@@ -575,6 +575,175 @@ object TensorPlane {
       outDtype, compression)
   }
 
+  /** Axis permutation (transpose) into a NEW array — numpy's
+    * `transpose`/zarr axis reorder as a distributed per-chunk job.
+    * `perm(i)` names the SOURCE dim that becomes destination dim `i`.
+    *
+    * Because the destination chunk grid is the source grid with dims
+    * permuted, every destination chunk is exactly ONE source chunk with
+    * its buffer re-strided — no fragment relation and NO SHUFFLE at all:
+    * the job is a pure map over the ref relation (fetch → re-stride →
+    * encode → upload from the executor), and the refs land through the
+    * same replayable staging-Parquet contract as [[rechunk]] (flush and
+    * rebase retries replay the staged rows; the copy job runs once).
+    * At 100 TB this moves each payload byte exactly once, through no
+    * exchange. The identity permutation stages the SOURCE refs verbatim
+    * — a zero-copy alias (chunk objects shared, GC-safe because both
+    * arrays' manifests reference them). Sparse stays sparse: absent
+    * source chunks are absent in the destination.
+    *
+    * Compose with [[rechunk]] for a different destination grid; the
+    * one-hop transpose keeps the permuted source grid.
+    */
+  def transpose(session: Session, srcPath: String, dstPath: String,
+                perm: Seq[Int], dtype: String,
+                compression: String = "raw"): Unit = {
+    val node = session.node(srcPath).filter(_.isArray).getOrElse(
+      throw new GraftException(s"no array at $srcPath"))
+    if (node.isRectilinear) throw new GraftException(
+      s"transpose requires a regular chunk grid ($srcPath) — rechunk first",
+      graft.repo.GraftError.InvalidConfig)
+    val shape = node.shape
+    val ndim = shape.size
+    if (perm.sorted != (0 until ndim).toList)
+      throw new GraftException(
+        s"perm ${perm.mkString(",")} is not a permutation of 0..${ndim - 1}",
+        graft.repo.GraftError.InvalidConfig)
+    val dstShape = perm.map(shape)
+    val dstChunks = perm.map(node.chunkShape)
+    val dimNames =
+      if (node.dimNames.size == ndim) perm.map(node.dimNames) else Nil
+    session.addArray(dstPath, dstShape, dstChunks, dimNames,
+      userData = s"""{"dtype":"$dtype"}""")
+    if (perm == (0 until ndim).toList) {
+      session.stageChunkRefs(dstPath, session.refs(srcPath))
+      return
+    }
+    val spark = session.repo.spark
+    import spark.implicits._
+    val conf = session.repo.store.conf
+    val resolver = session.repo.virtualResolver
+    val cs = node.chunkShape.toArray
+    val shpA = shape.toArray
+    val permA = perm.toArray
+    val isInt = ChunkCodec.IntDtypes.contains(dtype)
+    val rows = session.refs(srcPath)
+      .select(col("coord"), col("kind"), col("inline"), col("chunk_id"),
+        col("location"), col("offset"), col("length"))
+      .as[(Seq[Int], String, Array[Byte], String, String, Long, Long)]
+    val refsDf = rows.mapPartitions { it =>
+      val store = graft.storage.StoreConf.cached(conf)
+      // storage convention: regular-grid buffers are row-major over the
+      // FULL chunk shape (short edge buffers pad; readers filter cells
+      // beyond the array bounds) — so the re-stride always runs on the
+      // full chunk extents, and a padded source cell lands at a
+      // destination position that is out of bounds there too
+      val srcExt = cs.map(_.toInt)
+      val cells = cs.product.toInt
+      it.map { case (coord, kind, inline, chunkId, location, off, len) =>
+        val raw = ChunkCodec.decompress(
+          fetchRef(conf, resolver, kind, inline, chunkId, location, off,
+            len, cacheable = false), compression)
+        val bytes =
+          if (isInt) {
+            val src = ChunkCodec.decodeLongs(raw, dtype)
+            val padded = if (src.length >= cells) src
+              else java.util.Arrays.copyOf(src, cells)
+            ChunkCodec.compress(ChunkCodec.encodeLongs(
+              permuteLongs(padded, srcExt, permA), dtype), compression)
+          } else {
+            val src = ChunkCodec.decodeDoubles(raw, dtype)
+            val padded = if (src.length >= cells) src
+              else java.util.Arrays.copyOf(src, cells)
+            ChunkCodec.compress(ChunkCodec.encodeDoubles(
+              permuteDoubles(padded, srcExt, permA), dtype), compression)
+          }
+        val id = graft.core.Ids.toBase32(graft.core.Ids.newObjectId())
+        store.putBytes(graft.meta.Layout.chunkKey(id), bytes)
+        (permA.toSeq.map(coord(_)), id, bytes.length.toLong)
+      }
+    }.toDF("coord", "chunk_id", "length")
+    // run the copy job exactly once; changeset actions replay from the
+    // staging Parquet (flush, tx log, rebase retries)
+    val stagingKey = graft.meta.Layout.stagingPrefix(
+      graft.core.Ids.toBase32(graft.core.Ids.newObjectId()))
+    refsDf.write.parquet(session.repo.store.uri(stagingKey))
+    val refs = spark.read.parquet(session.repo.store.uri(stagingKey))
+      .withColumn("kind", lit(ChunkRef.KindRef))
+      .withColumn("offset", lit(0L))
+    session.trackStaging(stagingKey)
+    session.stageChunkRefs(dstPath, refs)
+  }
+
+  /** Re-stride a row-major buffer of extents `srcExt` so destination dim
+    * `i` walks source dim `perm(i)`. The innermost destination loop reads
+    * the source at a fixed stride — sequential writes, strided reads (the
+    * cache-friendlier orientation for the common outer-dim swap).
+    */
+  private[graft] def permuteLongs(src: Array[Long], srcExt: Array[Int],
+                                  perm: Array[Int]): Array[Long] = {
+    val ndim = srcExt.length
+    val srcStride = new Array[Long](ndim)
+    srcStride(ndim - 1) = 1
+    var k = ndim - 2
+    while (k >= 0) { srcStride(k) = srcStride(k + 1) * srcExt(k + 1); k -= 1 }
+    val dstExt = Array.tabulate(ndim)(i => srcExt(perm(i)))
+    val sStride = Array.tabulate(ndim)(i => srcStride(perm(i)))
+    val n = src.length
+    val out = new Array[Long](n)
+    val idx = new Array[Int](ndim)
+    val inner = dstExt(ndim - 1)
+    val innerStride = sStride(ndim - 1)
+    var d = 0
+    while (d < n) {
+      var base = 0L
+      var j = 0
+      while (j < ndim - 1) { base += idx(j).toLong * sStride(j); j += 1 }
+      var t = 0
+      var so = base
+      while (t < inner) { out(d + t) = src(so.toInt); so += innerStride; t += 1 }
+      d += inner
+      var c = ndim - 2
+      while (c >= 0) {
+        idx(c) += 1
+        if (idx(c) < dstExt(c)) c = -1 else { idx(c) = 0; c -= 1 }
+      }
+    }
+    out
+  }
+
+  private[graft] def permuteDoubles(src: Array[Double], srcExt: Array[Int],
+                                    perm: Array[Int]): Array[Double] = {
+    val ndim = srcExt.length
+    val srcStride = new Array[Long](ndim)
+    srcStride(ndim - 1) = 1
+    var k = ndim - 2
+    while (k >= 0) { srcStride(k) = srcStride(k + 1) * srcExt(k + 1); k -= 1 }
+    val dstExt = Array.tabulate(ndim)(i => srcExt(perm(i)))
+    val sStride = Array.tabulate(ndim)(i => srcStride(perm(i)))
+    val n = src.length
+    val out = new Array[Double](n)
+    val idx = new Array[Int](ndim)
+    val inner = dstExt(ndim - 1)
+    val innerStride = sStride(ndim - 1)
+    var d = 0
+    while (d < n) {
+      var base = 0L
+      var j = 0
+      while (j < ndim - 1) { base += idx(j).toLong * sStride(j); j += 1 }
+      var t = 0
+      var so = base
+      while (t < inner) { out(d + t) = src(so.toInt); so += innerStride; t += 1 }
+      d += inner
+      var c = ndim - 2
+      while (c >= 0) {
+        idx(c) += 1
+        if (idx(c) < dstExt(c)) c = -1 else { idx(c) = 0; c -= 1 }
+      }
+    }
+    out
+  }
+
   /** Rechunk a regular-grid array onto a new chunk shape as a distributed
     * block-copy job — the missing zarr-ecosystem workflow (the reference
     * stores whatever grid the writer chose; changing it is an external
