@@ -562,6 +562,21 @@ object Oracles {
         |  CAST(max(v) AS BIGINT) AS vmax
         |FROM cells GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // zero-copy concat of two closed-form 1-D fills (40k + 20.5k cells,
+    // 1000-cell chunks, ragged tail): the oracle enumerates the combined
+    // coordinate space directly
+    "q_concat" ->
+      """WITH cells AS (
+        |  SELECT range AS i,
+        |    CASE WHEN range < 40000 THEN (range * 3) % 1000 - 500
+        |         ELSE ((range - 40000) * 11) % 997 - 498 END AS v
+        |  FROM range(60500))
+        |SELECT i // 1000 AS chunk_id, count(*) AS n,
+        |  CAST(sum(v) AS BIGINT) AS total,
+        |  CAST(min(v) AS BIGINT) AS vmin,
+        |  CAST(max(v) AS BIGINT) AS vmax
+        |FROM cells GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q_pii_scrub" ->
       """SELECT doc_id,
         |  regexp_replace(regexp_replace(regexp_replace(

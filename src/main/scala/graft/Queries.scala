@@ -909,6 +909,40 @@ object Queries {
         .orderBy("blk"))
   }
 
+  /** Zero-copy concatenation: 40k + 20.5k cells (1000-cell chunks, ragged
+    * tail on the LAST source) concatenate by ref relabeling only; the
+    * oracle recomputes every cell of the combined array from the two
+    * closed-form fills.
+    */
+  val q_concat: Q = (s, _) => {
+    val dir = java.nio.file.Files.createTempDirectory("graft-q-concat")
+    val repo = graft.repo.Repository.create(
+      graft.storage.Store.local(dir.toString), s)
+    val w = repo.writableSession("main")
+    w.addArray("/p", Seq(40000L), Seq(1000L))
+    for (c <- 0 until 40)
+      w.writeChunk("/p", Seq(c), graft.functions.ChunkCodec.encodeLongs(
+        Array.tabulate(1000) { i =>
+          val g = c * 1000L + i; (g * 3) % 1000 - 500 }, "int64"))
+    w.addArray("/q", Seq(20500L), Seq(1000L))
+    for (c <- 0 until 21)
+      w.writeChunk("/q", Seq(c), graft.functions.ChunkCodec.encodeLongs(
+        Array.tabulate(1000) { i =>
+          val g = c * 1000L + i; (g * 11) % 997 - 498 }, "int64"))
+    w.commit("init")
+    val t = repo.writableSession("main")
+    graft.tensor.TensorPlane.concat(t, Seq("/p", "/q"), "/pq", axis = 0,
+      "int64")
+    t.commit("concat")
+    val ro = repo.readonlySession(graft.repo.VersionRef.Branch("main"))
+    finishFixture(dir,
+      graft.tensor.TensorPlane.values(ro, "/pq", "int64")
+        .groupBy(expr("i0 div 1000").as("chunk_id"))
+        .agg(count(lit(1)).as("n"), sum("value").as("total"),
+          min("value").as("vmin"), max("value").as("vmax"))
+        .orderBy("chunk_id"))
+  }
+
   /** Fixture-backed queries build a throwaway repo per call: materialize
     * the (small) result with an eager localCheckpoint so the repo
     * directory can be deleted immediately instead of leaking per bench
@@ -971,6 +1005,7 @@ object Queries {
     "q_shuffle_shard" -> q_shuffle_shard,
     "q_rechunk" -> q_rechunk,
     "q_transpose" -> q_transpose,
+    "q_concat" -> q_concat,
     "q_histogram" -> q_histogram,
     "q_value_diff" -> q_value_diff,
     "q_downsample" -> q_downsample,

@@ -675,6 +675,70 @@ object TensorPlane {
     session.stageChunkRefs(dstPath, refs)
   }
 
+  /** ZERO-COPY concatenation of arrays along one axis into a new array —
+    * the xarray `concat` / virtual-dataset workflow, done the way a
+    * content-addressed store should: no payload moves at all. Every
+    * source's chunk refs are staged into the destination with the axis
+    * coordinate shifted by the cumulative chunk count, so the new array
+    * SHARES the sources' chunk objects (GC-safe: both manifests
+    * reference them). Concatenating 100 TB costs one metadata pass.
+    *
+    * Soundness conditions (refused otherwise, kind `invalid_config` —
+    * an honest refusal beats a silent multi-TB rewrite; `rechunk` the
+    * offender first):
+    *   - all sources share rank, chunk shape, and off-axis extents;
+    *   - every source except the LAST has an axis extent that is a
+    *     multiple of the axis chunk size (otherwise cells would need to
+    *     split across destination chunks — not expressible by ref
+    *     relabeling).
+    */
+  def concat(session: Session, srcPaths: Seq[String], dstPath: String,
+             axis: Int, dtype: String): Unit = {
+    require(srcPaths.nonEmpty, "concat: no sources")
+    val nodes = srcPaths.map(p => session.node(p).filter(_.isArray)
+      .getOrElse(throw new GraftException(s"no array at $p")))
+    nodes.foreach { n =>
+      if (n.isRectilinear) throw new GraftException(
+        s"concat requires regular chunk grids (${n.path})",
+        graft.repo.GraftError.InvalidConfig)
+    }
+    val head = nodes.head
+    val ndim = head.shape.size
+    if (axis < 0 || axis >= ndim)
+      throw new GraftException(s"axis $axis out of range for rank $ndim",
+        graft.repo.GraftError.InvalidConfig)
+    nodes.foreach { n =>
+      val sameOffAxis = n.shape.indices.forall(i =>
+        i == axis || n.shape(i) == head.shape(i))
+      if (n.shape.size != ndim || !sameOffAxis ||
+          n.chunkShape != head.chunkShape)
+        throw new GraftException(
+          s"concat sources disagree off-axis or on chunk shape " +
+            s"(${head.path} vs ${n.path})",
+          graft.repo.GraftError.InvalidConfig)
+    }
+    val c = head.chunkShape(axis)
+    nodes.dropRight(1).foreach { n =>
+      if (n.shape(axis) % c != 0) throw new GraftException(
+        s"${n.path} axis extent ${n.shape(axis)} is not a multiple of " +
+          s"chunk size $c — rechunk it or move it last",
+        graft.repo.GraftError.InvalidConfig)
+    }
+    val dstShape = head.shape.indices.map(i =>
+      if (i == axis) nodes.map(_.shape(axis)).sum else head.shape(i))
+    session.addArray(dstPath, dstShape, head.chunkShape, head.dimNames,
+      userData = s"""{"dtype":"$dtype"}""")
+    var offsetChunks = 0L
+    nodes.zip(srcPaths).foreach { case (n, p) =>
+      val off = offsetChunks
+      val shifted = session.refs(p).withColumn("coord",
+        transform(col("coord"), (v, i) =>
+          when(i === axis, v + lit(off).cast("int")).otherwise(v)))
+      session.stageChunkRefs(dstPath, shifted)
+      offsetChunks += (n.shape(axis) + c - 1) / c
+    }
+  }
+
   /** Re-stride a row-major buffer of extents `srcExt` so destination dim
     * `i` walks source dim `perm(i)`. The innermost destination loop reads
     * the source at a fixed stride — sequential writes, strided reads (the
