@@ -188,6 +188,34 @@ object Oracles {
         |  count(*) AS n_events
         |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
 
+    // the oracle is DuckDB's NATIVE ASOF JOIN — an independent
+    // implementation of the same semantics as the union+window operator
+    "q_asof_join" ->
+      """WITH rights AS (
+        |  SELECT user_id, ts, event_id AS r_event_id,
+        |    round(value, 4) AS r_value,
+        |    row_number() OVER (PARTITION BY user_id, ts
+        |      ORDER BY event_id DESC) AS rn
+        |  FROM events WHERE event_type = 'view'),
+        |r1 AS (SELECT user_id, ts, r_event_id, r_value
+        |       FROM rights WHERE rn = 1),
+        |lefts AS (
+        |  SELECT event_id, user_id, ts FROM events
+        |  WHERE event_type = 'purchase')
+        |SELECT l.event_id, l.user_id, r.r_event_id, r.r_value
+        |FROM lefts l ASOF LEFT JOIN r1 r
+        |  ON l.user_id = r.user_id AND l.ts >= r.ts
+        |ORDER BY l.event_id""".stripMargin,
+
+    "q_embedding_centroids" ->
+      """WITH e AS (
+        |  SELECT label, unnest(range(1, len(embedding) + 1)) AS i,
+        |    embedding
+        |  FROM embeddings)
+        |SELECT label, CAST(i - 1 AS INT) AS pos,
+        |  round(avg(embedding[i]), 4) AS mean_v, count(*) AS n
+        |FROM e GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
     "q_dedup_exact" ->
       """SELECT d.doc_id, m.canonical_id, m.n_copies
         |FROM documents d JOIN (

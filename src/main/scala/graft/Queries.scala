@@ -307,6 +307,30 @@ object Queries {
       .orderBy("user_id")
   }
 
+  /** AS-OF join: every purchase event picks up the user's latest
+    * prior-or-simultaneous view event (id + value) — the time-series
+    * join Spark has no native operator for, planned as ONE union +
+    * window pass ([[graft.pipeline.Events.asofJoin]]: hash shuffle on
+    * the key, no range-join pair blowup). The oracle is DuckDB's NATIVE
+    * `ASOF LEFT JOIN` — two independent implementations of the
+    * operator's semantics.
+    */
+  val q_asof_join: Q = (s, d) => {
+    val ev = events(s, d)
+    val w = Window.partitionBy("user_id", "ts").orderBy(col("event_id").desc)
+    val rights = ev.filter(col("event_type") === "view")
+      .withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
+      .select(col("user_id"), col("ts").as("r_ts"),
+        col("event_id").as("r_event_id"),
+        round(col("value"), 4).as("r_value"))
+    val lefts = ev.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts")
+    graft.pipeline.Events.asofJoin(lefts, rights, "user_id", "ts", "r_ts",
+        Seq("r_event_id", "r_value"), tieBreak = "r_event_id")
+      .select("event_id", "user_id", "r_event_id", "r_value")
+      .orderBy("event_id")
+  }
+
   // ---------------------------------------------------------------
   // Training-data pipeline: dedup
   // ---------------------------------------------------------------
@@ -408,6 +432,18 @@ object Queries {
         count(lit(1)).over(Window.partitionBy("cluster_id")))
       .orderBy("vec_id")
   }
+
+  /** Per-label embedding centroids: one map-side-combined aggregation
+    * over the exploded (label, dim) space — the class-prototype /
+    * cluster-center primitive of curation pipelines (shuffle carries
+    * labels × dims partials, never vectors).
+    */
+  val q_embedding_centroids: Q = (s, d) =>
+    t(s, d, "embeddings")
+      .select(col("label"), posexplode(col("embedding")))
+      .groupBy("label", "pos")
+      .agg(round(avg(col("col")), 4).as("mean_v"), count(lit(1)).as("n"))
+      .orderBy("label", "pos")
 
   // ---------------------------------------------------------------
   // Training-data pipeline: similarity search
@@ -981,6 +1017,7 @@ object Queries {
     "q_byterange" -> q_byterange,
     "q_stream_window" -> q_stream_window,
     "q_sessionize" -> q_sessionize,
+    "q_asof_join" -> q_asof_join,
     "q_dedup_exact" -> q_dedup_exact,
     "q_dedup_clusters" -> q_dedup_clusters,
     "q_sample_split" -> q_sample_split,
@@ -995,6 +1032,7 @@ object Queries {
     "q_dedup_simhash" -> q_dedup_simhash,
     "q_embedding_neardups" -> q_embedding_neardups,
     "q_embedding_clusters" -> q_embedding_clusters,
+    "q_embedding_centroids" -> q_embedding_centroids,
     "q_similarity_topk" -> q_similarity_topk,
     "q_similarity_ann" -> q_similarity_ann,
     "q_similarity_ivf" -> q_similarity_ivf,

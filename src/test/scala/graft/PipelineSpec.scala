@@ -379,6 +379,28 @@ class PipelineSpec extends SparkTestBase {
     assert(clusters(20L) == 20L)
   }
 
+  test("asof join: <= match, tie-break, carry-forward, and missing-prior nulls") {
+    import spark.implicits._
+    import graft.pipeline.Events
+    val lefts = Seq((100L, 1L, 10L), (101L, 1L, 20L), (102L, 2L, 5L))
+      .toDF("event_id", "user_id", "ts")
+    val rights = Seq(
+      (1L, 10L, 7L, 1.0), // same instant as left 100 -> matches (<=)
+      (1L, 15L, 8L, 2.0), // same-instant pair: larger tieBreak wins
+      (1L, 15L, 9L, 3.0),
+      (3L, 1L, 99L, 9.9)  // other user, never matches
+    ).toDF("user_id", "r_ts", "r_id", "r_v")
+    val out = Events.asofJoin(lefts, rights, "user_id", "ts", "r_ts",
+        Seq("r_id", "r_v"), tieBreak = "r_id")
+      .orderBy("event_id").collect()
+    assert(out.length == 3)
+    assert(out(0).getLong(0) == 100L && out(0).getLong(3) == 7L)
+    assert(out(1).getLong(0) == 101L && out(1).getLong(3) == 9L &&
+      out(1).getDouble(4) == 3.0)
+    assert(out(2).getLong(0) == 102L && out(2).isNullAt(3) &&
+      out(2).isNullAt(4))
+  }
+
   test("BPE merge loop matches hand-computed merges; encoder segments accordingly") {
     import graft.pipeline.Bpe
     // Sennrich et al.'s canonical tiny example: merge decisions from

@@ -150,6 +150,15 @@ class PlanCheckSpec extends SparkTestBase {
       "word-freq aggregate lost its partial (map-side) phase")
   }
 
+  test("asof join plans as union+window — no join operator at all") {
+    val p = plan(Queries.q_asof_join(spark, sf))
+    assert(p.contains("Window"), "asof join lost its window formulation")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("BroadcastHashJoin"),
+      s"asof join regressed to a join operator:\n${p.take(2000)}")
+  }
+
   test("no pipeline query plans a cartesian or nested-loop join") {
     val checked = Seq("q_dedup_minhash", "q_dedup_simhash",
       "q_dedup_ngram_jaccard", "q_dedup_ngram_lsh", "q_embedding_neardups",
