@@ -216,6 +216,23 @@ object Oracles {
         |  round(avg(embedding[i]), 4) AS mean_v, count(*) AS n
         |FROM e GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
+    // the oracle runs the NAIVE inequality join; the engine side runs
+    // the bucketed equi-join band formulation — same pair set
+    "q_band_join" ->
+      """WITH p AS (
+        |  SELECT user_id, event_id AS p_id,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS pts
+        |  FROM events WHERE event_type = 'purchase'),
+        |e AS (
+        |  SELECT user_id, event_id AS e_id,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS ets
+        |  FROM events WHERE event_type = 'error')
+        |SELECT p.user_id, count(*) AS n_pairs,
+        |  min(abs(pts - ets)) AS min_gap,
+        |  max(abs(pts - ets)) AS max_gap
+        |FROM p JOIN e ON p.user_id = e.user_id AND abs(pts - ets) <= 600
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q_dedup_exact" ->
       """SELECT d.doc_id, m.canonical_id, m.n_copies
         |FROM documents d JOIN (

@@ -331,6 +331,29 @@ object Queries {
       .orderBy("event_id")
   }
 
+  /** BAND join: (purchase, error) event pairs of the same user within
+    * 600 s, bucketed into an EQUI-join on (user, ts div 600) with the
+    * right side tripled into neighbor buckets — the inequality-join
+    * shape Catalyst would otherwise nest-loop. Rolled up per user; the
+    * oracle runs the plain inequality join in DuckDB.
+    */
+  val q_band_join: Q = (s, d) => {
+    val ev = events(s, d)
+    val lefts = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("p_id"),
+        unix_timestamp(col("ts")).as("pts"))
+    val rights = ev.filter(col("event_type") === "error")
+      .select(col("user_id"), col("event_id").as("e_id"),
+        unix_timestamp(col("ts")).as("ets"))
+    graft.pipeline.Events.bandJoin(lefts, rights, "user_id", "pts", "ets",
+        maxGap = 600L)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_pairs"),
+        min(abs(col("pts") - col("ets"))).as("min_gap"),
+        max(abs(col("pts") - col("ets"))).as("max_gap"))
+      .orderBy("user_id")
+  }
+
   // ---------------------------------------------------------------
   // Training-data pipeline: dedup
   // ---------------------------------------------------------------
@@ -1018,6 +1041,7 @@ object Queries {
     "q_stream_window" -> q_stream_window,
     "q_sessionize" -> q_sessionize,
     "q_asof_join" -> q_asof_join,
+    "q_band_join" -> q_band_join,
     "q_dedup_exact" -> q_dedup_exact,
     "q_dedup_clusters" -> q_dedup_clusters,
     "q_sample_split" -> q_sample_split,

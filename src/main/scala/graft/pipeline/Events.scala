@@ -60,4 +60,36 @@ object Events {
     carried.filter(col("_side") === 1)
       .select((leftCols.map(c => col(c)) ++ rightCols.map(c => col(c))): _*)
   }
+
+  /** BAND (range-window) join: every (left, right) pair in the same key
+    * group whose timestamps differ by at most `maxGap` (inclusive, in
+    * the ts columns' units — pass epoch seconds/millis, not raw
+    * timestamps). The naive formulation is an inequality join Catalyst
+    * can only plan as a nested loop; here both sides bucket by
+    * `ts div maxGap` and the RIGHT side replicates into its own and both
+    * neighboring buckets, making the join a plain EQUI-join on
+    * (key, bucket) with a post-filter — any qualifying pair shares a
+    * bucket with one of the three right copies, and pair work is bounded
+    * by per-bucket density, never |L|×|R|. Timestamps must be
+    * non-negative (`div` truncation).
+    */
+  def bandJoin(left: DataFrame, right: DataFrame, keyCol: String,
+               leftTsCol: String, rightTsCol: String,
+               maxGap: Long): DataFrame = {
+    require(maxGap > 0, "bandJoin: maxGap must be positive")
+    val leftCols = left.columns.toSeq
+    require(!leftCols.exists(c => c != keyCol && right.columns.contains(c)),
+      "bandJoin: column names collide across sides (rename first)")
+    val l = left.withColumn("_b",
+      expr(s"CAST($leftTsCol AS BIGINT) div $maxGap"))
+    val r = right.withColumn("_b0",
+        expr(s"CAST($rightTsCol AS BIGINT) div $maxGap"))
+      .withColumn("_b", explode(array(col("_b0") - 1, col("_b0"),
+        col("_b0") + 1)))
+      .drop("_b0")
+    l.join(r, Seq(keyCol, "_b"))
+      .filter(abs(col(leftTsCol).cast("long") -
+        col(rightTsCol).cast("long")) <= maxGap)
+      .drop("_b")
+  }
 }

@@ -54,6 +54,40 @@ object Multimodal {
         } catch { case _: Exception => null }
     })
 
+  final case class ResizedImage(width: Int, height: Int, png: Array[Byte])
+
+  /** REAL image resize (headless-safe JDK path): ImageIO decode →
+    * bilinear `Graphics2D` scale → PNG re-encode. The thumbnail /
+    * fixed-resolution preprocess step of a vision-data pipeline — one
+    * decode+scale per row on the executor, output struct(width, height,
+    * png). Undecodable payloads resize to null. Replaces the former
+    * byte-truncation stub for every format `javax.imageio` reads
+    * (PNG/JPEG/BMP/GIF); exotic formats still need native codecs.
+    */
+  val resizeImage: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((bytes: Array[Byte], w: Int, h: Int) => {
+      if (bytes == null || w <= 0 || h <= 0) null
+      else
+        try {
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(bytes))
+          if (img == null) null
+          else {
+            val out = new java.awt.image.BufferedImage(w, h,
+              java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val g = out.createGraphics()
+            g.setRenderingHint(
+              java.awt.RenderingHints.KEY_INTERPOLATION,
+              java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+            g.drawImage(img, 0, 0, w, h, null)
+            g.dispose()
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(out, "png", bos)
+            ResizedImage(w, h, bos.toByteArray)
+          }
+        } catch { case _: Exception => null }
+    })
+
   /** Image feature columns over real decode: dimensions, aspect ratio,
     * mean brightness, and a 16-bin L1-normalized luminance histogram —
     * the pooled-feature shape a vision-model preprocessor emits. Rows

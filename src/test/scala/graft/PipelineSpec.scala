@@ -379,6 +379,33 @@ class PipelineSpec extends SparkTestBase {
     assert(clusters(20L) == 20L)
   }
 
+  test("real image resize: bilinear scale preserves constant tone; junk -> null") {
+    import java.awt.image.BufferedImage
+    def png(w: Int, h: Int)(pixel: (Int, Int) => Int): Array[Byte] = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, pixel(x, y))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    import spark.implicits._
+    val gray = png(16, 8)((_, _) => 0x808080)
+    val df = Seq((1L, gray), (2L, "not an image".getBytes))
+      .toDF("id", "media")
+      .withColumn("small", graft.pipeline.Multimodal.resizeImage(
+        col("media"), lit(4), lit(2)))
+    val rows = df.orderBy("id").collect()
+    assert(rows(0).getAs[org.apache.spark.sql.Row]("small").getInt(0) == 4)
+    assert(rows(1).isNullAt(rows(1).fieldIndex("small")))
+    // the resized payload is itself a decodable image of the same tone
+    val feats = graft.pipeline.Multimodal.imageFeatures(
+      df.filter(col("id") === 1).select(col("id"),
+        col("small.png").as("media")), "media").head()
+    assert(feats.getAs[Int]("img_width") == 4 &&
+      feats.getAs[Int]("img_height") == 2)
+    assert(math.abs(feats.getAs[Double]("img_mean_brightness") - 128.0) < 2.0)
+  }
+
   test("asof join: <= match, tie-break, carry-forward, and missing-prior nulls") {
     import spark.implicits._
     import graft.pipeline.Events
@@ -399,6 +426,25 @@ class PipelineSpec extends SparkTestBase {
       out(1).getDouble(4) == 3.0)
     assert(out(2).getLong(0) == 102L && out(2).isNullAt(3) &&
       out(2).isNullAt(4))
+  }
+
+  test("band join: inclusive boundary, neighbor buckets, no duplicate pairs") {
+    import spark.implicits._
+    import graft.pipeline.Events
+    val lefts = Seq((1L, 10L, 1000L), (1L, 11L, 1999L), (2L, 12L, 500L))
+      .toDF("user_id", "p_id", "pts")
+    val rights = Seq(
+      (1L, 20L, 400L),  // gap 600 to left 10 -> inclusive match
+      (1L, 21L, 1001L), // gap 1 to left 10 in; gap 998 to left 11 out
+      (1L, 24L, 1400L), // matches BOTH lefts (gaps 400, 599)
+      (1L, 22L, 2600L), // gap 601 to left 11 -> out
+      (2L, 23L, 1100L)  // cross-bucket: 500 div 600 = 0, 1100 div 600 = 1
+    ).toDF("user_id", "e_id", "ets")
+    val pairs = Events.bandJoin(lefts, rights, "user_id", "pts", "ets", 600L)
+      .select("p_id", "e_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sorted.toSeq
+    assert(pairs == Seq((10L, 20L), (10L, 21L), (10L, 24L), (11L, 24L),
+      (12L, 23L)))
   }
 
   test("BPE merge loop matches hand-computed merges; encoder segments accordingly") {

@@ -159,6 +159,13 @@ class PlanCheckSpec extends SparkTestBase {
       s"asof join regressed to a join operator:\n${p.take(2000)}")
   }
 
+  test("band join plans an equi-join on (key, bucket) — no nested loop") {
+    val p = plan(Queries.q_band_join(spark, sf))
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      s"band join regressed to a nested loop:\n${p.take(2000)}")
+  }
+
   test("no pipeline query plans a cartesian or nested-loop join") {
     val checked = Seq("q_dedup_minhash", "q_dedup_simhash",
       "q_dedup_ngram_jaccard", "q_dedup_ngram_lsh", "q_embedding_neardups",
