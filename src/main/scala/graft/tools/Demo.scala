@@ -81,6 +81,18 @@ object Demo {
     println(s"[demo] zarr publish chunks=$nChunks adopted refs=" +
       repo2.readonlySession(VersionRef.Branch("main"))
         .refs("/climate/temp").count())
+
+    // push main (full history closure) to a second store; re-push is a
+    // no-op delta
+    val mirror = Store.local(java.nio.file.Files
+      .createTempDirectory("demo-mirror").toString)
+    val push1 = graft.ops.Replicate.sync(repo, mirror, "main")
+    val push2 = graft.ops.Replicate.sync(repo, mirror, "main")
+    val mirrored = Repository.open(mirror, spark)
+      .readonlySession(VersionRef.Branch("main"))
+    println(s"[demo] pushed snapshots=${push1.snapshotsCopied} " +
+      s"chunks=${push1.chunksCopied} repush_chunks=${push2.chunksCopied} " +
+      s"mirror_chunk0=${mirrored.getChunk("/climate/temp", Seq(0, 0, 0)).get.head}")
     spark.stop()
     println("[demo] OK")
   }
