@@ -128,8 +128,11 @@ object Bench {
     // number nobody can defend. Order is fixed within a pass and caches
     // are dropped after every entry, so no entry inherits another's
     // block-manager or LRU state.
+    // local-iteration escape hatch (the driver never sets it): skip the
+    // query section to time engine workloads alone
     val queryReps =
-      math.max(1, sys.env.getOrElse("SPARK_GRAFT_QUERY_REPS", "3").toInt)
+      if (sys.env.getOrElse("SPARK_GRAFT_SKIP_QUERIES", "0") == "1") 0
+      else math.max(1, sys.env.getOrElse("SPARK_GRAFT_QUERY_REPS", "3").toInt)
     val queryPasses = (0 until queryReps).map { rep =>
       val r = scala.collection.mutable.LinkedHashMap[String, Double]()
       SparkEntry.queries.foreach { case (name, fn) =>

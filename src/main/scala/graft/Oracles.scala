@@ -233,6 +233,14 @@ object Oracles {
         |FROM p JOIN e ON p.user_id = e.user_id AND abs(pts - ets) <= 600
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // the engine side salts the join; result must equal the naive join
+    "q_salted_join" ->
+      """SELECT o.o_orderpriority,
+        |  round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+        |  count(*) AS n
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q_dedup_exact" ->
       """SELECT d.doc_id, m.canonical_id, m.n_copies
         |FROM documents d JOIN (

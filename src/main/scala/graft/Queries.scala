@@ -354,6 +354,25 @@ object Queries {
       .orderBy("user_id")
   }
 
+  /** Skew-safe salted join: lineitem ⨝ orders with a deliberately low
+    * hot threshold so most keys take the salted path (left rows spread
+    * over 4 salt buckets, right hot rows replicated); the rolled-up
+    * result must equal the PLAIN join's — salting only re-buckets rows —
+    * which is exactly what the oracle's naive join checks.
+    */
+  val q_salted_join: Q = (s, d) => {
+    val li = t(s, d, "lineitem")
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+    val ord = t(s, d, "orders")
+      .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+    graft.pipeline.Events.saltedJoin(li, ord, "l_orderkey",
+        salts = 4, hotThreshold = 3, maxHotKeys = 100000)
+      .groupBy("o_orderpriority")
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))),
+        2).as("revenue"), count(lit(1)).as("n"))
+      .orderBy("o_orderpriority")
+  }
+
   // ---------------------------------------------------------------
   // Training-data pipeline: dedup
   // ---------------------------------------------------------------
@@ -494,6 +513,19 @@ object Queries {
     val query = emb.filter(col("vec_id") === 0)
       .select("embedding").head().getSeq[Float](0)
     Similarity.annTopK(emb, query, 20, numPlanes = 4)
+  }
+
+  /** Product-quantization ANN: vectors compress to 8 subspace codes,
+    * search is 8 table lookups per row by asymmetric distance — the scan
+    * never touches the original vectors (no SQL oracle — quantized;
+    * PipelineSpec checks recall vs brute force).
+    */
+  val q_similarity_pq: Q = (s, d) => {
+    val emb = t(s, d, "embeddings")
+    val query = emb.filter(col("vec_id") === 0)
+      .select("embedding").head().getSeq[Float](0)
+    val model = Similarity.pqFit(emb, m = 8, k = 16)
+    Similarity.pqTopK(Similarity.pqEncode(emb, model), model, query, 20)
   }
 
   /** IVF ANN top-k: k-means coarse quantizer + nprobe-list search (no SQL
@@ -1042,6 +1074,7 @@ object Queries {
     "q_sessionize" -> q_sessionize,
     "q_asof_join" -> q_asof_join,
     "q_band_join" -> q_band_join,
+    "q_salted_join" -> q_salted_join,
     "q_dedup_exact" -> q_dedup_exact,
     "q_dedup_clusters" -> q_dedup_clusters,
     "q_sample_split" -> q_sample_split,
@@ -1060,6 +1093,7 @@ object Queries {
     "q_similarity_topk" -> q_similarity_topk,
     "q_similarity_ann" -> q_similarity_ann,
     "q_similarity_ivf" -> q_similarity_ivf,
+    "q_similarity_pq" -> q_similarity_pq,
     "q_ann_neighbors" -> q_ann_neighbors,
     "q_text_analysis" -> q_text_analysis,
     "q_quality_score" -> q_quality_score,

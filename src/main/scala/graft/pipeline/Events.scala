@@ -92,4 +92,45 @@ object Events {
         col(rightTsCol).cast("long")) <= maxGap)
       .drop("_b")
   }
+
+  /** Skew-safe (salted) inner equi-join. A hash join's task holding a
+    * hot key receives that key's ENTIRE left side; at 100 TB one
+    * pathological key strands the stage on one executor. Here keys whose
+    * left-side count exceeds `hotThreshold` (one bounded aggregation —
+    * at most `maxHotKeys` survive, by count) get their left rows spread
+    * across `salts` buckets by a deterministic row hash, while the RIGHT
+    * side replicates its hot-key rows into every bucket; cold keys keep
+    * salt 0 on both sides. The join is then a plain equi-join on
+    * (key, salt) whose biggest task is ~1/salts of the hot key. The
+    * result set is EXACTLY the unsalted join's (salting only re-buckets
+    * rows), which is what the oracle checks. Complements AQE's skew
+    * splitting by also working where AQE can't (e.g. below aggregates
+    * that force a single partitioning).
+    */
+  def saltedJoin(left: DataFrame, right: DataFrame, keyCol: String,
+                 salts: Int = 8, hotThreshold: Long = 100000L,
+                 maxHotKeys: Int = 10000): DataFrame = {
+    require(salts >= 2, "saltedJoin: salts >= 2")
+    val hot = left.groupBy(keyCol).agg(count(lit(1)).as("_n"))
+      .filter(col("_n") > hotThreshold)
+      .orderBy(col("_n").desc, col(keyCol))
+      .limit(maxHotKeys)
+      .select(col(keyCol), lit(true).as("_hot"))
+    val l = left
+      .join(broadcast(hot), Seq(keyCol), "left")
+      .withColumn("_salt",
+        when(col("_hot").isNotNull,
+          pmod(xxhash64(struct(left.columns.map(c => col(c)): _*)),
+            lit(salts)).cast("int"))
+          .otherwise(lit(0)))
+      .drop("_hot")
+    val r = right
+      .join(broadcast(hot), Seq(keyCol), "left")
+      .withColumn("_salt",
+        explode(when(col("_hot").isNotNull,
+          sequence(lit(0), lit(salts - 1)))
+          .otherwise(array(lit(0)))))
+      .drop("_hot")
+    l.join(r, Seq(keyCol, "_salt")).drop("_salt")
+  }
 }

@@ -184,6 +184,86 @@ object Similarity {
       .limit(k)
   }
 
+  /** Product-quantization model: `m` subspaces × `k` centroids each,
+    * fit on a bounded driver sample (same discipline as [[ivfIndex]]).
+    * A D-dim vector compresses to `m` small codes — at k ≤ 256 that is
+    * m BYTES per vector, a 32×+ compression of float32 embeddings, and
+    * search never touches the original vectors.
+    */
+  final case class PqModel(m: Int, k: Int, subDim: Int,
+                           codebooks: Array[Array[Array[Double]]])
+
+  /** Fit PQ codebooks: slice the (sampled) vectors into `m` contiguous
+    * subspaces and run the seeded local k-means per subspace — m small
+    * driver fits, zero Spark iterations.
+    */
+  def pqFit(embeddings: DataFrame, m: Int = 8, k: Int = 16,
+            dim: Int = 64, seed: Long = 42L,
+            vecCol: String = "embedding", fitSampleCap: Int = 100000,
+            maxIter: Int = 10): PqModel = {
+    require(m >= 1 && dim % m == 0, s"pqFit: dim $dim not divisible by m $m")
+    val subDim = dim / m
+    val vecs = embeddings.select(col(vecCol).cast("array<double>"))
+    val n = embeddings.count()
+    require(n > 0, "pqFit: empty corpus")
+    val sampled =
+      if (n <= fitSampleCap) vecs
+      else vecs.sample(withReplacement = false,
+        math.min(1.0, fitSampleCap * 1.1 / n), seed).limit(fitSampleCap)
+    val points = sampled.collect().map(_.getSeq[Double](0).toArray)
+    val codebooks = Array.tabulate(m) { mi =>
+      val sub = points.map(_.slice(mi * subDim, (mi + 1) * subDim))
+      KMeansLocal.fit(sub, math.min(k, sub.length), maxIter, seed + mi)
+    }
+    PqModel(m, k, subDim, codebooks)
+  }
+
+  /** Encode every vector into its `m` PQ codes — one distributed
+    * projection with m codegen'd nearest-centroid argmins (codebooks
+    * inlined as literals); the output column is ARRAY<INT> of length m.
+    */
+  def pqEncode(embeddings: DataFrame, model: PqModel,
+               vecCol: String = "embedding"): DataFrame = {
+    val v = col(vecCol).cast("array<double>")
+    val codes = (0 until model.m).map { mi =>
+      nearestCentroid(slice(v, mi * model.subDim + 1, model.subDim),
+        model.codebooks(mi))
+    }
+    embeddings.withColumn("codes", array(codes: _*))
+  }
+
+  /** PQ search by asymmetric distance (ADC): the query's per-subspace
+    * distance table (m × k doubles) computes driver-side and rides as
+    * ONE literal array; each row's approximate squared L2 distance is m
+    * table lookups summed — no vector math per row at all, the scan
+    * reads only the m-byte codes. Top-k by TakeOrdered.
+    */
+  def pqTopK(encoded: DataFrame, model: PqModel, query: Seq[Float],
+             topK: Int, idCol: String = "vec_id"): DataFrame = {
+    val q = query.map(_.toDouble).toArray
+    require(q.length == model.m * model.subDim, "pqTopK: query dim mismatch")
+    val table: Seq[Double] = (0 until model.m).flatMap { mi =>
+      val qs = q.slice(mi * model.subDim, (mi + 1) * model.subDim)
+      model.codebooks(mi).map { c =>
+        var d = 0.0
+        var i = 0
+        while (i < qs.length) {
+          val diff = qs(i) - c(i); d += diff * diff; i += 1
+        }
+        d
+        // stride padding for codebooks smaller than k (tiny fit sample);
+        // never referenced by a code, poisoned just in case
+      }.toSeq ++ Seq.fill(model.k - model.codebooks(mi).length)(Double.MaxValue)
+    }
+    val t = typedLit(table)
+    val adc = (0 until model.m).map { mi =>
+      element_at(t, col("codes").getItem(mi) + lit(mi * model.k) + lit(1))
+    }.reduce(_ + _)
+    encoded.select(col(idCol), round(adc, 6).as("adc_dist"))
+      .orderBy(col("adc_dist").asc, col(idCol))
+      .limit(topK)
+  }
+
   /** All-pairs top-k neighbors per vector via LSH buckets (the batched
     * ANN-join): rank within bucket, keep k per id.
     *

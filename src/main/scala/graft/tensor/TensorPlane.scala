@@ -628,6 +628,9 @@ object TensorPlane {
     val permA = perm.toArray
     val isInt = ChunkCodec.IntDtypes.contains(dtype)
     val rows = session.refs(srcPath)
+      // a manifest is a handful of Parquet files — spread the per-chunk
+      // decode/re-stride/upload work across the cluster before the map
+      .repartition(spark.sparkContext.defaultParallelism * 2, col("coord"))
       .select(col("coord"), col("kind"), col("inline"), col("chunk_id"),
         col("location"), col("offset"), col("length"))
       .as[(Seq[Int], String, Array[Byte], String, String, Long, Long)]

@@ -447,6 +447,45 @@ class PipelineSpec extends SparkTestBase {
       (12L, 23L)))
   }
 
+  test("PQ ANN: self ranks first; ADC top-k overlaps brute force") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val query = emb.filter(col("vec_id") === 0)
+      .select("embedding").head().getSeq[Float](0)
+    val model = Similarity.pqFit(emb, m = 8, k = 16)
+    assert(model.codebooks.length == 8 &&
+      model.codebooks.forall(_.forall(_.length == 8)))
+    val pq = Similarity.pqTopK(Similarity.pqEncode(emb, model), model,
+      query, 20).collect()
+    assert(pq.length == 20)
+    // the query IS vec 0 (unit-norm corpus): its own quantization error
+    // is the smallest ADC distance
+    assert(pq.head.getLong(0) == 0L, s"self not first: ${pq.head}")
+    // deterministic model: same seed, same codes, same ranking
+    val again = Similarity.pqTopK(Similarity.pqEncode(emb, model), model,
+      query, 20).collect()
+    assert(pq.map(_.toString).toSeq == again.map(_.toString).toSeq)
+    val exact = Similarity.bruteForceTopK(emb, query, 20)
+      .collect().map(_.getLong(0)).toSet
+    val overlap = pq.map(_.getLong(0)).count(exact.contains)
+    assert(overlap >= 8, s"PQ recall too low: $overlap/20")
+  }
+
+  test("salted join equals the plain join on an adversarially hot key") {
+    import spark.implicits._
+    import graft.pipeline.Events
+    val left = ((0 until 500).map(i => (1L, i.toLong)) ++ // one hot key
+      (0 until 50).map(i => (100L + i, i.toLong)))        // cold keys
+      .toDF("k", "lv")
+    val right = Seq((1L, "hot"), (2L, "unmatched"), (105L, "cold"))
+      .toDF("k", "rv")
+    val salted = Events.saltedJoin(left, right, "k",
+      salts = 8, hotThreshold = 10, maxHotKeys = 4)
+    val plain = left.join(right, Seq("k"))
+    assert(salted.count() == plain.count())
+    assert(salted.exceptAll(plain).isEmpty &&
+      plain.exceptAll(salted).isEmpty)
+  }
+
   test("BPE merge loop matches hand-computed merges; encoder segments accordingly") {
     import graft.pipeline.Bpe
     // Sennrich et al.'s canonical tiny example: merge decisions from
