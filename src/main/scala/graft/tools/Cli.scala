@@ -28,7 +28,7 @@ object Cli {
   private def usage(): Nothing = {
     System.err.println(
       "usage: Cli <repoDir> init|log|branch|tag|ls|mv|inspect|ops|diff|" +
-        "gc|compact|push|rechunk|import|export|flags|config ...")
+        "gc|compact|push|fsck|rechunk|import|export|flags|config ...")
     sys.exit(2)
   }
 
@@ -123,6 +123,15 @@ object Cli {
         case ("compact", _) =>
           val id = graft.ops.Compaction.rewriteManifests(repo, "main")
           println(s"compacted -> $id")
+        case ("fsck", refName) =>
+          val r = refName.headOption.getOrElse("main")
+          val problems = graft.ops.Integrity.check(repo, r).collect()
+          if (problems.isEmpty) println(s"fsck $r: healthy")
+          else {
+            problems.foreach(p => println(
+              s"fsck ${p.getString(0)} ${p.getString(1)} ${p.getString(2)}"))
+            failed = true
+          }
         case ("push", refName :: dstDir :: pushFlags) =>
           val sum = graft.ops.Replicate.sync(repo, Store.local(dstDir),
             refName, force = pushFlags.contains("--force"))

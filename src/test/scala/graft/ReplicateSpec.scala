@@ -97,6 +97,46 @@ class ReplicateSpec extends SparkTestBase {
       .contains(tip2))
   }
 
+  test("push races a concurrent destination commit: both land, neither lost") {
+    val src = Repository.create(Store.local(tmpDir("rep-src5")), spark)
+    val s = src.writableSession("main")
+    s.addArray("/a", Seq(4), Seq(2))
+    s.writeChunk("/a", Seq(0), bigChunk(1))
+    val tip = s.commit("src c1")
+    val dstStore = Store.local(tmpDir("rep-dst5"))
+    Replicate.sync(src, dstStore, "main", dstRef = "mirror")
+    val dst = Repository.open(dstStore, spark)
+
+    // destination commits on its own branch while a second push lands a
+    // new src tip on "mirror" — the push's CAS loop must merge, not
+    // clobber, the concurrent pointer update
+    val s2 = src.writableSession("main")
+    s2.writeChunk("/a", Seq(1), bigChunk(2))
+    val tip2 = s2.commit("src c2")
+    import java.util.concurrent.Executors
+    import scala.concurrent._
+    import scala.concurrent.duration._
+    val pool = Executors.newFixedThreadPool(2)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    val fPush = Future { Replicate.sync(src, dstStore, "main", dstRef = "mirror") }
+    val fLocal = Future {
+      dst.createBranch("local", tip)
+      val ds = dst.writableSession("local")
+      ds.writeChunk("/a", Seq(0), bigChunk(7))
+      ds.commit("dst local work")
+    }
+    Await.result(fPush, 120.seconds)
+    val localTip = Await.result(fLocal, 120.seconds)
+    pool.shutdown()
+    val after = Repository.open(dstStore, spark)
+    assert(after.lookupBranch("mirror").contains(tip2))
+    assert(after.lookupBranch("local").contains(localTip))
+    assert(after.readonlySession(VersionRef.Branch("local"))
+      .getChunk("/a", Seq(0)).get.head == 7)
+    assert(after.readonlySession(VersionRef.Branch("mirror"))
+      .getChunk("/a", Seq(1)).get.head == 2)
+  }
+
   test("tag push lands the tag and a readable closure; unknown ref refused") {
     val src = Repository.create(Store.local(tmpDir("rep-src4")), spark)
     val s = src.writableSession("main")
