@@ -103,6 +103,44 @@ class StreamingSpec extends SparkTestBase {
     assert(got.toSeq == Seq("c3"), got)
   }
 
+  test("continuous mirror: the change feed triggers incremental pushes") {
+    val dir = tmpDir("mirror-src")
+    val repo = Repository.create(Store.local(dir), spark)
+    val s0 = repo.writableSession("main")
+    s0.addArray("/a", Seq(8), Seq(2))
+    s0.writeChunk("/a", Seq(0), Array.fill(1024)(1.toByte))
+    s0.commit("c1")
+    val mirror = Store.local(tmpDir("mirror-dst"))
+    val ckpt = tmpDir("mirror-ckpt")
+    // follow = change feed + incremental sync per micro-batch: each push
+    // copies only the new closure delta (content-addressed skips)
+    def follow(): Unit = {
+      val q = spark.readStream.format("graft-changes")
+        .option("path", dir).load()
+        .writeStream
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          if (!df.isEmpty) {
+            graft.ops.Replicate.sync(repo, mirror, "main")
+            ()
+          }: Unit
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    follow()
+    assert(Repository.open(mirror, spark).lookupBranch("main") ==
+      repo.lookupBranch("main"))
+    val s1 = repo.writableSession("main")
+    s1.writeChunk("/a", Seq(1), Array.fill(1024)(2.toByte))
+    s1.commit("c2")
+    follow()
+    val m = Repository.open(mirror, spark)
+    assert(m.lookupBranch("main") == repo.lookupBranch("main"))
+    assert(m.readonlySession(VersionRef.Branch("main"))
+      .getChunk("/a", Seq(1)).get.head == 2)
+  }
+
   test("cell-level change feed: pollValues emits exactly the changed " +
       "cells per poll") {
     import graft.functions.ChunkCodec
