@@ -91,7 +91,24 @@ object Plans {
         "The split assignment is a pure projection over the scan (no " +
           "shuffle, no RNG state): the only exchange is the final " +
           "per-(lang,split) aggregate.",
-        fmt(graft.Queries.q_sample_split(spark, d))), {
+        fmt(graft.Queries.q_sample_split(spark, d))),
+      ("q_asof_join — union + window, no join operator",
+        "The as-of join never plans a join at all: both sides union into " +
+          "one relation and ONE window pass per key carries the latest " +
+          "right payload forward — a hash exchange + sort, linear in the " +
+          "data, no range-join pair blowup.",
+        fmt(graft.Queries.q_asof_join(spark, d))),
+      ("q_bm25 — two streaming passes + one broadcast row",
+        "Per-term tf columns are pure projections over the scan; the " +
+          "corpus statistics reduce to ONE row that broadcasts back " +
+          "(BroadcastNestedLoopJoin over a singleton is a broadcast, not " +
+          "a pair blowup); the top-k is TakeOrderedAndProject.",
+        fmt(graft.Queries.q_bm25(spark, d))),
+      ("q_substring_spans — shingle-keyed shuffles only",
+        "Duplicated-substring detection shuffles on the SHINGLE (groupBy " +
+          "+ posting join back), then one per-document window merges runs " +
+          "— work scales with corpus chars/stride, never the pair space.",
+        fmt(graft.Queries.q_substring_spans(spark, d))), {
         val dir = Files.createTempDirectory("plans-cf").toString
         val repo = graft.repo.Repository.create(
           graft.storage.Store.local(dir), spark)
