@@ -260,6 +260,77 @@ case class CosinePairsExpr(blockA: Expression, blockB: Expression,
     copy(blockA = f, blockB = s, sameBlock = t)
 }
 
+/** Positioned character shingles of a string in ONE pass:
+  * `[(pos, shingle)]` for k-char windows at positions 1, 1+stride, …
+  * (1-based). `hashed=true` emits a 64-bit polynomial ROLLING hash per
+  * window instead of the substring — O(n) total for stride 1 (each char
+  * enters and leaves the hash once) and an 8-byte shuffle key
+  * downstream, vs the HOF formulation
+  * (`transform(sequence, p -> struct(p, substr))`) that interprets its
+  * lambda per window and materializes k chars each. The hash only needs
+  * to be CONSISTENT within a query (duplicate detection), not equal to
+  * any engine builtin; PipelineSpec pins hashed ≡ raw output equality.
+  */
+case class CharShinglesExpr(child: Expression, k: Int, stride: Int,
+                            hashed: Boolean)
+    extends UnaryExpression with CodegenFallback {
+  require(k >= 2 && stride >= 1)
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("pos", IntegerType, nullable = false),
+    StructField("sub", if (hashed) LongType else StringType,
+      nullable = false))), containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.toString
+    val n = s.length
+    if (n < k) return new GenericArrayData(Array.empty[Any])
+    val count = (n - k) / stride + 1
+    val out = new Array[Any](count)
+    if (hashed) {
+      val B = 1099511628211L // FNV prime as polynomial base
+      // B^(k-1) for the rolling subtract (wraps mod 2^64, consistent)
+      var bk = 1L
+      var i = 0
+      while (i < k - 1) { bk *= B; i += 1 }
+      var h = 0L
+      i = 0
+      while (i < k) { h = h * B + s.charAt(i); i += 1 }
+      var w = 0
+      var pos = 0 // 0-based window start
+      var cur = h
+      while (w < count) {
+        out(w) = InternalRow(pos + 1, cur)
+        w += 1
+        if (w < count) {
+          if (stride == 1) {
+            cur = (cur - s.charAt(pos) * bk) * B + s.charAt(pos + k)
+            pos += 1
+          } else {
+            pos += stride
+            var j = 0
+            cur = 0L
+            while (j < k) { cur = cur * B + s.charAt(pos + j); j += 1 }
+          }
+        }
+      }
+    } else {
+      var w = 0
+      var pos = 0
+      while (w < count) {
+        out(w) = InternalRow(pos + 1,
+          org.apache.spark.unsafe.types.UTF8String.fromString(
+            s.substring(pos, pos + k)))
+        w += 1
+        pos += stride
+      }
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): CharShinglesExpr =
+    copy(child = c)
+}
+
 /** BPE segmentation of a (pre-lowercased) string under a learned merge
   * table ([[graft.pipeline.Bpe]]): whitespace tokenize, then per word
   * start from characters + an end-of-word marker and greedily fuse the
@@ -362,4 +433,8 @@ object VectorFunctions {
 
   def bpe_encode(loweredText: Column, merges: Seq[(String, String)]): Column =
     column(BpeEncodeExpr(expression(loweredText), merges))
+
+  def char_shingles(text: Column, k: Int, stride: Int,
+                    hashed: Boolean): Column =
+    column(CharShinglesExpr(expression(text), k, stride, hashed))
 }

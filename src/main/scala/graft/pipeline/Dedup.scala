@@ -260,14 +260,14 @@ object Dedup {
                       textCol: String = "text"): DataFrame = {
     require(k >= 2 && stride >= 1, "duplicatedSpans: k >= 2, stride >= 1")
     val eligible = docs.filter(length(col(textCol)) >= k)
+    // native one-pass shingler (rolling hash in hashed mode): the HOF
+    // formulation (transform(sequence, p -> struct(p, substr))) interprets
+    // its lambda per window — the dominant cost of this operator at bench
+    // scale, same pathology WordShinglesExpr fixed for the n-gram family
     val sh = eligible.select(
       col("doc_id"),
-      explode(transform(
-        sequence(lit(1), length(col(textCol)) - (k - 1), lit(stride)),
-        p => struct(p.as("pos"),
-          (if (hashed) xxhash64(col(textCol).substr(p, lit(k)))
-           else col(textCol).substr(p, lit(k)).cast("string")).as("sub"))))
-        .as("ps"))
+      explode(graft.functions.VectorFunctions.char_shingles(
+        col(textCol), k, stride, hashed)).as("ps"))
       .select(col("doc_id"), col("ps.pos").as("pos"), col("ps.sub").as("sub"))
     val dup = sh.groupBy("sub")
       .agg(count_distinct(col("doc_id")).as("nd"))
