@@ -63,8 +63,17 @@ object Replicate {
     * advances it); anything else is refused with kind `conflict` unless
     * `force = true` (which resets the branch, like `reset_branch`).
     */
+  /** `depth` limits how much HISTORY ships (shallow push, like git's
+    * `--depth`): only the newest `depth` ancestry snapshots replicate.
+    * The tip's manifests describe the FULL current state, so a depth-1
+    * push is a complete, readable copy of "now" — only time travel past
+    * the horizon is absent (the replica's ancestry walk simply ends at
+    * the oldest shipped snapshot, the same reader behavior `expire`
+    * produces).
+    */
   def sync(src: Repository, dst: Store, ref: String,
-           dstRef: String = null, force: Boolean = false): SyncSummary = {
+           dstRef: String = null, force: Boolean = false,
+           depth: Int = Int.MaxValue): SyncSummary = {
     val spark = src.spark
     val info = src.info()
     val (isTag, tip) = info.branches.get(ref) match {
@@ -76,8 +85,10 @@ object Replicate {
       }
     }
     val targetRef = Option(dstRef).getOrElse(ref)
+    require(depth >= 1, "sync: depth must be >= 1")
     val closure: Seq[SnapshotInfo] =
       (info.snapshotInfo(tip).toSeq ++ info.ancestry(tip)).distinctBy(_.id)
+        .take(depth)
     val closureIds = closure.map(_.id).toSet
 
     // ---- metadata: snapshots + tx logs (driver-side, bounded) ----

@@ -133,8 +133,10 @@ object Cli {
             failed = true
           }
         case ("push", refName :: dstDir :: pushFlags) =>
+          val depth = pushFlags.sliding(2).collectFirst {
+            case List("--depth", n) => n.toInt }.getOrElse(Int.MaxValue)
           val sum = graft.ops.Replicate.sync(repo, Store.local(dstDir),
-            refName, force = pushFlags.contains("--force"))
+            refName, force = pushFlags.contains("--force"), depth = depth)
           println(s"pushed $refName@${sum.snapshotId.take(12)} -> $dstDir " +
             s"(snapshots=${sum.snapshotsCopied} chunks=${sum.chunksCopied} " +
             s"bytes=${sum.chunkBytesCopied} skipped=${sum.chunksSkipped})")

@@ -97,6 +97,35 @@ class ReplicateSpec extends SparkTestBase {
       .contains(tip2))
   }
 
+  test("shallow push (depth=1): complete current state, bounded history") {
+    val src = Repository.create(Store.local(tmpDir("rep-sh")), spark)
+    val s = src.writableSession("main")
+    s.addArray("/a", Seq(8), Seq(2))
+    s.writeChunk("/a", Seq(0), bigChunk(1))
+    s.commit("c1")
+    val s2 = src.writableSession("main")
+    s2.writeChunk("/a", Seq(1), bigChunk(2))
+    val tip = s2.commit("c2")
+
+    val dstStore = Store.local(tmpDir("rep-shd"))
+    val sum = Replicate.sync(src, dstStore, "main", depth = 1)
+    assert(sum.snapshotsCopied == 1 && sum.snapshotId == tip)
+    // the tip's manifests describe the FULL state: both chunks present
+    assert(sum.chunksCopied == 2)
+    val dst = Repository.open(dstStore, spark)
+    val ro = dst.readonlySession(VersionRef.Branch("main"))
+    assert(ro.getChunk("/a", Seq(0)).get.head == 1)
+    assert(ro.getChunk("/a", Seq(1)).get.head == 2)
+    // history is shallow: the ancestry walk ends at the shipped horizon
+    assert(dst.ancestry(VersionRef.Branch("main")).map(_.message) ==
+      Seq("c2"))
+    // deepening later: a full push backfills the missing history
+    Replicate.sync(src, dstStore, "main")
+    assert(Repository.open(dstStore, spark)
+      .ancestry(VersionRef.Branch("main")).map(_.message) ==
+      Seq("c2", "c1", "Repository initialized"))
+  }
+
   test("push races a concurrent destination commit: both land, neither lost") {
     val src = Repository.create(Store.local(tmpDir("rep-src5")), spark)
     val s = src.writableSession("main")
@@ -135,6 +164,30 @@ class ReplicateSpec extends SparkTestBase {
       .getChunk("/a", Seq(0)).get.head == 7)
     assert(after.readonlySession(VersionRef.Branch("mirror"))
       .getChunk("/a", Seq(1)).get.head == 2)
+  }
+
+  test("cross-backend push: local repo replicates onto an S3-protocol store") {
+    import graft.storage.S3StoreConf
+    val src = Repository.create(Store.local(tmpDir("rep-x")), spark)
+    val s = src.writableSession("main")
+    s.addArray("/a", Seq(4), Seq(2))
+    s.writeChunk("/a", Seq(0), bigChunk(5))
+    val tip = s.commit("to the cloud")
+    val server = new graft.storage.s3.S3MemServer
+    server.createBucket("mirror")
+    val s3 = Store.s3(S3StoreConf(server.endpoint, "us-east-1", "mirror",
+      prefix = "repo", accessKey = "k", secretKey = "s"))
+    try {
+      val sum = Replicate.sync(src, s3, "main")
+      assert(sum.snapshotId == tip && sum.chunksCopied == 1)
+      val dst = Repository.open(s3, spark)
+      assert(dst.lookupBranch("main").contains(tip))
+      assert(dst.readonlySession(VersionRef.Branch("main"))
+        .getChunk("/a", Seq(0)).get.head == 5)
+      // incremental against the remote: one HEAD per chunk, zero copies
+      val again = Replicate.sync(src, s3, "main")
+      assert(again.chunksCopied == 0 && again.chunksSkipped == 1)
+    } finally server.stop()
   }
 
   test("tag push lands the tag and a readable closure; unknown ref refused") {
