@@ -30,8 +30,11 @@ object Events {
   def asofJoin(left: DataFrame, right: DataFrame, keyCol: String,
                leftTsCol: String, rightTsCol: String,
                rightCols: Seq[String],
-               tieBreak: String = null): DataFrame = {
+               tieBreak: String = null,
+               direction: String = "backward"): DataFrame = {
     require(rightCols.nonEmpty, "asofJoin: no right payload columns")
+    require(direction == "backward" || direction == "forward",
+      s"asofJoin: direction must be backward or forward, got $direction")
     val leftCols = left.columns.toSeq
     require(!leftCols.exists(rightCols.contains),
       "asofJoin: right payload columns collide with left columns")
@@ -49,10 +52,14 @@ object Events {
         rightCols.map(c => col(c))
     val all = left.select(lSel: _*).unionByName(right.select(rSel: _*))
     // right rows sort BEFORE left rows at equal ts (side 0 < 1) so the
-    // <= match holds; among same-instant right rows the largest
-    // tieBreak sorts last and wins the carry
+    // boundary matches (<= backward, >= forward); among same-instant
+    // right rows the largest tieBreak sorts last and wins the carry.
+    // `forward` ("first right at or after") is the same walk over the
+    // REVERSED time axis.
     val w = Window.partitionBy(keyCol)
-      .orderBy(col("_ts").asc, col("_side").asc, col("_tb").asc)
+      .orderBy(
+        (if (direction == "backward") col("_ts").asc else col("_ts").desc),
+        col("_side").asc, col("_tb").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = rightCols.foldLeft(all) { case (df, c) =>
       df.withColumn(c, last(col(c), ignoreNulls = true).over(w))

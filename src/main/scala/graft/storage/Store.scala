@@ -251,6 +251,21 @@ final class LocalStore(val root: Path) extends Store {
 
   private def p(key: String): Path = root.resolve(key)
 
+  /** Staging area for atomic writes. Temps must live OUTSIDE the listed
+    * key namespace: a sibling temp is (a) visible to `Files.walk` and
+    * can vanish mid-walk (NoSuchFileException inside FileTreeIterator),
+    * and (b) for pointer keys would sort into `listPage` results and be
+    * parsed as a bogus latest generation.
+    */
+  private val TmpDir = ".graft-tmp"
+  private def newTmp(): Path = {
+    val d = root.resolve(TmpDir)
+    Files.createDirectories(d)
+    d.resolve(java.util.UUID.randomUUID().toString)
+  }
+  private def isTmpKey(key: String): Boolean =
+    key == TmpDir || key.startsWith(TmpDir + "/")
+
   override def getBytes(key: String): Array[Byte] = Files.readAllBytes(p(key))
 
   override def getRange(key: String, offset: Long,
@@ -280,8 +295,7 @@ final class LocalStore(val root: Path) extends Store {
     val path = p(key)
     Files.createDirectories(path.getParent)
     // write-temp + atomic move: readers never observe partial files
-    val tmp = path.resolveSibling(path.getFileName.toString + ".tmp." +
-      java.util.UUID.randomUUID().toString)
+    val tmp = newTmp()
     Files.write(tmp, bytes)
     Files.move(tmp, path, StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
@@ -297,8 +311,7 @@ final class LocalStore(val root: Path) extends Store {
     // sees the complete bytes. (ATOMIC_MOVE without REPLACE_EXISTING is
     // NOT a safe substitute: the JDK pre-checks existence then rename(2)s,
     // which silently replaces a concurrent winner — a lost CAS.)
-    val tmp = path.resolveSibling(path.getFileName.toString + ".tmp." +
-      java.util.UUID.randomUUID().toString)
+    val tmp = newTmp()
     Files.write(tmp, bytes)
     try {
       Files.createLink(path, tmp)
@@ -308,16 +321,37 @@ final class LocalStore(val root: Path) extends Store {
     } finally Files.deleteIfExists(tmp)
   }
 
+  /** Walk with retry: even confined to `.graft-tmp`, files created by a
+    * concurrent writer can vanish between the directory read and the
+    * per-entry stat, which surfaces as an UncheckedIOException from
+    * FileTreeIterator — transient by construction, so retry.
+    */
+  private def walked(base: Path): Vector[ObjectInfo] = {
+    var attempts = 0
+    while (true) {
+      attempts += 1
+      val stream = Files.walk(base)
+      try {
+        return stream.iterator().asScala
+          .filter(Files.isRegularFile(_))
+          .map(f => ObjectInfo(
+            root.relativize(f).toString.replace('\\', '/'),
+            Files.size(f), Files.getLastModifiedTime(f).toMillis))
+          .filterNot(o => isTmpKey(o.key))
+          .toVector
+      } catch {
+        case e: java.io.UncheckedIOException
+            if e.getCause.isInstanceOf[java.nio.file.NoSuchFileException] &&
+              attempts < 5 => // raced a concurrent delete — walk again
+      } finally stream.close()
+    }
+    Vector.empty // unreachable
+  }
+
   override def list(prefix: String): Seq[ObjectInfo] = {
     val base = p(prefix)
     if (!Files.exists(base)) return Nil
-    val stream = Files.walk(base)
-    try stream.iterator().asScala
-      .filter(Files.isRegularFile(_))
-      .map(f => ObjectInfo(root.relativize(f).toString.replace('\\', '/'),
-        Files.size(f), Files.getLastModifiedTime(f).toMillis))
-      .toVector
-    finally stream.close()
+    walked(base)
   }
 
   override def listPage(prefix: String, startAfter: Option[String],
@@ -329,15 +363,9 @@ final class LocalStore(val root: Path) extends Store {
       if (Files.isDirectory(cand)) cand else cand.getParent
     }
     if (base == null || !Files.exists(base)) return Nil
-    val stream = Files.walk(base)
-    try stream.iterator().asScala
-      .filter(Files.isRegularFile(_))
-      .map(f => ObjectInfo(root.relativize(f).toString.replace('\\', '/'),
-        Files.size(f), Files.getLastModifiedTime(f).toMillis))
-      .filter(o => o.key.startsWith(prefix) &&
-        startAfter.forall(o.key > _))
-      .toVector.sortBy(_.key).take(maxKeys)
-    finally stream.close()
+    walked(base)
+      .filter(o => o.key.startsWith(prefix) && startAfter.forall(o.key > _))
+      .sortBy(_.key).take(maxKeys)
   }
 
   override def exists(key: String): Boolean = Files.exists(p(key))

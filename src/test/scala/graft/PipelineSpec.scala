@@ -428,6 +428,21 @@ class PipelineSpec extends SparkTestBase {
       out(2).isNullAt(4))
   }
 
+  test("asof join forward direction: first right at-or-after each left") {
+    import spark.implicits._
+    import graft.pipeline.Events
+    val lefts = Seq((100L, 1L, 10L), (101L, 1L, 16L), (102L, 1L, 99L))
+      .toDF("event_id", "user_id", "ts")
+    val rights = Seq((1L, 10L, 7L), (1L, 15L, 8L), (1L, 20L, 9L))
+      .toDF("user_id", "r_ts", "r_id")
+    val out = Events.asofJoin(lefts, rights, "user_id", "ts", "r_ts",
+        Seq("r_id"), direction = "forward")
+      .orderBy("event_id").collect()
+    assert(out(0).getLong(3) == 7L)  // ts 10 -> right at 10 (>= inclusive)
+    assert(out(1).getLong(3) == 9L)  // ts 16 -> next right at 20
+    assert(out(2).isNullAt(3))       // ts 99 -> nothing after
+  }
+
   test("band join: inclusive boundary, neighbor buckets, no duplicate pairs") {
     import spark.implicits._
     import graft.pipeline.Events
