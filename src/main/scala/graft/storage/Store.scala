@@ -258,9 +258,25 @@ final class LocalStore(val root: Path) extends Store {
     * parsed as a bogus latest generation.
     */
   private val TmpDir = ".graft-tmp"
+  private val tmpCounter = new java.util.concurrent.atomic.AtomicLong()
   private def newTmp(): Path = {
     val d = root.resolve(TmpDir)
     Files.createDirectories(d)
+    // temps are deleted on the happy path; ones orphaned by a crash are
+    // invisible to listings, so self-clean opportunistically (stale
+    // after an hour — no in-flight write lives that long)
+    if (tmpCounter.incrementAndGet() % 4096 == 1) {
+      val cutoff = System.currentTimeMillis() - 3600_000L
+      try {
+        val s = Files.list(d)
+        try s.iterator().asScala.foreach { f =>
+          try {
+            if (Files.getLastModifiedTime(f).toMillis < cutoff)
+              Files.deleteIfExists(f)
+          } catch { case _: java.io.IOException => () }
+        } finally s.close()
+      } catch { case _: java.io.IOException => () }
+    }
     d.resolve(java.util.UUID.randomUUID().toString)
   }
   private def isTmpKey(key: String): Boolean =
