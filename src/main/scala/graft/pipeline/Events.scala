@@ -68,6 +68,58 @@ object Events {
       .select((leftCols.map(c => col(c)) ++ rightCols.map(c => col(c))): _*)
   }
 
+  /** `merge_asof(direction="nearest")`: the right row with the SMALLEST
+    * absolute time gap to each left row (ties → the earlier right row,
+    * pandas' behavior). Composed from one backward and one forward pass
+    * — still two union+window jobs sharing the same key shuffle shape,
+    * no range join. The right timestamp is carried so the gap is
+    * computable; pass it in `rightCols`.
+    */
+  def asofJoinNearest(left: DataFrame, right: DataFrame, keyCol: String,
+                      leftTsCol: String, rightTsCol: String,
+                      rightCols: Seq[String],
+                      tieBreak: String = null): DataFrame = {
+    require(rightCols.nonEmpty, "asofJoinNearest: no right payload columns")
+    val leftCols = left.columns.toSeq
+    require(!leftCols.exists(rightCols.contains),
+      "asofJoinNearest: right payload columns collide with left columns")
+    val rTb = if (tieBreak == null) lit(0L) else col(tieBreak).cast("long")
+    val lSel: Seq[Column] =
+      Seq(col(keyCol), lit(1).as("_side"), col(leftTsCol).as("_ts"),
+        lit(0L).as("_tb")) ++
+        leftCols.filterNot(_ == keyCol).map(c => col(c)) ++
+        rightCols.map(c => lit(null).cast(right.schema(c).dataType).as(c))
+    val rSel: Seq[Column] =
+      Seq(col(keyCol), lit(0).as("_side"), col(rightTsCol).as("_ts"),
+        rTb.as("_tb")) ++
+        leftCols.filterNot(_ == keyCol)
+          .map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+        rightCols.map(c => col(c))
+    val all = left.select(lSel: _*).unionByName(right.select(rSel: _*))
+      .withColumn("_rts", when(col("_side") === 0, col("_ts")))
+    val bw = Window.partitionBy(keyCol)
+      .orderBy(col("_ts").asc, col("_side").asc, col("_tb").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fw = Window.partitionBy(keyCol)
+      .orderBy(col("_ts").desc, col("_side").asc, col("_tb").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = (rightCols :+ "_rts").foldLeft(all) { case (df, c) =>
+      df.withColumn(s"_b_$c", last(col(c), ignoreNulls = true).over(bw))
+        .withColumn(s"_f_$c", last(col(c), ignoreNulls = true).over(fw))
+    }
+    val bGap = abs(col("_ts").cast("long") - col("_b__rts").cast("long"))
+    val fGap = abs(col("_ts").cast("long") - col("_f__rts").cast("long"))
+    // backward wins ties (the earlier right row, pandas' behavior); a
+    // side with no match loses
+    val useB = col("_b__rts").isNotNull &&
+      (col("_f__rts").isNull || bGap <= fGap)
+    val out = rightCols.foldLeft(carried) { case (df, c) =>
+      df.withColumn(c, when(useB, col(s"_b_$c")).otherwise(col(s"_f_$c")))
+    }
+    out.filter(col("_side") === 1)
+      .select((leftCols.map(c => col(c)) ++ rightCols.map(c => col(c))): _*)
+  }
+
   /** BAND (range-window) join: every (left, right) pair in the same key
     * group whose timestamps differ by at most `maxGap` (inclusive, in
     * the ts columns' units — pass epoch seconds/millis, not raw

@@ -443,6 +443,28 @@ class PipelineSpec extends SparkTestBase {
     assert(out(2).isNullAt(3))       // ts 99 -> nothing after
   }
 
+  test("asof join nearest: smallest gap wins, backward breaks ties") {
+    import spark.implicits._
+    import graft.pipeline.Events
+    val lefts = Seq((100L, 1L, 10L), (101L, 1L, 17L), (102L, 1L, 25L),
+      (103L, 2L, 5L)).toDF("event_id", "user_id", "ts")
+    val rights = Seq((1L, 8L, 7L), (1L, 20L, 8L), (1L, 26L, 9L))
+      .toDF("user_id", "r_ts", "r_id")
+    val out = Events.asofJoinNearest(lefts, rights, "user_id", "ts", "r_ts",
+        Seq("r_id"))
+      .orderBy("event_id").collect()
+    assert(out(0).getLong(3) == 7L)  // ts 10: gaps 2 vs 10 -> backward 8
+    assert(out(1).getLong(3) == 8L)  // ts 17: gaps 9 vs 3  -> forward 20
+    assert(out(2).getLong(3) == 9L)  // ts 25: gaps 5 vs 1  -> forward 26
+    assert(out(3).isNullAt(3))       // user 2: no right rows at all
+    // exact tie: equidistant rights -> the EARLIER right row wins
+    val tie = Events.asofJoinNearest(
+      Seq((1L, 1L, 15L)).toDF("event_id", "user_id", "ts"),
+      Seq((1L, 10L, 70L), (1L, 20L, 80L)).toDF("user_id", "r_ts", "r_id"),
+      "user_id", "ts", "r_ts", Seq("r_id")).head()
+    assert(tie.getLong(3) == 70L)
+  }
+
   test("band join: inclusive boundary, neighbor buckets, no duplicate pairs") {
     import spark.implicits._
     import graft.pipeline.Events
