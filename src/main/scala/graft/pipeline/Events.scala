@@ -7,6 +7,18 @@ import org.apache.spark.sql.functions._
 /** Ordered-event operators Spark has no native relational form for. */
 object Events {
 
+  /** The operators stage internal columns on the inputs; a caller column
+    * with one of these names would silently corrupt the result, so they
+    * are refused up front.
+    */
+  private def requireNoReserved(df: DataFrame, names: Set[String],
+                                op: String): Unit = {
+    val clash = df.columns.filter(names.contains)
+    require(clash.isEmpty,
+      s"$op: input columns ${clash.mkString(", ")} collide with " +
+        "operator-internal names — rename them first")
+  }
+
   /** AS-OF join: for every left row, the single most recent right row
     * with `rightTs <= leftTs` in the same key group (the time-series
     * "latest value at event time" join — DuckDB/kdb `ASOF JOIN`,
@@ -35,6 +47,8 @@ object Events {
     require(rightCols.nonEmpty, "asofJoin: no right payload columns")
     require(direction == "backward" || direction == "forward",
       s"asofJoin: direction must be backward or forward, got $direction")
+    Seq(left, right).foreach(requireNoReserved(_,
+      Set("_side", "_ts", "_tb"), "asofJoin"))
     val leftCols = left.columns.toSeq
     require(!leftCols.exists(rightCols.contains),
       "asofJoin: right payload columns collide with left columns")
@@ -80,6 +94,8 @@ object Events {
                       rightCols: Seq[String],
                       tieBreak: String = null): DataFrame = {
     require(rightCols.nonEmpty, "asofJoinNearest: no right payload columns")
+    Seq(left, right).foreach(requireNoReserved(_,
+      Set("_side", "_ts", "_tb", "_rts"), "asofJoinNearest"))
     val leftCols = left.columns.toSeq
     require(!leftCols.exists(rightCols.contains),
       "asofJoinNearest: right payload columns collide with left columns")
@@ -136,6 +152,8 @@ object Events {
                leftTsCol: String, rightTsCol: String,
                maxGap: Long): DataFrame = {
     require(maxGap > 0, "bandJoin: maxGap must be positive")
+    Seq(left, right).foreach(requireNoReserved(_, Set("_b", "_b0"),
+      "bandJoin"))
     val leftCols = left.columns.toSeq
     require(!leftCols.exists(c => c != keyCol && right.columns.contains(c)),
       "bandJoin: column names collide across sides (rename first)")
@@ -170,6 +188,8 @@ object Events {
                  salts: Int = 8, hotThreshold: Long = 100000L,
                  maxHotKeys: Int = 10000): DataFrame = {
     require(salts >= 2, "saltedJoin: salts >= 2")
+    Seq(left, right).foreach(requireNoReserved(_,
+      Set("_salt", "_hot", "_n"), "saltedJoin"))
     val hot = left.groupBy(keyCol).agg(count(lit(1)).as("_n"))
       .filter(col("_n") > hotThreshold)
       .orderBy(col("_n").desc, col(keyCol))
