@@ -41,7 +41,7 @@ import graft.storage.Store
   * one commit.
   */
 class GraftCatalog extends TableCatalog with FunctionCatalog
-    with SupportsNamespaces {
+    with SupportsNamespaces with ProcedureCatalog {
   private var catalogName: String = _
   private var options: Map[String, String] = _
 
@@ -51,6 +51,24 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
     options = opts.asScala.toMap
   }
   override def name(): String = catalogName
+
+  // ---- SQL stored procedures: CALL cat.system.<proc>(...) ----
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =
+    (ident.namespace().toSeq, ident.name()) match {
+      case (Seq("system"), n) if GraftProcedures.names.contains(n) =>
+        GraftProcedures.load(n, () => repo)
+      case _ => throw new graft.repo.GraftException(
+        s"no procedure ${ident.namespace().mkString(".")}.${ident.name()}" +
+          s" — known: system.{${GraftProcedures.names.mkString(",")}}",
+        graft.repo.GraftError.RefNotFound)
+    }
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty || namespace.sameElements(Array("system")))
+      GraftProcedures.names
+        .map(n => Identifier.of(Array("system"), n)).toArray
+    else Array.empty
 
   private def repo: Repository = {
     val spark = org.apache.spark.sql.SparkSession.active
@@ -610,5 +628,122 @@ private[sources] class GraftMetaTable(
         override def readSchema(): StructType = tableSchema
         override def rows(): Array[InternalRow] = rowsThunk()
       }
+    }
+}
+
+/** SQL stored procedures (`CALL cat.system.<proc>(...)`) for the
+  * maintenance operations that have no relational form — the surface
+  * Iceberg exposes as `CALL system.rewrite_manifests(...)`, built on
+  * Spark 4's DSv2 ProcedureCatalog. Each runs driver-side against the
+  * catalog's repo (the heavy lifting inside — reachability anti-joins,
+  * executor-parallel copies — is the ops module's Spark jobs) and
+  * returns its summary as a LocalScan relation.
+  */
+private[sources] object GraftProcedures {
+  import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+  import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure,
+    ProcedureParameter, UnboundProcedure}
+  import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+  import org.apache.spark.unsafe.types.UTF8String
+
+  val names: Seq[String] = Seq("push", "fsck", "gc", "expire", "compact")
+
+  private def str(s: String): Any = UTF8String.fromString(s)
+
+  private def scanOf(schema: StructType,
+                     resultRows: Array[InternalRow]): java.util.Iterator[Scan] =
+    java.util.List.of[Scan](new LocalScan {
+      override def readSchema(): StructType = schema
+      override def rows(): Array[InternalRow] = resultRows
+    }).iterator()
+
+  private def proc(procName: String, params: Seq[ProcedureParameter],
+                   out: StructType)(
+      run: InternalRow => Array[InternalRow]): UnboundProcedure =
+    new UnboundProcedure {
+      override def name(): String = procName
+      override def description(): String = s"graft $procName"
+      override def bind(input: StructType): BoundProcedure =
+        new BoundProcedure {
+          override def name(): String = procName
+          override def description(): String = s"graft $procName"
+          override def parameters(): Array[ProcedureParameter] =
+            params.toArray
+          override def isDeterministic: Boolean = false
+          override def call(in: InternalRow): java.util.Iterator[Scan] =
+            scanOf(out, run(in))
+        }
+    }
+
+  private def p(n: String, t: DataType): ProcedureParameter =
+    ProcedureParameter.in(n, t).build()
+  private def pd(n: String, t: DataType,
+                 default: String): ProcedureParameter =
+    ProcedureParameter.in(n, t).defaultValue(default).build()
+
+  def load(procName: String, repo: () => Repository): UnboundProcedure =
+    procName match {
+      case "push" => proc("push",
+        Seq(p("ref", StringType), p("dst", StringType),
+          pd("force", BooleanType, "false"),
+          pd("depth", IntegerType, Int.MaxValue.toString)),
+        StructType(Seq(
+          StructField("snapshot_id", StringType),
+          StructField("snapshots_copied", IntegerType),
+          StructField("chunks_copied", LongType),
+          StructField("chunk_bytes_copied", LongType),
+          StructField("chunks_skipped", LongType)))) { in =>
+        val r = repo()
+        val sum = graft.ops.Replicate.sync(r,
+          Store.local(in.getUTF8String(1).toString),
+          in.getUTF8String(0).toString, force = in.getBoolean(2),
+          depth = in.getInt(3))
+        Array(new GenericInternalRow(Array[Any](str(sum.snapshotId),
+          sum.snapshotsCopied, sum.chunksCopied, sum.chunkBytesCopied,
+          sum.chunksSkipped)))
+      }
+      case "fsck" => proc("fsck",
+        Seq(pd("ref", StringType, "'main'")),
+        StructType(Seq(StructField("kind", StringType),
+          StructField("id", StringType),
+          StructField("detail", StringType)))) { in =>
+        graft.ops.Integrity.check(repo(), in.getUTF8String(0).toString)
+          .collect().map(r => new GenericInternalRow(Array[Any](
+            str(r.getString(0)), str(r.getString(1)), str(r.getString(2))))
+            : InternalRow)
+      }
+      case "gc" => proc("gc",
+        Seq(pd("older_than_hours", IntegerType, "1"),
+          pd("dry_run", BooleanType, "false")),
+        StructType(Seq(
+          StructField("chunks_deleted", LongType),
+          StructField("manifests_deleted", LongType),
+          StructField("snapshots_deleted", LongType),
+          StructField("tx_logs_deleted", LongType),
+          StructField("bytes_reclaimed", LongType)))) { in =>
+        val s = graft.ops.GC.garbageCollect(repo(),
+          java.time.Instant.now().minusSeconds(in.getInt(0) * 3600L),
+          dryRun = in.getBoolean(1))
+        Array(new GenericInternalRow(Array[Any](s.chunksDeleted,
+          s.manifestsDeleted, s.snapshotsDeleted, s.txLogsDeleted,
+          s.bytesDeleted)))
+      }
+      case "expire" => proc("expire",
+        Seq(pd("older_than_hours", IntegerType, "24")),
+        StructType(Seq(StructField("snapshots_squashed", IntegerType)))) {
+        in =>
+        val n = graft.ops.GC.expire(repo(),
+          java.time.Instant.now().minusSeconds(in.getInt(0) * 3600L))
+        Array(new GenericInternalRow(Array[Any](n)))
+      }
+      case "compact" => proc("compact",
+        Seq(pd("branch", StringType, "'main'")),
+        StructType(Seq(StructField("snapshot_id", StringType)))) { in =>
+        val id = graft.ops.Compaction.rewriteManifests(repo(),
+          in.getUTF8String(0).toString)
+        Array(new GenericInternalRow(Array[Any](str(id))))
+      }
+      case other => throw new graft.repo.GraftException(
+        s"no procedure system.$other", graft.repo.GraftError.RefNotFound)
     }
 }

@@ -420,4 +420,44 @@ class GraftCatalogSpec extends SparkTestBase {
     assert(spark.sql(s"SELECT count(*) FROM $cat.t VERSION AS OF " +
       s"'${anc(1).id}'").head().getLong(0) == 24)
   }
+
+  test("stored procedures: CALL system.push / fsck / compact through SQL") {
+    val dir = tmpDir("proc-repo")
+    val repo = Repository.create(Store.local(dir), spark)
+    val s = repo.writableSession("main")
+    s.addArray("/a", Seq(8), Seq(2), userData = """{"dtype":"int64"}""")
+    (0 until 4).foreach(c =>
+      s.writeChunk("/a", Seq(c), Array.fill(1024)((c + 1).toByte)))
+    s.commit("data")
+    val cat = "pcat" + (System.nanoTime() % 100000)
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.path", dir)
+
+    // healthy repo: fsck returns zero problem rows
+    assert(spark.sql(s"CALL $cat.system.fsck('main')").count() == 0)
+
+    // push to a mirror; the summary comes back as a relation
+    val mirror = tmpDir("proc-mirror")
+    val sum = spark.sql(
+      s"CALL $cat.system.push('main', '$mirror')").head()
+    assert(sum.getAs[Long]("chunks_copied") == 4L)
+    assert(Repository.open(Store.local(mirror), spark)
+      .lookupBranch("main") == repo.lookupBranch("main"))
+    // named-argument re-push: zero new chunks
+    val again = spark.sql(
+      s"CALL $cat.system.push(ref => 'main', dst => '$mirror')").head()
+    assert(again.getAs[Long]("chunks_copied") == 0L)
+
+    // compact returns the new snapshot id and advances the branch
+    val cid = spark.sql(s"CALL $cat.system.compact()").head().getString(0)
+    assert(repo.lookupBranch("main").contains(cid))
+
+    // unknown procedure is a stable-kind refusal
+    val ex = intercept[Exception] {
+      spark.sql(s"CALL $cat.system.nope()").collect()
+    }
+    assert(ex.getMessage.contains("no procedure") ||
+      ex.getMessage.toLowerCase.contains("nope"))
+  }
 }
