@@ -11,6 +11,28 @@ object Oracles {
   private val stop =
     "['the','a','an','and','or','of','to','in','is','are','was','for','on','with','as','at','by']"
 
+  /** Shared by q_decontaminate and q_decontaminate_bloom: the bloom
+    * prefilter is exact-by-construction, so both paths answer to the
+    * same naive-overlap SQL.
+    */
+  private val DecontaminateSql =
+    """WITH sh AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+      |      ELSE list_distinct([array_to_string(toks[i:i+2], ' ')
+      |        for i in range(1, len(toks) - 1)])
+      |    END AS s
+      |  FROM (SELECT doc_id,
+      |      list_filter(string_split_regex(lower(text), '\s+'),
+      |        x -> len(x) > 0) AS toks
+      |    FROM documents))
+      |SELECT c.doc_id, b.doc_id AS bench_id,
+      |  len(list_intersect(c.s, b.s)) AS shared_grams
+      |FROM sh c JOIN sh b
+      |  ON c.doc_id % 20 <> 0 AND b.doc_id % 20 = 0
+      |    AND len(list_intersect(c.s, b.s)) >= 5
+      |ORDER BY c.doc_id, bench_id""".stripMargin
+
   val all: Map[String, String] = Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
@@ -372,23 +394,10 @@ object Oracles {
         |SELECT doc_a, doc_b, round(j, 6) AS jaccard, TRUE AS lsh_ok
         |FROM pairs WHERE j >= 0.5 ORDER BY doc_a, doc_b""".stripMargin,
 
-    "q_decontaminate" ->
-      """WITH sh AS (
-        |  SELECT doc_id,
-        |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
-        |      ELSE list_distinct([array_to_string(toks[i:i+2], ' ')
-        |        for i in range(1, len(toks) - 1)])
-        |    END AS s
-        |  FROM (SELECT doc_id,
-        |      list_filter(string_split_regex(lower(text), '\s+'),
-        |        x -> len(x) > 0) AS toks
-        |    FROM documents))
-        |SELECT c.doc_id, b.doc_id AS bench_id,
-        |  len(list_intersect(c.s, b.s)) AS shared_grams
-        |FROM sh c JOIN sh b
-        |  ON c.doc_id % 20 <> 0 AND b.doc_id % 20 = 0
-        |    AND len(list_intersect(c.s, b.s)) >= 5
-        |ORDER BY c.doc_id, bench_id""".stripMargin,
+    "q_decontaminate" -> DecontaminateSql,
+    // the bloom-prefiltered path must produce the IDENTICAL result (no
+    // false negatives; false positives die in the exact verify join)
+    "q_decontaminate_bloom" -> DecontaminateSql,
 
     "q_embedding_neardups" ->
       """WITH p AS (

@@ -438,6 +438,20 @@ object Queries {
       .orderBy("doc_id", "bench_id")
   }
 
+  /** Same decontamination through the BLOOM-prefiltered path: benchmark
+    * shingle hashes become a literal bitset tested map-side before any
+    * join, exact verification on the survivors — identical result to
+    * [[q_decontaminate]], same oracle.
+    */
+  val q_decontaminate_bloom: Q = (s, d) => {
+    val docs = t(s, d, "documents")
+    Decontaminate.overlapBloom(
+        docs.filter(col("doc_id") % 20 =!= 0),
+        docs.filter(col("doc_id") % 20 === 0),
+        n = 3, minShared = 5)
+      .orderBy("doc_id", "bench_id")
+  }
+
   /** MinHash-LSH near-dup candidates (no SQL oracle — hash-specific). */
   val q_dedup_minhash: Q = (s, d) =>
     Dedup.minhashCandidates(t(s, d, "documents"), numHashes = 32, bands = 8)
@@ -1085,6 +1099,7 @@ object Queries {
     "q_dedup_ngram_jaccard" -> q_dedup_ngram_jaccard,
     "q_dedup_ngram_lsh" -> q_dedup_ngram_lsh,
     "q_decontaminate" -> q_decontaminate,
+    "q_decontaminate_bloom" -> q_decontaminate_bloom,
     "q_dedup_minhash" -> q_dedup_minhash,
     "q_dedup_simhash" -> q_dedup_simhash,
     "q_embedding_neardups" -> q_embedding_neardups,

@@ -260,6 +260,68 @@ case class CosinePairsExpr(blockA: Expression, blockB: Expression,
     copy(blockA = f, blockB = s, sameBlock = t)
 }
 
+/** Bloom-filter membership over a LONG hash column, the filter inlined
+  * as literals (an Array[Long] bitset + probe count): `k` probes via
+  * Kirsch–Mitzenmacher double hashing. No join, no broadcast variable —
+  * the standard map-side prefilter for "does this shingle appear in the
+  * (small) benchmark set", with false POSITIVES only, so an exact
+  * verification stage downstream keeps results exact.
+  */
+case class BloomContainsExpr(child: Expression, bits: Array[Long], k: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(bits.nonEmpty && java.lang.Long.bitCount(bits.length.toLong * 64) == 1,
+    "bloom bitset length must make a power-of-two bit count")
+  require(k >= 1 && k <= 32)
+  override def dataType: DataType = BooleanType
+
+  private val mMask: Long = bits.length.toLong * 64 - 1
+
+  override def nullSafeEval(input: Any): Any = {
+    val h = input.asInstanceOf[Long]
+    val h2 = java.lang.Long.rotateLeft(h, 31) | 1L // odd step
+    var i = 0
+    var g = h
+    while (i < k) {
+      val idx = g & mMask
+      if ((bits((idx >>> 6).toInt) & (1L << (idx & 63))) == 0L) return false
+      g += h2
+      i += 1
+    }
+    true
+  }
+
+  override protected def withNewChildInternal(c: Expression): BloomContainsExpr =
+    copy(child = c)
+}
+
+object BloomBuild {
+  /** Build the literal bitset for [[BloomContainsExpr]] from a bounded
+    * hash set (driver-side): sized for ~1% false positives
+    * (m ≈ 10·n bits rounded up to a power of two, k = 7).
+    */
+  def fromHashes(hashes: Array[Long], bitsPerItem: Int = 10): (Array[Long], Int) = {
+    val n = math.max(1, hashes.length)
+    var mBits = 64L
+    while (mBits < n.toLong * bitsPerItem) mBits <<= 1
+    val bits = new Array[Long]((mBits >>> 6).toInt)
+    val mask = mBits - 1
+    val kk = math.max(1, math.min(32,
+      math.round(mBits.toDouble / n * math.log(2)).toInt))
+    hashes.foreach { h =>
+      val h2 = java.lang.Long.rotateLeft(h, 31) | 1L
+      var i = 0
+      var g = h
+      while (i < kk) {
+        val idx = g & mask
+        bits((idx >>> 6).toInt) |= (1L << (idx & 63))
+        g += h2
+        i += 1
+      }
+    }
+    (bits, kk)
+  }
+}
+
 /** Positioned character shingles of a string in ONE pass:
   * `[(pos, shingle)]` for k-char windows at positions 1, 1+stride, …
   * (1-based). `hashed=true` emits a 64-bit polynomial ROLLING hash per
@@ -437,4 +499,7 @@ object VectorFunctions {
   def char_shingles(text: Column, k: Int, stride: Int,
                     hashed: Boolean): Column =
     column(CharShinglesExpr(expression(text), k, stride, hashed))
+
+  def bloom_contains(hash: Column, bits: Array[Long], k: Int): Column =
+    column(BloomContainsExpr(expression(hash), bits, k))
 }

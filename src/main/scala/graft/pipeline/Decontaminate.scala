@@ -42,6 +42,41 @@ object Decontaminate {
       .filter(col("shared_grams") >= minShared)
   }
 
+  /** [[overlap]] with a BLOOM PREFILTER on the corpus side — the shape
+    * for benchmarks too large to broadcast as raw posting lists, or to
+    * cut the exact join's probe volume by ~100×: the benchmark's shingle
+    * hashes build a driver-side Bloom bitset (bounded — eval sets are
+    * thousands of items) that rides into a map-side membership
+    * expression, so the overwhelming majority of corpus shingles drop
+    * BEFORE any join. Bloom gives false positives only; the exact
+    * broadcast join + overlap count runs on the survivors, so the
+    * result is IDENTICAL to [[overlap]] — which is what the oracle and
+    * PipelineSpec check.
+    */
+  def overlapBloom(corpus: DataFrame, benchmark: DataFrame,
+                   textCol: String = "text", n: Int = 8,
+                   corpusIdCol: String = "doc_id",
+                   benchIdCol: String = "doc_id",
+                   minShared: Int = 1): DataFrame = {
+    val bSh = benchmark
+      .select(col(benchIdCol).as("bench_id"),
+        Dedup.shingles(col(textCol), n).as("sh"))
+      .select(col("bench_id"), explode(col("sh")).as("g"))
+    val hashes = bSh.select(xxhash64(col("g"))).distinct()
+      .collect().map(_.getLong(0))
+    val (bits, k) = graft.functions.BloomBuild.fromHashes(hashes)
+    val c = corpus
+      .select(col(corpusIdCol).as("doc_id"),
+        Dedup.shingles(col(textCol), n).as("sh"))
+      .select(col("doc_id"), explode(col("sh")).as("g"))
+      .filter(graft.functions.VectorFunctions.bloom_contains(
+        xxhash64(col("g")), bits, k))
+    c.join(broadcast(bSh), Seq("g"))
+      .groupBy("doc_id", "bench_id")
+      .agg(count(lit(1)).as("shared_grams"))
+      .filter(col("shared_grams") >= minShared)
+  }
+
   /** One row per contaminated corpus doc: how many benchmark items it
     * overlaps and the worst (max) shared-gram count — the drop list a
     * cleaning pass consumes.

@@ -443,6 +443,34 @@ class PipelineSpec extends SparkTestBase {
     assert(out(2).isNullAt(3))       // ts 99 -> nothing after
   }
 
+  test("bloom prefilter: zero false negatives, sane FP rate, exact overlap") {
+    // kernel-level: every inserted hash is contained; FP rate ~1%
+    val rng = new scala.util.Random(7)
+    val inserted = Array.fill(5000)(rng.nextLong())
+    val (bits, k) = graft.functions.BloomBuild.fromHashes(inserted)
+    val expr = graft.functions.BloomContainsExpr(
+      org.apache.spark.sql.catalyst.expressions.Literal(0L), bits, k)
+    def contains(h: Long): Boolean =
+      expr.nullSafeEval(h).asInstanceOf[Boolean]
+    assert(inserted.forall(contains))
+    val probes = Array.fill(20000)(rng.nextLong())
+      .filterNot(inserted.contains)
+    val fpRate = probes.count(contains).toDouble / probes.length
+    assert(fpRate < 0.05, s"bloom FP rate $fpRate")
+
+    // operator-level: bloom path ≡ exact path on the corpus
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val corpus = docs.filter(col("doc_id") % 20 =!= 0)
+    val bench = docs.filter(col("doc_id") % 20 === 0)
+    import graft.pipeline.Decontaminate
+    val exact = Decontaminate.overlap(corpus, bench, n = 3, minShared = 2)
+      .orderBy("doc_id", "bench_id").collect().map(_.toString).toSeq
+    val bloom = Decontaminate.overlapBloom(corpus, bench, n = 3,
+        minShared = 2)
+      .orderBy("doc_id", "bench_id").collect().map(_.toString).toSeq
+    assert(exact == bloom && exact.nonEmpty)
+  }
+
   test("asof join nearest: smallest gap wins, backward breaks ties") {
     import spark.implicits._
     import graft.pipeline.Events
