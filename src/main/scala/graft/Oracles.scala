@@ -661,6 +661,28 @@ object Oracles {
         |  len(list_distinct(toks)) AS n_distinct
         |FROM base ORDER BY doc_id""".stripMargin,
 
+    // rebuilds the SAME per-language trigram model from the corpus:
+    // identical counts, identical smoothing arithmetic, round(.,4)
+    "q_lm_score" ->
+      """WITH tri AS (
+        |  SELECT doc_id, lang,
+        |    substr(lower(text), i, 3) AS g,
+        |    substr(lower(text), i, 2) AS pfx
+        |  FROM (SELECT doc_id, lang, text,
+        |          unnest(range(1, len(text) - 1)) AS i
+        |        FROM documents WHERE len(text) >= 3)),
+        |c3 AS (SELECT lang, g, count(*) AS n3 FROM tri GROUP BY 1, 2),
+        |c2 AS (SELECT lang, pfx, count(*) AS n2 FROM tri GROUP BY 1, 2),
+        |sc AS (
+        |  SELECT t.doc_id,
+        |    ln((c3.n3 + 1.0) / (c2.n2 + 32.0)) AS lp
+        |  FROM tri t
+        |  JOIN c3 ON t.lang = c3.lang AND t.g = c3.g
+        |  JOIN c2 ON t.lang = c2.lang AND t.pfx = c2.pfx)
+        |SELECT doc_id, count(*) AS n_tri,
+        |  round(-sum(lp) / count(*), 4) AS nll
+        |FROM sc GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q_word_freq" ->
       """WITH tok AS (
         |  SELECT doc_id,

@@ -693,6 +693,13 @@ object Queries {
         "first_source", "last_source")
       .orderBy("canonical_id")
 
+  /** Perplexity-style quality score: per-doc average negative
+    * log-likelihood under a per-language corpus-trained char-trigram
+    * model; the oracle rebuilds the identical model in SQL.
+    */
+  val q_lm_score: Q = (s, d) =>
+    TextAnalysis.charTrigramScore(t(s, d, "documents")).orderBy("doc_id")
+
   /** Corpus word-frequency table (vocabulary/Zipf audit): top 100 tokens
     * by occurrence count with document frequencies.
     */
@@ -1122,6 +1129,7 @@ object Queries {
     "q_downsample" -> q_downsample,
     "q_pii_scrub" -> q_pii_scrub,
     "q_repetition" -> q_repetition,
+    "q_lm_score" -> q_lm_score,
     "q_word_freq" -> q_word_freq,
     "q_bm25" -> q_bm25,
     "q_substring_spans" -> q_substring_spans,

@@ -237,6 +237,40 @@ object TextAnalysis {
       .limit(topK)
   }
 
+  /** Character-trigram language-model score: per document, the average
+    * negative log-likelihood under a per-language Laplace-smoothed
+    * trigram model trained on the corpus itself — the perplexity-style
+    * quality filter (a document statistically unlike its language's
+    * corpus scores high: mojibake, binary spill, boilerplate soup).
+    * `p(c₃|c₁c₂) = (n₃ + 1) / (n₂ + V)` with the context count n₂
+    * derived from the same trigram table (Σ over completions), so the
+    * model is self-consistent and the oracle can rebuild it in SQL.
+    *
+    * Scale shape: the trigram explode streams off the scan (native
+    * one-pass shingler); BOTH model tables are bounded by charset³ per
+    * language, so they broadcast and the scoring joins are map-side —
+    * the only per-corpus shuffles are the two model-count aggregations
+    * and the final per-doc rollup.
+    */
+  def charTrigramScore(docs: DataFrame, textCol: String = "text",
+                       langCol: String = "lang",
+                       vocab: Double = 32.0): DataFrame = {
+    val tri = docs.select(col("doc_id"), col(langCol).as("lang"),
+        explode(graft.functions.VectorFunctions.char_shingles(
+          lower(col(textCol)), 3, 1, hashed = false)).as("ps"))
+      .select(col("doc_id"), col("lang"), col("ps.sub").as("g"))
+      .withColumn("pfx", substring(col("g"), 1, 2))
+    val c3 = tri.groupBy("lang", "g").agg(count(lit(1)).as("n3"))
+    val c2 = tri.groupBy("lang", "pfx").agg(count(lit(1)).as("n2"))
+    tri.join(broadcast(c3), Seq("lang", "g"))
+      .join(broadcast(c2), Seq("lang", "pfx"))
+      .withColumn("lp",
+        log((col("n3") + lit(1.0)) / (col("n2") + lit(vocab))))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tri"),
+        round(-sum(col("lp")) / count(lit(1)), 4).as("nll"))
+  }
+
   /** Per-document report: one row per doc with all text metrics. */
   def analyze(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)

@@ -443,6 +443,21 @@ class PipelineSpec extends SparkTestBase {
     assert(out(2).isNullAt(3))       // ts 99 -> nothing after
   }
 
+  test("trigram LM score: statistically-unlike documents score higher") {
+    import spark.implicits._
+    import graft.pipeline.TextAnalysis
+    val normal = (1L to 30L).map(i =>
+      (i, "en", "the quick brown fox jumps over the lazy dog again and " +
+        s"again run $i"))
+    val weird = Seq((99L, "en", "zx9#qv@7jk!!pw%%mm&&zq##xx@@vv!!kk99##"))
+    val docs = (normal ++ weird).toDF("doc_id", "lang", "text")
+    val scores = TextAnalysis.charTrigramScore(docs)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val normalAvg = normal.map(n => scores(n._1)).sum / normal.size
+    assert(scores(99L) > normalAvg * 1.3,
+      s"garbage doc should stand out: ${scores(99L)} vs avg $normalAvg")
+  }
+
   test("bloom prefilter: zero false negatives, sane FP rate, exact overlap") {
     // kernel-level: every inserted hash is contained; FP rate ~1%
     val rng = new scala.util.Random(7)

@@ -166,6 +166,14 @@ class PlanCheckSpec extends SparkTestBase {
       s"band join regressed to a nested loop:\n${p.take(2000)}")
   }
 
+  test("trigram LM scoring joins its model tables via broadcast") {
+    val p = plan(Queries.q_lm_score(spark, sf))
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      s"model tables must broadcast (bounded by charset^3):\n${p.take(2000)}")
+    assert(!p.contains("SortMergeJoin"),
+      "a model join fell onto a corpus-wide shuffle join")
+  }
+
   test("no pipeline query plans a cartesian or nested-loop join") {
     val checked = Seq("q_dedup_minhash", "q_dedup_simhash",
       "q_dedup_ngram_jaccard", "q_dedup_ngram_lsh", "q_embedding_neardups",
