@@ -479,6 +479,11 @@ object Bench {
         val sum = graft.ops.Replicate.sync(repo, Store.local(pushDir), "main")
         assert(sum.chunksCopied == 0 && sum.snapshotsCopied == 0)
       }
+      // fsck the whole multi-GiB closure: metadata walk + one distributed
+      // stat pass over the distinct chunk ids — no payload reads
+      entry("engine_fsck") {
+        assert(graft.ops.Integrity.check(repo, "main").count() == 0)
+      }
       r
     }
 

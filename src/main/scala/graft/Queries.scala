@@ -743,6 +743,17 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** Winnowing fingerprints (no SQL oracle — rolling-hash-specific;
+    * the coverage/density guarantees are spec-pinned): per-doc selected
+    * fingerprint count and position span.
+    */
+  val q_winnow: Q = (s, d) =>
+    Dedup.winnowedFingerprints(t(s, d, "documents"), k = 8, w = 4)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_fp"), min("pos").as("first_pos"),
+        max("pos").as("last_pos"))
+      .orderBy("doc_id")
+
   /** Rolling-hash fingerprint (no SQL oracle — crc32-based). */
   val q_fingerprint: Q = (s, d) =>
     t(s, d, "documents")
@@ -1135,6 +1146,7 @@ object Queries {
     "q_substring_spans" -> q_substring_spans,
     "q_bpe_vocab" -> q_bpe_vocab,
     "q_bpe_encode" -> q_bpe_encode,
+    "q_winnow" -> q_winnow,
     "q_fingerprint" -> q_fingerprint,
     "q_multimodal_meta" -> q_multimodal_meta,
     "q_frame_sample" -> q_frame_sample,

@@ -290,6 +290,38 @@ object Dedup {
         col("n_spans"), col("dup_chars"))
   }
 
+  /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken, the MOSS
+    * algorithm): hash every k-char shingle, then from every window of
+    * `w` consecutive positions keep the MINIMUM hash (rightmost on
+    * ties). Guarantees: any shared substring of length ≥ k + w − 1
+    * yields at least one shared fingerprint (detection), and ~2/(w+1)
+    * of positions are kept (density) — the robust sampled alternative
+    * to full substring postings for plagiarism/attribution-style dedup.
+    *
+    * Shape: the shingle pass is the native one-pass rolling hasher; the
+    * per-window argmin is ONE window function over (doc, pos) — the
+    * lexicographic min of (hash, −pos) structs gives rightmost-tie
+    * semantics — followed by a distinct. Work is corpus-linear.
+    */
+  def winnowedFingerprints(docs: DataFrame, k: Int = 8, w: Int = 4,
+                           textCol: String = "text"): DataFrame = {
+    require(w >= 1, "winnow: window >= 1")
+    val sh = docs
+      .select(col("doc_id"),
+        explode(graft.functions.VectorFunctions.char_shingles(
+          lower(col(textCol)), k, 1, hashed = true)).as("ps"))
+      .select(col("doc_id"), col("ps.pos").as("pos"), col("ps.sub").as("h"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)
+    sh.withColumn("_n", count(lit(1)).over(win))
+      .withColumn("_sel", min(struct(col("h"), (-col("pos")).as("np")))
+        .over(win))
+      .filter(col("_n") === w) // only complete windows select
+      .select(col("doc_id"), (-col("_sel.np")).as("pos"),
+        col("_sel.h").as("h"))
+      .distinct()
+  }
+
   /** The 100 TB n-gram verification path: block candidate pairs on
     * MinHash-LSH buckets instead of a metadata column, then verify each
     * candidate with EXACT n-gram Jaccard. A metadata block key (e.g.

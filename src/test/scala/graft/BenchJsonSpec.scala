@@ -65,7 +65,7 @@ class BenchJsonSpec extends AnyFunSuite {
       "engine_zarr_export_1g", "engine_zarr_adopt",
       "engine_rechunk_1g", "engine_downsample_1g",
       "engine_cube_slice_rows", "engine_transpose_1g",
-      "engine_repo_push", "engine_repo_push_incr")
+      "engine_repo_push", "engine_repo_push_incr", "engine_fsck")
     val results = scala.collection.mutable.LinkedHashMap(
       (SparkEntry.queries.keys.toSeq ++ engineKeys)
         .map(_ -> 123.456789012): _*)

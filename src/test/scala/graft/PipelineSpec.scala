@@ -443,6 +443,34 @@ class PipelineSpec extends SparkTestBase {
     assert(out(2).isNullAt(3))       // ts 99 -> nothing after
   }
 
+  test("winnowing: coverage guarantee, density, shared-substring detection") {
+    import spark.implicits._
+    val k = 8; val w = 4
+    val passage = "this exact passage is shared between both documents ok"
+    val docs = Seq(
+      (1L, "left padding text then " + passage + " and a right tail here"),
+      (2L, "other document intro " + passage + " with different ending")
+    ).toDF("doc_id", "text")
+    val fp = Dedup.winnowedFingerprints(docs, k, w)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    // coverage: every window of w consecutive positions holds a selection
+    docs.collect().foreach { r =>
+      val id = r.getLong(0); val n = r.getString(1).length - k + 1
+      val sel = fp.filter(_._1 == id).map(_._2).toSet
+      (1 to n - w + 1).foreach { i =>
+        assert((i until i + w).exists(sel.contains),
+          s"doc $id window at $i uncovered")
+      }
+      // density: roughly 2/(w+1) of positions, never more than 1/1
+      val density = sel.size.toDouble / n
+      assert(density > 0.15 && density < 0.8, s"density $density")
+    }
+    // detection: a shared substring of length >= k+w-1 shares a hash
+    val h1 = fp.filter(_._1 == 1L).map(_._3).toSet
+    val h2 = fp.filter(_._1 == 2L).map(_._3).toSet
+    assert(h1.intersect(h2).nonEmpty, "shared passage must share a fingerprint")
+  }
+
   test("trigram LM score: statistically-unlike documents score higher") {
     import spark.implicits._
     import graft.pipeline.TextAnalysis
