@@ -263,6 +263,24 @@ object Oracles {
         |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    "q_funnel" ->
+      """WITH su AS (
+        |  SELECT user_id, CAST(min(floor(epoch(ts))) AS BIGINT) AS su
+        |  FROM events WHERE event_type = 'signup' GROUP BY 1),
+        |p AS (
+        |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS pt
+        |  FROM events WHERE event_type = 'purchase'),
+        |j AS (
+        |  SELECT su.user_id, su.su, p.pt,
+        |    (p.pt IS NOT NULL AND p.pt >= su.su
+        |      AND p.pt <= su.su + 604800) AS inw
+        |  FROM su LEFT JOIN p ON su.user_id = p.user_id)
+        |SELECT user_id,
+        |  CAST(sum(CASE WHEN inw THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_purchases_7d,
+        |  min(CASE WHEN inw THEN pt - su END) AS first_gap_s
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q_dedup_exact" ->
       """SELECT d.doc_id, m.canonical_id, m.n_copies
         |FROM documents d JOIN (

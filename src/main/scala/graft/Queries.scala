@@ -331,6 +331,28 @@ object Queries {
       .orderBy("event_id")
   }
 
+  /** Conversion funnel: per signed-up user, purchases within 7 days of
+    * the FIRST signup and the seconds-to-first-conversion — the
+    * activation metric of an event pipeline. One aggregate for the
+    * signup anchor, one keyed join, one rollup.
+    */
+  val q_funnel: Q = (s, d) => {
+    val ev = events(s, d)
+    val signup = ev.filter(col("event_type") === "signup")
+      .groupBy("user_id")
+      .agg(min(unix_timestamp(col("ts"))).as("su"))
+    val purch = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), unix_timestamp(col("ts")).as("pt"))
+    signup.join(purch, Seq("user_id"), "left")
+      .withColumn("inw",
+        col("pt").isNotNull && col("pt") >= col("su") &&
+          col("pt") <= col("su") + lit(7L * 86400))
+      .groupBy("user_id")
+      .agg(sum(when(col("inw"), 1).otherwise(0)).as("n_purchases_7d"),
+        min(when(col("inw"), col("pt") - col("su"))).as("first_gap_s"))
+      .orderBy("user_id")
+  }
+
   /** BAND join: (purchase, error) event pairs of the same user within
     * 600 s, bucketed into an EQUI-join on (user, ts div 600) with the
     * right side tripled into neighbor buckets — the inequality-join
@@ -1106,6 +1128,7 @@ object Queries {
     "q_sessionize" -> q_sessionize,
     "q_asof_join" -> q_asof_join,
     "q_band_join" -> q_band_join,
+    "q_funnel" -> q_funnel,
     "q_salted_join" -> q_salted_join,
     "q_dedup_exact" -> q_dedup_exact,
     "q_dedup_clusters" -> q_dedup_clusters,
