@@ -459,5 +459,10 @@ class GraftCatalogSpec extends SparkTestBase {
     }
     assert(ex.getMessage.contains("no procedure") ||
       ex.getMessage.toLowerCase.contains("nope"))
+
+    // the listing surface: SHOW PROCEDURES enumerates system.*
+    val listed = spark.sql(s"SHOW PROCEDURES IN $cat.system").collect()
+      .map(_.toString).mkString(",")
+    assert(listed.contains("push") && listed.contains("fsck"), listed)
   }
 }
