@@ -21,6 +21,28 @@ import graft.storage.Store
   * run-to-run and a single sample cannot separate code from weather.
   */
 object Bench {
+  /** The query entries the bench LINE times. The driver's tail capture
+    * is exactly 2000 chars (BENCH_r*.json `tail`), and ~100 full-name
+    * entries overflow it no matter how tight the number format — a
+    * truncated line start is how rounds 1-6 lost their parsed timings.
+    * So the line times every engine entry plus the HEADLINE queries
+    * (every heavy or scale-critical shape); the remaining sub-second
+    * report queries are exercised — and correctness-checked — by the
+    * Verify gate each round. BenchJsonSpec guards the worst-case width
+    * of the full real key set against the 2000-char budget.
+    */
+  val HeadlineQueries: Set[String] = Set(
+    "q1_agg", "q_storage_stats", "q_filter_pushdown", "q_changeset_merge",
+    "q_conflict_semijoin", "q_gc_antijoin", "q_diff_join", "q_setops",
+    "q_zarr_keys", "q_stream_window", "q_dedup_exact", "q_dedup_clusters",
+    "q_temperature_mix", "q_dedup_ngram_jaccard", "q_dedup_ngram_lsh",
+    "q_decontaminate", "q_decontaminate_bloom", "q_dedup_minhash",
+    "q_dedup_simhash", "q_embedding_neardups", "q_embedding_clusters",
+    "q_similarity_ivf", "q_ann_neighbors", "q_pack_sequences", "q_rechunk",
+    "q_transpose", "q_concat", "q_histogram", "q_value_diff",
+    "q_downsample", "q_substring_spans", "q_lm_score", "q_asof_join",
+    "q_band_join", "q_salted_join", "q_winnow", "q_bm25")
+
   /** Time one entry; a failure records a NEGATIVE wall time and appends
     * `name: ExceptionClass: message` to `errors`, so in the JSON line a
     * crashed entry can never masquerade as a fast success.
@@ -40,14 +62,20 @@ object Bench {
     }
   }
 
-  /** Compact JSON number: 4 significant digits, trailing zeros trimmed.
-    * Full-precision nanos in ~65 entries pushed the round-6 line past the
-    * driver's tail-capture window, which truncated the line's START and
-    * made it unparseable; 4 sig figs keeps the whole line well inside the
-    * window while preserving sub-ms resolution for the hot-cache entries.
+  /** Compact JSON number: 3 significant digits, at most 4 decimal
+    * places, trailing zeros trimmed. Full-precision nanos in ~65 entries
+    * pushed the round-6 line past the driver's tail-capture window,
+    * which truncated the line's START and made it unparseable; at ~100
+    * entries even 4 sig figs crept back over the budget (2568 B), so
+    * the format is now 3 sig figs with sub-ms entries clamped to 4
+    * decimals — BenchJsonSpec guards the full real-key-set line against
+    * worst-case-width values.
     */
   private[graft] def jnum(v: Double): String = {
-    val s = String.format(java.util.Locale.ROOT, "%.4g", Double.box(v))
+    // clamp precision below 1e-4 first so "%.3g" can't emit exponents
+    // like 5.64e-04 (shorter AND json-simpler as 0.0006)
+    val clamped = math.rint(v * 10000.0) / 10000.0
+    val s = String.format(java.util.Locale.ROOT, "%.3g", Double.box(clamped))
     if (s.indexOf('e') >= 0 || s.indexOf('E') >= 0 || s.indexOf('.') < 0) s
     else {
       val t = s.reverse.dropWhile(_ == '0').reverse.stripSuffix(".")
@@ -133,9 +161,17 @@ object Bench {
     val queryReps =
       if (sys.env.getOrElse("SPARK_GRAFT_SKIP_QUERIES", "0") == "1") 0
       else math.max(1, sys.env.getOrElse("SPARK_GRAFT_QUERY_REPS", "3").toInt)
+    val timedQueries = SparkEntry.queries.filter { case (n, _) =>
+      Bench.HeadlineQueries.contains(n) }
+    // no silent caps: name what the line does NOT time (Verify's full
+    // gate still runs every query)
+    System.err.println("[bench] untimed (sub-second report queries, " +
+      "covered by the Verify gate): " +
+      SparkEntry.queries.keys.filterNot(Bench.HeadlineQueries.contains)
+        .mkString(" "))
     val queryPasses = (0 until queryReps).map { rep =>
       val r = scala.collection.mutable.LinkedHashMap[String, Double]()
-      SparkEntry.queries.foreach { case (name, fn) =>
+      timedQueries.foreach { case (name, fn) =>
         r(name) = timed(s"$name (pass $rep)")(fn(spark, sfDir).count())
         resetCaches()
       }

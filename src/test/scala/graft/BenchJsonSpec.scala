@@ -38,20 +38,21 @@ class BenchJsonSpec extends AnyFunSuite {
     assert(line.contains("\"a\":1.5"))
   }
 
-  test("numbers are compact (4 sig figs) but keep sub-ms resolution") {
-    assert(Bench.jnum(25.337620562) == "25.34")
-    assert(Bench.jnum(0.579926638) == "0.5799")
-    assert(Bench.jnum(0.001683668) == "0.001684") // hot-cache entries stay visible
+  test("numbers are compact (3 sig figs, <=4 decimals) but keep sub-ms visibility") {
+    assert(Bench.jnum(25.337620562) == "25.3")
+    assert(Bench.jnum(0.579926638) == "0.58")
+    assert(Bench.jnum(0.001683668) == "0.0017") // hot-cache entries stay visible
+    assert(Bench.jnum(0.0005639) == "0.0006")
     assert(Bench.jnum(1.5) == "1.5")
     assert(Bench.jnum(-0.25) == "-0.25") // failure markers keep their sign
     assert(Bench.jnum(0.0) == "0")
   }
 
-  test("a full-size result line fits the driver's tail-capture window") {
-    // the REAL key set (every query entry + every engine entry): the
-    // round-6 line at full nanosecond precision overflowed the ~2.5 KB
-    // tail capture, truncating the line's start and making it
-    // unparseable. Guard the budget against the actual names.
+  test("a full-size result line fits the driver's 2000-char tail capture") {
+    // the REAL key set (headline queries + every engine entry) at the
+    // WORST-CASE value width ("0.0006"): the driver keeps exactly the
+    // last 2000 stdout chars — a longer line loses its START and the
+    // round's parsed timings with it (rounds 1-6's failure mode)
     val engineKeys = Seq(
       "engine_write_500k_refs", "engine_append_one_shard",
       "engine_commit_rebase", "engine_commit_small_x10",
@@ -66,11 +67,16 @@ class BenchJsonSpec extends AnyFunSuite {
       "engine_rechunk_1g", "engine_downsample_1g",
       "engine_cube_slice_rows", "engine_transpose_1g",
       "engine_repo_push", "engine_repo_push_incr", "engine_fsck")
+    // every headline name must actually exist in the query map (a
+    // renamed query would silently fall out of the bench line)
+    val missing = Bench.HeadlineQueries -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"headline names not in Queries.all: $missing")
+    val timedKeys = SparkEntry.queries.keys.toSeq
+      .filter(Bench.HeadlineQueries.contains)
     val results = scala.collection.mutable.LinkedHashMap(
-      (SparkEntry.queries.keys.toSeq ++ engineKeys)
-        .map(_ -> 123.456789012): _*)
+      (timedKeys ++ engineKeys).map(_ -> 0.00056395): _*)
     val line = Bench.jsonLine(results, Nil, "/root/testdata/sf0.1")
-    assert(line.length < 2500, s"bench JSON line too long: ${line.length}")
+    assert(line.length < 1950, s"bench JSON line too long: ${line.length}")
     // and it is parse-checkable: balanced object, last char is '}'
     assert(line.startsWith("{\"metric\":\"total\"") && line.endsWith("}"))
   }
