@@ -102,7 +102,13 @@ object Bench {
     val qs = results.map { case (k, v) => jstr(k) + ":" + jnum(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    val errJson = errors.map(jstr).mkString("[", ",", "]")
+    // a pile of error strings must not push the line past the 2000-char
+    // tail budget: keep the first two verbatim (negative per-entry times
+    // already flag WHICH entries failed), summarize the rest
+    val errCapped =
+      if (errors.size <= 2) errors
+      else errors.take(2) :+ s"+${errors.size - 2} more failures"
+    val errJson = errCapped.map(jstr).mkString("[", ",", "]")
     s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":$qs,"errors":$errJson,"sf":${jstr(sfDir)}}"""
   }
 

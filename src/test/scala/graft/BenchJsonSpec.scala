@@ -31,6 +31,14 @@ class BenchJsonSpec extends AnyFunSuite {
     assert(line.startsWith("{\"metric\":\"total\"") && line.endsWith("}"))
   }
 
+  test("a pile of failures caps the errors array, keeping the line short") {
+    val errs = (1 to 10).map(i => s"entry$i: Boom: detail $i")
+    val line = Bench.jsonLine(
+      scala.collection.mutable.LinkedHashMap("a" -> 1.0), errs, "/sf")
+    assert(line.contains("entry1") && line.contains("entry2"))
+    assert(!line.contains("entry3") && line.contains("+8 more failures"))
+  }
+
   test("a clean run emits an empty errors array") {
     val line = Bench.jsonLine(
       scala.collection.mutable.LinkedHashMap("a" -> 1.5), Nil, "/sf")
