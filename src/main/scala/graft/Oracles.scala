@@ -657,6 +657,21 @@ object Oracles {
         |  CAST(max(v) AS BIGINT) AS vmax
         |FROM cells GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // tensor map algebra: v = 2*(a*b) - 1 with b's chunks 10..19 absent
+    // (fill 0) — recomputed cell-by-cell from the closed forms
+    "q_tensor_binop" ->
+      """WITH cells AS (
+        |  SELECT range AS i,
+        |    2 * (((range * 3) % 1000 - 500) *
+        |         (CASE WHEN range // 1000 BETWEEN 10 AND 19 THEN 0
+        |               ELSE (range * 7) % 997 END)) - 1 AS v
+        |  FROM range(60000))
+        |SELECT i // 1000 AS blk, count(*) AS n,
+        |  CAST(sum(v) AS BIGINT) AS total,
+        |  CAST(min(v) AS BIGINT) AS vmin,
+        |  CAST(max(v) AS BIGINT) AS vmax
+        |FROM cells GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q_pii_scrub" ->
       """SELECT doc_id,
         |  regexp_replace(regexp_replace(regexp_replace(

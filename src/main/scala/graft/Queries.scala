@@ -1088,6 +1088,45 @@ object Queries {
         .orderBy("chunk_id"))
   }
 
+  /** REAL tensor map algebra end-to-end: two closed-form int64 arrays
+    * (b missing chunks 10..19 — the absent side reads as fill 0),
+    * `a * b` via [[graft.tensor.TensorPlane.combine]] (ref-relation
+    * full-outer join, payloads combined task-side, no cell shuffle),
+    * then the affine `2v - 1` via [[graft.tensor.TensorPlane.mapValues]]
+    * (pure per-chunk map, zero shuffle). Per-chunk rollups: a cell off
+    * by one anywhere changes a sum, and the 0-product blocks prove fill
+    * semantics. All plain arithmetic for the DuckDB oracle.
+    */
+  val q_tensor_binop: Q = (s, _) => {
+    val dir = java.nio.file.Files.createTempDirectory("graft-q-binop")
+    val repo = graft.repo.Repository.create(
+      graft.storage.Store.local(dir.toString), s)
+    val w = repo.writableSession("main")
+    w.addArray("/a", Seq(60000L), Seq(1000L))
+    for (c <- 0 until 60)
+      w.writeChunk("/a", Seq(c), graft.functions.ChunkCodec.encodeLongs(
+        Array.tabulate(1000) { i =>
+          val g = c * 1000L + i; (g * 3) % 1000 - 500 }, "int64"))
+    w.addArray("/b", Seq(60000L), Seq(1000L))
+    for (c <- 0 until 60 if c < 10 || c >= 20)
+      w.writeChunk("/b", Seq(c), graft.functions.ChunkCodec.encodeLongs(
+        Array.tabulate(1000) { i =>
+          val g = c * 1000L + i; (g * 7) % 997 }, "int64"))
+    w.commit("init")
+    val t = repo.writableSession("main")
+    graft.tensor.TensorPlane.combine(t, "/a", "/b", "/ab", "mul", "int64")
+    graft.tensor.TensorPlane.mapValues(t, "/ab", "/ab2", 2.0, -1.0,
+      "int64")
+    t.commit("algebra")
+    val ro = repo.readonlySession(graft.repo.VersionRef.Branch("main"))
+    finishFixture(dir,
+      graft.tensor.TensorPlane.values(ro, "/ab2", "int64")
+        .groupBy(expr("i0 div 1000").as("blk"))
+        .agg(count(lit(1)).as("n"), sum("value").as("total"),
+          min("value").as("vmin"), max("value").as("vmax"))
+        .orderBy("blk"))
+  }
+
   /** Fixture-backed queries build a throwaway repo per call: materialize
     * the (small) result with an eager localCheckpoint so the repo
     * directory can be deleted immediately instead of leaking per bench
@@ -1158,6 +1197,7 @@ object Queries {
     "q_rechunk" -> q_rechunk,
     "q_transpose" -> q_transpose,
     "q_concat" -> q_concat,
+    "q_tensor_binop" -> q_tensor_binop,
     "q_histogram" -> q_histogram,
     "q_value_diff" -> q_value_diff,
     "q_downsample" -> q_downsample,

@@ -224,6 +224,10 @@ final class Session private[repo] (
     repo.requireFlag(repo.Flags.MoveNode, "move_node")
     val f = NodePath.normalize(from); val t = NodePath.normalize(to)
     val n = node(f).getOrElse(throw new GraftException(s"no node at $f", GraftError.NodeNotFound))
+    // moving a group inside its own subtree would orphan the whole branch
+    // (reference #2102, session.rs:889): reject up front
+    if (t == f || t.startsWith(f + "/"))
+      throw new GraftException(s"cannot move $f inside itself ($t)", GraftError.Unsupported)
     if (node(t).isDefined) throw new GraftException(s"node exists at $t")
     node(NodePath.parent(t).getOrElse("/")) match {
       case Some(p) if p.isArray =>

@@ -678,6 +678,253 @@ object TensorPlane {
     session.stageChunkRefs(dstPath, refs)
   }
 
+  /** Elementwise algebra between two SAME-GRID arrays into a new array —
+    * the xarray `a + b` / map-algebra workflow as a distributed chunk job
+    * (the reference leaves tensor arithmetic to zarr readers; here it is
+    * an engine operator so derived layers version like any other commit).
+    *
+    * Scale shape: only the two REF relations join (tens of bytes per
+    * chunk, full-outer on the chunk coordinate); payload bytes are
+    * fetched, combined cell-by-cell, and re-uploaded on the task that
+    * owns the output chunk — a 100 TB `a - b` moves each payload byte
+    * once and shuffles only metadata. A chunk absent on one side reads
+    * as fill (0), matching zarr missing-chunk semantics; chunks absent
+    * on BOTH sides stay absent (sparse stays sparse). Refs land through
+    * the same replayable staging-Parquet contract as [[rechunk]] /
+    * [[transpose]] (rebase retries replay staged rows; the copy job runs
+    * once).
+    *
+    * `op`: add | sub | mul | div | min | max. Integer dtypes compute in
+    * long arithmetic except `div`, which always lands float64 (integer
+    * ratios are fractional). `sessionB` (default: same session) lets the
+    * two sides come from different versions or repositories — e.g.
+    * current-branch minus a tagged snapshot.
+    */
+  def combine(session: Session, pathA: String, pathB: String,
+              dstPath: String, op: String, dtype: String,
+              sessionB: Session = null, dstDtype: String = null,
+              compression: String = "raw"): Unit = {
+    val sB = Option(sessionB).getOrElse(session)
+    val nA = session.node(pathA).filter(_.isArray).getOrElse(
+      throw new GraftException(s"no array at $pathA"))
+    val nB = sB.node(pathB).filter(_.isArray).getOrElse(
+      throw new GraftException(s"no array at $pathB (B side)"))
+    if (nA.isRectilinear || nB.isRectilinear)
+      throw new GraftException("combine requires regular chunk grids",
+        graft.repo.GraftError.InvalidConfig)
+    if (nA.shape != nB.shape || nA.chunkShape != nB.chunkShape)
+      throw new GraftException(
+        s"combine requires identical shape and chunk grid: " +
+          s"${nA.shape.mkString("x")}/${nA.chunkShape.mkString("x")} vs " +
+          s"${nB.shape.mkString("x")}/${nB.chunkShape.mkString("x")}",
+        graft.repo.GraftError.InvalidConfig)
+    val ops = Set("add", "sub", "mul", "div", "min", "max")
+    if (!ops.contains(op))
+      throw new GraftException(s"unknown combine op '$op' " +
+        s"(expected one of ${ops.toSeq.sorted.mkString(", ")})",
+        graft.repo.GraftError.InvalidConfig)
+    val outDtype = Option(dstDtype).getOrElse(
+      if (op == "div") "float64" else dtype)
+    val intMath =
+      ChunkCodec.IntDtypes.contains(dtype) &&
+        ChunkCodec.IntDtypes.contains(outDtype) && op != "div"
+    if (!intMath && ChunkCodec.IntDtypes.contains(outDtype))
+      throw new GraftException(
+        s"combine: fractional results cannot land in $outDtype",
+        graft.repo.GraftError.InvalidConfig)
+    session.addArray(dstPath, nA.shape, nA.chunkShape, nA.dimNames,
+      userData = s"""{"dtype":"$outDtype"}""")
+    val spark = session.repo.spark
+    import spark.implicits._
+    val confA = session.repo.store.conf
+    val confB = sB.repo.store.conf
+    val resolverA = session.repo.virtualResolver
+    val resolverB = sB.repo.virtualResolver
+    val cells = nA.chunkShape.product.toInt
+    def side(s: Session, path: String, tag: String) =
+      s.refs(path).select(col("coord"),
+        struct(col("kind"), col("inline"), col("chunk_id"),
+          col("location"), col("offset"), col("length")).as(tag))
+    def flat(tag: String) = Seq(
+      coalesce(col(s"$tag.kind"), lit("")).as(s"${tag}_kind"),
+      col(s"$tag.inline").as(s"${tag}_inline"),
+      coalesce(col(s"$tag.chunk_id"), lit("")).as(s"${tag}_id"),
+      coalesce(col(s"$tag.location"), lit("")).as(s"${tag}_loc"),
+      coalesce(col(s"$tag.offset"), lit(0L)).as(s"${tag}_off"),
+      coalesce(col(s"$tag.length"), lit(0L)).as(s"${tag}_len"))
+    val rows = side(session, pathA, "a")
+      .join(side(sB, pathB, "b"), Seq("coord"), "full_outer")
+      .repartition(spark.sparkContext.defaultParallelism * 2, col("coord"))
+      .select(col("coord") +: (flat("a") ++ flat("b")): _*)
+      .as[(Seq[Int], String, Array[Byte], String, String, Long, Long,
+           String, Array[Byte], String, String, Long, Long)]
+    val refsDf = rows.mapPartitions { it =>
+      val store = graft.storage.StoreConf.cached(confA)
+      // decode one side into a full-chunk-shape buffer; absent → fill 0
+      def longsOf(kind: String, inline: Array[Byte], id: String,
+                  loc: String, off: Long, len: Long,
+                  conf: graft.storage.StoreConf,
+                  res: graft.virt.VirtualChunkResolver): Array[Long] =
+        if (kind.isEmpty) new Array[Long](cells)
+        else {
+          val v = ChunkCodec.decodeLongs(ChunkCodec.decompress(
+            fetchRef(conf, res, kind, inline, id, loc, off, len,
+              cacheable = false), compression), dtype)
+          if (v.length >= cells) v else java.util.Arrays.copyOf(v, cells)
+        }
+      def doublesOf(kind: String, inline: Array[Byte], id: String,
+                    loc: String, off: Long, len: Long,
+                    conf: graft.storage.StoreConf,
+                    res: graft.virt.VirtualChunkResolver): Array[Double] =
+        if (kind.isEmpty) new Array[Double](cells)
+        else {
+          val raw = ChunkCodec.decompress(
+            fetchRef(conf, res, kind, inline, id, loc, off, len,
+              cacheable = false), compression)
+          val v =
+            if (ChunkCodec.IntDtypes.contains(dtype))
+              ChunkCodec.decodeLongs(raw, dtype).map(_.toDouble)
+            else ChunkCodec.decodeDoubles(raw, dtype)
+          if (v.length >= cells) v else java.util.Arrays.copyOf(v, cells)
+        }
+      it.map { case (coord, ak, ai, aid, aloc, aoff, alen,
+                     bk, bi, bid, bloc, boff, blen) =>
+        val bytes =
+          if (intMath) {
+            val a = longsOf(ak, ai, aid, aloc, aoff, alen, confA, resolverA)
+            val b = longsOf(bk, bi, bid, bloc, boff, blen, confB, resolverB)
+            val out = new Array[Long](cells)
+            var i = 0
+            while (i < cells) {
+              out(i) = op match {
+                case "add" => a(i) + b(i)
+                case "sub" => a(i) - b(i)
+                case "mul" => a(i) * b(i)
+                case "min" => math.min(a(i), b(i))
+                case "max" => math.max(a(i), b(i))
+              }
+              i += 1
+            }
+            ChunkCodec.compress(ChunkCodec.encodeLongs(out, outDtype),
+              compression)
+          } else {
+            val a = doublesOf(ak, ai, aid, aloc, aoff, alen, confA,
+              resolverA)
+            val b = doublesOf(bk, bi, bid, bloc, boff, blen, confB,
+              resolverB)
+            val out = new Array[Double](cells)
+            var i = 0
+            while (i < cells) {
+              out(i) = op match {
+                case "add" => a(i) + b(i)
+                case "sub" => a(i) - b(i)
+                case "mul" => a(i) * b(i)
+                case "div" => a(i) / b(i)
+                case "min" => math.min(a(i), b(i))
+                case "max" => math.max(a(i), b(i))
+              }
+              i += 1
+            }
+            ChunkCodec.compress(ChunkCodec.encodeDoubles(out, outDtype),
+              compression)
+          }
+        val id = graft.core.Ids.toBase32(graft.core.Ids.newObjectId())
+        store.putBytes(graft.meta.Layout.chunkKey(id), bytes)
+        (coord, id, bytes.length.toLong)
+      }
+    }.toDF("coord", "chunk_id", "length")
+    val stagingKey = graft.meta.Layout.stagingPrefix(
+      graft.core.Ids.toBase32(graft.core.Ids.newObjectId()))
+    refsDf.write.parquet(session.repo.store.uri(stagingKey))
+    val refs = spark.read.parquet(session.repo.store.uri(stagingKey))
+      .withColumn("kind", lit(ChunkRef.KindRef))
+      .withColumn("offset", lit(0L))
+    session.trackStaging(stagingKey)
+    session.stageChunkRefs(dstPath, refs)
+  }
+
+  /** Affine transform of one array into a new array:
+    * `value' = value * scale + offset`, cast to `dstDtype` — unit
+    * conversion / normalization as a pure per-chunk map (NO shuffle at
+    * all: the job maps the ref relation; each payload byte moves once).
+    * The identity transform onto the same dtype stages the source refs
+    * verbatim — a zero-copy alias, like [[transpose]]'s identity perm.
+    * Absent chunks stay absent (fill cells transform on read, not here).
+    */
+  def mapValues(session: Session, srcPath: String, dstPath: String,
+                scale: Double, offset: Double, dtype: String,
+                dstDtype: String = null,
+                compression: String = "raw"): Unit = {
+    val node = session.node(srcPath).filter(_.isArray).getOrElse(
+      throw new GraftException(s"no array at $srcPath"))
+    if (node.isRectilinear)
+      throw new GraftException("mapValues requires a regular chunk grid",
+        graft.repo.GraftError.InvalidConfig)
+    val outDtype = Option(dstDtype).getOrElse(
+      if (ChunkCodec.IntDtypes.contains(dtype) &&
+          scale == math.rint(scale) && offset == math.rint(offset)) dtype
+      else "float64")
+    session.addArray(dstPath, node.shape, node.chunkShape, node.dimNames,
+      userData = s"""{"dtype":"$outDtype"}""")
+    if (scale == 1.0 && offset == 0.0 && outDtype == dtype) {
+      session.stageChunkRefs(dstPath, session.refs(srcPath))
+      return
+    }
+    val spark = session.repo.spark
+    import spark.implicits._
+    val conf = session.repo.store.conf
+    val resolver = session.repo.virtualResolver
+    val intMath = ChunkCodec.IntDtypes.contains(dtype) &&
+      ChunkCodec.IntDtypes.contains(outDtype) &&
+      scale == math.rint(scale) && offset == math.rint(offset)
+    if (!intMath && ChunkCodec.IntDtypes.contains(outDtype))
+      throw new GraftException(
+        s"mapValues: fractional results cannot land in $outDtype",
+        graft.repo.GraftError.InvalidConfig)
+    val rows = session.refs(srcPath)
+      .repartition(spark.sparkContext.defaultParallelism * 2, col("coord"))
+      .select(col("coord"), col("kind"), col("inline"), col("chunk_id"),
+        col("location"), col("offset"), col("length"))
+      .as[(Seq[Int], String, Array[Byte], String, String, Long, Long)]
+    val refsDf = rows.mapPartitions { it =>
+      val store = graft.storage.StoreConf.cached(conf)
+      it.map { case (coord, kind, inline, chunkId, location, off, len) =>
+        val raw = ChunkCodec.decompress(
+          fetchRef(conf, resolver, kind, inline, chunkId, location, off,
+            len, cacheable = false), compression)
+        val bytes =
+          if (intMath) {
+            val v = ChunkCodec.decodeLongs(raw, dtype)
+            val s = scale.toLong; val o = offset.toLong
+            var i = 0
+            while (i < v.length) { v(i) = v(i) * s + o; i += 1 }
+            ChunkCodec.compress(ChunkCodec.encodeLongs(v, outDtype),
+              compression)
+          } else {
+            val v =
+              if (ChunkCodec.IntDtypes.contains(dtype))
+                ChunkCodec.decodeLongs(raw, dtype).map(_.toDouble)
+              else ChunkCodec.decodeDoubles(raw, dtype)
+            var i = 0
+            while (i < v.length) { v(i) = v(i) * scale + offset; i += 1 }
+            ChunkCodec.compress(ChunkCodec.encodeDoubles(v, outDtype),
+              compression)
+          }
+        val id = graft.core.Ids.toBase32(graft.core.Ids.newObjectId())
+        store.putBytes(graft.meta.Layout.chunkKey(id), bytes)
+        (coord, id, bytes.length.toLong)
+      }
+    }.toDF("coord", "chunk_id", "length")
+    val stagingKey = graft.meta.Layout.stagingPrefix(
+      graft.core.Ids.toBase32(graft.core.Ids.newObjectId()))
+    refsDf.write.parquet(session.repo.store.uri(stagingKey))
+    val refs = spark.read.parquet(session.repo.store.uri(stagingKey))
+      .withColumn("kind", lit(ChunkRef.KindRef))
+      .withColumn("offset", lit(0L))
+    session.trackStaging(stagingKey)
+    session.stageChunkRefs(dstPath, refs)
+  }
+
   /** ZERO-COPY concatenation of arrays along one axis into a new array —
     * the xarray `concat` / virtual-dataset workflow, done the way a
     * content-addressed store should: no payload moves at all. Every

@@ -178,6 +178,10 @@ class RepositorySpec extends SparkTestBase {
 
     // move the group; array path follows
     val s2 = repo.writableSession("main")
+    // moving a group inside its own subtree is rejected up front (#2102)
+    val selfMove = intercept[GraftException](s2.moveNode("/g1", "/g1/sub"))
+    assert(selfMove.kind == GraftError.Unsupported)
+    intercept[GraftException](s2.moveNode("/g1", "/g1"))
     s2.moveNode("/g1", "/g2")
     s2.commit("move")
     val ro = repo.readonlySession(VersionRef.Branch("main"))

@@ -237,4 +237,129 @@ class TensorPlaneSpec extends SparkTestBase {
     assert(TensorPlane.approxQuantiles(ro2, "/const", "int64",
       Seq(0.0, 0.5, 1.0)) == Seq(7.0, 7.0, 7.0))
   }
+
+  test("combine: 2-D ragged max, fill for one-sided chunks, sparse stays sparse") {
+    val repo = Repository.create(Store.local(tmpDir("repo")), spark)
+    val s = repo.writableSession("main")
+    // 5x7 arrays on 2x3 chunks: ragged edges on both dims
+    s.addArray("/x", Seq(5, 7), Seq(2, 3))
+    s.addArray("/y", Seq(5, 7), Seq(2, 3))
+    def block(f: (Int, Int) => Long)(ci: Int, cj: Int): Array[Byte] =
+      ChunkCodec.encodeLongs(Array.tabulate(6) { k =>
+        f(ci * 2 + k / 3, cj * 3 + k % 3) }, "int64")
+    for (ci <- 0 until 3; cj <- 0 until 3)
+      s.writeChunk("/x", Seq(ci, cj), block((i, j) => i * 10L + j)(ci, cj))
+    // y: leave chunk (0,0) absent -> fill 0 on that block
+    for (ci <- 0 until 3; cj <- 0 until 3 if !(ci == 0 && cj == 0))
+      s.writeChunk("/y", Seq(ci, cj), block((i, j) => 50L - i * j)(ci, cj))
+    s.commit("init")
+    val t = repo.writableSession("main")
+    TensorPlane.combine(t, "/x", "/y", "/z", "max", "int64")
+    t.commit("max")
+    val ro = repo.readonlySession(VersionRef.Branch("main"))
+    val got = TensorPlane.values(ro, "/z", "int64")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2)))
+      .toMap
+    assert(got.size == 35)
+    for (i <- 0 until 5; j <- 0 until 7) {
+      val y = if (i < 2 && j < 3) 0L else 50L - i * j
+      assert(got((i.toLong, j.toLong)) == math.max(i * 10L + j, y),
+        s"cell ($i,$j)")
+    }
+
+    // sparse stays sparse: both sides absent everywhere but one chunk
+    val s2 = repo.writableSession("main")
+    s2.addArray("/sx", Seq(100), Seq(10))
+    s2.addArray("/sy", Seq(100), Seq(10))
+    s2.writeChunk("/sx", Seq(3),
+      ChunkCodec.encodeLongs(Array.fill(10)(5L), "int64"))
+    s2.commit("sparse init")
+    val t2 = repo.writableSession("main")
+    TensorPlane.combine(t2, "/sx", "/sy", "/sz", "add", "int64")
+    t2.commit("sparse add")
+    val ro2 = repo.readonlySession(VersionRef.Branch("main"))
+    assert(ro2.refs("/sz").count() == 1)
+
+    // grid-mismatch and unknown op are refused before any job runs
+    val t3 = repo.writableSession("main")
+    t3.addArray("/w", Seq(5, 7), Seq(2, 2))
+    val e1 = intercept[GraftException](
+      TensorPlane.combine(t3, "/x", "/w", "/bad", "add", "int64"))
+    assert(e1.kind == GraftError.InvalidConfig)
+    val e2 = intercept[GraftException](
+      TensorPlane.combine(t3, "/x", "/y", "/bad", "xor", "int64"))
+    assert(e2.kind == GraftError.InvalidConfig)
+    val e3 = intercept[GraftException](
+      TensorPlane.combine(t3, "/x", "/y", "/bad", "div", "int64",
+        dstDtype = "int64"))
+    assert(e3.kind == GraftError.InvalidConfig)
+  }
+
+  test("combine across versions: current minus tagged snapshot; int div lands float64") {
+    val repo = Repository.create(Store.local(tmpDir("repo")), spark)
+    val s = repo.writableSession("main")
+    s.addArray("/a", Seq(40), Seq(10))
+    for (c <- 0 until 4) s.writeChunk("/a", Seq(c),
+      ChunkCodec.encodeLongs(Array.tabulate(10)(i =>
+        (c * 10 + i).toLong), "int64"))
+    val v1 = s.commit("v1")
+    repo.createTag("base", v1)
+    val s2 = repo.writableSession("main")
+    for (c <- 2 until 4) s2.writeChunk("/a", Seq(c),
+      ChunkCodec.encodeLongs(Array.tabulate(10)(i =>
+        (c * 10 + i) * 3L), "int64"))
+    s2.commit("v2")
+    // delta = current - base, B side read from the TAG
+    val t = repo.writableSession("main")
+    val base = repo.readonlySession(VersionRef.Tag("base"))
+    TensorPlane.combine(t, "/a", "/a", "/delta", "sub", "int64",
+      sessionB = base)
+    t.commit("delta")
+    val ro = repo.readonlySession(VersionRef.Branch("main"))
+    val d = TensorPlane.values(ro, "/delta", "int64")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    for (g <- 0 until 40)
+      assert(d(g.toLong) == (if (g >= 20) 2L * g else 0L), s"cell $g")
+
+    // integer division defaults to a float64 destination
+    val t2 = repo.writableSession("main")
+    TensorPlane.combine(t2, "/a", "/a", "/ratio", "div", "int64",
+      sessionB = base)
+    t2.commit("ratio")
+    val ro2 = repo.readonlySession(VersionRef.Branch("main"))
+    val r0 = TensorPlane.values(ro2, "/ratio", "float64")
+      .filter(col("i0") === 25).collect()(0).getDouble(1)
+    assert(math.abs(r0 - 3.0) < 1e-12)
+  }
+
+  test("mapValues: affine per-chunk map; identity is a zero-copy alias") {
+    val repo = Repository.create(Store.local(tmpDir("repo")), spark)
+    val s = repo.writableSession("main")
+    s.addArray("/k", Seq(30), Seq(10))
+    for (c <- 0 until 3) s.writeChunk("/k", Seq(c),
+      ChunkCodec.encodeLongs(Array.tabulate(10)(i =>
+        (c * 10 + i).toLong), "int64"))
+    s.commit("init")
+    val t = repo.writableSession("main")
+    // celsius -> fahrenheit-ish float transform
+    TensorPlane.mapValues(t, "/k", "/f", 1.8, 32.0, "int64")
+    // integral affine keeps the int dtype
+    TensorPlane.mapValues(t, "/k", "/k2", 2.0, 1.0, "int64")
+    // identity -> refs staged verbatim (zero-copy alias)
+    TensorPlane.mapValues(t, "/k", "/alias", 1.0, 0.0, "int64")
+    t.commit("maps")
+    val ro = repo.readonlySession(VersionRef.Branch("main"))
+    val f = TensorPlane.values(ro, "/f", "float64")
+      .filter(col("i0") === 25).collect()(0).getDouble(1)
+    assert(math.abs(f - (25 * 1.8 + 32.0)) < 1e-12)
+    val k2 = TensorPlane.values(ro, "/k2", "int64")
+      .filter(col("i0") === 7).collect()(0).getLong(1)
+    assert(k2 == 15L)
+    // alias shares the source's chunk objects
+    val srcIds = ro.refs("/k").select("chunk_id").collect()
+      .map(_.getString(0)).toSet
+    val aliasIds = ro.refs("/alias").select("chunk_id").collect()
+      .map(_.getString(0)).toSet
+    assert(aliasIds == srcIds)
+  }
 }
