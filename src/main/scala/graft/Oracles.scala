@@ -716,6 +716,24 @@ object Oracles {
         |  round(-sum(lp) / count(*), 4) AS nll
         |FROM sc GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // recomputes every hashed feature index (first 4 md5 hex chars mod
+    // 64), the closed-form weight (d % 21 - 10)/1000, and the sigmoid —
+    // identical arithmetic to Classifier.score (raw tf), round(.,4)
+    "q_classifier_score" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(lower(text), '\s+'),
+        |      x -> len(x) > 0)) AS token
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id,
+        |    (((('0x' || substr(md5(token), 1, 4))::INT % 64) % 21 - 10)
+        |      / 1000.0) AS w
+        |  FROM tok)
+        |SELECT doc_id,
+        |  round(1.0 / (1.0 + exp(-(-0.05 + sum(w)))), 4) AS score
+        |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     "q_word_freq" ->
       """WITH tok AS (
         |  SELECT doc_id,

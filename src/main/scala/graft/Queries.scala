@@ -3,8 +3,8 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import graft.pipeline.{Decontaminate, Dedup, Multimodal, Packing,
-  Sampling, Similarity, TextAnalysis}
+import graft.pipeline.{Classifier, Decontaminate, Dedup, Multimodal,
+  Packing, Sampling, Similarity, TextAnalysis}
 
 /** The declared operator surface (SURVEY.md §2) exercised as relational
   * queries over the driver-provided parquet tables, each mirrored by an
@@ -722,6 +722,46 @@ object Queries {
   val q_lm_score: Q = (s, d) =>
     TextAnalysis.charTrigramScore(t(s, d, "documents")).orderBy("doc_id")
 
+  /** Hashed-feature logistic scoring with a CLOSED-FORM weight table
+    * (w[d] = (d % 21 − 10)/1000, bias −0.05, dim 64): exercises the real
+    * scoring plan — explode → broadcast weight join → one aggregation —
+    * while DuckDB recomputes every md5 feature index, weight, and
+    * sigmoid bit-for-bit (4-dp rounded, like q_bm25).
+    */
+  val q_classifier_score: Q = (s, d) => {
+    val w = Array.tabulate(64)(i => (i % 21 - 10) / 1000.0)
+    Classifier.score(t(s, d, "documents"), "doc_id", "text",
+        Classifier.LogRegModel(w, -0.05))
+      .select(col("doc_id"), round(col("score"), 4).as("score"))
+      .orderBy("doc_id")
+  }
+
+  /** REAL trained classifier end-to-end (rows-only: the oracle cannot
+    * run gradient descent): learn a topical label from the corpus
+    * itself — "does the document mention spark or stream?" — score
+    * every document with the learned weights, and report per-source
+    * rollups incl. agreement with the true label. The fixture's lang
+    * column is text-independent (verified: a model trained on it
+    * converges to the base rate), so the topical label is what makes
+    * this an honest learning demo. Deterministic full-batch GD.
+    */
+  val q_classifier_train: Q = (s, d) => {
+    val docs = t(s, d, "documents")
+    val labeled = docs.withColumn("label",
+      col("text").rlike("\\bspark\\b").cast("int"))
+    val model = Classifier.train(labeled, "text", "label", dim = 256,
+      iters = 100, lr = 1.0)
+    Classifier.score(docs, "doc_id", "text", model)
+      .join(labeled.select("doc_id", "source", "label"), Seq("doc_id"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n"),
+        sum("label").as("n_true"),
+        sum((col("score") > 0.5).cast("long")).as("n_pred"),
+        sum(((col("score") > 0.5) === (col("label") === 1))
+          .cast("long")).as("n_agree"))
+      .orderBy("source")
+  }
+
   /** Corpus word-frequency table (vocabulary/Zipf audit): top 100 tokens
     * by occurrence count with document frequencies.
     */
@@ -1204,6 +1244,8 @@ object Queries {
     "q_pii_scrub" -> q_pii_scrub,
     "q_repetition" -> q_repetition,
     "q_lm_score" -> q_lm_score,
+    "q_classifier_score" -> q_classifier_score,
+    "q_classifier_train" -> q_classifier_train,
     "q_word_freq" -> q_word_freq,
     "q_bm25" -> q_bm25,
     "q_substring_spans" -> q_substring_spans,

@@ -667,4 +667,58 @@ class PipelineSpec extends SparkTestBase {
       .orderBy("doc_id").collect().map(_.toString).toSeq
     assert(raw == hashed && raw.nonEmpty)
   }
+
+  test("classifier: hashed feature index agrees between SQL and task-side") {
+    import graft.pipeline.Classifier
+    import spark.implicits._
+    val toks = Seq("spark", "window", "a", "schnell", "rapide", "x1", "")
+      .filter(_.nonEmpty)
+    val viaSql = toks.toDF("t")
+      .select(col("t"), Classifier.featureIndex(col("t"), 64).as("f"))
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    toks.foreach { t =>
+      assert(viaSql(t) == Classifier.featureIndexLocal(t, 64), t)
+    }
+  }
+
+  test("classifier: learns a separable corpus, deterministic, scorer matches model") {
+    import graft.pipeline.Classifier
+    import spark.implicits._
+    val goodVocab = Vector("clear", "concise", "sourced", "coherent",
+      "structured", "readable")
+    val badVocab = Vector("spam", "click", "winner", "casino", "xxx",
+      "buy")
+    // deterministic synthetic corpus: doc i samples its vocab by index
+    val docs = (0 until 400).map { i =>
+      val vocab = if (i % 2 == 0) goodVocab else badVocab
+      val words = (0 until 12).map(j => vocab((i * 7 + j * 3) % vocab.size))
+      (i.toLong, words.mkString(" "), if (i % 2 == 0) 1 else 0)
+    }.toDF("doc_id", "text", "label")
+    val train = docs.filter(col("doc_id") < 300)
+    val holdout = docs.filter(col("doc_id") >= 300)
+    val m1 = Classifier.train(train, "text", "label", dim = 256,
+      iters = 60, lr = 0.5)
+    val m2 = Classifier.train(train, "text", "label", dim = 256,
+      iters = 60, lr = 0.5)
+    // full-batch GD is deterministic up to float combine order
+    m1.weights.zip(m2.weights).foreach { case (a, b) =>
+      assert(math.abs(a - b) < 1e-9)
+    }
+    // holdout accuracy on a separable vocabulary should be near-perfect
+    val scored = Classifier.score(holdout, "doc_id", "text", m1)
+      .join(holdout.select("doc_id", "label"), Seq("doc_id"))
+    val acc = scored.select(
+      avg(((col("score") > 0.5) === (col("label") === 1)).cast("double")))
+      .head().getDouble(0)
+    assert(acc >= 0.95, s"holdout accuracy $acc")
+    // distributed scorer == driver-side model arithmetic
+    val row = holdout.filter(col("doc_id") === 301)
+      .select("text").head().getString(0)
+    val local = m1.predictLocal(row.toLowerCase.split("\\s+").toSeq
+      .filter(_.nonEmpty))
+    val dist = Classifier.score(
+      holdout.filter(col("doc_id") === 301), "doc_id", "text", m1)
+      .head().getDouble(1)
+    assert(math.abs(local - dist) < 1e-9, s"$local vs $dist")
+  }
 }
