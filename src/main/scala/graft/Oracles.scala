@@ -449,6 +449,27 @@ object Oracles {
         |  count(*) OVER (PARTITION BY cluster_id) AS n_members
         |FROM lbl ORDER BY vec_id""".stripMargin,
 
+    // SemDeDup exact mode: same recursive-CTE components as
+    // q_embedding_clusters; keep rule = representative (min id) survives
+    "q_semantic_keep" ->
+      """WITH RECURSIVE pairs AS (
+        |  SELECT a.vec_id AS u, b.vec_id AS v FROM embeddings a
+        |  JOIN embeddings b ON a.vec_id <> b.vec_id AND
+        |    list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+        |      (sqrt(list_dot_product(a.embedding::DOUBLE[],
+        |         a.embedding::DOUBLE[])) *
+        |       sqrt(list_dot_product(b.embedding::DOUBLE[],
+        |         b.embedding::DOUBLE[]))) >= 0.35),
+        |reach(id, label) AS (
+        |  SELECT vec_id, vec_id FROM embeddings
+        |  UNION
+        |  SELECT p.u, r.label FROM reach r JOIN pairs p ON p.v = r.id),
+        |lbl AS (
+        |  SELECT id AS vec_id, min(label) AS group_id
+        |  FROM reach GROUP BY id)
+        |SELECT vec_id, group_id, vec_id = group_id AS keep
+        |FROM lbl ORDER BY vec_id""".stripMargin,
+
     "q_similarity_topk" ->
       """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
         |SELECT e.vec_id,

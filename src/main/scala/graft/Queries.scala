@@ -490,6 +490,17 @@ object Queries {
       .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
       .orderBy("id_a", "id_b")
 
+  /** SemDeDup keep/drop decision (exact mode): one survivor per
+    * connected component of ≥0.35-cosine pairs, everything else marked
+    * for dropping. The DuckDB oracle recomputes components with a
+    * recursive CTE and the keep rule as `vec_id = group_id`. The
+    * k-means-partitioned scale mode is spec-covered (PipelineSpec:
+    * exact keeps ⊆ partitioned keeps, high agreement).
+    */
+  val q_semantic_keep: Q = (s, d) =>
+    Dedup.semanticDedup(t(s, d, "embeddings"), threshold = 0.35)
+      .orderBy("vec_id")
+
   /** Embedding near-dup CLUSTERS: exact block-matrix cosine pairs at the
     * threshold collapsed into connected components (large-star/small-star
     * — the same O(log n)-round solver as the n-gram cluster path), so
@@ -1224,6 +1235,7 @@ object Queries {
     "q_dedup_simhash" -> q_dedup_simhash,
     "q_embedding_neardups" -> q_embedding_neardups,
     "q_embedding_clusters" -> q_embedding_clusters,
+    "q_semantic_keep" -> q_semantic_keep,
     "q_embedding_centroids" -> q_embedding_centroids,
     "q_similarity_topk" -> q_similarity_topk,
     "q_similarity_ann" -> q_similarity_ann,

@@ -433,4 +433,73 @@ object Dedup {
       .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
         col("p.cos").as("cos"))
   }
+
+  /** '''SemDeDup''' (Abbas et al. 2023): semantic deduplication of an
+    * embedded corpus — drop all but one member of every group of
+    * semantically near-identical documents. Returns one row per vector:
+    * `(id, group_id, keep)` with `group_id` = min id of the connected
+    * component of ≥-threshold cosine pairs, `keep` = (id == group_id).
+    *
+    * Two modes:
+    *  - `numCentroids <= 1` — exact: global block-matrix cosine pairs
+    *    ([[embeddingNearDups]]). Ω(n²) FLOPs; the ORACLE mode.
+    *  - `numCentroids > 1` — the paper's scale shape: a k-means coarse
+    *    quantizer (fit on a bounded sample, one codegen'd assignment
+    *    pass — [[Similarity.ivfIndex]] machinery) partitions the corpus,
+    *    and pairs are searched only WITHIN each centroid's cell. FLOPs
+    *    drop to Σ|cell|² ≈ n²/k; cross-cell near-dups are missed by
+    *    construction (the paper's documented recall trade). Within each
+    *    cell the pair search is still the block-matrix kernel, keyed on
+    *    `(centroid, block)`, so a giant cell never becomes one task:
+    *    the per-cell block-pair relation is `k·m²` broadcast rows.
+    *
+    * Both modes end with the same O(log n) connected-components solve,
+    * so chains A~B~C collapse to one survivor either way.
+    */
+  def semanticDedup(embeddings: DataFrame, threshold: Double,
+                    vecCol: String = "embedding", idCol: String = "vec_id",
+                    numCentroids: Int = 0, numBlocks: Int = 8,
+                    seed: Long = 42L): DataFrame = {
+    val pairs =
+      if (numCentroids <= 1)
+        embeddingNearDups(embeddings, threshold, vecCol, idCol)
+          .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+      else {
+        val (indexed, centers) = Similarity.ivfIndex(embeddings,
+          nlist = numCentroids, seed = seed, vecCol = vecCol)
+        val staged = indexed.select(col(idCol).cast("long").as("id"),
+            col(vecCol).cast("array<double>").as("v"), col("list_id"))
+          .withColumn("blk",
+            pmod(xxhash64(col("id")), lit(numBlocks)).cast("int"))
+        val blocks = staged.groupBy("list_id", "blk")
+          .agg(collect_list(struct(col("id"), col("v"))).as("vecs"))
+        val a = blocks.select(col("list_id"), col("blk").as("blk_a"),
+          col("vecs").as("vecs_a"))
+        val b = blocks.select(col("list_id"), col("blk").as("blk_b"),
+          col("vecs").as("vecs_b"))
+        val spark = embeddings.sparkSession
+        import scala.jdk.CollectionConverters._
+        val pairDf = spark.createDataFrame(
+          (for { i <- 0 until numBlocks; j <- i until numBlocks }
+            yield org.apache.spark.sql.Row(i, j)).asJava,
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("blk_a",
+              org.apache.spark.sql.types.IntegerType),
+            org.apache.spark.sql.types.StructField("blk_b",
+              org.apache.spark.sql.types.IntegerType))))
+        broadcast(pairDf).join(a, Seq("blk_a"))
+          .join(b, Seq("list_id", "blk_b"))
+          .select(explode(graft.functions.VectorFunctions.cosine_pairs(
+            col("vecs_a"), col("vecs_b"), col("blk_a") === col("blk_b"),
+            threshold)).as("p"))
+          .select(col("p.id_a").as("doc_a"), col("p.id_b").as("doc_b"))
+      }
+    val labels = ConnectedComponents.run(pairs)
+      .withColumnRenamed("id", idCol)
+    embeddings.select(col(idCol))
+      .join(labels, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("cluster_id"), col(idCol)).as("group_id"))
+      .withColumn("keep", col(idCol) === col("group_id"))
+  }
 }

@@ -668,6 +668,37 @@ class PipelineSpec extends SparkTestBase {
     assert(raw == hashed && raw.nonEmpty)
   }
 
+  test("semantic dedup: partitioned mode keeps a superset of exact keeps, high agreement") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    // SemDeDup's operating regime is near-identical pairs (high
+    // threshold, sparse graph): 0.45 gives 14 exact pairs on the
+    // fixture. At 0.35 the graph is dense (271 pairs, giant
+    // components) and cell-partitioning legitimately splits them —
+    // the paper's documented recall trade, not a bug.
+    val exact = Dedup.semanticDedup(emb, threshold = 0.45)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    Dedup.releaseCaches()
+    val part = Dedup.semanticDedup(emb, threshold = 0.45,
+        numCentroids = 8)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    Dedup.releaseCaches()
+    assert(exact.size == 500 && part.size == 500)
+    assert(exact.values.count(!_) > 0, "fixture should drop something")
+    // within-cell pairs ⊆ all pairs: every exact survivor must survive
+    // the partitioned mode too (it can only keep MORE)
+    exact.foreach { case (id, k) =>
+      if (k) assert(part(id), s"exact keep $id dropped by partitioned mode")
+    }
+    val agree = exact.keys.count(id => exact(id) == part(id))
+    assert(agree >= 490, s"agreement $agree/500")
+    // deterministic
+    val part2 = Dedup.semanticDedup(emb, threshold = 0.45,
+        numCentroids = 8)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    Dedup.releaseCaches()
+    assert(part == part2)
+  }
+
   test("classifier: hashed feature index agrees between SQL and task-side") {
     import graft.pipeline.Classifier
     import spark.implicits._
