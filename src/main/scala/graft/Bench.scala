@@ -507,6 +507,23 @@ object Bench {
         assert(ro.refs("/cube_t").count() == ro.refs("/cube").count(),
           "transpose chunk count")
       }
+      // elementwise algebra over the 1 GiB cube (a + a): ref relations
+      // join, each output chunk decodes both sides and re-uploads on its
+      // task — payload bytes never cross an exchange
+      entry("engine_tensor_combine_1g") {
+        val s = repo.writableSession("main")
+        graft.tensor.TensorPlane.combine(s, "/cube", "/cube", "/cube_2x",
+          "add", "int64")
+        s.commit("cube + cube")
+      }
+      // verify outside the timer
+      locally {
+        val ro = repo.readonlySession(VersionRef.Branch("main"))
+        val st = graft.tensor.TensorPlane.sliceStats(ro, "/cube_2x",
+          "int64", Seq((0L, 4L), (0L, cube.toLong), (0L, cube.toLong)))
+          .head()
+        assert(st.getAs[Long]("n") == 4L * cube * cube)
+      }
       // closure-aware branch replication into a second store ("push a
       // branch to another bucket"): snapshots/tx logs driver-side,
       // manifest objects + chunk payloads copied executor-side. The

@@ -646,7 +646,30 @@ private[sources] object GraftProcedures {
   import org.apache.spark.sql.connector.read.{LocalScan, Scan}
   import org.apache.spark.unsafe.types.UTF8String
 
-  val names: Seq[String] = Seq("push", "fsck", "gc", "expire", "compact")
+  val names: Seq[String] = Seq("push", "fsck", "gc", "expire", "compact",
+    "tensor_combine", "tensor_map", "tensor_transpose",
+    "tensor_downsample")
+
+  /** Array dtype from the node's userData (same probe as the SQL table
+    * loader) — tensor procedures infer it instead of asking the caller.
+    */
+  private def probeDtype(s: graft.repo.Session, path: String): String = {
+    val n = s.node(path).filter(_.isArray).getOrElse(
+      throw new graft.repo.GraftException(s"no array at $path",
+        graft.repo.GraftError.NodeNotFound))
+    GraftCatalog.dtypeFromUserData(n.userData).getOrElse(
+      throw new graft.repo.GraftException(
+        s"array $path declares no dtype in its metadata",
+        graft.repo.GraftError.InvalidConfig))
+  }
+
+  private def parseInts(csv: String, what: String): Seq[Int] =
+    try csv.split(",").toSeq.map(_.trim.toInt)
+    catch { case _: NumberFormatException =>
+      throw new graft.repo.GraftException(
+        s"$what must be a comma-separated int list, got '$csv'",
+        graft.repo.GraftError.InvalidConfig)
+    }
 
   private def str(s: String): Any = UTF8String.fromString(s)
 
@@ -742,6 +765,61 @@ private[sources] object GraftProcedures {
         val id = graft.ops.Compaction.rewriteManifests(repo(),
           in.getUTF8String(0).toString)
         Array(new GenericInternalRow(Array[Any](str(id))))
+      }
+      // tensor transforms from pure SQL — each runs the distributed job
+      // and lands ONE commit; paths are node paths ('/g/a' or 'g/a')
+      case "tensor_combine" => proc("tensor_combine",
+        Seq(p("a", StringType), p("b", StringType), p("dst", StringType),
+          pd("op", StringType, "'add'"),
+          pd("branch", StringType, "'main'")),
+        StructType(Seq(StructField("snapshot_id", StringType)))) { in =>
+        val s = repo().writableSession(in.getUTF8String(4).toString)
+        val a = in.getUTF8String(0).toString
+        val op = in.getUTF8String(3).toString
+        graft.tensor.TensorPlane.combine(s, a,
+          in.getUTF8String(1).toString, in.getUTF8String(2).toString,
+          op, probeDtype(s, a))
+        Array(new GenericInternalRow(Array[Any](str(
+          s.commit(s"tensor_combine $op")))))
+      }
+      case "tensor_map" => proc("tensor_map",
+        Seq(p("src", StringType), p("dst", StringType),
+          pd("scale", DoubleType, "1.0"), pd("offset", DoubleType, "0.0"),
+          pd("branch", StringType, "'main'")),
+        StructType(Seq(StructField("snapshot_id", StringType)))) { in =>
+        val s = repo().writableSession(in.getUTF8String(4).toString)
+        val src = in.getUTF8String(0).toString
+        graft.tensor.TensorPlane.mapValues(s, src,
+          in.getUTF8String(1).toString, in.getDouble(2), in.getDouble(3),
+          probeDtype(s, src))
+        Array(new GenericInternalRow(Array[Any](str(
+          s.commit("tensor_map affine")))))
+      }
+      case "tensor_transpose" => proc("tensor_transpose",
+        Seq(p("src", StringType), p("dst", StringType),
+          p("perm", StringType), pd("branch", StringType, "'main'")),
+        StructType(Seq(StructField("snapshot_id", StringType)))) { in =>
+        val s = repo().writableSession(in.getUTF8String(3).toString)
+        val src = in.getUTF8String(0).toString
+        val perm = parseInts(in.getUTF8String(2).toString, "perm")
+        graft.tensor.TensorPlane.transpose(s, src,
+          in.getUTF8String(1).toString, perm, probeDtype(s, src))
+        Array(new GenericInternalRow(Array[Any](str(
+          s.commit(s"tensor_transpose ${perm.mkString(",")}")))))
+      }
+      case "tensor_downsample" => proc("tensor_downsample",
+        Seq(p("src", StringType), p("dst", StringType),
+          p("factors", StringType), pd("mode", StringType, "'mean'"),
+          pd("branch", StringType, "'main'")),
+        StructType(Seq(StructField("snapshot_id", StringType)))) { in =>
+        val s = repo().writableSession(in.getUTF8String(4).toString)
+        val src = in.getUTF8String(0).toString
+        val factors = parseInts(in.getUTF8String(2).toString, "factors")
+        graft.tensor.TensorPlane.downsample(s, src,
+          in.getUTF8String(1).toString, factors, probeDtype(s, src),
+          mode = in.getUTF8String(3).toString)
+        Array(new GenericInternalRow(Array[Any](str(
+          s.commit(s"tensor_downsample ${factors.mkString(",")}")))))
       }
       case other => throw new graft.repo.GraftException(
         s"no procedure system.$other", graft.repo.GraftError.RefNotFound)

@@ -245,7 +245,9 @@ object StoreConf {
   * would race on S3 conditional PUTs.
   */
 final class LocalStore(val root: Path) extends Store {
-  Files.createDirectories(root)
+  // no eager mkdir (reference #2145): opening a repo at a path that
+  // doesn't exist must fail with "no repository", not create an empty
+  // directory — write paths create parents on demand
   override def rootUri: String = "file:" + root.toAbsolutePath.toString
   override def conf: StoreConf = LocalStoreConf(root.toAbsolutePath.toString)
 

@@ -74,6 +74,7 @@ class BenchJsonSpec extends AnyFunSuite {
       "engine_zarr_export_1g", "engine_zarr_adopt",
       "engine_rechunk_1g", "engine_downsample_1g",
       "engine_cube_slice_rows", "engine_transpose_1g",
+      "engine_tensor_combine_1g",
       "engine_repo_push", "engine_repo_push_incr", "engine_fsck")
     // every headline name must actually exist in the query map (a
     // renamed query would silently fall out of the bench line)

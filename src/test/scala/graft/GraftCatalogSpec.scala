@@ -465,4 +465,62 @@ class GraftCatalogSpec extends SparkTestBase {
       .map(_.toString).mkString(",")
     assert(listed.contains("push") && listed.contains("fsck"), listed)
   }
+
+  test("tensor procedures: CALL system.tensor_{combine,map,transpose,downsample}") {
+    val dir = tmpDir("tproc-repo")
+    val repo = Repository.create(Store.local(dir), spark)
+    val s = repo.writableSession("main")
+    s.addArray("/a", Seq(40), Seq(10), userData = """{"dtype":"int64"}""")
+    s.addArray("/b", Seq(40), Seq(10), userData = """{"dtype":"int64"}""")
+    for (c <- 0 until 4) {
+      s.writeChunk("/a", Seq(c), graft.functions.ChunkCodec.encodeLongs(
+        Array.tabulate(10)(i => (c * 10 + i).toLong), "int64"))
+      s.writeChunk("/b", Seq(c), graft.functions.ChunkCodec.encodeLongs(
+        Array.fill(10)(100L), "int64"))
+    }
+    s.commit("init")
+    val cat = "tcat" + (System.nanoTime() % 100000)
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.path", dir)
+
+    // combine lands one commit and the result reads back through SQL
+    val cid = spark.sql(
+      s"CALL $cat.system.tensor_combine('/a', '/b', '/sum', 'add')")
+      .head().getString(0)
+    assert(repo.lookupBranch("main").contains(cid))
+    val sum25 = spark.sql(
+      s"SELECT value FROM $cat.sum WHERE i0 = 25").head().getLong(0)
+    assert(sum25 == 125L)
+
+    // affine map (integral -> keeps int64)
+    spark.sql(
+      s"CALL $cat.system.tensor_map('/a', '/a2', scale => 2.0D, " +
+        "offset => 1.0D)").collect()
+    assert(spark.sql(s"SELECT value FROM $cat.a2 WHERE i0 = 7")
+      .head().getLong(0) == 15L)
+
+    // downsample by 4 (mean): 40 -> 10 cells
+    spark.sql(
+      s"CALL $cat.system.tensor_downsample('/a', '/a_l1', '4')").collect()
+    val l1 = spark.sql(s"SELECT value FROM $cat.a_l1 WHERE i0 = 0")
+      .head().getDouble(0)
+    assert(math.abs(l1 - 1.5) < 1e-12) // mean(0,1,2,3)
+
+    // transpose needs a 2-D array; identity perm on 1-D aliases refs
+    spark.sql(
+      s"CALL $cat.system.tensor_transpose('/a', '/a_t', '0')").collect()
+    val ro = repo.readonlySession(VersionRef.Branch("main"))
+    assert(ro.refs("/a_t").select("chunk_id").collect().map(_.getString(0))
+      .toSet == ro.refs("/a").select("chunk_id").collect()
+      .map(_.getString(0)).toSet)
+
+    // dtype probe failure surfaces as a stable-kind refusal
+    val s2 = repo.writableSession("main")
+    s2.addArray("/nodt", Seq(10), Seq(10))
+    s2.commit("no dtype")
+    val ex = intercept[Exception](spark.sql(
+      s"CALL $cat.system.tensor_map('/nodt', '/nodt2')").collect())
+    assert(ex.getMessage.contains("dtype"))
+  }
 }

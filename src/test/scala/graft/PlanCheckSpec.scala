@@ -178,7 +178,7 @@ class PlanCheckSpec extends SparkTestBase {
     val checked = Seq("q_dedup_minhash", "q_dedup_simhash",
       "q_dedup_ngram_jaccard", "q_dedup_ngram_lsh", "q_embedding_neardups",
       "q_ann_neighbors", "q_decontaminate", "q_dedup_clusters",
-      "q_substring_spans")
+      "q_substring_spans", "q_semantic_keep", "q_classifier_score")
     checked.foreach { name =>
       val p = plan(Queries.all(name)(spark, sf))
       assert(!p.contains("CartesianProduct"),
@@ -186,6 +186,14 @@ class PlanCheckSpec extends SparkTestBase {
       assert(!p.contains("BroadcastNestedLoopJoin"),
         s"$name plans a BroadcastNestedLoopJoin")
     }
+  }
+
+  test("classifier scoring broadcasts the weight table") {
+    val p = plan(Queries.all("q_classifier_score")(spark, sf))
+    assert(p.contains("BroadcastHashJoin"),
+      "weight table fell off the broadcast path — the exploded token " +
+        "relation would shuffle against a 64-row table")
+    assert(!p.contains("SortMergeJoin"), "weight join became a full shuffle")
   }
 
   test("rechunk shuffles only the coord relation through ONE range " +

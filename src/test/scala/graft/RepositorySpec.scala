@@ -168,6 +168,15 @@ class RepositorySpec extends SparkTestBase {
     intercept[GraftException](repo.deleteBranch("main"))
   }
 
+  test("opening a repo at a missing local path fails without creating the directory") {
+    // reference #2145: open must not force-create the directory
+    val dir = java.nio.file.Paths.get(tmpDir("no-such-repo"), "nested")
+    intercept[GraftException](
+      Repository.open(Store.local(dir.toString), spark))
+    assert(!java.nio.file.Files.exists(dir),
+      "open() must not have created the directory")
+  }
+
   test("move, reindex/shift, delete subtree") {
     val repo = Repository.create(Store.local(tmpDir("repo")), spark)
     val s = repo.writableSession("main")
