@@ -36,18 +36,37 @@ import graft.storage.{ObjectInfo, Store}
   * Supported zarr metadata: v3, regular chunk grids, `bytes` codec
   * (little-endian) with optional gzip/zstd compression, `default`
   * (`c/`-prefixed) or `v2` chunk-key encodings with `/` or `.`
-  * separators. Sharding or unknown codecs are refused loudly. The FULL
+  * separators, and `sharding_indexed` (one layer): executors ranged-GET
+  * each shard object's binary index and stage one virtual ref PER INNER
+  * CHUNK `(shard uri, offset, nbytes)`, so a sharded 100 TB store
+  * adopts with one small read per shard and the inner chunk — the
+  * actual unit of access — stays the repo's chunk. Unknown codecs
+  * (blosc, transpose, nested sharding) are refused loudly. The FULL
   * `zarr.json` document is preserved as the node's `userData`, so
   * attributes, fill values, and codec details survive adoption (and the
   * SQL catalog's dtype probe reads `data_type` from it directly).
   */
 object ZarrImport {
 
+  /** `sharding_indexed` geometry: store keys address SHARDS; each shard
+    * object holds `innerPerShard` inner chunks plus a binary index of
+    * `(offset, nbytes)` uint64-LE pairs (missing = both 2^64−1), at the
+    * object's start or end, optionally crc32c-suffixed.
+    */
+  private final case class ShardSpec(shardShape: Seq[Long],
+                                     innerPerShard: Seq[Int],
+                                     indexAtEnd: Boolean,
+                                     indexCrc: Boolean) {
+    def entries: Int = innerPerShard.product
+    def indexLen: Long = 16L * entries + (if (indexCrc) 4L else 0L)
+  }
+
   private final case class ArraySpec(path: String, shape: Seq[Long],
                                      chunks: Seq[Long], dtype: String,
                                      dimNames: Seq[String],
                                      keyPrefix: String, sep: String,
-                                     doc: String)
+                                     doc: String,
+                                     shard: Option[ShardSpec] = None)
 
   /** Walk `src` under `srcPrefix`, create the node tree on a fresh
     * session of `branch`, stage refs for every chunk key, and commit.
@@ -151,8 +170,80 @@ object ZarrImport {
           .repartition(math.max(1,
             math.min(spark.sparkContext.defaultParallelism * 2,
               parsed.size / 64 + 1)))
+        // sharded arrays: store keys address SHARDS — executors ranged-GET
+        // each shard's binary index and explode it into one row per
+        // PRESENT inner chunk (coord, key, offset, length); a 100 TB
+        // sharded store adopts with one small read per shard object
+        val innerKeyed = a.shard match {
+          case None => keyed
+          case Some(ss) =>
+            val srcConf = src.conf
+            val perShard = ss.innerPerShard
+            val strides = perShard.indices.map(d =>
+              perShard.drop(d + 1).product)
+            keyed.select(col("coord"), col("key"), col("size"))
+              .as[(Seq[Int], String, Long)]
+              .mapPartitions { it =>
+                val s = graft.storage.StoreConf.cached(srcConf)
+                it.flatMap { case (shardCoord, key, size) =>
+                  if (size < ss.indexLen)
+                    throw new GraftException(
+                      s"shard $key shorter than its index " +
+                        s"(${size}B < ${ss.indexLen}B)")
+                  val off = if (ss.indexAtEnd) size - ss.indexLen else 0L
+                  val idx = s.getRange(key, off, 16L * ss.entries)
+                  val bb = java.nio.ByteBuffer.wrap(idx)
+                    .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+                  (0 until ss.entries).flatMap { e =>
+                    val o = bb.getLong(e * 16)
+                    val n = bb.getLong(e * 16 + 8)
+                    if (o == -1L && n == -1L) None // 2^64-1: absent
+                    else if (o < 0 || n < 0 || o + n > size)
+                      throw new GraftException(
+                        s"shard $key: inner chunk $e range [$o,+$n) " +
+                          s"outside the ${size}B object")
+                    else {
+                      val coord = shardCoord.indices.map { d =>
+                        shardCoord(d) * perShard(d) +
+                          ((e / strides(d)) % perShard(d))
+                      }
+                      Some((coord, key, o, n))
+                    }
+                  }
+                }
+              }.toDF("coord", "key", "offset", "length")
+        }
         val refs =
-          if (!copy)
+          if (!copy && a.shard.isDefined)
+            innerKeyed.select(col("coord"), lit("virtual").as("kind"),
+              concat(lit(srcRoot + "/"), col("key")).as("location"),
+              col("offset"), col("length"))
+          else if (copy && a.shard.isDefined) {
+            val srcConf = src.conf
+            val dstConf = repo.store.conf
+            val copied = innerKeyed
+              .select(col("coord"), col("key"), col("offset"),
+                col("length"))
+              .as[(Seq[Int], String, Long, Long)].mapPartitions { it =>
+                val s = graft.storage.StoreConf.cached(srcConf)
+                val d = graft.storage.StoreConf.cached(dstConf)
+                it.map { case (coord, key, off, len) =>
+                  val bytes = s.getRange(key, off, len)
+                  val id = graft.core.Ids.toBase32(
+                    graft.core.Ids.newObjectId())
+                  d.putBytes(graft.meta.Layout.chunkKey(id), bytes)
+                  (coord, id, bytes.length.toLong)
+                }
+              }.toDF("coord", "chunk_id", "length")
+              .select(col("coord"), lit("ref").as("kind"),
+                col("chunk_id"), lit(0L).as("offset"), col("length"))
+            val stagingKey = graft.meta.Layout.stagingPrefix(
+              graft.core.Ids.toBase32(graft.core.Ids.newObjectId()))
+            copied.write.parquet(repo.store.uri(stagingKey))
+            session.trackStaging(stagingKey)
+            spark.read.parquet(repo.store.uri(stagingKey))
+          }
+          else if (!copy)
             keyed.select(col("coord"), lit("virtual").as("kind"),
               concat(lit(srcRoot + "/"), col("key")).as("location"),
               lit(0L).as("offset"), col("size").as("length"))
@@ -325,22 +416,58 @@ object ZarrImport {
       case other =>
         throw new GraftException(s"$nodePath: missing data_type ($other)")
     }
-    // codecs: bytes (little-endian) with optional gzip/zstd; anything
-    // else (sharding, blosc, transpose) is refused, not guessed
-    (j \ "codecs") match {
-      case JArray(cs) =>
-        val names = cs.map(c => c \ "name").collect {
-          case JString(n) => n
-        }
-        val ok = Set("bytes", "endian", "gzip", "zstd")
-        val badCodecs = names.filterNot(ok)
-        if (badCodecs.nonEmpty) throw new GraftException(
-          s"$nodePath: unsupported codecs ${badCodecs.mkString(",")} " +
-            "(bytes[+gzip|zstd] only)", graft.repo.GraftError.InvalidConfig)
-      case JNothing => () // absent codecs = raw bytes
-      case other =>
-        throw new GraftException(s"$nodePath: bad codecs $other")
+    // codecs: bytes (little-endian) with optional gzip/zstd, or ONE
+    // sharding_indexed layer whose inner codecs satisfy the same rule;
+    // anything else (blosc, transpose, nested sharding) is refused, not
+    // guessed
+    def checkFlat(cs: Seq[JValue], where: String): Unit = {
+      val names = cs.map(c => c \ "name").collect { case JString(n) => n }
+      val ok = Set("bytes", "endian", "gzip", "zstd")
+      val badCodecs = names.filterNot(ok)
+      if (badCodecs.nonEmpty) throw new GraftException(
+        s"$nodePath: unsupported $where codecs " +
+          s"${badCodecs.mkString(",")} (bytes[+gzip|zstd] only)",
+        graft.repo.GraftError.InvalidConfig)
     }
+    // (innerShape, indexAtEnd, indexCrc, innerCodecs) when sharded
+    val shardParsed: Option[(Seq[Long], Boolean, Boolean, Seq[JValue])] =
+      (j \ "codecs") match {
+        case JArray(cs) =>
+          cs.find(c => (c \ "name") == JString("sharding_indexed")) match {
+            case Some(sc) =>
+              if (cs.size != 1) throw new GraftException(
+                s"$nodePath: sharding_indexed must be the only top-level" +
+                  " codec", graft.repo.GraftError.InvalidConfig)
+              val conf = sc \ "configuration"
+              val inner = longs(conf \ "chunk_shape", "inner chunk_shape")
+              val innerCodecs = (conf \ "codecs") match {
+                case JArray(ics) => checkFlat(ics, "inner"); ics
+                case JNothing => Nil
+                case other => throw new GraftException(
+                  s"$nodePath: bad inner codecs $other")
+              }
+              val idxCodecs = (conf \ "index_codecs") match {
+                case JArray(ics) =>
+                  ics.map(c => c \ "name").collect { case JString(n) => n }
+                case _ => Seq("bytes", "crc32c") // the spec default
+              }
+              if (idxCodecs.exists(n => n != "bytes" && n != "endian" &&
+                  n != "crc32c"))
+                throw new GraftException(
+                  s"$nodePath: unsupported index_codecs $idxCodecs",
+                  graft.repo.GraftError.InvalidConfig)
+              val atEnd = (conf \ "index_location") match {
+                case JString("start") => false
+                case _ => true
+              }
+              Some((inner, atEnd, idxCodecs.contains("crc32c"),
+                innerCodecs))
+            case None => checkFlat(cs, "top-level"); None
+          }
+        case JNothing => None // absent codecs = raw bytes
+        case other =>
+          throw new GraftException(s"$nodePath: bad codecs $other")
+      }
     val dimNames = (j \ "dimension_names") match {
       case JArray(xs) => xs.collect { case JString(n) => n }
       case _ => Nil
@@ -366,7 +493,46 @@ object ZarrImport {
       case other => throw new GraftException(
         s"$nodePath: unknown chunk_key_encoding $other")
     }
-    ArraySpec(nodePath, shape, chunks, dtype, dimNames, keyPrefix, sep,
-      doc)
+    shardParsed match {
+      case None =>
+        ArraySpec(nodePath, shape, chunks, dtype, dimNames, keyPrefix,
+          sep, doc)
+      case Some((inner, atEnd, crc, innerCodecs)) =>
+        // store keys address SHARDS (grid = `chunks`); the graft array
+        // adopts the INNER grid — each inner chunk becomes one virtual
+        // ref into its shard object
+        if (inner.size != chunks.size ||
+            inner.zip(chunks).exists { case (i, s) => i <= 0 || s % i != 0 })
+          throw new GraftException(
+            s"$nodePath: inner chunk shape ${inner.mkString(",")} does " +
+              s"not divide shard shape ${chunks.mkString(",")}",
+            graft.repo.GraftError.InvalidConfig)
+        val perShard = chunks.zip(inner).map { case (s, i) => (s / i).toInt }
+        // re-synthesize the stored doc on the INNER grid with the inner
+        // codecs: the adopted array's unit of access is the inner chunk,
+        // and a verbatim doc (shard grid + sharding codec) would make
+        // export → re-import reconstruct the wrong geometry
+        val innerCodecsJson =
+          if (innerCodecs.nonEmpty) JArray(innerCodecs.toList)
+          else JArray(List(JObject(List(
+            "name" -> JString("bytes"),
+            "configuration" -> JObject(List(
+              "endian" -> JString("little")))))))
+        val doc2 = JsonMethods.compact(JsonMethods.render(
+          j.transformField {
+            case ("chunk_grid", _) =>
+              ("chunk_grid", JObject(List(
+                "name" -> JString("regular"),
+                "configuration" -> JObject(List(
+                  "chunk_shape" -> JArray(
+                    inner.toList.map(n => JInt(BigInt(n)))))))))
+            case ("codecs", JArray(cs))
+                if cs.exists(c =>
+                  (c \ "name") == JString("sharding_indexed")) =>
+              ("codecs", innerCodecsJson)
+          }))
+        ArraySpec(nodePath, shape, inner, dtype, dimNames, keyPrefix, sep,
+          doc2, Some(ShardSpec(chunks, perShard, atEnd, crc)))
+    }
   }
 }

@@ -118,7 +118,8 @@ class ZarrImportSpec extends SparkTestBase {
     val e1 = intercept[GraftException] {
       ZarrImport.importStore(r1, "main", Store.local(d1))
     }
-    assert(e1.getMessage.contains("unsupported codecs"), e1.getMessage)
+    assert(e1.getMessage.contains("unsupported top-level codecs"),
+      e1.getMessage)
 
     val d2 = tmpDir("zbad2")
     Files.createDirectories(Paths.get(d2, "a", "c"))
@@ -287,5 +288,100 @@ class ZarrImportSpec extends SparkTestBase {
     // the source chunk file is byte-identical (nothing wrote through)
     assert(Files.readAllBytes(Paths.get(srcDir, "temp/c/0")).sameElements(
       ChunkCodec.encodeLongs(Array.tabulate(4)(i => i * 10L), "int64")))
+  }
+
+  /** A `sharding_indexed` store: 1-D shape 40, shard shape 20, inner
+    * chunks of 5 — 2 shard objects × 4 inner chunks, with inner chunk
+    * (shard 1, idx 2) ABSENT (all-ones index entry). v(i) = i*3 + 7.
+    */
+  private def writeShardedFixture(dir: String,
+                                  indexAtEnd: Boolean): Unit = {
+    def put(rel: String, bytes: Array[Byte]): Unit = {
+      val p = Paths.get(dir, rel)
+      Files.createDirectories(p.getParent)
+      Files.write(p, bytes)
+    }
+    val loc = if (indexAtEnd) "end" else "start"
+    put("zarr.json",
+      """{"zarr_format":3,"node_type":"group"}""".getBytes("UTF-8"))
+    put("v/zarr.json",
+      s"""{"zarr_format":3,"node_type":"array","shape":[40],
+         |"chunk_grid":{"name":"regular","configuration":{"chunk_shape":[20]}},
+         |"data_type":"int64","attributes":{"origin":"sharded"},
+         |"codecs":[{"name":"sharding_indexed","configuration":{
+         |  "chunk_shape":[5],
+         |  "codecs":[{"name":"bytes","configuration":{"endian":"little"}}],
+         |  "index_codecs":[{"name":"bytes"},{"name":"crc32c"}],
+         |  "index_location":"$loc"}}]}""".stripMargin.getBytes("UTF-8"))
+    for (s <- 0 until 2) {
+      val inner = (0 until 4).map { e =>
+        if (s == 1 && e == 2) None
+        else Some(ChunkCodec.encodeLongs(Array.tabulate(5) { i =>
+          (s * 20 + e * 5 + i) * 3L + 7 }, "int64"))
+      }
+      val payload = inner.flatten.flatMap(_.toSeq).toArray
+      val index = java.nio.ByteBuffer.allocate(4 * 16 + 4)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      var off = if (indexAtEnd) 0L else (4 * 16 + 4).toLong
+      inner.foreach {
+        case Some(b) => index.putLong(off).putLong(b.length.toLong)
+          off += b.length
+        case None => index.putLong(-1L).putLong(-1L)
+      }
+      index.putInt(0) // crc32c placeholder (length-accounted, unverified)
+      val bytes =
+        if (indexAtEnd) payload ++ index.array()
+        else index.array() ++ payload
+      put(s"v/c/$s", bytes)
+    }
+  }
+
+  test("sharded store adoption: per-inner-chunk virtual refs from shard indexes") {
+    for (atEnd <- Seq(true, false)) {
+      val srcDir = tmpDir("zshard")
+      writeShardedFixture(srcDir, indexAtEnd = atEnd)
+      val repo = Repository.create(Store.local(tmpDir("zshard-repo")), spark)
+      ZarrImport.importStore(repo, "main", Store.local(srcDir))
+      val ro = repo.readonlySession(VersionRef.Branch("main"))
+      // graft adopts the INNER grid: 7 present inner chunks of 8 slots
+      val n = ro.node("/v").get
+      assert(n.chunkShape == Seq(5L), s"inner grid (atEnd=$atEnd)")
+      assert(ro.refs("/v").count() == 7)
+      // refs point INTO the shard objects with nonzero offsets
+      val offs = ro.refs("/v").select("kind", "offset", "length").collect()
+      assert(offs.forall(_.getString(0) == "virtual"))
+      assert(offs.map(_.getLong(2)).toSet == Set(40L))
+      if (atEnd) assert(offs.map(_.getLong(1)).toSet.size > 1)
+      // values decode through the ranged virtual fetch; the absent inner
+      // chunk (cells 30..34) reads as missing
+      val vals = TensorPlane.values(ro, "/v", "int64")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(vals.size == 35, s"35 cells, got ${vals.size}")
+      for (i <- 0 until 40 if i < 30 || i >= 35)
+        assert(vals(i.toLong) == i * 3L + 7, s"cell $i (atEnd=$atEnd)")
+      assert(!vals.contains(32L))
+      // the stored doc was re-synthesized on the inner grid (attributes
+      // kept, sharding codec dropped) so export reconstructs correctly
+      val doc = n.userData
+      assert(doc.contains("\"origin\":\"sharded\""))
+      assert(!doc.contains("sharding_indexed"))
+      assert(doc.contains("\"chunk_shape\":[5]"))
+    }
+  }
+
+  test("sharded copy mode: inner chunks re-upload as native objects") {
+    val srcDir = tmpDir("zshard-c")
+    writeShardedFixture(srcDir, indexAtEnd = true)
+    val repo = Repository.create(Store.local(tmpDir("zshardc-repo")), spark)
+    ZarrImport.importStore(repo, "main", Store.local(srcDir), copy = true)
+    // source can vanish — payloads are native now
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(srcDir))
+    val ro = repo.readonlySession(VersionRef.Branch("main"))
+    assert(ro.refs("/v").select("kind").collect()
+      .forall(_.getString(0) == "ref"))
+    val vals = TensorPlane.values(ro, "/v", "int64")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(vals.size == 35 && vals(17L) == 17 * 3L + 7)
   }
 }
