@@ -28,9 +28,19 @@ object ZarrExport {
     * `zarr.json` so zarr consumers decode correctly ("raw" → bytes
     * codec only, "zstd"/"gzip" → bytes + that codec).
     */
+  /** `shardChunks` (optional): publish SHARDED zarr — each written
+    * object aggregates `shardChunks(d)` source chunks per dimension
+    * under the `sharding_indexed` codec (inner chunks concatenated,
+    * `(offset, nbytes)` uint64-LE index + real crc32c at the object
+    * end). One task assembles one shard — object count drops by
+    * ∏shardChunks, the standard fix for object-store listing/request
+    * overhead on many-chunk arrays. A shard must fit task memory
+    * (the same sizing rule zarr itself imposes on writers).
+    */
   def exportStore(session: Session, dst: Store, dstPrefix: String = "",
                   compression: String = "raw",
-                  paths: Seq[String] = Nil): Long = {
+                  paths: Seq[String] = Nil,
+                  shardChunks: Seq[Int] = Nil): Long = {
     val spark = session.repo.spark
     val prefix =
       if (dstPrefix.isEmpty || dstPrefix.endsWith("/")) dstPrefix
@@ -53,33 +63,88 @@ object ZarrExport {
       val rel = n.path.stripPrefix("/")
       val base = if (rel.isEmpty) prefix else s"$prefix$rel/"
       dst.putBytes(base + "zarr.json",
-        docFor(n, compression).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        docFor(n, compression, shardChunks)
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       if (n.isArray) {
         if (n.isRectilinear) throw new GraftException(
           s"${n.path}: rectilinear grids have no zarr v3 regular-grid " +
             "representation; rechunk first")
-        val fetch = graft.tensor.TensorPlane.fetchBytesUdf(
-          session.repo.store.conf, session.repo.virtualResolver)
         val dstConf = dst.conf
         import spark.implicits._
-        val keys = session.refs(n.path)
-          .repartition(spark.sparkContext.defaultParallelism * 2,
-            col("coord"))
-          .withColumn("bytes", fetch(col("kind"), col("inline"),
-            col("chunk_id"), col("location"), col("offset"),
-            col("length")))
-          .select(
-            concat(lit(base + "c/"),
-              array_join(col("coord"), "/")).as("key"),
-            col("bytes"))
-          .as[(String, Array[Byte])]
-          .mapPartitions { it =>
-            val d = graft.storage.StoreConf.cached(dstConf)
-            var cnt = 0L
-            it.foreach { case (key, bytes) => d.putBytes(key, bytes); cnt += 1 }
-            Iterator.single(cnt)
-          }.reduce(_ + _)
-        written += keys
+        if (shardChunks.isEmpty) {
+          val fetch = graft.tensor.TensorPlane.fetchBytesUdf(
+            session.repo.store.conf, session.repo.virtualResolver)
+          val keys = session.refs(n.path)
+            .repartition(spark.sparkContext.defaultParallelism * 2,
+              col("coord"))
+            .withColumn("bytes", fetch(col("kind"), col("inline"),
+              col("chunk_id"), col("location"), col("offset"),
+              col("length")))
+            .select(
+              concat(lit(base + "c/"),
+                array_join(col("coord"), "/")).as("key"),
+              col("bytes"))
+            .as[(String, Array[Byte])]
+            .mapPartitions { it =>
+              val d = graft.storage.StoreConf.cached(dstConf)
+              var cnt = 0L
+              it.foreach { case (key, bytes) => d.putBytes(key, bytes); cnt += 1 }
+              Iterator.single(cnt)
+            }.reduce(_ + _)
+          written += keys
+        } else {
+          val sc = shardChunks
+          if (sc.size != n.shape.size || sc.exists(_ < 1))
+            throw new GraftException(
+              s"${n.path}: shardChunks ${sc.mkString(",")} must give one " +
+                s"positive factor per dimension (rank ${n.shape.size})",
+              graft.repo.GraftError.InvalidConfig)
+          val strides = sc.indices.map(d => sc.drop(d + 1).product)
+          val entriesPerShard = sc.product
+          val srcConf = session.repo.store.conf
+          val resolver = session.repo.virtualResolver
+          val shards = session.refs(n.path)
+            .select(col("coord"), col("kind"), col("inline"),
+              col("chunk_id"), col("location"), col("offset"),
+              col("length"))
+            .as[(Seq[Int], String, Array[Byte], String, String, Long,
+                 Long)]
+            .groupByKey { case (coord, _, _, _, _, _, _) =>
+              coord.indices.map(d => coord(d) / sc(d)) }
+            .mapGroups { (shardCoord, it) =>
+              val inner = new Array[Array[Byte]](entriesPerShard)
+              it.foreach { case (coord, kind, inline, id, loc, off, len) =>
+                val li = coord.indices.map(d =>
+                  (coord(d) - shardCoord(d) * sc(d)) * strides(d)).sum
+                inner(li) = graft.tensor.TensorPlane.fetchRef(
+                  srcConf, resolver, kind, inline, id, loc, off, len,
+                  cacheable = false)
+              }
+              val payloadLen = inner.iterator.filter(_ != null)
+                .map(_.length.toLong).sum
+              val index = java.nio.ByteBuffer
+                .allocate(entriesPerShard * 16 + 4)
+                .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+              val out = java.nio.ByteBuffer
+                .allocate((payloadLen + entriesPerShard * 16 + 4).toInt)
+              var off = 0L
+              inner.foreach {
+                case null => index.putLong(-1L).putLong(-1L)
+                case b =>
+                  index.putLong(off).putLong(b.length.toLong)
+                  out.put(b); off += b.length
+              }
+              val crc = new java.util.zip.CRC32C
+              crc.update(index.array(), 0, entriesPerShard * 16)
+              index.putInt(crc.getValue.toInt)
+              out.put(index.array())
+              val d = graft.storage.StoreConf.cached(dstConf)
+              d.putBytes(base + "c/" + shardCoord.mkString("/"),
+                out.array())
+              1L
+            }.reduce(_ + _)
+          written += shards
+        }
       }
     }
     written
@@ -94,10 +159,13 @@ object ZarrExport {
     * keys). Otherwise synthesize a doc from the node spec + the
     * userData dtype probe.
     */
-  private def docFor(n: graft.meta.NodeSpec, compression: String): String = {
+  private def docFor(n: graft.meta.NodeSpec, compression: String,
+                     shardChunks: Seq[Int] = Nil): String = {
     val defaultEnc: JValue = JObject(
       "name" -> JString("default"),
       "configuration" -> JObject("separator" -> JString("/")))
+    if (n.isArray && shardChunks.nonEmpty)
+      return shardedDoc(n, compression, shardChunks)
     val fromUser =
       try {
         val j = JsonMethods.parse(n.userData)
@@ -139,5 +207,69 @@ object ZarrExport {
           s""""fill_value":0,"codecs":$codecs$dims}"""
       }
     }
+  }
+
+  /** zarr.json for a SHARDED export: chunk_grid = the shard shape
+    * (chunkShape × shardChunks), codecs = one `sharding_indexed` layer
+    * whose inner chunk_shape is the repo's chunk grid and whose inner
+    * codecs match what the stored bytes are. Attributes and fill_value
+    * carry over from an adopted zarr doc when present.
+    */
+  private def shardedDoc(n: graft.meta.NodeSpec, compression: String,
+                         sc: Seq[Int]): String = {
+    val dtype = graft.sources.GraftCatalog.dtypeFromUserData(n.userData)
+      .getOrElse(throw new GraftException(
+        s"${n.path}: no dtype in userData — write " +
+          """{"dtype":"..."} or pass a zarr doc"""))
+    val userJ =
+      try Some(JsonMethods.parse(n.userData)) catch { case _: Exception => None }
+    def carry(field: String): JValue =
+      userJ.map(_ \ field).getOrElse(JNothing)
+    val innerCodecs: JValue = compression match {
+      case "raw" | "" | null => JArray(List(
+        ("name" -> JString("bytes")) ~
+          ("configuration" -> JObject("endian" -> JString("little")))))
+      case c => JArray(List(
+        ("name" -> JString("bytes")) ~
+          ("configuration" -> JObject("endian" -> JString("little"))),
+        JObject("name" -> JString(c))))
+    }
+    val shardShape = n.chunkShape.zip(sc).map { case (c, k) => c * k }
+    val doc: JObject =
+      ("zarr_format" -> JInt(3)) ~
+        ("node_type" -> JString("array")) ~
+        ("shape" -> JArray(n.shape.toList.map(v => JInt(BigInt(v))))) ~
+        ("chunk_grid" -> (
+          ("name" -> JString("regular")) ~
+            ("configuration" -> ("chunk_shape" -> JArray(
+              shardShape.toList.map(v => JInt(BigInt(v)))))))) ~
+        ("data_type" -> JString(dtype)) ~
+        ("chunk_key_encoding" -> (
+          ("name" -> JString("default")) ~
+            ("configuration" -> ("separator" -> JString("/"))))) ~
+        ("fill_value" -> (carry("fill_value") match {
+          case JNothing => JInt(0)
+          case v => v
+        })) ~
+        ("codecs" -> JArray(List(
+          ("name" -> JString("sharding_indexed")) ~
+            ("configuration" -> (
+              ("chunk_shape" -> JArray(
+                n.chunkShape.toList.map(v => JInt(BigInt(v))))) ~
+                ("codecs" -> innerCodecs) ~
+                ("index_codecs" -> JArray(List(
+                  JObject("name" -> JString("bytes")),
+                  JObject("name" -> JString("crc32c"))))) ~
+                ("index_location" -> JString("end")))))))
+    val withExtras = List(
+      "attributes" -> carry("attributes"),
+      "dimension_names" ->
+        (if (n.dimNames.nonEmpty)
+          JArray(n.dimNames.toList.map(JString(_)))
+        else carry("dimension_names")))
+      .foldLeft(doc) { case (d, (f, v)) =>
+        if (v == JNothing) d else d ~ (f -> v)
+      }
+    JsonMethods.compact(JsonMethods.render(withExtras))
   }
 }

@@ -144,12 +144,19 @@ object Cli {
           val ro = repo.readonlySession(parseRef(repo, refName))
           // the stored payloads are written verbatim — the caller must
           // declare their true codec or the exported zarr.json mislabels
-          // them (raw | gzip | zstd)
-          val comp = exportRest.headOption.getOrElse("raw")
+          // them (raw | gzip | zstd); --shard k0,k1,... groups that many
+          // chunks per dim into sharding_indexed objects
+          val shard = exportRest.dropWhile(_ != "--shard").drop(1)
+            .headOption.map(_.split(",").toSeq.map(_.trim.toInt))
+            .getOrElse(Nil)
+          val comp = exportRest.filterNot(_.startsWith("--"))
+            .filterNot(a => shard.nonEmpty &&
+              a == shard.mkString(",")).headOption.getOrElse("raw")
           val nChunks = graft.ops.ZarrExport.exportStore(ro,
-            Store.local(dstDir), compression = comp)
+            Store.local(dstDir), compression = comp, shardChunks = shard)
+          val unit = if (shard.isEmpty) "chunk" else "shard"
           println(s"exported $refName -> $dstDir " +
-            s"($nChunks chunk objects, plain zarr v3, codec=$comp)")
+            s"($nChunks $unit objects, plain zarr v3, codec=$comp)")
         case ("import", srcDir :: importFlags) =>
           val id = graft.ops.ZarrImport.importStore(repo, "main",
             Store.local(srcDir), copy = importFlags.contains("--copy"))

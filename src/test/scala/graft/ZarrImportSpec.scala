@@ -369,6 +369,47 @@ class ZarrImportSpec extends SparkTestBase {
     }
   }
 
+  test("sharded export: publish with sharding_indexed, re-import round-trips") {
+    val repo = Repository.create(Store.local(tmpDir("shx-repo")), spark)
+    val s = repo.writableSession("main")
+    // 5 chunks of 4 cells, one absent -> 3 shards of 2 chunks (ragged
+    // last), absent chunk = missing index entry
+    s.addArray("/t", Seq(20), Seq(4), userData = """{"dtype":"int64"}""")
+    for (c <- Seq(0, 1, 2, 4))
+      s.writeChunk("/t", Seq(c), ChunkCodec.encodeLongs(
+        Array.tabulate(4)(i => c * 100L + i), "int64"))
+    s.commit("data")
+    val ro = repo.readonlySession(VersionRef.Branch("main"))
+    val out = tmpDir("shx-out")
+    val nObjects = graft.ops.ZarrExport.exportStore(ro, Store.local(out),
+      shardChunks = Seq(2))
+    assert(nObjects == 3, s"3 shard objects, got $nObjects")
+    // the published doc declares the sharding codec on the shard grid
+    val doc = new String(Files.readAllBytes(Paths.get(out, "t/zarr.json")),
+      "UTF-8")
+    assert(doc.contains("sharding_indexed") &&
+      doc.contains("\"chunk_shape\":[8]"), doc)
+    // a real crc32c rides at the index end of each shard
+    val shard0 = Files.readAllBytes(Paths.get(out, "t/c/0"))
+    val idxOff = shard0.length - (2 * 16 + 4)
+    val crc = new java.util.zip.CRC32C
+    crc.update(shard0, idxOff, 2 * 16)
+    val stored = java.nio.ByteBuffer.wrap(shard0, idxOff + 32, 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt
+    assert(stored == crc.getValue.toInt, "index crc32c")
+    // re-import the sharded publication: inner grid, same values
+    val repo2 = Repository.create(Store.local(tmpDir("shx-repo2")), spark)
+    ZarrImport.importStore(repo2, "main", Store.local(out))
+    val ro2 = repo2.readonlySession(VersionRef.Branch("main"))
+    assert(ro2.node("/t").get.chunkShape == Seq(4L))
+    assert(ro2.refs("/t").count() == 4)
+    val vals = TensorPlane.values(ro2, "/t", "int64")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(vals.size == 16)
+    for (c <- Seq(0, 1, 2, 4); i <- 0 until 4)
+      assert(vals((c * 4 + i).toLong) == c * 100L + i)
+  }
+
   test("sharded copy mode: inner chunks re-upload as native objects") {
     val srcDir = tmpDir("zshard-c")
     writeShardedFixture(srcDir, indexAtEnd = true)
