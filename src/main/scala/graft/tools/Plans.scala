@@ -143,7 +143,14 @@ object Plans {
             "PlanCheckSpec pins the shape.",
           fmt(graft.tensor.TensorPlane.rechunkFragments(
             repo.writableSession("main"), "/a", Seq(16))))
-      })
+      },
+      ("q_classifier_score — hashed-feature scoring",
+        "The learned-filter scoring plan: tokens explode into md5 " +
+          "feature indexes, the dim-row weight table joins via " +
+          "BroadcastHashJoin (never a shuffle of the corpus against a " +
+          "64-row table), and ONE hash aggregation keyed on the document " +
+          "reassembles scores — whole-stage codegen throughout, no UDF.",
+        fmt(graft.Queries.all("q_classifier_score")(spark, d))))
 
     val md = new StringBuilder
     md.append("# PLANS — physical plans of the headline queries\n\n")
