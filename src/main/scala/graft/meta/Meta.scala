@@ -165,7 +165,27 @@ final case class RepoInfo(
       * recognizes its own `writeId` as success instead of rebasing over
       * its own commit. Empty in pre-upgrade pointer files (still valid).
       */
-    writeId: String = "") {
+    writeId: String = "",
+    /** Repository-level user metadata (reference `set_metadata` /
+      * `update_metadata`): values are JSON documents in the
+      * [[SnapshotProps]] wire encoding. Admin state, not versioned —
+      * lives on the pointer, changes CAS like branch ops.
+      */
+    metadata: Map[String, String] = Map.empty,
+    /** Availability status (reference `RepoStatus`): "online" (default)
+      * or "read_only" — an admin lock that refuses new writable sessions
+      * and in-flight commits until lifted. `statusSetAt` ISO instant,
+      * `statusReason` optional operator note.
+      */
+    statusAvailability: String = "online",
+    statusSetAt: String = "",
+    statusReason: String = "",
+    /** Default commit metadata (reference `set_default_commit_metadata`):
+      * merged under every commit's properties (commit-provided keys win)
+      * for sessions created after the setting landed. JSON-encoded
+      * values, same wire form as `metadata`.
+      */
+    defaultCommitMeta: Map[String, String] = Map.empty) {
   def snapshotInfo(id: String): Option[SnapshotInfo] =
     snapshots.find(_.id == id)
 

@@ -54,6 +54,89 @@ final class Repository private (
   def listBranches(): Seq[String] = info().branches.keys.toSeq.sorted
   def lookupBranch(name: String): Option[String] = info().branches.get(name)
 
+  // ------------------------------------------------------------------
+  // repo administration (reference repository.py: metadata / status /
+  // default commit metadata / spec_version / transaction)
+  // ------------------------------------------------------------------
+
+  /** On-disk format revision this library writes. */
+  def specVersion: Int = Repository.SpecVersion
+
+  /** Repository-level user metadata, JSON-typed (reference
+    * `get_metadata`). Admin state on the pointer — not versioned.
+    */
+  def metadata: Map[String, org.json4s.JValue] =
+    graft.meta.SnapshotProps.decode(info().metadata)
+
+  /** REPLACE the repository metadata (reference `set_metadata`). */
+  def setMetadata(m: Map[String, org.json4s.JValue]): Unit =
+    casUpdate("set_metadata", s"${m.size} keys") { i =>
+      i.copy(metadata = graft.meta.SnapshotProps.encode(m))
+    }
+
+  /** MERGE into the repository metadata, passed keys win (reference
+    * `update_metadata`). Returns the merged result.
+    */
+  def updateMetadata(m: Map[String, org.json4s.JValue])
+      : Map[String, org.json4s.JValue] =
+    graft.meta.SnapshotProps.decode(
+      casUpdate("update_metadata", s"${m.size} keys") { i =>
+        i.copy(metadata = i.metadata ++ graft.meta.SnapshotProps.encode(m))
+      }.metadata)
+
+  /** Current availability status (reference `RepoStatus`). */
+  def status: RepoStatus = {
+    val i = info()
+    RepoStatus(i.statusAvailability == "read_only",
+      Option(i.statusSetAt).filter(_.nonEmpty).map(Instant.parse),
+      Option(i.statusReason).filter(_.nonEmpty))
+  }
+
+  /** Flip the repo between online and read_only (reference
+    * `set_status`): read_only is an ADMIN LOCK — new writable sessions
+    * and in-flight commits are refused with kind `read_only` until an
+    * operator flips it back. Branch/tag/metadata admin ops stay
+    * available (you must be able to unlock, and maintenance is what the
+    * lock is usually FOR).
+    */
+  def setStatus(readOnly: Boolean, reason: String = ""): Unit =
+    casUpdate("set_status",
+      (if (readOnly) "read_only" else "online") +
+        (if (reason.nonEmpty) s" ($reason)" else "")) { i =>
+      i.copy(statusAvailability = if (readOnly) "read_only" else "online",
+        statusSetAt = Instant.now().toString,
+        statusReason = if (readOnly) reason else "")
+    }
+
+  /** Default commit metadata (reference `default_commit_metadata`). */
+  def defaultCommitMetadata: Map[String, org.json4s.JValue] =
+    graft.meta.SnapshotProps.decode(info().defaultCommitMeta)
+
+  /** Set metadata merged under EVERY commit's properties
+    * (commit-provided keys win). Applies to sessions created after this
+    * call — open writable sessions keep the defaults they were born
+    * with (reference `set_default_commit_metadata` semantics).
+    */
+  def setDefaultCommitMetadata(m: Map[String, org.json4s.JValue]): Unit =
+    casUpdate("set_default_commit_metadata", s"${m.size} keys") { i =>
+      i.copy(defaultCommitMeta = graft.meta.SnapshotProps.encode(m))
+    }
+
+  /** Scoped write: open a writable session on `branch`, run `body`,
+    * commit with `message` (reference `Repository.transaction`). The
+    * commit inherits the full rebase-retry machinery; nothing is
+    * written if `body` throws.
+    */
+  def transaction(branch: String, message: String,
+                  properties: Map[String, String] = Map.empty,
+                  solver: graft.vc.ConflictSolver =
+                    graft.vc.BasicConflictSolver())(
+      body: Session => Unit): String = {
+    val s = writableSession(branch)
+    body(s)
+    s.commit(message, properties, solver)
+  }
+
   def createBranch(name: String, snapshotId: String): Unit =
     casUpdate("create_branch", name) { i =>
       if (i.branches.contains(name))
@@ -217,7 +300,14 @@ final class Repository private (
     }
 
   def writableSession(branchName: String): Session = {
-    val tip = lookupBranch(branchName).getOrElse(
+    val i = info()
+    if (i.statusAvailability == "read_only")
+      throw new GraftException(
+        s"repository is read_only" +
+          Option(i.statusReason).filter(_.nonEmpty)
+            .map(r => s" ($r)").getOrElse("") +
+          " — set_status(online) to unlock", GraftError.ReadOnly)
+    val tip = i.branches.getOrElse(branchName,
       throw new GraftException(s"no branch $branchName", GraftError.RefNotFound))
     new Session(this, Some(branchName), assets.readSnapshot(tip))
   }
@@ -269,8 +359,18 @@ final class Repository private (
   }
 }
 
+/** Availability status of a repository (reference `RepoStatus`):
+  * `readOnly = true` is the admin lock; `setAt`/`reason` record when and
+  * why it last changed.
+  */
+final case class RepoStatus(readOnly: Boolean,
+                            setAt: Option[Instant] = None,
+                            reason: Option[String] = None)
+
 object Repository {
   val DefaultBranch = "main"
+  /** On-disk format revision (spec v2 family). */
+  val SpecVersion = 2
 
   def exists(store: Store): Boolean = new RepoPointer(store).latestGen() >= 0
 

@@ -24,6 +24,12 @@ final class Session private[repo] (
     val moveOnly: Boolean = false) {
 
   val changeSet = new ChangeSet
+  /** Default commit metadata captured at session creation (reference
+    * `set_default_commit_metadata`: later changes don't affect open
+    * sessions). Merged UNDER commit properties — commit keys win.
+    */
+  private val sessionDefaultMeta: Map[String, String] =
+    if (branch.isDefined) repo.info().defaultCommitMeta else Map.empty
   /** Staging datasets (uploaded-once chunk-ref Parquet under `staging/`)
     * backing staged batches — deleted on commit/discard, swept by GC if
     * the session dies.
@@ -601,10 +607,12 @@ final class Session private[repo] (
     * rewrite only the touched shards).
     */
   private[repo] def flushInternal(message: String,
-      properties: Map[String, String],
+      properties0: Map[String, String],
       parentOverride: Option[Option[String]] = None,
       mergeTxLogOf: Option[String] = None): Snapshot = {
     requireWritable()
+    // repo-wide default commit metadata rides under the caller's keys
+    val properties = sessionDefaultMeta ++ properties0
     val effective = nodes
     val byId = effective.map(n => n.id -> n).toMap
     val snapId = Ids.toBase32(Ids.newObjectId())
@@ -913,6 +921,12 @@ final class Session private[repo] (
       attempts += 1
       val info = repo.pointer.load().getOrElse(
         throw new GraftException("repository not initialized"))
+      // the admin lock also catches commits whose session predates it
+      if (info.statusAvailability == "read_only")
+        throw new GraftException(
+          "repository is read_only — commit refused" +
+            Option(info.statusReason).filter(_.nonEmpty)
+              .map(r => s" ($r)").getOrElse(""), GraftError.ReadOnly)
       val tip = info.branches.getOrElse(branchName,
         throw new GraftException(s"branch $branchName does not exist", GraftError.RefNotFound))
       if (tip != baseSnapshot.id) {

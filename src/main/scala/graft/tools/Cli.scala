@@ -28,7 +28,8 @@ object Cli {
   private def usage(): Nothing = {
     System.err.println(
       "usage: Cli <repoDir> init|log|branch|tag|ls|mv|inspect|ops|diff|" +
-        "gc|compact|push|fsck|rechunk|import|export|flags|config ...")
+        "gc|compact|push|fsck|rechunk|import|export|flags|config|" +
+        "status|metadata ...")
     sys.exit(2)
   }
 
@@ -189,6 +190,25 @@ object Cli {
             repo.config.toMap.updated(key, value))
           repo.saveConfig(updated)
           println(s"$key = $value (applies to future opens)")
+        case ("status", Nil) =>
+          val st = repo.status
+          println((if (st.readOnly) "read_only" else "online") +
+            st.reason.map(r => s" ($r)").getOrElse("") +
+            st.setAt.map(t => s" since $t").getOrElse(""))
+        case ("status", "readonly" :: reasonWords) =>
+          repo.setStatus(readOnly = true, reasonWords.mkString(" "))
+          println("read_only")
+        case ("status", "online" :: Nil) =>
+          repo.setStatus(readOnly = false)
+          println("online")
+        case ("metadata", Nil) | ("metadata", "show" :: _) =>
+          repo.metadata.toSeq.sortBy(_._1).foreach { case (k, v) =>
+            println(s"$k = ${graft.meta.SnapshotProps.write(v)}")
+          }
+        case ("metadata", "set" :: key :: value :: Nil) =>
+          repo.updateMetadata(
+            Map(key -> graft.meta.SnapshotProps.read(value)))
+          println(s"$key = $value")
         case _ => usage()
       }
     } catch {

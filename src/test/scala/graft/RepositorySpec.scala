@@ -168,6 +168,61 @@ class RepositorySpec extends SparkTestBase {
     intercept[GraftException](repo.deleteBranch("main"))
   }
 
+  test("repo administration: metadata, status lock, default commit metadata, transaction") {
+    import org.json4s._
+    val repo = Repository.create(Store.local(tmpDir("admin")), spark)
+    // metadata: replace vs merge, typed values round-trip
+    repo.setMetadata(Map("owner" -> JString("data-eng"),
+      "tier" -> JInt(2)))
+    repo.updateMetadata(Map("tier" -> JInt(3),
+      "tags" -> JArray(List(JString("prod")))))
+    val md = repo.metadata
+    assert(md("owner") == JString("data-eng") && md("tier") == JInt(3))
+    assert(md("tags") == JArray(List(JString("prod"))))
+    repo.setMetadata(Map("only" -> JBool(true)))
+    assert(repo.metadata.keySet == Set("only"))
+
+    // default commit metadata merges UNDER commit properties
+    repo.setDefaultCommitMetadata(Map(
+      "pipeline" -> JString("ingest-v2"), "team" -> JString("core")))
+    val s1 = repo.writableSession("main")
+    s1.addGroup("/g")
+    val c1 = s1.commit("with defaults",
+      properties = Map("team" -> "override"))
+    val props = repo.lookupSnapshot(c1).typedProperties
+    assert(props("pipeline") == JString("ingest-v2"))
+    assert(props("team") == JString("override"))
+
+    // read_only is an admin lock: new sessions AND in-flight commits
+    val inFlight = repo.writableSession("main")
+    inFlight.addGroup("/late")
+    repo.setStatus(readOnly = true, "migration window")
+    val e1 = intercept[GraftException](repo.writableSession("main"))
+    assert(e1.kind == GraftError.ReadOnly)
+    val e2 = intercept[GraftException](inFlight.commit("too late"))
+    assert(e2.kind == GraftError.ReadOnly)
+    val st = repo.status
+    assert(st.readOnly && st.reason.contains("migration window") &&
+      st.setAt.isDefined)
+    // unlock; the blocked commit can proceed
+    repo.setStatus(readOnly = false)
+    assert(!repo.status.readOnly)
+    inFlight.commit("landed after unlock")
+
+    // transaction: scoped write + commit in one call
+    val cid = repo.transaction("main", "tx add array") { s =>
+      s.addArray("/t", Seq(10), Seq(5))
+    }
+    assert(repo.lookupBranch("main").contains(cid))
+    assert(repo.readonlySession(VersionRef.Branch("main"))
+      .node("/t").isDefined)
+    // ops log records the admin actions
+    val ops = repo.info().ops.map(_.op)
+    assert(ops.contains("set_metadata") && ops.contains("set_status") &&
+      ops.contains("set_default_commit_metadata"))
+    assert(repo.specVersion == 2)
+  }
+
   test("opening a repo at a missing local path fails without creating the directory") {
     // reference #2145: open must not force-create the directory
     val dir = java.nio.file.Paths.get(tmpDir("no-such-repo"), "nested")
