@@ -401,6 +401,20 @@ final class Session private[repo] (
     * changeset precedence applied (left-anti + union — the same merge the
     * flush runs, session.rs:2587-2635) and tombstones dropped.
     */
+  /** Distinct location URLs of every virtual chunk visible in this
+    * session, across ALL arrays (reference
+    * `all_virtual_chunk_locations`, session.rs) — the input to
+    * credential planning ("which containers must I authorize?") and to
+    * fsck's coverage check. One distributed distinct over the ref
+    * relations; result size = #distinct locations.
+    */
+  def allVirtualChunkLocations(): Seq[String] =
+    nodes.filter(_.isArray).flatMap { n =>
+      refs(n.path).filter(col("kind") === ChunkRef.KindVirtual)
+        .select("location").distinct()
+        .collect().map(_.getString(0))
+    }.distinct.sorted
+
   def refs(path: String): DataFrame = {
     val n = arrayNode(path)
     val committed =

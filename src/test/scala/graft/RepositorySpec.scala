@@ -107,6 +107,9 @@ class RepositorySpec extends SparkTestBase {
     assert(manifests2.map(_.numRefs).sum == 600)
     // extent pruning: point lookup touches only the shard containing coord
     assert(ro2.getChunkRef("/long1d", Seq(555)).exists(_.kind == "virtual"))
+    // the credential-planning surface: every distinct virtual location
+    val locs = ro2.allVirtualChunkLocations()
+    assert(locs.size == 600 && locs.head == "file:///ext/data-0")
   }
 
   test("public failures carry stable machine-readable kinds (#2267)") {
