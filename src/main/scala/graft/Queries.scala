@@ -875,6 +875,26 @@ object Queries {
           .as("features_sum"))
       .orderBy("doc_id")
 
+  /** REAL image near-dup dedup end-to-end (rows-only: bilinear
+    * thumbnail interpolation is not SQL material): per doc, synthesize a
+    * deterministic lossless PNG whose pattern repeats every 25 ids —
+    * docs sharing a pattern are byte-identical images, so perceptual
+    * hashing must pair them at Hamming 0 while distinct patterns stay
+    * apart. Emits per-doc pair counts through the bucket-joined
+    * [[graft.pipeline.Multimodal.imageNearDups]].
+    */
+  val q_image_phash: Q = (s, d) => {
+    val synth = udf((id: Long) =>
+      Multimodal.pngGray(64, 48, id % 25))
+    Multimodal.imageNearDups(
+        t(s, d, "documents").select(col("doc_id"))
+          .withColumn("png", synth(col("doc_id"))),
+        "doc_id", "png", maxHamming = 0)
+      .select(explode(array(col("id_a"), col("id_b"))).as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_dups"))
+      .orderBy("doc_id")
+  }
+
   /** REAL audio decode end-to-end: per doc, synthesize a deterministic
     * 16-bit PCM WAV (square wave — amplitude and length are closed-form
     * functions of doc_id), decode it with `javax.sound.sampled`, and emit
@@ -1268,6 +1288,7 @@ object Queries {
     "q_multimodal_meta" -> q_multimodal_meta,
     "q_frame_sample" -> q_frame_sample,
     "q_multimodal_features" -> q_multimodal_features,
+    "q_image_phash" -> q_image_phash,
     "q_multimodal_audio" -> q_multimodal_audio,
     "q_video_frames" -> q_video_frames)
 }

@@ -115,6 +115,109 @@ object Multimodal {
       .drop("_img")
   }
 
+  /** 64-bit perceptual hashes of one image payload. */
+  final case class ImageHashes(ahash: Long, dhash: Long)
+
+  /** Perceptual image hashing (REAL decode): scale to a 9×8 luminance
+    * thumbnail (bilinear), then
+    *  - `ahash` — bit per 8×8 cell set when its luminance exceeds the
+    *    thumbnail mean (average hash);
+    *  - `dhash` — bit per horizontally-adjacent pair set when the right
+    *    cell is brighter (difference/gradient hash — robust to global
+    *    brightness shifts).
+    * Near-duplicate images land within a few bits of Hamming distance;
+    * undecodable payloads hash to null. The image-side analog of
+    * [[Dedup.simhash]].
+    */
+  val imageHashes: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((bytes: Array[Byte]) => {
+      if (bytes == null) null
+      else
+        try {
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(bytes))
+          if (img == null) null
+          else {
+            val out = new java.awt.image.BufferedImage(9, 8,
+              java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val g2 = out.createGraphics()
+            g2.setRenderingHint(
+              java.awt.RenderingHints.KEY_INTERPOLATION,
+              java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+            g2.drawImage(img, 0, 0, 9, 8, null)
+            g2.dispose()
+            val g = Array.tabulate(8, 9) { (y, x) =>
+              val rgb = out.getRGB(x, y)
+              (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+                (rgb & 0xff) * 114) / 1000
+            }
+            var mean = 0L
+            for (y <- 0 until 8; x <- 0 until 8) mean += g(y)(x)
+            mean /= 64
+            var a = 0L; var dh = 0L; var bit = 0
+            for (y <- 0 until 8; x <- 0 until 8) {
+              if (g(y)(x) > mean) a |= (1L << bit)
+              if (g(y)(x + 1) > g(y)(x)) dh |= (1L << bit)
+              bit += 1
+            }
+            ImageHashes(a, dh)
+          }
+        } catch { case _: Exception => null }
+    })
+
+  /** Image near-duplicate pairs by perceptual hash: dHash blocks on 4
+    * exact 16-bit sub-keys — a pair within Hamming ≤ 3 is GUARANTEED a
+    * shared clean block (pigeonhole); larger distances are found when
+    * their differing bits cluster (same recall trade as
+    * [[Dedup.simhashCandidates]]). Candidates verify by full 64-bit
+    * Hamming on BOTH hashes. The pair space is bucket-joined, never
+    * O(n²); undecodable rows drop out. Returns
+    * (id_a, id_b, hamming = max of the two hash distances).
+    */
+  def imageNearDups(df: DataFrame, idCol: String, binCol: String,
+                    maxHamming: Int = 6): DataFrame = {
+    val hashed = df
+      .select(col(idCol).as("_id"), imageHashes(col(binCol)).as("_h"))
+      .filter(col("_h").isNotNull)
+      .select(col("_id"), col("_h.ahash").as("ah"), col("_h.dhash").as("dh"))
+    val blocked = hashed.select(col("_id"), col("ah"), col("dh"),
+      posexplode(array((0 until 4).map(i =>
+        shiftright(col("dh"), i * 16).bitwiseAND(lit(0xffffL))): _*)))
+      .withColumnRenamed("pos", "block").withColumnRenamed("col", "key")
+    val a = blocked.select(col("block"), col("key"),
+      col("_id").as("id_a"), col("ah").as("ah_a"), col("dh").as("dh_a"))
+    val b = blocked.select(col("block"), col("key"),
+      col("_id").as("id_b"), col("ah").as("ah_b"), col("dh").as("dh_b"))
+    a.join(b, Seq("block", "key"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        greatest(bit_count(col("dh_a").bitwiseXOR(col("dh_b"))),
+          bit_count(col("ah_a").bitwiseXOR(col("ah_b")))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Deterministic grayscale PNG synthesis (lossless — the image-side
+    * test fixture): an 8×8 grid of light/dark blocks whose on/off bits
+    * hash from `pattern`, so every pattern id yields a structurally
+    * distinct image (≈32 differing blocks between two ids) while equal
+    * ids yield byte-identical files.
+    */
+  def pngGray(width: Int, height: Int, pattern: Long): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(width, height,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val bw = math.max(1, width / 8); val bh = math.max(1, height / 8)
+    for (y <- 0 until height; x <- 0 until width) {
+      val cell = math.min(7, y / bh) * 8 + math.min(7, x / bw)
+      val h = (pattern * 2654435761L + cell * 40503L + 12345L)
+      val v = if (((h ^ (h >>> 13)) & 4L) != 0L) 230 else 25
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
   /** Decoded audio summary: container format facts + signal features. */
   final case class DecodedAudio(sample_rate: Double, channels: Int,
       bits: Int, n_frames: Long, duration_s: Double, rms: Double,

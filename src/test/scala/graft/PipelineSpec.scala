@@ -699,6 +699,51 @@ class PipelineSpec extends SparkTestBase {
     assert(part == part2)
   }
 
+  test("perceptual image hashes: identity, tolerance, separation, junk") {
+    import graft.pipeline.Multimodal
+    import spark.implicits._
+    val base = Multimodal.pngGray(64, 48, 3)
+    // one corner pixel flipped: a near-identical image
+    val tweaked = {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(base))
+      img.setRGB(0, 0, 0xffffff)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val different = Multimodal.pngGray(64, 48, 11)
+    val rows = Seq(
+      (1L, base), (2L, base),        // exact duplicates
+      (3L, tweaked),                 // near-duplicate of 1/2
+      (4L, different),               // different pattern
+      (5L, "not an image".getBytes("UTF-8"))) // junk
+      .toDF("id", "png")
+    val hashed = rows
+      .select(col("id"), Multimodal.imageHashes(col("png")).as("h"))
+      .collect().map(r => r.getLong(0) ->
+        Option(r.getStruct(1)).map(s => (s.getLong(0), s.getLong(1))))
+      .toMap
+    assert(hashed(1L).isDefined && hashed(1L) == hashed(2L))
+    assert(hashed(5L).isEmpty, "junk bytes must hash to null")
+    def hamm(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val (a1, d1) = hashed(1L).get
+    val (a3, d3) = hashed(3L).get
+    val (a4, d4) = hashed(4L).get
+    assert(hamm(d1, d3) <= 4, s"one-pixel tweak moved dhash ${hamm(d1, d3)}")
+    assert(math.max(hamm(d1, d4), hamm(a1, a4)) > 6,
+      "different patterns must separate")
+    // the bucket-joined pair search: exact dups pair at hamming 0; the
+    // near-dup pairs within tolerance; the different image does not
+    val pairs = Multimodal.imageNearDups(rows, "id", "png",
+        maxHamming = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.contains((1L, 3L)) && pairs.contains((2L, 3L)))
+    assert(!pairs.exists { case (x, y) => x == 4L || y == 4L })
+    assert(!pairs.exists { case (x, y) => x == 5L || y == 5L })
+  }
+
   test("classifier: hashed feature index agrees between SQL and task-side") {
     import graft.pipeline.Classifier
     import spark.implicits._
