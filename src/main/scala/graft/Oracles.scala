@@ -755,6 +755,32 @@ object Oracles {
         |  round(1.0 / (1.0 + exp(-(-0.05 + sum(w)))), 4) AS score
         |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
+    // rebuilds the identical count-min sketch (md5-salted buckets) and
+    // takes the same min-cell estimates — exact integer arithmetic
+    "q_cms_heavy" ->
+      """WITH tok AS (
+        |  SELECT unnest(list_filter(string_split_regex(lower(text),
+        |    '\s+'), x -> len(x) > 0)) AS token
+        |  FROM documents),
+        |js AS (SELECT unnest([0, 1, 2, 3]) AS j),
+        |cells AS (
+        |  SELECT j,
+        |    ('0x' || substr(md5(j::VARCHAR || ':' || token), 1, 4))::INT
+        |      % 512 AS bucket,
+        |    count(*) AS n
+        |  FROM tok, js GROUP BY 1, 2),
+        |exact AS (
+        |  SELECT token, count(*) AS n_occ FROM tok GROUP BY 1
+        |  ORDER BY n_occ DESC, token LIMIT 30)
+        |SELECT e.token, e.n_occ, min(c.n) AS est
+        |FROM exact e
+        |JOIN js ON true
+        |JOIN cells c ON c.j = js.j AND c.bucket =
+        |  ('0x' || substr(md5(js.j::VARCHAR || ':' || e.token), 1, 4))::INT
+        |    % 512
+        |GROUP BY 1, 2
+        |ORDER BY n_occ DESC, token""".stripMargin,
+
     "q_word_freq" ->
       """WITH tok AS (
         |  SELECT doc_id,

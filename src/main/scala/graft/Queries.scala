@@ -773,6 +773,24 @@ object Queries {
       .orderBy("source")
   }
 
+  /** Count-min-sketch heavy hitters: build the bounded-memory sketch
+    * (4 × 512 cells — the shuffle is ≤2048 rows regardless of vocabulary
+    * size), estimate the exact top-30 tokens through it, and emit
+    * (token, exact, est). The md5-salted hashes are engine-portable, so
+    * DuckDB rebuilds every cell and every min-estimate bit-for-bit —
+    * an ORACLE-CHECKED approximate sketch.
+    */
+  val q_cms_heavy: Q = (s, d) => {
+    val docs = t(s, d, "documents")
+    val sketch = TextAnalysis.cmsSketch(docs, depth = 4, width = 512)
+    val top = TextAnalysis.wordFrequencies(docs, topK = 30)
+      .select(col("token"), col("n_occ"))
+    TextAnalysis.cmsEstimate(top, sketch, depth = 4, width = 512)
+      .join(top, Seq("token"))
+      .select(col("token"), col("n_occ"), col("est"))
+      .orderBy(col("n_occ").desc, col("token"))
+  }
+
   /** Corpus word-frequency table (vocabulary/Zipf audit): top 100 tokens
     * by occurrence count with document frequencies.
     */
@@ -1279,6 +1297,7 @@ object Queries {
     "q_classifier_score" -> q_classifier_score,
     "q_classifier_train" -> q_classifier_train,
     "q_word_freq" -> q_word_freq,
+    "q_cms_heavy" -> q_cms_heavy,
     "q_bm25" -> q_bm25,
     "q_substring_spans" -> q_substring_spans,
     "q_bpe_vocab" -> q_bpe_vocab,

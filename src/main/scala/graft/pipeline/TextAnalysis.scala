@@ -193,6 +193,47 @@ object TextAnalysis {
       .orderBy(col("n_occ").desc, col("token"))
       .limit(topK)
 
+  /** Count-min sketch over the corpus token stream: `depth` independent
+    * md5-derived hash rows × `width` buckets, each cell the exact count
+    * of tokens hashing into it. THE bounded-memory frequency structure:
+    * the aggregation shuffles at most `depth × width` rows no matter how
+    * large the vocabulary (billions of token types at 100 TB), and
+    * estimates are `min_j cell(j, h_j(token))` — always ≥ the true count
+    * (soundness), within `ε·N` of it with the classic CMS guarantee.
+    *
+    * Hashes are engine-portable by construction — `h_j(t) = first 4 md5
+    * hex chars of "<j>:<t>" mod width` (the [[Sampling.hashBucket]] md5
+    * recipe with a depth-salt) — so an external engine recomputes every
+    * cell and every estimate bit-for-bit (see q_cms_heavy).
+    */
+  def cmsSketch(docs: DataFrame, textCol: String = "text",
+                depth: Int = 4, width: Int = 512): DataFrame = {
+    require(depth >= 1 && depth <= 16, s"depth 1..16, got $depth")
+    require(width >= 16 && width <= 65536, s"width 16..65536, got $width")
+    val tok = docs.select(explode(tokens(col(textCol))).as("token"))
+    tok.select(col("token"),
+        posexplode(array((0 until depth).map(j =>
+          pmod(conv(substring(md5(concat(lit(s"$j:"), col("token"))),
+            1, 4), 16, 10).cast("int"), lit(width))): _*)))
+      .withColumnRenamed("pos", "depth").withColumnRenamed("col", "bucket")
+      .groupBy("depth", "bucket").agg(count(lit(1)).as("n"))
+  }
+
+  /** Point-estimate token counts from a [[cmsSketch]]: join each query
+    * token's `depth` buckets against the sketch and take the min cell.
+    * The sketch is at most `depth × width` rows — always broadcastable.
+    */
+  def cmsEstimate(queryTokens: DataFrame, sketch: DataFrame,
+                  tokenCol: String = "token", depth: Int = 4,
+                  width: Int = 512): DataFrame =
+    queryTokens.select(col(tokenCol).as("token"),
+        posexplode(array((0 until depth).map(j =>
+          pmod(conv(substring(md5(concat(lit(s"$j:"), col(tokenCol))),
+            1, 4), 16, 10).cast("int"), lit(width))): _*)))
+      .withColumnRenamed("pos", "depth").withColumnRenamed("col", "bucket")
+      .join(broadcast(sketch), Seq("depth", "bucket"))
+      .groupBy("token").agg(min("n").as("est"))
+
   /** BM25 ranking of every document against a small bag-of-terms query —
     * classical sparse retrieval (Robertson–Spärck Jones), using Lucene's
     * non-negative idf form `ln(1 + (N − df + 0.5)/(df + 0.5))`.

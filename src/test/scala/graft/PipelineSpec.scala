@@ -699,6 +699,25 @@ class PipelineSpec extends SparkTestBase {
     assert(part == part2)
   }
 
+  test("count-min sketch: sound over-estimates, bounded size, determinism") {
+    import graft.pipeline.TextAnalysis
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val sketch = TextAnalysis.cmsSketch(docs, depth = 4, width = 256)
+    assert(sketch.count() <= 4L * 256, "sketch must stay within d*w cells")
+    // soundness: the estimate NEVER undercounts, for every token type
+    val exact = TextAnalysis.wordFrequencies(docs, topK = 10000)
+      .select("token", "n_occ")
+    val est = TextAnalysis.cmsEstimate(exact, sketch, depth = 4,
+        width = 256)
+      .join(exact, Seq("token"))
+    assert(est.filter(col("est") < col("n_occ")).count() == 0,
+      "CMS undercounted")
+    // deterministic across builds
+    val sketch2 = TextAnalysis.cmsSketch(docs, depth = 4, width = 256)
+    assert(sketch.exceptAll(sketch2).count() == 0 &&
+      sketch2.exceptAll(sketch).count() == 0)
+  }
+
   test("perceptual image hashes: identity, tolerance, separation, junk") {
     import graft.pipeline.Multimodal
     import spark.implicits._
