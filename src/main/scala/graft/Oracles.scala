@@ -755,6 +755,10 @@ object Oracles {
         |  round(1.0 / (1.0 + exp(-(-0.05 + sum(w)))), 4) AS score
         |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
+    "q_deterministic_sample" ->
+      """SELECT doc_id, source, n_chars FROM documents
+        |ORDER BY md5(doc_id::VARCHAR), doc_id LIMIT 50""".stripMargin,
+
     // rebuilds the identical count-min sketch (md5-salted buckets) and
     // takes the same min-cell estimates — exact integer arithmetic
     "q_cms_heavy" ->

@@ -773,6 +773,16 @@ object Queries {
       .orderBy("source")
   }
 
+  /** Deterministic uniform sample: the 50 documents whose md5(doc_id)
+    * sorts lowest — same rows on every engine and every rerun (the
+    * reproducible-audit sample). DuckDB recomputes the identical order.
+    */
+  val q_deterministic_sample: Q = (s, d) =>
+    Sampling.deterministicSample(
+        t(s, d, "documents").select("doc_id", "source", "n_chars"),
+        "doc_id", k = 50)
+      .orderBy("doc_id")
+
   /** Count-min-sketch heavy hitters: build the bounded-memory sketch
     * (4 × 512 cells — the shuffle is ≤2048 rows regardless of vocabulary
     * size), estimate the exact top-30 tokens through it, and emit
@@ -1298,6 +1308,7 @@ object Queries {
     "q_classifier_train" -> q_classifier_train,
     "q_word_freq" -> q_word_freq,
     "q_cms_heavy" -> q_cms_heavy,
+    "q_deterministic_sample" -> q_deterministic_sample,
     "q_bm25" -> q_bm25,
     "q_substring_spans" -> q_substring_spans,
     "q_bpe_vocab" -> q_bpe_vocab,

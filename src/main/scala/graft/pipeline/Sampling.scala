@@ -59,6 +59,23 @@ object Sampling {
     df.withColumn("split", assign)
   }
 
+  /** Deterministic uniform k-sample: the k rows whose md5(id) sorts
+    * lowest — a fixed, engine-recomputable pseudo-random sample (the
+    * md5 order is uniform and independent of row order/partitioning).
+    * Reruns, other engines, and incremental pipelines all select the
+    * SAME rows, which is what makes sampled audits reproducible. The
+    * plan is a TakeOrdered (per-partition top-k then merge), never a
+    * global sort.
+    */
+  def deterministicSample(df: DataFrame, idCol: String,
+                          k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    df.withColumn("_rank", md5(col(idCol).cast("string")))
+      .orderBy(col("_rank"), col(idCol))
+      .limit(k)
+      .drop("_rank")
+  }
+
   /** Temperature-weighted source mixing — the multinomial sampling used
     * to build multi-source / multilingual training mixtures: source `s`
     * with `n_s` rows is drawn with probability `n_s^alpha / Σ n^alpha`
