@@ -759,6 +759,44 @@ object Oracles {
       """SELECT doc_id, source, n_chars FROM documents
         |ORDER BY md5(doc_id::VARCHAR), doc_id LIMIT 50""".stripMargin,
 
+    // rebuilds the identical HLL register table (60-bit md5 hashes,
+    // 256 registers, max leading-zero rank) and the same estimator with
+    // linear-counting correction; round(.,2)
+    "q_hll_distinct" ->
+      """WITH tok AS (
+        |  SELECT source,
+        |    unnest(list_filter(string_split_regex(lower(text), '\s+'),
+        |      x -> len(x) > 0)) AS token
+        |  FROM documents),
+        |h AS (
+        |  SELECT source, token,
+        |    ('0x' || substr(md5(token), 1, 15))::BIGINT AS hv
+        |  FROM tok),
+        |regs AS (
+        |  SELECT source, hv % 256 AS idx,
+        |    max(CASE WHEN hv // 256 = 0 THEN 53
+        |        ELSE 53 - length(bin(hv // 256)) END) AS mrank
+        |  FROM h GROUP BY 1, 2),
+        |agg AS (
+        |  SELECT source, count(*) AS active,
+        |    sum(pow(2.0, -mrank)) AS sum_active
+        |  FROM regs GROUP BY 1),
+        |est AS (
+        |  SELECT source,
+        |    (0.7213 / (1.0 + 1.079 / 256)) * 256.0 * 256.0 /
+        |      (sum_active + (256 - active)) AS raw,
+        |    256 - active AS zeros
+        |  FROM agg),
+        |ex AS (
+        |  SELECT source, count(DISTINCT token) AS n_exact
+        |  FROM tok GROUP BY 1)
+        |SELECT e.source, x.n_exact,
+        |  round(CASE WHEN e.raw <= 640.0 AND e.zeros > 0
+        |    THEN 256.0 * ln(256.0 / e.zeros) ELSE e.raw END, 2)
+        |    AS est_distinct
+        |FROM est e JOIN ex x ON e.source = x.source
+        |ORDER BY e.source""".stripMargin,
+
     // rebuilds the identical count-min sketch (md5-salted buckets) and
     // takes the same min-cell estimates — exact integer arithmetic
     "q_cms_heavy" ->

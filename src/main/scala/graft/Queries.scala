@@ -773,6 +773,25 @@ object Queries {
       .orderBy("source")
   }
 
+  /** HyperLogLog distinct-token estimates per source next to the exact
+    * count: the register table (source × 256 rows max) is the only
+    * shuffle however large the vocabulary. DuckDB rebuilds every
+    * register and the identical estimator (linear-counting regime at
+    * this scale) — an oracle-checked cardinality sketch.
+    */
+  val q_hll_distinct: Q = (s, d) => {
+    val docs = t(s, d, "documents")
+    val tok = docs.select(col("source"),
+      explode(TextAnalysis.tokens(col("text"))).as("token"))
+    val exact = tok.groupBy("source")
+      .agg(count_distinct(col("token")).as("n_exact"))
+    TextAnalysis.hllEstimate(
+        TextAnalysis.hllRegisters(tok, "source", "token"), "source")
+      .join(exact, Seq("source"))
+      .select(col("source"), col("n_exact"), col("est_distinct"))
+      .orderBy("source")
+  }
+
   /** Deterministic uniform sample: the 50 documents whose md5(doc_id)
     * sorts lowest — same rows on every engine and every rerun (the
     * reproducible-audit sample). DuckDB recomputes the identical order.
@@ -1308,6 +1327,7 @@ object Queries {
     "q_classifier_train" -> q_classifier_train,
     "q_word_freq" -> q_word_freq,
     "q_cms_heavy" -> q_cms_heavy,
+    "q_hll_distinct" -> q_hll_distinct,
     "q_deterministic_sample" -> q_deterministic_sample,
     "q_bm25" -> q_bm25,
     "q_substring_spans" -> q_substring_spans,

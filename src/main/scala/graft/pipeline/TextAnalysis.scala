@@ -234,6 +234,57 @@ object TextAnalysis {
       .join(broadcast(sketch), Seq("depth", "bucket"))
       .groupBy("token").agg(min("n").as("est"))
 
+  /** HyperLogLog register table for distinct-count estimation of
+    * `valueCol` per `groupCol`: 2^p registers per group, each holding
+    * the max leading-zero rank of the md5-derived 60-bit hashes landing
+    * in it. THE bounded-memory cardinality structure: the shuffle is at
+    * most `groups × 2^p` rows no matter how many distinct values exist
+    * (billions of token types / URLs / ids at 100 TB). Same
+    * engine-portable hash recipe as [[cmsSketch]], so an external
+    * engine rebuilds every register (see q_hll_distinct).
+    */
+  def hllRegisters(df: DataFrame, groupCol: String, valueCol: String,
+                   p: Int = 8): DataFrame = {
+    require(p >= 4 && p <= 14, s"p in 4..14, got $p")
+    val m = 1 << p
+    val restBits = 60 - p
+    val h = conv(substring(md5(col(valueCol).cast("string")), 1, 15),
+      16, 10).cast("long")
+    df.select(col(groupCol), h.as("_h"))
+      .withColumn("idx", pmod(col("_h"), lit(m.toLong)).cast("int"))
+      .withColumn("_rest", expr(s"_h div $m"))
+      .withColumn("rank",
+        when(col("_rest") === 0, lit(restBits + 1))
+          .otherwise(lit(restBits + 1) - length(bin(col("_rest")))))
+      .groupBy(col(groupCol), col("idx"))
+      .agg(max("rank").as("mrank"))
+  }
+
+  /** Distinct-count estimates from [[hllRegisters]]: the classic HLL
+    * estimator (`α_m·m²/Σ2^−M`) with the standard small-range linear
+    * counting correction (`m·ln(m/V)` when the raw estimate ≤ 2.5m and
+    * zero registers remain). Standard error ≈ 1.04/√m. All arithmetic
+    * is the identical closed form on every engine; estimates round to
+    * 2 dp so last-ulp float differences can't flip a comparison.
+    */
+  def hllEstimate(registers: DataFrame, groupCol: String,
+                  p: Int = 8): DataFrame = {
+    val m = 1 << p
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    registers.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("_active"),
+        sum(pow(lit(2.0), -col("mrank"))).as("_sumActive"))
+      .withColumn("_zeros", lit(m) - col("_active"))
+      .withColumn("_raw",
+        lit(alpha * m.toDouble * m) /
+          (col("_sumActive") + col("_zeros").cast("double")))
+      .withColumn("est_distinct",
+        round(when(col("_raw") <= 2.5 * m && col("_zeros") > 0,
+          lit(m.toDouble) * log(lit(m).cast("double") / col("_zeros")))
+          .otherwise(col("_raw")), 2))
+      .select(col(groupCol), col("est_distinct"))
+  }
+
   /** BM25 ranking of every document against a small bag-of-terms query —
     * classical sparse retrieval (Robertson–Spärck Jones), using Lucene's
     * non-negative idf form `ln(1 + (N − df + 0.5)/(df + 0.5))`.

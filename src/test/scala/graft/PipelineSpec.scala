@@ -718,6 +718,24 @@ class PipelineSpec extends SparkTestBase {
       sketch2.exceptAll(sketch).count() == 0)
   }
 
+  test("HLL sketch: bounded registers, estimate within the m=256 error band") {
+    import graft.pipeline.TextAnalysis
+    import spark.implicits._
+    // 5000 distinct values in one group: raw-estimator regime
+    val vals = (0 until 5000).map(i => ("g", s"value-$i")).toDF("g", "v")
+    val regs = TextAnalysis.hllRegisters(vals, "g", "v")
+    assert(regs.count() <= 256)
+    val est = TextAnalysis.hllEstimate(regs, "g")
+      .head().getDouble(1)
+    // σ ≈ 1.04/√256 = 6.5%; 3σ band
+    assert(math.abs(est - 5000) / 5000 < 0.20, s"estimate $est for 5000")
+    // duplicates never move registers: estimate is cardinality, not count
+    val dup = vals.union(vals).union(vals)
+    val est2 = TextAnalysis.hllEstimate(
+      TextAnalysis.hllRegisters(dup, "g", "v"), "g").head().getDouble(1)
+    assert(est2 == est)
+  }
+
   test("perceptual image hashes: identity, tolerance, separation, junk") {
     import graft.pipeline.Multimodal
     import spark.implicits._
