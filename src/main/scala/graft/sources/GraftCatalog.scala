@@ -648,7 +648,7 @@ private[sources] object GraftProcedures {
 
   val names: Seq[String] = Seq("push", "fsck", "gc", "expire", "compact",
     "tensor_combine", "tensor_map", "tensor_transpose",
-    "tensor_downsample")
+    "tensor_downsample", "zarr_import", "zarr_export")
 
   /** Array dtype from the node's userData (same probe as the SQL table
     * loader) — tensor procedures infer it instead of asking the caller.
@@ -820,6 +820,34 @@ private[sources] object GraftProcedures {
           mode = in.getUTF8String(3).toString)
         Array(new GenericInternalRow(Array[Any](str(
           s.commit(s"tensor_downsample ${factors.mkString(",")}")))))
+      }
+      // store adoption / publication from pure SQL
+      case "zarr_import" => proc("zarr_import",
+        Seq(p("src", StringType), pd("copy", BooleanType, "false"),
+          pd("branch", StringType, "'main'")),
+        StructType(Seq(StructField("snapshot_id", StringType)))) { in =>
+        val id = graft.ops.ZarrImport.importStore(repo(),
+          in.getUTF8String(2).toString,
+          Store.local(in.getUTF8String(0).toString),
+          copy = in.getBoolean(1))
+        Array(new GenericInternalRow(Array[Any](str(id))))
+      }
+      case "zarr_export" => proc("zarr_export",
+        Seq(p("ref", StringType), p("dst", StringType),
+          pd("compression", StringType, "'raw'"),
+          pd("shard", StringType, "''")),
+        StructType(Seq(StructField("objects_written", LongType)))) { in =>
+        val r = repo()
+        val ro = r.readonlySession(
+          graft.repo.VersionRef.Branch(in.getUTF8String(0).toString))
+        val shard = Option(in.getUTF8String(3).toString)
+          .filter(_.nonEmpty)
+          .map(_.split(",").toSeq.map(_.trim.toInt)).getOrElse(Nil)
+        val n = graft.ops.ZarrExport.exportStore(ro,
+          Store.local(in.getUTF8String(1).toString),
+          compression = in.getUTF8String(2).toString,
+          shardChunks = shard)
+        Array(new GenericInternalRow(Array[Any](java.lang.Long.valueOf(n))))
       }
       case other => throw new graft.repo.GraftException(
         s"no procedure system.$other", graft.repo.GraftError.RefNotFound)

@@ -515,6 +515,22 @@ class GraftCatalogSpec extends SparkTestBase {
       .toSet == ro.refs("/a").select("chunk_id").collect()
       .map(_.getString(0)).toSet)
 
+    // publish sharded + adopt back, all through SQL
+    val out = tmpDir("tproc-zarr")
+    val n = spark.sql(
+      s"CALL $cat.system.zarr_export('main', '$out', 'raw', '2')")
+      .head().getLong(0)
+    assert(n > 0)
+    val dir2 = tmpDir("tproc-repo2")
+    Repository.create(Store.local(dir2), spark)
+    val cat2 = "tcat2" + (System.nanoTime() % 100000)
+    spark.conf.set(s"spark.sql.catalog.$cat2",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat2.path", dir2)
+    spark.sql(s"CALL $cat2.system.zarr_import('$out')").collect()
+    assert(spark.sql(s"SELECT value FROM $cat2.sum WHERE i0 = 25")
+      .head().getLong(0) == 125L)
+
     // dtype probe failure surfaces as a stable-kind refusal
     val s2 = repo.writableSession("main")
     s2.addArray("/nodt", Seq(10), Seq(10))
