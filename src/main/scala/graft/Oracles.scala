@@ -759,6 +759,16 @@ object Oracles {
       """SELECT doc_id, source, n_chars FROM documents
         |ORDER BY md5(doc_id::VARCHAR), doc_id LIMIT 50""".stripMargin,
 
+    // identical normalization order: NFC -> controls -> collapse ->
+    // trim -> lower; DuckDB's nfc_normalize implements the same UAX#15
+    "q_normalize" ->
+      """SELECT doc_id,
+        |  lower(trim(regexp_replace(regexp_replace(
+        |    nfc_normalize(text || chr(9) || 'E' || chr(769) ||
+        |      'cole  CAFE' || chr(769) || ' '),
+        |    '[\x00-\x1f\x7f]', ' ', 'g'), ' +', ' ', 'g'))) AS norm
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
     // rebuilds the identical HLL register table (60-bit md5 hashes,
     // 256 registers, max leading-zero rank) and the same estimator with
     // linear-counting correction; round(.,2)

@@ -773,6 +773,22 @@ object Queries {
       .orderBy("source")
   }
 
+  /** Canonical normalization end-to-end: each doc gets a decomposed-
+    * Unicode + control-char + run-of-spaces suffix appended, then
+    * normalizes (NFC → controls → collapse → trim → lower). DuckDB's
+    * `nfc_normalize` implements the same UAX#15, so the oracle matches
+    * byte-for-byte — including the é-composition cases where a
+    * non-normalizing pipeline would split dedup groups.
+    */
+  val q_normalize: Q = (s, d) => {
+    // decomposed accents (E + combining acute), TAB, double spaces
+    val messy = concat(col("text"),
+      lit("\tE\u0301cole  CAFE\u0301 "))
+    t(s, d, "documents").select(col("doc_id"),
+        TextAnalysis.normalizeText(messy).as("norm"))
+      .orderBy("doc_id")
+  }
+
   /** HyperLogLog distinct-token estimates per source next to the exact
     * count: the register table (source × 256 rows max) is the only
     * shuffle however large the vocabulary. DuckDB rebuilds every
@@ -1327,6 +1343,7 @@ object Queries {
     "q_classifier_train" -> q_classifier_train,
     "q_word_freq" -> q_word_freq,
     "q_cms_heavy" -> q_cms_heavy,
+    "q_normalize" -> q_normalize,
     "q_hll_distinct" -> q_hll_distinct,
     "q_deterministic_sample" -> q_deterministic_sample,
     "q_bm25" -> q_bm25,

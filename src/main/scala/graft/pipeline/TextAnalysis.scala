@@ -104,6 +104,27 @@ object TextAnalysis {
       (acc, t) => pmod(acc * 31L + crc32(t).cast("long"),
         lit(2147483647L)))
 
+  /** Canonical text normalization — the first pass of every text
+    * pipeline: Unicode NFC (composed forms, so visually-identical
+    * strings hash identically downstream — dedup/fingerprint inputs
+    * MUST be normalized or é ≠ é), control characters stripped (TAB/
+    * LF/CR become spaces first), whitespace runs collapsed, edges
+    * trimmed, optional lowercasing. NFC itself has no Spark built-in —
+    * `java.text.Normalizer` is the one genuinely-needed JVM call (UAX#15
+    * is deterministic, so DuckDB's `nfc_normalize` agrees byte-for-byte
+    * and q_normalize is oracle-matched); everything else is codegen'd
+    * `regexp_replace`.
+    */
+  def normalizeText(text: Column, lowercase: Boolean = true): Column = {
+    val nfc = udf((s: String) =>
+      if (s == null) null
+      else java.text.Normalizer.normalize(s,
+        java.text.Normalizer.Form.NFC))
+    val cleaned = trim(regexp_replace(regexp_replace(nfc(text),
+      "[\\x00-\\x1f\\x7f]", " "), " +", " "))
+    if (lowercase) lower(cleaned) else cleaned
+  }
+
   /** Redact common PII shapes — emails, IPv4 addresses, phone-like digit
     * runs — with typed placeholders: the standard pre-training scrub
     * pass. A pure `regexp_replace` chain (codegen'd, shuffle-free);
