@@ -284,4 +284,55 @@ class StreamingSpec extends SparkTestBase {
     w.commit(1L, none) // replay of epoch 1, three commits deep
     assert(epochs().size == 2, "replay behind foreign commits must no-op")
   }
+
+  test("cell-changes streaming source: each micro-batch carries exactly " +
+      "the changed cells, checkpointed offsets resume") {
+    val dir = tmpDir("cc-repo")
+    val repo = Repository.create(Store.local(dir), spark)
+    val s0 = repo.writableSession("main")
+    s0.addArray("/v", Seq(30), Seq(10), userData = """{"dtype":"int64"}""")
+    for (c <- 0 until 3) s0.writeChunk("/v", Seq(c),
+      graft.functions.ChunkCodec.encodeLongs(
+        Array.tabulate(10)(i => (c * 10 + i).toLong), "int64"))
+    s0.commit("base")
+
+    val got = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
+    val ckpt = tmpDir("cc-ckpt")
+    def run(): Unit = {
+      val q = spark.readStream.format("graft-cell-changes")
+        .option("path", dir).option("array", "/v")
+        .option("dtype", "int64").load()
+        .writeStream
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          got.synchronized {
+            got ++= df.select("i0", "old_value", "new_value").collect()
+              .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+          }: Unit
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    // first drain: baseline = every current cell as (0 -> v); cell 0
+    // holds the fill value so 0 -> 0 is correctly NOT a change
+    run()
+    assert(got.size == 29, s"baseline ${got.size}")
+    assert(got.forall { case (i, o, n) => o == 0L && n == i && i != 0 })
+    got.clear()
+
+    // a one-cell patch: exactly one row arrives on resume
+    val s1 = repo.writableSession("main")
+    val chunk = graft.functions.ChunkCodec.encodeLongs(
+      Array.tabulate(10)(i => if (i == 5) 999L else (10 + i).toLong),
+      "int64")
+    s1.writeChunk("/v", Seq(1), chunk)
+    s1.commit("patch cell 15")
+    run()
+    assert(got.toSeq == Seq((15L, 15L, 999L)), got)
+    got.clear()
+
+    // no movement -> empty batch
+    run()
+    assert(got.isEmpty, got)
+  }
 }
