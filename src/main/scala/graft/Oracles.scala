@@ -281,6 +281,17 @@ object Oracles {
         |  min(CASE WHEN inw THEN pt - su END) AS first_gap_s
         |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    "q_retention" ->
+      """WITH ud AS (
+        |  SELECT user_id,
+        |    CAST(floor(floor(epoch(ts)) / 86400) AS BIGINT) AS d
+        |  FROM events),
+        |fd AS (SELECT user_id, min(d) AS cohort_day FROM ud GROUP BY 1)
+        |SELECT fd.cohort_day, ud.d - fd.cohort_day AS day_offset,
+        |  count(DISTINCT ud.user_id) AS n_users
+        |FROM ud JOIN fd ON ud.user_id = fd.user_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
     "q_dedup_exact" ->
       """SELECT d.doc_id, m.canonical_id, m.n_copies
         |FROM documents d JOIN (

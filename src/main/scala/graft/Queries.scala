@@ -773,6 +773,14 @@ object Queries {
       .orderBy("source")
   }
 
+  /** Cohort retention triangle over the event stream: users bucketed by
+    * first-event day, distinct-active counts per day offset. Integral
+    * epoch-day arithmetic — DuckDB reproduces every cell.
+    */
+  val q_retention: Q = (s, d) =>
+    graft.pipeline.Events.retentionCohorts(events(s, d))
+      .orderBy("cohort_day", "day_offset")
+
   /** Canonical normalization end-to-end: each doc gets a decomposed-
     * Unicode + control-char + run-of-spaces suffix appended, then
     * normalizes (NFC → controls → collapse → trim → lower). DuckDB's
@@ -1302,6 +1310,7 @@ object Queries {
     "q_asof_join" -> q_asof_join,
     "q_band_join" -> q_band_join,
     "q_funnel" -> q_funnel,
+    "q_retention" -> q_retention,
     "q_salted_join" -> q_salted_join,
     "q_dedup_exact" -> q_dedup_exact,
     "q_dedup_clusters" -> q_dedup_clusters,

@@ -7,6 +7,28 @@ import org.apache.spark.sql.functions._
 /** Ordered-event operators Spark has no native relational form for. */
 object Events {
 
+  /** Cohort retention: bucket users by the DAY of their first event
+    * (the cohort), then count distinct users active at each day offset
+    * since — the classic retention triangle. Two hash aggregations
+    * (first-day per user, then cohort × offset distincts); the cohort
+    * relation is #users rows and joins back broadcast-or-hash as the
+    * optimizer sees fit. Day arithmetic is integral (epoch days), so
+    * external engines reproduce it exactly.
+    */
+  def retentionCohorts(events: DataFrame, userCol: String = "user_id",
+                       tsCol: String = "ts"): DataFrame = {
+    val day = floor(unix_timestamp(col(tsCol)) / 86400L)
+    val firstDay = events
+      .select(col(userCol), day.as("d"))
+      .groupBy(userCol).agg(min("d").as("cohort_day"))
+    events.select(col(userCol), day.as("d"))
+      .join(firstDay, Seq(userCol))
+      .groupBy(col("cohort_day"), (col("d") - col("cohort_day"))
+        .as("day_offset"))
+      .agg(count_distinct(col(userCol)).as("n_users"))
+  }
+
+
   /** The operators stage internal columns on the inputs; a caller column
     * with one of these names would silently corrupt the result, so they
     * are refused up front.
