@@ -292,6 +292,45 @@ object Oracles {
         |FROM ud JOIN fd ON ud.user_id = fd.user_id
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
+    // the composed pipeline from first principles: exact text groups,
+    // all-pairs 3-gram jaccard >= 0.6 among exact survivors, recursive
+    // components, min-id keeps; reasons name which stage dropped a doc
+    "q_dedup_pipeline" ->
+      """WITH RECURSIVE ex AS (
+        |  SELECT doc_id, text,
+        |    min(doc_id) OVER (PARTITION BY text) AS exact_canonical
+        |  FROM documents),
+        |surv AS (SELECT doc_id, text FROM ex WHERE doc_id = exact_canonical),
+        |sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |      ELSE list_distinct([array_to_string(toks[i:i+2], ' ')
+        |        for i in range(1, len(toks) - 1)])
+        |    END AS s
+        |  FROM (SELECT doc_id,
+        |      list_filter(string_split_regex(lower(text), '\s+'),
+        |        x -> len(x) > 0) AS toks
+        |    FROM surv)),
+        |edges AS (
+        |  SELECT a.doc_id AS u, b.doc_id AS v FROM sh a JOIN sh b
+        |  ON a.doc_id <> b.doc_id AND
+        |    len(list_intersect(a.s, b.s))::DOUBLE /
+        |      len(list_distinct(list_concat(a.s, b.s))) >= 0.6),
+        |reach(id, label) AS (
+        |  SELECT doc_id, doc_id FROM surv
+        |  UNION
+        |  SELECT e.u, r.label FROM reach r JOIN edges e ON e.v = r.id),
+        |lbl AS (
+        |  SELECT id AS doc_id, min(label) AS near_canonical
+        |  FROM reach GROUP BY id)
+        |SELECT e.doc_id, e.doc_id = l.near_canonical AS kept,
+        |  CASE WHEN e.doc_id = l.near_canonical THEN 'keep'
+        |       WHEN e.doc_id <> e.exact_canonical THEN 'exact_dup'
+        |       ELSE 'near_dup' END AS reason,
+        |  l.near_canonical AS canonical_id
+        |FROM ex e JOIN lbl l ON l.doc_id = e.exact_canonical
+        |ORDER BY e.doc_id""".stripMargin,
+
     "q_dedup_exact" ->
       """SELECT d.doc_id, m.canonical_id, m.n_copies
         |FROM documents d JOIN (

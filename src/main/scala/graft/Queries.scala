@@ -490,6 +490,18 @@ object Queries {
       .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
       .orderBy("id_a", "id_b")
 
+  /** The composed end-to-end dedup pipeline: exact pass → MinHash-LSH
+    * candidates → exact Jaccard verify (0.6, the banding knee) →
+    * clusters → keep/drop with audit reasons. The oracle recomputes the
+    * same decision from first principles (exact grouping + all-pairs
+    * shingle Jaccard + recursive-CTE components): the minhash seed is
+    * fixed, so LSH recall on this corpus is deterministic and the two
+    * ends agree row-for-row.
+    */
+  val q_dedup_pipeline: Q = (s, d) =>
+    Dedup.dedupPipeline(t(s, d, "documents"), threshold = 0.6)
+      .orderBy("doc_id")
+
   /** SemDeDup keep/drop decision (exact mode): one survivor per
     * connected component of ≥0.35-cosine pairs, everything else marked
     * for dropping. The DuckDB oracle recomputes components with a
@@ -1328,6 +1340,7 @@ object Queries {
     "q_embedding_neardups" -> q_embedding_neardups,
     "q_embedding_clusters" -> q_embedding_clusters,
     "q_semantic_keep" -> q_semantic_keep,
+    "q_dedup_pipeline" -> q_dedup_pipeline,
     "q_embedding_centroids" -> q_embedding_centroids,
     "q_similarity_topk" -> q_similarity_topk,
     "q_similarity_ann" -> q_similarity_ann,

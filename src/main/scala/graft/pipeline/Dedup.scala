@@ -434,6 +434,55 @@ object Dedup {
         col("p.cos").as("cos"))
   }
 
+  /** End-to-end corpus dedup in one call — the composed pipeline a
+    * user of this library runs on a raw crawl:
+    *   1. EXACT pass (sha-256 groupBy): byte-identical copies collapse
+    *      to the min-id canonical;
+    *   2. NEAR-DUP pass over the exact survivors: MinHash-LSH candidate
+    *      generation → exact n-gram-Jaccard verify at `threshold` →
+    *      connected components, so transitive chains A~B~C keep ONE
+    *      representative.
+    * Returns one row per input doc: `(doc_id, kept, reason,
+    * canonical_id)` — `reason` ∈ keep | exact_dup | near_dup names WHY a
+    * drop happened (the audit trail reviewers ask for), `canonical_id`
+    * the surviving representative. Every stage is the bucket/band-joined
+    * shape of its standalone operator; nothing here adds a shuffle the
+    * parts didn't already have. Call [[releaseCaches]] after the
+    * consuming action.
+    */
+  def dedupPipeline(docs: DataFrame, textCol: String = "text",
+                    shingleSize: Int = 3, threshold: Double = 0.5,
+                    numHashes: Int = 32, bands: Int = 8): DataFrame = {
+    val ex = exact(docs, textCol) // (doc_id, canonical_id, n_copies)
+    val exactSurv = docs.join(
+      ex.filter(col("doc_id") === col("canonical_id")).select("doc_id"),
+      Seq("doc_id"), "left_semi")
+    val verified = ngramJaccardPairsLsh(exactSurv, textCol, shingleSize,
+      threshold, numHashes, bands).select("doc_a", "doc_b")
+    val labels = ConnectedComponents.run(verified)
+      .withColumnRenamed("id", "doc_id")
+      .withColumnRenamed("cluster_id", "near_canonical")
+    val nearOf = exactSurv.select(col("doc_id"))
+      .join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("near_canonical"), col("doc_id"))
+          .as("near_canonical"))
+    // exact drops chain THROUGH their canonical's near-dup resolution:
+    // if B == A byte-wise and A ~ C, B's final canonical is C's
+    ex.select(col("doc_id"), col("canonical_id").as("exact_canonical"))
+      .join(nearOf.withColumnRenamed("doc_id", "exact_canonical"),
+        Seq("exact_canonical"))
+      .select(col("doc_id"), col("exact_canonical"),
+        col("near_canonical").as("canonical_id"))
+      .withColumn("kept", col("doc_id") === col("canonical_id"))
+      .withColumn("reason",
+        when(col("kept"), "keep")
+          .when(col("doc_id") =!= col("exact_canonical"), "exact_dup")
+          .otherwise("near_dup"))
+      .select(col("doc_id"), col("kept"), col("reason"),
+        col("canonical_id"))
+  }
+
   /** '''SemDeDup''' (Abbas et al. 2023): semantic deduplication of an
     * embedded corpus — drop all but one member of every group of
     * semantically near-identical documents. Returns one row per vector:

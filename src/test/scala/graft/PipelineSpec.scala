@@ -699,6 +699,28 @@ class PipelineSpec extends SparkTestBase {
     assert(part == part2)
   }
 
+  test("dedup pipeline: exact dups chain through their canonical's near-dup fate") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val near = base.replace("lazy", "sleepy") // j >= 0.6 vs base
+    val docs = Seq(
+      (1L, base), (2L, base),     // 2 = exact dup of 1
+      (3L, near),                 // near-dup of 1
+      (4L, near),                 // exact dup of 3, chains to 1
+      (5L, "completely different words about spark shuffles and joins"))
+      .toDF("doc_id", "text")
+    val res = Dedup.dedupPipeline(docs, threshold = 0.5, bands = 16)
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(1), r.getString(2), r.getLong(3))).toMap
+    Dedup.releaseCaches()
+    assert(res(1L) == ((true, "keep", 1L)))
+    assert(res(2L) == ((false, "exact_dup", 1L)))
+    assert(res(3L) == ((false, "near_dup", 1L)))
+    // 4 is byte-identical to 3; its final canonical is 3's survivor (1)
+    assert(res(4L) == ((false, "exact_dup", 1L)))
+    assert(res(5L) == ((true, "keep", 5L)))
+  }
+
   test("count-min sketch: sound over-estimates, bounded size, determinism") {
     import graft.pipeline.TextAnalysis
     val docs = spark.read.parquet(s"$sf/documents.parquet")
