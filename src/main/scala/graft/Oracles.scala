@@ -331,6 +331,32 @@ object Oracles {
         |FROM ex e JOIN lbl l ON l.doc_id = e.exact_canonical
         |ORDER BY e.doc_id""".stripMargin,
 
+    // incremental screen from first principles: new-batch docs against
+    // corpus + smaller-id batch mates at jaccard >= 0.6
+    "q_dedup_incremental" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |      ELSE list_distinct([array_to_string(toks[i:i+2], ' ')
+        |        for i in range(1, len(toks) - 1)])
+        |    END AS s
+        |  FROM (SELECT doc_id,
+        |      list_filter(string_split_regex(lower(text), '\s+'),
+        |        x -> len(x) > 0) AS toks
+        |    FROM documents)),
+        |newd AS (SELECT * FROM sh WHERE doc_id % 10 = 0),
+        |m AS (
+        |  SELECT a.doc_id AS doc_a, min(b.doc_id) AS dup_of
+        |  FROM newd a JOIN sh b
+        |  ON a.doc_id <> b.doc_id
+        |    AND (b.doc_id % 10 <> 0 OR b.doc_id < a.doc_id)
+        |    AND len(list_intersect(a.s, b.s))::DOUBLE /
+        |      len(list_distinct(list_concat(a.s, b.s))) >= 0.6
+        |  GROUP BY 1)
+        |SELECT n.doc_id, m.dup_of IS NULL AS kept, m.dup_of
+        |FROM newd n LEFT JOIN m ON n.doc_id = m.doc_a
+        |ORDER BY n.doc_id""".stripMargin,
+
     "q_dedup_exact" ->
       """SELECT d.doc_id, m.canonical_id, m.n_copies
         |FROM documents d JOIN (
@@ -534,7 +560,7 @@ object Oracles {
     "q_text_analysis" ->
       s"""WITH base AS (
         |  SELECT doc_id, lower(text) AS t,
-        |    list_filter(string_split_regex(lower(text), '\\s+'),
+        |    list_filter(string_split_regex(lower(text), '\s+'),
         |      x -> len(x) > 0) AS toks
         |  FROM documents),
         |  scored AS (SELECT doc_id, t, toks,
@@ -576,7 +602,7 @@ object Oracles {
     "q_quality_score" ->
       s"""WITH base AS (
         |  SELECT doc_id, text,
-        |    list_filter(string_split_regex(lower(text), '\\s+'),
+        |    list_filter(string_split_regex(lower(text), '\s+'),
         |      x -> len(x) > 0) AS toks
         |  FROM documents),
         |  m AS (SELECT doc_id,

@@ -490,6 +490,20 @@ object Queries {
       .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
       .orderBy("id_a", "id_b")
 
+  /** Incremental dedup: docs with id % 10 == 0 arrive as the NEW batch
+    * and screen against the remaining corpus (plus smaller-id batch
+    * mates) — cost scales with the batch, never corpus². Oracle:
+    * first-principles Jaccard at the 0.6 banding knee (fixed minhash
+    * seed ⇒ deterministic recall, as with q_dedup_pipeline).
+    */
+  val q_dedup_incremental: Q = (s, d) => {
+    val docs = t(s, d, "documents")
+    Dedup.incrementalNearDups(
+        docs.filter(col("doc_id") % 10 === 0),
+        docs.filter(col("doc_id") % 10 =!= 0), threshold = 0.6)
+      .orderBy("doc_id")
+  }
+
   /** The composed end-to-end dedup pipeline: exact pass → MinHash-LSH
     * candidates → exact Jaccard verify (0.6, the banding knee) →
     * clusters → keep/drop with audit reasons. The oracle recomputes the
@@ -1341,6 +1355,7 @@ object Queries {
     "q_embedding_clusters" -> q_embedding_clusters,
     "q_semantic_keep" -> q_semantic_keep,
     "q_dedup_pipeline" -> q_dedup_pipeline,
+    "q_dedup_incremental" -> q_dedup_incremental,
     "q_embedding_centroids" -> q_embedding_centroids,
     "q_similarity_topk" -> q_similarity_topk,
     "q_similarity_ann" -> q_similarity_ann,

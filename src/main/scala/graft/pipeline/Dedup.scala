@@ -434,6 +434,70 @@ object Dedup {
         col("p.cos").as("cos"))
   }
 
+  /** INCREMENTAL near-dup dedup — the steady-state production shape:
+    * screen a NEW batch against an existing corpus without re-pairing
+    * the corpus with itself. New docs' minhash band buckets equi-join
+    * the corpus's band buckets (plus the new batch's own, so
+    * within-batch dups are caught too); candidates verify by exact
+    * n-gram Jaccard. Cost scales with the BATCH (its bands, its
+    * candidate pairs), never corpus² — the corpus side contributes one
+    * bucket scan. Returns one row per new doc: `(doc_id, kept,
+    * dup_of)` — `dup_of` the smallest matched id (corpus or
+    * earlier-in-batch), null when kept.
+    */
+  def incrementalNearDups(newDocs: DataFrame, corpus: DataFrame,
+                          textCol: String = "text",
+                          shingleSize: Int = 3, threshold: Double = 0.5,
+                          numHashes: Int = 32,
+                          bands: Int = 8): DataFrame = {
+    val rows = numHashes / bands
+    def banded(df: DataFrame) = stageCached(df
+      .select(col("doc_id"),
+        shingles(col(textCol), shingleSize).as("sh"))
+      .withColumn("_sh", transform(col("sh"), s => xxhash64(s)))
+      .withColumn("sig", minhashSignatureFromHashes(col("_sh"), numHashes))
+      .withColumn("sz", size(col("sh")))
+      .select(col("doc_id"), col("sh"), col("sz"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(concat_ws("_",
+            slice(col("sig"), b * rows + 1, lit(rows)))))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket"))
+    val nb = banded(newDocs)
+    val cb = banded(corpus)
+    // candidate = a new doc sharing any band bucket with the corpus or
+    // with a SMALLER-id new doc (batch-internal dups resolve min-first)
+    val vs = cb.select(col("band"), col("bucket"),
+      col("doc_id").as("doc_b"), col("sh").as("sh_b"), col("sz").as("sz_b"))
+      .unionByName(nb.select(col("band"), col("bucket"),
+        col("doc_id").as("doc_b"), col("sh").as("sh_b"),
+        col("sz").as("sz_b")))
+    val cand = nb.select(col("band"), col("bucket"),
+        col("doc_id").as("doc_a"), col("sh").as("sh_a"),
+        col("sz").as("sz_a"))
+      .join(vs, Seq("band", "bucket"))
+      .filter(col("doc_a") =!= col("doc_b"))
+      .select("doc_a", "doc_b", "sh_a", "sh_b", "sz_a", "sz_b")
+      .distinct()
+      .withColumn("common",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
+      .filter(col("common") * lit(1.0 + threshold) >=
+        lit(threshold) * (col("sz_a") + col("sz_b")))
+    // a new doc is a dup of the smallest matched id; batch-internal
+    // matches only count against SMALLER new ids (min-first survival)
+    val newIds = newDocs.select(col("doc_id").as("doc_a"))
+    val dupOf = cand
+      .join(newDocs.select(col("doc_id").as("doc_b")), Seq("doc_b"),
+        "left_semi")
+      .filter(col("doc_b") < col("doc_a"))
+      .unionByName(cand.join(
+        corpus.select(col("doc_id").as("doc_b")), Seq("doc_b"),
+        "left_semi"))
+      .groupBy("doc_a").agg(min("doc_b").as("dup_of"))
+    newIds.join(dupOf, Seq("doc_a"), "left")
+      .select(col("doc_a").as("doc_id"),
+        col("dup_of").isNull.as("kept"), col("dup_of"))
+  }
+
   /** End-to-end corpus dedup in one call — the composed pipeline a
     * user of this library runs on a raw crawl:
     *   1. EXACT pass (sha-256 groupBy): byte-identical copies collapse
