@@ -560,7 +560,7 @@ object Oracles {
     "q_text_analysis" ->
       s"""WITH base AS (
         |  SELECT doc_id, lower(text) AS t,
-        |    list_filter(string_split_regex(lower(text), '\s+'),
+        |    list_filter(string_split_regex(lower(text), '\\s+'),
         |      x -> len(x) > 0) AS toks
         |  FROM documents),
         |  scored AS (SELECT doc_id, t, toks,
@@ -602,7 +602,7 @@ object Oracles {
     "q_quality_score" ->
       s"""WITH base AS (
         |  SELECT doc_id, text,
-        |    list_filter(string_split_regex(lower(text), '\s+'),
+        |    list_filter(string_split_regex(lower(text), '\\s+'),
         |      x -> len(x) > 0) AS toks
         |  FROM documents),
         |  m AS (SELECT doc_id,
