@@ -122,11 +122,18 @@ object ZarrExport {
               }
               val payloadLen = inner.iterator.filter(_ != null)
                 .map(_.length.toLong).sum
+              val indexLen = entriesPerShard.toLong * 16 + 4
+              if (payloadLen + indexLen > Int.MaxValue)
+                throw new GraftException(
+                  s"shard ${shardCoord.mkString(",")} would be " +
+                    s"${payloadLen + indexLen} bytes (> 2 GiB JVM array " +
+                    "limit) — pick smaller shardChunks",
+                  graft.repo.GraftError.InvalidConfig)
               val index = java.nio.ByteBuffer
                 .allocate(entriesPerShard * 16 + 4)
                 .order(java.nio.ByteOrder.LITTLE_ENDIAN)
               val out = java.nio.ByteBuffer
-                .allocate((payloadLen + entriesPerShard * 16 + 4).toInt)
+                .allocate((payloadLen + indexLen).toInt)
               var off = 0L
               inner.foreach {
                 case null => index.putLong(-1L).putLong(-1L)

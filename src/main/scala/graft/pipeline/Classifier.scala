@@ -142,10 +142,16 @@ object Classifier {
     val tok = docs
       .select(col(idCol), explode(tokens(col(textCol))).as("token"))
       .withColumn("fidx", featureIndex(col("token"), model.dim))
-    tok.join(wTab, Seq("fidx"))
+    val z = tok.join(wTab, Seq("fidx"))
       .groupBy(col(idCol))
       .agg((lit(model.bias) + sum(col("w"))).as("_z"))
+    // A zero-token document yields no exploded row, so an inner join
+    // would drop it while predictLocal scores it sigmoid(bias) — left
+    // join back onto the id set and default missing z to the bias so
+    // both scoring paths agree on empty docs.
+    docs.select(col(idCol)).join(z, Seq(idCol), "left")
       .select(col(idCol),
-        (lit(1.0) / (lit(1.0) + exp(-col("_z")))).as("score"))
+        (lit(1.0) / (lit(1.0) +
+          exp(-coalesce(col("_z"), lit(model.bias))))).as("score"))
   }
 }

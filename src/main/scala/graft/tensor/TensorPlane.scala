@@ -723,6 +723,18 @@ object TensorPlane {
       throw new GraftException(s"unknown combine op '$op' " +
         s"(expected one of ${ops.toSeq.sorted.mkString(", ")})",
         graft.repo.GraftError.InvalidConfig)
+    // Both sides decode with the single `dtype` parameter; a side whose
+    // stored metadata declares a DIFFERENT dtype would be silently
+    // misdecoded (corrupt output, no error) — refuse up front instead.
+    Seq((pathA, nA), (pathB, nB)).foreach { case (p, n) =>
+      graft.sources.GraftCatalog.dtypeFromUserData(n.userData).foreach {
+        stored =>
+          if (stored != dtype) throw new GraftException(
+            s"combine: $p stores dtype $stored but decode dtype is " +
+              s"$dtype — pass the stored dtype (or rewrite the array)",
+            graft.repo.GraftError.SchemaMismatch)
+      }
+    }
     val outDtype = Option(dstDtype).getOrElse(
       if (op == "div") "float64" else dtype)
     val intMath =
@@ -849,7 +861,13 @@ object TensorPlane {
     * all: the job maps the ref relation; each payload byte moves once).
     * The identity transform onto the same dtype stages the source refs
     * verbatim — a zero-copy alias, like [[transpose]]'s identity perm.
-    * Absent chunks stay absent (fill cells transform on read, not here).
+    * Absent (fill = 0) chunks: with `offset == 0` fill maps to fill, so
+    * absent stays absent (sparse stays sparse). With `offset != 0` the
+    * fill value itself changes, so every absent coord is materialized as
+    * a ref to ONE shared constant chunk (content-addressed: a single
+    * object and one metadata row per absent coord, regardless of how
+    * sparse the source is — readers hardcode fill 0 and there is no
+    * read-time transform to lean on).
     */
   def mapValues(session: Session, srcPath: String, dstPath: String,
                 scale: Double, offset: Double, dtype: String,
@@ -915,9 +933,44 @@ object TensorPlane {
         (coord, id, bytes.length.toLong)
       }
     }.toDF("coord", "chunk_id", "length")
+    // offset != 0 changes the fill value: absent source coords must read
+    // `offset` in the destination, so point them all at ONE shared
+    // constant chunk (metadata-only cost; a fully-dense source adds no
+    // rows because the anti-join is empty).
+    val withFill =
+      if (offset == 0.0) refsDf
+      else {
+        val gridDims = node.numChunksPerDim
+        val strides = gridDims.indices.map(d =>
+          gridDims.drop(d + 1).map(_.toLong).product)
+        val coordExpr = array(gridDims.indices.map(d =>
+          expr(s"cast((id div ${strides(d)}) % ${gridDims(d)} as int)")): _*)
+        val absent = spark.range(gridDims.map(_.toLong).product)
+          .select(coordExpr.as("coord"))
+          .join(session.refs(srcPath).select(col("coord")),
+            Seq("coord"), "left_anti")
+        if (absent.isEmpty) refsDf
+        else {
+          val cells = node.chunkShape.product.toInt
+          val constBytes =
+            if (intMath)
+              ChunkCodec.compress(ChunkCodec.encodeLongs(
+                Array.fill(cells)(offset.toLong), outDtype), compression)
+            else
+              ChunkCodec.compress(ChunkCodec.encodeDoubles(
+                Array.fill(cells)(offset), outDtype), compression)
+          val constId =
+            graft.core.Ids.toBase32(graft.core.Ids.newObjectId())
+          session.repo.store.putBytes(
+            graft.meta.Layout.chunkKey(constId), constBytes)
+          refsDf.union(absent.select(col("coord"),
+            lit(constId).as("chunk_id"),
+            lit(constBytes.length.toLong).as("length")))
+        }
+      }
     val stagingKey = graft.meta.Layout.stagingPrefix(
       graft.core.Ids.toBase32(graft.core.Ids.newObjectId()))
-    refsDf.write.parquet(session.repo.store.uri(stagingKey))
+    withFill.write.parquet(session.repo.store.uri(stagingKey))
     val refs = spark.read.parquet(session.repo.store.uri(stagingKey))
       .withColumn("kind", lit(ChunkRef.KindRef))
       .withColumn("offset", lit(0L))

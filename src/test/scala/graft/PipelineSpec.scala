@@ -856,4 +856,21 @@ class PipelineSpec extends SparkTestBase {
       .head().getDouble(1)
     assert(math.abs(local - dist) < 1e-9, s"$local vs $dist")
   }
+
+  test("classifier: zero-token docs score sigmoid(bias), not dropped") {
+    import graft.pipeline.Classifier
+    import spark.implicits._
+    val m = Classifier.LogRegModel(Array.fill(16)(0.3), -0.7)
+    val docs = Seq((1L, "clear sourced"), (2L, ""), (3L, "   "))
+      .toDF("doc_id", "text")
+    val out = Classifier.score(docs, "doc_id", "text", m).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toMap
+    // empty / whitespace-only docs keep a row and agree with predictLocal
+    assert(out.size == 3)
+    val expected = m.predictLocal(Nil)
+    assert(math.abs(out(2L) - expected) < 1e-12)
+    assert(math.abs(out(3L) - expected) < 1e-12)
+    assert(math.abs(out(1L) - m.predictLocal(Seq("clear", "sourced")))
+      < 1e-9)
+  }
 }

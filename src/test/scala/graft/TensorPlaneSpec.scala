@@ -362,4 +362,45 @@ class TensorPlaneSpec extends SparkTestBase {
       .map(_.getString(0)).toSet
     assert(aliasIds == srcIds)
   }
+
+  test("mapValues: offset != 0 materializes one shared fill chunk; combine refuses dtype mismatch") {
+    val repo = Repository.create(Store.local(tmpDir("repo")), spark)
+    val s = repo.writableSession("main")
+    // 4-chunk array, only chunk 1 present
+    s.addArray("/sp", Seq(40), Seq(10))
+    s.writeChunk("/sp", Seq(1),
+      ChunkCodec.encodeLongs(Array.tabulate(10)(i =>
+        (10 + i).toLong), "int64"))
+    s.commit("init")
+    val t = repo.writableSession("main")
+    TensorPlane.mapValues(t, "/sp", "/aff", 2.0, 5.0, "int64")
+    t.commit("affine")
+    val ro = repo.readonlySession(VersionRef.Branch("main"))
+    // all 4 destination chunks exist; the 3 fill chunks share ONE object
+    val refs = ro.refs("/aff").select("coord", "chunk_id").collect()
+      .map(r => (r.getSeq[Int](0).head, r.getString(1)))
+    assert(refs.length == 4)
+    assert(refs.filter(_._1 != 1).map(_._2).toSet.size == 1)
+    val got = TensorPlane.values(ro, "/aff", "int64").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got.size == 40)
+    for (i <- 0 until 40) {
+      val src = if (i >= 10 && i < 20) i.toLong else 0L
+      assert(got(i.toLong) == src * 2 + 5, s"cell $i")
+    }
+    // offset == 0: fill maps to fill, sparse stays sparse
+    val t2 = repo.writableSession("main")
+    TensorPlane.mapValues(t2, "/sp", "/sc", 3.0, 0.0, "int64")
+    t2.commit("scale")
+    val ro2 = repo.readonlySession(VersionRef.Branch("main"))
+    assert(ro2.refs("/sc").count() == 1)
+    // combine: a side whose STORED dtype differs from the decode dtype
+    // would silently misdecode — refused with schema_mismatch instead
+    val t3 = repo.writableSession("main")
+    t3.addArray("/f64", Seq(40), Seq(10),
+      userData = """{"dtype":"float64"}""")
+    val e = intercept[GraftException](
+      TensorPlane.combine(t3, "/sp", "/f64", "/bad", "add", "int64"))
+    assert(e.kind == GraftError.SchemaMismatch)
+  }
 }
