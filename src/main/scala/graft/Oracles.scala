@@ -292,6 +292,35 @@ object Oracles {
         |FROM ud JOIN fd ON ud.user_id = fd.user_id
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
+    // ordered multi-stage funnel: stage-k arrival = earliest event of
+    // that type STRICTLY after the stage-(k-1) arrival, same walk as
+    // Events.funnel (epoch-second integral comparisons)
+    "q_funnel_stages" ->
+      """WITH ev AS (SELECT user_id, event_type,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS t FROM events),
+        |s1 AS (SELECT user_id, min(t) AS t1 FROM ev
+        |       WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT ev.user_id, min(ev.t) AS t2 FROM ev
+        |       JOIN s1 ON ev.user_id = s1.user_id AND ev.t > s1.t1
+        |       WHERE ev.event_type = 'click' GROUP BY 1),
+        |s3 AS (SELECT ev.user_id, min(ev.t) AS t3 FROM ev
+        |       JOIN s2 ON ev.user_id = s2.user_id AND ev.t > s2.t2
+        |       WHERE ev.event_type = 'purchase' GROUP BY 1)
+        |SELECT * FROM (
+        |  SELECT 1 AS stage_idx, 'view' AS stage, count(*) AS n_users
+        |  FROM s1
+        |  UNION ALL SELECT 2, 'click', count(*) FROM s2
+        |  UNION ALL SELECT 3, 'purchase', count(*) FROM s3)
+        |ORDER BY stage_idx""".stripMargin,
+
+    "q_json_extract" ->
+      """WITH e AS (SELECT event_type,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |  FROM events)
+        |SELECT event_type, count(*) AS n, CAST(sum(k) AS BIGINT) AS sum_k,
+        |  min(k) AS min_k, max(k) AS max_k, round(avg(k), 6) AS avg_k
+        |FROM e GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // the composed pipeline from first principles: exact text groups,
     // all-pairs 3-gram jaccard >= 0.6 among exact survivors, recursive
     // components, min-id keeps; reasons name which stage dropped a doc
@@ -918,6 +947,47 @@ object Oracles {
         |SELECT token, count(*) AS n_occ, count(DISTINCT doc_id) AS n_docs
         |FROM tok GROUP BY token
         |ORDER BY n_occ DESC, token LIMIT 100""".stripMargin,
+
+    // identical closed-form arithmetic as TextAnalysis.tfidfKeywords;
+    // ranking ties break on the ROUNDED score then token in both engines
+    "q_tfidf_keywords" ->
+      """WITH tf AS (
+        |  SELECT doc_id, t AS token, count(*) AS tf FROM (
+        |    SELECT doc_id,
+        |      unnest(list_filter(string_split_regex(lower(text), '\s+'),
+        |        x -> len(x) > 0)) AS t FROM documents)
+        |  GROUP BY 1, 2),
+        |df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |sc AS (SELECT tf.doc_id, tf.token, tf.tf, df.df,
+        |         round(tf.tf * ln(n.n_docs::DOUBLE / df.df), 6) AS score
+        |       FROM tf JOIN df ON tf.token = df.token CROSS JOIN n),
+        |rk AS (SELECT doc_id, token, tf, df, score,
+        |         CAST(row_number() OVER (PARTITION BY doc_id
+        |           ORDER BY score DESC, token) AS INT) AS rank
+        |       FROM sc)
+        |SELECT doc_id, rank, token, tf, df, score FROM rk
+        |WHERE rank <= 5 ORDER BY doc_id, rank""".stripMargin,
+
+    // first-seer per distinct trigram = min doc_id, then per-doc rollup;
+    // trigram construction mirrors the Spark slide (1-based 3-slices)
+    "q_ngram_novelty" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'),
+        |      x -> len(x) > 0) AS ts FROM documents),
+        |ng AS (SELECT DISTINCT doc_id, g FROM (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(ts) - 1),
+        |    i -> array_to_string(ts[i:i+2], ' '))) AS g
+        |  FROM toks WHERE len(ts) >= 3)),
+        |fs AS (SELECT g, min(doc_id) AS first_doc FROM ng GROUP BY 1)
+        |SELECT ng.doc_id, count(*) AS n_grams,
+        |  CAST(sum(CASE WHEN fs.first_doc = ng.doc_id THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_novel,
+        |  round(CAST(sum(CASE WHEN fs.first_doc = ng.doc_id
+        |      THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS novelty
+        |FROM ng JOIN fs ON ng.g = fs.g
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // identical literal arithmetic and association order as the Spark
     // side (TextAnalysis.bm25) so the 4-dp-rounded scores hash-match;

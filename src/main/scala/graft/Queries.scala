@@ -807,6 +807,42 @@ object Queries {
     graft.pipeline.Events.retentionCohorts(events(s, d))
       .orderBy("cohort_day", "day_offset")
 
+  /** Ordered multi-stage funnel (view → click → purchase, strict
+    * ordering, arrival = earliest qualifying event): per-stage reached
+    * counts. Epoch-second arithmetic — DuckDB replays the walk exactly.
+    */
+  val q_funnel_stages: Q = (s, d) =>
+    graft.pipeline.Events.funnel(events(s, d),
+      Seq("view", "click", "purchase"))
+
+  /** TF-IDF keywords: top-5 tokens per doc by tf·ln(N/df), ranked by
+    * rounded score then token — closed-form, oracle-matched.
+    */
+  val q_tfidf_keywords: Q = (s, d) =>
+    TextAnalysis.tfidfKeywords(t(s, d, "documents"), topK = 5)
+
+  /** N-gram novelty: fraction of each doc's distinct word trigrams first
+    * seen (lowest doc_id) in that doc — the "what does this doc add"
+    * dedup-adjacent signal, oracle-matched.
+    */
+  val q_ngram_novelty: Q = (s, d) =>
+    TextAnalysis.ngramNovelty(t(s, d, "documents"), n = 3)
+
+  /** Semi-structured extraction: pull a typed field out of the JSON
+    * `props` column and aggregate per event type — the routine
+    * log-enrichment pass (`get_json_object` is codegen'd; DuckDB's JSON
+    * extension recomputes the identical extraction).
+    */
+  val q_json_extract: Q = (s, d) =>
+    t(s, d, "events")
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("k").as("sum_k"),
+        min("k").as("min_k"), max("k").as("max_k"),
+        round(avg("k"), 6).as("avg_k"))
+      .orderBy("event_type")
+
   /** Canonical normalization end-to-end: each doc gets a decomposed-
     * Unicode + control-char + run-of-spaces suffix appended, then
     * normalizes (NFC → controls → collapse → trim → lower). DuckDB's
@@ -1336,7 +1372,9 @@ object Queries {
     "q_asof_join" -> q_asof_join,
     "q_band_join" -> q_band_join,
     "q_funnel" -> q_funnel,
+    "q_funnel_stages" -> q_funnel_stages,
     "q_retention" -> q_retention,
+    "q_json_extract" -> q_json_extract,
     "q_salted_join" -> q_salted_join,
     "q_dedup_exact" -> q_dedup_exact,
     "q_dedup_clusters" -> q_dedup_clusters,
@@ -1379,6 +1417,8 @@ object Queries {
     "q_classifier_score" -> q_classifier_score,
     "q_classifier_train" -> q_classifier_train,
     "q_word_freq" -> q_word_freq,
+    "q_tfidf_keywords" -> q_tfidf_keywords,
+    "q_ngram_novelty" -> q_ngram_novelty,
     "q_cms_heavy" -> q_cms_heavy,
     "q_normalize" -> q_normalize,
     "q_hll_distinct" -> q_hll_distinct,

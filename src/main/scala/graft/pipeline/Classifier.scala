@@ -139,19 +139,18 @@ object Classifier {
     val wTab = broadcast(
       model.weights.toSeq.zipWithIndex.map { case (v, i) => (i, v) }
         .toDF("fidx", "w"))
+    // explode_OUTER + left broadcast join: a zero-token document keeps
+    // one null-token row (null fidx matches no weight, sum(w) -> null,
+    // coalesced to 0) so it scores sigmoid(bias) like predictLocal —
+    // same single-shuffle broadcast plan as the inner-join version,
+    // which silently DROPPED empty docs.
     val tok = docs
-      .select(col(idCol), explode(tokens(col(textCol))).as("token"))
+      .select(col(idCol), explode_outer(tokens(col(textCol))).as("token"))
       .withColumn("fidx", featureIndex(col("token"), model.dim))
-    val z = tok.join(wTab, Seq("fidx"))
+    tok.join(wTab, Seq("fidx"), "left")
       .groupBy(col(idCol))
-      .agg((lit(model.bias) + sum(col("w"))).as("_z"))
-    // A zero-token document yields no exploded row, so an inner join
-    // would drop it while predictLocal scores it sigmoid(bias) — left
-    // join back onto the id set and default missing z to the bias so
-    // both scoring paths agree on empty docs.
-    docs.select(col(idCol)).join(z, Seq(idCol), "left")
+      .agg((lit(model.bias) + coalesce(sum(col("w")), lit(0.0))).as("_z"))
       .select(col(idCol),
-        (lit(1.0) / (lit(1.0) +
-          exp(-coalesce(col("_z"), lit(model.bias))))).as("score"))
+        (lit(1.0) / (lit(1.0) + exp(-col("_z")))).as("score"))
   }
 }

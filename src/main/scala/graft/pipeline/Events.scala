@@ -29,6 +29,61 @@ object Events {
   }
 
 
+  /** Ordered funnel over an event stream: for each stage k, how many
+    * users reached stages 1..k IN ORDER — a user's stage-k arrival is
+    * their earliest `stages(k)` event STRICTLY after their stage-(k-1)
+    * arrival (simultaneous events don't advance the funnel), and
+    * `withinSeconds` optionally bounds the whole funnel to a horizon
+    * after the stage-1 arrival. Returns one row per stage:
+    * (stage_idx, stage, n_users).
+    *
+    * Scale shape: one filtered min-aggregation per stage, every one
+    * keyed on the USER — the same shuffle key each round, so AQE/
+    * co-partitioning reuse applies and no stage widens: k user-keyed
+    * aggregations of ≤ #users rows each, then a union of per-stage user
+    * sets collapsing into k output rows. Timestamps compare as integral
+    * epoch seconds, so external engines reproduce the walk exactly.
+    */
+  def funnel(events: DataFrame, stages: Seq[String],
+             userCol: String = "user_id", typeCol: String = "event_type",
+             tsCol: String = "ts",
+             withinSeconds: Long = Long.MaxValue): DataFrame = {
+    require(stages.nonEmpty && stages.size <= 16,
+      s"funnel: 1..16 stages, got ${stages.size}")
+    require(stages.distinct.size == stages.size,
+      "funnel: stages must be distinct")
+    val ts = unix_timestamp(col(tsCol))
+    var reached = events.filter(col(typeCol) === stages.head)
+      .groupBy(col(userCol)).agg(min(ts).as("t1"))
+      .withColumn("t_prev", col("t1"))
+    val stageSets = scala.collection.mutable.ArrayBuffer(
+      reached.select(lit(1).as("stage_idx"), lit(stages.head).as("stage"),
+        col(userCol)))
+    for (k <- 1 until stages.size) {
+      reached = events.filter(col(typeCol) === stages(k))
+        .select(col(userCol), ts.as("t_k"))
+        .join(reached.select(col(userCol), col("t_prev"), col("t1")),
+          Seq(userCol))
+        .filter(col("t_k") > col("t_prev") &&
+          col("t_k") - col("t1") <= lit(withinSeconds))
+        .groupBy(col(userCol))
+        .agg(min(col("t_k")).as("t_prev"), min(col("t1")).as("t1"))
+      stageSets += reached.select(lit(k + 1).as("stage_idx"),
+        lit(stages(k)).as("stage"), col(userCol))
+    }
+    val counts = stageSets.reduce(_.unionByName(_))
+      .groupBy(col("stage_idx"), col("stage"))
+      .agg(count(lit(1)).as("n_users"))
+    // a stage nobody reached must still report 0, not vanish
+    val dim = events.sparkSession.createDataFrame(
+      stages.zipWithIndex.map { case (st, i) => (i + 1, st) })
+      .toDF("stage_idx", "stage")
+    dim.join(counts, Seq("stage_idx", "stage"), "left")
+      .select(col("stage_idx"), col("stage"),
+        coalesce(col("n_users"), lit(0L)).as("n_users"))
+      .orderBy("stage_idx")
+  }
+
   /** The operators stage internal columns on the inputs; a caller column
     * with one of these names would silently corrupt the result, so they
     * are refused up front.

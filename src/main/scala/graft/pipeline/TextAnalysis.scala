@@ -197,6 +197,75 @@ object TextAnalysis {
         col("dup_rate") < maxDupRate && col("short_rate") < maxShortRate)
   }
 
+  /** TF-IDF keyword extraction: the top-`topK` tokens of every document
+    * by `tf · ln(N/df)` — the corpus-contrastive keyword/topic signal
+    * (tokens frequent HERE but rare corpus-wide float up; stopwords get
+    * idf ≈ 0 and sink without a list).
+    *
+    * Scale shape: one (doc, token) tf aggregation (map-side combined),
+    * one token-keyed df aggregation whose OUTPUT is vocabulary-sized and
+    * joins back by hash on the token, one broadcast singleton for N, and
+    * one per-doc window for the top-k — every shuffle is keyed on the
+    * token or the document, linear in the corpus; nothing corpus-sized
+    * ever sits on the driver. Ties rank deterministically (rounded score
+    * desc, then token asc) and the arithmetic is closed-form, so an
+    * external engine reproduces every row (see q_tfidf_keywords).
+    */
+  def tfidfKeywords(docs: DataFrame, textCol: String = "text",
+                    topK: Int = 5): DataFrame = {
+    require(topK >= 1, s"tfidfKeywords: topK >= 1, got $topK")
+    val tf = docs
+      .select(col("doc_id"), explode(tokens(col(textCol))).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    // tf is already distinct per (doc, token): df = plain count per token
+    val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(df, Seq("token")).crossJoin(broadcast(n))
+      .withColumn("score", round(
+        col("tf") * log(col("n_docs").cast("double") / col("df")), 6))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("score").desc, col("token"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("doc_id"), col("rank"), col("token"), col("tf"),
+        col("df"), col("score"))
+      .orderBy("doc_id", "rank")
+  }
+
+  /** N-gram novelty: per document, the fraction of its DISTINCT word
+    * n-grams whose first corpus appearance (lowest doc id) is this
+    * document — "how much does this doc actually add". Low-novelty docs
+    * are rehashes of earlier material even when no single pair clears a
+    * near-dup threshold; the signal drives dedup-aware sampling and
+    * crawl-snapshot triage.
+    *
+    * Scale shape: a codegen'd slide over the token array builds the
+    * grams (never on the driver), one gram-keyed min-aggregation finds
+    * each gram's first seer, one hash join back, one per-doc rollup —
+    * shuffles carry gram TYPES and (doc, gram) pairs, linear in the
+    * corpus. Deterministic given the id order (use an ingest sequence id
+    * at 100 TB, not an arbitrary one).
+    */
+  def ngramNovelty(docs: DataFrame, n: Int = 3, textCol: String = "text",
+                   idCol: String = "doc_id"): DataFrame = {
+    require(n >= 1 && n <= 8, s"ngramNovelty: n in 1..8, got $n")
+    val grams = docs
+      .select(col(idCol), tokens(col(textCol)).as("ts"))
+      .filter(size(col("ts")) >= n)
+      .select(col(idCol), explode(transform(
+        sequence(lit(0), size(col("ts")) - n),
+        i => concat_ws(" ", slice(col("ts"), i + 1, lit(n))))).as("g"))
+      .distinct()
+    val firstSeen = grams.groupBy("g").agg(min(col(idCol)).as("first_doc"))
+    grams.join(firstSeen, Seq("g"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("first_doc") === col(idCol), 1L).otherwise(0L))
+          .as("n_novel"))
+      .withColumn("novelty", round(col("n_novel") / col("n_grams"), 6))
+      .orderBy(idCol)
+  }
+
   /** Corpus word-frequency table: total occurrences + document frequency
     * per token, top-k by occurrence count. ONE explode feeding a
     * map-side-combined aggregation (the expand for `count_distinct` keeps

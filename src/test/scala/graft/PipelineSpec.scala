@@ -857,6 +857,66 @@ class PipelineSpec extends SparkTestBase {
     assert(math.abs(local - dist) < 1e-9, s"$local vs $dist")
   }
 
+  test("funnel: strict ordering, horizon, per-stage counts") {
+    import spark.implicits._
+    import graft.pipeline.Events
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    // u1: a<b<c in order; u2: c before b (stalls at b... no: b absent
+    // after a? see rows); u3: all three but c within same instant as b
+    // (strict > refuses); u4: a only
+    val ev = Seq(
+      (1L, "a", 10L), (1L, "b", 20L), (1L, "c", 30L),
+      (2L, "b", 5L), (2L, "a", 10L), (2L, "c", 15L), // b BEFORE a: stalls at a... c at 15 needs b after a -> no b after 10 -> stalls
+      (3L, "a", 10L), (3L, "b", 20L), (3L, "c", 20L), // c not strictly after b
+      (4L, "a", 40L)
+    ).map { case (u, t, s) => (u, t, ts(s)) }
+      .toDF("user_id", "event_type", "ts")
+    val out = Events.funnel(ev, Seq("a", "b", "c"))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    assert(out.toSeq == Seq((1, "a", 4L), (2, "b", 2L), (3, "c", 1L)))
+    // horizon: u1's c arrives 20s after a -> excluded at 15s horizon,
+    // b (10s after) survives
+    val h = Events.funnel(ev, Seq("a", "b", "c"), withinSeconds = 15L)
+      .collect().map(r => (r.getInt(0), r.getLong(2)))
+    assert(h.toSeq == Seq((1, 4L), (2, 2L), (3, 0L)))
+  }
+
+  test("tfidf keywords: closed-form scores, deterministic tie ranking") {
+    import spark.implicits._
+    import graft.pipeline.TextAnalysis
+    val docs = Seq(
+      (0L, "apple apple banana common common"),
+      (1L, "banana cherry common common"),
+      (2L, "cherry cherry cherry common")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.tfidfKeywords(docs, topK = 2).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2),
+        r.getDouble(5)))
+    val ln = (x: Double) => math.log(x)
+    def rnd(x: Double) = math.rint(x * 1e6) / 1e6
+    // doc 0: apple tf=2 df=1 -> 2*ln(3); banana tf=1 df=2 -> ln(1.5);
+    // common df=3 -> idf 0
+    assert(out.filter(_._1 == 0L).map(x => (x._3, x._4)).toSeq ==
+      Seq(("apple", rnd(2 * ln(3.0))), ("banana", rnd(ln(1.5)))))
+    // doc 2: cherry 3*ln(1.5) tops; then banana? no banana — common 0.0
+    val d2 = out.filter(_._1 == 2L).map(x => (x._3, x._4)).toSeq
+    assert(d2 == Seq(("cherry", rnd(3 * ln(1.5))), ("common", 0.0)))
+  }
+
+  test("ngram novelty: first seer wins, later rehash scores low") {
+    import spark.implicits._
+    import graft.pipeline.TextAnalysis
+    val docs = Seq(
+      (0L, "the quick brown fox jumps"),          // 3 trigrams, all novel
+      (1L, "the quick brown fox sleeps"),         // shares 2 of 3
+      (2L, "completely different text here now"), // all novel
+      (3L, "so")                                  // < n tokens: no row
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.ngramNovelty(docs, n = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(out == Seq((0L, 3L, 3L), (1L, 3L, 1L), (2L, 3L, 3L)))
+  }
+
   test("classifier: zero-token docs score sigmoid(bias), not dropped") {
     import graft.pipeline.Classifier
     import spark.implicits._
