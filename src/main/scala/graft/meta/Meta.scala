@@ -130,13 +130,21 @@ object SnapshotProps {
     catch { case _: Exception => JString(s) }
 }
 
-/** Summary row kept in the pointer (SnapshotInfo, snapshot.rs:378). */
+/** Summary row kept in the pointer (SnapshotInfo, snapshot.rs:378).
+  * `prunedAncestors`: when `expire` squashes ancestry beneath this
+  * snapshot, the removed snapshot ids are recorded here (newest first,
+  * accumulated across repeated expirations) so diff/rebase/inspect can
+  * answer "that snapshot was expired under X" instead of "unknown
+  * snapshot" — the reference's `pruned_ancestor_tx_logs` (Changelog
+  * #2184). Older pointers without the field decode to Nil.
+  */
 final case class SnapshotInfo(
     id: String,
     parentId: Option[String],
     flushedAt: String,
     message: String,
-    writtenBy: String = "graft")
+    writtenBy: String = "graft",
+    prunedAncestors: Seq[String] = Nil)
 
 final case class OpLogEntry(ts: String, op: String, detail: String)
 
@@ -188,6 +196,12 @@ final case class RepoInfo(
     defaultCommitMeta: Map[String, String] = Map.empty) {
   def snapshotInfo(id: String): Option[SnapshotInfo] =
     snapshots.find(_.id == id)
+
+  /** The retained snapshot under which `id` was expired, if any — lets
+    * callers turn "unknown snapshot" into a precise `expired` error
+    * (reference #2184). */
+  def expiredBoundaryOf(id: String): Option[SnapshotInfo] =
+    snapshots.find(_.prunedAncestors.contains(id))
 
   def flagEnabled(name: String): Boolean = flags.getOrElse(name, true)
 

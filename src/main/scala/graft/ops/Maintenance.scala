@@ -217,26 +217,44 @@ object GC {
   /** Squash ancestry older than the cutoff (ops/gc.rs:826-1000): per
     * branch, the oldest retained snapshot's parent link is cut; snapshot
     * infos no longer reachable from any branch/tag leave the pointer (the
-    * snapshot *files* stay until [[garbageCollect]]). Rebase across an
-    * expired boundary fails with "transaction log expired"
-    * (pruned_ancestor_tx_logs, session.rs:1981-2009).
+    * snapshot *files* stay until [[garbageCollect]]). Each cut boundary
+    * RECORDS the ids it squashed in `prunedAncestors` (the reference's
+    * `pruned_ancestor_tx_logs`, Changelog #2184 / session.rs:1981-2009),
+    * accumulated across repeated expirations, so diff/rebase/branch ops
+    * aimed at an expired id fail with kind `expired` naming the boundary
+    * instead of a bare "unknown snapshot". Rebase across an expired
+    * boundary still fails ("transaction log expired").
     */
   def expire(repo: Repository, olderThan: Instant): Int = {
     repo.requireFlag(repo.Flags.Expire, "expire")
     var removed = 0
     repo.casUpdate("expire", s"olderThan=$olderThan") { info =>
-      val keepRoots = scala.collection.mutable.Set[String]()
+      // pass 1: per-ref retained prefixes (flushedAt is monotone down a
+      // chain, so "tip + at-or-after cutoff" is a prefix)
+      val perRef = (info.branches.values ++ info.tags.values).toSeq
+        .map { tip =>
+          val chain = info.ancestry(tip)
+          val retained = chain.zipWithIndex.filter { case (s, i) =>
+            i == 0 || Instant.parse(s.flushedAt).compareTo(olderThan) >= 0
+          }.map(_._1)
+          (chain, retained)
+        }
+      val keepRoots = perRef.flatMap(_._2.map(_.id)).toSet
+      // pass 2: cut boundaries, recording what each cut ACTUALLY prunes
+      // (a snapshot another ref retains is not pruned, and a previously
+      // expired boundary in the dropped set folds its own record in)
       val edited = scala.collection.mutable.Map[String, SnapshotInfo]()
-      (info.branches.values ++ info.tags.values).foreach { tip =>
-        val chain = info.ancestry(tip)
-        // retain the tip plus everything at-or-after the cutoff
-        val retained = chain.zipWithIndex.filter { case (s, i) =>
-          i == 0 || Instant.parse(s.flushedAt).compareTo(olderThan) >= 0
-        }.map(_._1)
-        val oldest = retained.lastOption.getOrElse(chain.head)
-        if (chain.size > retained.size)
-          edited.put(oldest.id, oldest.copy(parentId = None))
-        retained.foreach(s => keepRoots += s.id)
+      perRef.foreach { case (chain, retained) =>
+        if (chain.size > retained.size) {
+          val oldest = retained.lastOption.getOrElse(chain.head)
+          val pruned = chain.drop(retained.size)
+            .filterNot(s => keepRoots.contains(s.id))
+            .flatMap(s => s.id +: s.prunedAncestors)
+          val prior = edited.getOrElse(oldest.id, oldest)
+          edited.put(oldest.id, prior.copy(parentId = None,
+            prunedAncestors =
+              (prior.prunedAncestors ++ pruned).distinct))
+        }
       }
       val kept = info.snapshots
         .filter(s => keepRoots.contains(s.id))

@@ -133,6 +133,10 @@ object GraftError {
   val Conflict = "conflict"
   /** Branch, tag, or snapshot id does not exist. */
   val RefNotFound = "ref_not_found"
+  /** Snapshot existed but was squashed out of ancestry by `expire` (its
+    * id is recorded in a retained snapshot's prunedAncestors — reference
+    * Changelog #2184's pruned_ancestor_tx_logs). */
+  val Expired = "expired"
   /** Array/group node path does not exist (or is the wrong node type). */
   val NodeNotFound = "node_not_found"
   /** Mutation attempted on a read-only session or read-only storage. */

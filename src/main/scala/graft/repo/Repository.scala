@@ -141,7 +141,8 @@ final class Repository private (
     casUpdate("create_branch", name) { i =>
       if (i.branches.contains(name))
         throw new GraftException(s"branch $name exists")
-      require(i.snapshotInfo(snapshotId).isDefined, s"unknown snapshot")
+      if (i.snapshotInfo(snapshotId).isEmpty)
+        unknownSnapshot(i, snapshotId, "create_branch")
       i.copy(branches = i.branches.updated(name, snapshotId))
     }
 
@@ -150,7 +151,8 @@ final class Repository private (
     casUpdate("reset_branch", s"$name -> $snapshotId") { i =>
       if (!i.branches.contains(name))
         throw new GraftException(s"no branch $name", GraftError.RefNotFound)
-      require(i.snapshotInfo(snapshotId).isDefined, s"unknown snapshot")
+      if (i.snapshotInfo(snapshotId).isEmpty)
+        unknownSnapshot(i, snapshotId, "reset_branch")
       i.copy(branches = i.branches.updated(name, snapshotId))
     }
 
@@ -200,7 +202,8 @@ final class Repository private (
       // deleted tags are tombstoned and cannot be recreated (repo_info.rs:713)
       if (i.tags.contains(name) || i.deletedTags.contains(name))
         throw new GraftException(s"tag $name exists or was deleted")
-      require(i.snapshotInfo(snapshotId).isDefined, s"unknown snapshot")
+      if (i.snapshotInfo(snapshotId).isEmpty)
+        unknownSnapshot(i, snapshotId, "create_tag")
       i.copy(tags = i.tags.updated(name, snapshotId))
     }
 
@@ -252,15 +255,43 @@ final class Repository private (
     * `from` (exclusive) to `to` (inclusive), with node paths resolved
     * (diff.rs:27-75) — a DataFrame of edit rows.
     */
+  /** Fail a snapshot-id lookup precisely: kind `expired` (naming the
+    * retained boundary that recorded it) when `expire` squashed the id,
+    * kind `ref_not_found` otherwise (reference #2184).
+    */
+  private def unknownSnapshot(i: RepoInfo, id: String,
+                              what: String): Nothing =
+    i.expiredBoundaryOf(id) match {
+      case Some(b) => throw new GraftException(
+        s"$what: snapshot $id was expired (squashed beneath retained " +
+          s"snapshot ${b.id})", GraftError.Expired)
+      case None => throw new GraftException(
+        s"$what: unknown snapshot $id", GraftError.RefNotFound)
+    }
+
   def diff(from: VersionRef, to: VersionRef): DataFrame = {
     val fromId = resolveVersion(from)
     val toId = resolveVersion(to)
-    val chain = info().ancestry(toId).takeWhile(_.id != fromId).map(_.id)
+    val i = info()
+    val ancestors = i.ancestry(toId)
+    if (ancestors.isEmpty) unknownSnapshot(i, toId, "diff")
+    // `from` must actually be on `to`'s chain — otherwise takeWhile
+    // would silently consume the WHOLE chain and return a full-history
+    // "diff" (the #2184 failure mode after expiration)
+    if (fromId != toId && !ancestors.exists(_.id == fromId))
+      unknownSnapshot(i, fromId, "diff: from is not an ancestor of to")
+    val chain = ancestors.takeWhile(_.id != fromId)
     if (chain.isEmpty) {
       import spark.implicits._
       spark.emptyDataset[EditRow].toDF()
     } else {
-      val logs = chain.filter(assets.txLogExists)
+      // every non-root chain member must still have its tx log — a
+      // silently skipped log would yield a wrong (partial) diff
+      chain.filter(s => s.parentId.isDefined && !assets.txLogExists(s.id))
+        .foreach(s => throw new GraftException(
+          s"diff: transaction log for ${s.id} is gone (expired/GC'd)",
+          GraftError.Expired))
+      val logs = chain.map(_.id).filter(assets.txLogExists)
         .map(assets.readTxLog)
       if (logs.isEmpty) {
         import spark.implicits._

@@ -11,7 +11,11 @@ import graft.repo.{Repository, VersionRef}
   */
 object ChangesFeed {
   /** @return (new tip, edit rows from `sinceSnapshot` exclusive to tip) —
-    *         None when the branch hasn't moved.
+    *         None when the branch hasn't moved. A consumed snapshot that
+    *         is no longer on the branch's chain (expired, or the branch
+    *         was reset/rewritten) throws kind `expired`/`ref_not_found`
+    *         so the consumer re-baselines explicitly instead of
+    *         receiving the whole history as one silent "change".
     */
   def poll(repo: Repository, branch: String,
            sinceSnapshot: String): Option[(String, DataFrame)] = {

@@ -128,6 +128,34 @@ class OpsSpec extends SparkTestBase {
     // data still fully readable at the tip
     val ro = repo.readonlySession(VersionRef.Branch("main"))
     assert(ro.refs("/a").count() == 3)
+    // #2184: the boundary RECORDS every squashed id (newest first)
+    val prunedIds = after.head.prunedAncestors
+    assert(prunedIds.toSet == before.drop(1).map(_.id).toSet,
+      s"pruned record $prunedIds vs expected ${before.drop(1).map(_.id)}")
+    // operations aimed at an expired id fail with kind `expired` naming
+    // the boundary — not a bare ref_not_found
+    val expiredId = before(2).id
+    val e1 = intercept[GraftException](
+      repo.diff(VersionRef.SnapshotVer(expiredId),
+        VersionRef.Branch("main")))
+    assert(e1.kind == GraftError.Expired &&
+      e1.getMessage.contains(after.head.id))
+    val e2 = intercept[GraftException](
+      repo.createBranch("dev", expiredId))
+    assert(e2.kind == GraftError.Expired)
+    // a genuinely unknown id still reads ref_not_found
+    val e3 = intercept[GraftException](
+      repo.createBranch("dev", "NOSUCHSNAPSHOT"))
+    assert(e3.kind == GraftError.RefNotFound)
+    // re-expire after more commits ACCUMULATES the record
+    val s2 = repo.writableSession("main")
+    s2.writeChunk("/a", Seq(5), Array[Byte](5.toByte))
+    s2.commit("c6")
+    GC.expire(repo, Instant.now().plusSeconds(60))
+    val after2 = repo.ancestry(VersionRef.Branch("main"))
+    assert(after2.size == 1)
+    assert(after2.head.prunedAncestors.toSet ==
+      (prunedIds.toSet + after.head.id))
   }
 
   test("rewrite_manifests compacts fragmented manifests into one") {
