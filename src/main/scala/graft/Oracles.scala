@@ -969,6 +969,53 @@ object Oracles {
         |SELECT doc_id, rank, token, tf, df, score FROM rk
         |WHERE rank <= 5 ORDER BY doc_id, rank""".stripMargin,
 
+    // identical per-vector arithmetic as Similarity.quantizeEmbeddings:
+    // scale from the double-cast floats, codes = round(v/scale) as INT,
+    // max_err over the same products — all order-insensitive rollups
+    "q_embedding_quantize" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+        |  FROM embeddings),
+        |m AS (SELECT vec_id, v,
+        |    greatest(list_max(v), -list_min(v)) AS maxabs FROM e),
+        |s AS (SELECT vec_id, v, CASE WHEN maxabs = 0 THEN 1.0
+        |    ELSE maxabs / 127 END AS scale FROM m),
+        |q AS (SELECT vec_id, v, scale,
+        |    list_transform(v, x -> CAST(round(x / scale) AS INT))
+        |      AS codes FROM s)
+        |SELECT vec_id, round(scale, 6) AS scale,
+        |  CAST(list_aggregate(codes, 'sum') AS BIGINT) AS sum_codes,
+        |  list_max(list_transform(codes, c -> abs(c))) AS max_code,
+        |  round(list_max(list_transform(range(1, len(v) + 1),
+        |    i -> abs(codes[i] * scale - v[i]))), 6) AS max_err
+        |FROM q ORDER BY vec_id""".stripMargin,
+
+    // same slide: starts k*16 for k in 0..floor((len-1)/16), window 64
+    // truncated at the array end (1-based inclusive slices)
+    "q_doc_chunks" ->
+      """WITH toks AS (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'),
+        |      x -> len(x) > 0) AS ts
+        |  FROM documents),
+        |w AS (SELECT doc_id, ts,
+        |    unnest(range(0,
+        |      CAST(floor((len(ts) - 1) / 16) AS BIGINT) + 1)) AS k
+        |  FROM toks WHERE len(ts) > 0)
+        |SELECT doc_id, CAST(k AS INT) AS chunk_idx,
+        |  CAST(len(ts[k * 16 + 1 : least(k * 16 + 64, len(ts))]) AS INT)
+        |    AS n_tokens,
+        |  array_to_string(ts[k * 16 + 1 : least(k * 16 + 64, len(ts))],
+        |    ' ') AS chunk_text
+        |FROM w ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    "q_group_sample" ->
+      """WITH r AS (SELECT *,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS INT)
+        |      AS _rk
+        |  FROM documents)
+        |SELECT doc_id, text, lang, source, n_chars FROM r WHERE _rk <= 3
+        |ORDER BY source, doc_id""".stripMargin,
+
     // first-seer per distinct trigram = min doc_id, then per-doc rollup;
     // trigram construction mirrors the Spark slide (1-based 3-slices)
     "q_ngram_novelty" ->

@@ -828,6 +828,33 @@ object Queries {
   val q_ngram_novelty: Q = (s, d) =>
     TextAnalysis.ngramNovelty(t(s, d, "documents"), n = 3)
 
+  /** Symmetric int8 embedding quantization with a reconstruction-error
+    * audit: codes, max |code|, and max per-coordinate error — every code
+    * recomputed bit-for-bit by the DuckDB oracle.
+    */
+  val q_embedding_quantize: Q = (s, d) =>
+    graft.pipeline.Similarity.quantizeEmbeddings(t(s, d, "embeddings"))
+      .select(col("vec_id"), round(col("scale"), 6).as("scale"),
+        aggregate(col("codes"), lit(0L), (a, c) => a + c).as("sum_codes"),
+        col("max_code"), round(col("max_err"), 6).as("max_err"))
+      .orderBy("vec_id")
+
+  /** Sliding-window chunking (RAG layout): 64-token windows at stride
+    * 16, per-chunk token counts and text — oracle-matched.
+    */
+  val q_doc_chunks: Q = (s, d) =>
+    TextAnalysis.slidingChunks(t(s, d, "documents"), window = 64,
+        stride = 16)
+      .orderBy("doc_id", "chunk_idx")
+
+  /** Per-source deterministic audit sample: 3 docs per source by md5
+    * order — identical rows on any engine (oracle-matched).
+    */
+  val q_group_sample: Q = (s, d) =>
+    graft.pipeline.Sampling.deterministicSamplePerGroup(
+        t(s, d, "documents"), "source", "doc_id", 3)
+      .orderBy("source", "doc_id")
+
   /** Semi-structured extraction: pull a typed field out of the JSON
     * `props` column and aggregate per event type — the routine
     * log-enrichment pass (`get_json_object` is codegen'd; DuckDB's JSON
@@ -1419,6 +1446,9 @@ object Queries {
     "q_word_freq" -> q_word_freq,
     "q_tfidf_keywords" -> q_tfidf_keywords,
     "q_ngram_novelty" -> q_ngram_novelty,
+    "q_doc_chunks" -> q_doc_chunks,
+    "q_group_sample" -> q_group_sample,
+    "q_embedding_quantize" -> q_embedding_quantize,
     "q_cms_heavy" -> q_cms_heavy,
     "q_normalize" -> q_normalize,
     "q_hll_distinct" -> q_hll_distinct,

@@ -76,6 +76,25 @@ object Sampling {
       .drop("_rank")
   }
 
+  /** Per-group deterministic k-sample: [[deterministicSample]] stratified
+    * by a group column — the k rows of EVERY group whose md5(id) sorts
+    * lowest (per-source audit samples, per-language spot checks). One
+    * group-keyed window (rank within group over the md5 order), the same
+    * shuffle family as any per-group top-k; group skew is governed by
+    * the group key exactly like a groupBy. Identical rows on any
+    * engine/rerun — the oracle recomputes every rank.
+    */
+  def deterministicSamplePerGroup(df: DataFrame, groupCol: String,
+                                  idCol: String, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    df.withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") <= k)
+      .drop("_rk")
+  }
+
   /** Temperature-weighted source mixing — the multinomial sampling used
     * to build multi-source / multilingual training mixtures: source `s`
     * with `n_s` rows is drawn with probability `n_s^alpha / Σ n^alpha`

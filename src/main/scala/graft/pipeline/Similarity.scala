@@ -36,6 +36,38 @@ object Similarity {
       .limit(k)
   }
 
+  /** Symmetric int8 quantization of an embedding column — the 4× memory
+    * cut that makes a 100 TB vector corpus index-resident: per vector,
+    * `scale = max|v| / 127` and `code_i = round(v_i / scale)` (zero
+    * vectors get scale 1 so codes are all 0). Pure per-row column
+    * arithmetic (codegen'd, no shuffle, no UDF); the reconstruction
+    * error is bounded by `scale/2` per coordinate, which the returned
+    * `max_err` audits. Engine-portable arithmetic — q_embedding_quantize
+    * hash-matches DuckDB's recomputation of every code.
+    *
+    * Returns (id, scale, codes, max_code, max_err).
+    */
+  def quantizeEmbeddings(embeddings: DataFrame,
+                         vecCol: String = "embedding",
+                         idCol: String = "vec_id"): DataFrame = {
+    val v = transform(col(vecCol), _.cast("double"))
+    embeddings
+      .select(col(idCol), v.as("v"))
+      .withColumn("maxabs",
+        greatest(array_max(col("v")), -array_min(col("v"))))
+      .withColumn("scale",
+        when(col("maxabs") === 0.0, lit(1.0))
+          .otherwise(col("maxabs") / 127.0))
+      .withColumn("codes",
+        transform(col("v"), x => round(x / col("scale")).cast("int")))
+      .withColumn("max_code", array_max(transform(col("codes"), abs(_))))
+      .withColumn("max_err", array_max(
+        zip_with(col("codes"), col("v"),
+          (c, x) => abs(c * col("scale") - x))))
+      .select(col(idCol), col("scale"), col("codes"), col("max_code"),
+        col("max_err"))
+  }
+
   /** Top-k per probe for a whole probe *set* — the batched form: block
     * by LSH bucket, rank within probe, keep k. Shuffle is O(n·tables), not
     * O(n·m) pairs.

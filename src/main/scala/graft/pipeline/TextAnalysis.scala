@@ -266,6 +266,34 @@ object TextAnalysis {
       .orderBy(idCol)
   }
 
+  /** Sliding-window document chunking — the retrieval/RAG layout step:
+    * each document becomes overlapping token windows of `window` tokens
+    * at `stride` steps (stride < window overlaps, stride == window
+    * tiles). The last window may be short; zero-token docs emit nothing.
+    * Pure per-row array arithmetic (codegen'd slide + posexplode, no
+    * shuffle): row count multiplies by ~len/stride, the 100 TB cost is
+    * the write, not the transform. Engine-portable (q_doc_chunks).
+    *
+    * Returns (id, chunk_idx, n_tokens, chunk_text).
+    */
+  def slidingChunks(docs: DataFrame, window: Int, stride: Int,
+                    textCol: String = "text",
+                    idCol: String = "doc_id"): DataFrame = {
+    require(window >= 1, s"slidingChunks: window >= 1, got $window")
+    require(stride >= 1 && stride <= window,
+      s"slidingChunks: 1 <= stride <= window, got $stride")
+    docs
+      .select(col(idCol), tokens(col(textCol)).as("ts"))
+      .filter(size(col("ts")) > 0)
+      .select(col(idCol), posexplode(transform(
+        sequence(lit(0),
+          floor((size(col("ts")) - lit(1)) / lit(stride)).cast("int")),
+        k => slice(col("ts"), k * stride + 1, lit(window)))))
+      .select(col(idCol), col("pos").as("chunk_idx"),
+        size(col("col")).as("n_tokens"),
+        concat_ws(" ", col("col")).as("chunk_text"))
+  }
+
   /** Corpus word-frequency table: total occurrences + document frequency
     * per token, top-k by occurrence count. ONE explode feeding a
     * map-side-combined aggregation (the expand for `count_distinct` keeps

@@ -917,6 +917,59 @@ class PipelineSpec extends SparkTestBase {
     assert(out == Seq((0L, 3L, 3L), (1L, 3L, 1L), (2L, 3L, 3L)))
   }
 
+  test("int8 quantization: codes, zero-vector guard, error bound") {
+    import spark.implicits._
+    import graft.pipeline.Similarity
+    val embs = Seq(
+      (1L, Seq(1.0f, -2.0f, 0.5f)),   // maxabs 2 -> scale 2/127
+      (2L, Seq(0.0f, 0.0f, 0.0f)),    // zero vector -> scale 1, codes 0
+      (3L, Seq(-127.0f, 127.0f, 63.5f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.quantizeEmbeddings(embs).collect()
+      .map(r => r.getLong(0) ->
+        (r.getDouble(1), r.getSeq[Int](2), r.getInt(3), r.getDouble(4)))
+      .toMap
+    val (s1, c1, m1, e1) = out(1L)
+    assert(math.abs(s1 - 2.0 / 127) < 1e-12)
+    assert(c1 == Seq(64, -127, 32) && m1 == 127)
+    assert(e1 <= s1 / 2 + 1e-12) // reconstruction bound
+    assert(out(2L) == ((1.0, Seq(0, 0, 0), 0, 0.0)))
+    assert(out(3L)._2 == Seq(-127, 127, 64))
+  }
+
+  test("sliding chunks: tiling, overlap, short tail, empty doc") {
+    import spark.implicits._
+    import graft.pipeline.TextAnalysis
+    val docs = Seq(
+      (1L, "a b c d e f g"), // 7 tokens
+      (2L, "   ")            // empty -> no rows
+    ).toDF("doc_id", "text")
+    // window 3 stride 3: chunks [a b c][d e f][g]
+    val tiled = TextAnalysis.slidingChunks(docs, window = 3, stride = 3)
+      .orderBy("doc_id", "chunk_idx").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+    assert(tiled.toSeq == Seq((1L, 0, 3, "a b c"), (1L, 1, 3, "d e f"),
+      (1L, 2, 1, "g")))
+    // window 4 stride 2: starts 0,2,4,6
+    val lap = TextAnalysis.slidingChunks(docs, window = 4, stride = 2)
+      .orderBy("doc_id", "chunk_idx").collect().map(_.getString(3))
+    assert(lap.toSeq == Seq("a b c d", "c d e f", "e f g", "g"))
+  }
+
+  test("per-group deterministic sample: k per group, stable across reruns") {
+    import spark.implicits._
+    import graft.pipeline.Sampling
+    val df = (0 until 100).map(i => (i.toLong, s"g${i % 4}"))
+      .toDF("id", "grp")
+    val a = Sampling.deterministicSamplePerGroup(df, "grp", "id", 5)
+      .collect().map(r => (r.getString(1), r.getLong(0))).sorted
+    val b = Sampling.deterministicSamplePerGroup(
+        df.repartition(7), "grp", "id", 5)
+      .collect().map(r => (r.getString(1), r.getLong(0))).sorted
+    assert(a.length == 20 && (a sameElements b))
+    assert(a.groupBy(_._1).forall(_._2.length == 5))
+  }
+
   test("classifier: zero-token docs score sigmoid(bias), not dropped") {
     import graft.pipeline.Classifier
     import spark.implicits._
