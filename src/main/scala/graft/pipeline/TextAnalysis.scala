@@ -204,12 +204,13 @@ object TextAnalysis {
     *
     * Scale shape: one (doc, token) tf aggregation (map-side combined),
     * one token-keyed df aggregation whose OUTPUT is vocabulary-sized and
-    * joins back by hash on the token, one broadcast singleton for N, and
-    * one per-doc window for the top-k — every shuffle is keyed on the
-    * token or the document, linear in the corpus; nothing corpus-sized
-    * ever sits on the driver. Ties rank deterministically (rounded score
-    * desc, then token asc) and the arithmetic is closed-form, so an
-    * external engine reproduces every row (see q_tfidf_keywords).
+    * joins back by hash on the token, one bounded driver-side count for
+    * N, and one per-doc window for the top-k — every shuffle is keyed on
+    * the token or the document, linear in the corpus; nothing
+    * corpus-sized ever sits on the driver. Ties rank deterministically
+    * (rounded score desc, then token asc) and the arithmetic is
+    * closed-form, so an external engine reproduces every row
+    * (see q_tfidf_keywords).
     */
   def tfidfKeywords(docs: DataFrame, textCol: String = "text",
                     topK: Int = 5): DataFrame = {
@@ -219,10 +220,13 @@ object TextAnalysis {
       .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
     // tf is already distinct per (doc, token): df = plain count per token
     val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
-    val n = docs.agg(count(lit(1)).as("n_docs"))
-    val scored = tf.join(df, Seq("token")).crossJoin(broadcast(n))
+    // corpus size as a driver-side bounded count: a scalar at any
+    // corpus size (the crossJoin-a-singleton alternative plans the
+    // BroadcastNestedLoopJoin the pipeline plan guard bans)
+    val nDocs = docs.count()
+    val scored = tf.join(df, Seq("token"))
       .withColumn("score", round(
-        col("tf") * log(col("n_docs").cast("double") / col("df")), 6))
+        col("tf") * log(lit(nDocs.toDouble) / col("df")), 6))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy(col("score").desc, col("token"))
     scored.withColumn("rank", row_number().over(w))

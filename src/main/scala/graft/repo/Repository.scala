@@ -242,6 +242,23 @@ final class Repository private (
   def ancestry(ref: VersionRef): Seq[SnapshotInfo] =
     info().ancestry(resolveVersion(ref))
 
+  /** git-style ref comparison: the merge base (nearest common ancestor)
+    * and how many commits each side has beyond it — the "ahead 2,
+    * behind 5" answer before a merge/push. Driver-side ancestry walk
+    * over pointer metadata; diverged refs with no common ancestor (one
+    * side expired past the fork) come back with mergeBase = None and
+    * full-chain counts.
+    */
+  def compareRefs(a: VersionRef, b: VersionRef): RefComparison = {
+    val ia = ancestry(a)
+    val ib = ancestry(b)
+    val inB = ib.map(_.id).toSet
+    val base = ia.find(s => inB.contains(s.id)).map(_.id)
+    RefComparison(resolveVersion(a), resolveVersion(b), base,
+      ahead = ia.takeWhile(s => !base.contains(s.id)).size,
+      behind = ib.takeWhile(s => !base.contains(s.id)).size)
+  }
+
   /** Ancestry as a DataFrame ordered by commit recency. */
   def ancestryDf(ref: VersionRef): DataFrame = {
     import spark.implicits._
@@ -397,6 +414,13 @@ final class Repository private (
 final case class RepoStatus(readOnly: Boolean,
                             setAt: Option[Instant] = None,
                             reason: Option[String] = None)
+
+/** [[Repository.compareRefs]] result: resolved tips, merge base, and
+  * commits-beyond-base per side (git's "ahead N, behind M").
+  */
+final case class RefComparison(aId: String, bId: String,
+                               mergeBase: Option[String],
+                               ahead: Int, behind: Int)
 
 object Repository {
   val DefaultBranch = "main"

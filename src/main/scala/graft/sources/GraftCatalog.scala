@@ -243,6 +243,25 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
             new GenericInternalRow(Array[Any](str(e.ts), str(e.op),
               str(e.detail))): InternalRow
           }.toArray))
+      case (ns, "manifests") if ns.nonEmpty =>
+        // per-shard manifest stats for one array — the fragmentation /
+        // pruning observability view (is it time for rewrite_manifests?):
+        // split ordinal, manifest object, ref count, payload bytes, and
+        // the shard's coordinate envelope. Bounded metadata (the session
+        // snapshot's manifest list), LocalScan like its siblings.
+        val arrayPath = "/" + ns.mkString("/")
+        val session = r.readonlySession(parseRef(version, branch))
+        session.node(arrayPath).filter(_.isArray).map { node =>
+          new GraftMetaTable(s"${name()}.${ns.mkString(".")}.manifests",
+            GraftCatalog.ManifestsSchema,
+            () => session.base.manifests.getOrElse(node.id, Nil)
+              .sortBy(m => (m.split, m.manifestId)).map { m =>
+                new GenericInternalRow(Array[Any](m.split,
+                  str(m.manifestId), m.numRefs, m.sizeBytes,
+                  str(m.emin.mkString(",")), str(m.emax.mkString(",")))):
+                  InternalRow
+              }.toArray)
+        }
       case _ => None
     }
   }
@@ -601,6 +620,14 @@ object GraftCatalog {
     StructField("ts", StringType),
     StructField("op", StringType),
     StructField("detail", StringType)))
+  /** `cat.<ns>.<array>.manifests` — per-shard manifest stats. */
+  val ManifestsSchema: StructType = StructType(Seq(
+    StructField("split", IntegerType, nullable = false),
+    StructField("manifest_id", StringType, nullable = false),
+    StructField("num_refs", LongType),
+    StructField("size_bytes", LongType),
+    StructField("extent_min", StringType),
+    StructField("extent_max", StringType)))
 }
 
 /** Bounded metadata as a driver-local relation: a [[LocalScan]] hands

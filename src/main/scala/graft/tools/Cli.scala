@@ -111,6 +111,10 @@ object Cli {
         case ("diff", from :: to :: Nil) =>
           repo.diff(parseRef(repo, from), parseRef(repo, to))
             .orderBy("edit", "path").collect().foreach(println)
+        case ("compare", a :: b :: Nil) =>
+          val c = repo.compareRefs(parseRef(repo, a), parseRef(repo, b))
+          println(s"$a is ahead ${c.ahead}, behind ${c.behind} of $b " +
+            s"(merge base ${c.mergeBase.getOrElse("<none>")})")
         case ("gc", flags) =>
           val summary = graft.ops.GC.garbageCollect(repo,
             java.time.Instant.now().minusSeconds(3600),

@@ -172,6 +172,13 @@ class GraftCatalogSpec extends SparkTestBase {
       s"SELECT count(*) AS n FROM $cat.g.a.refs").head().getLong(0)
     assert(refs == 2) // 8 cells / 4-cell chunks
 
+    // per-shard manifest stats (the fragmentation / pruning view)
+    val man = spark.sql(s"SELECT split, num_refs, size_bytes, " +
+      s"extent_min, extent_max FROM $cat.g.a.manifests").collect()
+    assert(man.map(_.getLong(1)).sum == 2) // both chunk refs accounted
+    assert(man.forall(_.getLong(2) > 0))
+    assert(man.map(_.getString(3)).min == "0")
+
     // the refs table resolves existence at the REQUESTED version: the
     // array stays readable under VERSION AS OF after a DROP at the tip
     val preDrop = repo.resolveVersion(VersionRef.Branch("main"))

@@ -178,7 +178,8 @@ class PlanCheckSpec extends SparkTestBase {
     val checked = Seq("q_dedup_minhash", "q_dedup_simhash",
       "q_dedup_ngram_jaccard", "q_dedup_ngram_lsh", "q_embedding_neardups",
       "q_ann_neighbors", "q_decontaminate", "q_dedup_clusters",
-      "q_substring_spans", "q_semantic_keep", "q_classifier_score")
+      "q_substring_spans", "q_semantic_keep", "q_classifier_score",
+      "q_tfidf_keywords", "q_funnel_stages", "q_ngram_novelty")
     checked.foreach { name =>
       val p = plan(Queries.all(name)(spark, sf))
       assert(!p.contains("CartesianProduct"),

@@ -405,6 +405,32 @@ class RepositorySpec extends SparkTestBase {
     assert(v.count() == 3)
   }
 
+  test("compareRefs: ahead/behind counts and merge base, git-style") {
+    val repo = Repository.create(Store.local(tmpDir("repo")), spark)
+    val s = repo.writableSession("main")
+    s.addArray("/a", Seq(10), Seq(1))
+    val base = s.commit("base")
+    repo.createBranch("dev", base)
+    // main advances 2, dev advances 1
+    for (i <- 0 until 2) {
+      val m = repo.writableSession("main")
+      m.writeChunk("/a", Seq(i), Array[Byte](1))
+      m.commit(s"main $i")
+    }
+    val d = repo.writableSession("dev")
+    d.writeChunk("/a", Seq(9), Array[Byte](2))
+    d.commit("dev 0")
+    val c = repo.compareRefs(VersionRef.Branch("main"),
+      VersionRef.Branch("dev"))
+    assert(c.mergeBase.contains(base))
+    assert(c.ahead == 2 && c.behind == 1)
+    // same ref: identical tips, zero distance
+    val self = repo.compareRefs(VersionRef.Branch("dev"),
+      VersionRef.Branch("dev"))
+    assert(self.ahead == 0 && self.behind == 0 &&
+      self.mergeBase.contains(self.aId))
+  }
+
   test("ops log records operations newest-first with monotone timestamps") {
     val repo = Repository.create(Store.local(tmpDir("repo")), spark)
     val s = repo.writableSession("main")
