@@ -969,6 +969,75 @@ object Oracles {
         |SELECT doc_id, rank, token, tf, df, score FROM rk
         |WHERE rank <= 5 ORDER BY doc_id, rank""".stripMargin,
 
+    // the full curation cascade from first principles: langid marker
+    // argmax, distinct-token ratio, the composite quality formula
+    // (identical literals/association as q_quality_score), then the
+    // ordered CASE with the same thresholds as the query
+    "q_curation" ->
+      s"""WITH base AS (
+        |  SELECT doc_id, text,
+        |    list_filter(string_split_regex(lower(text), '\\s+'),
+        |      x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |sc AS (SELECT doc_id, text, toks, len(toks) AS n_tokens,
+        |    len(list_filter(toks, x -> list_contains(
+        |      ['the','and','of','is','to','a'], x))) AS s_en,
+        |    len(list_filter(toks, x -> list_contains(
+        |      ['der','die','das','und','ist','nicht'], x))) AS s_de,
+        |    len(list_filter(toks, x -> list_contains(
+        |      ['le','la','les','et','est','une'], x))) AS s_fr,
+        |    len(list_filter(toks, x -> list_contains(
+        |      ['el','los','es','una','que','para'], x))) AS s_es,
+        |    len(list_filter(toks, x -> list_contains(
+        |      ['的','是','了','在','我','不'], x))) AS s_zh
+        |  FROM base),
+        |lg AS (SELECT *, CASE
+        |    WHEN s_en > 0 AND s_en >= greatest(s_de, s_fr, s_es, s_zh)
+        |      THEN 'en'
+        |    WHEN s_de > 0 AND s_de >= greatest(s_en, s_fr, s_es, s_zh)
+        |      THEN 'de'
+        |    WHEN s_fr > 0 AND s_fr >= greatest(s_en, s_de, s_es, s_zh)
+        |      THEN 'fr'
+        |    WHEN s_es > 0 AND s_es >= greatest(s_en, s_de, s_fr, s_zh)
+        |      THEN 'es'
+        |    WHEN s_zh > 0 AND s_zh >= greatest(s_en, s_de, s_fr, s_es)
+        |      THEN 'zh'
+        |    ELSE 'und' END AS lang_pred
+        |  FROM sc),
+        |m AS (SELECT doc_id, n_tokens, lang_pred,
+        |    round(CASE WHEN n_tokens = 0 THEN 0.0 ELSE
+        |      len(list_distinct(toks))::DOUBLE / n_tokens END, 6)
+        |      AS distinct_ratio,
+        |    least(len(text)::DOUBLE / 500.0, 1.0) AS len_score,
+        |    least(CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+        |      len(list_filter(toks, x -> list_contains($stop, x)))::DOUBLE
+        |        / len(toks) END * 5.0, 1.0) AS sw_score,
+        |    CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+        |      list_aggregate(list_transform(toks, x -> len(x)),
+        |        'sum')::DOUBLE / len(toks) END AS mtl,
+        |    least(CASE WHEN len(text) = 0 THEN 0.0 ELSE
+        |      (len(text) - len(regexp_replace(text, '[\\.,;:!\\?]', '', 'g')))
+        |        ::DOUBLE / len(text) END * 5.0, 1.0) AS punct_penalty
+        |  FROM lg),
+        |q AS (SELECT doc_id, n_tokens, lang_pred, distinct_ratio,
+        |    floor((len_score * 0.4 + sw_score * 0.3 +
+        |      (CASE WHEN mtl >= 3.0 AND mtl <= 10.0 THEN 1.0 ELSE 0.5 END)
+        |        * 0.3) * (1.0 - punct_penalty * 0.5) * 1000000 + 0.5)
+        |      / 1000000 AS quality
+        |  FROM m)
+        |SELECT doc_id, n_tokens, lang_pred, distinct_ratio, quality,
+        |  CASE WHEN n_tokens < 20 THEN 'too_short'
+        |       WHEN lang_pred NOT IN ('en') THEN 'lang'
+        |       WHEN distinct_ratio < 0.3 THEN 'repetitive'
+        |       WHEN quality < 0.5 THEN 'low_quality'
+        |       ELSE 'ok' END AS reason,
+        |  (CASE WHEN n_tokens < 20 THEN 'too_short'
+        |       WHEN lang_pred NOT IN ('en') THEN 'lang'
+        |       WHEN distinct_ratio < 0.3 THEN 'repetitive'
+        |       WHEN quality < 0.5 THEN 'low_quality'
+        |       ELSE 'ok' END = 'ok') AS keep
+        |FROM q ORDER BY doc_id""".stripMargin,
+
     // identical per-vector arithmetic as Similarity.quantizeEmbeddings:
     // scale from the double-cast floats, codes = round(v/scale) as INT,
     // max_err over the same products — all order-insensitive rollups

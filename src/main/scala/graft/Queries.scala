@@ -828,6 +828,16 @@ object Queries {
   val q_ngram_novelty: Q = (s, d) =>
     TextAnalysis.ngramNovelty(t(s, d, "documents"), n = 3)
 
+  /** Composed quality-curation cascade: keep/drop with the first
+    * failing rule as an audit reason (too_short / lang / repetitive /
+    * low_quality / ok) — all five fire on this corpus; every rule is
+    * recomputed from first principles by the DuckDB oracle.
+    */
+  val q_curation: Q = (s, d) =>
+    TextAnalysis.curationPipeline(t(s, d, "documents"), minTokens = 20,
+        langs = Seq("en"), minDistinctRatio = 0.3, minQuality = 0.5)
+      .orderBy("doc_id")
+
   /** Symmetric int8 embedding quantization with a reconstruction-error
     * audit: codes, max |code|, and max per-coordinate error — every code
     * recomputed bit-for-bit by the DuckDB oracle.
@@ -1447,6 +1457,7 @@ object Queries {
     "q_tfidf_keywords" -> q_tfidf_keywords,
     "q_ngram_novelty" -> q_ngram_novelty,
     "q_doc_chunks" -> q_doc_chunks,
+    "q_curation" -> q_curation,
     "q_group_sample" -> q_group_sample,
     "q_embedding_quantize" -> q_embedding_quantize,
     "q_cms_heavy" -> q_cms_heavy,

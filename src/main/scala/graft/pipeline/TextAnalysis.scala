@@ -270,6 +270,43 @@ object TextAnalysis {
       .orderBy(idCol)
   }
 
+  /** Composed quality-curation cascade (the C4/FineWeb-shaped keep/drop
+    * pass): every document gets a keep decision and the FIRST failing
+    * rule as an audit reason — `too_short` (< minTokens), `lang`
+    * (predicted language not allowlisted), `repetitive` (distinct-token
+    * ratio below the floor, the Gopher within-doc repetition gate),
+    * `low_quality` (composite [[qualityScore]] below the cut), else
+    * `ok`. The reason column is what makes a 100 TB drop set auditable
+    * (the curation complement of [[Dedup.dedupPipeline]]'s reasons).
+    *
+    * Pure column arithmetic end to end — one scan, zero shuffles, whole-
+    * stage codegen; every rule is engine-recomputable (q_curation).
+    */
+  def curationPipeline(docs: DataFrame, minTokens: Int = 20,
+                       langs: Seq[String] = Seq("en"),
+                       minDistinctRatio: Double = 0.3,
+                       minQuality: Double = 0.35,
+                       textCol: String = "text"): DataFrame = {
+    require(minTokens >= 0 && langs.nonEmpty, "curationPipeline: bad args")
+    val toks = tokens(col(textCol))
+    val nTok = size(toks)
+    val dr = when(nTok === 0, lit(0.0)).otherwise(
+      size(array_distinct(toks)).cast("double") / nTok.cast("double"))
+    docs.select(col("doc_id"),
+        nTok.as("n_tokens"),
+        langId(col(textCol)).as("lang_pred"),
+        round(dr, 6).as("distinct_ratio"),
+        qualityScore(col(textCol)).as("quality"))
+      .withColumn("reason",
+        when(col("n_tokens") < minTokens, "too_short")
+          .when(!col("lang_pred").isin(langs.map(x => x: Any): _*),
+            "lang")
+          .when(col("distinct_ratio") < minDistinctRatio, "repetitive")
+          .when(col("quality") < minQuality, "low_quality")
+          .otherwise("ok"))
+      .withColumn("keep", col("reason") === "ok")
+  }
+
   /** Sliding-window document chunking — the retrieval/RAG layout step:
     * each document becomes overlapping token windows of `window` tokens
     * at `stride` steps (stride < window overlaps, stride == window

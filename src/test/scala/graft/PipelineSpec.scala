@@ -917,6 +917,26 @@ class PipelineSpec extends SparkTestBase {
     assert(out == Seq((0L, 3L, 3L), (1L, 3L, 1L), (2L, 3L, 3L)))
   }
 
+  test("curation cascade: first failing rule wins, ok keeps") {
+    import spark.implicits._
+    import graft.pipeline.TextAnalysis
+    val en20 = ("the and of is to a " * 5).trim // 30 en tokens, varied? no
+    val docs = Seq(
+      (1L, "the fast data engine is a good engine and the sort is stable here now ok fine yes done more"), // 20 tokens en, distinct
+      (2L, "short text"),                             // too_short
+      (3L, "der die das und ist nicht " * 4),         // de -> lang
+      (4L, "the " + ("dup " * 30) + "and of is to a") // repetitive (low distinct ratio)
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.curationPipeline(docs, minTokens = 5,
+        langs = Seq("en"), minDistinctRatio = 0.3, minQuality = 0.0)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(5), r.getBoolean(6))).toMap
+    assert(out(1L) == (("ok", true)))
+    assert(out(2L) == (("too_short", false)))
+    assert(out(3L) == (("lang", false)))
+    assert(out(4L) == (("repetitive", false)))
+  }
+
   test("int8 quantization: codes, zero-vector guard, error bound") {
     import spark.implicits._
     import graft.pipeline.Similarity
