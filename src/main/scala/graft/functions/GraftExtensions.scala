@@ -33,6 +33,9 @@ object GraftExtensions {
       args => ChunkStatsExpr(args(0), litStr(args(1), "dtype"),
         if (args.size > 2) litStr(args(2), "compression") else "raw"),
       "scala_udf")
+    extraBuilders.foreach { case (fname, b) =>
+      reg.createOrReplaceTempFunction(fname, b, "scala_udf")
+    }
   }
 
   private[functions] def litStr(e: Expression, what: String): String =
@@ -41,6 +44,32 @@ object GraftExtensions {
       case _ => throw new IllegalArgumentException(
         s"$what must be a string literal")
     }
+
+  private[functions] def litInt(e: Expression, what: String): Int =
+    e match {
+      case Literal(v: Int, org.apache.spark.sql.types.IntegerType) => v
+      case _ => throw new IllegalArgumentException(
+        s"$what must be an integer literal")
+    }
+
+  /** cosine(a, b) composed from the native dot kernel + Catalyst math
+    * (no UDF): dot(a,b) / (sqrt(dot(a,a)) · sqrt(dot(b,b))). */
+  private[functions] def cosineExpr(a: Expression,
+                                    b: Expression): Expression = {
+    import org.apache.spark.sql.catalyst.expressions.{Divide, Multiply, Sqrt}
+    Divide(DotProductExpr(a, b),
+      Multiply(Sqrt(DotProductExpr(a, a)), Sqrt(DotProductExpr(b, b))))
+  }
+
+  private[functions] val extraBuilders
+      : Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "cosine_sim" -> (args => cosineExpr(args(0), args(1))),
+    "word_shingles" -> (args => WordShinglesExpr(args(0),
+      if (args.size > 1) litInt(args(1), "n") else 3)),
+    "char_shingles" -> (args => CharShinglesExpr(args(0),
+      litInt(args(1), "k"),
+      if (args.size > 2) litInt(args(2), "stride") else 1,
+      hashed = false)))
 }
 
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
@@ -66,5 +95,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => ChunkStatsExpr(args(0),
         GraftExtensions.litStr(args(1), "dtype"),
         if (args.size > 2) GraftExtensions.litStr(args(2), "compression") else "raw")))
+    GraftExtensions.extraBuilders.foreach { case (fname, b) =>
+      ext.injectFunction((new FunctionIdentifier(fname),
+        new ExpressionInfo(classOf[DotProductExpr].getName, fname),
+        (args: Seq[Expression]) => b(args)))
+    }
   }
 }

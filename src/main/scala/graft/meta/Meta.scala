@@ -144,7 +144,14 @@ final case class SnapshotInfo(
     flushedAt: String,
     message: String,
     writtenBy: String = "graft",
-    prunedAncestors: Seq[String] = Nil)
+    prunedAncestors: Seq[String] = Nil,
+    /** Second-parent link of a merge commit: the SOURCE branch's tip at
+      * merge time (git's merge parent). History stays first-parent
+      * linear for ancestry walks; this records provenance and lets
+      * [[graft.repo.Repository.mergeBranch]] detect an already-merged
+      * source. Older pointers decode to None.
+      */
+    mergedFrom: Option[String] = None)
 
 final case class OpLogEntry(ts: String, op: String, detail: String)
 

@@ -259,6 +259,121 @@ final class Repository private (
       behind = ib.takeWhile(s => !base.contains(s.id)).size)
   }
 
+  /** MERGE one branch into another (git-style `merge src into dst` — a
+    * capability the reference leaves to rebase-only workflows): replay
+    * src's cumulative changes since the merge base onto a dst session
+    * and commit once. src is untouched.
+    *
+    * Semantics: already-merged → no-op returning dst's tip;
+    * dst at the base → fast-forward (dst just advances to src's tip, no
+    * new commit); diverged → node ops replay from src's TIP state
+    * (creations parent-first, deletions child-first; a node src deleted
+    * and re-created merges as its final state), and every chunk coord
+    * src touched since the base stages the ref AT SRC'S TIP —
+    * content-addressed ids mean ZERO payload copies, both manifests
+    * reference the same chunk objects — with tombstones where src
+    * deleted. Conflicts against dst's own since-base edits are
+    * classified by the SAME detector the commit rebase uses and handed
+    * to `solver` (default BasicConflictSolver: src wins double-updated
+    * chunks; pass UseTheirs / Fail to flip). src-side `move` edits are
+    * refused (kind `unsupported`) — merge them by hand.
+    *
+    * Scale shape: node ops are driver metadata; chunk staging is two
+    * joins per touched array (src-tip refs semi-join the edited coords;
+    * anti-join finds deletions), all keyed on the coord — no payload
+    * bytes move, cost scales with the CHANGE.
+    */
+  def mergeBranch(src: String, dst: String, message: String = null,
+                  solver: graft.vc.ConflictSolver =
+                    graft.vc.BasicConflictSolver()): String = {
+    val srcRef = VersionRef.Branch(src)
+    val dstRef = VersionRef.Branch(dst)
+    val cmp = compareRefs(srcRef, dstRef)
+    // already merged: src's tip on dst's (first-parent) chain, or some
+    // dst commit already recorded it as a merge parent
+    if (cmp.ahead == 0 ||
+        ancestry(dstRef).exists(_.mergedFrom.contains(cmp.aId)))
+      return cmp.bId
+    if (cmp.behind == 0) { // dst at the base: fast-forward
+      resetBranch(dst, cmp.aId)
+      return cmp.aId
+    }
+    val base = cmp.mergeBase.getOrElse(throw new GraftException(
+      s"no common ancestor between $src and $dst (fork expired?)",
+      GraftError.Expired))
+    val edits = diff(VersionRef.SnapshotVer(base), srcRef)
+    val nodeEdits = edits.filter(col("edit") =!= EditRow.Chunk)
+      .select("edit", "path").distinct().collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    if (nodeEdits.exists(_._1 == EditRow.Move))
+      throw new GraftException(
+        s"merge $src into $dst: src history contains node moves — " +
+          "replay them explicitly", GraftError.Unsupported)
+    val srcSess = readonlySession(srcRef)
+    val session = writableSession(dst)
+    // creations/updates from src's TIP state, parents before children
+    val upserts = nodeEdits.filter { case (e, _) =>
+      e == EditRow.NewGroup || e == EditRow.NewArray ||
+        e == EditRow.UpdateArray || e == EditRow.UpdateGroup
+    }.map(_._2).distinct.sortBy(_.count(_ == '/'))
+    upserts.foreach { path =>
+      srcSess.node(path).foreach { spec => // absent = deleted later at src
+        (spec.isArray, session.node(path)) match {
+          case (false, None) => session.addGroup(path, spec.userData)
+          case (false, Some(_)) =>
+            session.updateGroup(path, spec.userData)
+          case (true, None) =>
+            if (spec.isRectilinear)
+              session.addArrayRectilinear(path, spec.shape,
+                spec.chunkSizesPerDim, spec.dimNames, spec.userData)
+            else session.addArray(path, spec.shape, spec.chunkShape,
+              spec.dimNames, spec.userData)
+          case (true, Some(_)) =>
+            session.updateArray(path, spec.shape, spec.chunkShape,
+              spec.dimNames, spec.userData)
+        }
+      }
+    }
+    // deletions: gone at src's tip and still present on dst, children first
+    nodeEdits.filter { case (e, _) =>
+      e == EditRow.DeleteArray || e == EditRow.DeleteGroup
+    }.map(_._2).distinct.sortBy(-_.count(_ == '/'))
+      .foreach { path =>
+        if (srcSess.node(path).isEmpty && session.node(path).isDefined)
+          session.deleteNode(path)
+      }
+    // chunk edits: refs at src's tip for every touched coord, tombstones
+    // where src deleted
+    val chunkPaths = edits.filter(col("edit") === EditRow.Chunk)
+      .select("path").distinct().collect().map(_.getString(0))
+    chunkPaths.foreach { path =>
+      if (srcSess.node(path).exists(_.isArray)) {
+        val coords = edits
+          .filter(col("edit") === EditRow.Chunk && col("path") === path)
+          .select("coord").distinct()
+        val srcRefs = srcSess.refs(path).select("coord", "kind", "inline",
+          "chunk_id", "location", "offset", "length")
+        val present = srcRefs.join(coords, Seq("coord"), "left_semi")
+        val dels = coords
+          .join(srcRefs.select("coord"), Seq("coord"), "left_anti")
+          .withColumn("kind", lit(ChunkRef.KindDelete))
+        session.stageChunkRefs(path,
+          present.unionByName(dels, allowMissingColumns = true))
+      }
+    }
+    // 3-way conflicts: src's edits (now the session changeset) vs dst's
+    // own since-base history — same detector as the commit rebase
+    val theirLog = diff(VersionRef.SnapshotVer(base), dstRef)
+    val conflicts = graft.vc.ConflictDetector.detect(session, theirLog)
+    if (conflicts.nonEmpty) solver.solve(session, theirLog, conflicts)
+    session.mergeParent = Some(cmp.aId) // git's second-parent link
+    session.commit(
+      Option(message).getOrElse(s"merge $src into $dst"),
+      properties = Map("merge.source" -> src,
+        "merge.sourceSnapshot" -> cmp.aId, "merge.base" -> base),
+      solver = solver)
+  }
+
   /** Ancestry as a DataFrame ordered by commit recency. */
   def ancestryDf(ref: VersionRef): DataFrame = {
     import spark.implicits._

@@ -24,6 +24,10 @@ final class Session private[repo] (
     val moveOnly: Boolean = false) {
 
   val changeSet = new ChangeSet
+  /** Second-parent id stamped on the next commit's SnapshotInfo —
+    * set by [[Repository.mergeBranch]] so the merge records the source
+    * tip it folded in (git's merge parent). */
+  private[graft] var mergeParent: Option[String] = None
   /** Default commit metadata captured at session creation (reference
     * `set_default_commit_metadata`: later changes don't affect open
     * sessions). Merged UNDER commit properties — commit keys win.
@@ -606,7 +610,8 @@ final class Session private[repo] (
     repo.casUpdate("commit_detached",
       s"snapshot=${snapshot.id} message=$message") { i =>
       i.copy(snapshots = i.snapshots :+ SnapshotInfo(snapshot.id,
-        snapshot.parentId, snapshot.flushedAt, message))
+        snapshot.parentId, snapshot.flushedAt, message,
+        mergedFrom = mergeParent))
     }
     baseSnapshot = snapshot
     changeSet.discard()
@@ -969,7 +974,8 @@ final class Session private[repo] (
         gen = info.gen + 1,
         branches = info.branches.updated(branchName, snapshot.id),
         snapshots = kept :+ SnapshotInfo(snapshot.id,
-          snapshot.parentId, snapshot.flushedAt, message),
+          snapshot.parentId, snapshot.flushedAt, message,
+          mergedFrom = mergeParent),
         ops = (info.ops :+ entry).takeRight(cfg.opsRingSize))
       if (repo.pointer.compareAndSwap(info.gen, next)) {
         baseSnapshot = snapshot

@@ -115,6 +115,9 @@ object Cli {
           val c = repo.compareRefs(parseRef(repo, a), parseRef(repo, b))
           println(s"$a is ahead ${c.ahead}, behind ${c.behind} of $b " +
             s"(merge base ${c.mergeBase.getOrElse("<none>")})")
+        case ("merge", src :: dst :: Nil) =>
+          val tip = repo.mergeBranch(src, dst)
+          println(s"merged $src into $dst -> $tip")
         case ("gc", flags) =>
           val summary = graft.ops.GC.garbageCollect(repo,
             java.time.Instant.now().minusSeconds(3600),

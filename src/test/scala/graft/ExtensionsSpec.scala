@@ -32,6 +32,19 @@ class ExtensionsSpec extends AnyFunSuite {
       val stats = spark.sql(
         "SELECT chunk_stats(b, 'int64').sum FROM chunks").head().getDouble(0)
       assert(stats == 24.0)
+      // cosine_sim: parallel vectors -> 1.0 (dot kernel + catalyst math)
+      val cos = spark.sql(
+        "SELECT cosine_sim(array(1.0d, 2.0d), array(2.0d, 4.0d))")
+        .head().getDouble(0)
+      assert(math.abs(cos - 1.0) < 1e-12)
+      // word_shingles: default n=3 over a 4-token string -> 2 shingles
+      val sh3 = spark.sql(
+        "SELECT word_shingles('a b c d')").head().getSeq[String](0)
+      assert(sh3 == Seq("a b c", "b c d"))
+      // char_shingles: k=4 positions over 6 chars -> 3 (pos, sub) rows
+      val cs = spark.sql(
+        "SELECT size(char_shingles('abcdef', 4))").head().getInt(0)
+      assert(cs == 3)
     } finally ()
   }
 }

@@ -431,6 +431,63 @@ class RepositorySpec extends SparkTestBase {
       self.mergeBase.contains(self.aId))
   }
 
+  test("mergeBranch: 3-way merge shares chunk objects; ff and no-op; solver policies") {
+    val repo = Repository.create(Store.local(tmpDir("repo")), spark)
+    val s = repo.writableSession("main")
+    s.addArray("/a", Seq(20), Seq(1))
+    for (c <- 0 until 3) s.writeChunk("/a", Seq(c), Array[Byte](c.toByte))
+    val base = s.commit("base")
+    repo.createBranch("dev", base)
+    repo.createBranch("late", base)
+    // dev: new chunk, new array, a delete, and one side of a conflict
+    val d = repo.writableSession("dev")
+    d.writeChunk("/a", Seq(5), Array[Byte](55))
+    d.writeChunk("/a", Seq(9), Array[Byte](91))
+    d.addArray("/b", Seq(4), Seq(2))
+    d.deleteChunk("/a", Seq(2))
+    d.commit("dev work")
+    // main diverges: its own chunk + the other side of the conflict
+    val m = repo.writableSession("main")
+    m.writeChunk("/a", Seq(7), Array[Byte](77))
+    m.writeChunk("/a", Seq(9), Array[Byte](92))
+    m.commit("main work")
+
+    // default solver: src (dev) wins the double-updated coord
+    val merged = repo.mergeBranch("dev", "main")
+    val ro = repo.readonlySession(VersionRef.SnapshotVer(merged))
+    assert(ro.getChunk("/a", Seq(5)).get.toSeq == Seq(55.toByte))
+    assert(ro.getChunk("/a", Seq(7)).get.toSeq == Seq(77.toByte)) // dst kept
+    assert(ro.getChunk("/a", Seq(9)).get.toSeq == Seq(91.toByte)) // src won
+    assert(ro.getChunkRef("/a", Seq(2)).isEmpty) // delete merged
+    assert(ro.node("/b").exists(_.isArray))      // creation merged
+    // zero-copy: the merged ref IS dev's chunk object
+    val devRef = repo.readonlySession(VersionRef.Branch("dev"))
+      .getChunkRef("/a", Seq(5)).get
+    assert(ro.getChunkRef("/a", Seq(5)).get.chunk_id == devRef.chunk_id)
+    // provenance recorded on the merge commit
+    assert(repo.ancestry(VersionRef.Branch("main")).head.id == merged)
+
+    // already-merged: no new commit
+    assert(repo.mergeBranch("dev", "main") == merged)
+    // fast-forward: 'late' sat at the base, main merges in as a reset
+    val ffTip = repo.mergeBranch("main", "late")
+    assert(ffTip == merged &&
+      repo.lookupBranch("late").contains(merged))
+
+    // UseTheirs: dst keeps its version of the double-updated coord
+    repo.createBranch("dev2", merged)
+    val d2 = repo.writableSession("dev2")
+    d2.writeChunk("/a", Seq(9), Array[Byte](93))
+    d2.commit("dev2")
+    val m2 = repo.writableSession("main")
+    m2.writeChunk("/a", Seq(9), Array[Byte](94))
+    m2.commit("main again")
+    repo.mergeBranch("dev2", "main", solver = graft.vc.BasicConflictSolver(
+      onChunkConflict = graft.vc.VersionSelection.UseTheirs))
+    val ro2 = repo.readonlySession(VersionRef.Branch("main"))
+    assert(ro2.getChunk("/a", Seq(9)).get.toSeq == Seq(94.toByte))
+  }
+
   test("ops log records operations newest-first with monotone timestamps") {
     val repo = Repository.create(Store.local(tmpDir("repo")), spark)
     val s = repo.writableSession("main")
