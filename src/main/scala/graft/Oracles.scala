@@ -1038,6 +1038,25 @@ object Oracles {
         |       ELSE 'ok' END = 'ok') AS keep
         |FROM q ORDER BY doc_id""".stripMargin,
 
+    // centroid coords rounded to 6 dp BEFORE the distance, distance as
+    // an index-order fold — identical inputs + identical fold order on
+    // both engines makes the rounded result bit-stable
+    "q_embedding_outliers" ->
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+        |  FROM embeddings),
+        |x AS (SELECT label, unnest(v) AS val,
+        |    generate_subscripts(v, 1) AS pos FROM e),
+        |c AS (SELECT label, pos, round(avg(val), 6) AS m
+        |  FROM x GROUP BY 1, 2),
+        |cv AS (SELECT label, list(m ORDER BY pos) AS cv FROM c
+        |  GROUP BY 1),
+        |d AS (SELECT e.vec_id, e.label,
+        |    round(sqrt(list_aggregate(list_transform(range(1, len(v) + 1),
+        |      i -> (v[i] - cv[i]) * (v[i] - cv[i])), 'sum')), 6) AS dist
+        |  FROM e JOIN cv USING (label))
+        |SELECT vec_id, label, dist, dist > 1.01 AS outlier
+        |FROM d ORDER BY vec_id""".stripMargin,
+
     // identical per-vector arithmetic as Similarity.quantizeEmbeddings:
     // scale from the double-cast floats, codes = round(v/scale) as INT,
     // max_err over the same products — all order-insensitive rollups

@@ -828,6 +828,16 @@ object Queries {
   val q_ngram_novelty: Q = (s, d) =>
     TextAnalysis.ngramNovelty(t(s, d, "documents"), n = 3)
 
+  /** Prototypicality outliers: distance to the own-label centroid,
+    * flagged above 1.01 — the label-noise / novelty audit. Oracle
+    * recomputes centroids and every distance (index-order folds on both
+    * engines).
+    */
+  val q_embedding_outliers: Q = (s, d) =>
+    graft.pipeline.Similarity.labelOutliers(t(s, d, "embeddings"),
+        threshold = 1.01)
+      .orderBy("vec_id")
+
   /** Composed quality-curation cascade: keep/drop with the first
     * failing rule as an audit reason (too_short / lang / repetitive /
     * low_quality / ok) — all five fire on this corpus; every rule is
@@ -1460,6 +1470,7 @@ object Queries {
     "q_curation" -> q_curation,
     "q_group_sample" -> q_group_sample,
     "q_embedding_quantize" -> q_embedding_quantize,
+    "q_embedding_outliers" -> q_embedding_outliers,
     "q_cms_heavy" -> q_cms_heavy,
     "q_normalize" -> q_normalize,
     "q_hll_distinct" -> q_hll_distinct,

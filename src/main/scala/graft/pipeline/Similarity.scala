@@ -36,6 +36,39 @@ object Similarity {
       .limit(k)
   }
 
+  /** Prototypicality / outlier scoring against per-label centroids (the
+    * D4-style sibling of SemDeDup): each embedding's Euclidean distance
+    * to its OWN label's mean vector, flagged when above `threshold` —
+    * far-from-prototype points are label noise or genuinely novel, and
+    * both matter to curation.
+    *
+    * Scale shape: the centroid table is labels × dims partials from one
+    * map-side-combined aggregation (vectors never shuffle), rebuilt into
+    * arrays per label (bounded rows) and broadcast back by an EQUI-join
+    * on the label; the distance is one codegen'd fold per row. Centroid
+    * coordinates round to 6 dp before the distance so the arithmetic is
+    * engine-reproducible bit-for-bit (both engines then fold identical
+    * inputs in index order — q_embedding_outliers).
+    */
+  def labelOutliers(embeddings: DataFrame, threshold: Double,
+                    vecCol: String = "embedding",
+                    idCol: String = "vec_id",
+                    labelCol: String = "label"): DataFrame = {
+    val e = embeddings.select(col(idCol), col(labelCol),
+      transform(col(vecCol), _.cast("double")).as("v"))
+    val cent = e.select(col(labelCol), posexplode(col("v")))
+      .groupBy(labelCol, "pos").agg(round(avg(col("col")), 6).as("m"))
+      .groupBy(labelCol)
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+        s => s.getField("m")).as("cv"))
+    e.join(broadcast(cent), Seq(labelCol))
+      .withColumn("dist", round(sqrt(aggregate(
+        zip_with(col("v"), col("cv"), (a, b) => (a - b) * (a - b)),
+        lit(0.0), (acc, x) => acc + x)), 6))
+      .select(col(idCol), col(labelCol), col("dist"),
+        (col("dist") > threshold).as("outlier"))
+  }
+
   /** Symmetric int8 quantization of an embedding column — the 4× memory
     * cut that makes a 100 TB vector corpus index-resident: per vector,
     * `scale = max|v| / 127` and `code_i = round(v_i / scale)` (zero

@@ -225,7 +225,8 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
           () => r.ancestry(tip).map { si =>
             new GenericInternalRow(Array[Any](str(si.id),
               si.parentId.map(str).orNull, str(si.message),
-              str(si.flushedAt))): InternalRow
+              str(si.flushedAt),
+              si.mergedFrom.map(str).orNull)): InternalRow
           }.toArray))
       case (Nil, "branches") =>
         Some(new GraftMetaTable(s"${name()}.branches",
@@ -610,7 +611,8 @@ object GraftCatalog {
     StructField("snapshot_id", StringType, nullable = false),
     StructField("parent_id", StringType),
     StructField("message", StringType),
-    StructField("flushed_at", StringType)))
+    StructField("flushed_at", StringType),
+    StructField("merged_from", StringType)))
   /** `cat.branches` / `cat.tags` — name → tip snapshot. */
   val RefsSchema: StructType = StructType(Seq(
     StructField("name", StringType, nullable = false),
@@ -674,7 +676,7 @@ private[sources] object GraftProcedures {
   import org.apache.spark.unsafe.types.UTF8String
 
   val names: Seq[String] = Seq("push", "fsck", "gc", "expire", "compact",
-    "tensor_combine", "tensor_map", "tensor_transpose",
+    "merge", "tensor_combine", "tensor_map", "tensor_transpose",
     "tensor_downsample", "zarr_import", "zarr_export")
 
   /** Array dtype from the node's userData (same probe as the SQL table
@@ -791,6 +793,23 @@ private[sources] object GraftProcedures {
         StructType(Seq(StructField("snapshot_id", StringType)))) { in =>
         val id = graft.ops.Compaction.rewriteManifests(repo(),
           in.getUTF8String(0).toString)
+        Array(new GenericInternalRow(Array[Any](str(id))))
+      }
+      case "merge" => proc("merge",
+        Seq(p("src", StringType), p("dst", StringType),
+          pd("on_conflict", StringType, "'ours'")),
+        StructType(Seq(StructField("snapshot_id", StringType)))) { in =>
+        val sel = in.getUTF8String(2).toString match {
+          case "ours" => graft.vc.VersionSelection.UseOurs
+          case "theirs" => graft.vc.VersionSelection.UseTheirs
+          case "fail" => graft.vc.VersionSelection.Fail
+          case other => throw new graft.repo.GraftException(
+            s"on_conflict must be ours|theirs|fail, got '$other'",
+            graft.repo.GraftError.InvalidConfig)
+        }
+        val id = repo().mergeBranch(in.getUTF8String(0).toString,
+          in.getUTF8String(1).toString,
+          solver = graft.vc.BasicConflictSolver(onChunkConflict = sel))
         Array(new GenericInternalRow(Array[Any](str(id))))
       }
       // tensor transforms from pure SQL — each runs the distributed job

@@ -460,6 +460,25 @@ class GraftCatalogSpec extends SparkTestBase {
     val cid = spark.sql(s"CALL $cat.system.compact()").head().getString(0)
     assert(repo.lookupBranch("main").contains(cid))
 
+    // merge: fork, write on the branch, CALL merge folds it into main,
+    // and cat.snapshots exposes the second-parent link
+    repo.createBranch("feature", cid)
+    val f = repo.writableSession("feature")
+    f.writeChunk("/a", Seq(1), Array.fill(1024)(9.toByte))
+    val featTip = f.commit("feature work")
+    val m = repo.writableSession("main")
+    m.writeChunk("/a", Seq(3), Array.fill(1024)(8.toByte))
+    m.commit("main work")
+    val mergedId = spark.sql(
+      s"CALL $cat.system.merge('feature', 'main')").head().getString(0)
+    assert(repo.lookupBranch("main").contains(mergedId))
+    val mrow = spark.sql(s"SELECT merged_from FROM $cat.snapshots " +
+      s"WHERE snapshot_id = '$mergedId'").head()
+    assert(mrow.getString(0) == featTip)
+    val ro = repo.readonlySession(VersionRef.Branch("main"))
+    assert(ro.getChunk("/a", Seq(1)).get.head == 9.toByte)
+    assert(ro.getChunk("/a", Seq(3)).get.head == 8.toByte)
+
     // unknown procedure is a stable-kind refusal
     val ex = intercept[Exception] {
       spark.sql(s"CALL $cat.system.nope()").collect()

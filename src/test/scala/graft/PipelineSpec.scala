@@ -937,6 +937,25 @@ class PipelineSpec extends SparkTestBase {
     assert(out(4L) == (("repetitive", false)))
   }
 
+  test("label outliers: distance to own-label centroid, flag above threshold") {
+    import spark.implicits._
+    import graft.pipeline.Similarity
+    // label 0 centroid = (1, 1); vec 3 sits far out
+    val embs = Seq(
+      (1L, 0, Seq(0.0f, 0.0f)), (2L, 0, Seq(2.0f, 2.0f)),
+      (3L, 0, Seq(1.0f, 10.0f)),
+      (4L, 1, Seq(5.0f, 5.0f)) // singleton label: dist 0
+    ).toDF("vec_id", "label", "embedding")
+    val out = Similarity.labelOutliers(embs, threshold = 3.0)
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(2), r.getBoolean(3))).toMap
+    // centroid(0) = (1, 4): d1 = sqrt(1+16), d2 = sqrt(1+4), d3 = 6
+    assert(math.abs(out(1L)._1 - math.sqrt(17)) < 1e-6 && out(1L)._2)
+    assert(math.abs(out(2L)._1 - math.sqrt(5)) < 1e-6 && !out(2L)._2)
+    assert(out(3L) == ((6.0, true)))
+    assert(out(4L) == ((0.0, false)))
+  }
+
   test("int8 quantization: codes, zero-vector guard, error bound") {
     import spark.implicits._
     import graft.pipeline.Similarity
