@@ -259,6 +259,24 @@ object Bench {
         a.commit("winner")
         b.commit("rebased over winner") // lost CAS -> rebase path
       }
+      // merge_branch: fork at the tip, 1% of refs edited on each side,
+      // 3-way merge replays the fork's delta onto main — cost scales
+      // with the CHANGE (two coord-keyed joins + one commit), not the
+      // array
+      locally { // setup (untimed): fork + a delta commit on each side
+        val tip = repo.resolveVersion(VersionRef.Branch("main"))
+        repo.createBranch("mb", tip)
+        val f = repo.writableSession("mb")
+        f.stageChunkRefs("/long1d", refsDf(0, refCount / 100))
+        f.commit("branch delta")
+        val m = repo.writableSession("main")
+        m.stageChunkRefs("/long1d",
+          refsDf(2 * (refCount / 100), 3 * (refCount / 100)))
+        m.commit("main delta")
+      }
+      entry("engine_merge_branch") {
+        repo.mergeBranch("mb", "main")
+      }
       // small-commit latency: 10 sequential point-edit commits (the
       // interactive write pattern — driver-side precedence/split fast
       // path, no per-flush window shuffle)

@@ -301,10 +301,14 @@ final class Repository private (
     val base = cmp.mergeBase.getOrElse(throw new GraftException(
       s"no common ancestor between $src and $dst (fork expired?)",
       GraftError.Expired))
+    // (measured: persisting this relation costs more than the tx-log
+    // re-reads it saves at merge-sized deltas — leave it lazy)
     val edits = diff(VersionRef.SnapshotVer(base), srcRef)
-    val nodeEdits = edits.filter(col("edit") =!= EditRow.Chunk)
-      .select("edit", "path").distinct().collect()
+    // ONE driver collect serves both the node-op replay and the
+    // chunk-path enumeration (each collect re-reads the tx logs)
+    val editRows = edits.select("edit", "path").distinct().collect()
       .map(r => (r.getString(0), r.getString(1)))
+    val nodeEdits = editRows.filter(_._1 != EditRow.Chunk)
     if (nodeEdits.exists(_._1 == EditRow.Move))
       throw new GraftException(
         s"merge $src into $dst: src history contains node moves — " +
@@ -344,8 +348,8 @@ final class Repository private (
       }
     // chunk edits: refs at src's tip for every touched coord, tombstones
     // where src deleted
-    val chunkPaths = edits.filter(col("edit") === EditRow.Chunk)
-      .select("path").distinct().collect().map(_.getString(0))
+    val chunkPaths =
+      editRows.filter(_._1 == EditRow.Chunk).map(_._2).distinct
     chunkPaths.foreach { path =>
       if (srcSess.node(path).exists(_.isArray)) {
         val coords = edits

@@ -75,7 +75,8 @@ class BenchJsonSpec extends AnyFunSuite {
       "engine_rechunk_1g", "engine_downsample_1g",
       "engine_cube_slice_rows", "engine_transpose_1g",
       "engine_tensor_combine_1g",
-      "engine_repo_push", "engine_repo_push_incr", "engine_fsck")
+      "engine_repo_push", "engine_repo_push_incr", "engine_fsck",
+      "engine_merge_branch")
     // every headline name must actually exist in the query map (a
     // renamed query would silently fall out of the bench line)
     val missing = Bench.HeadlineQueries -- SparkEntry.queries.keySet
