@@ -98,6 +98,21 @@ object Plans {
           "right payload forward — a hash exchange + sort, linear in the " +
           "data, no range-join pair blowup.",
         fmt(graft.Queries.q_asof_join(spark, d))),
+      ("q_tfidf_keywords — token-keyed joins + per-doc top-k",
+        "tf and df aggregate map-side-combined; the df relation joins " +
+          "back by HASH on the token (the corpus-size singleton is a " +
+          "bounded driver count — a crossJoin would plan the " +
+          "BroadcastNestedLoopJoin the plan guard bans); the top-k is " +
+          "WindowGroupLimit before the full window, so per-doc ranking " +
+          "never materializes the whole scored relation.",
+        fmt(graft.Queries.q_tfidf_keywords(spark, d))),
+      ("q_curation — single-scan keep/drop cascade",
+        "The whole five-rule cascade (token stats, langid argmax, " +
+          "distinct ratio, quality score, reason CASE) is ONE projection " +
+          "over the scan inside one WholeStageCodegen span — zero " +
+          "shuffles except the output sort; this is the 100 TB shape of " +
+          "a corpus filter pass.",
+        fmt(graft.Queries.q_curation(spark, d))),
       ("q_bm25 — two streaming passes + one broadcast row",
         "Per-term tf columns are pure projections over the scan; the " +
           "corpus statistics reduce to ONE row that broadcasts back " +
