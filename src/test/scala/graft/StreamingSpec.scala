@@ -182,6 +182,41 @@ class StreamingSpec extends SparkTestBase {
     assert(rows2.map(_.getLong(0)).toSet == Set(0L, 1L, 2L, 3L, 4L))
   }
 
+  test("stateful streaming sessions: gap timeout closes via watermark, in-batch gap splits") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val source = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long)]
+    val stream = source.toDF().toDF("user_id", "sec")
+      .select(col("user_id"), timestamp_seconds(col("sec")).as("ts"))
+    val sessions = graft.streaming.StreamingSessions.sessions(
+      stream, gapSeconds = 30, watermarkDelay = "0 seconds")
+    val q = sessions.writeStream.format("memory").queryName("ssess")
+      .outputMode("append").start()
+    // u1: two events 10s apart (one session); u2: an IN-BATCH gap of
+    // 100s -> the first singleton session emits from the fold itself.
+    // The batch's own watermark (110s) then also times out u1's session
+    // (last 20 + gap 30 < 110) on the drain; u2's second stays open.
+    source.addData((1L, 10L), (1L, 20L), (2L, 10L), (2L, 110L))
+    q.processAllAvailable()
+    val early = spark.table("ssess").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    assert(early.toSet == Set((2L, 10L, 10L, 1), (1L, 10L, 20L, 2)))
+    // advance the watermark far past every open session's last+gap:
+    // both remaining sessions time out and emit
+    source.addData((99L, 1000L))
+    q.processAllAvailable()
+    source.addData((99L, 2000L)) // push watermark past 1000+30 too
+    q.processAllAvailable()
+    q.stop()
+    val all = spark.table("ssess").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3),
+        r.getLong(4))).toSet
+    assert(all.contains((1L, 10L, 20L, 2, 10L)), all)   // u1 session
+    assert(all.contains((2L, 110L, 110L, 1, 0L)), all)  // u2 second
+    assert(all.contains((99L, 1000L, 1000L, 1, 0L)), all)
+  }
+
   test("streaming exact dedup suppresses in-window duplicates") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
