@@ -845,6 +845,8 @@ object Oracles {
     // recomputes every hashed feature index (first 4 md5 hex chars mod
     // 64), the closed-form weight (d % 21 - 10)/1000, and the sigmoid —
     // identical arithmetic to Classifier.score (raw tf), round(.,4)
+    // LEFT join from documents so a zero-token doc keeps its row and
+    // scores sigmoid(bias), matching Classifier.score's explode_outer
     "q_classifier_score" ->
       """WITH tok AS (
         |  SELECT doc_id,
@@ -855,10 +857,13 @@ object Oracles {
         |  SELECT doc_id,
         |    (((('0x' || substr(md5(token), 1, 4))::INT % 64) % 21 - 10)
         |      / 1000.0) AS w
-        |  FROM tok)
-        |SELECT doc_id,
-        |  round(1.0 / (1.0 + exp(-(-0.05 + sum(w)))), 4) AS score
-        |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+        |  FROM tok),
+        |z AS (SELECT doc_id, sum(w) AS sw FROM f GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  round(1.0 / (1.0 + exp(-(-0.05 + coalesce(z.sw, 0.0)))), 4)
+        |    AS score
+        |FROM documents d LEFT JOIN z ON d.doc_id = z.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
 
     "q_deterministic_sample" ->
       """SELECT doc_id, source, n_chars FROM documents
@@ -1038,15 +1043,18 @@ object Oracles {
         |       ELSE 'ok' END = 'ok') AS keep
         |FROM q ORDER BY doc_id""".stripMargin,
 
-    // centroid coords rounded to 6 dp BEFORE the distance, distance as
-    // an index-order fold — identical inputs + identical fold order on
-    // both engines makes the rounded result bit-stable
+    // centroid coords from an EXACT scaled-integer sum (order-free long
+    // addition — a double avg could flip a 6-dp rounding boundary with
+    // summation order), then the identical deterministic division;
+    // distance is an index-order fold on both engines
     "q_embedding_outliers" ->
       """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
         |  FROM embeddings),
         |x AS (SELECT label, unnest(v) AS val,
         |    generate_subscripts(v, 1) AS pos FROM e),
-        |c AS (SELECT label, pos, round(avg(val), 6) AS m
+        |c AS (SELECT label, pos,
+        |    round((CAST(sum(CAST(round(val * 1000000) AS BIGINT))
+        |      AS DOUBLE) / 1000000.0) / count(*), 6) AS m
         |  FROM x GROUP BY 1, 2),
         |cv AS (SELECT label, list(m ORDER BY pos) AS cv FROM c
         |  GROUP BY 1),

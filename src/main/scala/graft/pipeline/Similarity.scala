@@ -46,9 +46,12 @@ object Similarity {
     * map-side-combined aggregation (vectors never shuffle), rebuilt into
     * arrays per label (bounded rows) and broadcast back by an EQUI-join
     * on the label; the distance is one codegen'd fold per row. Centroid
-    * coordinates round to 6 dp before the distance so the arithmetic is
-    * engine-reproducible bit-for-bit (both engines then fold identical
-    * inputs in index order — q_embedding_outliers).
+    * coordinates come from an EXACT scaled-integer sum (each value
+    * rounds to a 1e-6 grid as a long; long addition is order-free, so
+    * partial-aggregate summation order cannot flip a rounding boundary
+    * the way a double `avg` could), then one deterministic division —
+    * both engines therefore fold identical inputs in index order and
+    * q_embedding_outliers hash-matches bit-for-bit.
     */
   def labelOutliers(embeddings: DataFrame, threshold: Double,
                     vecCol: String = "embedding",
@@ -57,7 +60,11 @@ object Similarity {
     val e = embeddings.select(col(idCol), col(labelCol),
       transform(col(vecCol), _.cast("double")).as("v"))
     val cent = e.select(col(labelCol), posexplode(col("v")))
-      .groupBy(labelCol, "pos").agg(round(avg(col("col")), 6).as("m"))
+      .groupBy(labelCol, "pos")
+      .agg(sum(round(col("col") * 1000000).cast("long")).as("s"),
+        count(lit(1)).as("cnt"))
+      .withColumn("m", round(
+        (col("s").cast("double") / 1000000.0) / col("cnt"), 6))
       .groupBy(labelCol)
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
         s => s.getField("m")).as("cv"))

@@ -288,19 +288,41 @@ final class Repository private (
                     graft.vc.BasicConflictSolver()): String = {
     val srcRef = VersionRef.Branch(src)
     val dstRef = VersionRef.Branch(dst)
-    val cmp = compareRefs(srcRef, dstRef)
-    // already merged: src's tip on dst's (first-parent) chain, or some
-    // dst commit already recorded it as a merge parent
-    if (cmp.ahead == 0 ||
-        ancestry(dstRef).exists(_.mergedFrom.contains(cmp.aId)))
-      return cmp.bId
-    if (cmp.behind == 0) { // dst at the base: fast-forward
-      resetBranch(dst, cmp.aId)
-      return cmp.aId
+    val srcTip = resolveVersion(srcRef)
+    val dstTip = resolveVersion(dstRef)
+    val srcChain = ancestry(srcRef) // newest first
+    val dstChain = ancestry(dstRef)
+    // reachability on dst includes merge second-parents: a previously
+    // merged src tip counts as merged even though first-parent-linear
+    // ancestry cannot see it
+    val dstReach = dstChain.flatMap(s => s.id +: s.mergedFrom.toSeq).toSet
+    if (srcTip == dstTip || dstReach.contains(srcTip)) return dstTip
+    // fast-forward: dst contributed nothing since the fork — validated
+    // again INSIDE the CAS so a commit racing onto dst between the look
+    // and the reset can never be silently discarded
+    if (srcChain.exists(_.id == dstTip)) {
+      casUpdate("merge_ff", s"$src -> $dst") { i =>
+        if (!i.branches.get(dst).contains(dstTip))
+          throw new ConflictException(
+            s"merge: $dst moved during fast-forward — retry")
+        i.copy(branches = i.branches.updated(dst, srcTip))
+      }
+      return srcTip
     }
-    val base = cmp.mergeBase.getOrElse(throw new GraftException(
-      s"no common ancestor between $src and $dst (fork expired?)",
-      GraftError.Expired))
+    // edit base: the NEWEST point of src's chain dst has absorbed —
+    // directly (shared ancestry) or via an earlier merge's second
+    // parent. Using the raw fork point would replay already-merged
+    // edits and silently revert dst's newer data on repeated merges.
+    val base = srcChain.find(s => dstReach.contains(s.id)).map(_.id)
+      .getOrElse(throw new GraftException(
+        s"no common ancestor between $src and $dst (fork expired?)",
+        GraftError.Expired))
+    // conflict base: the first-parent common ancestor — dst's OWN edit
+    // history is classified from here (it may sit below `base` after
+    // earlier merges; a double-update against content an earlier merge
+    // itself brought in resolves by the solver policy like any other)
+    val confBase = srcChain.find(s => dstChain.exists(_.id == s.id))
+      .map(_.id)
     // (measured: persisting this relation costs more than the tx-log
     // re-reads it saves at merge-sized deltas — leave it lazy)
     val edits = diff(VersionRef.SnapshotVer(base), srcRef)
@@ -322,7 +344,23 @@ final class Repository private (
     }.map(_._2).distinct.sortBy(_.count(_ == '/'))
     upserts.foreach { path =>
       srcSess.node(path).foreach { spec => // absent = deleted later at src
-        (spec.isArray, session.node(path)) match {
+        val dstNode = session.node(path)
+        // a node whose TYPE differs between the sides (src re-created a
+        // group as an array, or vice versa) has no sound auto-merge —
+        // refuse by name instead of corrupting or crashing downstream
+        dstNode.foreach { d =>
+          if (d.isArray != spec.isArray) throw new ConflictException(
+            s"merge $src into $dst: $path is a " +
+              s"${if (spec.isArray) "array" else "group"} on $src but a " +
+              s"${if (d.isArray) "array" else "group"} on $dst — " +
+              "resolve by hand")
+          if (spec.isArray && spec.isRectilinear)
+            throw new ConflictException(
+              s"merge $src into $dst: $path is rectilinear on $src and " +
+                s"already exists on $dst — updateArray cannot carry a " +
+                "rectilinear grid; resolve by hand")
+        }
+        (spec.isArray, dstNode) match {
           case (false, None) => session.addGroup(path, spec.userData)
           case (false, Some(_)) =>
             session.updateGroup(path, spec.userData)
@@ -352,6 +390,13 @@ final class Repository private (
       editRows.filter(_._1 == EditRow.Chunk).map(_._2).distinct
     chunkPaths.foreach { path =>
       if (srcSess.node(path).exists(_.isArray)) {
+        // src edited chunks of an array dst no longer has (and the node
+        // replay above didn't re-create): a delete-vs-edit conflict the
+        // solver cannot express — refuse by name, before any staging
+        if (session.node(path).isEmpty) throw new ConflictException(
+          s"merge $src into $dst: $path has chunk edits on $src but " +
+            s"was deleted on $dst — recreate the array or drop the " +
+            "edits, then retry")
         val coords = edits
           .filter(col("edit") === EditRow.Chunk && col("path") === path)
           .select("coord").distinct()
@@ -366,15 +411,22 @@ final class Repository private (
       }
     }
     // 3-way conflicts: src's edits (now the session changeset) vs dst's
-    // own since-base history — same detector as the commit rebase
-    val theirLog = diff(VersionRef.SnapshotVer(base), dstRef)
+    // own since-fork history — same detector as the commit rebase. No
+    // first-parent common ancestor (possible only after heavy expire)
+    // means nothing to classify against.
+    val theirLog = confBase
+      .map(b => diff(VersionRef.SnapshotVer(b), dstRef))
+      .getOrElse {
+        import spark.implicits._
+        spark.emptyDataset[EditRow].toDF()
+      }
     val conflicts = graft.vc.ConflictDetector.detect(session, theirLog)
     if (conflicts.nonEmpty) solver.solve(session, theirLog, conflicts)
-    session.mergeParent = Some(cmp.aId) // git's second-parent link
+    session.mergeParent = Some(srcTip) // git's second-parent link
     session.commit(
       Option(message).getOrElse(s"merge $src into $dst"),
       properties = Map("merge.source" -> src,
-        "merge.sourceSnapshot" -> cmp.aId, "merge.base" -> base),
+        "merge.sourceSnapshot" -> srcTip, "merge.base" -> base),
       solver = solver)
   }
 

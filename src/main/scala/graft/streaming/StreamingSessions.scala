@@ -53,11 +53,19 @@ object StreamingSessions {
       val out = scala.collection.mutable.ArrayBuffer[CompletedSession]()
       sorted.foreach { t =>
         cur match {
-          case Some(s) if t - s.last <= gapMs =>
-            cur = Some(SessionState(s.start, math.max(s.last, t), s.n + 1))
-          case Some(s) => // in-batch gap: close the earlier session now
+          // touches the open session at either end (a cross-batch
+          // late-but-in-watermark event may precede the stored start —
+          // extend the START too, not just the end)
+          case Some(s) if t >= s.start - gapMs && t - s.last <= gapMs =>
+            cur = Some(SessionState(math.min(s.start, t),
+              math.max(s.last, t), s.n + 1))
+          case Some(s) if t > s.last => // in-batch gap: close and restart
             out += completed(s)
             cur = Some(SessionState(t, t, 1))
+          case Some(_) => // isolated event a full gap BEFORE the open
+            // session: its own session, already closed (best-effort for
+            // multi-inversion late data — the watermark bounds how late)
+            out += completed(SessionState(t, t, 1))
           case None => cur = Some(SessionState(t, t, 1))
         }
       }

@@ -937,6 +937,7 @@ object TensorPlane {
     // `offset` in the destination, so point them all at ONE shared
     // constant chunk (metadata-only cost; a fully-dense source adds no
     // rows because the anti-join is empty).
+    var absentCache: Option[org.apache.spark.sql.DataFrame] = None
     val withFill =
       if (offset == 0.0) refsDf
       else {
@@ -945,10 +946,14 @@ object TensorPlane {
           gridDims.drop(d + 1).map(_.toLong).product)
         val coordExpr = array(gridDims.indices.map(d =>
           expr(s"cast((id div ${strides(d)}) % ${gridDims(d)} as int)")): _*)
+        // persist: the emptiness check and the staging write would
+        // otherwise each run the full O(grid) anti-join
         val absent = spark.range(gridDims.map(_.toLong).product)
           .select(coordExpr.as("coord"))
           .join(session.refs(srcPath).select(col("coord")),
             Seq("coord"), "left_anti")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        absentCache = Some(absent)
         if (absent.isEmpty) refsDf
         else {
           val cells = node.chunkShape.product.toInt
@@ -971,6 +976,7 @@ object TensorPlane {
     val stagingKey = graft.meta.Layout.stagingPrefix(
       graft.core.Ids.toBase32(graft.core.Ids.newObjectId()))
     withFill.write.parquet(session.repo.store.uri(stagingKey))
+    absentCache.foreach(_.unpersist(blocking = false))
     val refs = spark.read.parquet(session.repo.store.uri(stagingKey))
       .withColumn("kind", lit(ChunkRef.KindRef))
       .withColumn("offset", lit(0L))

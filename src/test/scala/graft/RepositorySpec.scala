@@ -486,6 +486,33 @@ class RepositorySpec extends SparkTestBase {
       onChunkConflict = graft.vc.VersionSelection.UseTheirs))
     val ro2 = repo.readonlySession(VersionRef.Branch("main"))
     assert(ro2.getChunk("/a", Seq(9)).get.toSeq == Seq(94.toByte))
+
+    // REPEATED merge: the edit base is the last ABSORBED src tip (via
+    // the mergedFrom link), so dev2's old chunk-9 edit (93, resolved
+    // 'theirs' above) must NOT be replayed and clobber main's 94 —
+    // only the genuinely new edit (chunk 12) merges
+    val d3 = repo.writableSession("dev2")
+    d3.writeChunk("/a", Seq(12), Array[Byte](12))
+    d3.commit("dev2 more")
+    repo.mergeBranch("dev2", "main")
+    val ro3 = repo.readonlySession(VersionRef.Branch("main"))
+    assert(ro3.getChunk("/a", Seq(9)).get.toSeq == Seq(94.toByte),
+      "stale pre-merge edit resurrected on re-merge")
+    assert(ro3.getChunk("/a", Seq(12)).get.toSeq == Seq(12.toByte))
+
+    // delete-vs-edit: src edits chunks of an array dst deleted — a
+    // refusal naming the path, not a NodeNotFound crash
+    repo.createBranch("del",
+      repo.resolveVersion(VersionRef.Branch("main")))
+    val sd = repo.writableSession("del")
+    sd.writeChunk("/b", Seq(0), Array[Byte](7))
+    sd.commit("edit b on del")
+    val dd = repo.writableSession("main")
+    dd.deleteNode("/b")
+    dd.commit("drop b on main")
+    val e4 = intercept[ConflictException](repo.mergeBranch("del", "main"))
+    assert(e4.getMessage.contains("/b") &&
+      e4.getMessage.contains("deleted"))
   }
 
   test("ops log records operations newest-first with monotone timestamps") {
