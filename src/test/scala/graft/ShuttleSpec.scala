@@ -307,6 +307,40 @@ class ShuttleSpec extends SparkTestBase {
     assert(runs == 10, s"only $runs schedules explored")
   }
 
+  test("scheduled merge vs concurrent dst commit: neither side's data lost") {
+    val runs = explore(8, { store =>
+      val repo = Repository.create(store, spark)
+      // setup outside the scheduled region: fork with a divergence
+      val s0 = repo.writableSession("main")
+      s0.addArray("/a", Seq(10), Seq(1))
+      val base = s0.commit("base")
+      repo.createBranch("side", base)
+      val sd = repo.writableSession("side")
+      sd.writeChunk("/a", Seq(1), Array[Byte](11))
+      sd.commit("side edit")
+      val sm = repo.writableSession("main")
+      sm.writeChunk("/a", Seq(2), Array[Byte](22))
+      sm.commit("main edit")
+      (repo, Seq(
+        () => { repo.mergeBranch("side", "main"); () },
+        () => {
+          val s = repo.writableSession("main")
+          s.writeChunk("/a", Seq(3), Array[Byte](33))
+          s.commit("racer")
+          ()
+        }))
+    }) { repo =>
+      // whatever the interleaving, the tip holds the side edit, main's
+      // pre-merge edit, AND the racing commit (rebase machinery)
+      val tip = repo.readonlySession(VersionRef.Branch("main"))
+      assert(tip.getChunk("/a", Seq(1)).exists(_.head == 11), "merge lost")
+      assert(tip.getChunk("/a", Seq(2)).exists(_.head == 22), "dst lost")
+      assert(tip.getChunk("/a", Seq(3)).exists(_.head == 33), "racer lost")
+      assertGapFreeChain(repo)
+    }
+    assert(runs == 8, s"only $runs schedules explored")
+  }
+
   test("scheduled 2-committer race with a lost CAS success response: " +
       "one landing each, never a duplicate (#2156)") {
     val runs = explore(10, { store =>
