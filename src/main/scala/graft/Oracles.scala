@@ -292,6 +292,36 @@ object Oracles {
         |FROM ud JOIN fd ON ud.user_id = fd.user_id
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
+    // identical exact scaled-integer window statistics and association
+    // order as Events.anomalies; ordering ties break on (epoch seconds,
+    // event_id) in both engines
+    "q_event_anomaly" ->
+      """WITH e AS (SELECT event_id, user_id,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+        |    CAST(round(value * 100) AS BIGINT) AS v100 FROM events),
+        |w AS (SELECT event_id, user_id, v100,
+        |    count(*) OVER win AS n_prior,
+        |    sum(v100) OVER win AS s1,
+        |    sum(v100 * v100) OVER win AS s2
+        |  FROM e WINDOW win AS (PARTITION BY user_id
+        |    ORDER BY sec, event_id
+        |    ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)),
+        |m AS (SELECT event_id, user_id, n_prior,
+        |    (CAST(s1 AS DOUBLE) / 100.0) / n_prior AS mean,
+        |    (CAST(s2 AS DOUBLE) / 10000.0) / n_prior AS ex2, v100
+        |  FROM w WHERE n_prior >= 5),
+        |v AS (SELECT event_id, user_id, n_prior, mean,
+        |    CASE WHEN ex2 - mean * mean > 0
+        |      THEN sqrt(ex2 - mean * mean) ELSE 0 END AS sd, v100
+        |  FROM m)
+        |SELECT event_id, user_id, CAST(n_prior AS BIGINT) AS n_prior,
+        |  round(CASE WHEN sd = 0 THEN 0
+        |    ELSE (CAST(v100 AS DOUBLE) / 100.0 - mean) / sd END, 4) AS z,
+        |  abs(round(CASE WHEN sd = 0 THEN 0
+        |    ELSE (CAST(v100 AS DOUBLE) / 100.0 - mean) / sd END, 4))
+        |    > 3.0 AS is_anomaly
+        |FROM v ORDER BY event_id""".stripMargin,
+
     // ordered multi-stage funnel: stage-k arrival = earliest event of
     // that type STRICTLY after the stage-(k-1) arrival, same walk as
     // Events.funnel (epoch-second integral comparisons)

@@ -807,6 +807,14 @@ object Queries {
     graft.pipeline.Events.retentionCohorts(events(s, d))
       .orderBy("cohort_day", "day_offset")
 
+  /** Trailing-window anomaly scores: per-user z against the previous 20
+    * events — exact scaled-integer window sums make every z
+    * engine-reproducible (oracle-matched).
+    */
+  val q_event_anomaly: Q = (s, d) =>
+    graft.pipeline.Events.anomalies(events(s, d), n = 20, minPrior = 5)
+      .orderBy("event_id")
+
   /** Ordered multi-stage funnel (view → click → purchase, strict
     * ordering, arrival = earliest qualifying event): per-stage reached
     * counts. Epoch-second arithmetic — DuckDB replays the walk exactly.
@@ -1420,6 +1428,7 @@ object Queries {
     "q_band_join" -> q_band_join,
     "q_funnel" -> q_funnel,
     "q_funnel_stages" -> q_funnel_stages,
+    "q_event_anomaly" -> q_event_anomaly,
     "q_retention" -> q_retention,
     "q_json_extract" -> q_json_extract,
     "q_salted_join" -> q_salted_join,

@@ -84,6 +84,52 @@ object Events {
       .orderBy("stage_idx")
   }
 
+  /** Trailing-window anomaly scores: each event's value z-scored
+    * against the SAME user's previous `n` events (frame `n PRECEDING ..
+    * 1 PRECEDING` — the current value never contaminates its own
+    * baseline), flagged when |z| exceeds `zThreshold`; rows with fewer
+    * than `minPrior` priors are dropped (no meaningful baseline).
+    *
+    * Engine-portable by construction: values scale to exact integer
+    * hundredths, the window sums are order-free LONG additions, and
+    * mean/variance derive from those sums with one fixed association —
+    * so DuckDB reproduces every z bit-for-bit (q_event_anomaly), which
+    * plain double window aggregates (segment-tree vs sequential
+    * summation) cannot promise. Ordering ties break on integral epoch
+    * seconds then the event id, identical in both engines. One
+    * user-keyed window — the same shuffle family as any per-key ordered
+    * analytic; skew is governed by the user key like a groupBy.
+    */
+  def anomalies(events: DataFrame, n: Int = 20, minPrior: Int = 5,
+                zThreshold: Double = 3.0, idCol: String = "event_id",
+                userCol: String = "user_id", tsCol: String = "ts",
+                valueCol: String = "value"): DataFrame = {
+    require(n >= 1 && minPrior >= 1 && minPrior <= n,
+      s"anomalies: need 1 <= minPrior <= n, got n=$n minPrior=$minPrior")
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col("sec"), col(idCol)).rowsBetween(-n, -1)
+    events
+      .select(col(idCol), col(userCol),
+        unix_timestamp(col(tsCol)).as("sec"),
+        round(col(valueCol) * 100).cast("long").as("v100"))
+      .withColumn("n_prior", count(lit(1)).over(w))
+      .withColumn("s1", sum(col("v100")).over(w))
+      .withColumn("s2", sum(col("v100") * col("v100")).over(w))
+      .filter(col("n_prior") >= minPrior)
+      .withColumn("mean",
+        (col("s1").cast("double") / 100.0) / col("n_prior"))
+      .withColumn("ex2",
+        (col("s2").cast("double") / 10000.0) / col("n_prior"))
+      .withColumn("varp", col("ex2") - col("mean") * col("mean"))
+      .withColumn("sd",
+        sqrt(when(col("varp") > 0, col("varp")).otherwise(0.0)))
+      .withColumn("z", round(when(col("sd") === 0.0, 0.0)
+        .otherwise((col("v100").cast("double") / 100.0 - col("mean"))
+          / col("sd")), 4))
+      .select(col(idCol), col(userCol), col("n_prior"), col("z"),
+        (abs(col("z")) > zThreshold).as("is_anomaly"))
+  }
+
   /** The operators stage internal columns on the inputs; a caller column
     * with one of these names would silently corrupt the result, so they
     * are refused up front.

@@ -857,6 +857,29 @@ class PipelineSpec extends SparkTestBase {
     assert(math.abs(local - dist) < 1e-9, s"$local vs $dist")
   }
 
+  test("event anomalies: spike flagged, constant baseline z=0, minPrior filter") {
+    import spark.implicits._
+    import graft.pipeline.Events
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000)
+    val rows =
+      // u1: alternating baseline then a spike at event 7
+      (1 to 6).map(i => (i.toLong, 1L, ts(i.toLong),
+        if (i % 2 == 0) 12.0 else 10.0)) ++
+      Seq((7L, 1L, ts(7L), 100.0)) ++
+      // u2: only 3 events -> never reaches minPrior
+      (1 to 3).map(i => (10L + i, 2L, ts(i.toLong), 5.0)) ++
+      // u3: constant baseline -> sd 0 -> z defined as 0
+      (1 to 6).map(i => (20L + i, 3L, ts(i.toLong), 5.0))
+    val df = rows.toDF("event_id", "user_id", "ts", "value")
+    val out = Events.anomalies(df, n = 20, minPrior = 5)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(2), r.getDouble(3), r.getBoolean(4))).toMap
+    assert(out.keySet == Set(6L, 7L, 26L))
+    assert(!out(6L)._3)                       // in-family value
+    assert(out(7L)._2 > 3.0 && out(7L)._3)    // the spike
+    assert(out(26L)._2 == 0.0 && !out(26L)._3) // sd 0 -> z 0
+  }
+
   test("funnel: strict ordering, horizon, per-stage counts") {
     import spark.implicits._
     import graft.pipeline.Events

@@ -217,6 +217,40 @@ class StreamingSpec extends SparkTestBase {
     assert(all.contains((99L, 1000L, 1000L, 1, 0L)), all)
   }
 
+  test("streaming funnel: ordered advances across batches, completion frees state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val source = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String, Long)]
+    val stream = source.toDF().toDF("user_id", "event_type", "sec")
+      .select(col("user_id"), col("event_type"),
+        timestamp_seconds(col("sec")).as("ts"))
+    val prog = graft.streaming.StreamingFunnel.progress(
+      stream, Seq("a", "b", "c"), withinSeconds = 100L)
+    val q = prog.writeStream.format("memory").queryName("sfunnel")
+      .outputMode("append").start()
+    // u1: a then b in batch 1; u2: b BEFORE a never advances past a;
+    // u3: a then b at the same instant (strict > refuses b)
+    source.addData((1L, "a", 10L), (1L, "b", 20L),
+      (2L, "b", 5L), (2L, "a", 10L), (3L, "a", 10L), (3L, "b", 10L))
+    q.processAllAvailable()
+    val r1 = spark.table("sfunnel").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    assert(r1 == Set((1L, 1, "a"), (1L, 2, "b"), (2L, 1, "a"),
+      (3L, 1, "a")))
+    // batch 2: u1 completes (state removed); a LATER duplicate 'c'
+    // emits nothing; u2's c cannot skip b; u3's horizon-busted b refused
+    source.addData((1L, "c", 30L), (1L, "c", 40L),
+      (2L, "c", 20L), (3L, "b", 200L))
+    q.processAllAvailable()
+    q.stop()
+    val all = spark.table("sfunnel").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3)))
+      .toSet
+    assert(all == Set((1L, 1, "a", 10L), (1L, 2, "b", 20L),
+      (1L, 3, "c", 30L), (2L, 1, "a", 10L), (3L, 1, "a", 10L)), all)
+  }
+
   test("streaming exact dedup suppresses in-window duplicates") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
