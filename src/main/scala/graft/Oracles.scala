@@ -473,6 +473,26 @@ object Oracles {
         |  count(*) OVER (PARTITION BY cluster_id) AS n_members
         |FROM lbl ORDER BY doc_id""".stripMargin,
 
+    // identical components, rolled into a size histogram
+    "q_cluster_sizes" ->
+      """WITH RECURSIVE docs AS (
+        |  SELECT doc_id, lang, n_chars FROM documents),
+        |edges AS (
+        |  SELECT a.doc_id AS u, b.doc_id AS v FROM docs a JOIN docs b
+        |  ON a.lang = b.lang AND abs(a.n_chars - b.n_chars) <= 10
+        |  AND a.doc_id <> b.doc_id),
+        |reach(id, label) AS (
+        |  SELECT doc_id, doc_id FROM docs
+        |  UNION
+        |  SELECT e.u, r.label FROM reach r JOIN edges e ON e.v = r.id),
+        |lbl AS (
+        |  SELECT id AS doc_id, min(label) AS cluster_id
+        |  FROM reach GROUP BY id),
+        |sizes AS (
+        |  SELECT cluster_id, count(*) AS n_members FROM lbl GROUP BY 1)
+        |SELECT n_members, count(*) AS n_clusters FROM sizes
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q_sample_split" ->
       """WITH b AS (
         |  SELECT lang, n_chars,

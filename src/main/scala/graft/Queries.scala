@@ -680,6 +680,18 @@ object Queries {
     * [[Dedup.minhashCandidates]] pairs into the same component solver
     * ([[Dedup.nearDupClusters]], spec-verified).
     */
+  /** Duplicate-cluster SIZE histogram: how many components of each
+    * cardinality — the one-page audit of a dedup pass ("mostly pairs,
+    * one 400-doc blob" reads very differently from a flat count). Two
+    * tiny rollups on top of the component labels; oracle recomputes the
+    * components with the recursive CTE.
+    */
+  val q_cluster_sizes: Q = (s, d) =>
+    q_dedup_clusters(s, d)
+      .groupBy("cluster_id").agg(count(lit(1)).as("n_members"))
+      .groupBy("n_members").agg(count(lit(1)).as("n_clusters"))
+      .orderBy("n_members")
+
   val q_dedup_clusters: Q = (s, d) => {
     val docs = t(s, d, "documents")
     // The proximity rule lives on a line, so CONSECUTIVE-neighbor edges
@@ -1434,6 +1446,7 @@ object Queries {
     "q_salted_join" -> q_salted_join,
     "q_dedup_exact" -> q_dedup_exact,
     "q_dedup_clusters" -> q_dedup_clusters,
+    "q_cluster_sizes" -> q_cluster_sizes,
     "q_sample_split" -> q_sample_split,
     "q_temperature_mix" -> q_temperature_mix,
     "q_corpus_stats" -> q_corpus_stats,

@@ -515,6 +515,45 @@ class RepositorySpec extends SparkTestBase {
       e4.getMessage.contains("deleted"))
   }
 
+  test("mergeBranch property: random disjoint edits merge to exactly the union") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 0 until 2) {
+      val repo = Repository.create(
+        Store.local(tmpDir(s"mprop$trial")), spark)
+      val s = repo.writableSession("main")
+      s.addArray("/a", Seq(100), Seq(1))
+      val baseVals = (0 until 20).map(i => i -> rnd.nextInt(100)).toMap
+      baseVals.foreach { case (c, v) =>
+        s.writeChunk("/a", Seq(c), Array[Byte](v.toByte)) }
+      val base = s.commit("base")
+      repo.createBranch("f", base)
+      // src: fresh writes + deletes of base coords
+      val sf = repo.writableSession("f")
+      val srcWrites = (30 until 45).map(c => c -> rnd.nextInt(100)).toMap
+      srcWrites.foreach { case (c, v) =>
+        sf.writeChunk("/a", Seq(c), Array[Byte](v.toByte)) }
+      val srcDels = Seq(0, 1, 2)
+      srcDels.foreach(c => sf.deleteChunk("/a", Seq(c)))
+      sf.commit("src edits")
+      // dst: disjoint writes + its own delete
+      val sm = repo.writableSession("main")
+      val dstWrites = (50 until 60).map(c => c -> rnd.nextInt(100)).toMap
+      dstWrites.foreach { case (c, v) =>
+        sm.writeChunk("/a", Seq(c), Array[Byte](v.toByte)) }
+      sm.deleteChunk("/a", Seq(5))
+      sm.commit("dst edits")
+      repo.mergeBranch("f", "main")
+      val ro = repo.readonlySession(VersionRef.Branch("main"))
+      val expect = (baseVals -- srcDels - 5) ++ srcWrites ++ dstWrites
+      val got = ro.refs("/a").select("coord").collect()
+        .map(_.getSeq[Int](0).head).toSet
+      assert(got == expect.keySet, s"trial $trial coords")
+      expect.foreach { case (c, v) =>
+        assert(ro.getChunk("/a", Seq(c)).get.head == v.toByte,
+          s"trial $trial coord $c") }
+    }
+  }
+
   test("ops log records operations newest-first with monotone timestamps") {
     val repo = Repository.create(Store.local(tmpDir("repo")), spark)
     val s = repo.writableSession("main")
