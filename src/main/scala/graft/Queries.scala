@@ -986,6 +986,16 @@ object Queries {
     TextAnalysis.bm25(t(s, d, "documents"),
       Seq("spark", "vector", "stream", "window"), topK = 20)
 
+  /** BM25 over a BUILT inverted index (the serving path: only the query
+    * terms' posting lists are read) — bit-identical scores to the scan
+    * path by construction, so it answers q_bm25's oracle.
+    */
+  val q_bm25_indexed: Q = (s, d) => {
+    val ix = TextAnalysis.buildInvertedIndex(t(s, d, "documents"))
+    TextAnalysis.searchIndex(ix,
+      Seq("spark", "vector", "stream", "window"), topK = 20)
+  }
+
   /** Exact duplicated-substring spans (Lee et al. 2022 granularity):
     * per-document duplicated 40-char shingle runs. `hashed=false` so the
     * DuckDB oracle can group by the raw substring; PipelineSpec pins the
@@ -1498,6 +1508,7 @@ object Queries {
     "q_hll_distinct" -> q_hll_distinct,
     "q_deterministic_sample" -> q_deterministic_sample,
     "q_bm25" -> q_bm25,
+    "q_bm25_indexed" -> q_bm25_indexed,
     "q_substring_spans" -> q_substring_spans,
     "q_bpe_vocab" -> q_bpe_vocab,
     "q_bpe_encode" -> q_bpe_encode,

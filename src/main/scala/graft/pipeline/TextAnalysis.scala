@@ -488,6 +488,76 @@ object TextAnalysis {
       .limit(topK)
   }
 
+  /** A persistable inverted index: token-keyed posting lists plus the
+    * corpus scalars BM25 needs. `postings` is an ordinary DataFrame
+    * (write it as Parquet bucketed by token for co-located query joins).
+    */
+  final case class InvertedIndex(postings: DataFrame, nDocs: Long,
+                                 avgdl: Double)
+
+  /** Build the inverted index in ONE tf aggregation + one token-keyed
+    * collect: `(token, df, plist[(doc_id, tf, dl)])`, postings sorted by
+    * doc id. This is the retrieval-serving layout — a query then reads
+    * ONLY its terms' posting lists instead of re-scanning the corpus
+    * ([[searchIndex]]). The build shuffles (doc, token) pairs — linear
+    * in the corpus; a Zipf-head token's posting list is df-sized, so at
+    * 100 TB stoplist the head (or shard hot tokens) before collecting.
+    * `nDocs`/`avgdl` include zero-token documents, matching [[bm25]]'s
+    * corpus statistics exactly.
+    */
+  def buildInvertedIndex(docs: DataFrame,
+                         textCol: String = "text"): InvertedIndex = {
+    val n = docs.count()
+    val avgdl = docs.select(avg(size(tokens(col(textCol)))))
+      .head().getDouble(0)
+    val tf = docs
+      .select(col("doc_id"), size(tokens(col(textCol))).as("dl"),
+        explode(tokens(col(textCol))).as("token"))
+      .groupBy("token", "doc_id", "dl")
+      .agg(count(lit(1)).cast("int").as("tf"))
+    val postings = tf.groupBy("token")
+      .agg(count(lit(1)).as("df"),
+        sort_array(collect_list(
+          struct(col("doc_id"), col("tf"), col("dl")))).as("plist"))
+    InvertedIndex(postings, n, avgdl)
+  }
+
+  /** BM25 over the INDEX: reads only the query terms' posting lists
+    * (sub-linear in the corpus — the serving path; [[bm25]] is the
+    * scan path). Identical literal arithmetic, and per-doc partials
+    * fold in FIXED term order (sorted by term index; absent terms
+    * contribute an exact +0.0), so the scores are bit-identical to the
+    * scan-side bm25 — spec-pinned, and q_bm25_indexed answers the same
+    * oracle as q_bm25.
+    */
+  def searchIndex(ix: InvertedIndex, terms: Seq[String],
+                  k1: Double = 1.2, b: Double = 0.75,
+                  topK: Int = 20): DataFrame = {
+    require(terms.nonEmpty && terms.size <= 32,
+      "searchIndex: 1..32 query terms")
+    val spark = ix.postings.sparkSession
+    val tdf = spark.createDataFrame(terms.zipWithIndex)
+      .toDF("token", "tidx")
+    ix.postings.join(broadcast(tdf), Seq("token"))
+      .select(col("tidx"), col("df"), explode(col("plist")).as("p"))
+      .select(col("tidx"), col("df"), col("p.doc_id").as("doc_id"),
+        col("p.tf").as("tf"), col("p.dl").as("dl"))
+      .withColumn("part",
+        log(lit(1.0) + (lit(ix.nDocs.toDouble) - col("df") + lit(0.5))
+          / (col("df") + lit(0.5))) *
+          (col("tf") * (lit(k1) + lit(1))) /
+          (col("tf") + lit(k1) *
+            (lit(1) - lit(b) + lit(b) * col("dl") / lit(ix.avgdl))))
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("tidx"), col("part"))))
+        .as("ps"))
+      .withColumn("bm25", round(aggregate(col("ps"), lit(0.0),
+        (a, s) => a + s.getField("part")), 4))
+      .select(col("doc_id"), col("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(topK)
+  }
+
   /** Character-trigram language-model score: per document, the average
     * negative log-likelihood under a per-language Laplace-smoothed
     * trigram model trained on the corpus itself — the perplexity-style

@@ -857,6 +857,24 @@ class PipelineSpec extends SparkTestBase {
     assert(math.abs(local - dist) < 1e-9, s"$local vs $dist")
   }
 
+  test("inverted index: search path bit-identical to scan-side bm25") {
+    import graft.pipeline.TextAnalysis
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val terms = Seq("spark", "vector", "stream", "window")
+    val scan = TextAnalysis.bm25(docs, terms, topK = 50).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    val ix = TextAnalysis.buildInvertedIndex(docs)
+    val served = TextAnalysis.searchIndex(ix, terms, topK = 50).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(scan.toSeq == served.toSeq,
+      s"scan ${scan.take(5).toSeq} vs index ${served.take(5).toSeq}")
+    // the index itself: df equals posting-list length, postings sorted
+    val row = ix.postings.filter(col("token") === "spark").head()
+    assert(row.getLong(1) == row.getSeq[org.apache.spark.sql.Row](2).size)
+    val ids = row.getSeq[org.apache.spark.sql.Row](2).map(_.getLong(0))
+    assert(ids == ids.sorted)
+  }
+
   test("event anomalies: spike flagged, constant baseline z=0, minPrior filter") {
     import spark.implicits._
     import graft.pipeline.Events
