@@ -1220,6 +1220,20 @@ object Oracles {
         |SELECT doc_id, bm25 FROM sc
         |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin,
 
+    // phrase occurrences by scanning token bigrams — the index path's
+    // position-intersection must agree exactly (1-based first_pos)
+    "q_phrase_search" ->
+      """WITH toks AS (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'),
+        |      x -> len(x) > 0) AS ts FROM documents),
+        |hits AS (SELECT doc_id,
+        |    list_filter(range(1, len(ts)), i ->
+        |      array_to_string(ts[i:i+1], ' ') = 'merge sort') AS starts
+        |  FROM toks WHERE len(ts) >= 2)
+        |SELECT doc_id, CAST(len(starts) AS INT) AS n_occurrences,
+        |  CAST(starts[1] AS INT) AS first_pos
+        |FROM hits WHERE len(starts) > 0 ORDER BY doc_id""".stripMargin,
+
     "q_substring_spans" ->
       """WITH sh AS (
         |  SELECT doc_id, pos, substr(text, pos, 40) AS sub

@@ -996,6 +996,16 @@ object Queries {
       Seq("spark", "vector", "stream", "window"), topK = 20)
   }
 
+  /** Exact phrase search over the positional index: docs containing
+    * "merge sort" as adjacent in-order tokens, with occurrence counts
+    * and the first (1-based) position — oracle recomputes via token
+    * n-gram scanning.
+    */
+  val q_phrase_search: Q = (s, d) => {
+    val ix = TextAnalysis.buildPositionalIndex(t(s, d, "documents"))
+    TextAnalysis.phraseSearch(ix, Seq("merge", "sort"))
+  }
+
   /** Exact duplicated-substring spans (Lee et al. 2022 granularity):
     * per-document duplicated 40-char shingle runs. `hashed=false` so the
     * DuckDB oracle can group by the raw substring; PipelineSpec pins the
@@ -1509,6 +1519,7 @@ object Queries {
     "q_deterministic_sample" -> q_deterministic_sample,
     "q_bm25" -> q_bm25,
     "q_bm25_indexed" -> q_bm25_indexed,
+    "q_phrase_search" -> q_phrase_search,
     "q_substring_spans" -> q_substring_spans,
     "q_bpe_vocab" -> q_bpe_vocab,
     "q_bpe_encode" -> q_bpe_encode,

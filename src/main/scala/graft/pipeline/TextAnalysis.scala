@@ -558,6 +558,52 @@ object TextAnalysis {
       .limit(topK)
   }
 
+  /** Positional inverted index: token → sorted posting list of
+    * `(doc_id, positions[])` — [[buildInvertedIndex]]'s sibling for
+    * PHRASE and proximity queries (frequency postings cannot answer
+    * "these words adjacent, in order"). Same build shape: one
+    * per-(doc, token) position collect, one token-keyed rollup.
+    */
+  def buildPositionalIndex(docs: DataFrame,
+                           textCol: String = "text"): DataFrame =
+    docs
+      .select(col("doc_id"),
+        posexplode(tokens(col(textCol))).as(Seq("pos", "token")))
+      .groupBy("token", "doc_id")
+      .agg(sort_array(collect_list(col("pos"))).as("positions"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("df"),
+        sort_array(collect_list(struct(col("doc_id"), col("positions"))))
+          .as("plist"))
+
+  /** Exact phrase search over the positional index: term i's positions
+    * shift left by i, and the phrase's start positions are the
+    * INTERSECTION across terms — `m-1` doc-keyed hash joins plus one
+    * codegen'd `array_intersect` fold, touching only the phrase terms'
+    * posting lists (never the corpus). Returns
+    * (doc_id, n_occurrences > 0) rows; a repeated term in the phrase
+    * just joins its own posting list twice.
+    */
+  def phraseSearch(positional: DataFrame,
+                   phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty && phrase.size <= 16,
+      "phraseSearch: 1..16 phrase terms")
+    val rels = phrase.zipWithIndex.map { case (t, i) =>
+      positional.filter(col("token") === t)
+        .select(explode(col("plist")).as("p"))
+        .select(col("p.doc_id").as("doc_id"),
+          transform(col("p.positions"), x => x - i).as(s"pos_$i"))
+    }
+    rels.reduce((a, b) => a.join(b, Seq("doc_id")))
+      .withColumn("starts", phrase.indices.map(i => col(s"pos_$i"))
+        .reduce((a, b) => array_intersect(a, b)))
+      .filter(size(col("starts")) > 0)
+      .select(col("doc_id"),
+        size(col("starts")).as("n_occurrences"),
+        (array_min(col("starts")) + 1).as("first_pos"))
+      .orderBy("doc_id")
+  }
+
   /** Character-trigram language-model score: per document, the average
     * negative log-likelihood under a per-language Laplace-smoothed
     * trigram model trained on the corpus itself — the perplexity-style

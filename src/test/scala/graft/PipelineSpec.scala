@@ -875,6 +875,25 @@ class PipelineSpec extends SparkTestBase {
     assert(ids == ids.sorted)
   }
 
+  test("phrase search: adjacency and order via position intersection") {
+    import spark.implicits._
+    import graft.pipeline.TextAnalysis
+    val docs = Seq(
+      (1L, "merge sort is a merge sort demo"), // 2 hits, first at pos 1
+      (2L, "sort merge never adjacent merge"), // reversed -> no hit
+      (3L, "merge x sort"),                    // gap -> no hit
+      (4L, "a a a")                            // repeated-term phrase
+    ).toDF("doc_id", "text")
+    val ix = TextAnalysis.buildPositionalIndex(docs)
+    val out = TextAnalysis.phraseSearch(ix, Seq("merge", "sort"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    assert(out.toSeq == Seq((1L, 2, 1)))
+    // "a a" overlaps itself: starts 1 and 2 in doc 4
+    val rep = TextAnalysis.phraseSearch(ix, Seq("a", "a"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    assert(rep.toSeq == Seq((4L, 2, 1)))
+  }
+
   test("event anomalies: spike flagged, constant baseline z=0, minPrior filter") {
     import spark.implicits._
     import graft.pipeline.Events
