@@ -1220,6 +1220,26 @@ object Oracles {
         |SELECT doc_id, bm25 FROM sc
         |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin,
 
+    // in-window term-pair counts from position arithmetic (1-based vs
+    // the index's 0-based positions — only DIFFERENCES matter)
+    "q_proximity_search" ->
+      """WITH toks AS (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'),
+        |      x -> len(x) > 0) AS ts FROM documents),
+        |pos AS (SELECT doc_id,
+        |    list_filter(range(1, len(ts) + 1), i -> ts[i] = 'merge')
+        |      AS pa,
+        |    list_filter(range(1, len(ts) + 1), i -> ts[i] = 'sort')
+        |      AS pb
+        |  FROM toks),
+        |c AS (SELECT doc_id, CAST(len(list_filter(
+        |    flatten(list_transform(pa,
+        |      x -> list_transform(pb, y -> abs(x - y)))),
+        |    d -> d <= 5 AND d <> 0)) AS INT) AS n_pairs
+        |  FROM pos WHERE len(pa) > 0 AND len(pb) > 0)
+        |SELECT doc_id, n_pairs FROM c WHERE n_pairs > 0
+        |ORDER BY doc_id""".stripMargin,
+
     // phrase occurrences by scanning token bigrams — the index path's
     // position-intersection must agree exactly (1-based first_pos)
     "q_phrase_search" ->

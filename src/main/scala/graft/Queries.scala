@@ -996,6 +996,15 @@ object Queries {
       Seq("spark", "vector", "stream", "window"), topK = 20)
   }
 
+  /** Proximity search over the positional index: docs where 'merge' and
+    * 'sort' fall within 5 token positions (any order), with the pair
+    * count — oracle recomputes via position-list arithmetic.
+    */
+  val q_proximity_search: Q = (s, d) => {
+    val ix = TextAnalysis.buildPositionalIndex(t(s, d, "documents"))
+    TextAnalysis.proximitySearch(ix, "merge", "sort", window = 5)
+  }
+
   /** Exact phrase search over the positional index: docs containing
     * "merge sort" as adjacent in-order tokens, with occurrence counts
     * and the first (1-based) position — oracle recomputes via token
@@ -1520,6 +1529,7 @@ object Queries {
     "q_bm25" -> q_bm25,
     "q_bm25_indexed" -> q_bm25_indexed,
     "q_phrase_search" -> q_phrase_search,
+    "q_proximity_search" -> q_proximity_search,
     "q_substring_spans" -> q_substring_spans,
     "q_bpe_vocab" -> q_bpe_vocab,
     "q_bpe_encode" -> q_bpe_encode,

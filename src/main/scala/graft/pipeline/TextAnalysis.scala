@@ -490,10 +490,15 @@ object TextAnalysis {
 
   /** A persistable inverted index: token-keyed posting lists plus the
     * corpus scalars BM25 needs. `postings` is an ordinary DataFrame
-    * (write it as Parquet bucketed by token for co-located query joins).
+    * (write it as Parquet bucketed by token for co-located query
+    * joins). The token total is kept as an EXACT long so merged indexes
+    * recombine `avgdl` bit-identically (a stored double average would
+    * double-round under `(avgA·nA + avgB·nB)/n`).
     */
   final case class InvertedIndex(postings: DataFrame, nDocs: Long,
-                                 avgdl: Double)
+                                 sumDl: Long) {
+    def avgdl: Double = if (nDocs == 0) 0.0 else sumDl.toDouble / nDocs
+  }
 
   /** Build the inverted index in ONE tf aggregation + one token-keyed
     * collect: `(token, df, plist[(doc_id, tf, dl)])`, postings sorted by
@@ -507,9 +512,11 @@ object TextAnalysis {
     */
   def buildInvertedIndex(docs: DataFrame,
                          textCol: String = "text"): InvertedIndex = {
-    val n = docs.count()
-    val avgdl = docs.select(avg(size(tokens(col(textCol)))))
-      .head().getDouble(0)
+    val (n, sumDl) = {
+      val r = docs.agg(count(lit(1)),
+        sum(size(tokens(col(textCol))).cast("long"))).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
     val tf = docs
       .select(col("doc_id"), size(tokens(col(textCol))).as("dl"),
         explode(tokens(col(textCol))).as("token"))
@@ -519,7 +526,7 @@ object TextAnalysis {
       .agg(count(lit(1)).as("df"),
         sort_array(collect_list(
           struct(col("doc_id"), col("tf"), col("dl")))).as("plist"))
-    InvertedIndex(postings, n, avgdl)
+    InvertedIndex(postings, n, sumDl)
   }
 
   /** BM25 over the INDEX: reads only the query terms' posting lists
@@ -602,6 +609,53 @@ object TextAnalysis {
         size(col("starts")).as("n_occurrences"),
         (array_min(col("starts")) + 1).as("first_pos"))
       .orderBy("doc_id")
+  }
+
+  /** Proximity search over the positional index: documents where the
+    * two terms occur within `window` token positions of each other (any
+    * order) — one doc-keyed hash join of the two posting lists and one
+    * codegen'd nested `exists` over the position arrays (O(|pa|·|pb|)
+    * per doc, bounded by in-doc term frequency, never corpus-sized).
+    */
+  def proximitySearch(positional: DataFrame, termA: String,
+                      termB: String, window: Int): DataFrame = {
+    require(window >= 1, s"proximitySearch: window >= 1, got $window")
+    def side(t: String, name: String) =
+      positional.filter(col("token") === t)
+        .select(explode(col("plist")).as("p"))
+        .select(col("p.doc_id").as("doc_id"),
+          col("p.positions").as(name))
+    side(termA, "pa").join(side(termB, "pb"), Seq("doc_id"))
+      .withColumn("n_pairs", size(filter(
+        flatten(transform(col("pa"),
+          x => transform(col("pb"), y => abs(x - y)))),
+        d => d <= window && d =!= 0)))
+      .filter(col("n_pairs") > 0)
+      .select(col("doc_id"), col("n_pairs"))
+      .orderBy("doc_id")
+  }
+
+  /** Merge two inverted indexes built over DISJOINT corpora into the
+    * index of their union — the incremental-ingest path: index the new
+    * batch alone, merge in metadata space (token-keyed full-outer join,
+    * df addition, posting-list concat re-sorted), never re-scan the old
+    * corpus. Spec-pinned: mergeIndexes(ix(A), ix(B)) equals ix(A ∪ B)
+    * exactly, including BM25 scores (avgdl/nDocs recombine from the
+    * exact counts).
+    */
+  def mergeIndexes(a: InvertedIndex, b: InvertedIndex): InvertedIndex = {
+    val merged = a.postings.withColumnRenamed("df", "df_a")
+      .withColumnRenamed("plist", "pl_a")
+      .join(b.postings.withColumnRenamed("df", "df_b")
+        .withColumnRenamed("plist", "pl_b"), Seq("token"), "full_outer")
+      .select(col("token"),
+        (coalesce(col("df_a"), lit(0L)) + coalesce(col("df_b"), lit(0L)))
+          .as("df"),
+        when(col("pl_a").isNull, col("pl_b"))
+          .when(col("pl_b").isNull, col("pl_a"))
+          .otherwise(sort_array(concat(col("pl_a"), col("pl_b"))))
+          .as("plist"))
+    InvertedIndex(merged, a.nDocs + b.nDocs, a.sumDl + b.sumDl)
   }
 
   /** Character-trigram language-model score: per document, the average

@@ -894,6 +894,49 @@ class PipelineSpec extends SparkTestBase {
     assert(rep.toSeq == Seq((4L, 2, 1)))
   }
 
+  test("index merge over disjoint corpora equals the union index, scores included") {
+    import graft.pipeline.TextAnalysis
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val a = docs.filter(col("doc_id") % 2 === 0)
+    val b = docs.filter(col("doc_id") % 2 =!= 0)
+    val merged = TextAnalysis.mergeIndexes(
+      TextAnalysis.buildInvertedIndex(a),
+      TextAnalysis.buildInvertedIndex(b))
+    val direct = TextAnalysis.buildInvertedIndex(docs)
+    assert(merged.nDocs == direct.nDocs && merged.sumDl == direct.sumDl)
+    // postings identical token-for-token
+    val diff = merged.postings
+      .join(direct.postings.withColumnRenamed("df", "df2")
+        .withColumnRenamed("plist", "pl2"), Seq("token"), "full_outer")
+      .filter(col("df") =!= col("df2") ||
+        col("df").isNull || col("df2").isNull ||
+        col("plist") =!= col("pl2"))
+    assert(diff.isEmpty, diff.take(3).mkString("; "))
+    // and the serving path over the merged index scores identically
+    val terms = Seq("spark", "vector", "stream", "window")
+    val s1 = TextAnalysis.searchIndex(merged, terms, topK = 30).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val s2 = TextAnalysis.searchIndex(direct, terms, topK = 30).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(s1 == s2)
+  }
+
+  test("proximity search: in-window pairs any order, zero-distance excluded") {
+    import spark.implicits._
+    import graft.pipeline.TextAnalysis
+    val docs = Seq(
+      (1L, "merge a b sort"),        // distance 3 -> hit at window 3
+      (2L, "sort x merge"),          // reversed, distance 2 -> hit
+      (3L, "merge a b c d e sort"),  // distance 6 -> miss at window 3
+      (4L, "merge only here")        // one side missing -> no row
+    ).toDF("doc_id", "text")
+    val ix = TextAnalysis.buildPositionalIndex(docs)
+    val out = TextAnalysis.proximitySearch(ix, "merge", "sort", 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    assert(out.toSeq == Seq((1L, 1), (2L, 1)))
+  }
+
   test("event anomalies: spike flagged, constant baseline z=0, minPrior filter") {
     import spark.implicits._
     import graft.pipeline.Events
