@@ -1220,6 +1220,15 @@ object Oracles {
         |SELECT doc_id, bm25 FROM sc
         |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin,
 
+    "q_boolean_search" ->
+      """WITH toks AS (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'),
+        |      x -> len(x) > 0) AS ts FROM documents)
+        |SELECT doc_id FROM toks
+        |WHERE list_contains(ts, 'merge') AND list_contains(ts, 'sort')
+        |  AND NOT list_contains(ts, 'spark')
+        |ORDER BY doc_id""".stripMargin,
+
     // in-window term-pair counts from position arithmetic (1-based vs
     // the index's 0-based positions — only DIFFERENCES matter)
     "q_proximity_search" ->

@@ -996,6 +996,15 @@ object Queries {
       Seq("spark", "vector", "stream", "window"), topK = 20)
   }
 
+  /** Boolean retrieval: docs with 'merge' AND 'sort' but NOT 'spark',
+    * straight off the posting lists — oracle via EXISTS logic.
+    */
+  val q_boolean_search: Q = (s, d) => {
+    val ix = TextAnalysis.buildInvertedIndex(t(s, d, "documents"))
+    TextAnalysis.booleanSearch(ix.postings, Seq("merge", "sort"),
+      Seq("spark"))
+  }
+
   /** Proximity search over the positional index: docs where 'merge' and
     * 'sort' fall within 5 token positions (any order), with the pair
     * count — oracle recomputes via position-list arithmetic.
@@ -1530,6 +1539,7 @@ object Queries {
     "q_bm25_indexed" -> q_bm25_indexed,
     "q_phrase_search" -> q_phrase_search,
     "q_proximity_search" -> q_proximity_search,
+    "q_boolean_search" -> q_boolean_search,
     "q_substring_spans" -> q_substring_spans,
     "q_bpe_vocab" -> q_bpe_vocab,
     "q_bpe_encode" -> q_bpe_encode,

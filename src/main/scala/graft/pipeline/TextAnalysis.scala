@@ -635,6 +635,26 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Boolean retrieval over the frequency index: documents containing
+    * EVERY `must` term and NONE of the `mustNot` terms — |must|−1
+    * doc-keyed semi joins plus one anti join against the union of the
+    * excluded terms' postings; only the named terms' posting lists are
+    * ever read.
+    */
+  def booleanSearch(postings: DataFrame, must: Seq[String],
+                    mustNot: Seq[String] = Nil): DataFrame = {
+    require(must.nonEmpty, "booleanSearch: at least one must term")
+    def docsOf(ts: Seq[String]) =
+      postings.filter(col("token").isin(ts.map(x => x: Any): _*))
+        .select(explode(col("plist")).as("p"))
+        .select(col("p.doc_id").as("doc_id")).distinct()
+    val hits = must.map(t => docsOf(Seq(t)))
+      .reduce((a, b) => a.join(b, Seq("doc_id"), "left_semi"))
+    (if (mustNot.isEmpty) hits
+     else hits.join(docsOf(mustNot), Seq("doc_id"), "left_anti"))
+      .orderBy("doc_id")
+  }
+
   /** Merge two inverted indexes built over DISJOINT corpora into the
     * index of their union — the incremental-ingest path: index the new
     * batch alone, merge in metadata space (token-keyed full-outer join,
