@@ -848,6 +848,19 @@ object Queries {
   val q_ngram_novelty: Q = (s, d) =>
     TextAnalysis.ngramNovelty(t(s, d, "documents"), n = 3)
 
+  /** PCA projection of the embedding corpus onto its top-8 components
+    * (no SQL oracle — eigenvector sign/ordering is solver-specific; the
+    * invariants are spec-pinned): vec_id + rounded pc columns.
+    */
+  val q_embedding_pca: Q = (s, d) => {
+    val emb = t(s, d, "embeddings")
+    val m = graft.pipeline.Pca.fit(emb, k = 8)
+    graft.pipeline.Pca.project(emb, m)
+      .select(col("vec_id") +: (0 until 8).map(i =>
+        round(col(s"pc_$i"), 4).as(s"pc_$i")): _*)
+      .orderBy("vec_id")
+  }
+
   /** Prototypicality outliers: distance to the own-label centroid,
     * flagged above 1.01 — the label-noise / novelty audit. Oracle
     * recomputes centroids and every distance (index-order folds on both
@@ -1531,6 +1544,7 @@ object Queries {
     "q_group_sample" -> q_group_sample,
     "q_embedding_quantize" -> q_embedding_quantize,
     "q_embedding_outliers" -> q_embedding_outliers,
+    "q_embedding_pca" -> q_embedding_pca,
     "q_cms_heavy" -> q_cms_heavy,
     "q_normalize" -> q_normalize,
     "q_hll_distinct" -> q_hll_distinct,

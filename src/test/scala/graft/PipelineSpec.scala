@@ -875,6 +875,55 @@ class PipelineSpec extends SparkTestBase {
     assert(ids == ids.sorted)
   }
 
+  test("pca: orthonormal components, variance accounting, exact reconstruction") {
+    import spark.implicits._
+    import graft.pipeline.Pca
+    val rnd = new scala.util.Random(7)
+    val s10 = math.sqrt(10)
+    val docs = (0 until 200).map { i =>
+      // dominant direction (3,1,0,0)/sqrt(10) plus small noise
+      val t = rnd.nextGaussian() * 5
+      val n1 = rnd.nextGaussian() * 0.5
+      val n2 = rnd.nextGaussian() * 0.2
+      (i.toLong, Seq((3 * t / s10 + n1).toFloat, (t / s10 + n2).toFloat,
+        (n1 * 0.3).toFloat, (n2 * 0.1).toFloat))
+    }.toDF("vec_id", "embedding")
+    val m = Pca.fit(docs, k = 4)
+    // orthonormality
+    for (a <- 0 until 4; b <- 0 until 4) {
+      val dot = (0 until 4)
+        .map(i => m.components(a)(i) * m.components(b)(i)).sum
+      assert(math.abs(dot - (if (a == b) 1.0 else 0.0)) < 1e-8,
+        s"($a,$b) -> $dot")
+    }
+    // descending explained variance; pc0 aligned with the planted axis
+    assert(m.explained.sliding(2).forall(p => p(0) >= p(1) - 1e-12))
+    val cos = m.components(0)(0) * 3 / s10 + m.components(0)(1) / s10
+    assert(math.abs(cos) > 0.98, s"pc0 alignment $cos")
+    // per-component projected variance equals the eigenvalue
+    val proj = Pca.project(docs, m).collect()
+    for (j <- 0 until 4) {
+      val xs = proj.map(_.getDouble(2 + j))
+      val mu = xs.sum / xs.length
+      val va = xs.map(x => (x - mu) * (x - mu)).sum / xs.length
+      assert(math.abs(va - m.explained(j)) <
+        1e-6 * math.max(1.0, m.explained(j)),
+        s"pc$j variance $va vs eigenvalue ${m.explained(j)}")
+    }
+    // k = d reconstruction: mean + sum pc_j * comp_j recovers the input
+    val r0 = proj.head
+    val orig = r0.getSeq[Float](1).map(_.toDouble)
+    val rec = (0 until 4).map { i =>
+      m.mean(i) + (0 until 4)
+        .map(j => r0.getDouble(2 + j) * m.components(j)(i)).sum
+    }
+    orig.indices.foreach(i =>
+      assert(math.abs(orig(i) - rec(i)) < 1e-5, s"dim $i"))
+    // determinism: refit produces identical components (fixed sign rule)
+    val m2 = Pca.fit(docs, k = 4)
+    assert(m.components.flatten.toSeq == m2.components.flatten.toSeq)
+  }
+
   test("phrase search: adjacency and order via position intersection") {
     import spark.implicits._
     import graft.pipeline.TextAnalysis
