@@ -292,6 +292,18 @@ object Oracles {
         |FROM ud JOIN fd ON ud.user_id = fd.user_id
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
+    "q_value_quantiles" ->
+      """WITH e AS (SELECT event_type,
+        |    CAST(round(value * 100) AS BIGINT) AS v FROM events)
+        |SELECT event_type, count(*) AS n,
+        |  round(percentile_cont(0.5) WITHIN GROUP (ORDER BY v)
+        |    / 100.0, 6) AS p50,
+        |  round(percentile_cont(0.9) WITHIN GROUP (ORDER BY v)
+        |    / 100.0, 6) AS p90,
+        |  round(percentile_cont(0.99) WITHIN GROUP (ORDER BY v)
+        |    / 100.0, 6) AS p99
+        |FROM e GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // identical exact scaled-integer window statistics and association
     // order as Events.anomalies; ordering ties break on (epoch seconds,
     // event_id) in both engines

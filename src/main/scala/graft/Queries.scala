@@ -819,6 +819,22 @@ object Queries {
     graft.pipeline.Events.retentionCohorts(events(s, d))
       .orderBy("cohort_day", "day_offset")
 
+  /** Per-event-type value quantiles: exact interpolated percentiles
+    * over integer hundredths (both engines share the classical
+    * interpolation on identical integer inputs — the corpusStats
+    * recipe applied to the metric plane). Oracle-matched.
+    */
+  val q_value_quantiles: Q = (s, d) =>
+    t(s, d, "events")
+      .select(col("event_type"),
+        round(col("value") * 100).cast("long").as("v"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        round(expr("percentile(v, 0.5)") / 100.0, 6).as("p50"),
+        round(expr("percentile(v, 0.9)") / 100.0, 6).as("p90"),
+        round(expr("percentile(v, 0.99)") / 100.0, 6).as("p99"))
+      .orderBy("event_type")
+
   /** Trailing-window anomaly scores: per-user z against the previous 20
     * events — exact scaled-integer window sums make every z
     * engine-reproducible (oracle-matched).
@@ -1492,6 +1508,7 @@ object Queries {
     "q_funnel" -> q_funnel,
     "q_funnel_stages" -> q_funnel_stages,
     "q_event_anomaly" -> q_event_anomaly,
+    "q_value_quantiles" -> q_value_quantiles,
     "q_retention" -> q_retention,
     "q_json_extract" -> q_json_extract,
     "q_salted_join" -> q_salted_join,
