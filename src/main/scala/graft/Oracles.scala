@@ -1346,10 +1346,19 @@ object Oracles {
         |  CAST(((doc_id % 3) + 2 + 1) // 2 AS INT) AS video_decoded_frames
         |FROM documents ORDER BY doc_id""".stripMargin)
 
-  /** The index path produces bit-identical scores to the scan path by
-    * construction (fixed-order fold, exact +0.0 for absent terms), so
-    * q_bm25_indexed answers the SAME oracle as q_bm25.
+  /** The index path produces bit-identical scores to the scan path for
+    * every MATCHING doc (fixed-order fold, exact +0.0 for absent
+    * terms) but emits only docs containing ≥1 query term — so its
+    * oracle is q_bm25's restricted to docs with a positive term count
+    * (NOT to a positive rounded score, which would drop a tiny-positive
+    * doc the index path keeps). With ≥ topK matching docs the output is
+    * identical to q_bm25's.
     */
-  val all: Map[String, String] =
-    base.updated("q_bm25_indexed", base("q_bm25"))
+  val all: Map[String, String] = {
+    val filtered = base("q_bm25").replace("FROM tf, st)",
+      "FROM tf, st WHERE tf_0 + tf_1 + tf_2 + tf_3 > 0)")
+    require(filtered != base("q_bm25"),
+      "q_bm25 oracle shape changed; fix the q_bm25_indexed rewrite")
+    base.updated("q_bm25_indexed", filtered)
+  }
 }

@@ -106,6 +106,8 @@ object Events {
                 valueCol: String = "value"): DataFrame = {
     require(n >= 1 && minPrior >= 1 && minPrior <= n,
       s"anomalies: need 1 <= minPrior <= n, got n=$n minPrior=$minPrior")
+    requireNoReserved(events, Set("sec", "v100", "n_prior", "s1", "s2",
+      "mean", "ex2", "varp", "sd", "z"), "anomalies")
     val w = Window.partitionBy(col(userCol))
       .orderBy(col("sec"), col(idCol)).rowsBetween(-n, -1)
     events

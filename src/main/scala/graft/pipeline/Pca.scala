@@ -42,7 +42,12 @@ object Pca {
     import spark.implicits._
     val rows = embs.select(transform(col(vecCol), _.cast("double")))
       .as[Seq[Double]].rdd
-    val d = rows.first().length
+    // shift by an arbitrary sample vector before accumulating: the
+    // textbook G/n − m·mᵀ cancels catastrophically when the data mean
+    // is large relative to its spread; shifting makes both terms
+    // spread-sized (covariance is shift-invariant)
+    val shift = rows.first().toArray
+    val d = shift.length
     require(k >= 1 && k <= d, s"fit: need 1 <= k <= d=$d, got $k")
     // one pass: per-partition (n, sums, upper-triangular Gram) partials,
     // combined on the driver IN PARTITION ORDER — a tree combine's
@@ -58,9 +63,10 @@ object Pca {
         var i = 0
         var t = 0
         while (i < d) {
-          s(i) += v(i)
+          val vi = v(i) - shift(i)
+          s(i) += vi
           var j = i
-          while (j < d) { g(t) += v(i) * v(j); j += 1; t += 1 }
+          while (j < d) { g(t) += vi * (v(j) - shift(j)); j += 1; t += 1 }
           i += 1
         }
         c += 1
@@ -78,12 +84,14 @@ object Pca {
       while (i < gram.length) { gram(i) += g(i); i += 1 }
     }
     require(n > 1, s"fit: need > 1 rows, got $n")
-    val mean = sums.map(_ / n)
-    // covariance (population): C = G/n - mean meanᵀ
+    // sums/gram are SHIFTED moments; the true mean adds the shift back,
+    // covariance is shift-invariant: C = G'/n − m'·m'ᵀ
+    val meanS = sums.map(_ / n)
+    val mean = meanS.indices.map(i => meanS(i) + shift(i)).toArray
     val cov = Array.ofDim[Double](d, d)
     var t = 0
     for (i <- 0 until d; j <- i until d) {
-      val c = gram(t) / n - mean(i) * mean(j)
+      val c = gram(t) / n - meanS(i) * meanS(j)
       cov(i)(j) = c; cov(j)(i) = c
       t += 1
     }
@@ -109,9 +117,14 @@ object Pca {
     val a = a0.map(_.clone())
     val v = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
     var sweep = 0
+    // RELATIVE convergence: an absolute cutoff would declare a
+    // small-magnitude covariance (entries ~1e-8 and below) converged
+    // before a single rotation ran, returning identity "eigenvectors"
+    val fro = a.map(_.map(x => x * x).sum).sum
+    val tol = math.max(java.lang.Double.MIN_NORMAL, fro * 1e-26)
     var off = offDiag(a)
-    while (off > 1e-12 && sweep < 64) {
-      for (p <- 0 until d - 1; q <- p + 1 until d if math.abs(a(p)(q)) > 1e-15) {
+    while (off > tol && sweep < 64) {
+      for (p <- 0 until d - 1; q <- p + 1 until d if a(p)(q) != 0.0) {
         val theta = (a(q)(q) - a(p)(p)) / (2.0 * a(p)(q))
         val tSign = if (theta >= 0) 1.0 else -1.0
         val tt = tSign / (math.abs(theta) + math.sqrt(theta * theta + 1.0))
@@ -152,6 +165,11 @@ object Pca {
     */
   def project(embs: DataFrame, model: PcaModel,
               vecCol: String = "embedding"): DataFrame = {
+    val reserved = "_c" +: model.components.indices.map(i => s"pc_$i")
+    val clash = embs.columns.filter(reserved.contains)
+    require(clash.isEmpty,
+      s"project: input columns ${clash.mkString(", ")} collide with " +
+        "the projection's output/staging names — rename them first")
     val centered = zip_with(
       transform(col(vecCol), _.cast("double")),
       typedLit(model.mean.toSeq), (x, m) => x - m)

@@ -533,9 +533,12 @@ object TextAnalysis {
     * (sub-linear in the corpus — the serving path; [[bm25]] is the
     * scan path). Identical literal arithmetic, and per-doc partials
     * fold in FIXED term order (sorted by term index; absent terms
-    * contribute an exact +0.0), so the scores are bit-identical to the
-    * scan-side bm25 — spec-pinned, and q_bm25_indexed answers the same
-    * oracle as q_bm25.
+    * contribute an exact +0.0), so every MATCHING doc's score is
+    * bit-identical to the scan-side bm25 (spec-pinned). Result-set
+    * contract: only docs containing ≥1 query term appear — the scan
+    * path ranks zero-score docs too, so the two agree row-for-row
+    * exactly when ≥ topK docs match (q_bm25_indexed carries its own
+    * positive-score oracle for this reason).
     */
   def searchIndex(ix: InvertedIndex, terms: Seq[String],
                   k1: Double = 1.2, b: Double = 0.75,

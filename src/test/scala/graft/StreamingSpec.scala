@@ -217,7 +217,7 @@ class StreamingSpec extends SparkTestBase {
     assert(all.contains((99L, 1000L, 1000L, 1, 0L)), all)
   }
 
-  test("streaming funnel: ordered advances across batches, completion frees state") {
+  test("streaming funnel: ordered advances across batches; completed users cannot restart") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     val source = org.apache.spark.sql.execution.streaming.runtime
@@ -238,10 +238,11 @@ class StreamingSpec extends SparkTestBase {
       .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
     assert(r1 == Set((1L, 1, "a"), (1L, 2, "b"), (2L, 1, "a"),
       (3L, 1, "a")))
-    // batch 2: u1 completes (state removed); a LATER duplicate 'c'
-    // emits nothing; u2's c cannot skip b; u3's horizon-busted b refused
-    source.addData((1L, "c", 30L), (1L, "c", 40L),
-      (2L, "c", 20L), (3L, "b", 200L))
+    // batch 2: u1 completes; a later duplicate 'c' and even a fresh
+    // 'a' (restart attempt) emit nothing against the completed
+    // sentinel; u2's c cannot skip b; u3's horizon-busted b refused
+    source.addData((1L, "c", 30L), (1L, "c", 40L), (1L, "a", 150L),
+      (2L, "c", 120L), (3L, "b", 200L))
     q.processAllAvailable()
     q.stop()
     val all = spark.table("sfunnel").collect()
