@@ -160,6 +160,23 @@ object Pca {
     s
   }
 
+  /** [[project]] with per-component 1/√eigenvalue scaling — whitened
+    * coordinates have identity covariance, the normalization that makes
+    * Euclidean distance meaningful across components of very different
+    * variance (standard prep before clustering / ANN). Components with
+    * (near-)zero variance are left unscaled rather than divided by ~0.
+    */
+  def whiten(embs: DataFrame, model: PcaModel,
+             vecCol: String = "embedding"): DataFrame = {
+    val eps = 1e-12 * math.max(model.explained.headOption.getOrElse(1.0), 1.0)
+    model.explained.zipWithIndex.foldLeft(project(embs, model, vecCol)) {
+      case (df, (ev, i)) =>
+        if (ev > eps)
+          df.withColumn(s"pc_$i", col(s"pc_$i") / math.sqrt(ev))
+        else df
+    }
+  }
+
   /** Project onto the model's components: adds `pc_0..pc_{k-1}` columns
     * (pure codegen'd folds against literal component vectors).
     */

@@ -922,6 +922,14 @@ class PipelineSpec extends SparkTestBase {
     // determinism: refit produces identical components (fixed sign rule)
     val m2 = Pca.fit(docs, k = 4)
     assert(m.components.flatten.toSeq == m2.components.flatten.toSeq)
+    // whitening: every component's variance becomes 1
+    val wt = Pca.whiten(docs, m).collect()
+    for (j <- 0 until 2) { // the two non-degenerate components
+      val xs = wt.map(_.getDouble(2 + j))
+      val mu = xs.sum / xs.length
+      val va = xs.map(x => (x - mu) * (x - mu)).sum / xs.length
+      assert(math.abs(va - 1.0) < 1e-6, s"whitened pc$j variance $va")
+    }
   }
 
   test("phrase search: adjacency and order via position intersection") {
