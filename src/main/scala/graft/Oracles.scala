@@ -337,6 +337,19 @@ object Oracles {
     // ordered multi-stage funnel: stage-k arrival = earliest event of
     // that type STRICTLY after the stage-(k-1) arrival, same walk as
     // Events.funnel (epoch-second integral comparisons)
+    // the clip fixture recomputed closed-form: present chunks carry
+    // (g*3)%1000-500, absent chunks 10-19 read fill 0 -> clip to 50
+    "q_tensor_unary" ->
+      """WITH cells AS (
+        |  SELECT g, CASE WHEN (g // 1000) BETWEEN 10 AND 19 THEN 0
+        |    ELSE (g * 3) % 1000 - 500 END AS v
+        |  FROM range(0, 60000) t(g)),
+        |c AS (SELECT g // 1000 AS blk,
+        |    least(greatest(v, 50), 250) AS cv FROM cells)
+        |SELECT blk, count(*) AS n, CAST(sum(cv) AS BIGINT) AS total,
+        |  min(cv) AS vmin, max(cv) AS vmax
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q_funnel_stages" ->
       """WITH ev AS (SELECT user_id, event_type,
         |    CAST(floor(epoch(ts)) AS BIGINT) AS t FROM events),
@@ -354,6 +367,33 @@ object Oracles {
         |  UNION ALL SELECT 2, 'click', count(*) FROM s2
         |  UNION ALL SELECT 3, 'purchase', count(*) FROM s3)
         |ORDER BY stage_idx""".stripMargin,
+
+    // same stage walk as q_funnel_stages, carrying the stage-1 arrival;
+    // exact interpolated percentiles over integral second gaps
+    "q_funnel_timing" ->
+      """WITH ev AS (SELECT user_id, event_type,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS t FROM events),
+        |s1 AS (SELECT user_id, min(t) AS t1 FROM ev
+        |       WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT ev.user_id, min(ev.t) AS t2, min(s1.t1) AS t1
+        |       FROM ev JOIN s1 ON ev.user_id = s1.user_id
+        |         AND ev.t > s1.t1
+        |       WHERE ev.event_type = 'click' GROUP BY 1),
+        |s3 AS (SELECT ev.user_id, min(ev.t) AS t3, min(s2.t1) AS t1
+        |       FROM ev JOIN s2 ON ev.user_id = s2.user_id
+        |         AND ev.t > s2.t2
+        |       WHERE ev.event_type = 'purchase' GROUP BY 1),
+        |g AS (SELECT 2 AS stage_idx, 'click' AS stage, t2 - t1 AS gap
+        |      FROM s2
+        |      UNION ALL
+        |      SELECT 3, 'purchase', t3 - t1 FROM s3)
+        |SELECT stage_idx, stage, count(*) AS n_users,
+        |  round(percentile_cont(0.5) WITHIN GROUP (ORDER BY gap), 4)
+        |    AS p50_sec,
+        |  round(percentile_cont(0.9) WITHIN GROUP (ORDER BY gap), 4)
+        |    AS p90_sec,
+        |  max(gap) AS max_sec
+        |FROM g GROUP BY 1, 2 ORDER BY 1""".stripMargin,
 
     "q_json_extract" ->
       """WITH e AS (SELECT event_type,

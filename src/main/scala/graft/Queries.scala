@@ -835,6 +835,14 @@ object Queries {
         round(expr("percentile(v, 0.99)") / 100.0, 6).as("p99"))
       .orderBy("event_type")
 
+  /** Funnel time-to-convert: per stage ≥ 2, exact percentiles of the
+    * seconds from stage-1 arrival (oracle-matched — the percentile
+    * recipe over integral gaps).
+    */
+  val q_funnel_timing: Q = (s, d) =>
+    graft.pipeline.Events.funnelTiming(events(s, d),
+      Seq("view", "click", "purchase"))
+
   /** Trailing-window anomaly scores: per-user z against the previous 20
     * events — exact scaled-integer window sums make every z
     * engine-reproducible (oracle-matched).
@@ -1435,6 +1443,34 @@ object Queries {
     * by one anywhere changes a sum, and the 0-product blocks prove fill
     * semantics. All plain arithmetic for the DuckDB oracle.
     */
+  /** Unary tensor math end-to-end: clip to [50, 250] with chunks 10-19
+    * absent — clip(0) = 50 ≠ 0, so the absent coords must materialize
+    * the shared constant chunk; DuckDB recomputes every cell closed-form.
+    */
+  val q_tensor_unary: Q = (s, _) => {
+    val dir = java.nio.file.Files.createTempDirectory("graft-q-unary")
+    val repo = graft.repo.Repository.create(
+      graft.storage.Store.local(dir.toString), s)
+    val w = repo.writableSession("main")
+    w.addArray("/u", Seq(60000L), Seq(1000L))
+    for (c <- 0 until 60 if c < 10 || c >= 20)
+      w.writeChunk("/u", Seq(c), graft.functions.ChunkCodec.encodeLongs(
+        Array.tabulate(1000) { i =>
+          val g = c * 1000L + i; (g * 3) % 1000 - 500 }, "int64"))
+    w.commit("init")
+    val t = repo.writableSession("main")
+    graft.tensor.TensorPlane.mapUnary(t, "/u", "/uc", "clip", "int64",
+      lo = 50.0, hi = 250.0)
+    t.commit("clip")
+    val ro = repo.readonlySession(graft.repo.VersionRef.Branch("main"))
+    finishFixture(dir,
+      graft.tensor.TensorPlane.values(ro, "/uc", "int64")
+        .groupBy(expr("i0 div 1000").as("blk"))
+        .agg(count(lit(1)).as("n"), sum("value").as("total"),
+          min("value").as("vmin"), max("value").as("vmax"))
+        .orderBy("blk"))
+  }
+
   val q_tensor_binop: Q = (s, _) => {
     val dir = java.nio.file.Files.createTempDirectory("graft-q-binop")
     val repo = graft.repo.Repository.create(
@@ -1507,6 +1543,7 @@ object Queries {
     "q_band_join" -> q_band_join,
     "q_funnel" -> q_funnel,
     "q_funnel_stages" -> q_funnel_stages,
+    "q_funnel_timing" -> q_funnel_timing,
     "q_event_anomaly" -> q_event_anomaly,
     "q_value_quantiles" -> q_value_quantiles,
     "q_retention" -> q_retention,
@@ -1545,6 +1582,7 @@ object Queries {
     "q_transpose" -> q_transpose,
     "q_concat" -> q_concat,
     "q_tensor_binop" -> q_tensor_binop,
+    "q_tensor_unary" -> q_tensor_unary,
     "q_histogram" -> q_histogram,
     "q_value_diff" -> q_value_diff,
     "q_downsample" -> q_downsample,

@@ -44,10 +44,16 @@ object Events {
     * sets collapsing into k output rows. Timestamps compare as integral
     * epoch seconds, so external engines reproduce the walk exactly.
     */
-  def funnel(events: DataFrame, stages: Seq[String],
-             userCol: String = "user_id", typeCol: String = "event_type",
-             tsCol: String = "ts",
-             withinSeconds: Long = Long.MaxValue): DataFrame = {
+  /** Per-user stage ARRIVALS of the ordered funnel walk: one row per
+    * (user, reached stage) with the arrival's epoch second and the
+    * user's stage-1 arrival — the relation [[funnel]] aggregates and
+    * [[funnelTiming]] measures. Same walk, same shuffles.
+    */
+  def funnelArrivals(events: DataFrame, stages: Seq[String],
+                     userCol: String = "user_id",
+                     typeCol: String = "event_type",
+                     tsCol: String = "ts",
+                     withinSeconds: Long = Long.MaxValue): DataFrame = {
     require(stages.nonEmpty && stages.size <= 16,
       s"funnel: 1..16 stages, got ${stages.size}")
     require(stages.distinct.size == stages.size,
@@ -58,7 +64,7 @@ object Events {
       .withColumn("t_prev", col("t1"))
     val stageSets = scala.collection.mutable.ArrayBuffer(
       reached.select(lit(1).as("stage_idx"), lit(stages.head).as("stage"),
-        col(userCol)))
+        col(userCol), col("t1").as("t"), col("t1")))
     for (k <- 1 until stages.size) {
       reached = events.filter(col(typeCol) === stages(k))
         .select(col(userCol), ts.as("t_k"))
@@ -69,9 +75,18 @@ object Events {
         .groupBy(col(userCol))
         .agg(min(col("t_k")).as("t_prev"), min(col("t1")).as("t1"))
       stageSets += reached.select(lit(k + 1).as("stage_idx"),
-        lit(stages(k)).as("stage"), col(userCol))
+        lit(stages(k)).as("stage"), col(userCol),
+        col("t_prev").as("t"), col("t1"))
     }
-    val counts = stageSets.reduce(_.unionByName(_))
+    stageSets.reduce(_.unionByName(_))
+  }
+
+  def funnel(events: DataFrame, stages: Seq[String],
+             userCol: String = "user_id", typeCol: String = "event_type",
+             tsCol: String = "ts",
+             withinSeconds: Long = Long.MaxValue): DataFrame = {
+    val counts = funnelArrivals(events, stages, userCol, typeCol, tsCol,
+        withinSeconds)
       .groupBy(col("stage_idx"), col("stage"))
       .agg(count(lit(1)).as("n_users"))
     // a stage nobody reached must still report 0, not vanish
@@ -83,6 +98,27 @@ object Events {
         coalesce(col("n_users"), lit(0L)).as("n_users"))
       .orderBy("stage_idx")
   }
+
+  /** Time-to-convert per funnel stage: for every stage k ≥ 2, exact
+    * interpolated percentiles (and max) of the seconds from the user's
+    * stage-1 arrival to their stage-k arrival — "how long until
+    * checkout". Gaps are integral seconds, so both engines interpolate
+    * identical inputs (the corpusStats percentile recipe).
+    */
+  def funnelTiming(events: DataFrame, stages: Seq[String],
+                   userCol: String = "user_id",
+                   typeCol: String = "event_type", tsCol: String = "ts",
+                   withinSeconds: Long = Long.MaxValue): DataFrame =
+    funnelArrivals(events, stages, userCol, typeCol, tsCol,
+        withinSeconds)
+      .filter(col("stage_idx") >= 2)
+      .withColumn("gap", col("t") - col("t1"))
+      .groupBy("stage_idx", "stage")
+      .agg(count(lit(1)).as("n_users"),
+        round(expr("percentile(gap, 0.5)"), 4).as("p50_sec"),
+        round(expr("percentile(gap, 0.9)"), 4).as("p90_sec"),
+        max(col("gap")).as("max_sec"))
+      .orderBy("stage_idx")
 
   /** Trailing-window anomaly scores: each event's value z-scored
     * against the SAME user's previous `n` events (frame `n PRECEDING ..

@@ -933,13 +933,27 @@ object TensorPlane {
         (coord, id, bytes.length.toLong)
       }
     }.toDF("coord", "chunk_id", "length")
-    // offset != 0 changes the fill value: absent source coords must read
-    // `offset` in the destination, so point them all at ONE shared
-    // constant chunk (metadata-only cost; a fully-dense source adds no
-    // rows because the anti-join is empty).
+    stageTransformedRefs(session, srcPath, dstPath, node, refsDf,
+      fillOut = offset, intMath = intMath, outDtype = outDtype,
+      compression = compression)
+  }
+
+  /** Stage a per-chunk-transformed ref relation for `dstPath`. When the
+    * transform maps the fill value 0 to `fillOut != 0`, absent source
+    * coords must READ `fillOut` in the destination, so they materialize
+    * as refs to ONE shared constant chunk (content-addressed: a single
+    * object and one metadata row per absent coord; a fully-dense source
+    * adds no rows because the anti-join is empty). Shared by
+    * [[mapValues]] and [[mapUnary]].
+    */
+  private def stageTransformedRefs(session: Session, srcPath: String,
+      dstPath: String, node: graft.meta.NodeSpec,
+      refsDf: org.apache.spark.sql.DataFrame, fillOut: Double,
+      intMath: Boolean, outDtype: String, compression: String): Unit = {
+    val spark = session.repo.spark
     var absentCache: Option[org.apache.spark.sql.DataFrame] = None
     val withFill =
-      if (offset == 0.0) refsDf
+      if (fillOut == 0.0) refsDf
       else {
         val gridDims = node.numChunksPerDim
         val strides = gridDims.indices.map(d =>
@@ -960,10 +974,10 @@ object TensorPlane {
           val constBytes =
             if (intMath)
               ChunkCodec.compress(ChunkCodec.encodeLongs(
-                Array.fill(cells)(offset.toLong), outDtype), compression)
+                Array.fill(cells)(fillOut.toLong), outDtype), compression)
             else
               ChunkCodec.compress(ChunkCodec.encodeDoubles(
-                Array.fill(cells)(offset), outDtype), compression)
+                Array.fill(cells)(fillOut), outDtype), compression)
           val constId =
             graft.core.Ids.toBase32(graft.core.Ids.newObjectId())
           session.repo.store.putBytes(
@@ -982,6 +996,107 @@ object TensorPlane {
       .withColumn("offset", lit(0L))
     session.trackStaging(stagingKey)
     session.stageChunkRefs(dstPath, refs)
+  }
+
+  /** Unary elementwise math into a new array: op ∈ `abs` | `square` |
+    * `sqrt` | `clip` (clamps to [lo, hi]) — the remaining member of the
+    * map-algebra family next to [[mapValues]] (affine) and [[combine]]
+    * (binary). Pure per-chunk map: the job maps the ref relation, each
+    * payload byte moves once, NO shuffle. Integer dtypes compute in
+    * long arithmetic for abs/clip/square (square must fit int64 — the
+    * caller's contract, as for any int64 product); `sqrt` always lands
+    * float64 (negatives produce NaN, like numpy — no silent masking).
+    * Fill semantics: the op's image of 0 (abs/square/sqrt → 0; clip →
+    * min(max(0, lo), hi)) decides sparsity — a nonzero image
+    * materializes absent coords as ONE shared constant chunk, exactly
+    * like mapValues' offset path.
+    */
+  def mapUnary(session: Session, srcPath: String, dstPath: String,
+               op: String, dtype: String,
+               lo: Double = Double.NegativeInfinity,
+               hi: Double = Double.PositiveInfinity,
+               compression: String = "raw"): Unit = {
+    val ops = Set("abs", "square", "sqrt", "clip")
+    if (!ops.contains(op)) throw new GraftException(
+      s"unknown mapUnary op '$op' " +
+        s"(expected one of ${ops.toSeq.sorted.mkString(", ")})",
+      graft.repo.GraftError.InvalidConfig)
+    if (op == "clip" && lo > hi) throw new GraftException(
+      s"clip: lo $lo > hi $hi", graft.repo.GraftError.InvalidConfig)
+    val node = session.node(srcPath).filter(_.isArray).getOrElse(
+      throw new GraftException(s"no array at $srcPath"))
+    if (node.isRectilinear)
+      throw new GraftException("mapUnary requires a regular chunk grid",
+        graft.repo.GraftError.InvalidConfig)
+    val isInt = ChunkCodec.IntDtypes.contains(dtype)
+    val intMath = isInt && op != "sqrt" &&
+      (op != "clip" ||
+        ((lo == math.rint(lo) || lo.isNegInfinity) &&
+          (hi == math.rint(hi) || hi.isPosInfinity)))
+    val outDtype =
+      if (op == "sqrt") "float64" else if (intMath) dtype else "float64"
+    session.addArray(dstPath, node.shape, node.chunkShape, node.dimNames,
+      userData = s"""{"dtype":"$outDtype"}""")
+    val fillOut = op match {
+      case "clip" => math.min(math.max(0.0, lo), hi)
+      case _ => 0.0
+    }
+    val spark = session.repo.spark
+    import spark.implicits._
+    val conf = session.repo.store.conf
+    val resolver = session.repo.virtualResolver
+    val loL = if (lo.isNegInfinity) Long.MinValue else lo.toLong
+    val hiL = if (hi.isPosInfinity) Long.MaxValue else hi.toLong
+    val rows = session.refs(srcPath)
+      .repartition(spark.sparkContext.defaultParallelism * 2, col("coord"))
+      .select(col("coord"), col("kind"), col("inline"), col("chunk_id"),
+        col("location"), col("offset"), col("length"))
+      .as[(Seq[Int], String, Array[Byte], String, String, Long, Long)]
+    val refsDf = rows.mapPartitions { it =>
+      val store = graft.storage.StoreConf.cached(conf)
+      it.map { case (coord, kind, inline, chunkId, location, off, len) =>
+        val raw = ChunkCodec.decompress(
+          fetchRef(conf, resolver, kind, inline, chunkId, location, off,
+            len, cacheable = false), compression)
+        val bytes =
+          if (intMath) {
+            val v = ChunkCodec.decodeLongs(raw, dtype)
+            var i = 0
+            while (i < v.length) {
+              v(i) = op match {
+                case "abs" => math.abs(v(i))
+                case "square" => v(i) * v(i)
+                case "clip" => math.min(math.max(v(i), loL), hiL)
+              }
+              i += 1
+            }
+            ChunkCodec.compress(ChunkCodec.encodeLongs(v, outDtype),
+              compression)
+          } else {
+            val v =
+              if (isInt) ChunkCodec.decodeLongs(raw, dtype).map(_.toDouble)
+              else ChunkCodec.decodeDoubles(raw, dtype)
+            var i = 0
+            while (i < v.length) {
+              v(i) = op match {
+                case "abs" => math.abs(v(i))
+                case "square" => v(i) * v(i)
+                case "sqrt" => math.sqrt(v(i))
+                case "clip" => math.min(math.max(v(i), lo), hi)
+              }
+              i += 1
+            }
+            ChunkCodec.compress(ChunkCodec.encodeDoubles(v, outDtype),
+              compression)
+          }
+        val id = graft.core.Ids.toBase32(graft.core.Ids.newObjectId())
+        store.putBytes(graft.meta.Layout.chunkKey(id), bytes)
+        (coord, id, bytes.length.toLong)
+      }
+    }.toDF("coord", "chunk_id", "length")
+    stageTransformedRefs(session, srcPath, dstPath, node, refsDf,
+      fillOut = fillOut, intMath = intMath, outDtype = outDtype,
+      compression = compression)
   }
 
   /** ZERO-COPY concatenation of arrays along one axis into a new array —

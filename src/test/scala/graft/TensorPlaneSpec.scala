@@ -363,6 +363,44 @@ class TensorPlaneSpec extends SparkTestBase {
     assert(aliasIds == srcIds)
   }
 
+  test("mapUnary: abs/square/sqrt/clip; fill materializes only when clip moves 0") {
+    val repo = Repository.create(Store.local(tmpDir("repo")), spark)
+    val s = repo.writableSession("main")
+    s.addArray("/m", Seq(30), Seq(10)) // 3 chunks; chunk 2 absent
+    s.writeChunk("/m", Seq(0), ChunkCodec.encodeLongs(
+      Array.tabulate(10)(i => (i - 5).toLong), "int64"))
+    s.writeChunk("/m", Seq(1), ChunkCodec.encodeLongs(
+      Array.tabulate(10)(i => (10 + i).toLong), "int64"))
+    s.commit("init")
+    val t = repo.writableSession("main")
+    TensorPlane.mapUnary(t, "/m", "/abs", "abs", "int64")
+    TensorPlane.mapUnary(t, "/m", "/sq", "square", "int64")
+    TensorPlane.mapUnary(t, "/m", "/rt", "sqrt", "int64")
+    TensorPlane.mapUnary(t, "/m", "/cl", "clip", "int64",
+      lo = 2.0, hi = 12.0)
+    t.commit("unary")
+    val ro = repo.readonlySession(VersionRef.Branch("main"))
+    // f(0) = 0 ops keep sparsity; clip(0) = 2 materializes the fill
+    assert(ro.refs("/abs").count() == 2 && ro.refs("/sq").count() == 2)
+    assert(ro.refs("/rt").count() == 2)
+    assert(ro.refs("/cl").count() == 3)
+    def m(p: String) = TensorPlane.values(ro, p,
+        if (p == "/rt") "float64" else "int64").collect()
+      .map(r => r.getLong(0) -> r.get(1)).toMap
+    val cl = m("/cl")
+    assert(cl(25L) == 2L && cl(0L) == 2L && cl(12L) == 12L &&
+      cl(19L) == 12L)
+    val ab = m("/abs")
+    assert(ab(0L) == 5L && ab(12L) == 12L)
+    assert(m("/sq")(0L) == 25L)
+    val rt = m("/rt")
+    assert(rt(16L) == 4.0)
+    assert(rt(0L).asInstanceOf[Double].isNaN) // sqrt(-5), numpy-style
+    val e = intercept[GraftException](
+      TensorPlane.mapUnary(t, "/m", "/bad", "exp", "int64"))
+    assert(e.kind == GraftError.InvalidConfig)
+  }
+
   test("mapValues: offset != 0 materializes one shared fill chunk; combine refuses dtype mismatch") {
     val repo = Repository.create(Store.local(tmpDir("repo")), spark)
     val s = repo.writableSession("main")
