@@ -676,8 +676,9 @@ private[sources] object GraftProcedures {
   import org.apache.spark.unsafe.types.UTF8String
 
   val names: Seq[String] = Seq("push", "fsck", "gc", "expire", "compact",
-    "merge", "tensor_combine", "tensor_map", "tensor_transpose",
-    "tensor_downsample", "zarr_import", "zarr_export")
+    "merge", "tensor_combine", "tensor_map", "tensor_unary",
+    "tensor_transpose", "tensor_downsample", "zarr_import",
+    "zarr_export")
 
   /** Array dtype from the node's userData (same probe as the SQL table
     * loader) — tensor procedures infer it instead of asking the caller.
@@ -840,6 +841,21 @@ private[sources] object GraftProcedures {
           probeDtype(s, src))
         Array(new GenericInternalRow(Array[Any](str(
           s.commit("tensor_map affine")))))
+      }
+      case "tensor_unary" => proc("tensor_unary",
+        Seq(p("src", StringType), p("dst", StringType),
+          p("op", StringType),
+          pd("lo", DoubleType, "CAST('-Infinity' AS DOUBLE)"),
+          pd("hi", DoubleType, "CAST('Infinity' AS DOUBLE)"),
+          pd("branch", StringType, "'main'")),
+        StructType(Seq(StructField("snapshot_id", StringType)))) { in =>
+        val s = repo().writableSession(in.getUTF8String(5).toString)
+        val src = in.getUTF8String(0).toString
+        graft.tensor.TensorPlane.mapUnary(s, src,
+          in.getUTF8String(1).toString, in.getUTF8String(2).toString,
+          probeDtype(s, src), lo = in.getDouble(3), hi = in.getDouble(4))
+        Array(new GenericInternalRow(Array[Any](str(
+          s.commit(s"tensor_unary ${in.getUTF8String(2)}")))))
       }
       case "tensor_transpose" => proc("tensor_transpose",
         Seq(p("src", StringType), p("dst", StringType),

@@ -526,6 +526,15 @@ class GraftCatalogSpec extends SparkTestBase {
     assert(spark.sql(s"SELECT value FROM $cat.a2 WHERE i0 = 7")
       .head().getLong(0) == 15L)
 
+    // unary clip through SQL (named args for the bounds)
+    spark.sql(
+      s"CALL $cat.system.tensor_unary('/a', '/a_cl', 'clip', " +
+        "lo => 3.0D, hi => 20.0D)").collect()
+    assert(spark.sql(s"SELECT value FROM $cat.a_cl WHERE i0 = 0")
+      .head().getLong(0) == 3L) // value 0 clipped up
+    assert(spark.sql(s"SELECT value FROM $cat.a_cl WHERE i0 = 30")
+      .head().getLong(0) == 20L) // clipped down
+
     // downsample by 4 (mean): 40 -> 10 cells
     spark.sql(
       s"CALL $cat.system.tensor_downsample('/a', '/a_l1', '4')").collect()
