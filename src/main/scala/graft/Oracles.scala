@@ -334,9 +334,6 @@ object Oracles {
         |    > 3.0 AS is_anomaly
         |FROM v ORDER BY event_id""".stripMargin,
 
-    // ordered multi-stage funnel: stage-k arrival = earliest event of
-    // that type STRICTLY after the stage-(k-1) arrival, same walk as
-    // Events.funnel (epoch-second integral comparisons)
     // the clip fixture recomputed closed-form: present chunks carry
     // (g*3)%1000-500, absent chunks 10-19 read fill 0 -> clip to 50
     "q_tensor_unary" ->
@@ -350,6 +347,9 @@ object Oracles {
         |  min(cv) AS vmin, max(cv) AS vmax
         |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // ordered multi-stage funnel: stage-k arrival = earliest event of
+    // that type STRICTLY after the stage-(k-1) arrival, same walk as
+    // Events.funnel (epoch-second integral comparisons)
     "q_funnel_stages" ->
       """WITH ev AS (SELECT user_id, event_type,
         |    CAST(floor(epoch(ts)) AS BIGINT) AS t FROM events),

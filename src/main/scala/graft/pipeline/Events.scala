@@ -29,21 +29,6 @@ object Events {
   }
 
 
-  /** Ordered funnel over an event stream: for each stage k, how many
-    * users reached stages 1..k IN ORDER — a user's stage-k arrival is
-    * their earliest `stages(k)` event STRICTLY after their stage-(k-1)
-    * arrival (simultaneous events don't advance the funnel), and
-    * `withinSeconds` optionally bounds the whole funnel to a horizon
-    * after the stage-1 arrival. Returns one row per stage:
-    * (stage_idx, stage, n_users).
-    *
-    * Scale shape: one filtered min-aggregation per stage, every one
-    * keyed on the USER — the same shuffle key each round, so AQE/
-    * co-partitioning reuse applies and no stage widens: k user-keyed
-    * aggregations of ≤ #users rows each, then a union of per-stage user
-    * sets collapsing into k output rows. Timestamps compare as integral
-    * epoch seconds, so external engines reproduce the walk exactly.
-    */
   /** Per-user stage ARRIVALS of the ordered funnel walk: one row per
     * (user, reached stage) with the arrival's epoch second and the
     * user's stage-1 arrival — the relation [[funnel]] aggregates and
@@ -81,6 +66,21 @@ object Events {
     stageSets.reduce(_.unionByName(_))
   }
 
+  /** Ordered funnel over an event stream: for each stage k, how many
+    * users reached stages 1..k IN ORDER — a user's stage-k arrival is
+    * their earliest `stages(k)` event STRICTLY after their stage-(k-1)
+    * arrival (simultaneous events don't advance the funnel), and
+    * `withinSeconds` optionally bounds the whole funnel to a horizon
+    * after the stage-1 arrival. Returns one row per stage:
+    * (stage_idx, stage, n_users).
+    *
+    * Scale shape: one filtered min-aggregation per stage, every one
+    * keyed on the USER — the same shuffle key each round, so AQE/
+    * co-partitioning reuse applies and no stage widens: k user-keyed
+    * aggregations of ≤ #users rows each, then a union of per-stage user
+    * sets collapsing into k output rows. Timestamps compare as integral
+    * epoch seconds, so external engines reproduce the walk exactly.
+    */
   def funnel(events: DataFrame, stages: Seq[String],
              userCol: String = "user_id", typeCol: String = "event_type",
              tsCol: String = "ts",

@@ -888,10 +888,6 @@ object TensorPlane {
       session.stageChunkRefs(dstPath, session.refs(srcPath))
       return
     }
-    val spark = session.repo.spark
-    import spark.implicits._
-    val conf = session.repo.store.conf
-    val resolver = session.repo.virtualResolver
     val intMath = ChunkCodec.IntDtypes.contains(dtype) &&
       ChunkCodec.IntDtypes.contains(outDtype) &&
       scale == math.rint(scale) && offset == math.rint(offset)
@@ -899,43 +895,72 @@ object TensorPlane {
       throw new GraftException(
         s"mapValues: fractional results cannot land in $outDtype",
         graft.repo.GraftError.InvalidConfig)
-    val rows = session.refs(srcPath)
+    val sL = scale.toLong
+    val oL = offset.toLong
+    val refsDf = transformChunkRefs(session, srcPath, dtype, outDtype,
+      intMath, compression)(
+      fLong = v => {
+        var i = 0
+        while (i < v.length) { v(i) = v(i) * sL + oL; i += 1 }
+        v
+      },
+      fDouble = v => {
+        var i = 0
+        while (i < v.length) { v(i) = v(i) * scale + offset; i += 1 }
+        v
+      })
+    stageTransformedRefs(session, srcPath, dstPath, node, refsDf,
+      fillOut = offset, intMath = intMath, outDtype = outDtype,
+      compression = compression)
+  }
+
+  /** The shared per-chunk transform scaffolding of [[mapValues]] and
+    * [[mapUnary]]: fetch/decompress/decode each ref's payload, run ONE
+    * kernel (`fLong` when intMath, else `fDouble`; kernels are selected
+    * once, not per cell), re-encode/compress/upload, and return the
+    * (coord, chunk_id, length) relation for [[stageTransformedRefs]].
+    */
+  private def transformChunkRefs(session: Session, srcPath: String,
+      dtype: String, outDtype: String, intMath: Boolean,
+      compression: String)(
+      fLong: Array[Long] => Array[Long],
+      fDouble: Array[Double] => Array[Double])
+      : org.apache.spark.sql.DataFrame = {
+    val spark = session.repo.spark
+    import spark.implicits._
+    val conf = session.repo.store.conf
+    val resolver = session.repo.virtualResolver
+    val isIntSrc = ChunkCodec.IntDtypes.contains(dtype)
+    session.refs(srcPath)
       .repartition(spark.sparkContext.defaultParallelism * 2, col("coord"))
       .select(col("coord"), col("kind"), col("inline"), col("chunk_id"),
         col("location"), col("offset"), col("length"))
       .as[(Seq[Int], String, Array[Byte], String, String, Long, Long)]
-    val refsDf = rows.mapPartitions { it =>
-      val store = graft.storage.StoreConf.cached(conf)
-      it.map { case (coord, kind, inline, chunkId, location, off, len) =>
-        val raw = ChunkCodec.decompress(
-          fetchRef(conf, resolver, kind, inline, chunkId, location, off,
-            len, cacheable = false), compression)
-        val bytes =
-          if (intMath) {
-            val v = ChunkCodec.decodeLongs(raw, dtype)
-            val s = scale.toLong; val o = offset.toLong
-            var i = 0
-            while (i < v.length) { v(i) = v(i) * s + o; i += 1 }
-            ChunkCodec.compress(ChunkCodec.encodeLongs(v, outDtype),
-              compression)
-          } else {
-            val v =
-              if (ChunkCodec.IntDtypes.contains(dtype))
-                ChunkCodec.decodeLongs(raw, dtype).map(_.toDouble)
-              else ChunkCodec.decodeDoubles(raw, dtype)
-            var i = 0
-            while (i < v.length) { v(i) = v(i) * scale + offset; i += 1 }
-            ChunkCodec.compress(ChunkCodec.encodeDoubles(v, outDtype),
-              compression)
-          }
-        val id = graft.core.Ids.toBase32(graft.core.Ids.newObjectId())
-        store.putBytes(graft.meta.Layout.chunkKey(id), bytes)
-        (coord, id, bytes.length.toLong)
-      }
-    }.toDF("coord", "chunk_id", "length")
-    stageTransformedRefs(session, srcPath, dstPath, node, refsDf,
-      fillOut = offset, intMath = intMath, outDtype = outDtype,
-      compression = compression)
+      .mapPartitions { it =>
+        val store = graft.storage.StoreConf.cached(conf)
+        it.map { case (coord, kind, inline, chunkId, location, off, len) =>
+          val raw = ChunkCodec.decompress(
+            fetchRef(conf, resolver, kind, inline, chunkId, location,
+              off, len, cacheable = false), compression)
+          val bytes =
+            if (intMath)
+              ChunkCodec.compress(ChunkCodec.encodeLongs(
+                fLong(ChunkCodec.decodeLongs(raw, dtype)), outDtype),
+                compression)
+            else {
+              val v =
+                if (isIntSrc)
+                  ChunkCodec.decodeLongs(raw, dtype).map(_.toDouble)
+                else ChunkCodec.decodeDoubles(raw, dtype)
+              ChunkCodec.compress(
+                ChunkCodec.encodeDoubles(fDouble(v), outDtype),
+                compression)
+            }
+          val id = graft.core.Ids.toBase32(graft.core.Ids.newObjectId())
+          store.putBytes(graft.meta.Layout.chunkKey(id), bytes)
+          (coord, id, bytes.length.toLong)
+        }
+      }.toDF("coord", "chunk_id", "length")
   }
 
   /** Stage a per-chunk-transformed ref relation for `dstPath`. When the
@@ -1002,14 +1027,17 @@ object TensorPlane {
     * `sqrt` | `clip` (clamps to [lo, hi]) — the remaining member of the
     * map-algebra family next to [[mapValues]] (affine) and [[combine]]
     * (binary). Pure per-chunk map: the job maps the ref relation, each
-    * payload byte moves once, NO shuffle. Integer dtypes compute in
-    * long arithmetic for abs/clip/square (square must fit int64 — the
-    * caller's contract, as for any int64 product); `sqrt` always lands
-    * float64 (negatives produce NaN, like numpy — no silent masking).
-    * Fill semantics: the op's image of 0 (abs/square/sqrt → 0; clip →
-    * min(max(0, lo), hi)) decides sparsity — a nonzero image
-    * materializes absent coords as ONE shared constant chunk, exactly
-    * like mapValues' offset path.
+    * payload byte moves once, NO shuffle. Integer sources compute in
+    * long arithmetic for abs/clip/square and WIDEN to int64 on output
+    * (a narrow dtype would silently wrap — abs(Byte.MinValue), squares,
+    * out-of-range clip bounds; int64 squares that overflow int64 remain
+    * the caller's contract, as for any int64 product); `sqrt` always
+    * lands float64 (negatives produce NaN, like numpy — no silent
+    * masking). `lo`/`hi` are CLIP-only and refused elsewhere; NaN
+    * bounds are refused. Fill semantics: the op's image of 0
+    * (abs/square/sqrt → 0; clip → min(max(0, lo), hi)) decides
+    * sparsity — a nonzero image materializes absent coords as ONE
+    * shared constant chunk, exactly like mapValues' offset path.
     */
   def mapUnary(session: Session, srcPath: String, dstPath: String,
                op: String, dtype: String,
@@ -1021,8 +1049,14 @@ object TensorPlane {
       s"unknown mapUnary op '$op' " +
         s"(expected one of ${ops.toSeq.sorted.mkString(", ")})",
       graft.repo.GraftError.InvalidConfig)
-    if (op == "clip" && lo > hi) throw new GraftException(
-      s"clip: lo $lo > hi $hi", graft.repo.GraftError.InvalidConfig)
+    if (op == "clip") {
+      if (lo.isNaN || hi.isNaN || lo > hi) throw new GraftException(
+        s"clip: invalid bounds [$lo, $hi]",
+        graft.repo.GraftError.InvalidConfig)
+    } else if (!lo.isNegInfinity || !hi.isPosInfinity)
+      throw new GraftException(
+        s"mapUnary: lo/hi apply to 'clip' only (op '$op' would " +
+          "silently ignore them)", graft.repo.GraftError.InvalidConfig)
     val node = session.node(srcPath).filter(_.isArray).getOrElse(
       throw new GraftException(s"no array at $srcPath"))
     if (node.isRectilinear)
@@ -1033,67 +1067,60 @@ object TensorPlane {
       (op != "clip" ||
         ((lo == math.rint(lo) || lo.isNegInfinity) &&
           (hi == math.rint(hi) || hi.isPosInfinity)))
+    // integer results widen to int64: narrow outputs would silently
+    // wrap (encodeLongs truncates to the target width)
     val outDtype =
-      if (op == "sqrt") "float64" else if (intMath) dtype else "float64"
+      if (op == "sqrt") "float64" else if (intMath) "int64" else "float64"
     session.addArray(dstPath, node.shape, node.chunkShape, node.dimNames,
       userData = s"""{"dtype":"$outDtype"}""")
     val fillOut = op match {
       case "clip" => math.min(math.max(0.0, lo), hi)
       case _ => 0.0
     }
-    val spark = session.repo.spark
-    import spark.implicits._
-    val conf = session.repo.store.conf
-    val resolver = session.repo.virtualResolver
     val loL = if (lo.isNegInfinity) Long.MinValue else lo.toLong
     val hiL = if (hi.isPosInfinity) Long.MaxValue else hi.toLong
-    val rows = session.refs(srcPath)
-      .repartition(spark.sparkContext.defaultParallelism * 2, col("coord"))
-      .select(col("coord"), col("kind"), col("inline"), col("chunk_id"),
-        col("location"), col("offset"), col("length"))
-      .as[(Seq[Int], String, Array[Byte], String, String, Long, Long)]
-    val refsDf = rows.mapPartitions { it =>
-      val store = graft.storage.StoreConf.cached(conf)
-      it.map { case (coord, kind, inline, chunkId, location, off, len) =>
-        val raw = ChunkCodec.decompress(
-          fetchRef(conf, resolver, kind, inline, chunkId, location, off,
-            len, cacheable = false), compression)
-        val bytes =
-          if (intMath) {
-            val v = ChunkCodec.decodeLongs(raw, dtype)
-            var i = 0
-            while (i < v.length) {
-              v(i) = op match {
-                case "abs" => math.abs(v(i))
-                case "square" => v(i) * v(i)
-                case "clip" => math.min(math.max(v(i), loL), hiL)
-              }
-              i += 1
-            }
-            ChunkCodec.compress(ChunkCodec.encodeLongs(v, outDtype),
-              compression)
-          } else {
-            val v =
-              if (isInt) ChunkCodec.decodeLongs(raw, dtype).map(_.toDouble)
-              else ChunkCodec.decodeDoubles(raw, dtype)
-            var i = 0
-            while (i < v.length) {
-              v(i) = op match {
-                case "abs" => math.abs(v(i))
-                case "square" => v(i) * v(i)
-                case "sqrt" => math.sqrt(v(i))
-                case "clip" => math.min(math.max(v(i), lo), hi)
-              }
-              i += 1
-            }
-            ChunkCodec.compress(ChunkCodec.encodeDoubles(v, outDtype),
-              compression)
-          }
-        val id = graft.core.Ids.toBase32(graft.core.Ids.newObjectId())
-        store.putBytes(graft.meta.Layout.chunkKey(id), bytes)
-        (coord, id, bytes.length.toLong)
+    // kernel selected ONCE (per-cell string dispatch would pay a
+    // String.equals per element inside the hot loop)
+    val fLong: Array[Long] => Array[Long] = op match {
+      case "abs" => v => {
+        var i = 0; while (i < v.length) { v(i) = math.abs(v(i)); i += 1 }
+        v
       }
-    }.toDF("coord", "chunk_id", "length")
+      case "square" => v => {
+        var i = 0; while (i < v.length) { v(i) = v(i) * v(i); i += 1 }
+        v
+      }
+      case _ => v => { // clip
+        var i = 0
+        while (i < v.length) {
+          v(i) = math.min(math.max(v(i), loL), hiL); i += 1
+        }
+        v
+      }
+    }
+    val fDouble: Array[Double] => Array[Double] = op match {
+      case "abs" => v => {
+        var i = 0; while (i < v.length) { v(i) = math.abs(v(i)); i += 1 }
+        v
+      }
+      case "square" => v => {
+        var i = 0; while (i < v.length) { v(i) = v(i) * v(i); i += 1 }
+        v
+      }
+      case "sqrt" => v => {
+        var i = 0; while (i < v.length) { v(i) = math.sqrt(v(i)); i += 1 }
+        v
+      }
+      case _ => v => { // clip
+        var i = 0
+        while (i < v.length) {
+          v(i) = math.min(math.max(v(i), lo), hi); i += 1
+        }
+        v
+      }
+    }
+    val refsDf = transformChunkRefs(session, srcPath, dtype, outDtype,
+      intMath, compression)(fLong, fDouble)
     stageTransformedRefs(session, srcPath, dstPath, node, refsDf,
       fillOut = fillOut, intMath = intMath, outDtype = outDtype,
       compression = compression)
