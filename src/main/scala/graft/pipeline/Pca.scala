@@ -46,7 +46,12 @@ object Pca {
     // textbook G/n − m·mᵀ cancels catastrophically when the data mean
     // is large relative to its spread; shifting makes both terms
     // spread-sized (covariance is shift-invariant)
-    val shift = rows.first().toArray
+    // take(1), not first(): an empty/null input gets a named error, not
+    // Spark's opaque empty-collection exception (or an NPE) mid-fit
+    val sample = rows.take(1)
+    require(sample.nonEmpty && sample.head != null,
+      s"fit: '$vecCol' has no non-null vectors — nothing to fit")
+    val shift = sample.head.toArray
     val d = shift.length
     require(k >= 1 && k <= d, s"fit: need 1 <= k <= d=$d, got $k")
     // one pass: per-partition (n, sums, upper-triangular Gram) partials,

@@ -501,17 +501,29 @@ object TextAnalysis {
   }
 
   /** Build the inverted index in ONE tf aggregation + one token-keyed
-    * collect: `(token, df, plist[(doc_id, tf, dl)])`, postings sorted by
-    * doc id. This is the retrieval-serving layout — a query then reads
-    * ONLY its terms' posting lists instead of re-scanning the corpus
-    * ([[searchIndex]]). The build shuffles (doc, token) pairs — linear
-    * in the corpus; a Zipf-head token's posting list is df-sized, so at
-    * 100 TB stoplist the head (or shard hot tokens) before collecting.
+    * rollup: `(token, df, plist[(doc_id, tf, dl)], shard)`, postings
+    * sorted by doc id. This is the retrieval-serving layout — a query
+    * then reads ONLY its terms' posting lists instead of re-scanning the
+    * corpus ([[searchIndex]]). The build shuffles (doc, token) pairs —
+    * linear in the corpus.
+    *
+    * Zipf-head guard: a token whose df exceeds `maxPostingsPerRow`
+    * auto-splits into `ceil(df / maxPostingsPerRow)` `(token, shard)`
+    * rows (shard = hash(doc_id) mod nShards — deterministic, balanced in
+    * expectation), so at 100 TB the token `the` with df ≈ 10⁹ becomes
+    * ~15 k bounded rows built by many tasks instead of ONE df-sized
+    * array row blowing the 2 GiB JVM array limit in a single task.
+    * `df` on every shard row is the token's TOTAL document frequency —
+    * the serving-side idf never changes with the layout, and all
+    * consumers ([[searchIndex]], [[booleanSearch]], [[mergeIndexes]])
+    * fold per doc, so the split is invisible to them. Below the
+    * threshold the layout is the classic single row (shard 0).
     * `nDocs`/`avgdl` include zero-token documents, matching [[bm25]]'s
     * corpus statistics exactly.
     */
-  def buildInvertedIndex(docs: DataFrame,
-                         textCol: String = "text"): InvertedIndex = {
+  def buildInvertedIndex(docs: DataFrame, textCol: String = "text",
+                         maxPostingsPerRow: Int = 1 << 16): InvertedIndex = {
+    require(maxPostingsPerRow >= 1, "buildInvertedIndex: maxPostingsPerRow >= 1")
     val (n, sumDl) = {
       val r = docs.agg(count(lit(1)),
         sum(size(tokens(col(textCol))).cast("long"))).head()
@@ -522,11 +534,28 @@ object TextAnalysis {
         explode(tokens(col(textCol))).as("token"))
       .groupBy("token", "doc_id", "dl")
       .agg(count(lit(1)).cast("int").as("tf"))
-    val postings = tf.groupBy("token")
-      .agg(count(lit(1)).as("df"),
-        sort_array(collect_list(
-          struct(col("doc_id"), col("tf"), col("dl")))).as("plist"))
+    val postings = shardedRollup(tf, maxPostingsPerRow,
+      struct(col("doc_id"), col("tf"), col("dl")))
     InvertedIndex(postings, n, sumDl)
+  }
+
+  /** Token-keyed posting rollup with the Zipf-head shard split: df per
+    * token first (one aggregation), joined back token-keyed, then the
+    * list collect groups by `(token, shard)` so no single row exceeds
+    * ~`maxPerRow` entries. `entry` builds the posting struct per
+    * (token, doc) row.
+    */
+  private def shardedRollup(perDoc: DataFrame, maxPerRow: Int,
+                            entry: Column): DataFrame = {
+    val dfs = perDoc.groupBy("token").agg(count(lit(1)).as("df"))
+    perDoc.join(dfs, Seq("token"))
+      .withColumn("shard",
+        pmod(xxhash64(col("doc_id")),
+          greatest(ceil(col("df") / lit(maxPerRow.toDouble)), lit(1L))))
+      .groupBy("token", "shard")
+      .agg(max(col("df")).as("df"),
+        sort_array(collect_list(entry)).as("plist"))
+      .select("token", "df", "plist", "shard")
   }
 
   /** BM25 over the INDEX: reads only the query terms' posting lists
@@ -572,19 +601,22 @@ object TextAnalysis {
     * `(doc_id, positions[])` — [[buildInvertedIndex]]'s sibling for
     * PHRASE and proximity queries (frequency postings cannot answer
     * "these words adjacent, in order"). Same build shape: one
-    * per-(doc, token) position collect, one token-keyed rollup.
+    * per-(doc, token) position collect, one token-keyed rollup — and the
+    * same Zipf-head `(token, shard)` split bounding every row to
+    * ~`maxPostingsPerRow` documents (positions within one document are
+    * document-length bounded, never corpus bounded).
     */
-  def buildPositionalIndex(docs: DataFrame,
-                           textCol: String = "text"): DataFrame =
-    docs
+  def buildPositionalIndex(docs: DataFrame, textCol: String = "text",
+                           maxPostingsPerRow: Int = 1 << 16): DataFrame = {
+    require(maxPostingsPerRow >= 1, "buildPositionalIndex: maxPostingsPerRow >= 1")
+    val perDoc = docs
       .select(col("doc_id"),
         posexplode(tokens(col(textCol))).as(Seq("pos", "token")))
       .groupBy("token", "doc_id")
       .agg(sort_array(collect_list(col("pos"))).as("positions"))
-      .groupBy("token")
-      .agg(count(lit(1)).as("df"),
-        sort_array(collect_list(struct(col("doc_id"), col("positions"))))
-          .as("plist"))
+    shardedRollup(perDoc, maxPostingsPerRow,
+      struct(col("doc_id"), col("positions")))
+  }
 
   /** Exact phrase search over the positional index: term i's positions
     * shift left by i, and the phrase's start positions are the
@@ -667,18 +699,29 @@ object TextAnalysis {
     * exact counts).
     */
   def mergeIndexes(a: InvertedIndex, b: InvertedIndex): InvertedIndex = {
-    val merged = a.postings.withColumnRenamed("df", "df_a")
-      .withColumnRenamed("plist", "pl_a")
-      .join(b.postings.withColumnRenamed("df", "df_b")
-        .withColumnRenamed("plist", "pl_b"), Seq("token"), "full_outer")
+    // token-total df first (max per token: every shard row carries the
+    // total), THEN pair posting rows by (token, shard) — sub-threshold
+    // tokens sit at shard 0 on both sides, so their merge is the classic
+    // single-row concat; a hot token's shards pair by number and unpaired
+    // shards pass through, every row staying posting-bounded
+    def tot(p: DataFrame, n: String) =
+      p.groupBy("token").agg(max(col("df")).as(n))
+    val dfs = tot(a.postings, "df_a")
+      .join(tot(b.postings, "df_b"), Seq("token"), "full_outer")
       .select(col("token"),
         (coalesce(col("df_a"), lit(0L)) + coalesce(col("df_b"), lit(0L)))
-          .as("df"),
+          .as("df"))
+    val paired = a.postings.drop("df").withColumnRenamed("plist", "pl_a")
+      .join(b.postings.drop("df").withColumnRenamed("plist", "pl_b"),
+        Seq("token", "shard"), "full_outer")
+      .select(col("token"), col("shard"),
         when(col("pl_a").isNull, col("pl_b"))
           .when(col("pl_b").isNull, col("pl_a"))
           .otherwise(sort_array(concat(col("pl_a"), col("pl_b"))))
           .as("plist"))
-    InvertedIndex(merged, a.nDocs + b.nDocs, a.sumDl + b.sumDl)
+    InvertedIndex(
+      paired.join(dfs, Seq("token")).select("token", "df", "plist", "shard"),
+      a.nDocs + b.nDocs, a.sumDl + b.sumDl)
   }
 
   /** Character-trigram language-model score: per document, the average

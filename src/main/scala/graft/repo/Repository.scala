@@ -286,9 +286,15 @@ final class Repository private (
   def mergeBranch(src: String, dst: String, message: String = null,
                   solver: graft.vc.ConflictSolver =
                     graft.vc.BasicConflictSolver()): String = {
-    val srcRef = VersionRef.Branch(src)
     val dstRef = VersionRef.Branch(dst)
-    val srcTip = resolveVersion(srcRef)
+    val srcTip = resolveVersion(VersionRef.Branch(src))
+    // Pin src to the tip resolved ONCE: every later read (ancestry, diff,
+    // readonly session) goes through this snapshot id, so a commit landing
+    // on src mid-merge cannot leak newer edits into a merge whose
+    // mergedFrom / merge.sourceSnapshot record the older tip (a later
+    // merge would treat those newer edits as unabsorbed and re-replay
+    // them over dst's subsequent changes).
+    val srcRef = VersionRef.SnapshotVer(srcTip)
     val dstTip = resolveVersion(dstRef)
     val srcChain = ancestry(srcRef) // newest first
     val dstChain = ancestry(dstRef)
@@ -388,27 +394,41 @@ final class Repository private (
     // where src deleted
     val chunkPaths =
       editRows.filter(_._1 == EditRow.Chunk).map(_._2).distinct
-    chunkPaths.foreach { path =>
-      if (srcSess.node(path).exists(_.isArray)) {
-        // src edited chunks of an array dst no longer has (and the node
-        // replay above didn't re-create): a delete-vs-edit conflict the
-        // solver cannot express — refuse by name, before any staging
-        if (session.node(path).isEmpty) throw new ConflictException(
-          s"merge $src into $dst: $path has chunk edits on $src but " +
-            s"was deleted on $dst — recreate the array or drop the " +
-            "edits, then retry")
-        val coords = edits
-          .filter(col("edit") === EditRow.Chunk && col("path") === path)
-          .select("coord").distinct()
-        val srcRefs = srcSess.refs(path).select("coord", "kind", "inline",
-          "chunk_id", "location", "offset", "length")
-        val present = srcRefs.join(coords, Seq("coord"), "left_semi")
-        val dels = coords
-          .join(srcRefs.select("coord"), Seq("coord"), "left_anti")
-          .withColumn("kind", lit(ChunkRef.KindDelete))
-        session.stageChunkRefs(path,
-          present.unionByName(dels, allowMissingColumns = true))
-      }
+    val stagePaths = chunkPaths.filter { path =>
+      val live = srcSess.node(path).exists(_.isArray)
+      // src edited chunks of an array dst no longer has (and the node
+      // replay above didn't re-create): a delete-vs-edit conflict the
+      // solver cannot express — refuse by name, before any staging
+      if (live && session.node(path).isEmpty) throw new ConflictException(
+        s"merge $src into $dst: $path has chunk edits on $src but " +
+          s"was deleted on $dst — recreate the array or drop the " +
+          "edits, then retry")
+      live
+    }
+    // ONE staging job across every touched array, keyed on (path, coord):
+    // the src-tip refs of all touched arrays union into a single relation
+    // (path stamped per leg), semi/anti-join against the edited coords
+    // once, and stage through the batched path — a merge touching
+    // thousands of arrays plans one job, not thousands serially. etag /
+    // last_modified ride along so merged VIRTUAL refs keep their
+    // freshness checksums.
+    if (stagePaths.nonEmpty) {
+      val coords = edits
+        .filter(col("edit") === EditRow.Chunk &&
+          col("path").isin(stagePaths: _*))
+        .select("path", "coord").distinct()
+      val srcRefs = stagePaths.map { p =>
+        srcSess.refs(p).withColumn("path", lit(p))
+      }.reduce(_ unionByName _)
+        .select("path", "coord", "kind", "inline", "chunk_id", "location",
+          "offset", "length", "etag", "last_modified")
+      val present = srcRefs.join(coords, Seq("path", "coord"), "left_semi")
+      val dels = coords
+        .join(srcRefs.select("path", "coord"), Seq("path", "coord"),
+          "left_anti")
+        .withColumn("kind", lit(ChunkRef.KindDelete))
+      session.stageChunkRefsBatch(stagePaths,
+        present.unionByName(dels, allowMissingColumns = true))
     }
     // 3-way conflicts: src's edits (now the session changeset) vs dst's
     // own since-fork history — same detector as the commit rebase. No

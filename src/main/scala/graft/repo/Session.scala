@@ -308,10 +308,35 @@ final class Session private[repo] (
     requireWritable()
     requireNotMoveOnly()
     val n = arrayNode(path)
-    // missing columns get defaults; PRESENT-but-null values coalesce to
-    // them too (a DSv2 write reconciles narrow inputs against the full
-    // table schema by null-padding the absent columns)
-    val withAll = Seq(
+    stageNormalized(normalizeRefCols(df).withColumn("node_id", lit(n.id)))
+  }
+
+  /** Bulk ingest across MANY arrays in one distributed job: `df` carries a
+    * `path` STRING column naming the target array per row (every distinct
+    * path must appear in `paths`). Node ids resolve via one broadcast map
+    * join — the whole batch stages as a single plan instead of a
+    * per-array driver loop (the scale path for a merge touching thousands
+    * of arrays).
+    */
+  def stageChunkRefsBatch(paths: Seq[String], df: DataFrame): Unit = {
+    requireWritable()
+    requireNotMoveOnly()
+    if (paths.isEmpty) return
+    val spark = df.sparkSession
+    import spark.implicits._
+    val idByPath = broadcast(
+      paths.distinct.map(p => (p, arrayNode(p).id)).toDF("path", "node_id"))
+    stageNormalized(
+      normalizeRefCols(df).join(idByPath, Seq("path")).drop("path"))
+  }
+
+  /** Default-fill the optional [[ChunkRef]] payload columns: missing
+    * columns get defaults; PRESENT-but-null values coalesce to them too
+    * (a DSv2 write reconciles narrow inputs against the full table schema
+    * by null-padding the absent columns).
+    */
+  private def normalizeRefCols(df: DataFrame): DataFrame =
+    Seq(
       ("kind", "string", lit(ChunkRef.KindRef)),
       ("inline", "binary", lit(null).cast("binary")),
       ("chunk_id", "string", lit(null).cast("string")),
@@ -324,8 +349,9 @@ final class Session private[repo] (
           d.withColumn(c, coalesce(col(c).cast(t), default))
         else d.withColumn(c, default)
       }
-    val full = withAll
-      .withColumn("node_id", lit(n.id))
+
+  private def stageNormalized(withNodeId: DataFrame): Unit = {
+    val full = withNodeId
       .withColumn("c0", coalesce(try_element_at(col("coord"), lit(1)), lit(-1)))
       .withColumn("c1", coalesce(try_element_at(col("coord"), lit(2)), lit(-1)))
       .withColumn("c2", coalesce(try_element_at(col("coord"), lit(3)), lit(-1)))

@@ -796,16 +796,28 @@ private[sources] object GraftProcedures {
           in.getUTF8String(0).toString)
         Array(new GenericInternalRow(Array[Any](str(id))))
       }
+      // on_conflict names the WINNING SIDE BY ROLE — 'source' (the
+      // incoming src branch, the default) or 'dest' (the branch being
+      // merged into) — NOT git's ours/theirs, whose meaning inverts here
+      // (the replayed src edits ARE the session changeset, so git-style
+      // 'ours' would be the incoming branch — a silent trap). 'ours' /
+      // 'theirs' are refused by name with the translation.
       case "merge" => proc("merge",
         Seq(p("src", StringType), p("dst", StringType),
-          pd("on_conflict", StringType, "'ours'")),
+          pd("on_conflict", StringType, "'source'")),
         StructType(Seq(StructField("snapshot_id", StringType)))) { in =>
         val sel = in.getUTF8String(2).toString match {
-          case "ours" => graft.vc.VersionSelection.UseOurs
-          case "theirs" => graft.vc.VersionSelection.UseTheirs
+          case "source" => graft.vc.VersionSelection.UseOurs
+          case "dest" => graft.vc.VersionSelection.UseTheirs
           case "fail" => graft.vc.VersionSelection.Fail
+          case "ours" | "theirs" => throw new graft.repo.GraftException(
+            "on_conflict: 'ours'/'theirs' are ambiguous here (git's " +
+              "'ours' would be the DESTINATION branch but the merge " +
+              "session holds the SOURCE edits) — say 'source' (incoming " +
+              "branch wins) or 'dest' (current branch wins)",
+            graft.repo.GraftError.InvalidConfig)
           case other => throw new graft.repo.GraftException(
-            s"on_conflict must be ours|theirs|fail, got '$other'",
+            s"on_conflict must be source|dest|fail, got '$other'",
             graft.repo.GraftError.InvalidConfig)
         }
         val id = repo().mergeBranch(in.getUTF8String(0).toString,

@@ -73,7 +73,12 @@ object StreamingFunnel {
             }
           }
         }
-      if (out.nonEmpty || state.getOption.isEmpty) {
+      // Only materialize state on an actual advance: a user whose first
+      // batch holds no stage-1 event must NOT get state at last=MinValue
+      // (its timeout would be ~epoch-1970, behind any real watermark, and
+      // Spark fails the whole query on such a timestamp). No advance → no
+      // state to expire; existing state keeps its previous timeout.
+      if (out.nonEmpty) {
         state.update(s) // completed users keep a sentinel (no restarts)
         state.setTimeoutTimestamp((s.last + expireAfterSeconds) * 1000L)
       }

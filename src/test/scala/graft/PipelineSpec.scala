@@ -951,6 +951,53 @@ class PipelineSpec extends SparkTestBase {
     assert(rep.toSeq == Seq((4L, 2, 1)))
   }
 
+  test("inverted index: Zipf-head token splits into bounded shard rows, serving unchanged") {
+    import spark.implicits._
+    import graft.pipeline.TextAnalysis
+    // every doc contains 'the' -> df == N, far past the row threshold
+    val n = 500
+    val docs = (0 until n)
+      .map(i => (i.toLong, s"the x$i the end")).toDF("doc_id", "text")
+    val ix = TextAnalysis.buildInvertedIndex(docs, maxPostingsPerRow = 32)
+    val hot = ix.postings.filter(col("token") === "the")
+      .select(col("df"), size(col("plist")).as("sz")).collect()
+    // split happened; every row carries the TOTAL df; doc count conserved
+    assert(hot.length > 1 && hot.length <= math.ceil(n / 32.0).toInt,
+      s"rows=${hot.length}")
+    assert(hot.map(_.getLong(0)).distinct.toSeq == Seq(n.toLong))
+    assert(hot.map(_.getInt(1)).sum == n)
+    // the pinned bound: no row strays far from the threshold (hash-mod
+    // shards are balanced in expectation; xxhash64 is deterministic)
+    assert(hot.map(_.getInt(1)).max <= 3 * 32,
+      s"max row ${hot.map(_.getInt(1)).max}")
+    // a sub-threshold token stays a classic single shard-0 row
+    val cold = ix.postings.filter(col("token") === "x7").collect()
+    assert(cold.length == 1 && cold.head.getLong(3) == 0L)
+    // serving path identical to the scan path across the split
+    val terms = Seq("the", "x7")
+    val scan = TextAnalysis.bm25(docs, terms, topK = 20).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val served = TextAnalysis.searchIndex(ix, terms, topK = 20).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(scan == served)
+    // merge of disjoint halves under sharding serves identical scores
+    val merged = TextAnalysis.mergeIndexes(
+      TextAnalysis.buildInvertedIndex(
+        docs.filter(col("doc_id") % 2 === 0), maxPostingsPerRow = 32),
+      TextAnalysis.buildInvertedIndex(
+        docs.filter(col("doc_id") % 2 =!= 0), maxPostingsPerRow = 32))
+    val viaMerge = TextAnalysis.searchIndex(merged, terms, topK = 20)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(viaMerge == served)
+    assert(merged.postings.filter(col("token") === "the")
+      .agg(sum(size(col("plist")))).head().getLong(0) == n)
+    // positional sibling: phrase search folds across the shard split
+    val pix = TextAnalysis.buildPositionalIndex(docs, maxPostingsPerRow = 32)
+    assert(pix.filter(col("token") === "the").count() > 1)
+    val hits = TextAnalysis.phraseSearch(pix, Seq("the", "end")).count()
+    assert(hits == n.toLong)
+  }
+
   test("index merge over disjoint corpora equals the union index, scores included") {
     import graft.pipeline.TextAnalysis
     val docs = spark.read
