@@ -855,6 +855,21 @@ object Oracles {
         |  CAST(max(v) AS BIGINT) AS vmax
         |FROM cells GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // the engine side reads a RECTILINEAR 1-D array (60k cells, chunk
+    // lengths cycling 700/1300/1000/500/1500) through the DSv2 values
+    // scan with a [10000, 49999] element slice; the oracle enumerates
+    // the closed-form fill v(i) = (i*13) % 1000 - 500 directly
+    "q_rectilinear_scan" ->
+      """WITH cells AS (
+        |  SELECT range AS i, (range * 13) % 1000 - 500 AS v
+        |  FROM range(60000))
+        |SELECT i // 2000 AS blk, count(*) AS n,
+        |  CAST(sum(v) AS BIGINT) AS total,
+        |  CAST(min(v) AS BIGINT) AS vmin,
+        |  CAST(max(v) AS BIGINT) AS vmax
+        |FROM cells WHERE i BETWEEN 10000 AND 49999
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // the engine side transposes a 200x300 array (64x64 chunks, ragged
     // edges) via the per-chunk re-stride job; the oracle enumerates the
     // TRANSPOSED cells directly: at(i0,i1) = v(i1,i0) with the

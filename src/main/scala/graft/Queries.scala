@@ -1368,6 +1368,42 @@ object Queries {
         .orderBy("chunk_id"))
   }
 
+  /** Rectilinear chunk grid through the DSv2 values scan (the SQL-table
+    * read path; reference store.rs:1158-1241): a 60k-cell 1-D array
+    * tiled with VARYING chunk lengths (700/1300/1000/500/1500 cycling)
+    * reads through `format("graft-v2")` values mode with an
+    * element-bound slice whose edges cut chunks of every size; the
+    * oracle enumerates the closed-form fill directly. The per-dim
+    * start-offset binary search replaces the regular-grid division in
+    * both split pruning and in-chunk index arithmetic.
+    */
+  val q_rectilinear_scan: Q = (s, _) => {
+    val dir = java.nio.file.Files.createTempDirectory("graft-q-rect")
+    val repo = graft.repo.Repository.create(
+      graft.storage.Store.local(dir.toString), s)
+    val w = repo.writableSession("main")
+    val sizes = Seq.fill(12)(Seq(700L, 1300L, 1000L, 500L, 1500L)).flatten
+    w.addArrayRectilinear("/r", Seq(60000L), Seq(sizes))
+    var start = 0L
+    sizes.zipWithIndex.foreach { case (len, c) =>
+      val vals = Array.tabulate(len.toInt)(i =>
+        ((start + i) * 13) % 1000 - 500)
+      w.writeChunk("/r", Seq(c),
+        graft.functions.ChunkCodec.encodeLongs(vals, "int64"))
+      start += len
+    }
+    w.commit("rect")
+    val v = s.read.format("graft-v2")
+      .option("path", dir.toString).option("array", "/r")
+      .option("mode", "values").option("dtype", "int64").load()
+    finishFixture(dir,
+      v.filter(col("i0") >= 10000 && col("i0") <= 49999)
+        .groupBy(expr("i0 div 2000").as("blk"))
+        .agg(count(lit(1)).as("n"), sum("value").as("total"),
+          min("value").as("vmin"), max("value").as("vmax"))
+        .orderBy("blk"))
+  }
+
   /** Axis permutation: a 200x300 int64 array (64x64 chunks, ragged
     * edges) transposes to 300x200 via the per-chunk re-stride job; the
     * oracle recomputes every cell of the TRANSPOSED array from the
@@ -1579,6 +1615,7 @@ object Queries {
     "q_pack_sequences" -> q_pack_sequences,
     "q_shuffle_shard" -> q_shuffle_shard,
     "q_rechunk" -> q_rechunk,
+    "q_rectilinear_scan" -> q_rectilinear_scan,
     "q_transpose" -> q_transpose,
     "q_concat" -> q_concat,
     "q_tensor_binop" -> q_tensor_binop,

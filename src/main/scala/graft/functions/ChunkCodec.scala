@@ -465,27 +465,40 @@ case class DiffChunkExpr(left: Expression, right: Expression,
   */
 private[graft] object SliceGeom {
   final case class Block(from: Array[Int], until: Array[Int],
-                         strides: Array[Long], chunkStart: Array[Long])
+                         strides: Array[Long], chunkStart: Array[Long],
+                         extent: Array[Long])
 
   def block(coord: Array[Int], chunkShape: Array[Long], lo: Array[Long],
             hi: Array[Long]): Block = {
     val nd = chunkShape.length
+    val start = new Array[Long](nd)
+    var i = 0
+    while (i < nd) { start(i) = coord(i).toLong * chunkShape(i); i += 1 }
+    blockAt(start, chunkShape, lo, hi)
+  }
+
+  /** Generalized form for grids whose chunk extents vary per coordinate
+    * (rectilinear, store.rs:1158-1241): the caller supplies THIS chunk's
+    * global start and per-dim extent; strides come from the actual
+    * extents, so in-chunk position arithmetic is grid-agnostic.
+    */
+  def blockAt(start: Array[Long], extent: Array[Long], lo: Array[Long],
+              hi: Array[Long]): Block = {
+    val nd = extent.length
     val from = new Array[Int](nd)
     val until = new Array[Int](nd)
-    val chunkStart = new Array[Long](nd)
     var i = 0
     while (i < nd) {
-      chunkStart(i) = coord(i).toLong * chunkShape(i)
-      from(i) = math.max(0L, lo(i) - chunkStart(i)).toInt
-      until(i) = math.min(chunkShape(i), hi(i) - chunkStart(i)).toInt
+      from(i) = math.max(0L, lo(i) - start(i)).toInt
+      until(i) = math.min(extent(i), hi(i) - start(i)).toInt
       if (from(i) >= until(i)) return null
       i += 1
     }
     val strides = new Array[Long](nd)
     strides(nd - 1) = 1L
     var d = nd - 2
-    while (d >= 0) { strides(d) = strides(d + 1) * chunkShape(d + 1); d -= 1 }
-    Block(from, until, strides, chunkStart)
+    while (d >= 0) { strides(d) = strides(d + 1) * extent(d + 1); d -= 1 }
+    Block(from, until, strides, start, extent.clone())
   }
 
   /** Iterate the sub-block as contiguous inner runs: `f(basePos, len)` is

@@ -145,11 +145,6 @@ object GraftTableProvider {
         val (repo, session, array) = open(opts)
         val node = session.node(array).getOrElse(
           throw new graft.repo.GraftException(s"no array at $array"))
-        if (node.isRectilinear)
-          throw new graft.repo.GraftException(
-            s"graft-v2 values mode requires a regular chunk grid ($array " +
-              "is rectilinear); use format(\"graft\") values mode or " +
-              "TensorPlane.values, which handle rectilinear grids")
         val base = valuesSchema(node.shape.size, opts.getOrElse("dtype",
           throw new graft.repo.GraftException(
             "option 'dtype' required for values mode")))
@@ -585,7 +580,10 @@ case class ValuesPartition(files: Array[String], nodeId: String,
                            dtype: String, compression: String,
                            chunkShape: Seq[Long], shape: Seq[Long],
                            boundLo: Seq[Long], boundHi: Seq[Long],
-                           keepOrds: Array[Long] = null)
+                           keepOrds: Array[Long] = null,
+                           // rectilinear grids: explicit per-dim chunk
+                           // lengths (empty = regular grid via chunkShape)
+                           chunkSizes: Seq[Seq[Long]] = Nil)
   extends InputPartition
 
 object GraftScan {
@@ -824,22 +822,39 @@ class GraftScan(opts: Map[String, String], lo: Map[Int, Long],
     val fsConf = graft.storage.hadoop.GraftFileSystem.shippableConf(store)
     val node = session.node(array).getOrElse(
       throw new graft.repo.GraftException(s"no array at $array"))
-    if (mode == "values" && node.isRectilinear)
-      throw new graft.repo.GraftException(
-        s"graft-v2 values mode requires a regular chunk grid ($array " +
-          "is rectilinear); use format(\"graft\") values mode or " +
-          "TensorPlane.values, which handle rectilinear grids")
     val ndim = node.shape.size
+    // rectilinear geometry (store.rs:1158-1241): element -> chunk index
+    // by binary search over the per-dim start-offset tables; regular
+    // grids keep the division. Empty = regular.
+    val rectSizes: Seq[Seq[Long]] =
+      if (node.isRectilinear) node.chunkSizesPerDim else Nil
+    val rectStarts: IndexedSeq[Array[Long]] = rectSizes.toIndexedSeq
+      .map(s => s.scanLeft(0L)(_ + _).dropRight(1).toArray)
+    def elemToChunk(d: Int, e: Long): Long =
+      if (rectSizes.isEmpty) e / node.chunkShape.lift(d).getOrElse(1L)
+      else if (e < 0) -1L
+      else {
+        val st = rectStarts(d)
+        var i = java.util.Arrays.binarySearch(st, e)
+        if (i < 0) i = -i - 2
+        math.min(st.length - 1, i).toLong
+      }
+    /** Global element offset where chunk `c` of dim `d` starts (the
+      * array length for one-past-the-last).
+      */
+    def chunkStartOf(d: Int, c: Long): Long =
+      if (rectSizes.isEmpty) c * node.chunkShape(d)
+      else if (c >= rectStarts(d).length) node.shape(d)
+      else rectStarts(d)(c.toInt)
     // chunk-coord bounds: refs-mode bounds are chunk coords already;
     // values-mode bounds are element indices
     def chunkBound(d: Int): (Long, Long) = {
       val l = lo.getOrElse(d, Long.MinValue)
       val h = hi.getOrElse(d, Long.MaxValue)
-      if (mode == "values") {
-        val c = node.chunkShape.lift(d).getOrElse(1L)
-        (if (l == Long.MinValue) Long.MinValue else l / c,
-          if (h == Long.MaxValue) Long.MaxValue else h / c)
-      } else (l, h)
+      if (mode == "values")
+        (if (l == Long.MinValue) Long.MinValue else elemToChunk(d, l),
+          if (h == Long.MaxValue) Long.MaxValue else elemToChunk(d, h))
+      else (l, h)
     }
     val keep = session.base.manifests.getOrElse(node.id, Nil)
       .filter { m =>
@@ -906,11 +921,12 @@ class GraftScan(opts: Map[String, String], lo: Map[Int, Long],
         val base = ValuesPartition(filesOf(m), node.id, fsConf,
           store.conf, repo.virtualResolver, dtype,
           opts.getOrElse("compression", "raw"), node.chunkShape, node.shape,
-          bl, bh)
+          bl, bh, chunkSizes = rectSizes)
         val cLo = (0 until ndim).map(d => math.max(m.emin.lift(d)
-          .getOrElse(0).toLong, bl(d) / node.chunkShape(d)))
+          .getOrElse(0).toLong, elemToChunk(d, bl(d))))
         val cHi = (0 until ndim).map(d => math.min(m.emax.lift(d)
-          .getOrElse(Int.MaxValue).toLong, (bh(d) - 1) / node.chunkShape(d)))
+          .getOrElse(Int.MaxValue).toLong,
+          elemToChunk(d, math.max(bl(d), bh(d) - 1))))
         if (perSplit == 1 || m.emin.size != ndim ||
             (0 until ndim).exists(d => cHi(d) < cLo(d))) Seq(base)
         else {
@@ -925,9 +941,9 @@ class GraftScan(opts: Map[String, String], lo: Map[Int, Long],
               val b = math.min(cHi(d0), a + step - 1)
               Some(base.copy(
                 boundLo = bl.updated(d0,
-                  math.max(bl(d0), a * node.chunkShape(d0))),
+                  math.max(bl(d0), chunkStartOf(d0, a))),
                 boundHi = bh.updated(d0,
-                  math.min(bh(d0), (b + 1) * node.chunkShape(d0)))))
+                  math.min(bh(d0), chunkStartOf(d0, b + 1)))))
             }
           }
         }
@@ -938,14 +954,22 @@ class GraftScan(opts: Map[String, String], lo: Map[Int, Long],
         runtimeOrds match {
           case None => Some(p)
           case Some(ords) =>
-            val gs = GraftTableProvider.gridStrides(node.shape,
-              node.chunkShape)
             val dims = (0 until ndim).map(d =>
-              (node.shape(d) + node.chunkShape(d) - 1) / node.chunkShape(d))
-            val cLo = (0 until ndim).map(d => p.boundLo(d) / node.chunkShape(d))
-            val cHi = (0 until ndim).map(d =>
-              (math.max(p.boundLo(d) + 1, p.boundHi(d)) - 1) /
-                node.chunkShape(d))
+              if (rectSizes.isEmpty)
+                (node.shape(d) + node.chunkShape(d) - 1) / node.chunkShape(d)
+              else rectSizes(d).size.toLong)
+            val gs = {
+              val s = new Array[Long](ndim)
+              s(ndim - 1) = 1
+              var d = ndim - 2
+              while (d >= 0) {
+                s(d) = s(d + 1) * math.max(1L, dims(d + 1)); d -= 1
+              }
+              s
+            }
+            val cLo = (0 until ndim).map(d => elemToChunk(d, p.boundLo(d)))
+            val cHi = (0 until ndim).map(d => elemToChunk(d,
+              math.max(p.boundLo(d) + 1, p.boundHi(d)) - 1))
             val inside = ords.filter { o =>
               (0 until ndim).forall { d =>
                 val c = (o / gs(d)) % math.max(1L, dims(d))
@@ -1176,7 +1200,15 @@ class GraftRefsColumnarReader(part: SplitPartition, required: StructType)
 private[sources] final case class ChunkCells(coord: Array[Int],
                                              bb: java.nio.ByteBuffer,
                                              positions: Array[Long],
-                                             runs: Array[Long] = null)
+                                             runs: Array[Long] = null,
+                                             // THIS chunk's geometry:
+                                             // global element start,
+                                             // extent, row-major strides
+                                             // per dim (rectilinear grids
+                                             // vary these per coord)
+                                             start: Array[Long] = null,
+                                             extent: Array[Long] = null,
+                                             stride: Array[Long] = null)
 
 /** Shared cursor of values-mode readers: ref rows → ranged chunk fetch →
   * sub-block geometry. Yields one [[ChunkCells]] per overlapping chunk.
@@ -1193,17 +1225,34 @@ private[sources] final class ValuesChunkCursor(part: ValuesPartition,
     Array(new GraftMetrics.Task("graftChunkBytesFetched", bytesFetched),
       new GraftMetrics.Task("graftStoreGets", gets),
       new GraftMetrics.Task("graftChunksDecoded", chunksDecoded))
-  val ndim: Int = part.chunkShape.size
+  // rect nodes carry no regular chunkShape — rank comes from the
+  // explicit per-dim chunk-length tables there
+  val ndim: Int =
+    if (part.chunkSizes.nonEmpty) part.chunkSizes.size
+    else part.chunkShape.size
   val chunkArr: Array[Long] = part.chunkShape.toArray
-  val strides: Array[Long] = {
-    val s = new Array[Long](ndim)
-    s(ndim - 1) = 1
-    var d = ndim - 2
-    while (d >= 0) { s(d) = s(d + 1) * chunkArr(d + 1); d -= 1 }
-    s
+  // rectilinear grid: per-dim chunk lengths + their prefix-sum starts
+  private val rectSizes: Array[Array[Long]] =
+    if (part.chunkSizes.isEmpty) null
+    else part.chunkSizes.map(_.toArray).toArray
+  private val rectStarts: Array[Array[Long]] =
+    if (rectSizes == null) null
+    else rectSizes.map(s => s.scanLeft(0L)(_ + _).dropRight(1))
+  private val gridStridesArr: Array[Long] = {
+    // ord strides over the CHUNK GRID; rect dims come from the explicit
+    // per-dim chunk counts, regular from ceil(shape/chunk)
+    if (rectSizes == null)
+      GraftTableProvider.gridStrides(part.shape, part.chunkShape)
+    else {
+      val s = new Array[Long](ndim)
+      s(ndim - 1) = 1
+      var d = ndim - 2
+      while (d >= 0) {
+        s(d) = s(d + 1) * math.max(1, rectSizes(d + 1).length); d -= 1
+      }
+      s
+    }
   }
-  private val gridStridesArr: Array[Long] =
-    GraftTableProvider.gridStrides(part.shape, part.chunkShape)
   /** Linearized chunk-grid ordinal of `coord` (the `_chunk_ord` value). */
   def chunkOrd(coord: Array[Int]): Long = {
     var o = 0L
@@ -1259,7 +1308,24 @@ private[sources] final class ValuesChunkCursor(part: ValuesPartition,
       val coord = it.coordOf(g)
       val blk =
         if (keepSet != null && !keepSet.contains(chunkOrd(coord))) null
-        else SliceGeom.block(coord, chunkArr, loArr, hiArr)
+        else if (rectSizes == null)
+          SliceGeom.block(coord, chunkArr, loArr, hiArr)
+        else {
+          // rectilinear: this chunk's start/extent come from the per-dim
+          // lookup tables; an out-of-grid coord row cannot overlap
+          if ((0 until ndim).exists(d =>
+              coord(d) < 0 || coord(d) >= rectSizes(d).length)) null
+          else {
+            val st = new Array[Long](ndim)
+            val ex = new Array[Long](ndim)
+            var d = 0
+            while (d < ndim) {
+              st(d) = rectStarts(d)(coord(d)); ex(d) = rectSizes(d)(coord(d))
+              d += 1
+            }
+            SliceGeom.blockAt(st, ex, loArr, hiArr)
+          }
+        }
       if (blk != null) {
         chunksDecoded += 1
         val raw = ChunkCodec.decompress(fetchBytes(g), part.compression)
@@ -1269,7 +1335,8 @@ private[sources] final class ValuesChunkCursor(part: ValuesPartition,
           val rs = new scala.collection.mutable.ArrayBuilder.ofLong
           SliceGeom.foreachRun(blk)((base, len) => { rs += base; rs += len })
           val arr = rs.result()
-          if (arr.nonEmpty) return ChunkCells(coord, bb, null, arr)
+          if (arr.nonEmpty) return ChunkCells(coord, bb, null, arr,
+            blk.chunkStart, blk.extent, blk.strides)
         } else {
           val ps = new scala.collection.mutable.ArrayBuilder.ofLong
           SliceGeom.foreachRun(blk)((base, len) => {
@@ -1277,7 +1344,8 @@ private[sources] final class ValuesChunkCursor(part: ValuesPartition,
             while (j < len) { ps += base + j; j += 1 }
           })
           val arr = ps.result()
-          if (arr.nonEmpty) return ChunkCells(coord, bb, arr)
+          if (arr.nonEmpty) return ChunkCells(coord, bb, arr, null,
+            blk.chunkStart, blk.extent, blk.strides)
         }
       }
     }
@@ -1325,8 +1393,7 @@ class GraftValuesReader(part: ValuesPartition, required: StructType)
         cursor.chunkOrd(cells.coord)
       else {
         val d = f.name.drop(1).toInt
-        cells.coord(d).toLong * cursor.chunkArr(d) +
-          (pos / cursor.strides(d)) % cursor.chunkArr(d)
+        cells.start(d) + (pos / cells.stride(d)) % cells.extent(d)
       }
     }
     new GenericInternalRow(vals.toArray[Any])
@@ -1371,7 +1438,7 @@ class GraftValuesAggReader(part: ValuesPartition, spec: PushedAgg)
     extends PartitionReader[InternalRow] {
   private val cursor = new ValuesChunkCursor(part, wantRuns = true)
   private val isInt = ChunkCodec.IntDtypes.contains(part.dtype)
-  private val ndim = part.chunkShape.size
+  private val ndim = cursor.ndim
   private val groupDims = spec.groupDims.toArray
   private var out: Iterator[InternalRow] = _
 
@@ -1439,8 +1506,8 @@ class GraftValuesAggReader(part: ValuesPartition, spec: PushedAgg)
           var k = 0
           while (k < groupDims.length) {
             val d = groupDims(k)
-            key(k) = coord(d).toLong * cursor.chunkArr(d) +
-              (base / cursor.strides(d)) % cursor.chunkArr(d)
+            key(k) = cells.start(d) +
+              (base / cells.stride(d)) % cells.extent(d)
             k += 1
           }
           val acc = groups.getOrElseUpdate(
@@ -1454,8 +1521,8 @@ class GraftValuesAggReader(part: ValuesPartition, spec: PushedAgg)
             var k = 0
             while (k < groupDims.length) {
               val d = groupDims(k)
-              key(k) = coord(d).toLong * cursor.chunkArr(d) +
-                (p / cursor.strides(d)) % cursor.chunkArr(d)
+              key(k) = cells.start(d) +
+                (p / cells.stride(d)) % cells.extent(d)
               k += 1
             }
             val acc = groups.getOrElseUpdate(
@@ -1570,9 +1637,9 @@ class GraftValuesColumnarReader(part: ValuesPartition, required: StructType)
           while (j < take) { vec.putLong(row + j, ord); j += 1 }
         } else {
           val d = f.name.drop(1).toInt
-          val base = cells.coord(d).toLong * cursor.chunkArr(d)
-          val stride = cursor.strides(d)
-          val extent = cursor.chunkArr(d)
+          val base = cells.start(d)
+          val stride = cells.stride(d)
+          val extent = cells.extent(d)
           var j = 0
           while (j < take) {
             vec.putLong(row + j,

@@ -86,6 +86,67 @@ class GraftTableProviderSpec extends SparkTestBase {
     assert(bad.getMessage.contains("unknown dtype"))
   }
 
+  test("DSv2 values mode: rectilinear grids scan, slice and aggregate") {
+    import graft.functions.ChunkCodec
+    val dir = tmpDir("repo")
+    val repo = Repository.create(Store.local(dir), spark)
+    val s = repo.writableSession("main")
+    // 2-D rectilinear: rows tiled [2,3], cols tiled [4,2] over a 5x6
+    // array -> chunk (r,c) extents vary per coordinate
+    s.addArrayRectilinear("/r", Seq(5, 6), Seq(Seq(2L, 3L), Seq(4L, 2L)),
+      userData = """{"dtype":"int64"}""")
+    // value = global row-major index i0*6 + i1, written chunk by chunk
+    def cellVal(i0: Long, i1: Long) = i0 * 6 + i1
+    val rowStarts = Seq(0L, 2L); val rowExt = Seq(2L, 3L)
+    val colStarts = Seq(0L, 4L); val colExt = Seq(4L, 2L)
+    for (cr <- 0 until 2; cc <- 0 until 2) {
+      val vals = for {
+        r <- 0L until rowExt(cr); c <- 0L until colExt(cc)
+      } yield cellVal(rowStarts(cr) + r, colStarts(cc) + c)
+      s.writeChunk("/r", Seq(cr, cc),
+        ChunkCodec.encodeLongs(vals.toArray, "int64"))
+    }
+    s.commit("rect values")
+
+    val v = spark.read.format("graft-v2")
+      .option("path", dir).option("array", "/r")
+      .option("mode", "values").option("dtype", "int64").load()
+    assert(v.columns.toSeq == Seq("i0", "i1", "value"))
+    assert(v.count() == 30)
+    // every cell's index arithmetic correct across variable extents
+    assert(v.filter(col("value") =!= col("i0") * 6 + col("i1"))
+      .count() == 0)
+    // element-bound slice crossing both chunk boundaries
+    val sliced = v.filter(col("i0") >= 1 && col("i0") <= 3 &&
+      col("i1") >= 3 && col("i1") <= 4)
+    val rows = sliced.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(rows == (for (i0 <- 1L to 3L; i1 <- 3L to 4L)
+      yield (i0, i1, cellVal(i0, i1))).toSet)
+    // aggregation over the rect table (grouped + global)
+    assert(v.agg(sum("value")).head().getLong(0) == (0 until 30).sum)
+    val byRow = v.groupBy("i0").agg(sum("value").as("s"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(byRow(2L) == (12L to 17L).sum)
+    // SQL over the catalog reaches the same rect table
+    val cat = "rcat" + (System.nanoTime() % 100000)
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.path", dir)
+    val rowsSql = spark.sql(s"SELECT sum(value) FROM $cat.r " +
+      "WHERE i0 >= 1 AND i0 <= 3").head().getLong(0)
+    assert(rowsSql == (for (i0 <- 1L to 3L; i1 <- 0L to 5L)
+      yield cellVal(i0, i1)).sum)
+    // writes keep refusing rectilinear grids loudly
+    val err = intercept[Exception] {
+      v.limit(1).write.format("graft-v2")
+        .option("path", dir).option("array", "/r")
+        .option("mode", "values").option("dtype", "int64")
+        .mode("append").save()
+    }
+    assert(err.getMessage.contains("regular chunk grid"))
+  }
+
   test("DSv2 write: distributed refs staged and committed through CAS") {
     val dir = tmpDir("repo")
     val store = Store.local(dir)
