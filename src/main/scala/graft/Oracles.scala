@@ -3,9 +3,10 @@ package graft
 /** DuckDB oracle SQL for every SQL-expressible query in [[Queries]].
   * Column aliases, rounding, and ORDER BY match the Spark side exactly
   * (driver compares sorted-by-name columns and hashed values).
-  * Hash-function-specific queries (minhash/simhash/fingerprint/xxhash,
-  * LSH-bucketed ANN) are intentionally absent → driver records a
-  * rows-only check.
+  * Hash-function-specific queries (minhash/simhash/xxhash, LSH-bucketed
+  * ANN) are intentionally absent → driver records a rows-only check.
+  * Winnowing and the document fingerprint ARE oracled: their hashes are
+  * plain integer arithmetic DuckDB replays exactly.
   */
 object Oracles {
   private val stop =
@@ -926,6 +927,65 @@ object Oracles {
         |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
         |    '\+?\d[\d() .-]{6,}\d', '<PHONE>', 'g') AS scrubbed
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // winnowing (k=8, w=4): the Spark side's rolling hash is a plain
+    // polynomial with base 1099511628211 mod 2^64 over the lowercased
+    // text's chars — recomputed here exactly in HUGEINT (then re-signed
+    // to match Java Long comparison order). Rightmost-min-tie selection
+    // is arg_min over key = h·2^32 − pos (key is injective per (h,pos)).
+    "q_winnow" ->
+      """WITH d AS (SELECT doc_id, lower(text) AS t FROM documents),
+        |starts AS (
+        |  SELECT doc_id, t, unnest(range(len(t) - 7)) AS r FROM d),
+        |sh AS (
+        |  SELECT doc_id, CAST(r + 1 AS INT) AS pos,
+        |    list_reduce(
+        |      [CAST(unicode(substr(t, CAST(r + i + 1 AS INT), 1)) AS HUGEINT)
+        |        for i in range(8)],
+        |      (a, c) -> (a * 1099511628211 + c) % 18446744073709551616
+        |    ) AS hu
+        |  FROM starts),
+        |keyed AS (
+        |  SELECT doc_id, pos,
+        |    CAST(CASE WHEN hu >= 9223372036854775808
+        |      THEN hu - 18446744073709551616 ELSE hu END AS HUGEINT)
+        |      * 4294967296 - pos AS key
+        |  FROM sh),
+        |sel AS (
+        |  SELECT doc_id,
+        |    arg_min(pos, key) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS spos,
+        |    count(*) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wn
+        |  FROM keyed),
+        |fp AS (SELECT DISTINCT doc_id, spos FROM sel WHERE wn = 4)
+        |SELECT doc_id, count(*) AS n_fp,
+        |  CAST(min(spos) AS INT) AS first_pos,
+        |  CAST(max(spos) AS INT) AS last_pos
+        |FROM fp GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // order-sensitive fingerprint: per-token 32-bit FNV-1a folded as
+    // acc*31 + h mod 2^31-1 — portable integer arithmetic, recomputed
+    // bit-for-bit (init values prepended; list_reduce seeds from the
+    // first element)
+    "q_fingerprint" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'),
+        |      x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |hashed AS (
+        |  SELECT doc_id,
+        |    list_transform(toks, w -> list_reduce(
+        |      list_prepend(CAST(2166136261 AS BIGINT),
+        |        list_transform(string_split(w, ''),
+        |          c -> CAST(unicode(c) AS BIGINT))),
+        |      (h, c) -> (xor(h, c) * 16777619) % 4294967296)) AS hs
+        |  FROM tok)
+        |SELECT doc_id,
+        |  list_reduce(list_prepend(CAST(7 AS BIGINT), hs),
+        |    (a, h) -> (a * 31 + h) % 2147483647) AS fingerprint
+        |FROM hashed ORDER BY doc_id""".stripMargin,
 
     "q_repetition" ->
       """WITH base AS (

@@ -1091,9 +1091,10 @@ object Queries {
       .orderBy("doc_id")
   }
 
-  /** Winnowing fingerprints (no SQL oracle — rolling-hash-specific;
-    * the coverage/density guarantees are spec-pinned): per-doc selected
-    * fingerprint count and position span.
+  /** Winnowing fingerprints (oracle-matched: the rolling hash is a
+    * plain polynomial mod 2^64 that DuckDB recomputes in HUGEINT, and
+    * rightmost-min-tie selection is an injective-key arg_min): per-doc
+    * selected fingerprint count and position span.
     */
   val q_winnow: Q = (s, d) =>
     Dedup.winnowedFingerprints(t(s, d, "documents"), k = 8, w = 4)
@@ -1102,7 +1103,9 @@ object Queries {
         max("pos").as("last_pos"))
       .orderBy("doc_id")
 
-  /** Rolling-hash fingerprint (no SQL oracle — crc32-based). */
+  /** Order-sensitive fingerprint (oracle-matched: per-token FNV-1a
+    * folded mod 2^31-1, portable integer arithmetic both engines).
+    */
   val q_fingerprint: Q = (s, d) =>
     t(s, d, "documents")
       .select(col("doc_id"),

@@ -98,11 +98,23 @@ object TextAnalysis {
     * collide. Cheap shift-invariant near-dup prefilter.
     */
   def fingerprint(text: Column): Column =
-    // modulus 2^31-1 keeps acc*31 + crc32 < 2^37 — no Long overflow under
-    // ANSI arithmetic
+    // modulus 2^31-1 keeps acc*31 + h < 2^37 — no Long overflow under
+    // ANSI arithmetic. Per-token hash is 32-bit FNV-1a over the token's
+    // characters: pure portable integer arithmetic, so the DuckDB oracle
+    // recomputes the fingerprint bit-for-bit (q_fingerprint is
+    // oracle-matched; crc32 had no DuckDB twin)
     aggregate(tokens(text), lit(7L),
-      (acc, t) => pmod(acc * 31L + crc32(t).cast("long"),
-        lit(2147483647L)))
+      (acc, t) => pmod(acc * 31L + fnv1a32(t), lit(2147483647L)))
+
+  /** 32-bit FNV-1a over a string's characters (`ascii` = full codepoint
+    * of each 1-char split, matching DuckDB's `unicode`; h stays < 2^56
+    * before each mod, no overflow under ANSI).
+    */
+  private def fnv1a32(t: Column): Column =
+    aggregate(filter(split(t, ""), c => length(c) > 0),
+      lit(2166136261L),
+      (h, c) => pmod(h.bitwiseXOR(ascii(c)) * 16777619L,
+        lit(4294967296L)))
 
   /** Canonical text normalization — the first pass of every text
     * pipeline: Unicode NFC (composed forms, so visually-identical

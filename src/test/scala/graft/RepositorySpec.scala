@@ -554,6 +554,45 @@ class RepositorySpec extends SparkTestBase {
     }
   }
 
+  test("mergeBranch: many-array merge stages all chunk edits in one batch") {
+    val repo = Repository.create(Store.local(tmpDir("mmany")), spark)
+    val nArrays = 60
+    val s = repo.writableSession("main")
+    for (i <- 0 until nArrays) {
+      s.addArray(s"/a$i", Seq(4), Seq(1))
+      s.writeChunk(s"/a$i", Seq(0), Array[Byte](i.toByte))
+    }
+    val base = s.commit("base")
+    repo.createBranch("f", base)
+    // src edits EVERY array: one overwrite, one fresh coord, one delete
+    val sf = repo.writableSession("f")
+    for (i <- 0 until nArrays) {
+      sf.writeChunk(s"/a$i", Seq(0), Array[Byte]((100 + i % 20).toByte))
+      sf.writeChunk(s"/a$i", Seq(2), Array[Byte]((50 + i % 20).toByte))
+      if (i % 3 == 0) sf.deleteChunk(s"/a$i", Seq(0))
+    }
+    sf.commit("src edits everywhere")
+    // dst adds its own disjoint edit so the merge is a real 3-way
+    val sm = repo.writableSession("main")
+    sm.writeChunk("/a0", Seq(3), Array[Byte](7))
+    sm.commit("dst edit")
+    repo.mergeBranch("f", "main")
+    val ro = repo.readonlySession(VersionRef.Branch("main"))
+    for (i <- 0 until nArrays) {
+      val coords = ro.refs(s"/a$i").select("coord").collect()
+        .map(_.getSeq[Int](0).head).toSet
+      val expect = (if (i % 3 == 0) Set(2) else Set(0, 2)) ++
+        (if (i == 0) Set(3) else Set.empty[Int])
+      assert(coords == expect, s"array $i coords")
+      if (i % 3 != 0)
+        assert(ro.getChunk(s"/a$i", Seq(0)).get.head ==
+          (100 + i % 20).toByte, s"array $i overwrite")
+      assert(ro.getChunk(s"/a$i", Seq(2)).get.head ==
+        (50 + i % 20).toByte, s"array $i fresh")
+    }
+    assert(ro.getChunk("/a0", Seq(3)).get.head == 7.toByte)
+  }
+
   test("ops log records operations newest-first with monotone timestamps") {
     val repo = Repository.create(Store.local(tmpDir("repo")), spark)
     val s = repo.writableSession("main")
