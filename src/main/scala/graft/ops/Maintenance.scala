@@ -119,7 +119,16 @@ object GC {
     *  - live chunks: `chunk_id`s in live manifests (one Spark anti-join)
     */
   def garbageCollect(repo: Repository, olderThan: Instant,
-                     dryRun: Boolean = false): GCSummary = {
+                     dryRun: Boolean = false): GCSummary =
+    graft.core.Trace.span("gc", "dry_run" -> dryRun.toString) { h =>
+      val s = gcImpl(repo, olderThan, dryRun)
+      h.set("chunks_deleted", s.chunksDeleted)
+      h.set("bytes_deleted", s.bytesDeleted)
+      s
+    }
+
+  private def gcImpl(repo: Repository, olderThan: Instant,
+                     dryRun: Boolean): GCSummary = {
     val spark = repo.spark
     val store = repo.store
     val info = repo.info()

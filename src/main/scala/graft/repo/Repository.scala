@@ -278,10 +278,15 @@ final class Repository private (
     * chunks; pass UseTheirs / Fail to flip). src-side `move` edits are
     * refused (kind `unsupported`) — merge them by hand.
     *
-    * Scale shape: node ops are driver metadata; chunk staging is two
-    * joins per touched array (src-tip refs semi-join the edited coords;
-    * anti-join finds deletions), all keyed on the coord — no payload
-    * bytes move, cost scales with the CHANGE.
+    * Scale shape: node ops are driver metadata; chunk staging is ONE
+    * batched job across every touched array — the src-tip refs of all
+    * touched arrays union into a single (path, coord)-keyed relation,
+    * semi-joined against the edited coords (anti-join finds deletions)
+    * and staged through [[graft.repo.Session.stageChunkRefsBatch]] — so
+    * a merge touching thousands of arrays plans one job, not thousands
+    * serially. No payload bytes move; cost scales with the CHANGE. The
+    * source branch is resolved ONCE and pinned to that snapshot for
+    * every read, so concurrent commits on src cannot skew the merge.
     */
   def mergeBranch(src: String, dst: String, message: String = null,
                   solver: graft.vc.ConflictSolver =
@@ -620,11 +625,21 @@ object Repository {
 
   def exists(store: Store): Boolean = new RepoPointer(store).latestGen() >= 0
 
+  /** Opt-in tracing via Spark conf: `spark.graft.trace.path` enables the
+    * JSON-lines span sink once per process (first create/open wins; an
+    * already-enabled sink — e.g. a spec's MemorySink — is respected).
+    */
+  private def maybeEnableTrace(spark: SparkSession): Unit =
+    if (!graft.core.Trace.enabled)
+      spark.conf.getOption("spark.graft.trace.path")
+        .foreach(graft.core.Trace.toJsonLines)
+
   def create(store: Store, spark: SparkSession,
              config: GraftConfig = GraftConfig(),
              resolver: VirtualChunkResolver =
                VirtualChunkResolver.default): Repository = {
     if (exists(store)) throw new GraftException("repository already exists")
+    maybeEnableTrace(spark)
     val repo = new Repository(store, spark, config, resolver)
     // initial snapshot: a single root group (repository.rs:208)
     val root = Snapshot(
@@ -659,6 +674,7 @@ object Repository {
              VirtualChunkResolver.default): Repository = {
     val stored = new RepoPointer(store).load().getOrElse(
       throw new GraftException("no repository at store root"))
+    maybeEnableTrace(spark)
     val cfg =
       if (config != null) config else GraftConfig.fromMap(stored.config)
     new Repository(store, spark, cfg, resolver)

@@ -654,7 +654,18 @@ final class Session private[repo] (
   private[repo] def flushInternal(message: String,
       properties0: Map[String, String],
       parentOverride: Option[Option[String]] = None,
-      mergeTxLogOf: Option[String] = None): Snapshot = {
+      mergeTxLogOf: Option[String] = None): Snapshot =
+    graft.core.Trace.span("flush") { h =>
+      val s = flushImpl(message, properties0, parentOverride, mergeTxLogOf)
+      h.set("snapshot_id", s.id)
+      h.set("nodes", s.nodes.size.toLong)
+      s
+    }
+
+  private def flushImpl(message: String,
+      properties0: Map[String, String],
+      parentOverride: Option[Option[String]],
+      mergeTxLogOf: Option[String]): Snapshot = {
     requireWritable()
     // repo-wide default commit metadata rides under the caller's keys
     val properties = sessionDefaultMeta ++ properties0
@@ -951,7 +962,22 @@ final class Session private[repo] (
                graft.vc.BasicConflictSolver(),
              amend: Boolean = false,
              allowEmpty: Boolean = false,
-             hooks: graft.vc.RebaseHooks = graft.vc.RebaseHooks.none): String = {
+             hooks: graft.vc.RebaseHooks = graft.vc.RebaseHooks.none): String =
+    graft.core.Trace.span("commit",
+      "branch" -> branch.getOrElse("<detached>"),
+      "amend" -> amend.toString) { h =>
+      val id = commitImpl(message, properties, solver, amend, allowEmpty,
+        hooks)
+      h.set("snapshot_id", id)
+      id
+    }
+
+  private def commitImpl(message: String,
+             properties: Map[String, String],
+             solver: graft.vc.ConflictSolver,
+             amend: Boolean,
+             allowEmpty: Boolean,
+             hooks: graft.vc.RebaseHooks): String = {
     requireWritable()
     if (amend) repo.requireFlag(repo.Flags.Amend, "amend")
     // refuse accidental empty commits (CommitBuilder::allow_empty)

@@ -676,7 +676,7 @@ private[sources] object GraftProcedures {
   import org.apache.spark.unsafe.types.UTF8String
 
   val names: Seq[String] = Seq("push", "fsck", "gc", "expire", "compact",
-    "merge", "tensor_combine", "tensor_map", "tensor_unary",
+    "merge", "inspect", "tensor_combine", "tensor_map", "tensor_unary",
     "tensor_transpose", "tensor_downsample", "zarr_import",
     "zarr_export")
 
@@ -764,6 +764,67 @@ private[sources] object GraftProcedures {
           .collect().map(r => new GenericInternalRow(Array[Any](
             str(r.getString(0)), str(r.getString(1)), str(r.getString(2))))
             : InternalRow)
+      }
+      // metadata-file header/stat dump (#2216): one row per on-disk
+      // metadata artifact backing the resolved version — the pointer
+      // tip, the snapshot document, its transaction log files, and every
+      // manifest shard (with ref counts and coordinate envelopes). Pure
+      // driver metadata + per-key stats; nothing is decoded beyond what
+      // the snapshot already loaded.
+      case "inspect" => proc("inspect",
+        Seq(pd("ref", StringType, "'main'")),
+        StructType(Seq(
+          StructField("kind", StringType),
+          StructField("key", StringType),
+          StructField("size_bytes", LongType),
+          StructField("node_path", StringType),
+          StructField("detail", StringType)))) { in =>
+        val r = repo()
+        val refStr = in.getUTF8String(0).toString
+        val vref = GraftTableProvider.parseVersion(refStr, s =>
+          if (r.listBranches().contains(s)) VersionRef.Branch(s)
+          else if (r.listTags().contains(s)) VersionRef.Tag(s)
+          else VersionRef.SnapshotVer(s))
+        val sid = r.resolveVersion(vref)
+        val snap = r.lookupSnapshot(sid)
+        val store = r.store
+        def row(kind: String, key: String, size: Long, path: String,
+                detail: String): InternalRow =
+          new GenericInternalRow(Array[Any](str(kind), str(key), size,
+            if (path == null) null else str(path), str(detail)))
+        val pointer = store
+          .listPage(graft.meta.Layout.PointerPrefix, None, 1)
+          .headOption.map(o => row("pointer", o.key, o.size, null,
+            s"generation=${graft.meta.Layout.genOf(o.key)}")).toSeq
+        val snapKey = graft.meta.Layout.snapshotKey(sid)
+        val snapRow = row("snapshot", snapKey,
+          store.stat(snapKey).map(_.size).getOrElse(-1L), null,
+          s"id=$sid; message=${snap.message}; nodes=${snap.nodes.size}; " +
+            s"flushed_at=${snap.flushedAt}")
+        // list only DATA files: Spark job markers (_SUCCESS) and
+        // checksum siblings (.crc) are not format artifacts
+        def dataFiles(prefix: String) = store.list(prefix).filter { o =>
+          val base = o.key.substring(o.key.lastIndexOf('/') + 1)
+          base.nonEmpty && !base.startsWith(".") && !base.startsWith("_")
+        }
+        val txRows = dataFiles(graft.meta.Layout.txLogPrefix(sid) + "/")
+          .sortBy(_.key)
+          .map(o => row("transaction", o.key, o.size, null, s"snapshot=$sid"))
+        val manifestRows = snap.manifests.toSeq.flatMap {
+          case (nodeId, refs) =>
+            val path = snap.nodeById(nodeId).map(_.path).orNull
+            refs.map { m =>
+              val prefix = graft.meta.Layout.manifestPrefix(m.manifestId) +
+                s"/node_id=$nodeId/split=${m.split}/"
+              val files = dataFiles(prefix)
+              (path, m.split, row("manifest", prefix,
+                files.map(_.size).sum, path,
+                s"refs=${m.numRefs}; files=${files.size}; " +
+                  s"extent=[${m.emin.mkString(",")}]..[${m.emax.mkString(",")}]"))
+            }
+        }.sortBy { case (p, sp, _) => (Option(p).getOrElse(""), sp) }
+          .map(_._3)
+        ((pointer :+ snapRow) ++ txRows ++ manifestRows).toArray
       }
       case "gc" => proc("gc",
         Seq(pd("older_than_hours", IntegerType, "1"),

@@ -816,7 +816,15 @@ class GraftScan(opts: Map[String, String], lo: Map[Int, Long],
           .UnknownPartitioning(0)
     }
 
-  override def planInputPartitions(): Array[InputPartition] = {
+  override def planInputPartitions(): Array[InputPartition] =
+    graft.core.Trace.span("scan.plan", "mode" -> mode,
+      "array" -> opts.getOrElse("array", "")) { h =>
+      val parts = planImpl()
+      h.set("partitions", parts.length.toLong)
+      parts
+    }
+
+  private def planImpl(): Array[InputPartition] = {
     val (repo, session, array) = GraftTableProvider.open(opts)
     val store = repo.store
     val fsConf = graft.storage.hadoop.GraftFileSystem.shippableConf(store)

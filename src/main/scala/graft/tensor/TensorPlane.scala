@@ -1441,9 +1441,18 @@ object TensorPlane {
   }
 
   /** Assemble destination chunks from a (dst, src, ref...) run sorted by
-    * dst: fetch + decode each source once per miss (decoded LRU, byte
-    * budget ~64 MB), block-copy the overlap, upload, emit
-    * (coord, chunk_id, encodedLength).
+    * dst: fetch + decode each source once per miss (decoded LRU),
+    * block-copy the overlap, upload, emit (coord, chunk_id,
+    * encodedLength).
+    *
+    * Memory discipline (the source of run-to-run bench variance on
+    * small-heap runners): the per-task decoded-source LRU budget adapts
+    * to the EXECUTING JVM — `min(64 MB, heap / (8 × task slots))`,
+    * floor 8 MB — so 32 concurrent tasks cannot pin 2 GiB of decoded
+    * sources on a heap sized for less; and the destination buffer is
+    * allocated ONCE per task and reset by arraycopy from a fill
+    * template, instead of allocating a fresh multi-MB (G1-humongous)
+    * array per destination chunk.
     */
   private[graft] def assembleChunks[V](
       it: Iterator[(Seq[Int], Seq[Int], String, Array[Byte], String,
@@ -1458,20 +1467,27 @@ object TensorPlane {
       resolver: graft.virt.VirtualChunkResolver)
       : Iterator[(Seq[Int], String, Long)] = {
     val store = graft.storage.StoreConf.cached(conf)
+    val lruBudget = math.max(8L << 20, math.min(64L << 20,
+      Runtime.getRuntime.maxMemory() /
+        (8L * math.max(1, Runtime.getRuntime.availableProcessors()))))
     val capacity = math.max(1L,
-      (64L << 20) / math.max(1L, maxSrcCells * 8L)).toInt
+      lruBudget / math.max(1L, maxSrcCells * 8L)).toInt
     val lru = new java.util.LinkedHashMap[Seq[Int], Array[V]](16, 0.75f,
       true) {
       override def removeEldestEntry(
           e: java.util.Map.Entry[Seq[Int], Array[V]]): Boolean =
         size() > capacity
     }
+    // one reusable destination buffer per task: reset via arraycopy from
+    // the fill template (memcpy-speed, zero per-chunk allocation)
+    val template = alloc()
+    val arr = template.clone()
     val buf = it.buffered
     new Iterator[(Seq[Int], String, Long)] {
       override def hasNext: Boolean = buf.hasNext
       override def next(): (Seq[Int], String, Long) = {
         val dst = buf.head._1
-        val arr = alloc()
+        System.arraycopy(template, 0, arr, 0, arr.length)
         while (buf.hasNext && buf.head._1 == dst) {
           val (_, src, kind, inline, chunkId, location, offset, length) =
             buf.next()

@@ -479,6 +479,30 @@ class GraftCatalogSpec extends SparkTestBase {
     assert(ro.getChunk("/a", Seq(1)).get.head == 9.toByte)
     assert(ro.getChunk("/a", Seq(3)).get.head == 8.toByte)
 
+    // inspect (#2216 analog): one row per metadata artifact of the
+    // resolved version — pointer tip, snapshot doc, tx log, manifests
+    val insp = spark.sql(s"CALL $cat.system.inspect('main')").collect()
+    val kinds = insp.map(_.getString(0))
+    assert(kinds.count(_ == "pointer") == 1)
+    assert(kinds.count(_ == "snapshot") == 1)
+    assert(kinds.contains("transaction") && kinds.contains("manifest"))
+    // every artifact has real on-disk bytes
+    assert(insp.forall(_.getLong(2) > 0),
+      insp.map(r => s"${r.getString(1)}=${r.getLong(2)}").mkString(";"))
+    val snapRow = insp.find(_.getString(0) == "snapshot").get
+    assert(snapRow.getString(1) == s"snapshots/$mergedId.json")
+    assert(snapRow.getString(4).contains("merge feature into main"))
+    val manRow = insp.find(_.getString(0) == "manifest").get
+    assert(manRow.getString(3) == "/a" &&
+      manRow.getString(4).startsWith("refs="))
+    // a tag ref and a raw snapshot id resolve too
+    repo.createTag("vi", mergedId)
+    assert(spark.sql(s"CALL $cat.system.inspect('vi')").count() ==
+      insp.length.toLong)
+    assert(spark.sql(s"CALL $cat.system.inspect('$cid')")
+      .collect().find(_.getString(0) == "snapshot").get
+      .getString(1) == s"snapshots/$cid.json")
+
     // unknown procedure is a stable-kind refusal
     val ex = intercept[Exception] {
       spark.sql(s"CALL $cat.system.nope()").collect()

@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.core.Trace
+import graft.repo._
+import graft.storage.Store
+
+/** Observability export (#2234 analog): driver-side operations emit
+  * structured spans when tracing is enabled — and cost nothing when it
+  * is not (the default).
+  */
+class TraceSpec extends SparkTestBase {
+
+  test("commit, flush, scan-plan and gc emit spans; JSON lines parse") {
+    val mem = Trace.toMemory()
+    try {
+      val dir = tmpDir("trace-repo")
+      val repo = Repository.create(Store.local(dir), spark)
+      val s = repo.writableSession("main")
+      s.addArray("/a", Seq(8), Seq(2), userData = """{"dtype":"int64"}""")
+      (0 until 4).foreach(c =>
+        s.writeChunk("/a", Seq(c),
+          graft.functions.ChunkCodec.encodeLongs(
+            Array.tabulate(2)(i => c * 2L + i), "int64")))
+      val cid = s.commit("traced commit")
+
+      // one scan through the DSv2 values path
+      val n = spark.read.format("graft-v2")
+        .option("path", dir).option("array", "/a")
+        .option("mode", "values").option("dtype", "int64").load()
+        .count()
+      assert(n == 8)
+
+      graft.ops.GC.garbageCollect(repo,
+        java.time.Instant.now().minusSeconds(3600), dryRun = true)
+
+      val spans = mem.spans
+      val commit = spans.filter(_.name == "commit")
+      assert(commit.nonEmpty)
+      assert(commit.exists(_.attrs.get("snapshot_id").contains(cid)))
+      assert(commit.forall(_.attrs.get("branch").contains("main")))
+      // flush nests under commit
+      val flush = spans.find(_.name == "flush").get
+      assert(flush.parent.contains("commit"))
+      assert(flush.attrs.get("snapshot_id").contains(cid))
+      assert(flush.durMicros >= 0 &&
+        commit.head.durMicros >= flush.durMicros)
+      // scan planning recorded array/mode/partition count
+      val plan = spans.filter(_.name == "scan.plan")
+        .filter(_.attrs.get("mode").contains("values"))
+      assert(plan.nonEmpty)
+      assert(plan.head.attrs.get("array").contains("/a"))
+      assert(plan.head.attrs("partitions").toInt > 0)
+      // gc span with its summary
+      val gc = spans.find(_.name == "gc").get
+      assert(gc.attrs("dry_run") == "true" &&
+        gc.attrs.contains("chunks_deleted"))
+      // every span serializes to one parseable JSON line
+      spans.foreach { sp =>
+        val j = sp.toJson
+        assert(j.startsWith("{") && j.endsWith("}") &&
+          j.contains("\"name\"") && j.contains("\"dur_us\""), j)
+      }
+      // errors are recorded and rethrown
+      mem.clear()
+      intercept[GraftException] {
+        repo.writableSession("main").commit("")
+      }
+      assert(mem.spans.exists(s =>
+        s.name == "commit" && s.error.exists(_.contains("nothing to commit"))))
+    } finally Trace.disable()
+  }
+
+  test("json-lines sink appends spans to the configured file") {
+    val path = tmpDir("trace-out") + "/spans.jsonl"
+    Trace.toJsonLines(path)
+    try {
+      val dir = tmpDir("trace-repo2")
+      val repo = Repository.create(Store.local(dir), spark)
+      val s = repo.writableSession("main")
+      s.addGroup("/g")
+      s.commit("file-traced")
+      val lines = scala.io.Source.fromFile(path).getLines().toSeq
+      assert(lines.exists(l => l.contains("\"name\":\"commit\"") &&
+        l.contains("file-traced".take(0) + "\"snapshot_id\"")))
+      assert(lines.forall(_.startsWith("{")))
+    } finally Trace.disable()
+  }
+}
