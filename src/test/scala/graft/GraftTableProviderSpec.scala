@@ -123,8 +123,13 @@ class GraftTableProviderSpec extends SparkTestBase {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(rows == (for (i0 <- 1L to 3L; i1 <- 3L to 4L)
       yield (i0, i1, cellVal(i0, i1))).toSet)
-    // aggregation over the rect table (grouped + global)
-    assert(v.agg(sum("value")).head().getLong(0) == (0 until 30).sum)
+    // aggregation over the rect table (grouped + global) — and the
+    // aggregate PUSHES into the chunk decoder exactly as on regular
+    // grids (the runs-based reader reads per-chunk geometry)
+    val aggDf = v.agg(sum("value"))
+    assert(aggDf.queryExecution.executedPlan.toString()
+      .contains("PushedAggregates"))
+    assert(aggDf.head().getLong(0) == (0 until 30).sum)
     val byRow = v.groupBy("i0").agg(sum("value").as("s"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(byRow(2L) == (12L to 17L).sum)

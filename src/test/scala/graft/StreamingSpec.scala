@@ -252,6 +252,45 @@ class StreamingSpec extends SparkTestBase {
       (1L, 3, "c", 30L), (2L, 1, "a", 10L), (3L, 1, "a", 10L)), all)
   }
 
+  test("streaming funnel: no-advance user takes no state; watermark advance survives") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val source = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String, Long)]
+    // REALISTIC epoch timestamps: the regression this pins was a state
+    // initialized at last=Long.MinValue whose timeout overflowed to
+    // ~epoch-1970 — the moment the watermark advanced past any real
+    // event time, Spark failed the whole query ('Timeout timestamp
+    // cannot be earlier than the current watermark')
+    val base = 1700000000L
+    val stream = source.toDF().toDF("user_id", "event_type", "sec")
+      .select(col("user_id"), col("event_type"),
+        timestamp_seconds(col("sec")).as("ts"))
+    val prog = graft.streaming.StreamingFunnel.progress(
+      stream, Seq("a", "b"), expireAfterSeconds = 3600L,
+      watermarkDelay = "5 seconds")
+    val q = prog.writeStream.format("memory").queryName("sfunnel_nostate")
+      .outputMode("append").start()
+    // batch 1: u9's FIRST batch has no stage-1 event -> must not
+    // materialize state; u1 advances normally
+    source.addData((9L, "b", base), (9L, "zz", base + 1),
+      (1L, "a", base + 2))
+    q.processAllAvailable()
+    // batch 2: much later events push the watermark far past batch 1 —
+    // with the buggy state this is where the query died
+    source.addData((1L, "b", base + 1000), (9L, "a", base + 1000))
+    q.processAllAvailable()
+    // batch 3: expiry housekeeping at yet-later times still works
+    source.addData((2L, "a", base + 8000))
+    q.processAllAvailable()
+    q.stop()
+    val all = spark.table("sfunnel_nostate").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3)))
+      .toSet
+    assert(all == Set((1L, 1, "a", base + 2), (1L, 2, "b", base + 1000),
+      (9L, 1, "a", base + 1000), (2L, 1, "a", base + 8000)), all)
+  }
+
   test("streaming exact dedup suppresses in-window duplicates") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
