@@ -2057,15 +2057,15 @@ class GraftValuesBatchWrite(opts: Map[String, String], schema: StructType,
         val out =
           if (isInt)
             left.as[(Seq[Int], Long, Long)].mapPartitions { it =>
-              graft.tensor.TensorPlane.streamEncode[Long](it, cells,
-                () => new Array[Long](cells), (a, p, v) => a(p) = v,
+              graft.tensor.TensorPlane.streamEncode[Long](it,
+                _ => new Array[Long](cells), (a, p, v) => a(p) = v,
                 a => ChunkCodec.compress(ChunkCodec.encodeLongs(a, dt), comp),
                 conf)
             }
           else
             left.as[(Seq[Int], Long, Double)].mapPartitions { it =>
-              graft.tensor.TensorPlane.streamEncode[Double](it, cells,
-                () => new Array[Double](cells), (a, p, v) => a(p) = v,
+              graft.tensor.TensorPlane.streamEncode[Double](it,
+                _ => new Array[Double](cells), (a, p, v) => a(p) = v,
                 a => ChunkCodec.compress(ChunkCodec.encodeDoubles(a, dt), comp),
                 conf)
             }

@@ -383,18 +383,54 @@ object TensorPlane {
                   dtype: String, compression: String = "raw"): Unit = {
     val node = session.node(path).filter(_.isArray).getOrElse(
       throw new GraftException(s"no array at $path"))
-    if (node.isRectilinear) throw new GraftException(
-      "value-plane writes require a regular chunk grid")
-    val chunkShape = node.chunkShape
-    val ndim = chunkShape.size
-    val strides = chunkShape.indices.map(i => chunkShape.drop(i + 1).product)
-    val cells = chunkShape.product.toInt
-    val withChunk = values
-      .withColumn("coord", array((0 until ndim).map(i =>
-        expr(s"i$i div ${chunkShape(i)}").cast("int")): _*))
-      .withColumn("pos", (0 until ndim).map(i =>
-        pmod(col(s"i$i"), lit(chunkShape(i))) * strides(i))
-        .reduce(_ + _))
+    val ndim = node.numChunksPerDim.size
+    // (coord, pos) per row: closed-form for regular grids; rectilinear
+    // grids (store.rs:1158-1241) resolve the chunk index per dim as
+    // "#chunk-starts ≤ i" over the driver-resident literal start table
+    // (O(numChunks_d) codegen'd per row — the per-dim chunk counts are
+    // by construction driver-sized lists), then offset/extent/strides
+    // from the same tables. Rect inputs are pre-clipped to the array
+    // shape (the regular path's flush-time bounds filter equivalent).
+    val (withChunk, allocCells): (DataFrame, Seq[Int] => Int) =
+      if (!node.isRectilinear) {
+        val chunkShape = node.chunkShape
+        val strides =
+          chunkShape.indices.map(i => chunkShape.drop(i + 1).product)
+        val cells = chunkShape.product.toInt
+        (values
+          .withColumn("coord", array((0 until ndim).map(i =>
+            expr(s"i$i div ${chunkShape(i)}").cast("int")): _*))
+          .withColumn("pos", (0 until ndim).map(i =>
+            pmod(col(s"i$i"), lit(chunkShape(i))) * strides(i))
+            .reduce(_ + _)),
+          _ => cells)
+      } else {
+        val sizes = node.chunkSizesPerDim
+        val starts = sizes.map(_.scanLeft(0L)(_ + _).dropRight(1))
+        var df = (0 until ndim).foldLeft(values) { (d, i) =>
+          d.filter(col(s"i$i") >= 0 && col(s"i$i") < node.shape(i))
+        }
+        for (i <- 0 until ndim) {
+          df = df
+            .withColumn(s"_c$i",
+              (size(filter(typedLit(starts(i)), s => s <= col(s"i$i")))
+                - 1).cast("int"))
+            .withColumn(s"_e$i",
+              element_at(typedLit(sizes(i)), col(s"_c$i") + 1))
+            .withColumn(s"_o$i", col(s"i$i") -
+              element_at(typedLit(starts(i)), col(s"_c$i") + 1))
+        }
+        df = df.withColumn(s"_st${ndim - 1}", lit(1L))
+        for (i <- (ndim - 2) to 0 by -1)
+          df = df.withColumn(s"_st$i",
+            col(s"_st${i + 1}") * col(s"_e${i + 1}"))
+        (df
+          .withColumn("coord",
+            array((0 until ndim).map(i => col(s"_c$i")): _*))
+          .withColumn("pos", (0 until ndim)
+            .map(i => col(s"_o$i") * col(s"_st$i")).reduce(_ + _)),
+          coord => (0 until ndim).map(i => sizes(i)(coord(i))).product.toInt)
+      }
     val isInt = ChunkCodec.IntDtypes.contains(dtype)
     val spark = values.sparkSession
     import spark.implicits._
@@ -410,14 +446,14 @@ object TensorPlane {
     val refsDf =
       (if (isInt)
         sorted.as[(Seq[Int], Long, Long)].mapPartitions { it =>
-          streamEncode[Long](it, cells, () => new Array[Long](cells),
+          streamEncode[Long](it, c => new Array[Long](allocCells(c)),
             (arr, p, v) => arr(p) = v,
             arr => ChunkCodec.compress(
               ChunkCodec.encodeLongs(arr, dtype), compression), conf)
         }
       else
         sorted.as[(Seq[Int], Long, Double)].mapPartitions { it =>
-          streamEncode[Double](it, cells, () => new Array[Double](cells),
+          streamEncode[Double](it, c => new Array[Double](allocCells(c)),
             (arr, p, v) => arr(p) = v,
             arr => ChunkCodec.compress(
               ChunkCodec.encodeDoubles(arr, dtype), compression), conf)
@@ -1574,8 +1610,8 @@ object TensorPlane {
   /** Stream one sorted (coord, pos, value) run: assemble, encode, and
     * upload chunk-at-a-time; emits (coord, chunk_id, encodedLength).
     */
-  private[graft] def streamEncode[V](it: Iterator[(Seq[Int], Long, V)], cells: Int,
-                              alloc: () => Array[V],
+  private[graft] def streamEncode[V](it: Iterator[(Seq[Int], Long, V)],
+                              alloc: Seq[Int] => Array[V],
                               set: (Array[V], Int, V) => Unit,
                               encode: Array[V] => Array[Byte],
                               conf: graft.storage.StoreConf)
@@ -1586,7 +1622,7 @@ object TensorPlane {
       override def hasNext: Boolean = buf.hasNext
       override def next(): (Seq[Int], String, Long) = {
         val coord = buf.head._1
-        val arr = alloc()
+        val arr = alloc(coord)
         while (buf.hasNext && buf.head._1 == coord) {
           val (_, pos, v) = buf.next()
           set(arr, pos.toInt, v)

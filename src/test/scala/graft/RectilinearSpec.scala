@@ -36,6 +36,42 @@ class RectilinearSpec extends SparkTestBase {
       repo.writableSession("main").shiftArray("/r", Seq(1)))
   }
 
+  test("rectilinear distributed values write round-trips through both read paths") {
+    import org.apache.spark.sql.functions.expr
+    val dir = tmpDir("repo")
+    val repo = Repository.create(Store.local(dir), spark)
+    val s = repo.writableSession("main")
+    // 2-D: rows tiled [2,3], cols tiled [4,2]
+    s.addArrayRectilinear("/w", Seq(5, 6), Seq(Seq(2L, 3L), Seq(4L, 2L)),
+      userData = """{"dtype":"int64"}""")
+    val df = spark.range(30).select(
+      expr("id div 6").as("i0"), expr("id % 6").as("i1"),
+      (col("id") * 3 - 7).as("value"))
+    TensorPlane.writeValues(s, "/w", df, "int64")
+    s.commit("rect write")
+    // exactly one chunk object per grid cell
+    val ro = repo.readonlySession(VersionRef.Branch("main"))
+    assert(ro.refs("/w").count() == 4)
+    // TensorPlane read path
+    val v = TensorPlane.values(ro, "/w", "int64")
+    assert(v.count() == 30)
+    assert(v.filter(col("value") =!= (col("i0") * 6 + col("i1")) * 3 - 7)
+      .count() == 0)
+    // DSv2 read path agrees
+    val v2 = spark.read.format("graft-v2")
+      .option("path", dir)
+      .option("array", "/w").option("mode", "values")
+      .option("dtype", "int64").load()
+    assert(v2.count() == 30)
+    assert(v2.filter(col("value") =!= (col("i0") * 6 + col("i1")) * 3 - 7)
+      .count() == 0)
+    // out-of-shape rows are clipped before staging, not corrupted
+    val s2 = repo.writableSession("main")
+    TensorPlane.writeValues(s2, "/w", spark.range(1).select(
+      lit(99L).as("i0"), lit(0L).as("i1"), lit(5L).as("value")), "int64")
+    assert(s2.refs("/w").count() == 4) // nothing staged beyond the grid
+  }
+
   test("2-D rectilinear through the zarr.json surface") {
     val repo = Repository.create(Store.local(tmpDir("repo")), spark)
     val zs = new ZarrStore(repo.writableSession("main"))
