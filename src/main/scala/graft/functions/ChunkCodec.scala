@@ -477,6 +477,34 @@ private[graft] object SliceGeom {
     blockAt(start, chunkShape, lo, hi)
   }
 
+  /** Grid-dispatching form: regular grids go through [[block]]; a
+    * non-empty `rectSizes` (per-dim chunk-length tables) resolves this
+    * chunk's start/extent from the tables (O(coord) prefix sum per
+    * chunk — chunks are MB-sized, the sum is noise). Out-of-grid coords
+    * return null (no overlap).
+    */
+  def blockOf(coord: Array[Int], chunkShape: Array[Long],
+              rectSizes: Seq[Seq[Long]], lo: Array[Long],
+              hi: Array[Long]): Block =
+    if (rectSizes.isEmpty) block(coord, chunkShape, lo, hi)
+    else {
+      val nd = rectSizes.size
+      val start = new Array[Long](nd)
+      val ex = new Array[Long](nd)
+      var i = 0
+      while (i < nd) {
+        val sizes = rectSizes(i)
+        if (coord(i) < 0 || coord(i) >= sizes.size) return null
+        var st = 0L
+        var j = 0
+        while (j < coord(i)) { st += sizes(j); j += 1 }
+        start(i) = st
+        ex(i) = sizes(coord(i))
+        i += 1
+      }
+      blockAt(start, ex, lo, hi)
+    }
+
   /** Generalized form for grids whose chunk extents vary per coordinate
     * (rectilinear, store.rs:1158-1241): the caller supplies THIS chunk's
     * global start and per-dim extent; strides come from the actual
@@ -538,7 +566,8 @@ private[graft] object SliceGeom {
 case class ChunkSliceStatsExpr(bytes: Expression, coord: Expression,
                                dtype: String, compression: String,
                                chunkShape: Seq[Long], lo: Seq[Long],
-                               hi: Seq[Long])
+                               hi: Seq[Long],
+                               rectSizes: Seq[Seq[Long]] = Nil)
     extends BinaryExpression with CodegenFallback {
   override def left: Expression = bytes
   override def right: Expression = coord
@@ -555,7 +584,7 @@ case class ChunkSliceStatsExpr(bytes: Expression, coord: Expression,
     val bb = ByteBuffer.wrap(raw).order(ByteOrder.LITTLE_ENDIAN)
     val coordInts = c.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
       .toIntArray()
-    val blk = SliceGeom.block(coordInts, chunkArr, loArr, hiArr)
+    val blk = SliceGeom.blockOf(coordInts, chunkArr, rectSizes, loArr, hiArr)
     if (blk == null)
       return org.apache.spark.sql.catalyst.InternalRow(0L, 0.0, null, null)
     val read: Long => Double = dtype match {
@@ -594,7 +623,8 @@ case class ChunkSliceStatsExpr(bytes: Expression, coord: Expression,
 case class DecodeChunkSliceExpr(bytes: Expression, coord: Expression,
                                 dtype: String, compression: String,
                                 chunkShape: Seq[Long], lo: Seq[Long],
-                                hi: Seq[Long])
+                                hi: Seq[Long],
+                                rectSizes: Seq[Seq[Long]] = Nil)
     extends BinaryExpression with CodegenFallback {
   override def left: Expression = bytes
   override def right: Expression = coord
@@ -613,7 +643,7 @@ case class DecodeChunkSliceExpr(bytes: Expression, coord: Expression,
     val bb = ByteBuffer.wrap(raw).order(ByteOrder.LITTLE_ENDIAN)
     val coordInts = c.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
       .toIntArray()
-    val blk = SliceGeom.block(coordInts, chunkArr, loArr, hiArr)
+    val blk = SliceGeom.blockOf(coordInts, chunkArr, rectSizes, loArr, hiArr)
     if (blk == null) return new GenericArrayData(Array.empty[Any])
     val isInt = ChunkCodec.IntDtypes.contains(dtype)
     val out = scala.collection.mutable.ArrayBuffer[Any]()
@@ -655,15 +685,17 @@ object CodecFunctions {
 
   def chunk_slice_stats(bytes: Column, coord: Column, dtype: String,
                         compression: String, chunkShape: Seq[Long],
-                        lo: Seq[Long], hi: Seq[Long]): Column =
+                        lo: Seq[Long], hi: Seq[Long],
+                        rectSizes: Seq[Seq[Long]] = Nil): Column =
     column(ChunkSliceStatsExpr(expression(bytes), expression(coord), dtype,
-      compression, chunkShape, lo, hi))
+      compression, chunkShape, lo, hi, rectSizes))
 
   def decode_chunk_slice(bytes: Column, coord: Column, dtype: String,
                          compression: String, chunkShape: Seq[Long],
-                         lo: Seq[Long], hi: Seq[Long]): Column =
+                         lo: Seq[Long], hi: Seq[Long],
+                         rectSizes: Seq[Seq[Long]] = Nil): Column =
     column(DecodeChunkSliceExpr(expression(bytes), expression(coord), dtype,
-      compression, chunkShape, lo, hi))
+      compression, chunkShape, lo, hi, rectSizes))
 
   def chunk_histogram(bytes: Column, dtype: String, compression: String,
                       lo: Double, hi: Double, nbins: Int): Column =

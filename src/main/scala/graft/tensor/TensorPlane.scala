@@ -105,27 +105,7 @@ object TensorPlane {
           compression)))
     val withIdx =
       if (!node.isRectilinear) regularIndex(exploded, node, ndim)
-      else {
-        // rectilinear grid (store.rs:1158-1241): chunk extents vary per
-        // coordinate; per-dim extent/start tables ship as literal arrays,
-        // strides are computed per row right-to-left
-        val sizes = node.chunkSizesPerDim
-        val starts = sizes.map(_.scanLeft(0L)(_ + _).dropRight(1))
-        var df = exploded
-        for (i <- 0 until ndim)
-          df = df.withColumn(s"_e$i", element_at(typedLit(sizes(i)),
-            element_at(col("coord"), i + 1) + 1))
-        df = df.withColumn(s"_st${ndim - 1}", lit(1L))
-        for (i <- (ndim - 2) to 0 by -1)
-          df = df.withColumn(s"_st$i",
-            col(s"_st${i + 1}") * col(s"_e${i + 1}"))
-        for (i <- 0 until ndim)
-          df = df.withColumn(s"i$i",
-            element_at(typedLit(starts(i)),
-              element_at(col("coord"), i + 1) + 1) +
-              pmod(expr(s"pos div _st$i"), col(s"_e$i")))
-        df
-      }
+      else rectIndex(exploded, node, ndim)
     val bounded = (0 until ndim).foldLeft(withIdx) { case (df, i) =>
       df.filter(col(s"i$i") < shape(i))
     }
@@ -210,14 +190,49 @@ object TensorPlane {
     }
   }
 
+  /** Global (i0..iN) index columns for a rectilinear grid
+    * (store.rs:1158-1241): chunk extents vary per coordinate; per-dim
+    * extent/start tables ship as literal arrays, strides are computed
+    * per row right-to-left. Expects (`coord`, `pos`) columns like
+    * [[regularIndex]].
+    */
+  private def rectIndex(exploded: DataFrame, node: graft.meta.NodeSpec,
+                        ndim: Int): DataFrame = {
+    val sizes = node.chunkSizesPerDim
+    val starts = sizes.map(_.scanLeft(0L)(_ + _).dropRight(1))
+    var df = exploded
+    for (i <- 0 until ndim)
+      df = df.withColumn(s"_e$i", element_at(typedLit(sizes(i)),
+        element_at(col("coord"), i + 1) + 1))
+    df = df.withColumn(s"_st${ndim - 1}", lit(1L))
+    for (i <- (ndim - 2) to 0 by -1)
+      df = df.withColumn(s"_st$i",
+        col(s"_st${i + 1}") * col(s"_e${i + 1}"))
+    for (i <- 0 until ndim)
+      df = df.withColumn(s"i$i",
+        element_at(typedLit(starts(i)),
+          element_at(col("coord"), i + 1) + 1) +
+          pmod(expr(s"pos div _st$i"), col(s"_e$i")))
+    df
+  }
+
   private def chunkBoundsOf(node: graft.meta.NodeSpec,
                             bounds: Seq[(Long, Long)]): Seq[(Int, Int)] = {
-    require(!node.isRectilinear,
-      "region reads require a regular chunk grid")
     require(bounds.size == node.shape.size, "bounds rank mismatch")
-    bounds.zip(node.chunkShape).map { case ((lo, hi), c) =>
+    if (!node.isRectilinear)
+      bounds.zip(node.chunkShape).map { case ((lo, hi), c) =>
+        require(lo >= 0 && hi > lo, s"bad bounds [$lo, $hi)")
+        ((lo / c).toInt, ((hi - 1) / c).toInt)
+      }
+    else bounds.zip(node.chunkSizesPerDim).map { case ((lo, hi), sizes) =>
       require(lo >= 0 && hi > lo, s"bad bounds [$lo, $hi)")
-      ((lo / c).toInt, ((hi - 1) / c).toInt)
+      val starts = sizes.scanLeft(0L)(_ + _).dropRight(1)
+      def chunkOf(e: Long): Int = {
+        var c = starts.length - 1
+        while (c > 0 && starts(c) > e) c -= 1
+        c
+      }
+      (chunkOf(lo), chunkOf(hi - 1))
     }
   }
 
@@ -244,9 +259,11 @@ object TensorPlane {
         col("location"), col("offset"), col("length")))
       .select(col("coord"), explode(CodecFunctions.decode_chunk_slice(
         col("bytes"), col("coord"), dtype, compression, node.chunkShape,
-        bounds.map(_._1), bounds.map(_._2))).as("e"))
+        bounds.map(_._1), bounds.map(_._2), node.chunkSizesPerDim)).as("e"))
       .select(col("coord"), col("e.pos").as("pos"), col("e.value").as("col"))
-    val withIdx = regularIndex(exploded, node, ndim)
+    val withIdx =
+      if (!node.isRectilinear) regularIndex(exploded, node, ndim)
+      else rectIndex(exploded, node, ndim)
     // slice decode already bounded; re-filter against the array shape so
     // partial edge chunks stay clipped (pruning never decides correctness)
     val bounded = (0 until ndim).foldLeft(withIdx) { case (df, i) =>
@@ -280,7 +297,7 @@ object TensorPlane {
         col("location"), col("offset"), col("length")))
       .select(CodecFunctions.chunk_slice_stats(col("bytes"), col("coord"),
         dtype, compression, node.chunkShape,
-        clipped.map(_._1), clipped.map(_._2)).as("s"))
+        clipped.map(_._1), clipped.map(_._2), node.chunkSizesPerDim).as("s"))
       .agg(sum(col("s.n")).as("n"), sum(col("s.sum")).as("sum"),
         min(col("s.min")).as("min"), max(col("s.max")).as("max"))
       .withColumn("avg", col("sum") / col("n"))

@@ -72,6 +72,33 @@ class RectilinearSpec extends SparkTestBase {
     assert(s2.refs("/w").count() == 4) // nothing staged beyond the grid
   }
 
+  test("rectilinear region reads and slice stats decode only the sub-block") {
+    import org.apache.spark.sql.functions.expr
+    val repo = Repository.create(Store.local(tmpDir("repo")), spark)
+    val s = repo.writableSession("main")
+    s.addArrayRectilinear("/rr", Seq(5, 6), Seq(Seq(2L, 3L), Seq(4L, 2L)),
+      userData = """{"dtype":"int64"}""")
+    val df = spark.range(30).select(
+      expr("id div 6").as("i0"), expr("id % 6").as("i1"),
+      col("id").as("value")) // value = i0*6 + i1
+    TensorPlane.writeValues(s, "/rr", df, "int64")
+    s.commit("rect region")
+    val ro = repo.readonlySession(VersionRef.Branch("main"))
+    // region crossing all four chunks: i0 in [1,4), i1 in [3,5)
+    val region = TensorPlane.valuesRegion(ro, "/rr", "int64",
+      Seq((1L, 4L), (3L, 5L)))
+    val rows = region.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(rows == (for (i0 <- 1L until 4L; i1 <- 3L until 5L)
+      yield (i0, i1, i0 * 6 + i1)).toSet)
+    // slice stats agree with the enumerated region
+    val st = TensorPlane.sliceStats(ro, "/rr", "int64",
+      Seq((1L, 4L), (3L, 5L))).head()
+    val vals = rows.map(_._3)
+    assert(st.getLong(0) == 6 && st.getDouble(1) == vals.sum.toDouble)
+    assert(st.getDouble(2) == vals.min && st.getDouble(3) == vals.max)
+  }
+
   test("2-D rectilinear through the zarr.json surface") {
     val repo = Repository.create(Store.local(tmpDir("repo")), spark)
     val zs = new ZarrStore(repo.writableSession("main"))
