@@ -234,7 +234,14 @@ object GC {
     * instead of a bare "unknown snapshot". Rebase across an expired
     * boundary still fails ("transaction log expired").
     */
-  def expire(repo: Repository, olderThan: Instant): Int = {
+  def expire(repo: Repository, olderThan: Instant): Int =
+    graft.core.Trace.span("expire") { h =>
+      val n = expireImpl(repo, olderThan)
+      h.set("snapshots_squashed", n.toLong)
+      n
+    }
+
+  private def expireImpl(repo: Repository, olderThan: Instant): Int = {
     repo.requireFlag(repo.Flags.Expire, "expire")
     var removed = 0
     repo.casUpdate("expire", s"olderThan=$olderThan") { info =>
@@ -282,7 +289,15 @@ object GC {
   */
 object Compaction {
   def rewriteManifests(repo: Repository, branch: String,
-                       message: String = "rewrite_manifests"): String = {
+                       message: String = "rewrite_manifests"): String =
+    graft.core.Trace.span("compact", "branch" -> branch) { h =>
+      val id = rewriteImpl(repo, branch, message)
+      h.set("snapshot_id", id)
+      id
+    }
+
+  private def rewriteImpl(repo: Repository, branch: String,
+                          message: String): String = {
     val session = repo.writableSession(branch)
     val arrays = session.nodes.filter(_.isArray)
     if (arrays.isEmpty)

@@ -73,7 +73,18 @@ object Replicate {
     */
   def sync(src: Repository, dst: Store, ref: String,
            dstRef: String = null, force: Boolean = false,
-           depth: Int = Int.MaxValue): SyncSummary = {
+           depth: Int = Int.MaxValue): SyncSummary =
+    graft.core.Trace.span("push", "ref" -> ref) { h =>
+      val s = syncImpl(src, dst, ref, dstRef, force, depth)
+      h.set("snapshots_copied", s.snapshotsCopied.toLong)
+      h.set("chunks_copied", s.chunksCopied)
+      h.set("chunk_bytes_copied", s.chunkBytesCopied)
+      s
+    }
+
+  private def syncImpl(src: Repository, dst: Store, ref: String,
+           dstRef: String, force: Boolean,
+           depth: Int): SyncSummary = {
     val spark = src.spark
     val info = src.info()
     val (isTag, tip) = info.branches.get(ref) match {

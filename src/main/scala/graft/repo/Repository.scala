@@ -290,7 +290,15 @@ final class Repository private (
     */
   def mergeBranch(src: String, dst: String, message: String = null,
                   solver: graft.vc.ConflictSolver =
-                    graft.vc.BasicConflictSolver()): String = {
+                    graft.vc.BasicConflictSolver()): String =
+    graft.core.Trace.span("merge", "src" -> src, "dst" -> dst) { h =>
+      val id = mergeBranchImpl(src, dst, message, solver)
+      h.set("snapshot_id", id)
+      id
+    }
+
+  private def mergeBranchImpl(src: String, dst: String, message: String,
+                  solver: graft.vc.ConflictSolver): String = {
     val dstRef = VersionRef.Branch(dst)
     val srcTip = resolveVersion(VersionRef.Branch(src))
     // Pin src to the tip resolved ONCE: every later read (ancestry, diff,
