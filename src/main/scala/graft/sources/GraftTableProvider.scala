@@ -169,7 +169,8 @@ object GraftTableProvider {
     */
   private[sources] def deleteChunkBounds(
       filters: Array[org.apache.spark.sql.sources.Filter],
-      shape: Seq[Long], chunkShape: Seq[Long]): Option[Seq[(Int, Int)]] = {
+      shape: Seq[Long], chunkShape: Seq[Long],
+      rectSizes: Seq[Seq[Long]] = Nil): Option[Seq[(Int, Int)]] = {
     import org.apache.spark.sql.sources._
     val ndim = shape.size
     val lo = Array.tabulate(ndim)(_ => 0L)
@@ -221,6 +222,19 @@ object GraftTableProvider {
     if (alwaysFalse) return Some(Seq.fill(ndim)((1, 0))) // empty region
     val perDim = (0 until ndim).map { d =>
       if (lo(d) >= hi(d)) Some((1, 0)) // empty marker
+      else if (rectSizes.nonEmpty) {
+        // rectilinear: aligned means lo/hi land on the grid's actual
+        // chunk-start offsets (the division test has no meaning here)
+        val starts = rectSizes(d).scanLeft(0L)(_ + _).dropRight(1)
+        val loIdx = starts.indexOf(lo(d))
+        val hiIdx =
+          if (hi(d) == shape(d)) starts.length - 1
+          else starts.indexOf(hi(d)) - 1
+        if (loIdx >= 0 && hiIdx >= loIdx &&
+            (hi(d) == shape(d) || starts.contains(hi(d))))
+          Some((loIdx, hiIdx))
+        else None // mid-chunk cut — not deletable as metadata
+      }
       else if (lo(d) % chunkShape(d) == 0 &&
         (hi(d) % chunkShape(d) == 0 || hi(d) == shape(d)))
         Some(((lo(d) / chunkShape(d)).toInt,
@@ -300,7 +314,7 @@ class GraftTable(opts: Map[String, String], declaredSchema: StructType)
       filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
     mode == "values" && arrayNodeSpec.exists(node =>
       GraftTableProvider.deleteChunkBounds(filters, node.shape,
-        node.chunkShape).isDefined)
+        node.chunkShape, node.chunkSizesPerDim).isDefined)
 
   override def deleteWhere(
       filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
@@ -309,7 +323,8 @@ class GraftTable(opts: Map[String, String], declaredSchema: StructType)
     val node = arrayNodeSpec.getOrElse(
       throw new graft.repo.GraftException(s"no array at $array"))
     val bounds = GraftTableProvider.deleteChunkBounds(filters, node.shape,
-      node.chunkShape).getOrElse(throw new graft.repo.GraftException(
+      node.chunkShape, node.chunkSizesPerDim)
+      .getOrElse(throw new graft.repo.GraftException(
       s"unsupported delete predicate ${filters.mkString(", ")} — only " +
         "chunk-aligned index ranges can be deleted"))
     if (bounds.exists { case (lo, hi) => lo > hi }) return // empty region

@@ -142,6 +142,15 @@ class GraftTableProviderSpec extends SparkTestBase {
       "WHERE i0 >= 1 AND i0 <= 3").head().getLong(0)
     assert(rowsSql == (for (i0 <- 1L to 3L; i1 <- 0L to 5L)
       yield cellVal(i0, i1)).sum)
+    // SQL DELETE: rect-aligned ranges are metadata deletes (alignment
+    // means landing on the grid's REAL chunk starts, not divisibility)
+    val delErr = intercept[Exception] {
+      spark.sql(s"DELETE FROM $cat.r WHERE i0 >= 1") // mid-chunk: 1 not a start
+    }
+    assert(delErr.getMessage.toLowerCase.contains("delete"))
+    spark.sql(s"DELETE FROM $cat.r WHERE i0 >= 2") // chunk-row 1 starts at 2
+    assert(spark.sql(s"SELECT count(*) FROM $cat.r").head().getLong(0) == 12)
+
     // writes keep refusing rectilinear grids loudly
     val err = intercept[Exception] {
       v.limit(1).write.format("graft-v2")
