@@ -933,6 +933,10 @@ object Oracles {
     // text's chars — recomputed here exactly in HUGEINT (then re-signed
     // to match Java Long comparison order). Rightmost-min-tie selection
     // is arg_min over key = h·2^32 − pos (key is injective per (h,pos)).
+    // Caveat: Spark hashes UTF-16 code units (charAt), DuckDB hashes
+    // codepoints — identical on BMP text; the gate corpora are ASCII
+    // (checked), and astral-plane text would diverge by design of the
+    // JVM-side shingler, not by an arithmetic error here.
     "q_winnow" ->
       """WITH d AS (SELECT doc_id, lower(text) AS t FROM documents),
         |starts AS (

@@ -68,18 +68,23 @@ object Trace {
     }
   }
 
-  /** Bounded in-memory sink for specs and interactive inspection. */
+  /** Bounded in-memory sink for specs and interactive inspection.
+    * O(1) per record: ConcurrentLinkedQueue.size() walks the whole
+    * queue, so occupancy is tracked in an AtomicInteger instead.
+    */
   final class MemorySink(cap: Int = 10000) extends Sink {
     private val buf = new java.util.concurrent.ConcurrentLinkedQueue[Span]()
+    private val n = new java.util.concurrent.atomic.AtomicInteger(0)
     override def record(span: Span): Unit = {
       buf.add(span)
-      while (buf.size > cap) buf.poll()
+      if (n.incrementAndGet() > cap && buf.poll() != null)
+        n.decrementAndGet()
     }
     def spans: Seq[Span] = {
       import scala.jdk.CollectionConverters._
       buf.iterator().asScala.toSeq
     }
-    def clear(): Unit = buf.clear()
+    def clear(): Unit = { buf.clear(); n.set(0) }
   }
 
   @volatile private var sink: Option[Sink] = None

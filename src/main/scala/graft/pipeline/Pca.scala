@@ -40,16 +40,19 @@ object Pca {
   def fit(embs: DataFrame, k: Int, vecCol: String = "embedding"): PcaModel = {
     val spark = embs.sparkSession
     import spark.implicits._
-    val rows = embs.select(transform(col(vecCol), _.cast("double")))
+    // null vectors are dropped up front (a left join can introduce
+    // them); they would otherwise NPE mid-aggregation
+    val rows = embs.filter(col(vecCol).isNotNull)
+      .select(transform(col(vecCol), _.cast("double")))
       .as[Seq[Double]].rdd
     // shift by an arbitrary sample vector before accumulating: the
     // textbook G/n − m·mᵀ cancels catastrophically when the data mean
     // is large relative to its spread; shifting makes both terms
     // spread-sized (covariance is shift-invariant)
-    // take(1), not first(): an empty/null input gets a named error, not
-    // Spark's opaque empty-collection exception (or an NPE) mid-fit
+    // take(1), not first(): an empty input gets a named error, not
+    // Spark's opaque empty-collection exception mid-fit
     val sample = rows.take(1)
-    require(sample.nonEmpty && sample.head != null,
+    require(sample.nonEmpty,
       s"fit: '$vecCol' has no non-null vectors — nothing to fit")
     val shift = sample.head.toArray
     val d = shift.length

@@ -710,12 +710,13 @@ object TextAnalysis {
     * exactly, including BM25 scores (avgdl/nDocs recombine from the
     * exact counts).
     */
-  def mergeIndexes(a: InvertedIndex, b: InvertedIndex): InvertedIndex = {
+  def mergeIndexes(a: InvertedIndex, b: InvertedIndex,
+                   maxPostingsPerRow: Int = 1 << 16): InvertedIndex = {
     // token-total df first (max per token: every shard row carries the
     // total), THEN pair posting rows by (token, shard) — sub-threshold
     // tokens sit at shard 0 on both sides, so their merge is the classic
-    // single-row concat; a hot token's shards pair by number and unpaired
-    // shards pass through, every row staying posting-bounded
+    // single-row concat; a hot token's shards pair by number and
+    // unpaired shards pass through
     def tot(p: DataFrame, n: String) =
       p.groupBy("token").agg(max(col("df")).as(n))
     val dfs = tot(a.postings, "df_a")
@@ -731,8 +732,27 @@ object TextAnalysis {
           .when(col("pl_b").isNull, col("pl_a"))
           .otherwise(sort_array(concat(col("pl_a"), col("pl_b"))))
           .as("plist"))
+    // RE-SHARD rows the concat pushed past the bound — without this,
+    // repeated incremental merges regrow single rows without limit
+    // (k merges of sub-threshold batches -> one k·df row) and defeat
+    // the Zipf-head guard on exactly the ingest path it exists for.
+    // Oversized rows split into ≤maxPostingsPerRow slices (slices of a
+    // sorted array stay sorted); shard ids renumber densely per token
+    // so future merges pair on clean (token, shard) keys.
+    val B = maxPostingsPerRow
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("token").orderBy("shard", "_j")
+    val resharded = paired
+      .withColumn("_k",
+        greatest(ceil(size(col("plist")) / lit(B.toDouble)), lit(1L)))
+      .withColumn("_j", explode(sequence(lit(0L), col("_k") - 1)))
+      .withColumn("plist",
+        expr(s"slice(plist, _j * $B + 1, $B)"))
+      .withColumn("shard", row_number().over(w).cast("long") - 1)
+      .drop("_k", "_j")
     InvertedIndex(
-      paired.join(dfs, Seq("token")).select("token", "df", "plist", "shard"),
+      resharded.join(dfs, Seq("token"))
+        .select("token", "df", "plist", "shard"),
       a.nDocs + b.nDocs, a.sumDl + b.sumDl)
   }
 

@@ -326,8 +326,18 @@ final class Session private[repo] (
     import spark.implicits._
     val idByPath = broadcast(
       paths.distinct.map(p => (p, arrayNode(p).id)).toDF("path", "node_id"))
-    stageNormalized(
-      normalizeRefCols(df).join(idByPath, Seq("path")).drop("path"))
+    // LEFT join + raise_error on the unmatched side: a row whose path is
+    // missing from `paths` must fail the job loudly (at evaluation), not
+    // vanish from the commit — silent row loss is the one unacceptable
+    // outcome of a bulk-ingest API
+    val resolved = normalizeRefCols(df)
+      .join(idByPath, Seq("path"), "left_outer")
+      .withColumn("node_id", coalesce(col("node_id"),
+        raise_error(concat(
+          lit("stageChunkRefsBatch: row path not in paths list: "),
+          col("path"))).cast("string")))
+      .drop("path")
+    stageNormalized(resolved)
   }
 
   /** Default-fill the optional [[ChunkRef]] payload columns: missing

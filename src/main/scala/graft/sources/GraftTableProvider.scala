@@ -94,9 +94,16 @@ object GraftTableProvider {
     * `ord(coord) = Σ coord(d) * gridStrides(d)`.
     */
   private[sources] def gridStrides(shape: Seq[Long],
-                                   chunk: Seq[Long]): Array[Long] = {
-    val ndim = shape.size
-    val dims = Array.tabulate(ndim)(d => (shape(d) + chunk(d) - 1) / chunk(d))
+                                   chunk: Seq[Long]): Array[Long] =
+    gridStridesOf(shape.indices.map(d =>
+      (shape(d) + chunk(d) - 1) / chunk(d)))
+
+  /** The one stride kernel over explicit per-dim chunk counts — shared
+    * by the planner, the cursor, and the regular-grid helper so the
+    * `_chunk_ord` layout can never desynchronize between them.
+    */
+  private[sources] def gridStridesOf(dims: Seq[Long]): Array[Long] = {
+    val ndim = dims.size
     val s = new Array[Long](ndim)
     s(ndim - 1) = 1
     var d = ndim - 2
@@ -979,17 +986,10 @@ class GraftScan(opts: Map[String, String], lo: Map[Int, Long],
           case Some(ords) =>
             val dims = (0 until ndim).map(d =>
               if (rectSizes.isEmpty)
-                (node.shape(d) + node.chunkShape(d) - 1) / node.chunkShape(d)
+                (node.shape(d) + node.chunkShape(d) - 1) /
+                  node.chunkShape(d)
               else rectSizes(d).size.toLong)
-            val gs = {
-              val s = new Array[Long](ndim)
-              s(ndim - 1) = 1
-              var d = ndim - 2
-              while (d >= 0) {
-                s(d) = s(d + 1) * math.max(1L, dims(d + 1)); d -= 1
-              }
-              s
-            }
+            val gs = GraftTableProvider.gridStridesOf(dims)
             val cLo = (0 until ndim).map(d => elemToChunk(d, p.boundLo(d)))
             val cHi = (0 until ndim).map(d => elemToChunk(d,
               math.max(p.boundLo(d) + 1, p.boundHi(d)) - 1))
@@ -1261,21 +1261,13 @@ private[sources] final class ValuesChunkCursor(part: ValuesPartition,
   private val rectStarts: Array[Array[Long]] =
     if (rectSizes == null) null
     else rectSizes.map(s => s.scanLeft(0L)(_ + _).dropRight(1))
-  private val gridStridesArr: Array[Long] = {
+  private val gridStridesArr: Array[Long] =
     // ord strides over the CHUNK GRID; rect dims come from the explicit
     // per-dim chunk counts, regular from ceil(shape/chunk)
     if (rectSizes == null)
       GraftTableProvider.gridStrides(part.shape, part.chunkShape)
-    else {
-      val s = new Array[Long](ndim)
-      s(ndim - 1) = 1
-      var d = ndim - 2
-      while (d >= 0) {
-        s(d) = s(d + 1) * math.max(1, rectSizes(d + 1).length); d -= 1
-      }
-      s
-    }
-  }
+    else GraftTableProvider.gridStridesOf(
+      rectSizes.toSeq.map(_.length.toLong))
   /** Linearized chunk-grid ordinal of `coord` (the `_chunk_ord` value). */
   def chunkOrd(coord: Array[Int]): Long = {
     var o = 0L

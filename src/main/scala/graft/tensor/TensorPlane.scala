@@ -1389,10 +1389,14 @@ object TensorPlane {
       else node.chunkSizesPerDim.map(_.max).product
 
     val (dstA, shpA) = (newChunks.toArray, shape.toArray)
+    // concurrent tasks per JVM, for the executor-side LRU byte budget
+    val slots = spark.conf.getOption("spark.executor.cores")
+      .flatMap(c => scala.util.Try(c.toInt).toOption)
+      .getOrElse(spark.sparkContext.defaultParallelism)
     val refsDf =
       (if (isInt)
         sorted.mapPartitions { it =>
-          assembleChunks[Long](it, srcGeom, maxSrcCells, dstA, shpA,
+          assembleChunks[Long](it, srcGeom, maxSrcCells, slots, dstA, shpA,
             () => new Array[Long](dstCells),
             raw => ChunkCodec.decodeLongs(
               ChunkCodec.decompress(raw, compression), dtype),
@@ -1404,7 +1408,8 @@ object TensorPlane {
         }
       else
         sorted.mapPartitions { it =>
-          assembleChunks[Double](it, srcGeom, maxSrcCells, dstA, shpA,
+          assembleChunks[Double](it, srcGeom, maxSrcCells, slots, dstA,
+            shpA,
             () => new Array[Double](dstCells),
             raw => ChunkCodec.decodeDoubles(
               ChunkCodec.decompress(raw, compression), dtype),
@@ -1511,7 +1516,8 @@ object TensorPlane {
       it: Iterator[(Seq[Int], Seq[Int], String, Array[Byte], String,
         String, Long, Long)],
       srcGeom: Seq[Int] => (Array[Long], Array[Long]),
-      maxSrcCells: Long, dstChunks: Array[Long], shape: Array[Long],
+      maxSrcCells: Long, taskSlots: Int,
+      dstChunks: Array[Long], shape: Array[Long],
       alloc: () => Array[V],
       decode: Array[Byte] => Array[V],
       pad: (Array[V], Int) => Array[V],
@@ -1520,9 +1526,12 @@ object TensorPlane {
       resolver: graft.virt.VirtualChunkResolver)
       : Iterator[(Seq[Int], String, Long)] = {
     val store = graft.storage.StoreConf.cached(conf)
+    // slots = concurrent tasks in THIS JVM (driver passes executor.cores
+    // or local parallelism — availableProcessors would be machine cores,
+    // which on a big host running few slots would collapse the budget
+    // and reintroduce per-destination source re-decode thrash)
     val lruBudget = math.max(8L << 20, math.min(64L << 20,
-      Runtime.getRuntime.maxMemory() /
-        (8L * math.max(1, Runtime.getRuntime.availableProcessors()))))
+      Runtime.getRuntime.maxMemory() / (8L * math.max(1, taskSlots))))
     val capacity = math.max(1L,
       lruBudget / math.max(1L, maxSrcCells * 8L)).toInt
     val lru = new java.util.LinkedHashMap[Seq[Int], Array[V]](16, 0.75f,

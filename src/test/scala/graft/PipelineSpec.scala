@@ -991,6 +991,22 @@ class PipelineSpec extends SparkTestBase {
     assert(viaMerge == served)
     assert(merged.postings.filter(col("token") === "the")
       .agg(sum(size(col("plist")))).head().getLong(0) == n)
+    // incremental-ingest regrowth guard: merging WITH the row bound
+    // re-shards oversized concat rows, so k-fold merges cannot regrow
+    // unbounded single rows; serving stays identical
+    val bounded = TextAnalysis.mergeIndexes(
+      TextAnalysis.buildInvertedIndex(
+        docs.filter(col("doc_id") % 2 === 0), maxPostingsPerRow = 32),
+      TextAnalysis.buildInvertedIndex(
+        docs.filter(col("doc_id") % 2 =!= 0), maxPostingsPerRow = 32),
+      maxPostingsPerRow = 32)
+    assert(bounded.postings.agg(max(size(col("plist"))))
+      .head().getInt(0) <= 32)
+    assert(bounded.postings.filter(col("token") === "the")
+      .agg(sum(size(col("plist")))).head().getLong(0) == n)
+    val viaBounded = TextAnalysis.searchIndex(bounded, terms, topK = 20)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(viaBounded == served)
     // positional sibling: phrase search folds across the shard split
     val pix = TextAnalysis.buildPositionalIndex(docs, maxPostingsPerRow = 32)
     assert(pix.filter(col("token") === "the").count() > 1)
