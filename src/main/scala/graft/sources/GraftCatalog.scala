@@ -496,10 +496,13 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
 
   override def loadFunction(ident: Identifier): UnboundFunction =
     if (ident.name() == ChunkCoordFunction.Name) new ChunkCoordFunction
-    else ChunkCoordFunction.parseFixed(ident.name()) match {
-      case Some(extent) => new ChunkCoordFixedFunction(extent)
-      case None => throw new org.apache.spark.sql.catalyst.analysis
-        .NoSuchFunctionException(ident)
+    else ChunkCoordFunction.parseRect(ident.name()) match {
+      case Some(sizes) => new ChunkCoordRectFunction(sizes)
+      case None => ChunkCoordFunction.parseFixed(ident.name()) match {
+        case Some(extent) => new ChunkCoordFixedFunction(extent)
+        case None => throw new org.apache.spark.sql.catalyst.analysis
+          .NoSuchFunctionException(ident)
+      }
     }
 }
 
@@ -516,6 +519,24 @@ object ChunkCoordFunction {
     if (name.startsWith(Name + "_"))
       name.drop(Name.length + 1).toLongOption.filter(_ > 0)
     else None
+
+  /** Rectilinear sibling `chunk_coord_rect_<l0>_<l1>_...(i)` — the
+    * per-dim chunk-length table rides in the NAME (and canonicalName),
+    * so two rect arrays' partitionings compare compatible exactly when
+    * their grids match. Offered only for dims whose chunk count is
+    * ≤ [[graft.sources.GraftScan.RectSpjMaxChunksPerDim]] (the name is
+    * the table; an unbounded table does not belong in an identifier).
+    */
+  def rectName(sizes: Seq[Long]): String =
+    s"${Name}_rect_${sizes.mkString("_")}"
+  def parseRect(name: String): Option[Seq[Long]] =
+    if (name.startsWith(Name + "_rect_")) {
+      val parts = name.drop(Name.length + 6).split('_').toSeq
+      val sizes = parts.flatMap(_.toLongOption)
+      if (sizes.size == parts.size && sizes.nonEmpty &&
+        sizes.forall(_ > 0)) Some(sizes)
+      else None
+    } else None
 }
 
 /** `chunk_coord(i, extent) = floor(i / extent)` — the chunk-grid
@@ -585,6 +606,42 @@ private[sources] class ChunkCoordFixedBoundFunction(extent: Long)
   override def isResultNullable: Boolean = false
   override def produceResult(input: InternalRow): java.lang.Long =
     java.lang.Math.floorDiv(input.getLong(0), extent)
+}
+
+/** The rectilinear transform family `chunk_coord_rect_<sizes>(i)`:
+  * chunk index of element `i` under the explicit per-dim chunk-length
+  * table (upper bound over the prefix-sum starts).
+  */
+private[sources] class ChunkCoordRectFunction(sizes: Seq[Long])
+    extends UnboundFunction {
+  override def name(): String = ChunkCoordFunction.rectName(sizes)
+  override def description(): String =
+    s"${name()}(i): rect chunk-grid coordinate via start-table lookup"
+  override def bind(inputType: StructType): BoundFunction = {
+    if (inputType.fields.length != 1)
+      throw new UnsupportedOperationException(
+        s"${name()} takes (index), got ${inputType.simpleString}")
+    new ChunkCoordRectBoundFunction(sizes)
+  }
+}
+
+private[sources] class ChunkCoordRectBoundFunction(sizes: Seq[Long])
+    extends ScalarFunction[java.lang.Long] {
+  private val starts: Array[Long] =
+    sizes.scanLeft(0L)(_ + _).dropRight(1).toArray
+  override def inputTypes(): Array[DataType] = Array(LongType)
+  override def resultType(): DataType = LongType
+  override def name(): String = ChunkCoordFunction.rectName(sizes)
+  override def canonicalName(): String =
+    "graft." + ChunkCoordFunction.rectName(sizes)
+  override def isResultNullable: Boolean = false
+  override def produceResult(input: InternalRow): java.lang.Long = {
+    val e = input.getLong(0)
+    if (e < 0) return -1L
+    var i = java.util.Arrays.binarySearch(starts, e)
+    if (i < 0) i = -i - 2
+    math.min(starts.length - 1, i).toLong
+  }
 }
 
 object GraftCatalog {

@@ -614,6 +614,13 @@ object GraftScan {
     * (and a shuffle join) rather than flooding the scheduler.
     */
   val SpjMaxPartitions = 8192
+
+  /** Rectilinear SPJ cap: the per-dim chunk-length table rides in the
+    * transform-function NAME, so only grids whose per-dim chunk counts
+    * stay identifier-sized get keyed partitioning; wider rect grids fall
+    * back to shuffle joins (an optimization boundary, never correctness).
+    */
+  val RectSpjMaxChunksPerDim = 64
 }
 
 class GraftScan(opts: Map[String, String], lo: Map[Int, Long],
@@ -755,7 +762,9 @@ class GraftScan(opts: Map[String, String], lo: Map[Int, Long],
       None
     else try {
       val (_, session, array) = GraftTableProvider.open(opts)
-      session.node(array).filter(n => n.isArray && !n.isRectilinear)
+      session.node(array).filter(n => n.isArray &&
+          (!n.isRectilinear || n.chunkSizesPerDim.forall(
+            _.size <= GraftScan.RectSpjMaxChunksPerDim)))
         .flatMap { node =>
           val ndim = node.shape.size
           val bl = (0 until ndim).map(d => math.max(0L, lo.getOrElse(d, 0L)))
@@ -777,8 +786,20 @@ class GraftScan(opts: Map[String, String], lo: Map[Int, Long],
       : Option[(graft.meta.NodeSpec,
         Seq[(graft.meta.ManifestRef, Array[Long])])] = {
     val ndim = node.shape.size
-    val cLoB = (0 until ndim).map(d => bl(d) / node.chunkShape(d))
-    val cHiB = (0 until ndim).map(d => (bh(d) - 1) / node.chunkShape(d))
+    val rectStarts: IndexedSeq[Array[Long]] =
+      if (!node.isRectilinear) IndexedSeq.empty
+      else node.chunkSizesPerDim.toIndexedSeq
+        .map(s => s.scanLeft(0L)(_ + _).dropRight(1).toArray)
+    def e2c(d: Int, e: Long): Long =
+      if (rectStarts.isEmpty) e / node.chunkShape(d)
+      else {
+        val st = rectStarts(d)
+        var i = java.util.Arrays.binarySearch(st, math.max(0L, e))
+        if (i < 0) i = -i - 2
+        math.min(st.length - 1, i).toLong
+      }
+    val cLoB = (0 until ndim).map(d => e2c(d, bl(d)))
+    val cHiB = (0 until ndim).map(d => e2c(d, bh(d) - 1))
     val seen = scala.collection.mutable.LinkedHashSet[Seq[Long]]()
     val out = scala.collection.mutable.ArrayBuffer[
       (graft.meta.ManifestRef, Array[Long])]()
@@ -824,11 +845,13 @@ class GraftScan(opts: Map[String, String], lo: Map[Int, Long],
         import org.apache.spark.sql.connector.expressions.Expressions
         // single-argument transform family: SPJ planning only supports
         // transforms whose sole child is a column reference, so the
-        // chunk extent rides in the function name (and canonicalName —
-        // grids match only when extents match)
+        // chunk geometry rides in the function name (and canonicalName —
+        // grids match only when extents/length-tables match)
         val exprs = node.shape.indices.map(d =>
           Expressions.apply(
-            ChunkCoordFunction.fixedName(node.chunkShape(d)),
+            if (node.isRectilinear)
+              ChunkCoordFunction.rectName(node.chunkSizesPerDim(d))
+            else ChunkCoordFunction.fixedName(node.chunkShape(d)),
             Expressions.column(s"i$d"))
             : org.apache.spark.sql.connector.expressions.Expression).toArray
         new org.apache.spark.sql.connector.read.partitioning
@@ -917,8 +940,12 @@ class GraftScan(opts: Map[String, String], lo: Map[Int, Long],
       spjInfo.foreach { case (spjNode, chunks) =>
         val files =
           scala.collection.mutable.Map[graft.meta.ManifestRef, Array[String]]()
-        val gs = GraftTableProvider.gridStrides(spjNode.shape,
-          spjNode.chunkShape)
+        val gs = GraftTableProvider.gridStridesOf(
+          (0 until ndim).map(d =>
+            if (rectSizes.isEmpty)
+              (spjNode.shape(d) + spjNode.chunkShape(d) - 1) /
+                spjNode.chunkShape(d)
+            else rectSizes(d).size.toLong))
         val ordsOk: Array[Long] => Boolean = runtimeOrds match {
           case None => _ => true
           case Some(set0) =>
@@ -929,14 +956,15 @@ class GraftScan(opts: Map[String, String], lo: Map[Int, Long],
         return chunks.filter { case (_, key) => ordsOk(key) }
           .map { case (m, key) =>
             val pLo = (0 until ndim).map(d =>
-              math.max(bl(d), key(d) * spjNode.chunkShape(d)))
+              math.max(bl(d), chunkStartOf(d, key(d))))
             val pHi = (0 until ndim).map(d =>
-              math.min(bh(d), (key(d) + 1) * spjNode.chunkShape(d)))
+              math.min(bh(d), chunkStartOf(d, key(d) + 1)))
             KeyedValuesPartition(ValuesPartition(
               files.getOrElseUpdate(m, filesOf(m)), node.id, fsConf,
               store.conf, repo.virtualResolver, dtype,
               opts.getOrElse("compression", "raw"), node.chunkShape,
-              node.shape, pLo, pHi), key): InputPartition
+              node.shape, pLo, pHi, chunkSizes = rectSizes), key)
+              : InputPartition
           }.toArray
       }
       // one split can hold thousands of chunks: subdivide its chunk range

@@ -62,6 +62,51 @@ class StoragePartitionedJoinSpec extends SparkTestBase {
     }
   }
 
+  test("rectilinear same-grid arrays join shuffle-free; mismatched rect grids fall back") {
+    val dir = tmpDir("spjrect")
+    val repo = Repository.create(Store.local(dir), spark)
+    val s = repo.writableSession("main")
+    val grid = Seq(Seq(2L, 3L), Seq(4L, 2L))
+    s.addArrayRectilinear("/ra", Seq(5, 6), grid,
+      userData = """{"dtype":"int64"}""")
+    s.addArrayRectilinear("/rb", Seq(5, 6), grid,
+      userData = """{"dtype":"int64"}""")
+    s.addArrayRectilinear("/rc", Seq(5, 6), Seq(Seq(3L, 2L), Seq(4L, 2L)),
+      userData = """{"dtype":"int64"}""")
+    val df = spark.range(30).select(
+      expr("id div 6").as("i0"), expr("id % 6").as("i1"),
+      col("id").as("value"))
+    graft.tensor.TensorPlane.writeValues(s, "/ra", df, "int64")
+    graft.tensor.TensorPlane.writeValues(s, "/rb",
+      df.withColumn("value", col("value") * 7), "int64")
+    graft.tensor.TensorPlane.writeValues(s, "/rc",
+      df.withColumn("value", col("value") * 7), "int64")
+    s.commit("rect spj")
+    val cat = "gspjr" + (System.nanoTime() % 100000)
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.path", dir)
+    withSpj {
+      // same rect grid: the chunk_coord_rect_<sizes> transforms match
+      val j = spark.sql(
+        s"""SELECT sum(abs(a.value - b.value)) AS d, count(*) AS n
+           |FROM $cat.ra a JOIN $cat.rb b
+           |ON a.i0 = b.i0 AND a.i1 = b.i1""".stripMargin)
+      assert(shuffles(j) == 0,
+        j.queryExecution.executedPlan.toString.take(3000))
+      val r = j.head()
+      assert(r.getLong(1) == 30L)
+      assert(r.getLong(0) == (0 until 30).map(id => 6L * id).sum)
+      // different chunk-length tables: canonicalNames differ -> shuffle
+      val m = spark.sql(
+        s"""SELECT sum(a.value + c.value) AS s
+           |FROM $cat.ra a JOIN $cat.rc c
+           |ON a.i0 = c.i0 AND a.i1 = c.i1""".stripMargin)
+      assert(shuffles(m) > 0)
+      assert(m.head().getLong(0) == (0 until 30).map(id => id + id * 7L).sum)
+    }
+  }
+
   test("mismatched chunk grids fall back to a shuffle join, still correct") {
     val (cat, _) = setup()
     withSpj {
