@@ -762,14 +762,14 @@ object TensorPlane {
       throw new GraftException(s"no array at $pathA"))
     val nB = sB.node(pathB).filter(_.isArray).getOrElse(
       throw new GraftException(s"no array at $pathB (B side)"))
-    if (nA.isRectilinear || nB.isRectilinear)
-      throw new GraftException("combine requires regular chunk grids",
-        graft.repo.GraftError.InvalidConfig)
-    if (nA.shape != nB.shape || nA.chunkShape != nB.chunkShape)
+    if (nA.shape != nB.shape || nA.chunkShape != nB.chunkShape ||
+        nA.chunkSizesPerDim != nB.chunkSizesPerDim)
       throw new GraftException(
         s"combine requires identical shape and chunk grid: " +
-          s"${nA.shape.mkString("x")}/${nA.chunkShape.mkString("x")} vs " +
-          s"${nB.shape.mkString("x")}/${nB.chunkShape.mkString("x")}",
+          s"${nA.shape.mkString("x")}/${nA.chunkShape.mkString("x")}" +
+          s"${if (nA.isRectilinear) " (rect)" else ""} vs " +
+          s"${nB.shape.mkString("x")}/${nB.chunkShape.mkString("x")}" +
+          s"${if (nB.isRectilinear) " (rect)" else ""}",
         graft.repo.GraftError.InvalidConfig)
     val ops = Set("add", "sub", "mul", "div", "min", "max")
     if (!ops.contains(op))
@@ -797,15 +797,22 @@ object TensorPlane {
       throw new GraftException(
         s"combine: fractional results cannot land in $outDtype",
         graft.repo.GraftError.InvalidConfig)
-    session.addArray(dstPath, nA.shape, nA.chunkShape, nA.dimNames,
-      userData = s"""{"dtype":"$outDtype"}""")
+    addLike(session, dstPath, nA, outDtype)
     val spark = session.repo.spark
     import spark.implicits._
     val confA = session.repo.store.conf
     val confB = sB.repo.store.conf
     val resolverA = session.repo.virtualResolver
     val resolverB = sB.repo.virtualResolver
-    val cells = nA.chunkShape.product.toInt
+    // per-coord chunk volume: constant on regular grids, table lookup on
+    // rectilinear ones (the closure captures the driver-sized lists)
+    val cellsOf: Seq[Int] => Int =
+      if (!nA.isRectilinear) {
+        val c = nA.chunkShape.product.toInt; _ => c
+      } else {
+        val sizes = nA.chunkSizesPerDim
+        coord => sizes.indices.map(d => sizes(d)(coord(d))).product.toInt
+      }
     def side(s: Session, path: String, tag: String) =
       s.refs(path).select(col("coord"),
         struct(col("kind"), col("inline"), col("chunk_id"),
@@ -825,8 +832,9 @@ object TensorPlane {
            String, Array[Byte], String, String, Long, Long)]
     val refsDf = rows.mapPartitions { it =>
       val store = graft.storage.StoreConf.cached(confA)
-      // decode one side into a full-chunk-shape buffer; absent → fill 0
-      def longsOf(kind: String, inline: Array[Byte], id: String,
+      // decode one side into a full-chunk-volume buffer; absent → fill 0
+      def longsOf(cells: Int, kind: String, inline: Array[Byte],
+                  id: String,
                   loc: String, off: Long, len: Long,
                   conf: graft.storage.StoreConf,
                   res: graft.virt.VirtualChunkResolver): Array[Long] =
@@ -837,7 +845,8 @@ object TensorPlane {
               cacheable = false), compression), dtype)
           if (v.length >= cells) v else java.util.Arrays.copyOf(v, cells)
         }
-      def doublesOf(kind: String, inline: Array[Byte], id: String,
+      def doublesOf(cells: Int, kind: String, inline: Array[Byte],
+                    id: String,
                     loc: String, off: Long, len: Long,
                     conf: graft.storage.StoreConf,
                     res: graft.virt.VirtualChunkResolver): Array[Double] =
@@ -854,10 +863,13 @@ object TensorPlane {
         }
       it.map { case (coord, ak, ai, aid, aloc, aoff, alen,
                      bk, bi, bid, bloc, boff, blen) =>
+        val cells = cellsOf(coord)
         val bytes =
           if (intMath) {
-            val a = longsOf(ak, ai, aid, aloc, aoff, alen, confA, resolverA)
-            val b = longsOf(bk, bi, bid, bloc, boff, blen, confB, resolverB)
+            val a = longsOf(cells, ak, ai, aid, aloc, aoff, alen, confA,
+              resolverA)
+            val b = longsOf(cells, bk, bi, bid, bloc, boff, blen, confB,
+              resolverB)
             val out = new Array[Long](cells)
             var i = 0
             while (i < cells) {
@@ -873,9 +885,9 @@ object TensorPlane {
             ChunkCodec.compress(ChunkCodec.encodeLongs(out, outDtype),
               compression)
           } else {
-            val a = doublesOf(ak, ai, aid, aloc, aoff, alen, confA,
+            val a = doublesOf(cells, ak, ai, aid, aloc, aoff, alen, confA,
               resolverA)
-            val b = doublesOf(bk, bi, bid, bloc, boff, blen, confB,
+            val b = doublesOf(cells, bk, bi, bid, bloc, boff, blen, confB,
               resolverB)
             val out = new Array[Double](cells)
             var i = 0
@@ -928,15 +940,11 @@ object TensorPlane {
                 compression: String = "raw"): Unit = {
     val node = session.node(srcPath).filter(_.isArray).getOrElse(
       throw new GraftException(s"no array at $srcPath"))
-    if (node.isRectilinear)
-      throw new GraftException("mapValues requires a regular chunk grid",
-        graft.repo.GraftError.InvalidConfig)
     val outDtype = Option(dstDtype).getOrElse(
       if (ChunkCodec.IntDtypes.contains(dtype) &&
           scale == math.rint(scale) && offset == math.rint(offset)) dtype
       else "float64")
-    session.addArray(dstPath, node.shape, node.chunkShape, node.dimNames,
-      userData = s"""{"dtype":"$outDtype"}""")
+    addLike(session, dstPath, node, outDtype)
     if (scale == 1.0 && offset == 0.0 && outDtype == dtype) {
       session.stageChunkRefs(dstPath, session.refs(srcPath))
       return
@@ -1024,6 +1032,33 @@ object TensorPlane {
     * adds no rows because the anti-join is empty). Shared by
     * [[mapValues]] and [[mapUnary]].
     */
+  /** Create `dstPath` with `node`'s exact grid (regular or rectilinear)
+    * and the given output dtype — the dst-creation step every per-chunk
+    * transform shares.
+    */
+  private def addLike(session: Session, dstPath: String,
+                      node: graft.meta.NodeSpec, outDtype: String): Unit =
+    if (node.isRectilinear)
+      session.addArrayRectilinear(dstPath, node.shape,
+        node.chunkSizesPerDim, node.dimNames,
+        userData = s"""{"dtype":"$outDtype"}""")
+    else
+      session.addArray(dstPath, node.shape, node.chunkShape, node.dimNames,
+        userData = s"""{"dtype":"$outDtype"}""")
+
+  /** Distinct chunk CELL COUNTS of a grid: one for a regular grid, the
+    * deduped cross product of per-dim distinct chunk lengths for a
+    * rectilinear one (bounded in practice — a grid ragged in one dim has
+    * two counts; a pathological every-size-distinct grid is capped by
+    * the caller).
+    */
+  private def distinctCellCounts(node: graft.meta.NodeSpec): Seq[Long] =
+    if (!node.isRectilinear) Seq(node.chunkShape.product)
+    else node.chunkSizesPerDim.map(_.distinct)
+      .foldLeft(Seq(1L)) { (acc, ds) =>
+        (for (a <- acc; s <- ds) yield a * s).distinct
+      }
+
   private def stageTransformedRefs(session: Session, srcPath: String,
       dstPath: String, node: graft.meta.NodeSpec,
       refsDf: org.apache.spark.sql.DataFrame, fillOut: Double,
@@ -1048,21 +1083,47 @@ object TensorPlane {
         absentCache = Some(absent)
         if (absent.isEmpty) refsDf
         else {
-          val cells = node.chunkShape.product.toInt
-          val constBytes =
-            if (intMath)
-              ChunkCodec.compress(ChunkCodec.encodeLongs(
-                Array.fill(cells)(fillOut.toLong), outDtype), compression)
-            else
-              ChunkCodec.compress(ChunkCodec.encodeDoubles(
-                Array.fill(cells)(fillOut), outDtype), compression)
-          val constId =
-            graft.core.Ids.toBase32(graft.core.Ids.newObjectId())
-          session.repo.store.putBytes(
-            graft.meta.Layout.chunkKey(constId), constBytes)
-          refsDf.union(absent.select(col("coord"),
-            lit(constId).as("chunk_id"),
-            lit(constBytes.length.toLong).as("length")))
+          // one shared constant chunk PER DISTINCT CELL COUNT (regular:
+          // exactly one; rect: one per distinct chunk volume — refuse
+          // degenerate grids rather than upload hundreds of fill blobs)
+          val counts = distinctCellCounts(node)
+          require(counts.size <= 256,
+            s"fill materialization: ${counts.size} distinct chunk " +
+              "volumes — rechunk to a regular grid first")
+          val constByCells: Map[Long, (String, Long)] = counts.map { c =>
+            val bytes =
+              if (intMath)
+                ChunkCodec.compress(ChunkCodec.encodeLongs(
+                  Array.fill(c.toInt)(fillOut.toLong), outDtype),
+                  compression)
+              else
+                ChunkCodec.compress(ChunkCodec.encodeDoubles(
+                  Array.fill(c.toInt)(fillOut), outDtype), compression)
+            val id = graft.core.Ids.toBase32(graft.core.Ids.newObjectId())
+            session.repo.store.putBytes(
+              graft.meta.Layout.chunkKey(id), bytes)
+            c -> (id, bytes.length.toLong)
+          }.toMap
+          if (!node.isRectilinear) {
+            val (constId, constLen) = constByCells(counts.head)
+            refsDf.union(absent.select(col("coord"),
+              lit(constId).as("chunk_id"), lit(constLen).as("length")))
+          } else {
+            // per-coord chunk volume from the literal size tables, then
+            // a broadcast map to the matching constant chunk
+            val sizes = node.chunkSizesPerDim
+            val cellsExpr = sizes.indices.map(d =>
+              element_at(typedLit(sizes(d)),
+                element_at(col("coord"), d + 1) + 1)).reduce(_ * _)
+            import spark.implicits._
+            val constDf = broadcast(constByCells.toSeq
+              .map { case (c, (id, len)) => (c, id, len) }
+              .toDF("_cells", "chunk_id", "length"))
+            refsDf.union(absent
+              .withColumn("_cells", cellsExpr)
+              .join(constDf, Seq("_cells"))
+              .select(col("coord"), col("chunk_id"), col("length")))
+          }
         }
       }
     val stagingKey = graft.meta.Layout.stagingPrefix(
@@ -1112,9 +1173,6 @@ object TensorPlane {
           "silently ignore them)", graft.repo.GraftError.InvalidConfig)
     val node = session.node(srcPath).filter(_.isArray).getOrElse(
       throw new GraftException(s"no array at $srcPath"))
-    if (node.isRectilinear)
-      throw new GraftException("mapUnary requires a regular chunk grid",
-        graft.repo.GraftError.InvalidConfig)
     val isInt = ChunkCodec.IntDtypes.contains(dtype)
     val intMath = isInt && op != "sqrt" &&
       (op != "clip" ||
@@ -1124,8 +1182,7 @@ object TensorPlane {
     // wrap (encodeLongs truncates to the target width)
     val outDtype =
       if (op == "sqrt") "float64" else if (intMath) "int64" else "float64"
-    session.addArray(dstPath, node.shape, node.chunkShape, node.dimNames,
-      userData = s"""{"dtype":"$outDtype"}""")
+    addLike(session, dstPath, node, outDtype)
     val fillOut = op match {
       case "clip" => math.min(math.max(0.0, lo), hi)
       case _ => 0.0

@@ -99,6 +99,55 @@ class RectilinearSpec extends SparkTestBase {
     assert(st.getDouble(2) == vals.min && st.getDouble(3) == vals.max)
   }
 
+  test("rectilinear map algebra: mapValues offset-fill, mapUnary, combine") {
+    import org.apache.spark.sql.functions.expr
+    val repo = Repository.create(Store.local(tmpDir("repo")), spark)
+    val s = repo.writableSession("main")
+    // 1-D rect [3,5,2]; chunk 1 (the 5-cell one) left ABSENT so the
+    // offset-fill path must materialize a 5-cell constant chunk (and a
+    // 3-cell/2-cell volume is never confused with it)
+    s.addArrayRectilinear("/m", Seq(10), Seq(Seq(3L, 5L, 2L)),
+      userData = """{"dtype":"int64"}""")
+    s.writeChunk("/m", Seq(0),
+      ChunkCodec.encodeLongs(Array(1L, 2, 3), "int64"))
+    s.writeChunk("/m", Seq(2),
+      ChunkCodec.encodeLongs(Array(-8L, 9), "int64"))
+    // affine with offset: absent chunk reads as 0*2+10 = 10
+    TensorPlane.mapValues(s, "/m", "/m2", scale = 2.0, offset = 10.0,
+      dtype = "int64")
+    // unary abs into another array
+    TensorPlane.mapUnary(s, "/m", "/mabs", "abs", "int64")
+    // binary combine of the two rect arrays (same grid)
+    TensorPlane.combine(s, "/m2", "/mabs", "/msum", "add", "int64")
+    s.commit("rect algebra")
+    val ro = repo.readonlySession(VersionRef.Branch("main"))
+    def valuesOf(p: String): Map[Long, Long] =
+      TensorPlane.values(ro, p, "int64").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val base = Map(0L -> 1L, 1L -> 2L, 2L -> 3L, 3L -> 0L, 4L -> 0L,
+      5L -> 0L, 6L -> 0L, 7L -> 0L, 8L -> -8L, 9L -> 9L)
+    val m2 = valuesOf("/m2")
+    assert(m2 == base.map { case (k, v) => k -> (v * 2 + 10) }, m2)
+    // abs maps fill 0 -> 0, so the absent rect chunk STAYS absent
+    // (sparse stays sparse); only present cells read back
+    val mabs = valuesOf("/mabs")
+    assert(mabs == base.filter(k => k._1 <= 2 || k._1 >= 8)
+      .map { case (k, v) => k -> math.abs(v) }, mabs)
+    val msum = valuesOf("/msum")
+    assert(msum == base.map { case (k, v) =>
+      k -> (v * 2 + 10 + math.abs(v)) }, msum)
+    // dst grids mirror the source's rect grid
+    assert(ro.node("/m2").get.chunkSizesPerDim == Seq(Seq(3L, 5L, 2L)))
+    assert(ro.node("/msum").get.chunkSizesPerDim == Seq(Seq(3L, 5L, 2L)))
+    // mismatched rect grids still refuse combine by name
+    val s2 = repo.writableSession("main")
+    s2.addArrayRectilinear("/other", Seq(10), Seq(Seq(5L, 3L, 2L)),
+      userData = """{"dtype":"int64"}""")
+    val e = intercept[GraftException](
+      TensorPlane.combine(s2, "/m", "/other", "/bad", "add", "int64"))
+    assert(e.getMessage.contains("identical shape and chunk grid"))
+  }
+
   test("2-D rectilinear through the zarr.json surface") {
     val repo = Repository.create(Store.local(tmpDir("repo")), spark)
     val zs = new ZarrStore(repo.writableSession("main"))
