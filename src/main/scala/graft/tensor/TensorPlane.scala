@@ -148,9 +148,8 @@ object TensorPlane {
       throw new GraftException(s"no array at $path (new version)"))
     val nodeO = oldSession.node(path).filter(_.isArray).getOrElse(
       throw new GraftException(s"no array at $path (old version)"))
-    if (nodeN.isRectilinear || nodeO.isRectilinear)
-      throw new GraftException("valueDiff requires a regular chunk grid")
-    if (nodeN.chunkShape != nodeO.chunkShape)
+    if (nodeN.chunkShape != nodeO.chunkShape ||
+        nodeN.chunkSizesPerDim != nodeO.chunkSizesPerDim)
       throw new GraftException(
         s"valueDiff requires both versions to share the chunk grid " +
           s"(${nodeO.chunkShape.mkString("x")} vs " +
@@ -167,7 +166,9 @@ object TensorPlane {
         bytesOf("o"), bytesOf("n"), dtype, compression)).as("e"))
       .select(col("coord"), col("e.pos").as("pos"),
         col("e.old").as("_ov"), col("e.new").as("_nv"))
-    val withIdx = regularIndex(exploded, nodeN, ndim)
+    val withIdx =
+      if (!nodeN.isRectilinear) regularIndex(exploded, nodeN, ndim)
+      else rectIndex(exploded, nodeN, ndim)
     val bounded = (0 until ndim).foldLeft(withIdx) { case (df, i) =>
       df.filter(col(s"i$i") <
         math.max(nodeO.shape(i), nodeN.shape(i)))

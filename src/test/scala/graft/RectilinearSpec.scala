@@ -146,6 +146,20 @@ class RectilinearSpec extends SparkTestBase {
     val e = intercept[GraftException](
       TensorPlane.combine(s2, "/m", "/other", "/bad", "add", "int64"))
     assert(e.getMessage.contains("identical shape and chunk grid"))
+    // value-plane snapshot diff across rect versions: one changed cell
+    // decodes one chunk pair and emits one row
+    val s3 = repo.writableSession("main")
+    s3.writeChunk("/m", Seq(0),
+      ChunkCodec.encodeLongs(Array(1L, 99, 3), "int64"))
+    s3.commit("patch")
+    val roNew = repo.readonlySession(VersionRef.Branch("main"))
+    val d = TensorPlane.valueDiff(ro, roNew, "/m", "int64").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(d.toSeq == Seq((1L, 2L, 99L)), d.toSeq)
+    // histogram on rect is exact (rect chunks tile exactly, no padding)
+    val h = TensorPlane.histogram(roNew, "/m", "int64", -10, 110, 12)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(h == Map(0L -> 1L, 1L -> 3L, 10L -> 1L), h)
   }
 
   test("2-D rectilinear through the zarr.json surface") {
