@@ -277,6 +277,30 @@ object Bench {
       entry("engine_merge_branch") {
         repo.mergeBranch("mb", "main")
       }
+      // merge touching MANY arrays: 100 small arrays each edited on the
+      // branch — the chunk staging must plan ONE batched job, not 100
+      // serial per-array joins (flat vs array count is the contract)
+      locally { // setup (untimed)
+        val s = repo.writableSession("main")
+        (0 until 100).foreach { i =>
+          s.addArray(s"/many/a$i", Seq(64), Seq(8))
+          s.writeChunk(s"/many/a$i", Seq(0), Array[Byte](i.toByte))
+        }
+        val base = s.commit("many arrays")
+        repo.createBranch("mba", base)
+        val f = repo.writableSession("mba")
+        (0 until 100).foreach { i =>
+          f.writeChunk(s"/many/a$i", Seq(1), Array[Byte]((i + 1).toByte))
+          f.writeChunk(s"/many/a$i", Seq(0), Array[Byte]((i + 2).toByte))
+        }
+        f.commit("branch edits everywhere")
+        val m = repo.writableSession("main")
+        m.writeChunk("/many/a0", Seq(7), Array[Byte](9))
+        m.commit("main delta 2")
+      }
+      entry("engine_merge_many_arrays") {
+        repo.mergeBranch("mba", "main")
+      }
       // small-commit latency: 10 sequential point-edit commits (the
       // interactive write pattern — driver-side precedence/split fast
       // path, no per-flush window shuffle)

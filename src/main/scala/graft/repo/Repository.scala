@@ -430,9 +430,7 @@ final class Repository private (
         .filter(col("edit") === EditRow.Chunk &&
           col("path").isin(stagePaths: _*))
         .select("path", "coord").distinct()
-      val srcRefs = stagePaths.map { p =>
-        srcSess.refs(p).withColumn("path", lit(p))
-      }.reduce(_ unionByName _)
+      val srcRefs = srcSess.refsBatch(stagePaths)
         .select("path", "coord", "kind", "inline", "chunk_id", "location",
           "offset", "length", "etag", "last_modified")
       val present = srcRefs.join(coords, Seq("path", "coord"), "left_semi")

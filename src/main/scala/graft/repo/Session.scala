@@ -463,6 +463,37 @@ final class Session private[repo] (
     overlayChanges(n, committed)
   }
 
+  /** [[refs]] for MANY arrays as ONE relation with a `path` column: the
+    * committed reads group per manifest FILE (`Assets.committedRefs`),
+    * so a hundred arrays written by one commit plan a handful of scan
+    * legs — not one leg per array (a per-path `refs(p)` union builds a
+    * plan Catalyst takes tens of seconds to analyze at 100 arrays; this
+    * is the batched read under [[graft.repo.Repository.mergeBranch]]).
+    */
+  def refsBatch(paths: Seq[String]): DataFrame = {
+    val ns = paths.distinct.map(arrayNode)
+    val ids = ns.map(_.id)
+    val keep = ids.filterNot(changeSet.rewrittenNodes.contains)
+    val committed = assets.committedRefs(baseSnapshot, keep).drop("split")
+    val overlaid =
+      if (!changeSet.hasChunkChanges)
+        committed.filter(col("node_id").isin(ids: _*))
+      else {
+        val changes = changeSet.chunkChanges(spark)
+          .filter(col("node_id").isin(ids: _*))
+        committed.filter(col("node_id").isin(ids: _*))
+          .join(changes.select("node_id", "coord"),
+            Seq("node_id", "coord"), "left_anti")
+          .unionByName(changes)
+          .filter(col("kind") =!= ChunkRef.KindDelete)
+      }
+    val sp = overlaid.sparkSession
+    import sp.implicits._
+    overlaid.join(
+      broadcast(ns.map(n => (n.id, n.path)).toDF("node_id", "path")),
+      Seq("node_id"))
+  }
+
   /** [[refs]] restricted to a chunk-coordinate bounding box (inclusive per
     * dim): manifest splits whose extents don't overlap are '''never
     * read''' — the all-dim plan-time pruning of `ManifestExtents`
