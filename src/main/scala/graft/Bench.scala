@@ -503,6 +503,35 @@ object Bench {
           catch { case _: Throwable => () }
         }
       }
+      // rect-destination concat of the 1 GiB cube with a rect tail:
+      // pure ref relabeling — at 100 TB the concat cost is one metadata
+      // pass, payload bytes never move
+      entry("engine_rect_concat_1g") {
+        val s = repo.writableSession("main")
+        s.addArrayRectilinear("/cube_tail",
+          Seq(6L, cube.toLong, cube.toLong),
+          Seq(Seq(6L), Seq(cube.toLong), Seq(cube.toLong)),
+          userData = """{"dtype":"int64"}""")
+        s.writeChunk("/cube_tail", Seq(0, 0, 0),
+          graft.functions.ChunkCodec.encodeLongs(
+            Array.tabulate(6 * cube * cube)(i => (i * 7L) % 1000 - 500),
+            "int64"))
+        graft.tensor.TensorPlane.concat(s, Seq("/cube", "/cube_tail"),
+          "/cube_cat", axis = 0, "int64")
+        s.commit("rect concat")
+      }
+      // DSv2 slice read of the ~1 GiB RECTILINEAR destination crossing
+      // the concat seam: per-dim start-table pruning keeps the scan to
+      // the two boundary chunk rows, not the array
+      entry("engine_rect_slice_read") {
+        val v = spark.read.format("graft-v2")
+          .option("path", dir.toString).option("array", "/cube_cat")
+          .option("mode", "values").option("dtype", "int64").load()
+        val res = v.filter(col("i0") >= (cube - 4).toLong &&
+            col("i0") < (cube + 2).toLong)
+          .agg(count(lit(1)), sum(col("value"))).head()
+        assert(res.getLong(0) == 6L * cube * cube, "rect slice cells")
+      }
       // full-array regrid: (4,c,c) chunks -> (8,c/2,c/2) — the rechunk
       // job's shuffle carries ONLY the (src,dst) coord relation (bytes
       // per chunk); payloads move as object-store reads on the

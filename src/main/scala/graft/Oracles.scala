@@ -901,6 +901,21 @@ object Oracles {
         |  CAST(max(v) AS BIGINT) AS vmax
         |FROM cells GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // rect-fallback concat (ragged regular + rectilinear → rect dest,
+    // tail truncation) then a rect append: cells recomputed closed-form
+    "q_rect_concat" ->
+      """WITH cells AS (
+        |  SELECT range AS i,
+        |    CASE WHEN range < 2500 THEN (range * 3) % 1000 - 500
+        |         WHEN range < 5500 THEN ((range - 2500) * 11) % 997 - 498
+        |         ELSE ((range - 5500) * 5) % 991 - 495 END AS v
+        |  FROM range(6000))
+        |SELECT i // 500 AS blk, count(*) AS n,
+        |  CAST(sum(v) AS BIGINT) AS total,
+        |  CAST(min(v) AS BIGINT) AS vmin,
+        |  CAST(max(v) AS BIGINT) AS vmax
+        |FROM cells GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // tensor map algebra: v = 2*(a*b) - 1 with b's chunks 10..19 absent
     // (fill 0) — recomputed cell-by-cell from the closed forms
     "q_tensor_binop" ->

@@ -1473,6 +1473,56 @@ object Queries {
         .orderBy("chunk_id"))
   }
 
+  /** Rect-destination concat + rect append end-to-end: a RAGGED regular
+    * source (tail chunk stored PADDED) concatenated with a rectilinear
+    * source forces the rect fallback — the destination's axis
+    * chunk-length table is the sources' tables laid end to end, and the
+    * regular tail chunk is prefix-truncated to exact extent — then
+    * `appendValues` grows the rect chunk table with explicit sizes.
+    * DuckDB recomputes every cell from the closed forms, so a single
+    * mis-truncated or mis-shifted cell breaks a block rollup.
+    */
+  val q_rect_concat: Q = (s, _) => {
+    val dir = java.nio.file.Files.createTempDirectory("graft-q-rectcat")
+    val repo = graft.repo.Repository.create(
+      graft.storage.Store.local(dir.toString), s)
+    val w = repo.writableSession("main")
+    w.addArray("/a", Seq(2500L), Seq(1000L))
+    for (c <- 0 until 3)
+      w.writeChunk("/a", Seq(c), graft.functions.ChunkCodec.encodeLongs(
+        Array.tabulate(1000) { i =>
+          val g = c * 1000L + i
+          if (g < 2500) (g * 3) % 1000 - 500 else -1L
+        }, "int64"))
+    val bSizes = Seq(700L, 1300L, 1000L)
+    w.addArrayRectilinear("/b", Seq(3000L), Seq(bSizes))
+    var start = 0L
+    bSizes.zipWithIndex.foreach { case (len, c) =>
+      w.writeChunk("/b", Seq(c), graft.functions.ChunkCodec.encodeLongs(
+        Array.tabulate(len.toInt)(i => ((start + i) * 11) % 997 - 498),
+        "int64"))
+      start += len
+    }
+    w.commit("init")
+    val t = repo.writableSession("main")
+    graft.tensor.TensorPlane.concat(t, Seq("/a", "/b"), "/ab", axis = 0,
+      "int64")
+    t.commit("concat")
+    val ap = repo.writableSession("main")
+    val tail = s.range(0, 500).select(col("id").as("i0"),
+      (col("id") * 5 % 991 - 495).as("value"))
+    graft.tensor.TensorPlane.appendValues(ap, "/ab", tail, dim = 0,
+      "int64", appendChunkSizes = Seq(200L, 300L))
+    ap.commit("append")
+    val ro = repo.readonlySession(graft.repo.VersionRef.Branch("main"))
+    finishFixture(dir,
+      graft.tensor.TensorPlane.values(ro, "/ab", "int64")
+        .groupBy(expr("i0 div 500").as("blk"))
+        .agg(count(lit(1)).as("n"), sum("value").as("total"),
+          min("value").as("vmin"), max("value").as("vmax"))
+        .orderBy("blk"))
+  }
+
   /** REAL tensor map algebra end-to-end: two closed-form int64 arrays
     * (b missing chunks 10..19 — the absent side reads as fill 0),
     * `a * b` via [[graft.tensor.TensorPlane.combine]] (ref-relation
@@ -1621,6 +1671,7 @@ object Queries {
     "q_rectilinear_scan" -> q_rectilinear_scan,
     "q_transpose" -> q_transpose,
     "q_concat" -> q_concat,
+    "q_rect_concat" -> q_rect_concat,
     "q_tensor_binop" -> q_tensor_binop,
     "q_tensor_unary" -> q_tensor_unary,
     "q_histogram" -> q_histogram,

@@ -19,6 +19,14 @@ object ChunkCodec {
   val IntDtypes = Set("int8", "int16", "int32", "int64")
   val FloatDtypes = Set("float32", "float64")
 
+  /** Bytes per element of a dtype. */
+  def dtypeWidth(dtype: String): Int = dtype match {
+    case "int8" => 1
+    case "int16" => 2
+    case "int32" | "float32" => 4
+    case _ => 8
+  }
+
   def decompress(bytes: Array[Byte], compression: String): Array[Byte] =
     compression match {
       case "raw" | null | "" => bytes

@@ -54,10 +54,51 @@ final case class NodeSpec(
   def validCoord(coord: Seq[Int]): Boolean =
     coord.size == numChunksPerDim.size &&
       coord.zip(numChunksPerDim).forall { case (c, n) => c >= 0 && c < n }
+
+  /** Chunk lengths along dim `d` as an explicit list, regular or
+    * rectilinear — the common currency for grid-compatibility checks
+    * (concat off-axis match, rect destinations built from regular
+    * sources). A regular dim expands to full chunks plus the remainder
+    * tail; note the STORED buffer of a regular tail chunk is padded to
+    * the full chunk shape, so callers relabeling regular refs into a
+    * rectilinear grid must handle the padded-vs-exact layout (see
+    * TensorPlane.concat).
+    */
+  def effectiveChunkSizes(d: Int): Seq[Long] =
+    if (isRectilinear) chunkSizesPerDim(d)
+    else {
+      val c = chunkShape(d)
+      val full = shape(d) / c
+      val rem = shape(d) % c
+      Seq.fill(full.toInt)(c) ++ (if (rem > 0) Seq(rem) else Nil)
+    }
 }
 object NodeSpec {
   val Group = "group"
   val Array = "array"
+}
+
+/** Rectilinear chunk-grid geometry (store.rs:1158-1241) — the ONE
+  * element→chunk lookup shared by the catalog's SPJ bound function,
+  * the DSv2 partition planner/enumerator, and TensorPlane region
+  * reads. Storage-partitioned-join co-partitioning requires the bound
+  * function's value and the scan's partition key to agree bit-for-bit,
+  * so this math must never fork.
+  */
+object RectGrid {
+  /** Per-dim global start offsets: prefix sums of the chunk lengths. */
+  def starts(sizes: Seq[Long]): Array[Long] =
+    sizes.scanLeft(0L)(_ + _).dropRight(1).toArray
+
+  /** Chunk index containing element `e` (callers pass `e >= 0`; handle
+    * negatives before the call). Elements at or past the array end
+    * clamp to the last chunk.
+    */
+  def chunkOf(starts: Array[Long], e: Long): Long = {
+    var i = java.util.Arrays.binarySearch(starts, e)
+    if (i < 0) i = -i - 2
+    math.min(starts.length - 1, i).toLong
+  }
 }
 
 /** Pointer from an array node to one split of a manifest Parquet dataset,

@@ -197,6 +197,34 @@ final class Session private[repo] (
     spec
   }
 
+  /** Update a rectilinear array's shape + chunk-length tables in place —
+    * the rect analog of [[updateArray]] (grows for append_dim; shrinks
+    * drop out-of-bounds chunks at flush like the regular path).
+    */
+  def updateArrayRectilinear(path: String, shape: Seq[Long],
+                             chunkSizesPerDim: Seq[Seq[Long]],
+                             dimNames: Seq[String] = Nil,
+                             userData: String = null): NodeSpec = {
+    requireWritable()
+    requireNotMoveOnly()
+    val cur = arrayNode(path)
+    if (!cur.isRectilinear) throw new GraftException(
+      s"update_array_rectilinear on a regular grid (${cur.path}) — " +
+        "use update_array")
+    require(shape.size == chunkSizesPerDim.size, "rank mismatch")
+    shape.zip(chunkSizesPerDim).foreach { case (len, sizes) =>
+      require(sizes.nonEmpty && sizes.forall(_ > 0) && sizes.sum == len,
+        s"chunk sizes ${sizes.mkString(",")} do not tile dim of length $len")
+    }
+    val spec = cur.copy(shape = shape, chunkSizesPerDim = chunkSizesPerDim,
+      dimNames = if (dimNames.isEmpty) cur.dimNames else dimNames,
+      userData = Option(userData).getOrElse(cur.userData))
+    if (changeSet.newNodes.contains(cur.path))
+      changeSet.newNodes.put(cur.path, spec)
+    else changeSet.updatedNodes.put(cur.path, spec)
+    spec
+  }
+
   def updateGroup(path: String, userData: String): NodeSpec = {
     requireWritable()
     requireNotMoveOnly()
@@ -448,12 +476,14 @@ final class Session private[repo] (
     * fsck's coverage check. One distributed distinct over the ref
     * relations; result size = #distinct locations.
     */
-  def allVirtualChunkLocations(): Seq[String] =
-    nodes.filter(_.isArray).flatMap { n =>
-      refs(n.path).filter(col("kind") === ChunkRef.KindVirtual)
-        .select("location").distinct()
-        .collect().map(_.getString(0))
-    }.distinct.sorted
+  def allVirtualChunkLocations(): Seq[String] = {
+    val arrays = nodes.filter(_.isArray)
+    if (arrays.isEmpty) Nil
+    else refsBatch(arrays.map(_.path))
+      .filter(col("kind") === ChunkRef.KindVirtual)
+      .select("location").distinct()
+      .collect().map(_.getString(0)).toSeq.sorted
+  }
 
   def refs(path: String): DataFrame = {
     val n = arrayNode(path)
@@ -475,18 +505,7 @@ final class Session private[repo] (
     val ids = ns.map(_.id)
     val keep = ids.filterNot(changeSet.rewrittenNodes.contains)
     val committed = assets.committedRefs(baseSnapshot, keep).drop("split")
-    val overlaid =
-      if (!changeSet.hasChunkChanges)
-        committed.filter(col("node_id").isin(ids: _*))
-      else {
-        val changes = changeSet.chunkChanges(spark)
-          .filter(col("node_id").isin(ids: _*))
-        committed.filter(col("node_id").isin(ids: _*))
-          .join(changes.select("node_id", "coord"),
-            Seq("node_id", "coord"), "left_anti")
-          .unionByName(changes)
-          .filter(col("kind") =!= ChunkRef.KindDelete)
-      }
+    val overlaid = overlayChanges(ids, committed)
     val sp = overlaid.sparkSession
     import sp.implicits._
     overlaid.join(
@@ -520,21 +539,33 @@ final class Session private[repo] (
   }
 
   private def overlayChanges(n: NodeSpec, committed: DataFrame): DataFrame =
-    if (!changeSet.hasChunkChanges) committed.filter(col("node_id") === n.id)
+    overlayChanges(Seq(n.id), committed)
+
+  /** Changeset precedence over committed rows (the caller's `committed`
+    * is already restricted to `ids` — `Assets.committedRefs` /
+    * `refsOfSplits` filter by node id): staged edits win via anti-join
+    * on (node_id, coord), then tombstones drop. The ONE read-path merge
+    * shared by [[refs]], [[refsBounded]] and [[refsBatch]] — keep it
+    * single-sourced so the batched and per-array reads cannot diverge.
+    */
+  private def overlayChanges(ids: Seq[String], committed: DataFrame): DataFrame =
+    if (!changeSet.hasChunkChanges) committed
     else {
       val changes = changeSet.chunkChanges(spark)
-        .filter(col("node_id") === n.id)
+        .filter(col("node_id").isin(ids: _*))
       committed.join(changes.select("node_id", "coord"),
           Seq("node_id", "coord"), "left_anti")
         .unionByName(changes)
         .filter(col("kind") =!= ChunkRef.KindDelete)
     }
 
-  /** All refs across all arrays (`all_chunks`, session.rs:1429). */
+  /** All refs across all arrays (`all_chunks`, session.rs:1429) — one
+    * batched relation, not a per-array union (see [[refsBatch]]).
+    */
   def allRefs(): DataFrame = {
     val arrays = nodes.filter(_.isArray)
     if (arrays.isEmpty) assets.emptyRefs().drop("split")
-    else arrays.map(a => refs(a.path)).reduce(_ unionByName _)
+    else refsBatch(arrays.map(_.path)).drop("path")
   }
 
   /** `chunk_coordinates(path)` (session.rs:1450-1487). */

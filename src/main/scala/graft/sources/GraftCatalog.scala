@@ -627,8 +627,7 @@ private[sources] class ChunkCoordRectFunction(sizes: Seq[Long])
 
 private[sources] class ChunkCoordRectBoundFunction(sizes: Seq[Long])
     extends ScalarFunction[java.lang.Long] {
-  private val starts: Array[Long] =
-    sizes.scanLeft(0L)(_ + _).dropRight(1).toArray
+  private val starts: Array[Long] = graft.meta.RectGrid.starts(sizes)
   override def inputTypes(): Array[DataType] = Array(LongType)
   override def resultType(): DataType = LongType
   override def name(): String = ChunkCoordFunction.rectName(sizes)
@@ -638,9 +637,7 @@ private[sources] class ChunkCoordRectBoundFunction(sizes: Seq[Long])
   override def produceResult(input: InternalRow): java.lang.Long = {
     val e = input.getLong(0)
     if (e < 0) return -1L
-    var i = java.util.Arrays.binarySearch(starts, e)
-    if (i < 0) i = -i - 2
-    math.min(starts.length - 1, i).toLong
+    graft.meta.RectGrid.chunkOf(starts, e)
   }
 }
 

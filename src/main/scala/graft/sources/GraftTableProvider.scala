@@ -232,7 +232,7 @@ object GraftTableProvider {
       else if (rectSizes.nonEmpty) {
         // rectilinear: aligned means lo/hi land on the grid's actual
         // chunk-start offsets (the division test has no meaning here)
-        val starts = rectSizes(d).scanLeft(0L)(_ + _).dropRight(1)
+        val starts = graft.meta.RectGrid.starts(rectSizes(d))
         val loIdx = starts.indexOf(lo(d))
         val hiIdx =
           if (hi(d) == shape(d)) starts.length - 1
@@ -751,7 +751,10 @@ class GraftScan(opts: Map[String, String], lo: Map[Int, Long],
     * index columns then plan with NO shuffle on either side — the
     * chunk-diff / mask-apply / two-variable-combine family at 100 TB.
     * Falls back (None) beyond [[GraftScan.SpjMaxPartitions]] chunks per
-    * scan, for rectilinear grids, and under a pushed aggregation.
+    * scan and under a pushed aggregation. Rectilinear grids participate
+    * when every dim has at most [[GraftScan.RectSpjMaxChunksPerDim]]
+    * chunks (the per-dim start table ships inside the bound-function
+    * name); larger rect grids fall back to a shuffled join.
     */
   private lazy val spjInfo: Option[(graft.meta.NodeSpec,
       Seq[(graft.meta.ManifestRef, Array[Long])])] =
@@ -789,15 +792,10 @@ class GraftScan(opts: Map[String, String], lo: Map[Int, Long],
     val rectStarts: IndexedSeq[Array[Long]] =
       if (!node.isRectilinear) IndexedSeq.empty
       else node.chunkSizesPerDim.toIndexedSeq
-        .map(s => s.scanLeft(0L)(_ + _).dropRight(1).toArray)
+        .map(graft.meta.RectGrid.starts)
     def e2c(d: Int, e: Long): Long =
       if (rectStarts.isEmpty) e / node.chunkShape(d)
-      else {
-        val st = rectStarts(d)
-        var i = java.util.Arrays.binarySearch(st, math.max(0L, e))
-        if (i < 0) i = -i - 2
-        math.min(st.length - 1, i).toLong
-      }
+      else graft.meta.RectGrid.chunkOf(rectStarts(d), math.max(0L, e))
     val cLoB = (0 until ndim).map(d => e2c(d, bl(d)))
     val cHiB = (0 until ndim).map(d => e2c(d, bh(d) - 1))
     val seen = scala.collection.mutable.LinkedHashSet[Seq[Long]]()
@@ -882,16 +880,11 @@ class GraftScan(opts: Map[String, String], lo: Map[Int, Long],
     val rectSizes: Seq[Seq[Long]] =
       if (node.isRectilinear) node.chunkSizesPerDim else Nil
     val rectStarts: IndexedSeq[Array[Long]] = rectSizes.toIndexedSeq
-      .map(s => s.scanLeft(0L)(_ + _).dropRight(1).toArray)
+      .map(graft.meta.RectGrid.starts)
     def elemToChunk(d: Int, e: Long): Long =
       if (rectSizes.isEmpty) e / node.chunkShape.lift(d).getOrElse(1L)
       else if (e < 0) -1L
-      else {
-        val st = rectStarts(d)
-        var i = java.util.Arrays.binarySearch(st, e)
-        if (i < 0) i = -i - 2
-        math.min(st.length - 1, i).toLong
-      }
+      else graft.meta.RectGrid.chunkOf(rectStarts(d), e)
     /** Global element offset where chunk `c` of dim `d` starts (the
       * array length for one-past-the-last).
       */
@@ -1288,7 +1281,7 @@ private[sources] final class ValuesChunkCursor(part: ValuesPartition,
     else part.chunkSizes.map(_.toArray).toArray
   private val rectStarts: Array[Array[Long]] =
     if (rectSizes == null) null
-    else rectSizes.map(s => s.scanLeft(0L)(_ + _).dropRight(1))
+    else rectSizes.map(s => graft.meta.RectGrid.starts(s.toSeq))
   private val gridStridesArr: Array[Long] =
     // ord strides over the CHUNK GRID; rect dims come from the explicit
     // per-dim chunk counts, regular from ceil(shape/chunk)

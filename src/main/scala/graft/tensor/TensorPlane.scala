@@ -200,7 +200,7 @@ object TensorPlane {
   private def rectIndex(exploded: DataFrame, node: graft.meta.NodeSpec,
                         ndim: Int): DataFrame = {
     val sizes = node.chunkSizesPerDim
-    val starts = sizes.map(_.scanLeft(0L)(_ + _).dropRight(1))
+    val starts = sizes.map(s => graft.meta.RectGrid.starts(s).toSeq)
     var df = exploded
     for (i <- 0 until ndim)
       df = df.withColumn(s"_e$i", element_at(typedLit(sizes(i)),
@@ -227,13 +227,9 @@ object TensorPlane {
       }
     else bounds.zip(node.chunkSizesPerDim).map { case ((lo, hi), sizes) =>
       require(lo >= 0 && hi > lo, s"bad bounds [$lo, $hi)")
-      val starts = sizes.scanLeft(0L)(_ + _).dropRight(1)
-      def chunkOf(e: Long): Int = {
-        var c = starts.length - 1
-        while (c > 0 && starts(c) > e) c -= 1
-        c
-      }
-      (chunkOf(lo), chunkOf(hi - 1))
+      val starts = graft.meta.RectGrid.starts(sizes)
+      (graft.meta.RectGrid.chunkOf(starts, lo).toInt,
+        graft.meta.RectGrid.chunkOf(starts, hi - 1).toInt)
     }
   }
 
@@ -329,24 +325,51 @@ object TensorPlane {
   /** Append a (i0..iN, value) DataFrame along one dimension
     * (`append_dim`, xarray.py:253-276): grows the array shape by the
     * incoming extent along `dim`, shifts the incoming indices to start at
-    * the old boundary, and writes. The incoming extent must be
-    * chunk-aligned on `dim` unless it is the final ragged tail — the
-    * aligned-write check of xarray.py:277-298.
+    * the old boundary, and writes. Regular grids require the EXISTING
+    * length to be chunk-aligned on `dim` (the aligned-write check of
+    * xarray.py:277-298). Rectilinear grids are aligned by construction:
+    * the append extends the dim's chunk-length table — explicitly via
+    * `appendChunkSizes` (must tile the appended extent), else repeating
+    * the last chunk length with a remainder tail.
     */
   def appendValues(session: Session, path: String, values: DataFrame,
                    dim: Int, dtype: String,
-                   compression: String = "raw"): Unit = {
+                   compression: String = "raw",
+                   appendChunkSizes: Seq[Long] = Nil): Unit = {
     val node = session.node(path).filter(_.isArray).getOrElse(
       throw new GraftException(s"no array at $path"))
-    if (node.isRectilinear) throw new GraftException(
-      "append_dim requires a regular chunk grid")
     val oldLen = node.shape(dim)
-    if (oldLen % node.chunkShape(dim) != 0) throw new GraftException(
-      s"cannot append along dim $dim: existing length $oldLen is not " +
-        s"chunk-aligned (${node.chunkShape(dim)}) — the tail chunk is ragged")
     val extent = values.agg(max(col(s"i$dim"))).head().getLong(0) + 1
     val newShape = node.shape.updated(dim, oldLen + extent)
-    session.updateArray(path, newShape, node.chunkShape)
+    if (node.isRectilinear) {
+      // a rect grid is chunk-aligned by construction (the size table
+      // tiles the shape exactly) — append extends the table along `dim`.
+      // New chunk sizes: explicit from the caller, else repeat the last
+      // existing size with a remainder tail (stays rect-exact).
+      val newSizes: Seq[Long] =
+        if (appendChunkSizes.nonEmpty) {
+          require(appendChunkSizes.forall(_ > 0) &&
+            appendChunkSizes.sum == extent,
+            s"append chunk sizes ${appendChunkSizes.mkString(",")} do " +
+              s"not tile the appended extent $extent")
+          appendChunkSizes
+        } else {
+          val c = node.chunkSizesPerDim(dim).last
+          val full = extent / c
+          val rem = extent % c
+          Seq.fill(full.toInt)(c) ++ (if (rem > 0) Seq(rem) else Nil)
+        }
+      session.updateArrayRectilinear(path, newShape,
+        node.chunkSizesPerDim.updated(dim,
+          node.chunkSizesPerDim(dim) ++ newSizes))
+    } else {
+      require(appendChunkSizes.isEmpty,
+        "appendChunkSizes only applies to rectilinear grids")
+      if (oldLen % node.chunkShape(dim) != 0) throw new GraftException(
+        s"cannot append along dim $dim: existing length $oldLen is not " +
+          s"chunk-aligned (${node.chunkShape(dim)}) — the tail chunk is ragged")
+      session.updateArray(path, newShape, node.chunkShape)
+    }
     val shifted = values.withColumn(s"i$dim", col(s"i$dim") + oldLen)
     writeValues(session, path, shifted, dtype, compression)
   }
@@ -363,9 +386,18 @@ object TensorPlane {
                   compression: String = "raw"): Unit = {
     val node = session.node(path).filter(_.isArray).getOrElse(
       throw new GraftException(s"no array at $path"))
-    if (node.isRectilinear) throw new GraftException(
-      "region writes require a regular chunk grid")
-    offsets.zip(node.chunkShape).zipWithIndex.foreach {
+    if (node.isRectilinear)
+      // rect alignment means the offset IS one of the grid's actual
+      // chunk-start offsets (the modulo test has no meaning here) —
+      // same rule as the SQL DELETE alignment check
+      offsets.zipWithIndex.foreach { case (off, i) =>
+        val starts = graft.meta.RectGrid.starts(node.chunkSizesPerDim(i))
+        if (java.util.Arrays.binarySearch(starts, off) < 0)
+          throw new GraftException(
+            s"region offset $off on dim $i is not a chunk start of the " +
+              s"rectilinear grid")
+      }
+    else offsets.zip(node.chunkShape).zipWithIndex.foreach {
       case ((off, chunk), i) =>
         if (off % chunk != 0) throw new GraftException(
           s"region offset $off on dim $i is not chunk-aligned ($chunk)")
@@ -424,7 +456,7 @@ object TensorPlane {
           _ => cells)
       } else {
         val sizes = node.chunkSizesPerDim
-        val starts = sizes.map(_.scanLeft(0L)(_ + _).dropRight(1))
+        val starts = sizes.map(s => graft.meta.RectGrid.starts(s).toSeq)
         var df = (0 until ndim).foldLeft(values) { (d, i) =>
           d.filter(col(s"i$i") >= 0 && col(s"i$i") < node.shape(i))
         }
@@ -654,9 +686,6 @@ object TensorPlane {
                 compression: String = "raw"): Unit = {
     val node = session.node(srcPath).filter(_.isArray).getOrElse(
       throw new GraftException(s"no array at $srcPath"))
-    if (node.isRectilinear) throw new GraftException(
-      s"transpose requires a regular chunk grid ($srcPath) — rechunk first",
-      graft.repo.GraftError.InvalidConfig)
     val shape = node.shape
     val ndim = shape.size
     if (perm.sorted != (0 until ndim).toList)
@@ -664,11 +693,18 @@ object TensorPlane {
         s"perm ${perm.mkString(",")} is not a permutation of 0..${ndim - 1}",
         graft.repo.GraftError.InvalidConfig)
     val dstShape = perm.map(shape)
-    val dstChunks = perm.map(node.chunkShape)
     val dimNames =
       if (node.dimNames.size == ndim) perm.map(node.dimNames) else Nil
-    session.addArray(dstPath, dstShape, dstChunks, dimNames,
-      userData = s"""{"dtype":"$dtype"}""")
+    if (node.isRectilinear)
+      // rect grid transposes to the permuted chunk-length tables; chunk
+      // buffers are exact-extent on both sides so the re-stride uses the
+      // per-chunk extents from the tables (no padding on either side)
+      session.addArrayRectilinear(dstPath, dstShape,
+        perm.map(node.chunkSizesPerDim), dimNames,
+        userData = s"""{"dtype":"$dtype"}""")
+    else
+      session.addArray(dstPath, dstShape, perm.map(node.chunkShape),
+        dimNames, userData = s"""{"dtype":"$dtype"}""")
     if (perm == (0 until ndim).toList) {
       session.stageChunkRefs(dstPath, session.refs(srcPath))
       return
@@ -678,7 +714,9 @@ object TensorPlane {
     val conf = session.repo.store.conf
     val resolver = session.repo.virtualResolver
     val cs = node.chunkShape.toArray
-    val shpA = shape.toArray
+    val rectSizes: Array[Array[Int]] =
+      if (!node.isRectilinear) null
+      else node.chunkSizesPerDim.map(_.map(_.toInt).toArray).toArray
     val permA = perm.toArray
     val isInt = ChunkCodec.IntDtypes.contains(dtype)
     val rows = session.refs(srcPath)
@@ -694,10 +732,14 @@ object TensorPlane {
       // FULL chunk shape (short edge buffers pad; readers filter cells
       // beyond the array bounds) — so the re-stride always runs on the
       // full chunk extents, and a padded source cell lands at a
-      // destination position that is out of bounds there too
-      val srcExt = cs.map(_.toInt)
-      val cells = cs.product.toInt
+      // destination position that is out of bounds there too.
+      // Rectilinear buffers are exact-extent: extents come from the
+      // per-dim chunk-length tables at this chunk's coord, no padding.
       it.map { case (coord, kind, inline, chunkId, location, off, len) =>
+        val srcExt =
+          if (rectSizes == null) cs.map(_.toInt)
+          else Array.tabulate(coord.size)(d => rectSizes(d)(coord(d)))
+        val cells = srcExt.map(_.toLong).product.toInt
         val raw = ChunkCodec.decompress(
           fetchRef(conf, resolver, kind, inline, chunkId, location, off,
             len, cacheable = false), compression)
@@ -1047,17 +1089,30 @@ object TensorPlane {
       session.addArray(dstPath, node.shape, node.chunkShape, node.dimNames,
         userData = s"""{"dtype":"$outDtype"}""")
 
+  /** How many distinct chunk volumes the fill-materialization path will
+    * tolerate before refusing (one constant blob is uploaded per volume).
+    */
+  private val MaxDistinctCellCounts = 256
+
   /** Distinct chunk CELL COUNTS of a grid: one for a regular grid, the
     * deduped cross product of per-dim distinct chunk lengths for a
-    * rectilinear one (bounded in practice — a grid ragged in one dim has
-    * two counts; a pathological every-size-distinct grid is capped by
-    * the caller).
+    * rectilinear one. The cross product short-circuits as soon as it
+    * exceeds [[MaxDistinctCellCounts]] — a degenerate every-size-distinct
+    * grid must trip the caller's refusal, not build the blowup the
+    * refusal exists to prevent — so a result larger than the cap is
+    * intentionally INCOMPLETE (only its size is meaningful).
     */
   private def distinctCellCounts(node: graft.meta.NodeSpec): Seq[Long] =
     if (!node.isRectilinear) Seq(node.chunkShape.product)
     else node.chunkSizesPerDim.map(_.distinct)
       .foldLeft(Seq(1L)) { (acc, ds) =>
-        (for (a <- acc; s <- ds) yield a * s).distinct
+        if (acc.size > MaxDistinctCellCounts) acc
+        else {
+          val out = scala.collection.mutable.LinkedHashSet.empty[Long]
+          val it = for (a <- acc.iterator; s <- ds.iterator) yield a * s
+          while (it.hasNext && out.size <= MaxDistinctCellCounts) out += it.next()
+          out.toSeq
+        }
       }
 
   private def stageTransformedRefs(session: Session, srcPath: String,
@@ -1088,9 +1143,10 @@ object TensorPlane {
           // exactly one; rect: one per distinct chunk volume — refuse
           // degenerate grids rather than upload hundreds of fill blobs)
           val counts = distinctCellCounts(node)
-          require(counts.size <= 256,
-            s"fill materialization: ${counts.size} distinct chunk " +
-              "volumes — rechunk to a regular grid first")
+          if (counts.size > MaxDistinctCellCounts) throw new GraftException(
+            s"fill materialization: more than $MaxDistinctCellCounts " +
+              "distinct chunk volumes — rechunk to a regular grid first",
+            graft.repo.GraftError.InvalidConfig)
           val constByCells: Map[Long, (String, Long)] = counts.map { c =>
             val bytes =
               if (intMath)
@@ -1245,25 +1301,29 @@ object TensorPlane {
     * SHARES the sources' chunk objects (GC-safe: both manifests
     * reference them). Concatenating 100 TB costs one metadata pass.
     *
-    * Soundness conditions (refused otherwise, kind `invalid_config` —
-    * an honest refusal beats a silent multi-TB rewrite; `rechunk` the
-    * offender first):
-    *   - all sources share rank, chunk shape, and off-axis extents;
-    *   - every source except the LAST has an axis extent that is a
-    *     multiple of the axis chunk size (otherwise cells would need to
-    *     split across destination chunks — not expressible by ref
-    *     relabeling).
+    * Grid rules:
+    *   - aligned regular sources (same chunk shape, every source but
+    *     the last a multiple of the axis chunk) → regular destination,
+    *     pure relabel;
+    *   - anything else (rect sources, unaligned regular sources) → a
+    *     RECTILINEAR destination whose axis chunk-length table is the
+    *     sources' tables laid end to end — still pure relabeling, except
+    *     that a ragged regular source's dim-0 tail chunks are
+    *     prefix-truncated from the padded to the exact-extent layout
+    *     (one small re-encode per tail chunk).
+    *
+    * Refused (kind `invalid_config` — an honest refusal beats a silent
+    * multi-TB rewrite; `rechunk` the offender first): rank/off-axis
+    * extent disagreement, off-axis chunk-table disagreement, or a
+    * regular source ragged along an INNER dim (its padded buffers
+    * cannot be relabeled into exact-extent rect strides).
     */
   def concat(session: Session, srcPaths: Seq[String], dstPath: String,
-             axis: Int, dtype: String): Unit = {
+             axis: Int, dtype: String,
+             compression: String = "raw"): Unit = {
     require(srcPaths.nonEmpty, "concat: no sources")
     val nodes = srcPaths.map(p => session.node(p).filter(_.isArray)
       .getOrElse(throw new GraftException(s"no array at $p")))
-    nodes.foreach { n =>
-      if (n.isRectilinear) throw new GraftException(
-        s"concat requires regular chunk grids (${n.path})",
-        graft.repo.GraftError.InvalidConfig)
-    }
     val head = nodes.head
     val ndim = head.shape.size
     if (axis < 0 || axis >= ndim)
@@ -1272,32 +1332,125 @@ object TensorPlane {
     nodes.foreach { n =>
       val sameOffAxis = n.shape.indices.forall(i =>
         i == axis || n.shape(i) == head.shape(i))
-      if (n.shape.size != ndim || !sameOffAxis ||
-          n.chunkShape != head.chunkShape)
+      if (n.shape.size != ndim || !sameOffAxis)
         throw new GraftException(
-          s"concat sources disagree off-axis or on chunk shape " +
-            s"(${head.path} vs ${n.path})",
+          s"concat sources disagree off-axis (${head.path} vs ${n.path})",
           graft.repo.GraftError.InvalidConfig)
     }
-    val c = head.chunkShape(axis)
-    nodes.dropRight(1).foreach { n =>
-      if (n.shape(axis) % c != 0) throw new GraftException(
-        s"${n.path} axis extent ${n.shape(axis)} is not a multiple of " +
-          s"chunk size $c — rechunk it or move it last",
-        graft.repo.GraftError.InvalidConfig)
+    val allRegular = nodes.forall(n =>
+      !n.isRectilinear && n.chunkShape == head.chunkShape)
+    val regularAligned = allRegular && {
+      val c = head.chunkShape(axis)
+      nodes.dropRight(1).forall(_.shape(axis) % c == 0)
+    }
+    if (regularAligned) {
+      // aligned regular sources keep a regular destination grid: pure
+      // chunk relabeling, padded-tail convention preserved end to end
+      val c = head.chunkShape(axis)
+      val dstShape = head.shape.indices.map(i =>
+        if (i == axis) nodes.map(_.shape(axis)).sum else head.shape(i))
+      session.addArray(dstPath, dstShape, head.chunkShape, head.dimNames,
+        userData = s"""{"dtype":"$dtype"}""")
+      var offsetChunks = 0L
+      nodes.zip(srcPaths).foreach { case (n, p) =>
+        val off = offsetChunks
+        val shifted = session.refs(p).withColumn("coord",
+          transform(col("coord"), (v, i) =>
+            when(i === axis, v + lit(off).cast("int")).otherwise(v)))
+        session.stageChunkRefs(dstPath, shifted)
+        offsetChunks += (n.shape(axis) + c - 1) / c
+      }
+      return
+    }
+    // Unaligned or rectilinear sources: the destination becomes a
+    // RECTILINEAR grid whose axis chunk-length table is the sources'
+    // tables laid end to end — still pure ref relabeling, no payload
+    // movement (the regular path would demand a rechunk here). The one
+    // layout subtlety: REGULAR tail chunks are stored PADDED to the full
+    // chunk shape, while rect readers use exact-extent strides. A
+    // dim-0-only ragged regular source stays stride-compatible except
+    // for the byte count, so its dim-0 tail chunks are prefix-TRUNCATED
+    // to exact extent (one decompress+cut+recompress per tail chunk);
+    // raggedness in any inner dim would need a full re-stride — refused,
+    // rechunk first.
+    nodes.foreach { n =>
+      if (!n.isRectilinear)
+        (1 until ndim).foreach { d =>
+          if (n.shape(d) % n.chunkShape(d) != 0) throw new GraftException(
+            s"concat to a rectilinear grid: ${n.path} is ragged along " +
+              s"inner dim $d (stored buffers are padded there) — " +
+              "rechunk it first",
+            graft.repo.GraftError.InvalidConfig)
+        }
+    }
+    // off-axis chunking must agree EXACTLY (chunk-length tables equal)
+    nodes.foreach { n =>
+      (0 until ndim).foreach { d =>
+        if (d != axis &&
+            n.effectiveChunkSizes(d) != head.effectiveChunkSizes(d))
+          throw new GraftException(
+            s"concat sources disagree on dim-$d chunking " +
+              s"(${head.path} vs ${n.path}) — rechunk first",
+            graft.repo.GraftError.InvalidConfig)
+      }
     }
     val dstShape = head.shape.indices.map(i =>
       if (i == axis) nodes.map(_.shape(axis)).sum else head.shape(i))
-    session.addArray(dstPath, dstShape, head.chunkShape, head.dimNames,
-      userData = s"""{"dtype":"$dtype"}""")
+    val dstSizes = (0 until ndim).map { d =>
+      if (d == axis) nodes.flatMap(_.effectiveChunkSizes(axis))
+      else head.effectiveChunkSizes(d)
+    }
+    session.addArrayRectilinear(dstPath, dstShape, dstSizes,
+      head.dimNames, userData = s"""{"dtype":"$dtype"}""")
+    val spark = session.repo.spark
+    val conf = session.repo.store.conf
+    val resolver = session.repo.virtualResolver
+    val width = ChunkCodec.dtypeWidth(dtype)
     var offsetChunks = 0L
     nodes.zip(srcPaths).foreach { case (n, p) =>
       val off = offsetChunks
-      val shifted = session.refs(p).withColumn("coord",
+      val relabeled = session.refs(p).withColumn("coord",
         transform(col("coord"), (v, i) =>
           when(i === axis, v + lit(off).cast("int")).otherwise(v)))
-      session.stageChunkRefs(dstPath, shifted)
-      offsetChunks += (n.shape(axis) + c - 1) / c
+      // dim-0 tail chunks of a ragged regular source carry pad cells —
+      // truncate those to exact extent; everything else relabels as-is
+      val ragged0 = !n.isRectilinear && n.shape(0) % n.chunkShape(0) != 0
+      if (!ragged0) session.stageChunkRefs(dstPath, relabeled)
+      else {
+        import spark.implicits._
+        val lastC0 = (n.shape(0) / n.chunkShape(0)).toInt // floor = tail index
+        val exactCells = (n.shape(0) % n.chunkShape(0)) *
+          (1 until ndim).map(n.chunkShape(_)).product
+        val exactBytes = exactCells * width
+        session.stageChunkRefs(dstPath,
+          relabeled.filter(element_at(col("coord"), 1) =!= lastC0))
+        val tail = relabeled.filter(element_at(col("coord"), 1) === lastC0)
+          .select(col("coord"), col("kind"), col("inline"), col("chunk_id"),
+            col("location"), col("offset"), col("length"))
+          .as[(Seq[Int], String, Array[Byte], String, String, Long, Long)]
+        val cut = tail.mapPartitions { it =>
+          val store = graft.storage.StoreConf.cached(conf)
+          it.map { case (coord, kind, inline, chunkId, location, o, l) =>
+            val raw = ChunkCodec.decompress(
+              fetchRef(conf, resolver, kind, inline, chunkId, location,
+                o, l, cacheable = false), compression)
+            val bytes = ChunkCodec.compress(
+              java.util.Arrays.copyOf(raw, exactBytes.toInt), compression)
+            val id = graft.core.Ids.toBase32(graft.core.Ids.newObjectId())
+            store.putBytes(graft.meta.Layout.chunkKey(id), bytes)
+            (coord, id, bytes.length.toLong)
+          }
+        }.toDF("coord", "chunk_id", "length")
+        val stagingKey = graft.meta.Layout.stagingPrefix(
+          graft.core.Ids.toBase32(graft.core.Ids.newObjectId()))
+        cut.write.parquet(session.repo.store.uri(stagingKey))
+        session.trackStaging(stagingKey)
+        session.stageChunkRefs(dstPath,
+          spark.read.parquet(session.repo.store.uri(stagingKey))
+            .withColumn("kind", lit(ChunkRef.KindRef))
+            .withColumn("offset", lit(0L)))
+      }
+      offsetChunks += n.effectiveChunkSizes(axis).size
     }
   }
 
@@ -1438,7 +1591,7 @@ object TensorPlane {
         c => (Array.tabulate(ndim)(i => c(i).toLong * cs(i)), cs)
       } else {
         val sizes = node.chunkSizesPerDim.map(_.toArray)
-        val starts = sizes.map(_.scanLeft(0L)(_ + _).dropRight(1))
+        val starts = sizes.map(s => graft.meta.RectGrid.starts(s).toSeq)
         c => (Array.tabulate(ndim)(i => starts(i)(c(i))),
           Array.tabulate(ndim)(i => sizes(i)(c(i))))
       }
@@ -1530,7 +1683,7 @@ object TensorPlane {
             s"${sh}L) - 1) div $ds)"))))
       } else {
         val sizes = node.chunkSizesPerDim(i)
-        val starts = sizes.scanLeft(0L)(_ + _).dropRight(1)
+        val starts = graft.meta.RectGrid.starts(sizes).toSeq
         val lo = starts.map(st => (st / ds).toInt)
         val hi = starts.zip(sizes).map { case (st, ex) =>
           ((math.min(st + ex, sh) - 1) / ds).toInt }

@@ -190,4 +190,183 @@ class RectilinearSpec extends SparkTestBase {
     // metadata round-trips through synthesis
     assert(new String(zs.get("r2/zarr.json").get) == doc)
   }
+
+  test("rectilinear append extends the chunk-length table") {
+    val repo = Repository.create(Store.local(tmpDir("repo")), spark)
+    val s = repo.writableSession("main")
+    s.addArrayRectilinear("/ap", Seq(10), Seq(Seq(3L, 5L, 2L)),
+      userData = """{"dtype":"int64"}""")
+    TensorPlane.writeValues(s, "/ap",
+      spark.range(10).select(col("id").as("i0"), (col("id") * 2).as("value")),
+      "int64")
+    s.commit("init")
+    // default sizing: last size 2 repeats, remainder tail -> [2,2,2,1]
+    val s2 = repo.writableSession("main")
+    TensorPlane.appendValues(s2, "/ap",
+      spark.range(7).select(col("id").as("i0"),
+        ((col("id") + 10) * 2).as("value")), dim = 0, dtype = "int64")
+    s2.commit("append")
+    val ro = repo.readonlySession(VersionRef.Branch("main"))
+    val n = ro.node("/ap").get
+    assert(n.shape == Seq(17L))
+    assert(n.chunkSizesPerDim == Seq(Seq(3L, 5L, 2L, 2L, 2L, 2L, 1L)))
+    val v = TensorPlane.values(ro, "/ap", "int64")
+    assert(v.count() == 17)
+    assert(v.filter(col("value") =!= col("i0") * 2).count() == 0)
+    // explicit sizes must tile the appended extent
+    val s3 = repo.writableSession("main")
+    intercept[IllegalArgumentException](
+      TensorPlane.appendValues(s3, "/ap",
+        spark.range(5).select(col("id").as("i0"), lit(0L).as("value")),
+        dim = 0, dtype = "int64", appendChunkSizes = Seq(4L, 4L)))
+    TensorPlane.appendValues(s3, "/ap",
+      spark.range(5).select(col("id").as("i0"),
+        ((col("id") + 17) * 2).as("value")),
+      dim = 0, dtype = "int64", appendChunkSizes = Seq(4L, 1L))
+    assert(s3.node("/ap").get.chunkSizesPerDim ==
+      Seq(Seq(3L, 5L, 2L, 2L, 2L, 2L, 1L, 4L, 1L)))
+    s3.commit("append explicit")
+    val v2 = TensorPlane.values(
+      repo.readonlySession(VersionRef.Branch("main")), "/ap", "int64")
+    assert(v2.count() == 22)
+    assert(v2.filter(col("value") =!= col("i0") * 2).count() == 0)
+  }
+
+  test("rectilinear region write: offsets must be actual chunk starts") {
+    val repo = Repository.create(Store.local(tmpDir("repo")), spark)
+    val s = repo.writableSession("main")
+    s.addArrayRectilinear("/rw", Seq(10), Seq(Seq(3L, 5L, 2L)),
+      userData = """{"dtype":"int64"}""")
+    TensorPlane.writeValues(s, "/rw",
+      spark.range(10).select(col("id").as("i0"), lit(1L).as("value")),
+      "int64")
+    s.commit("init")
+    val s2 = repo.writableSession("main")
+    // 3 IS a chunk start ([0,3,8]); overwrite the middle chunk
+    TensorPlane.writeRegion(s2, "/rw",
+      spark.range(5).select(col("id").as("i0"), lit(7L).as("value")),
+      Seq(3L), "int64")
+    s2.commit("region")
+    // 4 is not a chunk start
+    intercept[GraftException](TensorPlane.writeRegion(
+      repo.writableSession("main"), "/rw",
+      spark.range(2).select(col("id").as("i0"), lit(9L).as("value")),
+      Seq(4L), "int64"))
+    val v = TensorPlane.values(
+      repo.readonlySession(VersionRef.Branch("main")), "/rw", "int64")
+    assert(v.filter(col("i0").between(3, 7) && col("value") =!= 7).count() == 0)
+    assert(v.filter(!col("i0").between(3, 7) && col("value") =!= 1).count() == 0)
+  }
+
+  test("concat falls back to a rectilinear destination: zero-copy for rect sources") {
+    val dir = tmpDir("repo")
+    val repo = Repository.create(Store.local(dir), spark)
+    val s = repo.writableSession("main")
+    s.addArrayRectilinear("/a", Seq(10), Seq(Seq(3L, 5L, 2L)),
+      userData = """{"dtype":"int64"}""")
+    TensorPlane.writeValues(s, "/a",
+      spark.range(10).select(col("id").as("i0"), col("id").as("value")),
+      "int64")
+    s.addArrayRectilinear("/b", Seq(6), Seq(Seq(4L, 2L)),
+      userData = """{"dtype":"int64"}""")
+    TensorPlane.writeValues(s, "/b",
+      spark.range(6).select(col("id").as("i0"),
+        (col("id") + 10).as("value")), "int64")
+    s.commit("init")
+    val s2 = repo.writableSession("main")
+    TensorPlane.concat(s2, Seq("/a", "/b"), "/ab", axis = 0,
+      dtype = "int64")
+    // zero-copy: every destination ref reuses a source chunk object
+    val srcIds = s2.refs("/a").unionByName(s2.refs("/b"))
+      .select("chunk_id").distinct().collect().map(_.getString(0)).toSet
+    val dstIds = s2.refs("/ab")
+      .select("chunk_id").distinct().collect().map(_.getString(0)).toSet
+    assert(dstIds.subsetOf(srcIds))
+    s2.commit("concat")
+    val ro = repo.readonlySession(VersionRef.Branch("main"))
+    val n = ro.node("/ab").get
+    assert(n.isRectilinear &&
+      n.chunkSizesPerDim == Seq(Seq(3L, 5L, 2L, 4L, 2L)))
+    val v = TensorPlane.values(ro, "/ab", "int64")
+    assert(v.count() == 16)
+    assert(v.filter(col("value") =!= col("i0")).count() == 0)
+    // the DSv2 path reads the concatenated rect grid too
+    val v2 = spark.read.format("graft-v2").option("path", dir)
+      .option("array", "/ab").option("mode", "values")
+      .option("dtype", "int64").load()
+    assert(v2.count() == 16)
+    assert(v2.filter(col("value") =!= col("i0")).count() == 0)
+  }
+
+  test("concat rect fallback truncates a ragged regular source's padded tail") {
+    val dir = tmpDir("repo")
+    val repo = Repository.create(Store.local(dir), spark)
+    val s = repo.writableSession("main")
+    // regular grid, ragged along dim 0: 10 = 4+4+2 (tail buffer PADDED)
+    s.addArray("/ra", Seq(10), Seq(4), userData = """{"dtype":"int64"}""")
+    TensorPlane.writeValues(s, "/ra",
+      spark.range(10).select(col("id").as("i0"), col("id").as("value")),
+      "int64")
+    s.addArrayRectilinear("/rb", Seq(6), Seq(Seq(3L, 3L)),
+      userData = """{"dtype":"int64"}""")
+    TensorPlane.writeValues(s, "/rb",
+      spark.range(6).select(col("id").as("i0"),
+        (col("id") + 10).as("value")), "int64")
+    s.commit("init")
+    val s2 = repo.writableSession("main")
+    TensorPlane.concat(s2, Seq("/ra", "/rb"), "/rc", axis = 0,
+      dtype = "int64")
+    s2.commit("concat")
+    val ro = repo.readonlySession(VersionRef.Branch("main"))
+    val n = ro.node("/rc").get
+    assert(n.isRectilinear &&
+      n.chunkSizesPerDim == Seq(Seq(4L, 4L, 2L, 3L, 3L)))
+    // the 2-cell tail chunk was re-encoded to exact extent: its stored
+    // payload is 16 bytes, not the padded 32
+    val tailLen = ro.refs("/rc")
+      .filter(element_at(col("coord"), 1) === 2)
+      .select("length").head().getLong(0)
+    assert(tailLen == 16L)
+    val v = TensorPlane.values(ro, "/rc", "int64")
+    assert(v.count() == 16)
+    assert(v.filter(col("value") =!= col("i0")).count() == 0)
+    val v2 = spark.read.format("graft-v2").option("path", dir)
+      .option("array", "/rc").option("mode", "values")
+      .option("dtype", "int64").load()
+    assert(v2.count() == 16)
+    assert(v2.filter(col("value") =!= col("i0")).count() == 0)
+    // a source ragged along an INNER dim cannot relabel — refused.
+    // (axis extent 5 % 2 != 0 forces the rect fallback; dim-1 5 % 3 != 0
+    // is the inner raggedness that trips the refusal)
+    val s3 = repo.writableSession("main")
+    s3.addArray("/m1", Seq(5, 5), Seq(2, 3), userData = """{"dtype":"int64"}""")
+    s3.addArray("/m2", Seq(4, 5), Seq(2, 3), userData = """{"dtype":"int64"}""")
+    val ex = intercept[GraftException](
+      TensorPlane.concat(s3, Seq("/m1", "/m2"), "/m3", axis = 0,
+        dtype = "int64"))
+    assert(ex.getMessage.contains("inner dim"))
+  }
+
+  test("rectilinear transpose permutes the chunk-length tables") {
+    val repo = Repository.create(Store.local(tmpDir("repo")), spark)
+    val s = repo.writableSession("main")
+    s.addArrayRectilinear("/t", Seq(5, 6), Seq(Seq(2L, 3L), Seq(4L, 2L)),
+      userData = """{"dtype":"int64"}""")
+    TensorPlane.writeValues(s, "/t",
+      spark.range(30).select(expr("id div 6").as("i0"),
+        expr("id % 6").as("i1"), (col("id") * 3 - 7).as("value")), "int64")
+    s.commit("init")
+    val s2 = repo.writableSession("main")
+    TensorPlane.transpose(s2, "/t", "/tt", Seq(1, 0), "int64")
+    s2.commit("transpose")
+    val ro = repo.readonlySession(VersionRef.Branch("main"))
+    val n = ro.node("/tt").get
+    assert(n.isRectilinear && n.shape == Seq(6L, 5L) &&
+      n.chunkSizesPerDim == Seq(Seq(4L, 2L), Seq(2L, 3L)))
+    val v = TensorPlane.values(ro, "/tt", "int64")
+    assert(v.count() == 30)
+    // transposed: value at (i0,i1) = original (i1,i0) = (i1*6+i0)*3-7
+    assert(v.filter(col("value") =!= (col("i1") * 6 + col("i0")) * 3 - 7)
+      .count() == 0)
+  }
 }
