@@ -202,15 +202,27 @@ final class ZarrStore(val session: Session) {
     }
     val metaDf = spark.createDataset(metaKeys).toDF("key", "size")
     val arrays = session.nodes.filter(_.isArray)
-    val chunkDf = arrays.map { n =>
-      val prefix = (NodePath.normalize(n.path) match {
-        case "/" => ChunkMarker
-        case np => np.stripPrefix("/") + "/" + ChunkMarker
-      }) + "/"
-      session.refs(n.path).select(
-        concat(lit(prefix), concat_ws("/", col("coord"))).as("key"),
-        coalesce(col("length"), lit(0L)).as("size"))
-    }.reduceOption(_ unionByName _)
+    // ONE batched refs relation for every array, not a per-array
+    // refs() union — a 100-array union is a 100-leg plan Catalyst
+    // spends tens of seconds analyzing (the Session.refsBatch rationale)
+    val chunkDf =
+      if (arrays.isEmpty) None
+      else {
+        val prefixByPath = arrays.map { n =>
+          val prefix = (NodePath.normalize(n.path) match {
+            case "/" => ChunkMarker
+            case np => np.stripPrefix("/") + "/" + ChunkMarker
+          }) + "/"
+          (n.path, prefix)
+        }
+        val pDf = broadcast(
+          spark.createDataset(prefixByPath).toDF("path", "prefix"))
+        Some(session.refsBatch(arrays.map(_.path))
+          .join(pDf, Seq("path"))
+          .select(
+            concat(col("prefix"), concat_ws("/", col("coord"))).as("key"),
+            coalesce(col("length"), lit(0L)).as("size")))
+      }
     chunkDf.map(metaDf.unionByName(_)).getOrElse(metaDf)
   }
 
