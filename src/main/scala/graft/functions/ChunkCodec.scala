@@ -19,12 +19,18 @@ object ChunkCodec {
   val IntDtypes = Set("int8", "int16", "int32", "int64")
   val FloatDtypes = Set("float32", "float64")
 
-  /** Bytes per element of a dtype. */
+  /** Bytes per element of a dtype. Unknown names throw — a typo that
+    * silently mapped to 8 bytes would cut payload buffers at the wrong
+    * byte offset downstream (concat tail truncation).
+    */
   def dtypeWidth(dtype: String): Int = dtype match {
     case "int8" => 1
     case "int16" => 2
     case "int32" | "float32" => 4
-    case _ => 8
+    case "int64" | "float64" => 8
+    case other => throw new IllegalArgumentException(
+      s"unknown dtype '$other' (expected one of ${
+        (IntDtypes ++ FloatDtypes).toSeq.sorted.mkString(", ")})")
   }
 
   def decompress(bytes: Array[Byte], compression: String): Array[Byte] =

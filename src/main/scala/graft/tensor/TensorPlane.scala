@@ -339,7 +339,16 @@ object TensorPlane {
     val node = session.node(path).filter(_.isArray).getOrElse(
       throw new GraftException(s"no array at $path"))
     val oldLen = node.shape(dim)
-    val extent = values.agg(max(col(s"i$dim"))).head().getLong(0) + 1
+    val maxRow = values.agg(max(col(s"i$dim"))).head()
+    if (maxRow.isNullAt(0)) {
+      // empty incoming batch (an upstream filter dropped everything):
+      // appending nothing is a no-op, not an opaque NPE
+      require(appendChunkSizes.isEmpty,
+        "appendValues: explicit appendChunkSizes with an EMPTY values " +
+          "input — nothing to append")
+      return
+    }
+    val extent = maxRow.getLong(0) + 1
     val newShape = node.shape.updated(dim, oldLen + extent)
     if (node.isRectilinear) {
       // a rect grid is chunk-aligned by construction (the size table
@@ -510,14 +519,7 @@ object TensorPlane {
         }).toDF("coord", "chunk_id", "length")
     // run the upload job exactly once; changeset actions replay from the
     // staging Parquet, not from the side-effecting job
-    val stagingKey = graft.meta.Layout.stagingPrefix(
-      graft.core.Ids.toBase32(graft.core.Ids.newObjectId()))
-    refsDf.write.parquet(session.repo.store.uri(stagingKey))
-    val refs = spark.read.parquet(session.repo.store.uri(stagingKey))
-      .withColumn("kind", lit(ChunkRef.KindRef))
-      .withColumn("offset", lit(0L))
-    session.trackStaging(stagingKey)
-    session.stageChunkRefs(path, refs)
+    stageViaParquet(session, path, refsDf)
   }
 
   /** Fixed-width value histogram with the counting pushed into the chunk
@@ -764,14 +766,7 @@ object TensorPlane {
     }.toDF("coord", "chunk_id", "length")
     // run the copy job exactly once; changeset actions replay from the
     // staging Parquet (flush, tx log, rebase retries)
-    val stagingKey = graft.meta.Layout.stagingPrefix(
-      graft.core.Ids.toBase32(graft.core.Ids.newObjectId()))
-    refsDf.write.parquet(session.repo.store.uri(stagingKey))
-    val refs = spark.read.parquet(session.repo.store.uri(stagingKey))
-      .withColumn("kind", lit(ChunkRef.KindRef))
-      .withColumn("offset", lit(0L))
-    session.trackStaging(stagingKey)
-    session.stageChunkRefs(dstPath, refs)
+    stageViaParquet(session, dstPath, refsDf)
   }
 
   /** Elementwise algebra between two SAME-GRID arrays into a new array —
@@ -1318,12 +1313,46 @@ object TensorPlane {
     * regular source ragged along an INNER dim (its padded buffers
     * cannot be relabeled into exact-extent rect strides).
     */
+  /** Run a chunk-upload job's output through a staging Parquet and stage
+    * the refs from the RECORDED rows: changeset actions (flush, tx log,
+    * rebase retries) replay from the Parquet, so the side-effecting
+    * upload job runs exactly once. `refsDf` carries
+    * `(coord, chunk_id, length)`; kind/offset are constants here.
+    * The ONE replay contract shared by [[writeValues]], [[transpose]]
+    * and [[concat]].
+    */
+  private def stageViaParquet(session: Session, dstPath: String,
+                              refsDf: DataFrame): Unit = {
+    val spark = refsDf.sparkSession
+    val stagingKey = graft.meta.Layout.stagingPrefix(
+      graft.core.Ids.toBase32(graft.core.Ids.newObjectId()))
+    refsDf.write.parquet(session.repo.store.uri(stagingKey))
+    session.trackStaging(stagingKey)
+    session.stageChunkRefs(dstPath,
+      spark.read.parquet(session.repo.store.uri(stagingKey))
+        .withColumn("kind", lit(ChunkRef.KindRef))
+        .withColumn("offset", lit(0L)))
+  }
+
   def concat(session: Session, srcPaths: Seq[String], dstPath: String,
              axis: Int, dtype: String,
              compression: String = "raw"): Unit = {
     require(srcPaths.nonEmpty, "concat: no sources")
     val nodes = srcPaths.map(p => session.node(p).filter(_.isArray)
       .getOrElse(throw new GraftException(s"no array at $p")))
+    // a source whose stored metadata declares a DIFFERENT dtype would be
+    // silently misdecoded by the truncation path (and mislabeled in the
+    // destination's metadata either way) — refuse up front, the same
+    // guard combine() carries
+    nodes.zip(srcPaths).foreach { case (n, p) =>
+      graft.sources.GraftCatalog.dtypeFromUserData(n.userData).foreach {
+        stored =>
+          if (stored != dtype) throw new GraftException(
+            s"concat: $p stores dtype $stored but decode dtype is " +
+              s"$dtype — pass the stored dtype",
+            graft.repo.GraftError.SchemaMismatch)
+      }
+    }
     val head = nodes.head
     val ndim = head.shape.size
     if (axis < 0 || axis >= ndim)
@@ -1383,11 +1412,15 @@ object TensorPlane {
             graft.repo.GraftError.InvalidConfig)
         }
     }
-    // off-axis chunking must agree EXACTLY (chunk-length tables equal)
+    // off-axis chunking must agree EXACTLY (chunk-length tables equal);
+    // tables computed once per (node, dim) — effectiveChunkSizes
+    // materializes a chunk-count-sized Seq per call
+    val headSizes = IndexedSeq.tabulate(ndim)(head.effectiveChunkSizes)
+    val axisSizes = nodes.map(_.effectiveChunkSizes(axis))
     nodes.foreach { n =>
       (0 until ndim).foreach { d =>
-        if (d != axis &&
-            n.effectiveChunkSizes(d) != head.effectiveChunkSizes(d))
+        if (d != axis && (n ne head) &&
+            n.effectiveChunkSizes(d) != headSizes(d))
           throw new GraftException(
             s"concat sources disagree on dim-$d chunking " +
               s"(${head.path} vs ${n.path}) — rechunk first",
@@ -1397,8 +1430,8 @@ object TensorPlane {
     val dstShape = head.shape.indices.map(i =>
       if (i == axis) nodes.map(_.shape(axis)).sum else head.shape(i))
     val dstSizes = (0 until ndim).map { d =>
-      if (d == axis) nodes.flatMap(_.effectiveChunkSizes(axis))
-      else head.effectiveChunkSizes(d)
+      if (d == axis) axisSizes.flatten
+      else headSizes(d)
     }
     session.addArrayRectilinear(dstPath, dstShape, dstSizes,
       head.dimNames, userData = s"""{"dtype":"$dtype"}""")
@@ -1407,7 +1440,7 @@ object TensorPlane {
     val resolver = session.repo.virtualResolver
     val width = ChunkCodec.dtypeWidth(dtype)
     var offsetChunks = 0L
-    nodes.zip(srcPaths).foreach { case (n, p) =>
+    nodes.zip(srcPaths).zipWithIndex.foreach { case ((n, p), idx) =>
       val off = offsetChunks
       val relabeled = session.refs(p).withColumn("coord",
         transform(col("coord"), (v, i) =>
@@ -1417,14 +1450,27 @@ object TensorPlane {
       val ragged0 = !n.isRectilinear && n.shape(0) % n.chunkShape(0) != 0
       if (!ragged0) session.stageChunkRefs(dstPath, relabeled)
       else {
+        // the truncation path DECODES payload bytes — a stored
+        // compression different from the decode parameter would cut
+        // compressed bytes at a raw offset (corrupt output, no error)
+        graft.sources.GraftCatalog.compressionFromUserData(n.userData)
+          .foreach { stored =>
+            if (stored != compression) throw new GraftException(
+              s"concat: $p stores compression $stored but decode " +
+                s"compression is $compression — pass the stored codec",
+              graft.repo.GraftError.SchemaMismatch)
+          }
         import spark.implicits._
-        val lastC0 = (n.shape(0) / n.chunkShape(0)).toInt // floor = tail index
+        // `relabeled` coords are shifted by `off` on the concat axis —
+        // when that axis IS dim 0, the tail's dim-0 index shifts with it
+        val srcTail = n.shape(0) / n.chunkShape(0) // floor = tail index
+        val tailC0 = if (axis == 0) srcTail + off else srcTail
         val exactCells = (n.shape(0) % n.chunkShape(0)) *
           (1 until ndim).map(n.chunkShape(_)).product
         val exactBytes = exactCells * width
         session.stageChunkRefs(dstPath,
-          relabeled.filter(element_at(col("coord"), 1) =!= lastC0))
-        val tail = relabeled.filter(element_at(col("coord"), 1) === lastC0)
+          relabeled.filter(element_at(col("coord"), 1) =!= tailC0))
+        val tail = relabeled.filter(element_at(col("coord"), 1) === tailC0)
           .select(col("coord"), col("kind"), col("inline"), col("chunk_id"),
             col("location"), col("offset"), col("length"))
           .as[(Seq[Int], String, Array[Byte], String, String, Long, Long)]
@@ -1441,16 +1487,9 @@ object TensorPlane {
             (coord, id, bytes.length.toLong)
           }
         }.toDF("coord", "chunk_id", "length")
-        val stagingKey = graft.meta.Layout.stagingPrefix(
-          graft.core.Ids.toBase32(graft.core.Ids.newObjectId()))
-        cut.write.parquet(session.repo.store.uri(stagingKey))
-        session.trackStaging(stagingKey)
-        session.stageChunkRefs(dstPath,
-          spark.read.parquet(session.repo.store.uri(stagingKey))
-            .withColumn("kind", lit(ChunkRef.KindRef))
-            .withColumn("offset", lit(0L)))
+        stageViaParquet(session, dstPath, cut)
       }
-      offsetChunks += n.effectiveChunkSizes(axis).size
+      offsetChunks += axisSizes(idx).size
     }
   }
 

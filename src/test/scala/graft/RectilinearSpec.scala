@@ -347,6 +347,77 @@ class RectilinearSpec extends SparkTestBase {
     assert(ex.getMessage.contains("inner dim"))
   }
 
+  test("concat tail truncation targets the SHIFTED tail coord when the " +
+      "ragged source is not first") {
+    // regression: the tail filter once compared relabeled (shifted)
+    // coords against the UNSHIFTED tail index — with the ragged regular
+    // source second on axis 0 it truncated a FULL chunk and staged the
+    // padded tail untouched (silent corruption)
+    val dir = tmpDir("repo")
+    val repo = Repository.create(Store.local(dir), spark)
+    val s = repo.writableSession("main")
+    s.addArrayRectilinear("/first", Seq(6), Seq(Seq(3L, 3L)),
+      userData = """{"dtype":"int64"}""")
+    TensorPlane.writeValues(s, "/first",
+      spark.range(6).select(col("id").as("i0"), col("id").as("value")),
+      "int64")
+    // ragged regular SECOND: 10 = 4+4+2, values continue the identity
+    s.addArray("/second", Seq(10), Seq(4), userData = """{"dtype":"int64"}""")
+    TensorPlane.writeValues(s, "/second",
+      spark.range(10).select(col("id").as("i0"),
+        (col("id") + 6).as("value")), "int64")
+    s.commit("init")
+    val s2 = repo.writableSession("main")
+    TensorPlane.concat(s2, Seq("/first", "/second"), "/fs", axis = 0,
+      dtype = "int64")
+    s2.commit("concat")
+    val ro = repo.readonlySession(VersionRef.Branch("main"))
+    assert(ro.node("/fs").get.chunkSizesPerDim ==
+      Seq(Seq(3L, 3L, 4L, 4L, 2L)))
+    // the truncated chunk is the SHIFTED tail (coord 4), cut to 16 bytes;
+    // the full chunks (coords 2, 3) keep their 32-byte payloads
+    val lens = ro.refs("/fs")
+      .select(element_at(col("coord"), 1).as("c0"), col("length"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(lens(2) == 32L && lens(3) == 32L && lens(4) == 16L)
+    val v = TensorPlane.values(ro, "/fs", "int64")
+    assert(v.count() == 16)
+    assert(v.filter(col("value") =!= col("i0")).count() == 0)
+  }
+
+  test("concat refuses a decode dtype that disagrees with stored metadata") {
+    val repo = Repository.create(Store.local(tmpDir("repo")), spark)
+    val s = repo.writableSession("main")
+    s.addArray("/d32", Seq(5), Seq(2), userData = """{"dtype":"int32"}""")
+    s.addArray("/d64", Seq(5), Seq(2), userData = """{"dtype":"int64"}""")
+    val ex = intercept[GraftException](
+      TensorPlane.concat(s, Seq("/d32", "/d64"), "/dc", axis = 0,
+        dtype = "int64"))
+    assert(ex.getMessage.contains("stores dtype int32"))
+  }
+
+  test("appendValues with an empty input is a no-op, not an NPE") {
+    val repo = Repository.create(Store.local(tmpDir("repo")), spark)
+    val s = repo.writableSession("main")
+    s.addArrayRectilinear("/e", Seq(5), Seq(Seq(3L, 2L)),
+      userData = """{"dtype":"int64"}""")
+    TensorPlane.writeValues(s, "/e",
+      spark.range(5).select(col("id").as("i0"), col("id").as("value")),
+      "int64")
+    s.commit("init")
+    val s2 = repo.writableSession("main")
+    TensorPlane.appendValues(s2, "/e",
+      spark.range(0).select(col("id").as("i0"), col("id").as("value")),
+      dim = 0, "int64")
+    assert(s2.node("/e").get.shape == Seq(5L)) // unchanged
+    // explicit sizes with nothing to append is a loud error
+    val ex = intercept[IllegalArgumentException](
+      TensorPlane.appendValues(s2, "/e",
+        spark.range(0).select(col("id").as("i0"), col("id").as("value")),
+        dim = 0, "int64", appendChunkSizes = Seq(2L)))
+    assert(ex.getMessage.contains("EMPTY"))
+  }
+
   test("rectilinear transpose permutes the chunk-length tables") {
     val repo = Repository.create(Store.local(tmpDir("repo")), spark)
     val s = repo.writableSession("main")
