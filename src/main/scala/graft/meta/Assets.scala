@@ -373,9 +373,19 @@ final class AssetManager(val store: Store, spark: SparkSession) {
       node <- wanted
       ref <- snapshot.manifests(node)
     } yield (ref.manifestId, node, ref.split)
+    committedRefsParts(parts)
+  }
+
+  /** Read the given (manifestId, nodeId, split) shards as one relation,
+    * grouped so each manifest dataset opens ONCE — the shared scan under
+    * single-snapshot reads and multi-snapshot rollups (GC reachability,
+    * repo storage stats), where a deep history references the same
+    * manifest files over and over: legs scale with DISTINCT manifests,
+    * never with history depth.
+    */
+  def committedRefsParts(parts: Seq[(String, String, Int)]): DataFrame =
     if (parts.isEmpty) emptyRefs()
     else {
-      // group by manifest so each dataset is opened once
       parts.groupBy(_._1).map { case (mid, group) =>
         val keys = group.map { case (_, n, s) => (n, s) }.toSet
         val cond = keys.map { case (n, s) =>
@@ -384,7 +394,6 @@ final class AssetManager(val store: Store, spark: SparkSession) {
         readManifest(mid).filter(cond)
       }.reduce(_ unionByName _)
     }
-  }
 
   /** Read exactly the given (node, split) shards of one node — the
     * all-dim extent-pruned scan feeding region reads ([[graft.repo

@@ -20,18 +20,20 @@ object Stats {
   private def identityRefs(repo: Repository, snapshotId: String): DataFrame = {
     val snap = repo.assets.readSnapshot(snapshotId)
     val arrays = snap.nodes.filter(_.isArray).map(_.id)
-    repo.assets.committedRefs(snap, arrays)
-      .select(col("kind"),
-        // per-kind identity (concat_ws skips nulls, so a coalesce chain
-        // would alias different kinds onto the same identity)
-        when(col("kind") === ChunkRef.KindRef, col("chunk_id"))
-          .when(col("kind") === ChunkRef.KindVirtual,
-            concat_ws(":", col("location"), col("offset"), col("length")))
-          .otherwise(concat_ws(":", col("node_id"),
-            concat_ws(",", col("coord"))))
-          .as("identity"),
-        coalesce(col("length"), lit(0L)).as("length"))
+    identityProjection(repo.assets.committedRefs(snap, arrays))
   }
+
+  private def identityProjection(refs: DataFrame): DataFrame =
+    refs.select(col("kind"),
+      // per-kind identity (concat_ws skips nulls, so a coalesce chain
+      // would alias different kinds onto the same identity)
+      when(col("kind") === ChunkRef.KindRef, col("chunk_id"))
+        .when(col("kind") === ChunkRef.KindVirtual,
+          concat_ws(":", col("location"), col("offset"), col("length")))
+        .otherwise(concat_ws(":", col("node_id"),
+          concat_ws(",", col("coord"))))
+        .as("identity"),
+      coalesce(col("length"), lit(0L)).as("length"))
 
   def chunkStorageStats(repo: Repository, snapshotId: String): DataFrame =
     identityRefs(repo, snapshotId)
@@ -61,12 +63,23 @@ object Stats {
     val info = repo.info()
     val pointed = (info.branches.values ++ info.tags.values).toSet
     val live = pointed.flatMap(id => info.ancestry(id).map(_.id))
-    live.toSeq.map(identityRefs(repo, _)).reduceOption(_ unionByName _)
-      .map(_.dropDuplicates("kind", "identity")
-        .groupBy("kind")
-        .agg(count(lit(1)).as("n_chunks"), sum("length").as("bytes"))
-        .orderBy("kind"))
-      .getOrElse(repo.spark.emptyDataFrame)
+    if (live.isEmpty) return repo.spark.emptyDataFrame
+    // dedupe the (manifest, node, split) shards across the WHOLE history
+    // before reading: a deep history re-references the same manifests in
+    // snapshot after snapshot, so scan legs must scale with distinct
+    // manifests, never with commit count
+    val parts = live.toSeq.flatMap { sid =>
+      val snap = repo.assets.readSnapshot(sid)
+      for {
+        node <- snap.nodes.filter(_.isArray).map(_.id)
+        ref <- snap.manifests.getOrElse(node, Nil)
+      } yield (ref.manifestId, node, ref.split)
+    }.distinct
+    identityProjection(repo.assets.committedRefsParts(parts))
+      .dropDuplicates("kind", "identity")
+      .groupBy("kind")
+      .agg(count(lit(1)).as("n_chunks"), sum("length").as("bytes"))
+      .orderBy("kind")
   }
 }
 
@@ -175,12 +188,17 @@ object GC {
         val liveChunkIds =
           if (liveManifests.isEmpty)
             spark.emptyDataset[String].toDF("chunk_id")
-          else liveManifests.toSeq.map { mid =>
-            spark.read.schema(repo.assets.manifestSchema)
-              .parquet(repo.assets.manifestUri(mid))
-              .filter(col("kind") === ChunkRef.KindRef)
-              .select("chunk_id")
-          }.reduce(_ unionByName _).distinct()
+          else spark.read.schema(repo.assets.manifestSchema)
+            // ONE multi-path scan: chunk liveness needs no per-manifest
+            // condition, so a 10k-manifest repo must not build a
+            // 10k-leg union (plan analysis alone would dominate GC).
+            // recursiveFileLookup skips partition inference — the split
+            // partition dirs differ across manifests and liveness does
+            // not need the split column anyway
+            .option("recursiveFileLookup", "true")
+            .parquet(liveManifests.toSeq.map(repo.assets.manifestUri): _*)
+            .filter(col("kind") === ChunkRef.KindRef)
+            .select("chunk_id").distinct()
         listedDf.filter(col("mtime") < cutoffMs)
           .join(liveChunkIds, Seq("chunk_id"), "left_anti")
           .select("chunk_id", "size")
@@ -302,12 +320,12 @@ object Compaction {
     val arrays = session.nodes.filter(_.isArray)
     if (arrays.isEmpty)
       throw new GraftException("no arrays to compact")
-    arrays.foreach { n =>
-      val refs = repo.assets.committedRefs(session.base, Seq(n.id))
-        .drop("split")
-      session.changeSet.rewrittenNodes += n.id
-      session.changeSet.stageBatch(refs)
-    }
+    // ONE batched read + ONE staged batch for every array: a
+    // 1000-array compaction must not stage 1000 per-array plans
+    val refs = repo.assets
+      .committedRefs(session.base, arrays.map(_.id)).drop("split")
+    arrays.foreach(n => session.changeSet.rewrittenNodes += n.id)
+    session.changeSet.stageBatch(refs)
     session.commit(message)
   }
 }
