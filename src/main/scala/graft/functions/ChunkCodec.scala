@@ -277,12 +277,23 @@ case class ChunkHistogramExpr(child: Expression, dtype: String,
 case class DownsampleChunkExpr(left: Expression, right: Expression,
                                dtype: String, compression: String,
                                chunkShape: Seq[Long], shape: Seq[Long],
-                               factors: Seq[Int], mode: String)
+                               factors: Seq[Int], mode: String,
+                               rectStarts: Seq[Seq[Long]] = Nil,
+                               rectSizes: Seq[Seq[Long]] = Nil)
     extends BinaryExpression with CodegenFallback {
   require(mode == "mean" || mode == "stride", s"unknown mode $mode")
   require(factors.forall(_ >= 1), s"bad factors $factors")
   require(ChunkCodec.IntDtypes.contains(dtype) ||
     ChunkCodec.FloatDtypes.contains(dtype), s"unknown dtype $dtype")
+  require(rectStarts.isEmpty == rectSizes.isEmpty,
+    "rectStarts and rectSizes come together")
+  // rectilinear geometry: per-dim (start, extent) lookup tables indexed
+  // by chunk coord — buffers are EXACT-extent (no padding), unlike the
+  // padded regular convention
+  @transient private lazy val rStarts: Array[Array[Long]] =
+    rectStarts.map(_.toArray).toArray
+  @transient private lazy val rSizes: Array[Array[Long]] =
+    rectSizes.map(_.toArray).toArray
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(StructType(Seq(
     StructField("dl", LongType, nullable = false),
@@ -295,7 +306,8 @@ case class DownsampleChunkExpr(left: Expression, right: Expression,
     val coordRaw = right.eval(input)
       .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
     if (bytes == null) return new GenericArrayData(Array.empty[Any])
-    val nd = chunkShape.size
+    val nd = shape.size // rank from the array shape: rect nodes may
+                        // carry an empty chunkShape
     val coord = Array.tabulate(nd)(coordRaw.getInt)
     val raw = ChunkCodec.decompress(bytes, compression)
     val isInt = ChunkCodec.IntDtypes.contains(dtype)
@@ -315,8 +327,16 @@ case class DownsampleChunkExpr(left: Expression, right: Expression,
       case "int32" | "float32" => 4; case _ => 8
     }
     val nCells = raw.length / width
-    // chunk-local buffer geometry + the chunk's destination footprint
-    val base = Array.tabulate(nd)(i => coord(i).toLong * chunkShape(i))
+    // chunk-local buffer geometry + the chunk's destination footprint;
+    // rect grids look base/extent up from the tables (exact buffers),
+    // regular grids derive them from the uniform chunk shape (padded)
+    val isRect = rectStarts.nonEmpty
+    val base =
+      if (isRect) Array.tabulate(nd)(i => rStarts(i)(coord(i)))
+      else Array.tabulate(nd)(i => coord(i).toLong * chunkShape(i))
+    val ext =
+      if (isRect) Array.tabulate(nd)(i => rSizes(i)(coord(i)))
+      else chunkShape.toArray
     val dstShape = Array.tabulate(nd)(i =>
       (shape(i) + factors(i) - 1) / factors(i))
     val dstStride = new Array[Long](nd)
@@ -325,7 +345,7 @@ case class DownsampleChunkExpr(left: Expression, right: Expression,
       dstStride(i) = dstStride(i + 1) * dstShape(i + 1)
     val footLo = Array.tabulate(nd)(i => base(i) / factors(i))
     val footHi = Array.tabulate(nd)(i =>
-      math.min((math.min(base(i) + chunkShape(i), shape(i)) - 1)
+      math.min((math.min(base(i) + ext(i), shape(i)) - 1)
         / factors(i), dstShape(i) - 1))
     val footExt = Array.tabulate(nd)(i => (footHi(i) - footLo(i) + 1).toInt)
     val footCells = footExt.product
@@ -342,7 +362,7 @@ case class DownsampleChunkExpr(left: Expression, right: Expression,
     val rem = new Array[Int](nd) // g_i % factors(i)
     val d = new Array[Long](nd)
     for (i <- 0 until nd) { d(i) = base(i) / factors(i); rem(i) = (base(i) % factors(i)).toInt }
-    val chunkCells = chunkShape.product.toInt
+    val chunkCells = ext.product.toInt
     var pos = 0
     val limit = math.min(nCells, chunkCells)
     while (pos < limit) {
@@ -371,7 +391,7 @@ case class DownsampleChunkExpr(left: Expression, right: Expression,
         g(dim) += 1
         rem(dim) += 1
         if (rem(dim) == factors(dim)) { rem(dim) = 0; d(dim) += 1 }
-        if (g(dim) < base(dim) + chunkShape(dim)) carry = false
+        if (g(dim) < base(dim) + ext(dim)) carry = false
         else {
           g(dim) = base(dim); d(dim) = base(dim) / factors(dim)
           rem(dim) = (base(dim) % factors(dim)).toInt
@@ -724,7 +744,9 @@ object CodecFunctions {
   def downsample_chunk(bytes: Column, coord: Column, dtype: String,
                        compression: String, chunkShape: Seq[Long],
                        shape: Seq[Long], factors: Seq[Int],
-                       mode: String): Column =
+                       mode: String, rectStarts: Seq[Seq[Long]] = Nil,
+                       rectSizes: Seq[Seq[Long]] = Nil): Column =
     column(DownsampleChunkExpr(expression(bytes), expression(coord),
-      dtype, compression, chunkShape, shape, factors, mode))
+      dtype, compression, chunkShape, shape, factors, mode,
+      rectStarts, rectSizes))
 }

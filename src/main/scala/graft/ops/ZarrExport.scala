@@ -66,9 +66,14 @@ object ZarrExport {
         docFor(n, compression, shardChunks)
           .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       if (n.isArray) {
-        if (n.isRectilinear) throw new GraftException(
-          s"${n.path}: rectilinear grids have no zarr v3 regular-grid " +
-            "representation; rechunk first")
+        // rect grids publish with the `rectilinear` chunk_grid extension
+        // (the same doc the repo's own zarr facade serves) and
+        // exact-extent chunk buffers — byte-identical round-trip through
+        // ZarrImport. Sharded export stays regular-only: the shard
+        // geometry is a uniform factor over a uniform grid.
+        if (n.isRectilinear && shardChunks.nonEmpty)
+          throw new GraftException(
+            s"${n.path}: sharded export requires a regular chunk grid")
         val dstConf = dst.conf
         import spark.implicits._
         if (shardChunks.isEmpty) {
@@ -204,10 +209,17 @@ object ZarrExport {
           if (n.dimNames.nonEmpty)
             s""","dimension_names":[${n.dimNames.map(d => s""""$d"""").mkString(",")}]"""
           else ""
+        val grid =
+          if (n.isRectilinear)
+            s""""chunk_grid":{"name":"rectilinear","configuration":""" +
+              s"""{"chunk_shapes":[${n.chunkSizesPerDim
+                .map(_.mkString("[", ",", "]")).mkString(",")}]}},"""
+          else
+            s""""chunk_grid":{"name":"regular","configuration":""" +
+              s"""{"chunk_shape":[${n.chunkShape.mkString(",")}]}},"""
         s"""{"zarr_format":3,"node_type":"array",""" +
           s""""shape":[${n.shape.mkString(",")}],""" +
-          s""""chunk_grid":{"name":"regular","configuration":""" +
-          s"""{"chunk_shape":[${n.chunkShape.mkString(",")}]}},""" +
+          grid +
           s""""data_type":"$dtype",""" +
           s""""chunk_key_encoding":{"name":"default",""" +
           s""""configuration":{"separator":"/"}},""" +

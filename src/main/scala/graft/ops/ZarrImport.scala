@@ -66,7 +66,10 @@ object ZarrImport {
                                      dimNames: Seq[String],
                                      keyPrefix: String, sep: String,
                                      doc: String,
-                                     shard: Option[ShardSpec] = None)
+                                     shard: Option[ShardSpec] = None,
+                                     // rectilinear chunk_grid extension:
+                                     // per-dim chunk-length tables
+                                     chunkSizes: Seq[Seq[Long]] = Nil)
 
   /** Walk `src` under `srcPrefix`, create the node tree on a fresh
     * session of `branch`, stage refs for every chunk key, and commit.
@@ -125,8 +128,12 @@ object ZarrImport {
             case JString("array") =>
               arrays ::= parseArray(nodePath, rel, doc, j, prefix)
               val a = arrays.head
-              session.addArray(a.path, a.shape, a.chunks, a.dimNames,
-                userData = a.doc)
+              if (a.chunkSizes.nonEmpty)
+                session.addArrayRectilinear(a.path, a.shape, a.chunkSizes,
+                  a.dimNames, userData = a.doc)
+              else
+                session.addArray(a.path, a.shape, a.chunks, a.dimNames,
+                  userData = a.doc)
             case other => throw new GraftException(
               s"${m.key}: unknown node_type $other")
           }
@@ -403,13 +410,34 @@ object ZarrImport {
         throw new GraftException(s"$nodePath: missing $what ($other)")
     }
     val shape = longs(j \ "shape", "shape")
-    (j \ "chunk_grid" \ "name") match {
-      case JString("regular") => ()
+    val gridName = (j \ "chunk_grid" \ "name") match {
+      case JString(n @ ("regular" | "rectilinear")) => n
       case other => throw new GraftException(
-        s"$nodePath: unsupported chunk_grid $other (regular only)")
+        s"$nodePath: unsupported chunk_grid $other " +
+          "(regular | rectilinear)")
     }
+    // rectilinear extension (the doc ZarrExport and the repo's own zarr
+    // facade emit): per-dim chunk-length tables that must tile the shape
+    val rectSizes: Seq[Seq[Long]] =
+      if (gridName != "rectilinear") Nil
+      else (j \ "chunk_grid" \ "configuration" \ "chunk_shapes") match {
+        case JArray(dims) =>
+          val tables = dims.zipWithIndex.map { case (d, i) =>
+            longs(d, s"chunk_shapes[$i]")
+          }
+          if (tables.size != shape.size ||
+              tables.zip(shape).exists { case (t, len) =>
+                t.isEmpty || t.exists(_ <= 0) || t.sum != len })
+            throw new GraftException(
+              s"$nodePath: chunk_shapes do not tile shape " +
+                s"${shape.mkString(",")}")
+          tables
+        case other => throw new GraftException(
+          s"$nodePath: missing chunk_shapes ($other)")
+      }
     val chunks =
-      longs(j \ "chunk_grid" \ "configuration" \ "chunk_shape",
+      if (gridName == "rectilinear") Nil
+      else longs(j \ "chunk_grid" \ "configuration" \ "chunk_shape",
         "chunk_shape")
     val dtype = (j \ "data_type") match {
       case JString(d) => d
@@ -496,8 +524,12 @@ object ZarrImport {
     shardParsed match {
       case None =>
         ArraySpec(nodePath, shape, chunks, dtype, dimNames, keyPrefix,
-          sep, doc)
+          sep, doc, chunkSizes = rectSizes)
       case Some((inner, atEnd, crc, innerCodecs)) =>
+        if (rectSizes.nonEmpty) throw new GraftException(
+          s"$nodePath: sharding_indexed over a rectilinear grid is not " +
+            "supported (shard geometry assumes a uniform inner grid)",
+          graft.repo.GraftError.InvalidConfig)
         // store keys address SHARDS (grid = `chunks`); the graft array
         // adopts the INNER grid — each inner chunk becomes one virtual
         // ref into its shard object

@@ -617,8 +617,6 @@ object TensorPlane {
                  compression: String = "raw"): Unit = {
     val node = session.node(srcPath).filter(_.isArray).getOrElse(
       throw new GraftException(s"no array at $srcPath"))
-    if (node.isRectilinear) throw new GraftException(
-      s"downsample requires a regular chunk grid ($srcPath)")
     val shape = node.shape
     val ndim = shape.size
     if (factors.size != ndim || factors.exists(_ < 1))
@@ -630,12 +628,22 @@ object TensorPlane {
       if (mode == "mean") "float64" else srcDtype)
     val dstShape = shape.zip(factors).map { case (s, k) =>
       (s + k - 1) / k }
+    // the pyramid level is a REGULAR grid either way (rect raggedness is
+    // a property of how the source was laid out, not of the overview):
+    // a rect source's default dest chunk derives from its largest chunk
+    val repChunk = (i: Int) =>
+      if (node.isRectilinear) node.chunkSizesPerDim(i).max
+      else node.chunkShape(i)
     val chunks =
       if (dstChunks.nonEmpty) dstChunks
-      else node.chunkShape.zip(factors).zip(dstShape).map {
-        case ((c, k), ds) => math.max(1L, math.min(c / k, ds)) }
+      else (0 until ndim).map { i =>
+        math.max(1L, math.min(repChunk(i) / factors(i), dstShape(i))) }
     session.addArray(dstPath, dstShape, chunks, node.dimNames,
       userData = s"""{"dtype":"$outDtype"}""")
+    val rectStarts =
+      if (!node.isRectilinear) Nil
+      else node.chunkSizesPerDim.map(s =>
+        graft.meta.RectGrid.starts(s).toSeq)
     val fetch = sessionFetch(session)
     val spark = session.repo.spark
     val isInt = ChunkCodec.IntDtypes.contains(outDtype)
@@ -647,7 +655,8 @@ object TensorPlane {
         col("chunk_id"), col("location"), col("offset"), col("length")))
       .select(explode(CodecFunctions.downsample_chunk(col("bytes"),
         col("coord"), srcDtype, compression, node.chunkShape, shape,
-        factors, mode)).as("p"))
+        factors, mode, rectStarts,
+        if (node.isRectilinear) node.chunkSizesPerDim else Nil)).as("p"))
       .groupBy(col("p.dl").as("dl"))
       .agg(sum("p.sum").as("s"), sum("p.cnt").as("c"))
     val withDims = (0 until ndim).foldLeft(partials) { case (df, i) =>

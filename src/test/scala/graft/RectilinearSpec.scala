@@ -396,6 +396,39 @@ class RectilinearSpec extends SparkTestBase {
     assert(ex.getMessage.contains("stores dtype int32"))
   }
 
+  test("downsample over a rectilinear grid: blocks cross the irregular " +
+      "chunk seams") {
+    val repo = Repository.create(Store.local(tmpDir("repo")), spark)
+    val s = repo.writableSession("main")
+    // 5x6, dim0 chunks [2,3], dim1 chunks [4,2]: the 2x2 mean blocks
+    // straddle both irregular seams, so partials must combine across
+    // exact-extent buffers with table-derived offsets
+    s.addArrayRectilinear("/rd", Seq(5, 6), Seq(Seq(2L, 3L), Seq(4L, 2L)),
+      userData = """{"dtype":"int64"}""")
+    TensorPlane.writeValues(s, "/rd",
+      spark.range(30).select(expr("id div 6").as("i0"),
+        expr("id % 6").as("i1"), col("id").as("value")), "int64")
+    s.commit("init")
+    val s2 = repo.writableSession("main")
+    TensorPlane.downsample(s2, "/rd", "/rd_l1", Seq(2, 2), "int64")
+    s2.commit("level 1")
+    val ro = repo.readonlySession(VersionRef.Branch("main"))
+    val got = TensorPlane.values(ro, "/rd_l1", "float64")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    // expected: mean over each 2x2 block of v(i,j) = i*6 + j, edge
+    // blocks averaging what exists
+    for (bi <- 0 until 3; bj <- 0 until 3) {
+      val cells = for {
+        i <- bi * 2 until math.min(bi * 2 + 2, 5)
+        j <- bj * 2 until math.min(bj * 2 + 2, 6)
+      } yield (i * 6 + j).toDouble
+      assert(math.abs(got((bi.toLong, bj.toLong)) -
+        cells.sum / cells.size) < 1e-9, s"block ($bi,$bj)")
+    }
+    assert(got.size == 9)
+  }
+
   test("appendValues with an empty input is a no-op, not an NPE") {
     val repo = Repository.create(Store.local(tmpDir("repo")), spark)
     val s = repo.writableSession("main")

@@ -186,6 +186,43 @@ class ZarrImportSpec extends SparkTestBase {
     assert(vals == (0 until 10).map(i => i.toLong -> i.toLong).toMap)
   }
 
+  test("rectilinear export publishes the rect chunk_grid; re-import " +
+      "round-trips byte-identically") {
+    val repo = Repository.create(Store.local(tmpDir("rxrepo")), spark)
+    val s = repo.writableSession("main")
+    val sizes = Seq(3L, 5L, 2L)
+    s.addArrayRectilinear("/r", Seq(10), Seq(sizes), Seq("x"),
+      userData = """{"dtype":"int64"}""")
+    var start = 0L
+    sizes.zipWithIndex.foreach { case (len, c) =>
+      s.writeChunk("/r", Seq(c), ChunkCodec.encodeLongs(
+        Array.tabulate(len.toInt)(i => start + i), "int64"))
+      start += len
+    }
+    s.commit("rect")
+    val out = tmpDir("rzout")
+    val ro = repo.readonlySession(VersionRef.Branch("main"))
+    assert(graft.ops.ZarrExport.exportStore(ro, Store.local(out)) == 3)
+    val doc = new String(Files.readAllBytes(Paths.get(out, "r/zarr.json")),
+      "UTF-8")
+    assert(doc.contains("\"rectilinear\"") &&
+      doc.contains("\"chunk_shapes\":[[3,5,2]]"), doc)
+    // exact-extent payloads: the 5-cell chunk is 40 bytes on disk
+    assert(Files.readAllBytes(Paths.get(out, "r/c/1")).length == 40)
+    val repo2 = Repository.create(Store.local(tmpDir("rxrepo2")), spark)
+    graft.ops.ZarrImport.importStore(repo2, "main", Store.local(out))
+    val ro2 = repo2.readonlySession(VersionRef.Branch("main"))
+    val n2 = ro2.node("/r").get
+    assert(n2.isRectilinear && n2.chunkSizesPerDim == Seq(sizes))
+    val vals = TensorPlane.values(ro2, "/r", "int64")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(vals == (0 until 10).map(i => i.toLong -> i.toLong).toMap)
+    // sharded export of a rect grid is refused, not silently regularized
+    val ex = intercept[GraftException](graft.ops.ZarrExport.exportStore(
+      ro, Store.local(tmpDir("rzout2")), shardChunks = Seq(2)))
+    assert(ex.getMessage.contains("regular chunk grid"))
+  }
+
   test("export re-emits adopted zarr docs verbatim (attributes survive)") {
     val srcDir = tmpDir("zsrc4")
     writeFixture(srcDir)
