@@ -419,6 +419,19 @@ final class AssetManager(val store: Store, spark: SparkSession) {
   def readTxLog(snapshotId: String): DataFrame =
     spark.read.parquet(store.uri(Layout.txLogPrefix(snapshotId)))
 
+  /** Many commits' tx logs as ONE multi-path scan. `diff` over a deep
+    * chain must not union one leg per commit — at long histories
+    * Catalyst plan analysis, not IO, becomes the cost. The explicit
+    * schema skips footer-based inference across hundreds of paths.
+    */
+  def readTxLogs(snapshotIds: Seq[String]): DataFrame =
+    if (snapshotIds.isEmpty) {
+      import spark.implicits._
+      spark.emptyDataset[EditRow].toDF()
+    } else spark.read
+      .schema(org.apache.spark.sql.Encoders.product[EditRow].schema)
+      .parquet(snapshotIds.map(id => store.uri(Layout.txLogPrefix(id))): _*)
+
   /** One commit's tx-log rows read entirely DRIVER-side (no Spark job),
     * when the log is small enough to hold in memory — the common case for
     * interactive commits, and what keeps rebase retry loops job-free.

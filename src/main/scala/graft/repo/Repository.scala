@@ -510,14 +510,10 @@ final class Repository private (
         .foreach(s => throw new GraftException(
           s"diff: transaction log for ${s.id} is gone (expired/GC'd)",
           GraftError.Expired))
-      val logs = chain.map(_.id).filter(assets.txLogExists)
-        .map(assets.readTxLog)
-      if (logs.isEmpty) {
-        import spark.implicits._
-        spark.emptyDataset[EditRow].toDF()
-      } else
-        // accumulated edit sets: distinct union (DiffBuilder, diff.rs:27-51)
-        logs.reduce(_ unionByName _).distinct()
+      // accumulated edit sets: distinct union (DiffBuilder, diff.rs:27-51)
+      // — read as ONE multi-path scan, not one union leg per commit
+      assets.readTxLogs(chain.map(_.id).filter(assets.txLogExists))
+        .distinct()
     }
   }
 

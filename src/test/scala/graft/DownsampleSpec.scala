@@ -89,7 +89,8 @@ class DownsampleSpec extends SparkTestBase {
     assert(v(Seq(1L)) == 30.0)
   }
 
-  test("guards: rank mismatch and rectilinear sources are refused") {
+  test("guards: rank mismatch is refused; rect sources downsample " +
+      "(level grid derives from the largest chunk)") {
     val repo = Repository.create(Store.local(tmpDir("repo")), spark)
     val s = repo.writableSession("main")
     s.addArray("/x", Seq(8), Seq(4))
@@ -97,9 +98,13 @@ class DownsampleSpec extends SparkTestBase {
       TensorPlane.downsample(s, "/x", "/y", Seq(2, 2), "int64")
     }
     assert(e.kind == GraftError.InvalidConfig)
-    s.addArrayRectilinear("/r", Seq(10), Seq(Seq(4L, 6L)))
-    intercept[GraftException] {
-      TensorPlane.downsample(s, "/r", "/r2", Seq(2), "int64")
-    }
+    // rectilinear sources are supported (cell-exact coverage in
+    // RectilinearSpec); the level's regular chunk derives from the
+    // source's LARGEST chunk length: max(4,6)/2 = 3
+    s.addArrayRectilinear("/r", Seq(10), Seq(Seq(4L, 6L)),
+      userData = """{"dtype":"int64"}""")
+    TensorPlane.downsample(s, "/r", "/r2", Seq(2), "int64")
+    assert(s.node("/r2").get.shape == Seq(5L))
+    assert(s.node("/r2").get.chunkShape == Seq(3L))
   }
 }
