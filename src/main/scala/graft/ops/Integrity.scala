@@ -65,11 +65,13 @@ object Integrity {
     val metaDf = metaProblems.toSeq.toDF("kind", "id", "detail")
     if (presentManifests.isEmpty) return metaDf
 
-    val refs = presentManifests.map { mid =>
-      spark.read.schema(repo.assets.manifestSchema)
-        .parquet(repo.assets.manifestUri(mid))
-        .select("kind", "chunk_id", "location", "offset", "length")
-    }.reduce(_ unionByName _)
+    // ONE multi-path scan over every present manifest (no per-manifest
+    // condition): fsck over a 10k-manifest repo must not spend its time
+    // in Catalyst analyzing a 10k-leg union
+    val refs = spark.read.schema(repo.assets.manifestSchema)
+      .option("recursiveFileLookup", "true")
+      .parquet(presentManifests.map(repo.assets.manifestUri): _*)
+      .select("kind", "chunk_id", "location", "offset", "length")
 
     val conf: StoreConf = repo.store.conf
     val chunkProblems = refs.filter(F.col("kind") === ChunkRef.KindRef)

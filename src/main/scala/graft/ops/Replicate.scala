@@ -146,12 +146,15 @@ object Replicate {
     import spark.implicits._
     val chunkIds =
       if (manifestIds.isEmpty) spark.emptyDataset[String].toDF("chunk_id")
-      else manifestIds.toSeq.map { mid =>
-        spark.read.schema(src.assets.manifestSchema)
-          .parquet(src.assets.manifestUri(mid))
-          .filter(col("kind") === ChunkRef.KindRef)
-          .select("chunk_id")
-      }.reduce(_ unionByName _).distinct()
+      // ONE multi-path scan (no per-manifest condition needed):
+      // a push closure over 10k manifests must not build a 10k-leg
+      // union plan. recursiveFileLookup skips the conflicting
+      // per-manifest partition-dir inference.
+      else spark.read.schema(src.assets.manifestSchema)
+        .option("recursiveFileLookup", "true")
+        .parquet(manifestIds.toSeq.map(src.assets.manifestUri): _*)
+        .filter(col("kind") === ChunkRef.KindRef)
+        .select("chunk_id").distinct()
     val (chunksCopied, bytesCopied, chunksSkipped) = {
       val stats = chunkIds.as[String].mapPartitions { ids =>
         val s = StoreConf.cached(srcConf)
