@@ -719,4 +719,39 @@ class RepositorySpec extends SparkTestBase {
       assert(ro.getChunk("/a", Seq(i)).get.head == expected.toByte, s"i=$i")
     }
   }
+
+  test("deep history: diff, storage stats and time travel over 100+ " +
+      "commits read whole chains, not per-commit plans") {
+    // regression anchor for the multi-path chain reads (readTxLogs,
+    // committedRefsParts): a 100-commit chain must produce the same
+    // answers the old one-leg-per-commit unions did
+    val repo = Repository.create(Store.local(tmpDir("repo")), spark)
+    val s0 = repo.writableSession("main")
+    s0.addArray("/d", Seq(1000), Seq(10)) // 100 chunks, 80 B inline each
+    for (c <- 0 until 10)
+      s0.writeChunk("/d", Seq(c), Array.fill(8)(c.toByte))
+    val first = s0.commit("base")
+    val n = 100
+    for (i <- 0 until n) {
+      val s = repo.writableSession("main")
+      s.writeChunk("/d", Seq(i % 100), Array.fill(8)((i % 127).toByte))
+      s.commit(s"edit $i")
+    }
+    assert(repo.ancestry(VersionRef.Branch("main")).size == n + 2)
+    // diff across the whole chain: distinct (chunk, coord) edits = the
+    // 100 distinct coords touched
+    val edits = repo.diff(VersionRef.SnapshotVer(first),
+      VersionRef.Branch("main"))
+    assert(edits.filter(col("edit") === graft.meta.EditRow.Chunk)
+      .select("coord").distinct().count() == 100)
+    // storage stats across every live snapshot: inline identity is
+    // (node, coord), so 100 distinct cells regardless of version count
+    val stats = graft.ops.Stats.repoChunksStorage(repo)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(stats(ChunkRef.KindInline) == 100, stats.toString)
+    // time travel into the middle of the chain still resolves point reads
+    val mid = repo.ancestry(VersionRef.Branch("main"))(n / 2).id
+    val ro = repo.readonlySession(VersionRef.SnapshotVer(mid))
+    assert(ro.getChunk("/d", Seq(0)).isDefined)
+  }
 }
