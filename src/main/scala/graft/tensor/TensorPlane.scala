@@ -149,11 +149,17 @@ object TensorPlane {
     val nodeO = oldSession.node(path).filter(_.isArray).getOrElse(
       throw new GraftException(s"no array at $path (old version)"))
     if (nodeN.chunkShape != nodeO.chunkShape ||
-        nodeN.chunkSizesPerDim != nodeO.chunkSizesPerDim)
+        nodeN.chunkSizesPerDim != nodeO.chunkSizesPerDim) {
+      // print the grid that actually differs — chunkShape is empty on
+      // rect nodes, so the regular-only rendering said "( vs )"
+      def grid(n: graft.meta.NodeSpec): String =
+        if (n.isRectilinear) n.chunkSizesPerDim
+          .map(_.mkString("[", ",", "]")).mkString("rect(", ",", ")")
+        else n.chunkShape.mkString("x")
       throw new GraftException(
         s"valueDiff requires both versions to share the chunk grid " +
-          s"(${nodeO.chunkShape.mkString("x")} vs " +
-          s"${nodeN.chunkShape.mkString("x")})")
+          s"(${grid(nodeO)} vs ${grid(nodeN)})")
+    }
     val ndim = nodeN.shape.size
     val fetch = sessionFetch(newSession)
     def bytesOf(tag: String) = fetch(col(s"$tag.kind"), col(s"$tag.inline"),
@@ -991,6 +997,7 @@ object TensorPlane {
       if (ChunkCodec.IntDtypes.contains(dtype) &&
           scale == math.rint(scale) && offset == math.rint(offset)) dtype
       else "float64")
+    if (offset != 0.0) requireFillableGrid(node, srcPath)
     addLike(session, dstPath, node, outDtype)
     if (scale == 1.0 && offset == 0.0 && outDtype == dtype) {
       session.stageChunkRefs(dstPath, session.refs(srcPath))
@@ -1071,14 +1078,6 @@ object TensorPlane {
       }.toDF("coord", "chunk_id", "length")
   }
 
-  /** Stage a per-chunk-transformed ref relation for `dstPath`. When the
-    * transform maps the fill value 0 to `fillOut != 0`, absent source
-    * coords must READ `fillOut` in the destination, so they materialize
-    * as refs to ONE shared constant chunk (content-addressed: a single
-    * object and one metadata row per absent coord; a fully-dense source
-    * adds no rows because the anti-join is empty). Shared by
-    * [[mapValues]] and [[mapUnary]].
-    */
   /** Create `dstPath` with `node`'s exact grid (regular or rectilinear)
     * and the given output dtype — the dst-creation step every per-chunk
     * transform shares.
@@ -1119,6 +1118,28 @@ object TensorPlane {
         }
       }
 
+  /** Refuse a grid whose fill materialization would need more than
+    * [[MaxDistinctCellCounts]] constant blobs — called by the transforms
+    * BEFORE any destination staging, so a refusal leaves no
+    * half-created dst array in the session changeset.
+    */
+  private def requireFillableGrid(node: graft.meta.NodeSpec,
+                                  path: String): Unit =
+    if (distinctCellCounts(node).size > MaxDistinctCellCounts)
+      throw new GraftException(
+        s"$path: fill materialization needs more than " +
+          s"$MaxDistinctCellCounts distinct chunk volumes — rechunk to " +
+          "a regular grid first",
+        graft.repo.GraftError.InvalidConfig)
+
+  /** Stage a per-chunk-transformed ref relation for `dstPath`. When the
+    * transform maps the fill value 0 to `fillOut != 0`, absent source
+    * coords must READ `fillOut` in the destination, so they materialize
+    * as refs to shared constant chunks (content-addressed: one object
+    * per chunk volume the ABSENT coords actually need, one metadata row
+    * per absent coord; a fully-dense source adds no rows because the
+    * anti-join is empty). Shared by [[mapValues]] and [[mapUnary]].
+    */
   private def stageTransformedRefs(session: Session, srcPath: String,
       dstPath: String, node: graft.meta.NodeSpec,
       refsDf: org.apache.spark.sql.DataFrame, fillOut: Double,
@@ -1143,39 +1164,45 @@ object TensorPlane {
         absentCache = Some(absent)
         if (absent.isEmpty) refsDf
         else {
-          // one shared constant chunk PER DISTINCT CELL COUNT (regular:
-          // exactly one; rect: one per distinct chunk volume — refuse
-          // degenerate grids rather than upload hundreds of fill blobs)
-          val counts = distinctCellCounts(node)
-          if (counts.size > MaxDistinctCellCounts) throw new GraftException(
-            s"fill materialization: more than $MaxDistinctCellCounts " +
-              "distinct chunk volumes — rechunk to a regular grid first",
-            graft.repo.GraftError.InvalidConfig)
-          val constByCells: Map[Long, (String, Long)] = counts.map { c =>
-            val bytes =
-              if (intMath)
-                ChunkCodec.compress(ChunkCodec.encodeLongs(
-                  Array.fill(c.toInt)(fillOut.toLong), outDtype),
-                  compression)
-              else
-                ChunkCodec.compress(ChunkCodec.encodeDoubles(
-                  Array.fill(c.toInt)(fillOut), outDtype), compression)
-            val id = graft.core.Ids.toBase32(graft.core.Ids.newObjectId())
-            session.repo.store.putBytes(
-              graft.meta.Layout.chunkKey(id), bytes)
-            c -> (id, bytes.length.toLong)
-          }.toMap
+          // one shared constant chunk PER DISTINCT CELL COUNT the ABSENT
+          // coords actually use (regular: exactly one; rect: collected
+          // from the persisted absent relation — bounded by the
+          // MaxDistinctCellCounts refusal, and a grid volume no absent
+          // chunk needs uploads no blob). Degenerate grids were refused
+          // by requireFillableGrid in the caller, before any staging;
+          // the re-check here is defense in depth.
+          requireFillableGrid(node, srcPath)
+          val sizes = node.chunkSizesPerDim
+          def cellsExpr = sizes.indices.map(d =>
+            element_at(typedLit(sizes(d)),
+              element_at(col("coord"), d + 1) + 1)).reduce(_ * _)
+          val neededCounts: Seq[Long] =
+            if (!node.isRectilinear) Seq(node.chunkShape.product)
+            else absent.withColumn("_cells", cellsExpr)
+              .select("_cells").distinct()
+              .collect().map(_.getLong(0)).toSeq
+          val constByCells: Map[Long, (String, Long)] =
+            neededCounts.map { c =>
+              val bytes =
+                if (intMath)
+                  ChunkCodec.compress(ChunkCodec.encodeLongs(
+                    Array.fill(c.toInt)(fillOut.toLong), outDtype),
+                    compression)
+                else
+                  ChunkCodec.compress(ChunkCodec.encodeDoubles(
+                    Array.fill(c.toInt)(fillOut), outDtype), compression)
+              val id = graft.core.Ids.toBase32(graft.core.Ids.newObjectId())
+              session.repo.store.putBytes(
+                graft.meta.Layout.chunkKey(id), bytes)
+              c -> (id, bytes.length.toLong)
+            }.toMap
           if (!node.isRectilinear) {
-            val (constId, constLen) = constByCells(counts.head)
+            val (constId, constLen) = constByCells(neededCounts.head)
             refsDf.union(absent.select(col("coord"),
               lit(constId).as("chunk_id"), lit(constLen).as("length")))
           } else {
             // per-coord chunk volume from the literal size tables, then
             // a broadcast map to the matching constant chunk
-            val sizes = node.chunkSizesPerDim
-            val cellsExpr = sizes.indices.map(d =>
-              element_at(typedLit(sizes(d)),
-                element_at(col("coord"), d + 1) + 1)).reduce(_ * _)
             import spark.implicits._
             val constDf = broadcast(constByCells.toSeq
               .map { case (c, (id, len)) => (c, id, len) }
@@ -1243,11 +1270,12 @@ object TensorPlane {
     // wrap (encodeLongs truncates to the target width)
     val outDtype =
       if (op == "sqrt") "float64" else if (intMath) "int64" else "float64"
-    addLike(session, dstPath, node, outDtype)
     val fillOut = op match {
       case "clip" => math.min(math.max(0.0, lo), hi)
       case _ => 0.0
     }
+    if (fillOut != 0.0) requireFillableGrid(node, srcPath)
+    addLike(session, dstPath, node, outDtype)
     val loL = if (lo.isNegInfinity) Long.MinValue else lo.toLong
     val hiL = if (hi.isPosInfinity) Long.MaxValue else hi.toLong
     // kernel selected ONCE (per-cell string dispatch would pay a
