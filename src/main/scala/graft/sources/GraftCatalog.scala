@@ -731,8 +731,8 @@ private[sources] object GraftProcedures {
 
   val names: Seq[String] = Seq("push", "fsck", "gc", "expire", "compact",
     "merge", "inspect", "tensor_combine", "tensor_map", "tensor_unary",
-    "tensor_transpose", "tensor_downsample", "zarr_import",
-    "zarr_export")
+    "tensor_transpose", "tensor_downsample", "tensor_concat",
+    "zarr_import", "zarr_export")
 
   /** Array dtype from the node's userData (same probe as the SQL table
     * loader) — tensor procedures infer it instead of asking the caller.
@@ -1009,6 +1009,22 @@ private[sources] object GraftProcedures {
           mode = in.getUTF8String(3).toString)
         Array(new GenericInternalRow(Array[Any](str(
           s.commit(s"tensor_downsample ${factors.mkString(",")}")))))
+      }
+      case "tensor_concat" => proc("tensor_concat",
+        Seq(p("srcs", StringType), p("dst", StringType),
+          pd("axis", IntegerType, "0"), pd("branch", StringType, "'main'")),
+        StructType(Seq(StructField("snapshot_id", StringType)))) { in =>
+        val s = repo().writableSession(in.getUTF8String(3).toString)
+        val srcs = in.getUTF8String(0).toString
+          .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        if (srcs.isEmpty) throw new graft.repo.GraftException(
+          "tensor_concat: srcs must name at least one array " +
+            "(comma-separated)", graft.repo.GraftError.InvalidConfig)
+        val axis = in.getInt(2)
+        graft.tensor.TensorPlane.concat(s, srcs,
+          in.getUTF8String(1).toString, axis, probeDtype(s, srcs.head))
+        Array(new GenericInternalRow(Array[Any](str(
+          s.commit(s"tensor_concat axis=$axis")))))
       }
       // store adoption / publication from pure SQL
       case "zarr_import" => proc("zarr_import",

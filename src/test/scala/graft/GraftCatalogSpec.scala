@@ -574,6 +574,13 @@ class GraftCatalogSpec extends SparkTestBase {
       .toSet == ro.refs("/a").select("chunk_id").collect()
       .map(_.getString(0)).toSet)
 
+    // zero-copy concat through SQL: /a ++ /a along axis 0 doubles cells
+    spark.sql(
+      s"CALL $cat.system.tensor_concat('/a,/a', '/a_cat')").collect()
+    assert(spark.sql(s"SELECT count(*) AS n FROM $cat.a_cat")
+      .head().getLong(0) ==
+      spark.sql(s"SELECT count(*) AS n FROM $cat.a").head().getLong(0) * 2)
+
     // publish sharded + adopt back, all through SQL
     val out = tmpDir("tproc-zarr")
     val n = spark.sql(
