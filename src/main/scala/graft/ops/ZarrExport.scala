@@ -57,6 +57,15 @@ object ZarrExport {
           graft.core.NodePath.isAncestorOf(n.path, w)))
       }
     if (nodes.isEmpty) throw new GraftException("empty tree: nothing to export")
+    // refuse BEFORE writing anything: the loop below persists each
+    // node's zarr.json as it goes, and shardedDoc over a rect node
+    // (empty chunkShape) would leave a corrupt doc in the destination
+    // ahead of the exception
+    if (shardChunks.nonEmpty)
+      nodes.filter(n => n.isArray && n.isRectilinear).foreach { n =>
+        throw new GraftException(
+          s"${n.path}: sharded export requires a regular chunk grid")
+      }
 
     var written = 0L
     for (n <- nodes.sortBy(_.path)) {
@@ -69,11 +78,8 @@ object ZarrExport {
         // rect grids publish with the `rectilinear` chunk_grid extension
         // (the same doc the repo's own zarr facade serves) and
         // exact-extent chunk buffers — byte-identical round-trip through
-        // ZarrImport. Sharded export stays regular-only: the shard
-        // geometry is a uniform factor over a uniform grid.
-        if (n.isRectilinear && shardChunks.nonEmpty)
-          throw new GraftException(
-            s"${n.path}: sharded export requires a regular chunk grid")
+        // ZarrImport. Sharded export stays regular-only (refused up
+        // front, before any doc was written).
         val dstConf = dst.conf
         import spark.implicits._
         if (shardChunks.isEmpty) {

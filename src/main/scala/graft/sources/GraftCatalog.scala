@@ -747,6 +747,19 @@ private[sources] object GraftProcedures {
         graft.repo.GraftError.InvalidConfig))
   }
 
+  /** Stored codec of an array (raw when its doc declares none) — the
+    * SQL procedures pass it through to the tensor transforms, whose
+    * stored-vs-decode codec guards would otherwise be unsatisfiable
+    * from SQL (no compression parameter on the CALL surface).
+    */
+  private def probeCompression(s: graft.repo.Session,
+                               path: String): String = {
+    val n = s.node(path).filter(_.isArray).getOrElse(
+      throw new graft.repo.GraftException(s"no array at $path",
+        graft.repo.GraftError.NodeNotFound))
+    GraftCatalog.compressionFromUserData(n.userData).getOrElse("raw")
+  }
+
   private def parseInts(csv: String, what: String): Seq[Int] =
     try csv.split(",").toSeq.map(_.trim.toInt)
     catch { case _: NumberFormatException =>
@@ -952,7 +965,7 @@ private[sources] object GraftProcedures {
         val op = in.getUTF8String(3).toString
         graft.tensor.TensorPlane.combine(s, a,
           in.getUTF8String(1).toString, in.getUTF8String(2).toString,
-          op, probeDtype(s, a))
+          op, probeDtype(s, a), compression = probeCompression(s, a))
         Array(new GenericInternalRow(Array[Any](str(
           s.commit(s"tensor_combine $op")))))
       }
@@ -965,7 +978,7 @@ private[sources] object GraftProcedures {
         val src = in.getUTF8String(0).toString
         graft.tensor.TensorPlane.mapValues(s, src,
           in.getUTF8String(1).toString, in.getDouble(2), in.getDouble(3),
-          probeDtype(s, src))
+          probeDtype(s, src), compression = probeCompression(s, src))
         Array(new GenericInternalRow(Array[Any](str(
           s.commit("tensor_map affine")))))
       }
@@ -980,7 +993,8 @@ private[sources] object GraftProcedures {
         val src = in.getUTF8String(0).toString
         graft.tensor.TensorPlane.mapUnary(s, src,
           in.getUTF8String(1).toString, in.getUTF8String(2).toString,
-          probeDtype(s, src), lo = in.getDouble(3), hi = in.getDouble(4))
+          probeDtype(s, src), lo = in.getDouble(3), hi = in.getDouble(4),
+          compression = probeCompression(s, src))
         Array(new GenericInternalRow(Array[Any](str(
           s.commit(s"tensor_unary ${in.getUTF8String(2)}")))))
       }
@@ -992,7 +1006,8 @@ private[sources] object GraftProcedures {
         val src = in.getUTF8String(0).toString
         val perm = parseInts(in.getUTF8String(2).toString, "perm")
         graft.tensor.TensorPlane.transpose(s, src,
-          in.getUTF8String(1).toString, perm, probeDtype(s, src))
+          in.getUTF8String(1).toString, perm, probeDtype(s, src),
+          compression = probeCompression(s, src))
         Array(new GenericInternalRow(Array[Any](str(
           s.commit(s"tensor_transpose ${perm.mkString(",")}")))))
       }
@@ -1006,7 +1021,8 @@ private[sources] object GraftProcedures {
         val factors = parseInts(in.getUTF8String(2).toString, "factors")
         graft.tensor.TensorPlane.downsample(s, src,
           in.getUTF8String(1).toString, factors, probeDtype(s, src),
-          mode = in.getUTF8String(3).toString)
+          mode = in.getUTF8String(3).toString,
+          compression = probeCompression(s, src))
         Array(new GenericInternalRow(Array[Any](str(
           s.commit(s"tensor_downsample ${factors.mkString(",")}")))))
       }
@@ -1022,7 +1038,8 @@ private[sources] object GraftProcedures {
             "(comma-separated)", graft.repo.GraftError.InvalidConfig)
         val axis = in.getInt(2)
         graft.tensor.TensorPlane.concat(s, srcs,
-          in.getUTF8String(1).toString, axis, probeDtype(s, srcs.head))
+          in.getUTF8String(1).toString, axis, probeDtype(s, srcs.head),
+          compression = probeCompression(s, srcs.head))
         Array(new GenericInternalRow(Array[Any](str(
           s.commit(s"tensor_concat axis=$axis")))))
       }

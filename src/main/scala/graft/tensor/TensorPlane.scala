@@ -644,8 +644,9 @@ object TensorPlane {
       if (dstChunks.nonEmpty) dstChunks
       else (0 until ndim).map { i =>
         math.max(1L, math.min(repChunk(i) / factors(i), dstShape(i))) }
+    requireStoredCompression(node, srcPath, compression)
     session.addArray(dstPath, dstShape, chunks, node.dimNames,
-      userData = s"""{"dtype":"$outDtype"}""")
+      userData = destUserData(outDtype, compression))
     val rectStarts =
       if (!node.isRectilinear) Nil
       else node.chunkSizesPerDim.map(s =>
@@ -712,16 +713,17 @@ object TensorPlane {
     val dstShape = perm.map(shape)
     val dimNames =
       if (node.dimNames.size == ndim) perm.map(node.dimNames) else Nil
+    requireStoredCompression(node, srcPath, compression)
     if (node.isRectilinear)
       // rect grid transposes to the permuted chunk-length tables; chunk
       // buffers are exact-extent on both sides so the re-stride uses the
       // per-chunk extents from the tables (no padding on either side)
       session.addArrayRectilinear(dstPath, dstShape,
         perm.map(node.chunkSizesPerDim), dimNames,
-        userData = s"""{"dtype":"$dtype"}""")
+        userData = destUserData(dtype, compression))
     else
       session.addArray(dstPath, dstShape, perm.map(node.chunkShape),
-        dimNames, userData = s"""{"dtype":"$dtype"}""")
+        dimNames, userData = destUserData(dtype, compression))
     if (perm == (0 until ndim).toList) {
       session.stageChunkRefs(dstPath, session.refs(srcPath))
       return
@@ -850,7 +852,9 @@ object TensorPlane {
       throw new GraftException(
         s"combine: fractional results cannot land in $outDtype",
         graft.repo.GraftError.InvalidConfig)
-    addLike(session, dstPath, nA, outDtype)
+    requireStoredCompression(nA, pathA, compression)
+    requireStoredCompression(nB, pathB, compression)
+    addLike(session, dstPath, nA, outDtype, compression)
     val spark = session.repo.spark
     import spark.implicits._
     val confA = session.repo.store.conf
@@ -997,9 +1001,9 @@ object TensorPlane {
       if (ChunkCodec.IntDtypes.contains(dtype) &&
           scale == math.rint(scale) && offset == math.rint(offset)) dtype
       else "float64")
-    if (offset != 0.0) requireFillableGrid(node, srcPath)
-    addLike(session, dstPath, node, outDtype)
+    requireStoredCompression(node, srcPath, compression)
     if (scale == 1.0 && offset == 0.0 && outDtype == dtype) {
+      addLike(session, dstPath, node, outDtype, compression)
       session.stageChunkRefs(dstPath, session.refs(srcPath))
       return
     }
@@ -1078,19 +1082,50 @@ object TensorPlane {
       }.toDF("coord", "chunk_id", "length")
   }
 
+  /** userData for a transform DESTINATION: dtype plus the codec the
+    * payloads are actually encoded with. A dest doc that omits a
+    * non-raw codec makes every SQL read (which probes the codec from
+    * userData) decode compressed bytes as raw — silent corruption.
+    */
+  private[graft] def destUserData(dtype: String,
+                                  compression: String): String =
+    compression match {
+      case "raw" | "" | null => s"""{"dtype":"$dtype"}"""
+      case c =>
+        s"""{"dtype":"$dtype","codecs":[{"name":"bytes",""" +
+          s""""configuration":{"endian":"little"}},{"name":"$c"}]}"""
+    }
+
+  /** Refuse a stored-codec/decode-codec mismatch up front: decoding
+    * zstd bytes as raw — or relabeling them into a destination whose
+    * doc says raw — corrupts silently, so every transform that decodes
+    * payloads (or carries them verbatim under a new doc) checks its
+    * sources here.
+    */
+  private def requireStoredCompression(node: graft.meta.NodeSpec,
+      path: String, compression: String): Unit =
+    graft.sources.GraftCatalog.compressionFromUserData(node.userData)
+      .foreach { stored =>
+        if (stored != compression) throw new GraftException(
+          s"$path stores compression $stored but decode compression " +
+            s"is $compression — pass the stored codec",
+          graft.repo.GraftError.SchemaMismatch)
+      }
+
   /** Create `dstPath` with `node`'s exact grid (regular or rectilinear)
-    * and the given output dtype — the dst-creation step every per-chunk
-    * transform shares.
+    * and the given output dtype + codec — the dst-creation step every
+    * per-chunk transform shares.
     */
   private def addLike(session: Session, dstPath: String,
-                      node: graft.meta.NodeSpec, outDtype: String): Unit =
+                      node: graft.meta.NodeSpec, outDtype: String,
+                      compression: String): Unit =
     if (node.isRectilinear)
       session.addArrayRectilinear(dstPath, node.shape,
         node.chunkSizesPerDim, node.dimNames,
-        userData = s"""{"dtype":"$outDtype"}""")
+        userData = destUserData(outDtype, compression))
     else
       session.addArray(dstPath, node.shape, node.chunkShape, node.dimNames,
-        userData = s"""{"dtype":"$outDtype"}""")
+        userData = destUserData(outDtype, compression))
 
   /** How many distinct chunk volumes the fill-materialization path will
     * tolerate before refusing (one constant blob is uploaded per volume).
@@ -1119,9 +1154,11 @@ object TensorPlane {
       }
 
   /** Refuse a grid whose fill materialization would need more than
-    * [[MaxDistinctCellCounts]] constant blobs — called by the transforms
-    * BEFORE any destination staging, so a refusal leaves no
-    * half-created dst array in the session changeset.
+    * [[MaxDistinctCellCounts]] constant blobs. Fires only when absent
+    * chunks actually need fill (a fully dense degenerate grid transforms
+    * fine), and BEFORE the destination array is staged (addLike runs
+    * after the fill plan in [[stageTransformedRefs]]), so a refusal
+    * leaves no half-created dst in the session changeset.
     */
   private def requireFillableGrid(node: graft.meta.NodeSpec,
                                   path: String): Unit =
@@ -1214,6 +1251,10 @@ object TensorPlane {
           }
         }
       }
+    // create the destination only AFTER every refusal above has had its
+    // chance to fire — a refused transform must not leave a half-created
+    // dst array in the session changeset
+    addLike(session, dstPath, node, outDtype, compression)
     val stagingKey = graft.meta.Layout.stagingPrefix(
       graft.core.Ids.toBase32(graft.core.Ids.newObjectId()))
     withFill.write.parquet(session.repo.store.uri(stagingKey))
@@ -1274,8 +1315,7 @@ object TensorPlane {
       case "clip" => math.min(math.max(0.0, lo), hi)
       case _ => 0.0
     }
-    if (fillOut != 0.0) requireFillableGrid(node, srcPath)
-    addLike(session, dstPath, node, outDtype)
+    requireStoredCompression(node, srcPath, compression)
     val loL = if (lo.isNegInfinity) Long.MinValue else lo.toLong
     val hiL = if (hi.isPosInfinity) Long.MaxValue else hi.toLong
     // kernel selected ONCE (per-cell string dispatch would pay a
@@ -1389,6 +1429,10 @@ object TensorPlane {
               s"$dtype — pass the stored dtype",
             graft.repo.GraftError.SchemaMismatch)
       }
+      // EVERY source, not just truncated ones: pure relabeling carries
+      // the stored bytes verbatim into a destination whose doc records
+      // `compression` — a mismatch mislabels them for every later read
+      requireStoredCompression(n, p, compression)
     }
     val head = nodes.head
     val ndim = head.shape.size
@@ -1416,7 +1460,7 @@ object TensorPlane {
       val dstShape = head.shape.indices.map(i =>
         if (i == axis) nodes.map(_.shape(axis)).sum else head.shape(i))
       session.addArray(dstPath, dstShape, head.chunkShape, head.dimNames,
-        userData = s"""{"dtype":"$dtype"}""")
+        userData = destUserData(dtype, compression))
       var offsetChunks = 0L
       nodes.zip(srcPaths).foreach { case (n, p) =>
         val off = offsetChunks
@@ -1471,11 +1515,10 @@ object TensorPlane {
       else headSizes(d)
     }
     session.addArrayRectilinear(dstPath, dstShape, dstSizes,
-      head.dimNames, userData = s"""{"dtype":"$dtype"}""")
+      head.dimNames, userData = destUserData(dtype, compression))
     val spark = session.repo.spark
     val conf = session.repo.store.conf
     val resolver = session.repo.virtualResolver
-    val width = ChunkCodec.dtypeWidth(dtype)
     var offsetChunks = 0L
     nodes.zip(srcPaths).zipWithIndex.foreach { case ((n, p), idx) =>
       val off = offsetChunks
@@ -1504,7 +1547,9 @@ object TensorPlane {
         val tailC0 = if (axis == 0) srcTail + off else srcTail
         val exactCells = (n.shape(0) % n.chunkShape(0)) *
           (1 until ndim).map(n.chunkShape(_)).product
-        val exactBytes = exactCells * width
+        // width resolved only where bytes are actually cut: pure-relabel
+        // concat of an adopted array with an exotic dtype stays legal
+        val exactBytes = exactCells * ChunkCodec.dtypeWidth(dtype)
         session.stageChunkRefs(dstPath,
           relabeled.filter(element_at(col("coord"), 1) =!= tailC0))
         val tail = relabeled.filter(element_at(col("coord"), 1) === tailC0)
@@ -1637,6 +1682,7 @@ object TensorPlane {
               dtype: String, compression: String = "raw"): Unit = {
     val node = session.node(path).filter(_.isArray).getOrElse(
       throw new GraftException(s"no array at $path"))
+    requireStoredCompression(node, path, compression)
     val shape = node.shape
     val ndim = shape.size
     if (newChunks.size != ndim || newChunks.exists(_ <= 0))

@@ -605,4 +605,45 @@ class GraftCatalogSpec extends SparkTestBase {
       s"CALL $cat.system.tensor_map('/nodt', '/nodt2')").collect())
     assert(ex.getMessage.contains("dtype"))
   }
+
+  test("tensor transforms carry the source codec into the destination " +
+      "doc; SQL reads decode it") {
+    // regression: transform destinations recorded only dtype, so a
+    // compressed source produced a dest whose SQL reads decoded zstd
+    // bytes as raw — silently. The procedures probe the codec and the
+    // dest doc must now carry it.
+    val dir = tmpDir("codec-repo")
+    val repo = Repository.create(Store.local(dir), spark)
+    val s = repo.writableSession("main")
+    s.addArray("/z", Seq(40), Seq(10), userData =
+      """{"dtype":"int64","codecs":[{"name":"bytes",""" +
+        """"configuration":{"endian":"little"}},{"name":"zstd"}]}""")
+    graft.tensor.TensorPlane.writeValues(s, "/z",
+      spark.range(40).selectExpr("id as i0", "id * 7 as value"),
+      "int64", compression = "zstd")
+    s.commit("zstd source")
+    val cat = "zcat" + (System.nanoTime() % 100000)
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.path", dir)
+    // affine map via SQL: codec probed from the source doc, dest doc
+    // records it, the read decodes through it
+    spark.sql(s"CALL $cat.system.tensor_map('/z', '/z2', " +
+      "scale => 3.0D, offset => 0.0D)").collect()
+    assert(spark.sql(s"SELECT value FROM $cat.z2 WHERE i0 = 7")
+      .head().getLong(0) == 147L) // 7*7*3
+    val ro = repo.readonlySession(VersionRef.Branch("main"))
+    assert(ro.node("/z2").get.userData.contains("zstd"))
+    // zero-copy concat of compressed sources via SQL: relabeled refs
+    // keep zstd bytes, the dest doc says zstd, SQL reads stay correct
+    spark.sql(s"CALL $cat.system.tensor_concat('/z,/z', '/zc')").collect()
+    assert(spark.sql(s"SELECT count(*) AS n FROM $cat.zc")
+      .head().getLong(0) == 80L)
+    assert(spark.sql(s"SELECT value FROM $cat.zc WHERE i0 = 47")
+      .head().getLong(0) == 49L) // second copy's cell 7: 7*7
+    // a mismatched explicit codec is refused by name, not misdecoded
+    val ex2 = intercept[Exception](graft.tensor.TensorPlane.mapValues(
+      repo.writableSession("main"), "/z", "/z3", 2.0, 0.0, "int64"))
+    assert(ex2.getMessage.contains("stores compression zstd"))
+  }
 }
