@@ -429,6 +429,32 @@ class RectilinearSpec extends SparkTestBase {
     assert(got.size == 9)
   }
 
+  test("DSv2 rect scans prune input partitions to the sliced chunk range") {
+    val dir = tmpDir("repo")
+    val repo = Repository.create(Store.local(dir), spark)
+    val s = repo.writableSession("main")
+    // 20 equal-table chunks (still a rect grid — planning goes through
+    // the start-table binary search, not the regular division)
+    s.addArrayRectilinear("/pp", Seq(2000), Seq(Seq.fill(20)(100L)),
+      userData = """{"dtype":"int64"}""")
+    for (c <- 0 until 20)
+      s.writeChunk("/pp", Seq(c), graft.functions.ChunkCodec.encodeLongs(
+        Array.tabulate(100)(i => c * 100L + i), "int64"))
+    s.commit("rect 20 chunks")
+    val v = spark.read.format("graft-v2")
+      .option("path", dir).option("array", "/pp")
+      .option("mode", "values").option("dtype", "int64").load()
+    val full = v.rdd.getNumPartitions
+    // slice covering exactly chunks 4 and 5: the planner must map the
+    // element bounds to those chunks and plan ONLY them (plus any
+    // subdivision), not scan the array
+    val narrow = v.filter(col("i0") >= 450 && col("i0") < 550)
+    val pruned = narrow.rdd.getNumPartitions
+    assert(narrow.count() == 100)
+    assert(pruned < full && pruned <= 4,
+      s"expected <=4 pruned partitions (2 chunks), got $pruned of $full")
+  }
+
   test("appendValues with an empty input is a no-op, not an NPE") {
     val repo = Repository.create(Store.local(tmpDir("repo")), spark)
     val s = repo.writableSession("main")
