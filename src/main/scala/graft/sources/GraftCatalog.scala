@@ -496,7 +496,8 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
 
   override def loadFunction(ident: Identifier): UnboundFunction =
     if (ident.name() == ChunkCoordFunction.Name) new ChunkCoordFunction
-    else ChunkCoordFunction.parseRect(ident.name()) match {
+    else ChunkCoordFunction.parseRect(ident.name())
+      .orElse(ChunkCoordFunction.lookupRectDigest(ident.name())) match {
       case Some(sizes) => new ChunkCoordRectFunction(sizes)
       case None => ChunkCoordFunction.parseFixed(ident.name()) match {
         case Some(extent) => new ChunkCoordFixedFunction(extent)
@@ -523,9 +524,10 @@ object ChunkCoordFunction {
   /** Rectilinear sibling `chunk_coord_rect_<l0>_<l1>_...(i)` — the
     * per-dim chunk-length table rides in the NAME (and canonicalName),
     * so two rect arrays' partitionings compare compatible exactly when
-    * their grids match. Offered only for dims whose chunk count is
-    * ≤ [[graft.sources.GraftScan.RectSpjMaxChunksPerDim]] (the name is
-    * the table; an unbounded table does not belong in an identifier).
+    * their grids match. Used for dims whose chunk count is
+    * ≤ [[graft.sources.GraftScan.RectSpjMaxChunksPerDim]]; wider tables
+    * switch to the digest spelling below (an unbounded table does not
+    * belong in an identifier).
     */
   def rectName(sizes: Seq[Long]): String =
     s"${Name}_rect_${sizes.mkString("_")}"
@@ -537,6 +539,42 @@ object ChunkCoordFunction {
         sizes.forall(_ > 0)) Some(sizes)
       else None
     } else None
+
+  /** Digest spelling `chunk_coord_rectd_<nchunks>_<sha256/16B-hex>(i)`
+    * for chunk-length tables too wide to inline in an identifier. SPJ
+    * compatibility is pure name equality, so a collision-resistant
+    * digest of the table gives the same guarantee — two big rect grids
+    * co-partition exactly when their tables match — without a cap. The
+    * actual table is resolved from a driver-side registry populated by
+    * the scan that emitted the name (SPJ planning, `outputPartitioning`
+    * and function resolution, all happens on the driver; the bound
+    * function then ships its table with the serialized task).
+    */
+  private val rectRegistry =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[Long]]()
+
+  def rectDigestName(sizes: Seq[Long]): String = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    sizes.foreach { s =>
+      var v = s; var i = 0
+      while (i < 8) { md.update((v & 0xff).toByte); v >>= 8; i += 1 }
+    }
+    val hex = md.digest().take(16).map(b => f"$b%02x").mkString
+    val name = s"${Name}_rectd_${sizes.length}_$hex"
+    rectRegistry.putIfAbsent(name, sizes.toIndexedSeq)
+    name
+  }
+
+  /** Inline spelling when the table fits an identifier, digest
+    * spelling otherwise — the single entry point scans use.
+    */
+  def rectNameFor(sizes: Seq[Long]): String =
+    if (sizes.size <= GraftScan.RectSpjMaxChunksPerDim) rectName(sizes)
+    else rectDigestName(sizes)
+
+  def lookupRectDigest(name: String): Option[Seq[Long]] =
+    if (name.startsWith(Name + "_rectd_")) Option(rectRegistry.get(name))
+    else None
 }
 
 /** `chunk_coord(i, extent) = floor(i / extent)` — the chunk-grid
@@ -614,7 +652,7 @@ private[sources] class ChunkCoordFixedBoundFunction(extent: Long)
   */
 private[sources] class ChunkCoordRectFunction(sizes: Seq[Long])
     extends UnboundFunction {
-  override def name(): String = ChunkCoordFunction.rectName(sizes)
+  override def name(): String = ChunkCoordFunction.rectNameFor(sizes)
   override def description(): String =
     s"${name()}(i): rect chunk-grid coordinate via start-table lookup"
   override def bind(inputType: StructType): BoundFunction = {
@@ -630,9 +668,9 @@ private[sources] class ChunkCoordRectBoundFunction(sizes: Seq[Long])
   private val starts: Array[Long] = graft.meta.RectGrid.starts(sizes)
   override def inputTypes(): Array[DataType] = Array(LongType)
   override def resultType(): DataType = LongType
-  override def name(): String = ChunkCoordFunction.rectName(sizes)
+  override def name(): String = ChunkCoordFunction.rectNameFor(sizes)
   override def canonicalName(): String =
-    "graft." + ChunkCoordFunction.rectName(sizes)
+    "graft." + ChunkCoordFunction.rectNameFor(sizes)
   override def isResultNullable: Boolean = false
   override def produceResult(input: InternalRow): java.lang.Long = {
     val e = input.getLong(0)

@@ -615,10 +615,14 @@ object GraftScan {
     */
   val SpjMaxPartitions = 8192
 
-  /** Rectilinear SPJ cap: the per-dim chunk-length table rides in the
-    * transform-function NAME, so only grids whose per-dim chunk counts
-    * stay identifier-sized get keyed partitioning; wider rect grids fall
-    * back to shuffle joins (an optimization boundary, never correctness).
+  /** Rectilinear inline-name boundary: up to this many chunks per dim
+    * the per-dim chunk-length table rides verbatim in the
+    * transform-function NAME (`chunk_coord_rect_<l0>_<l1>_...`,
+    * human-readable); wider tables switch to the collision-resistant
+    * digest spelling (`chunk_coord_rectd_<n>_<sha256/16B>`) resolved
+    * through [[ChunkCoordFunction.lookupRectDigest]], so big rect grids
+    * co-partition in storage-partitioned joins exactly when their
+    * tables match — no participation cap, only a naming boundary.
     */
   val RectSpjMaxChunksPerDim = 64
 }
@@ -751,10 +755,11 @@ class GraftScan(opts: Map[String, String], lo: Map[Int, Long],
     * index columns then plan with NO shuffle on either side — the
     * chunk-diff / mask-apply / two-variable-combine family at 100 TB.
     * Falls back (None) beyond [[GraftScan.SpjMaxPartitions]] chunks per
-    * scan and under a pushed aggregation. Rectilinear grids participate
-    * when every dim has at most [[GraftScan.RectSpjMaxChunksPerDim]]
-    * chunks (the per-dim start table ships inside the bound-function
-    * name); larger rect grids fall back to a shuffled join.
+    * scan and under a pushed aggregation. Rectilinear grids always
+    * participate: small chunk-length tables ride verbatim in the
+    * transform name, wider ones as a SHA-256 digest name resolved from
+    * the registered function object (so compatibility is still exact
+    * table equality).
     */
   private lazy val spjInfo: Option[(graft.meta.NodeSpec,
       Seq[(graft.meta.ManifestRef, Array[Long])])] =
@@ -765,9 +770,7 @@ class GraftScan(opts: Map[String, String], lo: Map[Int, Long],
       None
     else try {
       val (_, session, array) = GraftTableProvider.open(opts)
-      session.node(array).filter(n => n.isArray &&
-          (!n.isRectilinear || n.chunkSizesPerDim.forall(
-            _.size <= GraftScan.RectSpjMaxChunksPerDim)))
+      session.node(array).filter(_.isArray)
         .flatMap { node =>
           val ndim = node.shape.size
           val bl = (0 until ndim).map(d => math.max(0L, lo.getOrElse(d, 0L)))
@@ -848,7 +851,7 @@ class GraftScan(opts: Map[String, String], lo: Map[Int, Long],
         val exprs = node.shape.indices.map(d =>
           Expressions.apply(
             if (node.isRectilinear)
-              ChunkCoordFunction.rectName(node.chunkSizesPerDim(d))
+              ChunkCoordFunction.rectNameFor(node.chunkSizesPerDim(d))
             else ChunkCoordFunction.fixedName(node.chunkShape(d)),
             Expressions.column(s"i$d"))
             : org.apache.spark.sql.connector.expressions.Expression).toArray

@@ -107,6 +107,65 @@ class StoragePartitionedJoinSpec extends SparkTestBase {
     }
   }
 
+  test("rect grid wider than the inline-name boundary still joins shuffle-free (digest transform)") {
+    val dir = tmpDir("spjrectbig")
+    val repo = Repository.create(Store.local(dir), spark)
+    val s = repo.writableSession("main")
+    // 80 chunks on one dim (> RectSpjMaxChunksPerDim=64): the
+    // chunk-length table no longer fits the transform name, so the scan
+    // must emit the chunk_coord_rectd_<n>_<digest> spelling
+    val sizes = (0 until 80).map(i => 1L + (i % 3)) // 1,2,3,1,2,3,...
+    val n = sizes.sum
+    assert(sizes.size > graft.sources.GraftScan.RectSpjMaxChunksPerDim)
+    s.addArrayRectilinear("/ba", Seq(n), Seq(sizes),
+      userData = """{"dtype":"int64"}""")
+    s.addArrayRectilinear("/bb", Seq(n), Seq(sizes),
+      userData = """{"dtype":"int64"}""")
+    // same chunk COUNT, different table -> digests differ -> shuffle
+    val other = (0 until 80).map(i => 1L + ((i + 1) % 3))
+    s.addArrayRectilinear("/bc", Seq(other.sum), Seq(other),
+      userData = """{"dtype":"int64"}""")
+    val df = spark.range(n).select(
+      col("id").as("i0"), col("id").as("value"))
+    graft.tensor.TensorPlane.writeValues(s, "/ba", df, "int64")
+    graft.tensor.TensorPlane.writeValues(s, "/bb",
+      df.withColumn("value", col("value") * 7), "int64")
+    graft.tensor.TensorPlane.writeValues(s, "/bc",
+      df.withColumn("value", col("value") * 7), "int64")
+    s.commit("big rect spj")
+    val cat = "gspjb" + (System.nanoTime() % 100000)
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.path", dir)
+    withSpj {
+      val j = spark.sql(
+        s"""SELECT sum(abs(a.value - b.value)) AS d, count(*) AS n
+           |FROM $cat.ba a JOIN $cat.bb b ON a.i0 = b.i0""".stripMargin)
+      val plan = j.queryExecution.executedPlan.toString
+      assert(shuffles(j) == 0, plan.take(3000))
+      // the wide table really took the digest spelling, and the catalog
+      // resolves that name back to a function over the same table
+      val dn = graft.sources.ChunkCoordFunction.rectNameFor(sizes)
+      assert(dn.startsWith("chunk_coord_rectd_80_"), dn)
+      val fn = new graft.sources.GraftCatalog().loadFunction(
+        org.apache.spark.sql.connector.catalog.Identifier.of(
+          Array.empty, dn))
+      assert(fn.name() == dn)
+      val r = j.head()
+      assert(r.getLong(1) == n)
+      assert(r.getLong(0) == (0L until n).map(id => 6L * id).sum)
+      // same length, different table: digest names differ -> shuffle,
+      // still correct
+      val m = spark.sql(
+        s"""SELECT sum(a.value + c.value) AS s
+           |FROM $cat.ba a JOIN $cat.bc c ON a.i0 = c.i0""".stripMargin)
+      assert(shuffles(m) > 0)
+      val expectN = math.min(n, other.sum)
+      assert(m.head().getLong(0) ==
+        (0L until expectN).map(id => id + id * 7L).sum)
+    }
+  }
+
   test("mismatched chunk grids fall back to a shuffle join, still correct") {
     val (cat, _) = setup()
     withSpj {
