@@ -912,12 +912,31 @@ class GraftScan(opts: Map[String, String], lo: Map[Int, Long],
           m.emin(d) <= ch && m.emax(d) >= cl
         }
       }
-    def filesOf(m: graft.meta.ManifestRef): Array[String] = {
-      val prefix = graft.meta.Layout.manifestPrefix(m.manifestId) +
-        s"/node_id=${node.id}/split=${m.split}/"
-      store.list(prefix).map(_.key).filter(_.endsWith(".parquet"))
-        .map(store.uri).toArray
-    }
+    // ONE object-store LIST per distinct manifest id, bucketed by split
+    // — never one per kept split: a 100 TB array with thousands of
+    // splits would otherwise issue thousands of sequential LIST calls
+    // on the driver at plan time
+    val filesByManifest =
+      scala.collection.mutable.Map[String, Map[Int, Array[String]]]()
+    def filesOf(m: graft.meta.ManifestRef): Array[String] =
+      filesByManifest.getOrElseUpdate(m.manifestId, {
+        val prefix = graft.meta.Layout.manifestPrefix(m.manifestId) +
+          s"/node_id=${node.id}/"
+        store.list(prefix)
+          .filter(_.key.endsWith(".parquet"))
+          .flatMap { o =>
+            val rest = o.key.drop(prefix.length)
+            if (!rest.startsWith("split=")) None
+            else {
+              val slash = rest.indexOf('/')
+              if (slash <= 6) None
+              else rest.substring(6, slash).toIntOption
+                .map(sp => sp -> store.uri(o.key))
+            }
+          }
+          .groupBy(_._1)
+          .map { case (sp, vs) => sp -> vs.map(_._2).toArray }
+      }).getOrElse(m.split, Array.empty)
     if (mode == "values") {
       val dtype = opts.getOrElse("dtype",
         throw new graft.repo.GraftException("dtype required"))

@@ -158,7 +158,8 @@ object Tour {
       log = _ => ()) // count ops silently
     val vccRepo = Repository.create(vccLog,
       spark, GraftConfig(), new graft.virt.VirtualChunkResolver(Seq(
-        graft.virt.VirtualChunkContainer("file://" + extDir, name = "ext1"))))
+        graft.virt.VirtualChunkContainer("file://" + extDir, name = "ext1",
+          access = Some(graft.virt.LocalFileSystemAccess)))))
     val vs = vccRepo.writableSession("main")
     vs.addArray("/v", Seq(32), Seq(8))
     vs.setVirtualRef("/v", Seq(0), "vcc://ext1/blob.bin", 0, 8)

@@ -3,6 +3,33 @@ package graft.virt
 import graft.storage.{AzureStoreConf, GcsStoreConf, HttpStoreConf,
   LocalStoreConf, S3StoreConf, StoreConf}
 
+/** Explicit no-credential access sentinels (#2194, reference
+  * `icechunk.credentials.LocalFileSystemAccess` / `HttpAccess` /
+  * `*_anonymous_credentials`): a container that needs no credentials
+  * must SAY so — a container registered with neither a [[StoreConf]]
+  * nor one of these is refused by name at set-time and fetch-time,
+  * never silently fetched anonymously.
+  */
+sealed trait VirtualAccess extends Serializable {
+  /** Which location schemes this sentinel authorizes. */
+  def covers(location: String): Boolean
+}
+/** `file:` locations via the local filesystem. */
+case object LocalFileSystemAccess extends VirtualAccess {
+  def covers(l: String): Boolean = l.startsWith("file:")
+}
+/** Plain unauthenticated `http(s)://` GETs. */
+case object HttpAccess extends VirtualAccess {
+  def covers(l: String): Boolean =
+    l.startsWith("http://") || l.startsWith("https://")
+}
+/** Anonymous access through any supported scheme (the
+  * `s3_anonymous_credentials()`-style opt-in, scheme-generic).
+  */
+case object AnonymousAccess extends VirtualAccess {
+  def covers(l: String): Boolean = true
+}
+
 /** Virtual chunk containers: registered external URL prefixes whose files
   * hold chunk bytes (virtual_chunks.rs:96-110). Locations are matched to a
   * container by longest-prefix (`matching_container`,
@@ -13,11 +40,17 @@ import graft.storage.{AzureStoreConf, GcsStoreConf, HttpStoreConf,
   * credentials/endpoint, the reference's per-container config model
   * (virtual_chunks.rs:122-180). Locations under such a prefix are fetched
   * through a cached store client (ranged GETs, one connection pool per
-  * executor JVM) instead of the generic scheme dispatch.
+  * executor JVM) instead of the generic scheme dispatch. A container
+  * without a store must carry an explicit [[VirtualAccess]] sentinel
+  * (#2194) — registration alone does not authorize anonymous fetch.
   */
 final case class VirtualChunkContainer(urlPrefix: String,
                                        name: String = "",
-                                       store: Option[StoreConf] = None)
+                                       store: Option[StoreConf] = None,
+                                       access: Option[VirtualAccess] = None) {
+  private[virt] def displayName: String =
+    if (name.nonEmpty) s"'$name' ($urlPrefix)" else s"'$urlPrefix'"
+}
 
 final class VirtualChunkResolver(val containers: Seq[VirtualChunkContainer])
     extends Serializable {
@@ -55,11 +88,33 @@ final class VirtualChunkResolver(val containers: Seq[VirtualChunkContainer])
     }
   }
 
+  /** A matched container authorizes `location` when it carries
+    * credentials (a store) or an explicit no-credential sentinel that
+    * covers the location's scheme (#2194). Returns the refusal message,
+    * None when authorized.
+    */
+  private def refusal(c: VirtualChunkContainer,
+                      location: String): Option[String] =
+    if (c.store.isDefined) None
+    else c.access match {
+      case Some(a) if a.covers(location) => None
+      case Some(a) => Some(
+        s"virtual chunk container ${c.displayName} sentinel $a does not " +
+          s"cover $location")
+      case None => Some(
+        s"virtual chunk container ${c.displayName} has no credentials " +
+          "and no explicit no-credential sentinel (AnonymousAccess / " +
+          "LocalFileSystemAccess / HttpAccess) — authorize it explicitly")
+    }
+
   def validateLocation(location: String): Unit = {
     val expanded = expandLocation(location)
-    if (matchingContainer(expanded).isEmpty)
-      throw new graft.repo.GraftException(
+    matchingContainer(expanded) match {
+      case None => throw new graft.repo.GraftException(
         s"no virtual chunk container registered for $expanded")
+      case Some(c) => refusal(c, expanded).foreach(msg =>
+        throw new graft.repo.GraftException(msg))
+    }
   }
 
   /** The store key a location resolves to inside a container's store:
@@ -130,17 +185,30 @@ final class VirtualChunkResolver(val containers: Seq[VirtualChunkContainer])
       s"$location is outside the container store prefix '$p'")
   }
 
-  /** Ranged fetch with per-container store dispatch. No authorization
-    * check — refs were validated at set-time; this is the executor-side
-    * hot path (shipped inside Spark closures, hence Serializable).
+  /** Ranged fetch with per-container store dispatch — the executor-side
+    * hot path (shipped inside Spark closures, hence Serializable). Refs
+    * were scheme-validated at set-time; the only check here is the
+    * no-credential guard (#2194): a matched container with neither a
+    * store nor a sentinel refuses rather than silently fetching
+    * anonymously (refs set before the container lost its credentials
+    * must not quietly change auth).
     */
   def ranged(location0: String, offset: Long, length: Long): Array[Byte] = {
     val location = expandLocation(location0)
-    matchingContainer(location).flatMap(_.store) match {
-      case Some(sc) =>
+    matchingContainer(location) match {
+      case Some(c) if c.store.isDefined =>
+        val sc = c.store.get
         StoreConf.cached(sc).getRangeSplit(storeKey(sc, location), offset,
           length)
-      case None => ByteFetch.ranged(location, offset, length)
+      case Some(c) =>
+        refusal(c, location).foreach(msg =>
+          throw new graft.repo.GraftException(msg))
+        ByteFetch.ranged(location, offset, length)
+      case None => throw new graft.repo.GraftException(
+        s"no virtual chunk container registered for $location — readers " +
+          "authorize virtual access per container (credentials or an " +
+          "explicit no-credential sentinel), never by falling back to " +
+          "anonymous scheme dispatch")
     }
   }
 
@@ -179,14 +247,32 @@ final class VirtualChunkResolver(val containers: Seq[VirtualChunkContainer])
 }
 
 object VirtualChunkResolver {
-  /** Default: any `file:` location is authorized (tests register tighter
+  /** Default: any `file:` location is authorized via the explicit
+    * [[LocalFileSystemAccess]] sentinel (tests register tighter
     * containers explicitly).
     */
   val default: VirtualChunkResolver =
-    new VirtualChunkResolver(Seq(VirtualChunkContainer("file:")))
+    new VirtualChunkResolver(Seq(VirtualChunkContainer("file:",
+      access = Some(LocalFileSystemAccess))))
 
+  /** Sentinel appropriate to a prefix's scheme — what the convenience
+    * constructors attach so that CALLING them is the explicit
+    * anonymous-access opt-in.
+    */
+  def accessForScheme(prefix: String): VirtualAccess =
+    if (prefix.startsWith("file:")) LocalFileSystemAccess
+    else if (prefix.startsWith("http://") || prefix.startsWith("https://"))
+      HttpAccess
+    else AnonymousAccess
+
+  /** Convenience: each prefix is registered with the scheme-appropriate
+    * no-credential sentinel — calling this IS the anonymous opt-in.
+    * Containers needing credentials use [[VirtualChunkContainer]] with a
+    * [[StoreConf]] directly.
+    */
   def apply(prefixes: String*): VirtualChunkResolver =
-    new VirtualChunkResolver(prefixes.map(VirtualChunkContainer(_)))
+    new VirtualChunkResolver(prefixes.map(p =>
+      VirtualChunkContainer(p, access = Some(accessForScheme(p)))))
 
   /** Containers from connector options, so `spark.read.format("graft…")`
     * reaches credentialed virtual refs without the library API:
@@ -200,9 +286,14 @@ object VirtualChunkResolver {
     * virtual.<name>.azure.{endpoint,account,container,prefix,sas}
     * virtual.<name>.http.endpoint                           (HTTP store)
     * virtual.<name>.http.header.<Name>    (per-request headers, #2143)
+    * virtual.<name>.access = anonymous|local|http   (no-credential
+    *   sentinel, #2194 — REQUIRED when no store options are given; a
+    *   prefix with neither is registered but refused by name at
+    *   set-time and fetch-time)
     * }}}
     *
-    * The `file:` catch-all of [[default]] stays registered alongside.
+    * The `file:` catch-all of [[default]] stays registered alongside
+    * (with its [[LocalFileSystemAccess]] sentinel).
     */
   def fromOptions(opts: Map[String, String]): VirtualChunkResolver = {
     val names = opts.keys.collect {
@@ -252,7 +343,18 @@ object VirtualChunkResolver {
       }).orElse(opts.get(s"virtual.$n.http.endpoint").map { ep =>
         HttpStoreConf(ep, hdrs("http")): StoreConf
       })
-      VirtualChunkContainer(opts(s"virtual.$n.prefix"), n, store)
-    } :+ VirtualChunkContainer("file:"))
+      val access: Option[VirtualAccess] =
+        if (store.isDefined) None
+        else opts.get(s"virtual.$n.access").map {
+          case "anonymous" => AnonymousAccess
+          case "local" => LocalFileSystemAccess
+          case "http" => HttpAccess
+          case other => throw new graft.repo.GraftException(
+            s"virtual container '$n': unknown access sentinel '$other' " +
+              "(anonymous|local|http)")
+        }
+      VirtualChunkContainer(opts(s"virtual.$n.prefix"), n, store, access)
+    } :+ VirtualChunkContainer("file:",
+      access = Some(LocalFileSystemAccess)))
   }
 }

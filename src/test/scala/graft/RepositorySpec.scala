@@ -386,7 +386,8 @@ class RepositorySpec extends SparkTestBase {
     val extFile = java.nio.file.Paths.get(ext, "blob.bin")
     java.nio.file.Files.write(extFile, Array.tabulate(50)(_.toByte))
     val resolver = new graft.virt.VirtualChunkResolver(Seq(
-      graft.virt.VirtualChunkContainer("file://" + ext, name = "ext1")))
+      graft.virt.VirtualChunkContainer("file://" + ext, name = "ext1",
+        access = Some(graft.virt.LocalFileSystemAccess))))
     val repo = Repository.create(Store.local(tmpDir("repo")), spark,
       GraftConfig(), resolver)
     val s = repo.writableSession("main")

@@ -71,6 +71,27 @@ class TraceSpec extends SparkTestBase {
     } finally Trace.disable()
   }
 
+  /** Span names are a public observability contract: docs/observability.md
+    * maps each onto OTLP span semantics, and external pipelines match by
+    * name. Renaming one is a breaking change — this pin makes it loud.
+    */
+  test("span names are stable (docs/observability.md contract)") {
+    val documented = Set("commit", "flush", "merge", "push", "gc",
+      "expire", "compact", "scan.plan")
+    val srcDir = java.nio.file.Paths.get("src/main/scala")
+    val spanRe = """Trace\.span\("([^"]+)"""".r
+    val inCode = scala.collection.mutable.Set[String]()
+    java.nio.file.Files.walk(srcDir).forEach { p =>
+      if (p.toString.endsWith(".scala")) {
+        val text = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+        spanRe.findAllMatchIn(text).foreach(m => inCode += m.group(1))
+      }
+    }
+    assert(inCode.toSet == documented,
+      s"span-name drift: code=$inCode documented=$documented — update " +
+        "docs/observability.md and this pin TOGETHER")
+  }
+
   test("json-lines sink appends spans to the configured file") {
     val path = tmpDir("trace-out") + "/spans.jsonl"
     Trace.toJsonLines(path)

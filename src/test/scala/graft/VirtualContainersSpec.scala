@@ -5,7 +5,7 @@ import graft.meta.ChunkRef
 import graft.repo._
 import graft.storage._
 import graft.storage.s3.S3MemServer
-import graft.virt.{VirtualChunkContainer, VirtualChunkResolver}
+import graft.virt.{HttpAccess, VirtualChunkContainer, VirtualChunkResolver}
 
 /** Credentialed virtual chunk containers (the reference's per-container
   * object-store config, virtual_chunks.rs:122-180): `s3://` virtual refs
@@ -147,7 +147,8 @@ class VirtualContainersSpec extends SparkTestBase {
       // the container is registered against the CANONICAL http:// prefix;
       // refs carrying a +graft/+g disambiguation scheme must match it
       val resolver = new VirtualChunkResolver(Seq(
-        VirtualChunkContainer(s"${server.endpoint}/data/", "pub")))
+        VirtualChunkContainer(s"${server.endpoint}/data/", "pub",
+          access = Some(HttpAccess))))
       assert(resolver.expandLocation(
         s"http+graft://127.0.0.1:${server.port}/data/blob.bin") ==
         s"${server.endpoint}/data/blob.bin")
@@ -168,15 +169,69 @@ class VirtualContainersSpec extends SparkTestBase {
     } finally server.stop()
   }
 
-  test("fromOptions: prefix-only containers fall back to scheme dispatch") {
-    val r = VirtualChunkResolver.fromOptions(Map(
+  test("fromOptions: prefix-only containers need an explicit access sentinel (#2194)") {
+    // no store options AND no access sentinel: registered but refused
+    // BY NAME at set-time validation — never silently anonymous
+    val bare = VirtualChunkResolver.fromOptions(Map(
       "virtual.pub.prefix" -> "https://example.org/data/"))
-    assert(r.containerMap == Map("pub" -> "https://example.org/data/"))
-    assert(r.expandLocation("vcc://pub/x.bin") ==
+    assert(bare.containerMap == Map("pub" -> "https://example.org/data/"))
+    assert(bare.expandLocation("vcc://pub/x.bin") ==
       "https://example.org/data/x.bin")
-    // file: catch-all stays registered
-    r.validateLocation("file:/tmp/whatever")
+    val e = intercept[graft.repo.GraftException] {
+      bare.validateLocation("https://example.org/data/x.bin")
+    }
+    assert(e.getMessage.contains("'pub'") &&
+      e.getMessage.contains("sentinel"), e.getMessage)
+    // with the sentinel the same container authorizes
+    val ok = VirtualChunkResolver.fromOptions(Map(
+      "virtual.pub.prefix" -> "https://example.org/data/",
+      "virtual.pub.access" -> "http"))
+    ok.validateLocation("https://example.org/data/x.bin")
+    // a sentinel that does not cover the scheme refuses too
+    val wrong = VirtualChunkResolver.fromOptions(Map(
+      "virtual.ext.prefix" -> "s3://extbucket/",
+      "virtual.ext.access" -> "http"))
+    val e2 = intercept[graft.repo.GraftException] {
+      wrong.validateLocation("s3://extbucket/x.bin")
+    }
+    assert(e2.getMessage.contains("does not cover"), e2.getMessage)
+    // unknown sentinel name is refused at parse time
+    intercept[graft.repo.GraftException] {
+      VirtualChunkResolver.fromOptions(Map(
+        "virtual.p.prefix" -> "s3://b/", "virtual.p.access" -> "maybe"))
+    }
+    // file: catch-all stays registered (LocalFileSystemAccess sentinel)
+    ok.validateLocation("file:/tmp/whatever")
     val none = VirtualChunkResolver.fromOptions(Map("path" -> "/tmp/x"))
     assert(none eq VirtualChunkResolver.default)
+  }
+
+  test("sentinel container fetches anonymously; bare container refuses at fetch (#2194)") {
+    val server = new graft.storage.http.HttpMemServer
+    try {
+      val payload = Array.tabulate[Byte](256)(i => (i % 101).toByte)
+      server.put("data/pub.bin", payload)
+      // explicit HttpAccess: anonymous fetch through scheme dispatch
+      val authorized = new VirtualChunkResolver(Seq(
+        VirtualChunkContainer(s"${server.endpoint}/data/", "pub",
+          access = Some(HttpAccess))))
+      assert(authorized.ranged(s"${server.endpoint}/data/pub.bin", 16, 32)
+        .toSeq == payload.slice(16, 48).toSeq)
+      // same container WITHOUT the sentinel: refused by name, both at
+      // set-time validation and on the fetch hot path
+      val bare = new VirtualChunkResolver(Seq(
+        VirtualChunkContainer(s"${server.endpoint}/data/", "pub")))
+      val e = intercept[graft.repo.GraftException] {
+        bare.ranged(s"${server.endpoint}/data/pub.bin", 16, 32)
+      }
+      assert(e.getMessage.contains("'pub'"), e.getMessage)
+      // a location matching NO container refuses as well (readers opt in
+      // per container; there is no anonymous scheme-dispatch fallback)
+      val e2 = intercept[graft.repo.GraftException] {
+        authorized.ranged(s"${server.endpoint}/other/x.bin", 0, 8)
+      }
+      assert(e2.getMessage.contains("no virtual chunk container"),
+        e2.getMessage)
+    } finally server.stop()
   }
 }
