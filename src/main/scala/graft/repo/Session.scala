@@ -473,17 +473,28 @@ final class Session private[repo] (
     * session, across ALL arrays (reference
     * `all_virtual_chunk_locations`, session.rs) — the input to
     * credential planning ("which containers must I authorize?") and to
-    * fsck's coverage check. One distributed distinct over the ref
-    * relations; result size = #distinct locations.
+    * fsck's coverage check — as a lazy single-column (`location`)
+    * DataFrame. One distributed distinct over the ref relations; at
+    * 100 TB a virtual-heavy repo has MILLIONS of distinct source files,
+    * so consumers (fsck's probe, coverage joins, exports) should stay
+    * on this relation rather than collecting.
     */
-  def allVirtualChunkLocations(): Seq[String] = {
+  def virtualChunkLocationsDF(): DataFrame = {
     val arrays = nodes.filter(_.isArray)
-    if (arrays.isEmpty) Nil
+    if (arrays.isEmpty) assets.emptyRefs().select("location").limit(0)
     else refsBatch(arrays.map(_.path))
       .filter(col("kind") === ChunkRef.KindVirtual)
       .select("location").distinct()
-      .collect().map(_.getString(0)).toSeq.sorted
   }
+
+  /** [[virtualChunkLocationsDF]] collected to a sorted Seq — the
+    * reference-parity convenience. SIZE CAVEAT: this materializes every
+    * distinct location on the driver; on virtual-heavy repos prefer the
+    * DataFrame variant.
+    */
+  def allVirtualChunkLocations(): Seq[String] =
+    virtualChunkLocationsDF()
+      .collect().map(_.getString(0)).toSeq.sorted
 
   def refs(path: String): DataFrame = {
     val n = arrayNode(path)

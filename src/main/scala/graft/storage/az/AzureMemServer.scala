@@ -36,7 +36,8 @@ final class AzureMemServer(requiredHeader: Option[(String, String)] = None) {
 
   private val server = HttpServer.create(
     new InetSocketAddress("127.0.0.1", 0), 64)
-  server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(16))
+  private val pool = java.util.concurrent.Executors.newFixedThreadPool(16)
+  server.setExecutor(pool)
   server.createContext("/", (ex: HttpExchange) => {
     try handle(ex)
     catch {
@@ -49,7 +50,7 @@ final class AzureMemServer(requiredHeader: Option[(String, String)] = None) {
   val port: Int = server.getAddress.getPort
   val endpoint: String = s"http://127.0.0.1:$port"
 
-  def stop(): Unit = server.stop(0)
+  def stop(): Unit = { server.stop(0); pool.shutdown() } // non-daemon pool would pin a runMain JVM
 
   def createContainer(name: String): Unit =
     containers.putIfAbsent(name,

@@ -32,7 +32,8 @@ final class HttpMemServer(requiredAuth: Option[String] = None) {
 
   private val server = HttpServer.create(
     new InetSocketAddress("127.0.0.1", 0), 64)
-  server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(8))
+  private val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+  server.setExecutor(pool)
   server.createContext("/", (ex: HttpExchange) => {
     try handle(ex)
     catch { case t: Throwable => respond(ex, 500, t.toString.getBytes(UTF_8)) }
@@ -43,7 +44,7 @@ final class HttpMemServer(requiredAuth: Option[String] = None) {
   val port: Int = server.getAddress.getPort
   val endpoint: String = s"http://127.0.0.1:$port"
 
-  def stop(): Unit = server.stop(0)
+  def stop(): Unit = { server.stop(0); pool.shutdown() } // non-daemon pool would pin a runMain JVM
 
   /** Populate content (the authoring side a writable backend would play). */
   def put(key: String, bytes: Array[Byte]): Unit =

@@ -23,19 +23,48 @@ import graft.storage.Store
 object MakeGoldenFixture {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse(
-      sys.error("usage: MakeGoldenFixture <dir>"))
+      sys.error("usage: MakeGoldenFixture <dir> [--s3 <dumpDir>]"))
     val spark = SparkSession.builder()
       .master("local[4]").appName("graft-golden")
       .config("spark.sql.shuffle.partitions", 8)
       .config("spark.ui.enabled", false)
       .getOrCreate()
-    build(spark, dir)
+    if (args.length >= 2 && args(0) == "--s3") buildS3Dump(spark, args(1))
+    else build(spark, dir)
     println(s"[golden] fixture written to $dir")
     spark.stop()
   }
 
-  def build(spark: SparkSession, dir: String): Unit = {
-    val repo = Repository.create(Store.local(dir), spark,
+  def build(spark: SparkSession, dir: String): Unit =
+    buildOn(spark, Store.local(dir))
+
+  /** The same repository written through the S3 PROTOCOL (in-process
+    * server), its objects dumped key-for-key to `dumpDir` — pins the
+    * object-store KEY layout (#2239 regression class), which the
+    * local-FS fixture cannot: prefix joining, partition-style manifest
+    * keys, and the repo pointer chain as S3 keys.
+    */
+  def buildS3Dump(spark: SparkSession, dumpDir: String): Unit = {
+    val server = new graft.storage.s3.S3MemServer
+    try {
+      server.createBucket("golden")
+      val conf = graft.storage.S3StoreConf(server.endpoint, "us-east-1",
+        "golden", "repos/g", "ak", "sk")
+      buildOn(spark, conf.open())
+      // dump every object (whole bucket, no prefix) as a file at its key
+      val all = graft.storage.S3StoreConf(server.endpoint, "us-east-1",
+        "golden", "", "ak", "sk").open()
+      val root = java.nio.file.Paths.get(dumpDir)
+      all.list("").foreach { o =>
+        val dst = root.resolve(o.key)
+        java.nio.file.Files.createDirectories(dst.getParent)
+        java.nio.file.Files.write(dst, all.getBytes(o.key))
+      }
+    } finally server.stop()
+  }
+
+  def buildOn(spark: SparkSession, store: Store): Unit = {
+    val repo = Repository.create(store, spark,
       GraftConfig(splits = Seq(SplitRule(".*", 0, 2))))
 
     // ---- commit 1: hierarchy + regular array, inline and ref chunks

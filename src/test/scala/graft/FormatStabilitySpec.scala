@@ -127,4 +127,68 @@ class FormatStabilitySpec extends SparkTestBase {
     assert(checksums(dir) == sums,
       "opening/reading the golden repo modified its bytes")
   }
+
+  /** The same promise for the S3 PROTOCOL layout (#2239 regression
+    * class): `golden-r10-s3/` holds the object dump (key → bytes) of the
+    * fixture repository written THROUGH the S3 store at round-10 HEAD —
+    * prefix joining, partition-style manifest keys, and the
+    * `repo/r.<inverted>` pointer chain as object keys. Every future HEAD
+    * must serve it from a fresh in-process S3 server, byte-identical
+    * after a full read.
+    */
+  test("golden r10 S3-layout object dump opens and fully reads at this HEAD") {
+    val s3fix = Paths.get("src/test/resources/golden-r10-s3")
+    assume(Files.isDirectory(s3fix), s"fixture missing at $s3fix")
+    val server = new graft.storage.s3.S3MemServer
+    try {
+      server.createBucket("golden")
+      val raw = graft.storage.S3StoreConf(server.endpoint, "us-east-1",
+        "golden", "", "ak", "sk").open()
+      var sums = Map.empty[String, String]
+      Files.walk(s3fix).forEach { p =>
+        if (!Files.isDirectory(p)) {
+          val key = s3fix.relativize(p).toString.replace('\\', '/')
+          val bytes = Files.readAllBytes(p)
+          raw.putBytes(key, bytes)
+          val md = MessageDigest.getInstance("MD5")
+          sums += key -> md.digest(bytes).map("%02x".format(_)).mkString
+        }
+      }
+      assert(sums.nonEmpty)
+
+      val repo = Repository.open(graft.storage.S3StoreConf(server.endpoint,
+        "us-east-1", "golden", "repos/g", "ak", "sk").open(), spark)
+      assert(repo.listBranches() == Seq("feature", "main"))
+      assert(repo.listTags() == Seq("v1"))
+      val chain = repo.ancestry(VersionRef.Branch("main"))
+      assert(chain.map(_.message) == Seq("golden: overwrite + rectilinear",
+        "golden: initial data", "Repository initialized"))
+      val tip = repo.readonlySession(VersionRef.Branch("main"))
+      // regular values (object-backed chunks come over ranged S3 GETs)
+      val series = TensorPlane.values(tip, "/climate/series", "int64")
+      assert(series.count() == 200)
+      assert(series.filter(col("value") =!= col("i0")).count() == 0)
+      // overwritten chunk at tip, pristine at the tag
+      val tempTip = TensorPlane.values(tip, "/climate/temp", "int64")
+      assert(tempTip.filter(col("i0") < 4 && col("i1") < 3 &&
+        col("value") =!= lit(1000) + col("i0") * 3 + col("i1"))
+        .count() == 0)
+      val v1 = repo.readonlySession(VersionRef.Tag("v1"))
+      assert(TensorPlane.values(v1, "/climate/temp", "int64")
+        .filter(col("value") =!= col("i0") * 6 + col("i1")).count() == 0)
+      // rectilinear identity
+      val rect = TensorPlane.values(tip, "/climate/rect", "int64")
+      assert(rect.count() == 10)
+      assert(rect.filter(col("i0") =!= col("value")).count() == 0)
+
+      // reading wrote NOTHING: identical key set, identical bytes
+      val after = raw.list("").map { o =>
+        val md = MessageDigest.getInstance("MD5")
+        o.key -> md.digest(raw.getBytes(o.key)).map("%02x".format(_))
+          .mkString
+      }.toMap
+      assert(after == sums,
+        "opening/reading the golden S3 repo modified its objects")
+    } finally server.stop()
+  }
 }

@@ -26,6 +26,44 @@ class IntegritySpec extends SparkTestBase {
     assert(Integrity.check(repo, "main").count() == 0)
   }
 
+  /** Virtual-heavy coverage: the location relation stays distributed —
+    * [[graft.repo.Session.virtualChunkLocationsDF]] is the lazy surface
+    * (millions of distinct source files at 100 TB must never collect to
+    * the driver), the Seq API delegates, and fsck's container-coverage
+    * check consumes the relation without materializing it.
+    */
+  test("many distinct virtual locations: DF surface, Seq delegation, fsck coverage") {
+    val ext = tmpDir("fsck-ext")
+    (0 until 500).foreach { i =>
+      Files.write(Paths.get(ext, s"f$i.bin"), Array.fill(16)(i.toByte))
+    }
+    val resolver = graft.virt.VirtualChunkResolver("file://" + ext)
+    val repo = Repository.create(Store.local(tmpDir("fsck-virt")), spark,
+      graft.repo.GraftConfig(), resolver)
+    val s = repo.writableSession("main")
+    s.addArray("/v", Seq(500), Seq(1))
+    (0 until 500).foreach(i =>
+      s.setVirtualRef("/v", Seq(i), s"file://$ext/f$i.bin", 0, 16))
+    s.commit("virtual refs")
+    val ro = repo.readonlySession(VersionRef.Branch("main"))
+    // the DataFrame variant is lazy and distinct
+    val df = ro.virtualChunkLocationsDF()
+    assert(df.columns.toSeq == Seq("location"))
+    assert(df.count() == 500)
+    // Seq API delegates (sorted), with its documented size caveat
+    val seq = ro.allVirtualChunkLocations()
+    assert(seq.size == 500 && seq == seq.sorted)
+    assert(seq.head == s"file://$ext/f0.bin")
+    // fsck coverage over the same relation: healthy with the container
+    // registered, every location surfaced when it is not
+    assert(Integrity.check(repo, "main", checkVirtual = true).count() == 0)
+    val bare = Repository.open(Store.local(repo.store.rootUri
+      .stripPrefix("file:")), spark,
+      resolver = new graft.virt.VirtualChunkResolver(Nil))
+    val problems = Integrity.check(bare, "main")
+    assert(problems.filter("kind = 'unmatched_virtual'").count() == 500)
+  }
+
   test("deleted and truncated chunks surface as exactly those ids") {
     val dir = tmpDir("fsck-bad")
     val repo = buildRepo(dir)
