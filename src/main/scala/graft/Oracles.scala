@@ -3,10 +3,11 @@ package graft
 /** DuckDB oracle SQL for every SQL-expressible query in [[Queries]].
   * Column aliases, rounding, and ORDER BY match the Spark side exactly
   * (driver compares sorted-by-name columns and hashed values).
-  * Hash-function-specific queries (minhash/simhash/xxhash, LSH-bucketed
-  * ANN) are intentionally absent → driver records a rows-only check.
-  * Winnowing and the document fingerprint ARE oracled: their hashes are
-  * plain integer arithmetic DuckDB replays exactly.
+  * Hash-function-specific queries (minhash/xxhash, LSH-bucketed ANN)
+  * are intentionally absent → driver records a rows-only check.
+  * Winnowing, the document fingerprint, simhash (md5-derived token
+  * hash) and BPE encoding (recursive-CTE learn replay) ARE oracled:
+  * their arithmetic is engine-portable and DuckDB replays it exactly.
   */
 object Oracles {
   private val stop =
@@ -595,6 +596,52 @@ object Oracles {
         |SELECT doc_a, doc_b, round(j, 6) AS jaccard
         |FROM pairs WHERE j >= 0.05 ORDER BY doc_a, doc_b""".stripMargin,
 
+    // simhash is engine-portable arithmetic since the token hash moved
+    // to md5-hex (round 10): DuckDB replays the per-bit +1/−1 votes,
+    // folds each 16-bit sub-key (avoiding signed-64 wraparound), blocks
+    // on sub-key equality and sums per-sub-key bit_count XORs for the
+    // Hamming distance. LEFT join keeps zero-token docs at simhash 0
+    // (they pair with each other at distance 0, as in the engine).
+    "q_dedup_simhash" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(lower(text), '\s+'),
+        |      x -> len(x) > 0)) AS w
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id,
+        |    ('0x' || substr(md5(w), 1, 8))::BIGINT AS hi,
+        |    ('0x' || substr(md5(w), 9, 8))::BIGINT AS lo
+        |  FROM tok),
+        |votes AS (
+        |  SELECT doc_id, b,
+        |    sum(CASE WHEN (CASE WHEN b < 32 THEN (lo >> b) & 1
+        |                   ELSE (hi >> (b - 32)) & 1 END) = 1
+        |        THEN 1 ELSE -1 END) AS s
+        |  FROM h, (SELECT unnest(range(0, 64)) AS b)
+        |  GROUP BY 1, 2),
+        |keys AS (
+        |  SELECT d.doc_id,
+        |    coalesce(sum(CASE WHEN v.s > 0 AND v.b // 16 = 0
+        |      THEN 1 << (v.b % 16) ELSE 0 END), 0) AS k0,
+        |    coalesce(sum(CASE WHEN v.s > 0 AND v.b // 16 = 1
+        |      THEN 1 << (v.b % 16) ELSE 0 END), 0) AS k1,
+        |    coalesce(sum(CASE WHEN v.s > 0 AND v.b // 16 = 2
+        |      THEN 1 << (v.b % 16) ELSE 0 END), 0) AS k2,
+        |    coalesce(sum(CASE WHEN v.s > 0 AND v.b // 16 = 3
+        |      THEN 1 << (v.b % 16) ELSE 0 END), 0) AS k3
+        |  FROM documents d LEFT JOIN votes v USING (doc_id)
+        |  GROUP BY 1),
+        |cand AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    CAST(bit_count(xor(a.k0, b.k0)) + bit_count(xor(a.k1, b.k1)) +
+        |         bit_count(xor(a.k2, b.k2)) + bit_count(xor(a.k3, b.k3))
+        |      AS INT) AS hamming
+        |  FROM keys a JOIN keys b ON a.doc_id < b.doc_id AND
+        |    (a.k0 = b.k0 OR a.k1 = b.k1 OR a.k2 = b.k2 OR a.k3 = b.k3))
+        |SELECT doc_a, doc_b, hamming FROM cand WHERE hamming <= 6
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
     // oracle for the LSH-blocked scale path: exact ALL-pairs jaccard (no
     // lang blocking) with constant TRUE — the Spark side emits lsh_ok =
     // false for any soundness violation (LSH pair outside the exact set)
@@ -982,6 +1029,58 @@ object Oracles {
         |  CAST(min(spos) AS INT) AS first_pos,
         |  CAST(max(spos) AS INT) AS last_pos
         |FROM fp GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // BPE: the full Sennrich learn loop REPLAYED in a recursive CTE —
+    // word types as wrapped-symbol strings (chr(2)||sym||chr(3)), where
+    // replace() of the wrapped pair IS the engine's left-to-right
+    // non-overlapping fuse (wrapping shares no boundary chars, so one
+    // pass = one pass); best pair per iteration by (freq DESC, l, r)
+    // with the freq>=2 stop, 40 merges. Every corpus word is inside the
+    // 100k type cap at gate scale, so the final learning state of a
+    // word IS its greedy BPE segmentation (merge components always
+    // predate their pair in a LEARNED list), and per-doc n_bpe is a
+    // join + sum. Zero-token docs keep n_bpe = 0 via the LEFT join.
+    "q_bpe_encode" ->
+      """WITH RECURSIVE
+        |wc AS (
+        |  SELECT w, count(*)::BIGINT AS n FROM (
+        |    SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+        |      x -> len(x) > 0)) AS w FROM documents)
+        |  GROUP BY 1 ORDER BY n DESC, w LIMIT 100000),
+        |st AS (
+        |  SELECT 0 AS it, w,
+        |    array_to_string(list_transform(string_split(w, ''),
+        |      c -> chr(2) || c || chr(3)), '') || chr(2) || '</w>' || chr(3) AS s,
+        |    n
+        |  FROM wc
+        |  UNION ALL
+        |  SELECT it + 1, w,
+        |    replace(s, chr(2) || best.l || chr(3) || chr(2) || best.r || chr(3),
+        |      chr(2) || best.l || best.r || chr(3)),
+        |    n
+        |  FROM st, (
+        |    SELECT l, r FROM (
+        |      SELECT sy[i] AS l, sy[i + 1] AS r, sum(n) AS f
+        |      FROM (SELECT regexp_extract_all(s,
+        |              chr(2) || '([^' || chr(3) || ']*)' || chr(3), 1) AS sy, n
+        |            FROM st),
+        |        unnest(range(1, len(sy))) AS t(i)
+        |      GROUP BY 1, 2)
+        |    WHERE f >= 2 ORDER BY f DESC, l, r LIMIT 1) best
+        |  WHERE it < 40),
+        |fin AS (
+        |  SELECT w, len(s) - len(replace(s, chr(2), '')) AS n_syms
+        |  FROM st WHERE it = (SELECT max(it) FROM st)),
+        |doc_tok AS (
+        |  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\s+'),
+        |    x -> len(x) > 0)) AS w
+        |  FROM documents)
+        |SELECT d.doc_id, CAST(coalesce(sum(f.n_syms), 0) AS INT) AS n_bpe
+        |FROM documents d
+        |LEFT JOIN (SELECT dt.doc_id, f.n_syms
+        |           FROM doc_tok dt JOIN fin f USING (w)) f
+        |  ON d.doc_id = f.doc_id
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // order-sensitive fingerprint: per-token 32-bit FNV-1a folded as
     // acc*31 + h mod 2^31-1 — portable integer arithmetic, recomputed

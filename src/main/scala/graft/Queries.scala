@@ -480,7 +480,10 @@ object Queries {
       .filter(col("est_jaccard") >= 0.4)
       .orderBy("doc_a", "doc_b")
 
-  /** SimHash near-dup candidates (no SQL oracle — hash-specific). */
+  /** SimHash near-dup candidates. Oracle-matched since the token hash
+    * moved to md5-hex (engine-portable): DuckDB replays votes, sub-key
+    * blocking and Hamming arithmetic bit-for-bit.
+    */
   val q_dedup_simhash: Q = (s, d) =>
     Dedup.simhashCandidates(t(s, d, "documents"), maxHamming = 6)
       .orderBy("doc_a", "doc_b")
@@ -1081,7 +1084,9 @@ object Queries {
       .orderBy("rank")
 
   /** Distributed BPE encoding under the learned merges: per-document
-    * subword token counts (no SQL oracle — spec-verified kernel).
+    * subword token counts. Oracle-matched: DuckDB replays the full
+    * Sennrich learn loop in a recursive CTE (greedy segmentation is
+    * deterministic) and re-derives every doc's count.
     */
   val q_bpe_encode: Q = (s, d) => {
     val merges = graft.pipeline.Bpe.learn(t(s, d, "documents"), numMerges = 40)

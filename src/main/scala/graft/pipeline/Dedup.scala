@@ -150,13 +150,28 @@ object Dedup {
       .distinct()
   }
 
+  /** Engine-portable 64-bit token hash: the first 16 hex chars of
+    * md5(token) as (hi32 << 32) | lo32. md5 is specified byte-for-byte
+    * everywhere (DuckDB, Spark, any warehouse), so simhash fingerprints
+    * computed here are reproducible ACROSS engines — they get persisted
+    * and compared incrementally, where an engine-private hash
+    * (xxhash64's Spark seeding) would silently diverge. Cost: one md5
+    * per token, map-only; negligible against the candidate-join shuffle.
+    */
+  def portableTokenHash(t: Column): Column =
+    shiftleft(conv(substring(md5(t), 1, 8), 16, 10).cast("long"), 32)
+      .bitwiseOR(conv(substring(md5(t), 9, 8), 16, 10).cast("long"))
+
   /** 64-bit SimHash over token hashes: per bit, sum +1/−1 across tokens,
     * bit set where the sum is positive. Near-dups have small Hamming
     * distance; pairs are blocked on 4 16-bit sub-keys (any exact sub-key
-    * match → candidate), the classic simhash sharding trick.
+    * match → candidate), the classic simhash sharding trick. Token hash
+    * = [[portableTokenHash]] (md5-derived), so fingerprints are stable
+    * across engines and releases.
     */
   def simhash(text: Column): Column =
-    simhashFromHashes(transform(TextAnalysis.tokens(text), t => xxhash64(t)))
+    simhashFromHashes(transform(TextAnalysis.tokens(text),
+      t => portableTokenHash(t)))
 
   /** SimHash from a precomputed ARRAY<LONG> of token hashes — native
     * expression ([[graft.functions.SimhashExpr]]): one tight loop per row.
@@ -171,7 +186,7 @@ object Dedup {
                         maxHamming: Int = 8): DataFrame = {
     val sh = docs
       .select(col("doc_id"), transform(TextAnalysis.tokens(col(textCol)),
-        t => xxhash64(t)).as("_h"))
+        t => portableTokenHash(t)).as("_h"))
       .select(col("doc_id"), simhashFromHashes(col("_h")).as("sh"))
     // materialize once (registered for releaseCaches): the 64 per-bit
     // aggregates are expensive and both self-join sides reference them
