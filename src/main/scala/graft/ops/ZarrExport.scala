@@ -40,7 +40,8 @@ object ZarrExport {
   def exportStore(session: Session, dst: Store, dstPrefix: String = "",
                   compression: String = "raw",
                   paths: Seq[String] = Nil,
-                  shardChunks: Seq[Int] = Nil): Long = {
+                  shardChunks: Seq[Int] = Nil,
+                  rleChunkShapes: Boolean = false): Long = {
     val spark = session.repo.spark
     val prefix =
       if (dstPrefix.isEmpty || dstPrefix.endsWith("/")) dstPrefix
@@ -72,7 +73,7 @@ object ZarrExport {
       val rel = n.path.stripPrefix("/")
       val base = if (rel.isEmpty) prefix else s"$prefix$rel/"
       dst.putBytes(base + "zarr.json",
-        docFor(n, compression, shardChunks)
+        docFor(n, compression, shardChunks, rleChunkShapes)
           .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       if (n.isArray) {
         // rect grids publish with the `rectilinear` chunk_grid extension
@@ -177,8 +178,27 @@ object ZarrExport {
     * keys). Otherwise synthesize a doc from the node spec + the
     * userData dtype probe.
     */
+  /** Run-length-encode a chunk-length table per the reference grammar
+    * (store.rs:1303-1330): runs of >= 3 equal sizes become `[size,
+    * count]`, singles stay plain — mixed entries are legal.
+    */
+  private def rleTable(sizes: Seq[Long]): String = {
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    var i = 0
+    while (i < sizes.length) {
+      var j = i
+      while (j < sizes.length && sizes(j) == sizes(i)) j += 1
+      val run = j - i
+      if (run >= 3) out += s"[${sizes(i)},$run]"
+      else (0 until run).foreach(_ => out += sizes(i).toString)
+      i = j
+    }
+    out.mkString("[", ",", "]")
+  }
+
   private def docFor(n: graft.meta.NodeSpec, compression: String,
-                     shardChunks: Seq[Int] = Nil): String = {
+                     shardChunks: Seq[Int] = Nil,
+                     rleChunkShapes: Boolean = false): String = {
     val defaultEnc: JValue = JObject(
       "name" -> JString("default"),
       "configuration" -> JObject("separator" -> JString("/")))
@@ -219,7 +239,9 @@ object ZarrExport {
           if (n.isRectilinear)
             s""""chunk_grid":{"name":"rectilinear","configuration":""" +
               s"""{"chunk_shapes":[${n.chunkSizesPerDim
-                .map(_.mkString("[", ",", "]")).mkString(",")}]}},"""
+                .map(t => if (rleChunkShapes) rleTable(t)
+                          else t.mkString("[", ",", "]"))
+                .mkString(",")}]}},"""
           else
             s""""chunk_grid":{"name":"regular","configuration":""" +
               s"""{"chunk_shape":[${n.chunkShape.mkString(",")}]}},"""

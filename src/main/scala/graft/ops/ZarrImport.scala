@@ -417,13 +417,31 @@ object ZarrImport {
           "(regular | rectilinear)")
     }
     // rectilinear extension (the doc ZarrExport and the repo's own zarr
-    // facade emit): per-dim chunk-length tables that must tile the shape
+    // facade emit): per-dim chunk-length tables that must tile the
+    // shape. The reference's grammar (store.rs:1303-1330) allows each
+    // entry to be a plain size OR a run-length-encoded `[size, count]`
+    // pair, mixed freely — stores written by the reference with RLE
+    // tables must import.
+    def chunkTable(v: JValue, what: String): Seq[Long] = v match {
+      case JArray(xs) => xs.flatMap {
+        case JInt(n) => Seq(n.toLong)
+        case JArray(List(JInt(size), JInt(count))) =>
+          if (count < 0) throw new GraftException(
+            s"$nodePath: bad $what run count $count")
+          Seq.fill(count.toInt)(size.toLong)
+        case other => throw new GraftException(
+          s"$nodePath: bad $what element $other " +
+            "(size or [size, count] run)")
+      }
+      case other =>
+        throw new GraftException(s"$nodePath: missing $what ($other)")
+    }
     val rectSizes: Seq[Seq[Long]] =
       if (gridName != "rectilinear") Nil
       else (j \ "chunk_grid" \ "configuration" \ "chunk_shapes") match {
         case JArray(dims) =>
           val tables = dims.zipWithIndex.map { case (d, i) =>
-            longs(d, s"chunk_shapes[$i]")
+            chunkTable(d, s"chunk_shapes[$i]")
           }
           if (tables.size != shape.size ||
               tables.zip(shape).exists { case (t, len) =>

@@ -636,10 +636,14 @@ object TensorPlane {
       (s + k - 1) / k }
     // the pyramid level is a REGULAR grid either way (rect raggedness is
     // a property of how the source was laid out, not of the overview):
-    // a rect source's default dest chunk derives from its largest chunk
+    // a rect source's default dest chunk derives from its MEDIAN chunk
+    // length — one outlier-huge source chunk must not inflate every
+    // destination chunk (memory/skew heuristic only; dstChunks overrides)
     val repChunk = (i: Int) =>
-      if (node.isRectilinear) node.chunkSizesPerDim(i).max
-      else node.chunkShape(i)
+      if (node.isRectilinear) {
+        val sorted = node.chunkSizesPerDim(i).sorted
+        sorted(sorted.size / 2)
+      } else node.chunkShape(i)
     val chunks =
       if (dstChunks.nonEmpty) dstChunks
       else (0 until ndim).map { i =>

@@ -64,9 +64,22 @@ final class ZarrStore(val session: Session) {
             .getOrElse(throw new GraftException("missing chunk_shape"))
           ParsedMeta(NodeSpec.Array, shape, chunks, dims, Nil)
         case "rectilinear" =>
-          val sizes = (j \ "chunk_grid" \ "configuration" \ "chunk_shapes")
-            .extractOpt[Seq[Seq[Long]]]
-            .getOrElse(throw new GraftException("missing chunk_shapes"))
+          // the reference grammar (store.rs:1303-1330) mixes plain sizes
+          // with run-length-encoded [size, count] entries
+          val sizes = (j \ "chunk_grid" \ "configuration" \ "chunk_shapes") match {
+            case org.json4s.JArray(ds) => ds.map {
+              case org.json4s.JArray(es) => es.flatMap {
+                case org.json4s.JInt(n) => Seq(n.toLong)
+                case org.json4s.JArray(List(org.json4s.JInt(sz),
+                    org.json4s.JInt(ct))) => Seq.fill(ct.toInt)(sz.toLong)
+                case other => throw new GraftException(
+                  s"bad chunk_shapes element $other (size or [size, count])")
+              }
+              case other => throw new GraftException(
+                s"bad chunk_shapes dim $other")
+            }
+            case _ => throw new GraftException("missing chunk_shapes")
+          }
           ParsedMeta(NodeSpec.Array, shape, Nil, dims, sizes)
         case other => throw new GraftException(
           s"unsupported chunk grid '$other' (regular | rectilinear)")

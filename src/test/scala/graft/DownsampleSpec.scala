@@ -100,11 +100,18 @@ class DownsampleSpec extends SparkTestBase {
     assert(e.kind == GraftError.InvalidConfig)
     // rectilinear sources are supported (cell-exact coverage in
     // RectilinearSpec); the level's regular chunk derives from the
-    // source's LARGEST chunk length: max(4,6)/2 = 3
+    // source's MEDIAN chunk length: median(4,6)=6 (upper), 6/2 = 3
     s.addArrayRectilinear("/r", Seq(10), Seq(Seq(4L, 6L)),
       userData = """{"dtype":"int64"}""")
     TensorPlane.downsample(s, "/r", "/r2", Seq(2), "int64")
     assert(s.node("/r2").get.shape == Seq(5L))
     assert(s.node("/r2").get.chunkShape == Seq(3L))
+    // one outlier-huge source chunk must NOT inflate the default dest
+    // chunk: median(2,2,2,2,100)=2 -> dest chunk 2/2 = 1 (max would
+    // have picked 50)
+    s.addArrayRectilinear("/o", Seq(108), Seq(Seq(2L, 2L, 2L, 2L, 100L)),
+      userData = """{"dtype":"int64"}""")
+    TensorPlane.downsample(s, "/o", "/o2", Seq(2), "int64")
+    assert(s.node("/o2").get.chunkShape == Seq(1L))
   }
 }

@@ -223,6 +223,54 @@ class ZarrImportSpec extends SparkTestBase {
     assert(ex.getMessage.contains("regular chunk grid"))
   }
 
+  /** Reference chunk_shapes grammar (store.rs:1303-1330): entries mix
+    * plain sizes with run-length-encoded [size, count] runs. Import must
+    * expand them (stores written by the reference with RLE tables), and
+    * export can emit them (`rleChunkShapes = true`, runs >= 3 compress).
+    */
+  test("RLE chunk_shapes: import expands [size,count] runs; export emits them") {
+    val repo = Repository.create(Store.local(tmpDir("rlerepo")), spark)
+    val s = repo.writableSession("main")
+    // 1,1,1,1,1,4,2,2,2 (a >=3 run, a single, another run) tiling 15
+    val sizes = Seq(1L, 1L, 1L, 1L, 1L, 4L, 2L, 2L, 2L)
+    s.addArrayRectilinear("/r", Seq(15), Seq(sizes), Seq("x"),
+      userData = """{"dtype":"int64"}""")
+    var start = 0L
+    sizes.zipWithIndex.foreach { case (len, c) =>
+      s.writeChunk("/r", Seq(c), ChunkCodec.encodeLongs(
+        Array.tabulate(len.toInt)(i => start + i), "int64"))
+      start += len
+    }
+    s.commit("rle rect")
+    val out = tmpDir("rleout")
+    val ro = repo.readonlySession(VersionRef.Branch("main"))
+    graft.ops.ZarrExport.exportStore(ro, Store.local(out),
+      rleChunkShapes = true)
+    val doc = new String(Files.readAllBytes(Paths.get(out, "r/zarr.json")),
+      "UTF-8")
+    assert(doc.contains("\"chunk_shapes\":[[[1,5],4,[2,3]]]"), doc)
+    // import expands the runs back to the full table
+    val repo2 = Repository.create(Store.local(tmpDir("rlerepo2")), spark)
+    graft.ops.ZarrImport.importStore(repo2, "main", Store.local(out))
+    val ro2 = repo2.readonlySession(VersionRef.Branch("main"))
+    val n2 = ro2.node("/r").get
+    assert(n2.isRectilinear && n2.chunkSizesPerDim == Seq(sizes))
+    val vals = TensorPlane.values(ro2, "/r", "int64")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(vals == (0 until 15).map(i => i.toLong -> i.toLong).toMap)
+    // the zarr facade's metadata parser accepts the RLE form too
+    val s3 = repo.writableSession("main")
+    val z = new graft.zarr.ZarrStore(s3)
+    z.set("q/zarr.json",
+      ("""{"zarr_format":3,"node_type":"array","shape":[15],""" +
+        """"chunk_grid":{"name":"rectilinear","configuration":""" +
+        """{"chunk_shapes":[[[1,5],4,[2,3]]]}},"data_type":"int64",""" +
+        """"chunk_key_encoding":{"name":"default","configuration":""" +
+        """{"separator":"/"}},"fill_value":0,"codecs":[{"name":"bytes",""" +
+        """"configuration":{"endian":"little"}}]}""").getBytes)
+    assert(s3.node("/q").get.chunkSizesPerDim == Seq(sizes))
+  }
+
   test("export re-emits adopted zarr docs verbatim (attributes survive)") {
     val srcDir = tmpDir("zsrc4")
     writeFixture(srcDir)
