@@ -10,6 +10,42 @@ package graft
   * their arithmetic is engine-portable and DuckDB replays it exactly.
   */
 object Oracles {
+  /** Shared by q_bpe_encode / q_bpe_vocab: the Sennrich merge loop as a
+    * recursive CTE. State = one row per word type per iteration, with
+    * the iteration's chosen merge (ml, mr, mf) replicated on each row;
+    * fusion is replace() over wrapped-symbol strings (exactly the
+    * engine's one left-to-right non-overlapping pass).
+    */
+  private val BpeLearnCte =
+    """WITH RECURSIVE
+      |wc AS (
+      |  SELECT w, count(*)::BIGINT AS n FROM (
+      |    SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+      |      x -> len(x) > 0)) AS w FROM documents)
+      |  GROUP BY 1 ORDER BY n DESC, w LIMIT 100000),
+      |st AS (
+      |  SELECT 0 AS it, w,
+      |    array_to_string(list_transform(string_split(w, ''),
+      |      c -> chr(2) || c || chr(3)), '') || chr(2) || '</w>' || chr(3) AS s,
+      |    n, NULL::VARCHAR AS ml, NULL::VARCHAR AS mr, NULL::BIGINT AS mf
+      |  FROM wc
+      |  UNION ALL
+      |  SELECT it + 1, w,
+      |    replace(s, chr(2) || best.l || chr(3) || chr(2) || best.r || chr(3),
+      |      chr(2) || best.l || best.r || chr(3)),
+      |    n, best.l, best.r, best.f
+      |  FROM st, (
+      |    SELECT l, r, f FROM (
+      |      SELECT sy[i] AS l, sy[i + 1] AS r, sum(n) AS f
+      |      FROM (SELECT regexp_extract_all(s,
+      |              chr(2) || '([^' || chr(3) || ']*)' || chr(3), 1) AS sy, n
+      |            FROM st),
+      |        unnest(range(1, len(sy))) AS t(i)
+      |      GROUP BY 1, 2)
+      |    WHERE f >= 2 ORDER BY f DESC, l, r LIMIT 1) best
+      |  WHERE it < 40),
+      |""".stripMargin
+
   private val stop =
     "['the','a','an','and','or','of','to','in','is','are','was','for','on','with','as','at','by']"
 
@@ -1040,35 +1076,8 @@ object Oracles {
     // word IS its greedy BPE segmentation (merge components always
     // predate their pair in a LEARNED list), and per-doc n_bpe is a
     // join + sum. Zero-token docs keep n_bpe = 0 via the LEFT join.
-    "q_bpe_encode" ->
-      """WITH RECURSIVE
-        |wc AS (
-        |  SELECT w, count(*)::BIGINT AS n FROM (
-        |    SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
-        |      x -> len(x) > 0)) AS w FROM documents)
-        |  GROUP BY 1 ORDER BY n DESC, w LIMIT 100000),
-        |st AS (
-        |  SELECT 0 AS it, w,
-        |    array_to_string(list_transform(string_split(w, ''),
-        |      c -> chr(2) || c || chr(3)), '') || chr(2) || '</w>' || chr(3) AS s,
-        |    n
-        |  FROM wc
-        |  UNION ALL
-        |  SELECT it + 1, w,
-        |    replace(s, chr(2) || best.l || chr(3) || chr(2) || best.r || chr(3),
-        |      chr(2) || best.l || best.r || chr(3)),
-        |    n
-        |  FROM st, (
-        |    SELECT l, r FROM (
-        |      SELECT sy[i] AS l, sy[i + 1] AS r, sum(n) AS f
-        |      FROM (SELECT regexp_extract_all(s,
-        |              chr(2) || '([^' || chr(3) || ']*)' || chr(3), 1) AS sy, n
-        |            FROM st),
-        |        unnest(range(1, len(sy))) AS t(i)
-        |      GROUP BY 1, 2)
-        |    WHERE f >= 2 ORDER BY f DESC, l, r LIMIT 1) best
-        |  WHERE it < 40),
-        |fin AS (
+    "q_bpe_encode" -> (BpeLearnCte +
+      """fin AS (
         |  SELECT w, len(s) - len(replace(s, chr(2), '')) AS n_syms
         |  FROM st WHERE it = (SELECT max(it) FROM st)),
         |doc_tok AS (
@@ -1080,7 +1089,16 @@ object Oracles {
         |LEFT JOIN (SELECT dt.doc_id, f.n_syms
         |           FROM doc_tok dt JOIN fin f USING (w)) f
         |  ON d.doc_id = f.doc_id
-        |GROUP BY 1 ORDER BY 1""".stripMargin,
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // the learned merge table itself: iteration k's chosen pair rides on
+    // every word row of iteration k (ml/mr/mf), so rank k-1 = the
+    // distinct merge of iteration k
+    "q_bpe_vocab" -> (BpeLearnCte +
+      """m AS (SELECT DISTINCT it, ml, mr, mf FROM st WHERE it >= 1)
+        |SELECT CAST(it - 1 AS INT) AS rank, ml AS "left", mr AS "right",
+        |  ml || mr AS merged, CAST(mf AS BIGINT) AS freq
+        |FROM m ORDER BY rank""".stripMargin),
 
     // order-sensitive fingerprint: per-token 32-bit FNV-1a folded as
     // acc*31 + h mod 2^31-1 — portable integer arithmetic, recomputed

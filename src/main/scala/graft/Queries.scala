@@ -1075,8 +1075,8 @@ object Queries {
       .orderBy("doc_id")
 
   /** BPE vocabulary induction: 40 merges learned from the corpus word
-    * counts (no SQL oracle — iterative merge loop; PipelineSpec verifies
-    * the algorithm against hand-computed merges).
+    * counts. Oracle-matched: DuckDB replays the merge loop in a
+    * recursive CTE and emits each iteration's chosen pair.
     */
   val q_bpe_vocab: Q = (s, d) =>
     graft.pipeline.Bpe.mergesDf(s,
