@@ -57,6 +57,32 @@ case class DotProductExpr(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** First 8 bytes of md5(utf8(input)) as a big-endian signed long — the
+  * engine-portable token hash. Bit-identical to the SQL spelling
+  * `conv(substr(md5(x),1,8),16,10) << 32 | conv(substr(md5(x),9,8),16,10)`
+  * (hex chars 1-16 ARE the first 8 digest bytes) without the hex-string
+  * round-trip, which doubled the simhash hot loop.
+  */
+case class Md5Long64Expr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any = {
+    val md = Md5Long64Expr.digests.get()
+    md.reset()
+    val d = md.digest(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes)
+    java.nio.ByteBuffer.wrap(d).getLong(0)
+  }
+  override protected def withNewChildInternal(c: Expression): Md5Long64Expr =
+    copy(child = c)
+}
+
+object Md5Long64Expr {
+  private val digests: ThreadLocal[java.security.MessageDigest] =
+    ThreadLocal.withInitial(() =>
+      java.security.MessageDigest.getInstance("MD5"))
+}
+
 /** 64-bit SimHash from an ARRAY<LONG> of token hashes: per bit position,
   * sum ±1 across tokens; bit i set where the sum is positive.
   */
@@ -476,6 +502,10 @@ object VectorFunctions {
   /** Codegen'd Σ aᵢ·bᵢ. */
   def dot_product(a: Column, b: Column): Column =
     column(DotProductExpr(expression(a), expression(b)))
+
+  /** Portable md5-derived 64-bit hash (see [[Md5Long64Expr]]). */
+  def md5_long64(s: Column): Column =
+    column(Md5Long64Expr(expression(s)))
 
   def simhash64(tokenHashes: Column): Column =
     column(SimhashExpr(expression(tokenHashes)))

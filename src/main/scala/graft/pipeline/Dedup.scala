@@ -159,8 +159,7 @@ object Dedup {
     * per token, map-only; negligible against the candidate-join shuffle.
     */
   def portableTokenHash(t: Column): Column =
-    shiftleft(conv(substring(md5(t), 1, 8), 16, 10).cast("long"), 32)
-      .bitwiseOR(conv(substring(md5(t), 9, 8), 16, 10).cast("long"))
+    graft.functions.VectorFunctions.md5_long64(t)
 
   /** 64-bit SimHash over token hashes: per bit, sum +1/−1 across tokens,
     * bit set where the sum is positive. Near-dups have small Hamming
