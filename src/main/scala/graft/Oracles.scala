@@ -633,11 +633,14 @@ object Oracles {
         |FROM pairs WHERE j >= 0.05 ORDER BY doc_a, doc_b""".stripMargin,
 
     // simhash is engine-portable arithmetic since the token hash moved
-    // to md5-hex (round 10): DuckDB replays the per-bit +1/−1 votes,
-    // folds each 16-bit sub-key (avoiding signed-64 wraparound), blocks
-    // on sub-key equality and sums per-sub-key bit_count XORs for the
-    // Hamming distance. LEFT join keeps zero-token docs at simhash 0
-    // (they pair with each other at distance 0, as in the engine).
+    // to dual 32-bit FNV-1a over code points (round 10; the
+    // q_fingerprint integer arithmetic, second fold seeded from basis
+    // xor 0x5bd1e995): DuckDB replays the folds and the per-bit +1/−1
+    // votes, folds each 16-bit sub-key (avoiding signed-64 wraparound),
+    // blocks on sub-key equality and sums per-sub-key bit_count XORs
+    // for the Hamming distance. LEFT join keeps zero-token docs at
+    // simhash 0 (they pair with each other at distance 0, as in the
+    // engine).
     "q_dedup_simhash" ->
       """WITH tok AS (
         |  SELECT doc_id,
@@ -646,9 +649,13 @@ object Oracles {
         |  FROM documents),
         |h AS (
         |  SELECT doc_id,
-        |    ('0x' || substr(md5(w), 1, 8))::BIGINT AS hi,
-        |    ('0x' || substr(md5(w), 9, 8))::BIGINT AS lo
-        |  FROM tok),
+        |    list_reduce(list_prepend(CAST(2166136261 AS BIGINT), cps),
+        |      (h, c) -> (xor(h, c) * 16777619) % 4294967296) AS hi,
+        |    list_reduce(list_prepend(CAST(3670897744 AS BIGINT), cps),
+        |      (h, c) -> (xor(h, c) * 16777619) % 4294967296) AS lo
+        |  FROM (SELECT doc_id, list_transform(string_split(w, ''),
+        |          c -> CAST(unicode(c) AS BIGINT)) AS cps
+        |        FROM tok)),
         |votes AS (
         |  SELECT doc_id, b,
         |    sum(CASE WHEN (CASE WHEN b < 32 THEN (lo >> b) & 1

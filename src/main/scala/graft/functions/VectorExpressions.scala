@@ -57,30 +57,34 @@ case class DotProductExpr(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
-/** First 8 bytes of md5(utf8(input)) as a big-endian signed long — the
-  * engine-portable token hash. Bit-identical to the SQL spelling
-  * `conv(substr(md5(x),1,8),16,10) << 32 | conv(substr(md5(x),9,8),16,10)`
-  * (hex chars 1-16 ARE the first 8 digest bytes) without the hex-string
-  * round-trip, which doubled the simhash hot loop.
+/** Engine-portable 64-bit token hash: two 32-bit FNV-1a folds over the
+  * string's CODE POINTS (hi = standard offset basis 0x811c9dc5, lo =
+  * basis xor 0x5bd1e995 = 3670897744), packed `(hi << 32) | lo`. Plain
+  * integer arithmetic any engine replays exactly — the q_fingerprint
+  * playbook, one pass, no allocation (an md5-based variant measured ~5×
+  * slower per token in the interpreted HOF lambda path and pushed
+  * q_dedup_simhash over its regression line).
   */
-case class Md5Long64Expr(child: Expression)
+case class Fnv64TokenExpr(child: Expression)
     extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = LongType
   override def nullSafeEval(input: Any): Any = {
-    val md = Md5Long64Expr.digests.get()
-    md.reset()
-    val d = md.digest(
-      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes)
-    java.nio.ByteBuffer.wrap(d).getLong(0)
+    val s = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+      .toString
+    var h1 = 0x811c9dc5L
+    var h2 = 3670897744L
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      val cp = s.codePointAt(i)
+      i += Character.charCount(cp)
+      h1 = ((h1 ^ cp) * 16777619L) & 0xffffffffL
+      h2 = ((h2 ^ cp) * 16777619L) & 0xffffffffL
+    }
+    (h1 << 32) | h2
   }
-  override protected def withNewChildInternal(c: Expression): Md5Long64Expr =
+  override protected def withNewChildInternal(c: Expression): Fnv64TokenExpr =
     copy(child = c)
-}
-
-object Md5Long64Expr {
-  private val digests: ThreadLocal[java.security.MessageDigest] =
-    ThreadLocal.withInitial(() =>
-      java.security.MessageDigest.getInstance("MD5"))
 }
 
 /** 64-bit SimHash from an ARRAY<LONG> of token hashes: per bit position,
@@ -503,9 +507,9 @@ object VectorFunctions {
   def dot_product(a: Column, b: Column): Column =
     column(DotProductExpr(expression(a), expression(b)))
 
-  /** Portable md5-derived 64-bit hash (see [[Md5Long64Expr]]). */
-  def md5_long64(s: Column): Column =
-    column(Md5Long64Expr(expression(s)))
+  /** Portable dual-FNV-1a 64-bit hash (see [[Fnv64TokenExpr]]). */
+  def fnv_long64(s: Column): Column =
+    column(Fnv64TokenExpr(expression(s)))
 
   def simhash64(tokenHashes: Column): Column =
     column(SimhashExpr(expression(tokenHashes)))

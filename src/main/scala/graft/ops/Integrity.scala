@@ -98,11 +98,16 @@ object Integrity {
         .as[(String, Long)]
       locs.mapPartitions { it =>
         it.flatMap { case (loc, need) =>
-          val expanded =
-            try resolver.expandLocation(loc)
-            catch { case _: Exception => loc }
-          if (resolver.matchingContainer(expanded).isEmpty)
-            Some(("unmatched_virtual", loc, "no registered container"))
+          // coverage = a container matches AND is authorized (credentials
+          // or an explicit no-credential sentinel, #2194) — a registered
+          // but unauthorized prefix can no more be fetched than an
+          // unmatched one
+          val problem =
+            try resolver.coverageProblem(loc)
+            catch { case e: Exception =>
+              Some(Option(e.getMessage).getOrElse("bad location")) }
+          if (problem.isDefined)
+            Some(("unmatched_virtual", loc, problem.get.take(120)))
           else if (checkVirtual) {
             // presence probe: fetch the range's last byte (1-byte GET)
             try {

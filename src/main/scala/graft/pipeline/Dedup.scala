@@ -150,16 +150,16 @@ object Dedup {
       .distinct()
   }
 
-  /** Engine-portable 64-bit token hash: the first 16 hex chars of
-    * md5(token) as (hi32 << 32) | lo32. md5 is specified byte-for-byte
-    * everywhere (DuckDB, Spark, any warehouse), so simhash fingerprints
-    * computed here are reproducible ACROSS engines — they get persisted
-    * and compared incrementally, where an engine-private hash
-    * (xxhash64's Spark seeding) would silently diverge. Cost: one md5
-    * per token, map-only; negligible against the candidate-join shuffle.
+  /** Engine-portable 64-bit token hash: two 32-bit FNV-1a folds over
+    * code points packed (hi << 32) | lo — plain integer arithmetic any
+    * engine replays exactly, so simhash fingerprints computed here are
+    * reproducible ACROSS engines (they get persisted and compared
+    * incrementally, where an engine-private hash like xxhash64's Spark
+    * seeding would silently diverge). One pass, no allocation — costs
+    * what xxhash64 did in the interpreted HOF lambda path.
     */
   def portableTokenHash(t: Column): Column =
-    graft.functions.VectorFunctions.md5_long64(t)
+    graft.functions.VectorFunctions.fnv_long64(t)
 
   /** 64-bit SimHash over token hashes: per bit, sum +1/−1 across tokens,
     * bit set where the sum is positive. Near-dups have small Hamming

@@ -107,15 +107,22 @@ final class VirtualChunkResolver(val containers: Seq[VirtualChunkContainer])
           "LocalFileSystemAccess / HttpAccess) — authorize it explicitly")
     }
 
-  def validateLocation(location: String): Unit = {
+  /** Why this resolver cannot fetch `location` (no container, or a
+    * matched container with neither credentials nor a sentinel) — None
+    * when authorized. The non-throwing form fsck's coverage check uses.
+    */
+  def coverageProblem(location: String): Option[String] = {
     val expanded = expandLocation(location)
     matchingContainer(expanded) match {
-      case None => throw new graft.repo.GraftException(
-        s"no virtual chunk container registered for $expanded")
-      case Some(c) => refusal(c, expanded).foreach(msg =>
-        throw new graft.repo.GraftException(msg))
+      case None =>
+        Some(s"no virtual chunk container registered for $expanded")
+      case Some(c) => refusal(c, expanded)
     }
   }
+
+  def validateLocation(location: String): Unit =
+    coverageProblem(location).foreach(msg =>
+      throw new graft.repo.GraftException(msg))
 
   /** The store key a location resolves to inside a container's store:
     * the path after the bucket (minus the conf's key prefix) for S3, the

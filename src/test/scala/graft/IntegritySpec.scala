@@ -62,6 +62,16 @@ class IntegritySpec extends SparkTestBase {
       resolver = new graft.virt.VirtualChunkResolver(Nil))
     val problems = Integrity.check(bare, "main")
     assert(problems.filter("kind = 'unmatched_virtual'").count() == 500)
+    // a container that MATCHES but carries neither credentials nor a
+    // no-credential sentinel is coverage-refused too (#2194)
+    val unauth = Repository.open(Store.local(repo.store.rootUri
+      .stripPrefix("file:")), spark,
+      resolver = new graft.virt.VirtualChunkResolver(Seq(
+        graft.virt.VirtualChunkContainer("file://" + ext, "ext"))))
+    val p2 = Integrity.check(unauth, "main")
+      .filter("kind = 'unmatched_virtual'")
+    assert(p2.count() == 500)
+    assert(p2.head().getString(2).contains("sentinel"))
   }
 
   test("deleted and truncated chunks surface as exactly those ids") {
