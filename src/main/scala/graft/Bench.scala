@@ -532,6 +532,49 @@ object Bench {
           .agg(count(lit(1)), sum(col("value"))).head()
         assert(res.getLong(0) == 6L * cube * cube, "rect slice cells")
       }
+      // rect storage-partitioned join on a WIDE grid (96 chunks on the
+      // axis — past the inline-name boundary, so the digest transform
+      // spelling carries the chunk-length table): two same-grid ~50 MB
+      // arrays join with ZERO exchanges. Setup writes outside the timer.
+      locally {
+        val unit = 32768L
+        val sizes = (0 until 96).map(i => (1L + i % 3) * unit)
+        val total = sizes.sum
+        val s = repo.writableSession("main")
+        s.addArrayRectilinear("/spj_a", Seq(total), Seq(sizes),
+          userData = """{"dtype":"int64"}""")
+        s.addArrayRectilinear("/spj_b", Seq(total), Seq(sizes),
+          userData = """{"dtype":"int64"}""")
+        val df = spark.range(total).select(col("id").as("i0"),
+          (col("id") % 997).as("value"))
+        graft.tensor.TensorPlane.writeValues(s, "/spj_a", df, "int64")
+        graft.tensor.TensorPlane.writeValues(s, "/spj_b",
+          df.withColumn("value", col("value") * 3), "int64")
+        s.commit("spj arrays")
+        entry("engine_rect_spj") {
+          spark.conf.set(s"spark.sql.catalog.$cat",
+            classOf[graft.sources.GraftCatalog].getName)
+          spark.conf.set(s"spark.sql.catalog.$cat.path", dir.toString)
+          spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+          spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+          try {
+            val j = spark.sql(
+              s"""SELECT sum(b.value - a.value) AS d, count(*) AS n
+                 |FROM $cat.spj_a a JOIN $cat.spj_b b
+                 |ON a.i0 = b.i0""".stripMargin)
+            val plan = j.queryExecution.executedPlan.toString
+            assert(!plan.linesIterator.exists(
+              _.contains("Exchange hashpartitioning")), "rect SPJ shuffled")
+            val r = j.head()
+            assert(r.getLong(1) == total, "spj row count")
+            assert(r.getLong(0) ==
+              (0L until total).map(i => 2L * (i % 997)).sum, "spj sum")
+          } finally {
+            spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+          }
+        }
+      }
       // full-array regrid: (4,c,c) chunks -> (8,c/2,c/2) — the rechunk
       // job's shuffle carries ONLY the (src,dst) coord relation (bytes
       // per chunk); payloads move as object-store reads on the

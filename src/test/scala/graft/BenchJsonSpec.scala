@@ -76,7 +76,9 @@ class BenchJsonSpec extends AnyFunSuite {
       "engine_cube_slice_rows", "engine_transpose_1g",
       "engine_tensor_combine_1g",
       "engine_repo_push", "engine_repo_push_incr", "engine_fsck",
-      "engine_merge_branch")
+      "engine_merge_branch", "engine_merge_many_arrays",
+      "engine_rect_concat_1g", "engine_rect_slice_read",
+      "engine_rect_spj")
     // every headline name must actually exist in the query map (a
     // renamed query would silently fall out of the bench line)
     val missing = Bench.HeadlineQueries -- SparkEntry.queries.keySet
@@ -86,7 +88,9 @@ class BenchJsonSpec extends AnyFunSuite {
     val results = scala.collection.mutable.LinkedHashMap(
       (timedKeys ++ engineKeys).map(_ -> 0.00056395): _*)
     val line = Bench.jsonLine(results, Nil, "/root/testdata/sf0.1")
-    assert(line.length < 1950, s"bench JSON line too long: ${line.length}")
+    // 2000 is the hard capture limit; 1985 leaves newline margin at the
+    // pathological all-sub-ms width (real lines run ~1840 at 72 entries)
+    assert(line.length < 1985, s"bench JSON line too long: ${line.length}")
     // and it is parse-checkable: balanced object, last char is '}'
     assert(line.startsWith("{\"metric\":\"total\"") && line.endsWith("}"))
   }
