@@ -71,9 +71,9 @@ class IntegritySpec extends SparkTestBase {
     val p2 = Integrity.check(unauth, "main")
       .filter("kind = 'unmatched_virtual'")
     assert(p2.count() == 500)
-    // the detail column truncates at 120 chars; the refusal phrase that
-    // survives names the container and the missing sentinel
-    assert(p2.head().getString(2).contains("no explicit no-credential"))
+    // the detail column truncates at 120 chars and the tmp path length
+    // varies per run — assert on the early refusal phrase
+    assert(p2.head().getString(2).contains("has no credentials"))
   }
 
   test("deleted and truncated chunks surface as exactly those ids") {
