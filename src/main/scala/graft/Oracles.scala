@@ -46,6 +46,64 @@ object Oracles {
       |  WHERE it < 40),
       |""".stripMargin
 
+  /** q_dedup_minhash oracle, generated: replay the PORTABLE minhash
+    * construction — FNV dual-fold shingle hashes (signed-64 built in
+    * HUGEINT, pmod p), the 32 closed-form (a, b) permutation mins, 8×4
+    * banding as raw slice equality, and the match-fraction estimate.
+    * The 32 signature expressions and coefficient pairs are baked in
+    * from [[graft.pipeline.Dedup.portableMinhashCoeffs]], so engine and
+    * oracle cannot drift apart.
+    */
+  private val MinhashOracle: String = {
+    val p = 4294967291L
+    // the dual FNV-1a fold of shingle w (hi basis 0x811c9dc5, lo basis
+    // 0x811c9dc5 xor 0x5bd1e995), as in Fnv64TokenExpr
+    def fnv(basis: Long): String =
+      s"list_reduce(list_prepend(CAST($basis AS BIGINT), " +
+        "list_transform(list_filter(string_split(w, ''), " +
+        "c -> len(c) > 0), c -> CAST(unicode(c) AS BIGINT))), " +
+        "(h, c) -> (xor(h, c) * 16777619) % 4294967296)"
+    val hi = fnv(2166136261L)
+    val lo = fnv(3670897744L)
+    // signed 64-bit (hi<<32)|lo in HUGEINT, then mathematical mod p
+    val xmLambda =
+      s"""CAST((((CASE WHEN $hi >= 2147483648
+         |  THEN CAST($hi AS HUGEINT) * 4294967296 + $lo
+         |    - 18446744073709551616
+         |  ELSE CAST($hi AS HUGEINT) * 4294967296 + $lo END) % $p)
+         |  + $p) % $p AS BIGINT)""".stripMargin
+    val sigExprs = graft.pipeline.Dedup.portableMinhashCoeffs(32)
+      .map { case (a, b) =>
+        s"list_min(list_transform(xs, x -> (x * $a + $b) % $p))" }
+      .mkString("[\n    ", ",\n    ", "]")
+    val eqTerms = (1 to 32).map(i =>
+      s"(CASE WHEN a.sig[$i] = b.sig[$i] THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    val bandClauses = (0 until 8).map(bd =>
+      s"a.sig[${bd * 4 + 1}:${bd * 4 + 4}] = b.sig[${bd * 4 + 1}:${bd * 4 + 4}]")
+      .mkString(" OR ")
+    s"""WITH sh AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+       |      ELSE list_distinct([array_to_string(toks[i:i+2], ' ')
+       |        for i in range(1, len(toks) - 1)])
+       |    END AS s
+       |  FROM (SELECT doc_id,
+       |      list_filter(string_split_regex(lower(text), '\\s+'),
+       |        x -> len(x) > 0) AS toks
+       |    FROM documents)),
+       |hm AS (
+       |  SELECT doc_id, list_transform(s, w -> $xmLambda) AS xs
+       |  FROM sh),
+       |sg AS (SELECT doc_id, $sigExprs AS sig FROM hm),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    ($eqTerms) / 32.0 AS est_jaccard
+       |  FROM sg a JOIN sg b ON a.doc_id < b.doc_id AND ($bandClauses))
+       |SELECT doc_a, doc_b, est_jaccard FROM cand
+       |WHERE est_jaccard >= 0.4 ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   private val stop =
     "['the','a','an','and','or','of','to','in','is','are','was','for','on','with','as','at','by']"
 
@@ -612,6 +670,9 @@ object Oracles {
         |    AS p90_tokens,
         |  max(n_tokens) AS max_tokens
         |FROM base GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // generated above: the portable minhash construction replayed
+    "q_dedup_minhash" -> MinhashOracle,
 
     "q_dedup_ngram_jaccard" ->
       """WITH sh AS (

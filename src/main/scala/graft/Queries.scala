@@ -474,15 +474,20 @@ object Queries {
       .orderBy("doc_id", "bench_id")
   }
 
-  /** MinHash-LSH near-dup candidates (no SQL oracle — hash-specific). */
+  /** MinHash-LSH near-dup candidates in the PORTABLE construction
+    * (FNV shingle hashes, closed-form coefficients, raw band-slice
+    * bucket keys). Oracle-matched: DuckDB replays the signatures, the
+    * banding and the match-fraction estimate exactly.
+    */
   val q_dedup_minhash: Q = (s, d) =>
-    Dedup.minhashCandidates(t(s, d, "documents"), numHashes = 32, bands = 8)
+    Dedup.minhashCandidates(t(s, d, "documents"), numHashes = 32, bands = 8,
+        portable = true)
       .filter(col("est_jaccard") >= 0.4)
       .orderBy("doc_a", "doc_b")
 
   /** SimHash near-dup candidates. Oracle-matched since the token hash
-    * moved to md5-hex (engine-portable): DuckDB replays votes, sub-key
-    * blocking and Hamming arithmetic bit-for-bit.
+    * moved to dual FNV-1a (engine-portable): DuckDB replays votes,
+    * sub-key blocking and Hamming arithmetic bit-for-bit.
     */
   val q_dedup_simhash: Q = (s, d) =>
     Dedup.simhashCandidates(t(s, d, "documents"), maxHamming = 6)

@@ -94,6 +94,15 @@ object Dedup {
       (rng.nextInt(1 << 30).toLong + 1L, rng.nextInt(1 << 30).toLong))
   }
 
+  /** Closed-form coefficient pairs for the PORTABLE minhash mode:
+    * Knuth-multiplicative residues of the hash index, replayable as
+    * plain integer arithmetic by any engine (same bounds as the seeded
+    * pairs: a in [1, 2^30], b in [0, 2^30)).
+    */
+  private[graft] def portableMinhashCoeffs(numHashes: Int): Seq[(Long, Long)] =
+    (1 to numHashes).map(j =>
+      ((2654435761L * j) % (1L << 30) + 1L, (2246822519L * j) % (1L << 30)))
+
   /** MinHash signature from a precomputed ARRAY<LONG> of shingle hashes:
     * ONE pass over the array, folding a `numHashes`-wide accumulator with
     * `zip_with(acc, hashes_of(x), least)`. Keeping it single-pass matters:
@@ -117,25 +126,44 @@ object Dedup {
     * Returns candidate pairs (doc_a < doc_b) with their estimated Jaccard
     * (fraction of matching minhashes).
     */
+  /** `portable = true` switches every hash in the construction to
+    * engine-replayable arithmetic — FNV shingle hashes
+    * ([[portableTokenHash]]), closed-form (a, b) coefficients, and the
+    * raw band-slice STRING as the bucket key (no band hash at all, so
+    * bucket membership is exact slice equality) — which is what lets
+    * q_dedup_minhash be oracle-checked bit-for-bit by DuckDB. The
+    * default stays the seeded xxhash construction the dedup pipeline
+    * queries' recall contracts were pinned against.
+    */
   def minhashCandidates(docs: DataFrame, textCol: String = "text",
                         shingleSize: Int = 3, numHashes: Int = 32,
-                        bands: Int = 8): DataFrame = {
+                        bands: Int = 8,
+                        portable: Boolean = false): DataFrame = {
     val rows = numHashes / bands
     // stage shingle hashes as their own column so the signature fold walks
     // a materialized array (CollapseProject keeps multi-referenced
     // non-cheap expressions staged)
+    val shingleHash: Column => Column =
+      if (portable) portableTokenHash else xxhash64(_)
+    val coeffs =
+      if (portable) portableMinhashCoeffs(numHashes)
+      else minhashCoeffs(numHashes)
     val sig = docs
       .select(col("doc_id"),
         transform(shingles(col(textCol), shingleSize),
-          s => xxhash64(s)).as("_sh"))
+          s => shingleHash(s)).as("_sh"))
       .select(col("doc_id"),
-        minhashSignatureFromHashes(col("_sh"), numHashes).as("sig"))
+        graft.functions.VectorFunctions.minhash_signature(col("_sh"),
+          coeffs, MinhashPrime).as("sig"))
     // materialize once (registered for releaseCaches): both self-join sides
     // would otherwise re-evaluate the whole shingle→minhash expression tree
+    val bucketOf: Column => Column =
+      if (portable) b => concat_ws("_",
+        slice(col("sig"), b * rows + 1, lit(rows)))
+      else b => xxhash64(concat_ws("_",
+        slice(col("sig"), b * rows + 1, lit(rows))))
     val buckets = stageCached(sig.select(col("doc_id"), col("sig"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => xxhash64(concat_ws("_",
-          slice(col("sig"), b * rows + 1, lit(rows)))))))
+      posexplode(transform(sequence(lit(0), lit(bands - 1)), bucketOf)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket"))
     val a = buckets.select(col("band"), col("bucket"),
       col("doc_id").as("doc_a"), col("sig").as("sig_a"))
