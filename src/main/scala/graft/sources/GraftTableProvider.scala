@@ -625,6 +625,13 @@ object GraftScan {
     * tables match — no participation cap, only a naming boundary.
     */
   val RectSpjMaxChunksPerDim = 64
+
+  /** Coarsen a rect chunk-length table by summing runs of `g` (the
+    * last run ragged): `chunkOf(coarse, i) == chunkOf(fine, i) / g`.
+    */
+  def coarsenTable(sizes: Seq[Long], g: Long): Seq[Long] =
+    if (g <= 1L) sizes
+    else sizes.grouped(g.toInt).map(_.sum).toSeq
 }
 
 class GraftScan(opts: Map[String, String], lo: Map[Int, Long],
@@ -761,8 +768,8 @@ class GraftScan(opts: Map[String, String], lo: Map[Int, Long],
     * the registered function object (so compatibility is still exact
     * table equality).
     */
-  private lazy val spjInfo: Option[(graft.meta.NodeSpec,
-      Seq[(graft.meta.ManifestRef, Array[Long])])] =
+  private lazy val spjInfo: Option[(graft.meta.NodeSpec, Array[Long],
+      Seq[(Seq[graft.meta.ManifestRef], Array[Long])])] =
     if (mode != "values" || pushedAgg.isDefined ||
         !opts.get("via-catalog").contains("true") ||
         !org.apache.spark.sql.SparkSession.active.conf
@@ -784,13 +791,27 @@ class GraftScan(opts: Map[String, String], lo: Map[Int, Long],
         }
     } catch { case _: Throwable => None }
 
-  /** One (manifest, chunk-coord) pair per chunk inside the manifest
-    * extents ∩ bounds, distinct by coord, capped at SpjMaxPartitions.
+  /** One keyed cell per SUPERGRID coordinate inside the manifest
+    * extents ∩ bounds, with the manifests whose boxes intersect it.
+    *
+    * The supergrid is the chunk grid coarsened per dim by `g(d)` —
+    * derived from FULL-GRID geometry alone (never the pushed bounds),
+    * so two scans of same-grid arrays compute the same coarsening no
+    * matter how each is sliced, and their transform names
+    * (`chunk_coord_<extent·g>` / the coarsened rect table) stay
+    * name-equal. `g = 1` everywhere while the grid fits
+    * [[GraftScan.SpjMaxPartitions]] — the historical one-key-per-chunk
+    * behavior — and doubles along the widest dims beyond it, so a
+    * 100 TB array (millions of chunks) still plans a storage-partitioned
+    * join with ≤ SpjMaxPartitions keyed partitions of whole-supercell
+    * element boxes instead of falling back to a shuffle exactly where
+    * the shuffle hurts most. Trade-off: one task decodes ∏g chunks
+    * (streamed one at a time — memory stays chunk-bounded).
     */
   private def spjEnumerate(session: graft.repo.Session,
       node: graft.meta.NodeSpec, bl: Seq[Long], bh: Seq[Long])
-      : Option[(graft.meta.NodeSpec,
-        Seq[(graft.meta.ManifestRef, Array[Long])])] = {
+      : Option[(graft.meta.NodeSpec, Array[Long],
+        Seq[(Seq[graft.meta.ManifestRef], Array[Long])])] = {
     val ndim = node.shape.size
     val rectStarts: IndexedSeq[Array[Long]] =
       if (!node.isRectilinear) IndexedSeq.empty
@@ -799,32 +820,41 @@ class GraftScan(opts: Map[String, String], lo: Map[Int, Long],
     def e2c(d: Int, e: Long): Long =
       if (rectStarts.isEmpty) e / node.chunkShape(d)
       else graft.meta.RectGrid.chunkOf(rectStarts(d), math.max(0L, e))
-    val cLoB = (0 until ndim).map(d => e2c(d, bl(d)))
-    val cHiB = (0 until ndim).map(d => e2c(d, bh(d) - 1))
-    val seen = scala.collection.mutable.LinkedHashSet[Seq[Long]]()
-    val out = scala.collection.mutable.ArrayBuffer[
-      (graft.meta.ManifestRef, Array[Long])]()
+    val nChunks = (0 until ndim).map(d =>
+      if (rectStarts.isEmpty)
+        (node.shape(d) + node.chunkShape(d) - 1) / node.chunkShape(d)
+      else rectStarts(d).length.toLong)
+    val g = Array.fill(ndim)(1L)
+    def cellsOf(d: Int): Long = (nChunks(d) + g(d) - 1) / g(d)
+    while ((0 until ndim).map(cellsOf).product >
+        GraftScan.SpjMaxPartitions)
+      { val d0 = (0 until ndim).maxBy(cellsOf); g(d0) *= 2 }
+    val cLoB = (0 until ndim).map(d => e2c(d, bl(d)) / g(d))
+    val cHiB = (0 until ndim).map(d => e2c(d, bh(d) - 1) / g(d))
+    val cellMap = scala.collection.mutable.LinkedHashMap[Seq[Long],
+      scala.collection.mutable.ArrayBuffer[graft.meta.ManifestRef]]()
     val manifests = session.base.manifests.getOrElse(node.id, Nil)
-    var overflow = false
+    // defensive work bound: pathological extent boxes (every split
+    // spanning the whole grid) would make this manifests × cells; bail
+    // to the subdivided-scan fallback rather than stall planning
+    var work = 0L
+    val workCap = 4L * 1000 * 1000
     manifests.foreach { m =>
-      if (!overflow && m.emin.size == ndim) {
+      if (work <= workCap && m.emin.size == ndim) {
         val clo = (0 until ndim).map(d =>
-          math.max(m.emin(d).toLong, cLoB(d)))
+          math.max(m.emin(d).toLong / g(d), cLoB(d)))
         val chi = (0 until ndim).map(d =>
-          math.min(m.emax(d).toLong, cHiB(d)))
+          math.min(m.emax(d).toLong / g(d), cHiB(d)))
         if ((0 until ndim).forall(d => clo(d) <= chi(d))) {
           def rec(d: Int, acc: List[Long]): Unit =
-            if (overflow) ()
+            if (work > workCap) ()
             else if (d == ndim) {
-              val key = acc.reverse
-              if (!seen.contains(key)) {
-                if (seen.size >= GraftScan.SpjMaxPartitions)
-                  overflow = true
-                else { seen += key; out += ((m, key.toArray)) }
-              }
+              work += 1
+              cellMap.getOrElseUpdate(acc.reverse,
+                scala.collection.mutable.ArrayBuffer()) += m
             } else {
               var c = clo(d)
-              while (c <= chi(d) && !overflow) {
+              while (c <= chi(d) && work <= workCap) {
                 rec(d + 1, c :: acc); c += 1
               }
             }
@@ -832,7 +862,9 @@ class GraftScan(opts: Map[String, String], lo: Map[Int, Long],
         }
       }
     }
-    if (overflow || out.isEmpty) None else Some((node, out.toSeq))
+    if (work > workCap || cellMap.isEmpty) None
+    else Some((node, g,
+      cellMap.iterator.map { case (k, ms) => (ms.toSeq, k.toArray) }.toSeq))
   }
 
   /** Report chunk-grid key grouping so the planner can match two
@@ -842,21 +874,26 @@ class GraftScan(opts: Map[String, String], lo: Map[Int, Long],
   override def outputPartitioning()
       : org.apache.spark.sql.connector.read.partitioning.Partitioning =
     spjInfo match {
-      case Some((node, chunks)) =>
+      case Some((node, g, cells)) =>
         import org.apache.spark.sql.connector.expressions.Expressions
         // single-argument transform family: SPJ planning only supports
         // transforms whose sole child is a column reference, so the
         // chunk geometry rides in the function name (and canonicalName —
-        // grids match only when extents/length-tables match)
+        // grids match only when extents/length-tables AND the derived
+        // coarsening match, and the coarsening is a pure function of
+        // the grid). Supergrid coord = floor(i / (extent·g)) for
+        // regular dims; rect dims coarsen the chunk-length table by
+        // summing runs of g.
         val exprs = node.shape.indices.map(d =>
           Expressions.apply(
             if (node.isRectilinear)
-              ChunkCoordFunction.rectNameFor(node.chunkSizesPerDim(d))
-            else ChunkCoordFunction.fixedName(node.chunkShape(d)),
+              ChunkCoordFunction.rectNameFor(
+                GraftScan.coarsenTable(node.chunkSizesPerDim(d), g(d)))
+            else ChunkCoordFunction.fixedName(node.chunkShape(d) * g(d)),
             Expressions.column(s"i$d"))
             : org.apache.spark.sql.connector.expressions.Expression).toArray
         new org.apache.spark.sql.connector.read.partitioning
-          .KeyGroupedPartitioning(exprs, chunks.size)
+          .KeyGroupedPartitioning(exprs, cells.size)
       case None =>
         new org.apache.spark.sql.connector.read.partitioning
           .UnknownPartitioning(0)
@@ -949,36 +986,57 @@ class GraftScan(opts: Map[String, String], lo: Map[Int, Long],
         if (h == Long.MaxValue) node.shape(d)
         else math.min(node.shape(d), h + 1) // inclusive -> exclusive
       }
-      // storage-partitioned-join mode: one KEYED partition per chunk
-      // (coord = partition key), pruned by the runtime group filter if
-      // one arrived; file lists are resolved per manifest once
-      spjInfo.foreach { case (spjNode, chunks) =>
+      // storage-partitioned-join mode: one KEYED partition per SUPERGRID
+      // cell (g = 1 per dim while the grid fits the cap → one per
+      // chunk, the historical shape), pruned by the runtime group
+      // filter if one arrived; file lists are resolved per manifest
+      // once, and a cell spanning several splits unions their files
+      spjInfo.foreach { case (spjNode, g, cells) =>
         val files =
           scala.collection.mutable.Map[graft.meta.ManifestRef, Array[String]]()
-        val gs = GraftTableProvider.gridStridesOf(
-          (0 until ndim).map(d =>
-            if (rectSizes.isEmpty)
-              (spjNode.shape(d) + spjNode.chunkShape(d) - 1) /
-                spjNode.chunkShape(d)
-            else rectSizes(d).size.toLong))
-        val ordsOk: Array[Long] => Boolean = runtimeOrds match {
-          case None => _ => true
-          case Some(set0) =>
-            val set = set0.toSet
-            key => set.contains(
-              key.indices.map(d => key(d) * gs(d)).sum)
+        val chunkDims = (0 until ndim).map(d =>
+          if (rectSizes.isEmpty)
+            (spjNode.shape(d) + spjNode.chunkShape(d) - 1) /
+              spjNode.chunkShape(d)
+          else rectSizes(d).size.toLong)
+        val cellDims = (0 until ndim).map(d =>
+          (chunkDims(d) + g(d) - 1) / g(d))
+        val cs = GraftTableProvider.gridStridesOf(chunkDims)
+        val gs = GraftTableProvider.gridStridesOf(cellDims)
+        // runtime group filter arrives as CHUNK ordinals: map each to
+        // its supergrid cell ordinal, keep cells with any match, and
+        // ship the chunk-level set so the cursor still skips
+        // non-matching chunks inside a kept cell
+        val cellOrds: Option[Set[Long]] = runtimeOrds.map { ords =>
+          ords.map { o =>
+            var rem = o
+            var acc = 0L
+            var d = 0
+            while (d < ndim) {
+              val c = rem / cs(d); rem %= cs(d)
+              acc += (c / g(d)) * gs(d)
+              d += 1
+            }
+            acc
+          }.toSet
         }
-        return chunks.filter { case (_, key) => ordsOk(key) }
-          .map { case (m, key) =>
+        return cells.filter { case (_, key) =>
+            cellOrds.forall(_.contains(
+              key.indices.map(d => key(d) * gs(d)).sum)) }
+          .map { case (ms, key) =>
             val pLo = (0 until ndim).map(d =>
-              math.max(bl(d), chunkStartOf(d, key(d))))
+              math.max(bl(d), chunkStartOf(d, key(d) * g(d))))
             val pHi = (0 until ndim).map(d =>
-              math.min(bh(d), chunkStartOf(d, key(d) + 1)))
+              math.min(bh(d), chunkStartOf(d,
+                math.min(key(d) * g(d) + g(d), chunkDims(d)))))
             KeyedValuesPartition(ValuesPartition(
-              files.getOrElseUpdate(m, filesOf(m)), node.id, fsConf,
+              ms.flatMap(m => files.getOrElseUpdate(m, filesOf(m)))
+                .distinct.toArray, node.id, fsConf,
               store.conf, repo.virtualResolver, dtype,
               opts.getOrElse("compression", "raw"), node.chunkShape,
-              node.shape, pLo, pHi, chunkSizes = rectSizes), key)
+              node.shape, pLo, pHi,
+              keepOrds = runtimeOrds.orNull,
+              chunkSizes = rectSizes), key)
               : InputPartition
           }.toArray
       }

@@ -166,6 +166,51 @@ class StoragePartitionedJoinSpec extends SparkTestBase {
     }
   }
 
+  test("grid beyond SpjMaxPartitions coarsens to a supergrid and still joins shuffle-free") {
+    val dir = tmpDir("spjsuper")
+    val repo = Repository.create(Store.local(dir), spark,
+      GraftConfig(splits = Seq(SplitRule(".*", 0, 2000))))
+    val s = repo.writableSession("main")
+    // 9000 chunks of 2 cells: past the 8192 keyed-partition cap, so the
+    // scan must coarsen (g = 2 -> 4500 supercells) instead of falling
+    // back to a shuffled join
+    val n = 18000L
+    assert(n / 2 > graft.sources.GraftScan.SpjMaxPartitions)
+    s.addArray("/sa", Seq(n), Seq(2), userData = """{"dtype":"int64"}""")
+    s.addArray("/sb", Seq(n), Seq(2), userData = """{"dtype":"int64"}""")
+    val df = spark.range(n).select(col("id").as("i0"),
+      (col("id") % 101).as("value"))
+    graft.tensor.TensorPlane.writeValues(s, "/sa", df, "int64")
+    graft.tensor.TensorPlane.writeValues(s, "/sb",
+      df.withColumn("value", col("value") * 5), "int64")
+    s.commit("supergrid")
+    val cat = "gspjs" + (System.nanoTime() % 100000)
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.path", dir)
+    withSpj {
+      val j = spark.sql(
+        s"""SELECT sum(b.value - a.value) AS d, count(*) AS cnt
+           |FROM $cat.sa a JOIN $cat.sb b ON a.i0 = b.i0""".stripMargin)
+      assert(shuffles(j) == 0,
+        j.queryExecution.executedPlan.toString.take(3000))
+      // keyed partitions = supercells (4500 here), within the cap
+      val parts = spark.table(s"$cat.sa").rdd.getNumPartitions
+      assert(parts <= graft.sources.GraftScan.SpjMaxPartitions &&
+        parts > 0, parts)
+      val r = j.head()
+      assert(r.getLong(1) == n)
+      assert(r.getLong(0) == (0L until n).map(i => 4L * (i % 101)).sum)
+      // a slice of one side still joins correctly (absolute supercell
+      // keys survive pushed bounds)
+      val sliced = spark.sql(
+        s"""SELECT count(*) AS cnt
+           |FROM $cat.sa a JOIN $cat.sb b ON a.i0 = b.i0
+           |WHERE a.i0 >= 9001 AND a.i0 < 12345""".stripMargin)
+      assert(sliced.head().getLong(0) == 12345L - 9001L)
+    }
+  }
+
   test("mismatched chunk grids fall back to a shuffle join, still correct") {
     val (cat, _) = setup()
     withSpj {
