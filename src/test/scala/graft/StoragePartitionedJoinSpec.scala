@@ -211,6 +211,45 @@ class StoragePartitionedJoinSpec extends SparkTestBase {
     }
   }
 
+  test("rect grid beyond the cap composes coarsening with the digest transform") {
+    val dir = tmpDir("spjsuperrect")
+    val repo = Repository.create(Store.local(dir), spark,
+      GraftConfig(splits = Seq(SplitRule(".*", 0, 2000))))
+    val s = repo.writableSession("main")
+    // 9000 rect chunks (1,2,3,1,2,3,... cells): past the cap, so the
+    // scan coarsens (g = 2) AND the coarsened 4500-entry table rides
+    // the digest spelling
+    val sizes = (0 until 9000).map(i => 1L + i % 3)
+    val n = sizes.sum
+    s.addArrayRectilinear("/ra", Seq(n), Seq(sizes),
+      userData = """{"dtype":"int64"}""")
+    s.addArrayRectilinear("/rb", Seq(n), Seq(sizes),
+      userData = """{"dtype":"int64"}""")
+    val df = spark.range(n).select(col("id").as("i0"),
+      (col("id") % 89).as("value"))
+    graft.tensor.TensorPlane.writeValues(s, "/ra", df, "int64")
+    graft.tensor.TensorPlane.writeValues(s, "/rb",
+      df.withColumn("value", col("value") * 3), "int64")
+    s.commit("super rect")
+    val cat = "gspjsr" + (System.nanoTime() % 100000)
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.path", dir)
+    withSpj {
+      val j = spark.sql(
+        s"""SELECT sum(b.value - a.value) AS d, count(*) AS cnt
+           |FROM $cat.ra a JOIN $cat.rb b ON a.i0 = b.i0""".stripMargin)
+      assert(shuffles(j) == 0,
+        j.queryExecution.executedPlan.toString.take(3000))
+      val parts = spark.table(s"$cat.ra").rdd.getNumPartitions
+      assert(parts <= graft.sources.GraftScan.SpjMaxPartitions &&
+        parts > 0, parts)
+      val r = j.head()
+      assert(r.getLong(1) == n)
+      assert(r.getLong(0) == (0L until n).map(i => 2L * (i % 89)).sum)
+    }
+  }
+
   test("mismatched chunk grids fall back to a shuffle join, still correct") {
     val (cat, _) = setup()
     withSpj {
