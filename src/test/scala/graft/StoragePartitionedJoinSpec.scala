@@ -211,6 +211,36 @@ class StoragePartitionedJoinSpec extends SparkTestBase {
     }
   }
 
+  test("row-level UPDATE composes with supergrid coarsening (runtime ords -> cell pruning)") {
+    val dir = tmpDir("spjsuperupd")
+    val repo = Repository.create(Store.local(dir), spark,
+      GraftConfig(splits = Seq(SplitRule(".*", 0, 2000))))
+    val s = repo.writableSession("main")
+    val n = 18000L // 9000 chunks of 2 -> coarsened (g = 2)
+    s.addArray("/ua", Seq(n), Seq(2), userData = """{"dtype":"int64"}""")
+    graft.tensor.TensorPlane.writeValues(s, "/ua",
+      spark.range(n).select(col("id").as("i0"), col("id").as("value")),
+      "int64")
+    s.commit("update target")
+    val cat = "gspju" + (System.nanoTime() % 100000)
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.path", dir)
+    withSpj {
+      // the runtime group filter delivers CHUNK ordinals; the coarsened
+      // scan must map them to supergrid cells, prune to the touched
+      // cells, and still skip non-matching chunks inside a kept cell
+      spark.sql(s"UPDATE $cat.ua SET value = value + 1000000 " +
+        "WHERE i0 >= 100 AND i0 < 104")
+      val t = spark.table(s"$cat.ua")
+      assert(t.filter(col("i0") >= 100 && col("i0") < 104 &&
+        col("value") =!= col("i0") + 1000000L).count() == 0)
+      assert(t.filter((col("i0") < 100 || col("i0") >= 104) &&
+        col("value") =!= col("i0")).count() == 0)
+      assert(t.count() == n)
+    }
+  }
+
   test("rect grid beyond the cap composes coarsening with the digest transform") {
     val dir = tmpDir("spjsuperrect")
     val repo = Repository.create(Store.local(dir), spark,
