@@ -19,6 +19,15 @@ import graft.storage.Store
   * section runs SPARK_GRAFT_BENCH_REPS (default 3) times in fresh repos
   * with the per-entry median reported — the box's I/O throughput varies
   * run-to-run and a single sample cannot separate code from weather.
+  *
+  * Weather calibration (round 11): a fixed-work probe ([[calibSample]])
+  * brackets every pass; the line carries its median as `engine_calib`
+  * and every raw per-entry per-pass sample goes to the `bench_raws.json`
+  * sidecar the line's `raws` field names. Drift triage starts from the
+  * entry/calib RATIO and the raw spread (docs/benchmarking.md), not from
+  * a single official sample — BENCH_r10's three phantom >1.6×
+  * "regressions" each cost a full A/B forensic that this machinery
+  * makes unnecessary.
   */
 object Bench {
   /** The query entries the bench LINE times. The driver's tail capture
@@ -39,9 +48,92 @@ object Bench {
     "q_decontaminate", "q_decontaminate_bloom", "q_dedup_minhash",
     "q_dedup_simhash", "q_embedding_neardups", "q_embedding_clusters",
     "q_similarity_ivf", "q_ann_neighbors", "q_pack_sequences", "q_rechunk",
-    "q_transpose", "q_concat", "q_histogram", "q_value_diff",
+    "q_transpose", "q_concat",
+    // q_histogram / q_value_diff left the LINE in round 11 (2000-char
+    // budget, displaced by engine_calib + the raws reference): their
+    // 1 GiB-scale perf shapes ride engine_downsample_1g /
+    // engine_values_diff in the same line, and Verify still
+    // correctness-gates both queries every round
     "q_downsample", "q_substring_spans", "q_lm_score", "q_asof_join",
     "q_band_join", "q_salted_join", "q_winnow", "q_bm25")
+
+  /** Fixed-work box-weather probe (BENCH_r10 forensics: three phantom
+    * >1.6× "regressions" were slow-box windows, not code — each cost an
+    * A/B worktree forensic to clear). One sample runs a DETERMINISTIC
+    * ~1 s-class microtask touching the three resources whose weather has
+    * historically moved entries: CPU (FNV-1a over 2²⁶ longs), allocation
+    * (8 × 32 MB arrays touched per page — the rechunk-style GC profile),
+    * and file I/O (128 MB written + read back under `tmp`). Timed at the
+    * START and END of every bench pass; the JSON line carries the median
+    * as `engine_calib` and the sidecar keeps every raw sample, so a
+    * drifted entry is judged by its entry/calib RATIO, not its absolute
+    * seconds.
+    */
+  private[graft] def calibSample(tmp: java.nio.file.Path): Double = {
+    val t0 = System.nanoTime()
+    // CPU: FNV-1a fold over 2^26 sequential longs
+    var h = 0xcbf29ce484222325L
+    var i = 0L
+    while (i < (1L << 26)) { h ^= i; h *= 0x100000001b3L; i += 1 }
+    var acc = h
+    // allocation + page-touch: 8 × 32 MB (forces real pages, real GC)
+    var a = 0
+    while (a < 8) {
+      val buf = new Array[Byte](32 << 20)
+      var j = 0
+      while (j < buf.length) { buf(j) = (acc + j).toByte; j += 4096 }
+      acc += buf(buf.length - 1)
+      a += 1
+    }
+    // I/O: 128 MB out, 128 MB back (page-cache weather included — that
+    // IS part of what moves the heavy write entries)
+    val f = tmp.resolve(s"graft-calib-${java.util.UUID.randomUUID()}.bin")
+    val block = new Array[Byte](8 << 20)
+    java.util.Arrays.fill(block, 0x5a.toByte)
+    val out = java.nio.file.Files.newOutputStream(f)
+    try { var k = 0; while (k < 16) { out.write(block); k += 1 } }
+    finally out.close()
+    val in = java.nio.file.Files.newInputStream(f)
+    try {
+      var n = in.read(block)
+      while (n >= 0) { acc += block(0); n = in.read(block) }
+    } finally { in.close(); java.nio.file.Files.delete(f) }
+    // data-dependent side effect so the JIT cannot elide the work
+    if (acc == 0x6b617270L) System.err.println("[bench] calib sentinel")
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** Raw-sample sidecar: the 2000-char stdout tail cannot hold per-pass
+    * raws, so the line carries only the calib median and this file's
+    * path; the sidecar holds EVERY per-entry per-pass sample plus every
+    * calibration sample, in pass order. A drift question starts here
+    * (docs/benchmarking.md), not with a re-run.
+    */
+  private[graft] def rawsJson(sfDir: String,
+      calib: Seq[(String, Double)],
+      passes: Seq[(String, collection.Map[String, Double])]): String = {
+    def jstr(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => " "
+      case c => c.toString
+    } + "\""
+    val samples = scala.collection.mutable.LinkedHashMap[String,
+      scala.collection.mutable.ArrayBuffer[(String, Double)]]()
+    passes.foreach { case (pass, r) =>
+      r.foreach { case (k, v) =>
+        samples.getOrElseUpdate(k,
+          scala.collection.mutable.ArrayBuffer()) += ((pass, v))
+      }
+    }
+    val calibJson = calib.map { case (tag, v) =>
+      s"[${jstr(tag)},${jnum(v)}]" }.mkString("[", ",", "]")
+    val samplesJson = samples.map { case (k, vs) =>
+      jstr(k) + ":" + vs.map { case (p, v) =>
+        s"[${jstr(p)},${jnum(v)}]" }.mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    s"""{"sf":${jstr(sfDir)},"calib":$calibJson,"samples":$samplesJson}"""
+  }
 
   /** Time one entry; a failure records a NEGATIVE wall time and appends
     * `name: ExceptionClass: message` to `errors`, so in the JSON line a
@@ -90,7 +182,8 @@ object Bench {
     */
   private[graft] def jsonLine(results: collection.Map[String, Double],
                               errors: collection.Seq[String],
-                              sfDir: String): String = {
+                              sfDir: String,
+                              rawsPath: String = ""): String = {
     def jstr(s: String): String = "\"" + s.flatMap {
       case '"' => "\\\""
       case '\\' => "\\\\"
@@ -109,7 +202,8 @@ object Bench {
       if (errors.size <= 2) errors
       else errors.take(2) :+ s"+${errors.size - 2} more failures"
     val errJson = errCapped.map(jstr).mkString("[", ",", "]")
-    s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":$qs,"errors":$errJson,"sf":${jstr(sfDir)}}"""
+    val raws = if (rawsPath.isEmpty) "" else s""","raws":${jstr(rawsPath)}"""
+    s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":$qs,"errors":$errJson,"sf":${jstr(sfDir)}$raws}"""
   }
 
   def main(args: Array[String]): Unit = {
@@ -141,6 +235,22 @@ object Bench {
     }
 
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
+
+    // box-weather calibration: one untimed warmup (JIT), then a timed
+    // sample bracketing every pass below; raws go to the sidecar, the
+    // line gets the median as `engine_calib`
+    val calibTmp = java.nio.file.Files.createTempDirectory("graft-calib")
+    calibSample(calibTmp) // JIT warmup, discarded
+    val calibSamples =
+      scala.collection.mutable.ArrayBuffer[(String, Double)]()
+    def calib(tag: String): Unit = {
+      val v = calibSample(calibTmp)
+      calibSamples += ((tag, v))
+      System.err.println(f"[bench] calib $tag: $v%.3f s")
+    }
+    // every pass's raw per-entry samples, in pass order, for the sidecar
+    val rawPasses = scala.collection.mutable.ArrayBuffer[
+      (String, collection.Map[String, Double])]()
 
     /** Per-entry median across passes, in first-pass entry order. Failed
       * samples carry negative times and sort first, so an entry that
@@ -176,13 +286,16 @@ object Bench {
       SparkEntry.queries.keys.filterNot(Bench.HeadlineQueries.contains)
         .mkString(" "))
     val queryPasses = (0 until queryReps).map { rep =>
+      calib(s"query$rep/start")
       val r = scala.collection.mutable.LinkedHashMap[String, Double]()
       timedQueries.foreach { case (name, fn) =>
         r(name) = timed(s"$name (pass $rep)")(fn(spark, sfDir).count())
         resetCaches()
       }
+      calib(s"query$rep/end")
       System.err.println(s"[bench] query pass $rep: " + r.map {
         case (k, v) => f"$k=$v%.2f" }.mkString(" "))
+      rawPasses += ((s"query$rep", r))
       r
     }
     medianInto(queryPasses)
@@ -716,11 +829,13 @@ object Bench {
     // any failure below still leaves a complete JSON line for the driver
     val passes = (0 until reps).flatMap { rep =>
       val dir = java.nio.file.Files.createTempDirectory(s"graft-bench-$rep")
+      calib(s"engine$rep/start")
       val out =
         try {
           val r = enginePass(dir, rep)
           System.err.println(s"[bench] pass $rep: " + r.map {
             case (k, v) => f"$k=$v%.2f" }.mkString(" "))
+          rawPasses += ((s"engine$rep", r))
           Some(r)
         }
         catch { case t: Throwable =>
@@ -730,12 +845,31 @@ object Bench {
           catch { case _: Throwable => () }
           resetCaches()
           System.gc()
+          calib(s"engine$rep/end")
         }
       out
     }
     medianInto(passes)
 
-    println(jsonLine(results, errors, sfDir))
+    // calib median rides the line (one ~20-char entry); raws go sidecar
+    if (calibSamples.nonEmpty) {
+      val sorted = calibSamples.map(_._2).sorted
+      results("engine_calib") = sorted(sorted.size / 2)
+    }
+    try org.apache.commons.io.FileUtils
+      .deleteDirectory(calibTmp.toFile)
+    catch { case _: Throwable => () }
+    // relative by default (resolves against the launch cwd, i.e. the
+    // repo) — the line's 2000-char budget cannot afford an absolute path
+    val rawsPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_RAWS",
+      "bench_raws.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(rawsPath),
+      rawsJson(sfDir, calibSamples.toSeq, rawPasses.toSeq)
+        .getBytes("UTF-8"))
+    catch { case t: Throwable =>
+      System.err.println(s"[bench] sidecar write failed: $t") }
+
+    println(jsonLine(results, errors, sfDir, rawsPath))
     spark.stop()
   }
 }

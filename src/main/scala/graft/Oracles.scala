@@ -5,8 +5,8 @@ package graft
   * (driver compares sorted-by-name columns and hashed values).
   * Hash-function-specific queries (minhash/xxhash, LSH-bucketed ANN)
   * are intentionally absent → driver records a rows-only check.
-  * Winnowing, the document fingerprint, simhash (md5-derived token
-  * hash) and BPE encoding (recursive-CTE learn replay) ARE oracled:
+  * Winnowing, the document fingerprint, simhash (dual 32-bit FNV-1a
+  * token hash) and BPE encoding (recursive-CTE learn replay) ARE oracled:
   * their arithmetic is engine-portable and DuckDB replays it exactly.
   */
 object Oracles {

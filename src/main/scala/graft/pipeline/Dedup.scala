@@ -193,8 +193,8 @@ object Dedup {
     * bit set where the sum is positive. Near-dups have small Hamming
     * distance; pairs are blocked on 4 16-bit sub-keys (any exact sub-key
     * match → candidate), the classic simhash sharding trick. Token hash
-    * = [[portableTokenHash]] (md5-derived), so fingerprints are stable
-    * across engines and releases.
+    * = [[portableTokenHash]] (dual 32-bit FNV-1a over code points), so
+    * fingerprints are stable across engines and releases.
     */
   def simhash(text: Column): Column =
     simhashFromHashes(transform(TextAnalysis.tokens(text),

@@ -549,9 +549,18 @@ object ChunkCoordFunction {
     * the scan that emitted the name (SPJ planning, `outputPartitioning`
     * and function resolution, all happens on the driver; the bound
     * function then ships its table with the serialized task).
+    *
+    * Size-capped LRU (256 entries ≈ ≤16 MB at the 8192-long worst case):
+    * a long-lived driver scanning many distinct rect grids must not grow
+    * this without bound. Evicting a live entry is safe — the next scan of
+    * that grid re-registers it before any resolution needs it (planning
+    * always calls [[rectDigestName]] before the name is looked up).
     */
-  private val rectRegistry =
-    new java.util.concurrent.ConcurrentHashMap[String, Seq[Long]]()
+  private val rectRegistry = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[String, Seq[Long]](64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, Seq[Long]]): Boolean = size > 256
+    })
 
   def rectDigestName(sizes: Seq[Long]): String = {
     val md = java.security.MessageDigest.getInstance("SHA-256")

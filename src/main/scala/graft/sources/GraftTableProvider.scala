@@ -789,7 +789,17 @@ class GraftScan(opts: Map[String, String], lo: Map[Int, Long],
           if ((0 until ndim).exists(d => bh(d) <= bl(d))) None
           else spjEnumerate(session, node, bl, bh)
         }
-    } catch { case _: Throwable => None }
+    } catch {
+      case e: Throwable =>
+        // Falling back to the shuffled plan is the correct failure mode,
+        // but a silent swallow would disable SPJ forever if enumeration
+        // had a bug — surface the cause through tracing + stderr.
+        graft.core.Trace.span("scan.spj.error",
+          "error" -> s"${e.getClass.getSimpleName}: ${e.getMessage}")(_ => ())
+        Console.err.println(
+          s"[graft] SPJ planning failed; using shuffled fallback: $e")
+        None
+    }
 
   /** One keyed cell per SUPERGRID coordinate inside the manifest
     * extents ∩ bounds, with the manifests whose boxes intersect it.
@@ -826,8 +836,19 @@ class GraftScan(opts: Map[String, String], lo: Map[Int, Long],
       else rectStarts(d).length.toLong)
     val g = Array.fill(ndim)(1L)
     def cellsOf(d: Int): Long = (nChunks(d) + g(d) - 1) / g(d)
-    while ((0 until ndim).map(cellsOf).product >
-        GraftScan.SpjMaxPartitions)
+    // saturating product: a raw Long product overflows for grids with
+    // >= 2^63 total chunks, which could exit the loop with g too small
+    def totalCells: Long = {
+      var p = 1L
+      var d = 0
+      while (d < ndim && p <= GraftScan.SpjMaxPartitions) {
+        val c = math.max(1L, cellsOf(d))
+        p = if (p > Long.MaxValue / c) Long.MaxValue else p * c
+        d += 1
+      }
+      p
+    }
+    while (totalCells > GraftScan.SpjMaxPartitions)
       { val d0 = (0 until ndim).maxBy(cellsOf); g(d0) *= 2 }
     val cLoB = (0 until ndim).map(d => e2c(d, bl(d)) / g(d))
     val cHiB = (0 until ndim).map(d => e2c(d, bh(d) - 1) / g(d))

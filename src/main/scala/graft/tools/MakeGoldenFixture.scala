@@ -22,16 +22,21 @@ import graft.storage.Store
   */
 object MakeGoldenFixture {
   def main(args: Array[String]): Unit = {
-    val dir = args.headOption.getOrElse(
-      sys.error("usage: MakeGoldenFixture <dir> [--s3 <dumpDir>]"))
+    // Accepted forms: `<dir>` (local-FS fixture) or `--s3 <dumpDir>`
+    // (S3-protocol object dump). The flag is positional-first; a trailing
+    // `--s3` after <dir> is rejected loudly rather than silently ignored.
+    val (s3Mode, outDir) = args.toList match {
+      case "--s3" :: d :: Nil => (true, d)
+      case d :: Nil if !d.startsWith("--") => (false, d)
+      case _ => sys.error("usage: MakeGoldenFixture <dir> | --s3 <dumpDir>")
+    }
     val spark = SparkSession.builder()
       .master("local[4]").appName("graft-golden")
       .config("spark.sql.shuffle.partitions", 8)
       .config("spark.ui.enabled", false)
       .getOrCreate()
-    if (args.length >= 2 && args(0) == "--s3") buildS3Dump(spark, args(1))
-    else build(spark, dir)
-    println(s"[golden] fixture written to $dir")
+    if (s3Mode) buildS3Dump(spark, outDir) else build(spark, outDir)
+    println(s"[golden] fixture written to $outDir")
     spark.stop()
   }
 

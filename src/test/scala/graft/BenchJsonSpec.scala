@@ -78,7 +78,7 @@ class BenchJsonSpec extends AnyFunSuite {
       "engine_repo_push", "engine_repo_push_incr", "engine_fsck",
       "engine_merge_branch", "engine_merge_many_arrays",
       "engine_rect_concat_1g", "engine_rect_slice_read",
-      "engine_rect_spj")
+      "engine_rect_spj", "engine_calib")
     // every headline name must actually exist in the query map (a
     // renamed query would silently fall out of the bench line)
     val missing = Bench.HeadlineQueries -- SparkEntry.queries.keySet
@@ -87,11 +87,49 @@ class BenchJsonSpec extends AnyFunSuite {
       .filter(Bench.HeadlineQueries.contains)
     val results = scala.collection.mutable.LinkedHashMap(
       (timedKeys ++ engineKeys).map(_ -> 0.00056395): _*)
-    val line = Bench.jsonLine(results, Nil, "/root/testdata/sf0.1")
+    val line = Bench.jsonLine(results, Nil, "/root/testdata/sf0.1",
+      "bench_raws.json")
     // 2000 is the hard capture limit; 1985 leaves newline margin at the
     // pathological all-sub-ms width (real lines run ~1840 at 72 entries)
     assert(line.length < 1985, s"bench JSON line too long: ${line.length}")
     // and it is parse-checkable: balanced object, last char is '}'
     assert(line.startsWith("{\"metric\":\"total\"") && line.endsWith("}"))
+    assert(line.contains("\"raws\":\"bench_raws.json\""))
+  }
+
+  test("calibration probe: fixed work, positive wall time, repeatable") {
+    val tmp = java.nio.file.Files.createTempDirectory("calib-spec")
+    try {
+      val a = Bench.calibSample(tmp)
+      val b = Bench.calibSample(tmp)
+      // a real measurement, not elided: the probe does 2^26 hash folds,
+      // 256 MB of page-touched allocation and 256 MB of file I/O — even a
+      // fast box needs real milliseconds, and a DCE'd probe would read 0
+      assert(a > 0.01 && b > 0.01, s"calib probe too fast: $a / $b")
+      // the temp dir is left clean (every sample deletes its file)
+      assert(java.nio.file.Files.list(tmp).count() == 0)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+    }
+  }
+
+  test("raw-sample sidecar holds every per-pass sample and calibration") {
+    val p0 = scala.collection.mutable.LinkedHashMap(
+      "q1_agg" -> 1.25, "engine_rechunk_1g" -> 2.93)
+    val p1 = scala.collection.mutable.LinkedHashMap(
+      "q1_agg" -> 1.31, "engine_rechunk_1g" -> 9.8) // the weather sample
+    val json = Bench.rawsJson("/sf",
+      Seq(("engine0/start", 0.91), ("engine0/end", 1.04)),
+      Seq(("engine0", p0), ("engine1", p1)))
+    // both raw samples for the drifted entry are recoverable, pass-tagged
+    assert(json.contains(
+      """"engine_rechunk_1g":[["engine0",2.93],["engine1",9.8]]"""))
+    assert(json.contains(""""q1_agg":[["engine0",1.25],["engine1",1.31]]"""))
+    assert(json.contains(
+      """"calib":[["engine0/start",0.91],["engine0/end",1.04]]"""))
+    // well-formed JSON object (driver/judge parse this file)
+    assert(json.startsWith("{\"sf\":") && json.endsWith("}"))
+    assert(json.count(_ == '{') == json.count(_ == '}'))
+    assert(json.count(_ == '[') == json.count(_ == ']'))
   }
 }

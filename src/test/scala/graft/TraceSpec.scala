@@ -77,7 +77,7 @@ class TraceSpec extends SparkTestBase {
     */
   test("span names are stable (docs/observability.md contract)") {
     val documented = Set("commit", "flush", "merge", "push", "gc",
-      "expire", "compact", "scan.plan")
+      "expire", "compact", "scan.plan", "scan.spj.error")
     val srcDir = java.nio.file.Paths.get("src/main/scala")
     val spanRe = """Trace\.span\("([^"]+)"""".r
     val inCode = scala.collection.mutable.Set[String]()
