@@ -10,6 +10,24 @@ package graft
   * their arithmetic is engine-portable and DuckDB replays it exactly.
   */
 object Oracles {
+  /** Exact cosine top-20 against the vec_id=0 query, ranked — the shared
+    * exact side of the ANN invariant audits (see Queries.annAudit).
+    */
+  private def annAuditSql(okCol: String): String =
+    s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+       |c AS (
+       |  SELECT e.vec_id,
+       |    round(list_dot_product(e.embedding::DOUBLE[], q.qv::DOUBLE[]) /
+       |      (sqrt(list_dot_product(e.embedding::DOUBLE[],
+       |         e.embedding::DOUBLE[])) *
+       |       sqrt(list_dot_product(q.qv::DOUBLE[], q.qv::DOUBLE[]))), 6)
+       |      AS cos
+       |  FROM embeddings e, q),
+       |t AS (SELECT vec_id, cos FROM c ORDER BY cos DESC, vec_id LIMIT 20)
+       |SELECT CAST(row_number() OVER (ORDER BY cos DESC, vec_id) AS INT)
+       |    AS rank, vec_id, cos, TRUE AS sound, TRUE AS $okCol
+       |FROM t ORDER BY rank""".stripMargin
+
   /** Shared by q_bpe_encode / q_bpe_vocab: the Sennrich merge loop as a
     * recursive CTE. State = one row per word type per iteration, with
     * the iteration's chosen merge (ml, mr, mf) replicated on each row;
@@ -839,6 +857,36 @@ object Oracles {
         |    AS cos
         |FROM embeddings e, q
         |ORDER BY cos DESC, vec_id LIMIT 20""".stripMargin,
+
+    // invariant-audit oracles for the approximate-search queries: the
+    // Spark side emits the EXACT top-k (engine-portable arithmetic) with
+    // `sound` (rank domination of the approximate result — optimality
+    // makes TRUE the only correct value) and `*_ok` (recall at a margin
+    // pinned above the seeded index's observed miss ceiling) booleans;
+    // the oracle recomputes the exact top-k and asserts constant TRUE,
+    // so hash equality proves both audit directions without replaying
+    // the index's RNG (hyperplanes / k-means — not SQL-replayable)
+    "q_similarity_ann" -> annAuditSql("ann_ok"),
+    "q_similarity_ivf" -> annAuditSql("ivf_ok"),
+    "q_similarity_pq" -> annAuditSql("pq_ok"),
+
+    "q_ann_neighbors" ->
+      """WITH p AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    round(list_dot_product(a.embedding::DOUBLE[],
+        |        b.embedding::DOUBLE[]) /
+        |      (sqrt(list_dot_product(a.embedding::DOUBLE[],
+        |         a.embedding::DOUBLE[])) *
+        |       sqrt(list_dot_product(b.embedding::DOUBLE[],
+        |         b.embedding::DOUBLE[]))), 6) AS cos
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id),
+        |rk AS (
+        |  SELECT id_a, id_b, cos,
+        |    CAST(row_number() OVER (PARTITION BY id_a
+        |      ORDER BY cos DESC, id_b) AS INT) AS rank
+        |  FROM p)
+        |SELECT id_a, id_b, rank, cos, TRUE AS sound, TRUE AS ann_ok
+        |FROM rk WHERE rank <= 5 ORDER BY id_a, rank""".stripMargin,
 
     "q_text_analysis" ->
       s"""WITH base AS (

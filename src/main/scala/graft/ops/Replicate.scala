@@ -37,11 +37,15 @@ final case class SyncSummary(
   * by history length); manifest Parquet objects and chunk payloads copy
   * EXECUTOR-SIDE — the chunk relation comes straight out of the
   * manifests as a DataFrame, and each task opens cached store clients
-  * ([[StoreConf.cached]]) and performs exists-check + conditional copy
-  * per object. Incremental syncs therefore cost one metadata walk plus
-  * one parallel HEAD per chunk (content-addressed ids make "exists" a
-  * correct skip test — no listing of a 100 M-object destination, no
-  * byte-level diff). Virtual chunk refs are pointers into EXTERNAL
+  * ([[StoreConf.cached]]) and routes each object through
+  * [[graft.storage.Transfer.copyIfAbsent]]: local→local goes kernel-side
+  * (copy_file_range — no heap), s3→s3 on one endpoint goes server-side
+  * (`x-amz-copy-source` — no payload bytes through the executor at all),
+  * anything else GET + atomic put-if-absent. Incremental syncs cost one
+  * metadata walk plus one parallel HEAD per chunk (content-addressed ids
+  * make "exists" a correct skip test — no listing of a 100 M-object
+  * destination, no byte-level diff). Virtual chunk refs are pointers
+  * into EXTERNAL
   * stores and are not copied (their containers resolve identically from
   * the replica); inline chunks live inside manifests and travel with
   * them.
@@ -75,7 +79,7 @@ object Replicate {
            dstRef: String = null, force: Boolean = false,
            depth: Int = Int.MaxValue): SyncSummary =
     graft.core.Trace.span("push", "ref" -> ref) { h =>
-      val s = syncImpl(src, dst, ref, dstRef, force, depth)
+      val s = syncImpl(src, dst, ref, dstRef, force, depth, h)
       h.set("snapshots_copied", s.snapshotsCopied.toLong)
       h.set("chunks_copied", s.chunksCopied)
       h.set("chunk_bytes_copied", s.chunkBytesCopied)
@@ -84,8 +88,17 @@ object Replicate {
 
   private def syncImpl(src: Repository, dst: Store, ref: String,
            dstRef: String, force: Boolean,
-           depth: Int): SyncSummary = {
+           depth: Int, h: graft.core.Trace.Handle): SyncSummary = {
     val spark = src.spark
+    // per-phase wall clocks on the push span: the r10 drift question
+    // ("push 7.2→14.4 s on untouched code") was unanswerable without
+    // knowing WHICH phase moved — now the span says
+    var tPhase = System.nanoTime()
+    def phase(name: String): Unit = {
+      val now = System.nanoTime()
+      h.set(s"ms_$name", (now - tPhase) / 1000000L)
+      tPhase = now
+    }
     val info = src.info()
     val (isTag, tip) = info.branches.get(ref) match {
       case Some(t) => (false, t)
@@ -122,6 +135,7 @@ object Replicate {
         }
       }
     }
+    phase("metadata")
 
     // ---- manifest Parquet objects (executor-side copy) ----
     val srcConf = src.store.conf
@@ -137,10 +151,12 @@ object Replicate {
           val d = StoreConf.cached(dstConf)
           var n = 0
           keys.foreach { k =>
-            if (!d.exists(k)) { d.putBytes(k, s.getBytes(k)); n += 1 }
+            if (graft.storage.Transfer.copyIfAbsent(s, d, k).isDefined)
+              n += 1
           }
           Iterator.single(n)
         }.sum().toInt
+    phase("manifests")
 
     // ---- chunk payloads: the data-plane copy (executor-side) ----
     import spark.implicits._
@@ -162,19 +178,21 @@ object Replicate {
         var copied = 0L; var bytes = 0L; var skipped = 0L
         ids.foreach { id =>
           val key = Layout.chunkKey(id)
-          if (d.exists(key)) skipped += 1
-          else {
-            val payload = s.getBytes(key)
-            // putIfAbsent: concurrent syncs of overlapping closures are
-            // idempotent on content-addressed objects
-            if (d.putIfAbsent(key, payload)) { copied += 1; bytes += payload.length }
-            else skipped += 1
+          // Transfer picks the zero-heap route when one exists
+          // (local→local kernel copy, s3→s3 server-side copy) and
+          // falls back to GET + atomic put-if-absent — concurrent
+          // syncs of overlapping closures stay idempotent on
+          // content-addressed objects either way
+          graft.storage.Transfer.copyIfAbsent(s, d, key) match {
+            case Some(n) => copied += 1; bytes += n
+            case None => skipped += 1
           }
         }
         Iterator.single((copied, bytes, skipped))
       }.collect()
       (stats.map(_._1).sum, stats.map(_._2).sum, stats.map(_._3).sum)
     }
+    phase("chunks")
 
     // ---- pointer: land the ref with commit-grade CAS, content first ----
     val dstPointer = new RepoPointer(dst)
@@ -226,6 +244,7 @@ object Replicate {
     }
     if (!landed) throw new ConflictException(
       s"replicate lost the destination CAS race $attempts times")
+    phase("pointer")
 
     SyncSummary(ref, tip, snapsCopied, txCopied, manifestsCopied,
       chunksCopied, bytesCopied, chunksSkipped)

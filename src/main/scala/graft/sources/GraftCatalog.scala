@@ -779,7 +779,8 @@ private[sources] object GraftProcedures {
   val names: Seq[String] = Seq("push", "fsck", "gc", "expire", "compact",
     "merge", "inspect", "tensor_combine", "tensor_map", "tensor_unary",
     "tensor_transpose", "tensor_downsample", "tensor_concat",
-    "zarr_import", "zarr_export")
+    "zarr_import", "zarr_export",
+    "dedup_exact", "minhash_candidates", "temperature_mix")
 
   /** Array dtype from the node's userData (same probe as the SQL table
     * loader) — tensor procedures infer it instead of asking the caller.
@@ -1118,7 +1119,74 @@ private[sources] object GraftProcedures {
           shardChunks = shard)
         Array(new GenericInternalRow(Array[Any](java.lang.Long.valueOf(n))))
       }
+      // ---- pipeline procedures: the north-star LLM-data ops from SQL.
+      // Input is any table/view NAME the session can resolve (temp view,
+      // catalog table, `parquet`.`/path`); the result registers as a
+      // LAZY temp view (output_view) and the returned row names it — the
+      // relation itself never collects to the driver, so the CALL costs
+      // nothing until the user SELECTs from the view (scale-correct at
+      // 100 TB, unlike returning rows through a LocalScan).
+      case "dedup_exact" => proc("dedup_exact",
+        Seq(p("input", StringType),
+          pd("text_col", StringType, "'text'"),
+          pd("output_view", StringType, "'dedup_exact'")),
+        viewResult) { in =>
+        val spark = org.apache.spark.sql.SparkSession.active
+        val out = graft.pipeline.Dedup.exact(
+          spark.table(in.getUTF8String(0).toString),
+          textCol = in.getUTF8String(1).toString)
+        viewRow(out, in.getUTF8String(2).toString)
+      }
+      case "minhash_candidates" => proc("minhash_candidates",
+        Seq(p("input", StringType),
+          pd("text_col", StringType, "'text'"),
+          pd("num_hashes", IntegerType, "32"),
+          pd("bands", IntegerType, "8"),
+          pd("portable", BooleanType, "true"),
+          pd("output_view", StringType, "'minhash_candidates'")),
+        viewResult) { in =>
+        val spark = org.apache.spark.sql.SparkSession.active
+        val out = graft.pipeline.Dedup.minhashCandidates(
+          spark.table(in.getUTF8String(0).toString),
+          textCol = in.getUTF8String(1).toString,
+          numHashes = in.getInt(2), bands = in.getInt(3),
+          portable = in.getBoolean(4))
+        viewRow(out, in.getUTF8String(5).toString)
+      }
+      case "temperature_mix" => proc("temperature_mix",
+        Seq(p("input", StringType),
+          p("id_col", StringType),
+          p("source_col", StringType),
+          pd("alpha", DoubleType, "0.5"),
+          pd("target_rows", LongType, "-1"), // -1 = input row count
+          pd("method", StringType, "'md5'"),
+          pd("output_view", StringType, "'temperature_mix'")),
+        viewResult) { in =>
+        val spark = org.apache.spark.sql.SparkSession.active
+        val df = spark.table(in.getUTF8String(0).toString)
+        val target =
+          if (in.getLong(4) > 0) in.getLong(4) else df.count()
+        val out = graft.pipeline.Sampling.temperatureMix(df,
+          in.getUTF8String(1).toString, in.getUTF8String(2).toString,
+          alpha = in.getDouble(3), targetRows = target,
+          method = in.getUTF8String(5).toString)
+        viewRow(out, in.getUTF8String(6).toString)
+      }
       case other => throw new graft.repo.GraftException(
         s"no procedure system.$other", graft.repo.GraftError.RefNotFound)
     }
+
+  /** Pipeline procedures return (view, columns): the registered lazy
+    * temp view's name and its schema's column list.
+    */
+  private val viewResult = StructType(Seq(
+    StructField("view", StringType),
+    StructField("columns", StringType)))
+
+  private def viewRow(out: org.apache.spark.sql.DataFrame,
+                      view: String): Array[InternalRow] = {
+    out.createOrReplaceTempView(view)
+    Array(new GenericInternalRow(Array[Any](str(view),
+      str(out.columns.mkString(",")))))
+  }
 }

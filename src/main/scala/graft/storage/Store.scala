@@ -319,6 +319,31 @@ final class LocalStore(val root: Path) extends Store {
       StandardCopyOption.REPLACE_EXISTING)
   }
 
+  /** If-absent kernel-side file ingest: copy `srcFile` to a temp
+    * (Files.copy → copy_file_range/sendfile where the kernel supports
+    * it — the bytes never land on the JVM heap) and hard-link it into
+    * place, the same atomic create-if-absent discipline as
+    * [[putIfAbsent]]. The local→local replication fast path.
+    */
+  def transferInFrom(srcFile: Path, key: String): Boolean = {
+    val path = p(key)
+    if (Files.exists(path)) return false
+    Files.createDirectories(path.getParent)
+    val tmp = newTmp()
+    Files.copy(srcFile, tmp, StandardCopyOption.REPLACE_EXISTING)
+    try {
+      Files.createLink(path, tmp)
+      true
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException => false
+    } finally Files.deleteIfExists(tmp)
+  }
+
+  /** Absolute path of `key` — exposes the source side of
+    * [[transferInFrom]] for [[Transfer]]'s local→local dispatch.
+    */
+  def pathOf(key: String): Path = p(key)
+
   override def putIfAbsent(key: String, bytes: Array[Byte]): Boolean = {
     val path = p(key)
     Files.createDirectories(path.getParent)

@@ -58,6 +58,12 @@ final class RetryingStore(inner: Store, maxAttempts: Int = 5,
     throw new IllegalStateException("unreachable")
   }
 
+  /** [[Transfer]] dispatches on concrete store types to pick zero-heap
+    * copy routes; the retry veneer must be transparent to that dispatch
+    * (it wraps its own retry around the chosen route).
+    */
+  def underlying: Store = inner
+
   override def rootUri: String = inner.rootUri
   override def conf: StoreConf = inner.conf
   override def getBytes(key: String): Array[Byte] =

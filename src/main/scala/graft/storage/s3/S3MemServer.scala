@@ -68,6 +68,10 @@ final class S3MemServer(requiredHeader: Option[(String, String)] = None) {
   private def count(op: String): Unit =
     opCounts.computeIfAbsent(op, _ => new AtomicLong()).incrementAndGet()
 
+  /** Null-safe counter read (0 when the op was never observed). */
+  def opCount(op: String): Long =
+    Option(opCounts.get(op)).map(_.get()).getOrElse(0L)
+
   // -----------------------------------------------------------------
 
   private def handle(ex: HttpExchange): Unit = {

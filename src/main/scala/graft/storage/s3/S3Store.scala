@@ -201,6 +201,32 @@ final class S3Store(val s3conf: S3StoreConf) extends Store {
     if (r.statusCode() != 200) failed("COPY", s"$srcKey -> $dstKey", r)
   }
 
+  /** Whether [[copyFromStore]] can replicate objects from `src` without
+    * moving payload bytes through this client: `x-amz-copy-source` is
+    * resolved BY THE SERVICE, so both stores must live behind the same
+    * endpoint and this store's credentials must be able to read the
+    * source (same access key is the conservative test — cross-account
+    * copy grants exist but cannot be detected client-side).
+    */
+  def canCopyServerSide(src: S3Store): Boolean =
+    s3conf.endpoint == src.s3conf.endpoint &&
+      s3conf.accessKey == src.s3conf.accessKey &&
+      s3conf.region == src.s3conf.region
+
+  /** Server-side cross-bucket/prefix copy INTO this store — the 100 TB
+    * replication path: a push between two repos on the same S3 service
+    * moves zero payload bytes through the executor (the service copies
+    * internally; cf. the reference's reliance on external object-sync
+    * tooling, which reads+rewrites every byte).
+    */
+  def copyFromStore(src: S3Store, srcKey: String, dstKey: String): Unit = {
+    val r = send("PUT", objectUri(dstKey), null,
+      Map("x-amz-copy-source" -> ("/" + src.s3conf.bucket + "/" +
+        encPath(src.fullKey(srcKey)))))
+    if (r.statusCode() != 200)
+      failed("COPY(cross)", s"$srcKey -> $dstKey", r)
+  }
+
   /** Multipart upload (initiate → parts → complete) for large objects —
     * the reference's `put_multipart` path (icechunk-s3/src/lib.rs).
     */

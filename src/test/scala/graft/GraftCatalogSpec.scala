@@ -2,6 +2,7 @@ package graft
 
 import graft.repo._
 import graft.storage.Store
+import org.apache.spark.sql.functions.col
 
 /** The SQL catalog surface: arrays as tables, groups as namespaces, DDL
   * as commits, and the FunctionCatalog-backed chunk_coord transform that
@@ -645,5 +646,62 @@ class GraftCatalogSpec extends SparkTestBase {
     val ex2 = intercept[Exception](graft.tensor.TensorPlane.mapValues(
       repo.writableSession("main"), "/z", "/z3", 2.0, 0.0, "int64"))
     assert(ex2.getMessage.contains("stores compression zstd"))
+  }
+
+  test("pipeline procedures: CALL system.{dedup_exact,minhash_candidates," +
+      "temperature_mix} register lazy views matching the Scala API") {
+    val dir = tmpDir("pipe-proc")
+    Repository.create(Store.local(dir), spark)
+    val cat = "ppcat" + (System.nanoTime() % 100000)
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.path", dir)
+
+    val docs = spark.createDataFrame(Seq(
+      (1L, "the quick brown fox jumps over the lazy dog", "web"),
+      (2L, "the quick brown fox jumps over the lazy dog", "web"),
+      (3L, "an entirely different document about spark", "books"),
+      (4L, "the quick brown fox jumps over the lazy cat", "web"),
+      (5L, "an entirely different document about spark", "books")))
+      .toDF("doc_id", "text", "source")
+    docs.createOrReplaceTempView("proc_docs")
+
+    // dedup_exact: the CALL returns (view, columns); the view is the
+    // SAME relation Dedup.exact builds
+    val r1 = spark.sql(s"CALL $cat.system.dedup_exact('proc_docs')").head()
+    assert(r1.getString(0) == "dedup_exact")
+    assert(r1.getString(1) == "doc_id,canonical_id,n_copies")
+    val viaSql = spark.table("dedup_exact").orderBy("doc_id").collect()
+    val viaApi = graft.pipeline.Dedup.exact(docs).orderBy("doc_id").collect()
+    assert(viaSql.toSeq == viaApi.toSeq)
+    assert(viaSql.exists(r => r.getLong(0) == 2L && r.getLong(1) == 1L))
+
+    // minhash_candidates with named args + custom view name
+    spark.sql(s"CALL $cat.system.minhash_candidates(" +
+      "input => 'proc_docs', output_view => 'mh_out')").head()
+    val mhSql = spark.table("mh_out").orderBy("doc_a", "doc_b").collect()
+    val mhApi = graft.pipeline.Dedup.minhashCandidates(docs,
+        numHashes = 32, bands = 8, portable = true)
+      .orderBy("doc_a", "doc_b").collect()
+    assert(mhSql.toSeq == mhApi.toSeq)
+    // the exact duplicate pair is a candidate
+    assert(mhSql.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L))
+
+    // temperature_mix: default target_rows = input count
+    spark.sql(s"CALL $cat.system.temperature_mix(" +
+      "'proc_docs', 'doc_id', 'source')").head()
+    val tmSql = spark.table("temperature_mix")
+      .select("doc_id", "source", "epoch").orderBy("doc_id", "epoch")
+      .collect()
+    val tmApi = graft.pipeline.Sampling.temperatureMix(
+        docs.select(col("doc_id"), col("source")), "doc_id", "source",
+        alpha = 0.5, targetRows = docs.count(), method = "md5")
+      .select("doc_id", "source", "epoch").orderBy("doc_id", "epoch")
+      .collect()
+    assert(tmSql.toSeq == tmApi.toSeq && tmSql.nonEmpty)
+
+    // the views are LAZY relations: re-resolving reflects source changes
+    // (no driver-side materialization happened at CALL time)
+    assert(spark.table("dedup_exact").queryExecution.logical != null)
   }
 }

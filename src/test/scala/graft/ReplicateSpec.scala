@@ -190,6 +190,56 @@ class ReplicateSpec extends SparkTestBase {
     } finally server.stop()
   }
 
+  test("s3->s3 same-endpoint push copies chunk payloads SERVER-SIDE") {
+    import graft.storage.S3StoreConf
+    val server = new graft.storage.s3.S3MemServer
+    server.createBucket("a")
+    server.createBucket("b")
+    val srcStore = Store.s3(S3StoreConf(server.endpoint, "us-east-1", "a",
+      prefix = "repo", accessKey = "k", secretKey = "s"))
+    val dstStore = Store.s3(S3StoreConf(server.endpoint, "us-east-1", "b",
+      prefix = "repo", accessKey = "k", secretKey = "s"))
+    try {
+      val src = Repository.create(srcStore, spark)
+      val s = src.writableSession("main")
+      s.addArray("/a", Seq(8), Seq(2))
+      s.writeChunk("/a", Seq(0), bigChunk(1))
+      s.writeChunk("/a", Seq(1), bigChunk(2))
+      val tip = s.commit("two chunks")
+
+      val copiesBefore = server.opCount("copy")
+      val sum = Replicate.sync(src, dstStore, "main")
+      assert(sum.snapshotId == tip && sum.chunksCopied == 2)
+      // the payloads moved via x-amz-copy-source (service-internal), not
+      // through the executor: at 100 TB this is the difference between a
+      // metadata walk and re-reading the whole repo through the client
+      assert(server.opCount("copy") >= copiesBefore + 2,
+        s"expected server-side copies, got ${server.opCount("copy")}")
+      // and the size accounting survived the no-GET route (one HEAD each)
+      assert(sum.chunkBytesCopied == 2 * 1024)
+
+      val dst = Repository.open(dstStore, spark)
+      assert(dst.lookupBranch("main").contains(tip))
+      assert(dst.readonlySession(VersionRef.Branch("main"))
+        .getChunk("/a", Seq(1)).get.head == 2)
+      // incremental: HEAD-skip, zero further copies
+      val again = Replicate.sync(src, dstStore, "main")
+      assert(again.chunksCopied == 0 && again.chunksSkipped == 2)
+    } finally server.stop()
+  }
+
+  test("Transfer.copyIfAbsent: local kernel route honors if-absent + size") {
+    val a = Store.local(tmpDir("tr-a"))
+    val b = Store.local(tmpDir("tr-b"))
+    a.putBytes("chunks/x", Array.fill(2048)(7.toByte))
+    assert(graft.storage.Transfer.copyIfAbsent(a, b, "chunks/x")
+      .contains(2048L))
+    assert(java.util.Arrays.equals(b.getBytes("chunks/x"),
+      a.getBytes("chunks/x")))
+    // second transfer is a skip (None), not an overwrite
+    assert(graft.storage.Transfer.copyIfAbsent(a, b, "chunks/x").isEmpty)
+  }
+
   test("tag push lands the tag and a readable closure; unknown ref refused") {
     val src = Repository.create(Store.local(tmpDir("rep-src4")), spark)
     val s = src.writableSession("main")
