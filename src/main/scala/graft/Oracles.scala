@@ -1685,6 +1685,24 @@ object Oracles {
         |SELECT doc_id, CAST(floor((nf - 1) / 4) AS BIGINT) + 1 AS n_sampled
         |FROM f ORDER BY doc_id""".stripMargin,
 
+    // perceptual-hash dedup over the synthesized PNG fixture: docs with
+    // equal pattern (doc_id % 25) are byte-identical images (decode →
+    // 9×8 bilinear thumbnail → identical ahash+dhash → Hamming 0,
+    // structurally guaranteed), and DISTINCT patterns sit ≥ 19 phash
+    // bits apart (pngGray's splitmix64 block mixing — measured across
+    // all 25 patterns), so "n_dups = same-pattern count − 1" is the
+    // exact closed-form result: equality proves both recall (every
+    // identical pair found through the 16-bit dHash blocking) and
+    // soundness (no cross-pattern pair at Hamming 0). The hash VALUES
+    // stay engine-side by design — ImageIO's bilinear resample is not
+    // portably replayable in SQL; the pairing contract is.
+    "q_image_phash" ->
+      """WITH g AS (SELECT doc_id, doc_id % 25 AS p FROM documents),
+        |c AS (SELECT p, count(*) AS m FROM g GROUP BY p)
+        |SELECT g.doc_id, m - 1 AS n_dups
+        |FROM g JOIN c ON g.p = c.p WHERE m > 1
+        |ORDER BY doc_id""".stripMargin,
+
     // the Spark side synthesizes a square-wave WAV per doc (amplitude and
     // length closed-form in doc_id) and REALLY decodes it via
     // javax.sound.sampled; a square wave's RMS == amplitude, so the

@@ -199,9 +199,16 @@ object Multimodal {
 
   /** Deterministic grayscale PNG synthesis (lossless — the image-side
     * test fixture): an 8×8 grid of light/dark blocks whose on/off bits
-    * hash from `pattern`, so every pattern id yields a structurally
-    * distinct image (≈32 differing blocks between two ids) while equal
-    * ids yield byte-identical files.
+    * hash from `pattern` through a splitmix64 finalizer, so every
+    * pattern id yields a structurally distinct image (≈32 differing
+    * blocks between two ids) while equal ids yield byte-identical
+    * files. The finalizer matters: the original Knuth-multiply +
+    * one-xorshift mix had so little avalanche that fixture patterns
+    * (3,23) and (4,24) produced IDENTICAL 8×8 perceptual hashes after
+    * the 9×8 bilinear thumbnail — with splitmix64 the minimum pairwise
+    * phash distance across the 25 q_image_phash patterns is 19 bits,
+    * which is what lets the q_image_phash oracle state "equal pattern ⟺
+    * Hamming-0 pair" in closed form.
     */
   def pngGray(width: Int, height: Int, pattern: Long): Array[Byte] = {
     val img = new java.awt.image.BufferedImage(width, height,
@@ -209,8 +216,11 @@ object Multimodal {
     val bw = math.max(1, width / 8); val bh = math.max(1, height / 8)
     for (y <- 0 until height; x <- 0 until width) {
       val cell = math.min(7, y / bh) * 8 + math.min(7, x / bw)
-      val h = (pattern * 2654435761L + cell * 40503L + 12345L)
-      val v = if (((h ^ (h >>> 13)) & 4L) != 0L) 230 else 25
+      var z = pattern * 0x9E3779B97F4A7C15L + cell
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^= (z >>> 31)
+      val v = if ((z & 1L) != 0L) 230 else 25
       img.setRGB(x, y, (v << 16) | (v << 8) | v)
     }
     val bos = new java.io.ByteArrayOutputStream()

@@ -615,6 +615,18 @@ object GraftScan {
     */
   val SpjMaxPartitions = 8192
 
+  /** Enumeration work bound for supergrid SPJ planning: pathological
+    * fixtures where every manifest's extent box spans the whole grid
+    * would cost manifests × cells; past this bound planning bails to
+    * the subdivided-scan fallback rather than stall the driver.
+    * Session-configurable so tests can pin the bail path without
+    * building a 4M-intersection fixture.
+    */
+  def spjWorkCap: Long =
+    try org.apache.spark.sql.SparkSession.active.conf
+      .get("spark.graft.spj.workCap", "4000000").toLong
+    catch { case _: Throwable => 4000000L }
+
   /** Rectilinear inline-name boundary: up to this many chunks per dim
     * the per-dim chunk-length table rides verbatim in the
     * transform-function NAME (`chunk_coord_rect_<l0>_<l1>_...`,
@@ -859,7 +871,7 @@ class GraftScan(opts: Map[String, String], lo: Map[Int, Long],
     // spanning the whole grid) would make this manifests × cells; bail
     // to the subdivided-scan fallback rather than stall planning
     var work = 0L
-    val workCap = 4L * 1000 * 1000
+    val workCap = GraftScan.spjWorkCap
     manifests.foreach { m =>
       if (work <= workCap && m.emin.size == ndim) {
         val clo = (0 until ndim).map(d =>

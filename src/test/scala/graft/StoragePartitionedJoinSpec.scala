@@ -211,6 +211,91 @@ class StoragePartitionedJoinSpec extends SparkTestBase {
     }
   }
 
+  test("million-chunk grid: supergrid SPJ plans shuffle-free in bounded time") {
+    // the 100 TB shape: ~10^6 chunk refs across 100 split manifests.
+    // Metadata-only — refs are virtual (no payloads exist), and the test
+    // never executes the join; it asserts the PLAN (zero exchanges,
+    // <= SpjMaxPartitions keyed partitions) and the planning wall time.
+    val dir = tmpDir("spjmillion")
+    val repo = Repository.create(Store.local(dir), spark,
+      GraftConfig(splits = Seq(SplitRule(".*", 0, 10000))))
+    val s = repo.writableSession("main")
+    val nChunks = 1000000L
+    s.addArray("/ma", Seq(nChunks * 2), Seq(2),
+      userData = """{"dtype":"int64"}""")
+    s.addArray("/mb", Seq(nChunks * 2), Seq(2),
+      userData = """{"dtype":"int64"}""")
+    def refs = spark.range(nChunks).select(
+      org.apache.spark.sql.functions.array(col("id").cast("int"))
+        .as("coord"),
+      org.apache.spark.sql.functions.lit("virtual").as("kind"),
+      org.apache.spark.sql.functions.concat(
+        org.apache.spark.sql.functions.lit("file:///ext/p-"),
+        col("id") % 1000).as("location"),
+      (col("id") * 8000).as("offset"),
+      org.apache.spark.sql.functions.lit(8000L).as("length"))
+    s.stageChunkRefs("/ma", refs)
+    s.stageChunkRefs("/mb", refs)
+    s.commit("million refs")
+    val cat = "gspjm" + (System.nanoTime() % 100000)
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.path", dir)
+    withSpj {
+      val t0 = System.nanoTime()
+      val j = spark.sql(
+        s"""SELECT count(*) AS n FROM $cat.ma a JOIN $cat.mb b
+           |ON a.i0 = b.i0""".stripMargin)
+      assert(shuffles(j) == 0,
+        j.queryExecution.executedPlan.toString.take(3000))
+      val parts = spark.table(s"$cat.ma").rdd.getNumPartitions
+      val planSec = (System.nanoTime() - t0) / 1e9
+      assert(parts <= graft.sources.GraftScan.SpjMaxPartitions &&
+        parts > 0, parts)
+      // bounded planning: enumeration is manifests x intersected cells
+      // (workCap'd), never per-chunk — a per-chunk path would take
+      // minutes here. 60 s is weather headroom; typical is ~2 s.
+      assert(planSec < 60.0, f"supergrid planning took $planSec%.1f s")
+      System.err.println(
+        f"[spec] million-chunk SPJ planning: $planSec%.2f s, $parts parts")
+    }
+  }
+
+  test("work-cap bail: planning past spark.graft.spj.workCap falls back " +
+      "to the shuffled plan, still correct") {
+    val dir = tmpDir("spjbail")
+    val repo = Repository.create(Store.local(dir), spark,
+      GraftConfig(splits = Seq(SplitRule(".*", 0, 2000))))
+    val s = repo.writableSession("main")
+    val n = 18000L // 9000 chunks -> coarsens to 4500 cells normally
+    s.addArray("/ba", Seq(n), Seq(2), userData = """{"dtype":"int64"}""")
+    s.addArray("/bb", Seq(n), Seq(2), userData = """{"dtype":"int64"}""")
+    val df = spark.range(n).select(col("id").as("i0"),
+      (col("id") % 13).as("value"))
+    graft.tensor.TensorPlane.writeValues(s, "/ba", df, "int64")
+    graft.tensor.TensorPlane.writeValues(s, "/bb",
+      df.withColumn("value", col("value") + 1), "int64")
+    s.commit("bail fixture")
+    val cat = "gspjb" + (System.nanoTime() % 100000)
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.path", dir)
+    withSpj {
+      spark.conf.set("spark.graft.spj.workCap", "10")
+      try {
+        val j = spark.sql(
+          s"""SELECT sum(b.value - a.value) AS d, count(*) AS cnt
+             |FROM $cat.ba a JOIN $cat.bb b ON a.i0 = b.i0""".stripMargin)
+        // enumeration (4500+ cell intersections) exceeds the 10-unit cap
+        // -> spjInfo bails -> no keyed partitioning -> shuffled join
+        assert(shuffles(j) > 0,
+          j.queryExecution.executedPlan.toString.take(3000))
+        val r = j.head()
+        assert(r.getLong(1) == n && r.getLong(0) == n) // +1 per row
+      } finally spark.conf.unset("spark.graft.spj.workCap")
+    }
+  }
+
   test("row-level UPDATE composes with supergrid coarsening (runtime ords -> cell pruning)") {
     val dir = tmpDir("spjsuperupd")
     val repo = Repository.create(Store.local(dir), spark,
