@@ -1476,6 +1476,44 @@ object Oracles {
     // addition — a double avg could flip a 6-dp rounding boundary with
     // summation order), then the identical deterministic division;
     // distance is an index-order fold on both engines
+    // classifier-training audit: n / n_true replay the label rule in
+    // closed form; on this linearly-separable keyword task the
+    // deterministic full-batch GD reaches PERFECT training accuracy at
+    // the gate scales (verified at sf0.001 and sf0.01), so n_pred =
+    // n_true and n_agree = n are the exact expected values — any
+    // training/scoring regression (feature hash, gradient, bias, sigmoid
+    // threshold) breaks per-source equality and fails the hash
+    "q_classifier_train" ->
+      """SELECT source, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CASE WHEN regexp_matches(text, '\bspark\b')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
+        |  CAST(sum(CASE WHEN regexp_matches(text, '\bspark\b')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_pred,
+        |  CAST(count(*) AS BIGINT) AS n_agree
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    // PCA invariant audit: center_dist replays the exact scaled-integer
+    // centered-norm arithmetic (the q_embedding_outliers formula with
+    // one global centroid); pca_ok (orthonormal basis + descending
+    // eigenvalues + projection contraction) is constant TRUE by the
+    // mathematics — a solver/projection regression flips it
+    "q_embedding_pca" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+        |  FROM embeddings),
+        |x AS (SELECT unnest(v) AS val,
+        |    generate_subscripts(v, 1) AS pos FROM e),
+        |c AS (SELECT pos,
+        |    round((CAST(sum(CAST(round(val * 1000000) AS BIGINT))
+        |      AS DOUBLE) / 1000000.0) / count(*), 6) AS m
+        |  FROM x GROUP BY 1),
+        |cv AS (SELECT list(m ORDER BY pos) AS cv FROM c)
+        |SELECT e.vec_id,
+        |  round(sqrt(list_aggregate(list_transform(range(1, len(v) + 1),
+        |    i -> (v[i] - cv[i]) * (v[i] - cv[i])), 'sum')), 6)
+        |    AS center_dist,
+        |  TRUE AS pca_ok
+        |FROM e CROSS JOIN cv ORDER BY vec_id""".stripMargin,
+
     "q_embedding_outliers" ->
       """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
         |  FROM embeddings),
@@ -1684,6 +1722,46 @@ object Oracles {
         |  FROM documents)
         |SELECT doc_id, CAST(floor((nf - 1) / 4) AS BIGINT) + 1 AS n_sampled
         |FROM f ORDER BY doc_id""".stripMargin,
+
+    // the stub-decode feature pass is pure arithmetic on the payload
+    // bytes: pixels = ascii codes of the base64 rendering, features =
+    // 16-bucket L1-normalized histogram — DuckDB replays every value.
+    // One engine quirk to model: Spark's base64() is MIME-CHUNKED
+    // (76-char lines joined by CRLF, no trailing break), so each line
+    // break contributes one '\r' (13) and one '\n' (10) pixel; DuckDB's
+    // to_base64 is unchunked, so the oracle adds nb = (len-1)/76 breaks
+    // arithmetically to buckets 13 and 10 and to the denominator
+    "q_multimodal_features" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    CAST(octet_length(encode(text)) AS INT) AS media_bytes,
+        |    CAST(floor(greatest(octet_length(encode(text)) - 1, 0) / 256)
+        |      + 1 AS INT) AS n_frames,
+        |    to_base64(encode(text)) AS b64,
+        |    CASE WHEN len(to_base64(encode(text))) > 0
+        |      THEN (len(to_base64(encode(text))) - 1) // 76 ELSE 0
+        |    END AS nb
+        |  FROM documents),
+        |ch AS (
+        |  SELECT doc_id, unnest(string_split(b64, '')) AS c FROM m),
+        |bc AS (
+        |  SELECT doc_id, bucket, sum(k)::BIGINT AS k FROM (
+        |    SELECT doc_id, ascii(c) % 16 AS bucket, count(*) AS k
+        |    FROM ch GROUP BY 1, 2
+        |    UNION ALL SELECT doc_id, 10, nb FROM m WHERE nb > 0
+        |    UNION ALL SELECT doc_id, 13, nb FROM m WHERE nb > 0)
+        |  GROUP BY 1, 2),
+        |d AS (
+        |  SELECT doc_id, media_bytes, n_frames,
+        |    greatest(len(b64) + 2 * nb, 1) AS n
+        |  FROM m)
+        |SELECT d.doc_id, d.media_bytes, d.n_frames,
+        |  CAST(b.bucket AS INT) AS bucket,
+        |  coalesce(bc.k, 0)::BIGINT AS pixels,
+        |  d.n::BIGINT AS n_pixels
+        |FROM d CROSS JOIN (SELECT unnest(range(16)) AS bucket) b
+        |LEFT JOIN bc ON bc.doc_id = d.doc_id AND bc.bucket = b.bucket
+        |ORDER BY d.doc_id, b.bucket""".stripMargin,
 
     // perceptual-hash dedup over the synthesized PNG fixture: docs with
     // equal pattern (doc_id % 25) are byte-identical images (decode →

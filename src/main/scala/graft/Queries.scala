@@ -962,16 +962,49 @@ object Queries {
   val q_ngram_novelty: Q = (s, d) =>
     TextAnalysis.ngramNovelty(t(s, d, "documents"), n = 3)
 
-  /** PCA projection of the embedding corpus onto its top-8 components
-    * (no SQL oracle — eigenvector sign/ordering is solver-specific; the
-    * invariants are spec-pinned): vec_id + rounded pc columns.
+  /** PCA of the embedding corpus, invariant-audited (the eigenvectors
+    * themselves are solver-specific — sign/rotation — so the raw pc
+    * columns cannot be oracled; the CONTRACT can). Output per vector:
+    * `center_dist` — the centered L2 norm computed with the same exact
+    * scaled-integer portable arithmetic as [[q_embedding_outliers]], so
+    * DuckDB recomputes it bit-for-bit — and `pca_ok`, true iff
+    *   - the fitted basis is orthonormal (max |QᵢᵀQⱼ − δᵢⱼ| < 1e-6) with
+    *     eigenvalues non-negative and non-increasing (driver-checked),
+    *   - the vector's projection is a CONTRACTION: ‖top-8 projection‖ ≤
+    *     its centered norm (+1e-3 for the float-vs-portable mean gap) —
+    *     true for any orthonormal basis, so a violation means the solver
+    *     or projection is WRONG, never that the data was unlucky.
+    * The oracle recomputes center_dist and asserts constant TRUE.
     */
   val q_embedding_pca: Q = (s, d) => {
     val emb = t(s, d, "embeddings")
     val m = graft.pipeline.Pca.fit(emb, k = 8)
+    var orthoErr = 0.0
+    for (i <- 0 until m.k; j <- i until m.k) {
+      var dot = 0.0
+      var t0 = 0
+      while (t0 < m.dim) {
+        dot += m.components(i)(t0) * m.components(j)(t0); t0 += 1
+      }
+      orthoErr = math.max(orthoErr,
+        math.abs(dot - (if (i == j) 1.0 else 0.0)))
+    }
+    val eigsOk = m.explained.forall(_ >= -1e-9) &&
+      m.explained.zip(m.explained.drop(1)).forall {
+        case (a, b) => a >= b - 1e-9 }
+    val basisOk = orthoErr < 1e-6 && eigsOk
+    val norm2 = (0 until 8).map(i =>
+      col(s"pc_$i") * col(s"pc_$i")).reduce(_ + _)
+    val centered = graft.pipeline.Similarity.labelOutliers(
+        emb.withColumn("_l", lit(0)), threshold = Double.MaxValue,
+        labelCol = "_l")
+      .select(col("vec_id"), col("dist"))
     graft.pipeline.Pca.project(emb, m)
-      .select(col("vec_id") +: (0 until 8).map(i =>
-        round(col(s"pc_$i"), 4).as(s"pc_$i")): _*)
+      .select(col("vec_id"), norm2.as("_p2"))
+      .join(centered, Seq("vec_id"))
+      .select(col("vec_id"), col("dist").as("center_dist"),
+        (lit(basisOk) && sqrt(col("_p2")) <= col("dist") + lit(1e-3))
+          .as("pca_ok"))
       .orderBy("vec_id")
   }
 
@@ -1229,21 +1262,37 @@ object Queries {
       .agg(count(lit(1)).as("n_sampled"))
       .orderBy("doc_id")
 
-  /** Full multimodal features incl. stub decode (no SQL oracle).
-    * The feature vector is projected to a CSV string + scalar sum so the
-    * driver's pandas sort/hash can handle it (raw ARRAY<DOUBLE> is
-    * unhashable there).
+  /** Full multimodal features incl. stub decode. The feature vector is
+    * the 16-bucket L1-normalized byte histogram over the base64 "pixel"
+    * codes — pure integer/ratio arithmetic on the payload bytes, so the
+    * values are DuckDB-replayable. The output explodes the vector to
+    * one row per bucket and converts each rounded fraction back to its
+    * EXACT integer count (`pixels = round(frac · n)` — frac carries
+    * ≤ 5e-7 absolute rounding error and n ≤ a few thousand, so the
+    * product lands within 0.5 of the true count): raw fractions like
+    * 41/640 sit exactly on a round-half tie where Spark (HALF_UP) and
+    * DuckDB disagree in the 6th digit, while the recovered counts are
+    * tie-free integers. `n` models Spark's MIME-chunked base64 (76-char
+    * CRLF lines) arithmetically from the byte length.
     */
-  val q_multimodal_features: Q = (s, d) =>
+  val q_multimodal_features: Q = (s, d) => {
+    val b64len = (floor((col("media_bytes") + 2) / 3) * 4).cast("long")
     Multimodal.extractFeatures(
         t(s, d, "documents").select(col("doc_id"),
           encode(col("text"), "utf-8").as("media")), "media")
-      .select(col("doc_id"),
-        array_join(transform(col("features"), f => f.cast("string")), ",")
-          .as("features_csv"),
-        round(aggregate(col("features"), lit(0.0), (a, x) => a + x), 6)
-          .as("features_sum"))
-      .orderBy("doc_id")
+      .select(col("doc_id"), col("media_meta.n_bytes").as("media_bytes"),
+        col("n_frames"), posexplode(col("features")))
+      .withColumn("_b64len", b64len)
+      .withColumn("_nb", when(col("_b64len") > 0,
+        floor((col("_b64len") - 1) / 76)).otherwise(0L).cast("long"))
+      .withColumn("_n",
+        greatest(col("_b64len") + col("_nb") * 2, lit(1L)))
+      .select(col("doc_id"), col("media_bytes"), col("n_frames"),
+        col("pos").as("bucket"),
+        round(col("col") * col("_n")).cast("long").as("pixels"),
+        col("_n").as("n_pixels"))
+      .orderBy("doc_id", "bucket")
+  }
 
   /** REAL image near-dup dedup end-to-end (rows-only: bilinear
     * thumbnail interpolation is not SQL material): per doc, synthesize a
