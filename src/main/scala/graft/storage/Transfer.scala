@@ -10,9 +10,11 @@ package graft.storage
   *    JVM allocation per object (the r10→r11 `engine_repo_push` profile
   *    showed the chunk-payload phase at ~90% of push wall time, all of
   *    it heap-routed byte shoveling).
-  *  - s3 → s3 on the same endpoint+credentials: server-side
-  *    `x-amz-copy-source` ([[graft.storage.s3.S3Store.copyFromStore]]) —
-  *    at 100 TB the payload bytes never leave the object service.
+  *  - same-service object stores: server-side copy — s3
+  *    `x-amz-copy-source`, gcs `objects/copyTo`, azure Copy Blob
+  *    (`copyFromStore` on each store, gated on same endpoint +
+  *    credentials) — at 100 TB the payload bytes never leave the
+  *    object service.
   *  - anything else: GET + atomic put-if-absent (unchanged semantics).
   *
   * All routes preserve the replication contract: content-addressed
@@ -36,6 +38,19 @@ object Transfer {
     case x => x
   }
 
+  /** Shared shape of the service-internal copy routes: exists-skip, size
+    * via one HEAD on the source (still zero payload movement), then the
+    * store-specific server-side call.
+    */
+  private def serverSide(src: Store, dst: Store, key: String)(
+      copy: => Unit): Option[Long] =
+    if (dst.exists(key)) None
+    else {
+      val size = src.stat(key).map(_.size).getOrElse(0L)
+      copy
+      Some(size)
+    }
+
   def copyIfAbsent(src: Store, dst: Store, key: String): Option[Long] =
     (base(src), base(dst)) match {
       case (ls: LocalStore, ld: LocalStore) =>
@@ -43,13 +58,13 @@ object Transfer {
           Some(java.nio.file.Files.size(ld.pathOf(key)))
         else None
       case (ss: s3.S3Store, sd: s3.S3Store) if sd.canCopyServerSide(ss) =>
-        if (dst.exists(key)) None
-        else {
-          // size via one HEAD on the source — still no payload movement
-          val size = src.stat(key).map(_.size).getOrElse(0L)
-          sd.copyFromStore(ss, key, key)
-          Some(size)
-        }
+        serverSide(src, dst, key)(sd.copyFromStore(ss, key, key))
+      case (gs: gcs.GcsStore, gd: gcs.GcsStore)
+          if gd.canCopyServerSide(gs) =>
+        serverSide(src, dst, key)(gd.copyFromStore(gs, key, key))
+      case (as: az.AzureStore, ad: az.AzureStore)
+          if ad.canCopyServerSide(as) =>
+        serverSide(src, dst, key)(ad.copyFromStore(as, key, key))
       case _ =>
         // generic route keeps the caller's (possibly retry-wrapped)
         // stores — GET/exists stay transiently retried

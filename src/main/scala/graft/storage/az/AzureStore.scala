@@ -226,6 +226,29 @@ final class AzureStore(val azConf: AzureStoreConf) extends Store {
         r.statusCode() != 200) failed("COPY", s"$srcKey -> $dstKey", r)
   }
 
+  /** Whether [[copyFromStore]] can replicate from `src` without moving
+    * payload bytes through this client: same storage account endpoint
+    * and same SAS (the service resolves `x-ms-copy-source` itself).
+    */
+  def canCopyServerSide(src: AzureStore): Boolean =
+    azConf.endpoint == src.azConf.endpoint &&
+      azConf.sasToken == src.azConf.sasToken
+
+  /** Server-side cross-container/prefix Copy Blob INTO this store —
+    * replication between two Azure repos moves zero payload bytes
+    * through the executor.
+    */
+  def copyFromStore(src: AzureStore, srcKey: String,
+                    dstKey: String): Unit = {
+    val srcUrl = src.azConf.endpoint.stripSuffix("/") + "/" +
+      src.azConf.container + "/" + src.encPath(src.fullKey(srcKey))
+    val r = send("PUT", blobUri(dstKey), Array.emptyByteArray,
+      Map("x-ms-copy-source" -> src.withSas(srcUrl)))
+    if (r.statusCode() != 202 && r.statusCode() != 201 &&
+        r.statusCode() != 200)
+      failed("COPY(cross)", s"$srcKey -> $dstKey", r)
+  }
+
   // ---- listing ----
 
   private def listCall(prefix0: String, marker: Option[String],

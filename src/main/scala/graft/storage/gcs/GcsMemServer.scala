@@ -65,6 +65,10 @@ final class GcsMemServer(requiredHeader: Option[(String, String)] = None) {
     opCounts.computeIfAbsent(op,
       _ => new java.util.concurrent.atomic.AtomicLong()).incrementAndGet()
 
+  /** Null-safe counter read (0 when the op was never observed). */
+  def opCount(op: String): Long =
+    Option(opCounts.get(op)).map(_.get()).getOrElse(0L)
+
   // -----------------------------------------------------------------
 
   private def handle(ex: HttpExchange): Unit = {

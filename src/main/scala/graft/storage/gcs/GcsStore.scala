@@ -220,6 +220,29 @@ final class GcsStore(val gcsConf: GcsStoreConf) extends Store {
     if (r.statusCode() != 200) failed("COPY", s"$srcKey -> $dstKey", r)
   }
 
+  /** Whether [[copyFromStore]] can replicate from `src` without moving
+    * payload bytes through this client: same service endpoint and same
+    * credential (the `copyTo` call is resolved by the service, which
+    * must be able to read the source under this token).
+    */
+  def canCopyServerSide(src: GcsStore): Boolean =
+    gcsConf.endpoint == src.gcsConf.endpoint &&
+      gcsConf.bearerToken == src.gcsConf.bearerToken
+
+  /** Server-side cross-bucket/prefix copy INTO this store (JSON API
+    * `objects/copyTo`) — replication between two GCS repos moves zero
+    * payload bytes through the executor.
+    */
+  def copyFromStore(src: GcsStore, srcKey: String, dstKey: String): Unit = {
+    val uri = URI.create(
+      s"$base/storage/v1/b/${src.gcsConf.bucket}/o/" +
+        s"${encObj(src.fullKey(srcKey))}" +
+        s"/copyTo/b/$bucket/o/${encObj(fullKey(dstKey))}")
+    val r = send("POST", uri, Array.emptyByteArray)
+    if (r.statusCode() != 200)
+      failed("COPY(cross)", s"$srcKey -> $dstKey", r)
+  }
+
   // ---- listing ----
 
   private def listCall(prefix0: String, startOffset: Option[String],

@@ -228,6 +228,58 @@ class ReplicateSpec extends SparkTestBase {
     } finally server.stop()
   }
 
+  test("gcs->gcs and azure->azure pushes also copy payloads server-side") {
+    import graft.storage.{AzureStoreConf, GcsStoreConf}
+    // GCS: two buckets behind one JSON-API endpoint
+    locally {
+      val server = new graft.storage.gcs.GcsMemServer
+      server.createBucket("ga"); server.createBucket("gb")
+      val srcStore = GcsStoreConf(server.endpoint, "ga",
+        prefix = "repo", bearerToken = "t").open()
+      val dstStore = GcsStoreConf(server.endpoint, "gb",
+        prefix = "repo", bearerToken = "t").open()
+      try {
+        val src = Repository.create(srcStore, spark)
+        val s = src.writableSession("main")
+        s.addArray("/a", Seq(4), Seq(2))
+        s.writeChunk("/a", Seq(0), bigChunk(3))
+        val tip = s.commit("gcs chunk")
+        val before = server.opCount("copy")
+        val sum = Replicate.sync(src, dstStore, "main")
+        assert(sum.snapshotId == tip && sum.chunksCopied == 1)
+        assert(server.opCount("copy") >= before + 1,
+          s"expected server-side gcs copy, got ${server.opCount("copy")}")
+        assert(Repository.open(dstStore, spark)
+          .readonlySession(VersionRef.Branch("main"))
+          .getChunk("/a", Seq(0)).get.head == 3)
+      } finally server.stop()
+    }
+    // Azure: two containers behind one account endpoint
+    locally {
+      val server = new graft.storage.az.AzureMemServer
+      server.createContainer("aa"); server.createContainer("ab")
+      val srcStore = AzureStoreConf(server.endpoint, "acct",
+        "aa", prefix = "repo").open()
+      val dstStore = AzureStoreConf(server.endpoint, "acct",
+        "ab", prefix = "repo").open()
+      try {
+        val src = Repository.create(srcStore, spark)
+        val s = src.writableSession("main")
+        s.addArray("/a", Seq(4), Seq(2))
+        s.writeChunk("/a", Seq(0), bigChunk(4))
+        val tip = s.commit("azure chunk")
+        val before = server.opCount("copy")
+        val sum = Replicate.sync(src, dstStore, "main")
+        assert(sum.snapshotId == tip && sum.chunksCopied == 1)
+        assert(server.opCount("copy") >= before + 1,
+          s"expected server-side azure copy, got ${server.opCount("copy")}")
+        assert(Repository.open(dstStore, spark)
+          .readonlySession(VersionRef.Branch("main"))
+          .getChunk("/a", Seq(0)).get.head == 4)
+      } finally server.stop()
+    }
+  }
+
   test("Transfer.copyIfAbsent: local kernel route honors if-absent + size") {
     val a = Store.local(tmpDir("tr-a"))
     val b = Store.local(tmpDir("tr-b"))
