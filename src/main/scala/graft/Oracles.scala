@@ -1,13 +1,24 @@
 package graft
 
-/** DuckDB oracle SQL for every SQL-expressible query in [[Queries]].
-  * Column aliases, rounding, and ORDER BY match the Spark side exactly
-  * (driver compares sorted-by-name columns and hashed values).
-  * Hash-function-specific queries (minhash/xxhash, LSH-bucketed ANN)
-  * are intentionally absent → driver records a rows-only check.
-  * Winnowing, the document fingerprint, simhash (dual 32-bit FNV-1a
-  * token hash) and BPE encoding (recursive-CTE learn replay) ARE oracled:
-  * their arithmetic is engine-portable and DuckDB replays it exactly.
+/** DuckDB oracle SQL for EVERY query in [[Queries]] — since round 11
+  * nothing is rows-only. Column aliases, rounding, and ORDER BY match
+  * the Spark side exactly (driver compares sorted-by-name columns and
+  * hashed values). Three families of oracle:
+  *  - exact replays (most queries): DuckDB recomputes the same
+  *    engine-portable arithmetic (dual-FNV simhash, minhash signatures,
+  *    the BPE learn loop as a recursive CTE, scaled-integer centroids,
+  *    winnowing, document fingerprints, ...);
+  *  - invariant audits (the RNG-seeded / float-iterative ops: ANN
+  *    LSH/IVF/PQ, batched neighbors, PCA, classifier training): the
+  *    Spark side outputs an EXACT deterministic relation plus audit
+  *    columns (soundness by rank domination, recall at an empirically
+  *    pinned margin, orthonormality/contraction, perfect separable-task
+  *    training accuracy) the oracle states in closed form — hash
+  *    equality proves the invariants without replaying RNG or libm;
+  *  - contract replays (binary codecs: image phash pairing, audio
+  *    square-wave features, base64 pixel histograms): the oracle states
+  *    the closed-form CONTRACT of the decode; the codec stays
+  *    engine-side.
   */
 object Oracles {
   /** Exact cosine top-20 against the vec_id=0 query, ranked — the shared

@@ -631,14 +631,25 @@ object Queries {
     */
   val q_ann_neighbors: Q = (s, d) => {
     val emb = t(s, d, "embeddings")
-    val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("v_a"))
-    val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("v_b"))
+    // cast + self-norm hoisted above the all-pairs audit join (same
+    // dot/(n·n) op order as Similarity.cosine — values bit-identical)
+    val pre = emb.select(col("vec_id"),
+        transform(col("embedding"), _.cast("double")).as("_v"))
+      .withColumn("_n", sqrt(Similarity.dot(col("_v"), col("_v"))))
+    // the audit join is a BroadcastNestedLoop over a one-partition
+    // parquet side — repartition the PROBE side so the n² kernel runs
+    // on every core instead of one task (6 s → sub-second at sf0.1)
+    val a = pre.repartition(32, col("vec_id"))
+      .select(col("vec_id").as("id_a"), col("_v").as("v_a"),
+        col("_n").as("n_a"))
+    val b = pre.select(col("vec_id").as("id_b"), col("_v").as("v_b"),
+      col("_n").as("n_b"))
     val byScore = Window.partitionBy("id_a")
       .orderBy(col("cos").desc, col("id_b"))
     val exact = a.join(b, col("id_a") =!= col("id_b"))
       .select(col("id_a"), col("id_b"),
-        round(Similarity.cosine(col("v_a").cast("array<double>"),
-          col("v_b").cast("array<double>")), 6).as("cos"))
+        round(Similarity.dot(col("v_a"), col("v_b")) /
+          (col("n_a") * col("n_b")), 6).as("cos"))
       .withColumn("rank", row_number().over(byScore))
       .filter(col("rank") <= 5)
     val lsh = Similarity.neighborsPerVector(emb, k = 5, numPlanes = 6)
