@@ -177,7 +177,7 @@ class PlanCheckSpec extends SparkTestBase {
   test("no pipeline query plans a cartesian or nested-loop join") {
     val checked = Seq("q_dedup_minhash", "q_dedup_simhash",
       "q_dedup_ngram_jaccard", "q_dedup_ngram_lsh", "q_embedding_neardups",
-      "q_ann_neighbors", "q_decontaminate", "q_dedup_clusters",
+      "q_decontaminate", "q_dedup_clusters",
       "q_substring_spans", "q_semantic_keep", "q_classifier_score",
       "q_tfidf_keywords", "q_funnel_stages", "q_ngram_novelty")
     checked.foreach { name =>
@@ -187,6 +187,23 @@ class PlanCheckSpec extends SparkTestBase {
       assert(!p.contains("BroadcastNestedLoopJoin"),
         s"$name plans a BroadcastNestedLoopJoin")
     }
+  }
+
+  test("batched ANN: the PRODUCTION op plans no all-pairs join; the " +
+      "audit query carries exactly its one documented exact side") {
+    // neighborsPerVector is the 100 TB path — bucket equi-join only
+    val prod = plan(graft.pipeline.Similarity.neighborsPerVector(
+      spark.read.parquet(s"$sf/embeddings.parquet"), k = 5, numPlanes = 6))
+    assert(!prod.contains("CartesianProduct") &&
+      !prod.contains("BroadcastNestedLoopJoin"),
+      s"neighborsPerVector must stay bucket-joined:\n${prod.take(2000)}")
+    // q_ann_neighbors ADDS the exact all-pairs audit side (test scale
+    // only, Queries.annAudit doc) — exactly one BNL, nothing else
+    val audit = plan(Queries.all("q_ann_neighbors")(spark, sf))
+    assert(!audit.contains("CartesianProduct"))
+    assert("BroadcastNestedLoopJoin".r.findAllIn(audit).size == 1,
+      s"audit query must carry exactly ONE exact-side join:\n" +
+        audit.take(2000))
   }
 
   test("classifier scoring broadcasts the weight table") {
