@@ -75,11 +75,25 @@ object Replicate {
     * the oldest shipped snapshot, the same reader behavior `expire`
     * produces).
     */
+  /** `existsVia` picks how the chunk stage decides "already there":
+    *  - `"head"` — one HEAD per chunk id (the steady-state incremental
+    *    cost; right when the closure is small);
+    *  - `"list"` — ONE distributed destination listing (32 parallel
+    *    prefix pages over the base32 id charset) anti-joined against
+    *    the closure, then copies run with NO per-object pre-check. At
+    *    a 100 M-chunk closure this is ~100 k LIST pages instead of
+    *    100 M HEADs — the GC reachability pattern applied to push;
+    *  - `"auto"` (default) — `"list"` when the closure exceeds
+    *    `listExistsOver` ids, `"head"` otherwise.
+    */
   def sync(src: Repository, dst: Store, ref: String,
            dstRef: String = null, force: Boolean = false,
-           depth: Int = Int.MaxValue): SyncSummary =
+           depth: Int = Int.MaxValue,
+           existsVia: String = "auto",
+           listExistsOver: Long = 100000L): SyncSummary =
     graft.core.Trace.span("push", "ref" -> ref) { h =>
-      val s = syncImpl(src, dst, ref, dstRef, force, depth, h)
+      val s = syncImpl(src, dst, ref, dstRef, force, depth,
+        existsVia, listExistsOver, h)
       h.set("snapshots_copied", s.snapshotsCopied.toLong)
       h.set("chunks_copied", s.chunksCopied)
       h.set("chunk_bytes_copied", s.chunkBytesCopied)
@@ -88,7 +102,10 @@ object Replicate {
 
   private def syncImpl(src: Repository, dst: Store, ref: String,
            dstRef: String, force: Boolean,
-           depth: Int, h: graft.core.Trace.Handle): SyncSummary = {
+           depth: Int, existsVia: String, listExistsOver: Long,
+           h: graft.core.Trace.Handle): SyncSummary = {
+    require(Set("auto", "head", "list").contains(existsVia),
+      s"existsVia must be auto|head|list, got '$existsVia'")
     val spark = src.spark
     // per-phase wall clocks on the push span: the r10 drift question
     // ("push 7.2→14.4 s on untouched code") was unanswerable without
@@ -172,25 +189,54 @@ object Replicate {
         .filter(col("kind") === ChunkRef.KindRef)
         .select("chunk_id").distinct()
     val (chunksCopied, bytesCopied, chunksSkipped) = {
-      val stats = chunkIds.as[String].mapPartitions { ids =>
+      val total = chunkIds.count()
+      val useList = existsVia == "list" ||
+        (existsVia == "auto" && total > listExistsOver)
+      // list mode: ONE distributed destination listing replaces
+      // per-object HEADs — the base32 id charset fans the `chunks/`
+      // namespace into 32 independent prefix pages, one executor task
+      // each, and a LEFT ANTI join leaves exactly the ids to copy
+      val toCopy =
+        if (!useList) chunkIds
+        else {
+          val dc = dstConf
+          val existing = spark.range(0, 32, 1, 32).as[Long]
+            .mapPartitions { it =>
+              val d = StoreConf.cached(dc)
+              it.flatMap { i =>
+                val c = "ABCDEFGHIJKLMNOPQRSTUVWXYZ234567".charAt(i.toInt)
+                d.list(s"chunks/$c")
+                  .iterator.map(_.key.stripPrefix("chunks/"))
+              }
+            }.toDF("chunk_id")
+          chunkIds.join(existing, Seq("chunk_id"), "left_anti")
+        }
+      val stats = toCopy.as[String].mapPartitions { ids =>
         val s = StoreConf.cached(srcConf)
         val d = StoreConf.cached(dstConf)
         var copied = 0L; var bytes = 0L; var skipped = 0L
         ids.foreach { id =>
           val key = Layout.chunkKey(id)
           // Transfer picks the zero-heap route when one exists
-          // (local→local kernel copy, s3→s3 server-side copy) and
-          // falls back to GET + atomic put-if-absent — concurrent
-          // syncs of overlapping closures stay idempotent on
-          // content-addressed objects either way
-          graft.storage.Transfer.copyIfAbsent(s, d, key) match {
+          // (local→local kernel copy, s3/gcs/azure same-endpoint
+          // server-side copy) and falls back to GET + atomic
+          // put-if-absent — concurrent syncs of overlapping closures
+          // stay idempotent on content-addressed objects either way.
+          // In list mode the anti-join already excluded present ids,
+          // so the per-object pre-check is skipped entirely.
+          graft.storage.Transfer.copyIfAbsent(s, d, key,
+              precheck = !useList) match {
             case Some(n) => copied += 1; bytes += n
             case None => skipped += 1
           }
         }
         Iterator.single((copied, bytes, skipped))
       }.collect()
-      (stats.map(_._1).sum, stats.map(_._2).sum, stats.map(_._3).sum)
+      // list mode: ids the anti-join dropped are skips too (present at
+      // the destination before this run)
+      val copied = stats.map(_._1).sum
+      (copied, stats.map(_._2).sum,
+        if (useList) total - copied else stats.map(_._3).sum)
     }
     phase("chunks")
 

@@ -854,7 +854,8 @@ private[sources] object GraftProcedures {
       case "push" => proc("push",
         Seq(p("ref", StringType), p("dst", StringType),
           pd("force", BooleanType, "false"),
-          pd("depth", IntegerType, Int.MaxValue.toString)),
+          pd("depth", IntegerType, Int.MaxValue.toString),
+          pd("exists_via", StringType, "'auto'")),
         StructType(Seq(
           StructField("snapshot_id", StringType),
           StructField("snapshots_copied", IntegerType),
@@ -865,7 +866,8 @@ private[sources] object GraftProcedures {
         val sum = graft.ops.Replicate.sync(r,
           Store.local(in.getUTF8String(1).toString),
           in.getUTF8String(0).toString, force = in.getBoolean(2),
-          depth = in.getInt(3))
+          depth = in.getInt(3),
+          existsVia = in.getUTF8String(4).toString)
         Array(new GenericInternalRow(Array[Any](str(sum.snapshotId),
           sum.snapshotsCopied, sum.chunksCopied, sum.chunkBytesCopied,
           sum.chunksSkipped)))

@@ -38,37 +38,48 @@ object Transfer {
     case x => x
   }
 
-  /** Shared shape of the service-internal copy routes: exists-skip, size
-    * via one HEAD on the source (still zero payload movement), then the
+  /** Shared shape of the service-internal copy routes: exists-skip
+    * (unless the caller already knows the key is absent), size via one
+    * HEAD on the source (still zero payload movement), then the
     * store-specific server-side call.
     */
-  private def serverSide(src: Store, dst: Store, key: String)(
+  private def serverSide(src: Store, dst: Store, key: String,
+                         precheck: Boolean)(
       copy: => Unit): Option[Long] =
-    if (dst.exists(key)) None
+    if (precheck && dst.exists(key)) None
     else {
       val size = src.stat(key).map(_.size).getOrElse(0L)
       copy
       Some(size)
     }
 
-  def copyIfAbsent(src: Store, dst: Store, key: String): Option[Long] =
+  /** `precheck = false` skips the destination existence probe — for
+    * callers that already resolved presence in bulk (e.g. push's
+    * listing anti-join), saving one HEAD per object. Semantics stay
+    * if-absent on the local and generic routes regardless (hard-link /
+    * conditional PUT are atomic); the server-side route then
+    * unconditionally copies, which is value-idempotent on
+    * content-addressed objects.
+    */
+  def copyIfAbsent(src: Store, dst: Store, key: String,
+                   precheck: Boolean = true): Option[Long] =
     (base(src), base(dst)) match {
       case (ls: LocalStore, ld: LocalStore) =>
         if (ld.transferInFrom(ls.pathOf(key), key))
           Some(java.nio.file.Files.size(ld.pathOf(key)))
         else None
       case (ss: s3.S3Store, sd: s3.S3Store) if sd.canCopyServerSide(ss) =>
-        serverSide(src, dst, key)(sd.copyFromStore(ss, key, key))
+        serverSide(src, dst, key, precheck)(sd.copyFromStore(ss, key, key))
       case (gs: gcs.GcsStore, gd: gcs.GcsStore)
           if gd.canCopyServerSide(gs) =>
-        serverSide(src, dst, key)(gd.copyFromStore(gs, key, key))
+        serverSide(src, dst, key, precheck)(gd.copyFromStore(gs, key, key))
       case (as: az.AzureStore, ad: az.AzureStore)
           if ad.canCopyServerSide(as) =>
-        serverSide(src, dst, key)(ad.copyFromStore(as, key, key))
+        serverSide(src, dst, key, precheck)(ad.copyFromStore(as, key, key))
       case _ =>
         // generic route keeps the caller's (possibly retry-wrapped)
         // stores — GET/exists stay transiently retried
-        if (dst.exists(key)) None
+        if (precheck && dst.exists(key)) None
         else {
           val payload = src.getBytes(key)
           if (dst.putIfAbsent(key, payload)) Some(payload.length.toLong)

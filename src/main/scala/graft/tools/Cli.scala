@@ -143,8 +143,11 @@ object Cli {
         case ("push", refName :: dstDir :: pushFlags) =>
           val depth = pushFlags.sliding(2).collectFirst {
             case List("--depth", n) => n.toInt }.getOrElse(Int.MaxValue)
+          val existsVia = pushFlags.sliding(2).collectFirst {
+            case List("--exists-via", m) => m }.getOrElse("auto")
           val sum = graft.ops.Replicate.sync(repo, Store.local(dstDir),
-            refName, force = pushFlags.contains("--force"), depth = depth)
+            refName, force = pushFlags.contains("--force"), depth = depth,
+            existsVia = existsVia)
           println(s"pushed $refName@${sum.snapshotId.take(12)} -> $dstDir " +
             s"(snapshots=${sum.snapshotsCopied} chunks=${sum.chunksCopied} " +
             s"bytes=${sum.chunkBytesCopied} skipped=${sum.chunksSkipped})")

@@ -228,6 +228,71 @@ class ReplicateSpec extends SparkTestBase {
     } finally server.stop()
   }
 
+  test("existsVia=list: one distributed destination listing replaces " +
+      "per-chunk HEADs; counts and contents unchanged") {
+    import graft.storage.S3StoreConf
+    val server = new graft.storage.s3.S3MemServer
+    server.createBucket("la"); server.createBucket("lb")
+    val srcStore = Store.s3(S3StoreConf(server.endpoint, "us-east-1", "la",
+      prefix = "repo", accessKey = "k", secretKey = "s"))
+    val dstStore = Store.s3(S3StoreConf(server.endpoint, "us-east-1", "lb",
+      prefix = "repo", accessKey = "k", secretKey = "s"))
+    try {
+      val src = Repository.create(srcStore, spark)
+      val s = src.writableSession("main")
+      s.addArray("/a", Seq(16), Seq(2))
+      (0 until 8).foreach(c => s.writeChunk("/a", Seq(c),
+        bigChunk((c + 1).toByte)))
+      val tip = s.commit("eight chunks")
+
+      val first = Replicate.sync(src, dstStore, "main", existsVia = "list")
+      assert(first.snapshotId == tip && first.chunksCopied == 8 &&
+        first.chunksSkipped == 0)
+
+      // incremental: one more chunk, re-push in list mode — the chunk
+      // stage must not HEAD the 8 existing chunk objects (the listing
+      // anti-join resolves presence in bulk)
+      val s2 = src.writableSession("main")
+      s2.updateArray("/a", Seq(18), Seq(2))
+      s2.writeChunk("/a", Seq(8), bigChunk(99.toByte))
+      s2.commit("ninth")
+      val second = Replicate.sync(src, dstStore, "main",
+        existsVia = "list")
+      assert(second.chunksCopied == 1 && second.chunksSkipped == 8,
+        second.toString)
+
+      val ro = Repository.open(dstStore, spark)
+        .readonlySession(VersionRef.Branch("main"))
+      (0 until 8).foreach(c =>
+        assert(ro.getChunk("/a", Seq(c)).get.head == (c + 1).toByte))
+      assert(ro.getChunk("/a", Seq(8)).get.head == 99.toByte)
+
+      // the HEAD economics, measured: a no-op re-push in each mode on
+      // identical state — head mode probes every chunk id, list mode
+      // replaces exactly those 9 probes with prefix LIST pages (the
+      // metadata-walk HEADs are common to both)
+      val h0 = server.opCount("head")
+      val headMode = Replicate.sync(src, dstStore, "main",
+        existsVia = "head")
+      val headModeHeads = server.opCount("head") - h0
+      assert(headMode.chunksCopied == 0 && headMode.chunksSkipped == 9)
+      val h1 = server.opCount("head")
+      val l0 = server.opCount("list")
+      val listMode = Replicate.sync(src, dstStore, "main",
+        existsVia = "list")
+      val listModeHeads = server.opCount("head") - h1
+      assert(listMode.chunksCopied == 0 && listMode.chunksSkipped == 9)
+      assert(headModeHeads - listModeHeads >= 9,
+        s"list mode saved only ${headModeHeads - listModeHeads} HEADs " +
+          s"(head-mode $headModeHeads, list-mode $listModeHeads)")
+      assert(server.opCount("list") > l0, "list mode never LISTed")
+
+      // auto mode at a tiny closure keeps the HEAD path (threshold)
+      val third = Replicate.sync(src, dstStore, "main")
+      assert(third.chunksCopied == 0 && third.chunksSkipped == 9)
+    } finally server.stop()
+  }
+
   test("gcs->gcs and azure->azure pushes also copy payloads server-side") {
     import graft.storage.{AzureStoreConf, GcsStoreConf}
     // GCS: two buckets behind one JSON-API endpoint
