@@ -292,13 +292,23 @@ final class Repository private (
                   solver: graft.vc.ConflictSolver =
                     graft.vc.BasicConflictSolver()): String =
     graft.core.Trace.span("merge", "src" -> src, "dst" -> dst) { h =>
-      val id = mergeBranchImpl(src, dst, message, solver)
+      val id = mergeBranchImpl(src, dst, message, solver, h)
       h.set("snapshot_id", id)
       id
     }
 
   private def mergeBranchImpl(src: String, dst: String, message: String,
-                  solver: graft.vc.ConflictSolver): String = {
+                  solver: graft.vc.ConflictSolver,
+                  h: graft.core.Trace.Handle): String = {
+    // per-phase wall clocks (same discipline as the push span): the
+    // slowest bench entries are merges, and a drift question must be
+    // answerable per phase, not per merge
+    var tPhase = System.nanoTime()
+    def phase(name: String): Unit = {
+      val now = System.nanoTime()
+      h.set(s"ms_$name", (now - tPhase) / 1000000L)
+      tPhase = now
+    }
     val dstRef = VersionRef.Branch(dst)
     val srcTip = resolveVersion(VersionRef.Branch(src))
     // Pin src to the tip resolved ONCE: every later read (ancestry, diff,
@@ -344,11 +354,15 @@ final class Repository private (
       .map(_.id)
     // (measured: persisting this relation costs more than the tx-log
     // re-reads it saves at merge-sized deltas — leave it lazy)
-    val edits = diff(VersionRef.SnapshotVer(base), srcRef)
+    // persisted: consumed by the editRows collect below AND the chunk
+    // coords filter later — each re-scan re-reads the tx-log chain
+    // (MergeTimeProbe: each redundant scan ≈ 0.3-1 s of the merge wall)
+    val edits = diff(VersionRef.SnapshotVer(base), srcRef).persist()
     // ONE driver collect serves both the node-op replay and the
     // chunk-path enumeration (each collect re-reads the tx logs)
     val editRows = edits.select("edit", "path").distinct().collect()
       .map(r => (r.getString(0), r.getString(1)))
+    phase("diff")
     val nodeEdits = editRows.filter(_._1 != EditRow.Chunk)
     if (nodeEdits.exists(_._1 == EditRow.Move))
       throw new GraftException(
@@ -403,6 +417,7 @@ final class Repository private (
         if (srcSess.node(path).isEmpty && session.node(path).isDefined)
           session.deleteNode(path)
       }
+    phase("nodes")
     // chunk edits: refs at src's tip for every touched coord, tombstones
     // where src deleted
     val chunkPaths =
@@ -425,7 +440,7 @@ final class Repository private (
     // thousands of arrays plans one job, not thousands serially. etag /
     // last_modified ride along so merged VIRTUAL refs keep their
     // freshness checksums.
-    if (stagePaths.nonEmpty) {
+    val stagedRelation = if (stagePaths.isEmpty) None else {
       val coords = edits
         .filter(col("edit") === EditRow.Chunk &&
           col("path").isin(stagePaths: _*))
@@ -438,27 +453,44 @@ final class Repository private (
         .join(srcRefs.select("path", "coord"), Seq("path", "coord"),
           "left_anti")
         .withColumn("kind", lit(ChunkRef.KindDelete))
-      session.stageChunkRefsBatch(stagePaths,
-        present.unionByName(dels, allowMissingColumns = true))
+      // persisted: staged batches are LAZY, so without this every
+      // consumer of the changeset (conflict doubles join, node-id
+      // distinct, the flush merge itself) re-runs the full src manifest
+      // scan + semi-join; the relation is delta-sized, the scan is not
+      // (MergeTimeProbe: ~2 s per redundant evaluation at 500 k refs)
+      val staged = present.unionByName(dels, allowMissingColumns = true)
+        .persist()
+      session.stageChunkRefsBatch(stagePaths, staged)
+      Some(staged)
     }
+    phase("chunks")
     // 3-way conflicts: src's edits (now the session changeset) vs dst's
     // own since-fork history — same detector as the commit rebase. No
     // first-parent common ancestor (possible only after heavy expire)
     // means nothing to classify against.
+    // persisted: the detector scans it twice (node collect + chunk semi
+    // join) and a non-trivial solver scans it again
     val theirLog = confBase
       .map(b => diff(VersionRef.SnapshotVer(b), dstRef))
       .getOrElse {
         import spark.implicits._
         spark.emptyDataset[EditRow].toDF()
-      }
-    val conflicts = graft.vc.ConflictDetector.detect(session, theirLog)
-    if (conflicts.nonEmpty) solver.solve(session, theirLog, conflicts)
-    session.mergeParent = Some(srcTip) // git's second-parent link
-    session.commit(
-      Option(message).getOrElse(s"merge $src into $dst"),
-      properties = Map("merge.source" -> src,
-        "merge.sourceSnapshot" -> srcTip, "merge.base" -> base),
-      solver = solver)
+      }.persist()
+    try {
+      val conflicts = graft.vc.ConflictDetector.detect(session, theirLog)
+      if (conflicts.nonEmpty) solver.solve(session, theirLog, conflicts)
+      phase("conflicts")
+      session.mergeParent = Some(srcTip) // git's second-parent link
+      session.commit(
+        Option(message).getOrElse(s"merge $src into $dst"),
+        properties = Map("merge.source" -> src,
+          "merge.sourceSnapshot" -> srcTip, "merge.base" -> base),
+        solver = solver)
+    } finally {
+      theirLog.unpersist(blocking = false)
+      edits.unpersist(blocking = false)
+      stagedRelation.foreach(_.unpersist(blocking = false))
+    }
   }
 
   /** Ancestry as a DataFrame ordered by commit recency. */

@@ -53,19 +53,26 @@ object ConflictDetector {
           e == EditRow.DeleteGroup => (id, p)
       }
       val ours = cs.chunkChanges(spark).select("node_id", "coord")
+      // ONE job answers both chunk questions: per touched node, how many
+      // of OUR coords they also wrote (doubles), with the groupBy keys
+      // doubling as the touched-node set. theirChunks dedupes first so a
+      // coord they edited twice cannot inflate the count (the old
+      // left_semi counted our rows once; the outer join must too).
       val theirChunks = theirLog.filter(col("edit") === EditRow.Chunk)
-      // double update: same (node, coord) written on both sides
-      val doubles = ours.join(theirChunks.select("node_id", "coord"),
-          Seq("node_id", "coord"), "left_semi")
-        .groupBy("node_id").count().collect()
-      out ++= doubles.map(r => Conflict(Conflict.ChunkDoubleUpdate,
-        "", r.getString(0), r.getLong(1)))
+        .select("node_id", "coord").distinct()
+        .withColumn("_hit", lit(1))
+      val perNode = ours.join(theirChunks, Seq("node_id", "coord"),
+          "left_outer")
+        .groupBy("node_id").agg(count(col("_hit")).as("doubles"))
+        .collect()
+      out ++= perNode.filter(_.getLong(1) > 0)
+        .map(r => Conflict(Conflict.ChunkDoubleUpdate,
+          "", r.getString(0), r.getLong(1)))
       // chunks written into arrays they deleted / updated (point-only
       // changesets know their node set driver-side — no Spark job)
       val ourChunkNodes =
         if (cs.pointOnly) cs.resolvedPointEdits.map(_.node_id).toSet
-        else ours.select("node_id").distinct()
-          .collect().map(_.getString(0)).toSet
+        else perNode.map(_.getString(0)).toSet
       out ++= chunkNodeConflicts(ourChunkNodes, theirDeleted, theirUpdated)
     }
     out.toSeq
