@@ -31,7 +31,13 @@ object Trace {
 
   final case class Span(name: String, startMillis: Long, durMicros: Long,
                         parent: Option[String], error: Option[String],
-                        attrs: Map[String, String]) {
+                        attrs: Map[String, String],
+                        // W3C-style ids assigned at span START so child
+                        // spans (which COMPLETE first) can link their
+                        // parent: 16-byte traceId shared by a nesting
+                        // tree, 8-byte spanId per span, hex-encoded
+                        traceId: String = "", spanId: String = "",
+                        parentSpanId: String = "") {
     def toJson: String = {
       def esc(s: String) =
         s.flatMap {
@@ -87,15 +93,80 @@ object Trace {
     def clear(): Unit = { buf.clear(); n.set(0) }
   }
 
+  /** OTLP/JSON file exporter — the wire-less OTLP bridge (reference
+    * #2234 ships an OTLP client; this library never assumes network
+    * egress, so it emits the SAME data as OTLP/JSON lines — one
+    * `ExportTraceServiceRequest` object per span, the framing the
+    * OpenTelemetry Collector's `otlpjsonfile` receiver ingests
+    * natively). Trace/span ids are real (16/8-byte hex, assigned at
+    * span start), so nested engine spans (commit → flush) arrive in a
+    * collector as a linked trace tree, not flat events.
+    */
+  final class OtlpJsonSink(path: String, serviceName: String = "graft")
+      extends Sink {
+    private val p = Paths.get(path)
+    Option(p.getParent).foreach(Files.createDirectories(_))
+    private def esc(s: String) = s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => "\\u%04x".format(c.toInt)
+      case c => c.toString
+    }
+    private def kv(k: String, v: String): String =
+      s"""{"key":"${esc(k)}","value":{"stringValue":"${esc(v)}"}}"""
+    def toOtlpJson(span: Span): String = {
+      val startNs = span.startMillis * 1000000L
+      val endNs = startNs + span.durMicros * 1000L
+      val attrs = span.attrs.toSeq.sortBy(_._1)
+        .map { case (k, v) => kv(k, v) }.mkString(",")
+      // OTLP status: 2 = ERROR (with message), 0 = UNSET (success)
+      val status = span.error match {
+        case Some(e) => s""""status":{"code":2,"message":"${esc(e)}"}"""
+        case None => """"status":{"code":0}"""
+      }
+      val parentField =
+        if (span.parentSpanId.isEmpty) ""
+        else s""""parentSpanId":"${span.parentSpanId}","""
+      "{\"resourceSpans\":[{\"resource\":{\"attributes\":[" +
+        kv("service.name", serviceName) + "]}," +
+        "\"scopeSpans\":[{\"scope\":{\"name\":\"graft.core.Trace\"}," +
+        "\"spans\":[{" +
+        s""""traceId":"${span.traceId}","spanId":"${span.spanId}",""" +
+        parentField +
+        s""""name":"${esc(span.name)}","kind":1,""" +
+        s""""startTimeUnixNano":"$startNs","endTimeUnixNano":"$endNs",""" +
+        s""""attributes":[$attrs],$status}]}]}]}"""
+    }
+    override def record(span: Span): Unit = synchronized {
+      Files.write(p, (toOtlpJson(span) + "\n").getBytes(UTF_8),
+        StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+    }
+  }
+
+  /** Fan a span stream to several sinks (e.g. JSON lines for humans +
+    * OTLP/JSON for a collector).
+    */
+  final class TeeSink(sinks: Sink*) extends Sink {
+    override def record(span: Span): Unit = sinks.foreach(_.record(span))
+  }
+
   @volatile private var sink: Option[Sink] = None
-  private val stack = new ThreadLocal[List[String]] {
-    override def initialValue(): List[String] = Nil
+  // (name, traceId, spanId) per open span, innermost first
+  private val stack = new ThreadLocal[List[(String, String, String)]] {
+    override def initialValue(): List[(String, String, String)] = Nil
+  }
+  private val idRng = new java.security.SecureRandom()
+  private def hexId(nBytes: Int): String = {
+    val b = new Array[Byte](nBytes)
+    idRng.synchronized(idRng.nextBytes(b))
+    b.map(x => f"$x%02x").mkString
   }
 
   def enabled: Boolean = sink.isDefined
   def enable(s: Sink): Unit = sink = Some(s)
   def disable(): Unit = sink = None
   def toJsonLines(path: String): Unit = enable(new JsonLinesSink(path))
+  def toOtlpJson(path: String): Unit = enable(new OtlpJsonSink(path))
   def toMemory(): MemorySink = {
     val m = new MemorySink(); enable(m); m
   }
@@ -120,7 +191,11 @@ object Trace {
         val h = new Handle
         attrs.foreach { case (k, v) => h.m.put(k, v) }
         val parent = stack.get().headOption
-        stack.set(name :: stack.get())
+        // ids at START: children complete (and record) before parents,
+        // so the linkage must exist before the child's record call
+        val traceId = parent.map(_._2).getOrElse(hexId(16))
+        val spanId = hexId(8)
+        stack.set((name, traceId, spanId) :: stack.get())
         val startMs = System.currentTimeMillis()
         val t0 = System.nanoTime()
         var error: Option[String] = None
@@ -132,7 +207,8 @@ object Trace {
         } finally {
           stack.set(stack.get().tail)
           s.record(Span(name, startMs, (System.nanoTime() - t0) / 1000L,
-            parent, error, h.m.toMap))
+            parent.map(_._1), error, h.m.toMap,
+            traceId, spanId, parent.map(_._3).getOrElse("")))
         }
     }
 }

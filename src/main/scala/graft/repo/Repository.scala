@@ -660,13 +660,25 @@ object Repository {
   def exists(store: Store): Boolean = new RepoPointer(store).latestGen() >= 0
 
   /** Opt-in tracing via Spark conf: `spark.graft.trace.path` enables the
-    * JSON-lines span sink once per process (first create/open wins; an
-    * already-enabled sink — e.g. a spec's MemorySink — is respected).
+    * JSON-lines span sink, `spark.graft.trace.otlpPath` the OTLP/JSON
+    * file exporter (both set → tee), once per process (first create/open
+    * wins; an already-enabled sink — e.g. a spec's MemorySink — is
+    * respected).
     */
   private def maybeEnableTrace(spark: SparkSession): Unit =
-    if (!graft.core.Trace.enabled)
-      spark.conf.getOption("spark.graft.trace.path")
-        .foreach(graft.core.Trace.toJsonLines)
+    if (!graft.core.Trace.enabled) {
+      val sinks = Seq(
+        spark.conf.getOption("spark.graft.trace.path")
+          .map(new graft.core.Trace.JsonLinesSink(_)),
+        spark.conf.getOption("spark.graft.trace.otlpPath")
+          .map(new graft.core.Trace.OtlpJsonSink(_))).flatten
+      sinks match {
+        case Nil => ()
+        case Seq(one) => graft.core.Trace.enable(one)
+        case many => graft.core.Trace.enable(
+          new graft.core.Trace.TeeSink(many: _*))
+      }
+    }
 
   def create(store: Store, spark: SparkSession,
              config: GraftConfig = GraftConfig(),

@@ -107,4 +107,66 @@ class TraceSpec extends SparkTestBase {
       assert(lines.forall(_.startsWith("{")))
     } finally Trace.disable()
   }
+
+  test("OTLP/JSON file exporter: linked trace tree a collector ingests") {
+    val path = tmpDir("trace-otlp") + "/spans.otlp.jsonl"
+    Trace.toOtlpJson(path)
+    try {
+      // a real nested engine operation (commit → flush) plus an error span
+      val dir = tmpDir("trace-repo3")
+      val repo = Repository.create(Store.local(dir), spark)
+      val s = repo.writableSession("main")
+      s.addGroup("/g")
+      s.commit("otlp-traced")
+      intercept[RuntimeException](
+        Trace.span("unit.failing")(_ => throw new RuntimeException("boom")))
+
+      val om = new com.fasterxml.jackson.databind.ObjectMapper()
+      val lines = scala.io.Source.fromFile(path).getLines().toVector
+      assert(lines.nonEmpty)
+      // every line is one ExportTraceServiceRequest-shaped object — the
+      // framing the collector's otlpjsonfile receiver reads natively
+      val spans = lines.map { l =>
+        val root = om.readTree(l)
+        val rs = root.get("resourceSpans")
+        assert(rs != null && rs.isArray && rs.size() == 1, l.take(200))
+        val res = rs.get(0).get("resource").get("attributes").get(0)
+        assert(res.get("key").asText() == "service.name" &&
+          res.get("value").get("stringValue").asText() == "graft")
+        val sp = rs.get(0).get("scopeSpans").get(0).get("spans").get(0)
+        sp
+      }
+      // ids: 16-byte traceId / 8-byte spanId, hex
+      spans.foreach { sp =>
+        assert(sp.get("traceId").asText().matches("[0-9a-f]{32}"))
+        assert(sp.get("spanId").asText().matches("[0-9a-f]{16}"))
+        val t0 = sp.get("startTimeUnixNano").asText().toLong
+        val t1 = sp.get("endTimeUnixNano").asText().toLong
+        assert(t1 >= t0)
+      }
+      // linkage: flush is commit's child — same traceId, parentSpanId =
+      // commit's spanId (ids assigned at span START so this works even
+      // though the child RECORDS first)
+      val byName = spans.groupBy(_.get("name").asText())
+      val commit = byName("commit").head
+      val flush = byName("flush").head
+      assert(flush.get("traceId").asText() == commit.get("traceId").asText())
+      assert(flush.get("parentSpanId").asText() ==
+        commit.get("spanId").asText())
+      assert(commit.get("parentSpanId") == null) // root span
+      // attributes survive as OTLP KeyValue pairs
+      import scala.jdk.CollectionConverters._
+      val commitAttrs = commit.get("attributes").elements().asScala
+        .map(a => a.get("key").asText() ->
+          a.get("value").get("stringValue").asText()).toMap
+      assert(commitAttrs.get("branch").contains("main"))
+      assert(commitAttrs.contains("snapshot_id"))
+      // error mapping: OTLP status code 2 + message; success = 0
+      val failing = byName("unit.failing").head
+      assert(failing.get("status").get("code").asInt() == 2)
+      assert(failing.get("status").get("message").asText()
+        .contains("boom"))
+      assert(commit.get("status").get("code").asInt() == 0)
+    } finally Trace.disable()
+  }
 }
