@@ -28,8 +28,9 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Queries.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omitted for hash-function-specific ops
-    * (minhash/simhash/fingerprint/ANN) → rows-only check.
+    * the same parquet tables — since round 11 EVERY query has one (the
+    * RNG-seeded/iterative/codec ops through invariant-audit or
+    * contract-replay oracles; see [[Oracles]]).
     */
   def oracleSql: Map[String, String] = Oracles.all
 }

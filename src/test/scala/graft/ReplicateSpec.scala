@@ -345,6 +345,45 @@ class ReplicateSpec extends SparkTestBase {
     }
   }
 
+  test("Transfer conformance: every backend pair copies, skips, and " +
+      "round-trips bytes") {
+    import graft.storage.{AzureStoreConf, GcsStoreConf, S3StoreConf}
+    val s3 = new graft.storage.s3.S3MemServer
+    val gcs = new graft.storage.gcs.GcsMemServer
+    val az = new graft.storage.az.AzureMemServer
+    s3.createBucket("t"); gcs.createBucket("t"); az.createContainer("t")
+    try {
+      // one store per backend family; pairs cover kernel-copy,
+      // server-side (same endpoint would need two buckets — covered by
+      // the push tests), and every generic cross-backend fallback
+      val stores = Seq(
+        "local" -> Store.local(tmpDir("tc-local")),
+        "s3" -> Store.s3(S3StoreConf(s3.endpoint, "us-east-1", "t",
+          prefix = "a", accessKey = "k", secretKey = "s")),
+        "gcs" -> GcsStoreConf(gcs.endpoint, "t", prefix = "g",
+          bearerToken = "t").open(),
+        "az" -> AzureStoreConf(az.endpoint, "acct", "t",
+          prefix = "z").open())
+      val payload = Array.tabulate(3000)(i => (i * 31).toByte)
+      for ((sn, src) <- stores; (dn, dst) <- stores if sn != dn) {
+        val key = s"chunks/X$sn$dn"
+        src.putBytes(key, payload)
+        assert(graft.storage.Transfer.copyIfAbsent(src, dst, key)
+          .contains(payload.length.toLong), s"$sn->$dn copy")
+        assert(java.util.Arrays.equals(dst.getBytes(key), payload),
+          s"$sn->$dn bytes")
+        assert(graft.storage.Transfer.copyIfAbsent(src, dst, key).isEmpty,
+          s"$sn->$dn re-copy must skip")
+        // precheck=false keeps if-absent semantics on the generic route
+        // (atomic conditional put) — never a corrupting overwrite
+        graft.storage.Transfer.copyIfAbsent(src, dst, key,
+          precheck = false)
+        assert(java.util.Arrays.equals(dst.getBytes(key), payload),
+          s"$sn->$dn precheck=false bytes")
+      }
+    } finally { s3.stop(); gcs.stop(); az.stop() }
+  }
+
   test("Transfer.copyIfAbsent: local kernel route honors if-absent + size") {
     val a = Store.local(tmpDir("tr-a"))
     val b = Store.local(tmpDir("tr-b"))
