@@ -108,6 +108,29 @@ class TraceSpec extends SparkTestBase {
     } finally Trace.disable()
   }
 
+  test("both trace confs set: spans tee to the JSON-lines AND OTLP files") {
+    val base = tmpDir("trace-tee")
+    val human = s"$base/spans.jsonl"
+    val otlp = s"$base/spans.otlp.jsonl"
+    spark.conf.set("spark.graft.trace.path", human)
+    spark.conf.set("spark.graft.trace.otlpPath", otlp)
+    try {
+      val repo = Repository.create(Store.local(tmpDir("trace-repo4")), spark)
+      val s = repo.writableSession("main")
+      s.addGroup("/g")
+      s.commit("teed")
+      val humanLines = scala.io.Source.fromFile(human).getLines().toSeq
+      val otlpLines = scala.io.Source.fromFile(otlp).getLines().toSeq
+      assert(humanLines.exists(_.contains("\"name\":\"commit\"")))
+      assert(otlpLines.exists(_.contains("\"name\":\"commit\"")))
+      assert(otlpLines.forall(_.startsWith("{\"resourceSpans\"")))
+    } finally {
+      Trace.disable()
+      spark.conf.unset("spark.graft.trace.path")
+      spark.conf.unset("spark.graft.trace.otlpPath")
+    }
+  }
+
   test("OTLP/JSON file exporter: linked trace tree a collector ingests") {
     val path = tmpDir("trace-otlp") + "/spans.otlp.jsonl"
     Trace.toOtlpJson(path)
