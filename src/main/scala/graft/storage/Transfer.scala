@@ -38,10 +38,31 @@ object Transfer {
     case x => x
   }
 
+  /** The fast paths dispatch on UNWRAPPED stores, so they sit outside
+    * [[RetryingStore]]'s transient-failure veneer — re-add it here: a
+    * server-side copy of a content-addressed object is idempotent, so a
+    * blind retry after a 5xx/reset is always safe (the old GET+PUT path
+    * was retried; losing that on the faster route would trade
+    * robustness for speed).
+    */
+  private[graft] def retryTransient[A](body: => A): A = {
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      try return body
+      catch {
+        case t: Throwable
+            if attempt < 5 && RetryingStore.defaultTransient(t) =>
+          Thread.sleep(20L * (1L << math.min(attempt - 1, 6)))
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   /** Shared shape of the service-internal copy routes: exists-skip
     * (unless the caller already knows the key is absent), size via one
     * HEAD on the source (still zero payload movement), then the
-    * store-specific server-side call.
+    * store-specific server-side call (transient-retried).
     */
   private def serverSide(src: Store, dst: Store, key: String,
                          precheck: Boolean)(
@@ -49,7 +70,7 @@ object Transfer {
     if (precheck && dst.exists(key)) None
     else {
       val size = src.stat(key).map(_.size).getOrElse(0L)
-      copy
+      retryTransient(copy)
       Some(size)
     }
 

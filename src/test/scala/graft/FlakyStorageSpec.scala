@@ -101,4 +101,25 @@ class FlakyStorageSpec extends SparkTestBase {
     assert(repo.readonlySession(VersionRef.Branch("main"))
       .getChunk("/a", Seq(0)).get.toSeq == Seq(7.toByte))
   }
+
+  test("Transfer's server-side copy route retries transient failures") {
+    // the fast paths dispatch on unwrapped stores (outside
+    // RetryingStore), so Transfer carries its own transient retry — a
+    // copy that 5xx's twice must land on the third try, and a
+    // non-transient failure must NOT be retried
+    var calls = 0
+    graft.storage.Transfer.retryTransient {
+      calls += 1
+      if (calls < 3)
+        throw new graft.storage.TransientStorageException("injected 503")
+    }
+    assert(calls == 3)
+    var hard = 0
+    intercept[IllegalArgumentException](
+      graft.storage.Transfer.retryTransient {
+        hard += 1
+        throw new IllegalArgumentException("not transient")
+      })
+    assert(hard == 1)
+  }
 }
