@@ -194,7 +194,12 @@ object Bench {
     // or quote must not invalidate the whole line's JSON
     val qs = results.map { case (k, v) => jstr(k) + ":" + jnum(v) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    // the calibration probe measures the BOX, not the engine — it rides
+    // the line for triage but must not skew cross-round total comparisons
+    val total =
+      if (results.nonEmpty)
+        results.collect { case (k, v) if k != "engine_calib" => v }.sum
+      else 0.0
     // a pile of error strings must not push the line past the 2000-char
     // tail budget: keep the first two verbatim (negative per-entry times
     // already flag WHICH entries failed), summarize the rest

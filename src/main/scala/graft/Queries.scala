@@ -607,18 +607,25 @@ object Queries {
     * side. The exact side exists only to audit at test scale — at
     * 100 TB one runs the approximate path alone.
     */
-  private def annAudit(exact: DataFrame, approx: DataFrame,
-                       margin: Double, okCol: String): DataFrame = {
+  private[graft] def annAudit(exact: DataFrame, approx: DataFrame,
+                              margin: Double, okCol: String): DataFrame = {
     val byScore = Window.orderBy(col("cos").desc, col("vec_id"))
     val exactR = exact.withColumn("rank", row_number().over(byScore))
     val approxR = approx
       .withColumn("rank", row_number().over(byScore))
       .select(col("rank"), col("cos").as("_acos"))
     val hits = approx.select(col("vec_id"), lit(true).as("_hit"))
+    // missing `_acos` (the approximate path returned FEWER rows than the
+    // exact top-k) counts as NOT sound: the single-query paths (sign-LSH
+    // multi-probe, IVF nprobe, PQ re-scoring) deterministically fill k
+    // on the gate fixtures (AnnAuditProbe: n_approx=20 at sf0.001 and
+    // sf0.01 for all three), so a short result is a regression, not an
+    // unlucky sample — a coalesce-to-true here would let a truncated
+    // approximate relation pass rank-domination vacuously.
     exactR.join(approxR, Seq("rank"), "left")
       .join(hits, Seq("vec_id"), "left")
       .select(col("rank"), col("vec_id"), col("cos"),
-        coalesce(col("_acos") <= col("cos"), lit(true)).as("sound"),
+        coalesce(col("_acos") <= col("cos"), lit(false)).as("sound"),
         (coalesce(col("_hit"), lit(false)) || col("cos") < lit(margin))
           .as(okCol))
       .orderBy("rank")
@@ -656,6 +663,16 @@ object Queries {
     val lshR = lsh.select(col("id_a"), col("rank"),
       col("cos").as("_acos"))
     val hits = lsh.select(col("id_a"), col("id_b"), lit(true).as("_hit"))
+    // per-vector results may LEGITIMATELY be short (a vector whose LSH
+    // buckets hold < 5 mates has < 5 rows — ~50 such vectors on each
+    // gate fixture), so a missing `_acos` cannot flip `sound` here the
+    // way annAudit's does. The null case is still non-vacuous: `_acos`
+    // null at rank r means the vector has < r approximate rows, and if
+    // exact cos at rank r ≥ 0.6 then ranks 1..r are ALL ≥ 0.6 (sorted),
+    // so `ann_ok` forces r hits for this vector — contradiction. A
+    // truncated approximate relation therefore fails `ann_ok` on any
+    // strong rank it vacates; only sub-margin tails (which the audit
+    // design explicitly tolerates missing) coalesce to true.
     exact.join(lshR, Seq("id_a", "rank"), "left")
       .join(hits, Seq("id_a", "id_b"), "left")
       .select(col("id_a"), col("id_b"), col("rank"), col("cos"),

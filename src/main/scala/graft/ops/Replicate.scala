@@ -78,13 +78,20 @@ object Replicate {
   /** `existsVia` picks how the chunk stage decides "already there":
     *  - `"head"` — one HEAD per chunk id (the steady-state incremental
     *    cost; right when the closure is small);
-    *  - `"list"` — ONE distributed destination listing (32 parallel
-    *    prefix pages over the base32 id charset) anti-joined against
-    *    the closure, then copies run with NO per-object pre-check. At
-    *    a 100 M-chunk closure this is ~100 k LIST pages instead of
-    *    100 M HEADs — the GC reachability pattern applied to push;
+    *  - `"list"` — ONE distributed destination listing (1,024 parallel
+    *    two-character base32 prefix slices of the `chunks/` namespace)
+    *    anti-joined against the closure, then copies run with NO
+    *    per-object pre-check. At a 100 M-chunk closure this is ~100 k
+    *    LIST pages spread over 1,024 independent tasks (~100 sequential
+    *    pages each) instead of 100 M HEADs — the GC reachability
+    *    pattern applied to push;
     *  - `"auto"` (default) — `"list"` when the closure exceeds
-    *    `listExistsOver` ids, `"head"` otherwise.
+    *    `listExistsOver` ids, `"head"` otherwise. NOTE: list mode's
+    *    cost scales with the DESTINATION namespace, not the closure —
+    *    `auto` keys on closure size only, so a large closure pushed
+    *    into a much larger shared destination lists that whole
+    *    namespace; pass `existsVia = "head"` explicitly when the
+    *    destination dwarfs the closure.
     */
   def sync(src: Repository, dst: Store, ref: String,
            dstRef: String = null, force: Boolean = false,
@@ -193,19 +200,27 @@ object Replicate {
       val useList = existsVia == "list" ||
         (existsVia == "auto" && total > listExistsOver)
       // list mode: ONE distributed destination listing replaces
-      // per-object HEADs — the base32 id charset fans the `chunks/`
-      // namespace into 32 independent prefix pages, one executor task
-      // each, and a LEFT ANTI join leaves exactly the ids to copy
+      // per-object HEADs — two characters of the base32 id charset fan
+      // the `chunks/` namespace into 1,024 independent prefix slices
+      // (each its own paged LIST stream, so a 100 M-object destination
+      // pages ~100 sequential LIST calls per task instead of ~3,000 at
+      // the old 32-way fan-out), and a LEFT ANTI join leaves exactly
+      // the ids to copy. Partition count is capped at the cluster's
+      // parallelism — 1,024 slices stay 1,024 units of work either way.
       val toCopy =
         if (!useList) chunkIds
         else {
           val dc = dstConf
-          val existing = spark.range(0, 32, 1, 32).as[Long]
+          val alpha = "ABCDEFGHIJKLMNOPQRSTUVWXYZ234567"
+          val parts = math.min(1024,
+            math.max(1, spark.sparkContext.defaultParallelism * 2))
+          val existing = spark.range(0, 1024, 1, parts).as[Long]
             .mapPartitions { it =>
               val d = StoreConf.cached(dc)
               it.flatMap { i =>
-                val c = "ABCDEFGHIJKLMNOPQRSTUVWXYZ234567".charAt(i.toInt)
-                d.list(s"chunks/$c")
+                val c1 = alpha.charAt((i >> 5).toInt)
+                val c2 = alpha.charAt((i & 31).toInt)
+                d.list(s"chunks/$c1$c2")
                   .iterator.map(_.key.stripPrefix("chunks/"))
               }
             }.toDF("chunk_id")

@@ -358,6 +358,13 @@ final class Repository private (
     // coords filter later — each re-scan re-reads the tx-log chain
     // (MergeTimeProbe: each redundant scan ≈ 0.3-1 s of the merge wall)
     val edits = diff(VersionRef.SnapshotVer(base), srcRef).persist()
+    // any exception below — unsupported moves, staging failures,
+    // detector errors — must not leak the cached relations for the
+    // session's lifetime: ONE finally covers all three from the moment
+    // each persists (vars so the finally sees whatever got that far)
+    var stagedRelation: Option[DataFrame] = None
+    var theirLog: Option[DataFrame] = None
+    try {
     // ONE driver collect serves both the node-op replay and the
     // chunk-path enumeration (each collect re-reads the tx logs)
     val editRows = edits.select("edit", "path").distinct().collect()
@@ -440,7 +447,7 @@ final class Repository private (
     // thousands of arrays plans one job, not thousands serially. etag /
     // last_modified ride along so merged VIRTUAL refs keep their
     // freshness checksums.
-    val stagedRelation = if (stagePaths.isEmpty) None else {
+    stagedRelation = if (stagePaths.isEmpty) None else {
       val coords = edits
         .filter(col("edit") === EditRow.Chunk &&
           col("path").isin(stagePaths: _*))
@@ -470,24 +477,24 @@ final class Repository private (
     // means nothing to classify against.
     // persisted: the detector scans it twice (node collect + chunk semi
     // join) and a non-trivial solver scans it again
-    val theirLog = confBase
+    val theirLogDf = confBase
       .map(b => diff(VersionRef.SnapshotVer(b), dstRef))
       .getOrElse {
         import spark.implicits._
         spark.emptyDataset[EditRow].toDF()
       }.persist()
-    try {
-      val conflicts = graft.vc.ConflictDetector.detect(session, theirLog)
-      if (conflicts.nonEmpty) solver.solve(session, theirLog, conflicts)
-      phase("conflicts")
-      session.mergeParent = Some(srcTip) // git's second-parent link
-      session.commit(
-        Option(message).getOrElse(s"merge $src into $dst"),
-        properties = Map("merge.source" -> src,
-          "merge.sourceSnapshot" -> srcTip, "merge.base" -> base),
-        solver = solver)
+    theirLog = Some(theirLogDf)
+    val conflicts = graft.vc.ConflictDetector.detect(session, theirLogDf)
+    if (conflicts.nonEmpty) solver.solve(session, theirLogDf, conflicts)
+    phase("conflicts")
+    session.mergeParent = Some(srcTip) // git's second-parent link
+    session.commit(
+      Option(message).getOrElse(s"merge $src into $dst"),
+      properties = Map("merge.source" -> src,
+        "merge.sourceSnapshot" -> srcTip, "merge.base" -> base),
+      solver = solver)
     } finally {
-      theirLog.unpersist(blocking = false)
+      theirLog.foreach(_.unpersist(blocking = false))
       edits.unpersist(blocking = false)
       stagedRelation.foreach(_.unpersist(blocking = false))
     }

@@ -161,6 +161,10 @@ final case class S3StoreConf(
     secretKey: String = "",
     multipartThresholdBytes: Long = 64L * 1024 * 1024,
     multipartPartBytes: Long = 32L * 1024 * 1024,
+    // single CopyObject is capped by the service at 5 GiB — larger
+    // objects route through multipart UploadPartCopy (still
+    // service-internal, zero payload bytes through the client)
+    copyMaxBytes: Long = 5L * 1024 * 1024 * 1024,
     // attached to EVERY request (reference s3_storage(headers=...),
     // #2246) — proxy keys, requester-pays markers, etc.; `x-amz-*`
     // entries participate in SigV4 signing
@@ -392,9 +396,35 @@ final class LocalStore(val root: Path) extends Store {
   }
 
   override def list(prefix: String): Seq[ObjectInfo] = {
-    val base = p(prefix)
-    if (!Files.exists(base)) return Nil
-    walked(base)
+    // object-store prefix semantics, like [[listPage]]: a prefix that is
+    // half a filename (e.g. "chunks/A" — push's listing fan-out) has no
+    // directory to walk. Rather than walking the whole parent and
+    // filtering (which would make an N-way prefix fan-out cost N full
+    // walks), walk only the parent's direct children whose NAME matches
+    // the partial segment — cost stays proportional to the matching
+    // subtree, so 1,024 concurrent prefix tasks over one flat directory
+    // each touch only their own slice.
+    val cand = p(prefix)
+    if (Files.isDirectory(cand)) return walked(cand)
+    val base = cand.getParent
+    if (base == null || !Files.isDirectory(base)) return Nil
+    val namePrefix = cand.getFileName.toString
+    val kids = Files.list(base)
+    val matching =
+      try kids.iterator().asScala
+        .filter(_.getFileName.toString.startsWith(namePrefix)).toVector
+      finally kids.close()
+    matching.flatMap { child =>
+      try {
+        if (Files.isDirectory(child)) walked(child)
+        else if (Files.isRegularFile(child))
+          Seq(ObjectInfo(root.relativize(child).toString.replace('\\', '/'),
+            Files.size(child), Files.getLastModifiedTime(child).toMillis))
+        else Nil
+      } catch { // raced a concurrent delete of this child — it's gone
+        case _: java.nio.file.NoSuchFileException => Nil
+      }
+    }.filter(o => o.key.startsWith(prefix) && !isTmpKey(o.key))
   }
 
   override def listPage(prefix: String, startAfter: Option[String],

@@ -66,11 +66,11 @@ object Transfer {
     */
   private def serverSide(src: Store, dst: Store, key: String,
                          precheck: Boolean)(
-      copy: => Unit): Option[Long] =
+      copy: Long => Unit): Option[Long] =
     if (precheck && dst.exists(key)) None
     else {
       val size = src.stat(key).map(_.size).getOrElse(0L)
-      retryTransient(copy)
+      retryTransient(copy(size))
       Some(size)
     }
 
@@ -90,13 +90,16 @@ object Transfer {
           Some(java.nio.file.Files.size(ld.pathOf(key)))
         else None
       case (ss: s3.S3Store, sd: s3.S3Store) if sd.canCopyServerSide(ss) =>
-        serverSide(src, dst, key, precheck)(sd.copyFromStore(ss, key, key))
+        serverSide(src, dst, key, precheck)(sz =>
+          sd.copyFromStore(ss, key, key, sz))
       case (gs: gcs.GcsStore, gd: gcs.GcsStore)
           if gd.canCopyServerSide(gs) =>
-        serverSide(src, dst, key, precheck)(gd.copyFromStore(gs, key, key))
+        serverSide(src, dst, key, precheck)(_ =>
+          gd.copyFromStore(gs, key, key))
       case (as: az.AzureStore, ad: az.AzureStore)
           if ad.canCopyServerSide(as) =>
-        serverSide(src, dst, key, precheck)(ad.copyFromStore(as, key, key))
+        serverSide(src, dst, key, precheck)(_ =>
+          ad.copyFromStore(as, key, key))
       case _ =>
         // generic route keeps the caller's (possibly retry-wrapped)
         // stores — GET/exists stay transiently retried

@@ -33,6 +33,10 @@ final class AzureMemServer(requiredHeader: Option[(String, String)] = None) {
     new ConcurrentHashMap[(String, String, String), Array[Byte]]()
   val opCounts = new ConcurrentHashMap[String,
     java.util.concurrent.atomic.AtomicLong]()
+  /** While > 0, each Copy Blob responds 202 `x-ms-copy-status: pending`
+    * without copying — the async-copy hazard the client must detect.
+    */
+  @volatile var asyncPendingCopies: Int = 0
 
   private val server = HttpServer.create(
     new InetSocketAddress("127.0.0.1", 0), 64)
@@ -158,6 +162,20 @@ final class AzureMemServer(requiredHeader: Option[(String, String)] = None) {
     count("put")
     val copySource = Option(
       ex.getRequestHeaders.getFirst("x-ms-copy-source"))
+    // fault injection: real Copy Blob is ASYNC by default — while armed,
+    // respond 202 x-ms-copy-status: pending WITHOUT copying (the
+    // scheduled copy "hasn't finished"), the exact hazard the client's
+    // x-ms-requires-sync + status check must catch. A client that sends
+    // requires-sync and verifies the status never treats this as done.
+    if (copySource.isDefined && asyncPendingCopies > 0) synchronized {
+      if (asyncPendingCopies > 0) {
+        asyncPendingCopies -= 1
+        count("copy_pending")
+        ex.getResponseHeaders.set("x-ms-copy-status", "pending")
+        respond(ex, 202, Array.empty)
+        return
+      }
+    }
     val bytes = copySource match {
       case Some(src) =>
         count("copy")

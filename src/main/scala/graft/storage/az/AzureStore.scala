@@ -220,10 +220,32 @@ final class AzureStore(val azConf: AzureStoreConf) extends Store {
   override def copy(srcKey: String, dstKey: String): Unit = {
     val src = endpoint.stripSuffix("/") + "/" + container + "/" +
       encPath(fullKey(srcKey))
+    copyBlob("COPY", s"$srcKey -> $dstKey", dstKey, withSas(src))
+  }
+
+  /** Copy Blob is ASYNCHRONOUS by default: a 202 means "copy scheduled"
+    * (`x-ms-copy-status: pending`), not "copy done" — treating it as
+    * done would let a push land its pointer while chunk blobs are still
+    * copying, and a reader of the replica could observe a ref to a blob
+    * that isn't there yet. `x-ms-requires-sync: true` forces the
+    * synchronous path (supported for intra-account block-blob copies —
+    * exactly the [[canCopyServerSide]] gate), and the response status
+    * must confirm `success`; anything else fails loudly instead of
+    * reporting a copy that may not have happened.
+    */
+  private def copyBlob(op: String, what: String, dstKey: String,
+                       copySource: String): Unit = {
     val r = send("PUT", blobUri(dstKey), Array.emptyByteArray,
-      Map("x-ms-copy-source" -> withSas(src)))
+      Map("x-ms-copy-source" -> copySource,
+        "x-ms-requires-sync" -> "true"))
     if (r.statusCode() != 202 && r.statusCode() != 201 &&
-        r.statusCode() != 200) failed("COPY", s"$srcKey -> $dstKey", r)
+        r.statusCode() != 200) failed(op, what, r)
+    val status = Option(
+      r.headers().firstValue("x-ms-copy-status").orElse(null))
+    if (!status.forall(_ == "success"))
+      throw new graft.storage.TransientStorageException(
+        s"$op $what: copy not synchronous (x-ms-copy-status: " +
+          s"${status.getOrElse("?")}) — requires-sync was not honored")
   }
 
   /** Whether [[copyFromStore]] can replicate from `src` without moving
@@ -242,11 +264,8 @@ final class AzureStore(val azConf: AzureStoreConf) extends Store {
                     dstKey: String): Unit = {
     val srcUrl = src.azConf.endpoint.stripSuffix("/") + "/" +
       src.azConf.container + "/" + src.encPath(src.fullKey(srcKey))
-    val r = send("PUT", blobUri(dstKey), Array.emptyByteArray,
-      Map("x-ms-copy-source" -> src.withSas(srcUrl)))
-    if (r.statusCode() != 202 && r.statusCode() != 201 &&
-        r.statusCode() != 200)
-      failed("COPY(cross)", s"$srcKey -> $dstKey", r)
+    copyBlob("COPY(cross)", s"$srcKey -> $dstKey", dstKey,
+      src.withSas(srcUrl))
   }
 
   // ---- listing ----

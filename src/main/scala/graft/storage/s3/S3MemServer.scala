@@ -180,11 +180,12 @@ final class S3MemServer(requiredHeader: Option[(String, String)] = None) {
       }
     } else objects.put(key, obj)
     ex.getResponseHeaders.set("ETag", obj.etag)
-    if (copySource.isDefined)
+    if (copySource.isDefined) {
+      if (maybeSlowCopyError(ex)) return
       respond(ex, 200,
         ("<CopyObjectResult><ETag>" + obj.etag +
           "</ETag></CopyObjectResult>").getBytes(UTF_8))
-    else respond(ex, 200, Array.empty)
+    } else respond(ex, 200, Array.empty)
   }
 
   private def listObjects(ex: HttpExchange,
@@ -248,12 +249,67 @@ final class S3MemServer(requiredHeader: Option[(String, String)] = None) {
     if (parts == null) {
       respond(ex, 404, xmlError("NoSuchUpload", q("uploadId"))); return
     }
-    val bytes = ex.getRequestBody.readAllBytes()
+    // UploadPartCopy: the part body comes from another object
+    // (x-amz-copy-source + optional x-amz-copy-source-range), and —
+    // like CopyObject — the result ETag rides the response BODY as
+    // <CopyPartResult>, not a header
+    val copySource = Option(
+      ex.getRequestHeaders.getFirst("x-amz-copy-source"))
+    val bytes = copySource match {
+      case Some(src) =>
+        count("copy_part")
+        val p = decodeSegment(src.stripPrefix("/"))
+        val (b, k) = p.span(_ != '/')
+        Option(buckets.get(b)).flatMap(m =>
+            Option(m.get(k.stripPrefix("/")))) match {
+          case None => respond(ex, 404, xmlError("NoSuchKey", src)); return
+          case Some(o) =>
+            Option(ex.getRequestHeaders
+                .getFirst("x-amz-copy-source-range")) match {
+              case Some(r) if r.startsWith("bytes=") =>
+                val spec = r.stripPrefix("bytes=")
+                val (fromS, toS) = spec.span(_ != '-')
+                val from = fromS.toLong
+                val to = math.min(toS.stripPrefix("-").toLong,
+                  o.bytes.length - 1L)
+                java.util.Arrays.copyOfRange(o.bytes, from.toInt,
+                  to.toInt + 1)
+              case _ => o.bytes
+            }
+        }
+      case None => ex.getRequestBody.readAllBytes()
+    }
     parts.put(q("partNumber").toInt, bytes)
-    ex.getResponseHeaders.set("ETag",
-      "\"" + SigV4.sha256Hex(bytes).take(32) + "\"")
-    respond(ex, 200, Array.empty)
+    val etag = "\"" + SigV4.sha256Hex(bytes).take(32) + "\""
+    if (copySource.isDefined) {
+      if (maybeSlowCopyError(ex)) return
+      respond(ex, 200,
+        (s"<CopyPartResult><ETag>$etag</ETag></CopyPartResult>")
+          .getBytes(UTF_8))
+    } else {
+      ex.getResponseHeaders.set("ETag", etag)
+      respond(ex, 200, Array.empty)
+    }
   }
+
+  /** Fault injection for the documented CopyObject quirk: a long copy
+    * can return HTTP 200 whose body is an `<Error>` (the service
+    * commits the status line before the copy finishes). While armed,
+    * each copy response is the quirk instead of the result — the client
+    * MUST read the body to notice.
+    */
+  @volatile var slowCopyErrors: Int = 0
+  private def maybeSlowCopyError(ex: HttpExchange): Boolean =
+    synchronized {
+      if (slowCopyErrors <= 0) false
+      else {
+        slowCopyErrors -= 1
+        count("copy_200_error")
+        respond(ex, 200, xmlError("InternalError",
+          "copy failed after response start"))
+        true
+      }
+    }
 
   private def completeUpload(ex: HttpExchange,
                              objects: java.util.Map[String, Obj],

@@ -194,11 +194,31 @@ final class S3Store(val s3conf: S3StoreConf) extends Store {
     }
   }
 
-  override def copy(srcKey: String, dstKey: String): Unit = {
-    val r = send("PUT", objectUri(dstKey), null,
-      Map("x-amz-copy-source" -> ("/" + bucket + "/" +
-        encPath(fullKey(srcKey)))))
-    if (r.statusCode() != 200) failed("COPY", s"$srcKey -> $dstKey", r)
+  override def copy(srcKey: String, dstKey: String): Unit =
+    copyFromStore(this, srcKey, dstKey)
+
+  /** CopyObject can return HTTP 200 whose BODY is an `<Error>` (the
+    * documented slow-copy quirk: the service starts streaming the
+    * response before the copy finishes, so a late failure cannot change
+    * the status line). A 200 is therefore NOT success — the body must
+    * carry a `<CopyObjectResult>`/`<CopyPartResult>` with an ETag.
+    * AWS's guidance for the embedded error is "retry", so it surfaces
+    * as [[TransientStorageException]].
+    */
+  private def checkCopyBody(op: String, key: String,
+                            r: HttpResponse[Array[Byte]],
+                            resultTag: String): String = {
+    if (r.statusCode() != 200) failed(op, key, r)
+    val body = new String(r.body(), UTF_8)
+    if (body.contains("<Error>"))
+      throw new TransientStorageException(
+        s"$op $key: HTTP 200 with embedded error: ${body.take(300)}")
+    if (!body.contains(s"<$resultTag>"))
+      throw new java.io.UncheckedIOException(new java.io.IOException(
+        s"$op $key: HTTP 200 without <$resultTag>: ${body.take(300)}"))
+    xmlField(body, "ETag").getOrElse(
+      throw new java.io.UncheckedIOException(new java.io.IOException(
+        s"$op $key: <$resultTag> carries no ETag: ${body.take(300)}")))
   }
 
   /** Whether [[copyFromStore]] can replicate objects from `src` without
@@ -219,12 +239,59 @@ final class S3Store(val s3conf: S3StoreConf) extends Store {
     * internally; cf. the reference's reliance on external object-sync
     * tooling, which reads+rewrites every byte).
     */
-  def copyFromStore(src: S3Store, srcKey: String, dstKey: String): Unit = {
-    val r = send("PUT", objectUri(dstKey), null,
-      Map("x-amz-copy-source" -> ("/" + src.s3conf.bucket + "/" +
-        encPath(src.fullKey(srcKey)))))
-    if (r.statusCode() != 200)
-      failed("COPY(cross)", s"$srcKey -> $dstKey", r)
+  /** `size` (when the caller already HEADed the source) gates the
+    * route: single CopyObject is service-capped at 5 GiB
+    * ([[graft.storage.S3StoreConf.copyMaxBytes]]) — above it the copy
+    * runs as multipart UploadPartCopy, each part addressed by
+    * `x-amz-copy-source-range` (still service-internal). `-1` = stat
+    * the source here.
+    */
+  def copyFromStore(src: S3Store, srcKey: String, dstKey: String,
+                    size: Long = -1L): Unit = {
+    val sz = if (size >= 0L) size
+             else src.stat(srcKey).map(_.size).getOrElse(0L)
+    val copySource = "/" + src.s3conf.bucket + "/" +
+      encPath(src.fullKey(srcKey))
+    if (sz <= copyMaxBytes) {
+      val r = send("PUT", objectUri(dstKey), null,
+        Map("x-amz-copy-source" -> copySource))
+      checkCopyBody("COPY(cross)", s"$srcKey -> $dstKey", r,
+        "CopyObjectResult")
+    } else {
+      // multipart copy: initiate → UploadPartCopy per range → complete.
+      // Part size: the configured multipart part size, floored at 8 MiB
+      // to bound part count on huge objects, capped at the single-copy
+      // ceiling (parts share CopyObject's 5 GiB limit).
+      val partSize = math.min(copyMaxBytes,
+        math.max(multipartPartBytes, 8L * 1024 * 1024))
+      val init = send("POST", objectUri(dstKey, "uploads"),
+        Array.emptyByteArray)
+      if (init.statusCode() != 200) failed("POST(uploads)", dstKey, init)
+      val uploadId = xmlField(new String(init.body(), UTF_8), "UploadId")
+        .getOrElse(throw new IllegalStateException("no UploadId"))
+      val nParts = ((sz + partSize - 1) / partSize).toInt
+      val etags = (0 until nParts).map { i =>
+        val from = i.toLong * partSize
+        val to = math.min(from + partSize, sz) - 1
+        val r = send("PUT",
+          objectUri(dstKey,
+            s"partNumber=${i + 1}&uploadId=${encQ(uploadId)}"),
+          null,
+          Map("x-amz-copy-source" -> copySource,
+            "x-amz-copy-source-range" -> s"bytes=$from-$to"))
+        val etag = checkCopyBody(s"COPY(part ${i + 1})",
+          s"$srcKey -> $dstKey", r, "CopyPartResult")
+        (i + 1) -> etag
+      }
+      val completion = etags.map { case (n, etag) =>
+        s"<Part><PartNumber>$n</PartNumber><ETag>$etag</ETag></Part>"
+      }.mkString("<CompleteMultipartUpload>", "",
+        "</CompleteMultipartUpload>")
+      val done = send("POST",
+        objectUri(dstKey, s"uploadId=${encQ(uploadId)}"),
+        completion.getBytes(UTF_8))
+      if (done.statusCode() != 200) failed("POST(complete)", dstKey, done)
+    }
   }
 
   /** Multipart upload (initiate → parts → complete) for large objects —

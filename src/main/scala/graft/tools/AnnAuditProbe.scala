@@ -25,7 +25,9 @@ object AnnAuditProbe {
       val miss = exact.join(approx.select(col("vec_id")).distinct(),
         Seq("vec_id"), "left_anti").orderBy(col("cos").desc)
       val rows = miss.collect()
-      println(s"[$name] misses=${rows.length} " +
+      // n_approx feeds the sound-bit fullness decision: the bit is only
+      // non-vacuous if the approximate path deterministically fills k
+      println(s"[$name] n_approx=${approx.count()} misses=${rows.length} " +
         rows.map(r => s"${r.get(0)}:${r.get(1)}").mkString(" "))
     }
 
@@ -57,7 +59,11 @@ object AnnAuditProbe {
         .select(col("id_a"), col("id_b"), lit(1).as("hit"))
       val miss = exactNb.join(lsh, Seq("id_a", "id_b"), "left_anti")
       val top = miss.orderBy(col("cos").desc).limit(10).collect()
-      println(s"[neighbors] misses=${miss.count()} top10=" +
+      // per-vector fullness: how many vectors got FEWER than k=5 LSH
+      // rows (each would be a vacuously-sound rank under coalesce-true)
+      val short = lsh.groupBy("id_a").count().filter(col("count") < 5)
+      println(s"[neighbors] misses=${miss.count()} " +
+        s"short_vectors=${short.count()} top10=" +
         top.map(r => s"${r.get(0)}->${r.get(1)}:${r.get(2)}").mkString(" "))
     }
     spark.stop()

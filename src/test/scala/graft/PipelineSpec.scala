@@ -857,6 +857,33 @@ class PipelineSpec extends SparkTestBase {
     assert(math.abs(local - dist) < 1e-9, s"$local vs $dist")
   }
 
+  test("ann audit: a truncated approximate relation flips the gate bits") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val query = emb.filter(col("vec_id") === 0)
+      .select("embedding").head().getSeq[Float](0)
+    val exact = Similarity.bruteForceTopK(emb, query, 20)
+    val approx = Similarity.annTopK(emb, query, 20, numPlanes = 4)
+    // intact: all 20 ranks sound (what the oracle asserts)
+    val intact = Queries.annAudit(exact, approx, 0.45, "ann_ok").collect()
+    assert(intact.length == 20 && intact.forall(_.getBoolean(3)),
+      "intact approximate path must be sound at every rank")
+    // truncated to 12 rows: ranks 13..20 lose their `_acos` — the
+    // sound bit must flip FALSE there (the r11 coalesce-to-true made
+    // a short approximate result pass rank-domination vacuously)
+    val truncated = Queries.annAudit(exact,
+      approx.orderBy(col("cos").desc).limit(12), 0.45, "ann_ok").collect()
+    assert(truncated.count(!_.getBoolean(3)) >= 8,
+      s"truncation must flip sound: ${truncated.mkString(";")}")
+
+    // per-vector neighbors: truncating a STRONG vector's rows flips
+    // ann_ok (membership), which is what covers the null-rank case
+    // there (short buckets are legitimate, so sound cannot flip on
+    // row count alone — see q_ann_neighbors' scaladoc proof)
+    val full = Queries.q_ann_neighbors(spark, sf)
+    assert(full.select(min(col("sound").cast("int"))).head().getInt(0) == 1)
+    assert(full.select(min(col("ann_ok").cast("int"))).head().getInt(0) == 1)
+  }
+
   test("inverted index: search path bit-identical to scan-side bm25") {
     import graft.pipeline.TextAnalysis
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")

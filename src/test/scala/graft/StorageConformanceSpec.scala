@@ -134,6 +134,24 @@ class StorageConformanceSpec extends SparkTestBase {
       } finally close()
     }
 
+    test(s"$name: list supports partial-filename prefixes") {
+      // push's existsVia=list fans `chunks/` into character-sliced
+      // prefix pages — every backend must honor object-store prefix
+      // semantics for a prefix that is half a filename (the local
+      // backend resolved it as a literal path until r12, silently
+      // returning Nil for every slice)
+      val (store, close) = mk()
+      try {
+        Seq("pp/AX1", "pp/AX2", "pp/AY3", "pp/B9", "pp/AXsub/deep")
+          .foreach(k => store.putBytes(k, Array[Byte](1)))
+        assert(store.list("pp/AX").map(_.key).sorted ==
+          Seq("pp/AX1", "pp/AX2", "pp/AXsub/deep"))
+        assert(store.list("pp/A").size == 4)
+        assert(store.list("pp/C").isEmpty)
+        assert(store.list("pp/").size == 5)
+      } finally close()
+    }
+
     test(s"$name: batched delete and deletePrefix") {
       val (store, close) = mk()
       try {
@@ -177,6 +195,81 @@ class StorageConformanceSpec extends SparkTestBase {
         assert(store.getBytes("cp/src").toSeq == payload.toSeq)
       } finally close()
     }
+  }
+
+  test("s3: HTTP 200 with embedded <Error> body is NOT a completed copy") {
+    // the documented slow-copy quirk: CopyObject commits the 200 status
+    // line before the copy finishes, so a late failure arrives as an
+    // <Error> INSIDE the body — a client that only checks the status
+    // counts a failed copy as copied and the replica ref dangles
+    val (server, store) = s3Fixture()
+    try {
+      val s3 = store.asInstanceOf[S3Store]
+      store.putBytes("cq/src", "payload".getBytes)
+      server.slowCopyErrors = 1
+      intercept[TransientStorageException](s3.copy("cq/src", "cq/dst"))
+      // the transfer kernel's transient retry turns the quirk into a
+      // completed copy on the second attempt
+      val dst = Store.s3(S3StoreConf(server.endpoint, "us-east-1",
+        "graft-test", prefix = "repo2",
+        accessKey = "testkey", secretKey = "testsecret"))
+      server.slowCopyErrors = 1
+      assert(Transfer.copyIfAbsent(store, dst, "cq/src").contains(7L))
+      assert(dst.getBytes("cq/src").toSeq == "payload".getBytes.toSeq)
+      assert(server.opCount("copy_200_error") >= 2)
+    } finally server.stop()
+  }
+
+  test("s3: objects over the single-copy cap route through UploadPartCopy") {
+    val server = new S3MemServer
+    server.createBucket("graft-test")
+    // a 64 KiB cap forces the multipart-copy route on a 200 KiB object
+    val mk = (prefix: String) => Store.s3(S3StoreConf(server.endpoint,
+      "us-east-1", "graft-test", prefix = prefix,
+      accessKey = "k", secretKey = "s",
+      multipartPartBytes = 48 * 1024, copyMaxBytes = 64 * 1024))
+    val src = mk("a"); val dst = mk("b")
+    try {
+      val big = Array.tabulate[Byte](200 * 1024)(i => (i % 97).toByte)
+      src.putBytes("mc/big", big)
+      assert(Transfer.copyIfAbsent(src, dst, "mc/big")
+        .contains(big.length.toLong))
+      assert(dst.getBytes("mc/big").toSeq == big.toSeq)
+      // the payload moved via copy-source part requests, not client PUTs
+      assert(server.opCount("copy_part") >= 4,
+        s"expected UploadPartCopy parts, got ${server.opCounts}")
+      assert(server.opCount("copy") == 0, "single CopyObject above the cap")
+      // small objects still take single CopyObject
+      src.putBytes("mc/small", "tiny".getBytes)
+      assert(Transfer.copyIfAbsent(src, dst, "mc/small").contains(4L))
+      assert(server.opCount("copy") == 1)
+    } finally server.stop()
+  }
+
+  test("azure: an async 202/pending Copy Blob fails loudly, never lands" +
+      " as copied") {
+    val server = new graft.storage.az.AzureMemServer
+    server.createContainer("az1"); server.createContainer("az2")
+    val src = AzureStoreConf(server.endpoint, "acct", "az1",
+      sasToken = "sv=t&sig=x").open()
+    val dst = AzureStoreConf(server.endpoint, "acct", "az2",
+      sasToken = "sv=t&sig=x").open()
+    try {
+      src.putBytes("ac/obj", "blobdata".getBytes)
+      // armed: the service schedules the copy (202 pending) instead of
+      // completing it — x-ms-requires-sync + the status check must
+      // refuse to report success while the destination blob is absent
+      server.asyncPendingCopies = 10 // beyond the transient-retry budget
+      intercept[TransientStorageException](
+        Transfer.copyIfAbsent(src, dst, "ac/obj"))
+      server.asyncPendingCopies = 0
+      assert(!dst.exists("ac/obj"))
+      // one pending response then success: the retry completes the copy
+      server.asyncPendingCopies = 1
+      assert(Transfer.copyIfAbsent(src, dst, "ac/obj").contains(8L))
+      assert(dst.getBytes("ac/obj").toSeq == "blobdata".getBytes.toSeq)
+      assert(server.opCount("copy_pending") >= 2)
+    } finally server.stop()
   }
 
   test("s3: large objects go through multipart upload intact") {
