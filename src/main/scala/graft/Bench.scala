@@ -282,8 +282,15 @@ object Bench {
     val queryReps =
       if (sys.env.getOrElse("SPARK_GRAFT_SKIP_QUERIES", "0") == "1") 0
       else math.max(1, sys.env.getOrElse("SPARK_GRAFT_QUERY_REPS", "3").toInt)
+    // local-iteration escape hatch (the driver never sets it): drop named
+    // queries from the timed set — the scale-soak tiers use it to exclude
+    // gate queries whose in-query exact-audit sides are quadratic BY
+    // DESIGN (the production ops they audit are separately timed)
+    val querySkip: Set[String] = sys.env.getOrElse(
+      "SPARK_GRAFT_QUERY_SKIP", "")
+      .split(",").map(_.trim).filter(_.nonEmpty).toSet
     val timedQueries = SparkEntry.queries.filter { case (n, _) =>
-      Bench.HeadlineQueries.contains(n) }
+      Bench.HeadlineQueries.contains(n) && !querySkip.contains(n) }
     // no silent caps: name what the line does NOT time (Verify's full
     // gate still runs every query)
     System.err.println("[bench] untimed (sub-second report queries, " +
@@ -315,6 +322,19 @@ object Bench {
     // identical plans — both routes spike in different passes). A median
     // of 3 lets a single stall through; a median of 5 tolerates two.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "5").toInt
+
+    // Scale-soak section gate (local iteration + the round-12 scale
+    // tiers; the driver never sets it, so the official line is always
+    // all-sections): `refs` = the manifest/merge/lookup family scaled by
+    // SPARK_GRAFT_BENCH_REFS, `cube` = the tensor family (+ zarr
+    // export/adopt, which need /cube) scaled by SPARK_GRAFT_BENCH_CUBE,
+    // `pub` = push/fsck over whatever closure the enabled sections built.
+    // Gating whole sections (not single entries) keeps intra-section data
+    // dependencies intact; it also bounds the disk peak — cube=1024 with
+    // zarr replica AND push replica live simultaneously would need ~77 GiB.
+    val sections: Set[String] = sys.env.getOrElse(
+      "SPARK_GRAFT_BENCH_SECTIONS", "refs,cube,pub")
+      .split(",").map(_.trim).filter(_.nonEmpty).toSet
 
     /** One full engine pass in a fresh repo at `dir`. Entry order inside a
       * pass is fixed; the cold→hot point-lookup pair deliberately shares
@@ -349,6 +369,7 @@ object Bench {
           (col("id") * 8000).as("offset"),
           lit(8000L).as("length"))
 
+      if (sections("refs")) { // ---- section: refs (manifest/merge family)
       // set_chunks + commit_split_manifests: full bulk write of N refs
       // into 100 split manifests, one commit
       entry("engine_write_500k_refs") {
@@ -458,6 +479,8 @@ object Bench {
       entry("engine_getsize_prefix") {
         new graft.zarr.ZarrStore(ro).getSizePrefix("long1d")
       }
+      } // ---- end section: refs
+      if (sections("cube")) { // ---- section: cube (tensor family + zarr)
       // 1 GiB synthetic int64 cube, 8 MB chunks — the BASELINE read suite
       // (512³ int64, chunks (4,512,512); datasets.py:300-321, 471-487)
       val chunkElems = 4 * cube * cube
@@ -756,6 +779,8 @@ object Bench {
           .head()
         assert(st.getAs[Long]("n") == 4L * cube * cube)
       }
+      } // ---- end section: cube
+      if (sections("pub")) { // ---- section: pub (push/fsck over the closure)
       // closure-aware branch replication into a second store ("push a
       // branch to another bucket"): snapshots/tx logs driver-side,
       // manifest objects + chunk payloads copied executor-side. The
@@ -775,6 +800,7 @@ object Bench {
       entry("engine_fsck") {
         assert(graft.ops.Integrity.check(repo, "main").count() == 0)
       }
+      } // ---- end section: pub
       r
     }
 

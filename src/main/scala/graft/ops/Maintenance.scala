@@ -309,23 +309,37 @@ object Compaction {
   def rewriteManifests(repo: Repository, branch: String,
                        message: String = "rewrite_manifests"): String =
     graft.core.Trace.span("compact", "branch" -> branch) { h =>
-      val id = rewriteImpl(repo, branch, message)
+      val id = rewriteImpl(repo, branch, message, h)
       h.set("snapshot_id", id)
       id
     }
 
   private def rewriteImpl(repo: Repository, branch: String,
-                          message: String): String = {
+                          message: String,
+                          h: graft.core.Trace.Handle): String = {
+    // per-phase wall clocks (same discipline as push/merge): staging is
+    // lazy, so nearly all wall lands in ms_commit — a drifting compact
+    // entry is answerable from the span without a forensic rerun
+    var tPhase = System.nanoTime()
+    def phase(name: String): Unit = {
+      val now = System.nanoTime()
+      h.set(s"ms_$name", (now - tPhase) / 1000000L)
+      tPhase = now
+    }
     val session = repo.writableSession(branch)
     val arrays = session.nodes.filter(_.isArray)
     if (arrays.isEmpty)
       throw new GraftException("no arrays to compact")
+    h.set("arrays", arrays.size.toLong)
     // ONE batched read + ONE staged batch for every array: a
     // 1000-array compaction must not stage 1000 per-array plans
     val refs = repo.assets
       .committedRefs(session.base, arrays.map(_.id)).drop("split")
     arrays.foreach(n => session.changeSet.rewrittenNodes += n.id)
     session.changeSet.stageBatch(refs)
-    session.commit(message)
+    phase("plan")
+    val id = session.commit(message)
+    phase("commit")
+    id
   }
 }

@@ -737,4 +737,20 @@ object Repository {
                    config: GraftConfig = null): Repository =
     if (exists(store)) open(store, spark, config)
     else create(store, spark, if (config == null) GraftConfig() else config)
+
+  // ------------------------------------------------------------------
+  // Java/Python-friendly factories: py4j (the PySpark gateway) cannot
+  // supply Scala default arguments, so the Python quickstart
+  // (docs/pyspark.md) calls these exact-arity overloads —
+  //   jvm.graft.repo.Repository.create(store, spark._jsparkSession)
+  // Scala callers resolve to the default-arg variants unchanged.
+  // ------------------------------------------------------------------
+  def create(store: Store, spark: SparkSession): Repository =
+    create(store, spark, GraftConfig(), VirtualChunkResolver.default)
+
+  def open(store: Store, spark: SparkSession): Repository =
+    open(store, spark, null, VirtualChunkResolver.default)
+
+  def openOrCreate(store: Store, spark: SparkSession): Repository =
+    openOrCreate(store, spark, null)
 }

@@ -620,7 +620,21 @@ object TensorPlane {
                  factors: Seq[Int], srcDtype: String,
                  mode: String = "mean", dstDtype: String = null,
                  dstChunks: Seq[Long] = Nil,
-                 compression: String = "raw"): Unit = {
+                 compression: String = "raw"): Unit =
+    graft.core.Trace.span("downsample", "src" -> srcPath,
+      "dst" -> dstPath, "mode" -> mode,
+      "factors" -> factors.mkString("x")) { h =>
+    // per-phase wall clocks (push/merge discipline): the partial-emitting
+    // scan + combine + write all run lazily inside writeValues, so
+    // ms_write is the job and ms_plan is metadata — a drifting
+    // engine_downsample entry separates plan-time regressions from
+    // execution ones straight from the span
+    var tPhase = System.nanoTime()
+    def phase(name: String): Unit = {
+      val now = System.nanoTime()
+      h.set(s"ms_$name", (now - tPhase) / 1000000L)
+      tPhase = now
+    }
     val node = session.node(srcPath).filter(_.isArray).getOrElse(
       throw new GraftException(s"no array at $srcPath"))
     val shape = node.shape
@@ -677,10 +691,12 @@ object TensorPlane {
     val valueCol =
       if (mode == "stride") col("s") // cnt is exactly 1 per kept sample
       else col("s") / col("c")
+    phase("plan")
     writeValues(session, dstPath,
       withDims.select((0 until ndim).map(i => col(s"i$i")) :+
         valueCol.cast(if (isInt) "long" else "double").as("value"): _*),
       outDtype, compression)
+    phase("write")
   }
 
   /** Axis permutation (transpose) into a NEW array — numpy's
@@ -1683,7 +1699,19 @@ object TensorPlane {
     * tables, and diffs all require a regular grid).
     */
   def rechunk(session: Session, path: String, newChunks: Seq[Long],
-              dtype: String, compression: String = "raw"): Unit = {
+              dtype: String, compression: String = "raw"): Unit =
+    graft.core.Trace.span("rechunk", "path" -> path,
+      "chunks" -> newChunks.mkString("x")) { h =>
+    // per-phase wall clocks (push/merge discipline): ms_copy is the
+    // staged assemble+upload job (the payload movement), ms_swap the
+    // atomic grid/ref swap in the changeset — a drifting
+    // engine_rechunk entry names its phase from the span alone
+    var tPhase = System.nanoTime()
+    def phase(name: String): Unit = {
+      val now = System.nanoTime()
+      h.set(s"ms_$name", (now - tPhase) / 1000000L)
+      tPhase = now
+    }
     val node = session.node(path).filter(_.isArray).getOrElse(
       throw new GraftException(s"no array at $path"))
     requireStoredCompression(node, path, compression)
@@ -1693,8 +1721,10 @@ object TensorPlane {
       throw new GraftException(
         s"bad target chunk shape ${newChunks.mkString("x")} for " +
           s"rank-$ndim $path", graft.repo.GraftError.InvalidConfig)
-    if (!node.isRectilinear && newChunks == node.chunkShape)
-      return // already on that grid
+    // `return` inside the span closure would surface as
+    // NonLocalReturnControl and read as a failed span — test and skip
+    // instead (already on that grid = nothing to do)
+    if (node.isRectilinear || newChunks != node.chunkShape) {
     graft.core.ArrayShape.regular(shape, newChunks) // validate up front
     val dstCells = newChunks.product.toInt
     val isInt = ChunkCodec.IntDtypes.contains(dtype)
@@ -1707,6 +1737,7 @@ object TensorPlane {
       .toDF("_1", "_2", "_3", "_4", "_5", "_6", "_7", "_8")
       .as[(Seq[Int], Seq[Int], String, Array[Byte], String, String,
         Long, Long)]
+    phase("plan")
 
     // per-source-chunk geometry (global start + stored-buffer extent per
     // dim): closed-form for regular grids, per-dim prefix-sum tables for
@@ -1762,11 +1793,14 @@ object TensorPlane {
     val stagingKey = graft.meta.Layout.stagingPrefix(
       graft.core.Ids.toBase32(graft.core.Ids.newObjectId()))
     refsDf.write.parquet(session.repo.store.uri(stagingKey))
+    phase("copy")
     val refs = spark.read.parquet(session.repo.store.uri(stagingKey))
       .withColumn("kind", lit(ChunkRef.KindRef))
       .withColumn("offset", lit(0L))
     session.trackStaging(stagingKey)
     session.rechunkArray(path, newChunks, refs)
+    phase("swap")
+    } // end not-already-on-grid
   }
 
   /** The rechunk job's shuffled relation, exposed for plan guards:

@@ -71,13 +71,77 @@ class TraceSpec extends SparkTestBase {
     } finally Trace.disable()
   }
 
+  /** Per-phase wall clocks on the heavy ops (VERDICT r11 #5): rechunk,
+    * downsample, and compact carry the same `ms_<phase>` discipline as
+    * push/merge, so a drifting bench entry names its phase from the
+    * trace alone. Attribute names are a contract with
+    * docs/observability.md — pinned here.
+    */
+  test("rechunk/downsample/compact spans carry per-phase wall clocks") {
+    val mem = Trace.toMemory()
+    try {
+      val dir = tmpDir("trace-phases")
+      val repo = Repository.create(Store.local(dir), spark)
+      val s = repo.writableSession("main")
+      s.addArray("/a", Seq(16), Seq(2), userData = """{"dtype":"int64"}""")
+      (0 until 8).foreach(c =>
+        s.writeChunk("/a", Seq(c),
+          graft.functions.ChunkCodec.encodeLongs(
+            Array.tabulate(2)(i => c * 2L + i), "int64")))
+      s.commit("init")
+
+      locally {
+        val rs = repo.writableSession("main")
+        graft.tensor.TensorPlane.rechunk(rs, "/a", Seq(4L), "int64")
+        rs.commit("rechunk")
+      }
+      locally {
+        val ds = repo.writableSession("main")
+        graft.tensor.TensorPlane.downsample(ds, "/a", "/a_l1", Seq(2),
+          "int64")
+        ds.commit("downsample")
+      }
+      graft.ops.Compaction.rewriteManifests(repo, "main")
+
+      val spans = mem.spans
+      val re = spans.find(_.name == "rechunk").get
+      assert(re.attrs.get("path").contains("/a"))
+      assert(re.attrs.get("chunks").contains("4"))
+      Seq("ms_plan", "ms_copy", "ms_swap").foreach(k =>
+        assert(re.attrs.get(k).exists(_.toLong >= 0L), s"rechunk $k"))
+      val dn = spans.find(_.name == "downsample").get
+      assert(dn.attrs.get("src").contains("/a") &&
+        dn.attrs.get("dst").contains("/a_l1") &&
+        dn.attrs.get("mode").contains("mean") &&
+        dn.attrs.get("factors").contains("2"))
+      Seq("ms_plan", "ms_write").foreach(k =>
+        assert(dn.attrs.get(k).exists(_.toLong >= 0L), s"downsample $k"))
+      val co = spans.find(_.name == "compact").get
+      assert(co.attrs.get("branch").contains("main") &&
+        co.attrs.get("arrays").exists(_.toInt >= 2) &&
+        co.attrs.contains("snapshot_id"))
+      Seq("ms_plan", "ms_commit").foreach(k =>
+        assert(co.attrs.get(k).exists(_.toLong >= 0L), s"compact $k"))
+      // a no-op rechunk (already on the grid) emits a span with NO copy
+      // phase — the skip path must not read as a failed span
+      mem.clear()
+      locally {
+        val rs = repo.writableSession("main")
+        graft.tensor.TensorPlane.rechunk(rs, "/a", Seq(4L), "int64")
+      }
+      val noop = mem.spans.find(_.name == "rechunk").get
+      assert(noop.error.isEmpty && !noop.attrs.contains("ms_copy"))
+    } finally Trace.disable()
+  }
+
   /** Span names are a public observability contract: docs/observability.md
     * maps each onto OTLP span semantics, and external pipelines match by
     * name. Renaming one is a breaking change — this pin makes it loud.
     */
   test("span names are stable (docs/observability.md contract)") {
     val documented = Set("commit", "flush", "merge", "push", "gc",
-      "expire", "compact", "scan.plan", "scan.spj.error")
+      "expire", "compact", "scan.plan", "scan.spj.error",
+      "rechunk", "downsample")
     val srcDir = java.nio.file.Paths.get("src/main/scala")
     val spanRe = """Trace\.span\("([^"]+)"""".r
     val inCode = scala.collection.mutable.Set[String]()
