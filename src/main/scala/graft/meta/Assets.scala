@@ -267,8 +267,8 @@ final class AssetManager(val store: Store, spark: SparkSession) {
       val mref = ManifestRef(id, split, mins, maxs, refs.size.toLong,
         refs.iterator.map(_.length).sum)
       if (refs.size <= MaxCachedRefsPerSplit)
-        splitCache.synchronized(splitCache.put((id, node, split),
-          refs.map(r => (r.coord: Seq[Int]) -> r).toMap))
+        splitCachePut((id, node, split),
+          refs.map(r => (r.coord: Seq[Int]) -> r).toMap)
       node -> mref
     }.groupBy(_._1).map { case (n, rs) => n -> rs.map(_._2) }
 
@@ -288,8 +288,7 @@ final class AssetManager(val store: Store, spark: SparkSession) {
           .flatMap(o => DriverParquet.readChunkRefs(store.getBytes(o.key),
             nodeId))
         if (mref.numRefs <= MaxCachedRefsPerSplit)
-          splitCache.synchronized(splitCache.put(key,
-            rows.map(r => (r.coord: Seq[Int]) -> r).toMap))
+          splitCachePut(key, rows.map(r => (r.coord: Seq[Int]) -> r).toMap)
         rows
     }
   }
@@ -307,21 +306,48 @@ final class AssetManager(val store: Store, spark: SparkSession) {
     readManifest(ref.manifestId)
       .filter(col("node_id") === nodeId && col("split") === ref.split)
 
-  /** Driver-side cache of small manifest splits for point lookups — the
-    * Spark analog of the reference's manifest LRU + preload cap
-    * (asset_manager.rs:71-147; ≤10 000 refs preloaded, config.rs:294).
-    * Manifests are immutable so entries never invalidate; an LRU bound
-    * caps total cached refs. Splits above the cap fall back to a
-    * stats-pruned Spark scan.
+  /** Driver-side cache of manifest splits for point lookups — the Spark
+    * analog of the reference's manifest LRU + preload cap
+    * (asset_manager.rs:71-147, config.rs:294). Manifests are immutable so
+    * entries never invalidate.
+    *
+    * Bounds: the per-split cap (250 k, aligned with
+    * `Session.SmallCommitMaxShardRefs`) gates what is cacheable at all —
+    * the round-12 scale soak caught the old 10 k cap as a cliff (at 5 M
+    * refs / 50 k-ref splits NOTHING cached, so every hot point lookup ran
+    * a full Spark job: 0.7 ms lookups became ~50 ms). Splits above the
+    * cap fall back to a stats-pruned Spark scan. Total memory is bounded
+    * by TOTAL CACHED REFS (not entry count): boxed entries cost ~300-400 B
+    * each, so 1 M refs ≈ 300-400 MB worst case against the 8 GiB default
+    * driver heap, and the eldest splits evict until the total fits.
     */
-  private val MaxCachedRefsPerSplit = 10000
+  private val MaxCachedRefsPerSplit = 250000
+  private val MaxCachedRefsTotal = 1000000L
   private val MaxCachedSplits = 256
+  private var cachedRefsTotal = 0L
   private val splitCache =
     new java.util.LinkedHashMap[(String, String, Int),
-        Map[Seq[Int], ChunkRef]](64, 0.75f, true) {
-      override def removeEldestEntry(
-          e: java.util.Map.Entry[(String, String, Int),
-            Map[Seq[Int], ChunkRef]]): Boolean = size() > MaxCachedSplits
+        Map[Seq[Int], ChunkRef]](64, 0.75f, true)
+
+  /** Insert under both bounds: evict eldest-first (access order) until the
+    * total-ref and entry-count caps hold. Callers hold no lock.
+    */
+  private def splitCachePut(key: (String, String, Int),
+                            m: Map[Seq[Int], ChunkRef]): Unit =
+    splitCache.synchronized {
+      Option(splitCache.remove(key)).foreach(old =>
+        cachedRefsTotal -= old.size)
+      splitCache.put(key, m)
+      cachedRefsTotal += m.size
+      val it = splitCache.entrySet().iterator()
+      while ((cachedRefsTotal > MaxCachedRefsTotal ||
+          splitCache.size() > MaxCachedSplits) && it.hasNext) {
+        val e = it.next()
+        if (e.getKey != key) { // never evict the fresh insert
+          cachedRefsTotal -= e.getValue.size
+          it.remove()
+        }
+      }
     }
 
   /** Read exactly one split's partition directory — skips listing the
@@ -352,7 +378,7 @@ final class AssetManager(val store: Store, spark: SparkSession) {
       val table = cached.getOrElse {
         val rows = readSplitDirect(mref, nodeId).as(chunkRefEnc).collect()
         val m = rows.map(r => (r.coord: Seq[Int]) -> r).toMap
-        splitCache.synchronized(splitCache.put(key, m))
+        splitCachePut(key, m)
         m
       }
       table.get(coord)

@@ -789,8 +789,9 @@ final class Session private[repo] (
     // reference's sub-second interactive commit (benches/manifest.rs:329).
     // Eligible when every edit is a driver-held point edit, no shape
     // shrink/reindex forces a full rewrite, and each previous shard to
-    // merge is small enough to hold in memory (same 10 k bound as the
-    // split cache). Everything else falls through to the Spark path.
+    // merge is small enough to hold in memory (Session.SmallCommitMaxShardRefs;
+    // see its scaladoc for the cost model). Everything else falls through
+    // to the Spark path.
     def splitOfRef(r: ChunkRef): Int = {
       val (axis, sz) = cfg.splitFor(byId(r.node_id))
       (if (axis < r.coord.size) r.coord(axis) else 0) / sz
@@ -1159,10 +1160,21 @@ final class Session private[repo] (
 
 object Session {
   /** Small-commit fast-path bounds: a point-only changeset up to this many
-    * refs, merging previous shards up to this many refs each, flushes
-    * entirely driver-side (no Spark job). Matches the split cache's
-    * preload cap (asset_manager.rs:71-147 in the reference).
+    * refs flushes entirely driver-side (no Spark job) — the reference's
+    * sub-second interactive commit (asset_manager.rs:71-147).
     */
   private[repo] val SmallCommitMaxRefs = 10000
-  private[repo] val SmallCommitMaxShardRefs = 10000
+
+  /** Shard-size ceiling for the driver-side merge: each previous shard the
+    * fast path rewrites is one ranged GET + an O(shard) in-memory merge +
+    * one parquet write (~25 MB transient at this bound), vs ~1 s of fixed
+    * Spark-job overhead per flush on the fallback path — so the driver
+    * route wins by an order of magnitude up to well past this bound. The
+    * 10x scale soak (target/scale, round 12) caught the old 10 k bound as
+    * a cliff: at 5 M refs / 100 splits every 50 k-ref shard fell onto the
+    * Spark path and interactive commits went 33 ms -> 930 ms. Memory, not
+    * time, sets the ceiling: refs are ~100 B driver-side, so 250 k keeps
+    * the transient under ~25 MB against the default 8 GiB driver heap.
+    */
+  private[repo] val SmallCommitMaxShardRefs = 250000
 }

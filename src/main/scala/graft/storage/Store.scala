@@ -465,13 +465,23 @@ final class LocalStore(val root: Path) extends Store {
 }
 
 object Store {
-  /** Shared daemon pool for split-GET parts (one per JVM; IO-bound). */
+  /** Shared daemon pool for split-GET parts (one per JVM; IO-bound).
+    * Sized `max(16, 2 x cores)` — an executor JVM running many task slots
+    * that each split a large chunk into parts needs aggregate stream
+    * concurrency well past a fixed 16 against a real object store
+    * (streams are cheap; the reference runs per-request concurrency of 8
+    * PER GET, storage.rs:476-618). `-Dgraft.fetchPool.threads` overrides
+    * for bandwidth-capped environments.
+    */
   private[storage] lazy val fetchPool: java.util.concurrent.ExecutorService =
-    java.util.concurrent.Executors.newFixedThreadPool(16, r => {
-      val t = new Thread(r, "graft-fetch")
-      t.setDaemon(true)
-      t
-    })
+    java.util.concurrent.Executors.newFixedThreadPool(
+      Integer.getInteger("graft.fetchPool.threads",
+        math.max(16, 2 * Runtime.getRuntime.availableProcessors())),
+      r => {
+        val t = new Thread(r, "graft-fetch")
+        t.setDaemon(true)
+        t
+      })
 
   def local(dir: String): LocalStore = new LocalStore(Paths.get(dir))
 

@@ -721,6 +721,72 @@ class RepositorySpec extends SparkTestBase {
     }
   }
 
+  test("small-commit fast path holds over a 30k-ref shard: zero Spark " +
+      "jobs, merge byte-identical") {
+    // regression anchor from the round-12 scale soak: with the old 10 k
+    // shard bound, a 5 M-ref repo (50 k-ref splits) dropped every
+    // interactive point commit onto the Spark flush path — 33 ms
+    // commits became ~930 ms. The bound is now 250 k
+    // (Session.SmallCommitMaxShardRefs); this pins that a point commit
+    // over a 30 k-ref shard (a) runs NO Spark job and (b) merges
+    // exactly as the Spark path would.
+    val cfg = GraftConfig(splits = Seq(SplitRule(".*", 0, 40000)))
+    val repo = Repository.create(Store.local(tmpDir("repo")), spark, cfg)
+    val s0 = repo.writableSession("main")
+    s0.addArray("/a", Seq(30000), Seq(1)) // one 30 k-ref split
+    s0.stageChunkRefs("/a", spark.range(0, 30000).select(
+      array(col("id").cast("int")).as("coord"),
+      lit("virtual").as("kind"),
+      concat(lit("file:///ext/"), col("id")).as("location"),
+      lit(0L).as("offset"), lit(10L).as("length")))
+    s0.commit("bulk 30k")
+
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val jobDescs = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet()
+        jobDescs.add(Option(js.properties)
+          .map(_.getProperty("spark.job.description", "?")).getOrElse("?") +
+          " :: " + js.stageInfos.map(_.name).mkString("; "))
+        ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      spark.sparkContext.setJobDescription("OPEN")
+      val s1 = repo.writableSession("main")
+      for (i <- Seq(3, 14159, 29999))
+        s1.writeChunk("/a", Seq(i), Array[Byte](7, 7))
+      spark.sparkContext.setJobDescription("COMMIT")
+      s1.commit("interactive points")
+      // the listener bus is async: run one sentinel job and wait until
+      // its start event lands — every event from the commit precedes it
+      spark.sparkContext.setJobDescription("SENTINEL")
+      spark.range(1).count()
+      spark.sparkContext.setJobDescription(null)
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (jobs.get() < 1 && System.nanoTime() < deadline)
+        Thread.sleep(10)
+      // the sentinel may submit >1 job itself (AQE stage materialization)
+      // — what must be empty is the set of jobs ATTRIBUTED to the open or
+      // the commit (the description is thread-local and propagates into
+      // any future the flush might spawn)
+      val leaked = jobDescs.toArray(Array.empty[String])
+        .filterNot(_.startsWith("SENTINEL"))
+      assert(jobs.get() >= 1 && leaked.isEmpty,
+        s"fast path leaked Spark job(s): ${leaked.mkString(" | ")}")
+    } finally spark.sparkContext.removeSparkListener(listener)
+
+    val ro = repo.readonlySession(VersionRef.Branch("main"))
+    assert(ro.refs("/a").count() == 30000)
+    for (i <- Seq(3, 14159, 29999))
+      assert(ro.getChunk("/a", Seq(i)).get.sameElements(Array[Byte](7, 7)),
+        s"i=$i")
+    assert(ro.refs("/a").filter(col("kind") === "virtual").count() == 29997)
+  }
+
   test("deep history: diff, storage stats and time travel over 100+ " +
       "commits read whole chains, not per-commit plans") {
     // regression anchor for the multi-path chain reads (readTxLogs,
