@@ -276,10 +276,19 @@ final class AssetManager(val store: Store, spark: SparkSession) {
     * otherwise fetch the partition dir's data files through the Store and
     * decode with [[DriverParquet]] — zero Spark jobs either way.
     */
-  def shardRefsDriver(mref: ManifestRef, nodeId: String): Seq[ChunkRef] = {
+  def shardRefsDriver(mref: ManifestRef, nodeId: String): Seq[ChunkRef] =
+    loadSplitDriver(mref, nodeId).values.toSeq
+
+  /** Load one split's coord→ref table through the cache, reading the
+    * shard's data files driver-side (Store GET + [[DriverParquet]], zero
+    * Spark jobs). Shared by the small-commit fast path AND cold point
+    * lookups — both pay one bounded driver read, then O(1) probes.
+    */
+  private def loadSplitDriver(mref: ManifestRef,
+                              nodeId: String): Map[Seq[Int], ChunkRef] = {
     val key = (mref.manifestId, nodeId, mref.split)
     splitCache.synchronized(Option(splitCache.get(key))) match {
-      case Some(m) => m.values.toSeq
+      case Some(m) => m
       case None =>
         val prefix = s"${Layout.manifestPrefix(mref.manifestId)}" +
           s"/node_id=$nodeId/split=${mref.split}/"
@@ -287,9 +296,9 @@ final class AssetManager(val store: Store, spark: SparkSession) {
           .filter(_.key.endsWith(".parquet"))
           .flatMap(o => DriverParquet.readChunkRefs(store.getBytes(o.key),
             nodeId))
-        if (mref.numRefs <= MaxCachedRefsPerSplit)
-          splitCachePut(key, rows.map(r => (r.coord: Seq[Int]) -> r).toMap)
-        rows
+        val m = rows.map(r => (r.coord: Seq[Int]) -> r).toMap
+        if (mref.numRefs <= MaxCachedRefsPerSplit) splitCachePut(key, m)
+        m
     }
   }
 
@@ -372,17 +381,15 @@ final class AssetManager(val store: Store, spark: SparkSession) {
   def lookupRef(mref: ManifestRef, nodeId: String,
                 coord: Seq[Int]): Option[ChunkRef] = {
     import GraftEncoders._
-    if (mref.numRefs <= MaxCachedRefsPerSplit) {
-      val key = (mref.manifestId, nodeId, mref.split)
-      val cached = splitCache.synchronized(Option(splitCache.get(key)))
-      val table = cached.getOrElse {
-        val rows = readSplitDirect(mref, nodeId).as(chunkRefEnc).collect()
-        val m = rows.map(r => (r.coord: Seq[Int]) -> r).toMap
-        splitCachePut(key, m)
-        m
-      }
-      table.get(coord)
-    } else
+    if (mref.numRefs <= MaxCachedRefsPerSplit)
+      // cold AND hot both zero-Spark-job: one bounded driver-side shard
+      // read populates the cache, then O(1) probes (a cold lookup through
+      // a 50 k-ref split is ~20 ms of DriverParquet vs ~100 ms of Spark
+      // job overhead — the round-12 soak's cold-lookup growth)
+      loadSplitDriver(mref, nodeId).get(coord)
+    else
+      // oversized split: stats-pruned Spark scan (coord-sorted row groups
+      // make the pushed filter skip most of the shard)
       readSplitDirect(mref, nodeId)
         .filter(col("coord") === typedLit(coord))
         .as(chunkRefEnc).collect().headOption
