@@ -338,6 +338,10 @@ final class AssetManager(val store: Store, spark: SparkSession) {
     new java.util.LinkedHashMap[(String, String, Int),
         Map[Seq[Int], ChunkRef]](64, 0.75f, true)
 
+  /** (entries, total cached refs) — test hook pinning the memory bound. */
+  private[graft] def splitCacheStats: (Int, Long) =
+    splitCache.synchronized((splitCache.size(), cachedRefsTotal))
+
   /** Insert under both bounds: evict eldest-first (access order) until the
     * total-ref and entry-count caps hold. Callers hold no lock.
     */

@@ -787,6 +787,39 @@ class RepositorySpec extends SparkTestBase {
     assert(ro.refs("/a").filter(col("kind") === "virtual").count() == 29997)
   }
 
+  test("split cache is bounded by TOTAL cached refs; evicted and " +
+      "oversized splits still resolve") {
+    // memory-safety pin for the round-12 cache widening: the per-split cap
+    // rose 10k -> 250k, so the LRU must bound TOTAL refs (1M), not entry
+    // count — otherwise 256 x 250k-ref splits could hold ~25 GB of boxed
+    // maps on the driver
+    val am = new graft.meta.AssetManager(Store.local(tmpDir("amcache")), spark)
+    def refs(n: Int, tag: Int) = (0 until n).map(i =>
+      graft.meta.ChunkRef.virtualRef("node", Seq(tag, i),
+        s"file:///x/$tag/$i", 0L, 8L))
+    // 30 shards x 60k refs = 1.8M refs pushed through the cache
+    val mrefs = (0 until 30).map { t =>
+      am.writeManifestShardsDriver(f"m$t%04d",
+        Map(("node", t) -> refs(60000, t)))("node").head
+    }
+    val (entries, total) = am.splitCacheStats
+    assert(total <= 1000000L, s"total cached refs $total over the bound")
+    assert(entries > 0 && entries < 30, s"$entries entries (expected LRU)")
+    // an EVICTED shard (the eldest) still resolves — reloaded driver-side
+    val r0 = am.lookupRef(mrefs.head, "node", Seq(0, 123))
+    assert(r0.exists(_.location == "file:///x/0/123"))
+    val (_, total2) = am.splitCacheStats
+    assert(total2 <= 1000000L, s"reload broke the bound: $total2")
+    // an OVERSIZED split (> per-split cap) is never cached but resolves
+    // through the stats-pruned scan path
+    val big = am.writeManifestShardsDriver("mbig",
+      Map(("node", 99) -> refs(250001, 99)))("node").head
+    val statsBefore = am.splitCacheStats
+    val rb = am.lookupRef(big, "node", Seq(99, 250000))
+    assert(rb.exists(_.location == "file:///x/99/250000"))
+    assert(am.splitCacheStats == statsBefore, "oversized split was cached")
+  }
+
   test("deep history: diff, storage stats and time travel over 100+ " +
       "commits read whole chains, not per-commit plans") {
     // regression anchor for the multi-path chain reads (readTxLogs,
