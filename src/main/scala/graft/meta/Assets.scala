@@ -17,6 +17,15 @@ import graft.storage.Store
   */
 object Layout {
   val PointerPrefix = "repo/r."
+  /** Immutable spilled snapshot-index segments (see
+    * [[RepoPointer.compareAndSwap]]'s pack step): the pointer keeps only
+    * the most recent `snapshotIndexWindow` [[SnapshotInfo]] entries
+    * inline; older entries live in these write-once files, listed
+    * oldest-first in `RepoInfo.snapshotSegments`. Distinct from
+    * `PointerPrefix` so generation listings never see them.
+    */
+  val SegmentPrefix = "repo/seg."
+  def segmentKey(id: String): String = s"repo/seg.$id.json"
   val MaxGen: Long = 99999999999999L // 14 digits; ~3 kHz commits for 1000y
   def pointerKey(gen: Long): String = {
     require(gen >= 0 && gen <= MaxGen, s"gen out of range: $gen")
@@ -49,12 +58,68 @@ final class RepoPointer(store: Store) {
 
   def load(): Option[RepoInfo] = {
     val g = latestGen()
-    if (g < 0) None else Some(loadGen(g))
+    if (g < 0) None else Some(hydrate(loadGen(g)))
   }
 
+  /** Raw parse of one generation — NO segment hydration (only `opsLog`
+    * walks old generations, and it reads `.ops` alone; the tip always
+    * goes through [[load]], which hydrates).
+    */
   def loadGen(gen: Long): RepoInfo =
     MetaJson.readRepoInfo(
       new String(store.getBytes(Layout.pointerKey(gen)), UTF_8))
+
+  // ---- snapshot-index segments ----------------------------------------
+  // The pointer document keeps only the most recent `snapshotIndexWindow`
+  // SnapshotInfo entries inline; the rest live in immutable repo/seg.*
+  // files. load() splices them back so every RepoInfo consumer sees the
+  // full index; compareAndSwap's pack() re-splits before writing. Without
+  // this, the pointer grows ~250 B per commit and EVERY commit serializes
+  // O(history) JSON — the history-depth probe (tools/DiagHistory) measured
+  // 13 -> 102 ms commits and a 1 MB pointer by depth 4 000.
+
+  private val segCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[SnapshotInfo]]()
+
+  private def readSegment(key: String): Seq[SnapshotInfo] =
+    segCache.computeIfAbsent(key, k =>
+      MetaJson.readSnapshotInfos(new String(store.getBytes(k), UTF_8)))
+
+  private def hydrate(r: RepoInfo): RepoInfo =
+    if (r.snapshotSegments.isEmpty) r
+    else r.copy(snapshots =
+      r.snapshotSegments.flatMap(readSegment) ++ r.snapshots)
+
+  /** Split a hydrated info back into (inline window, segment files) for
+    * storage. Appends (the overwhelmingly common case: commits) reuse the
+    * existing segments and spill at most ONE new one — amortized O(1).
+    * A filtered history (expire squashed entries, or an amend reached
+    * into the segmented region) breaks the segment-prefix invariant and
+    * triggers a one-segment compacting rewrite; orphaned segment files
+    * are swept by GC's age-guarded pass.
+    */
+  private def pack(info: RepoInfo): RepoInfo = {
+    val window = math.max(16,
+      graft.repo.GraftConfig.fromMap(info.config).snapshotIndexWindow)
+    val all = info.snapshots
+    val segFlat = info.snapshotSegments.flatMap(readSegment)
+    def spillTo(segments: Seq[String], entries: Seq[SnapshotInfo]) = {
+      val (spill, keep) = entries.splitAt(entries.size - window)
+      val key = Layout.segmentKey(Ids.toBase32(Ids.newObjectId()))
+      store.putBytes(key, MetaJson.writeSnapshotInfos(spill).getBytes(UTF_8))
+      segCache.put(key, spill)
+      info.copy(snapshots = keep, snapshotSegments = segments :+ key)
+    }
+    if (all.size >= segFlat.size &&
+        all.iterator.zip(segFlat.iterator).forall { case (a, b) => a == b }) {
+      val tail = all.drop(segFlat.size)
+      if (tail.size <= 2 * window)
+        info.copy(snapshots = tail)
+      else spillTo(info.snapshotSegments, tail)
+    } else if (all.size <= 2 * window)
+      info.copy(snapshots = all, snapshotSegments = Nil)
+    else spillTo(Nil, all)
+  }
 
   /** CAS: succeeds only if `expectedGen` is still the tip.
     *
@@ -71,7 +136,7 @@ final class RepoPointer(store: Store) {
     */
   def compareAndSwap(expectedGen: Long, next: RepoInfo): Boolean = {
     require(next.gen == expectedGen + 1, "next.gen must be expectedGen+1")
-    val stamped = next.copy(writeId = Ids.toBase32(Ids.newObjectId()))
+    val stamped = pack(next).copy(writeId = Ids.toBase32(Ids.newObjectId()))
     val key = Layout.pointerKey(stamped.gen)
     val bytes = MetaJson.writeRepoInfo(stamped).getBytes(UTF_8)
     // Some(true) = our write landed; Some(false) = someone else's did;

@@ -197,16 +197,32 @@ final case class SnapshotInfo(
 final case class OpLogEntry(ts: String, op: String, detail: String)
 
 /** The single mutable root object (repo_info.rs:90): branches, tags, the
-  * full snapshot list, config, and the latest-N ops ring (older entries
+  * snapshot index, config, and the latest-N ops ring (older ops entries
   * live in previous pointer generations — config default 1000 mirrors
-  * config.rs:570).
+  * config.rs:570). The snapshot index is WINDOWED on storage: only the
+  * most recent `snapshotIndexWindow` entries stay inline, the rest spill
+  * to immutable `repo/seg.*` files, so the per-commit pointer write is
+  * O(window + opsRing), not O(history).
   */
 final case class RepoInfo(
     gen: Long,
     branches: Map[String, String] = Map.empty,
     tags: Map[String, String] = Map.empty,
     deletedTags: Seq[String] = Nil, // tags are tombstoned, repo_info.rs:713
+    /** In a STORED pointer document: only the most recent
+      * `snapshotIndexWindow` entries (older ones spill to the immutable
+      * `repo/seg.*` files named by [[snapshotSegments]]). In a LOADED
+      * `RepoInfo` (via `RepoPointer.load`): the FULL hydrated index —
+      * every consumer (`ancestry`, `snapshotInfo`, `expiredBoundaryOf`,
+      * inspect) sees complete history and needs no segment awareness.
+      */
     snapshots: Seq[SnapshotInfo] = Nil,
+    /** Keys of spilled snapshot-index segments, oldest first (empty on
+      * pre-upgrade pointers — those carry the full index inline and keep
+      * parsing). Segments are write-once; `RepoPointer` caches their
+      * contents by key for the JVM's lifetime.
+      */
+    snapshotSegments: Seq[String] = Nil,
     ops: Seq[OpLogEntry] = Nil,
     config: Map[String, String] = Map.empty,
     /** Persisted feature flags gating history-affecting ops — the
@@ -271,4 +287,8 @@ object MetaJson {
   def readSnapshot(json: String): Snapshot = Serialization.read[Snapshot](json)
   def writeRepoInfo(r: RepoInfo): String = Serialization.writePretty(r)
   def readRepoInfo(json: String): RepoInfo = Serialization.read[RepoInfo](json)
+  def writeSnapshotInfos(s: Seq[SnapshotInfo]): String =
+    Serialization.writePretty(s)
+  def readSnapshotInfos(json: String): Seq[SnapshotInfo] =
+    Serialization.read[Seq[SnapshotInfo]](json)
 }

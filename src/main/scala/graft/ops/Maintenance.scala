@@ -219,6 +219,14 @@ object GC {
     // clock probes orphaned by a failed delete (flaky stores): swept by
     // age like everything else, so they can never accumulate
     val deadProbes = store.list("gc/").filter(_.mtimeMillis < cutoffMs)
+    // snapshot-index segments orphaned by a compacting rewrite (expire)
+    // or a lost CAS race: the tip's segment list is the only live set —
+    // old pointer generations are never hydrated (only opsLog walks
+    // them, reading .ops alone). The age guard keeps a segment a racing
+    // committer wrote moments ago safe until its CAS resolves.
+    val liveSegments = info.snapshotSegments.toSet
+    val deadSegments = store.list(graft.meta.Layout.SegmentPrefix)
+      .filter(o => !liveSegments.contains(o.key) && o.mtimeMillis < cutoffMs)
 
     val bytes = deadChunks.map(_._2).sum + deadSnaps.map(_.size).sum +
       deadTx.map(_.size).sum + deadManifestFiles.map(_.size).sum +
@@ -226,6 +234,7 @@ object GC {
     if (!dryRun) {
       store.delete(deadStaging.map(_.key))
       store.delete(deadProbes.map(_.key))
+      store.delete(deadSegments.map(_.key))
       repo.pointer.pruneGenerations(keep = repo.config.opsRingSize)
       // batched deletes; at cluster scale this is a foreachPartition over
       // the dead-chunk frame with a per-executor store client

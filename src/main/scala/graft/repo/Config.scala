@@ -15,6 +15,16 @@ final case class GraftConfig(
     splits: Seq[SplitRule] = Nil,
     preloads: Seq[PreloadRule] = Nil,
     preloadMaxArrays: Int = 50, // scan cap mirrors config.rs:294-299
+    /** Snapshot-index window kept INLINE in the repo pointer; older
+      * [[graft.meta.SnapshotInfo]] entries spill to immutable
+      * `repo/seg.*` files once the inline tail exceeds 2x this, so
+      * commit latency and pointer size stay O(window) instead of
+      * O(history) — the round-12 history-depth probe (DiagHistory)
+      * measured the unbounded pointer at ~250 B/commit and 13 -> 102 ms
+      * commits by depth 4 000. Spills are amortized: one segment write
+      * per `snapshotIndexWindow` commits.
+      */
+    snapshotIndexWindow: Int = 256,
     /** How many previous manifest shards the DRIVER-side flush fast path
       * fetches concurrently (`ManifestConfig
       * .max_concurrent_manifest_fetches_during_commit`, reference #2274).
@@ -43,6 +53,7 @@ final case class GraftConfig(
     "ops_ring_size" -> opsRingSize.toString,
     "commit_retries" -> commitRetries.toString,
     "preload_max_arrays" -> preloadMaxArrays.toString,
+    "snapshot_index_window" -> snapshotIndexWindow.toString,
     "manifest_fetch_concurrency" -> manifestFetchConcurrency.toString) ++
     splits.zipWithIndex.map { case (r, i) =>
       s"split.$i" -> s"${r.axis}|${r.chunksPerSplit}|${r.pathRegex}"
@@ -77,6 +88,7 @@ object GraftConfig {
         PreloadRule(re, max.toLong)
       },
       preloadMaxArrays = i("preload_max_arrays", d.preloadMaxArrays),
+      snapshotIndexWindow = i("snapshot_index_window", d.snapshotIndexWindow),
       manifestFetchConcurrency =
         i("manifest_fetch_concurrency", d.manifestFetchConcurrency))
   }

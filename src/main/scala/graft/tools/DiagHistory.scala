@@ -1,0 +1,63 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import graft.repo.{Repository, GraftConfig}
+import graft.storage.Store
+
+/** History-depth probe (sibling of DiagCube): measures interactive commit
+  * latency, session-open latency, and pointer-document size as the commit
+  * chain deepens — the one scale axis the data-volume soak tiers cannot
+  * see. Prints a line per depth decade. `pruneEvery` > 0 runs the GC's
+  * pointer-generation prune on that cadence — the maintenance a real
+  * deployment schedules — so the probe separates index growth (bounded
+  * by the snapshot-index window) from generation-file accumulation
+  * (bounded by GC).
+  * Usage: runMain graft.tools.DiagHistory [commits] [dir] [pruneEvery]
+  */
+object DiagHistory {
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toInt).getOrElse(2000)
+    val dir = if (args.length > 1 && args(1) != "-") args(1)
+      else java.nio.file.Files.createTempDirectory("diag-history").toString
+    val pruneEvery = if (args.length > 2) args(2).toInt else 0
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val repo = Repository.create(Store.local(dir), spark, GraftConfig())
+    locally {
+      val s = repo.writableSession("main")
+      s.addArray("/a", Seq(1024), Seq(4))
+      s.commit("init")
+    }
+    val checkpoints = Iterator.iterate(10)(_ * 2).takeWhile(_ <= n).toSet + n
+    var i = 0
+    while (i < n) {
+      val t0 = System.nanoTime()
+      val s = repo.writableSession("main")
+      s.writeChunk("/a", Seq(i % 256), Array[Byte](1, 2, 3))
+      s.commit(s"c$i")
+      val dtMs = (System.nanoTime() - t0) / 1e6
+      i += 1
+      if (pruneEvery > 0 && i % pruneEvery == 0)
+        repo.pointer.pruneGenerations(keep = 100)
+      if (checkpoints(i)) {
+        val tOpen = System.nanoTime()
+        repo.writableSession("main")
+        val openMs = (System.nanoTime() - tOpen) / 1e6
+        val ptr = java.nio.file.Files.list(
+          java.nio.file.Paths.get(dir, "repo")).iterator()
+        var ptrBytes = 0L
+        var ptrCount = 0
+        while (ptr.hasNext) { ptrBytes = math.max(ptrBytes,
+          java.nio.file.Files.size(ptr.next())); ptrCount += 1 }
+        System.err.println(f"[diag-history] depth=$i%6d commit=$dtMs%8.1f ms" +
+          f" open=$openMs%8.1f ms pointer=$ptrBytes%9d B gens=$ptrCount%6d")
+      }
+    }
+    spark.stop()
+  }
+}
