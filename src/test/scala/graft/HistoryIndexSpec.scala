@@ -70,6 +70,44 @@ class HistoryIndexSpec extends SparkTestBase {
     assert(repo2.info().snapshotInfo(ids.head).isDefined)
   }
 
+  test("concurrent committers race across spill boundaries without " +
+      "losing history") {
+    // a committer that spills a segment and WINS the CAS leaves the loser
+    // holding pre-spill info; the loser's retry reloads (hydrated) and
+    // re-packs — no commit and no segment reference may be lost across
+    // that interleaving
+    val dir = tmpDir("histrace")
+    val repo = Repository.create(Store.local(dir), spark,
+      GraftConfig(snapshotIndexWindow = 16))
+    locally {
+      val s = repo.writableSession("main")
+      s.addArray("/a", Seq(256), Seq(4))
+      s.commit("init")
+    }
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (0 until 2).map { t =>
+      new Thread(() => {
+        try (0 until 30).foreach { i =>
+          val s = repo.writableSession("main")
+          s.writeChunk("/a", Seq(t * 32 + i), Array[Byte](t.toByte, i.toByte))
+          s.commit(s"t$t-c$i")
+        } catch { case e: Throwable => errs.add(e) }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(errs.isEmpty, s"racing commits failed: ${errs.peek()}")
+    // 2 + 60 commits, every one on the ancestry chain, every edit present
+    assert(repo.ancestry(VersionRef.Branch("main")).size == 62)
+    val ro = repo.readonlySession(VersionRef.Branch("main"))
+    assert(ro.refs("/a").count() == 60)
+    for (t <- 0 until 2; i <- Seq(0, 13, 29))
+      assert(ro.getChunk("/a", Seq(t * 32 + i)).get
+        .sameElements(Array[Byte](t.toByte, i.toByte)), s"t$t i$i")
+    // fresh open agrees (segments referenced by the tip all readable)
+    assert(Repository.open(Store.local(dir), spark)
+      .ancestry(VersionRef.Branch("main")).size == 62)
+  }
+
   test("expire compacts the segmented index; push replicates full " +
       "ancestry; GC sweeps orphaned segments") {
     val dir = tmpDir("histexp")
