@@ -54,8 +54,12 @@ object Bench {
     // 1 GiB-scale perf shapes ride engine_downsample_1g /
     // engine_values_diff in the same line, and Verify still
     // correctness-gates both queries every round
+    // q_band_join left the LINE in round 13 (its ~chars fund the
+    // engine_io_w_mbps disk probe): a 12-row broadcast band join whose
+    // perf shape q_asof_join/q_salted_join still cover; Verify still
+    // correctness-gates it every round
     "q_downsample", "q_substring_spans", "q_lm_score", "q_asof_join",
-    "q_band_join", "q_salted_join", "q_winnow", "q_bm25")
+    "q_salted_join", "q_winnow", "q_bm25")
 
   /** Fixed-work box-weather probe (BENCH_r10 forensics: three phantom
     * >1.6× "regressions" were slow-box windows, not code — each cost an
@@ -101,6 +105,32 @@ object Bench {
     // data-dependent side effect so the JIT cannot elide the work
     if (acc == 0x6b617270L) System.err.println("[bench] calib sentinel")
     (System.nanoTime() - t0) / 1e9
+  }
+
+  /** Raw disk-write probe (round 13, VERDICT item 5): 256 MB written and
+    * fsync'd single-threaded, reported as MB/s. This is the box-weather
+    * number the round-12 forensics had to reconstruct from DiagCube
+    * after the fact (engine_repo_push's ±70 % swings tracked the box's
+    * raw disk bandwidth, not any plan change); carrying it ON the line
+    * as `engine_io_w_mbps` lets the next round's driver comparison read
+    * its own I/O context instead of re-running a forensic. fsync makes
+    * the number disk-bound, not page-cache-bound — a cached read probe
+    * on a 128 GiB box measures memcpy.
+    */
+  private[graft] def ioProbe(tmp: java.nio.file.Path): Double = {
+    val f = tmp.resolve(s"graft-io-${java.util.UUID.randomUUID()}.bin")
+    val block = new Array[Byte](8 << 20)
+    java.util.Arrays.fill(block, 0x33.toByte)
+    val t0 = System.nanoTime()
+    val ch = java.nio.channels.FileChannel.open(f,
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.WRITE)
+    try {
+      var k = 0
+      while (k < 32) { ch.write(java.nio.ByteBuffer.wrap(block)); k += 1 }
+      ch.force(false)
+    } finally { ch.close(); java.nio.file.Files.delete(f) }
+    256.0 / ((System.nanoTime() - t0) / 1e9)
   }
 
   /** Raw-sample sidecar: the 2000-char stdout tail cannot hold per-pass
@@ -194,11 +224,13 @@ object Bench {
     // or quote must not invalidate the whole line's JSON
     val qs = results.map { case (k, v) => jstr(k) + ":" + jnum(v) }
       .mkString("{", ",", "}")
-    // the calibration probe measures the BOX, not the engine — it rides
+    // the calibration probes measure the BOX, not the engine — they ride
     // the line for triage but must not skew cross-round total comparisons
+    // (engine_io_w_mbps is not even in seconds)
     val total =
       if (results.nonEmpty)
-        results.collect { case (k, v) if k != "engine_calib" => v }.sum
+        results.collect { case (k, v)
+          if k != "engine_calib" && k != "engine_io_w_mbps" => v }.sum
       else 0.0
     // a pile of error strings must not push the line past the 2000-char
     // tail budget: keep the first two verbatim (negative per-entry times
@@ -891,6 +923,18 @@ object Bench {
     if (calibSamples.nonEmpty) {
       val sorted = calibSamples.map(_._2).sorted
       results("engine_calib") = sorted(sorted.size / 2)
+    }
+    // raw disk-write bandwidth (median of 3): the line's own I/O context
+    // for cross-round drift triage (round 13; fund: q_band_join retired
+    // to the stderr-named set)
+    locally {
+      val io = (0 until 3).map { _ =>
+        val v = ioProbe(calibTmp)
+        calibSamples += (("io_w_mbps", v))
+        v
+      }.sorted
+      results("engine_io_w_mbps") = io(io.size / 2)
+      System.err.println(f"[bench] io probe: ${io(io.size / 2)}%.0f MB/s")
     }
     try org.apache.commons.io.FileUtils
       .deleteDirectory(calibTmp.toFile)

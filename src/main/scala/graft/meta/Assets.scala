@@ -16,6 +16,13 @@ import graft.storage.Store
   * spec-v2.md:60-81; an append-only chain needs the reverse trick instead).
   */
 object Layout {
+  /** On-disk format revision this library writes (surfaced as
+    * `Repository.SpecVersion`). Bumped when the pointer document gains
+    * semantics an older reader would silently misread (round 12's
+    * windowed snapshot index was such a change); every stored generation
+    * carries it and [[RepoPointer.load]] refuses newer ones.
+    */
+  val SpecVersion = 2
   val PointerPrefix = "repo/r."
   /** Immutable spilled snapshot-index segments (see
     * [[RepoPointer.compareAndSwap]]'s pack step): the pointer keeps only
@@ -58,7 +65,21 @@ final class RepoPointer(store: Store) {
 
   def load(): Option[RepoInfo] = {
     val g = latestGen()
-    if (g < 0) None else Some(hydrate(loadGen(g)))
+    if (g < 0) None
+    else {
+      val raw = loadGen(g)
+      // refuse formats newer than this binary BEFORE interpreting any
+      // field (a newer writer may have moved state out of the document
+      // entirely — reading on would silently truncate history, and a
+      // subsequent commit would drop the parts we didn't understand)
+      if (raw.specVersion > Layout.SpecVersion)
+        throw new graft.repo.GraftException(
+          s"repository format version ${raw.specVersion} is newer than " +
+            s"this library (reads <= ${Layout.SpecVersion}) — upgrade " +
+            "the graft library to open this repository",
+          graft.repo.GraftError.UnsupportedFormat)
+      Some(hydrate(raw))
+    }
   }
 
   /** Raw parse of one generation — NO segment hydration (only `opsLog`
@@ -85,40 +106,97 @@ final class RepoPointer(store: Store) {
     segCache.computeIfAbsent(key, k =>
       MetaJson.readSnapshotInfos(new String(store.getBytes(k), UTF_8)))
 
+  /** Splice spilled segments back into the inline window. Uncached
+    * segments are fetched CONCURRENTLY (ephemeral pool, one GET each):
+    * a cold open of a deep-history repo pays ~1 RTT for the whole
+    * segment chain, not one RTT per segment — at 100 k commits / 50 ms
+    * RTT the serial walk would be a ~10 s open (round-13 latency soak;
+    * geometric merging below keeps the chain O(log history) anyway).
+    */
   private def hydrate(r: RepoInfo): RepoInfo =
     if (r.snapshotSegments.isEmpty) r
-    else r.copy(snapshots =
-      r.snapshotSegments.flatMap(readSegment) ++ r.snapshots)
+    else {
+      val cold = r.snapshotSegments.filterNot(segCache.containsKey)
+      if (cold.size > 1) Store.parallelIO(cold)(readSegment)
+      r.copy(snapshots =
+        r.snapshotSegments.flatMap(readSegment) ++ r.snapshots)
+    }
+
+  private def writeSegment(entries: Seq[SnapshotInfo]): String = {
+    val key = Layout.segmentKey(Ids.toBase32(Ids.newObjectId()))
+    store.putBytes(key, MetaJson.writeSnapshotInfos(entries).getBytes(UTF_8))
+    segCache.put(key, entries)
+    key
+  }
 
   /** Split a hydrated info back into (inline window, segment files) for
-    * storage. Appends (the overwhelmingly common case: commits) reuse the
-    * existing segments and spill at most ONE new one — amortized O(1).
-    * A filtered history (expire squashed entries, or an amend reached
-    * into the segmented region) breaks the segment-prefix invariant and
-    * triggers a one-segment compacting rewrite; orphaned segment files
-    * are swept by GC's age-guarded pass.
+    * storage.
+    *
+    * Appends (the overwhelmingly common case: commits) spill at most ONE
+    * new segment per `window` commits, then fold trailing segments no
+    * larger than the fresh batch into it — the binary-counter merge of
+    * an LSM tree, so the segment count stays O(log history) (each entry
+    * is rewritten O(log n) times, amortized O(1) writes per commit).
+    * Without the merge a 100 k-commit history is ~400 segments = ~400
+    * cold-open GETs; with it, ~10.
+    *
+    * A FILTERED history (expire squashed entries, or an amend reached
+    * into the segmented region) re-tiles instead of rewriting wholesale:
+    * old segments whose entries survive verbatim at consecutive
+    * positions are reused by key, and only the gaps between them (the
+    * edited expire boundary, typically one entry) are written as fresh
+    * segments — expire pays O(changed), not O(history). Orphaned segment
+    * files are swept by GC's age-guarded, generation-aware pass.
     */
   private def pack(info: RepoInfo): RepoInfo = {
     val window = math.max(16,
       graft.repo.GraftConfig.fromMap(info.config).snapshotIndexWindow)
     val all = info.snapshots
     val segFlat = info.snapshotSegments.flatMap(readSegment)
-    def spillTo(segments: Seq[String], entries: Seq[SnapshotInfo]) = {
-      val (spill, keep) = entries.splitAt(entries.size - window)
-      val key = Layout.segmentKey(Ids.toBase32(Ids.newObjectId()))
-      store.putBytes(key, MetaJson.writeSnapshotInfos(spill).getBytes(UTF_8))
-      segCache.put(key, spill)
-      info.copy(snapshots = keep, snapshotSegments = segments :+ key)
-    }
     if (all.size >= segFlat.size &&
         all.iterator.zip(segFlat.iterator).forall { case (a, b) => a == b }) {
+      // append fast path: existing segments are an exact prefix
       val tail = all.drop(segFlat.size)
       if (tail.size <= 2 * window)
         info.copy(snapshots = tail)
-      else spillTo(info.snapshotSegments, tail)
+      else {
+        var batch = tail.dropRight(window)
+        var kept = info.snapshotSegments
+        while (kept.nonEmpty && readSegment(kept.last).size <= batch.size) {
+          batch = readSegment(kept.last) ++ batch
+          kept = kept.dropRight(1)
+        }
+        info.copy(snapshots = tail.takeRight(window),
+          snapshotSegments = kept :+ writeSegment(batch))
+      }
     } else if (all.size <= 2 * window)
       info.copy(snapshots = all, snapshotSegments = Nil)
-    else spillTo(Nil, all)
+    else {
+      // filtered history: re-tile the spilled prefix, reusing intact
+      // segments by key and writing only the gaps
+      val spillCount = all.size - window
+      val posOf = all.iterator.zipWithIndex
+        .map { case (s, i) => s.id -> i }.toMap
+      val outSegs = scala.collection.mutable.ArrayBuffer[String]()
+      var pos = 0
+      def flushGap(until: Int): Unit =
+        if (until > pos) { outSegs += writeSegment(all.slice(pos, until)); pos = until }
+      info.snapshotSegments.foreach { segKey =>
+        val entries = readSegment(segKey)
+        val at = entries.headOption.flatMap(e => posOf.get(e.id))
+        at match {
+          case Some(i) if i >= pos && i + entries.size <= spillCount &&
+              all.slice(i, i + entries.size) == entries =>
+            flushGap(i)
+            outSegs += segKey
+            pos = i + entries.size
+          case _ => () // pruned or edited — its survivors land in a gap
+        }
+      }
+      flushGap(spillCount)
+      info.copy(snapshots = all.drop(spillCount),
+        snapshotSegments = outSegs.toSeq)
+    }
   }
 
   /** CAS: succeeds only if `expectedGen` is still the tip.
@@ -136,7 +214,8 @@ final class RepoPointer(store: Store) {
     */
   def compareAndSwap(expectedGen: Long, next: RepoInfo): Boolean = {
     require(next.gen == expectedGen + 1, "next.gen must be expectedGen+1")
-    val stamped = pack(next).copy(writeId = Ids.toBase32(Ids.newObjectId()))
+    val stamped = pack(next).copy(writeId = Ids.toBase32(Ids.newObjectId()),
+      specVersion = Layout.SpecVersion)
     val key = Layout.pointerKey(stamped.gen)
     val bytes = MetaJson.writeRepoInfo(stamped).getBytes(UTF_8)
     // Some(true) = our write landed; Some(false) = someone else's did;
@@ -197,14 +276,30 @@ final class RepoPointer(store: Store) {
     val out = scala.collection.mutable.ArrayBuffer[OpLogEntry]()
     var g = latestGen()
     var lastSeen: Set[String] = Set.empty
+    // generations are fetched in concurrent batches that double from 1
+    // (the tip's ring alone answers most calls) up to 32 — a deep page
+    // through an unpruned chain costs O(depth/32) round trips, not
+    // O(depth) (round-13 latency soak: the serial walk was the engine's
+    // longest sequential-RTT chain)
+    var batchSize = 1L
     while (g >= 0 && out.size < maxEntries) {
-      val info =
-        try loadGen(g)
-        catch { case _: Exception => return out.distinct.take(maxEntries).toSeq }
-      val fresh = info.ops.filterNot(e => lastSeen.contains(e.ts + e.op + e.detail))
-      out ++= fresh.sortBy(_.ts).reverse
-      lastSeen = info.ops.map(e => e.ts + e.op + e.detail).toSet
-      g -= 1
+      val gens = (g to math.max(0L, g - batchSize + 1) by -1).toSeq
+      val batch = Store.parallelIO(gens)(gg =>
+        try Some(loadGen(gg)) catch { case _: Exception => None })
+      // consume in order, newest first; stop at the first pruned/
+      // unreadable generation (nothing past the horizon is walkable)
+      var halted = false
+      batch.foreach {
+        case Some(info) if !halted && out.size < maxEntries =>
+          val fresh =
+            info.ops.filterNot(e => lastSeen.contains(e.ts + e.op + e.detail))
+          out ++= fresh.sortBy(_.ts).reverse
+          lastSeen = info.ops.map(e => e.ts + e.op + e.detail).toSet
+          g -= 1
+        case _ => halted = true
+      }
+      if (halted) g = -1
+      batchSize = math.min(32L, batchSize * 2)
     }
     out.distinct.take(maxEntries).toSeq
   }
@@ -320,7 +415,10 @@ final class AssetManager(val store: Store, spark: SparkSession) {
     */
   def writeManifestShardsDriver(id: String,
       shards: Map[(String, Int), Seq[ChunkRef]]): Map[String, Seq[ManifestRef]] =
-    shards.toSeq.map { case ((node, split), refs0) =>
+    // shard PUTs are independent write-once objects — upload them
+    // concurrently (a 10-shard commit at 150 ms RTT costs ~1 RTT of
+    // wall, not 10; round-13 latency soak)
+    graft.storage.Store.parallelIO(shards.toSeq) { case ((node, split), refs0) =>
       val refs = refs0.sortBy(r => (r.c0, r.c1, r.c2, r.c3))
       store.putBytes(
         s"${Layout.manifestPrefix(id)}/node_id=$node/split=$split/" +
@@ -357,13 +455,34 @@ final class AssetManager(val store: Store, spark: SparkSession) {
       case None =>
         val prefix = s"${Layout.manifestPrefix(mref.manifestId)}" +
           s"/node_id=$nodeId/split=${mref.split}/"
-        val rows = store.list(prefix)
-          .filter(_.key.endsWith(".parquet"))
-          .flatMap(o => DriverParquet.readChunkRefs(store.getBytes(o.key),
-            nodeId))
+        val files = store.list(prefix).filter(_.key.endsWith(".parquet"))
+        val rows = graft.storage.Store.parallelIO(files)(o =>
+          DriverParquet.readChunkRefs(store.getBytes(o.key), nodeId)).flatten
         val m = rows.map(r => (r.coord: Seq[Int]) -> r).toMap
+        // duplicate coords in one shard mean a buggy or torn writer — the
+        // coord-keyed map would silently repair-by-drop on the merge
+        // path, hiding the corruption; fail loudly instead (ADVICE r12)
+        if (rows.size != m.size)
+          throw new graft.repo.GraftException(
+            s"manifest shard $prefix contains ${rows.size - m.size} " +
+              "duplicate chunk coordinates — refusing to silently collapse " +
+              "a corrupt shard",
+            graft.repo.GraftError.Storage)
         if (mref.numRefs <= MaxCachedRefsPerSplit) splitCachePut(key, m)
         m
+    }
+  }
+
+  /** Warm MANY splits into the driver cache concurrently — the batched
+    * form of [[warmSplit]] for preload rules and multi-coordinate point
+    * reads: N cold splits cost ~1 round trip of wall time, not N
+    * (round-13 latency soak; the reference's `get_partial_values`
+    * bounded-concurrency pattern, config.rs:576-578).
+    */
+  def warmSplits(parts: Seq[(ManifestRef, String)]): Unit = {
+    val eligible = parts.distinct.filter(_._1.numRefs <= MaxCachedRefsPerSplit)
+    graft.storage.Store.parallelIO(eligible) { case (m, node) =>
+      loadSplitDriver(m, node); ()
     }
   }
 

@@ -257,7 +257,19 @@ final case class RepoInfo(
       * for sessions created after the setting landed. JSON-encoded
       * values, same wire form as `metadata`.
       */
-    defaultCommitMeta: Map[String, String] = Map.empty) {
+    defaultCommitMeta: Map[String, String] = Map.empty,
+    /** On-disk format revision stamped into EVERY stored pointer
+      * generation by [[RepoPointer.compareAndSwap]] (the reference
+      * persists `spec_version` in every metadata file,
+      * spec-v2.md/repo_info.rs). `RepoPointer.load` refuses a pointer
+      * whose version is NEWER than [[Layout.SpecVersion]]: a binary that
+      * does not understand the windowed snapshot index (or any later
+      * format change) must fail loudly instead of silently reading a
+      * truncated history — and, worse, committing a pointer without the
+      * segment list, after which GC would sweep pre-window history.
+      * Decodes to 0 on pre-upgrade pointers (always readable).
+      */
+    specVersion: Int = 0) {
   def snapshotInfo(id: String): Option[SnapshotInfo] =
     snapshots.find(_.id == id)
 

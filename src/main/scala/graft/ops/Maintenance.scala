@@ -219,12 +219,23 @@ object GC {
     // clock probes orphaned by a failed delete (flaky stores): swept by
     // age like everything else, so they can never accumulate
     val deadProbes = store.list("gc/").filter(_.mtimeMillis < cutoffMs)
-    // snapshot-index segments orphaned by a compacting rewrite (expire)
-    // or a lost CAS race: the tip's segment list is the only live set —
-    // old pointer generations are never hydrated (only opsLog walks
-    // them, reading .ops alone). The age guard keeps a segment a racing
-    // committer wrote moments ago safe until its CAS resolves.
-    val liveSegments = info.snapshotSegments.toSet
+    // snapshot-index segments: live = the union of segment lists across
+    // EVERY pointer generation that survives this GC's pruning, not just
+    // the tip. Two hazards force the union (ADVICE r12): (a) a binary
+    // that dropped the tip's segment list (pre-window reader, now also
+    // blocked by the specVersion check) must stay RECOVERABLE from an
+    // older generation until those generations age out of the ring;
+    // (b) liveness-from-one-snapshot races a committer whose segment
+    // landed but whose CAS hasn't. Generation fetches run concurrently
+    // (ephemeral pool), and missing generations (already pruned) are
+    // skipped.
+    val retainedGens =
+      (math.max(0L, info.gen - math.max(1, repo.config.opsRingSize)) to
+        info.gen).toSeq
+    val liveSegments: Set[String] =
+      graft.storage.Store.parallelIO(retainedGens)(g =>
+        try repo.pointer.loadGen(g).snapshotSegments
+        catch { case _: Exception => Nil }).flatten.toSet
     val deadSegments = store.list(graft.meta.Layout.SegmentPrefix)
       .filter(o => !liveSegments.contains(o.key) && o.mtimeMillis < cutoffMs)
 
@@ -234,7 +245,14 @@ object GC {
     if (!dryRun) {
       store.delete(deadStaging.map(_.key))
       store.delete(deadProbes.map(_.key))
-      store.delete(deadSegments.map(_.key))
+      // last-moment liveness re-check: a committer may have advanced the
+      // tip (referencing a fresh segment) after the listing above — the
+      // age guard makes that unlikely with a sane cutoff, but a deleted
+      // live segment bricks the whole repo (hydration fails), so the
+      // cheap single re-load is worth it even under aggressive cutoffs
+      val liveNow = repo.pointer.load().map(_.snapshotSegments.toSet)
+        .getOrElse(Set.empty)
+      store.delete(deadSegments.map(_.key).filterNot(liveNow.contains))
       repo.pointer.pruneGenerations(keep = repo.config.opsRingSize)
       // batched deletes; at cluster scale this is a foreachPartition over
       // the dead-chunk frame with a per-executor store client

@@ -169,6 +169,10 @@ object GraftError {
   /** The requested operation exists in SQL but has no sound meaning for
     * this table (e.g. row-level DELETE of individual dense-array cells). */
   val Unsupported = "unsupported"
+  /** The repository's persisted format (`specVersion` in the pointer) is
+    * newer than this library understands — reading on would silently
+    * truncate state, so open refuses (appended round 13). */
+  val UnsupportedFormat = "unsupported_format"
 }
 
 class GraftException(msg: String, val kind: String = GraftError.Generic,

@@ -574,14 +574,18 @@ final class Repository private (
   private def preloadManifests(session: Session): Unit =
     if (config.preloads.nonEmpty) {
       val snap = session.base
-      session.nodes.filter(n => config.preloads.exists(_.matches(n)))
+      // gather every matching (split, node) first, then warm them ALL
+      // concurrently — preload is the poster-child serial-RTT chain on a
+      // real object store (round-13 latency soak)
+      val parts = session.nodes
+        .filter(n => config.preloads.exists(_.matches(n)))
         .take(config.preloadMaxArrays)
-        .foreach { n =>
+        .flatMap { n =>
           val cap = config.preloads.filter(_.matches(n)).map(_.maxRefs).max
           snap.manifests.getOrElse(n.id, Nil)
-            .filter(_.numRefs <= cap)
-            .foreach(m => assets.warmSplit(m, n.id))
+            .filter(_.numRefs <= cap).map(m => (m, n.id))
         }
+      assets.warmSplits(parts)
     }
 
   def writableSession(branchName: String): Session = {
@@ -661,8 +665,11 @@ final case class RefComparison(aId: String, bId: String,
 
 object Repository {
   val DefaultBranch = "main"
-  /** On-disk format revision (spec v2 family). */
-  val SpecVersion = 2
+  /** On-disk format revision (spec v2 family) — persisted in every
+    * pointer generation and version-checked at open
+    * ([[graft.meta.Layout.SpecVersion]] is the source of truth).
+    */
+  val SpecVersion: Int = graft.meta.Layout.SpecVersion
 
   def exists(store: Store): Boolean = new RepoPointer(store).latestGen() >= 0
 

@@ -613,6 +613,24 @@ final class Session private[repo] (
   def getChunk(path: String, coord: Seq[Int]): Option[Array[Byte]] =
     getChunkRef(path, coord).map(materialize)
 
+  /** Batched point lookups: every split any requested coordinate's
+    * extents match is warmed into the driver cache CONCURRENTLY first,
+    * then each coordinate probes the warm cache — N cold lookups across
+    * M splits cost ~1 round trip of wall time for the M shard reads,
+    * not one list+GET pair per lookup (round-13 latency soak; the
+    * reference's `get_partial_values` concurrency pattern,
+    * config.rs:576-578). Results align with `coords` by index.
+    */
+  def getChunkRefs(path: String, coords: Seq[Seq[Int]]): Seq[Option[ChunkRef]] = {
+    val n = arrayNode(path)
+    if (!changeSet.rewrittenNodes.contains(n.id)) {
+      val mrefs = baseSnapshot.manifests.getOrElse(n.id, Nil)
+      assets.warmSplits(coords.flatMap(c =>
+        mrefs.filter(_.contains(c)).map(m => (m, n.id))))
+    }
+    coords.map(c => getChunkRef(path, c))
+  }
+
   private[graft] def materialize(r: ChunkRef): Array[Byte] = r.kind match {
     case ChunkRef.KindInline => r.inline
     case ChunkRef.KindRef => assets.readChunk(r.chunk_id, r.offset, r.length)

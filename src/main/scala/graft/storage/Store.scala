@@ -483,6 +483,30 @@ object Store {
         t
       })
 
+  /** Run independent driver-side store operations concurrently, preserving
+    * input order, rethrowing the first failure. Uses an EPHEMERAL pool
+    * (not [[fetchPool]]) so callers whose `f` itself fans out through the
+    * shared pool — e.g. `getRangeSplit` — can never deadlock a fixed pool
+    * from inside it. Thread spawn cost (~µs) is noise next to the store
+    * round trips this exists to overlap; single-item calls run inline.
+    */
+  private[graft] def parallelIO[A, B](items: Seq[A], maxThreads: Int = 32)(
+      f: A => B): Seq[B] =
+    if (items.size <= 1) items.map(f)
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(maxThreads, items.size),
+        r => { val t = new Thread(r, "graft-par-io"); t.setDaemon(true); t })
+      try {
+        val futs = items.map(a =>
+          pool.submit((() => f(a)): java.util.concurrent.Callable[B]))
+        futs.map(fu =>
+          try fu.get()
+          catch { case e: java.util.concurrent.ExecutionException =>
+            throw Option(e.getCause).getOrElse(e) })
+      } finally pool.shutdown()
+    }
+
   def local(dir: String): LocalStore = new LocalStore(Paths.get(dir))
 
   /** S3-compatible store (AWS, MinIO, or the in-process

@@ -78,7 +78,7 @@ class BenchJsonSpec extends AnyFunSuite {
       "engine_repo_push", "engine_repo_push_incr", "engine_fsck",
       "engine_merge_branch", "engine_merge_many_arrays",
       "engine_rect_concat_1g", "engine_rect_slice_read",
-      "engine_rect_spj", "engine_calib")
+      "engine_rect_spj", "engine_calib", "engine_io_w_mbps")
     // every headline name must actually exist in the query map (a
     // renamed query would silently fall out of the bench line)
     val missing = Bench.HeadlineQueries -- SparkEntry.queries.keySet
@@ -107,6 +107,20 @@ class BenchJsonSpec extends AnyFunSuite {
       // fast box needs real milliseconds, and a DCE'd probe would read 0
       assert(a > 0.01 && b > 0.01, s"calib probe too fast: $a / $b")
       // the temp dir is left clean (every sample deletes its file)
+      assert(java.nio.file.Files.list(tmp).count() == 0)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+    }
+  }
+
+  test("io probe: fsync'd write bandwidth, sane range, temp left clean") {
+    val tmp = java.nio.file.Files.createTempDirectory("io-spec")
+    try {
+      val mbps = Bench.ioProbe(tmp)
+      // a real fsync'd 256 MB write: physically possible bounds only
+      // (spinning rust ~100, NVMe ~3000; 0 or 7-digit values mean the
+      // probe elided or mis-measured)
+      assert(mbps > 5 && mbps < 100000, s"io probe out of range: $mbps")
       assert(java.nio.file.Files.list(tmp).count() == 0)
     } finally {
       org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)

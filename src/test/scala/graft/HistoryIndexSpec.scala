@@ -52,6 +52,14 @@ class HistoryIndexSpec extends SparkTestBase {
     assert(stored.snapshots.size <= 2 * 16,
       s"stored window is ${stored.snapshots.size} — not enforced")
     assert(stored.snapshotSegments.nonEmpty)
+    // every stored generation carries the format version (ADVICE r12: an
+    // unversioned pointer lets an older binary silently truncate history)
+    assert(stored.specVersion == Repository.SpecVersion)
+    // geometric (binary-counter) segment merging: the spilled chain stays
+    // O(log history) — 122 commits at window 16 is ~6 unmerged spills,
+    // but merged segments must number at most ceil(log2(spilled/window))+1
+    assert(stored.snapshotSegments.size <= 4,
+      s"${stored.snapshotSegments.size} segments — geometric merge not holding")
     val info = repo.info()
     assert(info.snapshotSegments.nonEmpty, "no spilled segments")
     assert(info.snapshotSegments.forall(_.startsWith(Layout.SegmentPrefix)))
@@ -111,7 +119,11 @@ class HistoryIndexSpec extends SparkTestBase {
   test("expire compacts the segmented index; push replicates full " +
       "ancestry; GC sweeps orphaned segments") {
     val dir = tmpDir("histexp")
-    val cfg = GraftConfig(snapshotIndexWindow = 16)
+    // small generation ring so the test can observe BOTH halves of the
+    // segment-liveness contract: orphans stay recoverable while any
+    // retained pointer generation references them, and are swept once
+    // those generations age out of the ring
+    val cfg = GraftConfig(snapshotIndexWindow = 16, opsRingSize = 8)
     val repo = Repository.create(Store.local(dir), spark, cfg)
     locally {
       val s = repo.writableSession("main")
@@ -145,7 +157,19 @@ class HistoryIndexSpec extends SparkTestBase {
     assert(after.expiredBoundaryOf(
       after.snapshots.head.prunedAncestors.head).isDefined)
 
-    // GC (age-guarded) sweeps the segments the compaction orphaned
+    // GC #1: pre-expire pointer generations are still inside the ring
+    // and reference the old segments — liveness is the UNION across
+    // retained generations (ADVICE r12), so the orphans must SURVIVE
+    // (a reader rolled back to an old generation can still hydrate)
+    graft.ops.GC.garbageCollect(repo,
+      java.time.Instant.now().plusSeconds(3600))
+    assert(segsBefore.forall(k => repo.store.exists(k)),
+      "segments referenced by retained generations were swept early")
+
+    // advance the generation chain past the ring (cheap CAS updates),
+    // then GC #2: no surviving generation references the old segments
+    (0 until 2 * cfg.opsRingSize).foreach(i =>
+      repo.setMetadata(Map("spin" -> org.json4s.JInt(i))))
     graft.ops.GC.garbageCollect(repo,
       java.time.Instant.now().plusSeconds(3600))
     val segKeys = repo.store.list(Layout.SegmentPrefix).map(_.key).toSet
@@ -153,5 +177,59 @@ class HistoryIndexSpec extends SparkTestBase {
     assert(live.subsetOf(segKeys) || live.isEmpty)
     assert((segKeys -- live).isEmpty,
       s"orphaned segments survived GC: ${segKeys -- live}")
+  }
+
+  test("expire inside the segmented region re-tiles: intact segments are " +
+      "reused by key, only the boundary gap is rewritten") {
+    val dir = tmpDir("histretile")
+    val repo = Repository.create(Store.local(dir), spark,
+      GraftConfig(snapshotIndexWindow = 16))
+    locally {
+      val s = repo.writableSession("main")
+      s.addArray("/a", Seq(256), Seq(4))
+      s.commit("init")
+    }
+    (0 until 120).foreach { i =>
+      val s = repo.writableSession("main")
+      s.writeChunk("/a", Seq(i % 64), Array[Byte](i.toByte))
+      s.commit(s"c$i")
+    }
+    val segsBefore = repo.info().snapshotSegments.toSet
+    assert(segsBefore.nonEmpty)
+    // cut deep inside the segmented region, retaining the newest 60
+    val chain = repo.ancestry(VersionRef.Branch("main"))
+    graft.ops.GC.expire(repo,
+      java.time.Instant.parse(chain(59).flushedAt))
+    // == 60 modulo sub-ms flushedAt ties between adjacent commits
+    val kept = repo.ancestry(VersionRef.Branch("main")).size
+    assert(kept >= 60 && kept <= 62, s"kept $kept")
+    // the surviving middle segment(s) must be REUSED, not rewritten —
+    // expire pays O(changed entries), not O(history)
+    val segsAfter = repo.info().snapshotSegments.toSet
+    assert(segsAfter.intersect(segsBefore).nonEmpty,
+      s"no segment reuse across expire: before=$segsBefore after=$segsAfter")
+    // fresh open hydrates the re-tiled chain correctly
+    val reopened = Repository.open(Store.local(dir), spark)
+    val rechain = reopened.ancestry(VersionRef.Branch("main"))
+    assert(rechain.size == kept && rechain.head.message == "c119" &&
+      rechain.last.prunedAncestors.nonEmpty)
+  }
+
+  test("open refuses a pointer written by a NEWER format version, loudly") {
+    val dir = tmpDir("histver")
+    val store = Store.local(dir)
+    val repo = Repository.create(store, spark)
+    val tip = repo.info()
+    // a future binary lands generation N+1 with a format this one does
+    // not understand
+    val future = tip.copy(gen = tip.gen + 1,
+      specVersion = Repository.SpecVersion + 1)
+    store.putBytes(Layout.pointerKey(future.gen),
+      graft.meta.MetaJson.writeRepoInfo(future).getBytes("UTF-8"))
+    val e = intercept[GraftException] {
+      Repository.open(Store.local(dir), spark).info()
+    }
+    assert(e.kind == GraftError.UnsupportedFormat, s"kind=${e.kind}")
+    assert(e.getMessage.contains("newer than this library"))
   }
 }

@@ -108,4 +108,24 @@ class IntegritySpec extends SparkTestBase {
     }
     assert(ex.kind == graft.repo.GraftError.RefNotFound)
   }
+
+  test("a manifest shard with duplicate coordinates fails loudly instead " +
+      "of silently collapsing (torn-writer corruption)") {
+    // ADVICE r12: the coord-keyed split map would silently repair-by-drop
+    // a duplicated coordinate on the merge and lookup paths
+    import graft.meta.{ChunkRef, DriverParquet, ManifestRef}
+    val dir = tmpDir("fsck-dup")
+    val repo = buildRepo(dir)
+    val dup = ChunkRef.nativeRef("nodeX", Seq(3), "AAAA", 0L, 4L)
+    val other = ChunkRef.nativeRef("nodeX", Seq(3), "BBBB", 0L, 4L)
+    repo.store.putBytes(
+      "manifests/dupm/node_id=nodeX/split=0/part-00000-driver.zstd.parquet",
+      DriverParquet.writeChunkRefs(Seq(dup, other)))
+    val mref = ManifestRef("dupm", 0, Seq(3), Seq(3), 2L, 8L)
+    val ex = intercept[graft.repo.GraftException] {
+      repo.assets.lookupRef(mref, "nodeX", Seq(3))
+    }
+    assert(ex.kind == graft.repo.GraftError.Storage &&
+      ex.getMessage.contains("duplicate chunk coordinates"))
+  }
 }

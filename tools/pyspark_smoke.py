@@ -6,7 +6,10 @@ pyspark + the compiled Scala classes on the driver classpath:
 
   create repo (py4j factory) -> CREATE TABLE -> INSERT -> SELECT ->
   time travel (VERSION AS OF) -> CALL system.inspect ->
-  CALL system.push -> open the replica and read it back.
+  CALL system.push -> open the replica and read it back ->
+  pipeline procedures (dedup_exact / minhash_candidates /
+  temperature_mix) over a temp view -> Structured Streaming sink
+  round-trip (readStream json -> writeStream graft-v2, availableNow).
 
 Run from the repo root after `sbt compile`:
 
@@ -86,6 +89,61 @@ def main():
                .option("mode", "values").option("dtype", "int64").load())
         assert rep.count() == 64
         print("[pyspark-smoke] replica rows =", rep.count())
+
+        # 6. pipeline procedures over any resolvable relation (round 13:
+        #    the Python-first pipeline surface, not just the repo ops)
+        docs = spark.createDataFrame(
+            [(i, "sample doc text %d" % (i % 7), "web" if i % 2 else "books")
+             for i in range(40)],
+            "doc_id BIGINT, text STRING, source STRING")
+        docs.createOrReplaceTempView("docs")
+
+        spark.sql("CALL g.system.dedup_exact('docs')").collect()
+        dedup = spark.table("dedup_exact")
+        assert dedup.count() == 40, dedup.count()
+        # 7 distinct texts -> 7 canonical keepers
+        kept = dedup.filter("doc_id = canonical_id").count()
+        assert kept == 7, kept
+        print("[pyspark-smoke] dedup_exact keepers =", kept)
+
+        spark.sql("CALL g.system.minhash_candidates('docs', "
+                  "num_hashes => 16, bands => 4)").collect()
+        cand = spark.table("minhash_candidates")
+        # exact duplicates always collide in every band
+        assert cand.count() > 0, cand.count()
+        print("[pyspark-smoke] minhash candidate pairs =", cand.count())
+
+        spark.sql("CALL g.system.temperature_mix('docs', 'doc_id', "
+                  "'source', alpha => 0.5, target_rows => 20)").collect()
+        mix = spark.table("temperature_mix")
+        n_mix = mix.count()
+        assert 0 < n_mix <= 40, n_mix
+        print("[pyspark-smoke] temperature_mix rows =", n_mix)
+
+        # 7. Structured Streaming sink round-trip: file source ->
+        #    graft-v2 values sink, one commit per epoch, availableNow
+        spark.sql("CREATE TABLE g.s (i0 BIGINT, value BIGINT) "
+                  "TBLPROPERTIES('shape'='16','chunk_shape'='4')")
+        stream_in = os.path.join(work, "stream_in")
+        os.makedirs(stream_in)
+        with open(os.path.join(stream_in, "batch0.json"), "w") as fh:
+            for i in range(16):
+                fh.write('{"i0": %d, "value": %d}\n' % (i, i * 3))
+        sdf = (spark.readStream.schema("i0 BIGINT, value BIGINT")
+               .json(stream_in)
+               .selectExpr("i0", "value", "i0 div 4 as _c0"))
+        q = (sdf.writeStream.format("graft-v2")
+             .option("path", repo_dir).option("array", "/s")
+             .option("mode", "values").option("dtype", "int64")
+             .option("clustered", "true")
+             .option("checkpointLocation", os.path.join(work, "ckpt"))
+             .trigger(availableNow=True)
+             .start())
+        q.awaitTermination(120)
+        back = spark.sql("SELECT count(*) AS n, sum(value) AS s FROM g.s") \
+            .first()
+        assert back.n == 16 and back.s == sum(i * 3 for i in range(16)), back
+        print("[pyspark-smoke] streaming sink rows =", back.n)
         print("[pyspark-smoke] OK")
     except Exception as e:  # noqa: BLE001 — smoke must name its failure
         ok = False
