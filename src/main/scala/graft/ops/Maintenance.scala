@@ -258,9 +258,15 @@ object GC {
       // the dead-chunk frame with a per-executor store client
       store.delete(deadChunks.map(c => "chunks/" + c._1))
       store.delete(deadSnaps.map(_.key))
-      deadTx.map(_.key.split('/').take(2).mkString("/")).distinct
-        .foreach(store.deletePrefix)
-      deadManifestIds.foreach(id => store.deletePrefix(s"manifests/$id"))
+      // prefix deletes run CONCURRENTLY: a deep expire orphans one
+      // manifest + tx-log prefix per squashed commit, and the round-13
+      // latency soak measured the serial loop at ~800 sequential round
+      // trips (the single longest chain in the engine at 50 ms RTT)
+      graft.storage.Store.parallelIO(
+        deadTx.map(_.key.split('/').take(2).mkString("/")).distinct)(
+        store.deletePrefix)
+      graft.storage.Store.parallelIO(deadManifestIds)(id =>
+        store.deletePrefix(s"manifests/$id"))
       repo.casUpdate("garbage_collect",
         s"chunks=${deadChunks.size} bytes=$bytes")(identity)
     }

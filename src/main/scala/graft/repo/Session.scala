@@ -984,8 +984,16 @@ final class Session private[repo] (
       properties = properties,
       nodes = effective,
       manifests = manifests)
-    assets.writeSnapshot(snapshot)
-    writeTxLog(snapshot, changedIds, mergeTxLogOf, flushCached)
+    // the snapshot document and the transaction log are independent
+    // write-once objects — upload them concurrently (one RTT instead of
+    // two on the interactive-commit path; the CAS that publishes them
+    // happens strictly after both land, so partial visibility is
+    // impossible). Spark-path tx logs run a job on the second thread,
+    // which is safe (jobs may be submitted from any thread).
+    graft.storage.Store.parallelIO[() => Unit, Unit](Seq(
+      () => assets.writeSnapshot(snapshot),
+      () => writeTxLog(snapshot, changedIds, mergeTxLogOf, flushCached)))(
+      f => f())
     snapshot
 
     } finally flushCached.foreach(_.unpersist(false))

@@ -12,7 +12,15 @@ import graft.storage.Store
   * deployment schedules — so the probe separates index growth (bounded
   * by the snapshot-index window) from generation-file accumulation
   * (bounded by GC).
+  *
+  * `latencyMs` > 0 additionally measures a COLD open (fresh pointer,
+  * empty segment cache) through a [[graft.storage.LatencyStore]] at
+  * each checkpoint — the round-13 object-store soak axis: with
+  * geometric segment merging + concurrent hydration the cold open must
+  * stay ~flat (a handful of RTTs) regardless of depth, where the
+  * round-12 sequential hydration paid one RTT per spilled segment.
   * Usage: runMain graft.tools.DiagHistory [commits] [dir] [pruneEvery]
+  *   [latencyMs]
   */
 object DiagHistory {
   def main(args: Array[String]): Unit = {
@@ -20,6 +28,7 @@ object DiagHistory {
     val dir = if (args.length > 1 && args(1) != "-") args(1)
       else java.nio.file.Files.createTempDirectory("diag-history").toString
     val pruneEvery = if (args.length > 2) args(2).toInt else 0
+    val latencyMs = if (args.length > 3) args(3).toLong else 0L
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
@@ -54,8 +63,21 @@ object DiagHistory {
         var ptrCount = 0
         while (ptr.hasNext) { ptrBytes = math.max(ptrBytes,
           java.nio.file.Files.size(ptr.next())); ptrCount += 1 }
+        val coldInfo =
+          if (latencyMs <= 0) ""
+          else {
+            val tCold = System.nanoTime()
+            val cold = Repository.open(
+              new graft.storage.LatencyStore(Store.local(dir), latencyMs),
+              spark)
+            val info = cold.info()
+            val coldMs = (System.nanoTime() - tCold) / 1e6
+            f" coldOpen@${latencyMs}ms=$coldMs%8.1f ms" +
+              f" segs=${info.snapshotSegments.size}%3d"
+          }
         System.err.println(f"[diag-history] depth=$i%6d commit=$dtMs%8.1f ms" +
-          f" open=$openMs%8.1f ms pointer=$ptrBytes%9d B gens=$ptrCount%6d")
+          f" open=$openMs%8.1f ms pointer=$ptrBytes%9d B gens=$ptrCount%6d" +
+          coldInfo)
       }
     }
     spark.stop()

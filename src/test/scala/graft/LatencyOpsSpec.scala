@@ -1,0 +1,112 @@
+package graft
+
+import graft.repo._
+import graft.storage.{LoggingStore, Store}
+
+/** Round-trip-count pins for the object-store latency soak (round 13,
+  * SURVEY §10): at 50–200 ms per store op, the cost of every metadata
+  * path is its **op count on the critical path**, so the counts are
+  * part of the performance contract and must not regress silently.
+  * Counts are measured with the op-counting store decorator over a real
+  * repo — no latency injection needed to pin them (`tools/LatencySoak`
+  * measures the wall-clock side).
+  */
+class LatencyOpsSpec extends SparkTestBase {
+
+  /** 130-commit repo, window 16 → several spilled segments. */
+  private def build(dir: String): Unit = {
+    val repo = Repository.create(Store.local(dir), spark,
+      GraftConfig(snapshotIndexWindow = 16,
+        splits = Seq(SplitRule(".*", 0, 8))))
+    val s = repo.writableSession("main")
+    s.addArray("/a", Seq(256), Seq(4)) // 64 chunks / 8 splits
+    s.commit("init")
+    (0 until 130).foreach { i =>
+      val w = repo.writableSession("main")
+      w.writeChunk("/a", Seq(i % 64), Array[Byte](i.toByte))
+      w.commit(s"c$i")
+    }
+  }
+
+  private def counted(dir: String): (LoggingStore, () => Long) = {
+    val st = new LoggingStore(Store.local(dir), _ => ())
+    (st, () => {
+      import scala.jdk.CollectionConverters._
+      st.counts.asScala.values.map(_.get()).sum
+    })
+  }
+
+  test("cold open of a deep segmented history is O(1) store ops " +
+      "(one concurrent segment wave, not one GET per segment)") {
+    val dir = tmpDir("ops-open")
+    build(dir)
+    val (st, total) = counted(dir)
+    val repo = Repository.open(st, spark)
+    repo.info()
+    // listPage(tip) + pointer GET per load (open + info), segments in
+    // ONE wave (each segment is one GET but they run concurrently; the
+    // count stays bounded by the GEOMETRIC segment invariant: <= 4 at
+    // this depth) — regression to one-segment-per-window spills would
+    // push this past the bound
+    assert(total() <= 12, s"cold open cost ${total()} store ops")
+    val segs = repo.info().snapshotSegments.size
+    assert(segs <= 4, s"$segs segments at depth 132 — geometric merge broken")
+  }
+
+  test("batched point lookups cost one op pair per DISTINCT cold split, " +
+      "not per coordinate") {
+    val dir = tmpDir("ops-batch")
+    build(dir)
+    val (st, total) = counted(dir)
+    val repo = Repository.open(st, spark)
+    val ro = repo.readonlySession(VersionRef.Branch("main"))
+    val t0 = total()
+    // 16 coords across the array's 8 splits: cost = 8 × (list + GET)
+    // for the cold split loads + nothing per extra coord
+    val refs = ro.getChunkRefs("/a", (0 until 16).map(i => Seq(i * 4 + 1)))
+    assert(refs.flatten.size == 16)
+    val cost = total() - t0
+    assert(cost <= 2 * 8 + 2, s"batched lookup cost $cost ops for 8 splits")
+    // hot repeat: zero store ops
+    val t1 = total()
+    ro.getChunkRefs("/a", (0 until 16).map(i => Seq(i * 4 + 1)))
+    assert(total() - t1 == 0, "hot batched lookup touched storage")
+  }
+
+  test("ops log over a deep unpruned generation chain reads each " +
+      "generation exactly once") {
+    val dir = tmpDir("ops-log")
+    build(dir)
+    val (st, total) = counted(dir)
+    val repo = Repository.open(st, spark)
+    val t0 = total()
+    val ops = repo.opsLog()
+    assert(ops.nonEmpty)
+    // 132 generations + tip listPage + already-loaded tip: one GET per
+    // generation, no re-reads from the batching (batches are fetched
+    // concurrently but each generation exactly once)
+    val cost = total() - t0
+    assert(cost <= 140, s"opsLog cost $cost ops for 132 generations")
+  }
+
+  test("interactive small commit is O(1) store ops") {
+    val dir = tmpDir("ops-commit")
+    build(dir)
+    val (st, total) = counted(dir)
+    val repo = Repository.open(st, spark)
+    // warm one commit (fills session caches shared in this process)
+    locally {
+      val w = repo.writableSession("main")
+      w.writeChunk("/a", Seq(0), Array[Byte](1))
+      w.commit("warm")
+    }
+    val t0 = total()
+    val w = repo.writableSession("main")
+    w.writeChunk("/a", Seq(9), Array[Byte](2))
+    w.commit("measured")
+    val cost = total() - t0
+    // chain (SURVEY §10): 2 × info (listPage+GET), prev-shard list+GET,
+    // shard PUT, snapshot PUT, tx-log PUT, CAS PUT ≈ 11; headroom 14
+    assert(cost <= 14, s"small commit cost $cost store ops")
+  }
+}
