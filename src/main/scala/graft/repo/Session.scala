@@ -631,6 +631,26 @@ final class Session private[repo] (
     coords.map(c => getChunkRef(path, c))
   }
 
+  /** Cross-array form of [[getChunkRefs]]: one concurrent warm wave for
+    * every (array, coordinate) pair — an ERA5-style time slice across
+    * 4 arrays costs ~2 round trips, not 4 sequential per-array batches
+    * (SURVEY §10). Results align with `reqs` by index.
+    */
+  def getChunkRefsBatch(
+      reqs: Seq[(String, Seq[Int])]): Seq[Option[ChunkRef]] = {
+    val parts = reqs.groupBy(_._1).toSeq.flatMap { case (path, group) =>
+      val n = arrayNode(path)
+      if (changeSet.rewrittenNodes.contains(n.id)) Nil
+      else {
+        val mrefs = baseSnapshot.manifests.getOrElse(n.id, Nil)
+        group.flatMap { case (_, c) =>
+          mrefs.filter(_.contains(c)).map(m => (m, n.id)) }
+      }
+    }
+    assets.warmSplits(parts)
+    reqs.map { case (p, c) => getChunkRef(p, c) }
+  }
+
   private[graft] def materialize(r: ChunkRef): Array[Byte] = r.kind match {
     case ChunkRef.KindInline => r.inline
     case ChunkRef.KindRef => assets.readChunk(r.chunk_id, r.offset, r.length)

@@ -105,8 +105,7 @@ object Era5Probe {
       ro.materializeRange(ro.getChunkRef("/g/latitude", Seq(0)).get, 0, 1))
     println(s"[era5]   first byte = ${fb.head}")
     val slice = timed("time_slice_refs")(
-      ro.getChunkRefs("/g/temp2m", Seq(Seq(17, 0, 0))) ++
-        arrays.tail.flatMap(p => ro.getChunkRefs(p, Seq(Seq(17, 0, 0)))))
+      ro.getChunkRefsBatch(arrays.map(p => (p, Seq(17, 0, 0)))))
     println(s"[era5]   refs at t=17 = ${slice.flatten.size}")
     val scan = timed("refs_scan_all")(ro.allRefs().count())
     println(s"[era5]   total refs = $scan")

@@ -73,6 +73,32 @@ class LatencyOpsSpec extends SparkTestBase {
     assert(total() - t1 == 0, "hot batched lookup touched storage")
   }
 
+  test("cross-array batched lookups warm every array's splits in ONE " +
+      "wave (ERA5 time-slice shape)") {
+    val dir = tmpDir("ops-xbatch")
+    val repo0 = Repository.create(Store.local(dir), spark,
+      GraftConfig(splits = Seq(SplitRule(".*", 0, 8))))
+    val arrays = Seq("/g/a", "/g/b", "/g/c")
+    locally {
+      val s = repo0.writableSession("main")
+      arrays.foreach(p => s.addArray(p, Seq(64), Seq(4)))
+      s.commit("init")
+      val w = repo0.writableSession("main")
+      for (p <- arrays; i <- 0 until 16)
+        w.writeChunk(p, Seq(i), Array[Byte](i.toByte))
+      w.commit("fill")
+    }
+    val (st, total) = counted(dir)
+    val repo = Repository.open(st, spark)
+    val ro = repo.readonlySession(VersionRef.Branch("main"))
+    val t0 = total()
+    // one coord per array, all in the same split index: 3 cold splits
+    val refs = ro.getChunkRefsBatch(arrays.map(p => (p, Seq(9))))
+    assert(refs.flatten.size == 3)
+    val cost = total() - t0
+    assert(cost <= 2 * 3 + 2, s"cross-array batch cost $cost ops")
+  }
+
   test("ops log over a deep unpruned generation chain reads each " +
       "generation exactly once") {
     val dir = tmpDir("ops-log")
