@@ -183,21 +183,24 @@ final class AzureStore(val azConf: AzureStoreConf) extends Store {
     */
   private def blockPut(key: String, bytes: Array[Byte]): Unit = {
     val part = blockBytes.toInt
-    val ids = scala.collection.mutable.ArrayBuffer[String]()
-    var off = 0
-    var i = 0
-    while (off < bytes.length) {
-      val end = math.min(off.toLong + part, bytes.length.toLong).toInt
-      val blockId = java.util.Base64.getEncoder.encodeToString(
-        f"block-$i%08d".getBytes(UTF_8))
-      val r = send("PUT",
-        blobUriQ(key, s"comp=block&blockid=${encQ(blockId)}"),
-        java.util.Arrays.copyOfRange(bytes, off, end))
-      if (r.statusCode() != 201 && r.statusCode() != 200)
-        failed(s"PUT(block $i)", key, r)
-      ids += blockId
-      off = end
-      i += 1
+    val ranges = (0 until bytes.length by part).zipWithIndex.map {
+      case (off, i) =>
+        (i, off, math.min(off.toLong + part, bytes.length.toLong).toInt)
+    }
+    // staged blocks are independent until Put Block List commits the
+    // ordered list — upload them concurrently (same rationale as the
+    // S3 multipart path: a 1 GiB blob at 32 MB blocks over a 150 ms
+    // store is otherwise 32 sequential round trips)
+    val ids = graft.storage.Store.parallelIO(ranges, maxThreads = 8) {
+      case (i, off, end) =>
+        val blockId = java.util.Base64.getEncoder.encodeToString(
+          f"block-$i%08d".getBytes(UTF_8))
+        val r = send("PUT",
+          blobUriQ(key, s"comp=block&blockid=${encQ(blockId)}"),
+          java.util.Arrays.copyOfRange(bytes, off, end))
+        if (r.statusCode() != 201 && r.statusCode() != 200)
+          failed(s"PUT(block $i)", key, r)
+        blockId
     }
     val xml = ids.map(id => s"<Latest>$id</Latest>")
       .mkString("<?xml version=\"1.0\" encoding=\"utf-8\"?><BlockList>", "",

@@ -176,6 +176,11 @@ final class GcsStore(val gcsConf: GcsStoreConf) extends Store {
     * `Content-Range`; intermediate chunks answer 308, the final one 200.
     */
   private def resumablePut(key: String, bytes: Array[Byte]): Unit = {
+    // unlike S3 multipart / Azure Put Block, resumable chunks CANNOT be
+    // parallelized: the protocol is a single session whose Content-Range
+    // offsets must arrive in order (each 308 acknowledges the prefix) —
+    // large-object upload latency on GCS is chunks × RTT by design; use
+    // a larger resumableChunkBytes on high-RTT links
     val init = send("POST", uploadUri(key, "", "resumable"),
       Array.emptyByteArray)
     if (init.statusCode() != 200) failed("POST(resumable)", key, init)
