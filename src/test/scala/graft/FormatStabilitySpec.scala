@@ -2,6 +2,7 @@ package graft
 
 import java.nio.file.{Files, Path, Paths}
 import java.security.MessageDigest
+import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.functions._
 import graft.meta.EditRow
 import graft.repo._
@@ -190,5 +191,38 @@ class FormatStabilitySpec extends SparkTestBase {
       assert(after == sums,
         "opening/reading the golden S3 repo modified its objects")
     } finally server.stop()
+  }
+
+  test("committing on a pre-versioned pointer upgrades it in place: " +
+      "specVersion stamped, history intact, still fully readable") {
+    // the golden fixture's pointer predates BOTH the windowed snapshot
+    // index and the persisted specVersion (round 13) — a commit on top
+    // must stamp the current format and keep every pre-upgrade commit
+    // reachable, and a fresh open must read the upgraded pointer
+    assume(Files.isDirectory(fixture), s"fixture missing at $fixture")
+    val (dir, _) = stage()
+    val repo = Repository.open(graft.storage.Store.local(dir.toString), spark)
+    val preChain = repo.ancestry(VersionRef.Branch("main")).map(_.message)
+    val s = repo.writableSession("main")
+    s.writeChunk("/climate/series", Seq(0),
+      graft.functions.ChunkCodec.encodeLongs(
+        Array.tabulate(100)(_.toLong + 7000), "int64"))
+    s.commit("post-upgrade commit")
+    val tipPath = Files.list(dir.resolve("repo")).iterator().asScala
+      .filter(_.getFileName.toString.startsWith("r."))
+      .minBy(_.getFileName.toString) // reverse-encoded: min = latest
+    val raw = graft.meta.MetaJson.readRepoInfo(
+      new String(Files.readAllBytes(tipPath), "UTF-8"))
+    assert(raw.specVersion == Repository.SpecVersion,
+      s"upgraded pointer carries specVersion ${raw.specVersion}")
+    val reopened = Repository.open(graft.storage.Store.local(dir.toString),
+      spark)
+    val chain = reopened.ancestry(VersionRef.Branch("main")).map(_.message)
+    assert(chain == "post-upgrade commit" +: preChain, chain.toString)
+    // pre-upgrade data still reads; the new chunk lands
+    val tip = reopened.readonlySession(VersionRef.Branch("main"))
+    val series = TensorPlane.values(tip, "/climate/series", "int64")
+    assert(series.filter(col("i0") === 5).head().getLong(1) == 7005L)
+    assert(series.filter(col("i0") === 150).head().getLong(1) == 150L)
   }
 }
