@@ -39,28 +39,39 @@ object Integrity {
     val closure = (info.snapshotInfo(tip).toSeq ++ info.ancestry(tip))
       .distinctBy(_.id)
 
+    // driver-side probes (snapshot exists/parse, manifest-dir listing)
+    // run CONCURRENTLY: fsck over a deep history against an object
+    // store is otherwise one round trip per snapshot plus one per
+    // manifest, sequentially (round-13 latency audit)
     val metaProblems = scala.collection.mutable.ArrayBuffer[(String, String, String)]()
     val manifestIds = scala.collection.mutable.LinkedHashSet[String]()
-    closure.foreach { si =>
+    graft.storage.Store.parallelIO(closure) { si =>
       val snapKey = Layout.snapshotKey(si.id)
       if (!repo.store.exists(snapKey))
-        metaProblems += (("missing_snapshot", si.id, snapKey))
+        (Some(("missing_snapshot", si.id, snapKey)), Nil)
       else
-        try {
-          manifestIds ++= repo.assets.readSnapshot(si.id)
-            .manifests.values.flatten.map(_.manifestId)
-        } catch {
+        try (None, repo.assets.readSnapshot(si.id)
+          .manifests.values.flatten.map(_.manifestId).toSeq)
+        catch {
           case e: Exception =>
-            metaProblems += (("corrupt_snapshot", si.id,
-              Option(e.getMessage).getOrElse("").take(120)))
+            (Some(("corrupt_snapshot", si.id,
+              Option(e.getMessage).getOrElse("").take(120))), Nil)
         }
+    }.foreach { case (problem, mids) =>
+      problem.foreach(metaProblems += _)
+      manifestIds ++= mids
     }
-    val presentManifests = manifestIds.toSeq.filter { mid =>
-      val ok = repo.store.list(Layout.manifestPrefix(mid) + "/").nonEmpty
-      if (!ok) metaProblems += (("missing_manifest", mid,
-        Layout.manifestPrefix(mid)))
-      ok
-    }
+    val presentManifests =
+      graft.storage.Store.parallelIO(manifestIds.toSeq)(mid =>
+        mid -> repo.store.list(Layout.manifestPrefix(mid) + "/").nonEmpty)
+      .flatMap { case (mid, ok) =>
+        if (ok) Some(mid)
+        else {
+          metaProblems += (("missing_manifest", mid,
+            Layout.manifestPrefix(mid)))
+          None
+        }
+      }
 
     val metaDf = metaProblems.toSeq.toDF("kind", "id", "detail")
     if (presentManifests.isEmpty) return metaDf

@@ -140,32 +140,40 @@ object Replicate {
     val closureIds = closure.map(_.id).toSet
 
     // ---- metadata: snapshots + tx logs (driver-side, bounded) ----
-    var snapsCopied = 0
-    var txCopied = 0
-    val manifestIds = scala.collection.mutable.LinkedHashSet[String]()
-    closure.foreach { si =>
+    // per-snapshot work (exists + get + put + tx-log list/copies) runs
+    // CONCURRENTLY across the closure: a 400-commit first push is
+    // otherwise ~2 000 sequential round trips of metadata alone at
+    // object-store RTTs (round-13 latency audit; payload copies were
+    // already executor-parallel)
+    val metaCopied = graft.storage.Store.parallelIO(closure) { si =>
       val snapKey = Layout.snapshotKey(si.id)
-      if (!dst.exists(snapKey)) {
-        dst.putBytes(snapKey, src.store.getBytes(snapKey))
-        snapsCopied += 1
-      }
+      val snaps =
+        if (dst.exists(snapKey)) 0
+        else { dst.putBytes(snapKey, src.store.getBytes(snapKey)); 1 }
       // the snapshot body names the manifests this commit reads
-      manifestIds ++= src.assets.readSnapshot(si.id)
-        .manifests.values.flatten.map(_.manifestId)
+      val mids = src.assets.readSnapshot(si.id)
+        .manifests.values.flatten.map(_.manifestId).toSeq
+      var tx = 0
       src.store.list(Layout.txLogPrefix(si.id) + "/").foreach { o =>
         if (!dst.exists(o.key)) {
           dst.putBytes(o.key, src.store.getBytes(o.key))
-          txCopied += 1
+          tx += 1
         }
       }
+      (snaps, tx, mids)
     }
+    val snapsCopied = metaCopied.map(_._1).sum
+    val txCopied = metaCopied.map(_._2).sum
+    val manifestIds = scala.collection.mutable.LinkedHashSet[String]()
+    metaCopied.foreach(manifestIds ++= _._3)
     phase("metadata")
 
     // ---- manifest Parquet objects (executor-side copy) ----
     val srcConf = src.store.conf
     val dstConf = dst.conf
-    val manifestKeys: Seq[String] = manifestIds.toSeq.flatMap(mid =>
-      src.store.list(Layout.manifestPrefix(mid) + "/").map(_.key))
+    val manifestKeys: Seq[String] =
+      graft.storage.Store.parallelIO(manifestIds.toSeq)(mid =>
+        src.store.list(Layout.manifestPrefix(mid) + "/").map(_.key)).flatten
     val manifestsCopied =
       if (manifestKeys.isEmpty) 0
       else spark.sparkContext

@@ -94,8 +94,20 @@ object ZarrImport {
       throw new GraftException(
         s"no zarr.json/.zarray/.zgroup under '$prefix' — not a zarr store")
 
-    def readDoc(key: String): String = new String(src.getBytes(key),
-      java.nio.charset.StandardCharsets.UTF_8)
+    // prefetch every metadata document in one concurrent wave — the
+    // session-mutation loop below is parents-first ORDER-dependent, but
+    // the GETs are not: a 1 000-array store over a 100 ms object store
+    // is otherwise ~1 000 sequential round trips (round-13 latency
+    // audit)
+    val docCache: Map[String, String] = {
+      val wanted = (metaDocs.map(_.key) ++
+        entries.collect { case e if e.key.endsWith(".zattrs") => e.key })
+        .distinct
+      graft.storage.Store.parallelIO(wanted)(k =>
+        k -> new String(src.getBytes(k),
+          java.nio.charset.StandardCharsets.UTF_8)).toMap
+    }
+    def readDoc(key: String): String = docCache(key)
     // v2 attributes live in a SIBLING .zattrs file; fold them into the
     // synthesized v3 doc so the adoption is lossless
     def attrsFor(base: String): Option[String] =

@@ -125,6 +125,18 @@ object LatencySoak {
       (0 until 20).foreach(i => ro.getChunkRef("/a", Seq(i * 6 + 1)))
     }
     measure("ops_log_full") { r => r.opsLog() }
+    measure("fsck_main") { r =>
+      graft.ops.Integrity.check(r, "main").count()
+    }
+    // push: DRIVER-side metadata phase through the latency store (the
+    // executor-side payload copies re-open the raw store via StoreConf
+    // and are parallel by construction — out of scope here)
+    measure("push_first") { r =>
+      val dst = java.nio.file.Files.createTempDirectory(s"latsoak-dst-$rttMs")
+      val dstStore =
+        new LatencyStore(Store.local(dst.toString), rttMs)
+      graft.ops.Replicate.sync(r, dstStore, "main")
+    }
     measure("branch_tag_admin") { r =>
       r.createTag("soak-tag", r.lookupBranch("main").get)
       r.deleteTag("soak-tag")
