@@ -215,6 +215,61 @@ class HistoryIndexSpec extends SparkTestBase {
       rechain.last.prunedAncestors.nonEmpty)
   }
 
+  test("expire re-tiling races concurrent committers: no post-cutoff " +
+      "commit lost, tip always hydratable") {
+    // expire's re-tile pack (round 13) writes gap segments and reuses
+    // old ones while committers append-pack the same index through the
+    // same CAS chain — every interleaving must retain every commit at
+    // or after the cutoff and leave a tip whose segment chain hydrates
+    val dir = tmpDir("histexprace")
+    val repo = Repository.create(Store.local(dir), spark,
+      GraftConfig(snapshotIndexWindow = 16))
+    locally {
+      val s = repo.writableSession("main")
+      s.addArray("/a", Seq(256), Seq(4))
+      s.commit("init")
+    }
+    (0 until 80).foreach { i =>
+      val s = repo.writableSession("main")
+      s.writeChunk("/a", Seq(i % 64), Array[Byte](i.toByte))
+      s.commit(s"pre$i")
+    }
+    // cutoff inside the segmented region, fixed before the race starts
+    val cutoff = java.time.Instant.parse(
+      repo.ancestry(VersionRef.Branch("main"))(39).flushedAt)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val committer = new Thread(() => {
+      try (0 until 20).foreach { i =>
+        val s = repo.writableSession("main")
+        // coords 36..55: each written exactly once during the race, and
+        // the racing writes land AFTER the pre-commits that touched them
+        s.writeChunk("/a", Seq(36 + i), Array[Byte](7, i.toByte))
+        s.commit(s"race$i")
+      } catch { case t: Throwable => errs.add(t) }
+    })
+    val expirer = new Thread(() => {
+      try {
+        Thread.sleep(30)
+        graft.ops.GC.expire(repo, cutoff)
+      } catch { case t: Throwable => errs.add(t) }
+    })
+    committer.start(); expirer.start()
+    committer.join(); expirer.join()
+    assert(errs.isEmpty, s"race failed: ${errs.peek()}")
+    // every post-cutoff and every raced commit is still on the chain
+    val chain = repo.ancestry(VersionRef.Branch("main"))
+    val msgs = chain.map(_.message).toSet
+    (0 until 20).foreach(i => assert(msgs.contains(s"race$i"), s"race$i lost"))
+    (40 until 80).foreach(i => assert(msgs.contains(s"pre$i"), s"pre$i lost"))
+    // a fresh open (cold segment cache) hydrates the re-tiled chain
+    val reopened = Repository.open(Store.local(dir), spark)
+    assert(reopened.ancestry(VersionRef.Branch("main")).size == chain.size)
+    // raced edits readable at the tip
+    val ro = reopened.readonlySession(VersionRef.Branch("main"))
+    assert(ro.getChunk("/a", Seq(43)).get
+      .sameElements(Array[Byte](7, 7)))
+  }
+
   test("open refuses a pointer written by a NEWER format version, loudly") {
     val dir = tmpDir("histver")
     val store = Store.local(dir)
