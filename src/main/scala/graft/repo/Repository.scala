@@ -598,7 +598,12 @@ final class Repository private (
           " — set_status(online) to unlock", GraftError.ReadOnly)
     val tip = i.branches.getOrElse(branchName,
       throw new GraftException(s"no branch $branchName", GraftError.RefNotFound))
-    new Session(this, Some(branchName), assets.readSnapshot(tip))
+    val s = new Session(this, Some(branchName), assets.readSnapshot(tip))
+    // seed the commit loop's first optimistic attempt with the info we
+    // just loaded — see Session.commitImpl (saves the redundant pointer
+    // reload on every uncontended interactive commit)
+    s.openInfo = Some(i)
+    s
   }
 
   /** Move-only session (`rearrange_session`, repository.rs:1992): moves

@@ -28,12 +28,24 @@ final class Session private[repo] (
     * set by [[Repository.mergeBranch]] so the merge records the source
     * tip it folded in (git's merge parent). */
   private[graft] var mergeParent: Option[String] = None
-  /** Default commit metadata captured at session creation (reference
+  /** The pointer document this session was opened against (set by
+    * [[Repository.writableSession]]; None on fork/rearrange/detached
+    * paths). Seeds the commit loop's optimistic first CAS attempt and
+    * answers the default-commit-metadata capture without a second
+    * pointer load — the round-13 latency audit found session open
+    * paying the full load TWICE (once in writableSession, once here).
+    */
+  private[repo] var openInfo: Option[RepoInfo] = None
+  /** Default commit metadata captured at session open (reference
     * `set_default_commit_metadata`: later changes don't affect open
     * sessions). Merged UNDER commit properties — commit keys win.
+    * Lazy: reads the open-time pointer when the session has one, and
+    * only falls back to a fresh load on the open-info-less paths.
     */
-  private val sessionDefaultMeta: Map[String, String] =
-    if (branch.isDefined) repo.info().defaultCommitMeta else Map.empty
+  private lazy val sessionDefaultMeta: Map[String, String] =
+    if (branch.isDefined)
+      openInfo.getOrElse(repo.info()).defaultCommitMeta
+    else Map.empty
   /** Staging datasets (uploaded-once chunk-ref Parquet under `staging/`)
     * backing staged batches — deleted on commit/discard, swept by GC if
     * the session dies.
@@ -725,7 +737,11 @@ final class Session private[repo] (
     * fork/merge dance collapses: executors stage refs, the driver merges
     * changesets (`Session::merge`, session.rs:1524).
     */
-  def fork(): Session = new Session(repo, branch, baseSnapshot, moveOnly)
+  def fork(): Session = {
+    val s = new Session(repo, branch, baseSnapshot, moveOnly)
+    s.openInfo = openInfo // same capture point; CAS guard re-validates
+    s
+  }
 
   def merge(other: Session): Unit = {
     require(other.base.id == base.id, "can only merge sessions with same base")
@@ -1120,8 +1136,19 @@ final class Session private[repo] (
     var attempts = 0
     while (attempts < cfg.commitRetries) {
       attempts += 1
-      val info = repo.pointer.load().getOrElse(
-        throw new GraftException("repository not initialized"))
+      // Optimistic first attempt: reuse the pointer document the session
+      // was OPENED with (round 13, 2 fewer round trips per uncontended
+      // commit). Safe by the CAS contract: if ANYTHING changed since —
+      // another commit, a branch op, an admin read_only lock — the
+      // generation moved, attempt 1's conditional PUT fails, and attempt
+      // 2 reloads fresh (paying one extra failed-CAS round trip only in
+      // the already-expensive contended case). A CAS that SUCCEEDS with
+      // the cached generation proves the cached info was current.
+      val info = (if (attempts == 1) openInfo.filter(
+          _.branches.get(branchName).contains(baseSnapshot.id))
+        else None).getOrElse(
+        repo.pointer.load().getOrElse(
+          throw new GraftException("repository not initialized")))
       // the admin lock also catches commits whose session predates it
       if (info.statusAvailability == "read_only")
         throw new GraftException(
@@ -1161,6 +1188,7 @@ final class Session private[repo] (
         ops = (info.ops :+ entry).takeRight(cfg.opsRingSize))
       if (repo.pointer.compareAndSwap(info.gen, next)) {
         baseSnapshot = snapshot
+        openInfo = Some(next) // the info we just wrote IS the fresh tip
         changeSet.discard()
         cleanupStaging() // refs are in the manifest now
         return snapshot.id

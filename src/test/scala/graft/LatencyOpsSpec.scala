@@ -131,8 +131,10 @@ class LatencyOpsSpec extends SparkTestBase {
     w.writeChunk("/a", Seq(9), Array[Byte](2))
     w.commit("measured")
     val cost = total() - t0
-    // chain (SURVEY §10): 2 × info (listPage+GET), prev-shard list+GET,
-    // shard PUT, snapshot PUT, tx-log PUT, CAS PUT ≈ 11; headroom 14
-    assert(cost <= 14, s"small commit cost $cost store ops")
+    // chain (SURVEY §10): ONE info load at open (listPage+GET — the
+    // commit's first CAS attempt reuses it optimistically), prev-shard
+    // list+GET, shard PUT, snapshot PUT ∥ tx-log PUT, CAS PUT ≈ 8;
+    // headroom 10
+    assert(cost <= 10, s"small commit cost $cost store ops")
   }
 }
