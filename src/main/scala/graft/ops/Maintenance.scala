@@ -245,13 +245,23 @@ object GC {
     if (!dryRun) {
       store.delete(deadStaging.map(_.key))
       store.delete(deadProbes.map(_.key))
-      // last-moment liveness re-check: a committer may have advanced the
-      // tip (referencing a fresh segment) after the listing above — the
-      // age guard makes that unlikely with a sane cutoff, but a deleted
-      // live segment bricks the whole repo (hydration fails), so the
-      // cheap single re-load is worth it even under aggressive cutoffs
-      val liveNow = repo.pointer.load().map(_.snapshotSegments.toSet)
-        .getOrElse(Set.empty)
+      // last-moment liveness re-check: union the segment lists of every
+      // generation that LANDED SINCE the scan (not just the tip — a
+      // committer may land between the tip re-load and the delete), and
+      // drop any key that became live. This narrows the race window to
+      // the microseconds between this check and the delete; the AGE
+      // GUARD is the actual protection for that residue — with a sane
+      // past cutoff (hours/days, like the reference) a segment written
+      // moments ago can never be in deadSegments at all. Future-dated
+      // cutoffs void that guard and are a test-only pattern; a deleted
+      // live segment bricks hydration, so never use them on a repo with
+      // concurrent writers.
+      val liveNow: Set[String] = {
+        val tipNow = repo.pointer.latestGen()
+        graft.storage.Store.parallelIO((info.gen + 1) to tipNow)(g =>
+          try repo.pointer.loadGen(g).snapshotSegments
+          catch { case _: Exception => Nil }).flatten.toSet
+      }
       store.delete(deadSegments.map(_.key).filterNot(liveNow.contains))
       repo.pointer.pruneGenerations(keep = repo.config.opsRingSize)
       // batched deletes; at cluster scale this is a foreachPartition over

@@ -611,10 +611,15 @@ final class Repository private (
     * every other edit.
     */
   def rearrangeSession(branchName: String): Session = {
-    val tip = lookupBranch(branchName).getOrElse(
+    val i = info()
+    val tip = i.branches.getOrElse(branchName,
       throw new GraftException(s"no branch $branchName", GraftError.RefNotFound))
-    new Session(this, Some(branchName), assets.readSnapshot(tip),
+    val s = new Session(this, Some(branchName), assets.readSnapshot(tip),
       moveOnly = true)
+    // same open-time capture as writableSession: default-commit-metadata
+    // snapshots at session OPEN, and the first CAS attempt can reuse it
+    s.openInfo = Some(i)
+    s
   }
 
   def lookupSnapshot(id: String): Snapshot = assets.readSnapshot(id)

@@ -633,15 +633,8 @@ final class Session private[repo] (
     * reference's `get_partial_values` concurrency pattern,
     * config.rs:576-578). Results align with `coords` by index.
     */
-  def getChunkRefs(path: String, coords: Seq[Seq[Int]]): Seq[Option[ChunkRef]] = {
-    val n = arrayNode(path)
-    if (!changeSet.rewrittenNodes.contains(n.id)) {
-      val mrefs = baseSnapshot.manifests.getOrElse(n.id, Nil)
-      assets.warmSplits(coords.flatMap(c =>
-        mrefs.filter(_.contains(c)).map(m => (m, n.id))))
-    }
-    coords.map(c => getChunkRef(path, c))
-  }
+  def getChunkRefs(path: String, coords: Seq[Seq[Int]]): Seq[Option[ChunkRef]] =
+    getChunkRefsBatch(coords.map(c => (path, c)))
 
   /** Cross-array form of [[getChunkRefs]]: one concurrent warm wave for
     * every (array, coordinate) pair — an ERA5-style time slice across
@@ -1188,7 +1181,14 @@ final class Session private[repo] (
         ops = (info.ops :+ entry).takeRight(cfg.opsRingSize))
       if (repo.pointer.compareAndSwap(info.gen, next)) {
         baseSnapshot = snapshot
-        openInfo = Some(next) // the info we just wrote IS the fresh tip
+        // the cached open-time info is now behind the tip; drop it
+        // rather than caching `next` — `next` is the UN-packed document
+        // (full inline snapshot list, pre-merge segment list), and
+        // packing later commits against that stale layout would re-spill
+        // an ever-growing segment per commit (O(session-commits²) bytes).
+        // A later commit on this session pays one fresh pointer load —
+        // the optimistic first attempt is for the open→commit pattern.
+        openInfo = None
         changeSet.discard()
         cleanupStaging() // refs are in the manifest now
         return snapshot.id

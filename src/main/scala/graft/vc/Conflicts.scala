@@ -285,8 +285,14 @@ object Rebase {
       if (prefetched(snapId)._1) {
         // driver fast path: point-only changeset + small tx log ⇒ detect
         // in memory, zero Spark jobs per rebase pass; the solver gets a
-        // local DataFrame only if it actually has conflicts to resolve
-        val localRows = prefetched(snapId)._2
+        // local DataFrame only if it actually has conflicts to resolve.
+        // pointOnly is re-checked HERE, not only at prefetch time: a
+        // solver resolving an earlier missed commit may add exclusions
+        // (UseTheirs does), after which detectLocal's point-only
+        // precondition no longer holds and this commit must take the
+        // Spark detect path its prefetched rows would have skipped
+        val localRows =
+          if (session.changeSet.pointOnly) prefetched(snapId)._2 else None
         localRows match {
           case Some(rows) =>
             val conflicts = ConflictDetector.detectLocal(session, rows)

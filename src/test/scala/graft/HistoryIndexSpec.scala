@@ -215,6 +215,34 @@ class HistoryIndexSpec extends SparkTestBase {
       rechain.last.prunedAncestors.nonEmpty)
   }
 
+  test("a LONG-LIVED session committing repeatedly keeps the stored " +
+      "pointer windowed and does not churn segments") {
+    // regression (round-13 review): caching the UN-packed pointer on the
+    // session after a successful CAS made every later commit of the same
+    // session pack against a stale segment list — re-spilling a merged
+    // segment per commit (O(commits²) bytes, one orphan per commit)
+    val dir = tmpDir("histlived")
+    val repo = Repository.create(Store.local(dir), spark,
+      GraftConfig(snapshotIndexWindow = 16))
+    val s = repo.writableSession("main")
+    s.addArray("/a", Seq(256), Seq(4))
+    s.commit("init")
+    (0 until 80).foreach { i =>
+      s.writeChunk("/a", Seq(i % 64), Array[Byte](i.toByte))
+      s.commit(s"c$i") // SAME session every time
+    }
+    val stored = rawTip(dir)
+    assert(stored.snapshots.size <= 2 * 16,
+      s"inline window ${stored.snapshots.size}")
+    assert(stored.snapshotSegments.size <= 4,
+      s"${stored.snapshotSegments.size} segments")
+    // segment FILES on storage: live chain + the geometric merges'
+    // bounded orphans — churn would leave ~one per commit
+    val segFiles = repo.store.list(Layout.SegmentPrefix).size
+    assert(segFiles <= 12, s"$segFiles segment files — per-commit churn")
+    assert(repo.ancestry(VersionRef.Branch("main")).size == 82)
+  }
+
   test("expire re-tiling races concurrent committers: no post-cutoff " +
       "commit lost, tip always hydratable") {
     // expire's re-tile pack (round 13) writes gap segments and reuses

@@ -135,6 +135,36 @@ class VersionControlSpec extends SparkTestBase {
         throw new IllegalStateException("policy veto"))))
   }
 
+  test("UseTheirs rebase over SEVERAL missed commits: an exclusion added " +
+      "while solving the first does not derail detection of the rest") {
+    // regression (round-13 review): prefetching missed tx-log rows froze
+    // the point-only decision before the solve loop, but UseTheirs adds
+    // an exclusion mid-loop — the next commit's prefetched rows then hit
+    // detectLocal's point-only precondition and the whole commit failed
+    val repo = freshRepo()
+    val s0 = repo.writableSession("main")
+    s0.addArray("/a", Seq(64), Seq(1))
+    s0.commit("init")
+    val mine = repo.writableSession("main")
+    mine.writeChunk("/a", Seq(0), Array[Byte](1)) // will conflict
+    mine.writeChunk("/a", Seq(10), Array[Byte](2)) // mine alone
+    // two commits land underneath: the FIRST conflicts, the second not
+    locally {
+      val b1 = repo.writableSession("main")
+      b1.writeChunk("/a", Seq(0), Array[Byte](7))
+      b1.commit("theirs: conflicting chunk 0")
+      val b2 = repo.writableSession("main")
+      b2.writeChunk("/a", Seq(20), Array[Byte](8))
+      b2.commit("theirs: unrelated chunk 20")
+    }
+    mine.commit("rebased",
+      solver = BasicConflictSolver(VersionSelection.UseTheirs))
+    val ro = repo.readonlySession(VersionRef.Branch("main"))
+    assert(ro.getChunk("/a", Seq(0)).get.head == 7) // theirs won
+    assert(ro.getChunk("/a", Seq(10)).get.head == 2) // mine survived
+    assert(ro.getChunk("/a", Seq(20)).get.head == 8) // unrelated intact
+  }
+
   test("conflict matrix: each class is detected; solver policies apply") {
     val repo = freshRepo()
     val s0 = repo.writableSession("main")
