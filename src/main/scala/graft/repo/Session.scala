@@ -1130,15 +1130,23 @@ final class Session private[repo] (
     while (attempts < cfg.commitRetries) {
       attempts += 1
       // Optimistic first attempt: reuse the pointer document the session
-      // was OPENED with (round 13, 2 fewer round trips per uncontended
-      // commit). Safe by the CAS contract: if ANYTHING changed since —
-      // another commit, a branch op, an admin read_only lock — the
-      // generation moved, attempt 1's conditional PUT fails, and attempt
-      // 2 reloads fresh (paying one extra failed-CAS round trip only in
-      // the already-expensive contended case). A CAS that SUCCEEDS with
-      // the cached generation proves the cached info was current.
-      val info = (if (attempts == 1) openInfo.filter(
-          _.branches.get(branchName).contains(baseSnapshot.id))
+      // was OPENED with (round 13, saves the pointer GET per uncontended
+      // commit). The CAS contract alone is NOT enough to make this safe:
+      // put-if-absent on generation openGen+1 only proves that SLOT was
+      // empty, and GC's pruneGenerations DELETES old slots — if the tip
+      // advanced >= opsRingSize generations (commits on other branches,
+      // tag/admin/GC updates) since open and a prune ran, openGen+1 is a
+      // pruned hole, the conditional PUT lands there "successfully", and
+      // the commit is invisible (latestGen still resolves the real tip)
+      // until GC silently sweeps it (ADVICE r13, high). So the cached
+      // document is only trusted after a one-listPage recency probe:
+      // latestGen() == openGen means the chain has not moved AT ALL since
+      // open, which makes openGen+1 strictly above any prune horizon —
+      // exactly the same (milliseconds-wide) load→CAS window the
+      // non-optimistic path has, while still saving the pointer GET.
+      val info = (if (attempts == 1) openInfo.filter(oi =>
+          oi.branches.get(branchName).contains(baseSnapshot.id) &&
+            repo.pointer.latestGen() == oi.gen)
         else None).getOrElse(
         repo.pointer.load().getOrElse(
           throw new GraftException("repository not initialized")))

@@ -113,4 +113,44 @@ class ConcurrencySpec extends SparkTestBase {
       case _ => ()
     }
   }
+
+  test("stale session's optimistic commit cannot land invisibly on a " +
+      "pruned generation slot") {
+    // ADVICE r14 (high): put-if-absent on openGen+1 only proves the SLOT
+    // is empty — after >= opsRingSize foreign commits plus a prune, that
+    // slot is a pruned HOLE, the conditional PUT "succeeds", and the
+    // commit is invisible (latestGen still resolves the real tip). The
+    // optimistic first attempt must therefore re-validate recency.
+    val cfg = GraftConfig(opsRingSize = 4)
+    val repo = Repository.create(Store.local(tmpDir("prune-race")), spark, cfg)
+    val s0 = repo.writableSession("main")
+    s0.addArray("/a", Seq(100), Seq(1))
+    val base = s0.commit("init")
+    repo.createBranch("side", base)
+
+    // victim session opens on main (captures openInfo) BEFORE the churn
+    val victim = repo.writableSession("main")
+    victim.writeChunk("/a", Seq(0), Array[Byte](7))
+
+    // the chain advances well past the ring on ANOTHER branch — main's
+    // tip does not move, so the optimistic branch-tip filter alone would
+    // still trust the stale open-time document
+    (0 until 8).foreach { i =>
+      val w = repo.writableSession("side")
+      w.writeChunk("/a", Seq(10 + i), Array[Byte](i.toByte))
+      w.commit(s"side $i")
+    }
+    // GC's generation prune deletes the victim's openGen+1 slot
+    assert(repo.pointer.pruneGenerations(keep = cfg.opsRingSize) > 0)
+
+    val id = victim.commit("victim")
+    val tip = repo.info().branches("main")
+    assert(tip == id, s"acknowledged commit $id is invisible: tip is $tip")
+    // and it stays visible across the next prune (an invisible commit's
+    // orphaned slot would be swept here)
+    repo.pointer.pruneGenerations(keep = cfg.opsRingSize)
+    assert(repo.info().branches("main") == id)
+    assert(repo.readonlySession(VersionRef.Branch("main"))
+      .getChunk("/a", Seq(0)).get.head == 7)
+  }
 }
