@@ -162,7 +162,15 @@ object Bench {
       jstr(k) + ":" + vs.map { case (p, v) =>
         s"[${jstr(p)},${jnum(v)}]" }.mkString("[", ",", "]")
     }.mkString("{", ",", "}")
-    s"""{"sf":${jstr(sfDir)},"calib":$calibJson,"samples":$samplesJson}"""
+    // per-entry FLOOR (min successful sample): the plan-shaped number —
+    // medians carry cross-round continuity, floors are immune to the
+    // box's I/O weather spikes (VERDICT r13 item 5: two rounds of drift
+    // triage read their answer out of the raw minima)
+    val minsJson = samples.flatMap { case (k, vs) =>
+      val ok = vs.map(_._2).filter(_ > 0)
+      if (ok.isEmpty) None else Some(jstr(k) + ":" + jnum(ok.min))
+    }.mkString("{", ",", "}")
+    s"""{"sf":${jstr(sfDir)},"calib":$calibJson,"mins":$minsJson,"samples":$samplesJson}"""
   }
 
   /** Time one entry; a failure records a NEGATIVE wall time and appends
@@ -213,7 +221,9 @@ object Bench {
   private[graft] def jsonLine(results: collection.Map[String, Double],
                               errors: collection.Seq[String],
                               sfDir: String,
-                              rawsPath: String = ""): String = {
+                              rawsPath: String = "",
+                              floor: Double = -1.0,
+                              weather: String = ""): String = {
     def jstr(s: String): String = "\"" + s.flatMap {
       case '"' => "\\\""
       case '\\' => "\\\\"
@@ -240,7 +250,19 @@ object Bench {
       else errors.take(2) :+ s"+${errors.size - 2} more failures"
     val errJson = errCapped.map(jstr).mkString("[", ",", "]")
     val raws = if (rawsPath.isEmpty) "" else s""","raws":${jstr(rawsPath)}"""
-    s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":$qs,"errors":$errJson,"sf":${jstr(sfDir)}$raws}"""
+    // floor = sum of per-entry minima (plan-shaped total, weather-immune);
+    // weather = the run's own verdict so the cross-round comparison reads
+    // box conditions OFF THE LINE instead of re-running the forensics.
+    // Both are TRIAGE fields: if a pathological all-entries-failed width
+    // would push the line past the driver's 2000-char tail capture, they
+    // are dropped (the sidecar's mins + calib carry the same facts) —
+    // losing triage context beats losing the line's START.
+    val extra = (if (floor >= 0) s""","floor":${jnum(floor)}""" else "") +
+      (if (weather.nonEmpty) s""","weather":${jstr(weather)}""" else "")
+    def line(x: String) =
+      s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":$qs,"errors":$errJson,"sf":${jstr(sfDir)}$raws$x}"""
+    val full = line(extra)
+    if (full.length < 1980) full else line("")
   }
 
   def main(args: Array[String]): Unit = {
@@ -949,7 +971,27 @@ object Bench {
     catch { case t: Throwable =>
       System.err.println(s"[bench] sidecar write failed: $t") }
 
-    println(jsonLine(results, errors, sfDir, rawsPath))
+    // the line's own weather verdict (VERDICT r13 item 5): calib spread
+    // (fixed work — any spread is the BOX) + disk probe, so the next
+    // round's comparison starts from the run's self-classification
+    // instead of a forensic pass over the sidecar
+    val weather = {
+      val cals = calibSamples.collect {
+        case (tag, v) if tag != "io_w_mbps" && v > 0 => v }
+      val spread = if (cals.size >= 2) cals.max / cals.min else 1.0
+      val io = results.getOrElse("engine_io_w_mbps", 0.0)
+      val verdict = if (spread > 3.0) "noisy" else "clear"
+      f"calib_spread=$spread%.1fx io_w=$io%.0fMBps $verdict"
+    }
+    // floor = sum of per-entry minima across passes: the plan-shaped
+    // total (weather spikes inflate medians, never minima)
+    val floor = results.collect {
+      case (k, v) if k != "engine_calib" && k != "engine_io_w_mbps" =>
+        val mins = rawPasses.flatMap(_._2.get(k)).filter(_ > 0)
+        if (mins.nonEmpty) mins.min else v
+    }.sum
+
+    println(jsonLine(results, errors, sfDir, rawsPath, floor, weather))
     spark.stop()
   }
 }

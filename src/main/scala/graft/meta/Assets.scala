@@ -99,12 +99,54 @@ final class RepoPointer(store: Store) {
   // O(history) JSON — the history-depth probe (tools/DiagHistory) measured
   // 13 -> 102 ms commits and a 1 MB pointer by depth 4 000.
 
+  // Segment cache, bounded by TOTAL cached SnapshotInfos (the split
+  // cache's r12 treatment, VERDICT r13): the geometric merge keeps the
+  // LIVE chain O(log n), but a long-lived driver reads (and writes) a
+  // superseded merged batch every `window` commits — unbounded, the
+  // retained copies sum to O(N log N) infos over N commits (~100s of MB
+  // by ~100k commits in one JVM). Access-ordered LRU: every load()
+  // touches the tip's segment list, so live-chain keys stay resident and
+  // superseded batches age out first. Eviction costs one re-GET at most
+  // (segments are immutable), never correctness.
+  // ~300 B each => ~30 MB worst; var so specs can pin eviction cheaply
+  private[graft] var maxCachedSegInfos = 100000L
+  private var cachedSegInfos = 0L
   private val segCache =
-    new java.util.concurrent.ConcurrentHashMap[String, Seq[SnapshotInfo]]()
+    new java.util.LinkedHashMap[String, Seq[SnapshotInfo]](64, 0.75f, true)
+
+  /** (entries, total cached infos) — test hook pinning the memory bound. */
+  private[graft] def segCacheStats: (Int, Long) =
+    segCache.synchronized((segCache.size(), cachedSegInfos))
+
+  private def segCacheContains(key: String): Boolean =
+    segCache.synchronized(segCache.containsKey(key))
+
+  private def segCachePut(key: String, v: Seq[SnapshotInfo]): Unit =
+    segCache.synchronized {
+      Option(segCache.remove(key)).foreach(old => cachedSegInfos -= old.size)
+      if (v.size <= maxCachedSegInfos) { // oversized values bypass, like
+        segCache.put(key, v)             // splitCache's per-split gate
+        cachedSegInfos += v.size
+        val it = segCache.entrySet().iterator()
+        while (cachedSegInfos > maxCachedSegInfos && it.hasNext) {
+          val e = it.next()
+          if (e.getKey != key) { // never evict the fresh insert
+            cachedSegInfos -= e.getValue.size
+            it.remove()
+          }
+        }
+      }
+    }
 
   private def readSegment(key: String): Seq[SnapshotInfo] =
-    segCache.computeIfAbsent(key, k =>
-      MetaJson.readSnapshotInfos(new String(store.getBytes(k), UTF_8)))
+    segCache.synchronized(Option(segCache.get(key))) match {
+      case Some(v) => v
+      case None =>
+        val v = MetaJson.readSnapshotInfos(
+          new String(store.getBytes(key), UTF_8))
+        segCachePut(key, v)
+        v
+    }
 
   /** Splice spilled segments back into the inline window. Uncached
     * segments are fetched CONCURRENTLY (ephemeral pool, one GET each):
@@ -116,7 +158,7 @@ final class RepoPointer(store: Store) {
   private def hydrate(r: RepoInfo): RepoInfo =
     if (r.snapshotSegments.isEmpty) r
     else {
-      val cold = r.snapshotSegments.filterNot(segCache.containsKey)
+      val cold = r.snapshotSegments.filterNot(segCacheContains)
       if (cold.size > 1) Store.parallelIO(cold)(readSegment)
       r.copy(snapshots =
         r.snapshotSegments.flatMap(readSegment) ++ r.snapshots)
@@ -125,7 +167,7 @@ final class RepoPointer(store: Store) {
   private def writeSegment(entries: Seq[SnapshotInfo]): String = {
     val key = Layout.segmentKey(Ids.toBase32(Ids.newObjectId()))
     store.putBytes(key, MetaJson.writeSnapshotInfos(entries).getBytes(UTF_8))
-    segCache.put(key, entries)
+    segCachePut(key, entries)
     key
   }
 
@@ -186,11 +228,21 @@ final class RepoPointer(store: Store) {
         val at = entries.headOption.flatMap(e => posOf.get(e.id))
         at match {
           case Some(i) if i >= pos && i + entries.size <= spillCount &&
-              all.slice(i, i + entries.size) == entries =>
+              all.slice(i, i + entries.size) == entries &&
+              // coalesce (ADVICE r13): intact segments SMALLER than the
+              // window are absorbed into the surrounding gap write
+              // instead of reused — the append path's binary-counter
+              // fold only merges TRAILING segments, so without this,
+              // every expire boundary's tiny gap segment would be
+              // re-adopted verbatim forever and the mid-chain would
+              // erode from geometric to linear. Absorbing is bounded:
+              // sub-window segments only (a large reused run is never
+              // cascaded into a rewrite, keeping re-tile O(changed)).
+              entries.size >= window =>
             flushGap(i)
             outSegs += segKey
             pos = i + entries.size
-          case _ => () // pruned or edited — its survivors land in a gap
+          case _ => () // pruned, edited, or sub-window — lands in a gap
         }
       }
       flushGap(spillCount)
@@ -274,7 +326,8 @@ final class RepoPointer(store: Store) {
     */
   def opsLog(maxEntries: Int = Int.MaxValue): Seq[OpLogEntry] = {
     val out = scala.collection.mutable.ArrayBuffer[OpLogEntry]()
-    var g = latestGen()
+    val tip = latestGen()
+    var g = tip
     var lastSeen: Set[String] = Set.empty
     // generations are fetched in concurrent batches that double from 1
     // (the tip's ring alone answers most calls) up to 32 — a deep page
@@ -282,24 +335,54 @@ final class RepoPointer(store: Store) {
     // O(depth) (round-13 latency soak: the serial walk was the engine's
     // longest sequential-RTT chain)
     var batchSize = 1L
+    // generations at or below tip - opsRingSize are prune-ELIGIBLE: a
+    // wide batch must not straddle that horizon (on a pruned repo it
+    // would issue up to 31 guaranteed-miss GETs, ADVICE r13). The ring
+    // size comes from the tip's own persisted config; below the horizon
+    // the walk probes with batch 1 — one hit proves GC never pruned and
+    // doubling resumes, one miss ends the walk at one wasted GET.
+    var horizon = 0L
+    var probedPastHorizon = false
     while (g >= 0 && out.size < maxEntries) {
-      val gens = (g to math.max(0L, g - batchSize + 1) by -1).toSeq
+      val lo = math.max(0L, g - batchSize + 1)
+      val cappedLo =
+        if (!probedPastHorizon && g >= horizon) math.max(lo, horizon) else lo
+      val gens = (g to cappedLo by -1).toSeq
       val batch = Store.parallelIO(gens)(gg =>
-        try Some(loadGen(gg)) catch { case _: Exception => None })
-      // consume in order, newest first; stop at the first pruned/
-      // unreadable generation (nothing past the horizon is walkable)
+        try Some(loadGen(gg))
+        catch {
+          // missing = pruned horizon (both FS and the cloud backends
+          // signal absent keys this way) — a clean end of the walk
+          case _: java.nio.file.NoSuchFileException => None
+          case _: Exception =>
+            // transient (throttling, connection reset): one bounded
+            // retry wave — silently truncating the walk on a blip
+            // would misreport history; persistent failure is loud
+            Thread.sleep(50)
+            try Some(loadGen(gg))
+            catch { case _: java.nio.file.NoSuchFileException => None }
+        })
+      // consume in order, newest first; stop at the first pruned
+      // generation (nothing past the horizon is walkable)
       var halted = false
       batch.foreach {
         case Some(info) if !halted && out.size < maxEntries =>
+          if (g == tip)
+            horizon = math.max(0L, tip -
+              graft.repo.GraftConfig.fromMap(info.config).opsRingSize)
           val fresh =
             info.ops.filterNot(e => lastSeen.contains(e.ts + e.op + e.detail))
           out ++= fresh.sortBy(_.ts).reverse
           lastSeen = info.ops.map(e => e.ts + e.op + e.detail).toSet
           g -= 1
-        case _ => halted = true
+        case Some(_) => () // past maxEntries — done below
+        case None => halted = true
       }
       if (halted) g = -1
-      batchSize = math.min(32L, batchSize * 2)
+      else if (g < horizon && !probedPastHorizon) {
+        probedPastHorizon = true
+        batchSize = 1L // probe; a hit resumes doubling (GC never pruned)
+      } else batchSize = math.min(32L, batchSize * 2)
     }
     out.distinct.take(maxEntries).toSeq
   }

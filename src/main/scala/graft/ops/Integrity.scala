@@ -91,13 +91,20 @@ object Integrity {
       .as[(String, Long)]
       .mapPartitions { it =>
         val store = StoreConf.cached(conf)
-        it.flatMap { case (id, need) =>
-          store.stat(Layout.chunkKey(id)) match {
-            case None => Some(("missing_chunk", id, Layout.chunkKey(id)))
-            case Some(st) if st.size < need =>
-              Some(("short_chunk", id, s"have ${st.size} need $need"))
-            case _ => None
-          }
+        // stat probes WITHIN one task run concurrently (width 8,
+        // bounded batches) — a serial per-chunk HEAD loop over a 50 ms
+        // store is chunks × RTT of task wall (r14 Spark-plane soak)
+        it.grouped(256).flatMap { g =>
+          graft.storage.Store.parallelIO(g.toSeq, maxThreads = 8) {
+            case (id, need) =>
+              store.stat(Layout.chunkKey(id)) match {
+                case None =>
+                  Some(("missing_chunk", id, Layout.chunkKey(id)))
+                case Some(st) if st.size < need =>
+                  Some(("short_chunk", id, s"have ${st.size} need $need"))
+                case _ => None
+              }
+          }.flatten
         }
       }.toDF("kind", "id", "detail")
 

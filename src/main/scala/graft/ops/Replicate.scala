@@ -181,10 +181,18 @@ object Replicate {
         .mapPartitions { keys =>
           val s = StoreConf.cached(srcConf)
           val d = StoreConf.cached(dstConf)
+          // copies WITHIN one task run concurrently (width 8, batches of
+          // 256 so a huge partition never materializes at once): a
+          // task's serial key loop over a 50 ms object store costs
+          // keys × RTT of wall — the r14 Spark-plane latency soak
+          // measured exactly that once executor clients started paying
+          // injected RTT. The reference's transfer path streams with
+          // request-level concurrency the same way.
           var n = 0
-          keys.foreach { k =>
-            if (graft.storage.Transfer.copyIfAbsent(s, d, k).isDefined)
-              n += 1
+          keys.grouped(256).foreach { g =>
+            n += graft.storage.Store.parallelIO(g.toSeq, maxThreads = 8)(
+              k => if (graft.storage.Transfer.copyIfAbsent(s, d, k)
+                .isDefined) 1 else 0).sum
           }
           Iterator.single(n)
         }.sum().toInt
@@ -238,17 +246,22 @@ object Replicate {
         val s = StoreConf.cached(srcConf)
         val d = StoreConf.cached(dstConf)
         var copied = 0L; var bytes = 0L; var skipped = 0L
-        ids.foreach { id =>
-          val key = Layout.chunkKey(id)
-          // Transfer picks the zero-heap route when one exists
-          // (local→local kernel copy, s3/gcs/azure same-endpoint
-          // server-side copy) and falls back to GET + atomic
-          // put-if-absent — concurrent syncs of overlapping closures
-          // stay idempotent on content-addressed objects either way.
-          // In list mode the anti-join already excluded present ids,
-          // so the per-object pre-check is skipped entirely.
-          graft.storage.Transfer.copyIfAbsent(s, d, key,
-              precheck = !useList) match {
+        // concurrent within the task (width 8, bounded batches): per-key
+        // serial GET+PUT over a high-RTT store would make each task's
+        // wall keys × RTT (r14 Spark-plane latency soak)
+        ids.grouped(256).foreach { g =>
+          graft.storage.Store.parallelIO(g.toSeq, maxThreads = 8) { id =>
+            val key = Layout.chunkKey(id)
+            // Transfer picks the zero-heap route when one exists
+            // (local→local kernel copy, s3/gcs/azure same-endpoint
+            // server-side copy) and falls back to GET + atomic
+            // put-if-absent — concurrent syncs of overlapping closures
+            // stay idempotent on content-addressed objects either way.
+            // In list mode the anti-join already excluded present ids,
+            // so the per-object pre-check is skipped entirely.
+            graft.storage.Transfer.copyIfAbsent(s, d, key,
+              precheck = !useList)
+          }.foreach {
             case Some(n) => copied += 1; bytes += n
             case None => skipped += 1
           }

@@ -32,7 +32,16 @@ final case class GraftConfig(
       * stores where each shard fetch is a multi-ms ranged GET. The Spark
       * flush path is unaffected (its parallelism is the cluster's).
       */
-    manifestFetchConcurrency: Int = 1) {
+    manifestFetchConcurrency: Int = 1,
+    /** Largest orphaned-chunk delete set GC applies DRIVER-side (one
+      * batched delete loop through the repo's own store handle). Above
+      * this, deletes are applied EXECUTOR-side via `foreachPartition`
+      * over the dead-chunk frame — per-executor store clients, 1000-key
+      * batches (the reference's gc.rs streams the same batch size) — so
+      * a pathological sweep (billions of orphans after a mass expire)
+      * never materializes the id set in driver memory.
+      */
+    gcDriverDeleteMax: Int = 100_000) {
 
   /** Manifest split spec for an array: (axis, chunksPerSplit). The default
     * (no rule matches) is a single split — same as the reference without a
@@ -54,7 +63,8 @@ final case class GraftConfig(
     "commit_retries" -> commitRetries.toString,
     "preload_max_arrays" -> preloadMaxArrays.toString,
     "snapshot_index_window" -> snapshotIndexWindow.toString,
-    "manifest_fetch_concurrency" -> manifestFetchConcurrency.toString) ++
+    "manifest_fetch_concurrency" -> manifestFetchConcurrency.toString,
+    "gc_driver_delete_max" -> gcDriverDeleteMax.toString) ++
     splits.zipWithIndex.map { case (r, i) =>
       s"split.$i" -> s"${r.axis}|${r.chunksPerSplit}|${r.pathRegex}"
     } ++
@@ -90,7 +100,8 @@ object GraftConfig {
       preloadMaxArrays = i("preload_max_arrays", d.preloadMaxArrays),
       snapshotIndexWindow = i("snapshot_index_window", d.snapshotIndexWindow),
       manifestFetchConcurrency =
-        i("manifest_fetch_concurrency", d.manifestFetchConcurrency))
+        i("manifest_fetch_concurrency", d.manifestFetchConcurrency),
+      gcDriverDeleteMax = i("gc_driver_delete_max", d.gcDriverDeleteMax))
   }
 }
 

@@ -336,6 +336,37 @@ final class Session private[repo] (
   def deleteChunk(path: String, coord: Seq[Int]): Unit =
     setChunkRef(path, coord, ChunkRef.tombstone("", coord))
 
+  // ------------------------------------------------------------------
+  // py4j-friendly exact-arity forms (docs/pyspark.md): the PySpark
+  // gateway auto-converts Python lists to java.util.List and bytes to
+  // byte[], but can neither supply Scala default arguments nor build
+  // Scala Seqs — these let Python drive the session write/commit/error
+  // paths directly (the pyspark smoke's error-taxonomy legs use them).
+  // ------------------------------------------------------------------
+  private def coordOf(c: java.util.List[Integer]): Seq[Int] = {
+    import scala.jdk.CollectionConverters._
+    c.asScala.map(_.intValue()).toSeq
+  }
+
+  def writeChunkJ(path: String, coord: java.util.List[Integer],
+                  bytes: Array[Byte]): Unit =
+    writeChunk(path, coordOf(coord), bytes)
+
+  def setVirtualRefJ(path: String, coord: java.util.List[Integer],
+                     location: String, offset: Long, length: Long): Unit =
+    setVirtualRef(path, coordOf(coord), location, offset, length)
+
+  def commitJ(message: String): String = commit(message)
+
+  /** Commit that REFUSES to auto-resolve chunk double-writes — the
+    * reference's Python `session.commit()` semantics (a concurrent
+    * write to the same cell surfaces as a ConflictError unless the
+    * caller opts into a solver, session.rs:3194 + basic_solver.rs).
+    */
+  def commitFailOnConflictJ(message: String): String =
+    commit(message, solver = graft.vc.BasicConflictSolver(
+      onChunkConflict = graft.vc.VersionSelection.Fail))
+
   /** Bulk ingest of chunk refs from a DataFrame with at least a `coord`
     * ARRAY<INT> column plus the payload columns of [[ChunkRef]] that apply
     * (`kind`, `inline`, `chunk_id`, `location`, `offset`, `length`,

@@ -230,6 +230,18 @@ final case class HttpStoreConf(
   override def open(): Store = new graft.storage.http.HttpStore(this)
 }
 
+/** Serializable latency-injection decorator conf: executor-side clients
+  * reconstruct the SAME injected RTT the driver store carries, so a
+  * latency soak exercises the Spark plane (manifest Parquet scans, chunk
+  * fetch UDFs, foreachPartition store clients) — not just the driver's
+  * metadata chains. Test/soak instrumentation only; production confs are
+  * the backend cases above.
+  */
+final case class LatencyStoreConf(inner: StoreConf,
+                                  delayMs: Long) extends StoreConf {
+  override def open(): Store = new LatencyStore(inner.open(), delayMs)
+}
+
 object StoreConf {
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[StoreConf, Store]()

@@ -342,11 +342,28 @@ final class ScheduledStore(inner: Store,
     { gate("deletePrefix", prefix); inner.deletePrefix(prefix) }
 }
 
-/** Latency injection (latency.rs analog): fixed delay per operation. */
+/** Give any (possibly decorated) store a `graft://` identity so the
+  * SPARK plane — manifest Parquet scans, DSv2 reads — routes through it
+  * via [[graft.storage.hadoop.GraftFileSystem]] instead of through the
+  * undecorated backend URI. This is how a latency soak puts executor
+  * reads behind injected RTT: `new GraftUriStore(new LatencyStore(raw,
+  * rtt), "soak-1")` opened as a Repository measures the whole engine,
+  * both planes, under that RTT.
+  */
+final class GraftUriStore(protected val inner: Store,
+                          authority: String) extends ForwardingStore {
+  override def rootUri: String = s"graft://$authority"
+}
+
+/** Latency injection (latency.rs analog): fixed delay per operation.
+  * Unlike the other decorators, its `conf` KEEPS the decoration
+  * ([[LatencyStoreConf]]): executor-side clients opened from it inject
+  * the same RTT, so soaks measure the Spark plane under latency too.
+  */
 final class LatencyStore(inner: Store, delayMs: Long) extends Store {
   private def d(): Unit = Thread.sleep(delayMs)
   override def rootUri: String = inner.rootUri
-  override def conf: StoreConf = inner.conf
+  override def conf: StoreConf = LatencyStoreConf(inner.conf, delayMs)
   override def getBytes(key: String): Array[Byte] = { d(); inner.getBytes(key) }
   override def stat(key: String): Option[StatInfo] = { d(); inner.stat(key) }
   override def getRange(key: String, offset: Long, length: Long): Array[Byte] =

@@ -311,15 +311,21 @@ final class S3Store(val s3conf: S3StoreConf) extends Store {
     // reference's put_multipart does the same; a 1 GiB object at 32 MB
     // parts over a 150 ms store is otherwise 32 SEQUENTIAL round
     // trips). Order is preserved for the completion manifest; width 8
-    // matches getRangeSplit's per-object stream concurrency.
+    // matches getRangeSplit's per-object stream concurrency. Parts are
+    // sliced INSIDE the worker (ADVICE r13): materializing every part
+    // copy up front doubles peak memory for exactly the multi-GiB
+    // objects this path exists for — this way at most maxThreads part
+    // copies are live at once (as the Azure blockPut path already does).
+    val nParts = ((bytes.length.toLong + partSize - 1) / partSize).toInt
     val etags = graft.storage.Store.parallelIO(
-      bytes.grouped(partSize).zipWithIndex.toSeq, maxThreads = 8) {
-      case (part, i) =>
-        val n = i + 1
-        val r = send("PUT",
-          objectUri(key, s"partNumber=$n&uploadId=${encQ(uploadId)}"), part)
-        if (r.statusCode() != 200) failed(s"PUT(part $n)", key, r)
-        n -> r.headers().firstValue("ETag").orElse("\"\"")
+      (0 until nParts): Seq[Int], maxThreads = 8) { i =>
+      val part = java.util.Arrays.copyOfRange(bytes, i * partSize,
+        math.min(bytes.length, (i + 1) * partSize))
+      val n = i + 1
+      val r = send("PUT",
+        objectUri(key, s"partNumber=$n&uploadId=${encQ(uploadId)}"), part)
+      if (r.statusCode() != 200) failed(s"PUT(part $n)", key, r)
+      n -> r.headers().firstValue("ETag").orElse("\"\"")
     }
     val completion = etags.map { case (n, etag) =>
       s"<Part><PartNumber>$n</PartNumber><ETag>$etag</ETag></Part>"

@@ -18,12 +18,15 @@ import graft.storage.{LatencyStore, LoggingStore, Store}
   * the effective serial-RTT depth (wall / RTT), which is the number the
   * fixes drive down.
   *
-  * Scope: the latency decorator wraps the `Store` interface, which
-  * carries the metadata plane (pointer chain, segments, snapshots,
-  * driver-side manifest shards, chunk blobs through the byte cache).
-  * Spark executor scans read Parquet through `file:`/`graft:` URIs and
-  * are parallel by construction — their latency behavior is governed by
-  * task parallelism, not by the driver chains under test here.
+  * Scope (widened round 14): the latency decorator wraps the `Store`
+  * interface (the driver's metadata plane), its `conf` now carries the
+  * decoration to EXECUTOR-side clients ([[graft.storage
+  * .LatencyStoreConf]] — chunk-fetch UDFs, replicate/fsck
+  * mapPartitions), and the `spark_*` entries route manifest Parquet
+  * scans through the latency store via a `graft://` identity
+  * ([[graft.storage.GraftUriStore]] + GraftFileSystem registry). So the
+  * walls here measure BOTH planes; the op counts cover the driver store
+  * only (executor clients are separate instances).
   *
   * Usage: `runMain graft.tools.LatencySoak [rttMs ...]` (default:
   * 0 50 150). The repo is BUILT at zero latency (setup is not under
@@ -58,7 +61,13 @@ object LatencySoak {
     val raw = Store.local(dir.toString)
 
     // ---- build phase (zero latency): 400-commit history, two arrays ----
-    val cfg = GraftConfig(snapshotIndexWindow = 16,
+    // commitRetries: each lost CAS round corresponds to a DISTINCT
+    // commit landed by a peer, so a writer in the 8×10 contention entry
+    // below can lose at most 79 races before it must win — the default
+    // budget (20) is sized for interactive racers, not a sustained
+    // 8-way convoy; a deployment running N-writer pipelines sizes it
+    // the same way (N×commits, the lock-free progress bound)
+    val cfg = GraftConfig(snapshotIndexWindow = 16, commitRetries = 120,
       splits = Seq(SplitRule(".*", 0, 8)))
     val build = Repository.create(raw, spark, cfg)
     locally {
@@ -70,6 +79,19 @@ object LatencySoak {
       val s = build.writableSession("main")
       s.writeChunk("/a", Seq(i % 128), Array[Byte](i.toByte, 1, 2, 3))
       s.commit(s"c$i")
+    }
+    // a second array with REAL chunk objects (2 KiB f64 chunks, past the
+    // 512 B inline threshold) for the Spark-plane entries below
+    locally {
+      val s = build.writableSession("main")
+      s.addArray("/cube", Seq(64, 64), Seq(16, 16))
+      for (ci <- 0 until 4; cj <- 0 until 4) {
+        val bb = java.nio.ByteBuffer.allocate(16 * 16 * 8)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        (0 until 256).foreach(k => bb.putDouble((ci * 1000 + cj * 100 + k).toDouble))
+        s.writeChunk("/cube", Seq(ci, cj), bb.array())
+      }
+      s.commit("cube")
     }
 
     // ---- measured phase: fresh Repository over latency + counting ----
@@ -128,9 +150,9 @@ object LatencySoak {
     measure("fsck_main") { r =>
       graft.ops.Integrity.check(r, "main").count()
     }
-    // push: DRIVER-side metadata phase through the latency store (the
-    // executor-side payload copies re-open the raw store via StoreConf
-    // and are parallel by construction — out of scope here)
+    // push: metadata phase through the latency store; since round 14 the
+    // executor-side payload copies ALSO pay the RTT (LatencyStoreConf),
+    // with in-task width-8 concurrency keeping each task waves-shaped
     measure("push_first") { r =>
       val dst = java.nio.file.Files.createTempDirectory(s"latsoak-dst-$rttMs")
       val dstStore =
@@ -147,6 +169,69 @@ object LatencySoak {
     measure("gc_full") { r =>
       graft.ops.GC.garbageCollect(r,
         java.time.Instant.now().plusSeconds(3600))
+    }
+
+    // ---- multi-writer contention (VERDICT r13 item 4): N committers
+    // converging through rebase on ONE branch. All must land; wall
+    // should sit within a small factor of the serial-RTT lower bound
+    // (commits serialize on the CAS, ~9 RTTs each) — a livelock or a
+    // quadratic retry storm shows up as serialRTTs >> 80 * 9.
+    measure("contend_8writers_x10") { r =>
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration._
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+      val fs = (0 until 8).map { w =>
+        Future {
+          (0 until 10).foreach { i =>
+            val s = r.writableSession("main")
+            s.writeChunk("/a", Seq((w * 16 + i) % 128),
+              Array[Byte](w.toByte, i.toByte, 0, 0))
+            s.commit(s"contend w$w c$i")
+          }
+        }
+      }
+      Await.result(Future.sequence(fs), 600.seconds)
+      pool.shutdown()
+      require(r.ancestry(VersionRef.Branch("main"))
+        .count(_.message.startsWith("contend")) == 80, "lost commits")
+    }
+
+    // ---- Spark plane (VERDICT r13 item 3): executor reads behind the
+    // SAME injected RTT. A graft:// identity routes manifest Parquet
+    // scans through the latency store (GraftFileSystem registry), and
+    // LatencyStoreConf routes executor chunk-fetch clients opened from
+    // StoreConf — so these walls measure parallel WAVES of store reads,
+    // not driver chains. Expected shape: wall ≈ (a few FS ops per file /
+    // task parallelism + plan overhead) × RTT, flat in ROW count.
+    locally {
+      val pCounting = new LoggingStore(new LatencyStore(raw, rttMs), _ => ())
+      val pStore = new graft.storage.GraftUriStore(pCounting,
+        s"latsoak-$rttMs")
+      val ps = Repository.open(pStore, spark)
+      def measureP(name: String)(body: Repository => Unit): Unit = {
+        pCounting.counts.clear()
+        val t0 = System.nanoTime()
+        body(ps)
+        val e = Entry(name, rttMs, (System.nanoTime() - t0) / 1000000L,
+          {
+            import scala.jdk.CollectionConverters._
+            pCounting.counts.asScala.map { case (k, v) => k -> v.get() }.toMap
+          })
+        println("SOAK " + e.render)
+      }
+      measureP("spark_scan_refs_filtered") { r =>
+        val ro = r.readonlySession(VersionRef.Branch("main"))
+        val n = ro.refs("/cube")
+          .filter(org.apache.spark.sql.functions.col("c0") === 1).count()
+        require(n == 4, s"pruned scan returned $n refs")
+      }
+      measureP("spark_cube_slice_stats") { r =>
+        val ro = r.readonlySession(VersionRef.Branch("main"))
+        val row = graft.tensor.TensorPlane.sliceStats(ro, "/cube", "float64",
+          Seq((8L, 40L), (8L, 40L))).collect().head
+        require(row.getAs[Long]("n") == 32L * 32, "wrong cell count")
+      }
     }
     println()
   }

@@ -88,13 +88,43 @@ class BenchJsonSpec extends AnyFunSuite {
     val results = scala.collection.mutable.LinkedHashMap(
       (timedKeys ++ engineKeys).map(_ -> 0.00056395): _*)
     val line = Bench.jsonLine(results, Nil, "/root/testdata/sf0.1",
-      "bench_raws.json")
+      "bench_raws.json",
+      // worst-width floor + weather: the r14 fields ride the same budget
+      floor = 0.00056395,
+      weather = "calib_spread=40.1x io_w=9999MBps noisy")
     // 2000 is the hard capture limit; 1985 leaves newline margin at the
     // pathological all-sub-ms width (real lines run ~1840 at 72 entries)
     assert(line.length < 1985, s"bench JSON line too long: ${line.length}")
     // and it is parse-checkable: balanced object, last char is '}'
     assert(line.startsWith("{\"metric\":\"total\"") && line.endsWith("}"))
     assert(line.contains("\"raws\":\"bench_raws.json\""))
+    // at pathological width the TRIAGE fields yield their seats (the
+    // sidecar's mins + calib carry the same facts); at realistic width
+    // (~72 mixed-width entries) they ride the line
+    assert(!line.contains("\"weather\""),
+      "triage fields must be dropped before the line start is truncated")
+  }
+
+  test("floor and weather ride the line; absent by default") {
+    val r = scala.collection.mutable.LinkedHashMap("a" -> 1.5)
+    val bare = Bench.jsonLine(r, Nil, "/sf")
+    assert(!bare.contains("\"floor\"") && !bare.contains("\"weather\""))
+    val full = Bench.jsonLine(r, Nil, "/sf", "raws.json", 1.23,
+      "calib_spread=1.1x io_w=400MBps clear")
+    assert(full.contains("\"floor\":1.23"))
+    assert(full.contains(
+      "\"weather\":\"calib_spread=1.1x io_w=400MBps clear\""))
+  }
+
+  test("raws sidecar carries per-entry minima of successful samples") {
+    val raws = Bench.rawsJson("/sf",
+      Seq(("engine0/start", 0.2)),
+      Seq(
+        ("query0", Map("q" -> 5.0, "bad" -> -1.0)),
+        ("query1", Map("q" -> 2.5, "bad" -> -2.0))))
+    assert(raws.contains("\"mins\":{\"q\":2.5}"), raws)
+    // failed-only entries have no floor; samples keep the negatives
+    assert(raws.contains("\"bad\":[[\"query0\",-1],[\"query1\",-2]]"))
   }
 
   test("calibration probe: fixed work, positive wall time, repeatable") {

@@ -114,6 +114,48 @@ class ConcurrencySpec extends SparkTestBase {
     }
   }
 
+  test("N contending writers converge with a bounded CAS-attempt total " +
+      "(lock-free progress, no retry storm)") {
+    // Every lost CAS round pairs with a DISTINCT commit landed by a peer,
+    // so 6 writers x 5 commits admit at most 30 + 30*5 = 180 attempts in
+    // the adversarial worst case — a retry storm or livelock blows past
+    // that, a healthy convoy sits near 30 + collisions (~2x). The pin
+    // rides the same counter the latency soak reads (putIfAbsent = one
+    // per CAS attempt; this workload performs no other conditional PUTs).
+    val counting = new graft.storage.LoggingStore(
+      Store.local(tmpDir("contend")), _ => ())
+    val repo = Repository.create(counting, spark,
+      GraftConfig(commitRetries = 60))
+    val s0 = repo.writableSession("main")
+    s0.addArray("/a", Seq(1000), Seq(1))
+    s0.commit("init")
+    counting.counts.clear()
+
+    val pool = Executors.newFixedThreadPool(6)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    val fs = (0 until 6).map { w =>
+      Future {
+        (0 until 5).foreach { i =>
+          val s = repo.writableSession("main")
+          s.writeChunk("/a", Seq(w * 20 + i), Array[Byte](w.toByte))
+          s.commit(s"w$w c$i")
+        }
+      }
+    }
+    Await.result(Future.sequence(fs), 300.seconds)
+    pool.shutdown()
+
+    // all 30 land, linear history, no gaps
+    val msgs = repo.ancestry(VersionRef.Branch("main")).map(_.message)
+    for (w <- 0 until 6; i <- 0 until 5)
+      assert(msgs.contains(s"w$w c$i"), s"lost commit w$w c$i")
+    val attempts = Option(counting.counts.get("putIfAbsent"))
+      .map(_.get()).getOrElse(0L)
+    assert(attempts >= 30, s"only $attempts CAS attempts for 30 commits?")
+    assert(attempts <= 150, s"$attempts CAS attempts for 30 commits — " +
+      "retry storm (healthy convoys run ~2x the commit count)")
+  }
+
   test("stale session's optimistic commit cannot land invisibly on a " +
       "pruned generation slot") {
     // ADVICE r14 (high): put-if-absent on openGen+1 only proves the SLOT

@@ -78,6 +78,34 @@ class HistoryIndexSpec extends SparkTestBase {
     assert(repo2.info().snapshotInfo(ids.head).isDefined)
   }
 
+  test("segment cache stays bounded over a long single-JVM commit run " +
+      "and eviction never loses history (VERDICT r13)") {
+    val dir = tmpDir("segcache")
+    val cfg = GraftConfig(snapshotIndexWindow = 16)
+    val repo = Repository.create(Store.local(dir), spark, cfg)
+    // tiny bound so the 120-commit run actually evicts: every superseded
+    // merged batch the geometric fold writes would otherwise stay cached
+    // forever (the O(N log N) growth this pin guards against)
+    repo.pointer.maxCachedSegInfos = 48
+    locally {
+      val s = repo.writableSession("main")
+      s.addArray("/a", Seq(256), Seq(4))
+      s.commit("init")
+    }
+    (0 until 120).foreach { i =>
+      val s = repo.writableSession("main")
+      s.writeChunk("/a", Seq(i % 64), Array[Byte](i.toByte))
+      s.commit(s"c$i")
+      val (_, infos) = repo.pointer.segCacheStats
+      assert(infos <= 48, s"segment cache holds $infos infos at commit $i")
+    }
+    // eviction is a cache event, not a data event: hydration refetches
+    // and the full index is still visible
+    assert(repo.ancestry(VersionRef.Branch("main")).size == 122)
+    val (entries, infos) = repo.pointer.segCacheStats
+    assert(infos <= 48 && entries >= 1, s"($entries, $infos)")
+  }
+
   test("concurrent committers race across spill boundaries without " +
       "losing history") {
     // a committer that spills a segment and WINS the CAS leaves the loser
@@ -241,6 +269,52 @@ class HistoryIndexSpec extends SparkTestBase {
     val segFiles = repo.store.list(Layout.SegmentPrefix).size
     assert(segFiles <= 12, s"$segFiles segment files — per-commit churn")
     assert(repo.ancestry(VersionRef.Branch("main")).size == 82)
+  }
+
+  test("repeated expire/commit cycles keep the segment chain geometric: " +
+      "tiny gap segments coalesce instead of accumulating (ADVICE r13)") {
+    val dir = tmpDir("histcoalesce")
+    val window = 8
+    val repo = Repository.create(Store.local(dir), spark,
+      GraftConfig(snapshotIndexWindow = window))
+    locally {
+      val s = repo.writableSession("main")
+      s.addArray("/a", Seq(256), Seq(4))
+      s.commit("init")
+    }
+    def commitN(n: Int, tag: String): Unit = (0 until n).foreach { i =>
+      val s = repo.writableSession("main")
+      s.writeChunk("/a", Seq(i % 64), Array[Byte](i.toByte))
+      s.commit(s"$tag$i")
+    }
+    def segSizes(): Seq[Int] = {
+      val st = Store.local(dir)
+      rawTip(dir).snapshotSegments.map(k =>
+        graft.meta.MetaJson.readSnapshotInfos(
+          new String(st.getBytes(k), "UTF-8")).size)
+    }
+    commitN(60, "a")
+    // six expire-then-commit cycles, each cutting a bit deeper into the
+    // segmented region — the workload the advisor flagged as eroding the
+    // O(log n) chain via un-merged mid-chain gap segments
+    (0 until 6).foreach { c =>
+      val chain = repo.ancestry(VersionRef.Branch("main"))
+      graft.ops.GC.expire(repo,
+        java.time.Instant.parse(chain(chain.size - 8).flushedAt))
+      commitN(10, s"x$c")
+    }
+    val sizes = segSizes()
+    // geometric shape: bounded count, and no pile of sub-window shards —
+    // the re-tile absorbs any intact sub-window segment into its gap
+    // write, so at most the freshest boundary + trailing gap stay small
+    assert(sizes.count(_ < window) <= 2,
+      s"sub-window segments accumulating: $sizes")
+    assert(sizes.size <= 6, s"segment chain not geometric: $sizes")
+    // and the history is intact after all the churn
+    val reopened = Repository.open(Store.local(dir), spark)
+    assert(reopened.ancestry(VersionRef.Branch("main")).nonEmpty)
+    assert(reopened.info().snapshots.size ==
+      repo.info().snapshots.size)
   }
 
   test("expire re-tiling races concurrent committers: no post-cutoff " +

@@ -66,6 +66,31 @@ class OpsSpec extends SparkTestBase {
     assert(guarded.chunksDeleted == 0 && guarded.snapshotsDeleted == 0)
   }
 
+  test("GC applies large orphan sets executor-side with bounded driver " +
+      "state (VERDICT r13)") {
+    // gcDriverDeleteMax = 10 forces the foreachPartition delete path the
+    // driver takes only past 100k orphans in production — per-executor
+    // store clients, 1000-key batches, no driver-side id materialization
+    val repo = freshRepo(GraftConfig(gcDriverDeleteMax = 10))
+    val s = repo.writableSession("main")
+    s.addArray("/a", Seq(4000), Seq(1))
+    s.writeChunk("/a", Seq(0), Array.fill(600)(9.toByte))
+    val keep = s.commit("keep")
+    val s2 = repo.writableSession("main")
+    (1 until 301).foreach(i =>
+      s2.writeChunk("/a", Seq(i), Array.fill(600)((i % 127).toByte)))
+    s2.commit("orphans-to-be")
+    repo.resetBranch("main", keep)
+
+    val summary = GC.garbageCollect(repo, Instant.now().plusSeconds(60))
+    assert(summary.chunksDeleted == 300, s"deleted ${summary.chunksDeleted}")
+    assert(summary.bytesDeleted >= 300L * 600)
+    // exactly the live chunk object survives on storage
+    assert(repo.store.list("chunks/").size == 1)
+    val ro = repo.readonlySession(VersionRef.Branch("main"))
+    assert(ro.getChunk("/a", Seq(0)).get.length == 600)
+  }
+
   test("GC staging sweep honors a renewed lease; sweeps whole dead tokens") {
     val repo = freshRepo()
     val store = repo.store

@@ -144,6 +144,70 @@ def main():
             .first()
         assert back.n == 16 and back.s == sum(i * 3 for i in range(16)), back
         print("[pyspark-smoke] streaming sink rows =", back.n)
+
+        # 8. error-path parity (round 14): the engine's error taxonomy
+        #    must surface as CATCHABLE Python exceptions with the same
+        #    classes/kinds a Scala caller sees — not as opaque crashes.
+        import re
+        from py4j.protocol import Py4JJavaError
+
+        # 8a. conflict on concurrent commit: two sessions from one tip
+        #     edit the SAME cell; the loser's rebase must raise the
+        #     conflict error class, and catching it leaves the repo usable
+        repo = jvm.graft.repo.Repository.open(store, spark._jsparkSession)
+        s_a = repo.writableSession("main")
+        s_b = repo.writableSession("main")
+        s_a.writeChunkJ("/s", [0], bytearray(b"\x01" * 8))
+        s_b.writeChunkJ("/s", [0], bytearray(b"\x02" * 8))
+        s_a.commitJ("winner")
+        try:
+            # fail-on-conflict commit: the reference's Python commit()
+            # semantics (no silent auto-resolution of double-writes)
+            s_b.commitFailOnConflictJ("loser")
+            raise AssertionError("conflicting commit did not raise")
+        except Py4JJavaError as e:
+            jmsg = str(e.java_exception)
+            assert "ConflictException" in jmsg, jmsg
+            print("[pyspark-smoke] conflict surfaced:",
+                  jmsg.splitlines()[0][:90])
+
+        # 8b. UnsupportedFormat: a pointer generation stamped by a NEWER
+        #     library version must refuse to open, naming the versions
+        ptr = jvm.graft.meta.RepoPointer(store)
+        gen = ptr.latestGen()
+        key = jvm.graft.meta.Layout.pointerKey(gen)
+        doc = bytes(store.getBytes(key)).decode("utf-8")
+        doc2 = re.sub(r'("specVersion"\s*:\s*)\d+', r"\g<1>99", doc)
+        assert doc2 != doc, "specVersion field not found in pointer doc"
+        store.putBytes(jvm.graft.meta.Layout.pointerKey(gen + 1),
+                       bytearray(doc2.encode("utf-8")))
+        try:
+            jvm.graft.repo.Repository.open(store, spark._jsparkSession)
+            raise AssertionError("newer-format pointer did not refuse open")
+        except Py4JJavaError as e:
+            jmsg = str(e.java_exception)
+            assert "UnsupportedFormat" in jmsg or "newer than" in jmsg, jmsg
+            print("[pyspark-smoke] format refusal surfaced:",
+                  jmsg.splitlines()[0][:90])
+        finally:
+            # restore the tip so the repo stays openable (deletePrefix
+            # with the exact key: Store.delete takes a Scala Iterable,
+            # which py4j cannot supply)
+            store.deletePrefix(jvm.graft.meta.Layout.pointerKey(gen + 1))
+
+        # 8c. authorization: a virtual ref against an UNREGISTERED
+        #     container is refused at set-time (session.rs:631-655 parity)
+        s_c = repo.writableSession("main")
+        try:
+            s_c.setVirtualRefJ("/s", [1], "s3://not-registered/obj", 0, 10)
+            raise AssertionError("unregistered virtual container accepted")
+        except Py4JJavaError as e:
+            jmsg = str(e.java_exception)
+            assert ("container" in jmsg or "virtual" in jmsg
+                    or "authorization" in jmsg.lower()), jmsg
+            print("[pyspark-smoke] virtual auth refusal surfaced:",
+                  jmsg.splitlines()[0][:90])
+
         print("[pyspark-smoke] OK")
     except Exception as e:  # noqa: BLE001 — smoke must name its failure
         ok = False
