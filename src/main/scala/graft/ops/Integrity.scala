@@ -45,7 +45,8 @@ object Integrity {
     // manifest, sequentially (round-13 latency audit)
     val metaProblems = scala.collection.mutable.ArrayBuffer[(String, String, String)]()
     val manifestIds = scala.collection.mutable.LinkedHashSet[String]()
-    graft.storage.Store.parallelIO(closure) { si =>
+    // width 128: bulk whole-repo probe (see Replicate's rationale)
+    graft.storage.Store.parallelIO(closure, maxThreads = 128) { si =>
       val snapKey = Layout.snapshotKey(si.id)
       if (!repo.store.exists(snapKey))
         (Some(("missing_snapshot", si.id, snapKey)), Nil)
@@ -62,7 +63,8 @@ object Integrity {
       manifestIds ++= mids
     }
     val presentManifests =
-      graft.storage.Store.parallelIO(manifestIds.toSeq)(mid =>
+      graft.storage.Store.parallelIO(manifestIds.toSeq,
+          maxThreads = 128)(mid =>
         mid -> repo.store.list(Layout.manifestPrefix(mid) + "/").nonEmpty)
       .flatMap { case (mid, ok) =>
         if (ok) Some(mid)

@@ -303,10 +303,11 @@ object GC {
       // latency soak measured the serial loop at ~800 sequential round
       // trips (the single longest chain in the engine at 50 ms RTT)
       graft.storage.Store.parallelIO(
-        deadTx.map(_.key.split('/').take(2).mkString("/")).distinct)(
+        deadTx.map(_.key.split('/').take(2).mkString("/")).distinct,
+        maxThreads = 128)(
         store.deletePrefix)
-      graft.storage.Store.parallelIO(deadManifestIds)(id =>
-        store.deletePrefix(s"manifests/$id"))
+      graft.storage.Store.parallelIO(deadManifestIds, maxThreads = 128)(
+        id => store.deletePrefix(s"manifests/$id"))
       repo.casUpdate("garbage_collect",
         s"chunks=$deadChunkCount bytes=$bytes")(identity)
     }

@@ -145,7 +145,12 @@ object Replicate {
     // otherwise ~2 000 sequential round trips of metadata alone at
     // object-store RTTs (round-13 latency audit; payload copies were
     // already executor-parallel)
-    val metaCopied = graft.storage.Store.parallelIO(closure) { si =>
+    // width 128: a bulk maintenance walk over the whole closure, not an
+    // interactive path — the reference drives object stores at 256
+    // concurrent requests; 32 left a 411-commit push at ~13 waves per
+    // sub-phase of pure sleep at 50 ms RTT (r14 latency soak)
+    val metaCopied = graft.storage.Store.parallelIO(closure,
+        maxThreads = 128) { si =>
       val snapKey = Layout.snapshotKey(si.id)
       val snaps =
         if (dst.exists(snapKey)) 0
@@ -172,7 +177,8 @@ object Replicate {
     val srcConf = src.store.conf
     val dstConf = dst.conf
     val manifestKeys: Seq[String] =
-      graft.storage.Store.parallelIO(manifestIds.toSeq)(mid =>
+      graft.storage.Store.parallelIO(manifestIds.toSeq, maxThreads = 128)(
+        mid =>
         src.store.list(Layout.manifestPrefix(mid) + "/").map(_.key)).flatten
     val manifestsCopied =
       if (manifestKeys.isEmpty) 0
