@@ -184,6 +184,13 @@ object GC {
     // applies its deletes executor-side instead of materializing GBs of
     // ids in driver memory (VERDICT r13).
     import spark.implicits._
+    // the LISTING itself stays driver-side: ObjectInfo is thin (~100 B),
+    // so even 100 M chunks is ~10 GB-scale only at the extreme tail — if
+    // that tail ever matters, the executor-side remedy already exists in
+    // this codebase (Replicate's 1,024-slice base32-prefix distributed
+    // listing); the set that actually exploded in practice (orphan ids
+    // after a mass expire, collected for deletion) is what moved off the
+    // driver below
     val listed = store.list("chunks/")
       .map(o => (o.key.stripPrefix("chunks/"), o.size, o.mtimeMillis))
     val listedDf = spark.createDataset(listed)
