@@ -344,6 +344,40 @@ class StorageConformanceSpec extends SparkTestBase {
     assert(ro.getChunk("/a", Seq(0)).get.head == 7.toByte)
   }
 
+  test("latency decoration survives the executor-client round trip " +
+      "(LatencyStoreConf) and the graft:// identity forwards (r14)") {
+    // the r14 Spark-plane latency soak rests on two pieces of plumbing:
+    // (1) LatencyStore.conf KEEPS the decoration, so a client opened
+    // from it (what executors do via StoreConf) injects the same RTT —
+    // every other decorator intentionally sheds its wrapper at conf
+    val raw = Store.local(tmpDir("lat-conf"))
+    val lat = new LatencyStore(raw, 40)
+    lat.conf match {
+      case graft.storage.LatencyStoreConf(inner, d) =>
+        assert(d == 40 && inner == raw.conf)
+      case c => fail(s"latency conf lost its decoration: $c")
+    }
+    val reopened = lat.conf.open()
+    reopened.putBytes("k", Array[Byte](5))
+    val t0 = System.nanoTime()
+    assert(reopened.getBytes("k").head == 5.toByte)
+    val ms = (System.nanoTime() - t0) / 1000000L
+    assert(ms >= 40, s"reconstructed client paid ${ms}ms — no injection")
+    assert(new graft.storage.FlakyStore(raw, 0).conf == raw.conf,
+      "non-latency decorators must still shed their wrapper at conf")
+    // (2) GraftUriStore: a graft:// identity that forwards everything
+    // else, so Parquet scans route through the decorated store
+    val uriStore = new graft.storage.GraftUriStore(lat, "lat-spec-auth")
+    assert(uriStore.rootUri == "graft://lat-spec-auth")
+    assert(uriStore.uri("manifests/x") == "graft://lat-spec-auth/manifests/x")
+    assert(uriStore.getBytes("k").head == 5.toByte) // forwards through lat
+    graft.storage.hadoop.GraftFileSystem.register(spark, uriStore)
+    // a Spark read of a parquet written through the identity resolves
+    val df = spark.range(3).toDF("v")
+    df.write.mode("overwrite").parquet(uriStore.uri("t.parquet"))
+    assert(spark.read.parquet(uriStore.uri("t.parquet")).count() == 3)
+  }
+
   test("s3: retrying decorator recovers transient 5xx-style failures") {
     val (server, store) = s3Fixture()
     try {
