@@ -597,7 +597,8 @@ final class AssetManager(val store: Store, spark: SparkSession) {
     * each, so 1 M refs ≈ 300-400 MB worst case against the 8 GiB default
     * driver heap, and the eldest splits evict until the total fits.
     */
-  private val MaxCachedRefsPerSplit = 250000
+  // var so specs can force the oversized-split (ranged-lookup) path
+  private[graft] var MaxCachedRefsPerSplit = 250000
   private val MaxCachedRefsTotal = 1000000L
   private val MaxCachedSplits = 256
   private var cachedRefsTotal = 0L
@@ -630,19 +631,6 @@ final class AssetManager(val store: Store, spark: SparkSession) {
       }
     }
 
-  /** Read exactly one split's partition directory — skips listing the
-    * other ~N split dirs of the manifest (the data files lack the two
-    * partition columns, so they are restored from the known key).
-    */
-  private def readSplitDirect(mref: ManifestRef, nodeId: String): DataFrame = {
-    import org.apache.spark.sql.Encoders
-    val dataSchema = org.apache.spark.sql.types.StructType(
-      Encoders.product[ChunkRef].schema.filterNot(_.name == "node_id"))
-    spark.read.schema(dataSchema)
-      .parquet(s"${manifestUri(mref.manifestId)}/node_id=$nodeId/split=${mref.split}")
-      .withColumn("node_id", lit(nodeId))
-  }
-
   /** Eagerly load a split into the cache (manifest preload). */
   def warmSplit(mref: ManifestRef, nodeId: String): Unit =
     if (mref.numRefs <= MaxCachedRefsPerSplit)
@@ -651,19 +639,29 @@ final class AssetManager(val store: Store, spark: SparkSession) {
   /** Point lookup of one chunk ref within a manifest split. */
   def lookupRef(mref: ManifestRef, nodeId: String,
                 coord: Seq[Int]): Option[ChunkRef] = {
-    import GraftEncoders._
     if (mref.numRefs <= MaxCachedRefsPerSplit)
       // cold AND hot both zero-Spark-job: one bounded driver-side shard
       // read populates the cache, then O(1) probes (a cold lookup through
       // a 50 k-ref split is ~20 ms of DriverParquet vs ~100 ms of Spark
       // job overhead — the round-12 soak's cold-lookup growth)
       loadSplitDriver(mref, nodeId).get(coord)
-    else
-      // oversized split: stats-pruned Spark scan (coord-sorted row groups
-      // make the pushed filter skip most of the shard)
-      readSplitDirect(mref, nodeId)
-        .filter(col("coord") === typedLit(coord))
-        .as(chunkRefEnc).collect().headOption
+    else {
+      // oversized split (round 14): driver-side FILTERED read over
+      // ranged GETs — parquet stats/column-index pruning on the
+      // coord-sorted (c0..c3) columns reads only the footer + the pages
+      // holding the candidate rows, so the lookup costs a handful of
+      // ranged GETs regardless of shard size: no Spark job (~100 ms
+      // scheduling floor, the r12 soak's 0.5+ exponent on this path)
+      // and no full-shard download (unboundedly large splits stay
+      // readable at a bounded per-lookup cost)
+      val prefix = s"${Layout.manifestPrefix(mref.manifestId)}" +
+        s"/node_id=$nodeId/split=${mref.split}/"
+      val files = store.list(prefix).filter(_.key.endsWith(".parquet"))
+      graft.storage.Store.parallelIO(files)(o =>
+          DriverParquet.lookupRefsRanged(store, o.key, o.size, nodeId,
+            coord))
+        .flatten.find(_.coord == coord)
+    }
   }
 
   /** All committed refs of the given nodes at a snapshot, as one DataFrame.

@@ -174,6 +174,144 @@ object DriverParquet {
     } finally Files.deleteIfExists(tmp)
   }
 
+  // ---- ranged point lookup over the Store (no Spark job, no full-file
+  // download) ---------------------------------------------------------
+
+  /** Seekable parquet [[org.apache.parquet.io.InputFile]] over a Store
+    * object via ranged GETs: parquet-mr reads the footer, the column
+    * index, and only the pages its filter needs — each `readFully` is
+    * one `getRange`, which is exactly the access pattern object stores
+    * price for. Backends with native range support (S3 `Range:`, FS
+    * channel reads) serve each call without touching the rest of the
+    * object.
+    */
+  private final class StoreInputFile(store: graft.storage.Store,
+      key: String, len: Long) extends org.apache.parquet.io.InputFile {
+    override def getLength: Long = len
+    override def newStream(): org.apache.parquet.io.SeekableInputStream =
+      new org.apache.parquet.io.SeekableInputStream {
+        // parquet-mr parses thrift structures (footer, page headers)
+        // byte-by-byte straight off this stream — unbuffered, one point
+        // lookup issued ~300 store ops. A 128 KiB read-ahead turns that
+        // into a handful of ranged GETs (footer+index in one, then one
+        // per contiguous page run) while huge column-chunk readFullys
+        // bypass the buffer entirely.
+        private val BufBytes = 128 * 1024
+        private var pos = 0L
+        private var bufStart = 0L
+        private var buf: Array[Byte] = Array.emptyByteArray
+        private def buffered: Long = bufStart + buf.length - pos
+        private def inBuf: Boolean = pos >= bufStart && buffered > 0
+        private def fill(): Unit = {
+          val take = math.min(BufBytes.toLong, len - pos).toInt
+          buf = store.getRange(key, pos, take)
+          bufStart = pos
+        }
+        override def getPos: Long = pos
+        override def seek(p: Long): Unit = pos = p
+        override def read(): Int =
+          if (pos >= len) -1
+          else {
+            if (!inBuf) fill()
+            val r = buf((pos - bufStart).toInt) & 0xff
+            pos += 1
+            r
+          }
+        override def read(b: Array[Byte], off: Int, n: Int): Int = {
+          if (n == 0) return 0
+          if (pos >= len) return -1
+          if (!inBuf) fill()
+          val m = math.min(n.toLong, buffered).toInt
+          System.arraycopy(buf, (pos - bufStart).toInt, b, off, m)
+          pos += m
+          m
+        }
+        override def readFully(b: Array[Byte]): Unit =
+          readFully(b, 0, b.length)
+        override def readFully(b: Array[Byte], off: Int, n: Int): Unit = {
+          if (n == 0) return
+          if (pos + n > len) throw new java.io.EOFException(
+            s"$key: readFully past EOF ($pos + $n > $len)")
+          if (pos >= bufStart && pos + n <= bufStart + buf.length) {
+            System.arraycopy(buf, (pos - bufStart).toInt, b, off, n)
+            pos += n
+          } else if (n >= BufBytes) { // big column chunk: direct range
+            val got = store.getRange(key, pos, n)
+            if (got.length != n) throw new java.io.EOFException(
+              s"$key: short ranged read at $pos: ${got.length} != $n")
+            System.arraycopy(got, 0, b, off, n)
+            pos += n
+          } else {
+            fill()
+            if (buffered < n) throw new java.io.EOFException(
+              s"$key: short ranged read at $pos: $buffered < $n")
+            System.arraycopy(buf, (pos - bufStart).toInt, b, off, n)
+            pos += n
+          }
+        }
+        override def read(bb: java.nio.ByteBuffer): Int = {
+          if (!bb.hasRemaining) return 0
+          if (pos >= len) return -1
+          if (!inBuf) fill()
+          val m = math.min(bb.remaining().toLong, buffered).toInt
+          bb.put(buf, (pos - bufStart).toInt, m)
+          pos += m
+          m
+        }
+        override def readFully(bb: java.nio.ByteBuffer): Unit =
+          while (bb.hasRemaining) {
+            if (read(bb) < 0) throw new java.io.EOFException(
+              s"$key: readFully(ByteBuffer) past EOF at $pos")
+          }
+      }
+  }
+
+  /** ParquetReader.Builder is only constructible from an InputFile via a
+    * subclass (the public static factories take a Hadoop Path).
+    */
+  private final class GroupBuilder(file: org.apache.parquet.io.InputFile)
+      extends ParquetReader.Builder[Group](file) {
+    override def getReadSupport(): org.apache.parquet.hadoop.api.ReadSupport[Group] =
+      new GroupReadSupport()
+  }
+
+  /** Point lookup inside ONE manifest shard data file WITHOUT a Spark job
+    * and WITHOUT downloading the shard: a (c0..c3) filter predicate over
+    * [[StoreInputFile]] lets parquet-mr prune row groups via the
+    * coord-sorted min/max stats, skip pages via the column index, and
+    * decode only matching records — the driver-side analog of the Spark
+    * scan's pushed filter, minus the ~100 ms job-scheduling overhead.
+    * This is the oversized-split lookup path (splits past the driver
+    * cache cap, [[AssetManager.lookupRef]]); candidates sharing the
+    * first four axes are disambiguated by the caller on full `coord`.
+    */
+  def lookupRefsRanged(store: graft.storage.Store, key: String, size: Long,
+                       nodeId: String, coord: Seq[Int]): Seq[ChunkRef] = {
+    import org.apache.parquet.filter2.predicate.{FilterApi => FA}
+    import org.apache.parquet.filter2.compat.FilterCompat
+    def cs(i: Int): Integer =
+      Integer.valueOf(if (i < coord.size) coord(i) else -1)
+    def ceq(name: String, i: Int) = FA.eq(FA.intColumn(name), cs(i))
+    val pred = FA.and(
+      FA.and(ceq("c0", 0), ceq("c1", 1)),
+      FA.and(ceq("c2", 2), ceq("c3", 3)))
+    val reader = new GroupBuilder(new StoreInputFile(store, key, size))
+      .withConf(new org.apache.hadoop.conf.Configuration())
+      .withFilter(FilterCompat.get(pred))
+      .useStatsFilter().useDictionaryFilter()
+      .useColumnIndexFilter().useRecordFilter()
+      .build()
+    try {
+      val out = Vector.newBuilder[ChunkRef]
+      var g = reader.read()
+      while (g != null) {
+        out += groupToRef(g, nodeId)
+        g = reader.read()
+      }
+      out.result()
+    } finally reader.close()
+  }
+
   private def optStr(g: Group, field: String): String =
     if (g.getFieldRepetitionCount(field) == 0) null
     else g.getString(field, 0)

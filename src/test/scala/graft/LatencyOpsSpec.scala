@@ -115,6 +115,37 @@ class LatencyOpsSpec extends SparkTestBase {
     assert(cost <= 140, s"opsLog cost $cost ops for 132 generations")
   }
 
+  test("oversized-split point lookup is a bounded handful of ranged " +
+      "driver reads — no Spark job, no full-shard download (r14)") {
+    val dir = tmpDir("ops-ranged")
+    locally {
+      val repo = Repository.create(Store.local(dir), spark)
+      val s = repo.writableSession("main")
+      s.addArray("/big", Seq(96), Seq(1)) // default split rule: ONE split
+      (0 until 96).foreach(i =>
+        s.writeChunk("/big", Seq(i), Array[Byte](i.toByte, 7)))
+      s.commit("bulk")
+    }
+    val (st, total) = counted(dir)
+    val repo = Repository.open(st, spark)
+    // force the oversized path (production cap 250k; the split here has
+    // 96 refs) — the cap gates CACHEABILITY, the lookup contract is the
+    // same on either side of it
+    repo.assets.MaxCachedRefsPerSplit = 50
+    val ro = repo.readonlySession(VersionRef.Branch("main"))
+    val t0 = total()
+    assert(ro.getChunk("/big", Seq(37)).get.toSeq == Seq[Byte](37, 7))
+    val cost = total() - t0
+    // one split-dir list + footer/column-index/page ranged reads of ONE
+    // data file: bounded regardless of split size (the old path here was
+    // a Spark job per lookup — ~100 ms scheduling floor and the r12
+    // soak's superlinear cold-lookup exponent)
+    assert(cost <= 15, s"ranged oversized lookup cost $cost store ops")
+    // correctness across the shard, including the edges
+    assert(ro.getChunk("/big", Seq(0)).get.toSeq == Seq[Byte](0, 7))
+    assert(ro.getChunk("/big", Seq(95)).get.toSeq == Seq[Byte](95, 7))
+  }
+
   test("interactive small commit is O(1) store ops") {
     val dir = tmpDir("ops-commit")
     build(dir)
