@@ -146,6 +146,30 @@ class LatencyOpsSpec extends SparkTestBase {
     assert(ro.getChunk("/big", Seq(95)).get.toSeq == Seq[Byte](95, 7))
   }
 
+  test("ranged lookup reads SPARK-written shards identically " +
+      "(writer parity: zstd + row-group stats + column index)") {
+    val dir = tmpDir("ranged-spark")
+    val repo = Repository.create(Store.local(dir), spark)
+    import org.apache.spark.sql.functions.lit
+    val refs = (0 until 300).map(i =>
+      graft.meta.ChunkRef.nativeRef("nX", Seq(i), s"id$i", 0L, i.toLong))
+    val df = spark.createDataset(refs)(
+      org.apache.spark.sql.Encoders.product[graft.meta.ChunkRef])
+      .toDF().withColumn("split", lit(0))
+    repo.assets.writeManifest("mRANGED", df)
+    val files = repo.store.list("manifests/mRANGED/node_id=nX/split=0/")
+      .filter(_.key.endsWith(".parquet"))
+    assert(files.nonEmpty)
+    val hits = files.flatMap(o => graft.meta.DriverParquet
+      .lookupRefsRanged(repo.store, o.key, o.size, "nX", Seq(123)))
+    assert(hits.exists(r => r.coord == Seq(123) && r.chunk_id == "id123" &&
+      r.length == 123L), s"got $hits")
+    // a miss stays a miss (no phantom rows from page-level filtering)
+    assert(files.flatMap(o => graft.meta.DriverParquet
+      .lookupRefsRanged(repo.store, o.key, o.size, "nX", Seq(4242)))
+      .isEmpty)
+  }
+
   test("interactive small commit is O(1) store ops") {
     val dir = tmpDir("ops-commit")
     build(dir)
