@@ -684,7 +684,17 @@ final class Session private[repo] (
       }
     }
     assets.warmSplits(parts)
-    reqs.map { case (p, c) => getChunkRef(p, c) }
+    // splits past the driver-cache cap cannot be warmed — each of their
+    // lookups is an independent filtered ranged read (~4 store ops), so
+    // when a batch touches any, the probes run as ONE concurrent wave:
+    // a 100-coordinate slice through oversized splits costs ~1 wave of
+    // RTT, not 100 sequential filtered reads (round 14; cacheable-split
+    // probes stay cheap either way — they hit the warm cache)
+    if (parts.exists(_._1.numRefs > assets.MaxCachedRefsPerSplit))
+      graft.storage.Store.parallelIO(reqs) { case (p, c) =>
+        getChunkRef(p, c) }
+    else
+      reqs.map { case (p, c) => getChunkRef(p, c) }
   }
 
   private[graft] def materialize(r: ChunkRef): Array[Byte] = r.kind match {

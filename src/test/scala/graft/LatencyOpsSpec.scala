@@ -144,6 +144,13 @@ class LatencyOpsSpec extends SparkTestBase {
     // correctness across the shard, including the edges
     assert(ro.getChunk("/big", Seq(0)).get.toSeq == Seq[Byte](0, 7))
     assert(ro.getChunk("/big", Seq(95)).get.toSeq == Seq[Byte](95, 7))
+    // batched form: oversized-split probes run as one concurrent wave,
+    // results aligned by index and value-correct
+    val batch = ro.getChunkRefs("/big", (0 until 24).map(i => Seq(i * 4)))
+    assert(batch.size == 24 && batch.forall(_.isDefined))
+    batch.zipWithIndex.foreach { case (r, i) =>
+      assert(r.get.inline.toSeq == Seq[Byte]((i * 4).toByte, 7), s"at $i")
+    }
   }
 
   test("ranged lookup reads SPARK-written shards identically " +
