@@ -348,20 +348,29 @@ final class RepoPointer(store: Store) {
       val cappedLo =
         if (!probedPastHorizon && g >= horizon) math.max(lo, horizon) else lo
       val gens = (g to cappedLo by -1).toSeq
-      val batch = Store.parallelIO(gens)(gg =>
-        try Some(loadGen(gg))
-        catch {
-          // missing = pruned horizon (both FS and the cloud backends
-          // signal absent keys this way) — a clean end of the walk
-          case _: java.nio.file.NoSuchFileException => None
-          case _: Exception =>
-            // transient (throttling, connection reset): one bounded
-            // retry wave — silently truncating the walk on a blip
-            // would misreport history; persistent failure is loud
-            Thread.sleep(50)
-            try Some(loadGen(gg))
-            catch { case _: java.nio.file.NoSuchFileException => None }
-        })
+      val batch = Store.parallelIO(gens) { gg =>
+        // missing = pruned horizon (both FS and the cloud backends
+        // signal absent keys this way) — a clean end of the walk.
+        // Anything else is transient (throttling, connection reset):
+        // bounded exponential backoff, because the wide 32-way batches
+        // are exactly the pattern that draws multi-shot throttling — a
+        // single fixed-delay retry aborted the whole walk on two
+        // consecutive blips (ADVICE r14). Persistent failure stays loud
+        // (silently truncating the walk would misreport history).
+        var attempt = 0
+        var out: Option[Option[RepoInfo]] = None
+        while (out.isEmpty) {
+          try out = Some(Some(loadGen(gg)))
+          catch {
+            case _: java.nio.file.NoSuchFileException => out = Some(None)
+            case e: Exception =>
+              attempt += 1
+              if (attempt > 3) throw e
+              Thread.sleep(50L << (attempt - 1))
+          }
+        }
+        out.get
+      }
       // consume in order, newest first; stop at the first pruned
       // generation (nothing past the horizon is walkable)
       var halted = false
@@ -536,9 +545,7 @@ final class AssetManager(val store: Store, spark: SparkSession) {
     splitCache.synchronized(Option(splitCache.get(key))) match {
       case Some(m) => m
       case None =>
-        val prefix = s"${Layout.manifestPrefix(mref.manifestId)}" +
-          s"/node_id=$nodeId/split=${mref.split}/"
-        val files = store.list(prefix).filter(_.key.endsWith(".parquet"))
+        val files = splitFiles(mref.manifestId, nodeId, mref.split)
         val rows = graft.storage.Store.parallelIO(files)(o =>
           DriverParquet.readChunkRefs(store.getBytes(o.key), nodeId)).flatten
         val m = rows.map(r => (r.coord: Seq[Int]) -> r).toMap
@@ -547,7 +554,8 @@ final class AssetManager(val store: Store, spark: SparkSession) {
         // path, hiding the corruption; fail loudly instead (ADVICE r12)
         if (rows.size != m.size)
           throw new graft.repo.GraftException(
-            s"manifest shard $prefix contains ${rows.size - m.size} " +
+            s"manifest shard ${mref.manifestId}/node_id=$nodeId" +
+              s"/split=${mref.split} contains ${rows.size - m.size} " +
               "duplicate chunk coordinates — refusing to silently collapse " +
               "a corrupt shard",
             graft.repo.GraftError.Storage)
@@ -654,13 +662,62 @@ final class AssetManager(val store: Store, spark: SparkSession) {
       // scheduling floor, the r12 soak's 0.5+ exponent on this path)
       // and no full-shard download (unboundedly large splits stay
       // readable at a bounded per-lookup cost)
-      val prefix = s"${Layout.manifestPrefix(mref.manifestId)}" +
-        s"/node_id=$nodeId/split=${mref.split}/"
-      val files = store.list(prefix).filter(_.key.endsWith(".parquet"))
+      val files = splitFiles(mref.manifestId, nodeId, mref.split)
       graft.storage.Store.parallelIO(files)(o =>
           DriverParquet.lookupRefsRanged(store, o.key, o.size, nodeId,
             coord))
         .flatten.find(_.coord == coord)
+    }
+  }
+
+  // per-(manifestId, nodeId, split) file listings for the oversized
+  // (uncacheable-refs) path: manifests are immutable so entries never
+  // invalidate, and a batched wave of N concurrent lookups through ONE
+  // split must pay ONE dir LIST, not N — S3 prices LIST at 12.5× a GET
+  // (ADVICE r14). ObjectInfo is ~100 B and splits hold a handful of
+  // data files, so 1024 entries is a few hundred KB.
+  private val splitFilesCache = new java.util.LinkedHashMap[
+      (String, String, Int), Seq[graft.storage.ObjectInfo]](64, 0.75f, true) {
+    override def removeEldestEntry(e: java.util.Map.Entry[
+        (String, String, Int), Seq[graft.storage.ObjectInfo]]): Boolean =
+      size() > 1024
+  }
+
+  // in-flight coalescing for the FIRST wave: a batched lookup fires N
+  // concurrent probes at the same cold split — only the first issues the
+  // LIST, the rest block on its future (per-key, so a batch spanning M
+  // splits still lists all M concurrently)
+  private val splitFilesInflight = new java.util.concurrent.ConcurrentHashMap[
+    (String, String, Int),
+    java.util.concurrent.CompletableFuture[Seq[graft.storage.ObjectInfo]]]()
+
+  private def splitFiles(manifestId: String, nodeId: String,
+                         split: Int): Seq[graft.storage.ObjectInfo] = {
+    val key = (manifestId, nodeId, split)
+    splitFilesCache.synchronized(Option(splitFilesCache.get(key))) match {
+      case Some(fs) => fs
+      case None =>
+        val mine =
+          new java.util.concurrent.CompletableFuture[
+            Seq[graft.storage.ObjectInfo]]()
+        val prev = splitFilesInflight.putIfAbsent(key, mine)
+        if (prev != null)
+          try prev.join()
+          catch { case e: java.util.concurrent.CompletionException =>
+            throw Option(e.getCause).getOrElse(e) }
+        else try {
+          val prefix = s"${Layout.manifestPrefix(manifestId)}" +
+            s"/node_id=$nodeId/split=$split/"
+          val fs = store.list(prefix).filter(_.key.endsWith(".parquet"))
+          // empty listings are NOT cached: a miss may be a not-yet-
+          // visible write, and the negative result is cheap to re-check
+          if (fs.nonEmpty)
+            splitFilesCache.synchronized { splitFilesCache.put(key, fs); () }
+          mine.complete(fs)
+          fs
+        } catch {
+          case e: Throwable => mine.completeExceptionally(e); throw e
+        } finally splitFilesInflight.remove(key)
     }
   }
 

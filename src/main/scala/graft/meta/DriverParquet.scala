@@ -20,6 +20,13 @@ import org.apache.parquet.schema.{MessageType, MessageTypeParser}
   */
 object DriverParquet {
 
+  /** One shared Configuration for every reader build: instantiation
+    * parses the default resources each time, measurably costly on the
+    * hot interactive lookup path (ADVICE r14). parquet-mr only READS
+    * from it, so sharing is safe.
+    */
+  private val readerConf = new org.apache.hadoop.conf.Configuration()
+
   /** Manifest DATA-file schema — [[ChunkRef]] minus the `node_id` and
     * `split` partition columns, exactly as Spark lays it out under
     * `node_id=X/split=N/` dirs (standard 3-level LIST for `coord`).
@@ -128,7 +135,7 @@ object DriverParquet {
       val reader = ParquetReader
         .builder(new GroupReadSupport(),
           new org.apache.hadoop.fs.Path(tmp.toUri))
-        .withConf(new org.apache.hadoop.conf.Configuration())
+        .withConf(readerConf)
         .build()
       try {
         val out = Vector.newBuilder[ChunkRef]
@@ -152,7 +159,7 @@ object DriverParquet {
       val reader = ParquetReader
         .builder(new GroupReadSupport(),
           new org.apache.hadoop.fs.Path(tmp.toUri))
-        .withConf(new org.apache.hadoop.conf.Configuration())
+        .withConf(readerConf)
         .build()
       try {
         val out = Vector.newBuilder[EditRow]
@@ -296,7 +303,7 @@ object DriverParquet {
       FA.and(ceq("c0", 0), ceq("c1", 1)),
       FA.and(ceq("c2", 2), ceq("c3", 3)))
     val reader = new GroupBuilder(new StoreInputFile(store, key, size))
-      .withConf(new org.apache.hadoop.conf.Configuration())
+      .withConf(readerConf)
       .withFilter(FilterCompat.get(pred))
       .useStatsFilter().useDictionaryFilter()
       .useColumnIndexFilter().useRecordFilter()

@@ -41,7 +41,16 @@ final case class GraftConfig(
       * a pathological sweep (billions of orphans after a mass expire)
       * never materializes the id set in driver memory.
       */
-    gcDriverDeleteMax: Int = 100_000) {
+    gcDriverDeleteMax: Int = 100_000,
+    /** Largest `chunks/` LISTING GC pages into driver memory (the paged
+      * probe costs nothing extra — its pages ARE the listing when the
+      * repo fits). Past this, the probe is abandoned and the listing is
+      * built EXECUTOR-side with the same 1,024-slice base32-prefix
+      * fan-out Replicate uses — ObjectInfo is ~100 B, so a 100 M-chunk
+      * repo would otherwise hold ~10 GB of listing on the driver
+      * (VERDICT r14 item 1).
+      */
+    gcDriverListMax: Int = 1_000_000) {
 
   /** Manifest split spec for an array: (axis, chunksPerSplit). The default
     * (no rule matches) is a single split — same as the reference without a
@@ -64,7 +73,8 @@ final case class GraftConfig(
     "preload_max_arrays" -> preloadMaxArrays.toString,
     "snapshot_index_window" -> snapshotIndexWindow.toString,
     "manifest_fetch_concurrency" -> manifestFetchConcurrency.toString,
-    "gc_driver_delete_max" -> gcDriverDeleteMax.toString) ++
+    "gc_driver_delete_max" -> gcDriverDeleteMax.toString,
+    "gc_driver_list_max" -> gcDriverListMax.toString) ++
     splits.zipWithIndex.map { case (r, i) =>
       s"split.$i" -> s"${r.axis}|${r.chunksPerSplit}|${r.pathRegex}"
     } ++
@@ -101,7 +111,8 @@ object GraftConfig {
       snapshotIndexWindow = i("snapshot_index_window", d.snapshotIndexWindow),
       manifestFetchConcurrency =
         i("manifest_fetch_concurrency", d.manifestFetchConcurrency),
-      gcDriverDeleteMax = i("gc_driver_delete_max", d.gcDriverDeleteMax))
+      gcDriverDeleteMax = i("gc_driver_delete_max", d.gcDriverDeleteMax),
+      gcDriverListMax = i("gc_driver_list_max", d.gcDriverListMax))
   }
 }
 

@@ -560,6 +560,12 @@ final class Repository private (
   // sessions
   // ------------------------------------------------------------------
 
+  /** py4j exact-arity form: VersionRef is a sealed family of nested case
+    * classes Python callers cannot construct directly.
+    */
+  def readonlySessionJ(branchName: String): Session =
+    readonlySession(VersionRef.Branch(branchName))
+
   def readonlySession(ref: VersionRef): Session = {
     val session = new Session(this, None,
       assets.readSnapshot(resolveVersion(ref)))

@@ -352,11 +352,48 @@ final class Session private[repo] (
                   bytes: Array[Byte]): Unit =
     writeChunk(path, coordOf(coord), bytes)
 
+  def addArrayJ(path: String, shape: java.util.List[java.lang.Number],
+                chunkShape: java.util.List[java.lang.Number]): Unit = {
+    import scala.jdk.CollectionConverters._
+    addArray(path, shape.asScala.toSeq.map(_.longValue),
+      chunkShape.asScala.toSeq.map(_.longValue))
+  }
+
   def setVirtualRefJ(path: String, coord: java.util.List[Integer],
                      location: String, offset: Long, length: Long): Unit =
     setVirtualRef(path, coordOf(coord), location, offset, length)
 
   def commitJ(message: String): String = commit(message)
+
+  /** Batched cross-array point lookups for Python callers (VERDICT r14
+    * item 7): one concurrent warm wave for the whole request set — the
+    * ERA5 time-slice read pattern — instead of one py4j round trip plus
+    * one cold lookup per coordinate. `paths` and `coords` align by
+    * index; misses come back as null (py4j maps them to None).
+    */
+  def getChunkRefsBatchJ(paths: java.util.List[String],
+      coords: java.util.List[java.util.List[Integer]])
+      : java.util.List[ChunkRef] = {
+    import scala.jdk.CollectionConverters._
+    val reqs = paths.asScala.toSeq.zip(
+      coords.asScala.toSeq.map(coordOf))
+    getChunkRefsBatch(reqs).map(_.orNull).asJava
+  }
+
+  /** [[getChunkRefsBatchJ]] with the payloads materialized — refs
+    * resolve in one wave, then inline/object/virtual payloads fetch
+    * CONCURRENTLY (misses are null).
+    */
+  def getChunksBatchJ(paths: java.util.List[String],
+      coords: java.util.List[java.util.List[Integer]])
+      : java.util.List[Array[Byte]] = {
+    import scala.jdk.CollectionConverters._
+    val reqs = paths.asScala.toSeq.zip(
+      coords.asScala.toSeq.map(coordOf))
+    val refs = getChunkRefsBatch(reqs)
+    graft.storage.Store.parallelIO(refs)(
+      _.map(materialize).orNull).asJava
+  }
 
   /** Commit that REFUSES to auto-resolve chunk double-writes — the
     * reference's Python `session.commit()` semantics (a concurrent
@@ -632,10 +669,25 @@ final class Session private[repo] (
     val n = arrayNode(path)
     val fromChanges: Option[ChunkRef] =
       if (!changeSet.hasChunkChanges) None
+      else if (changeSet.pointOnly)
+        // driver-known staged rows: zero Spark jobs (point edits are the
+        // interactive write pattern; a ~100 ms job floor per read on a
+        // dirty session is pure overhead)
+        changeSet.resolvedPointEdits
+          .find(r => r.node_id == n.id && r.coord == coord)
       else changeSet.chunkChanges(spark)
         .filter(col("node_id") === n.id && col("coord") ===
           typedLit(coord)).as(chunkRefEnc).collect().headOption
-    fromChanges match {
+    resolveStaged(fromChanges, n, coord)
+  }
+
+  /** Staged-or-committed resolution shared by the single and batched
+    * lookups: a staged delete hides the committed ref, a staged write
+    * wins, otherwise fall through to the extent-pruned committed path.
+    */
+  private def resolveStaged(staged: Option[ChunkRef], n: NodeSpec,
+                            coord: Seq[Int]): Option[ChunkRef] =
+    staged match {
       case Some(r) if r.kind == ChunkRef.KindDelete => None
       case Some(r) => Some(r)
       case None =>
@@ -650,7 +702,32 @@ final class Session private[repo] (
             .nextOption()
         }
     }
-  }
+
+  /** ONE changeset probe for a whole batch of (node_id, coord) requests
+    * (VERDICT r14 item 3): point-only changesets answer from the
+    * driver-side staged map (zero Spark jobs); staged-batch changesets
+    * pay ONE semi-joined filtered collect for the full request set
+    * instead of one ~100 ms single-row collect per request.
+    */
+  private def stagedRefsFor(pairs: Seq[(String, Seq[Int])])
+      : Map[(String, Seq[Int]), ChunkRef] =
+    if (!changeSet.hasChunkChanges || pairs.isEmpty) Map.empty
+    else if (changeSet.pointOnly)
+      changeSet.resolvedPointEdits.iterator
+        .map(r => ((r.node_id, r.coord: Seq[Int]), r)).toMap
+    else {
+      import org.apache.spark.sql.types._
+      import scala.jdk.CollectionConverters._
+      val reqDf = spark.createDataFrame(
+        pairs.distinct.map { case (n, c) =>
+          org.apache.spark.sql.Row(n, c) }.asJava,
+        StructType(Seq(StructField("node_id", StringType),
+          StructField("coord", ArrayType(IntegerType)))))
+      changeSet.chunkChanges(spark)
+        .join(broadcast(reqDf), Seq("node_id", "coord"), "left_semi")
+        .as(chunkRefEnc).collect()
+        .iterator.map(r => ((r.node_id, r.coord: Seq[Int]), r)).toMap
+    }
 
   /** Fetch + assemble chunk bytes (payload dispatch of §3.1 step 4). */
   def getChunk(path: String, coord: Seq[Int]): Option[Array[Byte]] =
@@ -674,8 +751,10 @@ final class Session private[repo] (
     */
   def getChunkRefsBatch(
       reqs: Seq[(String, Seq[Int])]): Seq[Option[ChunkRef]] = {
+    val nodeOf: Map[String, NodeSpec] =
+      reqs.map(_._1).distinct.map(p => p -> arrayNode(p)).toMap
     val parts = reqs.groupBy(_._1).toSeq.flatMap { case (path, group) =>
-      val n = arrayNode(path)
+      val n = nodeOf(path)
       if (changeSet.rewrittenNodes.contains(n.id)) Nil
       else {
         val mrefs = baseSnapshot.manifests.getOrElse(n.id, Nil)
@@ -684,6 +763,15 @@ final class Session private[repo] (
       }
     }
     assets.warmSplits(parts)
+    // one changeset probe for the WHOLE batch (zero Spark jobs when the
+    // session's edits are driver-known point writes, one when batches
+    // are staged) — never one single-row collect per request
+    val staged = stagedRefsFor(
+      reqs.map { case (p, c) => (nodeOf(p).id, c) })
+    def one(p: String, c: Seq[Int]): Option[ChunkRef] = {
+      val n = nodeOf(p)
+      resolveStaged(staged.get((n.id, c)), n, c)
+    }
     // splits past the driver-cache cap cannot be warmed — each of their
     // lookups is an independent filtered ranged read (~4 store ops), so
     // when a batch touches any, the probes run as ONE concurrent wave:
@@ -691,10 +779,9 @@ final class Session private[repo] (
     // RTT, not 100 sequential filtered reads (round 14; cacheable-split
     // probes stay cheap either way — they hit the warm cache)
     if (parts.exists(_._1.numRefs > assets.MaxCachedRefsPerSplit))
-      graft.storage.Store.parallelIO(reqs) { case (p, c) =>
-        getChunkRef(p, c) }
+      graft.storage.Store.parallelIO(reqs) { case (p, c) => one(p, c) }
     else
-      reqs.map { case (p, c) => getChunkRef(p, c) }
+      reqs.map { case (p, c) => one(p, c) }
   }
 
   private[graft] def materialize(r: ChunkRef): Array[Byte] = r.kind match {
@@ -1168,7 +1255,22 @@ final class Session private[repo] (
     var snapshot: Snapshot = null
     var flushedAgainst: String = null
     var attempts = 0
-    while (attempts < cfg.commitRetries) {
+    // Progress-aware retry budget (VERDICT r14 item 4): a lost CAS round
+    // where the generation ADVANCED proves a peer landed — that is
+    // lock-free system progress, and the worst case is one lost round
+    // per commit the rest of the convoy lands (N writers × C commits),
+    // which the flat `commitRetries` cap (default 20) under-sizes for
+    // any convoy wider than ~4. So stalled rounds (no foreign progress
+    // observed — pathological store behavior) burn the configured
+    // budget, while progressing rounds draw on a 16× hard cap that
+    // bounds even an adversarial convoy without livelocking a healthy
+    // one. `foreignCommits` feeds the exhaustion message so the fix
+    // (raise commit_retries / reduce writer fan-in) is actionable.
+    var stalls = 0
+    var foreignCommits = 0L
+    var lastGen = -1L
+    val hardCap = cfg.commitRetries.toLong * 16
+    while (stalls < cfg.commitRetries && attempts < hardCap) {
       attempts += 1
       // Optimistic first attempt: reuse the pointer document the session
       // was OPENED with (round 13, saves the pointer GET per uncontended
@@ -1191,6 +1293,11 @@ final class Session private[repo] (
         else None).getOrElse(
         repo.pointer.load().getOrElse(
           throw new GraftException("repository not initialized")))
+      if (lastGen >= 0) {
+        if (info.gen > lastGen) foreignCommits += info.gen - lastGen
+        else stalls += 1 // lost a round with NO observed foreign progress
+      }
+      lastGen = info.gen
       // the admin lock also catches commits whose session predates it
       if (info.statusAvailability == "read_only")
         throw new GraftException(
@@ -1249,13 +1356,17 @@ final class Session private[repo] (
       // (ops/gc.rs retry-on-concurrent-update uses the same pattern).
       // No sleep when retries are exhausted — nothing follows it but the
       // ConflictException below.
-      if (attempts < cfg.commitRetries)
+      if (attempts < hardCap)
         Thread.sleep(
           math.min(200L, 10L << math.min(attempts, 4)) +
             scala.util.Random.nextInt(25))
     }
     throw new ConflictException(
-      s"commit failed after ${cfg.commitRetries} attempts on $branchName")
+      s"commit failed after $attempts attempts on $branchName: " +
+        s"$foreignCommits concurrent commits landed during the retries " +
+        s"(observed convoy width ≈ ${math.max(1L, foreignCommits)} " +
+        "writers) — raise commit_retries (currently " +
+        s"${cfg.commitRetries}) or reduce the writer fan-in")
   }
 
   /** Commit with JSON-typed properties (the reference's

@@ -319,8 +319,8 @@ final class S3Store(val s3conf: S3StoreConf) extends Store {
     val nParts = ((bytes.length.toLong + partSize - 1) / partSize).toInt
     val etags = graft.storage.Store.parallelIO(
       (0 until nParts): Seq[Int], maxThreads = 8) { i =>
-      val part = java.util.Arrays.copyOfRange(bytes, i * partSize,
-        math.min(bytes.length, (i + 1) * partSize))
+      val (from, until) = S3Store.partBounds(bytes.length, partSize, i)
+      val part = java.util.Arrays.copyOfRange(bytes, from, until)
       val n = i + 1
       val r = send("PUT",
         objectUri(key, s"partNumber=$n&uploadId=${encQ(uploadId)}"), part)
@@ -427,4 +427,17 @@ final class S3Store(val s3conf: S3StoreConf) extends Store {
 
   private def xmlEscape(s: String): String =
     s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+}
+
+object S3Store {
+  /** Byte bounds `[from, until)` of multipart part `i`, computed in Long
+    * arithmetic: `(i + 1) * partSize` overflows Int once the object
+    * passes 63 × 32 MiB parts (ADVICE r14 — the bound went negative and
+    * `copyOfRange` rejected the largest still-legal byte arrays). `from`
+    * always fits in Int because `i * partSize < totalLen <= Int.MaxValue`.
+    */
+  private[graft] def partBounds(totalLen: Int, partSize: Int,
+                                i: Int): (Int, Int) =
+    ((i.toLong * partSize).toInt,
+      math.min(totalLen.toLong, (i.toLong + 1) * partSize).toInt)
 }

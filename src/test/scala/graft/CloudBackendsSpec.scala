@@ -309,4 +309,27 @@ class CloudBackendsSpec extends SparkTestBase {
         payload.slice(524280, 524296).toSeq)
     } finally server.stop()
   }
+
+  test("S3 multipart part bounds stay positive past 2 GiB of parts " +
+      "(Long arithmetic, ADVICE r14)") {
+    import graft.storage.s3.S3Store
+    val part = 32 * 1024 * 1024 // the default 32 MiB part size
+    // part 64's end is 64 * 32 MiB = 2^31 — Int arithmetic made it
+    // negative and copyOfRange rejected the largest legal byte arrays
+    val total = Int.MaxValue
+    val nParts = ((total.toLong + part - 1) / part).toInt
+    assert(nParts == 64)
+    var covered = 0L
+    (0 until nParts).foreach { i =>
+      val (from, until) = S3Store.partBounds(total, part, i)
+      assert(from >= 0 && until > from && until <= total,
+        s"part $i bounds [$from, $until) out of range")
+      assert(from == i.toLong * part, s"part $i misaligned")
+      covered += until - from
+    }
+    assert(covered == total, "parts do not cover the object exactly")
+    // last part is the remainder, not a negative-bound slice
+    assert(S3Store.partBounds(total, part, 63) ==
+      ((63 * part, Int.MaxValue)))
+  }
 }

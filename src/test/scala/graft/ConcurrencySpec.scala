@@ -156,6 +156,53 @@ class ConcurrencySpec extends SparkTestBase {
       "retry storm (healthy convoys run ~2x the commit count)")
   }
 
+  test("8-writer x 10-commit convoy lands on DEFAULT config — " +
+      "progress-aware retry budget (VERDICT r14)") {
+    // The flat default budget (commitRetries = 20) under-sizes any
+    // convoy wider than ~4: a writer can lose up to N×C races before it
+    // must win (each lost round = a DISTINCT peer commit landing, the
+    // lock-free bound). Rounds that OBSERVE foreign progress now draw
+    // on a 16× hard cap instead of the flat budget, so the default
+    // config either lands the convoy or fails with an actionable
+    // message — never livelocks (stalled rounds still burn the flat
+    // budget).
+    val repo = Repository.create(Store.local(tmpDir("convoy-default")),
+      spark) // DEFAULT GraftConfig — the whole point
+    val s0 = repo.writableSession("main")
+    s0.addArray("/a", Seq(1000), Seq(1))
+    s0.commit("init")
+
+    val pool = Executors.newFixedThreadPool(8)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val fs = (0 until 8).map { w =>
+      Future {
+        (0 until 10).foreach { i =>
+          val s = repo.writableSession("main")
+          s.writeChunk("/a", Seq(w * 20 + i), Array[Byte](w.toByte))
+          try s.commit(s"w$w c$i")
+          catch { case e: ConflictException => failures.add(e.getMessage) }
+        }
+      }
+    }
+    Await.result(Future.sequence(fs), 600.seconds)
+    pool.shutdown()
+
+    // every commit landed, or the exhaustion message is actionable
+    // (names the config knob and the observed concurrency)
+    import scala.jdk.CollectionConverters._
+    failures.asScala.foreach { msg =>
+      assert(msg.contains("commit_retries") && msg.contains("concurrent"),
+        s"exhaustion message not actionable: $msg")
+    }
+    assert(failures.isEmpty,
+      s"default-config convoy lost ${failures.size} commits: " +
+        failures.asScala.headOption.getOrElse(""))
+    val msgs = repo.ancestry(VersionRef.Branch("main")).map(_.message)
+    for (w <- 0 until 8; i <- 0 until 10)
+      assert(msgs.contains(s"w$w c$i"), s"lost commit w$w c$i")
+  }
+
   test("stale session's optimistic commit cannot land invisibly on a " +
       "pruned generation slot") {
     // ADVICE r14 (high): put-if-absent on openGen+1 only proves the SLOT

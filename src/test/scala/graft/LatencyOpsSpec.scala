@@ -177,6 +177,145 @@ class LatencyOpsSpec extends SparkTestBase {
       .isEmpty)
   }
 
+  test("a batched wave through ONE oversized split issues exactly 1 dir " +
+      "LIST (listings memoized + in-flight coalesced, VERDICT r14)") {
+    val dir = tmpDir("ops-listmemo")
+    locally {
+      val repo = Repository.create(Store.local(dir), spark)
+      val s = repo.writableSession("main")
+      s.addArray("/big", Seq(96), Seq(1)) // default split rule: ONE split
+      (0 until 96).foreach(i =>
+        s.writeChunk("/big", Seq(i), Array[Byte](i.toByte, 7)))
+      s.commit("bulk")
+    }
+    val (st, total) = counted(dir)
+    val repo = Repository.open(st, spark)
+    repo.assets.MaxCachedRefsPerSplit = 50 // force the oversized path
+    val ro = repo.readonlySession(VersionRef.Branch("main"))
+    st.counts.clear()
+    val batch = ro.getChunkRefs("/big", (0 until 24).map(i => Seq(i * 4)))
+    assert(batch.size == 24 && batch.forall(_.isDefined))
+    val lists = Option(st.counts.get("list")).map(_.get()).getOrElse(0L)
+    // 24 concurrent probes through one immutable split: ONE LIST (S3
+    // prices LIST at 12.5x a GET), the rest bounded ranged reads
+    assert(lists == 1, s"$lists LISTs for a 24-probe wave through 1 split")
+    val cost = total()
+    assert(cost <= 1 + 24 * 8, s"batched oversized wave cost $cost ops")
+    // a second wave re-lists nothing at all
+    st.counts.clear()
+    ro.getChunkRefs("/big", (0 until 24).map(i => Seq(i * 4 + 1)))
+    assert(Option(st.counts.get("list")).map(_.get()).getOrElse(0L) == 0L,
+      "warm wave re-listed the split dir")
+  }
+
+  private def countJobs[A](body: => A): (A, Long) = {
+    val jobs = new java.util.concurrent.atomic.AtomicLong()
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      val r = body
+      // listener delivery is async — wait for the count to go stable
+      var last = -1L; var cur = jobs.get(); var spins = 0
+      while (cur != last && spins < 40) {
+        last = cur; Thread.sleep(150); cur = jobs.get(); spins += 1
+      }
+      (r, cur)
+    } finally spark.sparkContext.removeSparkListener(l)
+  }
+
+  test("batched lookups on a dirty session probe the changeset ONCE: " +
+      "zero Spark jobs for point-only edits, one bounded probe for " +
+      "staged batches (VERDICT r14)") {
+    val dir = tmpDir("ops-dirtybatch")
+    val repo = Repository.create(Store.local(dir), spark,
+      GraftConfig(splits = Seq(SplitRule(".*", 0, 8))))
+    locally {
+      val s = repo.writableSession("main")
+      s.addArray("/a", Seq(64), Seq(4))
+      (0 until 16).foreach(i =>
+        s.writeChunk("/a", Seq(i), Array[Byte](i.toByte)))
+      s.commit("base")
+    }
+    // point-only dirty session: staged rows are driver-known
+    val w = repo.writableSession("main")
+    w.writeChunk("/a", Seq(2), Array[Byte](99))
+    w.writeChunk("/a", Seq(5), Array[Byte](98))
+    val reqs = (0 until 16).map(i => ("/a", Seq(i)))
+    // warm the split caches first so only the changeset probe could
+    // possibly schedule work
+    w.getChunkRefsBatch(reqs)
+    val (refs, jobs) = countJobs(w.getChunkRefsBatch(reqs))
+    assert(refs.flatten.size == 16)
+    assert(refs(2).get.inline.head == 99 && refs(5).get.inline.head == 98)
+    assert(refs(3).get.inline.head == 3, "committed ref lost under overlay")
+    assert(jobs == 0, s"$jobs Spark jobs for a point-only dirty batch")
+
+    // staged-batch dirty session: ONE semi-joined probe for the whole
+    // batch (the old path ran one single-row collect PER request)
+    import spark.implicits._
+    import org.apache.spark.sql.functions.typedLit
+    val stagedDf = Seq((Seq(7), "inline"), (Seq(9), "inline"))
+      .toDF("coord", "kind")
+      .withColumn("inline", typedLit(Array[Byte](42)))
+    w.stageChunkRefs("/a", stagedDf)
+    val (refs2, jobs2) = countJobs(w.getChunkRefsBatch(reqs))
+    assert(refs2.flatten.size == 16)
+    assert(refs2(7).get.inline.head == 42 && refs2(9).get.inline.head == 42)
+    assert(refs2(2).get.inline.head == 99, "point edit lost under batch")
+    assert(jobs2 <= 4,
+      s"$jobs2 Spark jobs for a 16-request staged-batch dirty probe " +
+        "(must be one bounded probe, not one collect per request)")
+  }
+
+  test("Spark-plane reads through graft:// are a bounded handful of " +
+      "store ops (latency-soak rows pinned per-round, VERDICT r14)") {
+    val dir = tmpDir("ops-sparkplane")
+    locally {
+      val repo = Repository.create(Store.local(dir), spark,
+        GraftConfig(splits = Seq(SplitRule(".*", 0, 8))))
+      val s = repo.writableSession("main")
+      s.addArray("/cube", Seq(64, 64), Seq(16, 16))
+      for (ci <- 0 until 4; cj <- 0 until 4) {
+        val bb = java.nio.ByteBuffer.allocate(16 * 16 * 8)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        (0 until 256).foreach(k =>
+          bb.putDouble((ci * 1000 + cj * 100 + k).toDouble))
+        s.writeChunk("/cube", Seq(ci, cj), bb.array())
+      }
+      s.commit("cube")
+    }
+    val counting = new LoggingStore(Store.local(dir), _ => ())
+    val pStore = new graft.storage.GraftUriStore(counting, "opspin")
+    val repo = Repository.open(pStore, spark)
+    val ro = repo.readonlySession(VersionRef.Branch("main"))
+    counting.counts.clear()
+    val n = ro.refs("/cube")
+      .filter(org.apache.spark.sql.functions.col("c0") === 1).count()
+    assert(n == 4, s"pruned scan returned $n refs")
+    val scanOps = {
+      import scala.jdk.CollectionConverters._
+      counting.counts.asScala.values.map(_.get()).sum
+    }
+    // the soak holds this row at ~20 RTTs of wall; the op COUNT behind
+    // those waves must not regress silently either (each op is one RTT
+    // candidate at object-store latency)
+    assert(scanOps <= 60, s"filtered manifest scan cost $scanOps store ops")
+    counting.counts.clear()
+    val row = graft.tensor.TensorPlane.sliceStats(ro, "/cube", "float64",
+      Seq((8L, 40L), (8L, 40L))).collect().head
+    assert(row.getAs[Long]("n") == 32L * 32, "wrong cell count")
+    val sliceOps = {
+      import scala.jdk.CollectionConverters._
+      counting.counts.asScala.values.map(_.get()).sum
+    }
+    assert(sliceOps <= 90, s"cube slice stats cost $sliceOps store ops")
+  }
+
   test("interactive small commit is O(1) store ops") {
     val dir = tmpDir("ops-commit")
     build(dir)

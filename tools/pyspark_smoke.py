@@ -208,6 +208,34 @@ def main():
             print("[pyspark-smoke] virtual auth refusal surfaced:",
                   jmsg.splitlines()[0][:90])
 
+        # 9. batch-read parity (round 15): an ERA5-style time slice across
+        #    4 arrays goes through ONE py4j call and one concurrent warm
+        #    wave — not one round trip per coordinate
+        s_w = repo.writableSession("main")
+        arrays = ["/era/%s" % v for v in ("t2m", "u10", "v10", "sp")]
+        for k, p in enumerate(arrays):
+            s_w.addArrayJ(p, [16], [4])
+            for c in range(4):
+                s_w.writeChunkJ(p, [c], bytearray([k * 16 + c] * 8))
+        s_w.commitJ("era arrays")
+        ro = repo.readonlySessionJ("main")
+        paths, coords = [], []
+        for p in arrays:          # the same time index across all arrays
+            paths.append(p)
+            coords.append([2])
+        chunks = ro.getChunksBatchJ(paths, coords)
+        assert chunks.size() == 4, chunks.size()
+        for k in range(4):
+            got = bytes(chunks[k])
+            assert got == bytes([k * 16 + 2] * 8), (k, got)
+        refs = ro.getChunkRefsBatchJ(paths, coords)
+        assert refs.size() == 4 and all(
+            refs[k] is not None for k in range(4))
+        # a miss maps to Python None, aligned by index
+        miss = ro.getChunkRefsBatchJ(["/era/t2m"], [[15]])
+        assert miss[0] is None, miss[0]
+        print("[pyspark-smoke] 4-array batch slice read OK")
+
         print("[pyspark-smoke] OK")
     except Exception as e:  # noqa: BLE001 — smoke must name its failure
         ok = False
