@@ -61,13 +61,13 @@ object LatencySoak {
     val raw = Store.local(dir.toString)
 
     // ---- build phase (zero latency): 400-commit history, two arrays ----
-    // commitRetries: each lost CAS round corresponds to a DISTINCT
-    // commit landed by a peer, so a writer in the 8×10 contention entry
-    // below can lose at most 79 races before it must win — the default
-    // budget (20) is sized for interactive racers, not a sustained
-    // 8-way convoy; a deployment running N-writer pipelines sizes it
-    // the same way (N×commits, the lock-free progress bound)
-    val cfg = GraftConfig(snapshotIndexWindow = 16, commitRetries = 120,
+    // DEFAULT commitRetries since round 15: the retry budget is
+    // progress-aware — a lost round whose generation advanced proves a
+    // peer landed and draws on the 16× hard cap instead of the flat
+    // budget, so the 8×10 contention entry below (up to 79 lost races
+    // per writer, the N×commits lock-free bound) converges without
+    // per-deployment budget tuning
+    val cfg = GraftConfig(snapshotIndexWindow = 16,
       splits = Seq(SplitRule(".*", 0, 8)))
     val build = Repository.create(raw, spark, cfg)
     locally {
