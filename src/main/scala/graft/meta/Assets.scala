@@ -670,6 +670,28 @@ final class AssetManager(val store: Store, spark: SparkSession) {
     }
   }
 
+  /** Batched point lookups through ONE oversized split: one filtered
+    * ranged read per data file serves EVERY requested coordinate (an OR
+    * predicate — footer and column index read once, decoded pages the
+    * union of the candidates'), instead of one independent read per
+    * coordinate (round 15). Only call for splits past the cache cap;
+    * cacheable splits go through [[lookupRef]]'s warm map.
+    */
+  def lookupRefsBatch(mref: ManifestRef, nodeId: String,
+      coords: Seq[Seq[Int]]): Map[Seq[Int], ChunkRef] = {
+    val wanted = coords.distinct
+    if (wanted.isEmpty) return Map.empty
+    val files = splitFiles(mref.manifestId, nodeId, mref.split)
+    val hits = graft.storage.Store.parallelIO(files)(o =>
+      DriverParquet.lookupRefsRangedMulti(store, o.key, o.size, nodeId,
+        wanted)).flatten
+    val keys = wanted.toSet
+    // page-level filtering can surface rows sharing the first four axes
+    // with a candidate — keep exact-coordinate matches only
+    hits.iterator.filter(r => keys.contains(r.coord))
+      .map(r => (r.coord: Seq[Int]) -> r).toMap
+  }
+
   // per-(manifestId, nodeId, split) file listings for the oversized
   // (uncacheable-refs) path: manifests are immutable so entries never
   // invalidate, and a batched wave of N concurrent lookups through ONE

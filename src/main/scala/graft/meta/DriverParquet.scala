@@ -293,15 +293,32 @@ object DriverParquet {
     * first four axes are disambiguated by the caller on full `coord`.
     */
   def lookupRefsRanged(store: graft.storage.Store, key: String, size: Long,
-                       nodeId: String, coord: Seq[Int]): Seq[ChunkRef] = {
+                       nodeId: String, coord: Seq[Int]): Seq[ChunkRef] =
+    lookupRefsRangedMulti(store, key, size, nodeId, Seq(coord))
+
+  /** Multi-coordinate form: ONE filtered read serves a whole batched
+    * wave's requests against this shard — an OR of per-coordinate
+    * (c0..c3) conjunctions, so the footer and column index are read
+    * once and the decoded pages are the UNION of the candidates' pages,
+    * instead of N independent reads re-fetching the same footer
+    * (round 15; a 100-coordinate ERA5 slice through one oversized split
+    * pays ~one file read, not 100).
+    */
+  def lookupRefsRangedMulti(store: graft.storage.Store, key: String,
+                            size: Long, nodeId: String,
+                            coords: Seq[Seq[Int]]): Seq[ChunkRef] = {
     import org.apache.parquet.filter2.predicate.{FilterApi => FA}
     import org.apache.parquet.filter2.compat.FilterCompat
-    def cs(i: Int): Integer =
-      Integer.valueOf(if (i < coord.size) coord(i) else -1)
-    def ceq(name: String, i: Int) = FA.eq(FA.intColumn(name), cs(i))
-    val pred = FA.and(
-      FA.and(ceq("c0", 0), ceq("c1", 1)),
-      FA.and(ceq("c2", 2), ceq("c3", 3)))
+    if (coords.isEmpty) return Nil
+    def one(coord: Seq[Int]) = {
+      def cs(i: Int): Integer =
+        Integer.valueOf(if (i < coord.size) coord(i) else -1)
+      def ceq(name: String, i: Int) = FA.eq(FA.intColumn(name), cs(i))
+      FA.and(
+        FA.and(ceq("c0", 0), ceq("c1", 1)),
+        FA.and(ceq("c2", 2), ceq("c3", 3)))
+    }
+    val pred = coords.map(one).reduce(FA.or)
     val reader = new GroupBuilder(new StoreInputFile(store, key, size))
       .withConf(readerConf)
       .withFilter(FilterCompat.get(pred))

@@ -686,7 +686,9 @@ final class Session private[repo] (
     * wins, otherwise fall through to the extent-pruned committed path.
     */
   private def resolveStaged(staged: Option[ChunkRef], n: NodeSpec,
-                            coord: Seq[Int]): Option[ChunkRef] =
+      coord: Seq[Int],
+      lookup: (graft.meta.ManifestRef, String, Seq[Int]) => Option[ChunkRef]
+        = null): Option[ChunkRef] =
     staged match {
       case Some(r) if r.kind == ChunkRef.KindDelete => None
       case Some(r) => Some(r)
@@ -695,10 +697,11 @@ final class Session private[repo] (
         else {
           // prune manifests by extents before touching Parquet, then go
           // through the driver-side split cache (hot lookups are O(1))
+          val look = Option(lookup).getOrElse(assets.lookupRef _)
           val candidates = baseSnapshot.manifests.getOrElse(n.id, Nil)
             .filter(_.contains(coord))
           candidates.iterator
-            .flatMap(mref => assets.lookupRef(mref, n.id, coord))
+            .flatMap(mref => look(mref, n.id, coord))
             .nextOption()
         }
     }
@@ -768,20 +771,36 @@ final class Session private[repo] (
     // are staged) — never one single-row collect per request
     val staged = stagedRefsFor(
       reqs.map { case (p, c) => (nodeOf(p).id, c) })
-    def one(p: String, c: Seq[Int]): Option[ChunkRef] = {
-      val n = nodeOf(p)
-      resolveStaged(staged.get((n.id, c)), n, c)
+    // splits past the driver-cache cap cannot be warmed — prefetch them
+    // in ONE concurrent wave of MULTI-coordinate filtered ranged reads
+    // (one OR-predicate read per split data file serves every requested
+    // coordinate: footer + column index read once, round 15), so a
+    // 100-coordinate slice through oversized splits costs ~1 file read
+    // of RTT, not 100 independent filtered reads re-fetching the same
+    // footer; cacheable-split probes hit the warm cache either way
+    val overParts = reqs.groupBy(_._1).toSeq.flatMap { case (path, group) =>
+      val n = nodeOf(path)
+      if (changeSet.rewrittenNodes.contains(n.id)) Nil
+      else baseSnapshot.manifests.getOrElse(n.id, Nil)
+        .filter(_.numRefs > assets.MaxCachedRefsPerSplit)
+        .map(m => (m, n.id, group.map(_._2).filter(m.contains).distinct))
+        .filter(_._3.nonEmpty)
     }
-    // splits past the driver-cache cap cannot be warmed — each of their
-    // lookups is an independent filtered ranged read (~4 store ops), so
-    // when a batch touches any, the probes run as ONE concurrent wave:
-    // a 100-coordinate slice through oversized splits costs ~1 wave of
-    // RTT, not 100 sequential filtered reads (round 14; cacheable-split
-    // probes stay cheap either way — they hit the warm cache)
-    if (parts.exists(_._1.numRefs > assets.MaxCachedRefsPerSplit))
-      graft.storage.Store.parallelIO(reqs) { case (p, c) => one(p, c) }
-    else
-      reqs.map { case (p, c) => one(p, c) }
+    val pre: Map[(String, Int, String), Map[Seq[Int], ChunkRef]] =
+      graft.storage.Store.parallelIO(overParts) { case (m, nid, cs) =>
+        ((m.manifestId, m.split, nid), assets.lookupRefsBatch(m, nid, cs))
+      }.toMap
+    def committedLookup(m: graft.meta.ManifestRef, nid: String,
+        c: Seq[Int]): Option[ChunkRef] =
+      if (m.numRefs > assets.MaxCachedRefsPerSplit)
+        pre.get((m.manifestId, m.split, nid)).flatMap(_.get(c))
+      else assets.lookupRef(m, nid, c)
+    // all store IO happened in the warm + prefetch waves above — the
+    // per-request resolution below is pure driver memory
+    reqs.map { case (p, c) =>
+      val n = nodeOf(p)
+      resolveStaged(staged.get((n.id, c)), n, c, committedLookup)
+    }
   }
 
   private[graft] def materialize(r: ChunkRef): Array[Byte] = r.kind match {

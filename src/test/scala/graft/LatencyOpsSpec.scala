@@ -197,10 +197,13 @@ class LatencyOpsSpec extends SparkTestBase {
     assert(batch.size == 24 && batch.forall(_.isDefined))
     val lists = Option(st.counts.get("list")).map(_.get()).getOrElse(0L)
     // 24 concurrent probes through one immutable split: ONE LIST (S3
-    // prices LIST at 12.5x a GET), the rest bounded ranged reads
+    // prices LIST at 12.5x a GET) and ONE multi-coordinate filtered
+    // read per data file (OR predicate: footer + column index + the
+    // union of candidate pages — round 15), NOT 24 independent reads
     assert(lists == 1, s"$lists LISTs for a 24-probe wave through 1 split")
     val cost = total()
-    assert(cost <= 1 + 24 * 8, s"batched oversized wave cost $cost ops")
+    assert(cost <= 16, s"batched oversized wave cost $cost ops " +
+      "(must be ~one filtered file read, not one per coordinate)")
     // a second wave re-lists nothing at all
     st.counts.clear()
     ro.getChunkRefs("/big", (0 until 24).map(i => Seq(i * 4 + 1)))
