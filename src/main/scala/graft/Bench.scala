@@ -259,10 +259,14 @@ object Bench {
     // losing triage context beats losing the line's START.
     val extra = (if (floor >= 0) s""","floor":${jnum(floor)}""" else "") +
       (if (weather.nonEmpty) s""","weather":${jstr(weather)}""" else "")
-    def line(x: String) =
-      s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":$qs,"errors":$errJson,"sf":${jstr(sfDir)}$raws$x}"""
-    val full = line(extra)
-    if (full.length < 1980) full else line("")
+    def line(r: String, x: String) =
+      s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":$qs,"errors":$errJson,"sf":${jstr(sfDir)}$r$x}"""
+    // shed fields in order of redundancy until the line fits: triage
+    // first (sidecar mins + calib carry the same facts), then the raws
+    // pointer itself (it is the FIXED default path, still discoverable)
+    // — losing metadata beats losing the line's START to the capture
+    Seq(line(raws, extra), line(raws, ""), line("", ""))
+      .find(_.length < 1980).getOrElse(line("", ""))
   }
 
   def main(args: Array[String]): Unit = {
@@ -521,6 +525,19 @@ object Bench {
         (0 until 20).foreach { i =>
           ro.getChunkRef("/long1d", Seq(i * (refCount / 20) + 7))
         }
+      }
+      // batched form of the same read (the ERA5 slice pattern): a FRESH
+      // repository handle — the serial entry warmed THIS repo's split
+      // caches, and the batch must measure cold resolution — answers 20
+      // cold lookups in ONE concurrent warm wave over memoized listings
+      // (rounds 13–15), the engine's scale path for multi-coordinate
+      // reads. Handle opened outside the timer (setup rule).
+      val roBatch = Repository.open(Store.local(dir.toString), spark)
+        .readonlySession(VersionRef.Branch("main"))
+      entry("engine_point_lookups_batch") {
+        val got = roBatch.getChunkRefs("/long1d",
+          (0 until 20).map(i => Seq(i * (refCount / 20) + 3)))
+        assert(got.flatten.size == 20)
       }
       // hot repeat of the same lookups: chunk-byte LRU + split cache
       // (reference hot-cache read benchmarks, test_benchmark_reads.py)

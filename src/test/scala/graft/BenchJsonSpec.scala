@@ -65,7 +65,8 @@ class BenchJsonSpec extends AnyFunSuite {
       "engine_write_500k_refs", "engine_append_one_shard",
       "engine_commit_rebase", "engine_commit_small_x10",
       "engine_read_refs_scan", "engine_v2_refs_scan",
-      "engine_point_lookups_x20", "engine_point_lookups_hot",
+      "engine_point_lookups_x20", "engine_point_lookups_batch",
+      "engine_point_lookups_hot",
       "engine_getsize_prefix", "engine_cube_write_1g",
       "engine_cube_read_1g", "engine_cube_slice_read",
       "engine_v2_columnar_scan", "engine_v2_groupby_agg",
@@ -97,12 +98,25 @@ class BenchJsonSpec extends AnyFunSuite {
     assert(line.length < 1985, s"bench JSON line too long: ${line.length}")
     // and it is parse-checkable: balanced object, last char is '}'
     assert(line.startsWith("{\"metric\":\"total\"") && line.endsWith("}"))
-    assert(line.contains("\"raws\":\"bench_raws.json\""))
-    // at pathological width the TRIAGE fields yield their seats (the
-    // sidecar's mins + calib carry the same facts); at realistic width
-    // (~72 mixed-width entries) they ride the line
+    // at pathological width the metadata fields yield their seats in
+    // redundancy order — triage first (the sidecar's mins + calib carry
+    // the same facts), then the raws pointer (it is the FIXED default
+    // path, still discoverable); at realistic width (~73 mixed-width
+    // entries, lines ~1850) all of them ride the line
     assert(!line.contains("\"weather\""),
       "triage fields must be dropped before the line start is truncated")
+    // realistic width: values like "4.36"/"0.729" (mixed 3-5 chars) —
+    // every metadata field present
+    val realistic = scala.collection.mutable.LinkedHashMap(
+      (timedKeys ++ engineKeys).zipWithIndex
+        .map { case (k, i) => k -> (0.1 + (i % 9)) }: _*)
+    val rline = Bench.jsonLine(realistic, Nil, "/root/testdata/sf0.1",
+      "bench_raws.json", floor = 116.4,
+      weather = "calib_spread=1.4x io_w=384MBps clear")
+    assert(rline.length < 1985, s"realistic line too long: ${rline.length}")
+    assert(rline.contains("\"raws\":\"bench_raws.json\"") &&
+      rline.contains("\"floor\":116") && rline.contains("\"weather\""),
+      "metadata fields must ride the line at realistic width")
   }
 
   test("floor and weather ride the line; absent by default") {
