@@ -682,9 +682,18 @@ final class AssetManager(val store: Store, spark: SparkSession) {
     val wanted = coords.distinct
     if (wanted.isEmpty) return Map.empty
     val files = splitFiles(mref.manifestId, nodeId, mref.split)
-    val hits = graft.storage.Store.parallelIO(files)(o =>
-      DriverParquet.lookupRefsRangedMulti(store, o.key, o.size, nodeId,
-        wanted)).flatten
+    // parquet-mr recurses over the OR predicate tree (stats filter,
+    // record-filter builder), so an unbounded coordinate list would
+    // build an unbounded left-deep tree — StackOverflow territory at
+    // tens of thousands of coords, and O(rows × N) record evaluation.
+    // 256 coords per read keeps the tree shallow while a wave still
+    // pays ~#groups file reads instead of #coords
+    val work = for {
+      o <- files; g <- wanted.grouped(256).toSeq
+    } yield (o, g)
+    val hits = graft.storage.Store.parallelIO(work) { case (o, g) =>
+      DriverParquet.lookupRefsRangedMulti(store, o.key, o.size, nodeId, g)
+    }.flatten
     val keys = wanted.toSet
     // page-level filtering can surface rows sharing the first four axes
     // with a candidate — keep exact-coordinate matches only

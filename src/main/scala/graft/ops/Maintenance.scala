@@ -185,54 +185,27 @@ object GC {
     // ids in driver memory (VERDICT r13).
     import spark.implicits._
     // the LISTING was the last O(repo-size) driver materialization in
-    // the engine (VERDICT r14 item 1): page it driver-side only up to
-    // `gcDriverListMax` objects — the pages ARE the listing when the
-    // repo fits, so the common sweep costs nothing extra — and past the
-    // threshold abandon the probe and list EXECUTOR-side with the same
-    // 1,024-slice base32-prefix fan-out Replicate uses (two id chars
-    // fan `chunks/` into independent prefix slices; each task streams
-    // its own paged LIST calls, driver memory stays flat at any repo
-    // size)
-    val driverListed = scala.collection.mutable.ArrayBuffer[
-      (String, Long, Long)]()
-    val pageSize = math.max(1L,
-      math.min(10000L, repo.config.gcDriverListMax.toLong + 1)).toInt
-    var pageAfter: Option[String] = None
-    var listOverflow = false
-    var listDone = false
-    while (!listDone && !listOverflow) {
-      val page = store.listPage("chunks/", pageAfter, pageSize)
-      page.foreach(o =>
-        driverListed += ((o.key.stripPrefix("chunks/"), o.size,
-          o.mtimeMillis)))
-      if (driverListed.size > repo.config.gcDriverListMax)
-        listOverflow = true
-      else if (page.size < pageSize) listDone = true
-      else pageAfter = Some(page.last.key)
-    }
+    // the engine (VERDICT r14 item 1): `listBounded` keeps at most
+    // `gcDriverListMax` objects on the driver (each backend's native
+    // continuation loop with early exit — empty page/IsTruncated are
+    // the end signals, never a short page, which S3 can return
+    // mid-listing) — the bounded probe IS the listing when the repo
+    // fits, so the common sweep costs nothing extra — and past the
+    // threshold the listing frame is built EXECUTOR-side with the
+    // 1,024-slice base32-prefix fan-out shared with Replicate
+    // ([[DistributedListing]]): driver memory stays flat at any repo
+    // size
+    val (driverListing, listOverflow) =
+      store.listBounded("chunks/", repo.config.gcDriverListMax)
     val listedDf: DataFrame =
       if (!listOverflow)
-        spark.createDataset(driverListed.toSeq)
+        spark.createDataset(driverListing.map(o =>
+            (o.key.stripPrefix("chunks/"), o.size, o.mtimeMillis)))
           .toDF("chunk_id", "size", "mtime")
-      else {
-        val sc = store.conf
-        val alpha = "ABCDEFGHIJKLMNOPQRSTUVWXYZ234567"
-        val parts = math.min(1024,
-          math.max(1, spark.sparkContext.defaultParallelism * 2))
-        spark.range(0, 1024, 1, parts).as[Long]
-          .mapPartitions { it =>
-            val d = graft.storage.StoreConf.cached(sc)
-            it.flatMap { i =>
-              val c1 = alpha.charAt((i >> 5).toInt)
-              val c2 = alpha.charAt((i & 31).toInt)
-              d.list(s"chunks/$c1$c2").iterator
-                .map(o => (o.key.stripPrefix("chunks/"), o.size,
-                  o.mtimeMillis))
-            }
-          }.toDF("chunk_id", "size", "mtime")
-      }
+      else DistributedListing.chunkObjects(spark, store.conf)
+        .toDF("chunk_id", "size", "mtime")
     val deadChunksDf: Option[DataFrame] =
-      if (!listOverflow && driverListed.isEmpty) None
+      if (!listOverflow && driverListing.isEmpty) None
       else {
         val liveChunkIds =
           if (liveManifests.isEmpty)

@@ -232,20 +232,8 @@ object Replicate {
       val toCopy =
         if (!useList) chunkIds
         else {
-          val dc = dstConf
-          val alpha = "ABCDEFGHIJKLMNOPQRSTUVWXYZ234567"
-          val parts = math.min(1024,
-            math.max(1, spark.sparkContext.defaultParallelism * 2))
-          val existing = spark.range(0, 1024, 1, parts).as[Long]
-            .mapPartitions { it =>
-              val d = StoreConf.cached(dc)
-              it.flatMap { i =>
-                val c1 = alpha.charAt((i >> 5).toInt)
-                val c2 = alpha.charAt((i & 31).toInt)
-                d.list(s"chunks/$c1$c2")
-                  .iterator.map(_.key.stripPrefix("chunks/"))
-              }
-            }.toDF("chunk_id")
+          val existing = DistributedListing.chunkObjects(spark, dstConf)
+            .toDF("chunk_id", "size", "mtime").select("chunk_id")
           chunkIds.join(existing, Seq("chunk_id"), "left_anti")
         }
       val stats = toCopy.as[String].mapPartitions { ids =>

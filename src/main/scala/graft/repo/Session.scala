@@ -375,6 +375,10 @@ final class Session private[repo] (
       coords: java.util.List[java.util.List[Integer]])
       : java.util.List[ChunkRef] = {
     import scala.jdk.CollectionConverters._
+    // zip would silently drop the longer list's tail and misalign the
+    // by-index contract — refuse instead
+    require(paths.size == coords.size,
+      s"paths (${paths.size}) and coords (${coords.size}) must align")
     val reqs = paths.asScala.toSeq.zip(
       coords.asScala.toSeq.map(coordOf))
     getChunkRefsBatch(reqs).map(_.orNull).asJava
@@ -388,6 +392,8 @@ final class Session private[repo] (
       coords: java.util.List[java.util.List[Integer]])
       : java.util.List[Array[Byte]] = {
     import scala.jdk.CollectionConverters._
+    require(paths.size == coords.size,
+      s"paths (${paths.size}) and coords (${coords.size}) must align")
     val reqs = paths.asScala.toSeq.zip(
       coords.asScala.toSeq.map(coordOf))
     val refs = getChunkRefsBatch(reqs)
@@ -1373,8 +1379,9 @@ final class Session private[repo] (
       // it, a loser that reloads instantly keeps colliding with the same
       // peers while the winner's successor is already committing
       // (ops/gc.rs retry-on-concurrent-update uses the same pattern).
-      // No sleep when retries are exhausted — nothing follows it but the
-      // ConflictException below.
+      // No sleep at the hard cap; the stall-budget exit may pay one
+      // final backoff (whether the NEXT reload shows progress is
+      // unknowable here, and it is a failure path anyway).
       if (attempts < hardCap)
         Thread.sleep(
           math.min(200L, 10L << math.min(attempts, 4)) +
@@ -1382,9 +1389,8 @@ final class Session private[repo] (
     }
     throw new ConflictException(
       s"commit failed after $attempts attempts on $branchName: " +
-        s"$foreignCommits concurrent commits landed during the retries " +
-        s"(observed convoy width ≈ ${math.max(1L, foreignCommits)} " +
-        "writers) — raise commit_retries (currently " +
+        s"$foreignCommits concurrent pointer updates landed during the " +
+        "retries — raise commit_retries (currently " +
         s"${cfg.commitRetries}) or reduce the writer fan-in")
   }
 

@@ -118,6 +118,32 @@ trait Store {
       .take(maxKeys)
   }
 
+  /** Up to ~`max` objects under `prefix` plus a truncation flag:
+    * `(listing, true)` means the namespace holds MORE than `max`
+    * objects and the listing is partial — the caller switches to a
+    * distributed path instead of materializing the namespace (GC's
+    * chunk sweep). Termination pages until an EMPTY page — a SHORT page
+    * is not a reliable end-of-listing signal (S3 may return fewer than
+    * max-keys with more remaining). Cloud backends override with their
+    * native continuation loops; LocalStore with its single directory
+    * walk (the paged default would re-walk the tree per page).
+    */
+  def listBounded(prefix: String,
+                  max: Int): (Seq[ObjectInfo], Boolean) = {
+    val out = Vector.newBuilder[ObjectInfo]
+    var n = 0
+    var after: Option[String] = None
+    while (true) {
+      val page = listPage(prefix, after, 1000)
+      if (page.isEmpty) return (out.result(), false)
+      out ++= page
+      n += page.size
+      if (n > max) return (out.result(), true)
+      after = Some(page.last.key)
+    }
+    (Nil, false) // unreachable
+  }
+
   def exists(key: String): Boolean
 
   /** Object metadata (size/mtime/etag), or None if absent. Backends with a
@@ -451,6 +477,16 @@ final class LocalStore(val root: Path) extends Store {
     walked(base)
       .filter(o => o.key.startsWith(prefix) && startAfter.forall(o.key > _))
       .sortBy(_.key).take(maxKeys)
+  }
+
+  override def listBounded(prefix: String,
+                           max: Int): (Seq[ObjectInfo], Boolean) = {
+    // ONE directory walk (transient O(N)): the paged default would
+    // re-walk and re-sort the whole tree per page (local listPage has no
+    // server-side continuation), turning a 1 M-object probe quadratic
+    val all = list(prefix)
+    (all.take(math.min(max.toLong + 1, Int.MaxValue).toInt),
+      all.size > max)
   }
 
   override def exists(key: String): Boolean = Files.exists(p(key))

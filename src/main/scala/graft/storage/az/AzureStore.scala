@@ -352,6 +352,25 @@ final class AzureStore(val azConf: AzureStoreConf) extends Store {
     out.result()
   }
 
+  override def listBounded(prefix0: String,
+                           max: Int): (Seq[ObjectInfo], Boolean) = {
+    // native marker loop with early exit — the paged default restarts
+    // the marker protocol from the prefix start for every page
+    val out = Vector.newBuilder[ObjectInfo]
+    var n = 0
+    var marker: Option[String] = None
+    var first = true
+    while (first || marker.nonEmpty) {
+      first = false
+      val (page, next) = listCall(prefix0, marker, 5000)
+      out ++= page
+      n += page.size
+      if (n > max) return (out.result(), true)
+      marker = next
+    }
+    (out.result(), false)
+  }
+
   // ---- deletes ----
 
   override def delete(keys: Iterable[String]): Unit =

@@ -313,6 +313,25 @@ final class GcsStore(val gcsConf: GcsStoreConf) extends Store {
     out.result()
   }
 
+  override def listBounded(prefix0: String,
+                           max: Int): (Seq[ObjectInfo], Boolean) = {
+    // native pageToken loop with early exit (the paged default restarts
+    // the token walk per page)
+    val out = Vector.newBuilder[ObjectInfo]
+    var n = 0
+    var token: Option[String] = None
+    var first = true
+    while (first || token.nonEmpty) {
+      first = false
+      val (page, next) = listCall(prefix0, None, token, 1000)
+      out ++= page
+      n += page.size
+      if (n > max) return (out.result(), true)
+      token = next
+    }
+    (out.result(), false)
+  }
+
   // ---- deletes ----
 
   override def delete(keys: Iterable[String]): Unit =

@@ -374,6 +374,25 @@ final class S3Store(val s3conf: S3StoreConf) extends Store {
     out.result()
   }
 
+  override def listBounded(prefix0: String,
+                           max: Int): (Seq[ObjectInfo], Boolean) = {
+    // native continuation loop with early exit — IsTruncated is the end
+    // signal, never the page size
+    val out = Vector.newBuilder[ObjectInfo]
+    var n = 0
+    var after: Option[String] = None
+    var more = true
+    while (more) {
+      val (page, truncated) = listPageTruncated(prefix0, after, 1000)
+      out ++= page
+      n += page.size
+      if (n > max) return (out.result(), true)
+      more = truncated && page.nonEmpty
+      after = page.lastOption.map(_.key)
+    }
+    (out.result(), false)
+  }
+
   private def parseListing(xml: String): Seq[ObjectInfo] = {
     val doc = javax.xml.parsers.DocumentBuilderFactory.newInstance()
       .newDocumentBuilder()

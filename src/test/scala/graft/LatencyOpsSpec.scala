@@ -163,7 +163,7 @@ class LatencyOpsSpec extends SparkTestBase {
     val df = spark.createDataset(refs)(
       org.apache.spark.sql.Encoders.product[graft.meta.ChunkRef])
       .toDF().withColumn("split", lit(0))
-    repo.assets.writeManifest("mRANGED", df)
+    val refsMap = repo.assets.writeManifest("mRANGED", df)
     val files = repo.store.list("manifests/mRANGED/node_id=nX/split=0/")
       .filter(_.key.endsWith(".parquet"))
     assert(files.nonEmpty)
@@ -175,6 +175,17 @@ class LatencyOpsSpec extends SparkTestBase {
     assert(files.flatMap(o => graft.meta.DriverParquet
       .lookupRefsRanged(repo.store, o.key, o.size, "nX", Seq(4242)))
       .isEmpty)
+    // batched form past the 256-coord OR-group bound: 300 requested
+    // coords split into 2 shallow predicate groups (an unbounded
+    // left-deep OR tree is StackOverflow territory in parquet-mr's
+    // recursive filter evaluation), every hit exact, misses absent
+    val mref = refsMap("nX").head
+    val batch = repo.assets.lookupRefsBatch(mref, "nX",
+      (0 until 300).map(Seq(_)) ++ Seq(Seq(999999)))
+    assert(batch.size == 300, s"got ${batch.size}")
+    assert(batch(Seq(123)).chunk_id == "id123" &&
+      batch(Seq(123)).length == 123L)
+    assert(!batch.contains(Seq(999999)))
   }
 
   test("a batched wave through ONE oversized split issues exactly 1 dir " +

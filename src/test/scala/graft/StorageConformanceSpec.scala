@@ -134,6 +134,31 @@ class StorageConformanceSpec extends SparkTestBase {
       } finally close()
     }
 
+    test(s"$name: listBounded reports truncation honestly (empty-page/" +
+        "native end signals, never a short page)") {
+      val (store, close) = mk()
+      try {
+        val keys = (0 until 25).map(i => f"lb/k$i%03d")
+        keys.foreach(k => store.putBytes(k, Array[Byte](1)))
+        // under the bound: the COMPLETE listing, not truncated
+        val (all, t1) = store.listBounded("lb/", 25)
+        assert(!t1 && all.map(_.key).sorted == keys, s"got ${all.size}")
+        val (all2, t2) = store.listBounded("lb/", 1000)
+        assert(!t2 && all2.size == 25)
+        // over the bound: truncated=true and a PARTIAL listing — the
+        // caller must switch to a distributed path (GC's chunk sweep);
+        // silently reporting "done" after one short server page was the
+        // failure mode this contract exists to kill
+        val (part, t3) = store.listBounded("lb/", 10)
+        assert(t3, "25 objects at max=10 must report truncation")
+        assert(part.nonEmpty && part.size <= 25 &&
+          part.map(_.key).distinct.size == part.size)
+        // empty namespace: clean non-truncated empty
+        val (none, t4) = store.listBounded("lb-none/", 10)
+        assert(none.isEmpty && !t4)
+      } finally close()
+    }
+
     test(s"$name: list supports partial-filename prefixes") {
       // push's existsVia=list fans `chunks/` into character-sliced
       // prefix pages — every backend must honor object-store prefix
