@@ -330,6 +330,24 @@ class LatencyOpsSpec extends SparkTestBase {
     assert(sliceOps <= 90, s"cube slice stats cost $sliceOps store ops")
   }
 
+  test("fsck's driver-side probes stay one op set per closure asset " +
+      "(waves, not chains — soak row pinned per-round)") {
+    val dir = tmpDir("ops-fsck")
+    build(dir)
+    val (st, total) = counted(dir)
+    val repo = Repository.open(st, spark)
+    val t0 = total()
+    val issues = graft.ops.Integrity.check(repo, "main").count()
+    assert(issues == 0, s"fsck found $issues issues on a healthy repo")
+    val cost = total() - t0
+    // 131 snapshots in the closure: ~1 exists + ~1 manifest-prefix list
+    // + ~1 tx-log GET per snapshot plus pointer/segment loads — the
+    // soak measures these as CONCURRENT waves (~48 serial RTTs at
+    // 50 ms); the COUNT is the regression guard here (a per-asset
+    // chain that doubles the ops doubles the object-store wall)
+    assert(cost <= 131 * 4 + 40, s"fsck cost $cost store ops")
+  }
+
   test("interactive small commit is O(1) store ops") {
     val dir = tmpDir("ops-commit")
     build(dir)
