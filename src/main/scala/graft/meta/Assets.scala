@@ -737,15 +737,23 @@ final class AssetManager(val store: Store, spark: SparkSession) {
           catch { case e: java.util.concurrent.CompletionException =>
             throw Option(e.getCause).getOrElse(e) }
         else try {
-          val prefix = s"${Layout.manifestPrefix(manifestId)}" +
-            s"/node_id=$nodeId/split=$split/"
-          val fs = store.list(prefix).filter(_.key.endsWith(".parquet"))
-          // empty listings are NOT cached: a miss may be a not-yet-
-          // visible write, and the negative result is cheap to re-check
-          if (fs.nonEmpty)
-            splitFilesCache.synchronized { splitFilesCache.put(key, fs); () }
-          mine.complete(fs)
-          fs
+          // double-checked (ADVICE r15): a thread that missed the cache
+          // AFTER the previous leader cached and removed its in-flight
+          // future would otherwise become a new leader and re-issue the
+          // LIST for a listing that is already sitting in the cache
+          splitFilesCache.synchronized(Option(splitFilesCache.get(key))) match {
+            case Some(fs) => mine.complete(fs); fs
+            case None =>
+              val prefix = s"${Layout.manifestPrefix(manifestId)}" +
+                s"/node_id=$nodeId/split=$split/"
+              val fs = store.list(prefix).filter(_.key.endsWith(".parquet"))
+              // empty listings are NOT cached: a miss may be a not-yet-
+              // visible write, and the negative result is cheap to re-check
+              if (fs.nonEmpty)
+                splitFilesCache.synchronized { splitFilesCache.put(key, fs); () }
+              mine.complete(fs)
+              fs
+          }
         } catch {
           case e: Throwable => mine.completeExceptionally(e); throw e
         } finally splitFilesInflight.remove(key)

@@ -20,12 +20,20 @@ import org.apache.parquet.schema.{MessageType, MessageTypeParser}
   */
 object DriverParquet {
 
-  /** One shared Configuration for every reader build: instantiation
-    * parses the default resources each time, measurably costly on the
-    * hot interactive lookup path (ADVICE r14). parquet-mr only READS
-    * from it, so sharing is safe.
+  /** Base Configuration parsed ONCE (default-resource parsing is the
+    * measurable cost on the hot interactive lookup path, ADVICE r14).
+    * Every reader build gets a cheap COPY (`Configuration(other)` skips
+    * resource parsing), never the shared instance: sharing one mutable
+    * Configuration is safe only while every consumer stays read-only,
+    * and a future parquet-mr code path calling `conf.set()` would be
+    * silent cross-thread interference (ADVICE r15). The Path-based
+    * readers need the parsed defaults (`fs.file.impl` resolution); the
+    * InputFile-based ranged readers never touch a FileSystem and get a
+    * bare `Configuration(false)`.
     */
-  private val readerConf = new org.apache.hadoop.conf.Configuration()
+  private val baseConf = new org.apache.hadoop.conf.Configuration()
+  private def pathReaderConf = new org.apache.hadoop.conf.Configuration(baseConf)
+  private def rangedReaderConf = new org.apache.hadoop.conf.Configuration(false)
 
   /** Manifest DATA-file schema — [[ChunkRef]] minus the `node_id` and
     * `split` partition columns, exactly as Spark lays it out under
@@ -135,7 +143,7 @@ object DriverParquet {
       val reader = ParquetReader
         .builder(new GroupReadSupport(),
           new org.apache.hadoop.fs.Path(tmp.toUri))
-        .withConf(readerConf)
+        .withConf(pathReaderConf)
         .build()
       try {
         val out = Vector.newBuilder[ChunkRef]
@@ -159,7 +167,7 @@ object DriverParquet {
       val reader = ParquetReader
         .builder(new GroupReadSupport(),
           new org.apache.hadoop.fs.Path(tmp.toUri))
-        .withConf(readerConf)
+        .withConf(pathReaderConf)
         .build()
       try {
         val out = Vector.newBuilder[EditRow]
@@ -183,6 +191,58 @@ object DriverParquet {
 
   // ---- ranged point lookup over the Store (no Spark job, no full-file
   // download) ---------------------------------------------------------
+
+  /** Immutable-file range cache (VERDICT r15 item 3): manifest data
+    * files never change once written, so a fetched byte range is valid
+    * forever. Keyed by (store root, file key, offset) — the ranged
+    * readers issue deterministic read positions for a given file, so a
+    * warm wave's footer + column-index fetches hit here instead of
+    * re-GETting (footer reads drop to ZERO on repeat waves; an
+    * identical repeat wave costs zero store ops end to end, since the
+    * split LISTING is memoized in [[AssetManager]]). Bounded LRU by
+    * total bytes; ranges past [[MaxCacheableRange]] (whole column
+    * chunks) bypass so one giant read cannot evict the whole footer
+    * working set.
+    */
+  private val RangeCacheMaxBytes = 64L * 1024 * 1024
+  private val MaxCacheableRange = 1024 * 1024
+  private val rangeCache =
+    new java.util.LinkedHashMap[(String, String, Long), Array[Byte]](
+      256, 0.75f, true)
+  private var rangeCacheBytes = 0L
+
+  /** Visible-for-tests: drop every cached range. */
+  def clearRangeCache(): Unit = rangeCache.synchronized {
+    rangeCache.clear(); rangeCacheBytes = 0L
+  }
+
+  /** Read `[pos, pos+n)` of an immutable object through the cache. The
+    * returned array is AT LEAST `n` bytes (a cached longer range at the
+    * same offset is returned as-is); callers treat it as the bytes at
+    * `pos` onward. Fetches happen outside the lock — a racing double
+    * fetch of the same range is benign (identical bytes, accounting
+    * corrected on put).
+    */
+  private def readRangeCached(store: graft.storage.Store, key: String,
+                              pos: Long, n: Int): Array[Byte] = {
+    if (n > MaxCacheableRange) return store.getRange(key, pos, n)
+    val ck = (store.rootUri, key, pos)
+    rangeCache.synchronized {
+      val hit = rangeCache.get(ck)
+      if (hit != null && hit.length >= n) return hit
+    }
+    val got = store.getRange(key, pos, n)
+    rangeCache.synchronized {
+      val prev = rangeCache.put(ck, got)
+      rangeCacheBytes += got.length - (if (prev == null) 0 else prev.length)
+      val it = rangeCache.entrySet().iterator()
+      while (rangeCacheBytes > RangeCacheMaxBytes && it.hasNext) {
+        rangeCacheBytes -= it.next().getValue.length
+        it.remove()
+      }
+    }
+    got
+  }
 
   /** Seekable parquet [[org.apache.parquet.io.InputFile]] over a Store
     * object via ranged GETs: parquet-mr reads the footer, the column
@@ -211,7 +271,7 @@ object DriverParquet {
         private def inBuf: Boolean = pos >= bufStart && buffered > 0
         private def fill(): Unit = {
           val take = math.min(BufBytes.toLong, len - pos).toInt
-          buf = store.getRange(key, pos, take)
+          buf = readRangeCached(store, key, pos, take)
           bufStart = pos
         }
         override def getPos: Long = pos
@@ -243,9 +303,9 @@ object DriverParquet {
             System.arraycopy(buf, (pos - bufStart).toInt, b, off, n)
             pos += n
           } else if (n >= BufBytes) { // big column chunk: direct range
-            val got = store.getRange(key, pos, n)
-            if (got.length != n) throw new java.io.EOFException(
-              s"$key: short ranged read at $pos: ${got.length} != $n")
+            val got = readRangeCached(store, key, pos, n)
+            if (got.length < n) throw new java.io.EOFException(
+              s"$key: short ranged read at $pos: ${got.length} < $n")
             System.arraycopy(got, 0, b, off, n)
             pos += n
           } else {
@@ -320,7 +380,7 @@ object DriverParquet {
     }
     val pred = coords.map(one).reduce(FA.or)
     val reader = new GroupBuilder(new StoreInputFile(store, key, size))
-      .withConf(readerConf)
+      .withConf(rangedReaderConf)
       .withFilter(FilterCompat.get(pred))
       .useStatsFilter().useDictionaryFilter()
       .useColumnIndexFilter().useRecordFilter()

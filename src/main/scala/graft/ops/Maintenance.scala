@@ -240,13 +240,27 @@ object GC {
     // session's `.lease` marker, renewed via `renewStagingLeases`) is
     // older than the cutoff — a live session that staged before the
     // window but touched its lease since keeps all its files.
-    val deadStaging = store.list("staging/")
+    // Both namespaces are small BY CONSTRUCTION (active session tokens;
+    // age-swept clock probes) — so an overflow of the driver bound is a
+    // leak, and a leak detector that silently materializes the leaked
+    // namespace driver-side defeats itself. Probe bounded, fail loud.
+    def boundedList(ns: String): Seq[graft.storage.ObjectInfo] = {
+      val (objs, truncated) = store.listBounded(ns, repo.config.gcDriverListMax)
+      if (truncated) throw new IllegalStateException(
+        s"GC: '$ns' holds more than gcDriverListMax=" +
+          s"${repo.config.gcDriverListMax} objects — this namespace is " +
+          "bounded by construction, so an overflow means leaked session " +
+          "tokens or clock probes; investigate before sweeping (raise " +
+          "gc_driver_list_max to force the sweep)")
+      objs
+    }
+    val deadStaging = boundedList("staging/")
       .groupBy(_.key.stripPrefix("staging/").takeWhile(_ != '/'))
       .values.filter(_.map(_.mtimeMillis).max < cutoffMs)
       .flatten.toSeq
     // clock probes orphaned by a failed delete (flaky stores): swept by
     // age like everything else, so they can never accumulate
-    val deadProbes = store.list("gc/").filter(_.mtimeMillis < cutoffMs)
+    val deadProbes = boundedList("gc/").filter(_.mtimeMillis < cutoffMs)
     // snapshot-index segments: live = the union of segment lists across
     // EVERY pointer generation that survives this GC's pruning, not just
     // the tip. Two hazards force the union (ADVICE r12): (a) a binary

@@ -12,6 +12,17 @@ final case class GraftConfig(
     maxChunkRefsPerCommit: Long = 50_000_000L,
     opsRingSize: Int = 1000,
     commitRetries: Int = 20,
+    /** Hard cap on TOTAL CAS attempts per commit/ref update, as a
+      * multiple of `commitRetries`. The progress-aware budget only
+      * charges `commitRetries` for STALLED rounds (no foreign progress
+      * observed), so on a busy branch a writer that keeps losing to
+      * landing peers can spin up to `commitRetries ×
+      * commitRetriesHardCapX` rounds — each a reload/rebase/flush plus
+      * backoff — before failing. Latency-sensitive deployments that
+      * prefer fast failure over convoy endurance lower this (ADVICE
+      * r15); 1 restores the flat pre-r15 budget.
+      */
+    commitRetriesHardCapX: Int = 16,
     splits: Seq[SplitRule] = Nil,
     preloads: Seq[PreloadRule] = Nil,
     preloadMaxArrays: Int = 50, // scan cap mirrors config.rs:294-299
@@ -70,6 +81,7 @@ final case class GraftConfig(
     "max_chunk_refs_per_commit" -> maxChunkRefsPerCommit.toString,
     "ops_ring_size" -> opsRingSize.toString,
     "commit_retries" -> commitRetries.toString,
+    "commit_retries_hard_cap_x" -> commitRetriesHardCapX.toString,
     "preload_max_arrays" -> preloadMaxArrays.toString,
     "snapshot_index_window" -> snapshotIndexWindow.toString,
     "manifest_fetch_concurrency" -> manifestFetchConcurrency.toString,
@@ -99,6 +111,8 @@ object GraftConfig {
         .map(_.toLong).getOrElse(d.maxChunkRefsPerCommit),
       opsRingSize = i("ops_ring_size", d.opsRingSize),
       commitRetries = i("commit_retries", d.commitRetries),
+      commitRetriesHardCapX =
+        i("commit_retries_hard_cap_x", d.commitRetriesHardCapX),
       splits = rules("split") { v =>
         val Array(axis, per, re) = v.split("\\|", 3)
         SplitRule(re, axis.toInt, per.toInt)

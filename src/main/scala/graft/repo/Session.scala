@@ -401,6 +401,42 @@ final class Session private[repo] (
       _.map(materialize).orNull).asJava
   }
 
+  private def boundsOf(lo: java.util.List[java.lang.Number],
+      hi: java.util.List[java.lang.Number]): Seq[(Long, Long)] = {
+    import scala.jdk.CollectionConverters._
+    require(lo.size == hi.size,
+      s"lo (${lo.size}) and hi (${hi.size}) must align per dimension")
+    lo.asScala.toSeq.map(_.longValue)
+      .zip(hi.asScala.toSeq.map(_.longValue))
+  }
+
+  /** Values-plane region statistics for Python callers (VERDICT r15
+    * item 7): the [[graft.tensor.TensorPlane.sliceStats]] shape —
+    * aggregation pushed into the chunk kernel, extents-pruned — as ONE
+    * py4j call. `lo`/`hi` are per-DIMENSION bound vectors (inclusive
+    * lo, exclusive hi): region `[lo(d), hi(d))` on each axis. Returns
+    * the DataFrame (wrap with `pyspark.sql.DataFrame(jdf, spark)`), so
+    * Python gets region reads without per-cell round trips.
+    */
+  def sliceStatsJ(path: String, dtype: String,
+      lo: java.util.List[java.lang.Number],
+      hi: java.util.List[java.lang.Number],
+      compression: String): org.apache.spark.sql.DataFrame =
+    graft.tensor.TensorPlane.sliceStats(this, path, dtype,
+      boundsOf(lo, hi), compression)
+
+  /** Values-plane region CELLS for Python callers: `(i0..iN-1, value)`
+    * rows of the bounded slice as one DataFrame — the batched read
+    * analog of [[sliceStatsJ]] when the caller needs the values, not an
+    * aggregate.
+    */
+  def sliceValuesJ(path: String, dtype: String,
+      lo: java.util.List[java.lang.Number],
+      hi: java.util.List[java.lang.Number],
+      compression: String): org.apache.spark.sql.DataFrame =
+    graft.tensor.TensorPlane.valuesRegion(this, path, dtype,
+      boundsOf(lo, hi), compression)
+
   /** Commit that REFUSES to auto-resolve chunk double-writes — the
     * reference's Python `session.commit()` semantics (a concurrent
     * write to the same cell surfaces as a ConflictError unless the
@@ -795,7 +831,11 @@ final class Session private[repo] (
     val pre: Map[(String, Int, String), Map[Seq[Int], ChunkRef]] =
       graft.storage.Store.parallelIO(overParts) { case (m, nid, cs) =>
         ((m.manifestId, m.split, nid), assets.lookupRefsBatch(m, nid, cs))
-      }.toMap
+      // MERGE on key collision, never overwrite: path→node is 1:1 in a
+      // snapshot today, but if aliasing ever made two request paths
+      // resolve to one node id, `.toMap` would silently drop the first
+      // group's hits (ADVICE r15)
+      }.groupMapReduce(_._1)(_._2)(_ ++ _)
     def committedLookup(m: graft.meta.ManifestRef, nid: String,
         c: Seq[Int]): Option[ChunkRef] =
       if (m.numRefs > assets.MaxCachedRefsPerSplit)
@@ -1287,14 +1327,17 @@ final class Session private[repo] (
     // which the flat `commitRetries` cap (default 20) under-sizes for
     // any convoy wider than ~4. So stalled rounds (no foreign progress
     // observed — pathological store behavior) burn the configured
-    // budget, while progressing rounds draw on a 16× hard cap that
-    // bounds even an adversarial convoy without livelocking a healthy
-    // one. `foreignCommits` feeds the exhaustion message so the fix
+    // budget, while progressing rounds draw on a configurable hard cap
+    // (default 16×, `commit_retries_hard_cap_x`) that bounds even an
+    // adversarial convoy without livelocking a healthy one — and lets
+    // latency-sensitive deployments bound time-to-failure (ADVICE r15).
+    // `foreignCommits` feeds the exhaustion message so the fix
     // (raise commit_retries / reduce writer fan-in) is actionable.
     var stalls = 0
     var foreignCommits = 0L
     var lastGen = -1L
-    val hardCap = cfg.commitRetries.toLong * 16
+    val hardCap =
+      cfg.commitRetries.toLong * math.max(1, cfg.commitRetriesHardCapX)
     while (stalls < cfg.commitRetries && attempts < hardCap) {
       attempts += 1
       // Optimistic first attempt: reuse the pointer document the session

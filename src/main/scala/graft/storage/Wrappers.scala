@@ -25,6 +25,8 @@ trait ForwardingStore extends Store {
   override def listPage(prefix: String, startAfter: Option[String],
                         maxKeys: Int): Seq[ObjectInfo] =
     inner.listPage(prefix, startAfter, maxKeys)
+  override def listBounded(prefix: String, max: Int): (Seq[ObjectInfo], Boolean) =
+    inner.listBounded(prefix, max)
   override def exists(key: String): Boolean = inner.exists(key)
   override def stat(key: String): Option[StatInfo] = inner.stat(key)
   override def delete(keys: Iterable[String]): Unit = inner.delete(keys)
@@ -79,6 +81,8 @@ final class RetryingStore(inner: Store, maxAttempts: Int = 5,
   override def listPage(prefix: String, startAfter: Option[String],
                         maxKeys: Int): Seq[ObjectInfo] =
     retry("listPage")(inner.listPage(prefix, startAfter, maxKeys))
+  override def listBounded(prefix: String, max: Int): (Seq[ObjectInfo], Boolean) =
+    retry("listBounded")(inner.listBounded(prefix, max))
   override def copy(srcKey: String, dstKey: String): Unit =
     retry("copy")(inner.copy(srcKey, dstKey))
   override def exists(key: String): Boolean =
@@ -138,6 +142,8 @@ final class FlakyStore(inner: Store,
   override def listPage(prefix: String, startAfter: Option[String],
                         maxKeys: Int): Seq[ObjectInfo] =
     { maybeFail("listPage"); inner.listPage(prefix, startAfter, maxKeys) }
+  override def listBounded(prefix: String, max: Int): (Seq[ObjectInfo], Boolean) =
+    { maybeFail("listBounded"); inner.listBounded(prefix, max) }
   override def copy(srcKey: String, dstKey: String): Unit =
     { maybeFail("copy"); inner.copy(srcKey, dstKey) }
   override def exists(key: String): Boolean =
@@ -186,6 +192,8 @@ final class LostResponseStore(inner: Store,
   override def listPage(prefix: String, startAfter: Option[String],
                         maxKeys: Int): Seq[ObjectInfo] =
     maybeDrop("listPage")(inner.listPage(prefix, startAfter, maxKeys))
+  override def listBounded(prefix: String, max: Int): (Seq[ObjectInfo], Boolean) =
+    maybeDrop("listBounded")(inner.listBounded(prefix, max))
   override def copy(srcKey: String, dstKey: String): Unit =
     maybeDrop("copy")(inner.copy(srcKey, dstKey))
   override def exists(key: String): Boolean =
@@ -214,6 +222,10 @@ final class SkewedClockStore(protected val inner: Store, skewMs: Long)
   override def listPage(prefix: String, startAfter: Option[String],
                         maxKeys: Int): Seq[ObjectInfo] =
     inner.listPage(prefix, startAfter, maxKeys).map(shift)
+  override def listBounded(prefix: String, max: Int): (Seq[ObjectInfo], Boolean) = {
+    val (objs, truncated) = inner.listBounded(prefix, max)
+    (objs.map(shift), truncated)
+  }
   override def stat(key: String): Option[StatInfo] =
     inner.stat(key).map(s => s.copy(mtimeMillis = s.mtimeMillis + skewMs))
 }
@@ -223,6 +235,12 @@ final class LoggingStore(inner: Store,
                          log: String => Unit = s => System.err.println(s))
     extends Store {
   val counts = new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]()
+  /** Total payload bytes served by `getBytes` + `getRange` — the
+    * byte-level regression guard beside the op counts: page pruning on
+    * the ranged-read path must never silently degrade to full-shard
+    * reads, and only a bytes ceiling can pin that (VERDICT r15 item 4).
+    */
+  val bytesRead = new java.util.concurrent.atomic.AtomicLong()
   private def rec(op: String, key: String): Unit = {
     counts.computeIfAbsent(op,
       _ => new java.util.concurrent.atomic.AtomicLong()).incrementAndGet()
@@ -231,9 +249,12 @@ final class LoggingStore(inner: Store,
   override def rootUri: String = inner.rootUri
   override def conf: StoreConf = inner.conf
   override def getBytes(key: String): Array[Byte] =
-    { rec("getBytes", key); inner.getBytes(key) }
+    { rec("getBytes", key)
+      val b = inner.getBytes(key); bytesRead.addAndGet(b.length); b }
   override def getRange(key: String, offset: Long, length: Long): Array[Byte] =
-    { rec("getRange", s"$key[$offset+$length]"); inner.getRange(key, offset, length) }
+    { rec("getRange", s"$key[$offset+$length]")
+      val b = inner.getRange(key, offset, length)
+      bytesRead.addAndGet(b.length); b }
   override def putBytes(key: String, bytes: Array[Byte]): Unit =
     { rec("putBytes", key); inner.putBytes(key, bytes) }
   override def putIfAbsent(key: String, bytes: Array[Byte]): Boolean =
@@ -243,6 +264,8 @@ final class LoggingStore(inner: Store,
   override def listPage(prefix: String, startAfter: Option[String],
                         maxKeys: Int): Seq[ObjectInfo] =
     { rec("listPage", prefix); inner.listPage(prefix, startAfter, maxKeys) }
+  override def listBounded(prefix: String, max: Int): (Seq[ObjectInfo], Boolean) =
+    { rec("listBounded", prefix); inner.listBounded(prefix, max) }
   override def copy(srcKey: String, dstKey: String): Unit =
     { rec("copy", s"$srcKey -> $dstKey"); inner.copy(srcKey, dstKey) }
   override def exists(key: String): Boolean =
@@ -291,6 +314,14 @@ final class RedirectStore(primary: Store,
                         maxKeys: Int): Seq[ObjectInfo] =
     storesFor(prefix).flatMap(_.listPage(prefix, startAfter, maxKeys))
       .groupBy(_.key).map(_._2.head).toSeq.sortBy(_.key).take(maxKeys)
+  override def listBounded(prefix: String, max: Int): (Seq[ObjectInfo], Boolean) = {
+    // Each routed store probes with its own native bound; the merged view
+    // is truncated if ANY constituent was, or the dedup'd union overflows.
+    val probed = storesFor(prefix).map(_.listBounded(prefix, max))
+    val merged = probed.flatMap(_._1)
+      .groupBy(_.key).map(_._2.head).toSeq.sortBy(_.key)
+    (merged, probed.exists(_._2) || merged.size > max)
+  }
   override def exists(key: String): Boolean = route(key).exists(key)
   override def stat(key: String): Option[StatInfo] = route(key).stat(key)
   override def delete(keys: Iterable[String]): Unit =
@@ -330,6 +361,8 @@ final class ScheduledStore(inner: Store,
   override def listPage(prefix: String, startAfter: Option[String],
                         maxKeys: Int): Seq[ObjectInfo] =
     { gate("listPage", prefix); inner.listPage(prefix, startAfter, maxKeys) }
+  override def listBounded(prefix: String, max: Int): (Seq[ObjectInfo], Boolean) =
+    { gate("listBounded", prefix); inner.listBounded(prefix, max) }
   override def copy(srcKey: String, dstKey: String): Unit =
     { gate("copy", srcKey); inner.copy(srcKey, dstKey) }
   override def exists(key: String): Boolean =
@@ -376,6 +409,14 @@ final class LatencyStore(inner: Store, delayMs: Long) extends Store {
   override def listPage(prefix: String, startAfter: Option[String],
                         maxKeys: Int): Seq[ObjectInfo] =
     { d(); inner.listPage(prefix, startAfter, maxKeys) }
+  override def listBounded(prefix: String, max: Int): (Seq[ObjectInfo], Boolean) = {
+    // A native continuation loop pays one RTT per 1,000-key page; charge
+    // the same here so soaks don't flatter bounded probes of big prefixes.
+    val r = inner.listBounded(prefix, max)
+    val pages = math.max(1L, (r._1.size + 999L) / 1000L)
+    Thread.sleep(delayMs * pages)
+    r
+  }
   override def copy(srcKey: String, dstKey: String): Unit =
     { d(); inner.copy(srcKey, dstKey) }
   override def exists(key: String): Boolean = { d(); inner.exists(key) }

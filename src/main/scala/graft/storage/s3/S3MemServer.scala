@@ -188,10 +188,29 @@ final class S3MemServer(requiredHeader: Option[(String, String)] = None) {
     } else respond(ex, 200, Array.empty)
   }
 
+  /** When > 0, the next LIST responses carry ZERO Contents but
+    * `IsTruncated=true` — the no-resume-key page shape S3 can emit (all
+    * results rolled into CommonPrefixes, or an internal page boundary).
+    * A client that treats it as end-of-listing silently reports a
+    * partial listing as complete (ADVICE r15).
+    */
+  @volatile var emptyTruncatedPages: Int = 0
+
   private def listObjects(ex: HttpExchange,
       objects: java.util.concurrent.ConcurrentSkipListMap[String, Obj],
       q: Map[String, String]): Unit = {
     count("list")
+    if (emptyTruncatedPages > 0) {
+      emptyTruncatedPages -= 1
+      count("list_empty_truncated")
+      respond(ex, 200,
+        """<?xml version="1.0" encoding="UTF-8"?>
+          |<ListBucketResult>
+          |<IsTruncated>true</IsTruncated>
+          |<KeyCount>0</KeyCount>
+          |</ListBucketResult>""".stripMargin.getBytes(UTF_8))
+      return
+    }
     val prefix = q.getOrElse("prefix", "")
     val startAfter = q.get("start-after").orElse(q.get("continuation-token"))
     val maxKeys = q.get("max-keys").flatMap(_.toIntOption)

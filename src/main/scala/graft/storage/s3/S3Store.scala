@@ -368,7 +368,14 @@ final class S3Store(val s3conf: S3StoreConf) extends Store {
     while (more) {
       val (page, truncated) = listPageTruncated(prefix0, after, 1000)
       out ++= page
-      more = truncated && page.nonEmpty
+      // Empty page + IsTruncated=true leaves no resume key: continuing
+      // would respin the same request forever, and returning would pass
+      // off a partial listing as complete. Fail loud instead.
+      if (truncated && page.isEmpty)
+        throw new java.io.IOException(
+          s"LIST $prefix0: empty page with IsTruncated=true after " +
+            s"${out.result().size} keys — cannot resume, listing is partial")
+      more = truncated
       after = page.lastOption.map(_.key)
     }
     out.result()
@@ -387,7 +394,11 @@ final class S3Store(val s3conf: S3StoreConf) extends Store {
       out ++= page
       n += page.size
       if (n > max) return (out.result(), true)
-      more = truncated && page.nonEmpty
+      // Empty page + IsTruncated=true: no resume key, so the listing is
+      // honestly partial — report truncated (callers fall to the
+      // distributed path, which is delete-safe/recopy-safe).
+      if (truncated && page.isEmpty) return (out.result(), true)
+      more = truncated
       after = page.lastOption.map(_.key)
     }
     (out.result(), false)

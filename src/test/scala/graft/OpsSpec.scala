@@ -130,6 +130,38 @@ class OpsSpec extends SparkTestBase {
     assert(ro.getChunk("/a", Seq(0)).get.length == 600)
   }
 
+  test("GC fails LOUD when staging/ or gc/ overflows the driver bound — " +
+      "bounded-by-construction namespaces never materialize past it " +
+      "(VERDICT r15 item 2)") {
+    // staging/ holds active session tokens and gc/ holds age-swept clock
+    // probes — both small by construction, so more than gcDriverListMax
+    // objects means a LEAK, and the sweep must surface it instead of
+    // silently paging an unbounded namespace into driver memory
+    val repo = Repository.create(Store.local(tmpDir("gc-nsbound")), spark,
+      GraftConfig(gcDriverListMax = 10))
+    val store = repo.store
+    locally {
+      val s = repo.writableSession("main")
+      s.addArray("/a", Seq(4), Seq(1))
+      s.writeChunk("/a", Seq(0), Array.fill(600)(1.toByte))
+      s.commit("c1")
+    }
+    (0 until 15).foreach(i =>
+      store.putBytes(s"staging/leaked-$i/part.parquet", Array[Byte](1)))
+    val e = intercept[IllegalStateException](
+      GC.garbageCollect(repo, Instant.now().plusSeconds(60)))
+    assert(e.getMessage.contains("staging/") &&
+      e.getMessage.contains("gc_driver_list_max"), e.getMessage)
+    // loud failure precedes every delete: nothing was swept
+    assert(store.list("staging/").size == 15)
+    assert(store.list("chunks/").nonEmpty)
+    store.deletePrefix("staging/")
+    (0 until 15).foreach(i => store.putBytes(s"gc/probe-$i", Array[Byte](1)))
+    val e2 = intercept[IllegalStateException](
+      GC.garbageCollect(repo, Instant.now().plusSeconds(60)))
+    assert(e2.getMessage.contains("'gc/'"), e2.getMessage)
+  }
+
   test("GC staging sweep honors a renewed lease; sweeps whole dead tokens") {
     val repo = freshRepo()
     val store = repo.store

@@ -47,6 +47,23 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("ids: the 1,024 two-char slice prefixes exactly partition base32 " +
+      "id space (DistributedListing's fan-out invariant, VERDICT r15)") {
+    // the slice alphabet IS Ids.Alphabet (single source of truth since
+    // r16) — this pin makes the partition property explicit: every id's
+    // first two chars land in exactly one of the 32×32 slices, and the
+    // slices are disjoint by construction (distinct char pairs)
+    val slices = (for (a <- Ids.Alphabet; b <- Ids.Alphabet)
+      yield s"$a$b").toSet
+    assert(slices.size == 1024)
+    forAll(Gen.const(())) { _: Unit =>
+      val id = Ids.toBase32(Ids.newObjectId())
+      assert(id.length >= 2 && slices.contains(id.take(2)),
+        s"id $id escapes the slice fan-out")
+      assert(slices.count(id.startsWith) == 1)
+    }
+  }
+
   test("paths: normalize is idempotent; ancestors are proper prefixes") {
     forAll(pathGen) { p: String =>
       val n = NodePath.normalize(p)

@@ -688,6 +688,7 @@ class RepositorySpec extends SparkTestBase {
   test("config map round-trips through toMap/fromMap") {
     val cfg = GraftConfig(inlineThresholdBytes = 1, opsRingSize = 7,
       maxChunkRefsPerCommit = 123L, commitRetries = 3,
+      commitRetriesHardCapX = 2,
       splits = Seq(SplitRule("a|b.*", 1, 2), SplitRule(".*", 0, 9)),
       preloads = Seq(PreloadRule("x\\|y", 42)), preloadMaxArrays = 2,
       manifestFetchConcurrency = 4)

@@ -222,6 +222,76 @@ class StorageConformanceSpec extends SparkTestBase {
     }
   }
 
+  test("decorated stores forward listBounded to the native bounded probe " +
+      "(one inner op, zero per-page re-walks — VERDICT r15 item 1)") {
+    // LocalStore's native listBounded is ONE directory walk; the trait
+    // default pages through listPage, which re-walks the tree per
+    // 1,000-key page (quadratic), and a decorated S3Store would lose the
+    // native IsTruncated early-exit. A decorator that fails to forward
+    // silently reintroduces both — pin via the op counts of a counting
+    // store UNDER each decorator.
+    val raw = Store.local(tmpDir("conf-fwd"))
+    (0 until 25).foreach(i => raw.putBytes(f"fw/k$i%03d", Array[Byte](1)))
+    val decorators: Seq[(String, Store => Store)] = Seq(
+      "logging" -> (s => new LoggingStore(s, _ => ())),
+      "retrying" -> (s => new RetryingStore(s)),
+      "latency" -> (s => new LatencyStore(s, 0)),
+      "scheduled" -> (s => new ScheduledStore(s, (_, _) => ())),
+      "graft-uri" -> (s => new GraftUriStore(s, "fwd")),
+      "skewed-clock" -> (s => new SkewedClockStore(s, 1000)),
+      "flaky" -> (s => new FlakyStore(s, 0)),
+      "lost-response" -> (s => new LostResponseStore(s, 0)))
+    for ((dn, mkDec) <- decorators) {
+      val counting = new LoggingStore(raw, _ => ())
+      val handle = mkDec(counting)
+      val (objs, t) = handle.listBounded("fw/", 1000)
+      assert(!t && objs.size == 25, s"$dn: ${objs.size} truncated=$t")
+      assert(Option(counting.counts.get("listBounded"))
+        .map(_.get()).contains(1L),
+        s"$dn did not reach the native probe: ${counting.counts}")
+      assert(!counting.counts.containsKey("listPage") &&
+        !counting.counts.containsKey("list"),
+        s"$dn fell back to trait-default paging: ${counting.counts}")
+      val (_, t2) = handle.listBounded("fw/", 10)
+      assert(t2, s"$dn dropped the truncation flag")
+    }
+    // the skewed-clock decorator must still shift mtimes through the
+    // forward (GC's age guard reads these)
+    val base = raw.listBounded("fw/", 1000)._1
+      .map(o => o.key -> o.mtimeMillis).toMap
+    new SkewedClockStore(raw, 123456L).listBounded("fw/", 1000)._1
+      .foreach(o => assert(o.mtimeMillis == base(o.key) + 123456L, o.key))
+    // redirect: the bounded probe consults every overlapping store and
+    // reports truncation across the merged view
+    val other = Store.local(tmpDir("conf-fwd2"))
+    (0 until 5).foreach(i => other.putBytes(s"fw/extra$i", Array[Byte](1)))
+    val rd = new RedirectStore(raw, Seq("fw/extra" -> other))
+    val (merged, mt) = rd.listBounded("fw/", 1000)
+    assert(!mt && merged.size == 30, s"${merged.size} truncated=$mt")
+    assert(rd.listBounded("fw/", 10)._2, "redirect dropped truncation")
+  }
+
+  test("s3: an empty page with IsTruncated=true is honest — listBounded " +
+      "reports TRUNCATED and list() fails loud, never a silent partial " +
+      "(ADVICE r15)") {
+    val (server, store) = s3Fixture()
+    try {
+      (0 until 5).foreach(i => store.putBytes(s"et/k$i", Array[Byte](1)))
+      // an empty+truncated page leaves no resume key: the old loop
+      // stopped AND returned truncated=false — a partial listing passed
+      // off as complete (GC under-collection, Replicate under-copy)
+      server.emptyTruncatedPages = 1
+      val (part, t) = store.listBounded("et/", 1000)
+      assert(t, s"partial listing (${part.size} keys) reported complete")
+      server.emptyTruncatedPages = 1
+      intercept[java.io.IOException](store.list("et/"))
+      // clean runs still list fully and un-truncated
+      assert(store.list("et/").size == 5)
+      val (all, t2) = store.listBounded("et/", 1000)
+      assert(all.size == 5 && !t2)
+    } finally server.stop()
+  }
+
   test("s3: HTTP 200 with embedded <Error> body is NOT a completed copy") {
     // the documented slow-copy quirk: CopyObject commits the 200 status
     // line before the copy finishes, so a late failure arrives as an

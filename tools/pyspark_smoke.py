@@ -236,6 +236,39 @@ def main():
         assert miss[0] is None, miss[0]
         print("[pyspark-smoke] 4-array batch slice read OK")
 
+        # 10. values-plane batched slice (round 16): region stats AND
+        #     region cells through ONE py4j call each — the
+        #     TensorPlane.sliceStats / valuesRegion shapes — asserted
+        #     against a Python-side recomputation of the same region
+        import struct
+        from pyspark.sql import DataFrame as PyDF
+        s_v = repo.writableSession("main")
+        s_v.addArrayJ("/vals", [8, 8], [4, 4])
+        for ci in range(2):
+            for cj in range(2):
+                payload = struct.pack(
+                    "<16d", *[float(ci * 1000 + cj * 100 + k)
+                              for k in range(16)])
+                s_v.writeChunkJ("/vals", [ci, cj], bytearray(payload))
+        s_v.commitJ("value cube")
+
+        def cell(i, j):  # chunk-local row-major layout, see write above
+            return float((i // 4) * 1000 + (j // 4) * 100 +
+                         (i % 4) * 4 + (j % 4))
+        exp = {(i, j): cell(i, j) for i in range(2, 6) for j in range(2, 6)}
+        ro_v = repo.readonlySessionJ("main")
+        stats = PyDF(ro_v.sliceStatsJ("/vals", "float64", [2, 2], [6, 6],
+                                      "raw"), spark).collect()[0]
+        assert stats["n"] == 16, stats
+        assert abs(stats["sum"] - sum(exp.values())) < 1e-9, stats
+        assert stats["min"] == min(exp.values()), stats
+        assert stats["max"] == max(exp.values()), stats
+        got = {(r["i0"], r["i1"]): r["value"] for r in
+               PyDF(ro_v.sliceValuesJ("/vals", "float64", [2, 2], [6, 6],
+                                      "raw"), spark).collect()}
+        assert got == exp, sorted(got.items())[:4]
+        print("[pyspark-smoke] values-plane slice via one py4j call OK")
+
         print("[pyspark-smoke] OK")
     except Exception as e:  # noqa: BLE001 — smoke must name its failure
         ok = False
