@@ -160,7 +160,12 @@ object GC {
     val cutoffMs = olderThan.toEpochMilli +
       (if (dryRun) 0L else storeClockSkewMs(store))
 
-    // snapshots & tx logs: driver-side (metadata counts are small)
+    // snapshots & tx logs: driver-side, O(history) BY DESIGN — the same
+    // order as `liveSnapshots`/`liveManifests` above, which GC must
+    // hold on the driver anyway (the reference materializes the same
+    // sets, gc.rs:215-258), and which `expire` keeps bounded. The only
+    // O(repo-DATA-size) namespace is `chunks/`, handled below with the
+    // bounded probe + distributed fallback.
     val deadSnaps = store.list("snapshots/")
       .filter(o => o.mtimeMillis < cutoffMs &&
         !liveSnapshots.contains(
