@@ -250,13 +250,14 @@ object GC {
     // leak, and a leak detector that silently materializes the leaked
     // namespace driver-side defeats itself. Probe bounded, fail loud.
     def boundedList(ns: String): Seq[graft.storage.ObjectInfo] = {
-      val (objs, truncated) = store.listBounded(ns, repo.config.gcDriverListMax)
+      val (objs, truncated) =
+        store.listBounded(ns, repo.config.gcNamespaceListMax)
       if (truncated) throw new IllegalStateException(
-        s"GC: '$ns' holds more than gcDriverListMax=" +
-          s"${repo.config.gcDriverListMax} objects — this namespace is " +
-          "bounded by construction, so an overflow means leaked session " +
-          "tokens or clock probes; investigate before sweeping (raise " +
-          "gc_driver_list_max to force the sweep)")
+        s"GC: '$ns' holds more than gc_namespace_list_max=" +
+          s"${repo.config.gcNamespaceListMax} objects — this namespace " +
+          "is bounded by construction, so an overflow means leaked " +
+          "session tokens or clock probes; investigate before sweeping " +
+          "(raise gc_namespace_list_max to force the sweep)")
       objs
     }
     val deadStaging = boundedList("staging/")

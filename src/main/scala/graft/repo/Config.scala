@@ -61,7 +61,28 @@ final case class GraftConfig(
       * repo would otherwise hold ~10 GB of listing on the driver
       * (VERDICT r14 item 1).
       */
-    gcDriverListMax: Int = 1_000_000) {
+    gcDriverListMax: Int = 1_000_000,
+    /** Leak-detector bound on GC's driver listings of the
+      * bounded-by-construction namespaces (`staging/` session tokens,
+      * `gc/` clock probes): past this, GC FAILS LOUD instead of
+      * materializing the namespace (an overflow there means leaked
+      * tokens/probes, and a detector that pages in the leak defeats
+      * itself). Deliberately its own knob, NOT [[gcDriverListMax]] —
+      * that one switches the `chunks/` listing to the distributed path
+      * and must stay movable independently. The default leaves
+      * headroom for heavy distributed-write fleets (staging holds one
+      * parquet part per in-flight chunk, so wide ingest legitimately
+      * stages hundreds of thousands of files); lower it for tighter
+      * leak detection on interactive repos.
+      */
+    gcNamespaceListMax: Int = 1_000_000) {
+
+  /** The CAS loops' total-attempt budget, derived ONCE so
+    * `Session.commit` and `Repository.casUpdate` can never drift apart:
+    * `commitRetries × max(1, commitRetriesHardCapX)`.
+    */
+  def commitAttemptCap: Long =
+    commitRetries.toLong * math.max(1, commitRetriesHardCapX)
 
   /** Manifest split spec for an array: (axis, chunksPerSplit). The default
     * (no rule matches) is a single split — same as the reference without a
@@ -86,7 +107,8 @@ final case class GraftConfig(
     "snapshot_index_window" -> snapshotIndexWindow.toString,
     "manifest_fetch_concurrency" -> manifestFetchConcurrency.toString,
     "gc_driver_delete_max" -> gcDriverDeleteMax.toString,
-    "gc_driver_list_max" -> gcDriverListMax.toString) ++
+    "gc_driver_list_max" -> gcDriverListMax.toString,
+    "gc_namespace_list_max" -> gcNamespaceListMax.toString) ++
     splits.zipWithIndex.map { case (r, i) =>
       s"split.$i" -> s"${r.axis}|${r.chunksPerSplit}|${r.pathRegex}"
     } ++
@@ -126,7 +148,8 @@ object GraftConfig {
       manifestFetchConcurrency =
         i("manifest_fetch_concurrency", d.manifestFetchConcurrency),
       gcDriverDeleteMax = i("gc_driver_delete_max", d.gcDriverDeleteMax),
-      gcDriverListMax = i("gc_driver_list_max", d.gcDriverListMax))
+      gcDriverListMax = i("gc_driver_list_max", d.gcDriverListMax),
+      gcNamespaceListMax = i("gc_namespace_list_max", d.gcNamespaceListMax))
   }
 }
 

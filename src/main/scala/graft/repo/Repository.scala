@@ -47,8 +47,7 @@ final class Repository private (
     var stalls = 0
     var foreign = 0L
     var lastGen = -1L
-    val hardCap =
-      config.commitRetries.toLong * math.max(1, config.commitRetriesHardCapX)
+    val hardCap = config.commitAttemptCap
     while (stalls < config.commitRetries && attempts < hardCap) {
       attempts += 1
       val cur = info()

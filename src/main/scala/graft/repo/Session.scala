@@ -1336,8 +1336,7 @@ final class Session private[repo] (
     var stalls = 0
     var foreignCommits = 0L
     var lastGen = -1L
-    val hardCap =
-      cfg.commitRetries.toLong * math.max(1, cfg.commitRetriesHardCapX)
+    val hardCap = cfg.commitAttemptCap
     while (stalls < cfg.commitRetries && attempts < hardCap) {
       attempts += 1
       // Optimistic first attempt: reuse the pointer document the session

@@ -315,12 +315,23 @@ final class RedirectStore(primary: Store,
     storesFor(prefix).flatMap(_.listPage(prefix, startAfter, maxKeys))
       .groupBy(_.key).map(_._2.head).toSeq.sortBy(_.key).take(maxKeys)
   override def listBounded(prefix: String, max: Int): (Seq[ObjectInfo], Boolean) = {
-    // Each routed store probes with its own native bound; the merged view
-    // is truncated if ANY constituent was, or the dedup'd union overflows.
-    val probed = storesFor(prefix).map(_.listBounded(prefix, max))
-    val merged = probed.flatMap(_._1)
+    // Each routed store probes with its own native bound, but the CALLER's
+    // bound governs the merged view: stop probing once any constituent
+    // truncates (the answer is already "overflowed" — further walks are
+    // wasted I/O) and never hand back more than ~max objects (the caller
+    // asked for a bounded probe precisely to cap driver materialization).
+    val out = Vector.newBuilder[ObjectInfo]
+    var truncated = false
+    val it = storesFor(prefix).iterator
+    while (it.hasNext && !truncated) {
+      val (objs, t) = it.next().listBounded(prefix, max)
+      out ++= objs
+      truncated = t
+    }
+    val merged = out.result()
       .groupBy(_.key).map(_._2.head).toSeq.sortBy(_.key)
-    (merged, probed.exists(_._2) || merged.size > max)
+    if (merged.size > max) (merged.take(max), true)
+    else (merged, truncated)
   }
   override def exists(key: String): Boolean = route(key).exists(key)
   override def stat(key: String): Option[StatInfo] = route(key).stat(key)

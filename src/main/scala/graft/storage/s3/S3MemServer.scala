@@ -189,30 +189,50 @@ final class S3MemServer(requiredHeader: Option[(String, String)] = None) {
   }
 
   /** When > 0, the next LIST responses carry ZERO Contents but
-    * `IsTruncated=true` — the no-resume-key page shape S3 can emit (all
-    * results rolled into CommonPrefixes, or an internal page boundary).
-    * A client that treats it as end-of-listing silently reports a
-    * partial listing as complete (ADVICE r15).
+    * `IsTruncated=true` plus a NextContinuationToken — the internal
+    * page-boundary shape S3 can emit mid-listing. A client that treats
+    * page emptiness as end-of-listing silently reports a partial
+    * listing as complete (ADVICE r15); a correct client resumes via the
+    * token.
     */
   @volatile var emptyTruncatedPages: Int = 0
+
+  /** Like [[emptyTruncatedPages]] but WITHOUT a NextContinuationToken —
+    * out-of-spec for list-type=2, but the honest-fallback contract
+    * (report truncated / fail loud, never a silent partial) deserves
+    * its own pin.
+    */
+  @volatile var emptyTruncatedNoTokenPages: Int = 0
 
   private def listObjects(ex: HttpExchange,
       objects: java.util.concurrent.ConcurrentSkipListMap[String, Obj],
       q: Map[String, String]): Unit = {
     count("list")
-    if (emptyTruncatedPages > 0) {
-      emptyTruncatedPages -= 1
-      count("list_empty_truncated")
-      respond(ex, 200,
-        """<?xml version="1.0" encoding="UTF-8"?>
-          |<ListBucketResult>
-          |<IsTruncated>true</IsTruncated>
-          |<KeyCount>0</KeyCount>
-          |</ListBucketResult>""".stripMargin.getBytes(UTF_8))
-      return
-    }
     val prefix = q.getOrElse("prefix", "")
     val startAfter = q.get("start-after").orElse(q.get("continuation-token"))
+    if (emptyTruncatedPages > 0 || emptyTruncatedNoTokenPages > 0) {
+      // the real-S3 shape: zero Contents, IsTruncated=true, and (unless
+      // the no-token variant is armed) a NextContinuationToken that
+      // resumes from the SAME position (this server's tokens are resume
+      // keys; real tokens are opaque)
+      val withToken = emptyTruncatedPages > 0
+      if (withToken) emptyTruncatedPages -= 1
+      else emptyTruncatedNoTokenPages -= 1
+      count("list_empty_truncated")
+      val token =
+        if (withToken)
+          s"<NextContinuationToken>${xmlEscape(startAfter.getOrElse(prefix))}" +
+            "</NextContinuationToken>"
+        else ""
+      respond(ex, 200,
+        s"""<?xml version="1.0" encoding="UTF-8"?>
+           |<ListBucketResult>
+           |<IsTruncated>true</IsTruncated>
+           |<KeyCount>0</KeyCount>
+           |$token
+           |</ListBucketResult>""".stripMargin.getBytes(UTF_8))
+      return
+    }
     val maxKeys = q.get("max-keys").flatMap(_.toIntOption)
       .getOrElse(1000).min(1000).max(1)
     val from = startAfter match {
@@ -231,11 +251,17 @@ final class S3MemServer(requiredHeader: Option[(String, String)] = None) {
         s"""<LastModified>${e.getValue.mtime}</LastModified>""" +
         s"""<ETag>${xmlEscape(e.getValue.etag)}</ETag></Contents>"""
     }.mkString
+    val token =
+      if (truncated && out.nonEmpty)
+        s"<NextContinuationToken>${xmlEscape(out.last.getKey)}" +
+          "</NextContinuationToken>"
+      else ""
     val xml =
       s"""<?xml version="1.0" encoding="UTF-8"?>
          |<ListBucketResult>
          |<IsTruncated>$truncated</IsTruncated>
          |<KeyCount>${out.size}</KeyCount>
+         |$token
          |$contents
          |</ListBucketResult>""".stripMargin
     respond(ex, 200, xml.getBytes(UTF_8))

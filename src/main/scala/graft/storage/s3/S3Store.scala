@@ -342,41 +342,56 @@ final class S3Store(val s3conf: S3StoreConf) extends Store {
                         maxKeys: Int): Seq[ObjectInfo] =
     listPageTruncated(prefix0, startAfter, maxKeys)._1
 
-  /** One page plus the server's IsTruncated flag — S3 may return FEWER
-    * than max-keys with more remaining, so page size is NOT a reliable
-    * end-of-listing signal.
+  /** One page plus the server's IsTruncated flag and (when truncated)
+    * its opaque NextContinuationToken — S3 may return FEWER than
+    * max-keys with more remaining (even ZERO, an internal page
+    * boundary), so page size is NOT a reliable end-of-listing signal
+    * and the token is the ONLY resume handle that works on an empty
+    * page. `resumeToken` wins over `startAfter` (S3 honors start-after
+    * on the first request of a listing only).
     */
   private def listPageTruncated(prefix0: String, startAfter: Option[String],
-                                maxKeys: Int): (Seq[ObjectInfo], Boolean) = {
+                                maxKeys: Int,
+                                resumeToken: Option[String] = None)
+      : (Seq[ObjectInfo], Boolean, Option[String]) = {
     val q = Seq(
       Some("list-type=2"),
       Some(s"prefix=${encQ(fullKey(prefix0))}"),
       Some(s"max-keys=${math.max(1, math.min(maxKeys, 1000))}"),
-      startAfter.map(sa => s"start-after=${encQ(fullKey(sa))}")
+      resumeToken.map(t => s"continuation-token=${encQ(t)}"),
+      if (resumeToken.isEmpty)
+        startAfter.map(sa => s"start-after=${encQ(fullKey(sa))}")
+      else None
     ).flatten.mkString("&")
     val r = send("GET", bucketUri(q), null)
     if (r.statusCode() != 200) failed("LIST", prefix0, r)
     val body = new String(r.body(), UTF_8)
     (parseListing(body),
-      xmlField(body, "IsTruncated").contains("true"))
+      xmlField(body, "IsTruncated").contains("true"),
+      xmlField(body, "NextContinuationToken").map(xmlUnescape))
   }
 
   override def list(prefix0: String): Seq[ObjectInfo] = {
     val out = Vector.newBuilder[ObjectInfo]
     var after: Option[String] = None
+    var token: Option[String] = None
     var more = true
     while (more) {
-      val (page, truncated) = listPageTruncated(prefix0, after, 1000)
+      val (page, truncated, next) = listPageTruncated(prefix0, after, 1000,
+        token)
       out ++= page
-      // Empty page + IsTruncated=true leaves no resume key: continuing
-      // would respin the same request forever, and returning would pass
-      // off a partial listing as complete. Fail loud instead.
-      if (truncated && page.isEmpty)
-        throw new java.io.IOException(
-          s"LIST $prefix0: empty page with IsTruncated=true after " +
-            s"${out.result().size} keys — cannot resume, listing is partial")
       more = truncated
-      after = page.lastOption.map(_.key)
+      token = next
+      after = page.lastOption.map(_.key).orElse(after)
+      // Empty page + IsTruncated=true + NO token: nothing to resume by —
+      // continuing would respin the same request forever, and returning
+      // would pass off a partial listing as complete. Fail loud. (With a
+      // token — the shape S3 actually serves — the loop just resumes.)
+      if (truncated && page.isEmpty && next.isEmpty)
+        throw new java.io.IOException(
+          s"LIST $prefix0: empty page with IsTruncated=true and no " +
+            s"NextContinuationToken after ${out.result().size} keys — " +
+            "cannot resume, listing is partial")
     }
     out.result()
   }
@@ -384,22 +399,26 @@ final class S3Store(val s3conf: S3StoreConf) extends Store {
   override def listBounded(prefix0: String,
                            max: Int): (Seq[ObjectInfo], Boolean) = {
     // native continuation loop with early exit — IsTruncated is the end
-    // signal, never the page size
+    // signal, never the page size; empty pages resume via the token
     val out = Vector.newBuilder[ObjectInfo]
     var n = 0
     var after: Option[String] = None
+    var token: Option[String] = None
     var more = true
     while (more) {
-      val (page, truncated) = listPageTruncated(prefix0, after, 1000)
+      val (page, truncated, next) = listPageTruncated(prefix0, after, 1000,
+        token)
       out ++= page
       n += page.size
       if (n > max) return (out.result(), true)
-      // Empty page + IsTruncated=true: no resume key, so the listing is
-      // honestly partial — report truncated (callers fall to the
-      // distributed path, which is delete-safe/recopy-safe).
-      if (truncated && page.isEmpty) return (out.result(), true)
+      // truncated + empty page + no token: honestly partial — report
+      // truncated (callers fall to the distributed path, which is
+      // delete-safe/recopy-safe)
+      if (truncated && page.isEmpty && next.isEmpty)
+        return (out.result(), true)
       more = truncated
-      after = page.lastOption.map(_.key)
+      token = next
+      after = page.lastOption.map(_.key).orElse(after)
     }
     (out.result(), false)
   }
@@ -457,6 +476,9 @@ final class S3Store(val s3conf: S3StoreConf) extends Store {
 
   private def xmlEscape(s: String): String =
     s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+
+  private def xmlUnescape(s: String): String =
+    s.replace("&lt;", "<").replace("&gt;", ">").replace("&amp;", "&")
 }
 
 object S3Store {

@@ -253,6 +253,11 @@ object TensorPlane {
     val node = session.node(path).filter(_.isArray).getOrElse(
       throw new GraftException(s"no array at $path"))
     val ndim = node.shape.size
+    // chunkBoundsOf zips bounds with the chunk grid — a short bounds
+    // list would silently leave trailing axes unconstrained and return
+    // the wrong region
+    require(bounds.size == ndim,
+      s"bounds must cover all $ndim dimensions of $path, got ${bounds.size}")
     val refs = session.refsBounded(path, chunkBoundsOf(node, bounds))
     val fetch = sessionFetch(session)
     val spark = refs.sparkSession
@@ -288,6 +293,11 @@ object TensorPlane {
                  compression: String = "raw"): DataFrame = {
     val node = session.node(path).filter(_.isArray).getOrElse(
       throw new GraftException(s"no array at $path"))
+    // zips below would silently DROP unmatched dimensions (an
+    // unconstrained axis returning the wrong region) — refuse instead
+    require(bounds.size == node.shape.size,
+      s"bounds must cover all ${node.shape.size} dimensions of $path, " +
+        s"got ${bounds.size}")
     val clipped = bounds.zip(node.shape).map { case ((lo, hi), s) =>
       (lo, math.min(hi, s))
     }

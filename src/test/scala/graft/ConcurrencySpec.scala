@@ -114,6 +114,34 @@ class ConcurrencySpec extends SparkTestBase {
     }
   }
 
+  test("commit_retries_hard_cap_x bounds TOTAL attempts under perpetual " +
+      "foreign progress — time-to-failure is configurable (ADVICE r15)") {
+    // An adversary lands a foreign pointer update inside every CAS
+    // round, so our update always loses WITH observed progress: stalls
+    // stay 0 and only the hard cap can end the loop. With
+    // commitRetries=3 × hardCapX=2 the writer must give up after
+    // exactly 6 attempts (latency-sensitive config), not spin the
+    // default 16× endurance budget.
+    val repo = Repository.create(Store.local(tmpDir("hardcap")), spark,
+      GraftConfig(commitRetries = 3, commitRetriesHardCapX = 2))
+    var attempts = 0
+    val e = intercept[ConflictException] {
+      repo.casUpdate("test_hard_cap", "adversary") { cur =>
+        attempts += 1
+        // foreign commit lands between our load and our CAS
+        assert(repo.pointer.compareAndSwap(cur.gen,
+          cur.copy(gen = cur.gen + 1)))
+        cur
+      }
+    }
+    assert(attempts == 6, s"$attempts attempts at retries=3 x capX=2")
+    assert(e.getMessage.contains("commit_retries"), e.getMessage)
+    // the repo stays healthy: the adversarial updates landed, a normal
+    // ref op still succeeds
+    repo.createBranch("ok", repo.info().branches("main"))
+    assert(repo.listBranches().contains("ok"))
+  }
+
   test("N contending writers converge with a bounded CAS-attempt total " +
       "(lock-free progress, no retry storm)") {
     // Every lost CAS round pairs with a DISTINCT commit landed by a peer,

@@ -134,11 +134,13 @@ class OpsSpec extends SparkTestBase {
       "bounded-by-construction namespaces never materialize past it " +
       "(VERDICT r15 item 2)") {
     // staging/ holds active session tokens and gc/ holds age-swept clock
-    // probes — both small by construction, so more than gcDriverListMax
-    // objects means a LEAK, and the sweep must surface it instead of
-    // silently paging an unbounded namespace into driver memory
+    // probes — both small by construction, so more than
+    // gcNamespaceListMax objects means a LEAK, and the sweep must
+    // surface it instead of silently paging an unbounded namespace into
+    // driver memory (the knob is separate from gcDriverListMax, which
+    // switches the chunks/ listing strategy)
     val repo = Repository.create(Store.local(tmpDir("gc-nsbound")), spark,
-      GraftConfig(gcDriverListMax = 10))
+      GraftConfig(gcNamespaceListMax = 10))
     val store = repo.store
     locally {
       val s = repo.writableSession("main")
@@ -151,7 +153,7 @@ class OpsSpec extends SparkTestBase {
     val e = intercept[IllegalStateException](
       GC.garbageCollect(repo, Instant.now().plusSeconds(60)))
     assert(e.getMessage.contains("staging/") &&
-      e.getMessage.contains("gc_driver_list_max"), e.getMessage)
+      e.getMessage.contains("gc_namespace_list_max"), e.getMessage)
     // loud failure precedes every delete: nothing was swept
     assert(store.list("staging/").size == 15)
     assert(store.list("chunks/").nonEmpty)

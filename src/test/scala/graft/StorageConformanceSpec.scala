@@ -271,19 +271,30 @@ class StorageConformanceSpec extends SparkTestBase {
     assert(rd.listBounded("fw/", 10)._2, "redirect dropped truncation")
   }
 
-  test("s3: an empty page with IsTruncated=true is honest — listBounded " +
-      "reports TRUNCATED and list() fails loud, never a silent partial " +
-      "(ADVICE r15)") {
+  test("s3: an empty IsTruncated=true page RESUMES via " +
+      "NextContinuationToken; without a token it is honestly partial, " +
+      "never silently complete (ADVICE r15)") {
     val (server, store) = s3Fixture()
     try {
       (0 until 5).foreach(i => store.putBytes(s"et/k$i", Array[Byte](1)))
-      // an empty+truncated page leaves no resume key: the old loop
-      // stopped AND returned truncated=false — a partial listing passed
-      // off as complete (GC under-collection, Replicate under-copy)
+      // the in-spec shape (internal page boundary WITH a token): both
+      // listing forms resume through it and return the COMPLETE listing
       server.emptyTruncatedPages = 1
+      val (all0, t0) = store.listBounded("et/", 1000)
+      assert(all0.size == 5 && !t0,
+        s"token resume failed: ${all0.size} truncated=$t0")
+      server.emptyTruncatedPages = 1
+      assert(store.list("et/").size == 5, "list() did not resume via token")
+      assert(server.opCount("list_empty_truncated") == 2)
+      // the out-of-spec shape (no token): no resume handle exists — the
+      // old loop stopped AND returned truncated=false, a partial listing
+      // passed off as complete (GC under-collection, Replicate
+      // under-copy); now listBounded reports TRUNCATED and list() fails
+      // loud
+      server.emptyTruncatedNoTokenPages = 1
       val (part, t) = store.listBounded("et/", 1000)
       assert(t, s"partial listing (${part.size} keys) reported complete")
-      server.emptyTruncatedPages = 1
+      server.emptyTruncatedNoTokenPages = 1
       intercept[java.io.IOException](store.list("et/"))
       // clean runs still list fully and un-truncated
       assert(store.list("et/").size == 5)

@@ -207,6 +207,12 @@ class TensorPlaneSpec extends SparkTestBase {
       valsJ.intersect(region)).isEmpty)
     intercept[IllegalArgumentException](
       ro.sliceStatsJ("/r", "float64", jl(2, 3), jl(7), "raw"))
+    // bounds must cover EVERY dimension — a short list would silently
+    // leave trailing axes unconstrained (wrong region, not an error)
+    intercept[IllegalArgumentException](
+      ro.sliceStatsJ("/r", "float64", jl(2), jl(7), "raw"))
+    intercept[IllegalArgumentException](
+      ro.sliceValuesJ("/r", "float64", jl(2), jl(7), "raw"))
   }
 
   test("histogram kernel matches exploded counts; quantiles within a bin") {
