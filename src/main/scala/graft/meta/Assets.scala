@@ -466,16 +466,31 @@ final class AssetManager(val store: Store, spark: SparkSession) {
     * min/max stats tight (manifest sort, session.rs:2564). Returns
     * per-(node, split) extents + file info for the snapshot.
     */
-  def writeManifest(id: String, refs: DataFrame): Map[String, Seq[ManifestRef]] = {
-    refs
-      .repartition(col("node_id"), col("split"))
-      .sortWithinPartitions("node_id", "c0", "c1", "c2", "c3")
-      .write
-      .partitionBy("node_id", "split")
-      .option("compression", "zstd")
-      .parquet(manifestUri(id))
+  def writeManifest(id: String, refs: DataFrame,
+                    ndimOf: Map[String, Int]): Map[String, Seq[ManifestRef]] = {
+    graft.core.Trace.span("manifest.write", "id" -> id) { _ =>
+      refs
+        .repartition(col("node_id"), col("split"))
+        // `split` rides second so the dynamic-partition writer's required
+        // ordering (node_id, split) is satisfied by THIS sort — without it
+        // FileFormatWriter plans a SECOND full sort of every flush's rows
+        // (guide §2.4: remove shuffles/sorts outright). Within a
+        // (node_id, split) file the row order is c0..c3 either way, so
+        // file contents and Parquet min/max stats are identical.
+        .sortWithinPartitions("node_id", "split", "c0", "c1", "c2", "c3")
+        .write
+        .partitionBy("node_id", "split")
+        .option("compression", "zstd")
+        .parquet(manifestUri(id))
+    }
 
-    val ndims = readManifest(id)
+    // extents readback: ndim comes from the caller's node specs (the
+    // bounds filter upstream guarantees coord arity == spec arity), so
+    // the agg never touches the `coord` ARRAY column — the readback scan
+    // column-prunes to the int/long columns only (guide §6: verify
+    // pruning reaches the scan; `coord` was the widest column here).
+    val ndims = graft.core.Trace.span("manifest.extents", "id" -> id) { _ =>
+      readManifest(id)
       .groupBy("node_id", "split")
       .agg(
         min("c0").as("min0"), max("c0").as("max0"),
@@ -483,12 +498,12 @@ final class AssetManager(val store: Store, spark: SparkSession) {
         min("c2").as("min2"), max("c2").as("max2"),
         min("c3").as("min3"), max("c3").as("max3"),
         count(lit(1)).as("refs"),
-        sum(coalesce(col("length"), lit(0L))).as("bytes"),
-        max(size(col("coord"))).as("ndim"))
+        sum(coalesce(col("length"), lit(0L))).as("bytes"))
       .collect()
+    }
     ndims.groupBy(_.getAs[String]("node_id")).map { case (node, rows) =>
+      val nd = ndimOf.getOrElse(node, 4)
       node -> rows.toSeq.map { r =>
-        val nd = r.getAs[Int]("ndim")
         val mins = (0 until nd).map(i => r.getAs[Int](s"min$i"))
         val maxs = (0 until nd).map(i => r.getAs[Int](s"max$i"))
         ManifestRef(id, r.getAs[Int]("split"), mins, maxs,

@@ -1036,9 +1036,36 @@ final class Session private[repo] (
       val (axis, sz) = cfg.splitFor(byId(r.node_id))
       (if (axis < r.coord.size) r.coord(axis) else 0) / sz
     }
-    lazy val pointRefs = changeSet.resolvedPointEdits
+    // Small STAGED changesets (merge deltas, rechunk/transpose swap
+    // commits, bulk batches that happen to be small) resolve driver-side
+    // too (r16 optimization, guide §1.2/§5: the Spark path costs 4-5
+    // fixed-overhead jobs per flush — window, splits collect, manifest
+    // write, extents, tx log — which dominates any sub-10k-row flush).
+    // ONE bounded collect of the resolved changeset (the precedence
+    // window runs once either way; the frame is persisted so the Spark
+    // fallback reuses the same materialization) feeds the same driver
+    // merge+write the point-only path uses. An over-bound changeset pays
+    // one cheap CollectLimit over the shared cache and falls through.
+    val collectedRefs: Option[Seq[ChunkRef]] =
+      if (changedIds.isEmpty || changeSet.pointOnly || shrunkIds.nonEmpty ||
+          changeSet.rewrittenNodes.nonEmpty) None
+      else {
+        val changesAll = changeSet.chunkChanges(spark)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        flushCached = Some(changesAll)
+        val head = changesAll
+          .limit(Session.SmallCommitMaxRefs + 1)
+          .as(org.apache.spark.sql.Encoders.product[ChunkRef])
+          .collect()
+        if (head.length <= Session.SmallCommitMaxRefs) Some(head.toSeq)
+        else None
+      }
+    lazy val pointRefs = (
+      if (changeSet.pointOnly) changeSet.resolvedPointEdits
+      else collectedRefs.getOrElse(Nil))
       .filter(r => changedIds.contains(r.node_id))
-    val fastEligible = changedIds.nonEmpty && changeSet.pointOnly &&
+    val fastEligible = changedIds.nonEmpty &&
+      (changeSet.pointOnly || collectedRefs.isDefined) &&
       shrunkIds.isEmpty && changeSet.rewrittenNodes.isEmpty &&
       pointRefs.nonEmpty && pointRefs.size <= Session.SmallCommitMaxRefs &&
       pointRefs.groupBy(_.node_id).forall { case (id, refs) =>
@@ -1094,10 +1121,15 @@ final class Session private[repo] (
       // persist the resolved changeset for the flush's duration: the
       // precedence window behind chunkChanges otherwise re-shuffles for
       // the touched-splits collect, the manifest write, AND the tx log —
-      // 3 recomputations per flush (released before flushInternal returns)
-      val changesAll = changeSet.chunkChanges(spark)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      flushCached = Some(changesAll)
+      // 3 recomputations per flush (released before flushInternal returns).
+      // The small-changeset probe above may already hold the persisted
+      // handle — reuse it so the window materializes exactly once.
+      val changesAll = flushCached.getOrElse {
+        val c = changeSet.chunkChanges(spark)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        flushCached = Some(c)
+        c
+      }
       val changes = changesAll
         .filter(col("node_id").isin(changedIds.toSeq: _*))
       // manifest split bucketing (config DSL — config.rs:168-263)
@@ -1137,10 +1169,12 @@ final class Session private[repo] (
               id -> refs.map(r =>
                 (if (axis < r.coord.size) r.coord(axis) else 0) / sz).toSet
             }
-        else changesWithSplit
+        else graft.core.Trace.span("flush.splits") { _ =>
+          changesWithSplit
           .select("node_id", "split").distinct().collect()
           .groupBy(_.getString(0))
           .map { case (n, rows) => n -> rows.map(_.getInt(1)).toSet }
+        }
       val mergeNodes = changedIds.toSeq.filterNot(fullRewrite.contains)
       val prevTouched = {
         val all = assets.committedRefs(baseSnapshot, mergeNodes)
@@ -1179,7 +1213,9 @@ final class Session private[repo] (
             (c, n) => c >= 0 && c < n), x => x))
         .drop("nchunks")
       val manifestId = Ids.toBase32(Ids.newObjectId())
-      newRefs = assets.writeManifest(manifestId, bucket(bounded))
+      newRefs = assets.writeManifest(manifestId, bucket(bounded),
+        changedIds.iterator.map(id =>
+          id -> byId(id).numChunksPerDim.size).toMap)
     }
 
     // manifest assembly: unchanged arrays carry everything; merged arrays
@@ -1212,10 +1248,15 @@ final class Session private[repo] (
     // happens strictly after both land, so partial visibility is
     // impossible). Spark-path tx logs run a job on the second thread,
     // which is safe (jobs may be submitted from any thread).
-    graft.storage.Store.parallelIO[() => Unit, Unit](Seq(
-      () => assets.writeSnapshot(snapshot),
-      () => writeTxLog(snapshot, changedIds, mergeTxLogOf, flushCached)))(
-      f => f())
+    graft.core.Trace.span("flush.finalize") { _ =>
+      graft.storage.Store.parallelIO[() => Unit, Unit](Seq(
+        () => assets.writeSnapshot(snapshot),
+        () => writeTxLog(snapshot, changedIds, mergeTxLogOf, flushCached,
+          driverRefs =
+            if (fastEligible && !changeSet.pointOnly) collectedRefs
+            else None)))(
+        f => f())
+    }
     snapshot
 
     } finally flushCached.foreach(_.unpersist(false))
@@ -1226,7 +1267,8 @@ final class Session private[repo] (
     */
   private def writeTxLog(snapshot: Snapshot, changedIds: Set[String],
                          mergeTxLogOf: Option[String] = None,
-                         cachedChanges: Option[DataFrame] = None): Unit = {
+                         cachedChanges: Option[DataFrame] = None,
+                         driverRefs: Option[Seq[ChunkRef]] = None): Unit = {
     val pathOf = (nodes ++ baseSnapshot.nodes).map(n => n.id -> n.path).toMap
     val nodeEdits =
       changeSet.newNodes.values.map(n => EditRow.node(
@@ -1240,11 +1282,15 @@ final class Session private[repo] (
           baseSnapshot.nodes.find(_.path == p).map(_.id).getOrElse(""), p) } ++
       changeSet.moves.map { case (id, f, t) => EditRow.move(id, f, t) }
     // point-only changesets know every row driver-side — write the log
-    // without a Spark job (pairs with the small-commit manifest fast path)
-    if (changeSet.pointOnly && mergeTxLogOf.filter(assets.txLogExists).isEmpty) {
+    // without a Spark job (pairs with the small-commit manifest fast
+    // path); small staged changesets already collected by the flush's
+    // fast path take the same route (r16: the tx log was the last Spark
+    // job of a driver-side flush)
+    if ((changeSet.pointOnly || driverRefs.isDefined) &&
+        mergeTxLogOf.filter(assets.txLogExists).isEmpty) {
       val chunkRows =
         if (!changeSet.hasChunkChanges) Nil
-        else changeSet.resolvedPointEdits.map(r =>
+        else driverRefs.getOrElse(changeSet.resolvedPointEdits).map(r =>
           EditRow.chunk(r.node_id, pathOf.getOrElse(r.node_id, null), r.coord))
       assets.writeTxLogDriver(snapshot.id, nodeEdits.toSeq ++ chunkRows)
       return

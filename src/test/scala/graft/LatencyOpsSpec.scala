@@ -163,7 +163,7 @@ class LatencyOpsSpec extends SparkTestBase {
     val df = spark.createDataset(refs)(
       org.apache.spark.sql.Encoders.product[graft.meta.ChunkRef])
       .toDF().withColumn("split", lit(0))
-    val refsMap = repo.assets.writeManifest("mRANGED", df)
+    val refsMap = repo.assets.writeManifest("mRANGED", df, Map("nX" -> 1))
     val files = repo.store.list("manifests/mRANGED/node_id=nX/split=0/")
       .filter(_.key.endsWith(".parquet"))
     assert(files.nonEmpty)
