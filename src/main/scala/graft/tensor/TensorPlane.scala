@@ -891,6 +891,10 @@ object TensorPlane {
     val confB = sB.repo.store.conf
     val resolverA = session.repo.virtualResolver
     val resolverB = sB.repo.virtualResolver
+    // decided DRIVER-side (after closure serialization `eq` would compare
+    // two fresh deserialized copies): identical backends let the kernel
+    // detect same-ref chunk pairs and decode once
+    val sameBackend = confA == confB && (resolverA eq resolverB)
     // per-coord chunk volume: constant on regular grids, table lookup on
     // rectilinear ones (the closure captures the driver-sized lists)
     val cellsOf: Seq[Int] => Int =
@@ -948,24 +952,38 @@ object TensorPlane {
             else ChunkCodec.decodeDoubles(raw, dtype)
           if (v.length >= cells) v else java.util.Arrays.copyOf(v, cells)
         }
+      // per-element dispatch on an int tag, not the op STRING (a string
+      // equality per cell was ~6 compares × 134M cells on the 1 GiB
+      // combine — guide §1.2 step 2: per-task work after plan shape)
+      val opId = op match {
+        case "add" => 0; case "sub" => 1; case "mul" => 2; case "div" => 3
+        case "min" => 4; case "max" => 5
+      }
       it.map { case (coord, ak, ai, aid, aloc, aoff, alen,
                      bk, bi, bid, bloc, boff, blen) =>
         val cells = cellsOf(coord)
+        // a ⊕ a / aliased chunks (concat/identity-transpose share chunk
+        // objects): both sides resolve to the SAME stored bytes — fetch
+        // and decode once, combine the buffer with itself
+        val sharedRef = sameBackend && ak == bk && aid == bid &&
+          aloc == bloc && aoff == boff && alen == blen &&
+          java.util.Arrays.equals(ai, bi)
         val bytes =
           if (intMath) {
             val a = longsOf(cells, ak, ai, aid, aloc, aoff, alen, confA,
               resolverA)
-            val b = longsOf(cells, bk, bi, bid, bloc, boff, blen, confB,
-              resolverB)
+            val b = if (sharedRef) a
+              else longsOf(cells, bk, bi, bid, bloc, boff, blen, confB,
+                resolverB)
             val out = new Array[Long](cells)
             var i = 0
             while (i < cells) {
-              out(i) = op match {
-                case "add" => a(i) + b(i)
-                case "sub" => a(i) - b(i)
-                case "mul" => a(i) * b(i)
-                case "min" => math.min(a(i), b(i))
-                case "max" => math.max(a(i), b(i))
+              out(i) = (opId: @scala.annotation.switch) match {
+                case 0 => a(i) + b(i)
+                case 1 => a(i) - b(i)
+                case 2 => a(i) * b(i)
+                case 4 => math.min(a(i), b(i))
+                case _ => math.max(a(i), b(i))
               }
               i += 1
             }
@@ -974,18 +992,19 @@ object TensorPlane {
           } else {
             val a = doublesOf(cells, ak, ai, aid, aloc, aoff, alen, confA,
               resolverA)
-            val b = doublesOf(cells, bk, bi, bid, bloc, boff, blen, confB,
-              resolverB)
+            val b = if (sharedRef) a
+              else doublesOf(cells, bk, bi, bid, bloc, boff, blen, confB,
+                resolverB)
             val out = new Array[Double](cells)
             var i = 0
             while (i < cells) {
-              out(i) = op match {
-                case "add" => a(i) + b(i)
-                case "sub" => a(i) - b(i)
-                case "mul" => a(i) * b(i)
-                case "div" => a(i) / b(i)
-                case "min" => math.min(a(i), b(i))
-                case "max" => math.max(a(i), b(i))
+              out(i) = (opId: @scala.annotation.switch) match {
+                case 0 => a(i) + b(i)
+                case 1 => a(i) - b(i)
+                case 2 => a(i) * b(i)
+                case 3 => a(i) / b(i)
+                case 4 => math.min(a(i), b(i))
+                case _ => math.max(a(i), b(i))
               }
               i += 1
             }
