@@ -217,7 +217,12 @@ object Replicate {
         .parquet(manifestIds.toSeq.map(src.assets.manifestUri): _*)
         .filter(col("kind") === ChunkRef.KindRef)
         .select("chunk_id").distinct()
-    val (chunksCopied, bytesCopied, chunksSkipped) = {
+    val (chunksCopied, bytesCopied, chunksSkipped) = try {
+      // persisted for the phase: the closure-size count AND the copy job
+      // both consume this relation — unpersisted, each re-scans every
+      // closure manifest and re-runs the distinct exchange (r16: half of
+      // ms_chunks on a nothing-to-copy incremental push was the re-scan)
+      chunkIds.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val total = chunkIds.count()
       val useList = existsVia == "list" ||
         (existsVia == "auto" && total > listExistsOver)
@@ -267,7 +272,7 @@ object Replicate {
       val copied = stats.map(_._1).sum
       (copied, stats.map(_._2).sum,
         if (useList) total - copied else stats.map(_._3).sum)
-    }
+    } finally chunkIds.unpersist(blocking = false)
     phase("chunks")
 
     // ---- pointer: land the ref with commit-grade CAS, content first ----

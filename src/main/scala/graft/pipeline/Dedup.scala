@@ -178,6 +178,38 @@ object Dedup {
       .distinct()
   }
 
+  /** [[minhashCandidates]]'s default (seeded xxhash) construction over a
+    * PRECOMPUTED `(doc_id, sh)` shingle frame — the LSH verify path
+    * shares one staged shingle pass between banding and exact verify
+    * (identical signatures/buckets/pairs to calling minhashCandidates on
+    * the raw docs; only the shingle computation is shared).
+    */
+  private def minhashCandidatesFromShingles(withSh: DataFrame,
+      numHashes: Int, bands: Int): DataFrame = {
+    val rows = numHashes / bands
+    val sig = withSh
+      .select(col("doc_id"),
+        graft.functions.VectorFunctions.minhash_signature(
+          transform(col("sh"), s => xxhash64(s)),
+          minhashCoeffs(numHashes), MinhashPrime).as("sig"))
+    val buckets = stageCached(sig.select(col("doc_id"), col("sig"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(concat_ws("_",
+          slice(col("sig"), b * rows + 1, lit(rows)))))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket"))
+    val a = buckets.select(col("band"), col("bucket"),
+      col("doc_id").as("doc_a"), col("sig").as("sig_a"))
+    val b = buckets.select(col("band"), col("bucket"),
+      col("doc_id").as("doc_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (size(filter(zip_with(col("sig_a"), col("sig_b"),
+          (x, y) => x === y), b => b)).cast("double") /
+          lit(numHashes.toDouble)).as("est_jaccard"))
+      .distinct()
+  }
+
   /** Engine-portable 64-bit token hash: two 32-bit FNV-1a folds over
     * code points packed (hi << 32) | lo — plain integer arithmetic any
     * engine replays exactly, so simhash fingerprints computed here are
@@ -311,9 +343,13 @@ object Dedup {
       explode(graft.functions.VectorFunctions.char_shingles(
         col(textCol), k, stride, hashed)).as("ps"))
       .select(col("doc_id"), col("ps.pos").as("pos"), col("ps.sub").as("sub"))
+    // "appears in more than one distinct doc" ⟺ min(doc_id) ≠ max(doc_id)
+    // — two fixed-width partials instead of count_distinct's per-group
+    // distinct-set expansion, so the map-side combine ships 2 longs per
+    // shingle (guide §2.3: aggregate before you shuffle)
     val dup = sh.groupBy("sub")
-      .agg(count_distinct(col("doc_id")).as("nd"))
-      .filter(col("nd") > 1)
+      .agg(min("doc_id").as("_mn"), max("doc_id").as("_mx"))
+      .filter(col("_mn") =!= col("_mx"))
       .select("sub")
     val dp = sh.join(dup, Seq("sub")).select("doc_id", "pos")
     val w = org.apache.spark.sql.expressions.Window
@@ -374,11 +410,14 @@ object Dedup {
   def ngramJaccardPairsLsh(docs: DataFrame, textCol: String = "text",
                            n: Int = 3, threshold: Double = 0.5,
                            numHashes: Int = 32, bands: Int = 8): DataFrame = {
-    val candidates = minhashCandidates(docs, textCol, n, numHashes, bands)
-      .select("doc_a", "doc_b")
-    val withSh = docs.select(col("doc_id"),
+    // ONE shingle pass feeds both the banding (via hashed signatures) and
+    // the exact-Jaccard verify sides (r16: the shingler ran 3× per call —
+    // once inside minhashCandidates, once per verify join side)
+    val withSh = stageCached(docs.select(col("doc_id"),
         shingles(col(textCol), n).as("sh"))
-      .withColumn("sz", size(col("sh")))
+      .withColumn("sz", size(col("sh"))))
+    val candidates = minhashCandidatesFromShingles(withSh, numHashes, bands)
+      .select("doc_a", "doc_b")
     val a = withSh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"),
       col("sz").as("sz_a"))
     val b = withSh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"),

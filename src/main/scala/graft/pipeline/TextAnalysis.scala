@@ -780,7 +780,12 @@ object TextAnalysis {
       .select(col("doc_id"), col("lang"), col("ps.sub").as("g"))
       .withColumn("pfx", substring(col("g"), 1, 2))
     val c3 = tri.groupBy("lang", "g").agg(count(lit(1)).as("n3"))
-    val c2 = tri.groupBy("lang", "pfx").agg(count(lit(1)).as("n2"))
+    // prefix totals roll up from the trigram counts (every tri row
+    // contributes exactly 1 to its prefix): identical values to grouping
+    // the exploded corpus again, at the cost of a rollup over the tiny
+    // c3 aggregate instead of a THIRD full corpus explode (guide §2.3)
+    val c2 = c3.groupBy(col("lang"), substring(col("g"), 1, 2).as("pfx"))
+      .agg(sum("n3").as("n2"))
     tri.join(broadcast(c3), Seq("lang", "g"))
       .join(broadcast(c2), Seq("lang", "pfx"))
       .withColumn("lp",

@@ -63,13 +63,67 @@ final class ChangeSet {
     m.values.toSeq
   }
 
-  def setChunkRef(ref: ChunkRef): Unit = pointEdits += ((ref, batchSeq))
+  def setChunkRef(ref: ChunkRef): Unit = {
+    pointEdits += ((ref, batchSeq)); touched()
+  }
 
   /** Stage a distributed batch of chunk refs (full [[ChunkRef]] columns). */
   def stageBatch(df: DataFrame): Unit = {
     batchSeq += 1
     stagedBatches += df.withColumn("_batch", lit(batchSeq))
+    touched()
   }
+
+  // ---- driver-side resolution memo (r16 optimization) ----
+  // A SMALL changeset resolves to in-memory rows once per mutation epoch:
+  // conflict detection (per rebase round / merge) and the flush fast path
+  // each need the same resolved rows, and without the memo every consumer
+  // re-ran the precedence window as its own Spark job.
+  private var mutations = 0L
+  private def touched(): Unit = { mutations += 1; resolvedMemo = None }
+  private var resolvedMemo: Option[(Long, Option[Seq[ChunkRef]])] = None
+  // exclusions.size rides the stamp as a safety net for any direct
+  // mutation of the public buffer that bypassed addExclusion
+  private def stamp: Long = mutations * 1000003L + exclusions.size
+
+  /** Register a rebase exclusion (UseTheirs). Prefer this over mutating
+    * [[exclusions]] directly — it invalidates the resolution memo.
+    */
+  def addExclusion(df: DataFrame): Unit = { exclusions += df; touched() }
+
+  /** The resolved chunk edits as driver rows when they fit `maxRows`
+    * (None = too large — use [[chunkChanges]]). Memoized until the next
+    * mutation; point-only changesets answer from memory with no job.
+    */
+  def resolvedDriver(spark: SparkSession,
+                     maxRows: Int = 10000): Option[Seq[ChunkRef]] = {
+    if (pointOnly) return Some(resolvedPointEdits)
+    resolvedMemo match {
+      case Some((s, v)) if s == stamp => v
+      case _ =>
+        val head = chunkChanges(spark)
+          .limit(maxRows + 1)
+          .as(org.apache.spark.sql.Encoders.product[ChunkRef])
+          .collect()
+        val v = if (head.length <= maxRows) Some(head.toSeq) else None
+        resolvedMemo = Some((stamp, v))
+        v
+    }
+  }
+
+  /** Memo peek: Some(result) iff a resolution is already cached for the
+    * CURRENT changeset state (or it is point-only) — lets the flush probe
+    * reuse a detection-phase collect without forcing one of its own.
+    */
+  def resolvedDriverCached: Option[Option[Seq[ChunkRef]]] =
+    if (pointOnly) Some(Some(resolvedPointEdits))
+    else resolvedMemo.collect { case (s, v) if s == stamp => v }
+
+  /** Seed the memo from a caller that just resolved the changeset
+    * through its own (persisted) frame.
+    */
+  def seedResolvedDriver(v: Option[Seq[ChunkRef]]): Unit =
+    resolvedMemo = Some((stamp, v))
 
   /** Node ids touched by chunk edits (driver-known for point edits; staged
     * batches contribute their distinct node ids — computed lazily).
@@ -146,6 +200,7 @@ final class ChangeSet {
     }
     batchSeq = offset + other.batchSeq
     exclusions ++= other.exclusions
+    touched()
   }
 
   def clearChunks(nodeId: String): Unit = {
@@ -156,6 +211,7 @@ final class ChangeSet {
       stagedBatches.clear()
       stagedBatches ++= filtered
     }
+    touched()
   }
 
   def discard(): Unit = {
@@ -163,5 +219,6 @@ final class ChangeSet {
     moves.clear(); rewrittenNodes.clear(); pointEdits.clear()
     stagedBatches.clear(); exclusions.clear()
     batchSeq = 0
+    touched()
   }
 }

@@ -494,17 +494,51 @@ final class Repository private (
     // own since-fork history — same detector as the commit rebase. No
     // first-parent common ancestor (possible only after heavy expire)
     // means nothing to classify against.
-    // persisted: the detector scans it twice (node collect + chunk semi
-    // join) and a non-trivial solver scans it again
-    val theirLogDf = confBase
-      .map(b => diff(VersionRef.SnapshotVer(b), dstRef))
-      .getOrElse {
-        import spark.implicits._
-        spark.emptyDataset[EditRow].toDF()
-      }.persist()
-    theirLog = Some(theirLogDf)
-    val conflicts = graft.vc.ConflictDetector.detect(session, theirLogDf)
-    if (conflicts.nonEmpty) solver.solve(session, theirLogDf, conflicts)
+    // Driver route first (r16): a merge-sized changeset resolves to
+    // in-memory rows (resolvedDriver memo — the flush probe reuses the
+    // same collect) and dst's since-fork tx logs are usually small
+    // driver-readable objects, so the whole classification runs with
+    // zero additional Spark jobs. Any miss (big changeset, big/absent
+    // log) falls back to the persisted-DataFrame detect unchanged.
+    val theirRowsDriver: Option[Seq[EditRow]] = confBase match {
+      case None => Some(Nil)
+      case Some(b) =>
+        val chain = dstChain.takeWhile(_.id != b)
+        // same missing-log contract as diff(): let the Spark path throw
+        if (chain.exists(s => s.parentId.isDefined &&
+            !assets.txLogExists(s.id))) None
+        else {
+          val reads = graft.storage.Store.parallelIO(
+            chain.map(_.id).filter(assets.txLogExists))(
+            id => assets.readTxLogRowsDriver(id))
+          if (reads.exists(_.isEmpty)) None // a log too large — Spark path
+          else Some(reads.flatten.flatten.distinct)
+        }
+    }
+    val ourRefsDriver = session.changeSet.resolvedDriver(spark)
+    (ourRefsDriver, theirRowsDriver) match {
+      case (Some(ours), Some(theirs)) =>
+        val conflicts =
+          graft.vc.ConflictDetector.detectLocal(session, theirs, ours)
+        if (conflicts.nonEmpty) {
+          import graft.meta.GraftEncoders.editRowEnc
+          val df = spark.createDataset(theirs.toVector)(editRowEnc).toDF()
+          theirLog = Some(df.persist())
+          solver.solve(session, theirLog.get, conflicts)
+        }
+      case _ =>
+        // persisted: the detector scans it twice (node collect + chunk
+        // semi join) and a non-trivial solver scans it again
+        val theirLogDf = confBase
+          .map(b => diff(VersionRef.SnapshotVer(b), dstRef))
+          .getOrElse {
+            import spark.implicits._
+            spark.emptyDataset[EditRow].toDF()
+          }.persist()
+        theirLog = Some(theirLogDf)
+        val conflicts = graft.vc.ConflictDetector.detect(session, theirLogDf)
+        if (conflicts.nonEmpty) solver.solve(session, theirLogDf, conflicts)
+    }
     phase("conflicts")
     session.mergeParent = Some(srcTip) // git's second-parent link
     session.commit(

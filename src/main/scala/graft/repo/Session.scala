@@ -1049,7 +1049,11 @@ final class Session private[repo] (
     val collectedRefs: Option[Seq[ChunkRef]] =
       if (changedIds.isEmpty || changeSet.pointOnly || shrunkIds.nonEmpty ||
           changeSet.rewrittenNodes.nonEmpty) None
-      else {
+      else changeSet.resolvedDriverCached.getOrElse {
+        // no memoized resolution (e.g. a plain commit with no prior
+        // conflict detection): resolve through a PERSISTED frame so the
+        // Spark fallback of an over-bound changeset reuses the same
+        // materialization, and seed the memo for the CAS retry loop
         val changesAll = changeSet.chunkChanges(spark)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         flushCached = Some(changesAll)
@@ -1057,8 +1061,11 @@ final class Session private[repo] (
           .limit(Session.SmallCommitMaxRefs + 1)
           .as(org.apache.spark.sql.Encoders.product[ChunkRef])
           .collect()
-        if (head.length <= Session.SmallCommitMaxRefs) Some(head.toSeq)
-        else None
+        val v =
+          if (head.length <= Session.SmallCommitMaxRefs) Some(head.toSeq)
+          else None
+        changeSet.seedResolvedDriver(v)
+        v
       }
     lazy val pointRefs = (
       if (changeSet.pointOnly) changeSet.resolvedPointEdits

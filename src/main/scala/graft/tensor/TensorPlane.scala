@@ -466,6 +466,9 @@ object TensorPlane {
     // by construction driver-sized lists), then offset/extent/strides
     // from the same tables. Rect inputs are pre-clipped to the array
     // shape (the regular path's flush-time bounds filter equivalent).
+    val grid = node.numChunksPerDim.map(_.toLong).toArray
+    val gridStrides = grid.indices.map(i =>
+      grid.drop(i + 1).product)
     val (withChunk, allocCells): (DataFrame, Seq[Int] => Int) =
       if (!node.isRectilinear) {
         val chunkShape = node.chunkShape
@@ -473,8 +476,9 @@ object TensorPlane {
           chunkShape.indices.map(i => chunkShape.drop(i + 1).product)
         val cells = chunkShape.product.toInt
         (values
-          .withColumn("coord", array((0 until ndim).map(i =>
-            expr(s"i$i div ${chunkShape(i)}").cast("int")): _*))
+          .withColumn("_cl", (0 until ndim).map(i =>
+            expr(s"i$i div ${chunkShape(i)}").cast("long") *
+              gridStrides(i)).reduce(_ + _))
           .withColumn("pos", (0 until ndim).map(i =>
             pmod(col(s"i$i"), lit(chunkShape(i))) * strides(i))
             .reduce(_ + _)),
@@ -500,8 +504,8 @@ object TensorPlane {
           df = df.withColumn(s"_st$i",
             col(s"_st${i + 1}") * col(s"_e${i + 1}"))
         (df
-          .withColumn("coord",
-            array((0 until ndim).map(i => col(s"_c$i")): _*))
+          .withColumn("_cl", (0 until ndim).map(i =>
+            col(s"_c$i").cast("long") * gridStrides(i)).reduce(_ + _))
           .withColumn("pos", (0 until ndim)
             .map(i => col(s"_o$i") * col(s"_st$i")).reduce(_ + _)),
           coord => (0 until ndim).map(i => sizes(i)(coord(i))).product.toInt)
@@ -511,24 +515,30 @@ object TensorPlane {
     import spark.implicits._
     val conf = session.repo.store.conf
     val parts = spark.sparkContext.defaultParallelism * 2
+    // the shuffle/sort key is the LINEAR chunk index (8 bytes/row), not
+    // the coord array — same chunk grouping (the mapping is a bijection),
+    // identical output; the per-row Seq[Int] allocation through
+    // exchange + sort + Dataset decode was the sink's dominant task cost
     val sorted = withChunk
-      .select(col("coord"), col("pos"),
+      .select(col("_cl"), col("pos"),
         col("value").cast(if (isInt) "long" else "double").as("value"))
-      .repartition(parts, col("coord"))
-      .sortWithinPartitions("coord", "pos")
+      .repartition(parts, col("_cl"))
+      .sortWithinPartitions("_cl", "pos")
       // tuple encoders resolve by field name, not position
       .toDF("_1", "_2", "_3")
     val refsDf =
       (if (isInt)
-        sorted.as[(Seq[Int], Long, Long)].mapPartitions { it =>
-          streamEncode[Long](it, c => new Array[Long](allocCells(c)),
+        sorted.as[(Long, Long, Long)].mapPartitions { it =>
+          streamEncodeOrd[Long](it, grid,
+            c => new Array[Long](allocCells(c)),
             (arr, p, v) => arr(p) = v,
             arr => ChunkCodec.compress(
               ChunkCodec.encodeLongs(arr, dtype), compression), conf)
         }
       else
-        sorted.as[(Seq[Int], Long, Double)].mapPartitions { it =>
-          streamEncode[Double](it, c => new Array[Double](allocCells(c)),
+        sorted.as[(Long, Long, Double)].mapPartitions { it =>
+          streamEncodeOrd[Double](it, grid,
+            c => new Array[Double](allocCells(c)),
             (arr, p, v) => arr(p) = v,
             arr => ChunkCodec.compress(
               ChunkCodec.encodeDoubles(arr, dtype), compression), conf)
@@ -2029,6 +2039,52 @@ object TensorPlane {
           if (g(d) < hi(d)) carry = false else { g(d) = lo(d); d -= 1 }
         }
         if (carry) done = true
+      }
+    }
+  }
+
+  /** [[streamEncode]] keyed by the row-major LINEAR chunk index instead
+    * of the coord array: the value sink's shuffle/sort/decode then moves
+    * 8 bytes per row where the array form allocated a boxed Seq[Int] per
+    * value cell (guide §2.3: narrower types; r16 — the per-row coord
+    * materialization was the dominant task cost of the 16.7M-cell value
+    * writes). Coords re-derive once per CHUNK, not per row.
+    */
+  private[graft] def streamEncodeOrd[V](it: Iterator[(Long, Long, V)],
+                              grid: Array[Long],
+                              alloc: Seq[Int] => Array[V],
+                              set: (Array[V], Int, V) => Unit,
+                              encode: Array[V] => Array[Byte],
+                              conf: graft.storage.StoreConf)
+      : Iterator[(Seq[Int], String, Long)] = {
+    val store = graft.storage.StoreConf.cached(conf)
+    val nd = grid.length
+    val strides = new Array[Long](nd)
+    strides(nd - 1) = 1
+    var k = nd - 2
+    while (k >= 0) { strides(k) = strides(k + 1) * grid(k + 1); k -= 1 }
+    def coordOf(cl: Long): Seq[Int] = {
+      var r = cl
+      val c = new Array[Int](nd)
+      var i = 0
+      while (i < nd) { c(i) = (r / strides(i)).toInt; r %= strides(i); i += 1 }
+      c.toIndexedSeq
+    }
+    val buf = it.buffered
+    new Iterator[(Seq[Int], String, Long)] {
+      override def hasNext: Boolean = buf.hasNext
+      override def next(): (Seq[Int], String, Long) = {
+        val cl = buf.head._1
+        val coord = coordOf(cl)
+        val arr = alloc(coord)
+        while (buf.hasNext && buf.head._1 == cl) {
+          val (_, pos, v) = buf.next()
+          set(arr, pos.toInt, v)
+        }
+        val bytes = encode(arr)
+        val id = graft.core.Ids.toBase32(graft.core.Ids.newObjectId())
+        store.putBytes(graft.meta.Layout.chunkKey(id), bytes)
+        (coord, id, bytes.length.toLong)
       }
     }
   }

@@ -78,14 +78,16 @@ object ConflictDetector {
     out.toSeq
   }
 
-  /** Fully driver-side detection: our changeset is point-only (coords in
-    * memory) and their tx log arrived as in-memory rows (small commits
-    * write driver-readable logs) — zero Spark jobs per rebase pass, the
-    * difference between an interactive retry loop and a job queue.
+  /** Fully driver-side detection: our changeset resolved to in-memory
+    * rows (point-only, or a small staged changeset through
+    * [[graft.repo.ChangeSet.resolvedDriver]]) and their tx log arrived
+    * as in-memory rows (small commits write driver-readable logs) —
+    * zero Spark jobs per rebase pass / merge, the difference between an
+    * interactive retry loop and a job queue.
     */
-  def detectLocal(session: Session, theirRows: Seq[EditRow]): Seq[Conflict] = {
+  def detectLocal(session: Session, theirRows: Seq[EditRow],
+                  ourRefs: Seq[graft.meta.ChunkRef]): Seq[Conflict] = {
     val cs = session.changeSet
-    require(cs.pointOnly, "detectLocal requires a point-only changeset")
     val theirNodeEdits = theirRows.filter(_.edit != EditRow.Chunk)
       .map(r => (r.edit, r.node_id, r.path, r.to_path)).toArray
     val out = nodeConflicts(session, theirNodeEdits)
@@ -100,12 +102,12 @@ object ConflictDetector {
       }
       val theirChunkKeys = theirRows.filter(_.edit == EditRow.Chunk)
         .map(r => (r.node_id, r.coord: Seq[Int])).toSet
-      val doubles = cs.resolvedPointEdits
+      val doubles = ourRefs
         .filter(r => theirChunkKeys.contains((r.node_id, r.coord)))
         .groupBy(_.node_id)
       out ++= doubles.map { case (id, rs) =>
         Conflict(Conflict.ChunkDoubleUpdate, "", id, rs.size.toLong) }
-      val ourChunkNodes = cs.resolvedPointEdits.map(_.node_id).toSet
+      val ourChunkNodes = ourRefs.map(_.node_id).toSet
       out ++= chunkNodeConflicts(ourChunkNodes, theirDeleted, theirUpdated)
     }
     out.toSeq
@@ -222,9 +224,10 @@ final case class BasicConflictSolver(
     if (onChunkConflict == VersionSelection.UseTheirs &&
         conflicts.exists(_.kind == Conflict.ChunkDoubleUpdate)) {
       // drop OUR edits for coords they also wrote: anti-join exclusion
-      session.changeSet.exclusions +=
+      // (addExclusion invalidates the driver-resolution memo)
+      session.changeSet.addExclusion(
         theirLog.filter(col("edit") === EditRow.Chunk)
-          .select("node_id", "coord")
+          .select("node_id", "coord"))
     }
     // UseOurs needs no action: the flush merge gives changeset precedence
   }
@@ -275,27 +278,30 @@ object Rebase {
     val prefetched: Map[String, (Boolean, Option[Seq[graft.meta.EditRow]])] =
       graft.storage.Store.parallelIO(missed)(snapId => snapId -> {
         val exists = assets.txLogExists(snapId)
+        // their rows do not depend on OUR changeset — prefetch whenever
+        // the log is driver-readable (r16: small STAGED changesets take
+        // the local detect too, via the resolvedDriver memo below)
         val rows =
-          if (exists && session.changeSet.pointOnly)
-            assets.readTxLogRowsDriver(snapId)
+          if (exists) assets.readTxLogRowsDriver(snapId)
           else None
         (exists, rows)
       }).toMap
     missed.foreach { snapId =>
       if (prefetched(snapId)._1) {
-        // driver fast path: point-only changeset + small tx log ⇒ detect
-        // in memory, zero Spark jobs per rebase pass; the solver gets a
-        // local DataFrame only if it actually has conflicts to resolve.
-        // pointOnly is re-checked HERE, not only at prefetch time: a
-        // solver resolving an earlier missed commit may add exclusions
-        // (UseTheirs does), after which detectLocal's point-only
-        // precondition no longer holds and this commit must take the
-        // Spark detect path its prefetched rows would have skipped
+        // driver fast path: driver-resolvable changeset + small tx log ⇒
+        // detect in memory, zero Spark jobs per rebase pass; the solver
+        // gets a local DataFrame only if it actually has conflicts to
+        // resolve. The resolution is re-evaluated HERE per missed
+        // commit, not only once: a solver resolving an earlier missed
+        // commit may mutate the changeset (UseTheirs adds exclusions),
+        // which invalidates the memo and forces a fresh resolution.
+        val ourRefs = session.changeSet.resolvedDriver(session.repo.spark)
         val localRows =
-          if (session.changeSet.pointOnly) prefetched(snapId)._2 else None
+          if (ourRefs.isDefined) prefetched(snapId)._2 else None
         localRows match {
           case Some(rows) =>
-            val conflicts = ConflictDetector.detectLocal(session, rows)
+            val conflicts =
+              ConflictDetector.detectLocal(session, rows, ourRefs.get)
             if (conflicts.nonEmpty) {
               val spark = session.repo.spark
               import graft.meta.GraftEncoders.editRowEnc
