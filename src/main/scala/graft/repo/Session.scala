@@ -1009,11 +1009,6 @@ final class Session private[repo] (
       }
     val shrunkIds = changeSet.updatedNodes.values
       .filter(n => n.isArray && shrunk(n)).map(_.id).toSet
-    val changedIds = (changeSet.chunkEditNodeIds(spark) ++ shrunkIds)
-      .filter(id => byId.get(id).exists(_.isArray))
-    val fullRewrite: Set[String] =
-      (changeSet.rewrittenNodes.toSet ++ shrunkIds)
-        .filter(changedIds.contains)
 
     var newRefs: Map[String, Seq[ManifestRef]] = Map.empty
     var touchedSplits: Map[String, Set[Int]] = Map.empty
@@ -1024,36 +1019,18 @@ final class Session private[repo] (
     var flushCached: Option[DataFrame] = None
     try {
 
-    // ---- small-commit fast path: point-only changesets merge + write
-    // entirely DRIVER-side (no Spark job anywhere in the flush) — the
-    // reference's sub-second interactive commit (benches/manifest.rs:329).
-    // Eligible when every edit is a driver-held point edit, no shape
-    // shrink/reindex forces a full rewrite, and each previous shard to
-    // merge is small enough to hold in memory (Session.SmallCommitMaxShardRefs;
-    // see its scaladoc for the cost model). Everything else falls through
-    // to the Spark path.
-    def splitOfRef(r: ChunkRef): Int = {
-      val (axis, sz) = cfg.splitFor(byId(r.node_id))
-      (if (axis < r.coord.size) r.coord(axis) else 0) / sz
-    }
-    // Small STAGED changesets (merge deltas, rechunk/transpose swap
-    // commits, bulk batches that happen to be small) resolve driver-side
-    // too (r16 optimization, guide §1.2/§5: the Spark path costs 4-5
-    // fixed-overhead jobs per flush — window, splits collect, manifest
-    // write, extents, tx log — which dominates any sub-10k-row flush).
-    // ONE bounded collect of the resolved changeset (the precedence
-    // window runs once either way; the frame is persisted so the Spark
-    // fallback reuses the same materialization) feeds the same driver
-    // merge+write the point-only path uses. An over-bound changeset pays
-    // one cheap CollectLimit over the shared cache and falls through.
+    // Resolve a small NON-point changeset driver-side FIRST (r16): the
+    // resolved rows answer BOTH the changed-node-id set (otherwise its
+    // own distinct+collect job in chunkEditNodeIds) and the driver
+    // fast-path flush below. ONE bounded collect of the resolved
+    // changeset (precedence window runs once either way; the frame is
+    // persisted so the Spark fallback of an over-bound changeset reuses
+    // the same materialization; the memo shares it with conflict
+    // detection and CAS retries).
     val collectedRefs: Option[Seq[ChunkRef]] =
-      if (changedIds.isEmpty || changeSet.pointOnly || shrunkIds.nonEmpty ||
-          changeSet.rewrittenNodes.nonEmpty) None
+      if (changeSet.pointOnly || !changeSet.hasChunkChanges ||
+          shrunkIds.nonEmpty || changeSet.rewrittenNodes.nonEmpty) None
       else changeSet.resolvedDriverCached.getOrElse {
-        // no memoized resolution (e.g. a plain commit with no prior
-        // conflict detection): resolve through a PERSISTED frame so the
-        // Spark fallback of an over-bound changeset reuses the same
-        // materialization, and seed the memo for the CAS retry loop
         val changesAll = changeSet.chunkChanges(spark)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         flushCached = Some(changesAll)
@@ -1067,6 +1044,30 @@ final class Session private[repo] (
         changeSet.seedResolvedDriver(v)
         v
       }
+    // changed-node discovery: from the resolved rows when available (a
+    // node whose edits were ALL excluded by rebase counts as unchanged —
+    // same manifests either way, the Spark path just reached that via an
+    // empty merge), else the distributed distinct
+    val changedIds = (collectedRefs match {
+      case Some(rows) => rows.iterator.map(_.node_id).toSet ++ shrunkIds
+      case None => changeSet.chunkEditNodeIds(spark) ++ shrunkIds
+    }).filter(id => byId.get(id).exists(_.isArray))
+    val fullRewrite: Set[String] =
+      (changeSet.rewrittenNodes.toSet ++ shrunkIds)
+        .filter(changedIds.contains)
+
+    // ---- small-commit fast path: point-only changesets merge + write
+    // entirely DRIVER-side (no Spark job anywhere in the flush) — the
+    // reference's sub-second interactive commit (benches/manifest.rs:329).
+    // Eligible when every edit is a driver-held point edit, no shape
+    // shrink/reindex forces a full rewrite, and each previous shard to
+    // merge is small enough to hold in memory (Session.SmallCommitMaxShardRefs;
+    // see its scaladoc for the cost model). Everything else falls through
+    // to the Spark path.
+    def splitOfRef(r: ChunkRef): Int = {
+      val (axis, sz) = cfg.splitFor(byId(r.node_id))
+      (if (axis < r.coord.size) r.coord(axis) else 0) / sz
+    }
     lazy val pointRefs = (
       if (changeSet.pointOnly) changeSet.resolvedPointEdits
       else collectedRefs.getOrElse(Nil))

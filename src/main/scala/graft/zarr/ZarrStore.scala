@@ -206,7 +206,16 @@ final class ZarrStore(val session: Session) {
     * this). Chunk-coordinate keys are formatted from the chunk-ref
     * relation, one row per chunk (store.rs:580-699).
     */
-  def listKeysDf(): DataFrame = {
+  def listKeysDf(): DataFrame = listKeysDf("")
+
+  /** [[listKeysDf]] with the key-prefix predicate pushed down to NODE
+    * pruning (r16, guide §6 pushdown): an array contributes chunk keys
+    * only under `<path>/c/`, so a prefix query scans only the arrays
+    * whose key space intersects it — `getsize_prefix("one/array")` on a
+    * 10k-array repo reads one array's manifests, not all of them.
+    * Callers keep their row-level filter; this only prunes whole nodes.
+    */
+  def listKeysDf(prefixFilter: String): DataFrame = {
     val spark = session.repo.spark
     import spark.implicits._
     val metaKeys = session.nodes.map { n =>
@@ -214,7 +223,15 @@ final class ZarrStore(val session: Session) {
         metadataDocument(n).getBytes.length.toLong)
     }
     val metaDf = spark.createDataset(metaKeys).toDF("key", "size")
-    val arrays = session.nodes.filter(_.isArray)
+    val pf = if (prefixFilter.isEmpty) "" else prefixFilter + "/"
+    def intersects(n: graft.meta.NodeSpec): Boolean = pf.isEmpty || {
+      val nPrefix = (NodePath.normalize(n.path) match {
+        case "/" => ChunkMarker
+        case np => np.stripPrefix("/") + "/" + ChunkMarker
+      }) + "/"
+      nPrefix.startsWith(pf) || pf.startsWith(nPrefix)
+    }
+    val arrays = session.nodes.filter(n => n.isArray && intersects(n))
     // ONE batched refs relation for every array, not a per-array
     // refs() union — a 100-array union is a 100-leg plan Catalyst
     // spends tens of seconds analyzing (the Session.refsBatch rationale)
@@ -287,7 +304,7 @@ final class ZarrStore(val session: Session) {
   /** `getsize_prefix` (store.rs:707): one aggregation over the key frame. */
   def getSizePrefix(prefix: String): Long = {
     val norm = prefix.stripPrefix("/")
-    val row = listKeysDf().filter(
+    val row = listKeysDf(norm).filter(
         if (norm.isEmpty) lit(true) else col("key").startsWith(norm + "/"))
       .agg(coalesce(sum("size"), lit(0L))).head()
     row.getLong(0)
