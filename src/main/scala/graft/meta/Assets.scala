@@ -512,6 +512,59 @@ final class AssetManager(val store: Store, spark: SparkSession) {
     }
   }
 
+  /** FUSED manifest write for the bulk (Spark-path) flush (r17, guide
+    * §2.4): ONE exchange + ONE sort + ONE job where the window-based
+    * flush paid the precedence window's exchange+sort, the anti-join, the
+    * writer's second sort, AND a full extents-readback job.
+    *
+    * `rows` is the RAW merge relation — committed rows stamped
+    * `_batch = -1` unioned with the raw changeset rows (their staging
+    * `_batch` stamps) — bucketed with `split`. After the repartition to
+    * (node_id, split), every (node_id, coord) group is wholly inside one
+    * partition (split is a function of the coord), so sorting by
+    * (node_id, split, c0..c3, _batch desc) makes each key's rows adjacent
+    * with the precedence winner FIRST: last-write-wins dedup, the
+    * tombstone drop, and the shape-bounds filter all run as one streaming
+    * pass inside the write task. The task writes each shard with the
+    * SAME parquet writer as the driver fast path (proven byte-compatible
+    * with every reader) and RETURNS the shard stats — extents, ref count,
+    * byte sum — as its output, so the extents never need a readback scan
+    * (guide §6/§5: don't recompute what the write already knows).
+    *
+    * Equivalence with the window path is pinned by FusedFlushSpec:
+    * duplicate coords across/within batches, point-over-staged
+    * precedence, exclusion precedence, tombstone suppression,
+    * out-of-bounds winners, and extents equality.
+    */
+  def writeManifestFused(id: String, rows: DataFrame,
+      gridOf: Map[String, Seq[Int]]): Map[String, Seq[ManifestRef]] = {
+    val conf = store.conf
+    val grids = gridOf.map { case (k, v) => k -> v.toArray }
+    val sorted = rows
+      .repartition(col("node_id"), col("split"))
+      .sortWithinPartitions(col("node_id"), col("split"),
+        col("c0"), col("c1"), col("c2"), col("c3"), col("_batch").desc)
+    val sch = sorted.schema
+    val ix = AssetManager.FusedCols(
+      sch.fieldIndex("node_id"), sch.fieldIndex("coord"),
+      sch.fieldIndex("c0"), sch.fieldIndex("c1"), sch.fieldIndex("c2"),
+      sch.fieldIndex("c3"), sch.fieldIndex("kind"),
+      sch.fieldIndex("inline"), sch.fieldIndex("chunk_id"),
+      sch.fieldIndex("location"), sch.fieldIndex("offset"),
+      sch.fieldIndex("length"), sch.fieldIndex("etag"),
+      sch.fieldIndex("last_modified"), sch.fieldIndex("split"))
+    val stats = graft.core.Trace.span("manifest.write", "id" -> id) { _ =>
+      sorted.mapPartitions(
+        AssetManager.fusedWritePartition(id, conf, grids, ix))(
+        org.apache.spark.sql.Encoders.product[FusedShardStat])
+        .collect()
+    }
+    stats.groupBy(_.node_id).map { case (node, rs) =>
+      node -> rs.toSeq.map(s =>
+        ManifestRef(id, s.split, s.emin, s.emax, s.nrefs, s.bytes))
+    }
+  }
+
   /** Write manifest shards DRIVER-side (no Spark job) — the small-commit
     * fast path. Each (node, split) shard lands at the same partition-dir
     * key Spark's writer would use, sorted by c0..c3 with row-group stats,
@@ -876,5 +929,140 @@ final class AssetManager(val store: Store, spark: SparkSession) {
     val key = Layout.chunkKey(id)
     graft.storage.ChunkCache.getOrFetch(store, key, offset, length)(
       store.getRangeSplit(key, offset, length))
+  }
+}
+
+/** Per-(node_id, split) output of one fused-write task: the shard's
+  * extents/count/bytes, exactly what [[ManifestRef]] needs — computed
+  * from the rows the task just wrote, so no readback job exists.
+  */
+final case class FusedShardStat(node_id: String, split: Int,
+    emin: Seq[Int], emax: Seq[Int], nrefs: Long, bytes: Long)
+
+object AssetManager {
+  /** Column indices of the fused-write input, resolved driver-side once. */
+  final case class FusedCols(node: Int, coord: Int, c0: Int, c1: Int,
+      c2: Int, c3: Int, kind: Int, inline: Int, chunkId: Int,
+      location: Int, offset: Int, length: Int, etag: Int,
+      lastModified: Int, split: Int)
+
+  /** The fused write's per-partition task (executor-side; everything it
+    * captures is serializable). Input rows arrive sorted by
+    * (node_id, split, c0..c3, _batch desc); the pass streams them with
+    * O(1) state per open shard:
+    *
+    *  - (node_id, split) group change ⇒ finish the previous shard's file
+    *    (one store PUT at the exact partition-dir key every reader
+    *    expects) and emit its [[FusedShardStat]];
+    *  - within a group, rows sharing (c0..c3) form an adjacency run;
+    *    the FIRST row of each distinct exact coord in the run is the
+    *    precedence winner (sort put max `_batch` first), later rows of
+    *    the same coord are dropped — the window's row_number()=1, inlined;
+    *  - a winner with `kind = delete` suppresses the key (tombstone);
+    *  - a winner outside the node's chunk grid (wrong arity or any
+    *    per-dim index outside [0, n)) is dropped — the flush bounds
+    *    filter, applied AFTER precedence exactly like the window path
+    *    (an out-of-bounds winner removes the key; an older in-bounds row
+    *    must NOT resurface).
+    *
+    * Rows for nodes absent from `grids` are dropped, mirroring the old
+    * path's inner join against the changed-node grid relation.
+    */
+  private[meta] def fusedWritePartition(id: String,
+      conf: graft.storage.StoreConf,
+      grids: Map[String, Array[Int]],
+      ix: FusedCols)(rows: Iterator[org.apache.spark.sql.Row])
+      : Iterator[FusedShardStat] = {
+    val store = graft.storage.StoreConf.cached(conf)
+    val out = scala.collection.mutable.ArrayBuffer[FusedShardStat]()
+    var curNode: String = null
+    var curSplit = 0
+    var grpOpen = false
+    var grid: Array[Int] = null
+    var writer: DriverParquet.ChunkRefShardWriter = null
+    var mins: Array[Int] = null
+    var maxs: Array[Int] = null
+    var count = 0L
+    var sumBytes = 0L
+    // adjacency-run dedup state (rows sharing c0..c3)
+    var runOpen = false
+    var rc0 = 0; var rc1 = 0; var rc2 = 0; var rc3 = 0
+    val runSeen = scala.collection.mutable.HashSet[Seq[Int]]()
+    def flushGroup(): Unit = {
+      if (writer != null) {
+        val bytes = writer.closeBytes()
+        writer = null
+        store.putBytes(
+          s"${Layout.manifestPrefix(id)}/node_id=$curNode" +
+            s"/split=$curSplit/part-00000-fused.zstd.parquet", bytes)
+        out += FusedShardStat(curNode, curSplit,
+          mins.toSeq, maxs.toSeq, count, sumBytes)
+      }
+      grpOpen = false
+      runOpen = false
+    }
+    try {
+      rows.foreach { r =>
+        val node = r.getString(ix.node)
+        val split = r.getInt(ix.split)
+        if (!grpOpen || node != curNode || split != curSplit) {
+          flushGroup()
+          curNode = node; curSplit = split; grpOpen = true
+          grid = grids.getOrElse(node, null)
+          val nd = if (grid == null) 0 else grid.length
+          mins = Array.fill(nd)(Int.MaxValue)
+          maxs = Array.fill(nd)(Int.MinValue)
+          count = 0L; sumBytes = 0L
+        }
+        val c0 = r.getInt(ix.c0); val c1 = r.getInt(ix.c1)
+        val c2 = r.getInt(ix.c2); val c3 = r.getInt(ix.c3)
+        if (!runOpen || c0 != rc0 || c1 != rc1 || c2 != rc2 || c3 != rc3) {
+          runSeen.clear()
+          rc0 = c0; rc1 = c1; rc2 = c2; rc3 = c3; runOpen = true
+        }
+        val coord: Seq[Int] =
+          if (r.isNullAt(ix.coord)) null else r.getSeq[Int](ix.coord)
+        if (coord != null && runSeen.add(coord)) { // first row = winner
+          val kind = r.getString(ix.kind)
+          if (kind != ChunkRef.KindDelete && grid != null &&
+              coord.size == grid.length) {
+            var i = 0; var ok = true
+            while (ok && i < grid.length) {
+              val c = coord(i)
+              if (c < 0 || c >= grid(i)) ok = false
+              i += 1
+            }
+            if (ok) {
+              if (writer == null)
+                writer = new DriverParquet.ChunkRefShardWriter
+              val len = if (r.isNullAt(ix.length)) 0L else r.getLong(ix.length)
+              writer.append(coord, c0, c1, c2, c3, kind,
+                if (r.isNullAt(ix.inline)) null
+                else r.getAs[Array[Byte]](ix.inline),
+                r.getString(ix.chunkId), r.getString(ix.location),
+                if (r.isNullAt(ix.offset)) 0L else r.getLong(ix.offset),
+                len, r.getString(ix.etag),
+                if (r.isNullAt(ix.lastModified)) 0
+                else r.getInt(ix.lastModified))
+              var d = 0
+              while (d < grid.length) {
+                val c = coord(d)
+                if (c < mins(d)) mins(d) = c
+                if (c > maxs(d)) maxs(d) = c
+                d += 1
+              }
+              count += 1L
+              sumBytes += len
+            }
+          }
+        }
+      }
+      flushGroup()
+    } catch {
+      case t: Throwable =>
+        if (writer != null) writer.abort()
+        throw t
+    }
+    out.iterator
   }
 }

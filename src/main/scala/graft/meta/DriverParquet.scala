@@ -118,6 +118,58 @@ object DriverParquet {
       }
     }
 
+  /** Streaming manifest-shard writer for the fused flush write (r17):
+    * rows append one at a time on an EXECUTOR (one open writer per
+    * (node_id, split) group of the sorted write partition), bytes
+    * materialize at [[closeBytes]]. Same schema/codec as
+    * [[writeChunkRefs]], so the files are byte-compatible with every
+    * existing reader (explicit-schema scans, DSv2, the split cache, the
+    * ranged lookups). Parquet-mr streams rows to a local temp file, so
+    * memory is bounded by the row-group buffer, never the shard size.
+    */
+  final class ChunkRefShardWriter {
+    private val tmp = Files.createTempFile("graft-fused", ".parquet")
+    Files.delete(tmp) // writer refuses to overwrite
+    private val w = ExampleParquetWriter.builder(new LocalOutputFile(tmp))
+      .withType(manifestType)
+      .withCompressionCodec(CompressionCodecName.ZSTD)
+      .withConf(new org.apache.hadoop.conf.Configuration(false))
+      .build()
+    private val f = new SimpleGroupFactory(manifestType)
+
+    def append(coord: Seq[Int], c0: Int, c1: Int, c2: Int, c3: Int,
+               kind: String, inline: Array[Byte], chunkId: String,
+               location: String, offset: Long, length: Long,
+               etag: String, lastModified: Int): Unit = {
+      val g = f.newGroup()
+      addCoord(g, coord)
+      g.append("c0", c0).append("c1", c1).append("c2", c2).append("c3", c3)
+      addStr(g, "kind", kind)
+      if (inline != null)
+        g.append("inline", Binary.fromConstantByteArray(inline))
+      addStr(g, "chunk_id", chunkId)
+      addStr(g, "location", location)
+      g.append("offset", offset).append("length", length)
+      addStr(g, "etag", etag)
+      g.append("last_modified", lastModified)
+      w.write(g)
+    }
+
+    /** Finish the file and return its bytes (deletes the temp file). */
+    def closeBytes(): Array[Byte] = {
+      w.close()
+      try Files.readAllBytes(tmp)
+      finally Files.deleteIfExists(tmp)
+    }
+
+    /** Best-effort cleanup on task failure. */
+    def abort(): Unit = {
+      try w.close() catch { case _: Exception => () }
+      try Files.deleteIfExists(tmp) catch { case _: Exception => () }
+      ()
+    }
+  }
+
   /** One commit's tx-log rows as Parquet bytes. */
   def writeEditRows(rows: Seq[EditRow]): Array[Byte] =
     withWriter(txType) { (f, write) =>

@@ -188,22 +188,29 @@ object Dedup {
       numHashes: Int, bands: Int): DataFrame = {
     val rows = numHashes / bands
     val sig = withSh
-      .select(col("doc_id"),
+      .select(col("doc_id"), col("sz"),
         graft.functions.VectorFunctions.minhash_signature(
           transform(col("sh"), s => xxhash64(s)),
           minhashCoeffs(numHashes), MinhashPrime).as("sig"))
-    val buckets = stageCached(sig.select(col("doc_id"), col("sig"),
+    // `sz` (shingle-set size) rides along so the LSH verify stage can
+    // size-ratio-prefilter candidate pairs BEFORE re-attaching the heavy
+    // shingle arrays (r17, guide §3.2: reduce the join input). sz is a
+    // function of doc_id, so carrying it through the pair distinct cannot
+    // change which (doc_a, doc_b) pairs come out.
+    val buckets = stageCached(sig.select(col("doc_id"), col("sz"), col("sig"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => xxhash64(concat_ws("_",
           slice(col("sig"), b * rows + 1, lit(rows)))))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket"))
     val a = buckets.select(col("band"), col("bucket"),
-      col("doc_id").as("doc_a"), col("sig").as("sig_a"))
+      col("doc_id").as("doc_a"), col("sig").as("sig_a"),
+      col("sz").as("sz_a"))
     val b = buckets.select(col("band"), col("bucket"),
-      col("doc_id").as("doc_b"), col("sig").as("sig_b"))
+      col("doc_id").as("doc_b"), col("sig").as("sig_b"),
+      col("sz").as("sz_b"))
     a.join(b, Seq("band", "bucket"))
       .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"),
+      .select(col("doc_a"), col("doc_b"), col("sz_a"), col("sz_b"),
         (size(filter(zip_with(col("sig_a"), col("sig_b"),
           (x, y) => x === y), b => b)).cast("double") /
           lit(numHashes.toDouble)).as("est_jaccard"))
@@ -344,14 +351,19 @@ object Dedup {
         col(textCol), k, stride, hashed)).as("ps"))
       .select(col("doc_id"), col("ps.pos").as("pos"), col("ps.sub").as("sub"))
     // "appears in more than one distinct doc" ⟺ min(doc_id) ≠ max(doc_id)
-    // — two fixed-width partials instead of count_distinct's per-group
-    // distinct-set expansion, so the map-side combine ships 2 longs per
-    // shingle (guide §2.3: aggregate before you shuffle)
-    val dup = sh.groupBy("sub")
-      .agg(min("doc_id").as("_mn"), max("doc_id").as("_mx"))
+    // over the shingle's group — evaluated as ONE window over the single
+    // exploded relation (r17, guide §2.3/§2.4): the agg+join-back form ran
+    // the corpus shingle explode TWICE (once for the per-sub aggregate,
+    // once for the join side) and paid a second exchange for the join.
+    // The window shuffles the same posting rows once and streams the
+    // min/max per sub with no join at all. Identical rows out: a posting
+    // survives iff its sub's group has ≥2 distinct docs, same as before.
+    val wSub = org.apache.spark.sql.expressions.Window.partitionBy("sub")
+    val dp = sh
+      .withColumn("_mn", min("doc_id").over(wSub))
+      .withColumn("_mx", max("doc_id").over(wSub))
       .filter(col("_mn") =!= col("_mx"))
-      .select("sub")
-    val dp = sh.join(dup, Seq("sub")).select("doc_id", "pos")
+      .select("doc_id", "pos")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy("pos")
     val isl = dp.withColumn("grp",
@@ -416,7 +428,15 @@ object Dedup {
     val withSh = stageCached(docs.select(col("doc_id"),
         shingles(col(textCol), n).as("sh"))
       .withColumn("sz", size(col("sh"))))
+    // size-ratio prefilter (r17, guide §3): jaccard(A,B) ≤ min/max of the
+    // set sizes (|A∩B| ≤ min, |A∪B| ≥ max), so any pair with
+    // min < threshold·max fails the final jaccard ≥ threshold filter —
+    // dropping it HERE is a pure necessary-condition cut that shrinks the
+    // verify join's input before either shingle array is shipped. The ≥
+    // keeps every boundary pair, so the output is bit-identical.
     val candidates = minhashCandidatesFromShingles(withSh, numHashes, bands)
+      .filter(least(col("sz_a"), col("sz_b")).cast("double") >=
+        lit(threshold) * greatest(col("sz_a"), col("sz_b")))
       .select("doc_a", "doc_b")
     val a = withSh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"),
       col("sz").as("sz_a"))
@@ -557,6 +577,12 @@ object Dedup {
         col("sz").as("sz_a"))
       .join(vs, Seq("band", "bucket"))
       .filter(col("doc_a") =!= col("doc_b"))
+      // same size-ratio necessary-condition cut as ngramJaccardPairsLsh
+      // (r17): pairs with min-size < threshold·max-size cannot pass the
+      // jaccard filter below — drop them before the array-carrying
+      // distinct and the intersect
+      .filter(least(col("sz_a"), col("sz_b")).cast("double") >=
+        lit(threshold) * greatest(col("sz_a"), col("sz_b")))
       .select("doc_a", "doc_b", "sh_a", "sh_b", "sz_a", "sz_b")
       .distinct()
       .withColumn("common",

@@ -34,8 +34,13 @@ final class ChangeSet {
   private val pointEdits = mutable.ArrayBuffer[(ChunkRef, Int)]()
   private val stagedBatches = mutable.ArrayBuffer[DataFrame]() // full ChunkRef schema + _batch
   private var batchSeq = 0
-  /** (node, coord) sets to drop from our edits (rebase UseTheirs). */
-  val exclusions: mutable.ArrayBuffer[DataFrame] = mutable.ArrayBuffer()
+  /** (node, coord) sets to drop from our edits (rebase UseTheirs).
+    * Private so every mutation goes through [[addExclusion]] and the
+    * resolution memo's invalidation is enforced by the type, not by
+    * convention (ADVICE r16: a same-size remove+add on the public buffer
+    * would have served a stale memo past the size safety net).
+    */
+  private val exclusions: mutable.ArrayBuffer[DataFrame] = mutable.ArrayBuffer()
 
   def isEmpty: Boolean =
     newNodes.isEmpty && updatedNodes.isEmpty && deletedNodes.isEmpty &&
@@ -94,6 +99,14 @@ final class ChangeSet {
   /** The resolved chunk edits as driver rows when they fit `maxRows`
     * (None = too large — use [[chunkChanges]]). Memoized until the next
     * mutation; point-only changesets answer from memory with no job.
+    *
+    * r17: resolves from the RAW (window-free) relation and applies the
+    * last-write-wins precedence driver-side — a small changeset's
+    * resolution no longer plans the precedence window's exchange+sort at
+    * all (guide §2.4). The bound now applies to RAW rows (≥ resolved
+    * rows), so a dup-heavy changeset that previously squeaked under the
+    * bound post-dedup routes to the Spark path instead — a routing
+    * change only, never a semantic one.
     */
   def resolvedDriver(spark: SparkSession,
                      maxRows: Int = 10000): Option[Seq[ChunkRef]] = {
@@ -101,11 +114,7 @@ final class ChangeSet {
     resolvedMemo match {
       case Some((s, v)) if s == stamp => v
       case _ =>
-        val head = chunkChanges(spark)
-          .limit(maxRows + 1)
-          .as(org.apache.spark.sql.Encoders.product[ChunkRef])
-          .collect()
-        val v = if (head.length <= maxRows) Some(head.toSeq) else None
+        val v = ChangeSet.collectRawHead(chunkChangesRaw(spark), maxRows)
         resolvedMemo = Some((stamp, v))
         v
     }
@@ -137,14 +146,22 @@ final class ChangeSet {
     local ++ staged ++ rewrittenNodes
   }
 
-  /** All chunk edits with last-write-wins precedence applied and rebase
-    * exclusions removed. Tombstones (`kind = delete`) are retained — the
-    * flush merge needs them to suppress committed refs.
+  /** The RAW chunk-edit relation: every staged/point row with its `_batch`
+    * precedence stamp, exclusions anti-joined, NO precedence window (r17).
+    * Duplicate (node_id, coord) keys may appear — the winner is the row
+    * with the highest `_batch`. Consumers either apply the window
+    * ([[chunkChanges]]), dedup driver-side ([[resolvedDriver]]), or dedup
+    * inside an exchange they already pay for (the fused flush write).
+    *
+    * Exclusions apply to the raw rows rather than after the window: an
+    * exclusion removes the whole (node_id, coord) key either way, so the
+    * two orders produce identical resolved relations.
     */
-  def chunkChanges(spark: SparkSession): DataFrame = {
+  def chunkChangesRaw(spark: SparkSession): DataFrame = {
     import spark.implicits._
     if (pointOnly)
       return spark.createDataset(resolvedPointEdits.toVector).toDF()
+        .withColumn("_batch", lit(0.0))
     val point =
       if (pointEdits.isEmpty) None
       // a point edit outranks staged batches BEFORE it (seq + 0.5) and
@@ -158,13 +175,21 @@ final class ChangeSet {
       col("_batch").cast("double"))) ++ point).reduceOption(_ unionByName _)
       .getOrElse(spark.emptyDataset[ChunkRef].toDF()
         .withColumn("_batch", lit(0.0)))
-    val w = Window.partitionBy("node_id", "coord").orderBy(col("_batch").desc)
-    val deduped = all
-      .withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") === 1).drop("_rn", "_batch")
-    exclusions.foldLeft(deduped)((df, ex) =>
+    exclusions.foldLeft(all)((df, ex) =>
       df.join(ex.select("node_id", "coord"), Seq("node_id", "coord"),
         "left_anti"))
+  }
+
+  /** All chunk edits with last-write-wins precedence applied and rebase
+    * exclusions removed. Tombstones (`kind = delete`) are retained — the
+    * flush merge needs them to suppress committed refs.
+    */
+  def chunkChanges(spark: SparkSession): DataFrame = {
+    if (pointOnly) return chunkChangesRaw(spark).drop("_batch")
+    val w = Window.partitionBy("node_id", "coord").orderBy(col("_batch").desc)
+    chunkChangesRaw(spark)
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1).drop("_rn", "_batch")
   }
 
   /** Union of two changesets (session merge, change_set.rs:95-160): `other`
@@ -220,5 +245,46 @@ final class ChangeSet {
     stagedBatches.clear(); exclusions.clear()
     batchSeq = 0
     touched()
+  }
+}
+
+object ChangeSet {
+  /** Driver-side last-write-wins precedence over raw (ref, _batch) rows —
+    * the in-memory equivalent of [[ChangeSet.chunkChanges]]'s window
+    * (row_number over _batch desc per (node_id, coord)). Ties (duplicate
+    * coords within ONE staged batch) resolve arbitrarily in both forms;
+    * here the later-collected row wins. Insertion order is preserved so
+    * repeated resolutions are stable.
+    */
+  /** Bounded collect of a RAW changes relation ([[ChangeSet
+    * .chunkChangesRaw]] output, possibly persisted by the caller) with
+    * driver-side precedence resolution: Some(resolved) when the raw rows
+    * fit `maxRows`, None when the changeset is too large for the driver.
+    */
+  private[graft] def collectRawHead(raw: DataFrame,
+      maxRows: Int): Option[Seq[ChunkRef]] = {
+    val head = raw
+      .limit(maxRows + 1)
+      .select(struct(col("node_id"), col("coord"), col("c0"), col("c1"),
+        col("c2"), col("c3"), col("kind"), col("inline"), col("chunk_id"),
+        col("location"), col("offset"), col("length"), col("etag"),
+        col("last_modified")).as("_1"),
+        col("_batch").as("_2"))
+      .as(org.apache.spark.sql.Encoders.product[(ChunkRef, Double)])
+      .collect()
+    if (head.length <= maxRows) Some(dedupDriver(head.toSeq)) else None
+  }
+
+  private[graft] def dedupDriver(
+      rows: Seq[(ChunkRef, Double)]): Seq[ChunkRef] = {
+    val m = mutable.LinkedHashMap[(String, Seq[Int]), (ChunkRef, Double)]()
+    rows.foreach { case (r, b) =>
+      val k = (r.node_id, r.coord: Seq[Int])
+      m.get(k) match {
+        case Some((_, ob)) if ob > b => ()
+        case _ => m.put(k, (r, b))
+      }
+    }
+    m.valuesIterator.map(_._1).toSeq
   }
 }

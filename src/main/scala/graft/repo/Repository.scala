@@ -371,23 +371,53 @@ final class Repository private (
     // itself brought in resolves by the solver policy like any other)
     val confBase = srcChain.find(s => dstChain.exists(_.id == s.id))
       .map(_.id)
-    // (measured: persisting this relation costs more than the tx-log
-    // re-reads it saves at merge-sized deltas — leave it lazy)
-    // persisted: consumed by the editRows collect below AND the chunk
-    // coords filter later — each re-scan re-reads the tx-log chain
-    // (MergeTimeProbe: each redundant scan ≈ 0.3-1 s of the merge wall)
-    val edits = diff(VersionRef.SnapshotVer(base), srcRef).persist()
+    // Driver route for the src edit set (r17, VERDICT item 2): when every
+    // since-base src tx log is a small driver-readable object, the edit
+    // enumeration AND the chunk staging below run without Spark jobs —
+    // the src-tip refs for the delta coords resolve through the batched
+    // point-lookup machinery (extent-pruned: only the manifest splits the
+    // delta coords can live in are read, instead of refsBatch's scan of
+    // ALL splits of every touched array — guide §6 pushdown at the
+    // metadata level), and the refs stage as a LOCAL batch the flush fast
+    // path collects for free. Any miss — an absent log (expired: the
+    // Spark diff throws the documented error), an oversized log, or a
+    // delta past the small-commit bound — falls back to the Spark
+    // relations wholesale.
+    val srcSinceBase = srcChain.takeWhile(_.id != base)
+    val srcRowsDriver: Option[Seq[EditRow]] =
+      if (srcSinceBase.exists(s => s.parentId.isDefined &&
+          !assets.txLogExists(s.id))) None
+      else {
+        val reads = graft.storage.Store.parallelIO(
+          srcSinceBase.map(_.id).filter(assets.txLogExists))(id =>
+          assets.readTxLogRowsDriver(id))
+        if (reads.exists(_.isEmpty)) None
+        else Some(reads.flatten.flatten.distinct)
+      }
     // any exception below — unsupported moves, staging failures,
     // detector errors — must not leak the cached relations for the
     // session's lifetime: ONE finally covers all three from the moment
     // each persists (vars so the finally sees whatever got that far)
+    var editsSpark: Option[DataFrame] = None
     var stagedRelation: Option[DataFrame] = None
     var theirLog: Option[DataFrame] = None
+    // persisted on demand (Spark route only): consumed by the editRows
+    // collect AND the chunk coords filter — each re-scan re-reads the
+    // tx-log chain (MergeTimeProbe: ≈ 0.3-1 s per redundant scan)
+    def editsDf(): DataFrame = editsSpark.getOrElse {
+      val e = diff(VersionRef.SnapshotVer(base), srcRef).persist()
+      editsSpark = Some(e)
+      e
+    }
     try {
     // ONE driver collect serves both the node-op replay and the
     // chunk-path enumeration (each collect re-reads the tx logs)
-    val editRows = edits.select("edit", "path").distinct().collect()
-      .map(r => (r.getString(0), r.getString(1)))
+    val editRows: Array[(String, String)] = srcRowsDriver match {
+      case Some(rows) =>
+        rows.iterator.map(r => (r.edit, r.path)).toArray.distinct
+      case None => editsDf().select("edit", "path").distinct().collect()
+        .map(r => (r.getString(0), r.getString(1)))
+    }
     phase("diff")
     val nodeEdits = editRows.filter(_._1 != EditRow.Chunk)
     if (nodeEdits.exists(_._1 == EditRow.Move))
@@ -466,28 +496,56 @@ final class Repository private (
     // thousands of arrays plans one job, not thousands serially. etag /
     // last_modified ride along so merged VIRTUAL refs keep their
     // freshness checksums.
-    stagedRelation = if (stagePaths.isEmpty) None else {
-      val coords = edits
-        .filter(col("edit") === EditRow.Chunk &&
-          col("path").isin(stagePaths: _*))
-        .select("path", "coord").distinct()
-      val srcRefs = srcSess.refsBatch(stagePaths)
-        .select("path", "coord", "kind", "inline", "chunk_id", "location",
-          "offset", "length", "etag", "last_modified")
-      val present = srcRefs.join(coords, Seq("path", "coord"), "left_semi")
-      val dels = coords
-        .join(srcRefs.select("path", "coord"), Seq("path", "coord"),
-          "left_anti")
-        .withColumn("kind", lit(ChunkRef.KindDelete))
-      // persisted: staged batches are LAZY, so without this every
-      // consumer of the changeset (conflict doubles join, node-id
-      // distinct, the flush merge itself) re-runs the full src manifest
-      // scan + semi-join; the relation is delta-sized, the scan is not
-      // (MergeTimeProbe: ~2 s per redundant evaluation at 500 k refs)
-      val staged = present.unionByName(dels, allowMissingColumns = true)
-        .persist()
-      session.stageChunkRefsBatch(stagePaths, staged)
-      Some(staged)
+    val deltaKeysDriver: Option[Seq[(String, Seq[Int])]] =
+      srcRowsDriver.map { rows =>
+        val keep = stagePaths.toSet
+        rows.iterator
+          .filter(r => r.edit == EditRow.Chunk && r.path != null &&
+            keep(r.path))
+          .map(r => (r.path, r.coord: Seq[Int])).toSeq.distinct
+      }.filter(_.size <= Session.SmallCommitMaxRefs)
+    stagedRelation = if (stagePaths.isEmpty) None
+    else deltaKeysDriver match {
+      case Some(deltaKeys) =>
+        // driver staging (r17): ONE extent-pruned batched lookup wave
+        // resolves every delta coord at src's tip — hits stage as src-tip
+        // refs, misses as tombstones (src deleted the chunk), exactly the
+        // Spark route's semi/anti-join pair — through the same
+        // stageChunkRefsBatch entry point, as a LOCAL batch.
+        val hits = srcSess.getChunkRefsBatch(deltaKeys)
+        val stagedRows = deltaKeys.zip(hits).map {
+          case ((p, c), Some(r)) => MergeStageRow(p, c, r.kind, r.inline,
+            r.chunk_id, r.location, r.offset, r.length, r.etag,
+            r.last_modified)
+          case ((p, c), None) => MergeStageRow(p, c, ChunkRef.KindDelete,
+            null, null, null, 0L, 0L, null, 0)
+        }
+        session.stageChunkRefsBatch(stagePaths,
+          spark.createDataset(stagedRows.toVector)(
+            org.apache.spark.sql.Encoders.product[MergeStageRow]).toDF())
+        None // local batch — nothing persisted to release
+      case None =>
+        val coords = editsDf()
+          .filter(col("edit") === EditRow.Chunk &&
+            col("path").isin(stagePaths: _*))
+          .select("path", "coord").distinct()
+        val srcRefs = srcSess.refsBatch(stagePaths)
+          .select("path", "coord", "kind", "inline", "chunk_id", "location",
+            "offset", "length", "etag", "last_modified")
+        val present = srcRefs.join(coords, Seq("path", "coord"), "left_semi")
+        val dels = coords
+          .join(srcRefs.select("path", "coord"), Seq("path", "coord"),
+            "left_anti")
+          .withColumn("kind", lit(ChunkRef.KindDelete))
+        // persisted: staged batches are LAZY, so without this every
+        // consumer of the changeset (conflict doubles join, node-id
+        // distinct, the flush merge itself) re-runs the full src manifest
+        // scan + semi-join; the relation is delta-sized, the scan is not
+        // (MergeTimeProbe: ~2 s per redundant evaluation at 500 k refs)
+        val staged = present.unionByName(dels, allowMissingColumns = true)
+          .persist()
+        session.stageChunkRefsBatch(stagePaths, staged)
+        Some(staged)
     }
     phase("chunks")
     // 3-way conflicts: src's edits (now the session changeset) vs dst's
@@ -503,7 +561,19 @@ final class Repository private (
     val theirRowsDriver: Option[Seq[EditRow]] = confBase match {
       case None => Some(Nil)
       case Some(b) =>
-        val chain = dstChain.takeWhile(_.id != b)
+        // re-resolve dst's chain NOW (ADVICE r16): the Spark fallback's
+        // diff(..., dstRef) resolves dst's tip at classification time, so
+        // the driver route must classify against the same history — a dst
+        // commit landing during the staging phase above would otherwise
+        // be classified by one route and not the other.
+        val chainNow =
+          try ancestry(dstRef) catch { case _: Exception => dstChain }
+        if (!chainNow.exists(_.id == b))
+          throw new GraftException(
+            s"merge $src into $dst: conflict base $b vanished from $dst's " +
+              "ancestry mid-merge (concurrent reset/expire) — retry",
+            GraftError.Expired)
+        val chain = chainNow.takeWhile(_.id != b)
         // same missing-log contract as diff(): let the Spark path throw
         if (chain.exists(s => s.parentId.isDefined &&
             !assets.txLogExists(s.id))) None
@@ -548,7 +618,7 @@ final class Repository private (
       solver = solver)
     } finally {
       theirLog.foreach(_.unpersist(blocking = false))
-      edits.unpersist(blocking = false)
+      editsSpark.foreach(_.unpersist(blocking = false))
       stagedRelation.foreach(_.unpersist(blocking = false))
     }
   }
@@ -830,3 +900,11 @@ object Repository {
   def openOrCreate(store: Store, spark: SparkSession): Repository =
     openOrCreate(store, spark, null)
 }
+
+/** One driver-staged merge ref row (r17 merge driver route): the exact
+  * column set [[graft.repo.Session.stageChunkRefsBatch]] expects — `path`
+  * plus the [[graft.meta.ChunkRef]] payload columns.
+  */
+final case class MergeStageRow(path: String, coord: Seq[Int], kind: String,
+    inline: Array[Byte], chunk_id: String, location: String, offset: Long,
+    length: Long, etag: String, last_modified: Int)

@@ -1022,25 +1022,21 @@ final class Session private[repo] (
     // Resolve a small NON-point changeset driver-side FIRST (r16): the
     // resolved rows answer BOTH the changed-node-id set (otherwise its
     // own distinct+collect job in chunkEditNodeIds) and the driver
-    // fast-path flush below. ONE bounded collect of the resolved
-    // changeset (precedence window runs once either way; the frame is
-    // persisted so the Spark fallback of an over-bound changeset reuses
-    // the same materialization; the memo shares it with conflict
-    // detection and CAS retries).
+    // fast-path flush below. r17: the collect runs over the RAW
+    // (window-free) changes relation and resolves precedence driver-side
+    // (ChangeSet.dedupDriver) — no precedence-window exchange+sort is
+    // planned anywhere in the flush anymore. The raw frame is persisted
+    // so the Spark fallback of an over-bound changeset reuses the same
+    // staging-scan materialization; the memo shares the resolution with
+    // conflict detection and CAS retries.
     val collectedRefs: Option[Seq[ChunkRef]] =
       if (changeSet.pointOnly || !changeSet.hasChunkChanges ||
           shrunkIds.nonEmpty || changeSet.rewrittenNodes.nonEmpty) None
       else changeSet.resolvedDriverCached.getOrElse {
-        val changesAll = changeSet.chunkChanges(spark)
+        val rawAll = changeSet.chunkChangesRaw(spark)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        flushCached = Some(changesAll)
-        val head = changesAll
-          .limit(Session.SmallCommitMaxRefs + 1)
-          .as(org.apache.spark.sql.Encoders.product[ChunkRef])
-          .collect()
-        val v =
-          if (head.length <= Session.SmallCommitMaxRefs) Some(head.toSeq)
-          else None
+        flushCached = Some(rawAll)
+        val v = ChangeSet.collectRawHead(rawAll, Session.SmallCommitMaxRefs)
         changeSet.seedResolvedDriver(v)
         v
       }
@@ -1126,14 +1122,15 @@ final class Session private[repo] (
         newRefs = assets.writeManifestShardsDriver(manifestId, shards)
       }
     } else if (changedIds.nonEmpty) {
-      // persist the resolved changeset for the flush's duration: the
-      // precedence window behind chunkChanges otherwise re-shuffles for
-      // the touched-splits collect, the manifest write, AND the tx log —
-      // 3 recomputations per flush (released before flushInternal returns).
-      // The small-changeset probe above may already hold the persisted
-      // handle — reuse it so the window materializes exactly once.
+      // persist the RAW changeset for the flush's duration: the staging
+      // scans otherwise re-run for the touched-splits collect, the fused
+      // manifest write, AND the tx log (released before flushInternal
+      // returns). The small-changeset probe above may already hold the
+      // persisted handle — reuse it so the scan materializes exactly
+      // once. No precedence window runs here at all (r17): last-write-
+      // wins resolves INSIDE the fused write's one exchange+sort.
       val changesAll = flushCached.getOrElse {
-        val c = changeSet.chunkChanges(spark)
+        val c = changeSet.chunkChangesRaw(spark)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         flushCached = Some(c)
         c
@@ -1197,33 +1194,20 @@ final class Session private[repo] (
       val prevFull = assets.committedRefs(baseSnapshot,
         fullRewrite.toSeq.filterNot(changeSet.rewrittenNodes.contains))
         .drop("split")
-      // changeset-over-snapshot merge (session.rs:2587-2635)
-      val prev = prevTouched.unionByName(prevFull)
-      val merged = prev.join(changesWithSplit.select("node_id", "coord"),
-          Seq("node_id", "coord"), "left_anti")
-        .unionByName(changesWithSplit.drop("split"))
-        .filter(col("kind") =!= ChunkRef.KindDelete)
-      // bounds filter: drop refs outside the (possibly shrunk) shape
-      val grids = changedIds.toSeq.map { id =>
-        (id, byId(id).numChunksPerDim.toArray)
-      }
-      val gridDf = spark.createDataFrame(grids.map(t =>
-        org.apache.spark.sql.Row(t._1, t._2.toSeq)).asJava,
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("node_id",
-            org.apache.spark.sql.types.StringType),
-          org.apache.spark.sql.types.StructField("nchunks",
-            org.apache.spark.sql.types.ArrayType(
-              org.apache.spark.sql.types.IntegerType)))))
-      val bounded = merged.join(broadcast(gridDf), Seq("node_id"))
-        .filter(size(col("coord")) === size(col("nchunks")) &&
-          forall(zip_with(col("coord"), col("nchunks"),
-            (c, n) => c >= 0 && c < n), x => x))
-        .drop("nchunks")
+      // changeset-over-snapshot merge (session.rs:2587-2635), expressed
+      // as pure precedence (r17): committed rows ride with _batch = -1 —
+      // strictly below every staged/point stamp — so the fused write's
+      // last-write-wins dedup IS the old anti-join+union, and the
+      // tombstone drop + shape-bounds filter apply to each key's winner
+      // inside the same streaming pass. One exchange (the write
+      // repartition), one sort, one job, extents as task output.
+      val prev = bucket(prevTouched.unionByName(prevFull))
+        .withColumn("_batch", lit(-1.0))
       val manifestId = Ids.toBase32(Ids.newObjectId())
-      newRefs = assets.writeManifest(manifestId, bucket(bounded),
+      newRefs = assets.writeManifestFused(manifestId,
+        changesWithSplit.unionByName(prev),
         changedIds.iterator.map(id =>
-          id -> byId(id).numChunksPerDim.size).toMap)
+          id -> (byId(id).numChunksPerDim: Seq[Int])).toMap)
     }
 
     // manifest assembly: unchanged arrays carry everything; merged arrays
@@ -1313,10 +1297,12 @@ final class Session private[repo] (
             r.coord)))(editRowEnc).toDF()
       else {
         val pathDf = spark.createDataset(pathOf.toSeq)(strPairEnc).toDF("node_id", "path")
-        // reuse the flush's persisted changeset when available — the
-        // precedence window is expensive and already materialized
-        cachedChanges.getOrElse(changeSet.chunkChanges(spark))
-          .select("node_id", "coord")
+        // reuse the flush's persisted RAW changeset when available; the
+        // log records each edited KEY once, so the raw rows distinct on
+        // (node_id, coord) — exactly the window path's key set (the
+        // window kept one row per key and the log never read payloads)
+        cachedChanges.getOrElse(changeSet.chunkChangesRaw(spark))
+          .select("node_id", "coord").distinct()
           .join(broadcast(pathDf), Seq("node_id"), "left")
           .select(lit(EditRow.Chunk).as("edit"), col("node_id"), col("path"),
             col("coord"), lit(null).cast("string").as("to_path"))

@@ -17,6 +17,18 @@ import graft.repo.{GraftException, Session}
   */
 object TensorPlane {
 
+  /** Fragment-count bound for [[rechunk]]'s driver-side partitioning
+    * route: below it the (metadata-sized) fragment relation collects once
+    * and partitions driver-side with no sampling pass and no shuffle;
+    * above it the Spark range-partitioned route runs unchanged. Sizing:
+    * a fragment is coords + ref metadata (~150 B, plus inline payloads
+    * bounded by the inline threshold), so 64 k fragments is a few MB of
+    * driver transient against the default 8 GiB heap — and a 64 k-source
+    * regrid is already well past interactive scale.
+    */
+  // var so specs can force the Spark-shuffled fallback cheaply
+  private[graft] var RechunkDriverMaxFragments = 65536
+
   private def sessionFetch(session: Session) =
     fetchBytesUdf(session.repo.store.conf, session.repo.virtualResolver)
 
@@ -475,7 +487,17 @@ object TensorPlane {
         val strides =
           chunkShape.indices.map(i => chunkShape.drop(i + 1).product)
         val cells = chunkShape.product.toInt
-        (values
+        // clip to the array shape BEFORE linearizing (ADVICE r16, high):
+        // under the linear chunk ordinal an out-of-shape index can ALIAS
+        // onto a different valid chunk (e.g. grid (3,3): per-dim chunk
+        // index (0,3) linearizes to 3 = chunk (1,0)), silently writing
+        // the value into the wrong chunk. The coord-keyed path relied on
+        // the flush bounds filter to drop such rows; the ordinal path
+        // must drop them here, mirroring the rectilinear branch.
+        val clipped = (0 until ndim).foldLeft(values) { (d, i) =>
+          d.filter(col(s"i$i") >= 0 && col(s"i$i") < node.shape(i))
+        }
+        (clipped
           .withColumn("_cl", (0 until ndim).map(i =>
             expr(s"i$i div ${chunkShape(i)}").cast("long") *
               gridStrides(i)).reduce(_ + _))
@@ -1772,12 +1794,6 @@ object TensorPlane {
     val conf = session.repo.store.conf
     val resolver = session.repo.virtualResolver
 
-    val sorted = rechunkFragments(session, path, newChunks)
-      .toDF("_1", "_2", "_3", "_4", "_5", "_6", "_7", "_8")
-      .as[(Seq[Int], Seq[Int], String, Array[Byte], String, String,
-        Long, Long)]
-    phase("plan")
-
     // per-source-chunk geometry (global start + stored-buffer extent per
     // dim): closed-form for regular grids, per-dim prefix-sum tables for
     // rectilinear ones (already driver-materialized in the node spec)
@@ -1800,32 +1816,80 @@ object TensorPlane {
     val slots = spark.conf.getOption("spark.executor.cores")
       .flatMap(c => scala.util.Try(c.toInt).toOption)
       .getOrElse(spark.sparkContext.defaultParallelism)
-    val refsDf =
-      (if (isInt)
-        sorted.mapPartitions { it =>
-          assembleChunks[Long](it, srcGeom, maxSrcCells, slots, dstA, shpA,
-            () => new Array[Long](dstCells),
-            raw => ChunkCodec.decodeLongs(
-              ChunkCodec.decompress(raw, compression), dtype),
-            (a, n) => if (a.length >= n) a
-              else java.util.Arrays.copyOf(a, n), // short edge chunk
-            arr => ChunkCodec.compress(
-              ChunkCodec.encodeLongs(arr, dtype), compression),
-            conf, resolver)
-        }
+    // one assemble pipeline for either partitioning route below
+    type Frag = (Seq[Int], Seq[Int], String, Array[Byte], String, String,
+      Long, Long)
+    val assemble: Iterator[Frag] => Iterator[(Seq[Int], String, Long)] =
+      if (isInt)
+        it => assembleChunks[Long](it, srcGeom, maxSrcCells, slots, dstA,
+          shpA,
+          () => new Array[Long](dstCells),
+          raw => ChunkCodec.decodeLongs(
+            ChunkCodec.decompress(raw, compression), dtype),
+          (a, n) => if (a.length >= n) a
+            else java.util.Arrays.copyOf(a, n), // short edge chunk
+          arr => ChunkCodec.compress(
+            ChunkCodec.encodeLongs(arr, dtype), compression),
+          conf, resolver)
       else
-        sorted.mapPartitions { it =>
-          assembleChunks[Double](it, srcGeom, maxSrcCells, slots, dstA,
-            shpA,
-            () => new Array[Double](dstCells),
-            raw => ChunkCodec.decodeDoubles(
-              ChunkCodec.decompress(raw, compression), dtype),
-            (a, n) => if (a.length >= n) a
-              else java.util.Arrays.copyOf(a, n),
-            arr => ChunkCodec.compress(
-              ChunkCodec.encodeDoubles(arr, dtype), compression),
-            conf, resolver)
-        }).toDF("coord", "chunk_id", "length")
+        it => assembleChunks[Double](it, srcGeom, maxSrcCells, slots, dstA,
+          shpA,
+          () => new Array[Double](dstCells),
+          raw => ChunkCodec.decodeDoubles(
+            ChunkCodec.decompress(raw, compression), dtype),
+          (a, n) => if (a.length >= n) a
+            else java.util.Arrays.copyOf(a, n),
+          arr => ChunkCodec.compress(
+            ChunkCodec.encodeDoubles(arr, dtype), compression),
+          conf, resolver)
+
+    // Fragment partitioning (r17, guide §2): the destination linear index
+    // is dense with a driver-known extent, so a bounded fragment relation
+    // (metadata-sized — coords + ref metadata, never payloads) collects
+    // ONCE and partitions driver-side into contiguous, _dl-aligned,
+    // count-balanced slices — skipping repartitionByRange's sampling pass
+    // (which re-evaluated the whole manifest-scan+explode relation) AND
+    // the shuffle itself. Past the bound, the Spark range-partitioned
+    // shape runs unchanged (the 100 TB route; PlanCheckSpec pins its
+    // plan: one range exchange, no join).
+    val headCap = RechunkDriverMaxFragments
+    val head = rechunkFragmentsBase(session, path, newChunks)
+      .limit(headCap + 1)
+      .toDF("_dl", "_1", "_2", "_3", "_4", "_5", "_6", "_7", "_8")
+      .as[(Long, Seq[Int], Seq[Int], String, Array[Byte], String, String,
+        Long, Long)]
+      .collect()
+    phase("plan")
+    val refsDf =
+      if (head.length <= headCap) {
+        import scala.math.Ordering.Implicits._
+        val rows = head.sortBy(r => (r._1, r._3.toIndexedSeq: Seq[Int]))
+        val parts = spark.sparkContext.defaultParallelism * 2
+        val target = math.max(1, (rows.length + parts - 1) / parts)
+        val slices = scala.collection.mutable.ArrayBuffer[Vector[Frag]]()
+        val cur = scala.collection.mutable.ArrayBuffer[Frag]()
+        var i = 0
+        while (i < rows.length) {
+          val dl = rows(i)._1
+          while (i < rows.length && rows(i)._1 == dl) { // whole dst group
+            val r = rows(i)
+            cur += ((r._2, r._3, r._4, r._5, r._6, r._7, r._8, r._9))
+            i += 1
+          }
+          if (cur.length >= target) { slices += cur.toVector; cur.clear() }
+        }
+        if (cur.nonEmpty) slices += cur.toVector
+        val rdd = spark.sparkContext
+          .parallelize(slices.toSeq, math.max(1, slices.size))
+          .mapPartitions(it => assemble(it.flatMap(_.iterator)))
+        spark.createDataset(rdd).toDF("coord", "chunk_id", "length")
+      } else
+        rechunkFragments(session, path, newChunks)
+          .toDF("_1", "_2", "_3", "_4", "_5", "_6", "_7", "_8")
+          .as[(Seq[Int], Seq[Int], String, Array[Byte], String, String,
+            Long, Long)]
+          .mapPartitions(assemble)
+          .toDF("coord", "chunk_id", "length")
 
     // run the copy job exactly once; changeset actions replay from the
     // staging Parquet (flush, tx log, rebase retries)
@@ -1856,8 +1920,8 @@ object TensorPlane {
     * traffic, and the measured wall time with it: warm 1 GiB regrid
     * 8.4 s hashed vs 4.3 s ranged).
     */
-  private[graft] def rechunkFragments(session: Session, path: String,
-                                      newChunks: Seq[Long]): DataFrame = {
+  private def rechunkFragmentsBase(session: Session, path: String,
+                                   newChunks: Seq[Long]): DataFrame = {
     val node = session.node(path).filter(_.isArray).getOrElse(
       throw new GraftException(s"no array at $path"))
     val shape = node.shape
@@ -1895,14 +1959,23 @@ object TensorPlane {
     val dstGrid = shape.zip(newChunks).map { case (s, c) => (s + c - 1) / c }
     val dlExpr = (0 until ndim).map(i =>
         s"_d$i * ${dstGrid.drop(i + 1).product}L").mkString(" + ")
-    val frags = fr
+    fr
       .withColumn("dst", array((0 until ndim).map(i => col(s"_d$i")): _*))
       .withColumn("_dl", expr(dlExpr))
       .select(col("_dl"), col("dst"), col("coord").as("src"), col("kind"),
         col("inline"), col("chunk_id"), col("location"), col("offset"),
         col("length"))
+  }
+
+  /** [[rechunkFragmentsBase]] range-partitioned and sorted by the
+    * destination linear index — the Spark-shuffled fallback shape (see
+    * [[rechunk]]'s driver route for when it is skipped).
+    */
+  private[graft] def rechunkFragments(session: Session, path: String,
+                                      newChunks: Seq[Long]): DataFrame = {
+    val spark = session.repo.spark
     val parts = spark.sparkContext.defaultParallelism * 2
-    frags
+    rechunkFragmentsBase(session, path, newChunks)
       .repartitionByRange(parts, col("_dl"))
       .sortWithinPartitions("_dl", "src")
       .drop("_dl")

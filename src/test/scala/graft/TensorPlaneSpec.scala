@@ -469,4 +469,30 @@ class TensorPlaneSpec extends SparkTestBase {
       TensorPlane.combine(t3, "/sp", "/f64", "/bad", "add", "int64"))
     assert(e.kind == GraftError.SchemaMismatch)
   }
+
+  test("writeValues drops out-of-shape rows on the regular grid instead " +
+      "of aliasing them onto valid chunks (ADVICE r16 high)") {
+    val repo = Repository.create(Store.local(tmpDir("wv-clip")), spark)
+    val s = repo.writableSession("main")
+    s.addArray("/g", Seq(10, 10), Seq(4, 4)) // grid 3x3
+    // valid cells (i,j) in-shape valued i*10+j, PLUS poison rows:
+    // (13, 0) linearizes to per-dim chunk (3, 0) -> _cl 9... out of grid;
+    // before the clip it aliased into a WRONG chunk's cell
+    val rows = (for { i <- 0 until 10; j <- 0 until 10 }
+      yield (i, j, (i * 10 + j).toLong)) ++
+      Seq((13, 0, 999L), (0, 13, 888L), (-1, 2, 777L))
+    import spark.implicits._
+    val df = rows.toDF("i0", "i1", "value")
+    TensorPlane.writeValues(s, "/g", df, "int64")
+    s.commit("clipped write")
+    val ro = repo.readonlySession(VersionRef.Branch("main"))
+    val got = TensorPlane.values(ro, "/g", "int64")
+      .select(col("i0").cast("long"), col("i1").cast("long"),
+        col("value").cast("long"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    // chunk padding cells read as 0; every written cell exact, no poison
+    for { i <- 0 until 10; j <- 0 until 10 }
+      assert(got((i.toLong, j.toLong)) == i * 10 + j, s"cell ($i,$j)")
+    assert(!got.values.exists(v => v == 999L || v == 888L || v == 777L))
+  }
 }
