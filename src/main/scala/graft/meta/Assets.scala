@@ -537,7 +537,9 @@ final class AssetManager(val store: Store, spark: SparkSession) {
     * out-of-bounds winners, and extents equality.
     */
   def writeManifestFused(id: String, rows: DataFrame,
-      gridOf: Map[String, Seq[Int]]): Map[String, Seq[ManifestRef]] = {
+      gridOf: Map[String, Seq[Int]],
+      txFusion: Option[AssetManager.FusedTxSpec] = None)
+      : Map[String, Seq[ManifestRef]] = {
     val conf = store.conf
     val grids = gridOf.map { case (k, v) => k -> v.toArray }
     val sorted = rows
@@ -552,10 +554,11 @@ final class AssetManager(val store: Store, spark: SparkSession) {
       sch.fieldIndex("inline"), sch.fieldIndex("chunk_id"),
       sch.fieldIndex("location"), sch.fieldIndex("offset"),
       sch.fieldIndex("length"), sch.fieldIndex("etag"),
-      sch.fieldIndex("last_modified"), sch.fieldIndex("split"))
+      sch.fieldIndex("last_modified"), sch.fieldIndex("split"),
+      sch.fieldIndex("_batch"))
     val stats = graft.core.Trace.span("manifest.write", "id" -> id) { _ =>
       sorted.mapPartitions(
-        AssetManager.fusedWritePartition(id, conf, grids, ix))(
+        AssetManager.fusedWritePartition(id, conf, grids, ix, txFusion))(
         org.apache.spark.sql.Encoders.product[FusedShardStat])
         .collect()
     }
@@ -944,7 +947,22 @@ object AssetManager {
   final case class FusedCols(node: Int, coord: Int, c0: Int, c1: Int,
       c2: Int, c3: Int, kind: Int, inline: Int, chunkId: Int,
       location: Int, offset: Int, length: Int, etag: Int,
-      lastModified: Int, split: Int)
+      lastModified: Int, split: Int, batch: Int)
+
+  /** Fused transaction-log write (r17): when set, each fused-write task
+    * ALSO writes its partition's distinct changed keys — one
+    * `EditRow.chunk(node, path, coord)` per (node_id, coord) whose
+    * precedence winner is a CHANGESET row (`_batch >= 0`; committed rows
+    * ride at −1) — as a tx-log parquet shard under `prefix`
+    * (`part-<partition>-fused.zstd.parquet`). This is exactly the key set
+    * the separate log job produced (`chunkChangesRaw.distinct` on
+    * (node_id, coord)): a key has a `_batch >= 0` row iff the changeset
+    * edited it, and the winner of an edited key always stamps ≥ 0 since
+    * −1 sorts below every changeset batch. Riding the manifest write's
+    * exchange, the log costs zero extra jobs — the flush's only
+    * remaining Spark work is the ONE fused job.
+    */
+  final case class FusedTxSpec(prefix: String, pathOf: Map[String, String])
 
   /** The fused write's per-partition task (executor-side; everything it
     * captures is serializable). Input rows arrive sorted by
@@ -971,10 +989,13 @@ object AssetManager {
   private[meta] def fusedWritePartition(id: String,
       conf: graft.storage.StoreConf,
       grids: Map[String, Array[Int]],
-      ix: FusedCols)(rows: Iterator[org.apache.spark.sql.Row])
+      ix: FusedCols,
+      txFusion: Option[FusedTxSpec] = None)(
+      rows: Iterator[org.apache.spark.sql.Row])
       : Iterator[FusedShardStat] = {
     val store = graft.storage.StoreConf.cached(conf)
     val out = scala.collection.mutable.ArrayBuffer[FusedShardStat]()
+    val txRows = scala.collection.mutable.ArrayBuffer[EditRow]()
     var curNode: String = null
     var curSplit = 0
     var grpOpen = false
@@ -1023,6 +1044,11 @@ object AssetManager {
         val coord: Seq[Int] =
           if (r.isNullAt(ix.coord)) null else r.getSeq[Int](ix.coord)
         if (coord != null && runSeen.add(coord)) { // first row = winner
+          txFusion.foreach { tx =>
+            if (r.getDouble(ix.batch) >= 0) // changeset key → log it
+              txRows += EditRow.chunk(node,
+                tx.pathOf.getOrElse(node, null), coord)
+          }
           val kind = r.getString(ix.kind)
           if (kind != ChunkRef.KindDelete && grid != null &&
               coord.size == grid.length) {
@@ -1058,6 +1084,14 @@ object AssetManager {
         }
       }
       flushGroup()
+      txFusion.foreach { tx =>
+        if (txRows.nonEmpty) {
+          val pid = org.apache.spark.TaskContext.getPartitionId()
+          store.putBytes(
+            f"${tx.prefix}/part-$pid%05d-fused.zstd.parquet",
+            DriverParquet.writeEditRows(txRows.toSeq))
+        }
+      }
     } catch {
       case t: Throwable =>
         if (writer != null) writer.abort()

@@ -1012,6 +1012,9 @@ final class Session private[repo] (
 
     var newRefs: Map[String, Seq[ManifestRef]] = Map.empty
     var touchedSplits: Map[String, Set[Int]] = Map.empty
+    // set when the fused manifest write also wrote the chunk tx-log
+    // shards (under snapId's prefix) — finalize then skips the log job
+    var fusedTx: Option[graft.meta.AssetManager.FusedTxSpec] = None
     // Spark-path flush cache (resolved changeset); released in the
     // enclosing finally so a throw ANYWHERE after the persist (collect,
     // manifest write, snapshot write) cannot leak blocks into the CAS
@@ -1044,10 +1047,12 @@ final class Session private[repo] (
     // node whose edits were ALL excluded by rebase counts as unchanged —
     // same manifests either way, the Spark path just reached that via an
     // empty merge), else the distributed distinct
-    val changedIds = (collectedRefs match {
+    val editNodeIdsAll = collectedRefs match {
       case Some(rows) => rows.iterator.map(_.node_id).toSet ++ shrunkIds
       case None => changeSet.chunkEditNodeIds(spark) ++ shrunkIds
-    }).filter(id => byId.get(id).exists(_.isArray))
+    }
+    val changedIds =
+      editNodeIdsAll.filter(id => byId.get(id).exists(_.isArray))
     val fullRewrite: Set[String] =
       (changeSet.rewrittenNodes.toSet ++ shrunkIds)
         .filter(changedIds.contains)
@@ -1165,6 +1170,15 @@ final class Session private[repo] (
       // (design-docs/005-manifest-split.md; flush session.rs:2642-2848).
       // Point-only changesets know their coords driver-side: same split
       // arithmetic as bucket(), zero Spark jobs.
+      // touched splits matter only for nodes that HAVE committed shards
+      // (they select which previous shards merge in and which drop from
+      // the snapshot); a first write to a node has neither, so the
+      // distinct+collect job is skipped outright for it (r17, guide §5:
+      // the bulk first-commit — engine_write_500k's shape — paid a full
+      // pass over the changeset for an empty answer).
+      val mergeNodes = changedIds.toSeq.filterNot(fullRewrite.contains)
+      val nodesWithPrev = mergeNodes.filter(n =>
+        baseSnapshot.manifests.getOrElse(n, Nil).nonEmpty)
       touchedSplits =
         if (changeSet.pointOnly)
           changeSet.resolvedPointEdits
@@ -1174,13 +1188,14 @@ final class Session private[repo] (
               id -> refs.map(r =>
                 (if (axis < r.coord.size) r.coord(axis) else 0) / sz).toSet
             }
+        else if (nodesWithPrev.isEmpty) Map.empty
         else graft.core.Trace.span("flush.splits") { _ =>
           changesWithSplit
+          .filter(col("node_id").isin(nodesWithPrev: _*))
           .select("node_id", "split").distinct().collect()
           .groupBy(_.getString(0))
           .map { case (n, rows) => n -> rows.map(_.getInt(1)).toSet }
         }
-      val mergeNodes = changedIds.toSeq.filterNot(fullRewrite.contains)
       val prevTouched = {
         val all = assets.committedRefs(baseSnapshot, mergeNodes)
         val conds = mergeNodes.flatMap { n =>
@@ -1204,10 +1219,28 @@ final class Session private[repo] (
       val prev = bucket(prevTouched.unionByName(prevFull))
         .withColumn("_batch", lit(-1.0))
       val manifestId = Ids.toBase32(Ids.newObjectId())
+      // fuse the tx log into the same job (r17): eligible when the log's
+      // key set equals the fused input's changeset keys — every edited
+      // node survived into changedIds (a node staged then deleted/
+      // retyped would need its keys logged yet has no manifest rows) —
+      // and this isn't an amend absorbing an existing log (that path
+      // unions + distincts the replaced log, Spark-side).
+      fusedTx =
+        if (mergeTxLogOf.exists(assets.txLogExists) ||
+            editNodeIdsAll.exists(id => !changedIds.contains(id))) None
+        else {
+          val pathOf = (effective ++ baseSnapshot.nodes)
+            .map(n => n.id -> n.path).toMap
+          Some(graft.meta.AssetManager.FusedTxSpec(
+            graft.meta.Layout.txLogPrefix(snapId),
+            changedIds.iterator.map(id =>
+              id -> pathOf.getOrElse(id, null)).toMap))
+        }
       newRefs = assets.writeManifestFused(manifestId,
         changesWithSplit.unionByName(prev),
         changedIds.iterator.map(id =>
-          id -> (byId(id).numChunksPerDim: Seq[Int])).toMap)
+          id -> (byId(id).numChunksPerDim: Seq[Int])).toMap,
+        fusedTx)
     }
 
     // manifest assembly: unchanged arrays carry everything; merged arrays
@@ -1246,7 +1279,8 @@ final class Session private[repo] (
         () => writeTxLog(snapshot, changedIds, mergeTxLogOf, flushCached,
           driverRefs =
             if (fastEligible && !changeSet.pointOnly) collectedRefs
-            else None)))(
+            else None,
+          chunksFused = fusedTx.isDefined)))(
         f => f())
     }
     snapshot
@@ -1260,7 +1294,8 @@ final class Session private[repo] (
   private def writeTxLog(snapshot: Snapshot, changedIds: Set[String],
                          mergeTxLogOf: Option[String] = None,
                          cachedChanges: Option[DataFrame] = None,
-                         driverRefs: Option[Seq[ChunkRef]] = None): Unit = {
+                         driverRefs: Option[Seq[ChunkRef]] = None,
+                         chunksFused: Boolean = false): Unit = {
     val pathOf = (nodes ++ baseSnapshot.nodes).map(n => n.id -> n.path).toMap
     val nodeEdits =
       changeSet.newNodes.values.map(n => EditRow.node(
@@ -1278,6 +1313,14 @@ final class Session private[repo] (
     // path); small staged changesets already collected by the flush's
     // fast path take the same route (r16: the tx log was the last Spark
     // job of a driver-side flush)
+    // fused bulk path (r17): the chunk rows are already on disk as tx-log
+    // shards written inside the manifest job — only the (driver-known)
+    // node edits remain, landing as a sibling driver file in the same
+    // log dir (fusion is disabled for amends, so no combine runs here)
+    if (chunksFused) {
+      assets.writeTxLogDriver(snapshot.id, nodeEdits.toSeq)
+      return
+    }
     if ((changeSet.pointOnly || driverRefs.isDefined) &&
         mergeTxLogOf.filter(assets.txLogExists).isEmpty) {
       val chunkRows =

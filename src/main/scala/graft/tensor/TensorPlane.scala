@@ -532,19 +532,35 @@ object TensorPlane {
             .map(i => col(s"_o$i") * col(s"_st$i")).reduce(_ + _)),
           coord => (0 until ndim).map(i => sizes(i)(coord(i))).product.toInt)
       }
-    val isInt = ChunkCodec.IntDtypes.contains(dtype)
     val spark = values.sparkSession
-    import spark.implicits._
-    val conf = session.repo.store.conf
     val parts = spark.sparkContext.defaultParallelism * 2
     // the shuffle/sort key is the LINEAR chunk index (8 bytes/row), not
     // the coord array — same chunk grouping (the mapping is a bijection),
     // identical output; the per-row Seq[Int] allocation through
     // exchange + sort + Dataset decode was the sink's dominant task cost
-    val sorted = withChunk
+    encodeStageOrd(session, path,
+      withChunk.select(col("_cl"), col("pos"), col("value"))
+        .repartition(parts, col("_cl")),
+      grid, allocCells, dtype, compression)
+  }
+
+  /** Sort + encode + stage tail of the value sink: `keyed` is
+    * (_cl, pos, value) rows already CLUSTERED by `_cl` (each chunk's
+    * cells wholly inside one partition — writeValues' repartition, or a
+    * producer-side exchange the aggregation reused, e.g. [[downsample]]).
+    * Sorts within partitions, streams one chunk buffer at a time, stages
+    * the refs via the replayable staging Parquet.
+    */
+  private def encodeStageOrd(session: Session, path: String,
+      keyed: DataFrame, grid: Array[Long], allocCells: Seq[Int] => Int,
+      dtype: String, compression: String): Unit = {
+    val isInt = ChunkCodec.IntDtypes.contains(dtype)
+    val spark = keyed.sparkSession
+    import spark.implicits._
+    val conf = session.repo.store.conf
+    val sorted = keyed
       .select(col("_cl"), col("pos"),
         col("value").cast(if (isInt) "long" else "double").as("value"))
-      .repartition(parts, col("_cl"))
       .sortWithinPartitions("_cl", "pos")
       // tuple encoders resolve by field name, not position
       .toDF("_1", "_2", "_3")
@@ -716,7 +732,29 @@ object TensorPlane {
     val isInt = ChunkCodec.IntDtypes.contains(outDtype)
     val dstStrides = dstShape.indices.map(i =>
       dstShape.drop(i + 1).product)
-    val partials = session.refs(srcPath)
+    // ONE exchange end to end (r17, guide §2.4): the partial rollup and
+    // the value sink used to shuffle back to back — groupBy(dl) hashed
+    // the 2 M-cell partial relation on the destination CELL, then
+    // writeValues re-hashed the aggregated cells on the destination
+    // CHUNK. The cell key (dl) and the sink key (_cl = chunk ordinal,
+    // pos = offset in chunk) are a bijection, so keying the partials by
+    // (_cl, pos) BEFORE one repartition on _cl lets the aggregation
+    // reuse that exchange (clustering on _cl ⊆ group keys (_cl, pos))
+    // and the sink's sort+encode run in the same stage — the second
+    // shuffle disappears. The destination grid is always REGULAR (level
+    // chunks come from addArray above), so the closed-form expressions
+    // of writeValues' regular branch apply verbatim.
+    val dstChunkShape = chunks
+    val dstGrid = dstShape.zip(dstChunkShape).map { case (s, c) =>
+      (s + c - 1) / c }
+    val dstGridStrides = dstGrid.indices.map(i =>
+      dstGrid.drop(i + 1).product)
+    val dstChunkStrides = dstChunkShape.indices.map(i =>
+      dstChunkShape.drop(i + 1).product)
+    val valueCol =
+      if (mode == "stride") col("s") // cnt is exactly 1 per kept sample
+      else col("s") / col("c")
+    val keyed = session.refs(srcPath)
       .repartition(spark.sparkContext.defaultParallelism * 2, col("coord"))
       .withColumn("bytes", fetch(col("kind"), col("inline"),
         col("chunk_id"), col("location"), col("offset"), col("length")))
@@ -724,20 +762,25 @@ object TensorPlane {
         col("coord"), srcDtype, compression, node.chunkShape, shape,
         factors, mode, rectStarts,
         if (node.isRectilinear) node.chunkSizesPerDim else Nil)).as("p"))
-      .groupBy(col("p.dl").as("dl"))
-      .agg(sum("p.sum").as("s"), sum("p.cnt").as("c"))
-    val withDims = (0 until ndim).foldLeft(partials) { case (df, i) =>
-      df.withColumn(s"i$i",
-        pmod(expr(s"dl div ${dstStrides(i)}"), lit(dstShape(i))))
-    }
-    val valueCol =
-      if (mode == "stride") col("s") // cnt is exactly 1 per kept sample
-      else col("s") / col("c")
+      .select((0 until ndim).map(i =>
+          pmod(expr(s"p.dl div ${dstStrides(i)}"), lit(dstShape(i)))
+            .as(s"i$i")) ++
+        Seq(col("p.sum").as("s0"), col("p.cnt").as("c0")): _*)
+      .withColumn("_cl", (0 until ndim).map(i =>
+        expr(s"i$i div ${dstChunkShape(i)}").cast("long") *
+          dstGridStrides(i)).reduce(_ + _))
+      .withColumn("pos", (0 until ndim).map(i =>
+        pmod(col(s"i$i"), lit(dstChunkShape(i))) * dstChunkStrides(i))
+        .reduce(_ + _))
+      .repartition(spark.sparkContext.defaultParallelism * 2, col("_cl"))
+      .groupBy("_cl", "pos")
+      .agg(sum("s0").as("s"), sum("c0").as("c"))
+      .select(col("_cl"), col("pos"),
+        valueCol.cast(if (isInt) "long" else "double").as("value"))
     phase("plan")
-    writeValues(session, dstPath,
-      withDims.select((0 until ndim).map(i => col(s"i$i")) :+
-        valueCol.cast(if (isInt) "long" else "double").as("value"): _*),
-      outDtype, compression)
+    encodeStageOrd(session, dstPath, keyed,
+      dstGrid.map(_.toLong).toArray,
+      _ => dstChunkShape.product.toInt, outDtype, compression)
     phase("write")
   }
 

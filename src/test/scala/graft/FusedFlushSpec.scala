@@ -192,4 +192,42 @@ class FusedFlushSpec extends SparkTestBase {
     assert(!a.contains(450))
     assert(a.contains(700))
   }
+
+  test("bulk flush: fused tx-log shards carry exactly the changed keys " +
+      "(tombstones included), readable by both log readers, diff intact") {
+    val repo = Repository.create(Store.local(tmpDir("fusedtx")), spark,
+      GraftConfig(splits = Seq(SplitRule(".*", 0, 4000))))
+    val s0 = repo.writableSession("main")
+    s0.addArray("/a", Seq(30000), Seq(1))
+    stageRange(s0, "/a", 0, 12000, "C")
+    val base = s0.commit("base") // bulk → Spark fused path + fused tx log
+    val s1 = repo.writableSession("main")
+    stageRange(s1, "/a", 0, 12000, "A")
+    stageRange(s1, "/a", 0, 6000, "B")
+    s1.deleteChunk("/a", Seq(100))
+    val tip = s1.commit("bulk")
+    // the log's chunk-key set is exactly the distinct changed keys — one
+    // row per (node, coord) edited, the tombstoned coord included — plus
+    // no node edits on this commit; paths resolve
+    val log = repo.assets.readTxLog(tip)
+    val rows = log.collect()
+    val chunkCoords = rows.filter(_.getAs[String]("edit") == "chunk")
+    assert(chunkCoords.length == 12000)
+    assert(chunkCoords.map(_.getSeq[Int](
+      log.schema.fieldIndex("coord")).head).toSet == (0 until 12000).toSet)
+    assert(chunkCoords.forall(_.getAs[String]("path") == "/a"))
+    // the base commit's log carries the node edit AND its 12000 keys
+    val baseLog = repo.assets.readTxLog(base).collect()
+    assert(baseLog.exists(r => r.getAs[String]("edit") != "chunk"))
+    assert(baseLog.count(_.getAs[String]("edit") == "chunk") == 12000)
+    // the driver-side reader agrees with the Spark reader (size permitting)
+    repo.assets.readTxLogRowsDriver(tip, maxBytes = 64L * 1024 * 1024)
+      .foreach { drv =>
+        assert(drv.count(_.edit == "chunk") == 12000)
+      }
+    // diff across the fused commits reproduces the edit set
+    val d = repo.diff(VersionRef.SnapshotVer(base),
+      VersionRef.SnapshotVer(tip))
+    assert(d.filter(col("edit") === "chunk").count() == 12000)
+  }
 }
