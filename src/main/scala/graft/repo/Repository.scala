@@ -529,7 +529,39 @@ final class Repository private (
           .filter(col("edit") === EditRow.Chunk &&
             col("path").isin(stagePaths: _*))
           .select("path", "coord").distinct()
-        val srcRefs = srcSess.refsBatch(stagePaths)
+        // coord-bounded manifest access for the SPARK staging route too
+        // (r17, guide §6 — the driver route above already prunes through
+        // the point-lookup machinery): ONE delta-sized agg job computes
+        // each touched path's per-dim coord bounding box, and the src
+        // manifest scan then skips every split whose extents cannot
+        // intersect it — a 50 k-coord delta against a 5 M-ref array reads
+        // the handful of splits the delta lives in, not all of them.
+        // Exactness is untouched: the semi/anti joins below consume only
+        // exact (path, coord) matches, and every delta coord is inside
+        // its own box by construction.
+        val maxNd = stagePaths.map(p =>
+          srcSess.node(p).map(_.shape.size).getOrElse(0)).max
+        val boundsOf: Map[String, Seq[(Int, Int)]] =
+          if (maxNd == 0) Map.empty
+          else {
+            val aggs = (1 to maxNd).flatMap(i => Seq(
+              min(try_element_at(col("coord"), lit(i))).as(s"lo$i"),
+              max(try_element_at(col("coord"), lit(i))).as(s"hi$i")))
+            coords.groupBy("path").agg(aggs.head, aggs.tail: _*)
+              .collect().flatMap { r =>
+                val p = r.getString(0)
+                val nd = srcSess.node(p).map(_.shape.size).getOrElse(0)
+                val bs = (0 until nd).map { i =>
+                  (Option(r.get(1 + 2 * i)), Option(r.get(2 + 2 * i)))
+                }
+                // any null bound (rank-short coords) ⇒ no pruning claim
+                if (nd == 0 || bs.exists(b => b._1.isEmpty || b._2.isEmpty))
+                  None
+                else Some(p -> bs.map(b =>
+                  (b._1.get.asInstanceOf[Int], b._2.get.asInstanceOf[Int])))
+              }.toMap
+          }
+        val srcRefs = srcSess.refsBatchBounded(stagePaths, boundsOf)
           .select("path", "coord", "kind", "inline", "chunk_id", "location",
             "offset", "length", "etag", "last_modified")
         val present = srcRefs.join(coords, Seq("path", "coord"), "left_semi")

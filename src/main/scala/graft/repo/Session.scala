@@ -646,6 +646,35 @@ final class Session private[repo] (
       Seq("node_id"))
   }
 
+  /** [[refsBatch]] restricted per path to a chunk-coordinate bounding box
+    * (inclusive per dim; paths absent from `boundsOf` are unpruned):
+    * manifest splits whose extents cannot intersect a path's box are
+    * NEVER read — the batch form of [[refsBounded]]'s plan-time pruning
+    * (r17, guide §6). Rows inside surviving splits are NOT re-filtered —
+    * the caller must consume through an exact coord join (the merge
+    * staging's semi/anti pair), so pruning can only shrink the scan,
+    * never the result. Rank-mismatched extents can't prove disjointness
+    * and are kept.
+    */
+  private[graft] def refsBatchBounded(paths: Seq[String],
+      boundsOf: Map[String, Seq[(Int, Int)]]): DataFrame = {
+    val ns = paths.distinct.map(arrayNode)
+    val keep = ns.filterNot(n => changeSet.rewrittenNodes.contains(n.id))
+    val parts = for {
+      n <- keep
+      ref <- baseSnapshot.manifests.getOrElse(n.id, Nil)
+      if boundsOf.get(n.path).forall(b =>
+        ref.emin.size != b.size || ref.overlaps(b.map(_._1), b.map(_._2)))
+    } yield (ref.manifestId, n.id, ref.split)
+    val committed = assets.committedRefsParts(parts).drop("split")
+    val overlaid = overlayChanges(ns.map(_.id), committed)
+    val sp = overlaid.sparkSession
+    import sp.implicits._
+    overlaid.join(
+      broadcast(ns.map(n => (n.id, n.path)).toDF("node_id", "path")),
+      Seq("node_id"))
+  }
+
   /** [[refs]] restricted to a chunk-coordinate bounding box (inclusive per
     * dim): manifest splits whose extents don't overlap are '''never
     * read''' — the all-dim plan-time pruning of `ManifestExtents`

@@ -134,8 +134,11 @@ class FusedFlushSpec extends SparkTestBase {
 
   test("merge past the driver-route delta bound takes the Spark staging " +
       "path and produces the same merged state shape") {
+    // split size 1000 so the r17 coord-bounded staging actually prunes:
+    // the 12k-coord delta's box [8000, 19999] must skip splits 0..7 while
+    // the merged state stays exact (these assertions)
     val repo = Repository.create(Store.local(tmpDir("fused4")), spark,
-      GraftConfig(splits = Seq(SplitRule(".*", 0, 100000))))
+      GraftConfig(splits = Seq(SplitRule(".*", 0, 1000))))
     val s0 = repo.writableSession("main")
     s0.addArray("/a", Seq(40000), Seq(1))
     stageRange(s0, "/a", 0, 20000, "C")
