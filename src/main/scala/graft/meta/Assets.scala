@@ -995,7 +995,7 @@ object AssetManager {
       : Iterator[FusedShardStat] = {
     val store = graft.storage.StoreConf.cached(conf)
     val out = scala.collection.mutable.ArrayBuffer[FusedShardStat]()
-    val txRows = scala.collection.mutable.ArrayBuffer[EditRow]()
+    var txWriter: DriverParquet.EditRowShardWriter = null
     var curNode: String = null
     var curSplit = 0
     var grpOpen = false
@@ -1045,9 +1045,12 @@ object AssetManager {
           if (r.isNullAt(ix.coord)) null else r.getSeq[Int](ix.coord)
         if (coord != null && runSeen.add(coord)) { // first row = winner
           txFusion.foreach { tx =>
-            if (r.getDouble(ix.batch) >= 0) // changeset key → log it
-              txRows += EditRow.chunk(node,
-                tx.pathOf.getOrElse(node, null), coord)
+            if (r.getDouble(ix.batch) >= 0) { // changeset key → log it
+              if (txWriter == null)
+                txWriter = new DriverParquet.EditRowShardWriter
+              txWriter.append(EditRow.Chunk, node,
+                tx.pathOf.getOrElse(node, null), coord, null)
+            }
           }
           val kind = r.getString(ix.kind)
           if (kind != ChunkRef.KindDelete && grid != null &&
@@ -1085,16 +1088,18 @@ object AssetManager {
       }
       flushGroup()
       txFusion.foreach { tx =>
-        if (txRows.nonEmpty) {
+        if (txWriter != null) {
           val pid = org.apache.spark.TaskContext.getPartitionId()
+          val bytes = txWriter.closeBytes()
+          txWriter = null
           store.putBytes(
-            f"${tx.prefix}/part-$pid%05d-fused.zstd.parquet",
-            DriverParquet.writeEditRows(txRows.toSeq))
+            f"${tx.prefix}/part-$pid%05d-fused.zstd.parquet", bytes)
         }
       }
     } catch {
       case t: Throwable =>
         if (writer != null) writer.abort()
+        if (txWriter != null) txWriter.abort()
         throw t
     }
     out.iterator

@@ -118,41 +118,78 @@ object DriverParquet {
       }
     }
 
-  /** Streaming manifest-shard writer for the fused flush write (r17):
-    * rows append one at a time on an EXECUTOR (one open writer per
-    * (node_id, split) group of the sorted write partition), bytes
-    * materialize at [[closeBytes]]. Same schema/codec as
-    * [[writeChunkRefs]], so the files are byte-compatible with every
-    * existing reader (explicit-schema scans, DSv2, the split cache, the
-    * ranged lookups). Parquet-mr streams rows to a local temp file, so
-    * memory is bounded by the row-group buffer, never the shard size.
+  /** Pending-row streaming writer base (r17): fields write straight to
+    * parquet-mr's [[RecordConsumer]] — no per-row Group / per-field
+    * wrapper allocation (the SimpleGroup path's object churn was the
+    * dominant per-row cost of the fused 500 k-row write). `emit()` is
+    * called by parquet-mr inside `ParquetWriter.write`, between its own
+    * startMessage/endMessage bookkeeping — subclasses write the pending
+    * row's fields there. File layout (schema, codec, row-group
+    * accounting) is identical to the Example-writer path, so files stay
+    * byte-compatible with every reader.
     */
-  final class ChunkRefShardWriter {
+  private[meta] abstract class StreamingShardWriter(schema: MessageType) {
+    import org.apache.parquet.io.api.RecordConsumer
     private val tmp = Files.createTempFile("graft-fused", ".parquet")
     Files.delete(tmp) // writer refuses to overwrite
-    private val w = ExampleParquetWriter.builder(new LocalOutputFile(tmp))
-      .withType(manifestType)
+    protected var rc: RecordConsumer = null
+    protected def emit(): Unit
+    private object support
+        extends org.apache.parquet.hadoop.api.WriteSupport[java.lang.Void] {
+      override def init(conf: org.apache.hadoop.conf.Configuration) =
+        new org.apache.parquet.hadoop.api.WriteSupport.WriteContext(
+          schema, java.util.Collections.emptyMap[String, String]())
+      override def prepareForWrite(consumer: RecordConsumer): Unit =
+        rc = consumer
+      override def write(v: java.lang.Void): Unit = {
+        rc.startMessage(); emit(); rc.endMessage()
+      }
+    }
+    private final class B(f: org.apache.parquet.io.OutputFile)
+        extends org.apache.parquet.hadoop.ParquetWriter.Builder[
+          java.lang.Void, B](f) {
+      override def self(): B = this
+      override def getWriteSupport(conf: org.apache.hadoop.conf.Configuration)
+          : org.apache.parquet.hadoop.api.WriteSupport[java.lang.Void] =
+        support
+    }
+    private val w = new B(new LocalOutputFile(tmp))
       .withCompressionCodec(CompressionCodecName.ZSTD)
       .withConf(new org.apache.hadoop.conf.Configuration(false))
       .build()
-    private val f = new SimpleGroupFactory(manifestType)
 
-    def append(coord: Seq[Int], c0: Int, c1: Int, c2: Int, c3: Int,
-               kind: String, inline: Array[Byte], chunkId: String,
-               location: String, offset: Long, length: Long,
-               etag: String, lastModified: Int): Unit = {
-      val g = f.newGroup()
-      addCoord(g, coord)
-      g.append("c0", c0).append("c1", c1).append("c2", c2).append("c3", c3)
-      addStr(g, "kind", kind)
-      if (inline != null)
-        g.append("inline", Binary.fromConstantByteArray(inline))
-      addStr(g, "chunk_id", chunkId)
-      addStr(g, "location", location)
-      g.append("offset", offset).append("length", length)
-      addStr(g, "etag", etag)
-      g.append("last_modified", lastModified)
-      w.write(g)
+    /** Subclasses call after staging the pending row in their fields. */
+    protected def writePending(): Unit = w.write(null)
+
+    protected def addCoordRc(coord: Seq[Int], index: Int): Unit =
+      if (coord != null) {
+        rc.startField("coord", index); rc.startGroup()
+        if (coord.nonEmpty) {
+          rc.startField("list", 0)
+          coord.foreach { c =>
+            rc.startGroup()
+            rc.startField("element", 0); rc.addInteger(c)
+            rc.endField("element", 0)
+            rc.endGroup()
+          }
+          rc.endField("list", 0)
+        }
+        rc.endGroup(); rc.endField("coord", index)
+      }
+
+    protected def addStrRc(name: String, index: Int, v: String): Unit =
+      if (v != null) {
+        rc.startField(name, index)
+        rc.addBinary(Binary.fromString(v))
+        rc.endField(name, index)
+      }
+
+    protected def addIntRc(name: String, index: Int, v: Int): Unit = {
+      rc.startField(name, index); rc.addInteger(v); rc.endField(name, index)
+    }
+
+    protected def addLongRc(name: String, index: Int, v: Long): Unit = {
+      rc.startField(name, index); rc.addLong(v); rc.endField(name, index)
     }
 
     /** Finish the file and return its bytes (deletes the temp file). */
@@ -167,6 +204,85 @@ object DriverParquet {
       try w.close() catch { case _: Exception => () }
       try Files.deleteIfExists(tmp) catch { case _: Exception => () }
       ()
+    }
+  }
+
+  /** Streaming manifest-shard writer for the fused flush write (r17):
+    * rows append one at a time on an EXECUTOR (one open writer per
+    * (node_id, split) group of the sorted write partition), bytes
+    * materialize at [[closeBytes]]. Same schema/codec as
+    * [[writeChunkRefs]], so the files are byte-compatible with every
+    * existing reader (explicit-schema scans, DSv2, the split cache, the
+    * ranged lookups). Parquet-mr streams rows to a local temp file, so
+    * memory is bounded by the row-group buffer, never the shard size.
+    */
+  final class ChunkRefShardWriter extends StreamingShardWriter(manifestType) {
+    private var pCoord: Seq[Int] = null
+    private var pC0 = 0; private var pC1 = 0
+    private var pC2 = 0; private var pC3 = 0
+    private var pKind: String = null
+    private var pInline: Array[Byte] = null
+    private var pChunkId: String = null
+    private var pLocation: String = null
+    private var pOffset = 0L; private var pLength = 0L
+    private var pEtag: String = null
+    private var pLastModified = 0
+
+    def append(coord: Seq[Int], c0: Int, c1: Int, c2: Int, c3: Int,
+               kind: String, inline: Array[Byte], chunkId: String,
+               location: String, offset: Long, length: Long,
+               etag: String, lastModified: Int): Unit = {
+      pCoord = coord; pC0 = c0; pC1 = c1; pC2 = c2; pC3 = c3
+      pKind = kind; pInline = inline; pChunkId = chunkId
+      pLocation = location; pOffset = offset; pLength = length
+      pEtag = etag; pLastModified = lastModified
+      writePending()
+    }
+
+    override protected def emit(): Unit = {
+      addCoordRc(pCoord, 0)
+      addIntRc("c0", 1, pC0); addIntRc("c1", 2, pC1)
+      addIntRc("c2", 3, pC2); addIntRc("c3", 4, pC3)
+      addStrRc("kind", 5, pKind)
+      if (pInline != null) {
+        rc.startField("inline", 6)
+        rc.addBinary(Binary.fromConstantByteArray(pInline))
+        rc.endField("inline", 6)
+      }
+      addStrRc("chunk_id", 7, pChunkId)
+      addStrRc("location", 8, pLocation)
+      addLongRc("offset", 9, pOffset)
+      addLongRc("length", 10, pLength)
+      addStrRc("etag", 11, pEtag)
+      addIntRc("last_modified", 12, pLastModified)
+    }
+  }
+
+  /** Streaming tx-log shard writer (r17): the fused flush tasks stream
+    * one EditRow per changed key instead of buffering the partition's
+    * keys and re-walking them through the Group writer. Same schema as
+    * [[writeEditRows]].
+    */
+  final class EditRowShardWriter extends StreamingShardWriter(txType) {
+    private var pEdit: String = null
+    private var pNode: String = null
+    private var pPath: String = null
+    private var pCoord: Seq[Int] = null
+    private var pToPath: String = null
+
+    def append(edit: String, nodeId: String, path: String,
+               coord: Seq[Int], toPath: String): Unit = {
+      pEdit = edit; pNode = nodeId; pPath = path
+      pCoord = coord; pToPath = toPath
+      writePending()
+    }
+
+    override protected def emit(): Unit = {
+      addStrRc("edit", 0, pEdit)
+      addStrRc("node_id", 1, pNode)
+      addStrRc("path", 2, pPath)
+      addCoordRc(pCoord, 3)
+      addStrRc("to_path", 4, pToPath)
     }
   }
 

@@ -304,6 +304,14 @@ object Dedup {
       col("doc_id").as("doc_b"), col("sz").as("sz_b"))
     a.join(b, Seq("block", "g"))
       .filter(col("doc_a") < col("doc_b"))
+      // size-ratio necessary condition (r17, guide §3, same cut as the
+      // LSH verify): jaccard ≤ min(|A|,|B|)/max(|A|,|B|), so pairs with
+      // min < threshold·max can never pass the final jaccard filter —
+      // dropping their posting-match rows HERE (Catalyst pushes this
+      // into the join condition) shrinks the pair aggregation's input;
+      // the ≥ keeps every boundary pair, so the output is bit-identical
+      .filter(least(col("sz_a"), col("sz_b")).cast("double") >=
+        lit(threshold) * greatest(col("sz_a"), col("sz_b")).cast("double"))
       .groupBy("doc_a", "doc_b", "sz_a", "sz_b")
       .agg(count(lit(1)).as("common"))
       .select(col("doc_a"), col("doc_b"),
